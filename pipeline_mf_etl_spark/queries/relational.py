@@ -1,0 +1,394 @@
+"""Relational operator queries: scans, aggregations, joins, set ops.
+
+Covers SURVEY.md §2.1 (S3), §2.4 (J1/J2/J5/J6, anti-join), §2.5
+(A1-A3, A5-A9, A12), §2.7 (O2/O6/O7). Each query is declarative
+DataFrame code — Catalyst handles column pruning, predicate pushdown and
+broadcast selection; explicit ``broadcast()`` hints mark the small dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.queries.registry import query
+from pipeline_mf_etl_spark.sources.readers import load_table
+
+
+def _r(col, n=6):
+    return F.round(col, n)
+
+
+# ---------------------------------------------------------------------------
+# A1 grouped stats core — the reference's most common aggregate shape
+# (reference: research/profiles.py:47-65, backtest/metrics.py:114-134)
+# expressed as a TPC-H-Q1-style pricing summary. Exact median via
+# `percentile`, population stddev — matching the reference's ddof=0.
+# ---------------------------------------------------------------------------
+@query(
+    "a1_grouped_stats",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                              AS avg_price,
+           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 6)                    AS med_qty,
+           ROUND(STDDEV_POP(l_discount), 6)                            AS std_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped stats core (A1): count/sum/avg/exact-median/stddev_pop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            _r(F.avg("l_extendedprice")).alias("avg_price"),
+            _r(F.avg("l_discount")).alias("avg_disc"),
+            _r(F.expr("percentile(l_quantity, 0.5)")).alias("med_qty"),
+            _r(F.stddev_pop("l_discount")).alias("std_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 conditional aggregates & hit-rate
+# (reference: backtest/metrics.py:128-131 win/loss splits;
+#  research/profiles.py:64 hit-rate)
+# ---------------------------------------------------------------------------
+@query(
+    "a2_conditional_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                                                        AS n_orders,
+           ROUND(AVG(CASE WHEN o_totalprice > 150000 THEN o_totalprice END), 6) AS avg_big_price,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)            AS n_finished,
+           ROUND(AVG(CASE WHEN o_totalprice > 150000 THEN 1.0 ELSE 0.0 END), 6) AS big_rate
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a2_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates (A2) + hit-rate (A3) via avg(when(...))."""
+    o = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 150000
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _r(F.avg(F.when(big, F.col("o_totalprice")))).alias("avg_big_price"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("n_finished"),
+        _r(F.avg(big.cast("double"))).alias("big_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 crosstab (reference: research_hmm/profiles.py:170-181)
+# ---------------------------------------------------------------------------
+@query(
+    "a5_crosstab",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def a5_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key crosstab counts (A5)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# A6 rows-by-year rollup — the reference's per-file Python year loop
+# (bronze/sanity_checks.py:97-135) collapses to one groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "a6_rows_by_year",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def a6_rows_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year rollup (A6/A13): single pass groupBy(year)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count("*").alias("n_orders"),
+        _r(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8/O2 top-K with deterministic tie-break
+# (reference: bronze/sanity_checks.py:138-145 top-20 tables)
+# ---------------------------------------------------------------------------
+@query(
+    "a8_topk_parts",
+    oracle="""
+    SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY revenue DESC, l_partkey ASC LIMIT 20
+    """,
+)
+def a8_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K (A8/O2): orderBy(desc).limit(k), total ordering via key tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 null-rate scan — one pass over all columns
+# (reference: gold/features_pipeline.py:509-513 accumulates per file)
+# ---------------------------------------------------------------------------
+@query(
+    "a9_null_rates",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)         AS null_ts,
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)    AS null_user_id,
+           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)      AS null_value,
+           SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)      AS null_props
+    FROM events
+    """,
+)
+def a9_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-rate scan (A9): per-column null counts in a single aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        for c in ("ts", "user_id", "event_type", "value", "props")
+    ]
+    return ev.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# A12 quantile edge metrics — exact linear-interpolation percentiles
+# (reference: backtest/sensitivity_runner.py:86-227)
+# ---------------------------------------------------------------------------
+@query(
+    "a12_quantile_edges",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(QUANTILE_CONT(value, 0.10), 6) AS p10,
+           ROUND(QUANTILE_CONT(value, 0.90), 6) AS p90,
+           ROUND(MIN(value), 6) AS worst,
+           ROUND(MAX(value), 6) AS best,
+           ROUND(STDDEV_POP(value) / NULLIF(ABS(AVG(value)), 0), 6) AS ret_cv
+    FROM events GROUP BY event_type
+    """,
+)
+def a12_quantile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile edge metrics (A12): exact p10/p90, CV with null-guarded denom."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        _r(F.expr("percentile(value, 0.10)")).alias("p10"),
+        _r(F.expr("percentile(value, 0.90)")).alias("p90"),
+        _r(F.min("value")).alias("worst"),
+        _r(F.max("value")).alias("best"),
+        _r(F.stddev_pop("value") / F.nullif(F.abs(F.avg("value")), F.lit(0))).alias("ret_cv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 broadcast dim-join enrich (reference: bronze/symbol_master.py:327-343)
+# ---------------------------------------------------------------------------
+@query(
+    "j2_broadcast_enrich",
+    oracle="""
+    SELECT p.p_brand, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY p.p_brand, n.n_name
+    """,
+)
+def j2_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema enrich (J2): fact joined to broadcast dims, grouped revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 tiny state-mapping join with coalesce defaults
+# (reference: backtest/state_mapping.py:86-98)
+# ---------------------------------------------------------------------------
+_STATE_MAP = [("click", "long"), ("purchase", "long"), ("error", "short")]
+
+
+@query(
+    "j5_state_mapping",
+    oracle="""
+    WITH state_map(event_type, direction) AS (
+        VALUES ('click', 'long'), ('purchase', 'long'), ('error', 'short')
+    )
+    SELECT COALESCE(m.direction, 'ignore') AS direction,
+           COUNT(*) AS n,
+           ROUND(AVG(e.value), 6) AS avg_value
+    FROM events e LEFT JOIN state_map m ON e.event_type = m.event_type
+    GROUP BY 1
+    """,
+)
+def j5_state_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast state-map join (J5): tiny dim, left join, coalesce default."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(_STATE_MAP, "event_type string, direction string")
+    return (
+        ev.join(F.broadcast(dim), "event_type", "left")
+        .groupBy(F.coalesce(F.col("direction"), F.lit("ignore")).alias("direction"))
+        .agg(F.count("*").alias("n"), _r(F.avg("value")).alias("avg_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 overlay join with join-status + coverage by year
+# (reference: backtest/policy_overlay.py:311-352)
+# ---------------------------------------------------------------------------
+@query(
+    "j6_overlay_coverage",
+    oracle="""
+    WITH overlay AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN ov.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+           ROUND(AVG(CASE WHEN ov.c_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS match_rate
+    FROM orders o LEFT JOIN overlay ov ON o.o_custkey = ov.c_custkey
+    GROUP BY 1
+    """,
+)
+def j6_overlay_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlay left-join (J6): join-status column + per-year coverage metrics."""
+    o = load_table(spark, sf_dir, "orders")
+    overlay = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined = o.join(F.broadcast(overlay), o.o_custkey == overlay.c_custkey, "left")
+    matched = F.col("c_custkey").isNotNull()
+    return joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(matched.cast("long")).alias("n_matched"),
+        _r(F.avg(matched.cast("double"))).alias("match_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O6 anti-join (reference computes set differences in Python,
+# bronze/sanity_checks.py:256-259 — Spark-first this is left_anti)
+# ---------------------------------------------------------------------------
+@query(
+    "o6_anti_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_inactive_1998
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND EXTRACT(year FROM o.o_orderdate) = 1998
+    )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def o6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join set difference (O6): customers with no 1998 orders, by segment."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1998)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_inactive_1998"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O7 distinct / n_unique (reference: ingest/manifest.py:184-186)
+# ---------------------------------------------------------------------------
+@query(
+    "o7_distinct_counts",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(DISTINCT c.c_mktsegment) AS n_segments,
+           COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def o7_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct counting (O7): countDistinct per group."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3 projection + predicate pushdown demo: the narrow scan the optimizer
+# should produce (PushedFilters + 3-column ReadSchema — verified in tests)
+# ---------------------------------------------------------------------------
+@query(
+    "s3_pushdown_scan",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def s3_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned scan (S3/S4): filter+projection pushed to the parquet reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), _r(F.sum("l_quantity"), 2).alias("qty"))
+    )

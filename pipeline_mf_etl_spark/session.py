@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Single place where execution knobs live. Tuned for the local[N] test
+harness but written for cluster scale: AQE on (runtime re-planning,
+skew-join splitting, partition coalescing), shuffle partitions sized to
+the parallelism actually available, Arrow enabled for every
+pandas-exchange boundary, UTC session timezone so timestamp semantics
+match the DuckDB oracle and any downstream engine.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "pipeline_mf_etl_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``shuffle_partitions`` defaults to the local core count — at cluster
+    scale this would be ~2-3x total executor cores; AQE coalesces down
+    when partitions come out small, and splits skewed ones.
+    """
+    cores = default_parallelism()
+    n_shuffle = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

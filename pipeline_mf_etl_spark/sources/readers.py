@@ -1,0 +1,57 @@
+"""Parquet/CSV source helpers (SURVEY.md §2.1 S1-S9).
+
+The engine reads whole partitioned datasets declaratively and lets
+Catalyst do column pruning + predicate/partition pushdown — the
+reference's manual schema-probe / ``columns=[...]`` machinery
+(gold/features_pipeline.py:484-486) is unnecessary on Spark.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver-generated tables from an sf directory.
+
+    The driver's events table carries TIMESTAMP(NANOS) which the Spark
+    parquet reader rejects by default; read nanos as long and downscale
+    to microsecond timestamps (floor division — matching DuckDB's
+    nanos→micros truncation) so timestamp semantics agree with the
+    oracle.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view so the whole operator surface
+    is reachable via ``spark.sql`` as well as the DataFrame API."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
