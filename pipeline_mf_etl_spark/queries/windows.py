@@ -1,0 +1,392 @@
+"""Window operator queries (SURVEY.md §2.6 W1-W17) over the events series.
+
+`events` plays the role of the reference's per-ticker daily bars:
+user_id = series key (ticker), ts = trade time, value = price-like
+measure. Every query is a single pass of window expressions — the
+reference's per-file Python loops collapse into
+`Window.partitionBy("user_id").orderBy("ts", "event_id")`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.functions.core import safe_div
+from pipeline_mf_etl_spark.operators.windows import (
+    bars_since,
+    dedupe_keep_first,
+    latest_per_group,
+    rolling_min_samples,
+    run_group,
+    series_window,
+)
+from pipeline_mf_etl_spark.queries.registry import query
+from pipeline_mf_etl_spark.sources.readers import load_table
+
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def _r(col, n=6):
+    return F.round(col, n)
+
+
+# ---------------------------------------------------------------------------
+# W1 lag/lead + safe-div returns (reference: silver/features_base.py:134-136)
+# ---------------------------------------------------------------------------
+@query(
+    "w1_lag_lead",
+    oracle=f"""
+    SELECT event_id, user_id, ROUND(value, 6) AS value,
+           ROUND(LAG(value) OVER ({_W}), 6)  AS prev_value,
+           ROUND(LEAD(value) OVER ({_W}), 6) AS next_value,
+           ROUND(CASE WHEN ABS(LAG(value) OVER ({_W})) > 1e-12
+                 THEN value / (LAG(value) OVER ({_W})) - 1 END, 6) AS ret_1
+    FROM events
+    """,
+)
+def w1_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/lead shifts (W1) with epsilon-guarded return computation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        _r(F.col("value")).alias("value"),
+        _r(prev).alias("prev_value"),
+        _r(F.lead("value").over(w)).alias("next_value"),
+        _r(safe_div(F.col("value"), prev) - 1).alias("ret_1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 rolling stats with min_samples (reference: silver/features_base.py:172-198)
+# ---------------------------------------------------------------------------
+@query(
+    "w2_rolling_stats",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN COUNT(value) OVER w5 >= 5
+                 THEN AVG(value) OVER w5 END, 6) AS sma_5,
+           ROUND(CASE WHEN COUNT(value) OVER w5 >= 5
+                 THEN STDDEV_POP(value) OVER w5 END, 6) AS std_5,
+           ROUND(MIN(value) OVER w5, 6) AS min_5,
+           ROUND(MAX(value) OVER w5, 6) AS max_5,
+           ROUND(CASE WHEN COUNT(value) OVER w5 >= 5
+                 THEN QUANTILE_CONT(value, 0.5) OVER w5 END, 6) AS med_5
+    FROM events
+    WINDOW w5 AS ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w2_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean/std/min/max/median over 5 bars, min_samples=5 (W2)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        _r(rolling_min_samples(F.avg(v), v, w, 5)).alias("sma_5"),
+        _r(rolling_min_samples(F.stddev_pop(v), v, w, 5)).alias("std_5"),
+        _r(F.min(v).over(w.rowsBetween(-4, 0))).alias("min_5"),
+        _r(F.max(v).over(w.rowsBetween(-4, 0))).alias("max_5"),
+        _r(rolling_min_samples(F.expr("percentile(value, 0.5)"), v, w, 5)).alias("med_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 cumulative counters (reference: silver/features_base.py:206-211)
+# ---------------------------------------------------------------------------
+@query(
+    "w4_cumulative",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER ({_W}) AS bar_index,
+           ROUND(SUM(value) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value,
+           ROUND(MAX(value) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_max,
+           COUNT(*) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS history_bars
+    FROM events
+    """,
+)
+def w4_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum/max/count + row index per series (W4)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("bar_index"),
+        _r(F.sum("value").over(cum)).alias("cum_value"),
+        _r(F.max("value").over(cum)).alias("cum_max"),
+        F.count("*").over(cum).alias("history_bars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 bars-since-event (reference: gold/event_grammar_v1.py:32-46)
+# ---------------------------------------------------------------------------
+@query(
+    "w5_bars_since_event",
+    oracle=f"""
+    WITH idx AS (
+        SELECT event_id, user_id, ts, event_type,
+               ROW_NUMBER() OVER ({_W}) AS rn,
+               CASE WHEN event_type = 'error'
+                    THEN ROW_NUMBER() OVER ({_W}) END AS err_rn
+        FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(rn - MAX(err_rn) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS bars_since_error
+    FROM idx
+    """,
+)
+def w5_bars_since_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bars since the last 'error' event per user (W5)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        bars_since(F.col("event_type") == "error", w).cast("long").alias("bars_since_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6 run-length encoding of states (reference: gold/features_v1.py:290-313)
+# ---------------------------------------------------------------------------
+@query(
+    "w6_run_length",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN LAG(event_type) OVER ({_W}) IS NULL
+                         OR event_type <> LAG(event_type) OVER ({_W})
+                    THEN 1 ELSE 0 END AS changed,
+               LAG(event_type) OVER ({_W}) AS prev_state
+        FROM events
+    ), grouped AS (
+        SELECT *, SUM(changed) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_group
+        FROM flagged
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(state_group AS BIGINT) AS state_group,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id, state_group ORDER BY ts, event_id) AS INTEGER) AS state_run_length,
+           CASE WHEN changed = 1 AND prev_state IS NOT NULL
+                THEN prev_state || '>' || event_type END AS transition
+    FROM grouped
+    """,
+)
+def w6_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State run-length + transition labels via the two-window idiom (W6)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    state = F.col("event_type")
+    prev = F.lag("event_type").over(w)
+    changed = prev.isNull() | (state != prev)
+    grp = run_group(state, w)
+    df = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        grp.alias("state_group"),
+        F.when(changed & prev.isNotNull(), F.concat_ws(">", prev, state)).alias("transition"),
+    )
+    w2 = Window.partitionBy("user_id", "state_group").orderBy("ts", "event_id")
+    return df.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("state_group").cast("long").alias("state_group"),
+        F.row_number().over(w2).alias("state_run_length"),
+        "transition",
+    )
+
+
+# ---------------------------------------------------------------------------
+# W8 zero-cross events (reference: silver/indicators_twiggs.py:162-186)
+# W10 persistence / hold conditions (gold/event_grammar_v1.py:234-245)
+# W9 respect lookback (gold/event_grammar_v1.py:189-209)
+# ---------------------------------------------------------------------------
+@query(
+    "w8_w10_event_flags",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_id, user_id, ts, value - 10.0 AS centered,
+               LAG(value - 10.0) OVER ({_W}) AS prev_centered
+        FROM events
+    ), f AS (
+        SELECT event_id, user_id, ts, centered,
+               COALESCE(centered > 0 AND prev_centered <= 0, FALSE) AS cross_up,
+               COALESCE(centered < 0 AND prev_centered >= 0, FALSE) AS cross_down,
+               CASE WHEN centered > 0 THEN 1 ELSE 0 END AS pos
+        FROM c
+    )
+    SELECT event_id, user_id, cross_up, cross_down,
+           COALESCE(SUM(pos) OVER ({_W} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 3
+                    AND COUNT(*) OVER ({_W} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 3,
+                    FALSE) AS pos_hold_3,
+           COALESCE(MAX(CASE WHEN cross_up THEN 1 ELSE 0 END)
+                      OVER ({_W} ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) = 1,
+                    FALSE) AS crossed_up_last_10
+    FROM f
+    """,
+)
+def w8_w10_event_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-cross (W8), k-bar persistence (W10), respect-lookback (W9) flags."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    centered = F.col("value") - 10.0
+    prev = F.lag(centered).over(w)
+    cross_up = F.coalesce((centered > 0) & (prev <= 0), F.lit(False))
+    cross_down = F.coalesce((centered < 0) & (prev >= 0), F.lit(False))
+    pos = (centered > 0).cast("int")
+    df = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        cross_up.alias("cross_up"),
+        cross_down.alias("cross_down"),
+        pos.alias("pos"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hold = w.rowsBetween(-2, 0)
+    look = w.rowsBetween(-10, -1)
+    return df.select(
+        "event_id",
+        "user_id",
+        "cross_up",
+        "cross_down",
+        F.coalesce(
+            (F.sum("pos").over(hold) == 3) & (F.count("*").over(hold) == 3), F.lit(False)
+        ).alias("pos_hold_3"),
+        F.coalesce(
+            F.max(F.col("cross_up").cast("int")).over(look) == 1, F.lit(False)
+        ).alias("crossed_up_last_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W14 forward returns / labels (reference: research/forward_labels.py:41-80)
+# — the reference's per-group Python loop for fwd-vol is a pure window here.
+# ---------------------------------------------------------------------------
+@query(
+    "w14_forward_labels",
+    oracle=f"""
+    WITH r AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN ABS(LAG(value) OVER ({_W})) > 1e-12
+                    THEN value / (LAG(value) OVER ({_W})) - 1 END AS ret_1
+        FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN ABS(value) > 1e-12
+                 THEN (LEAD(value, 5) OVER ({_W})) / value - 1 END, 6) AS fwd_ret_5,
+           ROUND(CASE WHEN COUNT(ret_1) OVER fw >= 10
+                 THEN STDDEV_POP(ret_1) OVER fw END, 6) AS fwd_vol_10
+    FROM r
+    WINDOW fw AS ({_W} ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING)
+    """,
+)
+def w14_forward_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward k-bar return + forward-vol proxy as pure windows (W14)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    ret1 = safe_div(F.col("value"), F.lag("value").over(w)) - 1
+    df = ev.select("event_id", "user_id", "ts", "value", ret1.alias("ret_1"))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fw = w2.rowsBetween(1, 10)
+    return df.select(
+        "event_id",
+        "user_id",
+        _r(safe_div(F.lead("value", 5).over(w2), F.col("value")) - 1).alias("fwd_ret_5"),
+        _r(F.when(F.count("ret_1").over(fw) >= 10, F.stddev_pop("ret_1").over(fw))).alias(
+            "fwd_vol_10"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W15/W16 duplicate flag + deterministic keep-first dedupe
+# (reference: validate/rules.py:145-150; backtest/adapters.py:178-180)
+# ---------------------------------------------------------------------------
+@query(
+    "w16_dedupe_keep_first",
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*) AS n_kept,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    GROUP BY user_id, event_type
+    """,
+)
+def w16_dedupe_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedupe to one event per (user, day), then rollup (W16)."""
+    ev = load_table(spark, sf_dir, "events")
+    deduped = dedupe_keep_first(
+        ev.withColumn("event_day", F.col("ts").cast("date")),
+        ["user_id", "event_day"],
+        [F.col("ts"), F.col("event_id")],
+    )
+    return deduped.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_kept"),
+        _r(F.sum("value")).alias("sum_value"),
+    )
+
+
+@query(
+    "w15_duplicate_flag",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN day_n > 1 THEN 1 ELSE 0 END) AS n_in_dup_days,
+           COUNT(*) AS n_rows
+    FROM (
+        SELECT user_id, COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS day_n
+        FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def w15_duplicate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate detection via count-over-keys window (W15)."""
+    ev = load_table(spark, sf_dir, "events")
+    wd = Window.partitionBy("user_id", F.col("ts").cast("date"))
+    flagged = ev.select("user_id", F.count("*").over(wd).alias("day_n"))
+    return flagged.groupBy("user_id").agg(
+        F.sum((F.col("day_n") > 1).cast("long")).alias("n_in_dup_days"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W17 latest-per-group (reference: research_hmm/diagnostics.py:54-62)
+# ---------------------------------------------------------------------------
+@query(
+    "w17_latest_per_group",
+    oracle=f"""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           ROUND(value, 6) AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w17_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per series via descending row_number (W17)."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_per_group(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        _r(F.col("value")).alias("last_value"),
+    )
