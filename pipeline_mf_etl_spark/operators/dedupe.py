@@ -1,0 +1,192 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing is built on md5 (available and bit-identical in Spark, DuckDB
+and any other engine) rather than engine-specific hash functions, so
+every stage stays oracle-comparable:
+
+- exact dedupe: md5 of normalized text, keep min doc id per group
+- token n-gram shingles: posexplode-free sequence/slice construction
+- MinHash: k seeded hash slots h_i(s) = md5_int64("i:" || s), signature =
+  per-doc min per slot; banded LSH buckets from signature slices; bucket
+  equi-join for candidate pairs; exact Jaccard verification on the
+  candidates only (never all-pairs at scale)
+- SimHash: per-token 32-bit hash, bit-vote aggregation, hamming distance
+
+Scale notes: the shingle explode is linear in corpus token count and
+shuffles on (doc, shingle) only for the signature groupBy; candidate
+generation joins on (band, band_hash) — the classic sub-quadratic LSH
+plan. Exact-Jaccard verification joins exploded shingle sets only for
+candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Large prime < 2^31 used to fold 60-bit md5 prefixes into a stable range.
+_FOLD_PRIME = 2147483647
+
+
+def md5_int64(col: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative int64 (60 bits).
+
+    DuckDB equivalent: ``CAST(md5_number_lower(x) AS ...)`` does NOT match
+    (different byte slice); the oracle uses the same hex-prefix form via
+    DuckDB 1.0's lack of conv… so oracles reconstruct with
+    ``from_hex``-free arithmetic — see queries/dedup.py for the exact SQL.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for exact dedupe: lower, strip punctuation,
+    collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(normalize_text(col), " "), lambda t: t != "")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles (distinct).
+
+    Guard: Spark's ``sequence(1, stop)`` generates a DESCENDING sequence
+    when stop < 1, so short documents need an explicit empty-array branch.
+    """
+    toks = tokens(col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(sh)
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    return df.select(id_col, F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, k: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: k min-hash slots over the shingle set."""
+    aggs = [
+        F.min(
+            F.pmod(md5_int64(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))), F.lit(_FOLD_PRIME))
+        ).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature; docs sharing any band
+    bucket become candidate pairs (a < b)."""
+    rows_per_band = k // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_frames.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    buckets = band_frames[0]
+    for f in band_frames[1:]:
+        buckets = buckets.unionByName(f)
+    left = buckets.select(F.col(id_col).alias("a"), "band", "band_hash")
+    right = buckets.select(F.col(id_col).alias("b"), "band", "band_hash")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("shingle").alias("shingle_b")), "b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def all_pairs_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard for every pair sharing at least one shingle.
+
+    The shingle self-join is the candidate generator here (inverted-index
+    join): linear in Σ docs-per-shingle², which is fine when shingles are
+    discriminative; for web-scale corpora prefer the MinHash/LSH path.
+    """
+    inter = (
+        sh.select(F.col(id_col).alias("a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document via bit-vote aggregation.
+
+    Declarative form: explode tokens × 32 bit positions, vote ±1 per bit,
+    reassemble sign bits. Linear in (tokens × 32); at extreme scale the
+    same logic drops into a Pandas UDF — this form keeps it
+    oracle-checkable.
+    """
+    toks = df.select(id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    hashed = toks.select(id_col, F.pmod(md5_int64(F.col("tok")), F.lit(2**32)).alias("h"))
+    bits = hashed.select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    ).select(
+        id_col,
+        "bit",
+        # shiftright/shiftleft take only literal shift counts in the Python
+        # API — the SQL forms accept a column
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("simhash")
+    )

@@ -1,0 +1,123 @@
+"""Similarity-search operators over embedding columns (array<float>).
+
+Cosine is computed JVM-side with higher-order functions (zip_with +
+aggregate) in float64 — no Python UDF in the hot path. Ranking uses the
+ROUNDED score with an id tie-break so ordering is reproducible across
+engines (raw float ranking is ulp-fragile).
+
+Scale paths:
+- brute force: queries × candidates cross join — right answer, O(Q·N);
+  broadcast the query side, candidates stay partitioned.
+- bucketed (IVF-style): equi-join on a coarse partition key first, then
+  rank within bucket — the sub-linear plan shape used at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exact cosine top-k per query (excluding self): broadcast queries,
+    score all candidates, rank on rounded score + id tie-break."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    bucket_col: str,
+    k: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF-style ANN: restrict scoring to the query's coarse bucket
+    (equi-join on the bucket key), then exact rank within bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(bucket_col).alias("bucket"),
+        F.col(vec_col).alias("qv"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(bucket_col).alias("bucket"),
+        F.col(vec_col).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — brute-force block
+    self-join; at corpus scale swap the candidate generator for
+    LSH/IVF buckets and keep the same verify stage."""
+    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

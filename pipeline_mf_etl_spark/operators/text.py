@@ -1,0 +1,78 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword-share heuristic), quality scoring (length / punct
+/ stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting. All pure column expressions — JVM-side, no
+Python in the hot path — so they hold up on a 100 TB corpus and stay
+oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.operators.dedupe import normalize_text, tokens
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+    "es": ("el", "la", "los", "y", "es", "un", "una"),
+}
+
+
+def stopword_share(text: Column, stopwords: tuple[str, ...]) -> Column:
+    """Share of tokens that are stopwords of one language."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_piece_count(text: Column) -> Column:
+    """BPE-ish sub-token proxy: word chunks of <=4 chars + digits +
+    punctuation marks each count as one piece."""
+    return F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(F.lower(text), r"([a-z]{1,4}|[0-9]+|[^a-z0-9\s])", "$1\x1f"),
+                "\x1f",
+            ),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars."""
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[.,;:!?'\"()\[\]-]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0-1 quality score: length band + low punct + sane mean
+    token length (weights are engine policy, not reference-derived)."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok.cast("double") / 50.0, F.lit(1.0))
+    punct_score = 1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    mtl = F.coalesce(mean_token_len(text), F.lit(0.0))
+    mtl_score = F.when((mtl >= 3.0) & (mtl <= 8.0), 1.0).otherwise(0.5)
+    return 0.5 * len_score + 0.25 * punct_score + 0.25 * mtl_score
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(text))

@@ -1,0 +1,202 @@
+"""Deduplication queries over the documents corpus — first-class
+training-data-pipeline operators (exact, MinHash+LSH, SimHash, n-gram
+Jaccard), each with a full DuckDB oracle.
+
+Hashing is md5-based on both sides; the oracle folds hex prefixes to
+int64 with ``list_reduce`` so every hash value is bit-identical to
+Spark's ``conv(substr(md5(x),1,15),16,10)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.operators.dedupe import (
+    all_pairs_jaccard,
+    exploded_shingles,
+    jaccard_on_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    normalize_text,
+    simhash32,
+    tokens,
+)
+from pipeline_mf_etl_spark.queries.registry import query
+from pipeline_mf_etl_spark.sources.readers import load_table
+
+# DuckDB fragments kept in lockstep with operators/dedupe.py ------------------
+
+# int64 fold of the first 15 md5 hex chars == Spark conv(substr(md5,1,15),16,10)
+_FOLD = (
+    "list_reduce(list_transform(split(substr(md5({x}), 1, 15), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+    " (acc, y) -> acc * 16 + y)"
+)
+
+# normalized token list == operators.dedupe.tokens()
+_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
+)
+
+# distinct word-3-gram shingles CTE (doc_id, shingle)
+_SHINGLES_CTE = f"""
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM tok, UNNEST(range(1, greatest(len(toks) - 1, 1))) AS t(i)
+        WHERE len(toks) >= 3
+    )
+"""
+
+
+def _r(col, n=6):
+    return F.round(col, n)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedupe on canonical token-set fingerprint (hash-groupBy).
+# Catches both byte-identical and bag-of-words-identical duplicates.
+# ---------------------------------------------------------------------------
+@query(
+    "d1_exact_dedupe",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+    """,
+)
+def d1_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedupe: md5 over sorted distinct token set, keep min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))).alias(
+            "fingerprint"
+        ),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH near-dup detection (16 slots, 4 bands), with exact
+# Jaccard verification on candidates only — the sub-quadratic scale path.
+# ---------------------------------------------------------------------------
+@query(
+    "d2_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashes AS (
+        SELECT doc_id, seed,
+               {_FOLD.format(x="CAST(seed AS VARCHAR) || ':' || shingle")} % 2147483647 AS h
+        FROM sh, UNNEST(range(0, 16)) AS s(seed)
+    ),
+    sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+        FROM sig GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l
+        JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a, c.b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           ROUND(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter) >= 0.5
+    """,
+)
+def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → banded LSH buckets → verified near-dup pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, "doc_id", k=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4)
+    verified = jaccard_on_pairs(cand, sh, "doc_id")
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "a", "b", _r(F.col("jaccard")).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (32-bit, bit-vote) — per-doc parity check.
+# ---------------------------------------------------------------------------
+@query(
+    "d3_simhash",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dtok AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, UNNEST(toks) AS tok FROM tok)
+    ),
+    h AS (SELECT doc_id, {_FOLD.format(x="tok")} % 4294967296 AS h FROM dtok),
+    bits AS (
+        SELECT doc_id, bit,
+               SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, UNNEST(range(0, 32)) AS b(bit)
+        GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document via declarative bit-vote aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash32(docs, "doc_id", "text").select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+# ---------------------------------------------------------------------------
+@query(
+    "d4_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    inter AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_inter
+        FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+    SELECT i.a, i.b,
+           ROUND(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter) >= 0.8
+    """,
+)
+def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (threshold 0.8), inverted-index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", n=3)
+    return (
+        all_pairs_jaccard(sh, "doc_id")
+        .filter(F.col("jaccard") >= 0.8)
+        .select("a", "b", _r(F.col("jaccard")).alias("jaccard"))
+    )

@@ -1,0 +1,106 @@
+"""Similarity-search queries over the embeddings table.
+
+Oracles compute cosine with the same dot/(norm·norm) formula (DuckDB
+list_dot_product) and rank on the ROUNDED score with an id tie-break, so
+ordering matches Spark bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    embedding_near_dup_pairs,
+)
+from pipeline_mf_etl_spark.queries.registry import query
+from pipeline_mf_etl_spark.sources.readers import load_table
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force exact cosine top-k — the ANN baseline.
+# ---------------------------------------------------------------------------
+@query(
+    "e1_ann_bruteforce",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROUND({_COS.format(a="q.qv", b="c.emb")}, 6) AS cos
+        FROM q JOIN v c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def e1_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 8 query vectors against the whole corpus."""
+    v = _vectors(spark, sf_dir)
+    return brute_force_topk(v.filter(F.col("vec_id") < 8), v, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed IVF-style ANN: coarse partition (label) restricts the search.
+# ---------------------------------------------------------------------------
+@query(
+    "e2_ann_bucketed",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS bucket, emb AS qv FROM v WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROUND({_COS.format(a="q.qv", b="c.emb")}, 6) AS cos
+        FROM q JOIN v c ON c.label = q.bucket AND c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def e2_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style bucketed top-3: search only the query's coarse bucket."""
+    v = _vectors(spark, sf_dir)
+    return bucketed_topk(v.filter(F.col("vec_id") < 8), v, "label", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (dedup family, embedding modality).
+# ---------------------------------------------------------------------------
+@query(
+    "e3_embedding_neardup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND({_COS.format(a="a.emb", b="b.emb")}, 6) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND({_COS.format(a="a.emb", b="b.emb")}, 6) >= 0.4
+    """,
+)
+def e3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= 0.4, brute-force verify."""
+    v = _vectors(spark, sf_dir)
+    return embedding_near_dup_pairs(v, 0.4)

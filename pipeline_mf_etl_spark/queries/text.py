@@ -1,0 +1,185 @@
+"""Text-analysis queries over the documents corpus: language ID, quality
+scoring, token counting, fingerprinting. Each has a full DuckDB oracle
+built from the same normalized-token definition as queries/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.operators.text import (
+    LANG_STOPWORDS,
+    doc_fingerprint,
+    mean_token_len,
+    punct_ratio,
+    quality_score,
+    stopword_share,
+    token_count,
+)
+from pipeline_mf_etl_spark.queries.registry import query
+from pipeline_mf_etl_spark.sources.readers import load_table
+
+_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
+)
+
+
+def _r(col, n=6):
+    return F.round(col, n)
+
+
+def _sql_share(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"CASE WHEN len(toks) > 0 THEN "
+        f"len(list_filter(toks, t -> t IN ({words}))) * 1.0 / len(toks) "
+        f"ELSE 0.0 END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: per-language stopword share, argmax with threshold.
+# ---------------------------------------------------------------------------
+@query(
+    "t1_lang_id",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    scores AS (
+        SELECT doc_id, lang,
+               {_sql_share('en')} AS s_en,
+               {_sql_share('de')} AS s_de,
+               {_sql_share('fr')} AS s_fr,
+               {_sql_share('es')} AS s_es
+        FROM tok
+    ),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE
+                 WHEN GREATEST(s_en, s_de, s_fr, s_es) < 0.02 THEN 'unknown'
+                 WHEN s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de >= GREATEST(s_fr, s_es) THEN 'de'
+                 WHEN s_fr >= s_es THEN 'fr'
+                 ELSE 'es'
+               END AS pred_lang
+        FROM scores
+    )
+    SELECT pred_lang, lang AS labeled_lang, COUNT(*) AS n
+    FROM pred GROUP BY pred_lang, lang
+    """,
+)
+def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-share language ID, crosstabbed against the dataset label."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    scores = docs.select(
+        "doc_id",
+        "lang",
+        stopword_share(text, LANG_STOPWORDS["en"]).alias("s_en"),
+        stopword_share(text, LANG_STOPWORDS["de"]).alias("s_de"),
+        stopword_share(text, LANG_STOPWORDS["fr"]).alias("s_fr"),
+        stopword_share(text, LANG_STOPWORDS["es"]).alias("s_es"),
+    )
+    best = F.greatest("s_en", "s_de", "s_fr", "s_es")
+    pred = (
+        F.when(best < 0.02, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_fr", "s_es"), "en")
+        .when(F.col("s_de") >= F.greatest("s_fr", "s_es"), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return (
+        scores.select(pred.alias("pred_lang"), F.col("lang").alias("labeled_lang"))
+        .groupBy("pred_lang", "labeled_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length/punct/token-shape components + composite score.
+# ---------------------------------------------------------------------------
+@query(
+    "t2_quality_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, text, {_TOKS} AS toks,
+               LENGTH(text) AS n_chars_raw,
+               LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CASE WHEN n_chars_raw > 0 THEN n_punct * 1.0 / n_chars_raw ELSE 0.0 END AS p_ratio,
+               CASE WHEN len(toks) > 0
+                    THEN list_sum(list_transform(toks, t -> LENGTH(t))) * 1.0 / len(toks) END AS mtl
+        FROM tok
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(p_ratio, 6) AS punct_ratio,
+           ROUND(mtl, 6) AS mean_token_len,
+           ROUND(0.5 * LEAST(n_tokens / 50.0, 1.0)
+                 + 0.25 * (1.0 - LEAST(p_ratio * 5.0, 1.0))
+                 + 0.25 * (CASE WHEN COALESCE(mtl, 0.0) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END),
+                 6) AS quality
+    FROM feat
+    """,
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(text).alias("n_tokens"),
+        _r(punct_ratio(text)).alias("punct_ratio"),
+        _r(mean_token_len(text)).alias("mean_token_len"),
+        _r(quality_score(text)).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting + global top-20 terms (A8 over exploded tokens).
+# ---------------------------------------------------------------------------
+@query(
+    "t3_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, UNNEST(toks) AS term FROM tok)
+    SELECT term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+    FROM t GROUP BY term
+    ORDER BY n DESC, term ASC LIMIT 20
+    """,
+)
+def t3_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies + document frequency, top-20."""
+    from pipeline_mf_etl_spark.operators.dedupe import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    return (
+        t.groupBy("term")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (md5 of normalized text) + corpus stats.
+# ---------------------------------------------------------------------------
+@query(
+    "t4_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint,
+           n_chars
+    FROM documents
+    """,
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc normalized-text fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"), "n_chars")
