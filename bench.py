@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Each query is forced to full execution by hash-aggregating every output
+column — a bare count() would let Catalyst prune the plan to a scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.queries import all_queries
+from pipeline_mf_etl_spark.session import get_spark
+
+# One headline query per operator family (SURVEY.md §2 groups).
+HEADLINE = (
+    "a1_grouped_stats",       # grouped aggregation core
+    "j6_overlay_coverage",    # join + coverage rollup
+    "s3_pushdown_scan",       # scan with pushed filters/pruning
+    "w2_rolling_stats",       # per-key ordered windows
+    "w6_run_length",          # two-window run-length idiom
+    "w14_forward_labels",     # lead windows + guarded stddev
+    "p2_p3_quality_flags",    # validation flag stack
+    "m2_per_group_scaler",    # grouped-stats + join normalize
+    "d2_minhash_lsh",         # MinHash+LSH near-dup
+    "t2_quality_score",       # text quality scoring
+    "e1_ann_bruteforce",      # brute-force cosine top-k
+)
+
+
+def _force(df) -> int:
+    """Fully execute the plan: aggregate a hash of every column so no
+    column/row can be pruned away, then count."""
+    hashed = df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h"))
+    row = hashed.agg(F.count("h"), F.expr("bit_xor(h)")).collect()[0]
+    return int(row[0])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    specs = all_queries()
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/session on the smallest data so first-query JIT and
+    # parquet-footer caching don't pollute the first measured number.
+    _force(specs["a1_grouped_stats"].spark(spark, "/root/testdata/sf0.001"))
+
+    total = 0.0
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        _force(spec.spark(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
