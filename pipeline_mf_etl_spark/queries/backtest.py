@@ -1,0 +1,376 @@
+"""Backtest operator family (SURVEY.md §2.9 B1-B8) over the events series.
+
+The reference chains adapter → state mapping → execution realism →
+signals → trade simulation → metrics → equity curve
+(backtest/pipeline.py:165-860). Stages B1-B5/B7/B8 are pure column/join
+algebra (Catalyst-friendly, broadcast joins for the tiny mapping
+tables); only the trade loop B6 is sequential per series and runs as
+``applyInPandas`` (operators/backtest.py).
+
+events → bars mapping: user_id = ticker, value = price, props.$.k =
+volume proxy, event_type = state label (purchase→long, error→short).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.functions.core import safe_div
+from pipeline_mf_etl_spark.operators.backtest import simulate_trades
+from pipeline_mf_etl_spark.operators.windows import rolling_min_samples, series_window
+from pipeline_mf_etl_spark.queries.registry import query
+from pipeline_mf_etl_spark.sources.readers import load_table
+
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+# B2 state mapping (reference backtest/state_mapping.py:54-118): tiny
+# direction/eligibility lookup, broadcast-joined.
+_STATE_MAP = (
+    ("purchase", 1, True),
+    ("error", -1, True),
+    ("click", 0, False),
+    ("view", 0, False),
+    ("signup", 0, False),
+)
+_STATE_MAP_SQL = "(VALUES " + ", ".join(
+    f"('{t}', {s}, {str(e).upper()})" for t, s, e in _STATE_MAP
+) + ") AS m(event_type, side, eligible)"
+
+_HOLD = 5
+_COST = 2.0 * (5.0 + 5.0) / 1e4  # two-sided fee+slippage, 5 bps each
+
+
+def _state_map_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(_STATE_MAP), schema="event_type string, side int, eligible boolean"
+    )
+
+
+def _mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1/B2: adapter + broadcast state-mapping join."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.broadcast(_state_map_df(spark))
+    return ev.join(m, "event_type", "left").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce("side", F.lit(0)).alias("side"),
+        F.coalesce("eligible", F.lit(False)).alias("eligible"),
+    )
+
+
+def _with_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 state_transition_entry: eligible row whose state differs from the
+    previous bar's state (or the first bar) raises an entry signal."""
+    df = _mapped(spark, sf_dir)
+    w = series_window()
+    prev_state = F.lag("event_type").over(w)
+    transition = prev_state.isNull() | (F.col("event_type") != prev_state)
+    return df.withColumn("signal", F.col("eligible") & transition)
+
+
+# SQL twin of _with_signals, shared by the b5/b7/b8 oracles.
+_SIGNALS_CTE = f"""
+    mapped AS (
+        SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+               COALESCE(m.side, 0) AS side,
+               COALESCE(m.eligible, FALSE) AS eligible
+        FROM events e LEFT JOIN {_STATE_MAP_SQL} USING (event_type)
+    ), signals AS (
+        SELECT *,
+               eligible AND (LAG(event_type) OVER ({_W}) IS NULL
+                             OR event_type <> LAG(event_type) OVER ({_W})) AS signal
+        FROM mapped
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# B1/B2: adapter + state mapping (reference backtest/adapters.py:128-260,
+# state_mapping.py:54-118)
+# ---------------------------------------------------------------------------
+@query(
+    "b2_state_eligibility",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, e.event_type,
+           COALESCE(m.side, 0) AS side,
+           COALESCE(m.eligible, FALSE) AS signal_eligible
+    FROM events e LEFT JOIN {_STATE_MAP_SQL} USING (event_type)
+    """,
+)
+def b2_state_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State→direction mapping via broadcast left join + coalesce defaults."""
+    df = _mapped(spark, sf_dir)
+    return df.select(
+        "event_id", "user_id", "event_type", "side", F.col("eligible").alias("signal_eligible")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4: execution realism filter (reference backtest/execution_realism.py:208-559)
+# ---------------------------------------------------------------------------
+@query(
+    "b4_execution_realism",
+    oracle=f"""
+    WITH bars AS (
+        SELECT event_id, user_id, ts, value,
+               value * CAST(json_extract(props, '$.k') AS DOUBLE) AS dollar_vol,
+               COUNT(*) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS history_bars
+        FROM events
+    ), rolled AS (
+        SELECT *,
+               CASE WHEN COUNT(dollar_vol) OVER w20 >= 20
+                    THEN QUANTILE_CONT(dollar_vol, 0.5) OVER w20 END AS dv_med_20
+        FROM bars
+        WINDOW w20 AS ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           value < 5.0 AS price_floor_fail,
+           history_bars < 20 AS warmup_fail,
+           COALESCE(dv_med_20 < 1000.0, FALSE) AS dollar_vol_fail,
+           CASE WHEN value < 5.0 THEN 'PRICE_FLOOR'
+                WHEN history_bars < 20 THEN 'WARMUP'
+                WHEN COALESCE(dv_med_20 < 1000.0, FALSE) THEN 'DOLLAR_VOL'
+                END AS primary_reason,
+           NOT (value < 5.0 OR history_bars < 20
+                OR COALESCE(dv_med_20 < 1000.0, FALSE)) AS exec_eligible
+    FROM rolled
+    """,
+)
+def b4_execution_realism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price floor + 20-bar rolling dollar-volume median floor + warmup
+    gate, with fixed-precedence primary fail reason."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    dv = F.col("value") * F.get_json_object("props", "$.k").cast("double")
+    df = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        dv.alias("dollar_vol"),
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("history_bars"),
+    )
+    med = rolling_min_samples(
+        F.expr("percentile(dollar_vol, 0.5)"), F.col("dollar_vol"), w, 20
+    )
+    df = df.withColumn("dv_med_20", med)
+    price_fail = F.col("value") < 5.0
+    warm_fail = F.col("history_bars") < 20
+    dv_fail = F.coalesce(F.col("dv_med_20") < 1000.0, F.lit(False))
+    reason = (
+        F.when(price_fail, "PRICE_FLOOR")
+        .when(warm_fail, "WARMUP")
+        .when(dv_fail, "DOLLAR_VOL")
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        price_fail.alias("price_floor_fail"),
+        warm_fail.alias("warmup_fail"),
+        dv_fail.alias("dollar_vol_fail"),
+        reason.alias("primary_reason"),
+        (~(price_fail | warm_fail | dv_fail)).alias("exec_eligible"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5: signal generation, state_transition_entry mode
+# (reference backtest/signals.py:20-242)
+# ---------------------------------------------------------------------------
+@query(
+    "b5_signals",
+    oracle=f"""
+    WITH {_SIGNALS_CTE}
+    SELECT event_id, user_id, signal AS entry_signal,
+           CASE WHEN signal THEN side ELSE 0 END AS entry_side
+    FROM signals
+    """,
+)
+def b5_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry signals on eligible state transitions (per-series lag window —
+    the reference's per-ticker Python loop collapses into one pass)."""
+    df = _with_signals(spark, sf_dir)
+    return df.select(
+        "event_id",
+        "user_id",
+        F.col("signal").alias("entry_signal"),
+        F.when(F.col("signal"), F.col("side")).otherwise(F.lit(0)).alias("entry_side"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6: next-open non-overlapping trade simulation (applyInPandas island).
+# The greedy non-overlap recursion is not ANSI-SQL-expressible without
+# recursive CTE gymnastics; the driver records the rows-only check and
+# tests/test_backtest.py enforces the sequential invariants instead.
+# ---------------------------------------------------------------------------
+@query("b6_trade_sim")
+def b6_trade_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series trade loop: next-open fills, one position per series,
+    horizon exit with END_OF_DATA fallback, MFE/MAE, two-sided costs."""
+    bars = _with_signals(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value", "signal", "side"
+    )
+    trades = simulate_trades(bars, hold_bars=_HOLD, fee_bps=5.0, slippage_bps=5.0)
+    return trades.select(
+        "user_id",
+        "position_id",
+        "side",
+        "entry_event_id",
+        "exit_event_id",
+        F.round("entry_value", 6).alias("entry_value"),
+        F.round("exit_value", 6).alias("exit_value"),
+        "bars_held",
+        F.round("gross_return", 6).alias("gross_return"),
+        F.round("net_return", 6).alias("net_return"),
+        F.round("mfe", 6).alias("mfe"),
+        F.round("mae", 6).alias("mae"),
+        "exit_reason",
+    )
+
+
+# SQL-expressible trade set for B7/B8: every signal fills at the next bar
+# and exits exactly hold_bars later (overlap allowed, truncated trades
+# dropped) — pure lead() windows, so both engines agree exactly.
+_TRADES_CTE = f"""
+    {_SIGNALS_CTE}, led AS (
+        -- leads are computed over ALL bars (entry/exit prices live on
+        -- non-signal rows), THEN the frame is filtered to signal rows.
+        SELECT event_id, user_id, side, signal,
+               LEAD(value, 1) OVER ({_W}) AS entry_value,
+               LEAD(value, {1 + _HOLD}) OVER ({_W}) AS exit_value,
+               LEAD(ts, {1 + _HOLD}) OVER ({_W}) AS exit_ts
+        FROM signals
+    ), trades AS (
+        SELECT event_id, user_id, side, entry_value, exit_value, exit_ts
+        FROM led
+        WHERE signal AND exit_value IS NOT NULL AND ABS(entry_value) > 1e-12
+    ), rets AS (
+        SELECT event_id, user_id, side, exit_ts,
+               side * (exit_value / entry_value - 1) AS gross,
+               side * (exit_value / entry_value - 1) - {_COST!r} AS net
+        FROM trades
+    )
+"""
+
+
+def _fixed_horizon_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _with_signals(spark, sf_dir)
+    w = series_window()
+    sig = df.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "side",
+        "signal",
+        F.lead("value", 1).over(w).alias("entry_value"),
+        F.lead("value", 1 + _HOLD).over(w).alias("exit_value"),
+        F.lead("ts", 1 + _HOLD).over(w).alias("exit_ts"),
+    ).filter("signal")
+    sig = sig.filter(
+        F.col("exit_value").isNotNull() & (F.abs(F.col("entry_value")) > 1e-12)
+    )
+    gross = F.col("side") * (F.col("exit_value") / F.col("entry_value") - 1)
+    return sig.select(
+        "event_id",
+        "user_id",
+        "side",
+        "exit_ts",
+        gross.alias("gross"),
+        (gross - _COST).alias("net"),
+    )
+
+
+# NOTE: the fixed-horizon lead() trade set is computed on ALL rows first
+# (window over the full series), then filtered to signal rows — the
+# QUALIFY in the oracle does the same. Window-before-filter is required:
+# lead() must see non-signal bars.
+
+
+# ---------------------------------------------------------------------------
+# B7/A10: trade summary metrics (reference backtest/metrics.py:26-153)
+# ---------------------------------------------------------------------------
+@query(
+    "b7_trade_metrics",
+    oracle=f"""
+    WITH {_TRADES_CTE}
+    SELECT side,
+           COUNT(*) AS n_trades,
+           ROUND(AVG(CASE WHEN net > 0 THEN 1.0 ELSE 0.0 END), 6) AS win_rate,
+           ROUND(AVG(CASE WHEN net > 0 THEN net END), 6) AS avg_win,
+           ROUND(AVG(CASE WHEN net <= 0 THEN net END), 6) AS avg_loss,
+           ROUND(CASE WHEN ABS(SUM(CASE WHEN net <= 0 THEN net ELSE 0 END)) > 1e-12
+                 THEN SUM(CASE WHEN net > 0 THEN net ELSE 0 END)
+                      / ABS(SUM(CASE WHEN net <= 0 THEN net ELSE 0 END)) END, 6)
+               AS profit_factor,
+           ROUND(AVG(net), 6) AS expectancy,
+           ROUND(STDDEV_POP(net), 6) AS net_std
+    FROM rets
+    GROUP BY side
+    """,
+)
+def b7_trade_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-side trade summary: win rate, PF, expectancy over the
+    fixed-horizon trade set (conditional aggregates A2/A10)."""
+    t = _fixed_horizon_trades(spark, sf_dir)
+    net = F.col("net")
+    wins = F.sum(F.when(net > 0, net).otherwise(0.0))
+    losses = F.sum(F.when(net <= 0, net).otherwise(0.0))
+    return t.groupBy("side").agg(
+        F.count("*").alias("n_trades"),
+        F.round(F.avg((net > 0).cast("double")), 6).alias("win_rate"),
+        F.round(F.avg(F.when(net > 0, net)), 6).alias("avg_win"),
+        F.round(F.avg(F.when(net <= 0, net)), 6).alias("avg_loss"),
+        F.round(safe_div(wins, F.abs(losses)), 6).alias("profit_factor"),
+        F.round(F.avg(net), 6).alias("expectancy"),
+        F.round(F.stddev_pop(net), 6).alias("net_std"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8: equity curve + drawdown (reference backtest/portfolio.py:33-112)
+# ---------------------------------------------------------------------------
+@query(
+    "b8_equity_curve",
+    oracle=f"""
+    WITH {_TRADES_CTE}, daily AS (
+        -- ruin floor: a day cannot lose more than 99% (short losses are
+        -- unbounded; log1p needs 1+r > 0 on both engines)
+        SELECT CAST(exit_ts AS DATE) AS exit_day,
+               GREATEST(AVG(net), -0.99) AS day_ret
+        FROM rets GROUP BY 1
+    ), curve AS (
+        SELECT exit_day, day_ret,
+               EXP(SUM(LN(1 + day_ret)) OVER (
+                   ORDER BY exit_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS equity
+        FROM daily
+    )
+    SELECT exit_day, ROUND(day_ret, 6) AS day_ret, ROUND(equity, 6) AS equity,
+           ROUND(equity / MAX(equity) OVER (
+               ORDER BY exit_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6) AS drawdown
+    FROM curve
+    """,
+)
+def b8_equity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily mean net return → compounded equity → drawdown vs running
+    peak (cumulative windows; log-sum compounding keeps it a window
+    expression instead of a driver loop)."""
+    t = _fixed_horizon_trades(spark, sf_dir)
+    daily = t.groupBy(F.col("exit_ts").cast("date").alias("exit_day")).agg(
+        F.greatest(F.avg("net"), F.lit(-0.99)).alias("day_ret")
+    )
+    wc = Window.orderBy("exit_day").rowsBetween(Window.unboundedPreceding, 0)
+    curve = daily.withColumn("equity", F.exp(F.sum(F.log1p("day_ret")).over(wc)))
+    return curve.select(
+        "exit_day",
+        F.round("day_ret", 6).alias("day_ret"),
+        F.round("equity", 6).alias("equity"),
+        F.round(F.col("equity") / F.max("equity").over(wc) - 1, 6).alias("drawdown"),
+    )
