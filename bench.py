@@ -33,6 +33,9 @@ HEADLINE = (
     "d2_minhash_lsh",         # MinHash+LSH near-dup
     "t2_quality_score",       # text quality scoring
     "e1_ann_bruteforce",      # brute-force cosine top-k
+    "w3_ewm_wilder",          # applyInPandas EWM island
+    "b6_trade_sim",           # sequential per-series simulation
+    "st1_tumbling_daily",     # event-time tumbling windows
 )
 
 

@@ -1,0 +1,85 @@
+"""Streaming-window queries (SURVEY.md §2.11) — batch entry points.
+
+Each query runs the shared transform from ``streaming/transforms.py``
+on the batch-loaded events table; tests/test_streaming.py runs the SAME
+transforms through ``readStream`` (availableNow) and asserts identical
+results, so the oracle below certifies both paths.
+
+Window alignment note: Spark aligns tumbling/sliding windows to the
+unix epoch, which under a UTC session timezone coincides with
+``date_trunc('day', ts)`` — the oracle relies on that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.queries.registry import query
+from pipeline_mf_etl_spark.sources.readers import load_table
+from pipeline_mf_etl_spark.streaming import daily_rollup, session_rollup, sliding_rollup
+
+
+@query(
+    "st1_tumbling_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st1_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows per event_type (+watermark)."""
+    return daily_rollup(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "st2_sliding_windows",
+    oracle="""
+    SELECT CAST(ws AS DATE) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM (
+        SELECT date_trunc('day', ts) AS ws, event_type, value FROM events
+        UNION ALL
+        SELECT date_trunc('day', ts) - INTERVAL 1 DAY AS ws, event_type, value FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def st2_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-day windows sliding 1 day; the oracle materializes the two
+    window assignments of each event as a UNION ALL."""
+    return sliding_rollup(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "st3_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT MIN(ts) AS session_start, user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def st3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap); the oracle is the classic
+    lag + cumulative-sum gap-island rewrite."""
+    return session_rollup(load_table(spark, sf_dir, "events"))

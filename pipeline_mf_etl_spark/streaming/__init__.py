@@ -1,0 +1,15 @@
+from pipeline_mf_etl_spark.streaming.transforms import (
+    daily_rollup,
+    normalize_event_ts,
+    read_events_stream,
+    session_rollup,
+    sliding_rollup,
+)
+
+__all__ = [
+    "daily_rollup",
+    "normalize_event_ts",
+    "read_events_stream",
+    "session_rollup",
+    "sliding_rollup",
+]

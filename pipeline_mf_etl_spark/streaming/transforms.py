@@ -1,0 +1,123 @@
+"""Structured Streaming surface (SURVEY.md §2.11).
+
+The reference has no streaming operators — its only incremental concept
+is the manifest-driven file selection (ingest/manifest.py:155-199).
+This module is the Spark-native replacement: the same file-backed event
+feed consumed as a stream (``readStream`` + checkpoint replaces the
+manifest ledger), with event-time tumbling/sliding/session windows and
+a watermark for late data.
+
+Every transform is written against a plain DataFrame so the SAME code
+path serves batch (driver correctness gate, DuckDB oracle) and
+streaming (availableNow trigger in tests) — the batch run IS the
+semantic oracle for the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# readStream needs an explicit schema; the driver's events.parquet holds
+# TIMESTAMP(NANOS), which Spark reads as long under
+# spark.sql.legacy.parquet.nanosAsLong (set in sources.readers.load_table
+# and here for the stream path).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # nanos-as-long
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Nanos-as-long → microsecond timestamp (floor division matches the
+    DuckDB nanos→micros truncation, sources/readers.py)."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet — the Structured
+    Streaming replacement for the reference's NEW/CHANGED manifest scan
+    (checkpointing tracks processed files instead of a fingerprint
+    ledger)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-source needs a directory; select just the events file via
+    # a glob filter over the sf dir.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_event_ts(raw)
+
+
+def daily_rollup(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 1-day event-time windows per event_type with a late-data
+    watermark — the streaming twin of a groupBy(date) rollup."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("window_day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_rollup(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """2-day windows sliding by 1 day (each event lands in two windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_rollup(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day") -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap
+    (``session_window`` is the stateful streaming-native form of the
+    lag+cumsum gap-island idiom)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
