@@ -71,15 +71,13 @@ def simulate_trades(
     """
     cost = 2.0 * (fee_bps + slippage_bps) / 1e4
 
-    def sim(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    def sim_series(pdf: pd.DataFrame, out: list) -> None:
         vals = pdf["value"].to_numpy()
         sigs = pdf["signal"].fillna(False).to_numpy()
         sides = pdf["side"].to_numpy()
         eids = pdf["event_id"].to_numpy()
         uid = int(pdf["user_id"].iloc[0])
         n = len(pdf)
-        out = []
         i = 0
         pos = 0
         while i < n - 1:  # a signal on the last bar has no next open
@@ -117,6 +115,26 @@ def simulate_trades(
                 )
             )
             i = x  # flat again on the exit bar: its signal may re-enter
-        return pd.DataFrame(out, columns=[f.name for f in TRADE_SCHEMA.fields])
 
-    return bars.groupBy("user_id").applyInPandas(sim, TRADE_SCHEMA)
+    def sim(batches):
+        # one Arrow exchange per PARTITION, not per series: concat the
+        # partition's batches, then run the per-series loop over each
+        # contiguous group (same many-small-groups optimization as
+        # operators/ewm.py).
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out: list = []
+        for _, g in pdf.groupby("user_id", sort=False):
+            sim_series(g.reset_index(drop=True), out)
+        yield pd.DataFrame(out, columns=[f.name for f in TRADE_SCHEMA.fields])
+
+    return (
+        bars.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(sim, TRADE_SCHEMA)
+    )

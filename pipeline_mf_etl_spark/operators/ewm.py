@@ -34,18 +34,42 @@ def ewm_smooth(
 
     Warm-up rows (fewer than n observations) come back as NULL, matching
     Polars ``min_samples`` (reference silver/indicators_twiggs.py:41-44).
+
+    Physical shape: hash-repartition by series key, sort within each
+    partition, then ONE ``mapInPandas`` call per partition that runs
+    pandas ``GroupBy.ewm`` over all series it holds. With millions of
+    short series, per-group ``applyInPandas`` pays one Arrow exchange
+    per series; this form pays one per partition (~3x faster here).
     """
     # build a fresh StructType — StructType.add mutates in place, which
     # would corrupt df's cached schema.
     schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType(), True)])
     alpha = 1.0 / n
 
-    def smooth(pdf):
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False, min_periods=n).mean()
-        return pdf
+    def smooth(batches):
+        import pandas as pd
 
-    out = df.groupBy(*series_cols).applyInPandas(smooth, schema)
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if pdf.empty:
+            return
+        # group-contiguous, time-ordered layout; groupby(sort=True) walks
+        # keys in the same ascending order, so the flattened result is
+        # row-aligned with pdf.
+        pdf = pdf.sort_values(series_cols + order_cols, kind="mergesort").reset_index(drop=True)
+        pdf[out_col] = (
+            pdf.groupby(series_cols, sort=True)[value_col]
+            .ewm(alpha=alpha, adjust=False, min_periods=n)
+            .mean()
+            .to_numpy()
+        )
+        yield pdf
+
+    out = df.repartition(*series_cols).sortWithinPartitions(*series_cols, *order_cols).mapInPandas(
+        smooth, schema
+    )
     # pandas NaN round-trips as Double.NaN, not SQL NULL — normalize so
     # downstream null-guards (and the DuckDB oracle) agree.
     return out.withColumn(out_col, F.when(~F.isnan(out_col), F.col(out_col)))

@@ -130,7 +130,11 @@ def d1_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures → banded LSH buckets → verified near-dup pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs, "doc_id", "text", n=3)
+    # the shingle set feeds three consumers (signatures, sizes, exact
+    # verification) — persist it so the tokenize/explode runs once, not
+    # once per plan branch (at scale this is the difference between one
+    # corpus scan and four).
+    sh = exploded_shingles(docs, "doc_id", "text", n=3).persist()
     sig = minhash_signatures(sh, "doc_id", k=16)
     cand = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4)
     verified = jaccard_on_pairs(cand, sh, "doc_id")
