@@ -374,3 +374,122 @@ def b8_equity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("equity", 6).alias("equity"),
         F.round(F.col("equity") / F.max("equity").over(wc) - 1, 6).alias("drawdown"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B10/B11: sensitivity grid + robustness scoring
+# (reference backtest/sensitivity_runner.py:494-930 runs one backtest per
+# combo in a driver loop; here ALL combos price in one pass — the leads
+# are computed once, the tiny parameter grid cross-joins in, and a single
+# groupBy aggregates every combo. B11's rank-normalized robustness score
+# (sensitivity_aggregate.py:67-150) is a percent_rank window on top.)
+# ---------------------------------------------------------------------------
+_HOLDS = (3, 5, 8)
+_COSTS = (0, 10, 20)
+
+
+@query(
+    "b10_sensitivity_grid",
+    oracle=f"""
+    WITH {_SIGNALS_CTE}, led AS (
+        SELECT event_id, user_id, side, signal,
+               LEAD(value, 1) OVER ({_W}) AS entry_value,
+               LEAD(value, 4) OVER ({_W}) AS exit_3,
+               LEAD(value, 6) OVER ({_W}) AS exit_5,
+               LEAD(value, 9) OVER ({_W}) AS exit_8
+        FROM signals
+    ), trades AS (
+        SELECT side, h.hold_bars,
+               CASE h.hold_bars WHEN 3 THEN exit_3 WHEN 5 THEN exit_5 ELSE exit_8 END
+                   AS exit_value,
+               entry_value
+        FROM led CROSS JOIN (VALUES (3), (5), (8)) AS h(hold_bars)
+        WHERE signal AND ABS(entry_value) > 1e-12
+          AND (CASE h.hold_bars WHEN 3 THEN exit_3 WHEN 5 THEN exit_5 ELSE exit_8 END)
+              IS NOT NULL
+    ), priced AS (
+        SELECT hold_bars, c.cost_bps,
+               side * (exit_value / entry_value - 1) - 2.0 * c.cost_bps / 1e4 AS net
+        FROM trades CROSS JOIN (VALUES (0), (10), (20)) AS c(cost_bps)
+    ), agg AS (
+        SELECT hold_bars, cost_bps,
+               COUNT(*) AS n_trades,
+               AVG(net) AS expectancy,
+               AVG(CASE WHEN net > 0 THEN 1.0 ELSE 0.0 END) AS win_rate,
+               STDDEV_POP(net) AS net_std,
+               QUANTILE_CONT(net, 0.1) AS p10,
+               QUANTILE_CONT(net, 0.9) AS p90
+        FROM priced GROUP BY hold_bars, cost_bps
+    )
+    SELECT hold_bars, cost_bps, n_trades,
+           ROUND(expectancy, 6) AS expectancy,
+           ROUND(win_rate, 6) AS win_rate,
+           ROUND(net_std, 6) AS net_std,
+           ROUND(p10, 6) AS p10,
+           ROUND(p90, 6) AS p90,
+           ROUND(100 * (0.5 * PERCENT_RANK() OVER (ORDER BY expectancy)
+                      + 0.3 * PERCENT_RANK() OVER (ORDER BY win_rate)
+                      + 0.2 * PERCENT_RANK() OVER (
+                            ORDER BY CASE WHEN ABS(expectancy) > 1e-12
+                                     THEN net_std / ABS(expectancy) END
+                            DESC NULLS LAST)), 4) AS robustness_score
+    FROM agg
+    """,
+)
+def b10_sensitivity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hold_bars × cost grid priced in ONE pass (leads computed once,
+    parameter grid cross-joined in) + B11 rank-normalized robustness."""
+    df = _with_signals(spark, sf_dir)
+    w = series_window()
+    led = df.select(
+        "event_id",
+        "user_id",
+        "side",
+        "signal",
+        F.lead("value", 1).over(w).alias("entry_value"),
+        *[F.lead("value", 1 + h).over(w).alias(f"exit_{h}") for h in _HOLDS],
+    )
+    holds = spark.createDataFrame([(h,) for h in _HOLDS], "hold_bars int")
+    exit_val = F.when(F.col("hold_bars") == 3, F.col("exit_3")).when(
+        F.col("hold_bars") == 5, F.col("exit_5")
+    ).otherwise(F.col("exit_8"))
+    trades = (
+        led.filter(F.col("signal") & (F.abs("entry_value") > 1e-12))
+        .crossJoin(F.broadcast(holds))
+        .withColumn("exit_value", exit_val)
+        .filter(F.col("exit_value").isNotNull())
+        .select("side", "hold_bars", "entry_value", "exit_value")
+    )
+    costs = spark.createDataFrame([(c,) for c in _COSTS], "cost_bps int")
+    net = (
+        F.col("side") * (F.col("exit_value") / F.col("entry_value") - 1)
+        - 2.0 * F.col("cost_bps") / 1e4
+    )
+    priced = trades.crossJoin(F.broadcast(costs)).withColumn("net", net)
+    agg = priced.groupBy("hold_bars", "cost_bps").agg(
+        F.count("*").alias("n_trades"),
+        F.avg("net").alias("expectancy"),
+        F.avg((F.col("net") > 0).cast("double")).alias("win_rate"),
+        F.stddev_pop("net").alias("net_std"),
+        F.expr("percentile(net, 0.1)").alias("p10"),
+        F.expr("percentile(net, 0.9)").alias("p90"),
+    )
+    ret_cv = F.when(
+        F.abs(F.col("expectancy")) > 1e-12, F.col("net_std") / F.abs(F.col("expectancy"))
+    )
+    score = 100 * (
+        0.5 * F.percent_rank().over(Window.orderBy("expectancy"))
+        + 0.3 * F.percent_rank().over(Window.orderBy("win_rate"))
+        + 0.2 * F.percent_rank().over(Window.orderBy(ret_cv.desc_nulls_last()))
+    )
+    return agg.select(
+        "hold_bars",
+        "cost_bps",
+        "n_trades",
+        F.round("expectancy", 6).alias("expectancy"),
+        F.round("win_rate", 6).alias("win_rate"),
+        F.round("net_std", 6).alias("net_std"),
+        F.round("p10", 6).alias("p10"),
+        F.round("p90", 6).alias("p90"),
+        F.round(score, 4).alias("robustness_score"),
+    )

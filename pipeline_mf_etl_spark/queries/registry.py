@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.flow",
     "pipeline_mf_etl_spark.queries.streaming",
     "pipeline_mf_etl_spark.queries.ml",
+    "pipeline_mf_etl_spark.queries.validation",
 )
 
 

@@ -1,0 +1,158 @@
+"""Validation-harness operators (SURVEY.md §2.8 M16, M21).
+
+The reference's event-study builder is a 208-line per-ticker Python loop
+(validation/event_studies.py:52-260) that emits ±window return paths
+around state transitions. Here it is the bounded explode+join rewrite
+from SURVEY.md §7.5: explode rel_bar over the event rows only (events
+are sparse), equi-join back to the bar table on (series, row_index) —
+linear work, one shuffle, no range self-join.
+
+Walk-forward (validation/walkforward.py:144-400) is a driver loop over
+splits in the reference; the per-split aggregates collapse into ONE
+grouped pass by cross-joining the tiny split table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.functions.core import safe_div
+from pipeline_mf_etl_spark.operators.windows import series_window
+from pipeline_mf_etl_spark.queries.registry import query
+from pipeline_mf_etl_spark.sources.readers import load_table
+
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+_REL_LO, _REL_HI = -5, 10
+
+
+# ---------------------------------------------------------------------------
+# M16: transition event study (reference validation/event_studies.py:52-260)
+# ---------------------------------------------------------------------------
+@query(
+    "m16_event_study",
+    oracle=f"""
+    WITH bars AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER ({_W}) AS rn,
+               CASE WHEN ABS(LAG(value) OVER ({_W})) > 1e-12
+                    THEN value / (LAG(value) OVER ({_W})) - 1 END AS ret_1,
+               LAG(event_type) OVER ({_W}) AS prev_state
+        FROM events
+    ), ev AS (
+        SELECT user_id, rn AS event_rn, prev_state || '>' || event_type AS transition
+        FROM bars
+        WHERE prev_state IS NOT NULL AND event_type <> prev_state
+    ), path AS (
+        SELECT e.transition, t.rel_bar, b.ret_1
+        FROM ev e
+        CROSS JOIN UNNEST(range({_REL_LO}, {_REL_HI + 1})) AS t(rel_bar)
+        JOIN bars b ON b.user_id = e.user_id AND b.rn = e.event_rn + t.rel_bar
+    )
+    SELECT transition, CAST(rel_bar AS INTEGER) AS rel_bar,
+           COUNT(ret_1) AS n_obs,
+           ROUND(AVG(ret_1), 6) AS mean_ret,
+           ROUND(AVG(ABS(ret_1)), 6) AS mean_abs_ret
+    FROM path
+    GROUP BY transition, rel_bar
+    """,
+)
+def m16_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean return path per state transition over rel_bar ∈ [-5, +10]:
+    sparse event rows explode the relative offsets, then equi-join back
+    to the bar table — the scale-safe form of a range self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    prev_v = F.lag("value").over(w)
+    bars = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        (safe_div(F.col("value"), prev_v) - 1).alias("ret_1"),
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    events = bars.filter(
+        F.col("prev_state").isNotNull() & (F.col("event_type") != F.col("prev_state"))
+    ).select(
+        "user_id",
+        F.col("rn").alias("event_rn"),
+        F.concat_ws(">", "prev_state", "event_type").alias("transition"),
+    )
+    rel = F.explode(F.sequence(F.lit(_REL_LO), F.lit(_REL_HI))).alias("rel_bar")
+    path = (
+        events.select("user_id", "event_rn", "transition", rel)
+        .withColumn("rn", F.col("event_rn") + F.col("rel_bar"))
+        .join(bars.select("user_id", "rn", "ret_1"), ["user_id", "rn"])
+    )
+    return path.groupBy("transition", F.col("rel_bar").cast("int").alias("rel_bar")).agg(
+        F.count("ret_1").alias("n_obs"),
+        F.round(F.avg("ret_1"), 6).alias("mean_ret"),
+        F.round(F.avg(F.abs("ret_1")), 6).alias("mean_abs_ret"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M21: walk-forward splits as one grouped pass
+# (reference validation/walkforward.py:144-400 — driver loop per split)
+# ---------------------------------------------------------------------------
+_SPLITS = ("2024-01-10", "2024-01-15", "2024-01-20")
+_SPLITS_SQL = "(VALUES " + ", ".join(f"(DATE '{d}')" for d in _SPLITS) + ") AS s(split_date)"
+
+
+@query(
+    "m21_walkforward",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN ABS(value) > 1e-12
+                    THEN (LEAD(value, 5) OVER ({_W})) / value - 1 END AS fwd_ret_5
+        FROM events
+    ), assigned AS (
+        SELECT s.split_date, l.event_type, l.fwd_ret_5,
+               CAST(l.ts AS DATE) <= s.split_date AS is_train
+        FROM labeled l CROSS JOIN {_SPLITS_SQL}
+        WHERE CAST(l.ts AS DATE) <= s.split_date + INTERVAL 7 DAY
+    )
+    SELECT split_date, event_type,
+           SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS train_n,
+           ROUND(AVG(CASE WHEN is_train THEN fwd_ret_5 END), 6) AS train_mean_fwd,
+           SUM(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS test_n,
+           ROUND(AVG(CASE WHEN NOT is_train THEN fwd_ret_5 END), 6) AS test_mean_fwd,
+           ROUND(AVG(CASE WHEN NOT is_train THEN fwd_ret_5 END)
+                 - AVG(CASE WHEN is_train THEN fwd_ret_5 END), 6) AS drift
+    FROM assigned
+    GROUP BY split_date, event_type
+    """,
+)
+def m21_walkforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split train/test forward-outcome stats and drift for three
+    walk-forward cut dates — the reference's sequential split loop as a
+    single cross-join + grouped aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    labeled = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        (safe_div(F.lead("value", 5).over(w), F.col("value")) - 1).alias("fwd_ret_5"),
+    )
+    splits = spark.createDataFrame(
+        [(d,) for d in _SPLITS], schema="split_date string"
+    ).select(F.col("split_date").cast("date").alias("split_date"))
+    assigned = (
+        labeled.crossJoin(F.broadcast(splits))
+        .filter(F.col("ts").cast("date") <= F.date_add("split_date", 7))
+        .withColumn("is_train", F.col("ts").cast("date") <= F.col("split_date"))
+    )
+    tr = F.when(F.col("is_train"), F.col("fwd_ret_5"))
+    te = F.when(~F.col("is_train"), F.col("fwd_ret_5"))
+    return assigned.groupBy("split_date", "event_type").agg(
+        F.sum(F.col("is_train").cast("long")).alias("train_n"),
+        F.round(F.avg(tr), 6).alias("train_mean_fwd"),
+        F.sum((~F.col("is_train")).cast("long")).alias("test_n"),
+        F.round(F.avg(te), 6).alias("test_mean_fwd"),
+        F.round(F.avg(te) - F.avg(tr), 6).alias("drift"),
+    )
