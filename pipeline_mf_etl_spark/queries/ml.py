@@ -175,3 +175,58 @@ def hdbscan_fit(*_args, **_kwargs):
             "HDBSCAN requires the optional 'hdbscan' package (reference "
             "research/clustering.py:184-203 treats it as optional too)"
         ) from exc
+
+
+# ---------------------------------------------------------------------------
+# M9-M11: Gaussian HMM — driver fit on capped sequence sample, broadcast
+# distributed Viterbi/posterior decode (reference research_hmm/
+# sequence_builder.py:25-108, hmm_model.py:29-98, decode.py:57-157).
+# ---------------------------------------------------------------------------
+@query("m10_hmm_states")
+def m10_hmm_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state HMM diagnostics after distributed decode: bar counts,
+    mean decoded confidence/entropy, mean return — deterministic
+    (seedless quantile init, fixed iteration schedule)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from pipeline_mf_etl_spark.functions.core import safe_div
+    from pipeline_mf_etl_spark.operators.hmm import DiagGaussianHMM, decode_distributed
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ret = safe_div(F.col("value"), F.lag("value").over(w)) - 1
+    bars = ev.select(
+        "user_id", "ts", "event_id", "value", ret.alias("ret_1"), F.abs(ret).alias("abs_ret_1")
+    )
+
+    # FIT: capped driver sample — smallest user ids, deterministic; the
+    # model is K×D-tiny so the sample bound is what matters at scale
+    # (the reference caps its training matrices the same way).
+    train_keys = [r[0] for r in
+                  bars.select("user_id").distinct().orderBy("user_id").limit(60).collect()]
+    train = (
+        bars.filter(F.col("user_id").isin(train_keys))
+        .orderBy("user_id", "ts", "event_id")
+        .select("user_id", "ret_1", "abs_ret_1")
+        .collect()
+    )
+    seqs: dict[int, list] = {}
+    for r in train:
+        if r["ret_1"] is not None:
+            seqs.setdefault(r["user_id"], []).append((r["ret_1"], r["abs_ret_1"]))
+    sequences = [np.array(v) for v in seqs.values() if len(v) >= 20]
+    model = DiagGaussianHMM(n_states=3, n_iter=30).fit(sequences)
+
+    decoded = decode_distributed(bars, model.to_params(), ["ret_1", "abs_ret_1"], min_len=20)
+    joined = decoded.join(bars.select("event_id", "ret_1"), "event_id")
+    return (
+        joined.groupBy("hmm_state")
+        .agg(
+            F.count("*").alias("n_bars"),
+            F.round(F.avg("state_prob_max"), 6).alias("mean_prob_max"),
+            F.round(F.avg("state_entropy"), 6).alias("mean_entropy"),
+            F.round(F.avg("ret_1"), 6).alias("mean_ret"),
+        )
+        .orderBy("hmm_state")
+    )

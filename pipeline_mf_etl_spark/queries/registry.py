@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.streaming",
     "pipeline_mf_etl_spark.queries.ml",
     "pipeline_mf_etl_spark.queries.validation",
+    "pipeline_mf_etl_spark.queries.multimodal",
 )
 
 

@@ -1,0 +1,236 @@
+"""Raw TXT ingest + incremental manifest (SURVEY.md §2.1 S1-S2, §2.2
+I1-I4, §2.3 P1-P2).
+
+The reference walks a directory of per-ticker TXT files, reads them one
+at a time with a Python csv loop, keeps malformed rows in a rejects
+side-channel (ingest/read_txt.py:97-186), normalizes types
+(transform/normalize.py:92-145), flags quality issues
+(validate/rules.py:84-196) and skips files unchanged since the previous
+run via a fingerprint manifest (ingest/manifest.py:76-199).
+
+Spark-first shape: ONE ``spark.read.csv`` over the whole selected file
+set (schema'd, PERMISSIVE, corrupt rows captured in-band), file lineage
+via ``input_file_name``, per-series quality flags as window/boolean
+expressions, and the manifest as a small parquet ledger classified with
+a broadcast left join. The per-file Python loop disappears; error
+isolation is row-level instead of file-level.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Raw stock-bar TXT schema (reference ingest/read_txt.py:19-36):
+# <TICKER>,<PER>,<DATE>,<TIME>,<OPEN>,<HIGH>,<LOW>,<CLOSE>,<VOL>
+RAW_COLUMNS = (
+    "raw_ticker",
+    "raw_per",
+    "raw_date",
+    "raw_time",
+    "raw_open",
+    "raw_high",
+    "raw_low",
+    "raw_close",
+    "raw_vol",
+)
+_CORRUPT = "_corrupt_record"
+
+RAW_SCHEMA = StructType(
+    [StructField(c, StringType(), True) for c in RAW_COLUMNS]
+    + [StructField(_CORRUPT, StringType(), True)]
+)
+
+
+def discover_txt_files(root: str) -> list[dict]:
+    """S1: recursive discovery with exchange inferred from the path
+    (reference ingest/discover.py:21-62)."""
+    out = []
+    for p in sorted(Path(root).rglob("*.txt")):
+        path = str(p)
+        low = path.lower()
+        exchange = "NASDAQ" if "nasdaq" in low else ("NYSE" if "nyse" in low else "UNKNOWN")
+        out.append({"source_file": path, "exchange": exchange, "ticker_hint": p.stem.upper()})
+    return out
+
+
+def sniff_delimiter(path: str, candidates: str = ",\t|;") -> str:
+    """S2 delimiter sniff: first non-empty line, most frequent candidate
+    (reference ingest/read_txt.py:39,73-78 — a driver-side peek)."""
+    with open(path, "r", encoding="utf-8", errors="replace") as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                return max(candidates, key=line.count)
+    return ","
+
+
+def read_txt_with_rejects(
+    spark: SparkSession, paths: list[str], sep: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """S2: one distributed line read over the whole file set.
+
+    Returns (valid, rejects). The reference rejects rows whose column
+    count differs from the header contract (ingest/read_txt.py:133-156);
+    Spark's CSV PERMISSIVE mode silently pads short rows instead, so the
+    read goes through ``spark.read.text`` + split — the column-count
+    check stays explicit and rejected raw lines keep their bytes. Header
+    lines (``<TICKER>,...``) are filtered by content, not file position,
+    so the read stays order-independent and distributable."""
+    if sep is None:
+        sep = sniff_delimiter(paths[0])
+    n = len(RAW_COLUMNS)
+    lines = (
+        spark.read.text(list(paths))
+        .withColumn("source_file", F.input_file_name())
+        .filter(F.trim("value") != "")
+        .withColumn("parts", F.split("value", re_escape(sep)))
+    )
+    is_header = F.upper(F.element_at("parts", 1)).isin("<TICKER>", "TICKER")
+    body = lines.filter(~is_header)
+    rejects = body.filter(F.size("parts") != n).select(
+        "source_file",
+        F.col("value").alias("raw_line"),
+        F.lit("BAD_COLUMNS").alias("reason"),
+    )
+    valid = body.filter(F.size("parts") == n).select(
+        *[F.element_at("parts", i + 1).alias(c) for i, c in enumerate(RAW_COLUMNS)],
+        "source_file",
+    )
+    return valid, rejects
+
+
+def re_escape(sep: str) -> str:
+    """Regex-escape a single-char delimiter for ``F.split``."""
+    return "\\" + sep if sep in ".|\\^$*+?()[]{}" else sep
+
+
+def normalize_bronze(df: DataFrame, run_id: str = "run-0") -> DataFrame:
+    """P1: trim/uppercase, D→D1 timeframe, yyyyMMdd date + zero-padded
+    time → timestamp, non-strict numeric casts, lineage literals
+    (reference transform/normalize.py:92-145)."""
+    t = F.upper(F.trim(F.col("raw_ticker")))
+    per = F.when(F.upper(F.trim(F.col("raw_per"))) == "D", "D1").otherwise(
+        F.upper(F.trim(F.col("raw_per")))
+    )
+    date = F.to_date(F.trim(F.col("raw_date")), "yyyyMMdd")
+    ts = F.to_timestamp(
+        F.concat(F.trim(F.col("raw_date")), F.lpad(F.trim(F.col("raw_time")), 6, "0")),
+        "yyyyMMddHHmmss",
+    )
+    num = lambda c: F.trim(F.col(c)).try_cast(DoubleType())  # noqa: E731
+    return df.select(
+        t.alias("ticker"),
+        per.alias("timeframe"),
+        date.alias("trade_date"),
+        ts.alias("trade_dt"),
+        num("raw_open").alias("open"),
+        num("raw_high").alias("high"),
+        num("raw_low").alias("low"),
+        num("raw_close").alias("close"),
+        F.trim(F.col("raw_vol")).try_cast(LongType()).alias("volume"),
+        "source_file",
+        F.lit(run_id).alias("run_id"),
+        F.current_timestamp().alias("ingest_ts"),
+    )
+
+
+def quality_flags(df: DataFrame, gap_days: int = 7) -> DataFrame:
+    """P2: the bronze hard/warn flag stack + error counts + is_valid_row
+    (reference validate/rules.py:84-196)."""
+    req = ["ticker", "timeframe", "trade_date", "open", "high", "low", "close", "volume"]
+    missing = None
+    for c in req:
+        cond = F.col(c).isNull()
+        missing = cond if missing is None else (missing | cond)
+    w_dup = Window.partitionBy("ticker", "trade_date")
+    w_seq = Window.partitionBy("ticker").orderBy("trade_date")
+    flags = {
+        "q_missing_field": missing,
+        "q_bad_timeframe": F.col("timeframe") != "D1",
+        "q_nonpositive_price": (
+            (F.col("open") <= 0) | (F.col("high") <= 0) | (F.col("low") <= 0) | (F.col("close") <= 0)
+        ),
+        "q_high_lt_low": F.col("high") < F.col("low"),
+        "q_ohlc_outside_hl": (
+            (F.col("open") > F.col("high")) | (F.col("open") < F.col("low"))
+            | (F.col("close") > F.col("high")) | (F.col("close") < F.col("low"))
+        ),
+        "q_negative_volume": F.col("volume") < 0,
+        "q_duplicate_ticker_date": F.count("*").over(w_dup) > 1,
+    }
+    warns = {
+        "q_suspicious_bar": (
+            F.abs(F.col("close") / F.col("open") - 1) > 0.3
+        ),
+        "q_gap_in_calendar": F.datediff("trade_date", F.lag("trade_date").over(w_seq)) > gap_days,
+    }
+    out = df
+    for name, expr in {**flags, **warns}.items():
+        out = out.withColumn(name, F.coalesce(expr, F.lit(False)))
+    err = sum(F.col(n).cast("int") for n in flags)
+    warn = sum(F.col(n).cast("int") for n in warns)
+    return (
+        out.withColumn("quality_error_count", err)
+        .withColumn("quality_warn_count", warn)
+        .withColumn("is_valid_row", F.col("quality_error_count") == 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# I1-I4: incremental manifest ledger
+# ---------------------------------------------------------------------------
+def build_manifest(spark: SparkSession, files: list[str]) -> DataFrame:
+    """I1: stat every file → fingerprint rows (reference
+    ingest/manifest.py:76-113). The listing is driver-side by design —
+    it is file-count-sized, not data-sized."""
+    rows = []
+    for f in sorted(files):
+        st = os.stat(f)
+        rows.append((f, int(st.st_size), int(st.st_mtime_ns), f"{f}|{st.st_size}|{st.st_mtime_ns}"))
+    schema = "source_file string, file_size_bytes long, mtime_ns long, fingerprint string"
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def classify_manifest(current: DataFrame, previous: DataFrame | None) -> DataFrame:
+    """I2: NEW / CHANGED / UNCHANGED via broadcast left join against the
+    previous snapshot (reference ingest/manifest.py:155-199)."""
+    if previous is None:
+        return current.withColumn("status", F.lit("NEW"))
+    prev = (
+        previous.orderBy("source_file")
+        .dropDuplicates(["source_file"])
+        .select("source_file", F.col("fingerprint").alias("prev_fingerprint"))
+    )
+    joined = current.join(F.broadcast(prev), "source_file", "left")
+    status = (
+        F.when(F.col("prev_fingerprint").isNull(), "NEW")
+        .when(F.col("prev_fingerprint") == F.col("fingerprint"), "UNCHANGED")
+        .otherwise("CHANGED")
+    )
+    return joined.withColumn("status", status).drop("prev_fingerprint")
+
+
+def select_for_processing(
+    manifest: DataFrame, full: bool = False, limit: int | None = None
+) -> DataFrame:
+    """I3: NEW+CHANGED unless --full; optional head-limit (reference
+    bronze/pipeline.py:98-112)."""
+    sel = manifest if full else manifest.filter(F.col("status").isin("NEW", "CHANGED"))
+    sel = sel.orderBy("source_file")
+    return sel.limit(limit) if limit else sel
+
+
+def manifest_rollups(manifest: DataFrame) -> DataFrame:
+    """I4: status rollup (reference ingest/manifest.py:202-224)."""
+    return manifest.groupBy("status").count().orderBy("status")
