@@ -493,3 +493,56 @@ def b10_sensitivity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p90", 6).alias("p90"),
         F.round(score, 4).alias("robustness_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B14: execution-realism calibration sweep (reference
+# backtest/execution_realism_calibration.py — a 1079-line driver module;
+# here the whole threshold grid is a broadcast cross-join aggregated in
+# one pass over the bar table, no PnL, pure counting).
+# ---------------------------------------------------------------------------
+@query(
+    "b14_calibration_sweep",
+    oracle=f"""
+    WITH bars AS (
+        SELECT value,
+               value * CAST(json_extract(props, '$.k') AS DOUBLE) AS dollar_vol
+        FROM events
+    ), grid AS (
+        SELECT p.price_floor, d.dv_floor
+        FROM (VALUES (1.0), (5.0), (10.0)) AS p(price_floor)
+        CROSS JOIN (VALUES (500.0), (1000.0), (2000.0), (4000.0)) AS d(dv_floor)
+    )
+    SELECT CAST(g.price_floor AS DOUBLE) AS price_floor,
+           CAST(g.dv_floor AS DOUBLE) AS dv_floor,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN b.value >= g.price_floor
+                     AND b.dollar_vol >= g.dv_floor THEN 1 ELSE 0 END) AS n_eligible,
+           ROUND(AVG(CASE WHEN b.value >= g.price_floor
+                           AND b.dollar_vol >= g.dv_floor THEN 1.0 ELSE 0.0 END), 6)
+               AS eligibility_rate
+    FROM bars b CROSS JOIN grid g
+    GROUP BY g.price_floor, g.dv_floor
+    """,
+)
+def b14_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep calibration: eligibility counts for every
+    (price floor × dollar-vol floor) combo in one grouped pass."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.select(
+        "value",
+        (F.col("value") * F.get_json_object("props", "$.k").cast("double")).alias("dollar_vol"),
+    )
+    grid = spark.createDataFrame(
+        [(p, d) for p in (1.0, 5.0, 10.0) for d in (500.0, 1000.0, 2000.0, 4000.0)],
+        "price_floor double, dv_floor double",
+    )
+    joined = bars.crossJoin(F.broadcast(grid))
+    elig = (F.col("value") >= F.col("price_floor")) & (
+        F.col("dollar_vol") >= F.col("dv_floor")
+    )
+    return joined.groupBy("price_floor", "dv_floor").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(elig.cast("long")).alias("n_eligible"),
+        F.round(F.avg(elig.cast("double")), 6).alias("eligibility_rate"),
+    )

@@ -1,0 +1,60 @@
+"""Sinks (SURVEY.md §2.1 S5-S9).
+
+The reference writes one parquet per ticker through a temp-file +
+``os.replace`` dance (bronze/writer.py:54-97,221-228) and pairs every QA
+table with a CSV twin. On Spark, dataset writes are task-atomic via the
+commit protocol and the per-symbol layout is ``partitionBy`` — partition
+pruning on read replaces the reference's path-parsing machinery
+(gold/features_pipeline.py:119-124). The temp+rename helper survives
+only for small driver-side JSON artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """S6: hive-layout partitioned parquet sink (zstd, stats on — the
+    reference's parquet policy, configs/settings.yaml)."""
+    (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_partition(spark: SparkSession, path: str, **partition_values) -> DataFrame:
+    """Partition-pruned read-back: plain filters on partition columns —
+    Catalyst prunes directories, no path parsing needed."""
+    df = spark.read.parquet(path)
+    for k, v in partition_values.items():
+        df = df.filter(df[k] == v)
+    return df
+
+
+def write_csv_twin(df: DataFrame, path: str) -> None:
+    """S8: human-readable CSV twin of a small QA table."""
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_json_artifact(payload: dict, path: str) -> None:
+    """S5: atomic temp+rename for driver-side JSON artifacts (reference
+    ingest/manifest.py:116-144)."""
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{os.path.basename(path)}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh, indent=2, sort_keys=True)
+    os.replace(tmp, path)
