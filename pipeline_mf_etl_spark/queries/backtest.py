@@ -546,3 +546,87 @@ def b14_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(elig.cast("long")).alias("n_eligible"),
         F.round(F.avg(elig.cast("double")), 6).alias("eligibility_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B13: production-candidate selection + rerun drift verdicts (reference
+# backtest/production_candidates.py + candidate_rerun.py — deterministic
+# sort-based selection, thresholded OK/DRIFT_WARN/DRIFT_FAIL vs a locked
+# snapshot; here the "snapshot" is the early-period rerun of the same
+# trade set, so selection and drift fold into one grouped pass).
+# ---------------------------------------------------------------------------
+@query(
+    "b13_candidate_drift",
+    oracle=f"""
+    WITH {_SIGNALS_CTE}, led AS (
+        SELECT user_id, side, signal,
+               LEAD(value, 1) OVER ({_W}) AS entry_value,
+               LEAD(value, {1 + _HOLD}) OVER ({_W}) AS exit_value,
+               LEAD(ts, {1 + _HOLD}) OVER ({_W}) AS exit_ts
+        FROM signals
+    ), trades AS (
+        SELECT side, entry_value, exit_value, exit_ts
+        FROM led
+        WHERE signal AND exit_value IS NOT NULL AND ABS(entry_value) > 1e-12
+    ), priced AS (
+        SELECT c.cost_bps, exit_ts,
+               side * (exit_value / entry_value - 1) - 2.0 * c.cost_bps / 1e4 AS net
+        FROM trades CROSS JOIN (VALUES (0), (10), (20)) AS c(cost_bps)
+    ), agg AS (
+        SELECT cost_bps,
+               COUNT(*) AS n_trades,
+               AVG(net) AS full_expectancy,
+               AVG(net) FILTER (WHERE CAST(exit_ts AS DATE) < DATE '2024-01-16')
+                   AS early_expectancy
+        FROM priced GROUP BY cost_bps
+    )
+    SELECT cost_bps, n_trades,
+           ROUND(full_expectancy, 6) AS full_expectancy,
+           ROUND(early_expectancy, 6) AS early_expectancy,
+           ROUND(full_expectancy - early_expectancy, 6) AS drift,
+           CASE WHEN ABS(full_expectancy - early_expectancy) <= 0.002 THEN 'OK'
+                WHEN ABS(full_expectancy - early_expectancy) <= 0.005 THEN 'DRIFT_WARN'
+                ELSE 'DRIFT_FAIL' END AS drift_verdict,
+           CAST(RANK() OVER (ORDER BY full_expectancy DESC, cost_bps) AS INTEGER)
+               AS candidate_rank
+    FROM agg
+    WHERE n_trades >= 50
+    """,
+)
+def b13_candidate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic candidate ranking over the cost grid with early-
+    period rerun drift verdicts (OK/DRIFT_WARN/DRIFT_FAIL)."""
+    t = _fixed_horizon_trades(spark, sf_dir)
+    costs = spark.createDataFrame([(c,) for c in _COSTS], "cost_bps int")
+    # rebase the fixed-cost net to each grid cost
+    net = F.col("gross") - 2.0 * F.col("cost_bps") / 1e4
+    priced = t.crossJoin(F.broadcast(costs)).select(
+        "cost_bps", "exit_ts", net.alias("net")
+    )
+    early = F.when(
+        F.col("exit_ts").cast("date") < F.lit("2024-01-16").cast("date"), F.col("net")
+    )
+    agg = priced.groupBy("cost_bps").agg(
+        F.count("*").alias("n_trades"),
+        F.avg("net").alias("full_expectancy"),
+        F.avg(early).alias("early_expectancy"),
+    )
+    drift = F.col("full_expectancy") - F.col("early_expectancy")
+    verdict = (
+        F.when(F.abs(drift) <= 0.002, "OK")
+        .when(F.abs(drift) <= 0.005, "DRIFT_WARN")
+        .otherwise("DRIFT_FAIL")
+    )
+    ranked = agg.filter(F.col("n_trades") >= 50).select(
+        "cost_bps",
+        "n_trades",
+        F.round("full_expectancy", 6).alias("full_expectancy"),
+        F.round("early_expectancy", 6).alias("early_expectancy"),
+        F.round(drift, 6).alias("drift"),
+        verdict.alias("drift_verdict"),
+        F.rank()
+        .over(Window.orderBy(F.desc("full_expectancy"), "cost_bps"))
+        .cast("int")
+        .alias("candidate_rank"),
+    )
+    return ranked

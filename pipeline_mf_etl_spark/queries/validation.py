@@ -156,3 +156,100 @@ def m21_walkforward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(te), 6).alias("test_mean_fwd"),
         F.round(F.avg(te) - F.avg(tr), 6).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M18/M19: validation scorecard + cluster-hardening ALLOW/WATCH/BLOCK
+# policy (reference validation/scorecards.py:28-286,
+# cluster_hardening.py:199-439). The reference computes these driver-side
+# on a small per-state table; the per-state table IS a grouped aggregate,
+# so the whole policy collapses into one pass of aggregates + arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "m18_hardening_policy",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT event_type AS state_id,
+               CASE WHEN ABS(value) > 1e-12
+                    THEN (LEAD(value, 5) OVER ({_W})) / value - 1 END AS fwd_ret_5
+        FROM events
+    ), stats AS (
+        SELECT state_id,
+               COUNT(fwd_ret_5) AS n,
+               AVG(fwd_ret_5) AS mean_fwd,
+               STDDEV_POP(fwd_ret_5) AS std_fwd,
+               -- finite-only hit rate: NULL forward rows stay out of the
+               -- denominator (P5 invariant)
+               AVG(CASE WHEN fwd_ret_5 > 0 THEN 1.0
+                        WHEN fwd_ret_5 IS NOT NULL THEN 0.0 END) AS hit_rate
+        FROM labeled GROUP BY state_id
+    ), scored AS (
+        SELECT *,
+               -- CI half-width (normal approx, 1.96 sigma/sqrt n)
+               1.96 * std_fwd / SQRT(n) AS ci_half,
+               -- components in [0,1]: sample size (log-scaled vs 5000
+               -- ref), sign confidence, tightness
+               LEAST(LN(1 + n) / LN(1 + 5000), 1.0) AS size_score,
+               CASE WHEN ABS(mean_fwd) > 1.96 * std_fwd / SQRT(n)
+                    THEN 1.0 ELSE 0.0 END AS sign_score,
+               GREATEST(1.0 - (1.96 * std_fwd / SQRT(n)) / 0.01, 0.0) AS ci_score
+        FROM stats
+    )
+    SELECT state_id, n,
+           ROUND(mean_fwd, 6) AS mean_fwd,
+           ROUND(ci_half, 6) AS ci_half,
+           ROUND(hit_rate, 6) AS hit_rate,
+           ROUND(100 * (0.4 * size_score + 0.3 * sign_score + 0.3 * ci_score), 4)
+               AS tradability_score,
+           CASE
+             WHEN n < 50 OR 100 * (0.4*size_score + 0.3*sign_score + 0.3*ci_score) < 45
+                  THEN 'BLOCK'
+             WHEN 100 * (0.4*size_score + 0.3*sign_score + 0.3*ci_score) >= 70
+                  THEN 'ALLOW'
+             ELSE 'WATCH' END AS policy_class,
+           CASE WHEN mean_fwd - ci_half > 0 THEN 'LONG'
+                WHEN mean_fwd + ci_half < 0 THEN 'SHORT'
+                ELSE 'NONE' END AS direction_hint
+    FROM scored
+    """,
+)
+def m18_hardening_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state tradability score (weighted size/sign/CI components) →
+    ALLOW/WATCH/BLOCK policy classes + CI-sign direction hints."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    labeled = ev.select(
+        F.col("event_type").alias("state_id"),
+        (safe_div(F.lead("value", 5).over(w), F.col("value")) - 1).alias("fwd_ret_5"),
+    )
+    stats = labeled.groupBy("state_id").agg(
+        F.count("fwd_ret_5").alias("n"),
+        F.avg("fwd_ret_5").alias("mean_fwd"),
+        F.stddev_pop("fwd_ret_5").alias("std_fwd"),
+        F.avg((F.col("fwd_ret_5") > 0).cast("double")).alias("hit_rate"),
+    )
+    ci_half = 1.96 * F.col("std_fwd") / F.sqrt(F.col("n"))
+    size_score = F.least(F.log1p("n") / F.log1p(F.lit(5000)), F.lit(1.0))
+    sign_score = F.when(F.abs("mean_fwd") > ci_half, 1.0).otherwise(0.0)
+    ci_score = F.greatest(1.0 - ci_half / 0.01, F.lit(0.0))
+    score = 100 * (0.4 * size_score + 0.3 * sign_score + 0.3 * ci_score)
+    policy = (
+        F.when((F.col("n") < 50) | (score < 45), "BLOCK")
+        .when(score >= 70, "ALLOW")
+        .otherwise("WATCH")
+    )
+    direction = (
+        F.when(F.col("mean_fwd") - ci_half > 0, "LONG")
+        .when(F.col("mean_fwd") + ci_half < 0, "SHORT")
+        .otherwise("NONE")
+    )
+    return stats.select(
+        "state_id",
+        "n",
+        F.round("mean_fwd", 6).alias("mean_fwd"),
+        F.round(ci_half, 6).alias("ci_half"),
+        F.round("hit_rate", 6).alias("hit_rate"),
+        F.round(score, 4).alias("tradability_score"),
+        policy.alias("policy_class"),
+        direction.alias("direction_hint"),
+    )

@@ -42,3 +42,37 @@ def test_stream_matches_batch(spark, transform):
     )
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stateful_running_stats_matches_batch(spark):
+    """applyInPandasWithState running totals: the LAST update emitted per
+    user must equal the batch groupBy aggregate."""
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.streaming.stateful import running_user_stats
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per (user, micro-batch); with a single
+    # events file there is one batch, so rows are already final totals
+    streamed = {
+        r["user_id"]: (r["n_events"], r["sum_value"], round(r["max_value"], 6))
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"], 6), round(r["m"], 6))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("value").alias("n"), F.sum("value").alias("s"), F.max("value").alias("m"))
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
