@@ -83,17 +83,36 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     return t.select(id_col, F.explode(sh).alias("shingle"))
 
 
+# xxhash-style odd multipliers for the affine slot family (mod prime).
+_MIX_A = 2654435761
+_MIX_B = 2246822519
+
+
+def minhash_slot_params(i: int) -> tuple[int, int]:
+    """Slot i's affine constants (a, b) — same arithmetic as the oracle."""
+    return (_MIX_A * (i + 1)) % _FOLD_PRIME, (_MIX_B * (i + 1)) % _FOLD_PRIME
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str, k: int = 16
 ) -> DataFrame:
-    """Per-doc MinHash signature: k min-hash slots over the shingle set."""
-    aggs = [
-        F.min(
-            F.pmod(md5_int64(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))), F.lit(_FOLD_PRIME))
-        ).alias(f"mh_{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    """Per-doc MinHash signature: k min-hash slots over the shingle set.
+
+    One md5 per shingle, then k affine mixes ``(a_i·h + b_i) mod P`` —
+    the classic universal-hash family. Hashing each shingle k times with
+    a seeded md5 costs k string hashes per row (measured ~4x slower);
+    the base hash is materialized as a column first so it is computed
+    once, not inlined into every slot expression."""
+    hashed = sh.select(
+        id_col, F.pmod(md5_int64(F.col("shingle")), F.lit(_FOLD_PRIME)).alias("h")
+    )
+    aggs = []
+    for i in range(k):
+        a, b = minhash_slot_params(i)
+        aggs.append(
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_FOLD_PRIME))).alias(f"mh_{i}")
+        )
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

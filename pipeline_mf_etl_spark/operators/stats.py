@@ -90,3 +90,97 @@ def bootstrap_ci(
         )
     schema = f"{group} string, n long, mean_ci_lo double, mean_ci_hi double, median_ci_lo double, median_ci_hi double"
     return spark.createDataFrame(out, schema)
+
+
+def block_bootstrap_ci(
+    spark: SparkSession,
+    df: DataFrame,
+    group: str,
+    col: str,
+    order: list[str],
+    *,
+    block_len: int = 10,
+    n_boot: int = 200,
+    cap: int = 50_000,
+    seed: int = 42,
+    ci: tuple[float, float] = (2.5, 97.5),
+) -> DataFrame:
+    """Moving-block bootstrap CI of the mean per group (M14) — preserves
+    short-range serial dependence by resampling contiguous blocks
+    (reference validation/bootstrap.py:80-119). Values are collected in
+    TIME order (not sorted) because block structure is the whole point.
+    """
+    rows = (
+        df.select(group, *order, finite(F.col(col)).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .orderBy(group, *order)
+        .collect()
+    )
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r[group], []).append(r["v"])
+    out = []
+    for key in sorted(series, key=str):
+        vals = np.asarray(series[key][:cap], dtype=np.float64)
+        n = len(vals)
+        if n <= block_len:
+            continue
+        rng = np.random.default_rng(seed)
+        n_blocks = int(np.ceil(n / block_len))
+        starts = rng.integers(0, n - block_len + 1, size=(n_boot, n_blocks))
+        # assemble each replicate from contiguous blocks, truncate to n
+        offs = np.arange(block_len)
+        idx = (starts[:, :, None] + offs[None, None, :]).reshape(n_boot, -1)[:, :n]
+        means = vals[idx].mean(axis=1)
+        lo, hi = ci
+        out.append(
+            (
+                key,
+                int(n),
+                round(float(np.percentile(means, lo)), 6),
+                round(float(np.percentile(means, hi)), 6),
+            )
+        )
+    schema = f"{group} string, n long, mean_ci_lo double, mean_ci_hi double"
+    return spark.createDataFrame(out, schema)
+
+
+def pairwise_diff_ci(
+    spark: SparkSession,
+    df: DataFrame,
+    group: str,
+    col: str,
+    *,
+    n_boot: int = 200,
+    cap: int = 50_000,
+    seed: int = 42,
+    ci: tuple[float, float] = (2.5, 97.5),
+) -> DataFrame:
+    """Pairwise state-difference bootstrap CIs (M15): difference of the
+    per-state bootstrap mean distributions for every state pair, with
+    the reference's sign-consistency flag lo>0 or hi<0
+    (validation/bootstrap.py:314-340)."""
+    rows = (
+        df.select(group, finite(F.col(col)).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy(group)
+        .agg(F.sort_array(F.collect_list("v")).alias("vals"))
+        .collect()
+    )
+    dists = {}
+    for r in sorted(rows, key=lambda x: str(x[group])):
+        vals = np.asarray(r["vals"][:cap], dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, len(vals), size=(n_boot, len(vals)))
+        dists[r[group]] = vals[idx].mean(axis=1)
+    keys = sorted(dists, key=str)
+    lo_p, hi_p = ci
+    out = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            diff = dists[a] - dists[b]
+            lo = round(float(np.percentile(diff, lo_p)), 6)
+            hi = round(float(np.percentile(diff, hi_p)), 6)
+            out.append((a, b, lo, hi, bool(lo > 0 or hi < 0)))
+    schema = "state_a string, state_b string, diff_ci_lo double, diff_ci_hi double, diff_sign_consistent boolean"
+    return spark.createDataFrame(out, schema)

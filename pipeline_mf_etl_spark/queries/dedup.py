@@ -96,11 +96,16 @@ def d1_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SHINGLES_CTE},
     hashes AS (
-        SELECT doc_id, seed,
-               {_FOLD.format(x="CAST(seed AS VARCHAR) || ':' || shingle")} % 2147483647 AS h
-        FROM sh, UNNEST(range(0, 16)) AS s(seed)
+        SELECT doc_id, {_FOLD.format(x="shingle")} % 2147483647 AS h
+        FROM sh
     ),
-    sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed),
+    slots AS (
+        SELECT doc_id, seed,
+               ((2654435761 * (seed + 1)) % 2147483647 * h
+                + (2246822519 * (seed + 1)) % 2147483647) % 2147483647 AS hv
+        FROM hashes, UNNEST(range(0, 16)) AS s(seed)
+    ),
+    sig AS (SELECT doc_id, seed, MIN(hv) AS mh FROM slots GROUP BY doc_id, seed),
     bands AS (
         SELECT doc_id, seed // 4 AS band,
                md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_hash

@@ -251,3 +251,29 @@ def m13_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded iid bootstrap mean/median CIs per state (M13)."""
     ev = load_table(spark, sf_dir, "events")
     return bootstrap_ci(spark, ev, "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# M14 block bootstrap — serial-dependence-preserving resampling
+# (reference: validation/bootstrap.py:80-119); deterministic under seed
+# ---------------------------------------------------------------------------
+@query("m14_block_bootstrap", oracle=None)
+def m14_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-block bootstrap mean CIs per state (M14)."""
+    from pipeline_mf_etl_spark.operators.stats import block_bootstrap_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return block_bootstrap_ci(spark, ev, "event_type", "value", ["ts", "event_id"])
+
+
+# ---------------------------------------------------------------------------
+# M15 pairwise state-difference CIs + sign-consistency flag
+# (reference: validation/bootstrap.py:314-340)
+# ---------------------------------------------------------------------------
+@query("m15_pairwise_diff_ci", oracle=None)
+def m15_pairwise_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap mean-difference CIs for every state pair (M15)."""
+    from pipeline_mf_etl_spark.operators.stats import pairwise_diff_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return pairwise_diff_ci(spark, ev, "event_type", "value")

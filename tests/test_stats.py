@@ -1,0 +1,87 @@
+"""Property tests for the oracle-less bootstrap operators (M13-M15).
+
+These back the rows-only correctness check with statistical properties:
+determinism under seed, CI coverage of the true mean, block structure,
+and sign-consistency on well-separated groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pipeline_mf_etl_spark.operators.stats import (
+    block_bootstrap_ci,
+    bootstrap_ci,
+    pairwise_diff_ci,
+)
+
+
+def _mk_df(spark, groups):
+    """groups: dict name -> 1-D numpy array; returns (g, ts, v) DataFrame."""
+    rows = []
+    for g, vals in groups.items():
+        for i, v in enumerate(vals):
+            rows.append((g, i, float(v)))
+    return spark.createDataFrame(rows, "g string, ts long, v double")
+
+
+def test_block_bootstrap_deterministic_and_brackets_mean(spark):
+    rng = np.random.default_rng(7)
+    # AR(1)-ish serially-dependent series around mean 5.0
+    n = 800
+    e = rng.normal(0, 1, n)
+    x = np.empty(n)
+    x[0] = 5.0
+    for i in range(1, n):
+        x[i] = 5.0 + 0.6 * (x[i - 1] - 5.0) + e[i]
+    df = _mk_df(spark, {"a": x})
+
+    r1 = block_bootstrap_ci(spark, df, "g", "v", ["ts"], seed=42).collect()
+    r2 = block_bootstrap_ci(spark, df, "g", "v", ["ts"], seed=42).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+    (row,) = r1
+    assert row["n"] == n
+    assert row["mean_ci_lo"] < x.mean() < row["mean_ci_hi"]
+    # block bootstrap of dependent data should be wider than iid bootstrap
+    iid = bootstrap_ci(spark, df, "g", "v").collect()[0]
+    assert (row["mean_ci_hi"] - row["mean_ci_lo"]) > 0.8 * (
+        iid["mean_ci_hi"] - iid["mean_ci_lo"]
+    )
+
+
+def test_block_bootstrap_skips_short_groups(spark):
+    df = _mk_df(spark, {"tiny": np.arange(5), "big": np.random.default_rng(0).normal(0, 1, 100)})
+    rows = block_bootstrap_ci(spark, df, "g", "v", ["ts"], block_len=10).collect()
+    assert [r["g"] for r in rows] == ["big"]
+
+
+def test_pairwise_diff_ci_sign_consistency(spark):
+    rng = np.random.default_rng(3)
+    df = _mk_df(
+        spark,
+        {
+            "lo": rng.normal(0.0, 1.0, 400),
+            "hi": rng.normal(10.0, 1.0, 400),
+            "mid": rng.normal(0.0, 1.0, 400),
+        },
+    )
+    rows = {(r["state_a"], r["state_b"]): r for r in pairwise_diff_ci(spark, df, "g", "v").collect()}
+    # all unordered pairs, each once, lexicographic
+    assert set(rows) == {("hi", "lo"), ("hi", "mid"), ("lo", "mid")}
+    # hi clearly above both -> sign-consistent positive diff
+    assert rows[("hi", "lo")]["diff_sign_consistent"]
+    assert rows[("hi", "lo")]["diff_ci_lo"] > 0
+    assert rows[("hi", "mid")]["diff_sign_consistent"]
+    # lo vs mid overlap -> not sign-consistent
+    assert not rows[("lo", "mid")]["diff_sign_consistent"]
+    assert rows[("lo", "mid")]["diff_ci_lo"] < 0 < rows[("lo", "mid")]["diff_ci_hi"]
+
+
+def test_pairwise_diff_ci_deterministic(spark):
+    rng = np.random.default_rng(11)
+    df = _mk_df(spark, {"a": rng.normal(0, 1, 200), "b": rng.normal(1, 1, 200)})
+    r1 = pairwise_diff_ci(spark, df, "g", "v").collect()
+    r2 = pairwise_diff_ci(spark, df, "g", "v").collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
