@@ -630,3 +630,236 @@ def b13_candidate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("candidate_rank"),
     )
     return ranked
+
+
+# ---------------------------------------------------------------------------
+# B3 overlay pass modes: 5 gating modes x 2 unknown-handling policies
+# (reference backtest/policy_overlay.py:135-150). Scale shape: ONE scan
+# collapses events to per-class counts (<=4 rows), then a broadcast
+# cross join with the 10-row mode dimension evaluates every pass rule
+# on the tiny table -- no re-scan per mode.
+# ---------------------------------------------------------------------------
+_B3_CLASS = (
+    "CASE user_id % 3 WHEN 0 THEN 'ALLOW' WHEN 1 THEN 'WATCH' ELSE 'BLOCK' END"
+)
+_B3_MODES_SQL = "(VALUES " + ", ".join(
+    f"('{m}', '{u}')"
+    for m in ("none", "allow_only", "allow_watch", "allow_or_unknown", "block_veto")
+    for u in ("treat_unknown_as_fail", "treat_unknown_as_pass")
+) + ") AS md(mode, unknown_handling)"
+
+
+@query(
+    "b3_overlay_pass_modes",
+    oracle=f"""
+    WITH overlay AS (
+        SELECT DISTINCT user_id, {_B3_CLASS} AS cls
+        FROM events WHERE user_id % 10 < 8
+    ), classed AS (
+        SELECT COALESCE(o.cls, 'UNKNOWN') AS cls, COUNT(*) AS cnt
+        FROM events e LEFT JOIN overlay o USING (user_id)
+        GROUP BY 1
+    ), crossed AS (
+        SELECT mode, unknown_handling, cnt,
+               CASE mode
+                 WHEN 'none' THEN TRUE
+                 WHEN 'allow_only' THEN cls = 'ALLOW'
+                 WHEN 'allow_watch' THEN cls IN ('ALLOW', 'WATCH')
+                 WHEN 'allow_or_unknown' THEN CASE
+                    WHEN unknown_handling = 'treat_unknown_as_pass'
+                    THEN cls IN ('ALLOW', 'UNKNOWN') ELSE cls = 'ALLOW' END
+                 ELSE CASE
+                    WHEN unknown_handling = 'treat_unknown_as_pass'
+                    THEN cls <> 'BLOCK' ELSE cls NOT IN ('BLOCK', 'UNKNOWN') END
+               END AS pass
+        FROM classed CROSS JOIN {_B3_MODES_SQL}
+    )
+    SELECT mode, unknown_handling,
+           CAST(SUM(CASE WHEN pass THEN cnt ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(cnt) AS BIGINT) AS n_total,
+           ROUND(SUM(CASE WHEN pass THEN cnt ELSE 0 END) * 1.0 / SUM(cnt), 6)
+               AS pass_rate
+    FROM crossed GROUP BY mode, unknown_handling
+    """,
+)
+def b3_overlay_pass_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass-rate matrix of every overlay mode x unknown-handling combo."""
+    from pipeline_mf_etl_spark.operators.overlay import (
+        OVERLAY_MODES,
+        UNKNOWN_HANDLINGS,
+        overlay_pass_expr,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    overlay = (
+        ev.select("user_id")
+        .filter(F.col("user_id") % 10 < 8)
+        .distinct()
+        .withColumn(
+            "cls",
+            F.when(F.col("user_id") % 3 == 0, "ALLOW")
+            .when(F.col("user_id") % 3 == 1, "WATCH")
+            .otherwise("BLOCK"),
+        )
+    )
+    classed = (
+        ev.join(F.broadcast(overlay), "user_id", "left")
+        .groupBy(F.coalesce("cls", F.lit("UNKNOWN")).alias("cls"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    modes = spark.createDataFrame(
+        [(m, u) for m in OVERLAY_MODES for u in UNKNOWN_HANDLINGS],
+        "mode string, unknown_handling string",
+    )
+    # one when-chain dispatching to the shared pass expression per combo
+    flag = None
+    for m in OVERLAY_MODES:
+        for u in UNKNOWN_HANDLINGS:
+            cond = (F.col("mode") == m) & (F.col("unknown_handling") == u)
+            expr = overlay_pass_expr(F.col("cls"), m, u)
+            flag = F.when(cond, expr) if flag is None else flag.when(cond, expr)
+    crossed = classed.crossJoin(F.broadcast(modes)).withColumn("pass", flag)
+    npass = F.sum(F.when(F.col("pass"), F.col("cnt")).otherwise(F.lit(0)))
+    return crossed.groupBy("mode", "unknown_handling").agg(
+        npass.alias("n_pass"),
+        F.sum("cnt").alias("n_total"),
+        F.round(npass / F.sum("cnt"), 6).alias("pass_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B12 walk-forward backtest grid + cross-split winner stability
+# (reference backtest/pipeline.py:991-1280, sensitivity_runner.py:1257-1956).
+# Scale shape: test windows are DISJOINT, so every trade lands in exactly
+# one split -- the whole grid prices in one scan (leads once, grid
+# cross-joined on the tiny side), then two window passes over the
+# 18-row summary rank winners and count cross-split wins.
+# ---------------------------------------------------------------------------
+_WF_SPLITS = ("2024-01-08", "2024-01-15", "2024-01-22")
+_WF_DAYS = 7
+_WF_SPLITS_SQL = "(VALUES " + ", ".join(
+    f"(DATE '{d}')" for d in _WF_SPLITS
+) + ") AS s(test_start)"
+_WF_COSTS = (0, 20)
+
+
+@query(
+    "b12_walkforward_grid",
+    oracle=f"""
+    WITH {_SIGNALS_CTE}, led AS (
+        SELECT ts, side, signal,
+               LEAD(value, 1) OVER ({_W}) AS entry_value,
+               LEAD(value, 4) OVER ({_W}) AS exit_3,
+               LEAD(value, 6) OVER ({_W}) AS exit_5,
+               LEAD(value, 9) OVER ({_W}) AS exit_8
+        FROM signals
+    ), trades AS (
+        SELECT s.test_start, h.hold_bars, side, entry_value,
+               CASE h.hold_bars WHEN 3 THEN exit_3 WHEN 5 THEN exit_5 ELSE exit_8 END
+                   AS exit_value
+        FROM led
+        JOIN {_WF_SPLITS_SQL}
+          ON CAST(led.ts AS DATE) >= s.test_start
+         AND CAST(led.ts AS DATE) < s.test_start + INTERVAL {_WF_DAYS} DAY
+        CROSS JOIN (VALUES (3), (5), (8)) AS h(hold_bars)
+        WHERE signal AND ABS(entry_value) > 1e-12
+          AND (CASE h.hold_bars WHEN 3 THEN exit_3 WHEN 5 THEN exit_5 ELSE exit_8 END)
+              IS NOT NULL
+    ), agg AS (
+        SELECT test_start, hold_bars, c.cost_bps,
+               COUNT(*) AS n_trades,
+               AVG(side * (exit_value / entry_value - 1) - 2.0 * c.cost_bps / 1e4)
+                   AS expectancy,
+               AVG(CASE WHEN side * (exit_value / entry_value - 1)
+                             - 2.0 * c.cost_bps / 1e4 > 0
+                        THEN 1.0 ELSE 0.0 END) AS win_rate
+        FROM trades CROSS JOIN (VALUES (0), (20)) AS c(cost_bps)
+        GROUP BY test_start, hold_bars, c.cost_bps
+    ), ranked AS (
+        SELECT *, RANK() OVER (PARTITION BY test_start
+                               ORDER BY expectancy DESC, hold_bars, cost_bps)
+                      AS split_rank
+        FROM agg
+    )
+    SELECT test_start, hold_bars, cost_bps, n_trades,
+           ROUND(expectancy, 6) AS expectancy,
+           ROUND(win_rate, 6) AS win_rate,
+           CAST(split_rank AS INT) AS split_rank,
+           CAST(SUM(CASE WHEN split_rank = 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY hold_bars, cost_bps) AS INT) AS combo_wins
+    FROM ranked
+    """,
+)
+def b12_walkforward_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split hold×cost grid with winner rank and cross-split win counts."""
+    df = _with_signals(spark, sf_dir)
+    w = series_window()
+    led = df.select(
+        "ts",
+        "side",
+        "signal",
+        F.lead("value", 1).over(w).alias("entry_value"),
+        *[F.lead("value", 1 + h).over(w).alias(f"exit_{h}") for h in _HOLDS],
+    )
+    splits = spark.createDataFrame(
+        [(d,) for d in _WF_SPLITS], "test_start string"
+    ).select(F.col("test_start").cast("date").alias("test_start"))
+    day = F.col("ts").cast("date")
+    exit_val = (
+        F.when(F.col("hold_bars") == 3, F.col("exit_3"))
+        .when(F.col("hold_bars") == 5, F.col("exit_5"))
+        .otherwise(F.col("exit_8"))
+    )
+    holds = spark.createDataFrame([(h,) for h in _HOLDS], "hold_bars int")
+    trades = (
+        led.filter(F.col("signal") & (F.abs("entry_value") > 1e-12))
+        .join(
+            F.broadcast(splits),
+            (day >= F.col("test_start"))
+            & (day < F.date_add("test_start", _WF_DAYS)),
+        )
+        .crossJoin(F.broadcast(holds))
+        .withColumn("exit_value", exit_val)
+        .filter(F.col("exit_value").isNotNull())
+        .select("test_start", "hold_bars", "side", "entry_value", "exit_value")
+    )
+    costs = spark.createDataFrame([(c,) for c in _WF_COSTS], "cost_bps int")
+    net = (
+        F.col("side") * (F.col("exit_value") / F.col("entry_value") - 1)
+        - 2.0 * F.col("cost_bps") / 1e4
+    )
+    agg = (
+        trades.crossJoin(F.broadcast(costs))
+        .withColumn("net", net)
+        .groupBy("test_start", "hold_bars", "cost_bps")
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.avg("net").alias("expectancy"),
+            F.avg((F.col("net") > 0).cast("double")).alias("win_rate"),
+        )
+    )
+    ranked = agg.withColumn(
+        "split_rank",
+        F.rank()
+        .over(
+            Window.partitionBy("test_start").orderBy(
+                F.desc("expectancy"), "hold_bars", "cost_bps"
+            )
+        )
+        .cast("int"),
+    )
+    wins = (
+        F.sum((F.col("split_rank") == 1).cast("int"))
+        .over(Window.partitionBy("hold_bars", "cost_bps"))
+        .cast("int")
+    )
+    return ranked.select(
+        "test_start",
+        "hold_bars",
+        "cost_bps",
+        "n_trades",
+        F.round("expectancy", 6).alias("expectancy"),
+        F.round("win_rate", 6).alias("win_rate"),
+        "split_rank",
+        wins.alias("combo_wins"),
+    )

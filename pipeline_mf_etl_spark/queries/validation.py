@@ -14,7 +14,7 @@ grouped pass by cross-joining the tiny split table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_mf_etl_spark.functions.core import safe_div
@@ -253,3 +253,88 @@ def m18_hardening_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         policy.alias("policy_class"),
         direction.alias("direction_hint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M17 rolling-window transition stability: Frobenius distance of each
+# window's transition-probability matrix vs the global matrix
+# (reference validation/stability.py:72-118). Scale shape: transitions
+# computed once (one window pass), two grouped aggregates (local /
+# global) both tiny (#states^2 rows), distance on the joined matrices.
+# ---------------------------------------------------------------------------
+_M17_EPOCH = "2024-01-01"
+_M17_WIN_DAYS = 10
+
+
+@query(
+    "m17_frobenius_stability",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER ({_W}) AS prev_state,
+               CAST(FLOOR(DATE_DIFF('day', DATE '{_M17_EPOCH}', CAST(ts AS DATE))
+                          / {_M17_WIN_DAYS}) AS INT) AS win
+        FROM events
+    ), tr AS (
+        SELECT win, prev_state AS from_state, event_type AS to_state
+        FROM seq WHERE prev_state IS NOT NULL
+    ), loc AS (
+        SELECT win, from_state, to_state, COUNT(*) AS cnt
+        FROM tr GROUP BY 1, 2, 3
+    ), locp AS (
+        SELECT win, from_state, to_state,
+               cnt * 1.0 / SUM(cnt) OVER (PARTITION BY win, from_state) AS p
+        FROM loc
+    ), gmat AS (
+        SELECT from_state, to_state,
+               cnt * 1.0 / SUM(cnt) OVER (PARTITION BY from_state) AS p
+        FROM (SELECT from_state, to_state, COUNT(*) AS cnt FROM tr GROUP BY 1, 2)
+    ), wins AS (
+        SELECT win, SUM(cnt) AS n_transitions FROM loc GROUP BY win
+    ), paired AS (
+        SELECT w.win, w.n_transitions, g.p AS gp, COALESCE(l.p, 0.0) AS lp
+        FROM wins w CROSS JOIN gmat g
+        LEFT JOIN locp l ON l.win = w.win AND l.from_state = g.from_state
+                        AND l.to_state = g.to_state
+    )
+    SELECT win AS window_id, CAST(n_transitions AS BIGINT) AS n_transitions,
+           ROUND(SQRT(SUM((lp - gp) * (lp - gp))), 6) AS frobenius_dist
+    FROM paired GROUP BY win, n_transitions
+    """,
+)
+def m17_frobenius_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window transition-matrix drift vs the global matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    win = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit(_M17_EPOCH).cast("date"))
+        / _M17_WIN_DAYS
+    ).cast("int")
+    tr = (
+        ev.select(
+            win.alias("win"),
+            F.lag("event_type").over(w).alias("from_state"),
+            F.col("event_type").alias("to_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+    )
+    loc = tr.groupBy("win", "from_state", "to_state").agg(F.count("*").alias("cnt"))
+    wf = Window.partitionBy("win", "from_state")
+    locp = loc.select(
+        "win", "from_state", "to_state", (F.col("cnt") / F.sum("cnt").over(wf)).alias("p")
+    )
+    gcnt = tr.groupBy("from_state", "to_state").agg(F.count("*").alias("cnt"))
+    gw = Window.partitionBy("from_state")
+    glob = gcnt.select(
+        "from_state", "to_state", (F.col("cnt") / F.sum("cnt").over(gw)).alias("gp")
+    )
+    wins = loc.groupBy("win").agg(F.sum("cnt").alias("n_transitions"))
+    paired = (
+        wins.crossJoin(F.broadcast(glob))
+        .join(F.broadcast(locp), ["win", "from_state", "to_state"], "left")
+        .withColumn("lp", F.coalesce("p", F.lit(0.0)))
+    )
+    d = F.col("lp") - F.col("gp")
+    return paired.groupBy(
+        F.col("win").alias("window_id"), "n_transitions"
+    ).agg(F.round(F.sqrt(F.sum(d * d)), 6).alias("frobenius_dist"))

@@ -77,3 +77,60 @@ def test_deterministic(spark):
     a = sorted(map(tuple, b6_trade_sim(spark, SF_ORACLE).collect()))
     b = sorted(map(tuple, b6_trade_sim(spark, SF_ORACLE).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# B3 overlay gating: pass-expr truth table + coverage verdict precedence
+# ---------------------------------------------------------------------------
+def test_overlay_pass_expr_truth_table(spark):
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.operators.overlay import (
+        OVERLAY_MODES,
+        UNKNOWN_HANDLINGS,
+        overlay_pass_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("ALLOW",), ("WATCH",), ("BLOCK",), (None,)], "cls string"
+    )
+    got = {}
+    for m in OVERLAY_MODES:
+        for u in UNKNOWN_HANDLINGS:
+            rows = df.select(
+                "cls", overlay_pass_expr(F.col("cls"), m, u).alias("p")
+            ).collect()
+            got[(m, u)] = {r["cls"]: r["p"] for r in rows}
+    fail, ok = "treat_unknown_as_fail", "treat_unknown_as_pass"
+    assert got[("none", fail)] == {"ALLOW": True, "WATCH": True, "BLOCK": True, None: True}
+    assert got[("allow_only", fail)] == {"ALLOW": True, "WATCH": False, "BLOCK": False, None: False}
+    assert got[("allow_watch", fail)] == {"ALLOW": True, "WATCH": True, "BLOCK": False, None: False}
+    assert got[("allow_or_unknown", fail)][None] is False
+    assert got[("allow_or_unknown", ok)][None] is True
+    assert got[("allow_or_unknown", ok)]["WATCH"] is False
+    assert got[("block_veto", fail)] == {"ALLOW": True, "WATCH": True, "BLOCK": False, None: False}
+    assert got[("block_veto", ok)] == {"ALLOW": True, "WATCH": True, "BLOCK": False, None: True}
+
+
+def test_coverage_verdict_precedence():
+    import pytest as _pytest
+
+    from pipeline_mf_etl_spark.operators.overlay import (
+        coverage_verdict,
+        overlay_pass_expr,
+    )
+
+    base = dict(match_rate=0.99, unknown_rate=0.01, year_min_match_rate=0.95)
+    assert coverage_verdict(**base).status == "OK"
+    # duplicates trump everything
+    v = coverage_verdict(**{**base, "match_rate": 0.1}, duplicate_key_count_overlay=2)
+    assert v.status == "FAIL_DUPLICATES" and "overlay=2" in v.reasons[0]
+    assert coverage_verdict(**{**base, "match_rate": 0.5}).status == "FAIL_LOW_MATCH"
+    assert coverage_verdict(**{**base, "year_min_match_rate": 0.5}).status == "FAIL_LOW_MATCH"
+    assert coverage_verdict(**{**base, "unknown_rate": 0.5}).status == "FAIL_HIGH_UNKNOWN"
+    assert coverage_verdict(**{**base, "match_rate": 0.9}).status == "WARN_LOW_MATCH"
+    assert coverage_verdict(**{**base, "unknown_rate": 0.1}).status == "WARN_HIGH_UNKNOWN"
+    # None metrics are skipped, not failed
+    assert coverage_verdict(match_rate=None, unknown_rate=None, year_min_match_rate=None).status == "OK"
+    with _pytest.raises(ValueError):
+        overlay_pass_expr(None, "bogus")
