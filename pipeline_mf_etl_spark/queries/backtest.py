@@ -863,3 +863,111 @@ def b12_walkforward_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split_rank",
         wins.alias("combo_wins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B1 input adapter: normalize + state mapping + row_id + keep-first dedupe
+# (reference: backtest/adapters.py:128-260 — column normalization, state_id
+#  derivation, row_id concat, clean + dedupe P6/W16)
+# ---------------------------------------------------------------------------
+@query(
+    "b1_input_adapter",
+    oracle="""
+    WITH mapped AS (
+        SELECT user_id, event_id, ts, value,
+               CAST(ts AS DATE) AS bar_day,
+               CASE event_type
+                    WHEN 'purchase' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'error' THEN 3 WHEN 'signup' THEN 4
+                    ELSE 0 END AS state_id
+        FROM events
+        WHERE value IS NOT NULL AND isfinite(value)
+    ), deduped AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, bar_day ORDER BY ts, event_id) AS rn
+        FROM mapped
+    )
+    SELECT CAST(user_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR) AS row_id,
+           user_id, state_id,
+           CASE WHEN state_id IN (1, 2) THEN 'long'
+                WHEN state_id IN (3, 4) THEN 'short'
+                ELSE '' END AS side,
+           state_id IN (1, 2, 3, 4) AS signal_eligible,
+           ROUND(value, 6) AS value
+    FROM deduped WHERE rn = 1
+    """,
+)
+def b1_input_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest input adapter: map states, synthesize row_id, clean, dedupe (B1)."""
+    ev = load_table(spark, sf_dir, "events")
+    finite = (
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
+    state = (
+        F.when(F.col("event_type") == "purchase", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "error", 3)
+        .when(F.col("event_type") == "signup", 4)
+        .otherwise(0)
+    )
+    mapped = ev.filter(finite).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.col("ts").cast("date").alias("bar_day"),
+        state.alias("state_id"),
+    )
+    wd = Window.partitionBy("user_id", "bar_day").orderBy("ts", "event_id")
+    deduped = mapped.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") == 1)
+    return deduped.select(
+        F.concat_ws("|", F.col("user_id"), F.col("event_id")).alias("row_id"),
+        "user_id",
+        "state_id",
+        F.when(F.col("state_id").isin(1, 2), "long")
+        .when(F.col("state_id").isin(3, 4), "short")
+        .otherwise("")
+        .alias("side"),
+        F.col("state_id").isin(1, 2, 3, 4).alias("signal_eligible"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B11 robustness scoring: per-source percent_rank normalization → weighted
+# score (reference: backtest/sensitivity_aggregate.py:67-150 _rank_score +
+#  weighted sum ×100). Parts stand in for grid combos, brand = source.
+# ---------------------------------------------------------------------------
+@query(
+    "b11_robustness_score",
+    oracle="""
+    WITH scored AS (
+        SELECT p_brand,
+               PERCENT_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS r_price,
+               PERCENT_RANK() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS r_size
+        FROM part
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_combos,
+           ROUND(AVG(100 * (0.6 * r_price + 0.4 * r_size)), 6) AS avg_score,
+           ROUND(MAX(100 * (0.6 * r_price + 0.4 * r_size)), 6) AS max_score
+    FROM scored GROUP BY p_brand
+    """,
+)
+def b11_robustness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalized weighted robustness score per source group (B11)."""
+    pa = load_table(spark, sf_dir, "part")
+    wb = Window.partitionBy("p_brand")
+    r_price = F.percent_rank().over(wb.orderBy("p_retailprice"))
+    r_size = F.percent_rank().over(wb.orderBy("p_size", "p_partkey"))
+    scored = pa.select(
+        "p_brand",
+        (100 * (0.6 * r_price + 0.4 * r_size)).alias("score"),
+    )
+    return scored.groupBy("p_brand").agg(
+        F.count("*").alias("n_combos"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )

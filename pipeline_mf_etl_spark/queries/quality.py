@@ -199,3 +199,36 @@ def o4_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+# ---------------------------------------------------------------------------
+# P4 per-series quality report: scalar aggregates per user — counts, error
+# totals, date bounds, distinct-day coverage
+# (reference: validate/reports.py:33-90 ticker quality report)
+# ---------------------------------------------------------------------------
+@query(
+    "p4_quality_report",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           CAST(MIN(CAST(ts AS DATE)) AS VARCHAR) AS first_day,
+           CAST(MAX(CAST(ts AS DATE)) AS VARCHAR) AS last_day,
+           ROUND(AVG(value), 6) AS mean_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def p4_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series quality report: counts, error totals, date bounds (P4)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        F.countDistinct(day).alias("n_days"),
+        F.date_format(F.min(day), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max(day), "yyyy-MM-dd").alias("last_day"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )

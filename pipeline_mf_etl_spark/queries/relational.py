@@ -392,3 +392,246 @@ def s3_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), _r(F.sum("l_quantity"), 2).alias("qty"))
     )
+
+
+from pyspark.sql import Window  # noqa: E402  (used by the coverage additions below)
+
+_WEV = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+# ---------------------------------------------------------------------------
+# A4 horizontal (row-wise) aggregates: greatest/least + any/all boolean chains
+# (reference: validate/rules.py:191-193; silver/features_base.py:138-150)
+# ---------------------------------------------------------------------------
+@query(
+    "a4_horizontal_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(GREATEST(l_quantity, l_discount * 100, l_tax * 100)), 6) AS sum_greatest,
+           ROUND(SUM(LEAST(l_quantity, l_discount * 100, l_tax * 100)), 6)    AS sum_least,
+           SUM(CASE WHEN l_discount > 0.05 OR l_tax > 0.04 THEN 1 ELSE 0 END) AS n_any,
+           SUM(CASE WHEN l_discount > 0.05 AND l_tax > 0.04 THEN 1 ELSE 0 END) AS n_all
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a4_horizontal_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise greatest/least and any/all chains, rolled up (A4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d100 = F.col("l_discount") * 100
+    t100 = F.col("l_tax") * 100
+    any_f = (F.col("l_discount") > 0.05) | (F.col("l_tax") > 0.04)
+    all_f = (F.col("l_discount") > 0.05) & (F.col("l_tax") > 0.04)
+    return li.groupBy("l_returnflag").agg(
+        _r(F.sum(F.greatest(F.col("l_quantity"), d100, t100))).alias("sum_greatest"),
+        _r(F.sum(F.least(F.col("l_quantity"), d100, t100))).alias("sum_least"),
+        F.sum(any_f.cast("long")).alias("n_any"),
+        F.sum(all_f.cast("long")).alias("n_all"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 exchange-style rollup: customers per region through two broadcast dims
+# (reference: bronze/sanity_checks.py:236-248)
+# ---------------------------------------------------------------------------
+@query(
+    "a7_region_rollup",
+    oracle="""
+    SELECT r_name,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT n_name) AS n_nations,
+           ROUND(SUM(c_acctbal), 2) AS sum_acctbal,
+           ROUND(MIN(c_acctbal), 2) AS min_acctbal,
+           ROUND(MAX(c_acctbal), 2) AS max_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def a7_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region rollup over two broadcast dimension joins (A7)."""
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    joined = cu.join(
+        F.broadcast(na), cu.c_nationkey == na.n_nationkey
+    ).join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    return joined.groupBy("r_name").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("n_name").alias("n_nations"),
+        _r(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        _r(F.min("c_acctbal"), 2).alias("min_acctbal"),
+        _r(F.max("c_acctbal"), 2).alias("max_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13 eligibility-style distribution by year with conditional counts
+# (reference: backtest/execution_realism.py:440-470)
+# ---------------------------------------------------------------------------
+@query(
+    "a13_orders_by_year",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+           ROUND(AVG(o_totalprice), 6) AS avg_totalprice,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS med_totalprice
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def a13_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """By-year distribution with conditional counts and exact median (A13)."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long")).alias("n_urgent"),
+        _r(F.avg("o_totalprice")).alias("avg_totalprice"),
+        _r(F.expr("percentile(o_totalprice, 0.5)")).alias("med_totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# I2/I4 manifest classification: current vs previous snapshot fingerprints
+# (reference: ingest/manifest.py:155-199 NEW/CHANGED/UNCHANGED left join,
+#  :202-224 status rollups). Snapshots derived deterministically from the
+# documents table: "previous" lacks doc_id % 7 == 0 (→ NEW) and has a
+# perturbed fingerprint for doc_id % 5 == 0 (→ CHANGED).
+# ---------------------------------------------------------------------------
+@query(
+    "i2_manifest_classify",
+    oracle="""
+    WITH current AS (
+        SELECT doc_id AS source_file, source, MD5(text) AS fingerprint
+        FROM documents
+    ), previous AS (
+        SELECT doc_id AS source_file,
+               CASE WHEN doc_id % 5 = 0 THEN MD5(text || '#prev') ELSE MD5(text) END AS fingerprint
+        FROM documents
+        WHERE doc_id % 7 <> 0
+    )
+    SELECT CASE WHEN p.fingerprint IS NULL THEN 'NEW'
+                WHEN p.fingerprint = c.fingerprint THEN 'UNCHANGED'
+                ELSE 'CHANGED' END AS status,
+           COUNT(*) AS n_files,
+           COUNT(DISTINCT c.source) AS n_sources
+    FROM current c LEFT JOIN previous p ON c.source_file = p.source_file
+    GROUP BY 1
+    """,
+)
+def i2_manifest_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest NEW/CHANGED/UNCHANGED classification + status rollup (I2/I4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    current = docs.select(
+        F.col("doc_id").alias("source_file"), "source", fp.alias("fingerprint")
+    )
+    previous = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("source_file"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.md5(F.concat(F.col("text"), F.lit("#prev")).cast("binary")),
+        )
+        .otherwise(fp)
+        .alias("prev_fingerprint"),
+    )
+    classified = current.join(previous, "source_file", "left").select(
+        "source",
+        F.when(F.col("prev_fingerprint").isNull(), "NEW")
+        .when(F.col("prev_fingerprint") == F.col("fingerprint"), "UNCHANGED")
+        .otherwise("CHANGED")
+        .alias("status"),
+    )
+    return classified.groupBy("status").agg(
+        F.count("*").alias("n_files"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7/J10 join of two grouped aggregates: per-state profile ⋈ forward outcomes
+# ⋈ rolling-metric means (reference: research/profiles.py:156-175;
+#  validation/stability.py:278-297)
+# ---------------------------------------------------------------------------
+@query(
+    "j7_j10_profile_joins",
+    oracle=f"""
+    WITH r AS (
+        SELECT event_type, value,
+               CASE WHEN ABS(LAG(value) OVER ({_WEV})) > 1e-12
+                    THEN value / (LAG(value) OVER ({_WEV})) - 1 END AS ret_1,
+               CASE WHEN COUNT(value) OVER w5 >= 5
+                    THEN AVG(value) OVER w5 END AS sma_5
+        FROM events
+        WINDOW w5 AS ({_WEV} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ), profile AS (
+        SELECT event_type, COUNT(*) AS n_rows,
+               ROUND(AVG(value), 6) AS mean_value,
+               ROUND(STDDEV_POP(value), 6) AS std_value
+        FROM r GROUP BY event_type
+    ), outcome AS (
+        SELECT event_type,
+               ROUND(AVG(ret_1), 6) AS mean_ret_1,
+               ROUND(AVG(sma_5), 6) AS mean_sma_5
+        FROM r GROUP BY event_type
+    )
+    SELECT profile.event_type, n_rows, mean_value, std_value, mean_ret_1, mean_sma_5
+    FROM profile LEFT JOIN outcome ON profile.event_type = outcome.event_type
+    """,
+)
+def j7_j10_profile_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join of grouped profile, forward-outcome, and rolling-mean aggregates (J7/J10)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    ret1 = F.when(F.abs(prev) > 1e-12, F.col("value") / prev - 1)
+    w5 = w.rowsBetween(-4, 0)
+    sma5 = F.when(F.count("value").over(w5) >= 5, F.avg("value").over(w5))
+    r = ev.select(
+        "event_type", "value", ret1.alias("ret_1"), sma5.alias("sma_5")
+    )
+    profile = r.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        _r(F.avg("value")).alias("mean_value"),
+        _r(F.stddev_pop("value")).alias("std_value"),
+    )
+    outcome = r.groupBy("event_type").agg(
+        _r(F.avg("ret_1")).alias("mean_ret_1"),
+        _r(F.avg("sma_5")).alias("mean_sma_5"),
+    )
+    return profile.join(F.broadcast(outcome), "event_type", "left")
+
+
+# ---------------------------------------------------------------------------
+# O5 schema-relaxed vertical concat (reference: pl.concat vertical_relaxed,
+#  gold/features_pipeline.py:670-671) — unionByName with missing columns.
+# ---------------------------------------------------------------------------
+@query(
+    "o5_union_by_name",
+    oracle="""
+    SELECT p_partkey AS item_key, p_name AS item_name, 'part' AS src,
+           ROUND(p_retailprice, 2) AS price
+    FROM part
+    UNION ALL BY NAME
+    SELECT s_suppkey AS item_key, s_name AS item_name, 'supplier' AS src,
+           ROUND(s_acctbal, 2) AS balance
+    FROM supplier
+    """,
+)
+def o5_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-relaxed union: missing columns null-filled per side (O5)."""
+    pa = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item_key"),
+        F.col("p_name").alias("item_name"),
+        F.lit("part").alias("src"),
+        _r(F.col("p_retailprice"), 2).alias("price"),
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("item_key"),
+        F.col("s_name").alias("item_name"),
+        F.lit("supplier").alias("src"),
+        _r(F.col("s_acctbal"), 2).alias("balance"),
+    )
+    return pa.unionByName(su, allowMissingColumns=True)

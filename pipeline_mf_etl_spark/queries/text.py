@@ -183,3 +183,49 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc normalized-text fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"), "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# T5 BPE-ish token statistics: regex tokenizer splitting alpha runs, digit
+# runs, and single punctuation marks — the "token counting" operator of the
+# training-data surface (SURVEY.md scale-out additions; reference has only
+# whitespace splitting). Tokens materialized once per doc (Column reuse
+# would inline the regex per use site).
+# ---------------------------------------------------------------------------
+@query(
+    "t5_token_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS toks,
+               regexp_extract_all(LOWER(text), '[a-z]+') AS words,
+               LENGTH(regexp_replace(LOWER(text), '[^a-z]', '', 'g')) AS n_alpha_chars
+    FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(words) AS BIGINT) AS n_words,
+           ROUND(CASE WHEN LEN(words) > 0
+                 THEN CAST(n_alpha_chars AS DOUBLE) / LEN(words) END, 6) AS avg_word_len
+    FROM t
+    """,
+)
+def t5_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counts + average word length per document (T5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = docs.select("doc_id", F.lower("text").alias("lt"))
+    t = lowered.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("lt"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0).alias("toks"),
+        F.regexp_extract_all(F.col("lt"), F.lit(r"[a-z]+"), 0).alias("words"),
+        F.length(F.regexp_replace(F.col("lt"), r"[^a-z]", "")).alias("n_alpha_chars"),
+    )
+    nw = F.size("words")
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        nw.cast("long").alias("n_words"),
+        F.round(
+            F.when(nw > 0, F.col("n_alpha_chars").cast("double") / nw), 6
+        ).alias("avg_word_len"),
+    )

@@ -390,3 +390,108 @@ def w17_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         _r(F.col("value")).alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W7 3-bar pivot detection (reference: gold/event_grammar_v1.py:148-165)
+# ---------------------------------------------------------------------------
+@query(
+    "w7_pivot_detection",
+    oracle=f"""
+    WITH l AS (
+        SELECT event_id, user_id,
+               LAG(value, 2) OVER ({_W}) AS v2,
+               LAG(value, 1) OVER ({_W}) AS v1,
+               value AS v0
+        FROM events
+    )
+    SELECT event_id, user_id,
+           COALESCE(v2 > v1 AND v1 < v0, FALSE) AS pivot_low,
+           COALESCE(v2 < v1 AND v1 > v0, FALSE) AS pivot_high
+    FROM l
+    """,
+)
+def w7_pivot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-bar pivot low/high flagged at the confirmation row (W7)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    v2 = F.lag("value", 2).over(w)
+    v1 = F.lag("value", 1).over(w)
+    v0 = F.col("value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce((v2 > v1) & (v1 < v0), F.lit(False)).alias("pivot_low"),
+        F.coalesce((v2 < v1) & (v1 > v0), F.lit(False)).alias("pivot_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W11 burst events + W12 rolling event activity + W13 recency transform
+# (reference: gold/event_grammar_v1.py:212-232, :324-358; features_v1.py:231-259)
+# ---------------------------------------------------------------------------
+@query(
+    "w11_w13_burst_activity",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_id, user_id, ts,
+               ROW_NUMBER() OVER ({_W}) AS rn,
+               COALESCE(value > 11.0 AND value - LAG(value, 3) OVER ({_W}) > 0.5,
+                        FALSE) AS burst
+        FROM events
+    ), c AS (
+        SELECT *, CASE WHEN burst THEN rn END AS burst_rn,
+               CASE WHEN burst THEN 1 ELSE 0 END AS bi
+        FROM b
+    ), d AS (
+        SELECT event_id, user_id, burst,
+               CAST(SUM(bi) OVER ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS act_5,
+               CAST(SUM(bi) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS act_20,
+               rn - MAX(burst_rn) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS bars_since_burst
+        FROM c
+    )
+    SELECT event_id, user_id, burst, act_5, act_20,
+           ROUND(CASE WHEN ABS(CAST(act_20 AS DOUBLE)) > 1e-12
+                 THEN CAST(act_5 AS DOUBLE) / act_20 END, 6) AS activity_asym,
+           ROUND(CASE WHEN bars_since_burst IS NOT NULL
+                 THEN LEAST(bars_since_burst, 20) / 20.0 END, 6) AS burst_recency
+    FROM d
+    """,
+)
+def w11_w13_burst_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst events (W11), rolling activity + asymmetry (W12), recency (W13)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    slope = F.col("value") - F.lag("value", 3).over(w)
+    burst = F.coalesce((F.col("value") > 11.0) & (slope > 0.5), F.lit(False))
+    df = ev.select("event_id", "user_id", "ts", burst.alias("burst"))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bi = F.col("burst").cast("int")
+    act5 = F.sum(bi).over(w2.rowsBetween(-4, 0)).cast("long")
+    act20 = F.sum(bi).over(w2.rowsBetween(-19, 0)).cast("long")
+    bs = bars_since(F.col("burst"), w2)
+    df = df.select(
+        "event_id",
+        "user_id",
+        "burst",
+        act5.alias("act_5"),
+        act20.alias("act_20"),
+        bs.alias("bars_since_burst"),
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        "burst",
+        "act_5",
+        "act_20",
+        _r(safe_div(F.col("act_5").cast("double"), F.col("act_20").cast("double"))).alias(
+            "activity_asym"
+        ),
+        _r(
+            F.when(
+                F.col("bars_since_burst").isNotNull(),
+                F.least(F.col("bars_since_burst"), F.lit(20)) / 20.0,
+            )
+        ).alias("burst_recency"),
+    )
