@@ -1,0 +1,93 @@
+"""Physical-plan shape regression tests — the scale contract.
+
+Correctness tests prove the queries return the right rows at sf0.01;
+these prove the PLANS are the ones that survive a 100 TB / 1000-executor
+scale-up: filters and projections reach the parquet scan, dimension
+joins broadcast instead of shuffling the fact side, per-series window
+stacks share ONE shuffle, multi-consumer intermediates are reused from
+cache, and nothing degenerates into a cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_mf_etl_spark.queries import all_queries
+from tests.conftest import SF_ORACLE
+
+_QUERIES = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = _QUERIES[name].spark(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_s3_scan_pushdown_and_pruning(spark):
+    """Filter + projection must reach the FileScan (predicate pushdown,
+    column pruning) — at 100 TB this is the difference between reading
+    3 columns of a few row groups and reading the whole table."""
+    plan = _plan(spark, "s3_pushdown_scan")
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, plan
+    scan = scan_lines[0]
+    assert "PushedFilters: [" in scan and "PushedFilters: []" not in scan, scan
+    # projection pruned to exactly the referenced columns
+    assert "l_quantity" in scan and "l_returnflag" in scan and "l_shipdate" in scan
+    assert "l_extendedprice" not in scan, scan
+
+
+@pytest.mark.parametrize("name", ["a7_region_rollup", "j2_broadcast_enrich", "j5_state_mapping"])
+def test_dim_joins_broadcast(spark, name):
+    """Dimension joins must be broadcast hash joins — a sort-merge join
+    here would shuffle the fact table on every lookup key."""
+    plan = _plan(spark, name)
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_window_stack_single_shuffle(spark):
+    """All rolling stats over one series key share a single hash
+    exchange — each extra exchange is a full re-shuffle of the fact
+    table at scale."""
+    plan = _plan(spark, "w2_rolling_stats")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_minhash_reuses_cached_shingles(spark):
+    """The exploded shingle set feeds signatures, sizes, and exact
+    verification; it must come from cache (InMemoryTableScan), not be
+    re-derived per consumer (4x corpus scans at 100 TB)."""
+    plan = _plan(spark, "d2_minhash_lsh")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_grouped_agg_partial_before_shuffle(spark):
+    """Aggregations must run map-side partial + final (two HashAggregate
+    levels) so the shuffle carries group states, not raw rows."""
+    plan = _plan(spark, "a1_grouped_stats")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "a1_grouped_stats",
+        "j6_overlay_coverage",
+        "w6_run_length",
+        "m2_per_group_scaler",
+        "b10_sensitivity_grid",
+        "b14_calibration_sweep",
+        "e2_ann_bucketed",
+    ],
+)
+def test_no_cartesian_products(spark, name):
+    """No headline plan may contain an unbounded cartesian product.
+
+    (b10/b14 broadcast a tiny literal parameter grid — that must show as
+    BroadcastNestedLoopJoin over a broadcast side, never CartesianProduct.)
+    """
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, plan
