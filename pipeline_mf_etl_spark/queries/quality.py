@@ -232,3 +232,35 @@ def p4_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max(day), "yyyy-MM-dd").alias("last_day"),
         F.round(F.avg("value"), 6).alias("mean_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O4b deterministic hash-based sampling. The native `df.sample(seed=)`
+# (o4_seeded_sample) is reproducible within Spark but engine-specific;
+# md5-fold Bernoulli selection is reproducible ACROSS engines and stable
+# under repartitioning — the right sampling primitive for 100 TB
+# training-data splits. Fold kept in lockstep with operators/dedupe.py.
+# ---------------------------------------------------------------------------
+@query(
+    "o4b_hash_sample",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_sampled
+    FROM events
+    WHERE list_reduce(list_transform(
+              split(substr(md5(CAST(event_id AS VARCHAR)), 1, 15), ''),
+              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+          (acc, y) -> acc * 16 + y) % 10 = 0
+    GROUP BY event_type
+    """,
+)
+def o4b_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-agnostic deterministic ~10% Bernoulli sample via md5 fold (O4)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        ev.filter(h % 10 == 0)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+    )
