@@ -214,7 +214,12 @@ def decode_distributed(
             states = model.viterbi(x)
             post = model.posteriors(x)
             pmax = post.max(axis=1)
-            ent = -(np.where(post > 1e-12, post * np.log(post), 0.0)).sum(axis=1)
+            # log only where post > eps — np.where alone still evaluates
+            # log(0) on the masked-out entries and spews RuntimeWarnings
+            plogp = np.zeros_like(post)
+            nz = post > 1e-12
+            plogp[nz] = post[nz] * np.log(post[nz])
+            ent = -plogp.sum(axis=1)
             out.append(
                 pd.DataFrame(
                     {
