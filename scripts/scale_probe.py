@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Scale probe: does runtime grow ~linearly with data volume?
+
+Correctness runs at sf0.01 and the bench at sf0.1 — small enough that
+fixed job overhead dominates. This probe replicates the sf0.1 events /
+documents tables N× (remapping series/doc keys so cardinality scales
+with volume, as it would in production) and times representative
+operators at 1×, 4×, and 16×. A scale-sound plan shows near-linear
+wall-clock growth; a super-linear blow-up flags a shuffle or join that
+would fall over on a real cluster.
+
+Writes replicated parquet under .scratch/ (gitignored). Usage:
+
+    python scripts/scale_probe.py            # 1x, 4x, 16x
+    python scripts/scale_probe.py 1 8        # custom multiples
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipeline_mf_etl_spark.queries import all_queries  # noqa: E402
+from pipeline_mf_etl_spark.session import get_spark  # noqa: E402
+from pipeline_mf_etl_spark.sources.readers import load_table  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+# Operators spanning the families with non-trivial physical plans:
+# window stack (one shuffle), run-length (two windows), MinHash+LSH
+# (explode + self-join + verify), per-series Python island.
+PROBE = ("w2_rolling_stats", "w6_run_length", "d2_minhash_lsh", "w3_ewm_wilder")
+
+
+def replicate(spark, mult: int) -> str:
+    """Replicate events/documents mult×, remapping keys so series/doc
+    cardinality scales with volume (pure copies would only deepen each
+    series, skewing windows instead of widening the key space)."""
+    out = os.path.join(SCRATCH, f"x{mult}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    copies = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("copy")
+
+    ev = load_table(spark, BASE_SF, "events")
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    n_events = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    ev.select("*", copies).withColumn(
+        "user_id", F.col("user_id") + F.col("copy") * n_users
+    ).withColumn("event_id", F.col("event_id") + F.col("copy") * n_events).drop(
+        "copy"
+    ).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    docs = load_table(spark, BASE_SF, "documents")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    docs.select("*", copies).withColumn(
+        "doc_id", F.col("doc_id") + F.col("copy") * n_docs
+    ).drop("copy").write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    return out
+
+
+def force(df) -> None:
+    df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h")).agg(
+        F.count("h"), F.expr("bit_xor(h)")
+    ).collect()
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark("scale-probe")
+    specs = all_queries()
+    force(specs["w2_rolling_stats"].spark(spark, "/root/testdata/sf0.001"))  # warm
+
+    results: dict[str, dict[str, float]] = {q: {} for q in PROBE}
+    for mult in mults:
+        sf_dir = replicate(spark, mult)
+        for name in PROBE:
+            t0 = time.perf_counter()
+            force(specs[name].spark(spark, sf_dir))
+            results[name][f"x{mult}"] = round(time.perf_counter() - t0, 2)
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+    lo, hi = f"x{mults[0]}", f"x{mults[-1]}"
+    ratio = mults[-1] / mults[0]
+    for name in PROBE:
+        r = results[name]
+        growth = r[hi] / r[lo] if r[lo] else float("inf")
+        r["growth_vs_linear"] = round(growth / ratio, 2)  # 1.0 = perfectly linear
+    print(json.dumps({"base": BASE_SF, "multiples": mults, "timings": results}))
+
+
+if __name__ == "__main__":
+    main()
