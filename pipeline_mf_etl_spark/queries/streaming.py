@@ -83,3 +83,55 @@ def st3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (30-min gap); the oracle is the classic
     lag + cumulative-sum gap-island rewrite."""
     return session_rollup(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ST4: custom stateful streaming operator driven END-TO-END through the
+# state store (applyInPandasWithState, availableNow trigger, memory sink)
+# — not the batch twin. Final running totals per user must equal the
+# plain batch groupBy, which is exactly what the oracle checks.
+# ---------------------------------------------------------------------------
+@query(
+    "st4_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(value) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def st4_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via the state store; returns final totals (ST4)."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from pipeline_mf_etl_spark.streaming import read_events_stream
+    from pipeline_mf_etl_spark.streaming.stateful import running_user_stats
+
+    name = f"st4_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode emits one row per (user, micro-batch); keep the final
+    # (largest n_events) row per user in case the source split batches.
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+    )
