@@ -635,3 +635,102 @@ def o5_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("s_acctbal"), 2).alias("balance"),
     )
     return pa.unionByName(su, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# J11 as-of join (beyond the reference — SURVEY §2.4 notes it has only
+# equi-joins): each purchase event picks up the most recent at-or-before
+# error value for the same user. Spark side is the sort-based single-
+# shuffle operator (operators/asof.py); the oracle is DuckDB's native
+# ASOF JOIN. Right side deduped to one row per (user, ts) so ASOF tie
+# semantics are deterministic on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "j11_asof_join",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ), r0 AS (
+        SELECT user_id, ts, value AS err_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'error'
+    ), r AS (SELECT user_id, ts, err_value FROM r0 WHERE rn = 1)
+    SELECT l.event_id, l.user_id, ROUND(l.value, 6) AS value,
+           ROUND(r.err_value, 6) AS last_err_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest at-or-before error value per purchase event (J11)."""
+    from pipeline_mf_etl_spark.operators.asof import asof_join
+    from pipeline_mf_etl_spark.sources.readers import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    wd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "ts", F.col("value").alias("err_value"), "event_id")
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "err_value")
+    )
+    joined = asof_join(left, right, ["user_id"], "ts", ["err_value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        _r(F.col("value")).alias("value"),
+        _r(F.col("err_value")).alias("last_err_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A14 salted two-stage aggregation over extreme key skew (5 event types
+# carry all rows). AQE splits skewed shuffle partitions, but explicit
+# salting bounds final-reducer fan-in no matter the key histogram —
+# the pattern for hot-key groupBys at 100 TB. Oracle: the plain GROUP BY
+# (salting must be observationally transparent).
+# ---------------------------------------------------------------------------
+@query(
+    "a14_salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(value) AS n,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(AVG(value), 6) AS avg_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a14_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation on hot keys, equal to plain groupBy (A14)."""
+    from pipeline_mf_etl_spark.operators.skew import salted_agg
+    from pipeline_mf_etl_spark.sources.readers import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", F.col("value")),
+            "sum_value": ("sum", F.col("value")),
+            "avg_value": ("avg", F.col("value")),
+            "min_value": ("min", F.col("value")),
+            "max_value": ("max", F.col("value")),
+        },
+        salt=F.col("event_id"),
+        n_salts=32,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        _r(F.col("sum_value")).alias("sum_value"),
+        _r(F.col("avg_value")).alias("avg_value"),
+        _r(F.col("min_value")).alias("min_value"),
+        _r(F.col("max_value")).alias("max_value"),
+    )

@@ -91,3 +91,21 @@ def test_no_cartesian_products(spark, name):
     """
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The sort-based as-of join must shuffle ONCE on the series key —
+    a theta-join formulation would show BroadcastNestedLoop/Cartesian
+    and blow up quadratically per key at scale."""
+    plan = _plan(spark, "j11_asof_join")
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # union sides feed one window shuffle
+
+
+def test_salted_agg_two_stages(spark):
+    """Salted aggregation must show two groupBy levels: partials on
+    (key, salt), merge on key — four HashAggregate operators total
+    (partial+final per level)."""
+    plan = _plan(spark, "a14_salted_skew_agg")
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "__salt" in plan, plan
