@@ -495,3 +495,43 @@ def w11_w13_burst_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("burst_recency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W18 range-frame window (beyond rowsBetween: value-range frames over
+# event time — the scalable form of "events within the next hour",
+# replacing an interval self-join). Reference's only range semantics is
+# the calendar-gap rule (P2); this generalizes it.
+# ---------------------------------------------------------------------------
+@query(
+    "w18_range_window",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_id, user_id, event_type, ts,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                   RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING) AS n_next_hour,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS sum_prev_hour
+        FROM events
+    )
+    SELECT event_id, user_id, n_next_hour, sum_prev_hour
+    FROM t WHERE event_type = 'signup'
+    """,
+)
+def w18_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame windows over epoch seconds: next-hour counts, prev-hour sums (W18)."""
+    ev = load_table(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    wr = Window.partitionBy("user_id").orderBy(secs.cast("long"))
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.count("*").over(wr.rangeBetween(0, 3600)).alias("n_next_hour"),
+        _r(F.sum("value").over(wr.rangeBetween(-3600, 0))).alias("sum_prev_hour"),
+    )
+    return flagged.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "n_next_hour", "sum_prev_hour"
+    )

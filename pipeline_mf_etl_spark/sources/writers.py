@@ -44,6 +44,28 @@ def read_partition(spark: SparkSession, path: str, **partition_values) -> DataFr
     return df
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted managed table: co-locates rows by join/group key
+    at WRITE time so repeated joins and aggregations on that key run
+    with no exchange at all — the storage-layout answer to "this join
+    shuffles 100 TB every night". Bucket count is fixed at write time;
+    pick ~ (dataset size / target partition size) at production scale.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_csv_twin(df: DataFrame, path: str) -> None:
     """S8: human-readable CSV twin of a small QA table."""
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)

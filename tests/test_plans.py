@@ -109,3 +109,29 @@ def test_salted_agg_two_stages(spark):
     plan = _plan(spark, "a14_salted_skew_agg")
     assert plan.count("HashAggregate") >= 4, plan
     assert "__salt" in plan, plan
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Two tables bucketed on the join key must sort-merge-join with NO
+    hash exchange — the bucketing layout replaces the nightly 100 TB
+    shuffle. (Broadcast disabled so the plan can't cheat.)"""
+    from pipeline_mf_etl_spark.sources.readers import load_table
+    from pipeline_mf_etl_spark.sources.writers import write_bucketed
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    write_bucketed(ev.select("event_id", "user_id", "value"), "ev_bkt", ["user_id"], 8)
+    write_bucketed(
+        ev.groupBy("user_id").count(), "usr_bkt", ["user_id"], 8
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("ev_bkt").join(spark.table("usr_bkt"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS ev_bkt")
+        spark.sql("DROP TABLE IF EXISTS usr_bkt")
