@@ -734,3 +734,43 @@ def a14_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("min_value")).alias("min_value"),
         _r(F.col("max_value")).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J12 star join: fact ⋈ fact on orderkey (sort-merge over the shuffle
+# key) + broadcast dims — the canonical warehouse shape. Date filter
+# pushes to the orders scan; revenue aggregated per nation.
+# ---------------------------------------------------------------------------
+@query(
+    "j12_star_join",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_lineitems,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def j12_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join + broadcast dims: revenue per nation, 2-year slice (J12)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_lineitems"),
+        _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
