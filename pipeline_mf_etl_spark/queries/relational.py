@@ -774,3 +774,34 @@ def j12_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lineitems"),
         _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A15 one-pass ROLLUP (beyond reference: its multi-level summaries are
+# separate groupBys, i.e. separate scans — SURVEY §2.5 note). ROLLUP
+# computes (flag, status), (flag), and grand totals in one shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "a15_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+           COALESCE(l_linestatus, '<all>') AS l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level summary in ONE pass via rollup (A15)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _r(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )

@@ -85,3 +85,19 @@ def test_pairwise_diff_ci_deterministic(spark):
     r1 = pairwise_diff_ci(spark, df, "g", "v").collect()
     r2 = pairwise_diff_ci(spark, df, "g", "v").collect()
     assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """HLL approx_count_distinct — the 100 TB cardinality primitive —
+    must land within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05, row
