@@ -1,0 +1,98 @@
+"""Randomized property tests for the custom scale operators.
+
+Oracle parity checks them on one dataset; these drive them with seeded
+random data — duplicate timestamps, null values, empty groups — against
+independent references (pandas ``merge_asof``, plain groupBy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.operators.asof import asof_join
+from pipeline_mf_etl_spark.operators.skew import salted_agg
+
+
+def _random_series(rng, n, n_keys):
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n),
+            "t": rng.integers(0, 50, n).astype("int64"),
+            "v": np.round(rng.normal(10, 3, n), 6),
+        }
+    )
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    rng = np.random.default_rng(7)
+    left = _random_series(rng, 400, 8).rename(columns={"v": "lv"})
+    left["row_id"] = np.arange(len(left))
+    right = _random_series(rng, 300, 8).rename(columns={"v": "rv"})
+    # dedupe right to one row per (key, time): keep max rv — ties must be
+    # resolved identically on both paths
+    right = right.groupby(["k", "t"], as_index=False)["rv"].max()
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            ["k"],
+            "t",
+            ["rv"],
+        )
+        .toPandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+
+    exp = pd.merge_asof(
+        left.sort_values(["t", "row_id"]),
+        right.sort_values("t"),
+        on="t",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("row_id").reset_index(drop=True)
+
+    assert len(got) == len(exp)
+    pd.testing.assert_series_equal(
+        got["rv"], exp["rv"], check_names=False, check_exact=False, rtol=1e-9
+    )
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    rng = np.random.default_rng(11)
+    pdf = _random_series(rng, 2000, 4)
+    pdf.loc[rng.integers(0, 2000, 100), "v"] = None  # nulls must not count
+    df = spark.createDataFrame(pdf)
+
+    salted = salted_agg(
+        df,
+        ["k"],
+        {
+            "n": ("count", F.col("v")),
+            "s": ("sum", F.col("v")),
+            "m": ("avg", F.col("v")),
+            "lo": ("min", F.col("v")),
+            "hi": ("max", F.col("v")),
+        },
+        salt=F.col("t"),
+        n_salts=7,
+    ).toPandas().set_index("k").sort_index()
+
+    plain = (
+        df.groupBy("k")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("s"),
+            F.avg("v").alias("m"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(salted, plain, check_exact=False, rtol=1e-9)
