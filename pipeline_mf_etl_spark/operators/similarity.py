@@ -103,6 +103,108 @@ def bucketed_topk(
     )
 
 
+def fit_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 5,
+    sample_cap: int = 20_000,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list[list[float]]:
+    """Fit spherical k-means centroids (Lloyd's, cosine metric) on the
+    driver over a deterministic id-ordered sample.
+
+    The collect is bounded by ``sample_cap`` so the fit stays driver-safe
+    at any corpus size; assignment and search stay fully distributed in
+    :func:`ivf_topk`. Init is the first ``n_centroids`` vectors by id —
+    deterministic, no RNG.
+    """
+    import numpy as np
+
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(Xn))
+    C = Xn[:k].copy()
+    for _ in range(iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(float(np.linalg.norm(c)), 1e-12)
+    return [[float(x) for x in c] for c in C]
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF ANN with learned centroids: assign every candidate to its
+    nearest centroid (inverted lists), probe each query's ``nprobe``
+    nearest lists, exact-rerank within the probed union.
+
+    All scoring is JVM-side; the centroid table is a broadcast literal,
+    so candidate assignment is a map-only stage — the only shuffle is the
+    final per-query rank, exactly the shape that survives a 100× corpus.
+    """
+    spark = candidates.sparkSession
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "centroid_id INT, cent ARRAY<DOUBLE>",
+        )
+    )
+
+    def nearest(df: DataFrame, side_id: str, n: int) -> DataFrame:
+        w = Window.partitionBy(side_id).orderBy(
+            F.col("_csim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            df.crossJoin(cent)
+            .withColumn("_csim", F.round(cosine(F.col(vec_col), F.col("cent")), 9))
+            .withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= n)
+            .drop("cent", "_csim", "_cr")
+        )
+
+    c = nearest(
+        candidates.select(F.col(id_col).alias("cand_id"), vec_col), "cand_id", 1
+    ).withColumnRenamed(vec_col, "cv")
+    q = nearest(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), "query_id", nprobe
+    ).withColumnRenamed(vec_col, "qv")
+
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -14,6 +14,8 @@ from pipeline_mf_etl_spark.operators.similarity import (
     brute_force_topk,
     bucketed_topk,
     embedding_near_dup_pairs,
+    fit_ivf_centroids,
+    ivf_topk,
 )
 from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import load_table
@@ -85,6 +87,22 @@ def e2_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style bucketed top-3: search only the query's coarse bucket."""
     v = _vectors(spark, sf_dir)
     return bucketed_topk(v.filter(F.col("vec_id") < 8), v, "label", k=3)
+
+
+# ---------------------------------------------------------------------------
+# True IVF ANN: learned centroids + nprobe probing. The centroid fit is an
+# iterative driver-side procedure (deterministic, no RNG) that SQL cannot
+# express, so the driver records the rows-only check; recall vs the e1
+# brute-force baseline is asserted in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+@query("e4_ann_ivf", oracle=None)
+def e4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 for 8 query vectors: spherical k-means inverted lists
+    (driver fit on a bounded sample), nprobe=2 probing, exact rerank
+    within the probed lists — map-only assignment, one final shuffle."""
+    v = _vectors(spark, sf_dir)
+    centroids = fit_ivf_centroids(v, n_centroids=8, iters=5)
+    return ivf_topk(v.filter(F.col("vec_id") < 8), v, centroids, k=5, nprobe=2)
 
 
 # ---------------------------------------------------------------------------

@@ -96,3 +96,43 @@ def test_salted_agg_equals_plain_groupby(spark):
         .sort_index()
     )
     pd.testing.assert_frame_equal(salted, plain, check_exact=False, rtol=1e-9)
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with nprobe=2 of 4 lists must recover most of the exact top-5,
+    and must be deterministic across runs (no RNG anywhere)."""
+    from pipeline_mf_etl_spark.operators.similarity import (
+        brute_force_topk,
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    # clustered vectors so inverted lists are meaningful
+    centers = rng.normal(0, 1, (4, 16))
+    X = np.repeat(centers, 50, axis=0) + rng.normal(0, 0.3, (200, 16))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(200), "v": [list(map(float, r)) for r in X]}
+    )
+    v = spark.createDataFrame(pdf)
+    queries = v.filter(F.col("vec_id") < 10)
+
+    exact = brute_force_topk(queries, v, k=5).toPandas()
+    cents = fit_ivf_centroids(v, n_centroids=4, iters=5)
+    approx = ivf_topk(queries, v, cents, k=5, nprobe=2).toPandas()
+
+    exact_sets = exact.groupby("query_id")["cand_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["cand_id"].apply(set)
+    hits = sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets.index
+    )
+    recall = hits / (5 * len(exact_sets))
+    assert recall >= 0.8, f"IVF recall@5 too low: {recall:.2f}"
+
+    # per-query result count and determinism
+    assert (approx.groupby("query_id").size() == 5).all()
+    again = ivf_topk(queries, v, cents, k=5, nprobe=2).toPandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
