@@ -135,3 +135,14 @@ def test_bucketed_join_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS ev_bkt")
         spark.sql("DROP TABLE IF EXISTS usr_bkt")
+
+
+def test_ivf_assignment_broadcast_only(spark):
+    """IVF centroid assignment must be a broadcast of the tiny centroid
+    table against the partitioned corpus (BroadcastNestedLoopJoin over a
+    literal), never a CartesianProduct, and the corpus side must shuffle
+    only for the per-id rank windows — the plan shape that lets
+    assignment scale as a map-only pass over 100 TB of vectors."""
+    plan = _plan(spark, "e4_ann_ivf")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
