@@ -205,21 +205,122 @@ def ivf_topk(
     )
 
 
-def embedding_near_dup_pairs(
+def embedding_near_dup_pairs_bruteforce(
     vectors: DataFrame,
     threshold: float,
     *,
     id_col: str = "vec_id",
     vec_col: str = "v",
 ) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold — brute-force block
-    self-join; at corpus scale swap the candidate generator for
-    LSH/IVF buckets and keep the same verify stage."""
+    """All pairs (a < b) with cosine >= threshold — O(N²) self-join.
+
+    Small-scale oracle baseline ONLY (recall tests); production path is
+    :func:`embedding_near_dup_pairs` (LSH candidates + verify).
+    """
     a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def lsh_bands_for_threshold(
+    threshold: float, rows_per_band: int, miss_target: float = 1e-9
+) -> int:
+    """Number of hyperplane-LSH bands so a pair AT the cosine threshold
+    collides in >=1 band with probability >= 1 - miss_target.
+
+    Per-hyperplane agreement for angle θ is 1 - θ/π (Charikar 2002,
+    SimHash/random-projection LSH); a band of r bits collides with p^r,
+    and missing all b bands has probability (1 - p^r)^b.
+    """
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_band = p**rows_per_band
+    if p_band >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(miss_target) / math.log(1.0 - p_band)))
+
+
+def _hyperplane_literal(dim: int, n_planes: int, seed: int) -> Column:
+    """Deterministic unit Gaussian hyperplanes as a pure array literal —
+    keeps the signature stage map-only (no join, nothing to shuffle)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    P = rng.standard_normal((n_planes, dim))
+    P /= np.linalg.norm(P, axis=1, keepdims=True)
+    inner = ",".join(
+        "array({})".format(",".join(repr(float(x)) for x in row)) for row in P
+    )
+    return F.expr(f"array({inner})")
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    rows_per_band: int = 2,
+    miss_target: float = 1e-9,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via random-hyperplane LSH:
+    signatures (map-only) → banded candidate equi-join → exact cosine
+    verify on candidates ONLY. Never materializes the N² cross product.
+
+    Band count is derived from the threshold so that a qualifying pair
+    is missed with probability <= ``miss_target`` (deterministic seeded
+    hyperplanes make the whole computation reproducible). High thresholds
+    (0.9+, the production near-dup regime) prune hard; low thresholds
+    degenerate gracefully toward all-candidates — the price of a complete
+    answer — while the plan stays equi-join shaped (no cartesian).
+
+    Reference semantics: same contract as the brute-force variant —
+    all (a < b) with ROUND(cos, 6) >= threshold.
+    """
+    bands = lsh_bands_for_threshold(threshold, rows_per_band, miss_target)
+    if dim is None:
+        first = vectors.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    planes = _hyperplane_literal(dim, bands * rows_per_band, seed)
+
+    bits = F.transform(
+        planes, lambda p: (dot(F.col(vec_col), p) > 0).cast("int")
+    )
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.aggregate(
+            F.slice(bits, i * rows_per_band + 1, rows_per_band),
+            F.lit(0),
+            lambda acc, x: acc * 2 + x,
+        ),
+    )
+    sig = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(band_hashes).alias("band", "bhash"),
+    )
+
+    left = sig.select(F.col("_id").alias("a"), "band", "bhash")
+    right = sig.select(F.col("_id").alias("b"), "band", "bhash")
+    cand = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+    va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
         .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -516,8 +516,8 @@ def b10_sensitivity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(g.price_floor AS DOUBLE) AS price_floor,
            CAST(g.dv_floor AS DOUBLE) AS dv_floor,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN b.value >= g.price_floor
-                     AND b.dollar_vol >= g.dv_floor THEN 1 ELSE 0 END) AS n_eligible,
+           CAST(SUM(CASE WHEN b.value >= g.price_floor
+                     AND b.dollar_vol >= g.dv_floor THEN 1 ELSE 0 END) AS BIGINT) AS n_eligible,
            ROUND(AVG(CASE WHEN b.value >= g.price_floor
                            AND b.dollar_vol >= g.dv_floor THEN 1.0 ELSE 0.0 END), 6)
                AS eligibility_rate

@@ -10,9 +10,12 @@ value = measure).
 The EWM recursion is the single primitive with no native Spark
 expression: the Spark side runs it as an Arrow-batched
 ``applyInPandas`` per series (operators/ewm.py); the DuckDB oracle uses
-the exact algebraic expansion ``y_t = a(1-a)^t Σ x_i(1-a)^{-i} +
-(1-a)^t x_1`` — both are exact, so they agree to far beyond the 6-dp
-rounding used in the comparison.
+a BLOCK-RESCALED exact expansion of the same recursion (see _EWM_CTE) —
+the naive closed form ``y_t = a·B^t·Σ x_i·B^{-i} + B^t·x_1`` overflows
+double once a series exceeds ~7000 bars, so exponents are kept within
+fixed-size blocks and cross-block factors are carried by a recursive
+CTE over block indices. Both sides are exact, so they agree to far
+beyond the 6-dp rounding used in the comparison.
 """
 
 from __future__ import annotations
@@ -32,24 +35,56 @@ _N = 10
 _A = 1.0 / _N
 _B = 1.0 - _A
 
+# Block size for the rescaled closed form below. The naive expansion
+# multiplies by POWER(B, -rn), which overflows double once rn ≈ 7000
+# (0.9^-7000 > 1e308); rescaling the exponent within fixed blocks keeps
+# every intermediate in [B^-L, B^-1] and carries cross-block factors via
+# a tiny recursive CTE over block indices (depth = series_len / L).
+_L = 500
+
 # Closed-form EWM CTE shared by the flow oracles: adds rn and ewm_10.
+# Derivation (adjust=False Wilder EWM, y_1 = x_1):
+#   y_t = B^(t-1)·x_1 + A·Σ_{i=2..t} B^(t-i)·x_i
+# With t = m·L + e (e ∈ [1, L]) and s_i = x_i·B^(-e_i) for i >= 2:
+#   Σ_{i=2..t} B^(t-i)·x_i = B^e·( pcum_t + G_m )
+#   pcum_t = within-block prefix sum of s_i,
+#   G_m    = Σ_{k<m} B^((m-k)·L)·T_k  (T_k = block-k total of s_i),
+# and G obeys G_0 = 0, G_m = B^L·(G_{m-1} + T_{m-1}) — the recursion
+# below, whose depth is the BLOCK count, not the row count.
 _EWM_CTE = f"""
     base AS (
         SELECT event_id, user_id, ts, event_type, value,
                ROW_NUMBER() OVER ({_W}) AS rn
         FROM events
-    ), acc AS (
+    ), blkd AS (
         SELECT *,
-               SUM(value * POWER({_B!r}, -rn)) OVER (
-                   PARTITION BY user_id ORDER BY rn
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wsum,
+               CAST((rn - 1) // {_L} AS INT) AS blk,
+               rn - CAST((rn - 1) // {_L} AS INT) * {_L} AS e,
+               CASE WHEN rn >= 2 THEN
+                    value * POWER({_B!r}, -(rn - CAST((rn - 1) // {_L} AS INT) * {_L}))
+                    ELSE 0.0 END AS s,
                FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY rn) AS first_val
         FROM base
+    ), bt AS (
+        SELECT user_id, blk, SUM(s) AS t_blk FROM blkd GROUP BY 1, 2
+    ), carry AS (
+        SELECT user_id, 0 AS blk, CAST(0.0 AS DOUBLE) AS g
+        FROM (SELECT DISTINCT user_id FROM bt)
+        UNION ALL
+        SELECT c.user_id, c.blk + 1,
+               POWER({_B!r}, {_L}) * (c.g + t.t_blk)
+        FROM carry c JOIN bt t ON t.user_id = c.user_id AND t.blk = c.blk
+    ), acc AS (
+        SELECT b.*, c.g,
+               SUM(b.s) OVER (
+                   PARTITION BY b.user_id, b.blk ORDER BY b.rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pcum
+        FROM blkd b JOIN carry c ON c.user_id = b.user_id AND c.blk = b.blk
     ), smoothed AS (
         SELECT event_id, user_id, ts, event_type, value, rn,
                CASE WHEN rn >= {_N} THEN
-                    {_A!r} * POWER({_B!r}, rn) * wsum
-                    + POWER({_B!r}, rn) * first_val END AS ewm_10
+                    {_A!r} * POWER({_B!r}, e) * (pcum + g)
+                    + POWER({_B!r}, rn - 1) * first_val END AS ewm_10
         FROM acc
     )
 """
@@ -75,7 +110,7 @@ def _ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "w3_ewm_wilder",
     oracle=f"""
-    WITH {_EWM_CTE}
+    WITH RECURSIVE {_EWM_CTE}
     SELECT event_id, user_id, ROUND(ewm_10, 6) AS ewm_10
     FROM smoothed
     """,
@@ -92,7 +127,7 @@ def w3_ewm_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f1_flow_states",
     oracle=f"""
-    WITH {_EWM_CTE}, flow AS (
+    WITH RECURSIVE {_EWM_CTE}, flow AS (
         SELECT event_id, user_id, ts, rn,
                ewm_10 - 10.0 AS flow,
                ewm_10 - (LAG(ewm_10) OVER ({_W})) AS slope

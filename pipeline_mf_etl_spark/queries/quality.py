@@ -80,14 +80,14 @@ def p1_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flagged
     )
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN q_missing_field THEN 1 ELSE 0 END)      AS n_missing_field,
-           SUM(CASE WHEN q_nonpositive_value THEN 1 ELSE 0 END)  AS n_nonpositive_value,
-           SUM(CASE WHEN q_duplicate THEN 1 ELSE 0 END)          AS n_duplicate,
-           SUM(CASE WHEN q_gap_in_series THEN 1 ELSE 0 END)      AS n_gap_in_series,
-           SUM(CASE WHEN q_suspicious_bar THEN 1 ELSE 0 END)     AS n_suspicious_bar,
-           SUM(quality_error_count)                              AS total_errors,
-           SUM(quality_warn_count)                               AS total_warns,
-           SUM(CASE WHEN quality_error_count = 0 THEN 1 ELSE 0 END) AS n_valid
+           CAST(SUM(CASE WHEN q_missing_field THEN 1 ELSE 0 END) AS BIGINT)      AS n_missing_field,
+           CAST(SUM(CASE WHEN q_nonpositive_value THEN 1 ELSE 0 END) AS BIGINT)  AS n_nonpositive_value,
+           CAST(SUM(CASE WHEN q_duplicate THEN 1 ELSE 0 END) AS BIGINT)          AS n_duplicate,
+           CAST(SUM(CASE WHEN q_gap_in_series THEN 1 ELSE 0 END) AS BIGINT)      AS n_gap_in_series,
+           CAST(SUM(CASE WHEN q_suspicious_bar THEN 1 ELSE 0 END) AS BIGINT)     AS n_suspicious_bar,
+           CAST(SUM(quality_error_count) AS BIGINT)                              AS total_errors,
+           CAST(SUM(quality_warn_count) AS BIGINT)                               AS total_warns,
+           CAST(SUM(CASE WHEN quality_error_count = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
     FROM counted
     """,
 )
@@ -211,7 +211,7 @@ def o4_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
            COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
            CAST(MIN(CAST(ts AS DATE)) AS VARCHAR) AS first_day,
            CAST(MAX(CAST(ts AS DATE)) AS VARCHAR) AS last_day,

@@ -20,21 +20,34 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 _REGISTRY: dict[str, "QuerySpec"] = {}
 
-# Modules that register queries on import.
+# Modules that register queries on import. Order matters: the driver's
+# correctness harness certifies the first 50 registered queries, so the
+# families with the least prior certification evidence register first and
+# the long-stable relational/window/quality/stats families last.
 _QUERY_MODULES = (
-    "pipeline_mf_etl_spark.queries.relational",
-    "pipeline_mf_etl_spark.queries.windows",
-    "pipeline_mf_etl_spark.queries.quality",
-    "pipeline_mf_etl_spark.queries.stats",
+    "pipeline_mf_etl_spark.queries.backtest",
     "pipeline_mf_etl_spark.queries.dedup",
     "pipeline_mf_etl_spark.queries.text",
     "pipeline_mf_etl_spark.queries.similarity",
-    "pipeline_mf_etl_spark.queries.backtest",
     "pipeline_mf_etl_spark.queries.flow",
     "pipeline_mf_etl_spark.queries.streaming",
     "pipeline_mf_etl_spark.queries.ml",
     "pipeline_mf_etl_spark.queries.validation",
     "pipeline_mf_etl_spark.queries.multimodal",
+    "pipeline_mf_etl_spark.queries.stats",
+    "pipeline_mf_etl_spark.queries.quality",
+    "pipeline_mf_etl_spark.queries.windows",
+    "pipeline_mf_etl_spark.queries.relational",
+)
+
+# Explicit front-of-queue names (certification priority within the driver's
+# 50-query window) — used to pull individual stragglers (e.g. the bootstrap
+# trio registered late in the stats module) ahead of already-certified
+# queries without moving source code around.
+_PRIORITY = (
+    "m13_bootstrap_ci",
+    "m14_block_bootstrap",
+    "m15_pairwise_diff_ci",
 )
 
 
@@ -62,4 +75,12 @@ def all_queries() -> dict[str, QuerySpec]:
             importlib.import_module(mod)
         except ModuleNotFoundError:
             continue  # module not built yet; registry stays partial
-    return dict(_REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    # Module order already front-loads the least-certified families; within
+    # that, _PRIORITY pulls named stragglers to the very front.
+    for name in _PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, spec in _REGISTRY.items():
+        ordered.setdefault(name, spec)
+    return ordered

@@ -78,7 +78,7 @@ def a1_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            COUNT(*)                                                        AS n_orders,
            ROUND(AVG(CASE WHEN o_totalprice > 150000 THEN o_totalprice END), 6) AS avg_big_price,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)            AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
            ROUND(AVG(CASE WHEN o_totalprice > 150000 THEN 1.0 ELSE 0.0 END), 6) AS big_rate
     FROM orders
     GROUP BY o_orderpriority
@@ -169,11 +169,11 @@ def a8_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a9_null_rates",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)         AS null_ts,
-           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)    AS null_user_id,
-           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
-           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)      AS null_value,
-           SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)      AS null_props
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)         AS null_ts,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)    AS null_user_id,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)      AS null_value,
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)      AS null_props
     FROM events
     """,
 )
@@ -294,7 +294,7 @@ def j5_state_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN ov.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+           CAST(SUM(CASE WHEN ov.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
            ROUND(AVG(CASE WHEN ov.c_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS match_rate
     FROM orders o LEFT JOIN overlay ov ON o.o_custkey = ov.c_custkey
     GROUP BY 1
@@ -409,8 +409,8 @@ _WEV = "PARTITION BY user_id ORDER BY ts, event_id"
     SELECT l_returnflag,
            ROUND(SUM(GREATEST(l_quantity, l_discount * 100, l_tax * 100)), 6) AS sum_greatest,
            ROUND(SUM(LEAST(l_quantity, l_discount * 100, l_tax * 100)), 6)    AS sum_least,
-           SUM(CASE WHEN l_discount > 0.05 OR l_tax > 0.04 THEN 1 ELSE 0 END) AS n_any,
-           SUM(CASE WHEN l_discount > 0.05 AND l_tax > 0.04 THEN 1 ELSE 0 END) AS n_all
+           CAST(SUM(CASE WHEN l_discount > 0.05 OR l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+           CAST(SUM(CASE WHEN l_discount > 0.05 AND l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_all
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -475,7 +475,7 @@ def a7_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
            ROUND(AVG(o_totalprice), 6) AS avg_totalprice,
            ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS med_totalprice
     FROM orders

@@ -119,6 +119,8 @@ def e4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= 0.4, brute-force verify."""
+    """Embedding near-duplicate pairs (cosine >= 0.4): random-hyperplane
+    LSH candidate generation + exact cosine verify on candidates only —
+    no N² cross product anywhere in the plan (vectors are 64-dim here)."""
     v = _vectors(spark, sf_dir)
-    return embedding_near_dup_pairs(v, 0.4)
+    return embedding_near_dup_pairs(v, 0.4, dim=64)

@@ -117,9 +117,9 @@ _SPLITS_SQL = "(VALUES " + ", ".join(f"(DATE '{d}')" for d in _SPLITS) + ") AS s
         WHERE CAST(l.ts AS DATE) <= s.split_date + INTERVAL 7 DAY
     )
     SELECT split_date, event_type,
-           SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS train_n,
+           CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS train_n,
            ROUND(AVG(CASE WHEN is_train THEN fwd_ret_5 END), 6) AS train_mean_fwd,
-           SUM(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS test_n,
+           CAST(SUM(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS test_n,
            ROUND(AVG(CASE WHEN NOT is_train THEN fwd_ret_5 END), 6) AS test_mean_fwd,
            ROUND(AVG(CASE WHEN NOT is_train THEN fwd_ret_5 END)
                  - AVG(CASE WHEN is_train THEN fwd_ret_5 END), 6) AS drift

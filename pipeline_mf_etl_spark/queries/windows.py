@@ -346,7 +346,7 @@ def w16_dedupe_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w15_duplicate_flag",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN day_n > 1 THEN 1 ELSE 0 END) AS n_in_dup_days,
+           CAST(SUM(CASE WHEN day_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_days,
            COUNT(*) AS n_rows
     FROM (
         SELECT user_id, COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS day_n

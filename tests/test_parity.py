@@ -49,3 +49,44 @@ def test_rows_only(spark, name):
     rows = sdf.collect()
     assert rows is not None
     assert len(sdf.columns) > 0
+
+
+def test_ewm_oracle_survives_long_series(spark, tmp_path):
+    """The flow-family EWM oracle must stay finite and exact on a 10k-bar
+    single series — the naive closed form POWER(B, -rn) overflows double
+    around rn≈7000; the block-rescaled recursive form must not. Spark's
+    applyInPandas engine side and the DuckDB oracle must agree bit-for-bit
+    at 6-dp on the long series."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    n = 10_000
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": ["u1"] * n,
+            "ts": pd.date_range("2020-01-01", periods=n, freq="min"),
+            "event_type": ["view"] * n,
+            "value": rng.normal(100, 20, n),
+            "props": ["{}"] * n,
+        }
+    )
+    # stage as a parquet dir the loaders understand
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/events.parquet")
+
+    for qname in ("w3_ewm_wilder", "f1_flow_states"):
+        spec = _QUERIES[qname]
+        sdf = spec.spark(spark, sf_dir)
+        srows = canonical_rows([tuple(r) for r in sdf.collect()], sdf.columns)
+
+        con = duckdb.connect()
+        con.register("events", pdf)
+        cur = con.execute(spec.oracle)
+        drows = canonical_rows(cur.fetchall(), [d[0] for d in cur.description])
+        assert srows == drows, f"{qname}: long-series oracle mismatch"
+        # explicit finiteness guard: every post-warmup smoothed value real
+        svals = [r for r in srows if r[-1] != "NULL"]
+        assert len(svals) >= n - 9

@@ -81,6 +81,7 @@ def test_grouped_agg_partial_before_shuffle(spark):
         "b10_sensitivity_grid",
         "b14_calibration_sweep",
         "e2_ann_bucketed",
+        "e3_embedding_neardup",
     ],
 )
 def test_no_cartesian_products(spark, name):
@@ -146,3 +147,11 @@ def test_ivf_assignment_broadcast_only(spark):
     plan = _plan(spark, "e4_ann_ivf")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_lsh_neardup_equi_join_only(spark):
+    """e3 must generate candidates via banded equi-joins — neither a
+    CartesianProduct nor a BroadcastNestedLoopJoin may appear anywhere:
+    the N² pair space must never be enumerated, only band-hash buckets."""
+    plan = _plan(spark, "e3_embedding_neardup")
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
