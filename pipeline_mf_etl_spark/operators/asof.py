@@ -4,10 +4,11 @@ at-scale market-data or training-data pipeline needs: attach to each
 left row the most recent right-side value at-or-before its timestamp.
 
 Physical shape: union both sides, ONE hash shuffle on the series key,
-sort within partitions, forward-fill the right value with
-``last(ignorenulls)`` over an unbounded-preceding window, keep left
-rows. Linear in rows, no range self-join (a naive ``l.ts >= r.ts``
-theta-join is quadratic per key and unusable at 100 TB).
+sort within partitions, forward-fill the latest right ROW (one struct
+per right row) with ``last(ignorenulls)`` over an unbounded-preceding
+window, keep left rows. Linear in rows, no range self-join (a naive
+``l.ts >= r.ts`` theta-join is quadratic per key and unusable at
+100 TB).
 """
 
 from __future__ import annotations
@@ -45,13 +46,22 @@ def asof_join(
         .orderBy(F.col(time_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled: list[Column] = [
-        F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
-        .over(w)
-        .alias(c)
-        for c in value_cols
-    ]
+    # Forward-fill ONE struct per right row, not each value column
+    # independently: the struct is non-null for every right row even when
+    # its fields are NULL, so the matched row's NULLs are carried as-is
+    # (pandas merge_asof / DuckDB ASOF JOIN semantics) and all value
+    # columns always come from the SAME matched right row.
+    row_struct = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in value_cols])
+    )
+    matched = F.last(row_struct, ignorenulls=True).over(w)
     keep = [c for c in left.columns]
-    return u.select(*keep, F.col("__side"), *filled).filter(F.col("__side") == 1).drop(
-        "__side"
+    u = u.select(*keep, F.col("__side"), matched.alias("__match"))
+    filled: list[Column] = [
+        F.col("__match").getField(c).alias(c) for c in value_cols
+    ]
+    return (
+        u.select(*keep, F.col("__side"), *filled)
+        .filter(F.col("__side") == 1)
+        .drop("__side")
     )

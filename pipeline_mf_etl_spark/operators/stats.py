@@ -3,10 +3,11 @@
 Scalers are pure DataFrame algebra (grouped aggregates joined back —
 no MLlib fit/transform object needed and the exact formulas stay
 oracle-comparable). Bootstrap follows the reference's design point:
-per-state values are capped and collected to the driver, where seeded
-NumPy resampling runs exactly as in the reference
-(validation/bootstrap.py:38-77) — the collected table is small by
-construction (cap 50k points/state), so this is not a scale risk.
+per-state values are capped IN TIME ORDER distributed-side (row_number
+over the order columns, before any collect), then brought to the driver
+where seeded NumPy resampling runs exactly as in the reference
+(validation/bootstrap.py:38-77) — the driver transfer is bounded at
+cap (50k) points/state at any input size, so this is not a scale risk.
 """
 
 from __future__ import annotations
@@ -32,16 +33,57 @@ def fit_global_scaler(df: DataFrame, col: str) -> DataFrame:
 def fit_robust_scaler_per_group(df: DataFrame, group: str, col: str) -> DataFrame:
     """Per-group median/IQR params; zero/degenerate spread → 1.0 (M2).
 
-    Reference: research/preprocess.py:109-152 (per-ticker scaler params).
+    Percentiles run over FINITE values only (NaN/inf projected to NULL
+    first, which percentile ignores) — Spark sorts NaN greatest, so raw
+    percentiles would poison center/spread; the reference uses
+    nanpercentile (research/preprocess.py:109-152).
     """
-    v = finite(F.col(col))
-    q = lambda p: F.expr(f"percentile({col}, {p})")  # noqa: E731
-    return df.groupBy(group).agg(
+    proj = df.select(group, finite(F.col(col)).alias("__fin"))
+    q = lambda p: F.expr(f"percentile(__fin, {p})")  # noqa: E731
+    return proj.groupBy(group).agg(
         q(0.5).alias("center__f"),
         F.coalesce(
             F.when((q(0.75) - q(0.25)) > 0, q(0.75) - q(0.25)), F.lit(1.0)
         ).alias("spread__f"),
     )
+
+
+def _capped_value_lists(
+    df: DataFrame,
+    group: str,
+    col: str,
+    order: list[str] | None,
+    cap: int,
+) -> list:
+    """Per-group finite values, capped to the FIRST ``cap`` rows in
+    ``order`` (time order, mirroring the reference's cap) BEFORE any
+    value sorting — capping the smallest 50k values would bias every CI
+    low. The post-cap sort_array only makes the collected order
+    deterministic for seeded resampling. The row_number cap also bounds
+    the collect_list itself, keeping the driver transfer <= cap rows per
+    group at any input size."""
+    sel = df.select(group, *(order or []), finite(F.col(col)).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    if order:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group).orderBy(*[F.col(c) for c in order])
+        sel = sel.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= cap
+        )
+    rows = (
+        sel.groupBy(group)
+        .agg(F.sort_array(F.collect_list("v")).alias("vals"))
+        .collect()
+    )
+    for r in rows:
+        if len(r["vals"]) > cap:
+            raise ValueError(
+                f"group {r[group]!r} exceeds cap={cap}; pass `order` "
+                "columns so the cap is applied in time order"
+            )
+    return rows
 
 
 def bootstrap_ci(
@@ -50,6 +92,7 @@ def bootstrap_ci(
     group: str,
     col: str,
     *,
+    order: list[str] | None = None,
     n_boot: int = 200,
     cap: int = 50_000,
     seed: int = 42,
@@ -57,21 +100,15 @@ def bootstrap_ci(
 ) -> DataFrame:
     """Seeded iid bootstrap CI of the mean/median per group (M13).
 
-    Values are collected per group (deterministic order, capped) and
+    Values are capped to the first ``cap`` rows in ``order`` (time
+    order, as the reference caps on (ticker, trade_date)), then
     resampled with a batched index matrix `rng.integers(0, n, (B, n))` —
     bit-reproducible under the fixed seed.
     """
-    w_ordered = df.select(group, finite(F.col(col)).alias("v")).filter(
-        F.col("v").isNotNull()
-    )
-    rows = (
-        w_ordered.groupBy(group)
-        .agg(F.sort_array(F.collect_list("v")).alias("vals"))
-        .collect()
-    )
+    rows = _capped_value_lists(df, group, col, order, cap)
     out = []
     for r in sorted(rows, key=lambda x: str(x[group])):
-        vals = np.asarray(r["vals"][:cap], dtype=np.float64)
+        vals = np.asarray(r["vals"], dtype=np.float64)
         n = len(vals)
         rng = np.random.default_rng(seed)
         idx = rng.integers(0, n, size=(n_boot, n))
@@ -108,11 +145,18 @@ def block_bootstrap_ci(
     """Moving-block bootstrap CI of the mean per group (M14) — preserves
     short-range serial dependence by resampling contiguous blocks
     (reference validation/bootstrap.py:80-119). Values are collected in
-    TIME order (not sorted) because block structure is the whole point.
+    TIME order (not sorted) because block structure is the whole point;
+    the cap is applied distributed (row_number <= cap per group) BEFORE
+    the collect so the driver transfer is bounded at any input size.
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(*[F.col(c) for c in order])
     rows = (
         df.select(group, *order, finite(F.col(col)).alias("v"))
         .filter(F.col("v").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
         .orderBy(group, *order)
         .collect()
     )
@@ -121,7 +165,7 @@ def block_bootstrap_ci(
         series.setdefault(r[group], []).append(r["v"])
     out = []
     for key in sorted(series, key=str):
-        vals = np.asarray(series[key][:cap], dtype=np.float64)
+        vals = np.asarray(series[key], dtype=np.float64)
         n = len(vals)
         if n <= block_len:
             continue
@@ -151,6 +195,7 @@ def pairwise_diff_ci(
     group: str,
     col: str,
     *,
+    order: list[str] | None = None,
     n_boot: int = 200,
     cap: int = 50_000,
     seed: int = 42,
@@ -160,16 +205,10 @@ def pairwise_diff_ci(
     per-state bootstrap mean distributions for every state pair, with
     the reference's sign-consistency flag lo>0 or hi<0
     (validation/bootstrap.py:314-340)."""
-    rows = (
-        df.select(group, finite(F.col(col)).alias("v"))
-        .filter(F.col("v").isNotNull())
-        .groupBy(group)
-        .agg(F.sort_array(F.collect_list("v")).alias("vals"))
-        .collect()
-    )
+    rows = _capped_value_lists(df, group, col, order, cap)
     dists = {}
     for r in sorted(rows, key=lambda x: str(x[group])):
-        vals = np.asarray(r["vals"][:cap], dtype=np.float64)
+        vals = np.asarray(r["vals"], dtype=np.float64)
         rng = np.random.default_rng(seed)
         idx = rng.integers(0, len(vals), size=(n_boot, len(vals)))
         dists[r[group]] = vals[idx].mean(axis=1)

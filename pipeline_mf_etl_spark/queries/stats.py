@@ -250,7 +250,7 @@ def m17_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m13_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded iid bootstrap mean/median CIs per state (M13)."""
     ev = load_table(spark, sf_dir, "events")
-    return bootstrap_ci(spark, ev, "event_type", "value")
+    return bootstrap_ci(spark, ev, "event_type", "value", order=["ts", "event_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -276,4 +276,6 @@ def m15_pairwise_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_mf_etl_spark.operators.stats import pairwise_diff_ci
 
     ev = load_table(spark, sf_dir, "events")
-    return pairwise_diff_ci(spark, ev, "event_type", "value")
+    return pairwise_diff_ci(
+        spark, ev, "event_type", "value", order=["ts", "event_id"]
+    )

@@ -26,6 +26,10 @@ def _random_series(rng, n, n_keys):
 
 
 def test_asof_join_matches_pandas_merge_asof(spark):
+    """Includes NULL right-side values: a matched right row whose value is
+    NULL must yield NULL (merge_asof semantics), NOT an older non-null
+    value; and with two value columns both must come from the SAME
+    matched row, never a mix of rows."""
     rng = np.random.default_rng(7)
     left = _random_series(rng, 400, 8).rename(columns={"v": "lv"})
     left["row_id"] = np.arange(len(left))
@@ -33,6 +37,11 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     # dedupe right to one row per (key, time): keep max rv — ties must be
     # resolved identically on both paths
     right = right.groupby(["k", "t"], as_index=False)["rv"].max()
+    # second value column correlated to the first, then punch NULL holes
+    # into rv only — a per-column fill would mix rows here
+    right["rv2"] = np.round(right["rv"] * 2 + 1, 6)
+    null_mask = rng.random(len(right)) < 0.3
+    right.loc[null_mask, "rv"] = None
 
     got = (
         asof_join(
@@ -40,7 +49,7 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             spark.createDataFrame(right),
             ["k"],
             "t",
-            ["rv"],
+            ["rv", "rv2"],
         )
         .toPandas()
         .sort_values("row_id")
@@ -57,9 +66,10 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     ).sort_values("row_id").reset_index(drop=True)
 
     assert len(got) == len(exp)
-    pd.testing.assert_series_equal(
-        got["rv"], exp["rv"], check_names=False, check_exact=False, rtol=1e-9
-    )
+    for col in ("rv", "rv2"):
+        pd.testing.assert_series_equal(
+            got[col], exp[col], check_names=False, check_exact=False, rtol=1e-9
+        )
 
 
 def test_salted_agg_equals_plain_groupby(spark):

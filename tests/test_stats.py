@@ -101,3 +101,41 @@ def test_approx_count_distinct_accuracy(spark):
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05, row
+
+
+def test_bootstrap_cap_applied_in_time_order(spark):
+    """With n > cap, the cap must keep the FIRST cap rows in time order —
+    capping the sorted values would resample only the smallest and bias
+    the CI low. Series: first 100 points ~ 100.0, last 100 ~ 0.0; a
+    time-order cap of 100 gives a CI near 100, a sorted cap near 0."""
+    vals = np.concatenate([np.full(100, 100.0), np.zeros(100)])
+    vals += np.arange(200) * 1e-6  # break ties deterministically
+    df = _mk_df(spark, {"a": vals})
+    r = bootstrap_ci(spark, df, "g", "v", order=["ts"], cap=100).collect()[0]
+    assert r["n"] == 100
+    assert r["mean_ci_lo"] > 99.0, r  # would be ~0 under a sorted cap
+
+    # without order columns, an over-cap group must be rejected loudly
+    with pytest.raises(ValueError, match="order"):
+        bootstrap_ci(spark, df, "g", "v", cap=100).collect()
+
+
+def test_robust_scaler_ignores_non_finite(spark):
+    """NaN/inf inputs must not poison per-group median/IQR — Spark sorts
+    NaN greatest, so raw percentiles would shift; the reference uses
+    nanpercentile."""
+    from pipeline_mf_etl_spark.operators.stats import fit_robust_scaler_per_group
+
+    base = [float(x) for x in range(1, 101)]  # median 50.5, IQR 50
+    clean = _mk_df(spark, {"a": np.array(base)})
+    dirty_rows = [("a", i, v) for i, v in enumerate(base)] + [
+        ("a", 200, float("nan")),
+        ("a", 201, float("inf")),
+        ("a", 202, float("-inf")),
+    ]
+    dirty = spark.createDataFrame(dirty_rows, "g string, ts long, v double")
+
+    p_clean = fit_robust_scaler_per_group(clean, "g", "v").collect()[0]
+    p_dirty = fit_robust_scaler_per_group(dirty, "g", "v").collect()[0]
+    assert p_clean["center__f"] == p_dirty["center__f"]
+    assert p_clean["spread__f"] == p_dirty["spread__f"]
