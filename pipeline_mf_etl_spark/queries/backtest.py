@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pipeline_mf_etl_spark.config import Settings, load_settings
 from pipeline_mf_etl_spark.functions.core import safe_div
 from pipeline_mf_etl_spark.operators.backtest import simulate_trades
 from pipeline_mf_etl_spark.operators.windows import rolling_min_samples, series_window
@@ -23,6 +24,11 @@ from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import load_table
 
 _W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+# Knobs come from the settings layer (config.py); defaults reproduce the
+# reference's semantics. b4/b14 are full builders — pass a custom
+# Settings to get a (frame, oracle) pair at any knob value.
+_S = load_settings()
 
 # B2 state mapping (reference backtest/state_mapping.py:54-118): tiny
 # direction/eligibility lookup, broadcast-joined.
@@ -37,8 +43,8 @@ _STATE_MAP_SQL = "(VALUES " + ", ".join(
     f"('{t}', {s}, {str(e).upper()})" for t, s, e in _STATE_MAP
 ) + ") AS m(event_type, side, eligible)"
 
-_HOLD = 5
-_COST = 2.0 * (5.0 + 5.0) / 1e4  # two-sided fee+slippage, 5 bps each
+_HOLD = _S.backtest.hold_bars
+_COST = _S.backtest.round_trip_cost  # two-sided fee+slippage fraction
 
 
 def _state_map_df(spark: SparkSession) -> DataFrame:
@@ -112,9 +118,15 @@ def b2_state_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # B4: execution realism filter (reference backtest/execution_realism.py:208-559)
 # ---------------------------------------------------------------------------
-@query(
-    "b4_execution_realism",
-    oracle=f"""
+def b4_oracle(s: Settings) -> str:
+    """DuckDB twin of :func:`b4_frame`, generated from the same knobs."""
+    r = s.realism
+    fails = (
+        f"value < {r.price_floor!r}",
+        f"history_bars < {r.warmup_bars}",
+        f"COALESCE(dv_med_20 < {r.dollar_vol_floor!r}, FALSE)",
+    )
+    return f"""
     WITH bars AS (
         SELECT event_id, user_id, ts, value,
                value * CAST(json_extract(props, '$.k') AS DOUBLE) AS dollar_vol,
@@ -123,27 +135,29 @@ def b2_state_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), rolled AS (
         SELECT *,
-               CASE WHEN COUNT(dollar_vol) OVER w20 >= 20
+               CASE WHEN COUNT(dollar_vol) OVER w20 >= {r.dollar_vol_window}
                     THEN QUANTILE_CONT(dollar_vol, 0.5) OVER w20 END AS dv_med_20
         FROM bars
-        WINDOW w20 AS ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        WINDOW w20 AS ({_W} ROWS BETWEEN {r.dollar_vol_window - 1} PRECEDING
+                       AND CURRENT ROW)
     )
     SELECT event_id, user_id,
-           value < 5.0 AS price_floor_fail,
-           history_bars < 20 AS warmup_fail,
-           COALESCE(dv_med_20 < 1000.0, FALSE) AS dollar_vol_fail,
-           CASE WHEN value < 5.0 THEN 'PRICE_FLOOR'
-                WHEN history_bars < 20 THEN 'WARMUP'
-                WHEN COALESCE(dv_med_20 < 1000.0, FALSE) THEN 'DOLLAR_VOL'
+           {fails[0]} AS price_floor_fail,
+           {fails[1]} AS warmup_fail,
+           {fails[2]} AS dollar_vol_fail,
+           CASE WHEN {fails[0]} THEN 'PRICE_FLOOR'
+                WHEN {fails[1]} THEN 'WARMUP'
+                WHEN {fails[2]} THEN 'DOLLAR_VOL'
                 END AS primary_reason,
-           NOT (value < 5.0 OR history_bars < 20
-                OR COALESCE(dv_med_20 < 1000.0, FALSE)) AS exec_eligible
+           NOT ({fails[0]} OR {fails[1]} OR {fails[2]}) AS exec_eligible
     FROM rolled
-    """,
-)
-def b4_execution_realism(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Price floor + 20-bar rolling dollar-volume median floor + warmup
-    gate, with fixed-precedence primary fail reason."""
+    """
+
+
+def b4_frame(spark: SparkSession, sf_dir: str, s: Settings) -> DataFrame:
+    """B4 realism gates at the given settings: price floor + rolling
+    dollar-volume median floor + warmup, fixed-precedence reason."""
+    r = s.realism
     ev = load_table(spark, sf_dir, "events")
     w = series_window()
     dv = F.col("value") * F.get_json_object("props", "$.k").cast("double")
@@ -156,12 +170,15 @@ def b4_execution_realism(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("history_bars"),
     )
     med = rolling_min_samples(
-        F.expr("percentile(dollar_vol, 0.5)"), F.col("dollar_vol"), w, 20
+        F.expr("percentile(dollar_vol, 0.5)"),
+        F.col("dollar_vol"),
+        w,
+        r.dollar_vol_window,
     )
     df = df.withColumn("dv_med_20", med)
-    price_fail = F.col("value") < 5.0
-    warm_fail = F.col("history_bars") < 20
-    dv_fail = F.coalesce(F.col("dv_med_20") < 1000.0, F.lit(False))
+    price_fail = F.col("value") < r.price_floor
+    warm_fail = F.col("history_bars") < r.warmup_bars
+    dv_fail = F.coalesce(F.col("dv_med_20") < r.dollar_vol_floor, F.lit(False))
     reason = (
         F.when(price_fail, "PRICE_FLOOR")
         .when(warm_fail, "WARMUP")
@@ -176,6 +193,13 @@ def b4_execution_realism(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("primary_reason"),
         (~(price_fail | warm_fail | dv_fail)).alias("exec_eligible"),
     )
+
+
+@query("b4_execution_realism", oracle=b4_oracle(_S))
+def b4_execution_realism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price floor + rolling dollar-volume median floor + warmup gate,
+    with fixed-precedence primary fail reason (knobs from settings)."""
+    return b4_frame(spark, sf_dir, _S)
 
 
 # ---------------------------------------------------------------------------
@@ -216,7 +240,12 @@ def b6_trade_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _with_signals(spark, sf_dir).select(
         "user_id", "ts", "event_id", "value", "signal", "side"
     )
-    trades = simulate_trades(bars, hold_bars=_HOLD, fee_bps=5.0, slippage_bps=5.0)
+    trades = simulate_trades(
+        bars,
+        hold_bars=_HOLD,
+        fee_bps=_S.backtest.fee_bps_per_side,
+        slippage_bps=_S.backtest.slippage_bps_per_side,
+    )
     return trades.select(
         "user_id",
         "position_id",
@@ -384,8 +413,28 @@ def b8_equity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # groupBy aggregates every combo. B11's rank-normalized robustness score
 # (sensitivity_aggregate.py:67-150) is a percent_rank window on top.)
 # ---------------------------------------------------------------------------
-_HOLDS = (3, 5, 8)
-_COSTS = (0, 10, 20)
+_HOLDS = _S.sensitivity.hold_bars
+_COSTS = _S.sensitivity.cost_bps
+# SQL fragments generated from the settings grid so the oracle always
+# mirrors the Spark plan at any knob value.
+_HOLD_LEADS = ",\n               ".join(
+    f"LEAD(value, {1 + h}) OVER ({_W}) AS exit_{h}" for h in _HOLDS
+)
+_HOLD_CASE = (
+    "CASE h.hold_bars "
+    + " ".join(f"WHEN {h} THEN exit_{h}" for h in _HOLDS)
+    + " END"
+)
+_HOLD_VALUES = ", ".join(f"({h})" for h in _HOLDS)
+_COST_VALUES = ", ".join(f"({c})" for c in _COSTS)
+
+
+def _exit_for_hold() -> F.Column:
+    """when-chain mapping hold_bars -> its pre-computed exit column."""
+    expr = F.when(F.col("hold_bars") == _HOLDS[0], F.col(f"exit_{_HOLDS[0]}"))
+    for h in _HOLDS[1:]:
+        expr = expr.when(F.col("hold_bars") == h, F.col(f"exit_{h}"))
+    return expr
 
 
 @query(
@@ -394,23 +443,19 @@ _COSTS = (0, 10, 20)
     WITH {_SIGNALS_CTE}, led AS (
         SELECT event_id, user_id, side, signal,
                LEAD(value, 1) OVER ({_W}) AS entry_value,
-               LEAD(value, 4) OVER ({_W}) AS exit_3,
-               LEAD(value, 6) OVER ({_W}) AS exit_5,
-               LEAD(value, 9) OVER ({_W}) AS exit_8
+               {_HOLD_LEADS}
         FROM signals
     ), trades AS (
         SELECT side, h.hold_bars,
-               CASE h.hold_bars WHEN 3 THEN exit_3 WHEN 5 THEN exit_5 ELSE exit_8 END
-                   AS exit_value,
+               {_HOLD_CASE} AS exit_value,
                entry_value
-        FROM led CROSS JOIN (VALUES (3), (5), (8)) AS h(hold_bars)
+        FROM led CROSS JOIN (VALUES {_HOLD_VALUES}) AS h(hold_bars)
         WHERE signal AND ABS(entry_value) > 1e-12
-          AND (CASE h.hold_bars WHEN 3 THEN exit_3 WHEN 5 THEN exit_5 ELSE exit_8 END)
-              IS NOT NULL
+          AND ({_HOLD_CASE}) IS NOT NULL
     ), priced AS (
         SELECT hold_bars, c.cost_bps,
                side * (exit_value / entry_value - 1) - 2.0 * c.cost_bps / 1e4 AS net
-        FROM trades CROSS JOIN (VALUES (0), (10), (20)) AS c(cost_bps)
+        FROM trades CROSS JOIN (VALUES {_COST_VALUES}) AS c(cost_bps)
     ), agg AS (
         SELECT hold_bars, cost_bps,
                COUNT(*) AS n_trades,
@@ -450,9 +495,7 @@ def b10_sensitivity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lead("value", 1 + h).over(w).alias(f"exit_{h}") for h in _HOLDS],
     )
     holds = spark.createDataFrame([(h,) for h in _HOLDS], "hold_bars int")
-    exit_val = F.when(F.col("hold_bars") == 3, F.col("exit_3")).when(
-        F.col("hold_bars") == 5, F.col("exit_5")
-    ).otherwise(F.col("exit_8"))
+    exit_val = _exit_for_hold()
     trades = (
         led.filter(F.col("signal") & (F.abs("entry_value") > 1e-12))
         .crossJoin(F.broadcast(holds))
@@ -501,17 +544,20 @@ def b10_sensitivity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # here the whole threshold grid is a broadcast cross-join aggregated in
 # one pass over the bar table, no PnL, pure counting).
 # ---------------------------------------------------------------------------
-@query(
-    "b14_calibration_sweep",
-    oracle=f"""
+def b14_oracle(s: Settings) -> str:
+    """DuckDB twin of :func:`b14_frame`, grid generated from settings."""
+    c = s.calibration
+    p_vals = ", ".join(f"({p!r})" for p in c.price_floors)
+    d_vals = ", ".join(f"({d!r})" for d in c.dollar_vol_floors)
+    return f"""
     WITH bars AS (
         SELECT value,
                value * CAST(json_extract(props, '$.k') AS DOUBLE) AS dollar_vol
         FROM events
     ), grid AS (
         SELECT p.price_floor, d.dv_floor
-        FROM (VALUES (1.0), (5.0), (10.0)) AS p(price_floor)
-        CROSS JOIN (VALUES (500.0), (1000.0), (2000.0), (4000.0)) AS d(dv_floor)
+        FROM (VALUES {p_vals}) AS p(price_floor)
+        CROSS JOIN (VALUES {d_vals}) AS d(dv_floor)
     )
     SELECT CAST(g.price_floor AS DOUBLE) AS price_floor,
            CAST(g.dv_floor AS DOUBLE) AS dv_floor,
@@ -523,18 +569,19 @@ def b10_sensitivity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS eligibility_rate
     FROM bars b CROSS JOIN grid g
     GROUP BY g.price_floor, g.dv_floor
-    """,
-)
-def b14_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Threshold-sweep calibration: eligibility counts for every
-    (price floor × dollar-vol floor) combo in one grouped pass."""
+    """
+
+
+def b14_frame(spark: SparkSession, sf_dir: str, s: Settings) -> DataFrame:
+    """B14 threshold-sweep calibration at the given settings grid."""
+    c = s.calibration
     ev = load_table(spark, sf_dir, "events")
     bars = ev.select(
         "value",
         (F.col("value") * F.get_json_object("props", "$.k").cast("double")).alias("dollar_vol"),
     )
     grid = spark.createDataFrame(
-        [(p, d) for p in (1.0, 5.0, 10.0) for d in (500.0, 1000.0, 2000.0, 4000.0)],
+        [(p, d) for p in c.price_floors for d in c.dollar_vol_floors],
         "price_floor double, dv_floor double",
     )
     joined = bars.crossJoin(F.broadcast(grid))
@@ -546,6 +593,13 @@ def b14_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(elig.cast("long")).alias("n_eligible"),
         F.round(F.avg(elig.cast("double")), 6).alias("eligibility_rate"),
     )
+
+
+@query("b14_calibration_sweep", oracle=b14_oracle(_S))
+def b14_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep calibration: eligibility counts for every
+    (price floor × dollar-vol floor) combo in one grouped pass."""
+    return b14_frame(spark, sf_dir, _S)
 
 
 # ---------------------------------------------------------------------------
@@ -571,7 +625,7 @@ def b14_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), priced AS (
         SELECT c.cost_bps, exit_ts,
                side * (exit_value / entry_value - 1) - 2.0 * c.cost_bps / 1e4 AS net
-        FROM trades CROSS JOIN (VALUES (0), (10), (20)) AS c(cost_bps)
+        FROM trades CROSS JOIN (VALUES {_COST_VALUES}) AS c(cost_bps)
     ), agg AS (
         SELECT cost_bps,
                COUNT(*) AS n_trades,
@@ -749,22 +803,18 @@ _WF_COSTS = (0, 20)
     WITH {_SIGNALS_CTE}, led AS (
         SELECT ts, side, signal,
                LEAD(value, 1) OVER ({_W}) AS entry_value,
-               LEAD(value, 4) OVER ({_W}) AS exit_3,
-               LEAD(value, 6) OVER ({_W}) AS exit_5,
-               LEAD(value, 9) OVER ({_W}) AS exit_8
+               {_HOLD_LEADS}
         FROM signals
     ), trades AS (
         SELECT s.test_start, h.hold_bars, side, entry_value,
-               CASE h.hold_bars WHEN 3 THEN exit_3 WHEN 5 THEN exit_5 ELSE exit_8 END
-                   AS exit_value
+               {_HOLD_CASE} AS exit_value
         FROM led
         JOIN {_WF_SPLITS_SQL}
           ON CAST(led.ts AS DATE) >= s.test_start
          AND CAST(led.ts AS DATE) < s.test_start + INTERVAL {_WF_DAYS} DAY
-        CROSS JOIN (VALUES (3), (5), (8)) AS h(hold_bars)
+        CROSS JOIN (VALUES {_HOLD_VALUES}) AS h(hold_bars)
         WHERE signal AND ABS(entry_value) > 1e-12
-          AND (CASE h.hold_bars WHEN 3 THEN exit_3 WHEN 5 THEN exit_5 ELSE exit_8 END)
-              IS NOT NULL
+          AND ({_HOLD_CASE}) IS NOT NULL
     ), agg AS (
         SELECT test_start, hold_bars, c.cost_bps,
                COUNT(*) AS n_trades,
@@ -806,9 +856,7 @@ def b12_walkforward_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("test_start").cast("date").alias("test_start"))
     day = F.col("ts").cast("date")
     exit_val = (
-        F.when(F.col("hold_bars") == 3, F.col("exit_3"))
-        .when(F.col("hold_bars") == 5, F.col("exit_5"))
-        .otherwise(F.col("exit_8"))
+        _exit_for_hold()
     )
     holds = spark.createDataFrame([(h,) for h in _HOLDS], "hold_bars int")
     trades = (

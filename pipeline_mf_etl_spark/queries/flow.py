@@ -30,8 +30,11 @@ from pipeline_mf_etl_spark.queries.registry import query
 
 _W = "PARTITION BY user_id ORDER BY ts, event_id"
 
-# n=10 Wilder span: short enough that every sf has post-warm-up rows.
-_N = 10
+# Wilder span from settings (default 10: short enough that every sf has
+# post-warm-up rows; reference settings.yaml `indicators`).
+from pipeline_mf_etl_spark.config import load_settings as _load_settings
+
+_N = _load_settings().indicators.ewm_span
 _A = 1.0 / _N
 _B = 1.0 - _A
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pipeline_mf_etl_spark.config import load_settings
 from pipeline_mf_etl_spark.functions.core import clip, safe_div
 from pipeline_mf_etl_spark.operators.stats import (
     bootstrap_ci,
@@ -22,6 +23,8 @@ from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import load_table
 
 _W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+_BOOT = load_settings().bootstrap
 
 
 def _r(col, n=6):
@@ -250,7 +253,17 @@ def m17_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m13_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded iid bootstrap mean/median CIs per state (M13)."""
     ev = load_table(spark, sf_dir, "events")
-    return bootstrap_ci(spark, ev, "event_type", "value", order=["ts", "event_id"])
+    return bootstrap_ci(
+        spark,
+        ev,
+        "event_type",
+        "value",
+        order=["ts", "event_id"],
+        n_boot=_BOOT.n_boot,
+        cap=_BOOT.cap,
+        seed=_BOOT.seed,
+        ci=(_BOOT.ci_lo, _BOOT.ci_hi),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +276,18 @@ def m14_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_mf_etl_spark.operators.stats import block_bootstrap_ci
 
     ev = load_table(spark, sf_dir, "events")
-    return block_bootstrap_ci(spark, ev, "event_type", "value", ["ts", "event_id"])
+    return block_bootstrap_ci(
+        spark,
+        ev,
+        "event_type",
+        "value",
+        ["ts", "event_id"],
+        block_len=_BOOT.block_len,
+        n_boot=_BOOT.n_boot,
+        cap=_BOOT.cap,
+        seed=_BOOT.seed,
+        ci=(_BOOT.ci_lo, _BOOT.ci_hi),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -277,5 +301,13 @@ def m15_pairwise_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return pairwise_diff_ci(
-        spark, ev, "event_type", "value", order=["ts", "event_id"]
+        spark,
+        ev,
+        "event_type",
+        "value",
+        order=["ts", "event_id"],
+        n_boot=_BOOT.n_boot,
+        cap=_BOOT.cap,
+        seed=_BOOT.seed,
+        ci=(_BOOT.ci_lo, _BOOT.ci_hi),
     )

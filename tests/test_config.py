@@ -1,0 +1,89 @@
+"""Settings-layer tests: defaults, YAML/programmatic override, and an
+end-to-end knob turn where BOTH the Spark plan and the DuckDB oracle are
+rebuilt from the overridden settings and still agree."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pipeline_mf_etl_spark.config import Settings, load_settings, override
+from tests.conftest import SF_ORACLE, canonical_rows
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_defaults_match_reference_semantics():
+    s = Settings()
+    assert s.realism.price_floor == 5.0
+    assert s.sensitivity.hold_bars == (3, 5, 8)
+    assert s.backtest.round_trip_cost == pytest.approx(2e-3)
+    assert s.bootstrap.cap == 50_000
+
+
+def test_repo_yaml_restates_defaults():
+    """configs/settings.yaml must not silently change behavior — it
+    documents the defaults, so loading it equals the default tree."""
+    assert load_settings() == Settings()
+
+
+def test_yaml_override(tmp_path):
+    f = tmp_path / "s.yaml"
+    f.write_text("realism:\n  price_floor: 2.0\nsensitivity:\n  hold_bars: [2, 4]\n")
+    s = load_settings(f)
+    assert s.realism.price_floor == 2.0
+    assert s.sensitivity.hold_bars == (2, 4)
+    # untouched sections keep defaults
+    assert s.calibration == Settings().calibration
+
+
+def test_override_rejects_unknown_keys():
+    with pytest.raises(KeyError):
+        override(Settings(), realism={"not_a_knob": 1})
+    with pytest.raises(KeyError):
+        override(Settings(), not_a_section={"x": 1})
+
+
+@pytest.mark.parametrize(
+    "knobs",
+    [
+        {"realism": {"price_floor": 2.0, "warmup_bars": 10}},
+        {"calibration": {"price_floors": [2.0, 20.0], "dollar_vol_floors": [750.0]}},
+    ],
+)
+def test_knob_override_end_to_end(spark, knobs):
+    """Turning a knob must flow into BOTH the Spark frame and the oracle
+    SQL, and the two must still hash-agree — the settings layer cannot
+    desynchronize the parity contract."""
+    from pipeline_mf_etl_spark.queries.backtest import (
+        b4_frame,
+        b4_oracle,
+        b14_frame,
+        b14_oracle,
+    )
+
+    s = override(Settings(), **knobs)
+    if "realism" in knobs:
+        frame, sql = b4_frame(spark, SF_SMALL, s), b4_oracle(s)
+        # the knob actually changed the answer vs defaults
+        default = b4_frame(spark, SF_SMALL, Settings())
+        assert (
+            frame.filter("exec_eligible").count()
+            != default.filter("exec_eligible").count()
+        )
+    else:
+        frame, sql = b14_frame(spark, SF_SMALL, s), b14_oracle(s)
+        assert frame.count() == 2  # 2×1 grid
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMALL}/events.parquet')"
+    )
+    cur = con.execute(sql)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+    spark_rows = [tuple(r) for r in frame.collect()]
+    assert sorted(frame.columns) == sorted(duck_cols)
+    assert canonical_rows(spark_rows, frame.columns) == canonical_rows(
+        duck_rows, duck_cols
+    )
