@@ -1,0 +1,234 @@
+"""Medallion run orchestrator: bronze → silver → gold → research →
+backtest over the events series, persisting each layer as partitioned
+parquet plus a ``run_summary.json`` artifact contract.
+
+Mirrors the reference's layer runner + run-summary shape
+(bronze/pipeline.py:70-95,366-426: per-stage outputs, status counts,
+atomic JSON summary) re-expressed Spark-first: each layer is ONE
+declarative write (task-atomic via Spark's commit protocol, partitioned
+by event year so downstream reads partition-prune), and the per-stage
+metrics come from the written data itself, not driver-side accumulation.
+
+Scale notes: every stage is a linear pass; the only shuffles are the
+per-series window (one hash exchange on user_id per layer, reused
+within the layer's window stack) and the layer writes. Nothing is
+collected to the driver except the tiny summary aggregates.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.config import Settings, load_settings
+from pipeline_mf_etl_spark.operators.backtest import simulate_trades
+from pipeline_mf_etl_spark.operators.ewm import ewm_smooth
+from pipeline_mf_etl_spark.operators.windows import series_window
+from pipeline_mf_etl_spark.sources.readers import load_table
+from pipeline_mf_etl_spark.sources.writers import (
+    write_csv_twin,
+    write_json_artifact,
+    write_partitioned,
+)
+
+# B2-style state mapping (same tiny table as queries/backtest.py).
+_STATE_MAP = (
+    ("purchase", 1, True),
+    ("error", -1, True),
+    ("click", 0, False),
+    ("view", 0, False),
+    ("signup", 0, False),
+)
+
+
+def bronze_layer(ev: DataFrame) -> DataFrame:
+    """P1 normalize: trimmed/uppercased labels, parsed props, synthetic
+    bar id, partition column ``event_year``."""
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.upper(F.trim("event_type")).alias("event_type"),
+        F.col("value").cast("double").alias("value"),
+        F.get_json_object("props", "$.k").cast("double").alias("prop_k"),
+        F.col("ts").cast("date").alias("event_date"),
+        F.year("ts").alias("event_year"),
+    )
+
+
+def silver_layer(bronze: DataFrame, gap_days: int = 7) -> DataFrame:
+    """P2/P3 quality flags + error counts + valid marker."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dup_w = Window.partitionBy("user_id", "ts")
+    flags = {
+        "q_missing_field": F.col("value").isNull()
+        | F.col("event_type").isNull()
+        | (F.trim("event_type") == ""),
+        "q_nonpositive_value": F.coalesce(F.col("value") <= 0, F.lit(False)),
+        "q_duplicate": F.count("*").over(dup_w) > 1,
+    }
+    warns = {
+        "q_gap_in_series": F.coalesce(
+            F.datediff(F.col("ts").cast("date"), F.lag(F.col("ts").cast("date")).over(w))
+            > gap_days,
+            F.lit(False),
+        ),
+        "q_suspicious_bar": F.coalesce(F.col("value") > 50, F.lit(False)),
+    }
+    out = bronze
+    for name, expr in {**flags, **warns}.items():
+        out = out.withColumn(name, expr)
+    err = sum(F.col(n).cast("int") for n in flags)
+    warn = sum(F.col(n).cast("int") for n in warns)
+    return (
+        out.withColumn("quality_error_count", err)
+        .withColumn("quality_warn_count", warn)
+        .withColumn("is_valid_row", F.col("quality_error_count") == 0)
+    )
+
+
+def gold_layer(silver: DataFrame, s: Settings) -> DataFrame:
+    """W3 EWM smoothing + S0-S4 flow states + B5 entry signals over the
+    valid silver rows."""
+    valid = silver.filter("is_valid_row").drop(
+        *[c for c in silver.columns if c.startswith("q_")]
+    )
+    df = ewm_smooth(
+        valid,
+        series_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        n=s.indicators.ewm_span,
+        out_col="ewm",
+    )
+    w = series_window()
+    flow = F.col("ewm") - 10.0
+    slope = flow - (F.lag("ewm").over(w) - 10.0)
+    rising = F.coalesce(slope >= 0, F.lit(True))
+    state = (
+        F.when(flow.isNull(), 0)
+        .when((flow > 0) & rising, 1)
+        .when(flow > 0, 2)
+        .when(rising, 4)
+        .otherwise(3)
+    )
+    df = df.withColumn("flow_state_code", state.cast("tinyint"))
+    spark = df.sparkSession
+    m = F.broadcast(
+        spark.createDataFrame(
+            list(_STATE_MAP), schema="event_type_raw string, side int, eligible boolean"
+        ).select(F.upper("event_type_raw").alias("event_type"), "side", "eligible")
+    )
+    df = df.join(m, "event_type", "left").fillna({"side": 0, "eligible": False})
+    prev_state = F.lag("event_type").over(w)
+    transition = prev_state.isNull() | (F.col("event_type") != prev_state)
+    return df.withColumn("signal", F.col("eligible") & transition)
+
+
+def research_layer(gold: DataFrame) -> DataFrame:
+    """M8-style per-state profile: occupancy and forward outcome."""
+    w = series_window()
+    fwd = (F.lead("value", 5).over(w) / F.col("value") - 1).alias("fwd_ret_5")
+    enriched = gold.select("flow_state_code", "value", fwd)
+    return (
+        enriched.groupBy("flow_state_code")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.avg("fwd_ret_5"), 6).alias("mean_fwd_ret_5"),
+            F.round(F.stddev_samp("fwd_ret_5"), 6).alias("std_fwd_ret_5"),
+        )
+        .orderBy("flow_state_code")
+    )
+
+
+def backtest_layer(gold: DataFrame, s: Settings) -> tuple[DataFrame, DataFrame]:
+    """B6/B7: trade simulation on gold signals + summary metrics."""
+    bars = gold.select("user_id", "ts", "event_id", "value", "side", "signal")
+    trades = simulate_trades(
+        bars,
+        hold_bars=s.backtest.hold_bars,
+        fee_bps=s.backtest.fee_bps_per_side,
+        slippage_bps=s.backtest.slippage_bps_per_side,
+    )
+    metrics = trades.agg(
+        F.count("*").alias("n_trades"),
+        F.round(F.avg("net_return"), 6).alias("expectancy"),
+        F.round(F.avg((F.col("net_return") > 0).cast("double")), 6).alias("win_rate"),
+        F.round(F.stddev_pop("net_return"), 6).alias("net_std"),
+    )
+    return trades, metrics
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    output_root: str,
+    settings: Settings | None = None,
+    run_id: str = "run-0",
+) -> dict:
+    """Chain bronze→silver→gold→research→backtest, write every layer as
+    partitioned parquet under ``output_root``, and persist
+    ``run_summary.json`` (atomic temp+rename). Returns the summary dict.
+    """
+    s = settings or load_settings()
+    t0 = time.monotonic()
+    paths = {
+        layer: os.path.join(output_root, layer)
+        for layer in ("bronze", "silver", "gold", "research", "trades")
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    bronze = bronze_layer(ev)
+    write_partitioned(bronze, paths["bronze"], ["event_year"])
+    bronze = spark.read.parquet(paths["bronze"])  # downstream reads pruned layer
+
+    silver = silver_layer(bronze)
+    write_partitioned(silver, paths["silver"], ["event_year"])
+    silver = spark.read.parquet(paths["silver"])
+
+    gold = gold_layer(silver, s)
+    write_partitioned(gold, paths["gold"], ["event_year"])
+    gold = spark.read.parquet(paths["gold"])
+
+    research = research_layer(gold)
+    research.coalesce(1).write.mode("overwrite").parquet(paths["research"])
+    write_csv_twin(research, paths["research"] + "_csv")
+
+    trades, metrics = backtest_layer(gold, s)
+    trades.write.mode("overwrite").option("compression", "zstd").parquet(paths["trades"])
+    metric_row = metrics.collect()[0].asDict()
+
+    # summary aggregates come from the WRITTEN layers (read-back counts),
+    # so the artifact describes what is actually on disk
+    quality = silver.agg(
+        F.count("*").alias("rows_total"),
+        F.sum(F.col("is_valid_row").cast("long")).alias("rows_valid"),
+        F.sum(F.col("quality_error_count")).alias("total_errors"),
+        F.sum(F.col("quality_warn_count")).alias("total_warns"),
+    ).collect()[0]
+
+    summary = {
+        "run_id": run_id,
+        "sf_dir": sf_dir,
+        "duration_sec": round(time.monotonic() - t0, 3),
+        "rows_total": int(quality["rows_total"]),
+        "rows_valid": int(quality["rows_valid"]),
+        "rows_invalid": int(quality["rows_total"] - quality["rows_valid"]),
+        "total_errors": int(quality["total_errors"]),
+        "total_warns": int(quality["total_warns"]),
+        "n_trades": int(metric_row["n_trades"]),
+        "expectancy": metric_row["expectancy"],
+        "win_rate": metric_row["win_rate"],
+        "settings": {
+            "hold_bars": s.backtest.hold_bars,
+            "fee_bps_per_side": s.backtest.fee_bps_per_side,
+            "slippage_bps_per_side": s.backtest.slippage_bps_per_side,
+            "ewm_span": s.indicators.ewm_span,
+        },
+        "outputs": paths,
+    }
+    write_json_artifact(summary, os.path.join(output_root, "run_summary.json"))
+    return summary

@@ -1,0 +1,71 @@
+"""Integration test for the medallion run orchestrator: every layer is
+written, readable, and consistent; the run summary describes the data
+actually on disk; settings knobs flow into the run."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pipeline_mf_etl_spark.config import Settings, override
+from pipeline_mf_etl_spark.pipeline import run_pipeline
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def run(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("medallion"))
+    summary = run_pipeline(spark, SF_SMALL, out, run_id="test-run")
+    return out, summary
+
+
+def test_all_layers_written_and_readable(spark, run):
+    out, summary = run
+    bronze = spark.read.parquet(os.path.join(out, "bronze"))
+    silver = spark.read.parquet(os.path.join(out, "silver"))
+    gold = spark.read.parquet(os.path.join(out, "gold"))
+    research = spark.read.parquet(os.path.join(out, "research"))
+    trades = spark.read.parquet(os.path.join(out, "trades"))
+
+    n_bronze, n_silver = bronze.count(), silver.count()
+    assert n_bronze == n_silver > 0
+    # gold keeps only valid rows
+    assert gold.count() == silver.filter("is_valid_row").count()
+    # year partitioning exists on the layered parquet (hive dirs)
+    assert any(
+        d.startswith("event_year=") for d in os.listdir(os.path.join(out, "bronze"))
+    )
+    # layer schemas carry their stage's columns
+    assert "quality_error_count" in silver.columns
+    assert {"ewm", "flow_state_code", "signal"} <= set(gold.columns)
+    assert {"flow_state_code", "n_rows", "mean_fwd_ret_5"} <= set(research.columns)
+    assert {"user_id", "entry_value", "exit_value", "net_return"} <= set(trades.columns)
+    assert trades.count() == summary["n_trades"]
+
+
+def test_summary_matches_disk(spark, run):
+    out, summary = run
+    path = os.path.join(out, "run_summary.json")
+    assert os.path.exists(path)
+    with open(path) as fh:
+        on_disk = json.load(fh)
+    assert on_disk == summary
+    silver = spark.read.parquet(os.path.join(out, "silver"))
+    assert summary["rows_total"] == silver.count()
+    assert summary["rows_valid"] == silver.filter("is_valid_row").count()
+    assert summary["rows_invalid"] == summary["rows_total"] - summary["rows_valid"]
+    assert summary["run_id"] == "test-run"
+
+
+def test_settings_knob_changes_run(spark, tmp_path):
+    """hold_bars=2 must yield a different trade count than the default 5
+    (shorter holds → non-overlapping slots free up sooner → more trades),
+    and the summary must echo the knob."""
+    out = str(tmp_path / "alt")
+    s = override(Settings(), backtest={"hold_bars": 2})
+    alt = run_pipeline(spark, SF_SMALL, out, settings=s, run_id="alt")
+    assert alt["settings"]["hold_bars"] == 2
+    assert alt["n_trades"] > 0
