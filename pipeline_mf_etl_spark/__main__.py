@@ -1,0 +1,79 @@
+"""Command-line entry points (B9 run orchestration surface).
+
+The reference exposes its layer runners through a CLI
+(``mf-etl bronze-run`` / ``research-cluster-run`` / ``backtest-run``,
+src/mf_etl/cli.py); here the same orchestration surface is three
+subcommands over the Spark engine:
+
+    python -m pipeline_mf_etl_spark run --sf-dir ... --output ...
+    python -m pipeline_mf_etl_spark query a1_grouped_stats --sf-dir ...
+    python -m pipeline_mf_etl_spark list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pipeline_mf_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run the medallion pipeline end-to-end")
+    run.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    run.add_argument("--output", required=True)
+    run.add_argument("--settings", default=None, help="YAML settings override file")
+    run.add_argument("--run-id", default="cli-run")
+
+    q = sub.add_parser("query", help="run one registered query and print rows")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20)
+
+    sub.add_parser("list", help="list registered queries")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.cmd == "list":
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        for name, spec in all_queries().items():
+            kind = "oracle" if spec.oracle else "rows-only"
+            print(f"{name}\t{kind}\t{spec.doc.splitlines()[0] if spec.doc else ''}")
+        return 0
+
+    from pipeline_mf_etl_spark.session import get_spark
+
+    spark = get_spark()
+    if args.cmd == "run":
+        from pipeline_mf_etl_spark.config import load_settings
+        from pipeline_mf_etl_spark.pipeline import run_pipeline
+
+        settings = load_settings(args.settings) if args.settings else None
+        summary = run_pipeline(
+            spark, args.sf_dir, args.output, settings=settings, run_id=args.run_id
+        )
+        json.dump(summary, sys.stdout, indent=2, sort_keys=True)
+        print()
+        return 0
+
+    if args.cmd == "query":
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        specs = all_queries()
+        if args.name not in specs:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        specs[args.name].spark(spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -159,6 +159,12 @@ def ivf_topk(
     All scoring is JVM-side; the centroid table is a broadcast literal,
     so candidate assignment is a map-only stage — the only shuffle is the
     final per-query rank, exactly the shape that survives a 100× corpus.
+
+    The QUERY side is broadcast (line below) — correct for the top-k-for-
+    probes use case where queries ≪ corpus. Do NOT call this with
+    queries == corpus: an all-pairs self-search should go through
+    :func:`embedding_near_dup_pairs` (banded LSH), not a broadcast of
+    the full corpus.
     """
     spark = candidates.sparkSession
     cent = F.broadcast(

@@ -69,3 +69,19 @@ def test_settings_knob_changes_run(spark, tmp_path):
     alt = run_pipeline(spark, SF_SMALL, out, settings=s, run_id="alt")
     assert alt["settings"]["hold_bars"] == 2
     assert alt["n_trades"] > 0
+
+
+def test_cli_list_and_run(tmp_path, capsys):
+    """CLI surface (B9): `list` names every registered query; `run`
+    executes the pipeline and prints the summary JSON."""
+    from pipeline_mf_etl_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "a1_grouped_stats" in out and "b6_trade_sim" in out
+
+    dest = str(tmp_path / "cli_out")
+    assert main(["run", "--sf-dir", SF_SMALL, "--output", dest, "--run-id", "c1"]) == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["run_id"] == "c1"
+    assert os.path.exists(os.path.join(dest, "run_summary.json"))
