@@ -232,3 +232,70 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
         ).alias("simhash")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by min-label
+    propagation (hash-to-min): every node repeatedly adopts the smallest
+    label among itself and its neighbors until a fixpoint.
+
+    This is the standard large-graph CC formulation (the same shape
+    GraphX/GraphFrames use): each round is one equi-join + one groupBy
+    — both shuffles on the node id — and the round count is the graph
+    DIAMETER, not the node count. Near-dup clusters are shallow (stars /
+    short chains), so this converges in a handful of rounds at any
+    corpus size. The converged label is the minimum node id reachable
+    from each node — a deterministic canonical representative.
+
+    Returns (node, component) for every node that appears in ``edges``.
+    """
+    # localCheckpoint (not cache) on the loop-carried frames: an iterative
+    # plan that only caches still GROWS its logical plan every round (each
+    # round's analysis re-walks the whole upstream expression tree, e.g. a
+    # large LSH literal at the base) — checkpointing truncates lineage so
+    # every round analyzes a constant-size plan.
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("src", "node")
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.withColumnRenamed("component", "new_component")
+            .join(labels, "node")
+            .filter(F.col("new_component") != F.col("component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

@@ -209,3 +209,60 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .select("a", "b", _r(F.col("jaccard")).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# D5: near-duplicate GROUP formation — connected components over the
+# embedding-LSH pair graph, canonical representative = min vec_id.
+# The step after pair detection in any dedup pipeline: pick one doc per
+# duplicate cluster. Spark side is min-label propagation (rounds =
+# cluster diameter, shuffles on node id only); oracle is a recursive-CTE
+# transitive closure over the same pair set.
+# ---------------------------------------------------------------------------
+_NEARDUP_COS = (
+    "list_dot_product(a.emb, b.emb) / "
+    "(sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
+)
+
+
+@query(
+    "d5_neardup_groups",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE ROUND({_NEARDUP_COS}, 6) >= 0.4
+    ), edges AS (
+        SELECT a AS u, b AS w FROM pairs UNION SELECT b, a FROM pairs
+    ), reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.w
+    ), comp AS (
+        SELECT u AS vec_id, MIN(r) AS group_id FROM reach GROUP BY u
+    )
+    SELECT vec_id, group_id,
+           CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+    FROM comp
+    """,
+)
+def d5_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment for every embedding that has at least
+    one near-dup (cosine >= 0.4): LSH candidate pairs → connected
+    components → (vec_id, group_id, group_size)."""
+    from pipeline_mf_etl_spark.operators.dedupe import connected_components
+    from pipeline_mf_etl_spark.operators.similarity import embedding_near_dup_pairs
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    pairs = embedding_near_dup_pairs(v, 0.4, dim=64).select("a", "b")
+    cc = connected_components(pairs)
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("group_id"),
+        F.count("*").over(w).alias("group_size"),
+    )

@@ -176,3 +176,40 @@ def test_lsh_neardup_matches_bruteforce(spark):
         w = want.toPandas().sort_values(["a", "b"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, w)
         assert len(w) > 0  # the fixture must actually exercise the verify
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label-propagation CC must equal a reference union-find on a
+    seeded random graph (chains, stars, singleton-free pair set)."""
+    from pipeline_mf_etl_spark.operators.dedupe import connected_components
+
+    rng = np.random.default_rng(23)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 120, (80, 2)) if a != b]
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # canonical representative = min node id per component
+    comp_min = {}
+    for n, r in want.items():
+        comp_min.setdefault(r, n)
+        comp_min[r] = min(comp_min[r], n)
+    want = {n: comp_min[find(n)] for n in parent}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
