@@ -121,3 +121,32 @@ def session_rollup(events: DataFrame, gap: str = "30 minutes", watermark: str = 
             "sum_value",
         )
     )
+
+
+def stream_bronze_ingest(
+    spark: SparkSession, sf_dir: str, output_path: str, checkpoint: str
+) -> None:
+    """Streaming ingestion feeding the BRONZE contract (SURVEY §7.3 step
+    9): readStream file source → the same bronze normalization the batch
+    pipeline uses → append parquet sink, with the checkpoint providing
+    exactly-once file tracking (the Spark-native replacement for the
+    reference's I1-I3 manifest ledger: re-running with the same
+    checkpoint ingests nothing twice, new files ingest incrementally).
+
+    availableNow drains everything currently present and stops — the
+    batch-friendly trigger; a production deployment runs the identical
+    code with a processing-time trigger.
+    """
+    from pipeline_mf_etl_spark.pipeline import bronze_layer
+
+    bronze = bronze_layer(read_events_stream(spark, sf_dir))
+    q = (
+        bronze.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("event_year")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

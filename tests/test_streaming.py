@@ -76,3 +76,28 @@ def test_stateful_running_stats_matches_batch(spark):
         .collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_bronze_ingest_matches_batch_and_is_incremental(spark, tmp_path):
+    """Streamed bronze must equal the batch bronze layer row-for-row, and
+    a second run with the same checkpoint must ingest NOTHING new —
+    checkpoint file-tracking is the manifest-ledger replacement."""
+    from pipeline_mf_etl_spark.pipeline import bronze_layer
+    from pipeline_mf_etl_spark.sources.readers import load_table
+    from pipeline_mf_etl_spark.streaming.transforms import stream_bronze_ingest
+
+    sf = "/root/testdata/sf0.001"
+    out, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt")
+
+    stream_bronze_ingest(spark, sf, out, ckpt)
+    streamed = spark.read.parquet(out)
+    batch = bronze_layer(load_table(spark, sf, "events"))
+    assert streamed.count() == batch.count()
+    cols = sorted(batch.columns)
+    s_rows = sorted(map(tuple, streamed.select(*cols).collect()))
+    b_rows = sorted(map(tuple, batch.select(*cols).collect()))
+    assert s_rows == b_rows
+
+    # idempotent re-run: checkpoint remembers the processed file
+    stream_bronze_ingest(spark, sf, out, ckpt)
+    assert spark.read.parquet(out).count() == batch.count()
