@@ -166,6 +166,9 @@ def m20_ari_vs_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # M6: HDBSCAN — optional in the reference, unavailable here (no sklearn/
 # hdbscan in the environment); the gate mirrors research/clustering.py:184-203.
+# m6_density_clusters below runs the exact HDBSCAN when the package is
+# present and otherwise a deterministic pure-NumPy DBSCAN with the same
+# labels-with-noise contract (operators/density.py).
 # ---------------------------------------------------------------------------
 def hdbscan_fit(*_args, **_kwargs):
     try:
@@ -175,6 +178,61 @@ def hdbscan_fit(*_args, **_kwargs):
             "HDBSCAN requires the optional 'hdbscan' package (reference "
             "research/clustering.py:184-203 treats it as optional too)"
         ) from exc
+
+
+@query("m6_density_clusters")
+def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering diagnostics (M6): HDBSCAN when installed, else
+    the NumPy DBSCAN fallback — driver fit on an id-ordered capped
+    sample (the reference's research fit is driver-side too), eps from
+    the 2% pairwise-distance quantile, min_pts=5. Output is
+    label-invariant: cluster count, noise share, size profile of the
+    top clusters."""
+    import numpy as np
+
+    from pipeline_mf_etl_spark.operators.density import (
+        dbscan_labels,
+        eps_from_quantile,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .limit(4000)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    try:
+        import hdbscan
+
+        labels = hdbscan.HDBSCAN(min_cluster_size=5).fit_predict(X)
+    except ImportError:
+        labels = dbscan_labels(X, eps_from_quantile(X), min_pts=5)
+
+    labels = np.asarray(labels)
+    n = len(labels)
+    noise = int((labels == -1).sum())
+    sizes = sorted(
+        (int((labels == c).sum()) for c in set(labels) if c != -1), reverse=True
+    )
+    top = (sizes + [0, 0, 0])[:3]
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(len(sizes)),
+                round(noise / n, 6) if n else 0.0,
+                top[0],
+                top[1],
+                top[2],
+            )
+        ],
+        schema=(
+            "n_points int, n_clusters int, noise_share double, "
+            "size_1 int, size_2 int, size_3 int"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -213,3 +213,23 @@ def test_connected_components_matches_union_find(spark):
         for r in connected_components(df).collect()
     }
     assert got == want
+
+
+def test_dbscan_matches_reference_semantics(spark):
+    """NumPy DBSCAN fallback: two dense blobs + scattered noise must come
+    back as exactly two clusters with the blob members together and the
+    scattered points labeled -1; deterministic across calls."""
+    from pipeline_mf_etl_spark.operators.density import dbscan_labels
+
+    rng = np.random.default_rng(9)
+    blob_a = rng.normal(0.0, 0.05, (50, 2))
+    blob_b = rng.normal(5.0, 0.05, (60, 2))
+    noise = rng.uniform(10, 20, (15, 2))
+    X = np.vstack([blob_a, blob_b, noise])
+
+    labels = dbscan_labels(X, eps=0.5, min_pts=5)
+    assert set(labels[:50]) == {labels[0]} and labels[0] != -1
+    assert set(labels[50:110]) == {labels[50]} and labels[50] != -1
+    assert labels[0] != labels[50]
+    assert (labels[110:] == -1).all()
+    assert (dbscan_labels(X, eps=0.5, min_pts=5) == labels).all()
