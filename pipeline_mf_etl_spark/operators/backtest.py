@@ -71,13 +71,8 @@ def simulate_trades(
     """
     cost = 2.0 * (fee_bps + slippage_bps) / 1e4
 
-    def sim_series(pdf: pd.DataFrame, out: list) -> None:
-        vals = pdf["value"].to_numpy()
-        sigs = pdf["signal"].fillna(False).to_numpy()
-        sides = pdf["side"].to_numpy()
-        eids = pdf["event_id"].to_numpy()
-        uid = int(pdf["user_id"].iloc[0])
-        n = len(pdf)
+    def sim_series(uid, vals, sigs, sides, eids, out: list) -> None:
+        n = len(vals)
         i = 0
         pos = 0
         while i < n - 1:  # a signal on the last bar has no next open
@@ -118,9 +113,13 @@ def simulate_trades(
 
     def sim(batches):
         # one Arrow exchange per PARTITION, not per series: concat the
-        # partition's batches, then run the per-series loop over each
-        # contiguous group (same many-small-groups optimization as
+        # partition's batches, then run the per-series loop over NumPy
+        # slices at group boundaries — building a pandas sub-frame per
+        # series costs more than the whole sim loop when groups are many
+        # and short (same many-small-groups optimization as
         # operators/ewm.py).
+        import numpy as np
+
         pdfs = list(batches)
         if not pdfs:
             return
@@ -128,9 +127,17 @@ def simulate_trades(
         if pdf.empty:
             return
         pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uids = pdf["user_id"].to_numpy()
+        vals = pdf["value"].to_numpy(dtype=float)
+        sigs = pdf["signal"].fillna(False).to_numpy(dtype=bool)
+        sides = pdf["side"].to_numpy()
+        eids = pdf["event_id"].to_numpy()
+        cuts = np.flatnonzero(np.r_[True, uids[1:] != uids[:-1], True])
         out: list = []
-        for _, g in pdf.groupby("user_id", sort=False):
-            sim_series(g.reset_index(drop=True), out)
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            sim_series(
+                int(uids[lo]), vals[lo:hi], sigs[lo:hi], sides[lo:hi], eids[lo:hi], out
+            )
         yield pd.DataFrame(out, columns=[f.name for f in TRADE_SCHEMA.fields])
 
     return (
