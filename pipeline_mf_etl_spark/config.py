@@ -98,6 +98,17 @@ class IndicatorSettings:
 
 
 @dataclass(frozen=True)
+class PrecisionSettings:
+    """Layer float width on DISK (reference settings.yaml ``precision``:
+    bronze float64, silver/gold float32 — compute always float64, the
+    downcast happens at the layer write)."""
+
+    bronze_float: str = "double"
+    silver_float: str = "float"
+    gold_float: str = "float"
+
+
+@dataclass(frozen=True)
 class Settings:
     realism: RealismSettings = field(default_factory=RealismSettings)
     sensitivity: SensitivitySettings = field(default_factory=SensitivitySettings)
@@ -105,6 +116,7 @@ class Settings:
     backtest: BacktestSettings = field(default_factory=BacktestSettings)
     bootstrap: BootstrapSettings = field(default_factory=BootstrapSettings)
     indicators: IndicatorSettings = field(default_factory=IndicatorSettings)
+    precision: PrecisionSettings = field(default_factory=PrecisionSettings)
 
 
 _SECTIONS = {f.name: f.type for f in dataclasses.fields(Settings)}

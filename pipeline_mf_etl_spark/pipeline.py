@@ -162,6 +162,16 @@ def backtest_layer(gold: DataFrame, s: Settings) -> tuple[DataFrame, DataFrame]:
     return trades, metrics
 
 
+def _promote_doubles(df: DataFrame) -> DataFrame:
+    """float32-stored layers compute in float64 downstream (reference
+    transform/dtypes.py: store float32, compute after .to_numpy() in
+    float64)."""
+    for c, t in df.dtypes:
+        if t == "float":
+            df = df.withColumn(c, F.col(c).cast("double"))
+    return df
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -180,18 +190,29 @@ def run_pipeline(
         for layer in ("bronze", "silver", "gold", "research", "trades")
     }
 
+    def downcast(df: DataFrame, width: str) -> DataFrame:
+        """Layer write-width policy (reference settings.yaml `precision`:
+        compute in float64, store silver/gold as float32). Reading back
+        re-promotes to double for the next stage's float64 compute."""
+        if width == "double":
+            return df
+        for c, t in df.dtypes:
+            if t == "double":
+                df = df.withColumn(c, F.col(c).cast(width))
+        return df
+
     ev = load_table(spark, sf_dir, "events")
     bronze = bronze_layer(ev)
-    write_partitioned(bronze, paths["bronze"], ["event_year"])
+    write_partitioned(downcast(bronze, s.precision.bronze_float), paths["bronze"], ["event_year"])
     bronze = spark.read.parquet(paths["bronze"])  # downstream reads pruned layer
 
     silver = silver_layer(bronze)
-    write_partitioned(silver, paths["silver"], ["event_year"])
-    silver = spark.read.parquet(paths["silver"])
+    write_partitioned(downcast(silver, s.precision.silver_float), paths["silver"], ["event_year"])
+    silver = _promote_doubles(spark.read.parquet(paths["silver"]))
 
     gold = gold_layer(silver, s)
-    write_partitioned(gold, paths["gold"], ["event_year"])
-    gold = spark.read.parquet(paths["gold"])
+    write_partitioned(downcast(gold, s.precision.gold_float), paths["gold"], ["event_year"])
+    gold = _promote_doubles(spark.read.parquet(paths["gold"]))
 
     research = research_layer(gold)
     research.coalesce(1).write.mode("overwrite").parquet(paths["research"])

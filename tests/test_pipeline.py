@@ -85,3 +85,16 @@ def test_cli_list_and_run(tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out)
     assert summary["run_id"] == "c1"
     assert os.path.exists(os.path.join(dest, "run_summary.json"))
+
+
+def test_precision_policy_on_disk(spark, run):
+    """Reference precision contract: bronze stores float64; silver/gold
+    store float32 on disk (compute stays float64 — gold's ewm derives
+    from re-promoted doubles)."""
+    out, _ = run
+    bronze = spark.read.parquet(os.path.join(out, "bronze"))
+    silver = spark.read.parquet(os.path.join(out, "silver"))
+    gold = spark.read.parquet(os.path.join(out, "gold"))
+    assert dict(bronze.dtypes)["value"] == "double"
+    assert dict(silver.dtypes)["value"] == "float"
+    assert dict(gold.dtypes)["ewm"] == "float"
