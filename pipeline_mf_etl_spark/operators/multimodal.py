@@ -39,7 +39,7 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType(), False),
         StructField("byte_hist", ArrayType(DoubleType()), False),
         StructField("byte_mean", DoubleType(), True),
-        StructField("payload_sha1", StringType(), False),
+        StructField("payload_sha256", StringType(), False),
     ]
 )
 
@@ -68,7 +68,7 @@ def decode_media(payload_bytes: bytes, mime: str):  # pragma: no cover
 
 def extract_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over the binary column: byte
-    histogram (16 bins, L1-normalized), mean byte value, SHA1.
+    histogram (16 bins, L1-normalized), mean byte value, SHA-256.
 
     This is the exact plumbing a real image/audio featurizer uses —
     binary in, fixed-width vector out, one mapInPandas batch at a time —
@@ -89,8 +89,10 @@ def extract_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         int(ids[i]),
                         len(b),
                         list(hist / total) if total else [0.0] * N_HIST_BINS,
-                        float(arr.mean()) if len(arr) else None,
-                        hashlib.sha1(b).hexdigest(),
+                        # exact int-sum / count division: bitwise equal to
+                        # any engine computing SUM(byte)/COUNT in float64
+                        float(arr.sum()) / len(arr) if len(arr) else None,
+                        hashlib.sha256(b).hexdigest(),
                     )
                 )
             yield pd.DataFrame(

@@ -43,12 +43,36 @@ def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # mm2: Arrow-batched byte featurizer (mapInPandas) — the codec stand-in.
-# Not SQL-expressible (binary unnest); invariants enforced in
-# tests/test_multimodal.py, driver records the rows-only check.
+# The oracle iterates CHARACTERS and uses ord() as the byte value, valid
+# because the documents corpus is pure ASCII (verified; DuckDB cannot
+# unnest BLOB bytes directly). sha256(VARCHAR) hashes the UTF-8 bytes on
+# both engines; mean/hist divisions are exact-int / exact-int in float64
+# so the two sides agree bitwise before the shared 6-dp rounding.
 # ---------------------------------------------------------------------------
-@query("mm2_byte_features")
+@query(
+    "mm2_byte_features",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, ord(unnest(split(text, ''))) AS byte
+        FROM documents
+    ), agg AS (
+        SELECT doc_id,
+               COUNT(*) AS n_bytes,
+               SUM(byte) * 1.0 / COUNT(*) AS byte_mean,
+               SUM(CASE WHEN byte // 16 = 6 THEN 1.0 ELSE 0.0 END) / COUNT(*)
+                   AS hist_bin_6
+        FROM chars GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           a.n_bytes,
+           ROUND(a.byte_mean, 6) AS byte_mean,
+           sha256(d.text) AS payload_sha256,
+           ROUND(a.hist_bin_6, 6) AS hist_bin_6
+    FROM agg a JOIN documents d USING (doc_id)
+    """,
+)
 def mm2_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bin byte histogram + mean byte + SHA1 per payload via
+    """16-bin byte histogram + mean byte + SHA-256 per payload via
     mapInPandas (the real featurizer plumbing; decode stays gated)."""
     docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
     feats = extract_byte_features(docs)
@@ -56,7 +80,7 @@ def mm2_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bytes",
         F.round(F.col("byte_mean"), 6).alias("byte_mean"),
-        "payload_sha1",
+        "payload_sha256",
         F.round(F.element_at("byte_hist", 7), 6).alias("hist_bin_6"),
     )
 

@@ -33,13 +33,13 @@ def test_row_preservation_and_hist(feats):
         assert 0.0 <= r["byte_mean"] <= 255.0
 
 
-def test_sha1_matches_local(feats, spark):
+def test_sha256_matches_local(feats, spark):
     docs, rows = feats
     texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").limit(50).collect()}
     by_id = {r["doc_id"]: r for r in rows}
     for doc_id, text in texts.items():
-        expected = hashlib.sha1(text.encode("utf-8")).hexdigest()
-        assert by_id[doc_id]["payload_sha1"] == expected
+        expected = hashlib.sha256(text.encode("utf-8")).hexdigest()
+        assert by_id[doc_id]["payload_sha256"] == expected
 
 
 def test_decode_gate():
