@@ -56,9 +56,12 @@ def main() -> None:
     specs = all_queries()
     timings: dict[str, float] = {}
 
-    # Warm the JVM/session on the smallest data so first-query JIT and
-    # parquet-footer caching don't pollute the first measured number.
+    # Warm the JVM/session on the smallest data so one-time startup costs
+    # (JIT, parquet-footer caching, Python worker + Arrow serializer
+    # spin-up for the pandas islands) don't pollute the first measured
+    # number of whichever query happens to run first.
     _force(specs["a1_grouped_stats"].spark(spark, "/root/testdata/sf0.001"))
+    _force(specs["w3_ewm_wilder"].spark(spark, "/root/testdata/sf0.001"))
 
     total = 0.0
     for name in HEADLINE:
