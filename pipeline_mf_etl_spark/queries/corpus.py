@@ -1,0 +1,128 @@
+"""Corpus-hygiene queries for training-data pipelines: PII / banned-term
+scrubbing and deterministic stratified sampling.
+
+Both are pure built-in expressions (regexp_replace / md5-hash
+Bernoulli) — no Python in the hot path — and both carry full DuckDB
+oracles. Registered AFTER the multimodal family: the driver's 50-query
+certification window is exactly full this round; these rotate in next.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.queries.registry import query
+from pipeline_mf_etl_spark.sources.readers import load_table
+
+# Scrub patterns, applied in fixed order; identical RE2-compatible
+# syntax on both engines. The email/number patterns are the classic PII
+# shapes (zero hits on this synthetic corpus — they exercise the path);
+# the denylist term redaction is what actually fires here, standing in
+# for boilerplate/banned-term scrubbing.
+_SCRUB = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{7,}\b", "<NUM>"),
+    (r"\bcustomer\b", "<TERM>"),
+)
+
+
+def scrub_text(col: F.Column) -> F.Column:
+    """Chained regexp_replace over the scrub patterns (fixed order)."""
+    out = col
+    for pat, token in _SCRUB:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+@query(
+    "t6_pii_scrub",
+    oracle=r"""
+    WITH red AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\b\d{7,}\b', '<NUM>', 'g'),
+                   '\bcustomer\b', '<TERM>', 'g') AS clean
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(clean) AS clean_md5,
+           CAST((length(clean) - length(replace(clean, '<EMAIL>', ''))) / 7
+                AS BIGINT) AS n_email,
+           CAST((length(clean) - length(replace(clean, '<TERM>', ''))) / 6
+                AS BIGINT) AS n_term
+    FROM red
+    """,
+)
+def t6_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / banned-term scrubbing over the documents corpus: emails and
+    long number runs (PII shapes) plus a denylist term → typed tokens.
+    Output: redacted-text md5 + per-doc replacement counts, derived from
+    token-length deltas with literal replace so both engines count the
+    same way."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.select("doc_id", scrub_text(F.col("text")).alias("clean"))
+    n_email = (
+        (F.length("clean") - F.length(F.replace("clean", F.lit("<EMAIL>"), F.lit("")))) / 7
+    ).cast("long")
+    n_term = (
+        (F.length("clean") - F.length(F.replace("clean", F.lit("<TERM>"), F.lit("")))) / 6
+    ).cast("long")
+    return cleaned.select(
+        "doc_id",
+        F.md5("clean").alias("clean_md5"),
+        n_email.alias("n_email"),
+        n_term.alias("n_term"),
+    )
+
+
+@query(
+    "o9_stratified_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               list_reduce(list_transform(split(substr(md5(
+                   'strat:' || CAST(doc_id AS VARCHAR)), 1, 15), ''),
+                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (acc, y) -> acc * 16 + y) AS h
+        FROM documents
+    ), rated AS (
+        SELECT doc_id, lang, h,
+               CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END AS rate
+        FROM keyed
+    )
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM rated
+    WHERE (h % 1000000) / 1000000.0 < rate
+    GROUP BY lang
+    """,
+)
+def o9_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) sampling: md5-hash
+    Bernoulli per row with a per-stratum rate (down-sample the dominant
+    language, keep the rest) — the language-rebalancing step of a
+    training-data pipeline, engine-agnostic and reproducible (same
+    mechanism as o4b_hash_sample). Output: per-stratum admitted counts
+    + id range."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    rate = F.when(F.col("lang") == "en", 0.25).otherwise(0.75)
+    kept = docs.select("doc_id", "lang", h.alias("h"), rate.alias("rate")).filter(
+        (F.col("h") % 1000000) / 1000000.0 < F.col("rate")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )

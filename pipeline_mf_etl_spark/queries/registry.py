@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.ml",
     "pipeline_mf_etl_spark.queries.validation",
     "pipeline_mf_etl_spark.queries.multimodal",
+    "pipeline_mf_etl_spark.queries.corpus",
     "pipeline_mf_etl_spark.queries.stats",
     "pipeline_mf_etl_spark.queries.quality",
     "pipeline_mf_etl_spark.queries.windows",
