@@ -62,6 +62,7 @@ def main() -> None:
     # number of whichever query happens to run first.
     _force(specs["a1_grouped_stats"].spark(spark, "/root/testdata/sf0.001"))
     _force(specs["w3_ewm_wilder"].spark(spark, "/root/testdata/sf0.001"))
+    _force(specs["d2_minhash_lsh"].spark(spark, "/root/testdata/sf0.001"))
 
     total = 0.0
     for name in HEADLINE:
