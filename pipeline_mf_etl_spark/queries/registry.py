@@ -45,6 +45,11 @@ _QUERY_MODULES = (
 # 50-query window) — used to pull individual stragglers (e.g. the bootstrap
 # trio registered late in the stats module) ahead of already-certified
 # queries without moving source code around.
+# Round-3 rotation note: the round-2 window is exactly the 50 previously
+# uncertified queries; t6_pii_scrub / o9_stratified_sample (corpus module,
+# positions 51-52) and the long-green relational/windows/quality/stats
+# families are NOT in it — next round, swap _PRIORITY/module order so the
+# still-uncertified names come first.
 _PRIORITY = (
     "m13_bootstrap_ci",
     "m14_block_bootstrap",

@@ -98,3 +98,13 @@ def test_precision_policy_on_disk(spark, run):
     assert dict(bronze.dtypes)["value"] == "double"
     assert dict(silver.dtypes)["value"] == "float"
     assert dict(gold.dtypes)["ewm"] == "float"
+
+
+def test_cli_query_subcommand(capsys):
+    """`query <name>` pretty-prints a registered query's rows."""
+    from pipeline_mf_etl_spark.__main__ import main
+
+    assert main(["query", "a1_grouped_stats", "--sf-dir", SF_SMALL]) == 0
+    out = capsys.readouterr().out
+    assert "sum_qty" in out
+    assert main(["query", "nope_not_real"]) == 2
