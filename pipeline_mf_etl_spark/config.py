@@ -155,7 +155,16 @@ def load_settings(path: str | os.PathLike | None = None) -> Settings:
     s = Settings()
     if chosen is None:
         return s
-    import yaml
+    try:
+        import yaml
+    except ImportError as exc:
+        # raise something the query registry will NOT swallow as
+        # "module not built yet" (it catches ModuleNotFoundError only) —
+        # a missing optional dep must not silently drop query families.
+        raise RuntimeError(
+            f"settings file {chosen} exists but PyYAML is not installed; "
+            "install pyyaml or remove/unset the settings file"
+        ) from exc
 
     data = yaml.safe_load(chosen.read_text()) or {}
     if not isinstance(data, dict):

@@ -271,6 +271,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -298,5 +299,14 @@ def connected_components(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning partial labels would silently assign WRONG components
+        # to the far ends of long chains — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds — the graph has a component whose diameter exceeds the "
+            "iteration budget; raise max_iter"
+        )
     return labels

@@ -32,7 +32,9 @@ def pairwise_dist_chunked(X: np.ndarray, chunk: int = 1024) -> np.ndarray:
     return D
 
 
-def dbscan_labels(X: np.ndarray, eps: float, min_pts: int) -> np.ndarray:
+def dbscan_labels(
+    X: np.ndarray, eps: float, min_pts: int, D: np.ndarray | None = None
+) -> np.ndarray:
     """Deterministic DBSCAN: BFS over the core-point graph in index
     order. Labels are assigned in first-touch order, noise = -1.
 
@@ -40,9 +42,13 @@ def dbscan_labels(X: np.ndarray, eps: float, min_pts: int) -> np.ndarray:
     has >= min_pts neighbors within eps (self included); clusters are
     the connected components of core points under the eps-neighborhood
     relation, plus their border points; everything else is noise.
+
+    Pass a precomputed distance matrix ``D`` to share it with the eps
+    derivation (it is the O(n²) cost of the whole fit).
     """
     n = len(X)
-    D = pairwise_dist_chunked(X)
+    if D is None:
+        D = pairwise_dist_chunked(X)
     neigh = D <= eps
     core = neigh.sum(axis=1) >= min_pts
     labels = np.full(n, -1, dtype=np.int64)
@@ -64,9 +70,12 @@ def dbscan_labels(X: np.ndarray, eps: float, min_pts: int) -> np.ndarray:
     return labels
 
 
-def eps_from_quantile(X: np.ndarray, q: float = 0.02) -> float:
+def eps_from_quantile(
+    X: np.ndarray, q: float = 0.02, D: np.ndarray | None = None
+) -> float:
     """Data-adaptive eps: the q-quantile of the (sampled) pairwise
     distance distribution — deterministic, no hand-tuned constant."""
-    D = pairwise_dist_chunked(X)
+    if D is None:
+        D = pairwise_dist_chunked(X)
     upper = D[np.triu_indices(len(X), k=1)]
     return float(np.quantile(upper, q))

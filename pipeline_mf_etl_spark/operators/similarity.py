@@ -266,7 +266,7 @@ def _hyperplane_literal(dim: int, n_planes: int, seed: int) -> Column:
     return F.expr(f"array({inner})")
 
 
-def embedding_near_dup_pairs(
+def lsh_hyperplane_candidates(
     vectors: DataFrame,
     threshold: float,
     *,
@@ -277,19 +277,22 @@ def embedding_near_dup_pairs(
     seed: int = 7,
     dim: int | None = None,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs via random-hyperplane LSH:
-    signatures (map-only) → banded candidate equi-join → exact cosine
-    verify on candidates ONLY. Never materializes the N² cross product.
+    """Candidate (a < b) pairs from banded random-hyperplane signatures.
 
-    Band count is derived from the threshold so that a qualifying pair
-    is missed with probability <= ``miss_target`` (deterministic seeded
-    hyperplanes make the whole computation reproducible). High thresholds
-    (0.9+, the production near-dup regime) prune hard; low thresholds
-    degenerate gracefully toward all-candidates — the price of a complete
-    answer — while the plan stays equi-join shaped (no cartesian).
+    Recall: a pair AT the cosine threshold collides in >= 1 band with
+    probability >= 1 - miss_target (deterministic seeded hyperplanes).
 
-    Reference semantics: same contract as the brute-force variant —
-    all (a < b) with ROUND(cos, 6) >= threshold.
+    Selectivity is governed by ``rows_per_band`` (r): each band has 2^r
+    buckets, and a RANDOM pair collides per band with ~2^-r, so small r
+    (needed when the exactness bound must hold at a LOW threshold, e.g.
+    the oracle-checked 0.4 here) admits nearly every pair as a candidate
+    — the plan is still equi-join shaped (no cartesian operator), but
+    the candidate STREAM approaches N²/2 rows and the only wins over
+    brute force are the oracle-checkable recall contract and the
+    bucket-parallel shuffle. Genuine sub-quadratic behavior (classic LSH
+    n^ρ) needs r ≈ log2(N) with a relaxed miss_target — see
+    tests/test_operators.py::test_lsh_high_threshold_prunes_candidates
+    for the high-threshold regime where that trade is measured.
     """
     bands = lsh_bands_for_threshold(threshold, rows_per_band, miss_target)
     if dim is None:
@@ -315,13 +318,44 @@ def embedding_near_dup_pairs(
 
     left = sig.select(F.col("_id").alias("a"), "band", "bhash")
     right = sig.select(F.col("_id").alias("b"), "band", "bhash")
-    cand = (
+    return (
         left.join(right, ["band", "bhash"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
 
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    rows_per_band: int = 2,
+    miss_target: float = 1e-9,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: banded-LSH candidates (see
+    :func:`lsh_hyperplane_candidates` for the recall/selectivity trade)
+    → exact cosine verify on candidates only. The plan contains no
+    cartesian operator at any parameterization; how far the candidate
+    volume sits below N²/2 depends on rows_per_band vs the threshold.
+
+    Reference semantics: same contract as the brute-force variant —
+    all (a < b) with ROUND(cos, 6) >= threshold.
+    """
+    cand = lsh_hyperplane_candidates(
+        vectors,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        rows_per_band=rows_per_band,
+        miss_target=miss_target,
+        seed=seed,
+        dim=dim,
+    )
     va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (

@@ -72,18 +72,24 @@ def _capped_value_lists(
         sel = sel.withColumn("__rn", F.row_number().over(w)).filter(
             F.col("__rn") <= cap
         )
-    rows = (
+    else:
+        # guard BEFORE any collect: without order columns there is no
+        # defensible cap order, so an over-cap group must fail loudly
+        # distributed-side — checking after collect_list would ship the
+        # unbounded lists to the driver first (the OOM the cap prevents).
+        over = (
+            sel.groupBy(group).count().filter(F.col("count") > cap).limit(1).collect()
+        )
+        if over:
+            raise ValueError(
+                f"group {over[0][group]!r} exceeds cap={cap}; pass `order` "
+                "columns so the cap is applied in time order"
+            )
+    return (
         sel.groupBy(group)
         .agg(F.sort_array(F.collect_list("v")).alias("vals"))
         .collect()
     )
-    for r in rows:
-        if len(r["vals"]) > cap:
-            raise ValueError(
-                f"group {r[group]!r} exceeds cap={cap}; pass `order` "
-                "columns so the cap is applied in time order"
-            )
-    return rows
 
 
 def bootstrap_ci(

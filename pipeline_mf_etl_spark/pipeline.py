@@ -204,7 +204,7 @@ def run_pipeline(
     ev = load_table(spark, sf_dir, "events")
     bronze = bronze_layer(ev)
     write_partitioned(downcast(bronze, s.precision.bronze_float), paths["bronze"], ["event_year"])
-    bronze = spark.read.parquet(paths["bronze"])  # downstream reads pruned layer
+    bronze = _promote_doubles(spark.read.parquet(paths["bronze"]))  # pruned layer, f64 compute
 
     silver = silver_layer(bronze)
     write_partitioned(downcast(silver, s.precision.silver_float), paths["silver"], ["event_year"])
@@ -224,11 +224,13 @@ def run_pipeline(
 
     # summary aggregates come from the WRITTEN layers (read-back counts),
     # so the artifact describes what is actually on disk
+    # coalesce: SUM over an empty layer is NULL, and the summary (the
+    # artifact contract) must still be produced for an empty input
     quality = silver.agg(
         F.count("*").alias("rows_total"),
-        F.sum(F.col("is_valid_row").cast("long")).alias("rows_valid"),
-        F.sum(F.col("quality_error_count")).alias("total_errors"),
-        F.sum(F.col("quality_warn_count")).alias("total_warns"),
+        F.coalesce(F.sum(F.col("is_valid_row").cast("long")), F.lit(0)).alias("rows_valid"),
+        F.coalesce(F.sum(F.col("quality_error_count")), F.lit(0)).alias("total_errors"),
+        F.coalesce(F.sum(F.col("quality_warn_count")), F.lit(0)).alias("total_warns"),
     ).collect()[0]
 
     summary = {

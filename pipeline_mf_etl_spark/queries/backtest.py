@@ -581,7 +581,9 @@ def b14_frame(spark: SparkSession, sf_dir: str, s: Settings) -> DataFrame:
         (F.col("value") * F.get_json_object("props", "$.k").cast("double")).alias("dollar_vol"),
     )
     grid = spark.createDataFrame(
-        [(p, d) for p in c.price_floors for d in c.dollar_vol_floors],
+        # float() so YAML-sourced integer knobs (e.g. `price_floors: [1, 5]`)
+        # satisfy the double schema instead of raising at createDataFrame
+        [(float(p), float(d)) for p in c.price_floors for d in c.dollar_vol_floors],
         "price_floor double, dv_floor double",
     )
     joined = bars.crossJoin(F.broadcast(grid))

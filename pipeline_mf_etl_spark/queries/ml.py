@@ -208,7 +208,10 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         labels = hdbscan.HDBSCAN(min_cluster_size=5).fit_predict(X)
     except ImportError:
-        labels = dbscan_labels(X, eps_from_quantile(X), min_pts=5)
+        from pipeline_mf_etl_spark.operators.density import pairwise_dist_chunked
+
+        D = pairwise_dist_chunked(X)  # shared: eps derivation + fit
+        labels = dbscan_labels(X, eps_from_quantile(X, D=D), min_pts=5, D=D)
 
     labels = np.asarray(labels)
     n = len(labels)

@@ -120,7 +120,11 @@ def e4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.4): random-hyperplane
-    LSH candidate generation + exact cosine verify on candidates only —
-    no N² cross product anywhere in the plan (vectors are 64-dim here)."""
+    LSH candidate generation + exact cosine verify on candidates only.
+    The plan is equi-join shaped (no cartesian operator); at this LOW
+    threshold the exact-recall bound forces small bands, so the candidate
+    stream itself approaches all pairs — the sub-quadratic regime needs
+    high thresholds + wide bands (see operators/similarity.py and the
+    pruning test). Vectors are 64-dim here."""
     v = _vectors(spark, sf_dir)
     return embedding_near_dup_pairs(v, 0.4, dim=64)

@@ -49,6 +49,9 @@ def test_override_rejects_unknown_keys():
     [
         {"realism": {"price_floor": 2.0, "warmup_bars": 10}},
         {"calibration": {"price_floors": [2.0, 20.0], "dollar_vol_floors": [750.0]}},
+        # integer knobs, as natural YAML would produce them — the frame
+        # builder must coerce, not crash on the double schema
+        {"calibration": {"price_floors": [1, 5], "dollar_vol_floors": [500]}},
     ],
 )
 def test_knob_override_end_to_end(spark, knobs):

@@ -233,3 +233,41 @@ def test_dbscan_matches_reference_semantics(spark):
     assert labels[0] != labels[50]
     assert (labels[110:] == -1).all()
     assert (dbscan_labels(X, eps=0.5, min_pts=5) == labels).all()
+
+
+def test_lsh_high_threshold_prunes_candidates(spark):
+    """The production LSH regime — high threshold, wide bands (r≈log2 N),
+    relaxed miss bound — must (a) still return exactly the brute-force
+    pair set on the clustered fixture (deterministic planes; detection
+    probability ~1 for true near-dups at cos≈0.99) and (b) admit far
+    fewer candidates than the N²/2 pair space, the claim that makes the
+    two-stage design worth running at scale."""
+    from pipeline_mf_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_bruteforce,
+        lsh_hyperplane_candidates,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(0, 1, (40, 32))
+    X = np.vstack([base, base + rng.normal(0, 0.05, base.shape),
+                   rng.normal(0, 1, (120, 32))])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(X)), "v": [list(map(float, r)) for r in X]}
+    )
+    v = spark.createDataFrame(pdf)
+    n = len(X)
+
+    kw = dict(rows_per_band=12, miss_target=1e-4, dim=32)
+    got = embedding_near_dup_pairs(v, 0.9, **kw)
+    want = embedding_near_dup_pairs_bruteforce(v, 0.9)
+    g = got.toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    w = want.toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
+    assert len(w) >= 40  # every jittered copy pairs with its original
+
+    n_cand = lsh_hyperplane_candidates(v, 0.9, **kw).count()
+    all_pairs = n * (n - 1) // 2
+    assert n_cand < all_pairs * 0.2, (
+        f"high-threshold LSH admitted {n_cand}/{all_pairs} pairs — no pruning"
+    )
