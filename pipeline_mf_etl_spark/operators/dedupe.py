@@ -272,7 +272,10 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_iter):
+    # max_iter CHANGING rounds are allowed, plus one confirming round —
+    # a graph whose diameter needs exactly max_iter propagation rounds
+    # must come back converged, not as a spurious failure.
+    for _ in range(max_iter + 1):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")

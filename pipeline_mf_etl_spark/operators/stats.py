@@ -72,24 +72,41 @@ def _capped_value_lists(
         sel = sel.withColumn("__rn", F.row_number().over(w)).filter(
             F.col("__rn") <= cap
         )
+        rows = (
+            sel.groupBy(group)
+            .agg(F.sort_array(F.collect_list("v")).alias("vals"))
+            .collect()
+        )
     else:
         # guard BEFORE any collect: without order columns there is no
         # defensible cap order, so an over-cap group must fail loudly
         # distributed-side — checking after collect_list would ship the
         # unbounded lists to the driver first (the OOM the cap prevents).
-        over = (
-            sel.groupBy(group).count().filter(F.col("count") > cap).limit(1).collect()
-        )
-        if over:
-            raise ValueError(
-                f"group {over[0][group]!r} exceeds cap={cap}; pass `order` "
-                "columns so the cap is applied in time order"
+        # sel is cached so the guard + collect share one source scan;
+        # the aggregate is aliased so a group column literally named
+        # "count" cannot collide with it.
+        sel = sel.cache()
+        try:
+            over = (
+                sel.groupBy(group)
+                .agg(F.count("*").alias("__cnt"))
+                .filter(F.col("__cnt") > cap)
+                .limit(1)
+                .collect()
             )
-    return (
-        sel.groupBy(group)
-        .agg(F.sort_array(F.collect_list("v")).alias("vals"))
-        .collect()
-    )
+            if over:
+                raise ValueError(
+                    f"group {over[0][group]!r} exceeds cap={cap}; pass `order` "
+                    "columns so the cap is applied in time order"
+                )
+            rows = (
+                sel.groupBy(group)
+                .agg(F.sort_array(F.collect_list("v")).alias("vals"))
+                .collect()
+            )
+        finally:
+            sel.unpersist()
+    return rows
 
 
 def bootstrap_ci(

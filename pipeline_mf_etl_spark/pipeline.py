@@ -172,6 +172,21 @@ def _promote_doubles(df: DataFrame) -> DataFrame:
     return df
 
 
+def _read_layer(spark: SparkSession, path: str, fallback: DataFrame) -> DataFrame:
+    """Read a written layer back (partition-pruned downstream reads).
+
+    An EMPTY dataset write leaves only _SUCCESS — no parquet footers to
+    infer a schema from — so fall back to the (equally empty) in-memory
+    frame; the run must still complete and emit its summary artifact.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return _promote_doubles(spark.read.parquet(path))
+    except AnalysisException:
+        return fallback
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -204,15 +219,15 @@ def run_pipeline(
     ev = load_table(spark, sf_dir, "events")
     bronze = bronze_layer(ev)
     write_partitioned(downcast(bronze, s.precision.bronze_float), paths["bronze"], ["event_year"])
-    bronze = _promote_doubles(spark.read.parquet(paths["bronze"]))  # pruned layer, f64 compute
+    bronze = _read_layer(spark, paths["bronze"], bronze)
 
     silver = silver_layer(bronze)
     write_partitioned(downcast(silver, s.precision.silver_float), paths["silver"], ["event_year"])
-    silver = _promote_doubles(spark.read.parquet(paths["silver"]))
+    silver = _read_layer(spark, paths["silver"], silver)
 
     gold = gold_layer(silver, s)
     write_partitioned(downcast(gold, s.precision.gold_float), paths["gold"], ["event_year"])
-    gold = _promote_doubles(spark.read.parquet(paths["gold"]))
+    gold = _read_layer(spark, paths["gold"], gold)
 
     research = research_layer(gold)
     research.coalesce(1).write.mode("overwrite").parquet(paths["research"])

@@ -203,15 +203,18 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)
-    try:
-        import hdbscan
+    if len(X) < 2:  # no pairwise distances → no clusters, only noise
+        labels = np.full(len(X), -1, dtype=np.int64)
+    else:
+        try:
+            import hdbscan
 
-        labels = hdbscan.HDBSCAN(min_cluster_size=5).fit_predict(X)
-    except ImportError:
-        from pipeline_mf_etl_spark.operators.density import pairwise_dist_chunked
+            labels = hdbscan.HDBSCAN(min_cluster_size=5).fit_predict(X)
+        except ImportError:
+            from pipeline_mf_etl_spark.operators.density import pairwise_dist_chunked
 
-        D = pairwise_dist_chunked(X)  # shared: eps derivation + fit
-        labels = dbscan_labels(X, eps_from_quantile(X, D=D), min_pts=5, D=D)
+            D = pairwise_dist_chunked(X)  # shared: eps derivation + fit
+            labels = dbscan_labels(X, eps_from_quantile(X, D=D), min_pts=5, D=D)
 
     labels = np.asarray(labels)
     n = len(labels)

@@ -108,3 +108,31 @@ def test_cli_query_subcommand(capsys):
     out = capsys.readouterr().out
     assert "sum_qty" in out
     assert main(["query", "nope_not_real"]) == 2
+
+
+def test_run_pipeline_empty_input(spark, tmp_path):
+    """An empty events table must still complete the run and emit the
+    run_summary.json artifact (zero counts), not crash on layer
+    read-back or NULL aggregates."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "event_type": pd.Series(dtype=pd.StringDtype()),
+            "value": pd.Series(dtype="float64"),
+            "props": pd.Series(dtype=pd.StringDtype()),
+        }
+    )
+    empty.to_parquet(src / "events.parquet")
+
+    out = str(tmp_path / "out")
+    summary = run_pipeline(spark, str(src), out, run_id="empty")
+    assert summary["rows_total"] == 0
+    assert summary["rows_valid"] == 0
+    assert summary["n_trades"] == 0
+    assert os.path.exists(os.path.join(out, "run_summary.json"))
