@@ -1,5 +1,6 @@
-"""Corpus-hygiene queries for training-data pipelines: PII / banned-term
-scrubbing and deterministic stratified sampling.
+"""Corpus-hygiene and sketch queries for training-data pipelines:
+PII / banned-term scrubbing, deterministic stratified sampling, and
+approximate quantile / heavy-hitter sketches.
 
 Both are pure built-in expressions (regexp_replace / md5-hash
 Bernoulli) — no Python in the hot path — and both carry full DuckDB
@@ -126,3 +127,64 @@ def o9_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch operators: the approximate counterparts a 100 TB pipeline runs
+# when exact quantiles/top-k are too expensive. Both are rows-only by
+# design (sketch internals are engine-specific); property tests bound
+# the error against the exact answers (tests/test_sketches.py).
+# ---------------------------------------------------------------------------
+@query("a16_approx_quantiles", oracle=None)
+def a16_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate value quantiles per event_type at
+    1% relative error — the single-pass mergeable-summary path used when
+    exact percentile would shuffle full columns."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = F.percentile_approx(
+        "value", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]), 10_000
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(qs.alias("q"))
+        .select(
+            "event_type",
+            F.round(F.element_at("q", 1), 6).alias("p25"),
+            F.round(F.element_at("q", 2), 6).alias("p50"),
+            F.round(F.element_at("q", 3), 6).alias("p75"),
+            F.round(F.element_at("q", 4), 6).alias("p95"),
+        )
+    )
+
+
+@query("a17_heavy_hitters", oracle=None)
+def a17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the event stream's user ids.
+
+    The frequency table is ONE distributed mergeable-sketch aggregate
+    (`count_min_sketch`, eps=0.001 → overestimate bound ~0.1% of total
+    stream length, delta=0.99); the candidate set to probe comes from an
+    exact top-10 (at 100 TB a sampled candidate pass or per-partition
+    top-k would supply it). Each candidate's estimated frequency is then
+    read from the sketch blob on the driver — never from a second scan
+    of the data — which is the whole point of the sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    candidates = [
+        int(r["user_id"])
+        for r in ev.groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"), F.asc("user_id"))
+        .limit(10)
+        .collect()
+    ]
+    blob = ev.agg(
+        F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("cms")
+    ).collect()[0]["cms"]
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(blob))
+    )
+    rows = [(uid, int(cms.estimateCount(uid))) for uid in candidates]
+    return spark.createDataFrame(
+        rows, "user_id long, est_count long"
+    ).orderBy(F.desc("est_count"), F.asc("user_id"))
