@@ -21,39 +21,55 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, "QuerySpec"] = {}
 
 # Modules that register queries on import. Order matters: the driver's
-# correctness harness certifies the first 50 registered queries, so the
-# families with the least prior certification evidence register first and
-# the long-stable relational/window/quality/stats families last.
+# correctness harness certifies the first 50 registered queries. Round-3
+# rotation: the round-2 window certified the backtest/dedup/text/
+# similarity/flow/streaming/validation/multimodal families (all green),
+# so those register LAST; the filler slots after _PRIORITY re-certify
+# the families whose last green row is round 1 (quality/windows/
+# relational/stats) under the current code.
 _QUERY_MODULES = (
+    "pipeline_mf_etl_spark.queries.corpus",
+    "pipeline_mf_etl_spark.queries.ml",
+    "pipeline_mf_etl_spark.queries.quality",
+    "pipeline_mf_etl_spark.queries.windows",
+    "pipeline_mf_etl_spark.queries.relational",
+    "pipeline_mf_etl_spark.queries.stats",
+    "pipeline_mf_etl_spark.queries.validation",
     "pipeline_mf_etl_spark.queries.backtest",
     "pipeline_mf_etl_spark.queries.dedup",
     "pipeline_mf_etl_spark.queries.text",
     "pipeline_mf_etl_spark.queries.similarity",
     "pipeline_mf_etl_spark.queries.flow",
     "pipeline_mf_etl_spark.queries.streaming",
-    "pipeline_mf_etl_spark.queries.ml",
-    "pipeline_mf_etl_spark.queries.validation",
     "pipeline_mf_etl_spark.queries.multimodal",
-    "pipeline_mf_etl_spark.queries.corpus",
-    "pipeline_mf_etl_spark.queries.stats",
-    "pipeline_mf_etl_spark.queries.quality",
-    "pipeline_mf_etl_spark.queries.windows",
-    "pipeline_mf_etl_spark.queries.relational",
 )
 
 # Explicit front-of-queue names (certification priority within the driver's
-# 50-query window) — used to pull individual stragglers (e.g. the bootstrap
-# trio registered late in the stats module) ahead of already-certified
-# queries without moving source code around.
-# Round-3 rotation note: the round-2 window is exactly the 50 previously
-# uncertified queries; t6_pii_scrub / o9_stratified_sample (corpus module,
-# positions 51-52) and the long-green relational/windows/quality/stats
-# families are NOT in it — next round, swap _PRIORITY/module order so the
-# still-uncertified names come first.
+# 50-query window). Round-3 set = the 8 round-1 hash-fails whose oracles
+# were fixed after the round-1 run (driver's last word on them is stale
+# FAIL), + the 4 queries registered after the round-2 window filled
+# (never driver-certified), + the ML queries that gained real DuckDB
+# oracles this round (previously no_oracle).
 _PRIORITY = (
-    "m13_bootstrap_ci",
-    "m14_block_bootstrap",
-    "m15_pairwise_diff_ci",
+    # fixed after r1 (oracle-side BIGINT casts) — need driver re-cert
+    "p2_p3_quality_flags",
+    "p4_quality_report",
+    "a2_conditional_aggregates",
+    "a4_horizontal_aggs",
+    "a9_null_rates",
+    "a13_orders_by_year",
+    "j6_overlay_coverage",
+    "w15_duplicate_flag",
+    # never driver-certified (registered at positions 51+ in r2)
+    "t6_pii_scrub",
+    "o9_stratified_sample",
+    "a16_approx_quantiles",
+    "a17_heavy_hitters",
+    # newly oracled this round (were no_oracle in r2)
+    "m4_kmeans_profile",
+    "m20_ari_vs_truth",
+    "m5_gmm_mixture",
+    "m10_hmm_states",
 )
 
 
