@@ -15,6 +15,8 @@ reference treats it as optional (research/clustering.py:184-203).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,6 +25,35 @@ from pipeline_mf_etl_spark.sources.readers import load_table
 
 _SEED = 42
 _K = 10
+
+# Model predictions are persisted here so the DuckDB oracle can verify
+# the downstream relational algebra (profiles, ARI, per-state rollups)
+# over the exact same label assignments the Spark side aggregates. The
+# model *fit* itself is engine-specific (MLlib vs sklearn — SURVEY.md
+# §7.5); what IS checkable is everything after the labels exist, and
+# this gives those queries a full rows+schema+hash oracle instead of a
+# rows-only pass. The export dir is gitignored scratch inside the repo.
+_EXPORT_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".artifacts", "ml_export")
+# Oracle SQL strings are static: they read the export for the oracle
+# scale factor (the driver certifies at sf0.01; tests honor the same
+# env override the parity harness uses).
+_ORACLE_TAG = os.path.basename(
+    os.path.normpath(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
+)
+
+
+def _export(df: DataFrame, spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Write a deterministic model-output frame to the export dir and
+    read it back, so Spark aggregation and the DuckDB oracle consume
+    bit-identical rows."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_EXPORT_ROOT, tag, name)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _export_glob(name: str) -> str:
+    return os.path.join(_EXPORT_ROOT, _ORACLE_TAG, name, "*.parquet")
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,11 +77,36 @@ def _kmeans_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M4: KMeans clustering — label-invariant cluster profile
 # (reference research/clustering.py:121-145)
 # ---------------------------------------------------------------------------
-@query("m4_kmeans_profile")
+@query(
+    "m4_kmeans_profile",
+    oracle=f"""
+    WITH cell AS (
+        SELECT prediction, label, COUNT(*) AS cnt
+        FROM read_parquet('{_export_glob("m4_pred")}')
+        GROUP BY prediction, label
+    ), top AS (
+        SELECT prediction,
+               CAST(MAX(cnt) AS BIGINT) AS top_label_n,
+               CAST(SUM(cnt) AS BIGINT) AS n
+        FROM cell GROUP BY prediction
+    )
+    SELECT n AS cluster_size, ROUND(top_label_n / n, 4) AS purity
+    FROM top ORDER BY cluster_size DESC, purity DESC
+    """,
+)
 def m4_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-ordered KMeans cluster profile (sizes + majority true label
-    share) — invariant to cluster-id permutation."""
-    pred = _kmeans_predictions(spark, sf_dir)
+    share) — invariant to cluster-id permutation. Labels are persisted
+    to parquet and read back so the profile rollup is oracle-checked
+    over the exact assignments."""
+    pred = _export(
+        _kmeans_predictions(spark, sf_dir).select(
+            "vec_id", "label", F.col("prediction").cast("int").alias("prediction")
+        ),
+        spark,
+        sf_dir,
+        "m4_pred",
+    )
     # majority true-label share per cluster, via a label×cluster rollup
     cell = pred.groupBy("prediction", "label").count()
     top = cell.groupBy("prediction").agg(
@@ -91,11 +147,22 @@ def m7_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M5: Gaussian mixture — weights + mean assignment entropy
 # (reference research/clustering.py:147-182)
 # ---------------------------------------------------------------------------
-@query("m5_gmm_mixture")
+@query(
+    "m5_gmm_mixture",
+    oracle=f"""
+    SELECT COUNT(*) AS cluster_size,
+           ROUND(AVG(p_max), 6) AS mean_p_max,
+           ROUND(AVG(entropy), 6) AS mean_entropy
+    FROM read_parquet('{_export_glob("m5_probs")}')
+    GROUP BY prediction
+    ORDER BY cluster_size DESC, mean_p_max
+    """,
+)
 def m5_gmm_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GMM mixture weights (sorted) with per-cluster mean max-probability
     and mean assignment entropy −Σ p·log p, computed from the probability
-    vector with JVM-side vector ops."""
+    vector with JVM-side vector ops. Per-row (prediction, p_max, entropy)
+    is persisted so the per-cluster rollup is oracle-checked."""
     from pyspark.ml.clustering import GaussianMixture
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import vector_to_array
@@ -117,11 +184,17 @@ def m5_gmm_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc - x * F.log(x),
     )
-    per_cluster = probs.select(
-        "prediction",
-        F.array_max("p").alias("p_max"),
-        ent.alias("entropy"),
-    ).groupBy("prediction").agg(
+    per_row = _export(
+        probs.select(
+            F.col("prediction").cast("int").alias("prediction"),
+            F.array_max("p").alias("p_max"),
+            ent.alias("entropy"),
+        ),
+        spark,
+        sf_dir,
+        "m5_probs",
+    )
+    per_cluster = per_row.groupBy("prediction").agg(
         F.count("*").alias("cluster_size"),
         F.round(F.avg("p_max"), 6).alias("mean_p_max"),
         F.round(F.avg("entropy"), 6).alias("mean_entropy"),
@@ -136,12 +209,49 @@ def m5_gmm_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (reference research/pipeline.py seed-stability ARI; sklearn
 # adjusted_rand_score re-derived from the contingency table)
 # ---------------------------------------------------------------------------
-@query("m20_ari_vs_truth")
+@query(
+    "m20_ari_vs_truth",
+    oracle=f"""
+    WITH p AS (
+        SELECT label, prediction FROM read_parquet('{_export_glob("m20_pred")}')
+    ), cells AS (
+        SELECT label, prediction, CAST(COUNT(*) AS BIGINT) AS c
+        FROM p GROUP BY label, prediction
+    ), stats AS (
+        SELECT SUM(c * (c - 1) / 2.0) AS s,
+               CAST(SUM(c) AS BIGINT) AS n
+        FROM cells
+    ), ra AS (
+        SELECT SUM(rc * (rc - 1) / 2.0) AS a FROM (
+            SELECT CAST(SUM(c) AS BIGINT) AS rc FROM cells GROUP BY label
+        )
+    ), cb AS (
+        SELECT SUM(cc * (cc - 1) / 2.0) AS b FROM (
+            SELECT CAST(SUM(c) AS BIGINT) AS cc FROM cells GROUP BY prediction
+        )
+    )
+    SELECT CAST(n AS INT) AS n_rows,
+           ROUND(CASE WHEN (a + b) / 2.0 - a * b / (n * (n - 1) / 2.0) = 0
+                      THEN 0.0
+                      ELSE (s - a * b / (n * (n - 1) / 2.0))
+                           / ((a + b) / 2.0 - a * b / (n * (n - 1) / 2.0))
+                 END, 6) AS ari
+    FROM stats, ra, cb
+    """,
+)
 def m20_ari_vs_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARI from the label×cluster contingency table: the pair counts are
     distributed aggregates; the final scalar folds on the driver (the
-    table is at most k×n_labels cells)."""
-    pred = _kmeans_predictions(spark, sf_dir)
+    table is at most k×n_labels cells). Label assignments are persisted
+    so the oracle re-derives the identical ARI in SQL."""
+    pred = _export(
+        _kmeans_predictions(spark, sf_dir).select(
+            "vec_id", "label", F.col("prediction").cast("int").alias("prediction")
+        ),
+        spark,
+        sf_dir,
+        "m20_pred",
+    )
     cells = pred.groupBy("label", "prediction").count().collect()
     n = sum(c["count"] for c in cells)
     from collections import defaultdict
@@ -187,7 +297,9 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample (the reference's research fit is driver-side too), eps from
     the 2% pairwise-distance quantile, min_pts=5. Output is
     label-invariant: cluster count, noise share, size profile of the
-    top clusters."""
+    top clusters. ``sample_coverage`` makes the capped-sample basis
+    self-describing: at sf1+ the 4k cap covers a sliver of the corpus
+    and the consumer must see that in the output, not the docstring."""
     import numpy as np
 
     from pipeline_mf_etl_spark.operators.density import (
@@ -196,6 +308,7 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
     rows = (
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .orderBy("vec_id")
@@ -227,6 +340,7 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 int(n),
+                round(n / n_total, 6) if n_total else 0.0,
                 int(len(sizes)),
                 round(noise / n, 6) if n else 0.0,
                 top[0],
@@ -235,8 +349,8 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         schema=(
-            "n_points int, n_clusters int, noise_share double, "
-            "size_1 int, size_2 int, size_3 int"
+            "n_points int, sample_coverage double, n_clusters int, "
+            "noise_share double, size_1 int, size_2 int, size_3 int"
         ),
     )
 
@@ -246,11 +360,25 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributed Viterbi/posterior decode (reference research_hmm/
 # sequence_builder.py:25-108, hmm_model.py:29-98, decode.py:57-157).
 # ---------------------------------------------------------------------------
-@query("m10_hmm_states")
+@query(
+    "m10_hmm_states",
+    oracle=f"""
+    SELECT hmm_state,
+           COUNT(*) AS n_bars,
+           ROUND(AVG(state_prob_max), 6) AS mean_prob_max,
+           ROUND(AVG(state_entropy), 6) AS mean_entropy,
+           ROUND(AVG(ret_1), 6) AS mean_ret
+    FROM read_parquet('{_export_glob("m10_decoded")}')
+    GROUP BY hmm_state
+    ORDER BY hmm_state
+    """,
+)
 def m10_hmm_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-state HMM diagnostics after distributed decode: bar counts,
     mean decoded confidence/entropy, mean return — deterministic
-    (seedless quantile init, fixed iteration schedule)."""
+    (seedless quantile init, fixed iteration schedule). The decoded
+    per-bar frame is persisted so the per-state rollup is
+    oracle-checked over the exact decode output."""
     import numpy as np
     from pyspark.sql import Window
 
@@ -283,7 +411,18 @@ def m10_hmm_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = DiagGaussianHMM(n_states=3, n_iter=30).fit(sequences)
 
     decoded = decode_distributed(bars, model.to_params(), ["ret_1", "abs_ret_1"], min_len=20)
-    joined = decoded.join(bars.select("event_id", "ret_1"), "event_id")
+    joined = _export(
+        decoded.join(bars.select("event_id", "ret_1"), "event_id").select(
+            "event_id",
+            F.col("hmm_state").cast("int").alias("hmm_state"),
+            "state_prob_max",
+            "state_entropy",
+            "ret_1",
+        ),
+        spark,
+        sf_dir,
+        "m10_decoded",
+    )
     return (
         joined.groupBy("hmm_state")
         .agg(
