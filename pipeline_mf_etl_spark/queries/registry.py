@@ -6,6 +6,12 @@ DuckDB over the same parquet tables. Column names are aligned on both
 sides (the comparison sorts columns by name before hashing values), and
 every computed double is rounded to a fixed precision on BOTH sides so
 accumulation-order ulp drift cannot flip the hash.
+
+Contract note: builders are lazy (return an unexecuted plan) EXCEPT the
+model-fit and sketch-probe families (ml.py, a17), which necessarily run
+driver actions at build time — a model must be fit / a sketch blob read
+before the result frame exists. Those are flagged in their docstrings;
+callers that need strict laziness should treat them as materializing.
 """
 
 from __future__ import annotations
