@@ -130,6 +130,11 @@ def override(base: Settings, **sections) -> Settings:
     for name, vals in sections.items():
         if name not in _SECTIONS:
             raise KeyError(f"unknown settings section {name!r}")
+        if not isinstance(vals, dict):
+            raise ValueError(
+                f"settings section {name!r} must be a mapping of field "
+                f"overrides, got {type(vals).__name__}: {vals!r}"
+            )
         current = getattr(base, name)
         fixed = {
             k: tuple(v) if isinstance(v, list) else v for k, v in vals.items()
@@ -169,4 +174,7 @@ def load_settings(path: str | os.PathLike | None = None) -> Settings:
     data = yaml.safe_load(chosen.read_text()) or {}
     if not isinstance(data, dict):
         raise ValueError(f"settings file {chosen} must be a mapping")
-    return override(s, **{k: v for k, v in data.items() if v})
+    # drop only EXPLICIT nulls (a yaml `section:` placeholder); an empty
+    # mapping is a no-op override and anything non-dict is rejected by
+    # override() with the section named — never silently ignored.
+    return override(s, **{k: v for k, v in data.items() if v is not None})

@@ -235,6 +235,23 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the cached blocks behind a localCheckpoint'ed frame.
+
+    ``DataFrame.unpersist()`` only talks to the SQL cache manager and
+    never reaches the RDD blocks a local checkpoint stores, so an
+    iterative algorithm that checkpoints per round leaks one block set
+    per round for the session lifetime. This frees them through the
+    LogicalRDD's underlying RDD. Best-effort by design: if the internal
+    accessor shape ever changes, leaking (the old behavior) beats
+    crashing the query. The frame must be SUPERSEDED — it is
+    unreadable afterwards."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - internals drifted; accept leak
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "a",
@@ -300,10 +317,14 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # `updated` is its own (eager) checkpoint and `changed` is
+        # computed — the previous round's blocks are now garbage.
+        _free_local_checkpoint(labels)
         labels = updated
         if changed == 0:
             converged = True
             break
+    _free_local_checkpoint(sym)
     if not converged:
         # returning partial labels would silently assign WRONG components
         # to the far ends of long chains — fail loudly instead.

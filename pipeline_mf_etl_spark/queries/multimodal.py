@@ -53,8 +53,10 @@ def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm2_byte_features",
     oracle="""
     WITH chars AS (
+        -- length guard: split('', '') yields [''] whose ord() is -1, so
+        -- empty docs must come from the LEFT JOIN below, not from here
         SELECT doc_id, ord(unnest(split(text, ''))) AS byte
-        FROM documents
+        FROM documents WHERE length(text) > 0
     ), agg AS (
         SELECT doc_id,
                COUNT(*) AS n_bytes,
@@ -63,12 +65,15 @@ def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS hist_bin_6
         FROM chars GROUP BY doc_id
     )
-    SELECT a.doc_id,
-           a.n_bytes,
+    -- LEFT JOIN + COALESCE: a zero-length doc has no unnested chars, so
+    -- the inner-join form would DROP it while the Spark side emits it
+    -- with n_bytes=0, null mean, 0.0 histogram (operators/multimodal.py).
+    SELECT d.doc_id,
+           COALESCE(a.n_bytes, 0) AS n_bytes,
            ROUND(a.byte_mean, 6) AS byte_mean,
            sha256(d.text) AS payload_sha256,
-           ROUND(a.hist_bin_6, 6) AS hist_bin_6
-    FROM agg a JOIN documents d USING (doc_id)
+           ROUND(COALESCE(a.hist_bin_6, 0.0), 6) AS hist_bin_6
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
 def mm2_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:

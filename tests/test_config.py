@@ -44,6 +44,25 @@ def test_override_rejects_unknown_keys():
         override(Settings(), not_a_section={"x": 1})
 
 
+def test_override_rejects_non_mapping_section(tmp_path):
+    """A scalar/list section must fail with the section NAMED, not an
+    opaque AttributeError from vals.items()."""
+    with pytest.raises(ValueError, match="indicators"):
+        override(Settings(), indicators=10)
+    f = tmp_path / "s.yaml"
+    f.write_text("indicators: 10\n")
+    with pytest.raises(ValueError, match="indicators"):
+        load_settings(f)
+
+
+def test_yaml_null_and_empty_sections(tmp_path):
+    """An explicit `section:` null is a placeholder (ignored); an empty
+    mapping is a no-op override — neither may crash or drift defaults."""
+    f = tmp_path / "s.yaml"
+    f.write_text("realism:\nbootstrap: {}\n")
+    assert load_settings(f) == Settings()
+
+
 @pytest.mark.parametrize(
     "knobs",
     [

@@ -45,3 +45,54 @@ def test_sha256_matches_local(feats, spark):
 def test_decode_gate():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00", "image/png")
+
+
+def test_corpus_is_ascii(spark):
+    """The mm2 oracle counts bytes via ord() over CHARACTERS, which is
+    only equal to UTF-8 bytes for pure-ASCII text. Pin that corpus
+    property so a data refresh can't silently invalidate the oracle
+    (a non-ASCII corpus needs an oracle rewrite, not a silent drift)."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_ORACLE
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        docs = load_table(spark, sf, "documents")
+        non_ascii = docs.filter(~F.col("text").rlike(r"^[\x00-\x7F]*$")).count()
+        assert non_ascii == 0, f"{sf}: {non_ascii} non-ASCII docs break the mm2 oracle"
+
+
+def test_mm2_oracle_keeps_empty_docs(spark, tmp_path):
+    """A zero-length doc must survive BOTH sides of mm2: the Spark
+    featurizer emits n_bytes=0 / null mean, and the oracle's LEFT JOIN
+    keeps the row the unnest-based agg can't produce."""
+    import duckdb
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.queries import all_queries
+    from tests.conftest import canonical_rows
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["abc", ""],
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+            "n_chars": [3, 0],
+        }
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+
+    spec = all_queries()["mm2_byte_features"]
+    sdf = spec.spark(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == 2
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert canonical_rows(srows, list(sdf.columns)) == canonical_rows(drows, dcols)

@@ -215,6 +215,24 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_connected_components_frees_checkpoint_blocks(spark):
+    """Each propagation round localCheckpoints a frame; superseded
+    rounds' blocks must be unpersisted, not leak for the session
+    lifetime — after the call at most the RETURNED labels frame may
+    hold blocks beyond whatever was already cached before."""
+    from pipeline_mf_etl_spark.operators.dedupe import connected_components
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6)]
+    labels = connected_components(spark.createDataFrame(edges, "a long, b long"))
+    assert labels.count() > 0  # returned frame is readable
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 1, (
+        f"connected_components leaked {after - before - 1} checkpoint block sets"
+    )
+
+
 def test_dbscan_matches_reference_semantics(spark):
     """NumPy DBSCAN fallback: two dense blobs + scattered noise must come
     back as exactly two clusters with the blob members together and the
