@@ -17,35 +17,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# readStream needs an explicit schema; the driver's events.parquet holds
-# TIMESTAMP(NANOS), which Spark reads as long under
-# spark.sql.legacy.parquet.nanosAsLong (set in sources.readers.load_table
-# and here for the stream path).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),  # nanos-as-long
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
-
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """Nanos-as-long → microsecond timestamp (floor division matches the
-    DuckDB nanos→micros truncation, sources/readers.py)."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Bring ``ts`` to watermark-compatible TIMESTAMP regardless of how
+    the source file encodes it: nanos-as-long → floor-divide to micros
+    (matching DuckDB's nanos→micros truncation, sources/readers.py);
+    TIMESTAMP_NTZ (micros file without timezone) → TIMESTAMP (values
+    unchanged — the session timezone is UTC)."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -53,12 +36,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet — the Structured
     Streaming replacement for the reference's NEW/CHANGED manifest scan
     (checkpointing tracks processed files instead of a fingerprint
-    ledger)."""
+    ledger).
+
+    readStream needs an explicit schema; probe it from the parquet
+    footer of the batch reader rather than hard-coding it — the source
+    generation has shipped ``ts`` both as TIMESTAMP(NANOS) (surfaced as
+    long under spark.sql.legacy.parquet.nanosAsLong) and as
+    TIMESTAMP(MICROS) (surfaced as a native timestamp), and a schema
+    that bakes in one generation silently corrupts the other (a
+    micros-long divided by 1000 lands in 1970)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the file-source needs a directory; select just the events file via
     # a glob filter over the sf dir.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
