@@ -6,6 +6,8 @@ src/mf_etl/cli.py); here the same orchestration surface is three
 subcommands over the Spark engine:
 
     python -m pipeline_mf_etl_spark run --sf-dir ... --output ...
+    python -m pipeline_mf_etl_spark bronze|research|backtest --output ...
+    python -m pipeline_mf_etl_spark walkforward --output ... --train-ends ...
     python -m pipeline_mf_etl_spark query a1_grouped_stats --sf-dir ...
     python -m pipeline_mf_etl_spark list
 """
@@ -26,6 +28,23 @@ def _build_parser() -> argparse.ArgumentParser:
     run.add_argument("--output", required=True)
     run.add_argument("--settings", default=None, help="YAML settings override file")
     run.add_argument("--run-id", default="cli-run")
+
+    for stage in ("bronze", "research", "backtest"):
+        sp = sub.add_parser(stage, help=f"run the {stage} stage only")
+        sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+        sp.add_argument("--output", required=True)
+        sp.add_argument("--settings", default=None, help="YAML settings override file")
+
+    wf = sub.add_parser("walkforward", help="run/resume a walk-forward pack")
+    wf.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    wf.add_argument("--output", required=True)
+    wf.add_argument(
+        "--train-ends",
+        required=True,
+        help="comma-separated ISO cut dates, e.g. 2024-01-10,2024-01-15",
+    )
+    wf.add_argument("--force", action="store_true", help="recompute all splits")
+    wf.add_argument("--max-splits", type=int, default=None)
 
     q = sub.add_parser("query", help="run one registered query and print rows")
     q.add_argument("name")
@@ -59,6 +78,34 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.sf_dir, args.output, settings=settings, run_id=args.run_id
         )
         json.dump(summary, sys.stdout, indent=2, sort_keys=True)
+        print()
+        return 0
+
+    if args.cmd in ("bronze", "research", "backtest"):
+        from pipeline_mf_etl_spark.config import load_settings
+        from pipeline_mf_etl_spark.pipeline import run_backtest, run_bronze, run_research
+
+        settings = load_settings(args.settings) if args.settings else None
+        runner = {"bronze": run_bronze, "research": run_research, "backtest": run_backtest}[
+            args.cmd
+        ]
+        summary = runner(spark, args.sf_dir, args.output, settings=settings)
+        json.dump(summary, sys.stdout, indent=2, sort_keys=True)
+        print()
+        return 0
+
+    if args.cmd == "walkforward":
+        from pipeline_mf_etl_spark.walkforward import run_walkforward
+
+        manifest = run_walkforward(
+            spark,
+            args.sf_dir,
+            args.output,
+            args.train_ends.split(","),
+            force=args.force,
+            max_splits=args.max_splits,
+        )
+        json.dump(manifest, sys.stdout, indent=2, sort_keys=True)
         print()
         return 0
 

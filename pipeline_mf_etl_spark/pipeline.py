@@ -144,22 +144,142 @@ def research_layer(gold: DataFrame) -> DataFrame:
     )
 
 
-def backtest_layer(gold: DataFrame, s: Settings) -> tuple[DataFrame, DataFrame]:
-    """B6/B7: trade simulation on gold signals + summary metrics."""
-    bars = gold.select("user_id", "ts", "event_id", "value", "side", "signal")
+def backtest_layer(
+    gold: DataFrame, s: Settings
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """B4+B6/B7: execution-realism gating, trade simulation on the
+    surviving signals, and summary metrics.
+
+    Realism flags mirror the oracle-certified b4 query (price floor /
+    warmup / rolling dollar-vol median floor with fixed-precedence
+    primary reason, reference backtest/execution_realism.py:208-559);
+    suppressed entry signals are rolled up by reason so the report can
+    show WHY candidates were dropped (reference suppression
+    diagnostics, execution_realism.py:440-470).
+
+    Returns (trades, metrics, suppression_by_reason).
+    """
+    from pipeline_mf_etl_spark.operators.windows import rolling_min_samples
+
+    r = s.realism
+    w = series_window()
+    dv = F.col("value") * F.col("prop_k")
+    bars = gold.select(
+        "user_id", "ts", "event_id", "value", "side", "signal", dv.alias("dollar_vol")
+    ).withColumn(
+        "history_bars",
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    med = rolling_min_samples(
+        F.expr("percentile(dollar_vol, 0.5)"),
+        F.col("dollar_vol"),
+        w,
+        r.dollar_vol_window,
+    )
+    bars = bars.withColumn("dv_med", med)
+    price_fail = F.col("value") < r.price_floor
+    warm_fail = F.col("history_bars") < r.warmup_bars
+    dv_fail = F.coalesce(F.col("dv_med") < r.dollar_vol_floor, F.lit(False))
+    reason = (
+        F.when(price_fail, "PRICE_FLOOR")
+        .when(warm_fail, "WARMUP")
+        .when(dv_fail, "DOLLAR_VOL")
+    )
+    bars = bars.withColumn("exec_eligible", ~(price_fail | warm_fail | dv_fail)).withColumn(
+        "suppress_reason", reason
+    )
+    suppression = (
+        bars.filter(F.col("signal") & ~F.col("exec_eligible"))
+        .groupBy("suppress_reason")
+        .agg(F.count("*").alias("n_suppressed"))
+        .orderBy("suppress_reason")
+    )
+    gated = bars.withColumn("signal", F.col("signal") & F.col("exec_eligible")).select(
+        "user_id", "ts", "event_id", "value", "side", "signal"
+    )
     trades = simulate_trades(
-        bars,
+        gated,
         hold_bars=s.backtest.hold_bars,
         fee_bps=s.backtest.fee_bps_per_side,
         slippage_bps=s.backtest.slippage_bps_per_side,
     )
-    metrics = trades.agg(
+    return trades, trade_metrics(trades), suppression
+
+
+def trade_metrics(trades: DataFrame) -> DataFrame:
+    """B7 summary aggregate (one row)."""
+    return trades.agg(
         F.count("*").alias("n_trades"),
         F.round(F.avg("net_return"), 6).alias("expectancy"),
         F.round(F.avg((F.col("net_return") > 0).cast("double")), 6).alias("win_rate"),
         F.round(F.stddev_pop("net_return"), 6).alias("net_std"),
     )
-    return trades, metrics
+
+
+def run_bronze(
+    spark: SparkSession, sf_dir: str, output_root: str, settings: Settings | None = None
+) -> dict:
+    """Stage entry point: bronze normalize + silver quality flags only
+    (the reference's ``bronze-run`` writes normalized rows WITH their
+    quality flags; here that is the silver frame written as one layer).
+    Returns the stage summary (also persisted as JSON)."""
+    s = settings or load_settings()
+    del s  # bronze has no knobs today; parity with the other stages
+    silver = silver_layer(bronze_layer(load_table(spark, sf_dir, "events")))
+    path = os.path.join(output_root, "bronze")
+    write_partitioned(silver, path, ["event_year"])
+    q = silver.agg(
+        F.count("*").alias("rows_total"),
+        F.coalesce(F.sum(F.col("is_valid_row").cast("long")), F.lit(0)).alias("rows_valid"),
+    ).collect()[0]
+    summary = {
+        "stage": "bronze",
+        "rows_total": int(q["rows_total"]),
+        "rows_valid": int(q["rows_valid"]),
+        "output": path,
+    }
+    write_json_artifact(summary, os.path.join(output_root, "bronze_summary.json"))
+    return summary
+
+
+def run_research(
+    spark: SparkSession, sf_dir: str, output_root: str, settings: Settings | None = None
+) -> dict:
+    """Stage entry point: chain to gold in memory, write the research
+    profile + csv twin (reference ``research-cluster-run`` shape)."""
+    s = settings or load_settings()
+    gold = gold_layer(silver_layer(bronze_layer(load_table(spark, sf_dir, "events"))), s)
+    research = research_layer(gold)
+    path = os.path.join(output_root, "research")
+    research.coalesce(1).write.mode("overwrite").parquet(path)
+    write_csv_twin(research, path + "_csv")
+    summary = {
+        "stage": "research",
+        "n_states": research.count(),
+        "output": path,
+    }
+    write_json_artifact(summary, os.path.join(output_root, "research_summary.json"))
+    return summary
+
+
+def run_backtest(
+    spark: SparkSession, sf_dir: str, output_root: str, settings: Settings | None = None
+) -> dict:
+    """Stage entry point: chain to gold in memory, simulate, write the
+    trades layer + report twins (reference ``backtest-run`` shape)."""
+    from pipeline_mf_etl_spark.reports import build_backtest_report, write_backtest_report
+
+    s = settings or load_settings()
+    gold = gold_layer(silver_layer(bronze_layer(load_table(spark, sf_dir, "events"))), s)
+    trades, _, suppression = backtest_layer(gold, s)
+    path = os.path.join(output_root, "trades")
+    trades.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    trades = _read_layer(spark, path, trades)
+    report = build_backtest_report(trades, gold, suppression)
+    write_backtest_report(report, output_root)
+    summary = {"stage": "backtest", "output": path, **report}
+    write_json_artifact(summary, os.path.join(output_root, "backtest_summary.json"))
+    return summary
 
 
 def _promote_doubles(df: DataFrame) -> DataFrame:
@@ -233,9 +353,18 @@ def run_pipeline(
     research.coalesce(1).write.mode("overwrite").parquet(paths["research"])
     write_csv_twin(research, paths["research"] + "_csv")
 
-    trades, metrics = backtest_layer(gold, s)
+    trades, _, suppression = backtest_layer(gold, s)
     trades.write.mode("overwrite").option("compression", "zstd").parquet(paths["trades"])
-    metric_row = metrics.collect()[0].asDict()
+    # metrics + report from the WRITTEN layer: one simulation pass total
+    trades = _read_layer(spark, paths["trades"], trades)
+    metric_row = trade_metrics(trades).collect()[0].asDict()
+
+    # report twins (json + md) over the WRITTEN trades layer, so the
+    # report describes what is on disk (reference backtest/reports.py)
+    from pipeline_mf_etl_spark.reports import build_backtest_report, write_backtest_report
+
+    report = build_backtest_report(trades, gold, suppression)
+    write_backtest_report(report, output_root)
 
     # summary aggregates come from the WRITTEN layers (read-back counts),
     # so the artifact describes what is actually on disk

@@ -136,3 +136,129 @@ def test_run_pipeline_empty_input(spark, tmp_path):
     assert summary["rows_valid"] == 0
     assert summary["n_trades"] == 0
     assert os.path.exists(os.path.join(out, "run_summary.json"))
+
+
+def test_walkforward_resume_manifest(spark, tmp_path):
+    """Interrupted walk-forward resumes: completed splits are skipped
+    (manifest marks skipped_existing, parquet untouched), only missing
+    splits compute; a changed config gets a fresh signature dir; the
+    per-split stats equal the oracle-certified m21 batch query."""
+    from pipeline_mf_etl_spark.queries import all_queries
+    from pipeline_mf_etl_spark.walkforward import run_walkforward
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "wf")
+    dates = ["2024-01-10", "2024-01-15", "2024-01-20"]
+
+    # "crashed" first run: only 2 of 3 splits complete
+    m1 = run_walkforward(spark, sf, root, dates, max_splits=2)
+    assert [r["train_end"] for r in m1["splits"]] == dates[:2]
+    assert all(r["status"] == "SUCCESS" for r in m1["splits"])
+    assert all(not r["skipped_existing"] for r in m1["splits"])
+    mtime_before = os.path.getmtime(
+        os.path.join(m1["splits"][0]["stats_path"], "_SUCCESS")
+    )
+
+    # resume: the completed 2 skip, the 3rd computes
+    m2 = run_walkforward(spark, sf, root, dates)
+    by_end = {r["train_end"]: r for r in m2["splits"]}
+    assert by_end[dates[0]]["skipped_existing"]
+    assert by_end[dates[1]]["skipped_existing"]
+    assert not by_end[dates[2]]["skipped_existing"]
+    assert by_end[dates[2]]["status"] == "SUCCESS"
+    assert os.path.getmtime(
+        os.path.join(by_end[dates[0]]["stats_path"], "_SUCCESS")
+    ) == mtime_before, "resume recomputed a completed split"
+
+    # force recomputes a named split
+    m3 = run_walkforward(spark, sf, root, dates, force_splits=[dates[0]])
+    by_end = {r["train_end"]: r for r in m3["splits"]}
+    assert not by_end[dates[0]]["skipped_existing"]
+    assert by_end[dates[1]]["skipped_existing"]
+
+    # a different config signature lands in a fresh dir
+    m4 = run_walkforward(spark, sf, root, dates[:1])
+    assert m4["wf_run_id"] != m2["wf_run_id"]
+
+    # value parity with the batch m21 query (same split semantics)
+    m21 = all_queries()["m21_walkforward"].spark(spark, sf)
+    want = {
+        (str(r["split_date"]), r["event_type"]): (
+            r["train_n"], r["train_mean_fwd"], r["test_n"], r["test_mean_fwd"], r["drift"]
+        )
+        for r in m21.collect()
+    }
+    got_df = spark.read.parquet(by_end[dates[1]]["stats_path"])
+    for r in got_df.collect():
+        assert want[(dates[1], r["event_type"])] == (
+            r["train_n"], r["train_mean_fwd"], r["test_n"], r["test_mean_fwd"], r["drift"]
+        )
+
+
+def test_backtest_report_matches_layer(spark, tmp_path):
+    """The report twins must restate the WRITTEN trades layer: totals
+    recomputed from trades.parquet equal backtest_report.json, and the
+    md twin carries the same headline numbers."""
+    from pipeline_mf_etl_spark.pipeline import run_backtest
+
+    out = str(tmp_path / "bt")
+    summary = run_backtest(spark, "/root/testdata/sf0.001", out)
+
+    with open(os.path.join(out, "backtest_report.json")) as fh:
+        report = json.load(fh)
+    assert summary["n_trades"] == report["n_trades"]
+
+    tr = spark.read.parquet(os.path.join(out, "trades")).toPandas()
+    assert report["n_trades"] == len(tr)
+    assert report["n_trades"] > 0, "fixture must produce trades"
+    assert report["expectancy"] == round(float(tr["net_return"].mean()), 6)
+    wins = tr.loc[tr["net_return"] > 0, "net_return"].sum()
+    losses = tr.loc[tr["net_return"] < 0, "net_return"].sum()
+    assert report["profit_factor"] == round(abs(wins / losses), 6)
+    by_exit = {r["exit_reason"]: r["n"] for r in report["by_exit_reason"]}
+    assert by_exit == tr["exit_reason"].value_counts().to_dict()
+    assert report["max_drawdown"] is None or report["max_drawdown"] <= 0
+    # suppression diagnostics present with the fixed-precedence reasons
+    assert {r["reason"] for r in report["suppression_by_reason"]} <= {
+        "PRICE_FLOOR", "WARMUP", "DOLLAR_VOL"
+    }
+
+    with open(os.path.join(out, "backtest_report.md")) as fh:
+        md = fh.read()
+    assert f"trades: {report['n_trades']}" in md
+    assert "Suppressed signals by reason" in md
+
+
+def test_stage_cli_subcommands(tmp_path, capsys):
+    """bronze/research/backtest stage entry points write their layer +
+    summary artifact through the CLI (reference exposes every stage as
+    a command; the engine's CLI must too)."""
+    from pipeline_mf_etl_spark.__main__ import main
+
+    sf = "/root/testdata/sf0.001"
+    for stage, artifact in (
+        ("bronze", "bronze_summary.json"),
+        ("research", "research_summary.json"),
+        ("backtest", "backtest_report.json"),
+    ):
+        out = str(tmp_path / stage)
+        assert main([stage, "--sf-dir", sf, "--output", out]) == 0
+        assert os.path.exists(os.path.join(out, artifact)), stage
+        payload = json.loads(capsys.readouterr().out)
+        assert payload.get("stage") == stage
+
+    # walkforward CLI: run 1 split, then resume with 2 — first skips
+    wf_out = str(tmp_path / "wf")
+    assert main([
+        "walkforward", "--sf-dir", sf, "--output", wf_out,
+        "--train-ends", "2024-01-10,2024-01-15", "--max-splits", "1",
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "walkforward", "--sf-dir", sf, "--output", wf_out,
+        "--train-ends", "2024-01-10,2024-01-15",
+    ]) == 0
+    manifest = json.loads(capsys.readouterr().out)
+    by_end = {r["train_end"]: r for r in manifest["splits"]}
+    assert by_end["2024-01-10"]["skipped_existing"]
+    assert not by_end["2024-01-15"]["skipped_existing"]
