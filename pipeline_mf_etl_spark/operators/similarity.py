@@ -41,12 +41,21 @@ def brute_force_topk(
     vec_col: str = "v",
 ) -> DataFrame:
     """Exact cosine top-k per query (excluding self): broadcast queries,
-    score all candidates, rank on rounded score + id tie-break."""
+    score all candidates, rank on rounded score + id tie-break.
+
+    Norms are computed ONCE per side before the pair join (a naive
+    cosine-per-pair recomputes both array folds Q·N times; the value is
+    bit-identical since norm(a)*norm(b) keeps the same operation
+    order, only the fold count drops from 3 to 1 per pair)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qnorm"),
     )
     c = candidates.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cnorm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -54,7 +63,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
@@ -80,11 +91,13 @@ def bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(bucket_col).alias("bucket"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qnorm"),
     )
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(bucket_col).alias("bucket"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cnorm"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -92,7 +105,9 @@ def bucketed_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
