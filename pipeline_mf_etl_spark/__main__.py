@@ -35,6 +35,16 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--output", required=True)
         sp.add_argument("--settings", default=None, help="YAML settings override file")
 
+    rep = sub.add_parser("report", help="write a sensitivity/calibration report pack")
+    rep.add_argument("kind", choices=("sensitivity", "calibration"))
+    rep.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    rep.add_argument("--output", required=True)
+
+    ops = sub.add_parser("ops", help="nightly candidate rerun: append drift ledger")
+    ops.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ops.add_argument("--output", required=True)
+    ops.add_argument("--run-id", default="nightly-cli")
+
     wf = sub.add_parser("walkforward", help="run/resume a walk-forward pack")
     wf.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     wf.add_argument("--output", required=True)
@@ -45,6 +55,11 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     wf.add_argument("--force", action="store_true", help="recompute all splits")
     wf.add_argument("--max-splits", type=int, default=None)
+
+    cmp_ = sub.add_parser("compare", help="diff two JSON artifacts with drift verdicts")
+    cmp_.add_argument("artifact_a")
+    cmp_.add_argument("artifact_b")
+    cmp_.add_argument("--output", default=None, help="also write compare_report.json here")
 
     q = sub.add_parser("query", help="run one registered query and print rows")
     q.add_argument("name")
@@ -65,6 +80,14 @@ def main(argv: list[str] | None = None) -> int:
             kind = "oracle" if spec.oracle else "rows-only"
             print(f"{name}\t{kind}\t{spec.doc.splitlines()[0] if spec.doc else ''}")
         return 0
+
+    if args.cmd == "compare":  # pure artifact diff — no Spark session needed
+        from pipeline_mf_etl_spark.compare import run_compare
+
+        report = run_compare(args.artifact_a, args.artifact_b, args.output)
+        json.dump(report, sys.stdout, indent=2, sort_keys=True)
+        print()
+        return 0 if report["worst_verdict"] != "DRIFT_FAIL" else 1
 
     from pipeline_mf_etl_spark.session import get_spark
 
@@ -91,6 +114,32 @@ def main(argv: list[str] | None = None) -> int:
         ]
         summary = runner(spark, args.sf_dir, args.output, settings=settings)
         json.dump(summary, sys.stdout, indent=2, sort_keys=True)
+        print()
+        return 0
+
+    if args.cmd == "report":
+        from pipeline_mf_etl_spark.reports import (
+            run_calibration_report,
+            run_sensitivity_report,
+        )
+
+        runner = {
+            "sensitivity": run_sensitivity_report,
+            "calibration": run_calibration_report,
+        }[args.kind]
+        report = runner(spark, args.sf_dir, args.output)
+        json.dump(
+            {k: v for k, v in report.items() if k not in ("grid", "sweep")},
+            sys.stdout, indent=2, sort_keys=True,
+        )
+        print()
+        return 0
+
+    if args.cmd == "ops":
+        from pipeline_mf_etl_spark.ops import run_ops_nightly
+
+        entry = run_ops_nightly(spark, args.sf_dir, args.output, run_id=args.run_id)
+        json.dump(entry, sys.stdout, indent=2, sort_keys=True)
         print()
         return 0
 

@@ -97,6 +97,87 @@ def build_backtest_report(
     }
 
 
+def run_sensitivity_report(spark, sf_dir: str, output_root: str) -> dict:
+    """Sensitivity report twins (reference backtest/sensitivity_reports.py):
+    the b10 hold×cost grid ranked by robustness, with the winning combo
+    and grid dimensions called out. Derived entirely from the
+    oracle-certified b10_sensitivity_grid query."""
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    grid = all_queries()["b10_sensitivity_grid"].spark(spark, sf_dir)
+    rows = [r.asDict() for r in grid.orderBy(
+        F.desc("robustness_score"), "hold_bars", "cost_bps"
+    ).collect()]
+    report = {
+        "n_combos": len(rows),
+        "hold_bars_values": sorted({r["hold_bars"] for r in rows}),
+        "cost_bps_values": sorted({r["cost_bps"] for r in rows}),
+        "best_combo": rows[0] if rows else None,
+        "worst_combo": rows[-1] if rows else None,
+        "grid": rows,
+    }
+    write_json_artifact(report, os.path.join(output_root, "sensitivity_report.json"))
+    lines = [
+        "# Sensitivity report",
+        "",
+        f"- combos: {report['n_combos']}",
+        f"- hold_bars grid: {report['hold_bars_values']}",
+        f"- cost_bps grid: {report['cost_bps_values']}",
+        f"- best combo: {report['best_combo']}",
+        "",
+        "## Grid (by robustness)",
+        "",
+        *_md_table(rows),
+    ]
+    _write_md(lines, os.path.join(output_root, "sensitivity_report.md"))
+    return report
+
+
+def run_calibration_report(
+    spark, sf_dir: str, output_root: str, target_eligibility: float = 0.6
+) -> dict:
+    """Calibration report twins (reference
+    backtest/execution_realism_calibration.py): the b14 threshold sweep
+    plus an auto-recommendation — the combo whose eligibility rate lands
+    closest to the target band (the reference's recommendation logic)."""
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    sweep = all_queries()["b14_calibration_sweep"].spark(spark, sf_dir)
+    rows = [r.asDict() for r in sweep.orderBy("price_floor", "dv_floor").collect()]
+    rec = min(
+        rows,
+        key=lambda r: (abs(r["eligibility_rate"] - target_eligibility), r["price_floor"], r["dv_floor"]),
+        default=None,
+    )
+    report = {
+        "n_combos": len(rows),
+        "target_eligibility": target_eligibility,
+        "recommended": rec,
+        "sweep": rows,
+    }
+    write_json_artifact(report, os.path.join(output_root, "calibration_report.json"))
+    lines = [
+        "# Execution-realism calibration report",
+        "",
+        f"- combos: {report['n_combos']}",
+        f"- target eligibility: {target_eligibility}",
+        f"- recommended: {rec}",
+        "",
+        "## Threshold sweep",
+        "",
+        *_md_table(rows),
+    ]
+    _write_md(lines, os.path.join(output_root, "calibration_report.md"))
+    return report
+
+
+def _write_md(lines: list[str], path: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines))
+    os.replace(tmp, path)
+
+
 def _md_table(rows: list[dict]) -> list[str]:
     if not rows:
         return ["(none)", ""]
@@ -136,8 +217,4 @@ def write_backtest_report(report: dict, output_root: str) -> None:
         "",
         *_md_table(report["suppression_by_reason"]),
     ]
-    path = os.path.join(output_root, "backtest_report.md")
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write("\n".join(lines))
-    os.replace(tmp, path)
+    _write_md(lines, os.path.join(output_root, "backtest_report.md"))

@@ -262,3 +262,37 @@ def test_stage_cli_subcommands(tmp_path, capsys):
     by_end = {r["train_end"]: r for r in manifest["splits"]}
     assert by_end["2024-01-10"]["skipped_existing"]
     assert not by_end["2024-01-15"]["skipped_existing"]
+
+
+def test_sensitivity_and_calibration_reports(spark, tmp_path, capsys):
+    """The report packs must restate their oracle-certified grid queries:
+    sensitivity's best combo is the max-robustness row; calibration's
+    recommendation is the sweep row closest to the target eligibility."""
+    from pipeline_mf_etl_spark.__main__ import main
+    from pipeline_mf_etl_spark.reports import (
+        run_calibration_report,
+        run_sensitivity_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "rep")
+    sens = run_sensitivity_report(spark, sf, out)
+    assert sens["n_combos"] == len(sens["grid"]) > 0
+    best = max(sens["grid"], key=lambda r: r["robustness_score"])
+    assert sens["best_combo"]["robustness_score"] == best["robustness_score"]
+    for artifact in ("sensitivity_report.json", "sensitivity_report.md"):
+        assert os.path.exists(os.path.join(out, artifact))
+
+    cal = run_calibration_report(spark, sf, out, target_eligibility=0.6)
+    assert cal["n_combos"] == len(cal["sweep"]) > 0
+    closest = min(abs(r["eligibility_rate"] - 0.6) for r in cal["sweep"])
+    assert abs(cal["recommended"]["eligibility_rate"] - 0.6) == closest
+    for artifact in ("calibration_report.json", "calibration_report.md"):
+        assert os.path.exists(os.path.join(out, artifact))
+
+    # CLI twin
+    cli_out = str(tmp_path / "cli_rep")
+    assert main(["report", "sensitivity", "--sf-dir", sf, "--output", cli_out]) == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["n_combos"] == sens["n_combos"]
+    assert os.path.exists(os.path.join(cli_out, "sensitivity_report.json"))
