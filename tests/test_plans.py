@@ -155,3 +155,26 @@ def test_lsh_neardup_equi_join_only(spark):
     the N² pair space must never be enumerated, only band-hash buckets."""
     plan = _plan(spark, "e3_embedding_neardup")
     assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_heavy_hitter_candidates_no_full_aggregation(spark):
+    """a17's candidate pass must be a per-partition partial top-k: the
+    only thing crossing the exchange is the mapInPandas output (≤50 rows
+    per partition), never a full exact aggregation of the raw key column
+    — the plan must show MapInPandas feeding the aggregation, and no
+    aggregation may sit directly on the scan."""
+    from pipeline_mf_etl_spark.queries.corpus import partial_topk_candidates
+    from pipeline_mf_etl_spark.sources.readers import load_table
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    cand = (
+        partial_topk_candidates(ev, "user_id")
+        .groupBy("user_id")
+        .agg(F.sum("partial_count").alias("total"))
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    # the aggregate consumes the truncated candidate rows, so the plan
+    # orders as scan -> MapInPandas -> partial agg -> exchange -> agg
+    assert plan.index("HashAggregate") < plan.index("MapInPandas"), plan
