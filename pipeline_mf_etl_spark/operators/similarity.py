@@ -166,6 +166,7 @@ def ivf_topk(
     *,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    assignments_cb=None,
 ) -> DataFrame:
     """IVF ANN with learned centroids: assign every candidate to its
     nearest centroid (inverted lists), probe each query's ``nprobe``
@@ -207,6 +208,11 @@ def ivf_topk(
     q = nearest(
         queries.select(F.col(id_col).alias("query_id"), vec_col), "query_id", nprobe
     ).withColumnRenamed(vec_col, "qv")
+    if assignments_cb is not None:
+        # hook for oracle certification: persist the inverted-list
+        # assignments and hand back the (read-back) frames so the rank
+        # stage and an external oracle consume identical rows
+        c, q = assignments_cb(c, q)
 
     scored = (
         c.join(F.broadcast(q), "centroid_id")

@@ -109,6 +109,65 @@ def _capped_value_lists(
     return rows
 
 
+def bootstrap_distributions(
+    spark: SparkSession,
+    df: DataFrame,
+    group: str,
+    col: str,
+    *,
+    order: list[str] | None = None,
+    n_boot: int = 200,
+    cap: int = 50_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-replicate iid bootstrap statistic distributions (M13 phase 1).
+
+    Values are capped to the first ``cap`` rows in ``order`` (time
+    order, as the reference caps on (ticker, trade_date)), then
+    resampled with a batched index matrix `rng.integers(0, n, (B, n))` —
+    bit-reproducible under the fixed seed. Returns one row per
+    (group, replicate): ``(group, n, boot_idx, mean_rep, median_rep)``
+    — the persistable intermediate everything downstream (CIs, pairwise
+    diffs) derives from with plain aggregates.
+    """
+    rows = _capped_value_lists(df, group, col, order, cap)
+    out = []
+    for r in sorted(rows, key=lambda x: str(x[group])):
+        vals = np.asarray(r["vals"], dtype=np.float64)
+        n = len(vals)
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, n, size=(n_boot, n))
+        means = vals[idx].mean(axis=1)
+        medians = np.median(vals[idx], axis=1)
+        for b in range(n_boot):
+            out.append((r[group], int(n), b, float(means[b]), float(medians[b])))
+    schema = (
+        f"{group} string, n long, boot_idx int, mean_rep double, median_rep double"
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def ci_from_distributions(
+    dists: DataFrame,
+    group: str,
+    ci: tuple[float, float] = (2.5, 97.5),
+) -> DataFrame:
+    """Percentile CIs over a per-replicate distribution frame (M13
+    phase 2) — exact continuous-interpolation percentiles so a DuckDB
+    ``quantile_cont`` oracle over the same persisted rows agrees."""
+    lo, hi = ci[0] / 100.0, ci[1] / 100.0
+    return (
+        dists.groupBy(group)
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.expr(f"percentile(mean_rep, {lo})"), 6).alias("mean_ci_lo"),
+            F.round(F.expr(f"percentile(mean_rep, {hi})"), 6).alias("mean_ci_hi"),
+            F.round(F.expr(f"percentile(median_rep, {lo})"), 6).alias("median_ci_lo"),
+            F.round(F.expr(f"percentile(median_rep, {hi})"), 6).alias("median_ci_hi"),
+        )
+    )
+
+
 def bootstrap_ci(
     spark: SparkSession,
     df: DataFrame,
@@ -121,35 +180,12 @@ def bootstrap_ci(
     seed: int = 42,
     ci: tuple[float, float] = (2.5, 97.5),
 ) -> DataFrame:
-    """Seeded iid bootstrap CI of the mean/median per group (M13).
-
-    Values are capped to the first ``cap`` rows in ``order`` (time
-    order, as the reference caps on (ticker, trade_date)), then
-    resampled with a batched index matrix `rng.integers(0, n, (B, n))` —
-    bit-reproducible under the fixed seed.
-    """
-    rows = _capped_value_lists(df, group, col, order, cap)
-    out = []
-    for r in sorted(rows, key=lambda x: str(x[group])):
-        vals = np.asarray(r["vals"], dtype=np.float64)
-        n = len(vals)
-        rng = np.random.default_rng(seed)
-        idx = rng.integers(0, n, size=(n_boot, n))
-        means = vals[idx].mean(axis=1)
-        medians = np.median(vals[idx], axis=1)
-        lo, hi = ci
-        out.append(
-            (
-                r[group],
-                int(n),
-                round(float(np.percentile(means, lo)), 6),
-                round(float(np.percentile(means, hi)), 6),
-                round(float(np.percentile(medians, lo)), 6),
-                round(float(np.percentile(medians, hi)), 6),
-            )
-        )
-    schema = f"{group} string, n long, mean_ci_lo double, mean_ci_hi double, median_ci_lo double, median_ci_hi double"
-    return spark.createDataFrame(out, schema)
+    """Seeded iid bootstrap CI of the mean/median per group (M13) —
+    distribution phase + percentile phase composed."""
+    dists = bootstrap_distributions(
+        spark, df, group, col, order=order, n_boot=n_boot, cap=cap, seed=seed
+    )
+    return ci_from_distributions(dists, group, ci)
 
 
 def block_bootstrap_ci(
@@ -172,6 +208,43 @@ def block_bootstrap_ci(
     the cap is applied distributed (row_number <= cap per group) BEFORE
     the collect so the driver transfer is bounded at any input size.
     """
+    dists = block_bootstrap_distributions(
+        spark,
+        df,
+        group,
+        col,
+        order,
+        block_len=block_len,
+        n_boot=n_boot,
+        cap=cap,
+        seed=seed,
+    )
+    lo, hi = ci[0] / 100.0, ci[1] / 100.0
+    return dists.groupBy(group).agg(
+        F.max("n").alias("n"),
+        F.round(F.expr(f"percentile(mean_rep, {lo})"), 6).alias("mean_ci_lo"),
+        F.round(F.expr(f"percentile(mean_rep, {hi})"), 6).alias("mean_ci_hi"),
+    )
+
+
+def block_bootstrap_distributions(
+    spark: SparkSession,
+    df: DataFrame,
+    group: str,
+    col: str,
+    order: list[str],
+    *,
+    block_len: int = 10,
+    n_boot: int = 200,
+    cap: int = 50_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Moving-block replicate mean distributions (M14 phase 1). Values
+    are collected in TIME order (not sorted) because block structure is
+    the whole point; the cap is applied distributed (row_number <= cap
+    per group) BEFORE the collect so the driver transfer is bounded at
+    any input size. Groups with n <= block_len are skipped (too short
+    to block-resample), as in the reference."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group).orderBy(*[F.col(c) for c in order])
@@ -199,16 +272,9 @@ def block_bootstrap_ci(
         offs = np.arange(block_len)
         idx = (starts[:, :, None] + offs[None, None, :]).reshape(n_boot, -1)[:, :n]
         means = vals[idx].mean(axis=1)
-        lo, hi = ci
-        out.append(
-            (
-                key,
-                int(n),
-                round(float(np.percentile(means, lo)), 6),
-                round(float(np.percentile(means, hi)), 6),
-            )
-        )
-    schema = f"{group} string, n long, mean_ci_lo double, mean_ci_hi double"
+        for b in range(n_boot):
+            out.append((key, int(n), b, float(means[b])))
+    schema = f"{group} string, n long, boot_idx int, mean_rep double"
     return spark.createDataFrame(out, schema)
 
 
@@ -228,6 +294,25 @@ def pairwise_diff_ci(
     per-state bootstrap mean distributions for every state pair, with
     the reference's sign-consistency flag lo>0 or hi<0
     (validation/bootstrap.py:314-340)."""
+    dists = pairwise_diff_distributions(
+        spark, df, group, col, order=order, n_boot=n_boot, cap=cap, seed=seed
+    )
+    return pairwise_ci_from_distributions(dists, ci)
+
+
+def pairwise_diff_distributions(
+    spark: SparkSession,
+    df: DataFrame,
+    group: str,
+    col: str,
+    *,
+    order: list[str] | None = None,
+    n_boot: int = 200,
+    cap: int = 50_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-replicate mean DIFFERENCE distributions for every state pair
+    (M15 phase 1): ``(state_a, state_b, boot_idx, diff_rep)``."""
     rows = _capped_value_lists(df, group, col, order, cap)
     dists = {}
     for r in sorted(rows, key=lambda x: str(x[group])):
@@ -236,13 +321,30 @@ def pairwise_diff_ci(
         idx = rng.integers(0, len(vals), size=(n_boot, len(vals)))
         dists[r[group]] = vals[idx].mean(axis=1)
     keys = sorted(dists, key=str)
-    lo_p, hi_p = ci
     out = []
     for i, a in enumerate(keys):
         for b in keys[i + 1 :]:
             diff = dists[a] - dists[b]
-            lo = round(float(np.percentile(diff, lo_p)), 6)
-            hi = round(float(np.percentile(diff, hi_p)), 6)
-            out.append((a, b, lo, hi, bool(lo > 0 or hi < 0)))
-    schema = "state_a string, state_b string, diff_ci_lo double, diff_ci_hi double, diff_sign_consistent boolean"
+            for k in range(n_boot):
+                out.append((a, b, k, float(diff[k])))
+    schema = "state_a string, state_b string, boot_idx int, diff_rep double"
     return spark.createDataFrame(out, schema)
+
+
+def pairwise_ci_from_distributions(
+    dists: DataFrame,
+    ci: tuple[float, float] = (2.5, 97.5),
+) -> DataFrame:
+    """Percentile CIs + sign-consistency flag over persisted pairwise
+    diff distributions (M15 phase 2). The flag is computed from the
+    ROUNDED bounds on both engines so the hash cannot flip on a
+    boundary ulp."""
+    lo, hi = ci[0] / 100.0, ci[1] / 100.0
+    agg = dists.groupBy("state_a", "state_b").agg(
+        F.round(F.expr(f"percentile(diff_rep, {lo})"), 6).alias("diff_ci_lo"),
+        F.round(F.expr(f"percentile(diff_rep, {hi})"), 6).alias("diff_ci_hi"),
+    )
+    return agg.withColumn(
+        "diff_sign_consistent",
+        (F.col("diff_ci_lo") > 0) | (F.col("diff_ci_hi") < 0),
+    )

@@ -15,8 +15,6 @@ reference treats it as optional (research/clustering.py:184-203).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,34 +24,12 @@ from pipeline_mf_etl_spark.sources.readers import load_table
 _SEED = 42
 _K = 10
 
-# Model predictions are persisted here so the DuckDB oracle can verify
-# the downstream relational algebra (profiles, ARI, per-state rollups)
-# over the exact same label assignments the Spark side aggregates. The
-# model *fit* itself is engine-specific (MLlib vs sklearn — SURVEY.md
-# §7.5); what IS checkable is everything after the labels exist, and
-# this gives those queries a full rows+schema+hash oracle instead of a
-# rows-only pass. The export dir is gitignored scratch inside the repo.
-_EXPORT_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".artifacts", "ml_export")
-# Oracle SQL strings are static: they read the export for the oracle
-# scale factor (the driver certifies at sf0.01; tests honor the same
-# env override the parity harness uses).
-_ORACLE_TAG = os.path.basename(
-    os.path.normpath(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
-)
-
-
-def _export(df: DataFrame, spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Write a deterministic model-output frame to the export dir and
-    read it back, so Spark aggregation and the DuckDB oracle consume
-    bit-identical rows."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_EXPORT_ROOT, tag, name)
-    df.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
-
-
-def _export_glob(name: str) -> str:
-    return os.path.join(_EXPORT_ROOT, _ORACLE_TAG, name, "*.parquet")
+# Model predictions are persisted via the shared export helper so the
+# DuckDB oracle can verify the downstream relational algebra (profiles,
+# ARI, per-state rollups) over the exact same label assignments the
+# Spark side aggregates — see queries/export.py for the rationale.
+from pipeline_mf_etl_spark.queries.export import export_frame as _export  # noqa: E402
+from pipeline_mf_etl_spark.queries.export import export_glob as _export_glob  # noqa: E402
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,7 +266,33 @@ def hdbscan_fit(*_args, **_kwargs):
         ) from exc
 
 
-@query("m6_density_clusters")
+@query(
+    "m6_density_clusters",
+    oracle=f"""
+    WITH l AS (SELECT * FROM read_parquet('{_export_glob("m6_labels")}')),
+    base AS (
+        SELECT CAST(COUNT(*) AS INT) AS n_points,
+               CAST(COUNT(DISTINCT CASE WHEN label <> -1 THEN label END) AS INT)
+                   AS n_clusters,
+               ROUND(AVG(CASE WHEN label = -1 THEN 1.0 ELSE 0.0 END), 6)
+                   AS noise_share
+        FROM l
+    ), sz AS (
+        SELECT label, COUNT(*) AS sz FROM l WHERE label <> -1 GROUP BY label
+    ), rk AS (
+        SELECT sz, ROW_NUMBER() OVER (ORDER BY sz DESC, label ASC) AS rn FROM sz
+    ), top AS (
+        SELECT CAST(COALESCE(MAX(CASE WHEN rn = 1 THEN sz END), 0) AS INT) AS size_1,
+               CAST(COALESCE(MAX(CASE WHEN rn = 2 THEN sz END), 0) AS INT) AS size_2,
+               CAST(COALESCE(MAX(CASE WHEN rn = 3 THEN sz END), 0) AS INT) AS size_3
+        FROM rk
+    ), tot AS (SELECT COUNT(*) AS t FROM embeddings)
+    SELECT n_points,
+           ROUND(n_points * 1.0 / t, 6) AS sample_coverage,
+           n_clusters, noise_share, size_1, size_2, size_3
+    FROM base, top, tot
+    """,
+)
 def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Density clustering diagnostics (M6): HDBSCAN when installed, else
     the NumPy DBSCAN fallback — driver fit on an id-ordered capped
@@ -330,28 +332,60 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels = dbscan_labels(X, eps_from_quantile(X, D=D), min_pts=5, D=D)
 
     labels = np.asarray(labels)
-    n = len(labels)
-    noise = int((labels == -1).sum())
-    sizes = sorted(
-        (int((labels == c).sum()) for c in set(labels) if c != -1), reverse=True
-    )
-    top = (sizes + [0, 0, 0])[:3]
-    return spark.createDataFrame(
-        [
-            (
-                int(n),
-                round(n / n_total, 6) if n_total else 0.0,
-                int(len(sizes)),
-                round(noise / n, 6) if n else 0.0,
-                top[0],
-                top[1],
-                top[2],
-            )
-        ],
-        schema=(
-            "n_points int, sample_coverage double, n_clusters int, "
-            "noise_share double, size_1 int, size_2 int, size_3 int"
+    persisted = _export(
+        spark.createDataFrame(
+            [(int(r["vec_id"]), int(l)) for r, l in zip(rows, labels)],
+            "vec_id long, label int",
         ),
+        spark,
+        sf_dir,
+        "m6_labels",
+    )
+    # label-invariant rollup over the PERSISTED assignments, mirrored by
+    # the DuckDB oracle over the same parquet
+    from pyspark.sql import Window as W
+
+    base = persisted.agg(
+        F.count("*").cast("int").alias("n_points"),
+        F.countDistinct(F.when(F.col("label") != -1, F.col("label")))
+        .cast("int")
+        .alias("n_clusters"),
+        F.round(F.avg(F.when(F.col("label") == -1, 1.0).otherwise(0.0)), 6).alias(
+            "noise_share"
+        ),
+    )
+    sizes = (
+        persisted.filter(F.col("label") != -1).groupBy("label").agg(F.count("*").alias("sz"))
+    )
+    rk = sizes.select(
+        "sz",
+        F.row_number().over(W.orderBy(F.desc("sz"), F.asc("label"))).alias("rn"),
+    )
+    top = rk.agg(
+        *[
+            F.coalesce(F.max(F.when(F.col("rn") == i, F.col("sz"))), F.lit(0))
+            .cast("int")
+            .alias(f"size_{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    return (
+        base.crossJoin(top)
+        .withColumn(
+            "sample_coverage",
+            F.round(F.col("n_points") * 1.0 / F.lit(n_total), 6)
+            if n_total
+            else F.lit(0.0),
+        )
+        .select(
+            "n_points",
+            "sample_coverage",
+            "n_clusters",
+            "noise_share",
+            "size_1",
+            "size_2",
+            "size_3",
+        )
     )
 
 

@@ -17,6 +17,7 @@ from pipeline_mf_etl_spark.operators.similarity import (
     fit_ivf_centroids,
     ivf_topk,
 )
+from pipeline_mf_etl_spark.queries.export import export_frame, export_glob
 from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import load_table
 
@@ -95,14 +96,51 @@ def e2_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # express, so the driver records the rows-only check; recall vs the e1
 # brute-force baseline is asserted in tests/test_operators.py.
 # ---------------------------------------------------------------------------
-@query("e4_ann_ivf", oracle=None)
+@query(
+    "e4_ann_ivf",
+    oracle=f"""
+    WITH c AS (SELECT * FROM read_parquet('{export_glob("e4_cand_cells")}')),
+    q AS (SELECT * FROM read_parquet('{export_glob("e4_query_cells")}')),
+    scored AS (
+        SELECT DISTINCT q.query_id, c.cand_id,
+               ROUND({_COS.format(a="q.qv", b="c.cv")}, 6) AS cos
+        FROM c JOIN q USING (centroid_id)
+        WHERE c.cand_id <> q.query_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def e4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 for 8 query vectors: spherical k-means inverted lists
     (driver fit on a bounded sample), nprobe=2 probing, exact rerank
-    within the probed lists — map-only assignment, one final shuffle."""
+    within the probed lists — map-only assignment, one final shuffle.
+    The inverted-list assignments are persisted so everything after the
+    centroid fit (probing, rerank, top-k) is oracle-checked."""
     v = _vectors(spark, sf_dir)
     centroids = fit_ivf_centroids(v, n_centroids=8, iters=5)
-    return ivf_topk(v.filter(F.col("vec_id") < 8), v, centroids, k=5, nprobe=2)
+
+    def persist_assignments(c: DataFrame, q: DataFrame):
+        cp = export_frame(
+            c.select("cand_id", "cv", "centroid_id"), spark, sf_dir, "e4_cand_cells"
+        )
+        qp = export_frame(
+            q.select("query_id", "qv", "centroid_id"), spark, sf_dir, "e4_query_cells"
+        )
+        return cp, qp
+
+    return ivf_topk(
+        v.filter(F.col("vec_id") < 8),
+        v,
+        centroids,
+        k=5,
+        nprobe=2,
+        assignments_cb=persist_assignments,
+    )
 
 
 # ---------------------------------------------------------------------------

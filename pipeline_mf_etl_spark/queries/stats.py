@@ -14,11 +14,11 @@ from pyspark.sql import functions as F
 from pipeline_mf_etl_spark.config import load_settings
 from pipeline_mf_etl_spark.functions.core import clip, safe_div
 from pipeline_mf_etl_spark.operators.stats import (
-    bootstrap_ci,
     fit_global_scaler,
     fit_robust_scaler_per_group,
 )
 from pipeline_mf_etl_spark.operators.windows import run_group, series_window
+from pipeline_mf_etl_spark.queries.export import export_frame, export_glob
 from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import load_table
 
@@ -249,11 +249,42 @@ def m17_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M13 bootstrap CIs — engine RNG, deterministic under seed; rows-only check
 # (reference: validation/bootstrap.py:38-77)
 # ---------------------------------------------------------------------------
-@query("m13_bootstrap_ci", oracle=None)
+def _boot_ci_oracle(glob: str, lo: float, hi: float, with_median: bool) -> str:
+    med = (
+        f""",
+           ROUND(quantile_cont(median_rep, {lo / 100.0}), 6) AS median_ci_lo,
+           ROUND(quantile_cont(median_rep, {hi / 100.0}), 6) AS median_ci_hi"""
+        if with_median
+        else ""
+    )
+    return f"""
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(quantile_cont(mean_rep, {lo / 100.0}), 6) AS mean_ci_lo,
+           ROUND(quantile_cont(mean_rep, {hi / 100.0}), 6) AS mean_ci_hi{med}
+    FROM read_parquet('{glob}')
+    GROUP BY event_type
+    """
+
+
+@query(
+    "m13_bootstrap_ci",
+    oracle=_boot_ci_oracle(
+        export_glob("m13_dists"), _BOOT.ci_lo, _BOOT.ci_hi, with_median=True
+    ),
+)
 def m13_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded iid bootstrap mean/median CIs per state (M13)."""
+    """Seeded iid bootstrap mean/median CIs per state (M13). The
+    per-replicate distributions are persisted so the percentile-CI
+    phase is oracle-checked (the seeded resampling itself is
+    engine-specific NumPy, as in the reference)."""
+    from pipeline_mf_etl_spark.operators.stats import (
+        bootstrap_distributions,
+        ci_from_distributions,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    return bootstrap_ci(
+    dists = bootstrap_distributions(
         spark,
         ev,
         "event_type",
@@ -262,21 +293,30 @@ def m13_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_boot=_BOOT.n_boot,
         cap=_BOOT.cap,
         seed=_BOOT.seed,
-        ci=(_BOOT.ci_lo, _BOOT.ci_hi),
     )
+    persisted = export_frame(dists, spark, sf_dir, "m13_dists")
+    return ci_from_distributions(persisted, "event_type", ci=(_BOOT.ci_lo, _BOOT.ci_hi))
 
 
 # ---------------------------------------------------------------------------
 # M14 block bootstrap — serial-dependence-preserving resampling
 # (reference: validation/bootstrap.py:80-119); deterministic under seed
 # ---------------------------------------------------------------------------
-@query("m14_block_bootstrap", oracle=None)
+@query(
+    "m14_block_bootstrap",
+    oracle=_boot_ci_oracle(
+        export_glob("m14_dists"), _BOOT.ci_lo, _BOOT.ci_hi, with_median=False
+    ),
+)
 def m14_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moving-block bootstrap mean CIs per state (M14)."""
-    from pipeline_mf_etl_spark.operators.stats import block_bootstrap_ci
+    """Moving-block bootstrap mean CIs per state (M14), with the
+    replicate distributions persisted for the oracle percentile check."""
+    from pipeline_mf_etl_spark.operators.stats import (
+        block_bootstrap_distributions,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    return block_bootstrap_ci(
+    dists = block_bootstrap_distributions(
         spark,
         ev,
         "event_type",
@@ -286,7 +326,13 @@ def m14_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_boot=_BOOT.n_boot,
         cap=_BOOT.cap,
         seed=_BOOT.seed,
-        ci=(_BOOT.ci_lo, _BOOT.ci_hi),
+    )
+    persisted = export_frame(dists, spark, sf_dir, "m14_dists")
+    lo, hi = _BOOT.ci_lo / 100.0, _BOOT.ci_hi / 100.0
+    return persisted.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.round(F.expr(f"percentile(mean_rep, {lo})"), 6).alias("mean_ci_lo"),
+        F.round(F.expr(f"percentile(mean_rep, {hi})"), 6).alias("mean_ci_hi"),
     )
 
 
@@ -294,13 +340,31 @@ def m14_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M15 pairwise state-difference CIs + sign-consistency flag
 # (reference: validation/bootstrap.py:314-340)
 # ---------------------------------------------------------------------------
-@query("m15_pairwise_diff_ci", oracle=None)
+@query(
+    "m15_pairwise_diff_ci",
+    oracle=f"""
+    WITH agg AS (
+        SELECT state_a, state_b,
+               ROUND(quantile_cont(diff_rep, {_BOOT.ci_lo / 100.0}), 6) AS diff_ci_lo,
+               ROUND(quantile_cont(diff_rep, {_BOOT.ci_hi / 100.0}), 6) AS diff_ci_hi
+        FROM read_parquet('{export_glob("m15_dists")}')
+        GROUP BY state_a, state_b
+    )
+    SELECT state_a, state_b, diff_ci_lo, diff_ci_hi,
+           (diff_ci_lo > 0 OR diff_ci_hi < 0) AS diff_sign_consistent
+    FROM agg
+    """,
+)
 def m15_pairwise_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bootstrap mean-difference CIs for every state pair (M15)."""
-    from pipeline_mf_etl_spark.operators.stats import pairwise_diff_ci
+    """Bootstrap mean-difference CIs for every state pair (M15), with
+    the pairwise diff distributions persisted for the oracle check."""
+    from pipeline_mf_etl_spark.operators.stats import (
+        pairwise_ci_from_distributions,
+        pairwise_diff_distributions,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    return pairwise_diff_ci(
+    dists = pairwise_diff_distributions(
         spark,
         ev,
         "event_type",
@@ -309,5 +373,6 @@ def m15_pairwise_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_boot=_BOOT.n_boot,
         cap=_BOOT.cap,
         seed=_BOOT.seed,
-        ci=(_BOOT.ci_lo, _BOOT.ci_hi),
     )
+    persisted = export_frame(dists, spark, sf_dir, "m15_dists")
+    return pairwise_ci_from_distributions(persisted, ci=(_BOOT.ci_lo, _BOOT.ci_hi))

@@ -36,8 +36,16 @@ SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 # Operators spanning the families with non-trivial physical plans:
 # window stack (one shuffle), run-length (two windows), MinHash+LSH
-# (explode + self-join + verify), per-series Python island.
-PROBE = ("w2_rolling_stats", "w6_run_length", "d2_minhash_lsh", "w3_ewm_wilder")
+# (explode + self-join + verify), per-series Python island, and the
+# sketch + per-partition-top-k candidate pass (whose whole point is
+# staying linear as the key space grows).
+PROBE = (
+    "w2_rolling_stats",
+    "w6_run_length",
+    "d2_minhash_lsh",
+    "w3_ewm_wilder",
+    "a17_heavy_hitters",
+)
 
 
 def replicate(spark, mult: int) -> str:

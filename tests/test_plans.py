@@ -143,10 +143,26 @@ def test_ivf_assignment_broadcast_only(spark):
     table against the partitioned corpus (BroadcastNestedLoopJoin over a
     literal), never a CartesianProduct, and the corpus side must shuffle
     only for the per-id rank windows — the plan shape that lets
-    assignment scale as a map-only pass over 100 TB of vectors."""
-    plan = _plan(spark, "e4_ann_ivf")
+    assignment scale as a map-only pass over 100 TB of vectors.
+
+    Asserted on the OPERATOR's lazy plan: the certified e4 query
+    persists the assignments mid-query (for its oracle), so its final
+    plan is rooted at the export parquet and no longer shows the
+    assignment join."""
+    import pyspark.sql.functions as F
+
+    from pipeline_mf_etl_spark.operators.similarity import fit_ivf_centroids, ivf_topk
+    from pipeline_mf_etl_spark.queries.similarity import _vectors
+
+    v = _vectors(spark, SF_ORACLE)
+    centroids = fit_ivf_centroids(v, n_centroids=8, iters=5)
+    df = ivf_topk(v.filter(F.col("vec_id") < 8), v, centroids, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+    # the certified query (persisted assignments) must stay cartesian-free
+    plan2 = _plan(spark, "e4_ann_ivf")
+    assert "Cartesian" not in plan2, plan2
 
 
 def test_lsh_neardup_equi_join_only(spark):
