@@ -100,22 +100,102 @@ def m4_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # M7: cluster quality metrics (reference research/clustering.py:31-71)
 # ---------------------------------------------------------------------------
-@query("m7_cluster_quality")
+@query(
+    "m7_cluster_quality",
+    oracle=f"""
+    WITH pred AS (SELECT * FROM read_parquet('{_export_glob("m7_pred")}')),
+    pts AS (
+        SELECT p.vec_id, p.prediction, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM pred p JOIN embeddings e USING (vec_id)
+    ), expl AS (
+        SELECT prediction, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+        FROM pts
+    ), means AS (
+        SELECT prediction AS cluster, list(m ORDER BY pos) AS mv
+        FROM (SELECT prediction, pos, AVG(x) AS m FROM expl GROUP BY 1, 2)
+        GROUP BY prediction
+    ), pairs AS (
+        SELECT pts.vec_id, pts.prediction, means.cluster,
+               ROUND(list_dot_product(v, v) - 2 * list_dot_product(v, mv)
+                     + list_dot_product(mv, mv), 9) AS d2
+        FROM pts CROSS JOIN means
+    ), per_point AS (
+        SELECT vec_id,
+               MAX(CASE WHEN prediction = cluster THEN d2 END) AS a2,
+               MIN(CASE WHEN prediction <> cluster THEN d2 END) AS b2
+        FROM pairs GROUP BY vec_id
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT prediction) AS INT) FROM pred) AS k,
+           ROUND(AVG(CASE WHEN GREATEST(sqrt(a2), sqrt(b2)) = 0 THEN 0.0
+                          ELSE (sqrt(b2) - sqrt(a2))
+                               / GREATEST(sqrt(a2), sqrt(b2)) END), 6)
+               AS silhouette,
+           ROUND(SUM(a2), 3) AS within_sse
+    FROM per_point
+    """,
+)
 def m7_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Silhouette (squared Euclidean) + within-cluster SSE for the M4 fit."""
-    from pyspark.ml.evaluation import ClusteringEvaluator
-    from pyspark.ml.clustering import KMeans
+    """Simplified silhouette + within-cluster SSE for the M4 fit,
+    computed DECLARATIVELY over the full corpus: distances go to
+    cluster MEANS (the simplified-silhouette formulation), so both the
+    score and the SSE are plain aggregates over the persisted
+    assignments — distributed (no subsampled evaluator black box; the
+    reference subsamples sklearn silhouette to 200k rows,
+    research/clustering.py:58-64) and fully oracle-checked. Squared
+    distances are rounded to 9 dp on both engines before the min/ratio
+    so accumulation-order ulps cannot flip the nearest-other-cluster
+    choice."""
+    pred = _export(
+        _kmeans_predictions(spark, sf_dir).select(
+            "vec_id", F.col("prediction").cast("int").alias("prediction")
+        ),
+        spark,
+        sf_dir,
+        "m7_pred",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = pred.join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "vec_id",
+    )
+    expl = pts.select("prediction", F.posexplode("v").alias("pos", "x"))
+    means = (
+        expl.groupBy("prediction", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("prediction")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("mv")
+        )
+        .select(F.col("prediction").alias("cluster"), "mv")
+    )
 
-    vec = _vectors(spark, sf_dir)
-    model = KMeans(k=_K, seed=_SEED, maxIter=40, tol=1e-6).fit(vec)
-    pred = model.transform(vec)
-    sil = ClusteringEvaluator(
-        featuresCol="features", predictionCol="prediction", metricName="silhouette"
-    ).evaluate(pred)
-    sse = model.summary.trainingCost
-    return spark.createDataFrame(
-        [(int(_K), round(float(sil), 6), round(float(sse), 3))],
-        schema="k int, silhouette double, within_sse double",
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    d2 = F.round(
+        _dot(F.col("v"), F.col("v"))
+        - 2 * _dot(F.col("v"), F.col("mv"))
+        + _dot(F.col("mv"), F.col("mv")),
+        9,
+    )
+    pairs = pts.crossJoin(F.broadcast(means)).select(
+        "vec_id", "prediction", "cluster", d2.alias("d2")
+    )
+    per_point = pairs.groupBy("vec_id").agg(
+        F.max(F.when(F.col("prediction") == F.col("cluster"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("prediction") != F.col("cluster"), F.col("d2"))).alias("b2"),
+    )
+    a, b = F.sqrt("a2"), F.sqrt("b2")
+    s = F.when(F.greatest(a, b) == 0, 0.0).otherwise((b - a) / F.greatest(a, b))
+    k_val = pred.select(F.countDistinct("prediction")).collect()[0][0]
+    return per_point.agg(
+        F.lit(int(k_val)).cast("int").alias("k"),
+        F.round(F.avg(s), 6).alias("silhouette"),
+        F.round(F.sum("a2"), 3).alias("within_sse"),
     )
 
 
