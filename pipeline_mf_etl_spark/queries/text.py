@@ -229,3 +229,151 @@ def t5_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(nw > 0, F.col("n_alpha_chars").cast("double") / nw), 6
         ).alias("avg_word_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T7: repetition-based quality filter — the Gopher-style repetition
+# signals (duplicate-token fraction, most-frequent-bigram share) used to
+# drop degenerate/boilerplate documents from a training corpus. Pure
+# explode + groupBy, linear in total bigrams.
+# ---------------------------------------------------------------------------
+_T7_TBS_THR = 0.08
+_T7_DR_THR = 0.35
+
+
+@query(
+    "t7_repetition_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_distinct(toks)) * 1.0 / len(toks)
+                    ELSE 1.0 END AS dr
+        FROM tok
+    ), bg AS (
+        SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+        FROM tok, UNNEST(range(1, len(toks))) AS t(i)
+        WHERE len(toks) >= 2
+    ), cnt AS (
+        SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+    ), top AS (
+        SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS tbs FROM cnt GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           ROUND(b.dr, 6) AS distinct_token_ratio,
+           ROUND(COALESCE(t.tbs, 0.0), 6) AS top_bigram_share,
+           (ROUND(COALESCE(t.tbs, 0.0), 6) > {_T7_TBS_THR}
+            OR ROUND(b.dr, 6) < {_T7_DR_THR}) AS is_repetitive
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+)
+def t7_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per document: distinct-token ratio and
+    the share of the single most frequent word bigram, with the
+    repetition flag a training pipeline filters on. The flag compares
+    ROUNDED values on both engines so a boundary ulp cannot flip it."""
+    from pipeline_mf_etl_spark.operators.dedupe import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    base = t.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, F.size(F.array_distinct("toks")) * 1.0 / n)
+        .otherwise(1.0)
+        .alias("dr"),
+        "toks",
+    )
+    # ALL bigrams (non-distinct): zip with the 1-shifted copy; trailing
+    # null pair drops with one filter
+    shifted = F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(F.col("toks"), shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    bg = base.select("doc_id", F.explode(bigrams).alias("bigram"))
+    top = (
+        bg.groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg((F.max("count") * 1.0 / F.sum("count")).alias("tbs"))
+    )
+    joined = base.drop("toks").join(top, "doc_id", "left")
+    tbs_r = F.round(F.coalesce(F.col("tbs"), F.lit(0.0)), 6)
+    dr_r = F.round(F.col("dr"), 6)
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        dr_r.alias("distinct_token_ratio"),
+        tbs_r.alias("top_bigram_share"),
+        ((tbs_r > _T7_TBS_THR) | (dr_r < _T7_DR_THR)).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T8: benchmark-contamination check — per-document share of distinct
+# word 3-grams that also appear in a held-out "benchmark" set (stand-in:
+# every 97th doc id). The real-pipeline shape: benchmark n-grams are a
+# broadcast-sized set; scoring is one equi-join over exploded grams.
+# ---------------------------------------------------------------------------
+_T8_THR = 0.05
+
+
+@query(
+    "t8_contamination",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+        FROM tok, UNNEST(range(1, len(toks) - 1)) AS t(i)
+        WHERE len(toks) >= 3
+    ), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_overlap
+        FROM g LEFT JOIN bench b USING (gram)
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_overlap,
+           ROUND(n_overlap * 1.0 / n_grams, 6) AS overlap_share,
+           ROUND(n_overlap * 1.0 / n_grams, 6) >= {_T8_THR} AS contaminated
+    FROM scored
+    """,
+)
+def t8_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag training documents whose
+    distinct 3-gram overlap with the benchmark set exceeds the
+    threshold (decontamination step of a training-data pipeline)."""
+    from pipeline_mf_etl_spark.operators.dedupe import exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = exploded_shingles(docs, "doc_id", "text", n=3)
+    bench = F.broadcast(
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("shingle").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    scored = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.col("shingle").alias("gram"))
+        .join(bench, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+    share = F.round(F.col("n_overlap") * 1.0 / F.col("n_grams"), 6)
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_overlap",
+        share.alias("overlap_share"),
+        (share >= _T8_THR).alias("contaminated"),
+    )
