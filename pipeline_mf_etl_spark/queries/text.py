@@ -11,11 +11,7 @@ from pyspark.sql import functions as F
 from pipeline_mf_etl_spark.operators.text import (
     LANG_STOPWORDS,
     doc_fingerprint,
-    mean_token_len,
     punct_ratio,
-    quality_score,
-    stopword_share,
-    token_count,
 )
 from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import load_table
@@ -70,16 +66,27 @@ def _sql_share(lang: str) -> str:
     """,
 )
 def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-share language ID, crosstabbed against the dataset label."""
+    """Stopword-share language ID, crosstabbed against the dataset label.
+    Tokenization materializes once; each language share is a filter over
+    the shared token array (inlining ``stopword_share(text, …)`` would
+    run the regex pipeline once per language)."""
+    from pipeline_mf_etl_spark.operators.dedupe import tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    scores = docs.select(
+    t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+
+    def share(lang: str):
+        words = LANG_STOPWORDS[lang]
+        hits = F.size(F.filter("toks", lambda x: x.isin(*words)))
+        return F.when(F.size("toks") > 0, hits / F.size("toks")).otherwise(F.lit(0.0))
+
+    scores = t.select(
         "doc_id",
         "lang",
-        stopword_share(text, LANG_STOPWORDS["en"]).alias("s_en"),
-        stopword_share(text, LANG_STOPWORDS["de"]).alias("s_de"),
-        stopword_share(text, LANG_STOPWORDS["fr"]).alias("s_fr"),
-        stopword_share(text, LANG_STOPWORDS["es"]).alias("s_es"),
+        share("en").alias("s_en"),
+        share("de").alias("s_de"),
+        share("fr").alias("s_fr"),
+        share("es").alias("s_es"),
     )
     best = F.greatest("s_en", "s_de", "s_fr", "s_es")
     pred = (
@@ -127,15 +134,32 @@ def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc quality features + composite score."""
+    """Per-doc quality features + composite score.
+
+    Tokenization is materialized ONCE as a column and every feature
+    derives from it — inlining ``tokens()`` into each feature repeats
+    the 3-regex pipeline per expression (measured ~1.8× slower at
+    sf0.1; Catalyst's subexpression elimination does not collapse the
+    copies across the aggregate lambdas)."""
+    from pipeline_mf_etl_spark.operators.dedupe import tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    return docs.select(
+    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    n_tok = F.size("toks")
+    total = F.aggregate("toks", F.lit(0), lambda acc, x: acc + F.length(x))
+    mtl = F.when(n_tok > 0, total.cast("double") / n_tok)
+    pr = punct_ratio(F.col("text"))
+    len_score = F.least(n_tok.cast("double") / 50.0, F.lit(1.0))
+    punct_score = 1.0 - F.least(pr * 5.0, F.lit(1.0))
+    mtl0 = F.coalesce(mtl, F.lit(0.0))
+    mtl_score = F.when((mtl0 >= 3.0) & (mtl0 <= 8.0), 1.0).otherwise(0.5)
+    qual = 0.5 * len_score + 0.25 * punct_score + 0.25 * mtl_score
+    return t.select(
         "doc_id",
-        token_count(text).alias("n_tokens"),
-        _r(punct_ratio(text)).alias("punct_ratio"),
-        _r(mean_token_len(text)).alias("mean_token_len"),
-        _r(quality_score(text)).alias("quality"),
+        n_tok.alias("n_tokens"),
+        _r(pr).alias("punct_ratio"),
+        _r(mtl).alias("mean_token_len"),
+        _r(qual).alias("quality"),
     )
 
 
