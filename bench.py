@@ -71,7 +71,7 @@ def main() -> None:
     # shared box single-shot numbers swing ±20% with unrelated load; the
     # min is the cleanest estimate of the plan's actual cost. Disclosed
     # in the output ("runs"/"agg") so rounds are compared knowingly.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     total = 0.0
     for name in HEADLINE:
         spec = specs.get(name)

@@ -150,13 +150,15 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             args.sf_dir,
             args.output,
-            args.train_ends.split(","),
+            [d.strip() for d in args.train_ends.split(",") if d.strip()],
             force=args.force,
             max_splits=args.max_splits,
         )
         json.dump(manifest, sys.stdout, indent=2, sort_keys=True)
         print()
-        return 0
+        # scriptable like `compare`: any FAILED split is a non-zero exit
+        failed = any(r.get("status") == "FAILED" for r in manifest.get("splits", []))
+        return 1 if failed else 0
 
     if args.cmd == "query":
         from pipeline_mf_etl_spark.queries import all_queries

@@ -151,21 +151,25 @@ def ci_from_distributions(
     dists: DataFrame,
     group: str,
     ci: tuple[float, float] = (2.5, 97.5),
+    with_median: bool = True,
 ) -> DataFrame:
-    """Percentile CIs over a per-replicate distribution frame (M13
+    """Percentile CIs over a per-replicate distribution frame (M13/M14
     phase 2) — exact continuous-interpolation percentiles so a DuckDB
-    ``quantile_cont`` oracle over the same persisted rows agrees."""
+    ``quantile_cont`` oracle over the same persisted rows agrees. The
+    single aggregate shared by the iid (mean+median) and block (mean
+    only) paths, mirroring the oracle builder's ``with_median`` flag."""
     lo, hi = ci[0] / 100.0, ci[1] / 100.0
-    return (
-        dists.groupBy(group)
-        .agg(
-            F.max("n").alias("n"),
-            F.round(F.expr(f"percentile(mean_rep, {lo})"), 6).alias("mean_ci_lo"),
-            F.round(F.expr(f"percentile(mean_rep, {hi})"), 6).alias("mean_ci_hi"),
+    aggs = [
+        F.max("n").alias("n"),
+        F.round(F.expr(f"percentile(mean_rep, {lo})"), 6).alias("mean_ci_lo"),
+        F.round(F.expr(f"percentile(mean_rep, {hi})"), 6).alias("mean_ci_hi"),
+    ]
+    if with_median:
+        aggs += [
             F.round(F.expr(f"percentile(median_rep, {lo})"), 6).alias("median_ci_lo"),
             F.round(F.expr(f"percentile(median_rep, {hi})"), 6).alias("median_ci_hi"),
-        )
-    )
+        ]
+    return dists.groupBy(group).agg(*aggs)
 
 
 def bootstrap_ci(
@@ -219,12 +223,7 @@ def block_bootstrap_ci(
         cap=cap,
         seed=seed,
     )
-    lo, hi = ci[0] / 100.0, ci[1] / 100.0
-    return dists.groupBy(group).agg(
-        F.max("n").alias("n"),
-        F.round(F.expr(f"percentile(mean_rep, {lo})"), 6).alias("mean_ci_lo"),
-        F.round(F.expr(f"percentile(mean_rep, {hi})"), 6).alias("mean_ci_hi"),
-    )
+    return ci_from_distributions(dists, group, ci, with_median=False)
 
 
 def block_bootstrap_distributions(

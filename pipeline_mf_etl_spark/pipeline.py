@@ -144,9 +144,7 @@ def research_layer(gold: DataFrame) -> DataFrame:
     )
 
 
-def backtest_layer(
-    gold: DataFrame, s: Settings
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+def backtest_layer(gold: DataFrame, s: Settings) -> tuple[DataFrame, DataFrame]:
     """B4+B6/B7: execution-realism gating, trade simulation on the
     surviving signals, and summary metrics.
 
@@ -157,7 +155,9 @@ def backtest_layer(
     show WHY candidates were dropped (reference suppression
     diagnostics, execution_realism.py:440-470).
 
-    Returns (trades, metrics, suppression_by_reason).
+    Returns (trades, suppression_by_reason); callers compute summary
+    metrics with :func:`trade_metrics` over whichever frame they mean
+    (usually the read-back written layer).
     """
     from pipeline_mf_etl_spark.operators.windows import rolling_min_samples
 
@@ -203,7 +203,7 @@ def backtest_layer(
         fee_bps=s.backtest.fee_bps_per_side,
         slippage_bps=s.backtest.slippage_bps_per_side,
     )
-    return trades, trade_metrics(trades), suppression
+    return trades, suppression
 
 
 def trade_metrics(trades: DataFrame) -> DataFrame:
@@ -228,6 +228,9 @@ def run_bronze(
     silver = silver_layer(bronze_layer(load_table(spark, sf_dir, "events")))
     path = os.path.join(output_root, "bronze")
     write_partitioned(silver, path, ["event_year"])
+    # summary from the WRITTEN layer: reading back costs one pruned scan
+    # instead of re-executing the whole bronze→silver plan
+    silver = _read_layer(spark, path, silver)
     q = silver.agg(
         F.count("*").alias("rows_total"),
         F.coalesce(F.sum(F.col("is_valid_row").cast("long")), F.lit(0)).alias("rows_valid"),
@@ -255,7 +258,9 @@ def run_research(
     write_csv_twin(research, path + "_csv")
     summary = {
         "stage": "research",
-        "n_states": research.count(),
+        # count the WRITTEN rows — research.count() would re-run the
+        # whole bronze→gold→profile chain a second time
+        "n_states": _read_layer(spark, path, research).count(),
         "output": path,
     }
     write_json_artifact(summary, os.path.join(output_root, "research_summary.json"))
@@ -271,7 +276,7 @@ def run_backtest(
 
     s = settings or load_settings()
     gold = gold_layer(silver_layer(bronze_layer(load_table(spark, sf_dir, "events"))), s)
-    trades, _, suppression = backtest_layer(gold, s)
+    trades, suppression = backtest_layer(gold, s)
     path = os.path.join(output_root, "trades")
     trades.write.mode("overwrite").option("compression", "zstd").parquet(path)
     trades = _read_layer(spark, path, trades)
@@ -353,7 +358,7 @@ def run_pipeline(
     research.coalesce(1).write.mode("overwrite").parquet(paths["research"])
     write_csv_twin(research, paths["research"] + "_csv")
 
-    trades, _, suppression = backtest_layer(gold, s)
+    trades, suppression = backtest_layer(gold, s)
     trades.write.mode("overwrite").option("compression", "zstd").parquet(paths["trades"])
     # metrics + report from the WRITTEN layer: one simulation pass total
     trades = _read_layer(spark, paths["trades"], trades)

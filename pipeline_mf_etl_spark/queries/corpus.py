@@ -189,7 +189,13 @@ def _read_count_min(spark: SparkSession, blob: bytes):
     classes through py4j. Guarded: under Spark Connect there is no
     ``_jvm`` and the probe fails with a clear message instead of an
     AttributeError."""
-    jvm = getattr(spark.sparkContext, "_jvm", None)
+    try:
+        # Connect raises on .sparkContext itself, so probe the session
+        # attribute inside the guard — a bare getattr on sparkContext
+        # would never reach the clear error below
+        jvm = getattr(getattr(spark, "sparkContext"), "_jvm", None)
+    except Exception:
+        jvm = None
     if jvm is None:  # pragma: no cover - Connect-only path
         raise NotImplementedError(
             "count-min probe needs the JVM py4j bridge (classic Spark); "

@@ -313,6 +313,7 @@ def m14_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate distributions persisted for the oracle percentile check."""
     from pipeline_mf_etl_spark.operators.stats import (
         block_bootstrap_distributions,
+        ci_from_distributions,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -328,11 +329,8 @@ def m14_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_BOOT.seed,
     )
     persisted = export_frame(dists, spark, sf_dir, "m14_dists")
-    lo, hi = _BOOT.ci_lo / 100.0, _BOOT.ci_hi / 100.0
-    return persisted.groupBy("event_type").agg(
-        F.max("n").alias("n"),
-        F.round(F.expr(f"percentile(mean_rep, {lo})"), 6).alias("mean_ci_lo"),
-        F.round(F.expr(f"percentile(mean_rep, {hi})"), 6).alias("mean_ci_hi"),
+    return ci_from_distributions(
+        persisted, "event_type", ci=(_BOOT.ci_lo, _BOOT.ci_hi), with_median=False
     )
 
 

@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 from pipeline_mf_etl_spark.operators.text import (
     LANG_STOPWORDS,
     doc_fingerprint,
+    mean_token_len,
     punct_ratio,
+    quality_score,
+    stopword_share,
+    token_count,
 )
 from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import load_table
@@ -74,19 +78,13 @@ def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
-
-    def share(lang: str):
-        words = LANG_STOPWORDS[lang]
-        hits = F.size(F.filter("toks", lambda x: x.isin(*words)))
-        return F.when(F.size("toks") > 0, hits / F.size("toks")).otherwise(F.lit(0.0))
-
     scores = t.select(
         "doc_id",
         "lang",
-        share("en").alias("s_en"),
-        share("de").alias("s_de"),
-        share("fr").alias("s_fr"),
-        share("es").alias("s_es"),
+        *[
+            stopword_share(F.col("toks"), LANG_STOPWORDS[lang]).alias(f"s_{lang}")
+            for lang in ("en", "de", "fr", "es")
+        ],
     )
     best = F.greatest("s_en", "s_de", "s_fr", "s_es")
     pred = (
@@ -145,21 +143,15 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
-    n_tok = F.size("toks")
-    total = F.aggregate("toks", F.lit(0), lambda acc, x: acc + F.length(x))
-    mtl = F.when(n_tok > 0, total.cast("double") / n_tok)
+    n_tok = token_count(F.col("toks"))
+    mtl = mean_token_len(F.col("toks"))
     pr = punct_ratio(F.col("text"))
-    len_score = F.least(n_tok.cast("double") / 50.0, F.lit(1.0))
-    punct_score = 1.0 - F.least(pr * 5.0, F.lit(1.0))
-    mtl0 = F.coalesce(mtl, F.lit(0.0))
-    mtl_score = F.when((mtl0 >= 3.0) & (mtl0 <= 8.0), 1.0).otherwise(0.5)
-    qual = 0.5 * len_score + 0.25 * punct_score + 0.25 * mtl_score
     return t.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         _r(pr).alias("punct_ratio"),
         _r(mtl).alias("mean_token_len"),
-        _r(qual).alias("quality"),
+        _r(quality_score(n_tok, pr, mtl)).alias("quality"),
     )
 
 
@@ -310,14 +302,12 @@ def t7_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dr"),
         "toks",
     )
-    # ALL bigrams (non-distinct): zip with the 1-shifted copy; trailing
-    # null pair drops with one filter
-    shifted = F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0)))
-    bigrams = F.filter(
-        F.zip_with(F.col("toks"), shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
-        lambda x: x.isNotNull(),
+    from pipeline_mf_etl_spark.operators.dedupe import _ngram_join
+
+    # ALL bigrams (non-distinct — the share needs occurrence counts)
+    bg = base.select(
+        "doc_id", F.explode(_ngram_join(F.col("toks"), 2, distinct=False)).alias("bigram")
     )
-    bg = base.select("doc_id", F.explode(bigrams).alias("bigram"))
     top = (
         bg.groupBy("doc_id", "bigram")
         .count()

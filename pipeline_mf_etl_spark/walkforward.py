@@ -129,8 +129,20 @@ def run_walkforward(
     """Run (or resume) a walk-forward pack. Returns the final manifest,
     where each split record carries status SUCCESS/FAILED and
     ``skipped_existing`` marking resume hits."""
+    from datetime import date
+
+    for d in train_ends:
+        try:
+            date.fromisoformat(d)
+        except (TypeError, ValueError) as exc:
+            # an unparseable cut date would cast to NULL in the split
+            # filter and silently produce an empty-but-SUCCESS split
+            raise ValueError(
+                f"train_ends entries must be ISO dates, got {d!r}"
+            ) from exc
     train_ends_iso = sorted(set(train_ends))
-    if max_splits is not None and max_splits > 0:
+    if max_splits is not None and max_splits >= 0:
+        # 0 means ZERO splits (a dry run), not "no limit"
         train_ends_iso = train_ends_iso[:max_splits]
     payload = {
         "sf_dir": sf_dir,

@@ -296,3 +296,22 @@ def test_sensitivity_and_calibration_reports(spark, tmp_path, capsys):
     payload = json.loads(capsys.readouterr().out)
     assert payload["n_combos"] == sens["n_combos"]
     assert os.path.exists(os.path.join(cli_out, "sensitivity_report.json"))
+
+
+def test_walkforward_rejects_malformed_dates_and_honors_zero_splits(spark, tmp_path):
+    """A malformed/empty cut date must fail loudly (it would cast to
+    NULL and write an empty-but-SUCCESS split); --max-splits 0 means
+    ZERO splits (dry run), not 'no limit'."""
+    import pytest as _pytest
+
+    from pipeline_mf_etl_spark.walkforward import run_walkforward
+
+    root = str(tmp_path / "wf")
+    with _pytest.raises(ValueError, match="ISO dates"):
+        run_walkforward(spark, "/root/testdata/sf0.001", root, ["2024-01-10", ""])
+    with _pytest.raises(ValueError, match="ISO dates"):
+        run_walkforward(spark, "/root/testdata/sf0.001", root, ["01/10/2024"])
+    m = run_walkforward(
+        spark, "/root/testdata/sf0.001", root, ["2024-01-10"], max_splits=0
+    )
+    assert m["splits"] == []
