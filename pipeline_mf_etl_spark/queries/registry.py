@@ -71,11 +71,20 @@ _PRIORITY = (
     "o9_stratified_sample",
     "a16_approx_quantiles",
     "a17_heavy_hitters",
-    # newly oracled this round (were no_oracle in r2)
+    # newly oracled this round (were no_oracle in r2): model fits /
+    # resampling persist their intermediate (queries/export.py) and the
+    # oracle reads the same parquet
     "m4_kmeans_profile",
     "m20_ari_vs_truth",
     "m5_gmm_mixture",
     "m10_hmm_states",
+    "m13_bootstrap_ci",
+    "m14_block_bootstrap",
+    "m15_pairwise_diff_ci",
+    "e4_ann_ivf",
+    # new operators this round (never registered before)
+    "t7_repetition_quality",
+    "t8_contamination",
 )
 
 
