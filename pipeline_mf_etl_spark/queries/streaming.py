@@ -135,3 +135,39 @@ def st4_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("max_value", 6).alias("max_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# st5: streaming exact dedupe with watermark-bounded state — the
+# streaming half of the dedup family (operators/dedupe.py covers batch).
+# The batch twin is deterministic keep-first; the streaming path
+# (dropDuplicatesWithinWatermark, tests/test_streaming.py) keeps the
+# same KEY SET with state evicted after the watermark horizon.
+# ---------------------------------------------------------------------------
+@query(
+    "st5_stream_dedupe",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM ranked GROUP BY user_id
+    """,
+)
+def st5_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dedupe summary over the (user_id, ts) event key: rows
+    kept by keep-first dedupe vs duplicates removed."""
+    from pipeline_mf_etl_spark.streaming import dedupe_events_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.groupBy("user_id").agg(F.count("*").alias("n_total"))
+    kept = dedupe_events_batch(ev).groupBy("user_id").agg(F.count("*").alias("n_kept"))
+    return total.join(kept, "user_id").select(
+        "user_id",
+        "n_kept",
+        (F.col("n_total") - F.col("n_kept")).alias("n_removed"),
+    )

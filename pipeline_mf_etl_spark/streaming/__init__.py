@@ -1,5 +1,7 @@
 from pipeline_mf_etl_spark.streaming.transforms import (
     daily_rollup,
+    dedupe_events_batch,
+    dedupe_events_stream,
     normalize_event_ts,
     read_events_stream,
     session_rollup,
@@ -8,6 +10,8 @@ from pipeline_mf_etl_spark.streaming.transforms import (
 
 __all__ = [
     "daily_rollup",
+    "dedupe_events_batch",
+    "dedupe_events_stream",
     "normalize_event_ts",
     "read_events_stream",
     "session_rollup",

@@ -144,3 +144,31 @@ def stream_bronze_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def dedupe_events_batch(events: DataFrame) -> DataFrame:
+    """Keep-first dedupe on the (user_id, ts) event key — the batch twin
+    of :func:`dedupe_events_stream` (W16 shape: deterministic
+    ``row_number`` keep-lowest-event_id)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedupe_events_stream(events: DataFrame, within: str = "1 day") -> DataFrame:
+    """Streaming exact dedupe on (user_id, ts) with watermark-bounded
+    state: ``dropDuplicatesWithinWatermark`` keeps the first arrival per
+    key and EVICTS key state once the watermark passes ``within`` — the
+    property that makes streaming dedupe of an unbounded event feed
+    feasible (a plain dropDuplicates would grow state forever). Which
+    physical row survives a same-batch tie is arrival order, so the
+    batch twin is the semantic oracle for the KEY SET and counts, not
+    for surviving row identity."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        ["user_id", "ts"]
+    )

@@ -101,3 +101,35 @@ def test_stream_bronze_ingest_matches_batch_and_is_incremental(spark, tmp_path):
     # idempotent re-run: checkpoint remembers the processed file
     stream_bronze_ingest(spark, sf, out, ckpt)
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_stream_dedupe_matches_batch_keys(spark):
+    """dropDuplicatesWithinWatermark must keep exactly one row per
+    (user_id, ts) key — same key set and count as the deterministic
+    batch keep-first dedupe (surviving-row identity is arrival order,
+    so only keys/counts are compared)."""
+    from pipeline_mf_etl_spark.streaming import (
+        dedupe_events_batch,
+        dedupe_events_stream,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedupe_events_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql(f"SELECT user_id, ts FROM {name}").collect()
+    s_keys = sorted((r["user_id"], r["ts"]) for r in streamed)
+
+    batch = dedupe_events_batch(load_table(spark, SF_SMOKE, "events"))
+    b_keys = sorted(
+        (r["user_id"], r["ts"]) for r in batch.select("user_id", "ts").collect()
+    )
+    assert len(s_keys) == len(set(s_keys)), "stream emitted a duplicate key"
+    assert s_keys == b_keys and len(b_keys) > 0
