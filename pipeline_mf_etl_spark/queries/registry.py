@@ -85,6 +85,7 @@ _PRIORITY = (
     # new operators this round (never registered before)
     "t7_repetition_quality",
     "t8_contamination",
+    "st5_stream_dedupe",
 )
 
 

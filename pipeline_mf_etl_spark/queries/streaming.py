@@ -140,34 +140,36 @@ def st4_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # st5: streaming exact dedupe with watermark-bounded state — the
 # streaming half of the dedup family (operators/dedupe.py covers batch).
-# The batch twin is deterministic keep-first; the streaming path
-# (dropDuplicatesWithinWatermark, tests/test_streaming.py) keeps the
-# same KEY SET with state evicted after the watermark horizon.
+# The shipped events tables are duplicate-free, so the query runs over
+# the at-least-once REPLAY augmentation (every 10th event redelivered
+# verbatim, identically on both engines) — the dedupe path is actually
+# exercised (n_replayed > 0 for every user), not certified vacuously.
+# The streaming path (dropDuplicatesWithinWatermark,
+# tests/test_streaming.py) keeps the same key set across micro-batches.
 # ---------------------------------------------------------------------------
 @query(
     "st5_stream_dedupe",
     oracle="""
-    WITH ranked AS (
-        SELECT user_id,
-               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
-        FROM events
+    WITH feed AS (
+        SELECT user_id, event_id FROM events
+        UNION ALL
+        SELECT user_id, event_id FROM events WHERE event_id % 10 = 0
     )
     SELECT user_id,
-           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
-    FROM ranked GROUP BY user_id
+           CAST(COUNT(*) AS BIGINT) AS n_received,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_replayed
+    FROM feed GROUP BY user_id
     """,
 )
 def st5_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user dedupe summary over the (user_id, ts) event key: rows
-    kept by keep-first dedupe vs duplicates removed."""
-    from pipeline_mf_etl_spark.streaming import dedupe_events_batch
+    """Per-user dedupe summary of the replayed (at-least-once) event
+    feed: rows received, distinct events kept, replays removed."""
+    from pipeline_mf_etl_spark.streaming import replayed_events
 
-    ev = load_table(spark, sf_dir, "events")
-    total = ev.groupBy("user_id").agg(F.count("*").alias("n_total"))
-    kept = dedupe_events_batch(ev).groupBy("user_id").agg(F.count("*").alias("n_kept"))
-    return total.join(kept, "user_id").select(
-        "user_id",
-        "n_kept",
-        (F.col("n_total") - F.col("n_kept")).alias("n_removed"),
+    feed = replayed_events(load_table(spark, sf_dir, "events"))
+    return feed.groupBy("user_id").agg(
+        F.count("*").alias("n_received"),
+        F.countDistinct("event_id").alias("n_kept"),
+        (F.count("*") - F.countDistinct("event_id")).alias("n_replayed"),
     )

@@ -4,6 +4,7 @@ from pipeline_mf_etl_spark.streaming.transforms import (
     dedupe_events_stream,
     normalize_event_ts,
     read_events_stream,
+    replayed_events,
     session_rollup,
     sliding_rollup,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "dedupe_events_stream",
     "normalize_event_ts",
     "read_events_stream",
+    "replayed_events",
     "session_rollup",
     "sliding_rollup",
 ]

@@ -146,29 +146,35 @@ def stream_bronze_ingest(
     q.awaitTermination()
 
 
-def dedupe_events_batch(events: DataFrame) -> DataFrame:
-    """Keep-first dedupe on the (user_id, ts) event key — the batch twin
-    of :func:`dedupe_events_stream` (W16 shape: deterministic
-    ``row_number`` keep-lowest-event_id)."""
-    from pyspark.sql import Window
+def replayed_events(events: DataFrame, every: int = 10) -> DataFrame:
+    """Simulated at-least-once delivery: every ``every``-th event is
+    redelivered verbatim (same event_id, same payload) — the duplicate
+    profile a streaming ingest actually faces (source retries /
+    checkpoint replays), and the reason the event feed needs exact
+    dedupe at all. The shipped events tables are duplicate-free, so
+    WITHOUT this augmentation any dedupe test/certification would pass
+    vacuously on an identity transform."""
+    return events.unionAll(events.filter(F.col("event_id") % every == 0))
 
-    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
-    return (
-        events.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+
+def dedupe_events_batch(events: DataFrame) -> DataFrame:
+    """Exact dedupe on event_id — the batch twin of
+    :func:`dedupe_events_stream`. Replayed rows are verbatim copies, so
+    any survivor is identical and ``dropDuplicates`` is deterministic
+    in VALUE (not just in key)."""
+    return events.dropDuplicates(["event_id"])
 
 
 def dedupe_events_stream(events: DataFrame, within: str = "1 day") -> DataFrame:
-    """Streaming exact dedupe on (user_id, ts) with watermark-bounded
-    state: ``dropDuplicatesWithinWatermark`` keeps the first arrival per
-    key and EVICTS key state once the watermark passes ``within`` — the
-    property that makes streaming dedupe of an unbounded event feed
-    feasible (a plain dropDuplicates would grow state forever). Which
-    physical row survives a same-batch tie is arrival order, so the
-    batch twin is the semantic oracle for the KEY SET and counts, not
-    for surviving row identity."""
+    """Streaming exact dedupe on event_id with watermark-bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key
+    and EVICTS key state once the watermark passes ``within`` — the
+    property that makes streaming dedupe of an unbounded feed feasible
+    (a plain dropDuplicates would grow state forever). The trade is
+    explicit: a replay arriving LATER than ``within`` past the original
+    re-emits its key (state already evicted), so the batch twin is the
+    exact oracle only for replays inside the horizon — size ``within``
+    to the source's maximum redelivery lag."""
     return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
-        ["user_id", "ts"]
+        ["event_id"]
     )

@@ -103,20 +103,46 @@ def test_stream_bronze_ingest_matches_batch_and_is_incremental(spark, tmp_path):
     assert spark.read.parquet(out).count() == batch.count()
 
 
-def test_stream_dedupe_matches_batch_keys(spark):
-    """dropDuplicatesWithinWatermark must keep exactly one row per
-    (user_id, ts) key — same key set and count as the deterministic
-    batch keep-first dedupe (surviving-row identity is arrival order,
-    so only keys/counts are compared)."""
+def test_stream_dedupe_removes_cross_batch_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must drop replayed events ACROSS
+    micro-batches: the feed is two files (originals, then verbatim
+    replays of every 10th event) processed one per trigger, and the
+    deduped stream must equal the batch dedupe of the union — every
+    replay removed, no key emitted twice. The shipped events table is
+    duplicate-free, so without the injected replay file this test would
+    pass on a broken (identity) dedupe. Horizon spans the whole data
+    range so no state evicts mid-test (beyond-horizon re-emission is a
+    documented trade, not a bug)."""
+    import pyspark.sql.functions as F
+
     from pipeline_mf_etl_spark.streaming import (
         dedupe_events_batch,
         dedupe_events_stream,
+        normalize_event_ts,
+        replayed_events,
     )
 
-    stream = read_events_stream(spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    replays = ev.filter(F.col("event_id") % 10 == 0)
+    assert replays.count() > 0, "replay injection produced no duplicates"
+    feed_dir = str(tmp_path / "feed")
+    # single FILES at the dir top level (a Spark .write would create
+    # subdirectories the file-stream source does not list)
+    import os
+
+    os.makedirs(feed_dir)
+    ev.toPandas().to_parquet(f"{feed_dir}/batch1.parquet")
+    replays.toPandas().to_parquet(f"{feed_dir}/batch2.parquet")
+
+    schema = spark.read.parquet(feed_dir).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
     name = f"mem_{uuid.uuid4().hex[:8]}"
     q = (
-        dedupe_events_stream(stream)
+        dedupe_events_stream(stream, within="3650 days")
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -124,12 +150,11 @@ def test_stream_dedupe_matches_batch_keys(spark):
         .start()
     )
     q.awaitTermination(120)
-    streamed = spark.sql(f"SELECT user_id, ts FROM {name}").collect()
-    s_keys = sorted((r["user_id"], r["ts"]) for r in streamed)
+    s_ids = sorted(r["event_id"] for r in spark.sql(f"SELECT event_id FROM {name}").collect())
 
-    batch = dedupe_events_batch(load_table(spark, SF_SMOKE, "events"))
-    b_keys = sorted(
-        (r["user_id"], r["ts"]) for r in batch.select("user_id", "ts").collect()
-    )
-    assert len(s_keys) == len(set(s_keys)), "stream emitted a duplicate key"
-    assert s_keys == b_keys and len(b_keys) > 0
+    batch = dedupe_events_batch(replayed_events(ev))
+    b_ids = sorted(r["event_id"] for r in batch.select("event_id").collect())
+    assert len(s_ids) == len(set(s_ids)), "stream emitted a replayed event twice"
+    assert s_ids == b_ids and len(b_ids) > 0
+    # the dedupe actually removed something: fewer rows out than fed in
+    assert len(s_ids) < ev.count() + replays.count()
