@@ -229,11 +229,86 @@ def b5_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # B6: next-open non-overlapping trade simulation (applyInPandas island).
-# The greedy non-overlap recursion is not ANSI-SQL-expressible without
-# recursive CTE gymnastics; the driver records the rows-only check and
-# tests/test_backtest.py enforces the sequential invariants instead.
+# The greedy non-overlap loop IS oracle-expressible as a recursive CTE:
+# `next_sig(idx)` = first eligible signal at-or-after each bar (a reverse
+# running-min window, computed ONCE, non-recursively), which turns the
+# greedy chain into a pure function iteration s -> next_sig(exit(s)) —
+# the recursive term needs only equi-joins, no aggregates (which
+# recursive CTEs disallow). tests/test_backtest.py keeps the sequential
+# invariant properties as an independent second check.
 # ---------------------------------------------------------------------------
-@query("b6_trade_sim")
+@query(
+    "b6_trade_sim",
+    oracle=f"""
+    WITH RECURSIVE {_SIGNALS_CTE}, bars AS (
+        SELECT user_id, event_id, value, side, signal,
+               CAST(ROW_NUMBER() OVER ({_W}) - 1 AS BIGINT) AS idx,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM signals
+    ), nxt AS (
+        -- first actionable signal at-or-after each bar (signals on the
+        -- last bar have no next open and are never actionable)
+        SELECT user_id, idx,
+               MIN(CASE WHEN signal AND idx <= n - 2 THEN idx END)
+                   OVER (PARTITION BY user_id ORDER BY idx DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS next_sig
+        FROM bars
+    ), chain AS (
+        SELECT user_id, 1 AS position_id, next_sig AS s
+        FROM nxt WHERE idx = 0 AND next_sig IS NOT NULL
+        UNION ALL
+        -- flat again ON the exit bar: resume the signal search there
+        SELECT c.user_id, c.position_id + 1, n2.next_sig AS s
+        FROM chain c
+        JOIN bars bs ON bs.user_id = c.user_id AND bs.idx = c.s
+        JOIN nxt n2 ON n2.user_id = c.user_id
+                   AND n2.idx = LEAST(c.s + 1 + {_HOLD}, bs.n - 1)
+        WHERE n2.next_sig IS NOT NULL
+    ), trades AS (
+        SELECT c.user_id, c.position_id, bs.side,
+               c.s + 1 AS e_idx,
+               LEAST(c.s + 1 + {_HOLD}, bs.n - 1) AS x_idx,
+               CASE WHEN c.s + 1 + {_HOLD} > bs.n - 1
+                    THEN 'END_OF_DATA' ELSE 'HORIZON' END AS exit_reason
+        FROM chain c JOIN bars bs ON bs.user_id = c.user_id AND bs.idx = c.s
+    ), priced AS (
+        SELECT t.*, be.event_id AS entry_event_id, be.value AS entry_value,
+               bx.event_id AS exit_event_id, bx.value AS exit_value
+        FROM trades t
+        JOIN bars be ON be.user_id = t.user_id AND be.idx = t.e_idx
+        JOIN bars bx ON bx.user_id = t.user_id AND bx.idx = t.x_idx
+    ), excursion AS (
+        SELECT p.user_id, p.position_id,
+               MAX(p.side * (b.value / p.entry_value - 1)) AS mfe,
+               MIN(p.side * (b.value / p.entry_value - 1)) AS mae
+        FROM priced p
+        JOIN bars b ON b.user_id = p.user_id
+                   AND b.idx BETWEEN p.e_idx AND p.x_idx
+        WHERE p.entry_value <> 0
+        GROUP BY p.user_id, p.position_id
+    )
+    SELECT p.user_id,
+           CAST(p.position_id AS INTEGER) AS position_id,
+           CAST(p.side AS INTEGER) AS side,
+           p.entry_event_id, p.exit_event_id,
+           ROUND(p.entry_value, 6) AS entry_value,
+           ROUND(p.exit_value, 6) AS exit_value,
+           CAST(p.x_idx - p.e_idx AS INTEGER) AS bars_held,
+           -- + 0 normalizes IEEE -0.0 (DuckDB ROUND keeps the sign,
+           -- Spark's BigDecimal round does not)
+           CASE WHEN p.entry_value <> 0
+                THEN ROUND(p.side * (p.exit_value / p.entry_value - 1), 6) + 0
+           END AS gross_return,
+           CASE WHEN p.entry_value <> 0
+                THEN ROUND(p.side * (p.exit_value / p.entry_value - 1) - {_COST!r}, 6) + 0
+           END AS net_return,
+           ROUND(x.mfe, 6) + 0 AS mfe,
+           ROUND(x.mae, 6) + 0 AS mae,
+           p.exit_reason
+    FROM priced p LEFT JOIN excursion x USING (user_id, position_id)
+    """,
+)
 def b6_trade_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series trade loop: next-open fills, one position per series,
     horizon exit with END_OF_DATA fallback, MFE/MAE, two-sided costs."""
