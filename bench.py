@@ -36,6 +36,8 @@ HEADLINE = (
     "w3_ewm_wilder",          # applyInPandas EWM island
     "b6_trade_sim",           # sequential per-series simulation
     "st1_tumbling_daily",     # event-time tumbling windows
+    # added round 4 (totals before r4 cover the first 14 only)
+    "v1_tmf_tti_panel",       # viewer panel: 4 RMAs in one island pass
 )
 
 

@@ -73,3 +73,51 @@ def ewm_smooth(
     # pandas NaN round-trips as Double.NaN, not SQL NULL — normalize so
     # downstream null-guards (and the DuckDB oracle) agree.
     return out.withColumn(out_col, F.when(~F.isnan(out_col), F.col(out_col)))
+
+
+def ewm_smooth_many(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    cols: dict[str, str],
+    n: int,
+) -> DataFrame:
+    """Append one Wilder-smoothed column per ``cols`` entry
+    (``out_col -> value_col``) in a SINGLE mapInPandas pass.
+
+    The viewer indicator panel needs four RMAs over the same series
+    (TMF/TTI numerators and denominators, reference overlay_viewer/
+    indicators_twiggs.py:55-64); smoothing them one at a time would pay
+    one shuffle + Arrow exchange per column. This pays exactly one of
+    each regardless of column count — same per-partition island shape as
+    :func:`ewm_smooth`.
+    """
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out, DoubleType(), True) for out in cols]
+    )
+    alpha = 1.0 / n
+
+    def smooth(batches):
+        import pandas as pd
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(series_cols + order_cols, kind="mergesort").reset_index(drop=True)
+        grouped = pdf.groupby(series_cols, sort=True)
+        for out, val in cols.items():
+            pdf[out] = (
+                grouped[val].ewm(alpha=alpha, adjust=False, min_periods=n).mean().to_numpy()
+            )
+        yield pdf
+
+    out = df.repartition(*series_cols).sortWithinPartitions(*series_cols, *order_cols).mapInPandas(
+        smooth, schema
+    )
+    for col in cols:
+        out = out.withColumn(col, F.when(~F.isnan(col), F.col(col)))
+    return out

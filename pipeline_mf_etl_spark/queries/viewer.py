@@ -1,0 +1,511 @@
+"""Overlay-viewer compute layer (reference apps/overlay_viewer).
+
+The reference's per-ticker viewer cache derives three real query
+frames before any plotting happens:
+
+* the TMF/TTI indicator panel — Twiggs Money Flow and the TTI proxy,
+  both Wilder-RMA ratios plus slopes/returns/zero-crosses and a rolling
+  dollar-volume floor (``compute_ticker.py:197-242``,
+  ``indicators_twiggs.py:31-81``);
+* the candidate-marker ribbon — per-bar signal markers classified as
+  candidate / blocked-by-overlay / blocked-by-execution with a blocked
+  reason string (``overlay_logic.py:404-454``);
+* reading-mode pivot labels — 2-left/2-right pivot lows/highs on an
+  indicator series, labelled against the previous pivot
+  (``indicators_twiggs.py:110-173``).
+
+Here they run over the ``events`` series (user_id = ticker, value =
+close, ``props.$.k`` = volume proxy — the same bar mapping as the
+backtest family). The engine's bars are close-only, so the OHLC terms
+collapse: trh/trl use prev-close only and the first bar defines
+``prev_close = close`` (tr = 0) instead of the reference's leading-NaN
+row — documented proxy deviation, applied identically on both engines.
+
+Spark-first shape: the four RMAs are ONE mapInPandas pass
+(``ewm_smooth_many``) over series-partitioned data; everything else is
+window/CASE algebra that Catalyst pipelines into the same single
+shuffle. The DuckDB oracles reuse the block-rescaled exact EWM
+expansion from ``queries/flow.py`` (naive closed forms overflow double
+past ~7000 bars), generated per smoothed column by ``_ewm_chain``.
+Every float the comparison hashes is rounded to 6 dp on both sides,
+and every boolean/label is computed FROM rounded values so
+accumulation-order ulps cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.operators.ewm import ewm_smooth_many
+from pipeline_mf_etl_spark.operators.windows import rolling_min_samples, series_window
+from pipeline_mf_etl_spark.queries.registry import query
+from pipeline_mf_etl_spark.sources.readers import load_table
+
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+# TwiggsParams defaults (reference indicators_twiggs.py:17-24)
+_N = 21
+_EPS = 1e-12
+_ZERO_TOL = 0.01  # reading-label zero tolerance (indicators_twiggs.py:117)
+_DV_WIN = 20
+
+_A = 1.0 / _N
+_B = 1.0 - _A
+# Block size for the rescaled EWM closed form (see queries/flow.py) —
+# keeps POWER(B, e) exponents bounded so no intermediate overflows.
+_L = 500
+
+
+def _ewm_chain(prefix: str, val_col: str, out_col: str) -> str:
+    """Block-rescaled exact Wilder-EWM chain over the ``derived`` CTE.
+
+    Emits CTEs ``{prefix}_blkd/_bt/_carry/_sm``; ``{prefix}_sm`` holds
+    (event_id, user_id, rn, {out_col}) with NULL warm-up (rn < n). Same
+    derivation as queries/flow.py _EWM_CTE, parameterized so the panel
+    can smooth four columns.
+    """
+    return f"""
+    {prefix}_blkd AS (
+        SELECT event_id, user_id, rn,
+               CAST((rn - 1) // {_L} AS INT) AS blk,
+               rn - CAST((rn - 1) // {_L} AS INT) * {_L} AS e,
+               CASE WHEN rn >= 2 THEN
+                    {val_col} * POWER({_B!r}, -(rn - CAST((rn - 1) // {_L} AS INT) * {_L}))
+                    ELSE 0.0 END AS s,
+               FIRST_VALUE({val_col}) OVER (PARTITION BY user_id ORDER BY rn)
+                   AS first_val
+        FROM derived
+    ), {prefix}_bt AS (
+        SELECT user_id, blk, SUM(s) AS t_blk FROM {prefix}_blkd GROUP BY 1, 2
+    ), {prefix}_carry AS (
+        SELECT user_id, 0 AS blk, CAST(0.0 AS DOUBLE) AS g
+        FROM (SELECT DISTINCT user_id FROM {prefix}_bt)
+        UNION ALL
+        SELECT c.user_id, c.blk + 1, POWER({_B!r}, {_L}) * (c.g + t.t_blk)
+        FROM {prefix}_carry c
+        JOIN {prefix}_bt t ON t.user_id = c.user_id AND t.blk = c.blk
+    ), {prefix}_sm AS (
+        SELECT b.event_id, b.user_id, b.rn,
+               CASE WHEN b.rn >= {_N} THEN
+                    {_A!r} * POWER({_B!r}, b.e) * (
+                        SUM(b.s) OVER (PARTITION BY b.user_id, b.blk ORDER BY b.rn
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+                        + c.g)
+                    + POWER({_B!r}, b.rn - 1) * b.first_val END AS {out_col}
+        FROM {prefix}_blkd b
+        JOIN {prefix}_carry c ON c.user_id = b.user_id AND c.blk = b.blk
+    )"""
+
+
+# Shared bars + Twiggs-term derivation (reference indicators_twiggs.py:
+# 44-64 with the close-only proxy: high = low = close).
+_DERIVED_CTE = f"""
+    bars AS (
+        SELECT event_id, user_id, ts, value AS close,
+               COALESCE(CAST(json_extract(props, '$.k') AS DOUBLE), 0.0) AS volume,
+               ROW_NUMBER() OVER ({_W}) AS rn
+        FROM events
+    ), derived AS (
+        SELECT *,
+               GREATEST(close, prev_close) - LEAST(close, prev_close) AS tr,
+               (2.0 * close - GREATEST(close, prev_close) - LEAST(close, prev_close))
+                   / GREATEST(GREATEST(close, prev_close) - LEAST(close, prev_close),
+                              {_EPS!r}) * volume AS adv,
+               (2.0 * close - GREATEST(close, prev_close) - LEAST(close, prev_close))
+                   / GREATEST(GREATEST(close, prev_close) - LEAST(close, prev_close),
+                              {_EPS!r})
+                   * (GREATEST(close, prev_close) - LEAST(close, prev_close)) AS advv
+        FROM (
+            SELECT *, COALESCE(LAG(close) OVER ({_W}), close) AS prev_close
+            FROM bars
+        )
+    )
+"""
+
+_PANEL_CHAINS = ",".join(
+    [
+        _ewm_chain("tn", "adv", "tmf_num"),
+        _ewm_chain("td", "volume", "tmf_den"),
+        _ewm_chain("un", "advv", "tti_num"),
+        _ewm_chain("ud", "tr", "tti_den"),
+    ]
+)
+
+# Joined panel with ROUNDED tmf/tti (all downstream flags/slopes derive
+# from these rounded values on both engines).
+_PANEL_CTE = f"""
+    {_DERIVED_CTE},
+    {_PANEL_CHAINS},
+    panel AS (
+        SELECT d.*,
+               ROUND(tn.tmf_num / GREATEST(td.tmf_den, {_EPS!r}), 6) + 0 AS tmf_raw,
+               ROUND(un.tti_num / GREATEST(ud.tti_den, {_EPS!r}), 6) + 0 AS tti_raw
+        FROM derived d
+        JOIN tn_sm tn USING (event_id, user_id)
+        JOIN td_sm td USING (event_id, user_id)
+        JOIN un_sm un USING (event_id, user_id)
+        JOIN ud_sm ud USING (event_id, user_id)
+    )
+"""
+
+
+def _panel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the ``panel`` CTE: bars → Twiggs terms → four RMAs
+    in one mapInPandas pass → rounded tmf_raw/tti_raw."""
+    ev = load_table(spark, sf_dir, "events")
+    w = series_window()
+    close = F.col("value")
+    bars = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        close.alias("close"),
+        F.coalesce(F.get_json_object("props", "$.k").cast("double"), F.lit(0.0)).alias(
+            "volume"
+        ),
+    ).withColumn("prev_close", F.coalesce(F.lag("close").over(w), F.col("close")))
+    tr = F.greatest("close", "prev_close") - F.least("close", "prev_close")
+    tr_safe = F.greatest(tr, F.lit(_EPS))
+    core = (2.0 * F.col("close") - F.greatest("close", "prev_close") - F.least("close", "prev_close")) / tr_safe
+    derived = bars.withColumns(
+        {
+            "tr": tr,
+            "adv": core * F.col("volume"),
+            "advv": core * tr,
+        }
+    )
+    sm = ewm_smooth_many(
+        derived,
+        series_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        cols={"tmf_num": "adv", "tmf_den": "volume", "tti_num": "advv", "tti_den": "tr"},
+        n=_N,
+    )
+    return sm.withColumns(
+        {
+            "tmf_raw": F.round(F.col("tmf_num") / F.greatest("tmf_den", F.lit(_EPS)), 6),
+            "tti_raw": F.round(F.col("tti_num") / F.greatest("tti_den", F.lit(_EPS)), 6),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# V1: TMF/TTI indicator panel
+# (reference compute_ticker.py:197-242, indicators_twiggs.py:31-81)
+# ---------------------------------------------------------------------------
+@query(
+    "v1_tmf_tti_panel",
+    oracle=f"""
+    WITH RECURSIVE {_PANEL_CTE}
+    SELECT event_id, user_id,
+           ROUND(prev_close, 6) AS prev_close,
+           ROUND(tr, 6) AS tr,
+           ROUND(adv, 6) + 0 AS adv,
+           ROUND(advv, 6) + 0 AS advv,
+           tmf_raw, tti_raw,
+           COALESCE(SIGN(tmf_raw) <> SIGN(LAG(tmf_raw) OVER ({_W})), FALSE)
+               AS tmf_zero_cross,
+           COALESCE(SIGN(tti_raw) <> SIGN(LAG(tti_raw) OVER ({_W})), FALSE)
+               AS tti_zero_cross,
+           ROUND(close / NULLIF(LAG(close) OVER ({_W}), 0) - 1, 6) + 0 AS ret_1,
+           ROUND(close / NULLIF(LAG(close, 5) OVER ({_W}), 0) - 1, 6) + 0 AS ret_5,
+           ROUND(tmf_raw - LAG(tmf_raw) OVER ({_W}), 6) + 0 AS tmf_slope_1,
+           ROUND(tmf_raw - LAG(tmf_raw, 5) OVER ({_W}), 6) + 0 AS tmf_slope_5,
+           ROUND(tti_raw - LAG(tti_raw) OVER ({_W}), 6) + 0 AS tti_slope_1,
+           ROUND(tti_raw - LAG(tti_raw, 5) OVER ({_W}), 6) + 0 AS tti_slope_5,
+           ROUND(tr / NULLIF(close, 0), 6) AS range_pct,
+           ROUND(close * volume, 6) AS dollar_vol,
+           ROUND(dv20, 6) AS dollar_vol_20,
+           ROUND(LN(1 + GREATEST(ROUND(dv20, 6), 0)), 6) AS dollar_vol_20_log
+    FROM (
+        SELECT *,
+               CASE WHEN COUNT(close * volume) OVER w20 >= {_DV_WIN}
+                    THEN QUANTILE_CONT(close * volume, 0.5) OVER w20 END AS dv20
+        FROM panel
+        WINDOW w20 AS ({_W} ROWS BETWEEN {_DV_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def v1_tmf_tti_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bar TMF/TTI viewer panel: Twiggs Money Flow + TTI proxy
+    (Wilder RMA ratios, period 21), zero-crosses, 1/5-bar returns and
+    slopes, true-range pct, and the 20-bar rolling dollar-volume median
+    with log1p — the indicator frame the reference viewer caches per
+    ticker (compute_ticker.py:197-242). Slopes and crosses derive from
+    the 6-dp-rounded RMA ratios so both engines agree exactly."""
+    pan = _panel_frame(spark, sf_dir)
+    w = series_window()
+    dv = F.col("close") * F.col("volume")
+    pan = pan.withColumn(
+        "dv20", rolling_min_samples(F.expr("percentile(close * volume, 0.5)"), dv, w, _DV_WIN)
+    )
+    lag1 = F.lag("tmf_raw").over(w)
+    lag1t = F.lag("tti_raw").over(w)
+    dv20_r = F.round("dv20", 6)
+    return pan.select(
+        "event_id",
+        "user_id",
+        F.round("prev_close", 6).alias("prev_close"),
+        F.round("tr", 6).alias("tr"),
+        F.round("adv", 6).alias("adv"),
+        F.round("advv", 6).alias("advv"),
+        "tmf_raw",
+        "tti_raw",
+        F.coalesce(F.signum("tmf_raw") != F.signum(lag1), F.lit(False)).alias(
+            "tmf_zero_cross"
+        ),
+        F.coalesce(F.signum("tti_raw") != F.signum(lag1t), F.lit(False)).alias(
+            "tti_zero_cross"
+        ),
+        F.round(F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1, 6).alias(
+            "ret_1"
+        ),
+        F.round(
+            F.col("close") / F.nullif(F.lag("close", 5).over(w), F.lit(0.0)) - 1, 6
+        ).alias("ret_5"),
+        F.round(F.col("tmf_raw") - lag1, 6).alias("tmf_slope_1"),
+        F.round(F.col("tmf_raw") - F.lag("tmf_raw", 5).over(w), 6).alias("tmf_slope_5"),
+        F.round(F.col("tti_raw") - lag1t, 6).alias("tti_slope_1"),
+        F.round(F.col("tti_raw") - F.lag("tti_raw", 5).over(w), 6).alias("tti_slope_5"),
+        F.round(F.col("tr") / F.nullif(F.col("close"), F.lit(0.0)), 6).alias("range_pct"),
+        F.round(dv, 6).alias("dollar_vol"),
+        dv20_r.alias("dollar_vol_20"),
+        F.round(F.log1p(F.greatest(dv20_r, F.lit(0.0))), 6).alias("dollar_vol_20_log"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# V2: candidate-marker ribbon (reference overlay_logic.py:404-454)
+# ---------------------------------------------------------------------------
+def _v2_oracle() -> str:
+    from pipeline_mf_etl_spark.queries.backtest import (
+        _B3_CLASS,
+        _SIGNALS_CTE,
+        _S,
+    )
+
+    r = _S.realism
+    return f"""
+    WITH {_SIGNALS_CTE}, gates AS (
+        SELECT event_id,
+               CASE WHEN value < {r.price_floor!r} THEN 'PRICE_FLOOR'
+                    WHEN history_bars < {r.warmup_bars} THEN 'WARMUP'
+                    WHEN COALESCE(dv_med_20 < {r.dollar_vol_floor!r}, FALSE)
+                         THEN 'DOLLAR_VOL' END AS execution_filter_reason
+        FROM (
+            SELECT event_id, value,
+                   COUNT(*) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS history_bars,
+                   CASE WHEN COUNT(dollar_vol) OVER w20 >= {r.dollar_vol_window}
+                        THEN QUANTILE_CONT(dollar_vol, 0.5) OVER w20
+                   END AS dv_med_20
+            FROM (
+                SELECT event_id, user_id, ts, value,
+                       value * CAST(json_extract(props, '$.k') AS DOUBLE)
+                           AS dollar_vol
+                FROM events
+            )
+            WINDOW w20 AS ({_W} ROWS BETWEEN {r.dollar_vol_window - 1} PRECEDING
+                           AND CURRENT ROW)
+        )
+    ), overlay AS (
+        SELECT DISTINCT user_id, {_B3_CLASS} AS cls
+        FROM events WHERE user_id % 10 < 8
+    ), marked AS (
+        SELECT s.event_id, s.user_id, s.event_type, s.side, s.signal,
+               COALESCE(o.cls, 'UNKNOWN') AS overlay_policy_class,
+               COALESCE(o.cls, 'UNKNOWN') = 'ALLOW' AS overlay_allow_signal,
+               g.execution_filter_reason
+        FROM signals s
+        JOIN gates g USING (event_id)
+        LEFT JOIN overlay o USING (user_id)
+    )
+    SELECT event_id, user_id, event_type AS state,
+           CASE WHEN side = 1 THEN 'LONG_BIAS'
+                WHEN side = -1 THEN 'SHORT_BIAS'
+                ELSE 'UNCONFIRMED' END AS state_direction_hint,
+           signal AS raw_signal,
+           overlay_policy_class,
+           execution_filter_reason IS NULL AS exec_eligible,
+           signal AND overlay_allow_signal AND execution_filter_reason IS NULL
+               AS entry_signal,
+           signal AND NOT overlay_allow_signal AS overlay_vetoed_signal,
+           signal AND overlay_allow_signal AND execution_filter_reason IS NOT NULL
+               AS execution_suppressed_signal,
+           CASE WHEN signal AND overlay_allow_signal
+                     AND execution_filter_reason IS NULL THEN 'candidate_signal'
+                WHEN signal AND NOT overlay_allow_signal THEN 'blocked_overlay'
+                WHEN signal THEN 'blocked_execution' END AS candidate_marker_type,
+           CASE WHEN signal AND NOT overlay_allow_signal
+                     THEN 'overlay:' || overlay_policy_class
+                WHEN signal AND execution_filter_reason IS NOT NULL
+                     THEN 'exec:' || execution_filter_reason END AS blocked_reason
+    FROM marked
+    """
+
+
+@query("v2_viewer_markers", oracle=_v2_oracle())
+def v2_viewer_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewer candidate-marker ribbon: every bar carries its state, the
+    direction hint, the raw/entry signal, the overlay policy class, the
+    execution gate, and the marker classification candidate_signal /
+    blocked_overlay / blocked_execution with a ``overlay:CLASS`` /
+    ``exec:REASON`` blocked-reason string — the CASE cascade of
+    reference overlay_logic.py:439-454 composed from the engine's B3/B4/
+    B5 building blocks (overlay gate in ``allow_only`` mode). The
+    overlay dim and state map are broadcast; the signal/realism windows
+    share the one per-series shuffle."""
+    from pipeline_mf_etl_spark.queries.backtest import _S, _with_signals, b4_frame
+
+    sig = _with_signals(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "side", "signal"
+    )
+    realism = b4_frame(spark, sf_dir, _S).select(
+        "event_id", F.col("user_id").alias("r_uid"), "primary_reason"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    overlay = (
+        ev.select("user_id")
+        .filter(F.col("user_id") % 10 < 8)
+        .distinct()
+        .withColumn(
+            "cls",
+            F.when(F.col("user_id") % 3 == 0, "ALLOW")
+            .when(F.col("user_id") % 3 == 1, "WATCH")
+            .otherwise("BLOCK"),
+        )
+    )
+    df = (
+        sig.join(realism.drop("r_uid"), "event_id")
+        .join(F.broadcast(overlay), "user_id", "left")
+        .withColumn("overlay_policy_class", F.coalesce("cls", F.lit("UNKNOWN")))
+    )
+    allow = F.col("overlay_policy_class") == "ALLOW"
+    exec_ok = F.col("primary_reason").isNull()
+    raw = F.col("signal")
+    return df.select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.when(F.col("side") == 1, "LONG_BIAS")
+        .when(F.col("side") == -1, "SHORT_BIAS")
+        .otherwise("UNCONFIRMED")
+        .alias("state_direction_hint"),
+        raw.alias("raw_signal"),
+        "overlay_policy_class",
+        exec_ok.alias("exec_eligible"),
+        (raw & allow & exec_ok).alias("entry_signal"),
+        (raw & ~allow).alias("overlay_vetoed_signal"),
+        (raw & allow & ~exec_ok).alias("execution_suppressed_signal"),
+        F.when(raw & allow & exec_ok, "candidate_signal")
+        .when(raw & ~allow, "blocked_overlay")
+        .when(raw, "blocked_execution")
+        .alias("candidate_marker_type"),
+        F.when(raw & ~allow, F.concat(F.lit("overlay:"), F.col("overlay_policy_class")))
+        .when(raw & ~exec_ok, F.concat(F.lit("exec:"), F.col("primary_reason")))
+        .alias("blocked_reason"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# V3: reading-mode pivot labels (reference indicators_twiggs.py:110-173)
+# ---------------------------------------------------------------------------
+@query(
+    "v3_reading_labels",
+    oracle=f"""
+    WITH RECURSIVE {_PANEL_CTE}, vals AS (
+        SELECT event_id, user_id, rn, tti_raw AS v,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM panel
+    ), win AS (
+        SELECT *,
+               MIN(v) OVER w5 AS wmin, MAX(v) OVER w5 AS wmax
+        FROM vals
+        WINDOW w5 AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    ), piv AS (
+        SELECT *,
+               (rn > 2 AND rn <= n - 2 AND v IS NOT NULL AND v <= wmin) AS is_low,
+               (rn > 2 AND rn <= n - 2 AND v IS NOT NULL AND v >= wmax) AS is_high
+        FROM win
+    ), lows AS (
+        SELECT event_id, user_id, rn, v,
+               LAG(v) OVER (PARTITION BY user_id ORDER BY rn) AS prev_piv
+        FROM piv WHERE is_low
+    ), highs AS (
+        SELECT event_id, user_id, rn, v,
+               LAG(v) OVER (PARTITION BY user_id ORDER BY rn) AS prev_piv
+        FROM piv WHERE is_high
+    )
+    SELECT event_id, user_id, v AS value,
+           CASE WHEN ABS(v) <= {_ZERO_TOL!r} THEN 'AT_ZERO'
+                WHEN v > 0 AND prev_piv IS NOT NULL AND v > prev_piv
+                     THEN 'RISING_TROUGH'
+                WHEN v > 0 THEN 'TROUGH_ABOVE_ZERO'
+                ELSE 'PIVOT_LOW' END AS label,
+           'low' AS label_side
+    FROM lows
+    UNION ALL
+    SELECT event_id, user_id, v,
+           CASE WHEN ABS(v) <= {_ZERO_TOL!r} THEN 'AT_ZERO'
+                WHEN v < 0 AND prev_piv IS NOT NULL AND v < prev_piv
+                     THEN 'DECLINING_PEAK'
+                WHEN v < 0 THEN 'PEAK_BELOW_ZERO'
+                ELSE 'PIVOT_HIGH' END,
+           'high'
+    FROM highs
+    """,
+)
+def v3_reading_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PineScript-style reading-mode labels on the TTI panel: 2/2 pivot
+    lows and highs (plateau-inclusive, NULL-skipping min/max like the
+    reference's nanmin), labelled AT_ZERO / RISING_TROUGH /
+    TROUGH_ABOVE_ZERO / PIVOT_LOW (and the peak duals) against the
+    PREVIOUS pivot value — a lag over the pivot subsequence. Pivots are
+    detected on the 6-dp-rounded TTI so both engines pick identical
+    bars."""
+    pan = _panel_frame(spark, sf_dir).select(
+        "event_id", "user_id", "ts", F.col("tti_raw").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w5 = w.rowsBetween(-2, 2)
+    wall = Window.partitionBy("user_id")
+    pan = pan.withColumns(
+        {
+            "rn": F.row_number().over(w),
+            "n": F.count("*").over(wall),
+            "wmin": F.min("v").over(w5),
+            "wmax": F.max("v").over(w5),
+        }
+    )
+    in_bounds = (F.col("rn") > 2) & (F.col("rn") <= F.col("n") - 2) & F.col("v").isNotNull()
+    piv = pan.withColumns(
+        {
+            "is_low": in_bounds & (F.col("v") <= F.col("wmin")),
+            "is_high": in_bounds & (F.col("v") >= F.col("wmax")),
+        }
+    )
+    wp = Window.partitionBy("user_id").orderBy("rn")
+
+    def _labeled(flag: str, side: str, rising: str, above: str, fallback: str, cmp_pos: bool):
+        sub = piv.filter(F.col(flag)).withColumn("prev_piv", F.lag("v").over(wp))
+        v = F.col("v")
+        better = v > F.col("prev_piv") if cmp_pos else v < F.col("prev_piv")
+        sign_ok = v > 0 if cmp_pos else v < 0
+        return sub.select(
+            "event_id",
+            "user_id",
+            v.alias("value"),
+            F.when(F.abs(v) <= _ZERO_TOL, "AT_ZERO")
+            .when(sign_ok & F.col("prev_piv").isNotNull() & better, rising)
+            .when(sign_ok, above)
+            .otherwise(fallback)
+            .alias("label"),
+            F.lit(side).alias("label_side"),
+        )
+
+    lows = _labeled("is_low", "low", "RISING_TROUGH", "TROUGH_ABOVE_ZERO", "PIVOT_LOW", True)
+    highs = _labeled("is_high", "high", "DECLINING_PEAK", "PEAK_BELOW_ZERO", "PIVOT_HIGH", False)
+    return lows.unionByName(highs)

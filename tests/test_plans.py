@@ -192,5 +192,29 @@ def test_heavy_hitter_candidates_no_full_aggregation(spark):
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan, plan
     # the aggregate consumes the truncated candidate rows, so the plan
-    # orders as scan -> MapInPandas -> partial agg -> exchange -> agg
-    assert plan.index("HashAggregate") < plan.index("MapInPandas"), plan
+    # orders as scan -> MapInPandas -> partial agg -> exchange -> agg.
+    # The tree prints root-first, so EVERY aggregate (rindex = the
+    # deepest one) must still print above MapInPandas; an exact
+    # aggregation inserted directly on the scan would print below it.
+    assert plan.rindex("HashAggregate") < plan.index("MapInPandas"), plan
+
+
+def test_viewer_panel_one_island_pass(spark):
+    """The v1 panel smooths FOUR RMA inputs but must pay exactly ONE
+    mapInPandas island (ewm_smooth_many) — per-column smoothing would
+    pay one Arrow exchange + shuffle each. The window algebra before and
+    after the island reuses the same user_id hash partitioning, so the
+    plan stays at (lag-prep shuffle) + (island repartition) and never
+    re-shuffles per derived column."""
+    plan = _plan(spark, "v1_tmf_tti_panel")
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_viewer_markers_broadcasts_dims(spark):
+    """v2 joins the per-bar fact to the overlay classification and the
+    realism gates; the overlay dim must broadcast — shuffling the fact
+    side for a 150-row dimension is the classic 100 TB plan bug."""
+    plan = _plan(spark, "v2_viewer_markers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
