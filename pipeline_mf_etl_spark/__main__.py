@@ -8,8 +8,13 @@ subcommands over the Spark engine:
     python -m pipeline_mf_etl_spark run --sf-dir ... --output ...
     python -m pipeline_mf_etl_spark bronze|research|backtest --output ...
     python -m pipeline_mf_etl_spark walkforward --output ... --train-ends ...
+    python -m pipeline_mf_etl_spark sanity bronze --output ...
     python -m pipeline_mf_etl_spark query a1_grouped_stats --sf-dir ...
     python -m pipeline_mf_etl_spark list
+
+The ``sanity`` subcommand mirrors the reference's ``*-sanity`` command
+family (reference cli.py:413,923,1074,1233): per-layer QA summary JSON
+plus rollup parquet/CSV twins (sanity.py).
 """
 
 from __future__ import annotations
@@ -60,6 +65,11 @@ def _build_parser() -> argparse.ArgumentParser:
     cmp_.add_argument("artifact_a")
     cmp_.add_argument("artifact_b")
     cmp_.add_argument("--output", default=None, help="also write compare_report.json here")
+
+    san = sub.add_parser("sanity", help="run per-layer QA sanity checks")
+    san.add_argument("layer", choices=("bronze", "research", "backtest", "corpus"))
+    san.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    san.add_argument("--output", required=True)
 
     q = sub.add_parser("query", help="run one registered query and print rows")
     q.add_argument("name")
@@ -159,6 +169,14 @@ def main(argv: list[str] | None = None) -> int:
         # scriptable like `compare`: any FAILED split is a non-zero exit
         failed = any(r.get("status") == "FAILED" for r in manifest.get("splits", []))
         return 1 if failed else 0
+
+    if args.cmd == "sanity":
+        from pipeline_mf_etl_spark.sanity import run_sanity
+
+        summary = run_sanity(spark, args.sf_dir, args.output, args.layer)
+        json.dump(summary, sys.stdout, indent=2, sort_keys=True, default=str)
+        print()
+        return 0
 
     if args.cmd == "query":
         from pipeline_mf_etl_spark.queries import all_queries
