@@ -8,9 +8,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipeline_mf_etl_spark.operators.multimodal import (
+    decode_wav_features,
     extract_byte_features,
     sample_frames,
     with_binary_payload,
+    with_wav_payload,
 )
 from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import load_table
@@ -112,3 +114,59 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the video-sampling fan-out plan (explode, no shuffle)."""
     docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return sample_frames(docs, stride=4)
+
+
+# ---------------------------------------------------------------------------
+# mm4: REAL codec decode — synthesize a standards-compliant PCM16 WAV
+# per document (sample_i = (utf8_byte_i - 128) * 256, invertible), then
+# DECODE it with the dependency-free RIFF parser and aggregate sample
+# stats. The oracle recomputes the same stats straight from the
+# characters (corpus is pure ASCII, verified for mm2), so a decoder that
+# misreads the header or the PCM byte order hash-fails. Integer sums
+# divide in float64 on both engines (exact-int/exact-int) before the
+# shared 6-dp rounding.
+# ---------------------------------------------------------------------------
+@query(
+    "mm4_wav_decode",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, (ord(unnest(split(text, ''))) - 128) * 256 AS sample
+        FROM documents WHERE length(text) > 0
+    ), agg AS (
+        SELECT doc_id,
+               COUNT(*) AS n_samples,
+               SUM(sample) * 1.0 / COUNT(*) AS mean_amp,
+               SQRT(SUM(sample * sample) * 1.0 / COUNT(*)) AS rms_amp,
+               MAX(ABS(sample)) AS peak_amp
+        FROM chars GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           COALESCE(a.n_samples, 0) AS n_samples,
+           ROUND(COALESCE(a.n_samples, 0) / 8000.0, 6) AS duration_s,
+           ROUND(a.mean_amp, 6) + 0 AS mean_amp,
+           ROUND(a.rms_amp, 6) AS rms_amp,
+           CAST(a.peak_amp AS BIGINT) AS peak_amp
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-audio stats per document: header fields (rate/channels/
+    bits) parsed from the REAL RIFF header plus exact PCM sample stats
+    (count, duration, mean, RMS, peak) — encode→decode round-trip
+    through operators/multimodal.py parse_wav."""
+    docs = with_wav_payload(load_table(spark, sf_dir, "documents"))
+    feats = decode_wav_features(docs)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms_amp", 6).alias("rms_amp"),
+        "peak_amp",
+    )

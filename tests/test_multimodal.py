@@ -96,3 +96,60 @@ def test_mm2_oracle_keeps_empty_docs(spark, tmp_path):
     dcols = [d[0] for d in cur.description]
     drows = cur.fetchall()
     assert canonical_rows(srows, list(sdf.columns)) == canonical_rows(drows, dcols)
+
+
+def test_wav_roundtrip_exact():
+    """encode_wav_pcm16 → parse_wav must round-trip header + samples
+    bit-exactly, and reject malformed / non-PCM16 payloads loudly."""
+    import numpy as np
+    import pytest
+
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        parse_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32767, size=1234, dtype=np.int16)
+    wav = encode_wav_pcm16(samples, sample_rate=44100)
+    out = parse_wav(wav)
+    assert out["sample_rate"] == 44100
+    assert out["n_channels"] == 1
+    assert out["bits_per_sample"] == 16
+    assert np.array_equal(out["samples"], samples)
+
+    # zero-length payload still forms a valid WAV
+    empty = parse_wav(encode_wav_pcm16(np.array([], dtype=np.int16)))
+    assert len(empty["samples"]) == 0
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav(b"NOTAWAVFILE_____")
+    # corrupt the fmt chunk's audio_format to 3 (IEEE float): rejected
+    bad = bytearray(wav)
+    bad[20] = 3
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_wav(bytes(bad))
+
+
+def test_decode_media_dispatch():
+    """audio/wav decodes natively; image mimes stay gated when PIL is
+    absent (import-try gate)."""
+    import numpy as np
+    import pytest
+
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_media,
+        encode_wav_pcm16,
+    )
+
+    out = decode_media(encode_wav_pcm16(np.array([1, -1], dtype=np.int16)), "audio/wav")
+    assert out["sample_rate"] == 8000 and len(out["samples"]) == 2
+    try:
+        import PIL.Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x89PNG", "image/png")
