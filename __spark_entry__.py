@@ -24,8 +24,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Most builders are lazy (return an unexecuted plan). The model-fit /
+    sketch families are EAGER: they run driver-side actions (MLlib fit,
+    sketch probe, parquet export under ``.artifacts/``) at build time;
+    ``eager_queries()`` lists them. Callers needing strict laziness
+    should treat those as materializing.
+    """
     return {name: spec.spark for name, spec in all_queries().items()}
+
+
+def eager_queries() -> set[str]:
+    """Names of builders with build-time side effects (``QuerySpec.eager``)."""
+    return {name for name, spec in all_queries().items() if spec.eager}
 
 
 def oracle_sql() -> dict[str, str]:

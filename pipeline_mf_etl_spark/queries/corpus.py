@@ -206,7 +206,7 @@ def _read_count_min(spark: SparkSession, blob: bytes):
     )
 
 
-@query("a17_heavy_hitters", oracle=None)
+@query("a17_heavy_hitters", oracle=None, eager=True)
 def a17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters over the event stream's user ids.
 

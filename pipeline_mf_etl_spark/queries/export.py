@@ -13,13 +13,20 @@ the repo.
 
 from __future__ import annotations
 
+import json
 import os
+import re
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 _EXPORT_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".artifacts", "ml_export"
 )
+# Exports written by THIS process, keyed (sf-tag, name). The parity
+# harness uses this to refuse running an oracle against a stale on-disk
+# export left by an earlier run (see ``assert_exports_fresh``).
+_WRITTEN: set[tuple[str, str]] = set()
 # Oracle SQL strings are static: they read the export for the oracle
 # scale factor (the driver certifies at sf0.01; tests honor the same
 # env override the parity harness uses).
@@ -35,9 +42,41 @@ def export_frame(df: DataFrame, spark: SparkSession, sf_dir: str, name: str) -> 
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(_EXPORT_ROOT, tag, name)
     df.write.mode("overwrite").parquet(path)
+    # Run marker: ties the on-disk export to the invocation that wrote
+    # it, so a harness can detect a stale export (failed write, testdata
+    # regeneration, parallel run) before trusting the oracle against it.
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump({"sf_dir": sf_dir, "written_at": time.time(), "pid": os.getpid()}, fh)
+    _WRITTEN.add((tag, name))
     return spark.read.parquet(path)
 
 
 def export_glob(name: str) -> str:
     """Path glob the oracle SQL reads (fixed to the oracle sf tag)."""
     return os.path.join(_EXPORT_ROOT, _ORACLE_TAG, name, "*.parquet")
+
+
+def assert_exports_fresh(oracle_sql: str) -> None:
+    """Fail loudly if ``oracle_sql`` reads an export parquet that was
+    NOT produced by the current process (i.e. by the Spark builder that
+    just ran). Guards against the implicit disk coupling of the
+    persisted-export pattern: a standalone oracle run against a stale
+    ``.artifacts`` tree would mismatch for reasons unrelated to the
+    query under test."""
+    pattern = re.escape(_EXPORT_ROOT) + r"/([^/']+)/([^/']+)/\*\.parquet"
+    for tag, name in re.findall(pattern, oracle_sql):
+        if (tag, name) not in _WRITTEN:
+            raise RuntimeError(
+                f"oracle reads export {tag}/{name} that this process never wrote; "
+                "run the Spark builder first (exports are per-invocation scratch)"
+            )
+        meta_path = os.path.join(_EXPORT_ROOT, tag, name, "_meta.json")
+        if not os.path.exists(meta_path):
+            raise RuntimeError(f"export {tag}/{name} lacks its _meta.json run marker")
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("pid") != os.getpid():
+            raise RuntimeError(
+                f"export {tag}/{name} was written by pid {meta.get('pid')}, "
+                f"not this process ({os.getpid()}) — stale export"
+            )

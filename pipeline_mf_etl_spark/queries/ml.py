@@ -55,6 +55,7 @@ def _kmeans_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "m4_kmeans_profile",
+    eager=True,
     oracle=f"""
     WITH cell AS (
         SELECT prediction, label, COUNT(*) AS cnt
@@ -102,6 +103,7 @@ def m4_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "m7_cluster_quality",
+    eager=True,
     oracle=f"""
     WITH pred AS (SELECT * FROM read_parquet('{_export_glob("m7_pred")}')),
     pts AS (
@@ -129,7 +131,7 @@ def m4_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(CASE WHEN GREATEST(sqrt(a2), sqrt(b2)) = 0 THEN 0.0
                           ELSE (sqrt(b2) - sqrt(a2))
                                / GREATEST(sqrt(a2), sqrt(b2)) END), 6)
-               AS silhouette,
+               AS silhouette_simplified,
            ROUND(SUM(a2), 3) AS within_sse
     FROM per_point
     """,
@@ -194,7 +196,7 @@ def m7_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_val = pred.select(F.countDistinct("prediction")).collect()[0][0]
     return per_point.agg(
         F.lit(int(k_val)).cast("int").alias("k"),
-        F.round(F.avg(s), 6).alias("silhouette"),
+        F.round(F.avg(s), 6).alias("silhouette_simplified"),
         F.round(F.sum("a2"), 3).alias("within_sse"),
     )
 
@@ -205,6 +207,7 @@ def m7_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "m5_gmm_mixture",
+    eager=True,
     oracle=f"""
     SELECT COUNT(*) AS cluster_size,
            ROUND(AVG(p_max), 6) AS mean_p_max,
@@ -267,6 +270,7 @@ def m5_gmm_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "m20_ari_vs_truth",
+    eager=True,
     oracle=f"""
     WITH p AS (
         SELECT label, prediction FROM read_parquet('{_export_glob("m20_pred")}')
@@ -348,6 +352,7 @@ def hdbscan_fit(*_args, **_kwargs):
 
 @query(
     "m6_density_clusters",
+    eager=True,
     oracle=f"""
     WITH l AS (SELECT * FROM read_parquet('{_export_glob("m6_labels")}')),
     base AS (
@@ -476,6 +481,7 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "m10_hmm_states",
+    eager=True,
     oracle=f"""
     SELECT hmm_state,
            COUNT(*) AS n_bars,

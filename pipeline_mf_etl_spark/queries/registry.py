@@ -27,65 +27,75 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, "QuerySpec"] = {}
 
 # Modules that register queries on import. Order matters: the driver's
-# correctness harness certifies the first 50 registered queries. Round-3
-# rotation: the round-2 window certified the backtest/dedup/text/
-# similarity/flow/streaming/validation/multimodal families (all green),
-# so those register LAST; the filler slots after _PRIORITY re-certify
-# the families whose last green row is round 1 (quality/windows/
-# relational/stats) under the current code.
+# correctness harness certifies the first 50 registered queries. Round-4
+# rotation: round 3 certified the quality/windows/relational families
+# plus the priority set (all green), so those register LAST; the filler
+# slots after _PRIORITY re-certify the families whose last green row is
+# round 2 (validation/backtest/dedup/flow) under the current code.
+# NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
+# so keep backtest ahead of viewer in this list (otherwise backtest's
+# queries register mid-viewer-import and the fill order shifts).
 _QUERY_MODULES = (
+    "pipeline_mf_etl_spark.queries.validation",
+    "pipeline_mf_etl_spark.queries.backtest",
+    "pipeline_mf_etl_spark.queries.dedup",
+    "pipeline_mf_etl_spark.queries.flow",
+    "pipeline_mf_etl_spark.queries.text",
+    "pipeline_mf_etl_spark.queries.similarity",
+    "pipeline_mf_etl_spark.queries.streaming",
+    "pipeline_mf_etl_spark.queries.multimodal",
+    "pipeline_mf_etl_spark.queries.viewer",
     "pipeline_mf_etl_spark.queries.corpus",
     "pipeline_mf_etl_spark.queries.ml",
     "pipeline_mf_etl_spark.queries.quality",
     "pipeline_mf_etl_spark.queries.windows",
     "pipeline_mf_etl_spark.queries.relational",
     "pipeline_mf_etl_spark.queries.stats",
-    "pipeline_mf_etl_spark.queries.validation",
-    "pipeline_mf_etl_spark.queries.backtest",
-    "pipeline_mf_etl_spark.queries.dedup",
-    "pipeline_mf_etl_spark.queries.text",
-    "pipeline_mf_etl_spark.queries.similarity",
-    "pipeline_mf_etl_spark.queries.flow",
-    "pipeline_mf_etl_spark.queries.streaming",
-    "pipeline_mf_etl_spark.queries.multimodal",
 )
 
 # Explicit front-of-queue names (certification priority within the driver's
-# 50-query window). Round-3 set = the 8 round-1 hash-fails whose oracles
-# were fixed after the round-1 run (driver's last word on them is stale
-# FAIL), + the 4 queries registered after the round-2 window filled
-# (never driver-certified), + the ML queries that gained real DuckDB
-# oracles this round (previously no_oracle).
+# 50-query window). Round-4 set = queries that are NEW or semantically
+# CHANGED this round (b6 gained its recursive-CTE oracle, m7's schema
+# renamed the silhouette column, mm4/v1-v3 are new), + the queries whose
+# implementation was modified in round 3 AFTER their last driver
+# certification (VERDICT r3 "what's wrong" #1 — parity-green locally but
+# the hard signal is one round stale).
 _PRIORITY = (
-    # fixed after r1 (oracle-side BIGINT casts) — need driver re-cert
-    "p2_p3_quality_flags",
-    "p4_quality_report",
-    "a2_conditional_aggregates",
-    "a4_horizontal_aggs",
-    "a9_null_rates",
-    "a13_orders_by_year",
-    "j6_overlay_coverage",
-    "w15_duplicate_flag",
-    # never driver-certified (registered at positions 51+ in r2)
-    "t6_pii_scrub",
-    "o9_stratified_sample",
-    "a16_approx_quantiles",
-    "a17_heavy_hitters",
-    # newly oracled this round (were no_oracle in r2): model fits /
-    # resampling persist their intermediate (queries/export.py) and the
-    # oracle reads the same parquet
-    "m4_kmeans_profile",
-    "m20_ari_vs_truth",
-    "m5_gmm_mixture",
-    "m10_hmm_states",
-    "m13_bootstrap_ci",
-    "m14_block_bootstrap",
-    "m15_pairwise_diff_ci",
+    # new or changed this round — never certified in current form
+    "b6_trade_sim",
+    "m7_cluster_quality",
+    "mm4_wav_decode",
+    "v1_tmf_tti_panel",
+    "v2_viewer_markers",
+    "v3_reading_labels",
+    # r3-modified but last certified r1/r2 (similarity norm precompute,
+    # dedupe checkpoint freeing, text tokenization reuse, scaler/profile
+    # refactors, mm2 oracle hardening, streaming transforms)
+    "e1_ann_bruteforce",
+    "e2_ann_bucketed",
+    "e3_embedding_neardup",
+    "d5_neardup_groups",
+    "t1_lang_id",
+    "t2_quality_score",
+    "t3_top_terms",
+    "t4_fingerprint",
+    "t5_token_stats",
+    "mm1_binary_metadata",
+    "mm2_byte_features",
+    "mm3_frame_sample",
+    "st1_tumbling_daily",
+    "st2_sliding_windows",
+    "st3_session_windows",
+    "st4_stateful_user_stats",
+    "m1_global_scaler",
+    "m2_per_group_scaler",
+    "m8_state_profiles",
+    "m12_dwell_stats",
+    "m17_trend_slope",
+    "j8_transition_matrix",
+    # r4-changed: IVF centroid fit now hash-samples (uniform draw), so
+    # e4's export contents changed — recertify over the new centroids
     "e4_ann_ivf",
-    # new operators this round (never registered before)
-    "t7_repetition_quality",
-    "t8_contamination",
-    "st5_stream_dedupe",
 )
 
 
@@ -95,13 +105,24 @@ class QuerySpec:
     spark: SparkQuery
     oracle: str | None
     doc: str = ""
+    #: True when the builder executes driver-side actions at BUILD time
+    #: (model fit, sketch probe, persisted export) instead of returning a
+    #: purely lazy plan. Callers that build-without-executing should
+    #: expect side effects (parquet exports under .artifacts/) from these.
+    eager: bool = False
 
 
-def query(name: str, oracle: str | None = None, doc: str = ""):
-    """Decorator registering a Spark query (and optional DuckDB oracle)."""
+def query(name: str, oracle: str | None = None, doc: str = "", eager: bool = False):
+    """Decorator registering a Spark query (and optional DuckDB oracle).
+
+    ``eager=True`` marks builders that materialize at build time (the
+    model-fit / sketch families) — see ``QuerySpec.eager``.
+    """
 
     def deco(fn: SparkQuery) -> SparkQuery:
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or "").strip())
+        _REGISTRY[name] = QuerySpec(
+            name, fn, oracle, doc or (fn.__doc__ or "").strip(), eager
+        )
         return fn
 
     return deco

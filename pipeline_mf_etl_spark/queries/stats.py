@@ -269,6 +269,7 @@ def _boot_ci_oracle(glob: str, lo: float, hi: float, with_median: bool) -> str:
 
 @query(
     "m13_bootstrap_ci",
+    eager=True,
     oracle=_boot_ci_oracle(
         export_glob("m13_dists"), _BOOT.ci_lo, _BOOT.ci_hi, with_median=True
     ),
@@ -304,6 +305,7 @@ def m13_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "m14_block_bootstrap",
+    eager=True,
     oracle=_boot_ci_oracle(
         export_glob("m14_dists"), _BOOT.ci_lo, _BOOT.ci_hi, with_median=False
     ),
@@ -340,6 +342,7 @@ def m14_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "m15_pairwise_diff_ci",
+    eager=True,
     oracle=f"""
     WITH agg AS (
         SELECT state_a, state_b,

@@ -24,6 +24,11 @@ def test_oracle_parity(spark, duck, name):
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
 
+    # Export-backed oracles read parquet the Spark builder just wrote;
+    # refuse to compare against a stale on-disk export (ADVICE r3).
+    from pipeline_mf_etl_spark.queries.export import assert_exports_fresh
+
+    assert_exports_fresh(spec.oracle)
     cur = duck.execute(spec.oracle)
     duck_cols = [d[0] for d in cur.description]
     duck_rows = cur.fetchall()

@@ -1,0 +1,46 @@
+"""Registry contract tests: eager flag + export run-marker freshness."""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_mf_etl_spark.queries import all_queries
+
+
+def test_eager_flag_covers_export_backed_oracles():
+    """Every query whose oracle reads the persisted-export tree must be
+    flagged eager (its builder writes that export at build time), and
+    the flag set matches the documented families (ml/bootstrap/IVF/
+    sketch)."""
+    specs = all_queries()
+    eager = {n for n, s in specs.items() if s.eager}
+    export_backed = {
+        n for n, s in specs.items() if s.oracle and ".artifacts/ml_export" in s.oracle
+    }
+    assert export_backed <= eager, export_backed - eager
+    # a17 probes a collected sketch at build time: eager without an oracle
+    assert "a17_heavy_hitters" in eager
+    # spot-check lazy builders stay lazy
+    for lazy in ("a1_grouped_stats", "w2_rolling_stats", "d2_minhash_lsh"):
+        assert lazy in specs and not specs[lazy].eager
+
+
+def test_entrypoint_surfaces_eager_set():
+    import __spark_entry__ as entry
+
+    eager = entry.eager_queries()
+    assert "m4_kmeans_profile" in eager
+    assert "a1_grouped_stats" not in eager
+    assert eager <= set(entry.queries())
+
+
+def test_assert_exports_fresh_rejects_stale(tmp_path, monkeypatch):
+    """An oracle referencing an export this process never wrote must be
+    refused loudly (ADVICE r3: stale-export coupling)."""
+    from pipeline_mf_etl_spark.queries import export as ex
+
+    sql = f"SELECT * FROM read_parquet('{ex._EXPORT_ROOT}/sf9.99/nonesuch/*.parquet')"
+    with pytest.raises(RuntimeError, match="never wrote"):
+        ex.assert_exports_fresh(sql)
+    # non-export oracles pass through untouched
+    ex.assert_exports_fresh("SELECT 1")
