@@ -128,18 +128,27 @@ def fit_ivf_centroids(
     vec_col: str = "v",
 ) -> list[list[float]]:
     """Fit spherical k-means centroids (Lloyd's, cosine metric) on the
-    driver over a deterministic id-ordered sample.
+    driver over a deterministic HASH-ordered sample.
 
-    The collect is bounded by ``sample_cap`` so the fit stays driver-safe
-    at any corpus size; assignment and search stay fully distributed in
-    :func:`ivf_topk`. Init is the first ``n_centroids`` vectors by id —
+    Ordering by ``md5(id)`` (not by id) makes the capped sample a
+    uniform draw from the corpus regardless of how the data is sorted —
+    an id-ordered prefix of a corpus sorted by source/time would fit
+    centroids on one unrepresentative slice. The hash order is
+    engine-agnostic and RNG-free, so the fit (and every export-backed
+    oracle downstream) stays reproducible; Spark executes
+    orderBy+limit as TakeOrderedAndProject (per-partition top-k, no
+    full sort), so the collect is bounded by ``sample_cap`` at any
+    corpus size. At true 100 TB scale the same contract supports
+    swapping in distributed MLlib KMeans over the hash sample;
+    assignment and search stay fully distributed in :func:`ivf_topk`
+    either way. Init is the first ``n_centroids`` sample vectors —
     deterministic, no RNG.
     """
     import numpy as np
 
     rows = (
         vectors.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
         .limit(sample_cap)
         .collect()
     )

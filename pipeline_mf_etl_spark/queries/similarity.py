@@ -98,6 +98,7 @@ def e2_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "e4_ann_ivf",
+    eager=True,
     oracle=f"""
     WITH c AS (SELECT * FROM read_parquet('{export_glob("e4_cand_cells")}')),
     q AS (SELECT * FROM read_parquet('{export_glob("e4_query_cells")}')),
