@@ -45,6 +45,11 @@ PROBE = (
     "d2_minhash_lsh",
     "w3_ewm_wilder",
     "a17_heavy_hitters",
+    # round-4 additions: the sequential-island simulation (scales on
+    # series count) and the 4-RMA viewer panel (one mapInPandas pass +
+    # one shuffle for all window algebra)
+    "b6_trade_sim",
+    "v1_tmf_tti_panel",
 )
 
 
