@@ -479,26 +479,12 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributed Viterbi/posterior decode (reference research_hmm/
 # sequence_builder.py:25-108, hmm_model.py:29-98, decode.py:57-157).
 # ---------------------------------------------------------------------------
-@query(
-    "m10_hmm_states",
-    eager=True,
-    oracle=f"""
-    SELECT hmm_state,
-           COUNT(*) AS n_bars,
-           ROUND(AVG(state_prob_max), 6) AS mean_prob_max,
-           ROUND(AVG(state_entropy), 6) AS mean_entropy,
-           ROUND(AVG(ret_1), 6) AS mean_ret
-    FROM read_parquet('{_export_glob("m10_decoded")}')
-    GROUP BY hmm_state
-    ORDER BY hmm_state
-    """,
-)
-def m10_hmm_states(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-state HMM diagnostics after distributed decode: bar counts,
-    mean decoded confidence/entropy, mean return — deterministic
-    (seedless quantile init, fixed iteration schedule). The decoded
-    per-bar frame is persisted so the per-state rollup is
-    oracle-checked over the exact decode output."""
+def hmm_decoded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the HMM, decode every series, persist the per-bar decoded
+    frame (``m10_decoded``), return the read-back frame. Shared by the
+    m10 per-state rollup and the v4 viewer state ribbon — both engines
+    consume the identical persisted decode output. EAGER: fits and
+    writes at call time (persisted-export pattern)."""
     import numpy as np
     from pyspark.sql import Window
 
@@ -531,9 +517,12 @@ def m10_hmm_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = DiagGaussianHMM(n_states=3, n_iter=30).fit(sequences)
 
     decoded = decode_distributed(bars, model.to_params(), ["ret_1", "abs_ret_1"], min_len=20)
-    joined = _export(
-        decoded.join(bars.select("event_id", "ret_1"), "event_id").select(
+    return _export(
+        decoded.join(bars.select("event_id", "ts", "value", "ret_1"), "event_id").select(
             "event_id",
+            "user_id",
+            "ts",
+            "value",
             F.col("hmm_state").cast("int").alias("hmm_state"),
             "state_prob_max",
             "state_entropy",
@@ -543,6 +532,29 @@ def m10_hmm_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "m10_decoded",
     )
+
+
+@query(
+    "m10_hmm_states",
+    eager=True,
+    oracle=f"""
+    SELECT hmm_state,
+           COUNT(*) AS n_bars,
+           ROUND(AVG(state_prob_max), 6) AS mean_prob_max,
+           ROUND(AVG(state_entropy), 6) AS mean_entropy,
+           ROUND(AVG(ret_1), 6) AS mean_ret
+    FROM read_parquet('{_export_glob("m10_decoded")}')
+    GROUP BY hmm_state
+    ORDER BY hmm_state
+    """,
+)
+def m10_hmm_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state HMM diagnostics after distributed decode: bar counts,
+    mean decoded confidence/entropy, mean return — deterministic
+    (seedless quantile init, fixed iteration schedule). The decoded
+    per-bar frame is persisted so the per-state rollup is
+    oracle-checked over the exact decode output."""
+    joined = hmm_decoded_export(spark, sf_dir)
     return (
         joined.groupBy("hmm_state")
         .agg(

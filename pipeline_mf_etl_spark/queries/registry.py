@@ -96,6 +96,10 @@ _PRIORITY = (
     # r4-changed: IVF centroid fit now hash-samples (uniform draw), so
     # e4's export contents changed — recertify over the new centroids
     "e4_ann_ivf",
+    # r4-changed: the decoded export now carries ts/value for the v4
+    # ribbon (schema widened, builder refactored into a shared helper)
+    "v4_hmm_ribbon",
+    "m10_hmm_states",
 )
 
 

@@ -509,3 +509,88 @@ def v3_reading_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     lows = _labeled("is_low", "low", "RISING_TROUGH", "TROUGH_ABOVE_ZERO", "PIVOT_LOW", True)
     highs = _labeled("is_high", "high", "DECLINING_PEAK", "PEAK_BELOW_ZERO", "PIVOT_HIGH", False)
     return lows.unionByName(highs)
+
+
+# ---------------------------------------------------------------------------
+# V4: HMM state ribbon (reference compute_ticker.py:360-440 /
+# hmm_display.py — prev state, transition code, run length, bars since
+# change, 10-bar forward-return proxy per decoded bar)
+# ---------------------------------------------------------------------------
+def _v4_oracle() -> str:
+    from pipeline_mf_etl_spark.queries.export import export_glob
+
+    wseq = "PARTITION BY user_id ORDER BY ts, event_id"
+    return f"""
+    WITH d AS (SELECT * FROM read_parquet('{export_glob("m10_decoded")}')),
+    rib AS (
+        SELECT event_id, user_id, ts, value, hmm_state,
+               ROW_NUMBER() OVER ({wseq}) AS rn,
+               LAG(hmm_state) OVER ({wseq}) AS prev_state,
+               LEAD(value, 10) OVER ({wseq}) AS fwd_value,
+               CASE WHEN LAG(hmm_state) OVER ({wseq}) IS NULL
+                         OR hmm_state <> LAG(hmm_state) OVER ({wseq})
+                    THEN 1 ELSE 0 END AS chg
+        FROM d
+    ), runs AS (
+        -- run length without a second (user_id, chg-group) partitioning:
+        -- rn - rn-of-last-change + 1 stays on the ONE series shuffle
+        SELECT *,
+               CAST(rn - MAX(CASE WHEN chg = 1 THEN rn END)
+                         OVER ({wseq} ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) + 1 AS BIGINT) AS run_length
+        FROM rib
+    )
+    SELECT event_id, user_id, hmm_state,
+           prev_state AS hmm_state_prev,
+           CASE WHEN prev_state IS NOT NULL
+                THEN prev_state * 100 + hmm_state END AS transition_code,
+           run_length,
+           run_length - 1 AS bars_since_change,
+           ROUND(fwd_value / NULLIF(value, 0) - 1, 6) + 0 AS fwd_ret_10
+    FROM runs
+    """
+
+
+@query("v4_hmm_ribbon", eager=True, oracle=_v4_oracle())
+def v4_hmm_ribbon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bar HMM state ribbon over the persisted decode output: the
+    previous state, the transition code prev*100+cur, the within-state
+    run length (gaps-and-islands windows — the reference's per-row
+    Python loop, compute_ticker.py:373-399, collapses into two window
+    passes), bars since the last state change, and the 10-bar
+    forward-return proxy. EAGER: refits/decodes via
+    ``hmm_decoded_export`` so the ribbon always reflects a fresh decode;
+    the oracle windows over the identical persisted rows."""
+    from pipeline_mf_etl_spark.queries.ml import hmm_decoded_export
+
+    d = hmm_decoded_export(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("hmm_state").over(w)
+    rib = d.withColumns(
+        {
+            "rn": F.row_number().over(w),
+            "prev_state": prev,
+            "fwd_value": F.lead("value", 10).over(w),
+            "chg": (prev.isNull() | (F.col("hmm_state") != prev)).cast("int"),
+        }
+    )
+    # run length without a second (user_id, group) shuffle: distance to
+    # the last change row, all on the one series partitioning
+    last_chg = F.max(F.when(F.col("chg") == 1, F.col("rn"))).over(wc)
+    rib = rib.withColumn("run_length", (F.col("rn") - last_chg + 1).cast("long"))
+    return rib.select(
+        "event_id",
+        "user_id",
+        "hmm_state",
+        F.col("prev_state").alias("hmm_state_prev"),
+        F.when(
+            F.col("prev_state").isNotNull(),
+            F.col("prev_state") * 100 + F.col("hmm_state"),
+        ).alias("transition_code"),
+        "run_length",
+        (F.col("run_length") - 1).alias("bars_since_change"),
+        F.round(
+            F.col("fwd_value") / F.nullif(F.col("value"), F.lit(0.0)) - 1, 6
+        ).alias("fwd_ret_10"),
+    )
