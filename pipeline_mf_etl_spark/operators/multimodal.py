@@ -61,8 +61,18 @@ def decode_media(payload_bytes: bytes, mime: str):
     environment, so those mimes stay behind a clearly-marked gate."""
     if mime.startswith("audio/wav") or mime.startswith("audio/x-wav"):
         return parse_wav(payload_bytes)
+    # Image/video decode is not implemented in this engine regardless of
+    # installed libraries — raise ALWAYS (returning None silently would
+    # hide the gap in environments where PIL happens to be importable);
+    # chain the ImportError when the codec lib is the missing piece.
     try:  # pragma: no cover - depends on env
         import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            f"decode for mime {mime!r} is not implemented; integrate "
+            "PIL/av here in production images. audio/wav decodes "
+            "natively via parse_wav."
+        )
     except ImportError as exc:
         raise NotImplementedError(
             "image/video decode requires a codec library (PIL/av); "
@@ -116,6 +126,11 @@ def parse_wav(payload: bytes) -> dict:
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
+        if pos + 8 + size > len(payload):
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes but only "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
@@ -169,7 +184,7 @@ def with_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
                     (np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int16) - 128)
                     * 256
                 )
-                for t in pdf["text"]
+                for t in pdf[text_col]
             ]
             yield pdf
 
@@ -187,6 +202,13 @@ def decode_wav_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 w = parse_wav(bytes(payload))
+                if w["n_channels"] != 1:
+                    # mono stats on interleaved frames would misreport
+                    # duration/mean/rms — fail loudly, never guess
+                    raise ValueError(
+                        f"doc {doc_id}: {w['n_channels']}-channel WAV "
+                        "unsupported; decode_wav_features expects mono"
+                    )
                 s = w["samples"].astype(np.int64)
                 n = len(s)
                 rows.append(

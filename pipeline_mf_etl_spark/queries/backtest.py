@@ -118,16 +118,24 @@ def b2_state_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # B4: execution realism filter (reference backtest/execution_realism.py:208-559)
 # ---------------------------------------------------------------------------
-def b4_oracle(s: Settings) -> str:
-    """DuckDB twin of :func:`b4_frame`, generated from the same knobs."""
+def b4_fail_predicates(s: Settings) -> tuple[str, str, str]:
+    """The three execution-gate predicates over the ``rolled`` CTE —
+    single-sourced so b4's oracle and the viewer marker oracle (v2)
+    cannot drift apart on gate semantics."""
     r = s.realism
-    fails = (
+    return (
         f"value < {r.price_floor!r}",
         f"history_bars < {r.warmup_bars}",
         f"COALESCE(dv_med_20 < {r.dollar_vol_floor!r}, FALSE)",
     )
+
+
+def b4_gate_ctes(s: Settings) -> str:
+    """CTE list text (no WITH) defining ``bars`` → ``rolled`` with the
+    rolling dollar-volume median and history counter the gates read."""
+    r = s.realism
     return f"""
-    WITH bars AS (
+    exec_bars AS (
         SELECT event_id, user_id, ts, value,
                value * CAST(json_extract(props, '$.k') AS DOUBLE) AS dollar_vol,
                COUNT(*) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -137,18 +145,31 @@ def b4_oracle(s: Settings) -> str:
         SELECT *,
                CASE WHEN COUNT(dollar_vol) OVER w20 >= {r.dollar_vol_window}
                     THEN QUANTILE_CONT(dollar_vol, 0.5) OVER w20 END AS dv_med_20
-        FROM bars
+        FROM exec_bars
         WINDOW w20 AS ({_W} ROWS BETWEEN {r.dollar_vol_window - 1} PRECEDING
                        AND CURRENT ROW)
-    )
+    )"""
+
+
+def b4_reason_case(s: Settings) -> str:
+    """Fixed-precedence primary-reason CASE over the gate predicates."""
+    fails = b4_fail_predicates(s)
+    return f"""CASE WHEN {fails[0]} THEN 'PRICE_FLOOR'
+                WHEN {fails[1]} THEN 'WARMUP'
+                WHEN {fails[2]} THEN 'DOLLAR_VOL'
+                END"""
+
+
+def b4_oracle(s: Settings) -> str:
+    """DuckDB twin of :func:`b4_frame`, generated from the same knobs."""
+    fails = b4_fail_predicates(s)
+    return f"""
+    WITH {b4_gate_ctes(s)}
     SELECT event_id, user_id,
            {fails[0]} AS price_floor_fail,
            {fails[1]} AS warmup_fail,
            {fails[2]} AS dollar_vol_fail,
-           CASE WHEN {fails[0]} THEN 'PRICE_FLOOR'
-                WHEN {fails[1]} THEN 'WARMUP'
-                WHEN {fails[2]} THEN 'DOLLAR_VOL'
-                END AS primary_reason,
+           {b4_reason_case(s)} AS primary_reason,
            NOT ({fails[0]} OR {fails[1]} OR {fails[2]}) AS exec_eligible
     FROM rolled
     """

@@ -479,12 +479,27 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributed Viterbi/posterior decode (reference research_hmm/
 # sequence_builder.py:25-108, hmm_model.py:29-98, decode.py:57-157).
 # ---------------------------------------------------------------------------
+# Memo of (applicationId, sf_dir) -> export path. The value is the PATH,
+# not the DataFrame: a cached frame pins the file listing it was created
+# with, so any rewrite of the export (e.g. another harness process)
+# would break collects with FILE_NOT_EXIST; re-reading on every hit
+# stays robust while still skipping the expensive fit + decode + write.
+_HMM_EXPORT_CACHE: dict[tuple[str, str], str] = {}
+
+
 def hmm_decoded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit the HMM, decode every series, persist the per-bar decoded
     frame (``m10_decoded``), return the read-back frame. Shared by the
     m10 per-state rollup and the v4 viewer state ribbon — both engines
     consume the identical persisted decode output. EAGER: fits and
-    writes at call time (persisted-export pattern)."""
+    writes at call time (persisted-export pattern). Memoized per
+    (session, sf_dir): certifying m10 AND v4 in one process pays the
+    fit + decode + export once — the result is deterministic, so the
+    second call would recompute identical rows; freshness is unaffected
+    (the export was written by THIS process either way)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _HMM_EXPORT_CACHE:
+        return spark.read.parquet(_HMM_EXPORT_CACHE[key])
     import numpy as np
     from pyspark.sql import Window
 
@@ -517,7 +532,7 @@ def hmm_decoded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = DiagGaussianHMM(n_states=3, n_iter=30).fit(sequences)
 
     decoded = decode_distributed(bars, model.to_params(), ["ret_1", "abs_ret_1"], min_len=20)
-    return _export(
+    out = _export(
         decoded.join(bars.select("event_id", "ts", "value", "ret_1"), "event_id").select(
             "event_id",
             "user_id",
@@ -532,6 +547,13 @@ def hmm_decoded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "m10_decoded",
     )
+    import os
+
+    from pipeline_mf_etl_spark.queries.export import _EXPORT_ROOT
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    _HMM_EXPORT_CACHE[key] = os.path.join(_EXPORT_ROOT, tag, "m10_decoded")
+    return out
 
 
 @query(

@@ -30,8 +30,11 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # correctness harness certifies the first 50 registered queries. Round-4
 # rotation: round 3 certified the quality/windows/relational families
 # plus the priority set (all green), so those register LAST; the filler
-# slots after _PRIORITY re-certify the families whose last green row is
-# round 2 (validation/backtest/dedup/flow) under the current code.
+# slots after _PRIORITY re-certify validation, backtest, and d1-d3 (last
+# green row round 2). Deliberately OUTSIDE the round-4 window (positions
+# 51-54, all round-2 green on code unchanged since): d4_ngram_jaccard,
+# w3_ewm_wilder, f1_flow_states, f2_flow_activity — rotate those in
+# first next round.
 # NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
 # so keep backtest ahead of viewer in this list (otherwise backtest's
 # queries register mid-viewer-import and the fill order shifts).

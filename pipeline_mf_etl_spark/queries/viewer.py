@@ -215,9 +215,9 @@ def _panel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(tmf_raw - LAG(tmf_raw, 5) OVER ({_W}), 6) + 0 AS tmf_slope_5,
            ROUND(tti_raw - LAG(tti_raw) OVER ({_W}), 6) + 0 AS tti_slope_1,
            ROUND(tti_raw - LAG(tti_raw, 5) OVER ({_W}), 6) + 0 AS tti_slope_5,
-           ROUND(tr / NULLIF(close, 0), 6) AS range_pct,
-           ROUND(close * volume, 6) AS dollar_vol,
-           ROUND(dv20, 6) AS dollar_vol_20,
+           ROUND(tr / NULLIF(close, 0), 6) + 0 AS range_pct,
+           ROUND(close * volume, 6) + 0 AS dollar_vol,
+           ROUND(dv20, 6) + 0 AS dollar_vol_20,
            ROUND(LN(1 + GREATEST(ROUND(dv20, 6), 0)), 6) AS dollar_vol_20_log
     FROM (
         SELECT *,
@@ -284,32 +284,17 @@ def _v2_oracle() -> str:
         _B3_CLASS,
         _SIGNALS_CTE,
         _S,
+        b4_gate_ctes,
+        b4_reason_case,
     )
 
-    r = _S.realism
+    # gates reuse b4's single-sourced CTEs + reason CASE — the viewer
+    # marker oracle cannot drift from the certified b4 gate semantics
     return f"""
-    WITH {_SIGNALS_CTE}, gates AS (
+    WITH {_SIGNALS_CTE}, {b4_gate_ctes(_S)}, gates AS (
         SELECT event_id,
-               CASE WHEN value < {r.price_floor!r} THEN 'PRICE_FLOOR'
-                    WHEN history_bars < {r.warmup_bars} THEN 'WARMUP'
-                    WHEN COALESCE(dv_med_20 < {r.dollar_vol_floor!r}, FALSE)
-                         THEN 'DOLLAR_VOL' END AS execution_filter_reason
-        FROM (
-            SELECT event_id, value,
-                   COUNT(*) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) AS history_bars,
-                   CASE WHEN COUNT(dollar_vol) OVER w20 >= {r.dollar_vol_window}
-                        THEN QUANTILE_CONT(dollar_vol, 0.5) OVER w20
-                   END AS dv_med_20
-            FROM (
-                SELECT event_id, user_id, ts, value,
-                       value * CAST(json_extract(props, '$.k') AS DOUBLE)
-                           AS dollar_vol
-                FROM events
-            )
-            WINDOW w20 AS ({_W} ROWS BETWEEN {r.dollar_vol_window - 1} PRECEDING
-                           AND CURRENT ROW)
-        )
+               {b4_reason_case(_S)} AS execution_filter_reason
+        FROM rolled
     ), overlay AS (
         SELECT DISTINCT user_id, {_B3_CLASS} AS cls
         FROM events WHERE user_id % 10 < 8

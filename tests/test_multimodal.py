@@ -132,8 +132,9 @@ def test_wav_roundtrip_exact():
 
 
 def test_decode_media_dispatch():
-    """audio/wav decodes natively; image mimes stay gated when PIL is
-    absent (import-try gate)."""
+    """audio/wav decodes natively; image mimes raise NotImplementedError
+    ALWAYS (silently returning None with a codec lib installed would
+    hide the unimplemented path)."""
     import numpy as np
     import pytest
 
@@ -144,12 +145,34 @@ def test_decode_media_dispatch():
 
     out = decode_media(encode_wav_pcm16(np.array([1, -1], dtype=np.int16)), "audio/wav")
     assert out["sample_rate"] == 8000 and len(out["samples"]) == 2
-    try:
-        import PIL.Image  # noqa: F401
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
 
-        has_pil = True
-    except ImportError:
-        has_pil = False
-    if not has_pil:
-        with pytest.raises(NotImplementedError):
-            decode_media(b"\x89PNG", "image/png")
+
+def test_wav_rejects_truncated_and_multichannel(spark, tmp_path):
+    """A chunk whose declared size overruns the payload must fail loudly,
+    and the featurizer must refuse interleaved multi-channel PCM."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_wav_features,
+        encode_wav_pcm16,
+        parse_wav,
+    )
+
+    wav = encode_wav_pcm16(np.array([1, 2, 3], dtype=np.int16))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wav(wav[:-2])  # data chunk now shorter than declared
+
+    # stereo header: patch channels=2 and block align accordingly
+    stereo = bytearray(encode_wav_pcm16(np.array([1, -1, 2, -2], dtype=np.int16)))
+    struct.pack_into("<H", stereo, 22, 2)
+    assert parse_wav(bytes(stereo))["n_channels"] == 2  # parser reports it
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [bytes(stereo)]})
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="channel"):
+        decode_wav_features(sdf).collect()
