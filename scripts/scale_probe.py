@@ -50,6 +50,13 @@ PROBE = (
     # one shuffle for all window algebra)
     "b6_trade_sim",
     "v1_tmf_tti_panel",
+    # LLM-pipeline family over replicated documents/embeddings: exact
+    # dedupe (fingerprint groupBy), text quality (token-array algebra),
+    # bucketed + IVF ANN (equi-join candidates, map-only assignment)
+    "d1_exact_dedupe",
+    "t2_quality_score",
+    "e2_ann_bucketed",
+    "e4_ann_ivf",
 )
 
 
@@ -77,6 +84,12 @@ def replicate(spark, mult: int) -> str:
     docs.select("*", copies).withColumn(
         "doc_id", F.col("doc_id") + F.col("copy") * n_docs
     ).drop("copy").write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    emb = load_table(spark, BASE_SF, "embeddings")
+    n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    emb.select("*", copies).withColumn(
+        "vec_id", F.col("vec_id") + F.col("copy") * n_vecs
+    ).drop("copy").write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
     return out
 
 
