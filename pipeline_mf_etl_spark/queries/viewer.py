@@ -450,12 +450,20 @@ def v3_reading_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     TROUGH_ABOVE_ZERO / PIVOT_LOW (and the peak duals) against the
     PREVIOUS pivot value — a lag over the pivot subsequence. Pivots are
     detected on the 6-dp-rounded TTI so both engines pick identical
-    bars."""
+    bars.
+
+    Plan shape: a self-union of filtered branches would re-execute the
+    whole EWM-island lineage once per side (measured: 2 MapInPandas +
+    4 exchanges); instead the previous pivot value per side comes from
+    ``last(when(is_pivot, v))`` over rows-before-current (no filtered
+    subsequence needed) and the two sides explode out of ONE pass —
+    one island, one series shuffle."""
     pan = _panel_frame(spark, sf_dir).select(
         "event_id", "user_id", "ts", F.col("tti_raw").alias("v")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w5 = w.rowsBetween(-2, 2)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
     wall = Window.partitionBy("user_id")
     pan = pan.withColumns(
         {
@@ -472,28 +480,49 @@ def v3_reading_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_high": in_bounds & (F.col("v") >= F.col("wmax")),
         }
     )
-    wp = Window.partitionBy("user_id").orderBy("rn")
+    # previous pivot value per side, for EVERY row — equals lag() over
+    # the pivot subsequence at the pivot rows that consume it
+    piv = piv.withColumns(
+        {
+            "prev_low": F.last(F.when(F.col("is_low"), F.col("v")), True).over(wprev),
+            "prev_high": F.last(F.when(F.col("is_high"), F.col("v")), True).over(wprev),
+        }
+    )
+    v = F.col("v")
 
-    def _labeled(flag: str, side: str, rising: str, above: str, fallback: str, cmp_pos: bool):
-        sub = piv.filter(F.col(flag)).withColumn("prev_piv", F.lag("v").over(wp))
-        v = F.col("v")
-        better = v > F.col("prev_piv") if cmp_pos else v < F.col("prev_piv")
+    def _label(prev_col: str, rising: str, above: str, fallback: str, cmp_pos: bool):
+        prev = F.col(prev_col)
+        better = v > prev if cmp_pos else v < prev
         sign_ok = v > 0 if cmp_pos else v < 0
-        return sub.select(
-            "event_id",
-            "user_id",
-            v.alias("value"),
+        return (
             F.when(F.abs(v) <= _ZERO_TOL, "AT_ZERO")
-            .when(sign_ok & F.col("prev_piv").isNotNull() & better, rising)
+            .when(sign_ok & prev.isNotNull() & better, rising)
             .when(sign_ok, above)
             .otherwise(fallback)
-            .alias("label"),
-            F.lit(side).alias("label_side"),
         )
 
-    lows = _labeled("is_low", "low", "RISING_TROUGH", "TROUGH_ABOVE_ZERO", "PIVOT_LOW", True)
-    highs = _labeled("is_high", "high", "DECLINING_PEAK", "PEAK_BELOW_ZERO", "PIVOT_HIGH", False)
-    return lows.unionByName(highs)
+    low = F.when(
+        F.col("is_low"),
+        F.struct(
+            _label("prev_low", "RISING_TROUGH", "TROUGH_ABOVE_ZERO", "PIVOT_LOW", True)
+            .alias("label"),
+            F.lit("low").alias("label_side"),
+        ),
+    )
+    high = F.when(
+        F.col("is_high"),
+        F.struct(
+            _label("prev_high", "DECLINING_PEAK", "PEAK_BELOW_ZERO", "PIVOT_HIGH", False)
+            .alias("label"),
+            F.lit("high").alias("label_side"),
+        ),
+    )
+    sides = F.filter(F.array(low, high), lambda x: x.isNotNull())
+    return (
+        piv.filter(F.col("is_low") | F.col("is_high"))
+        .select("event_id", "user_id", v.alias("value"), F.explode(sides).alias("e"))
+        .select("event_id", "user_id", "value", "e.label", "e.label_side")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -289,3 +289,35 @@ def test_lsh_high_threshold_prunes_candidates(spark):
     assert n_cand < all_pairs * 0.2, (
         f"high-threshold LSH admitted {n_cand}/{all_pairs} pairs — no pruning"
     )
+
+
+def test_ewm_smooth_many_matches_single(spark):
+    """The multi-column island must produce bit-identical output to the
+    single-column operator for each column (same pandas recursion, same
+    NaN->NULL normalization) — guards the two implementations against
+    drifting until they are unified."""
+    import pyspark.sql.functions as F
+
+    from pipeline_mf_etl_spark.operators.ewm import ewm_smooth, ewm_smooth_many
+    from pipeline_mf_etl_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "user_id", "ts", "event_id", "value", (F.col("value") * 2).alias("v2")
+    )
+    many = ewm_smooth_many(
+        ev, ["user_id"], ["ts", "event_id"], {"a": "value", "b": "v2"}, n=10
+    ).select("event_id", "a", "b")
+    one_a = ewm_smooth(ev, ["user_id"], ["ts", "event_id"], "value", 10, "a").select(
+        "event_id", "a"
+    )
+    one_b = ewm_smooth(ev, ["user_id"], ["ts", "event_id"], "v2", 10, "b").select(
+        "event_id", "b"
+    )
+    joined = many.join(one_a.withColumnRenamed("a", "a1"), "event_id").join(
+        one_b.withColumnRenamed("b", "b1"), "event_id"
+    )
+    bad = joined.filter(
+        (~(F.col("a").eqNullSafe(F.col("a1")))) | (~(F.col("b").eqNullSafe(F.col("b1"))))
+    )
+    assert bad.count() == 0

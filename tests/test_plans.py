@@ -218,3 +218,19 @@ def test_viewer_markers_broadcasts_dims(spark):
     plan = _plan(spark, "v2_viewer_markers")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_reading_labels_single_island(spark):
+    """v3 must NOT re-execute the EWM-island lineage per label side — a
+    filtered self-union would show two MapInPandas; the explode-of-sides
+    form pays one island and one series shuffle chain."""
+    plan = _plan(spark, "v3_reading_labels")
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_wav_decode_map_only(spark):
+    """mm4 is synth + decode over the same rows — the plan must stay a
+    map-only pipeline: zero shuffles end to end."""
+    plan = _plan(spark, "mm4_wav_decode")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
