@@ -460,12 +460,11 @@ def b7_trade_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # B8: equity curve + drawdown (reference backtest/portfolio.py:33-112)
 # ---------------------------------------------------------------------------
-@query(
-    "b8_equity_curve",
-    oracle=f"""
-    WITH {_TRADES_CTE}, daily AS (
-        -- ruin floor: a day cannot lose more than 99% (short losses are
-        -- unbounded; log1p needs 1+r > 0 on both engines)
+# daily mean-return curve shared by the b8 and b15 oracles (appended
+# after _TRADES_CTE): ruin floor at -99% because short losses are
+# unbounded and log1p needs 1+r > 0 on both engines.
+_EQUITY_CTE = """
+    daily AS (
         SELECT CAST(exit_ts AS DATE) AS exit_day,
                GREATEST(AVG(net), -0.99) AS day_ret
         FROM rets GROUP BY 1
@@ -476,6 +475,24 @@ def b7_trade_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS equity
         FROM daily
     )
+"""
+
+
+def _equity_curve_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_EQUITY_CTE``: (exit_day, day_ret, equity) with
+    UNROUNDED values — b8 rounds for display, b15 aggregates first."""
+    t = _fixed_horizon_trades(spark, sf_dir)
+    daily = t.groupBy(F.col("exit_ts").cast("date").alias("exit_day")).agg(
+        F.greatest(F.avg("net"), F.lit(-0.99)).alias("day_ret")
+    )
+    wc = Window.orderBy("exit_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn("equity", F.exp(F.sum(F.log1p("day_ret")).over(wc)))
+
+
+@query(
+    "b8_equity_curve",
+    oracle=f"""
+    WITH {_TRADES_CTE}, {_EQUITY_CTE}
     SELECT exit_day, ROUND(day_ret, 6) AS day_ret, ROUND(equity, 6) AS equity,
            ROUND(equity / MAX(equity) OVER (
                ORDER BY exit_day
@@ -487,17 +504,117 @@ def b8_equity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily mean net return → compounded equity → drawdown vs running
     peak (cumulative windows; log-sum compounding keeps it a window
     expression instead of a driver loop)."""
-    t = _fixed_horizon_trades(spark, sf_dir)
-    daily = t.groupBy(F.col("exit_ts").cast("date").alias("exit_day")).agg(
-        F.greatest(F.avg("net"), F.lit(-0.99)).alias("day_ret")
-    )
+    curve = _equity_curve_frame(spark, sf_dir)
     wc = Window.orderBy("exit_day").rowsBetween(Window.unboundedPreceding, 0)
-    curve = daily.withColumn("equity", F.exp(F.sum(F.log1p("day_ret")).over(wc)))
     return curve.select(
         "exit_day",
         F.round("day_ret", 6).alias("day_ret"),
         F.round("equity", 6).alias("equity"),
         F.round(F.col("equity") / F.max("equity").over(wc) - 1, 6).alias("drawdown"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B15: portfolio summary over the equity curve
+# (reference backtest/portfolio.py:85-112: cumulative return, max
+# drawdown + longest underwater run, daily vol, Sharpe proxy ·√252,
+# CAGR proxy on a 365.25-day year)
+# ---------------------------------------------------------------------------
+@query(
+    "b15_equity_summary",
+    oracle=f"""
+    WITH {_TRADES_CTE}, {_EQUITY_CTE}, dd AS (
+        SELECT exit_day, day_ret, equity,
+               ROUND(equity / MAX(equity) OVER (
+                   ORDER BY exit_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6)
+                   AS drawdown,
+               ROW_NUMBER() OVER (ORDER BY exit_day) AS rn
+        FROM curve
+    ), runs AS (
+        -- gaps-and-islands on the ROUNDED drawdown: longest run of
+        -- underwater days (reference _max_drawdown_days)
+        SELECT (drawdown < 0) AS under,
+               rn - ROW_NUMBER() OVER (PARTITION BY (drawdown < 0)
+                                       ORDER BY rn) AS grp
+        FROM dd
+    ), ddd AS (
+        SELECT COALESCE(MAX(cnt), 0) AS max_dd_days
+        FROM (SELECT COUNT(*) AS cnt FROM runs WHERE under GROUP BY grp)
+    ), agg AS (
+        SELECT COUNT(*) AS n_days,
+               MIN(exit_day) AS d0, MAX(exit_day) AS d1,
+               EXP(SUM(LN(1 + day_ret))) AS equity_end,
+               ROUND(MIN(drawdown), 6) AS max_drawdown,
+               STDDEV_POP(day_ret) AS vol_raw,
+               AVG(day_ret) AS mean_raw
+        FROM dd
+    )
+    SELECT CAST(a.n_days AS BIGINT) AS n_days,
+           ROUND(a.equity_end - 1, 6) + 0 AS cumulative_return,
+           a.max_drawdown + 0 AS max_drawdown,
+           CAST(d.max_dd_days AS BIGINT) AS max_drawdown_days,
+           ROUND(a.vol_raw, 6) AS daily_vol,
+           CASE WHEN a.n_days > 1 AND ROUND(a.vol_raw, 6) > 0
+                THEN ROUND(a.mean_raw / a.vol_raw * SQRT(252.0), 6) + 0
+           END AS sharpe_proxy,
+           CASE WHEN a.n_days > 1
+                THEN ROUND(POWER(a.equity_end,
+                                 365.25 / GREATEST(DATEDIFF('day', a.d0, a.d1), 1))
+                           - 1, 6) + 0
+           END AS cagr_proxy
+    FROM agg a CROSS JOIN ddd d
+    """,
+)
+def b15_equity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row portfolio summary of the B8 curve: cumulative return,
+    max drawdown, LONGEST underwater run in days (gaps-and-islands over
+    the rounded drawdown), population daily vol, Sharpe proxy
+    (mean/vol·√252, guarded like the reference), and a CAGR proxy
+    annualized on 365.25 days over the curve's date span."""
+    curve = _equity_curve_frame(spark, sf_dir)
+    wc = Window.orderBy("exit_day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = curve.withColumns(
+        {
+            "drawdown": F.round(F.col("equity") / F.max("equity").over(wc) - 1, 6),
+            "rn": F.row_number().over(Window.orderBy("exit_day")),
+        }
+    )
+    under = F.col("drawdown") < 0
+    runs = dd.withColumn(
+        "grp", F.col("rn") - F.row_number().over(Window.partitionBy(under).orderBy("rn"))
+    ).withColumn("under", under)
+    max_dd_days = (
+        runs.filter("under")
+        .groupBy("grp")
+        .count()
+        .agg(F.coalesce(F.max("count"), F.lit(0)).alias("max_dd_days"))
+    )
+    agg = dd.agg(
+        F.count("*").alias("n_days"),
+        F.min("exit_day").alias("d0"),
+        F.max("exit_day").alias("d1"),
+        F.exp(F.sum(F.log1p("day_ret"))).alias("equity_end"),
+        F.round(F.min("drawdown"), 6).alias("max_drawdown"),
+        F.stddev_pop("day_ret").alias("vol_raw"),
+        F.avg("day_ret").alias("mean_raw"),
+    )
+    vol_r = F.round(F.col("vol_raw"), 6)
+    years_inv = 365.25 / F.greatest(F.datediff("d1", "d0"), F.lit(1))
+    return agg.crossJoin(max_dd_days).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("equity_end") - 1, 6).alias("cumulative_return"),
+        "max_drawdown",
+        F.col("max_dd_days").cast("long").alias("max_drawdown_days"),
+        vol_r.alias("daily_vol"),
+        F.when(
+            (F.col("n_days") > 1) & (vol_r > 0),
+            F.round(F.col("mean_raw") / F.col("vol_raw") * F.sqrt(F.lit(252.0)), 6),
+        ).alias("sharpe_proxy"),
+        F.when(
+            F.col("n_days") > 1,
+            F.round(F.pow(F.col("equity_end"), years_inv) - 1, 6),
+        ).alias("cagr_proxy"),
     )
 
 

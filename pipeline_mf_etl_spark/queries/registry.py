@@ -103,6 +103,8 @@ _PRIORITY = (
     # ribbon (schema widened, builder refactored into a shared helper)
     "v4_hmm_ribbon",
     "m10_hmm_states",
+    # r4-new: portfolio summary over the shared equity curve
+    "b15_equity_summary",
 )
 
 
