@@ -66,8 +66,10 @@ def _build_parser() -> argparse.ArgumentParser:
     cmp_.add_argument("artifact_b")
     cmp_.add_argument("--output", default=None, help="also write compare_report.json here")
 
+    from pipeline_mf_etl_spark.sanity import LAYERS
+
     san = sub.add_parser("sanity", help="run per-layer QA sanity checks")
-    san.add_argument("layer", choices=("bronze", "research", "backtest", "corpus"))
+    san.add_argument("layer", choices=LAYERS)
     san.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     san.add_argument("--output", required=True)
 

@@ -21,9 +21,30 @@ Layers:
   reference backtest/sensitivity sanity).
 * ``corpus``   — documents QA (language mix, quality score, dup rate;
   engine addition for the LLM-pipeline family).
+* ``silver``   — normalized base-series QA (row/ticker counts, key
+  derived-feature null rates; reference ``silver-sanity``,
+  ``silver/pipeline.py:407-470``).
+* ``indicators`` — TMF/TTI indicator QA (null counts, zero-cross
+  totals, top |tmf| by symbol; reference ``indicators-sanity``,
+  ``silver/indicators_pipeline.py:454-540``).
+* ``events``   — event-grammar QA (flag totals, state-label counts,
+  top symbols by activity; reference ``events-sanity``,
+  ``gold/pipeline.py:431-520``).
+* ``features`` — feature-frame QA (key-feature null rates, top
+  symbols by avg activity; reference ``features-sanity``,
+  ``gold/features_pipeline.py:452-540``).
+* ``validation`` — validation-harness QA (top states by forward
+  return, pairwise sign-consistent share, transition/stability
+  highlights; reference ``validation/sanity.py:30-88``).
+* ``grid``     — sensitivity-grid QA (combo uniqueness, non-finite
+  metric cells, invalid robustness for traded combos; reference
+  ``backtest/sensitivity_sanity.py:41-120``).
 
 Everything driver-side here is a bounded scalar/top-K collect of an
-already-aggregated tiny frame — no per-row driver loops.
+already-aggregated tiny frame — no per-row driver loops. Where the
+reference scans one parquet file per symbol in a Python loop, the
+same totals here are ONE distributed aggregation over the layer frame
+(the per-file loop would serialize a 1000-executor cluster).
 """
 
 from __future__ import annotations
@@ -35,7 +56,18 @@ from pyspark.sql import functions as F
 
 from pipeline_mf_etl_spark.sources.writers import write_csv_twin, write_json_artifact
 
-LAYERS = ("bronze", "research", "backtest", "corpus")
+LAYERS = (
+    "bronze",
+    "silver",
+    "indicators",
+    "events",
+    "features",
+    "research",
+    "backtest",
+    "validation",
+    "grid",
+    "corpus",
+)
 
 
 def _rows(df: DataFrame, limit: int | None = None) -> list[dict]:
@@ -179,10 +211,358 @@ def _corpus(spark: SparkSession, sf_dir: str, output: str) -> dict:
     return summary
 
 
+def _null_counts(df: DataFrame, cols: tuple[str, ...]):
+    """One-pass total rows + per-column null counts."""
+    row = df.agg(
+        F.count("*").alias("__n"),
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols],
+    ).collect()[0]
+    n = int(row["__n"])
+    return n, {c: int(row[c] or 0) for c in cols}
+
+
+def _silver(spark: SparkSession, sf_dir: str, output: str) -> dict:
+    """Normalized base-series QA (reference ``run_silver_sanity``,
+    ``silver/pipeline.py:407-470``): row/ticker counts, global date
+    bounds, derived-feature columns present, key-feature null rates.
+    The reference walks one parquet per symbol; here the same totals
+    are one distributed aggregation."""
+    from pipeline_mf_etl_spark.queries.windows import w1_lag_lead, w2_rolling_stats
+    from pipeline_mf_etl_spark.sources.readers import load_table
+
+    bounds = load_table(spark, sf_dir, "events").agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("user_id").alias("ticker_count"),
+        F.min("ts").alias("global_min_ts"),
+        F.max("ts").alias("global_max_ts"),
+    ).collect()[0]
+    feats = w2_rolling_stats(spark, sf_dir)
+    key_features = ("sma_5", "std_5", "med_5")
+    per_series = (
+        feats.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            *[F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}") for c in key_features],
+        )
+        .orderBy("user_id")
+    ).cache()
+    tot = per_series.agg(
+        *[F.sum(f"n_null_{c}").alias(c) for c in key_features]
+    ).collect()[0]
+    n_ret, ret_nulls = _null_counts(w1_lag_lead(spark, sf_dir), ("ret_1",))
+    total_rows = int(bounds["total_rows"])
+    null_rates = {c: (int(tot[c] or 0) / total_rows if total_rows else None) for c in key_features}
+    null_rates["ret_1"] = (ret_nulls["ret_1"] / n_ret) if n_ret else None
+    summary = {
+        "layer": "silver",
+        "ticker_count": int(bounds["ticker_count"]),
+        "total_rows": total_rows,
+        "global_min_ts": str(bounds["global_min_ts"]),
+        "global_max_ts": str(bounds["global_max_ts"]),
+        "feature_columns_present": sorted(set(feats.columns) - {"event_id", "user_id"}),
+        "key_feature_null_rates": null_rates,
+        "read_errors": 0,
+    }
+    _write_rollup(per_series, output, "silver", "per_series_nulls")
+    per_series.unpersist()
+    return summary
+
+
+def _indicators(spark: SparkSession, sf_dir: str, output: str) -> dict:
+    """TMF/TTI indicator QA (reference ``run_indicators_sanity``,
+    ``silver/indicators_pipeline.py:454-540``): null counts, zero-cross
+    totals split by direction, top |tmf| per symbol."""
+    from pipeline_mf_etl_spark.queries.viewer import v1_tmf_tti_panel
+
+    pan = v1_tmf_tti_panel(spark, sf_dir)
+    per = (
+        pan.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("tmf_raw").isNull().cast("long")).alias("tmf_null_count"),
+            F.sum(F.col("tti_raw").isNull().cast("long")).alias("tti_null_count"),
+            F.sum((F.col("tmf_zero_cross") & (F.col("tmf_raw") > 0)).cast("long")).alias(
+                "tmf_zero_cross_up"
+            ),
+            F.sum((F.col("tmf_zero_cross") & (F.col("tmf_raw") <= 0)).cast("long")).alias(
+                "tmf_zero_cross_down"
+            ),
+            F.sum((F.col("tti_zero_cross") & (F.col("tti_raw") > 0)).cast("long")).alias(
+                "tti_zero_cross_up"
+            ),
+            F.sum((F.col("tti_zero_cross") & (F.col("tti_raw") <= 0)).cast("long")).alias(
+                "tti_zero_cross_down"
+            ),
+            F.round(F.max(F.abs("tmf_raw")), 6).alias("max_abs_tmf"),
+        )
+        .orderBy("user_id")
+    ).cache()
+    sums = per.agg(
+        F.count("*").alias("symbol_count"),
+        *[
+            F.sum(c).alias(c)
+            for c in (
+                "n_rows",
+                "tmf_null_count",
+                "tti_null_count",
+                "tmf_zero_cross_up",
+                "tmf_zero_cross_down",
+                "tti_zero_cross_up",
+                "tti_zero_cross_down",
+            )
+        ],
+    ).collect()[0]
+    top_abs = per.select("user_id", "max_abs_tmf").orderBy(
+        F.desc_nulls_last("max_abs_tmf"), "user_id"
+    )
+    summary = {
+        "layer": "indicators",
+        "symbol_count": int(sums["symbol_count"]),
+        "total_rows": int(sums["n_rows"]),
+        "tmf_null_count": int(sums["tmf_null_count"] or 0),
+        "tti_proxy_null_count": int(sums["tti_null_count"] or 0),
+        "tmf_zero_cross_up_count": int(sums["tmf_zero_cross_up"] or 0),
+        "tmf_zero_cross_down_count": int(sums["tmf_zero_cross_down"] or 0),
+        "tti_proxy_zero_cross_up_count": int(sums["tti_zero_cross_up"] or 0),
+        "tti_proxy_zero_cross_down_count": int(sums["tti_zero_cross_down"] or 0),
+        "top_abs_tmf_by_symbol": _rows(top_abs, 10),
+        "read_errors": 0,
+    }
+    _write_rollup(per, output, "indicators", "indicator_report")
+    per.unpersist()
+    return summary
+
+
+def _events(spark: SparkSession, sf_dir: str, output: str) -> dict:
+    """Event-grammar QA (reference ``run_events_sanity``,
+    ``gold/pipeline.py:431-520``): key event-flag totals, global
+    state-label counts, top symbols by rolling activity and by
+    down-crosses ("fails")."""
+    from pipeline_mf_etl_spark.queries.flow import f1_flow_states
+    from pipeline_mf_etl_spark.queries.windows import (
+        w8_w10_event_flags,
+        w11_w13_burst_activity,
+    )
+
+    flags = w8_w10_event_flags(spark, sf_dir)
+    key_cols = ("cross_up", "cross_down", "pos_hold_3", "crossed_up_last_10")
+    per = (
+        flags.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            *[F.sum(F.col(c).cast("long")).alias(c) for c in key_cols],
+        )
+        .orderBy("user_id")
+    ).cache()
+    sums = per.agg(
+        F.count("*").alias("symbol_count"),
+        F.sum("n_rows").alias("total_rows"),
+        *[F.sum(c).alias(c) for c in key_cols],
+    ).collect()[0]
+    state_counts = (
+        f1_flow_states(spark, sf_dir)
+        .groupBy("flow_state_code")
+        .agg(F.count("*").alias("n"))
+        .orderBy("flow_state_code")
+    )
+    top_activity = (
+        w11_w13_burst_activity(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.round(F.avg(F.col("act_20").cast("double")), 6).alias("avg_activity_20"))
+        .orderBy(F.desc_nulls_last("avg_activity_20"), "user_id")
+    )
+    top_fails = per.select("user_id", "cross_down").orderBy(
+        F.desc("cross_down"), "user_id"
+    )
+    summary = {
+        "layer": "events",
+        "symbol_count": int(sums["symbol_count"]),
+        "total_rows": int(sums["total_rows"]),
+        "key_event_counts": {c: int(sums[c] or 0) for c in key_cols},
+        "state_label_counts": _rows(state_counts),
+        "top_by_activity": _rows(top_activity, 10),
+        "top_by_fails": _rows(top_fails, 10),
+        "read_errors": 0,
+    }
+    _write_rollup(per, output, "events", "event_flag_report")
+    _write_rollup(state_counts, output, "events", "state_counts")
+    per.unpersist()
+    return summary
+
+
+def _features(spark: SparkSession, sf_dir: str, output: str) -> dict:
+    """Feature-frame QA (reference ``run_features_sanity``,
+    ``gold/features_pipeline.py:452-540``): key-feature null rates,
+    top symbols by average activity bias and by max |robust-scaled|
+    value."""
+    from pipeline_mf_etl_spark.queries.flow import f2_flow_activity
+    from pipeline_mf_etl_spark.queries.stats import m2_per_group_scaler
+
+    act = f2_flow_activity(spark, sf_dir)
+    per = (
+        act.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("activity_bias").isNull().cast("long")).alias("n_null_bias"),
+            F.sum(F.col("error_recency").isNull().cast("long")).alias("n_null_recency"),
+            F.round(F.avg("activity_bias"), 6).alias("avg_activity_bias"),
+        )
+        .orderBy("user_id")
+    ).cache()
+    sums = per.agg(
+        F.count("*").alias("symbol_count"),
+        F.sum("n_rows").alias("total_rows"),
+        F.sum("n_null_bias").alias("n_null_bias"),
+        F.sum("n_null_recency").alias("n_null_recency"),
+    ).collect()[0]
+    n_rob, rob_nulls = _null_counts(m2_per_group_scaler(spark, sf_dir), ("value_robust",))
+    total_rows = int(sums["total_rows"])
+    summary = {
+        "layer": "features",
+        "symbol_count": int(sums["symbol_count"]),
+        "total_rows": total_rows,
+        "key_feature_null_rates": {
+            "activity_bias": (int(sums["n_null_bias"] or 0) / total_rows) if total_rows else None,
+            "error_recency": (int(sums["n_null_recency"] or 0) / total_rows) if total_rows else None,
+            "value_robust": (rob_nulls["value_robust"] / n_rob) if n_rob else None,
+        },
+        "top_avg_activity_bias": _rows(
+            per.select("user_id", "avg_activity_bias").orderBy(
+                F.desc_nulls_last("avg_activity_bias"), "user_id"
+            ),
+            10,
+        ),
+        "read_errors": 0,
+    }
+    _write_rollup(per, output, "features", "feature_report")
+    per.unpersist()
+    return summary
+
+
+def _validation(spark: SparkSession, sf_dir: str, output: str) -> dict:
+    """Validation-harness QA (reference ``summarize_validation_run``,
+    ``validation/sanity.py:30-88``): top states by forward-return mean
+    with CI + tradability, share of pairwise diffs with sign-consistent
+    CIs, top transitions by event count, stability highlights (lowest
+    Frobenius drift), and NaN/null counts per artifact.
+
+    NOTE: eager — m15/m18 run bootstrap fits at build time
+    (persisted-export pattern, queries/export.py)."""
+    from pipeline_mf_etl_spark.queries.stats import m15_pairwise_diff_ci
+    from pipeline_mf_etl_spark.queries.validation import (
+        m16_event_study,
+        m17_frobenius_stability,
+        m18_hardening_policy,
+    )
+
+    scorecard = m18_hardening_policy(spark, sf_dir).cache()
+    top_states = scorecard.orderBy(F.desc_nulls_last("mean_fwd"), "state_id")
+    score_nulls = scorecard.agg(
+        F.sum(F.col("mean_fwd").isNull().cast("long"))
+        + F.sum(F.col("ci_half").isNull().cast("long"))
+    ).collect()[0][0]
+    pairwise = m15_pairwise_diff_ci(spark, sf_dir)
+    pair_row = pairwise.agg(
+        F.round(F.avg(F.col("diff_sign_consistent").cast("double")), 6).alias("share"),
+        (
+            F.sum(F.col("diff_ci_lo").isNull().cast("long"))
+            + F.sum(F.col("diff_ci_hi").isNull().cast("long"))
+        ).alias("nulls"),
+    ).collect()[0]
+    transitions = (
+        m16_event_study(spark, sf_dir)
+        .groupBy("transition")
+        .agg(F.sum("n_obs").alias("count_events"))
+        .orderBy(F.desc("count_events"), "transition")
+    )
+    stability = m17_frobenius_stability(spark, sf_dir).orderBy(
+        F.asc_nulls_last("frobenius_dist"), "window_id"
+    )
+    summary = {
+        "layer": "validation",
+        "top_states_by_fwd_ret_mean": _rows(top_states, 10),
+        "pairwise_significant_diff_share": (
+            float(pair_row["share"]) if pair_row["share"] is not None else None
+        ),
+        "top_transition_codes": _rows(transitions, 10),
+        "state_stability_highlights": _rows(stability, 10),
+        "nan_warnings": {
+            "state_scorecard_null_count": int(score_nulls or 0),
+            "pairwise_null_count": int(pair_row["nulls"] or 0),
+        },
+    }
+    _write_rollup(scorecard, output, "validation", "state_scorecard")
+    _write_rollup(transitions, output, "validation", "transition_summary")
+    scorecard.unpersist()
+    return summary
+
+
+def _grid(spark: SparkSession, sf_dir: str, output: str) -> dict:
+    """Sensitivity-grid QA (reference ``summarize_grid_run``,
+    ``backtest/sensitivity_sanity.py:41-120``): combo-key uniqueness,
+    non-finite metric cells, zero-trade combos, invalid robustness for
+    traded combos, top combos by robustness."""
+    from pipeline_mf_etl_spark.queries.backtest import b10_sensitivity_grid
+
+    grid = b10_sensitivity_grid(spark, sf_dir).cache()
+    metric_cols = ("expectancy", "win_rate", "net_std", "p10", "p90", "robustness_score")
+    nonfinite = [
+        F.sum(
+            (F.isnan(F.col(c).cast("double")) | (F.abs(F.col(c).cast("double")) == float("inf")))
+            .cast("long")
+        ).alias(f"nf_{c}")
+        for c in metric_cols
+    ]
+    nulls = [F.sum(F.col(c).isNull().cast("long")).alias(f"nu_{c}") for c in metric_cols]
+    row = grid.agg(
+        F.count("*").alias("n_combos"),
+        F.countDistinct("hold_bars", "cost_bps").alias("n_unique_combos"),
+        F.sum((F.col("n_trades") == 0).cast("long")).alias("zero_trade_combos"),
+        F.sum(
+            (
+                (F.col("n_trades") > 0)
+                & (F.col("robustness_score").isNull() | F.isnan("robustness_score"))
+            ).cast("long")
+        ).alias("invalid_robustness"),
+        *nonfinite,
+        *nulls,
+    ).collect()[0]
+    errors = []
+    if int(row["n_combos"]) == 0:
+        errors.append("empty_manifest")
+    if int(row["n_combos"]) != int(row["n_unique_combos"]):
+        errors.append("duplicate_combo_id")
+    non_finite_cells = sum(int(row[f"nf_{c}"] or 0) for c in metric_cols)
+    if non_finite_cells > 0:
+        errors.append("non_finite_metrics_cells")
+    if int(row["invalid_robustness"] or 0) > 0:
+        errors.append("invalid_robustness_for_non_zero_trades")
+    top = grid.orderBy(F.desc_nulls_last("robustness_score"), "hold_bars", "cost_bps")
+    summary = {
+        "layer": "grid",
+        "n_combos": int(row["n_combos"]),
+        "zero_trade_combos": int(row["zero_trade_combos"] or 0),
+        "non_finite_metric_cells": non_finite_cells,
+        "null_metric_cells": sum(int(row[f"nu_{c}"] or 0) for c in metric_cols),
+        "errors": errors,
+        "status": "FAIL" if errors else "PASS",
+        "top_combos_by_robustness": _rows(top, 10),
+    }
+    _write_rollup(grid, output, "grid", "grid_metrics_table")
+    grid.unpersist()
+    return summary
+
+
 _RUNNERS = {
     "bronze": _bronze,
+    "silver": _silver,
+    "indicators": _indicators,
+    "events": _events,
+    "features": _features,
     "research": _research,
     "backtest": _backtest,
+    "validation": _validation,
+    "grid": _grid,
     "corpus": _corpus,
 }
 
