@@ -36,9 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
 
-from pipeline_mf_etl_spark.operators.ewm import ewm_smooth_many
-from pipeline_mf_etl_spark.operators.windows import rolling_min_samples, series_window
 from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import load_table
 
@@ -152,43 +151,130 @@ _PANEL_CTE = f"""
 
 
 def _panel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of the ``panel`` CTE: bars → Twiggs terms → four RMAs
-    in one mapInPandas pass → rounded tmf_raw/tti_raw."""
+    """Spark twin of the ``panel`` CTE, computed in ONE mapInPandas
+    island: bars → Twiggs terms → four RMAs → rounded tmf_raw/tti_raw →
+    every per-series sequential column the viewer panel needs (crosses,
+    returns, slopes, 20-bar rolling dollar-volume median).
+
+    The post-island columns used to be JVM window expressions, but
+    mapInPandas re-keys attribute ids, so Catalyst cannot prove the
+    island output is still hash-partitioned by user_id and inserts a
+    SECOND full shuffle before the window stage. Folding those columns
+    into the island (all vectorized pandas groupby ops) keeps the plan
+    at exactly one exchange — at 100 TB that halves the shuffled bytes
+    of the heaviest viewer query. NaN round-trips as Double.NaN, not
+    SQL NULL; v1's final projection normalizes.
+
+    tmf_raw/tti_raw are rounded to 6 dp INSIDE the island (``+ 0.0``
+    clears IEEE -0.0) because every downstream flag/slope derives from
+    the rounded values on both engines (reference indicators_twiggs.py:
+    31-81 via compute_ticker.py:197-242)."""
     ev = load_table(spark, sf_dir, "events")
-    w = series_window()
-    close = F.col("value")
     bars = ev.select(
         "event_id",
         "ts",
         "user_id",
-        close.alias("close"),
+        F.col("value").alias("close"),
         F.coalesce(F.get_json_object("props", "$.k").cast("double"), F.lit(0.0)).alias(
             "volume"
         ),
-    ).withColumn("prev_close", F.coalesce(F.lag("close").over(w), F.col("close")))
-    tr = F.greatest("close", "prev_close") - F.least("close", "prev_close")
-    tr_safe = F.greatest(tr, F.lit(_EPS))
-    core = (2.0 * F.col("close") - F.greatest("close", "prev_close") - F.least("close", "prev_close")) / tr_safe
-    derived = bars.withColumns(
-        {
-            "tr": tr,
-            "adv": core * F.col("volume"),
-            "advv": core * tr,
+    )
+    out_doubles = (
+        "prev_close",
+        "tr",
+        "adv",
+        "advv",
+        "tmf_raw",
+        "tti_raw",
+        "ret_1",
+        "ret_5",
+        "tmf_slope_1",
+        "tmf_slope_5",
+        "tti_slope_1",
+        "tti_slope_5",
+        "range_pct",
+        "dollar_vol",
+        "dv20",
+    )
+    schema = StructType(
+        list(bars.schema.fields)
+        + [StructField(c, DoubleType(), True) for c in out_doubles]
+        + [
+            StructField("tmf_zero_cross", BooleanType(), False),
+            StructField("tti_zero_cross", BooleanType(), False),
+        ]
+    )
+    alpha, n = _A, _N
+
+    def panel(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        g = pdf.groupby(["user_id"], sort=True)
+        close, vol = pdf["close"], pdf["volume"]
+        prev_raw = g["close"].shift(1)
+        prev = prev_raw.fillna(close)
+        hi, lo = np.maximum(close, prev), np.minimum(close, prev)
+        tr = hi - lo
+        core = (2.0 * close - hi - lo) / np.maximum(tr, _EPS)
+        pdf["prev_close"] = prev
+        pdf["tr"] = tr
+        pdf["adv"] = core * vol
+        pdf["advv"] = core * tr
+        g = pdf.groupby(["user_id"], sort=True)
+        sm = {
+            out: g[val].ewm(alpha=alpha, adjust=False, min_periods=n).mean().to_numpy()
+            for out, val in (
+                ("num_t", "adv"),
+                ("den_t", "volume"),
+                ("num_u", "advv"),
+                ("den_u", "tr"),
+            )
         }
-    )
-    sm = ewm_smooth_many(
-        derived,
-        series_cols=["user_id"],
-        order_cols=["ts", "event_id"],
-        cols={"tmf_num": "adv", "tmf_den": "volume", "tti_num": "advv", "tti_den": "tr"},
-        n=_N,
-    )
-    return sm.withColumns(
-        {
-            "tmf_raw": F.round(F.col("tmf_num") / F.greatest("tmf_den", F.lit(_EPS)), 6),
-            "tti_raw": F.round(F.col("tti_num") / F.greatest("tti_den", F.lit(_EPS)), 6),
-        }
-    )
+        # np.round on the binary double == Spark HALF_UP / DuckDB ROUND
+        # here: k·10⁻⁶ midpoints are never exactly representable, so the
+        # half-even tiebreak can't fire; + 0.0 clears -0.0.
+        pdf["tmf_raw"] = np.round(sm["num_t"] / np.maximum(sm["den_t"], _EPS), 6) + 0.0
+        pdf["tti_raw"] = np.round(sm["num_u"] / np.maximum(sm["den_u"], _EPS), 6) + 0.0
+        g = pdf.groupby(["user_id"], sort=True)
+        lag1_t, lag5_t = g["tmf_raw"].shift(1), g["tmf_raw"].shift(5)
+        lag1_u, lag5_u = g["tti_raw"].shift(1), g["tti_raw"].shift(5)
+        lag5_c = g["close"].shift(5)
+
+        def cross(cur, prv):
+            sv, sp = np.sign(cur.to_numpy()), np.sign(prv.to_numpy())
+            return (~np.isnan(sv)) & (~np.isnan(sp)) & (sv != sp)
+
+        pdf["tmf_zero_cross"] = cross(pdf["tmf_raw"], lag1_t)
+        pdf["tti_zero_cross"] = cross(pdf["tti_raw"], lag1_u)
+        pdf["ret_1"] = close / prev_raw.where(prev_raw != 0.0) - 1.0
+        pdf["ret_5"] = close / lag5_c.where(lag5_c != 0.0) - 1.0
+        pdf["tmf_slope_1"] = pdf["tmf_raw"] - lag1_t
+        pdf["tmf_slope_5"] = pdf["tmf_raw"] - lag5_t
+        pdf["tti_slope_1"] = pdf["tti_raw"] - lag1_u
+        pdf["tti_slope_5"] = pdf["tti_raw"] - lag5_u
+        pdf["range_pct"] = tr / close.where(close != 0.0)
+        pdf["dollar_vol"] = close * vol
+        pdf["dv20"] = (
+            pdf.groupby(["user_id"], sort=True)["dollar_vol"]
+            .rolling(_DV_WIN, min_periods=_DV_WIN)
+            .median()
+            .to_numpy()
+        )
+        yield pdf[[f.name for f in schema.fields]]
+
+    return bars.repartition("user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id"
+    ).mapInPandas(panel, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -234,43 +320,37 @@ def v1_tmf_tti_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     slopes, true-range pct, and the 20-bar rolling dollar-volume median
     with log1p — the indicator frame the reference viewer caches per
     ticker (compute_ticker.py:197-242). Slopes and crosses derive from
-    the 6-dp-rounded RMA ratios so both engines agree exactly."""
+    the 6-dp-rounded RMA ratios so both engines agree exactly.
+
+    All sequential columns come out of the one-exchange panel island
+    (``_panel_frame``); this is a pure projection that rounds and
+    normalizes pandas NaN to SQL NULL."""
+
+    def _nn(name: str):
+        c = F.col(name)
+        return F.when(~F.isnan(c), c)
+
     pan = _panel_frame(spark, sf_dir)
-    w = series_window()
-    dv = F.col("close") * F.col("volume")
-    pan = pan.withColumn(
-        "dv20", rolling_min_samples(F.expr("percentile(close * volume, 0.5)"), dv, w, _DV_WIN)
-    )
-    lag1 = F.lag("tmf_raw").over(w)
-    lag1t = F.lag("tti_raw").over(w)
-    dv20_r = F.round("dv20", 6)
+    dv20_r = F.round(_nn("dv20"), 6)
     return pan.select(
         "event_id",
         "user_id",
-        F.round("prev_close", 6).alias("prev_close"),
-        F.round("tr", 6).alias("tr"),
-        F.round("adv", 6).alias("adv"),
-        F.round("advv", 6).alias("advv"),
-        "tmf_raw",
-        "tti_raw",
-        F.coalesce(F.signum("tmf_raw") != F.signum(lag1), F.lit(False)).alias(
-            "tmf_zero_cross"
-        ),
-        F.coalesce(F.signum("tti_raw") != F.signum(lag1t), F.lit(False)).alias(
-            "tti_zero_cross"
-        ),
-        F.round(F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1, 6).alias(
-            "ret_1"
-        ),
-        F.round(
-            F.col("close") / F.nullif(F.lag("close", 5).over(w), F.lit(0.0)) - 1, 6
-        ).alias("ret_5"),
-        F.round(F.col("tmf_raw") - lag1, 6).alias("tmf_slope_1"),
-        F.round(F.col("tmf_raw") - F.lag("tmf_raw", 5).over(w), 6).alias("tmf_slope_5"),
-        F.round(F.col("tti_raw") - lag1t, 6).alias("tti_slope_1"),
-        F.round(F.col("tti_raw") - F.lag("tti_raw", 5).over(w), 6).alias("tti_slope_5"),
-        F.round(F.col("tr") / F.nullif(F.col("close"), F.lit(0.0)), 6).alias("range_pct"),
-        F.round(dv, 6).alias("dollar_vol"),
+        F.round(_nn("prev_close"), 6).alias("prev_close"),
+        F.round(_nn("tr"), 6).alias("tr"),
+        F.round(_nn("adv"), 6).alias("adv"),
+        F.round(_nn("advv"), 6).alias("advv"),
+        _nn("tmf_raw").alias("tmf_raw"),
+        _nn("tti_raw").alias("tti_raw"),
+        "tmf_zero_cross",
+        "tti_zero_cross",
+        F.round(_nn("ret_1"), 6).alias("ret_1"),
+        F.round(_nn("ret_5"), 6).alias("ret_5"),
+        F.round(_nn("tmf_slope_1"), 6).alias("tmf_slope_1"),
+        F.round(_nn("tmf_slope_5"), 6).alias("tmf_slope_5"),
+        F.round(_nn("tti_slope_1"), 6).alias("tti_slope_1"),
+        F.round(_nn("tti_slope_5"), 6).alias("tti_slope_5"),
+        F.round(_nn("range_pct"), 6).alias("range_pct"),
+        F.round(_nn("dollar_vol"), 6).alias("dollar_vol"),
         dv20_r.alias("dollar_vol_20"),
         F.round(F.log1p(F.greatest(dv20_r, F.lit(0.0))), 6).alias("dollar_vol_20_log"),
     )
@@ -459,7 +539,12 @@ def v3_reading_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsequence needed) and the two sides explode out of ONE pass —
     one island, one series shuffle."""
     pan = _panel_frame(spark, sf_dir).select(
-        "event_id", "user_id", "ts", F.col("tti_raw").alias("v")
+        "event_id",
+        "user_id",
+        "ts",
+        # island NaN (EWM warm-up) -> SQL NULL so isNotNull/min/max agree
+        # with the oracle's NULL semantics
+        F.when(~F.isnan("tti_raw"), F.col("tti_raw")).alias("v"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w5 = w.rowsBetween(-2, 2)

@@ -200,15 +200,16 @@ def test_heavy_hitter_candidates_no_full_aggregation(spark):
 
 
 def test_viewer_panel_one_island_pass(spark):
-    """The v1 panel smooths FOUR RMA inputs but must pay exactly ONE
-    mapInPandas island (ewm_smooth_many) — per-column smoothing would
-    pay one Arrow exchange + shuffle each. The window algebra before and
-    after the island reuses the same user_id hash partitioning, so the
-    plan stays at (lag-prep shuffle) + (island repartition) and never
-    re-shuffles per derived column."""
+    """The v1 panel computes four RMAs plus every sequential column in
+    exactly ONE mapInPandas island behind exactly ONE exchange. A
+    JVM window stage after the island would force a SECOND full
+    shuffle (mapInPandas re-keys attribute ids, so Catalyst cannot
+    reuse the island's hash partitioning) — the regression this test
+    pins out."""
     plan = _plan(spark, "v1_tmf_tti_panel")
     assert plan.count("MapInPandas") == 1, plan
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
 
 
 def test_viewer_markers_broadcasts_dims(spark):
