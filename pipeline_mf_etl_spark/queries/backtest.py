@@ -175,20 +175,18 @@ def b4_oracle(s: Settings) -> str:
     """
 
 
-def b4_frame(spark: SparkSession, sf_dir: str, s: Settings) -> DataFrame:
-    """B4 realism gates at the given settings: price floor + rolling
-    dollar-volume median floor + warmup, fixed-precedence reason."""
+def b4_gate_columns(df: DataFrame, s: Settings) -> DataFrame:
+    """Append the B4 realism gate columns (fail flags, fixed-precedence
+    primary_reason, exec_eligible) to a per-bar frame carrying
+    (user_id, ts, event_id, value, dollar_vol). All windows partition
+    on the series key, so a caller whose frame already windows on
+    user_id pays no extra shuffle — the reason v2 composes this
+    in-pass instead of joining two per-bar frames on event_id (which
+    would co-shuffle the full bar table twice at scale)."""
     r = s.realism
-    ev = load_table(spark, sf_dir, "events")
     w = series_window()
-    dv = F.col("value") * F.get_json_object("props", "$.k").cast("double")
-    df = ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "value",
-        dv.alias("dollar_vol"),
-        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("history_bars"),
+    df = df.withColumn(
+        "history_bars", F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     med = rolling_min_samples(
         F.expr("percentile(dollar_vol, 0.5)"),
@@ -205,14 +203,31 @@ def b4_frame(spark: SparkSession, sf_dir: str, s: Settings) -> DataFrame:
         .when(warm_fail, "WARMUP")
         .when(dv_fail, "DOLLAR_VOL")
     )
-    return df.select(
+    return df.withColumns(
+        {
+            "price_floor_fail": price_fail,
+            "warmup_fail": warm_fail,
+            "dollar_vol_fail": dv_fail,
+            "primary_reason": reason,
+            "exec_eligible": ~(price_fail | warm_fail | dv_fail),
+        }
+    )
+
+
+def b4_frame(spark: SparkSession, sf_dir: str, s: Settings) -> DataFrame:
+    """B4 realism gates at the given settings: price floor + rolling
+    dollar-volume median floor + warmup, fixed-precedence reason."""
+    ev = load_table(spark, sf_dir, "events")
+    dv = F.col("value") * F.get_json_object("props", "$.k").cast("double")
+    df = ev.select("event_id", "user_id", "ts", "value", dv.alias("dollar_vol"))
+    return b4_gate_columns(df, s).select(
         "event_id",
         "user_id",
-        price_fail.alias("price_floor_fail"),
-        warm_fail.alias("warmup_fail"),
-        dv_fail.alias("dollar_vol_fail"),
-        reason.alias("primary_reason"),
-        (~(price_fail | warm_fail | dv_fail)).alias("exec_eligible"),
+        "price_floor_fail",
+        "warmup_fail",
+        "dollar_vol_fail",
+        "primary_reason",
+        "exec_eligible",
     )
 
 

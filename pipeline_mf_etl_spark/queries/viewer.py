@@ -420,17 +420,33 @@ def v2_viewer_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``exec:REASON`` blocked-reason string — the CASE cascade of
     reference overlay_logic.py:439-454 composed from the engine's B3/B4/
     B5 building blocks (overlay gate in ``allow_only`` mode). The
-    overlay dim and state map are broadcast; the signal/realism windows
-    share the one per-series shuffle."""
-    from pipeline_mf_etl_spark.queries.backtest import _S, _with_signals, b4_frame
+    overlay dim and state map are broadcast; the signal AND realism
+    windows are composed on ONE per-bar frame (``b4_gate_columns``)
+    sharing one per-series shuffle — joining two separately-derived
+    per-bar frames on event_id would co-shuffle the full bar table
+    twice at scale."""
+    from pipeline_mf_etl_spark.operators.windows import series_window
+    from pipeline_mf_etl_spark.queries.backtest import _S, _state_map_df, b4_gate_columns
 
-    sig = _with_signals(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "side", "signal"
-    )
-    realism = b4_frame(spark, sf_dir, _S).select(
-        "event_id", F.col("user_id").alias("r_uid"), "primary_reason"
-    )
     ev = load_table(spark, sf_dir, "events")
+    m = F.broadcast(_state_map_df(spark))
+    base = ev.join(m, "event_type", "left").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce("side", F.lit(0)).alias("side"),
+        F.coalesce("eligible", F.lit(False)).alias("eligible"),
+        (F.col("value") * F.get_json_object("props", "$.k").cast("double")).alias(
+            "dollar_vol"
+        ),
+    )
+    w = series_window()
+    prev_state = F.lag("event_type").over(w)
+    transition = prev_state.isNull() | (F.col("event_type") != prev_state)
+    sig = base.withColumn("signal", F.col("eligible") & transition)
+    gated = b4_gate_columns(sig, _S)
     overlay = (
         ev.select("user_id")
         .filter(F.col("user_id") % 10 < 8)
@@ -442,10 +458,8 @@ def v2_viewer_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("BLOCK"),
         )
     )
-    df = (
-        sig.join(realism.drop("r_uid"), "event_id")
-        .join(F.broadcast(overlay), "user_id", "left")
-        .withColumn("overlay_policy_class", F.coalesce("cls", F.lit("UNKNOWN")))
+    df = gated.join(F.broadcast(overlay), "user_id", "left").withColumn(
+        "overlay_policy_class", F.coalesce("cls", F.lit("UNKNOWN"))
     )
     allow = F.col("overlay_policy_class") == "ALLOW"
     exec_ok = F.col("primary_reason").isNull()
