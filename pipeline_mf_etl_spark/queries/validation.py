@@ -323,7 +323,10 @@ def m17_frobenius_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     locp = loc.select(
         "win", "from_state", "to_state", (F.col("cnt") / F.sum("cnt").over(wf)).alias("p")
     )
-    gcnt = tr.groupBy("from_state", "to_state").agg(F.count("*").alias("cnt"))
+    # global matrix folded from the per-window counts — re-aggregating
+    # the raw transition stream would shuffle the full event table a
+    # second time for numbers loc already holds
+    gcnt = loc.groupBy("from_state", "to_state").agg(F.sum("cnt").alias("cnt"))
     gw = Window.partitionBy("from_state")
     glob = gcnt.select(
         "from_state", "to_state", (F.col("cnt") / F.sum("cnt").over(gw)).alias("gp")
