@@ -73,6 +73,16 @@ def _build_parser() -> argparse.ArgumentParser:
     san.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     san.add_argument("--output", required=True)
 
+    exp = sub.add_parser(
+        "export-ml", help="export the stacked ML training dataset + metadata"
+    )
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    exp.add_argument("--output", required=True)
+    exp.add_argument("--start-date", default=None, help="ISO date lower bound")
+    exp.add_argument("--end-date", default=None, help="ISO date upper bound")
+    exp.add_argument("--symbols-limit", type=int, default=None)
+    exp.add_argument("--sample-frac", type=float, default=None)
+
     q = sub.add_parser("query", help="run one registered query and print rows")
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -177,6 +187,22 @@ def main(argv: list[str] | None = None) -> int:
 
         summary = run_sanity(spark, args.sf_dir, args.output, args.layer)
         json.dump(summary, sys.stdout, indent=2, sort_keys=True, default=str)
+        print()
+        return 0
+
+    if args.cmd == "export-ml":
+        from pipeline_mf_etl_spark.ml_export import export_ml_dataset
+
+        meta = export_ml_dataset(
+            spark,
+            args.sf_dir,
+            args.output,
+            start_date=args.start_date,
+            end_date=args.end_date,
+            symbols_limit=args.symbols_limit,
+            sample_frac=args.sample_frac,
+        )
+        json.dump(meta, sys.stdout, indent=2, sort_keys=True)
         print()
         return 0
 
