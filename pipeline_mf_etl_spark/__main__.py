@@ -88,6 +88,11 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
 
+    cfg = sub.add_parser(
+        "show-config", help="print the effective settings after overrides"
+    )
+    cfg.add_argument("--settings", default=None, help="YAML settings override file")
+
     sub.add_parser("list", help="list registered queries")
     return p
 
@@ -101,6 +106,20 @@ def main(argv: list[str] | None = None) -> int:
         for name, spec in all_queries().items():
             kind = "oracle" if spec.oracle else "rows-only"
             print(f"{name}\t{kind}\t{spec.doc.splitlines()[0] if spec.doc else ''}")
+        return 0
+
+    if args.cmd == "show-config":  # pure settings echo — no Spark needed
+        import dataclasses
+
+        from pipeline_mf_etl_spark.config import load_settings
+
+        json.dump(
+            dataclasses.asdict(load_settings(args.settings)),
+            sys.stdout,
+            indent=2,
+            sort_keys=True,
+        )
+        print()
         return 0
 
     if args.cmd == "compare":  # pure artifact diff — no Spark session needed

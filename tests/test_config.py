@@ -109,3 +109,16 @@ def test_knob_override_end_to_end(spark, knobs):
     assert canonical_rows(spark_rows, frame.columns) == canonical_rows(
         duck_rows, duck_cols
     )
+
+
+def test_show_config_cli_round_trips(capsys):
+    """`show-config` prints the effective settings as JSON (reference
+    cli.py:254-266 show-config)."""
+    import json
+
+    from pipeline_mf_etl_spark.__main__ import main
+
+    assert main(["show-config"]) == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["backtest"]["hold_bars"] == 5
+    assert "realism" in payload
