@@ -129,6 +129,105 @@ def o9_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fraction of the corpus token count the mixed sample may spend (the
+# "token budget" of a pretraining data recipe).
+_MIX_BUDGET = 0.5
+_MIX_TOK_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "o10_token_budget_mix",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(LEN(regexp_extract_all(LOWER(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), tot AS (
+        SELECT lang, SUM(n_tokens) AS lang_tokens FROM tok GROUP BY lang
+    ), gl AS (
+        SELECT SUM(lang_tokens) AS total_tokens, COUNT(*) AS n_langs FROM tot
+    ), rates AS (
+        SELECT lang,
+               CASE WHEN lang_tokens = 0 THEN 1.0
+                    ELSE LEAST(1.0,
+                        (0.5 * total_tokens / n_langs) / lang_tokens) END AS rate
+        FROM tot CROSS JOIN gl
+    ), keyed AS (
+        SELECT t.lang, t.n_tokens, r.rate,
+               list_reduce(list_transform(split(substr(md5(
+                   'mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15), ''),
+                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (acc, y) -> acc * 16 + y) AS h
+        FROM tok t JOIN rates r USING (lang)
+    )
+    SELECT lang,
+           ROUND(rate, 6) AS rate,
+           COUNT(*) AS n_docs_admitted,
+           SUM(n_tokens) AS tokens_admitted
+    FROM keyed
+    WHERE (h % 1000000) / 1000000.0 < rate
+    GROUP BY lang, rate
+    """,
+)
+def o10_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: rebalance the corpus toward a UNIFORM
+    per-language token mix under a global budget of ``_MIX_BUDGET`` of
+    all tokens — the mixing/up-down-weighting step of a pretraining
+    data recipe. Per-language admit rate = min(1, budget·total/L /
+    lang_tokens); admission is the md5-fold Bernoulli (deterministic,
+    repartition-stable, identical arithmetic on both engines).
+
+    Plan shape: token counting is one projection; the rate table is a
+    per-language aggregate crossed with a one-row global aggregate —
+    both tiny — broadcast back onto the doc stream, so the only
+    full-data operations are the scan, one groupBy(lang), and the
+    final admitted aggregate. Nothing scales with anything but corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_MIX_TOK_RE), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = tok.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    gl = tot.agg(
+        F.sum("lang_tokens").alias("total_tokens"), F.count("*").alias("n_langs")
+    )
+    rates = tot.crossJoin(F.broadcast(gl)).select(
+        "lang",
+        F.when(F.col("lang_tokens") == 0, F.lit(1.0))
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                (F.lit(0.5) * F.col("total_tokens") / F.col("n_langs"))
+                / F.col("lang_tokens"),
+            )
+        )
+        .alias("rate"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    admitted = (
+        tok.join(F.broadcast(rates), "lang")
+        .filter((h % 1000000) / 1000000.0 < F.col("rate"))
+    )
+    return admitted.groupBy("lang", "rate").agg(
+        F.count("*").alias("n_docs_admitted"),
+        F.sum("n_tokens").alias("tokens_admitted"),
+    ).select(
+        "lang",
+        F.round("rate", 6).alias("rate"),
+        "n_docs_admitted",
+        "tokens_admitted",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sketch operators: the approximate counterparts a 100 TB pipeline runs
 # when exact quantiles/top-k are too expensive. Both are rows-only by

@@ -105,6 +105,32 @@ _PRIORITY = (
     "m10_hmm_states",
     # r4-new: portfolio summary over the shared equity curve
     "b15_equity_summary",
+    # Explicit window tail (positions 33-50): the validation/backtest/
+    # dedup families whose last green row is round 2 — several were
+    # touched again this round (b4 gate refactor, b8 equity-curve
+    # split, m17 global-matrix fold, d2's r3 shingle-join rework), so
+    # they must recertify. m21_walkforward (green r2, untouched since)
+    # yields its slot to the new o10 mixing query — rotate m21 back in
+    # next round.
+    "m16_event_study",
+    "m18_hardening_policy",
+    "m17_frobenius_stability",
+    "b2_state_eligibility",
+    "b4_execution_realism",
+    "b5_signals",
+    "b7_trade_metrics",
+    "b8_equity_curve",
+    "b10_sensitivity_grid",
+    "b14_calibration_sweep",
+    "b13_candidate_drift",
+    "b3_overlay_pass_modes",
+    "b12_walkforward_grid",
+    "b1_input_adapter",
+    "b11_robustness_score",
+    "d1_exact_dedupe",
+    "d2_minhash_lsh",
+    # r4-new: token-budget corpus mixing (LLM-pipeline family)
+    "o10_token_budget_mix",
 )
 
 
