@@ -1,11 +1,12 @@
 """Corpus-hygiene and sketch queries for training-data pipelines:
-PII / banned-term scrubbing, deterministic stratified sampling, and
-approximate quantile / heavy-hitter sketches.
+PII / banned-term scrubbing, deterministic stratified sampling,
+token-budget corpus mixing, and approximate quantile / heavy-hitter
+sketches.
 
-Both are pure built-in expressions (regexp_replace / md5-hash
-Bernoulli) — no Python in the hot path — and both carry full DuckDB
-oracles. Registered AFTER the multimodal family: the driver's 50-query
-certification window is exactly full this round; these rotate in next.
+The hygiene/sampling/mixing queries are pure built-in expressions
+(regexp_replace / md5-hash Bernoulli) — no Python in the hot path —
+and carry full DuckDB oracles; the sketches are rows-only by design
+with property-tested error bounds.
 """
 
 from __future__ import annotations
