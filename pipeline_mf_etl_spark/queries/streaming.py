@@ -173,3 +173,35 @@ def st5_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_kept"),
         (F.count("*") - F.countDistinct("event_id")).alias("n_replayed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# st6: stream-static enrichment — broadcast-join the static B2 state
+# map onto the event stream, then tumbling 1-day rollups per mapped
+# trade side (the streaming twin of j2/b2's broadcast joins; no stream
+# state needed for the join itself).
+# ---------------------------------------------------------------------------
+def _st6_oracle() -> str:
+    from pipeline_mf_etl_spark.queries.backtest import _STATE_MAP_SQL
+
+    return f"""
+    SELECT CAST(date_trunc('day', e.ts) AS DATE) AS window_day,
+           COALESCE(m.side, 0) AS side,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 6) AS sum_value
+    FROM events e LEFT JOIN {_STATE_MAP_SQL} USING (event_type)
+    GROUP BY 1, 2
+    """
+
+
+@query("st6_stream_enrich", oracle=_st6_oracle())
+def st6_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment + tumbling day windows per
+    trade side; tests/test_streaming.py drives the same transform
+    through readStream(availableNow) and asserts identical results."""
+    from pipeline_mf_etl_spark.queries.backtest import _state_map_df
+    from pipeline_mf_etl_spark.streaming import enriched_side_rollup
+
+    return enriched_side_rollup(
+        load_table(spark, sf_dir, "events"), _state_map_df(spark)
+    )

@@ -1,5 +1,6 @@
 from pipeline_mf_etl_spark.streaming.transforms import (
     daily_rollup,
+    enriched_side_rollup,
     dedupe_events_batch,
     dedupe_events_stream,
     normalize_event_ts,
@@ -11,6 +12,7 @@ from pipeline_mf_etl_spark.streaming.transforms import (
 
 __all__ = [
     "daily_rollup",
+    "enriched_side_rollup",
     "dedupe_events_batch",
     "dedupe_events_stream",
     "normalize_event_ts",

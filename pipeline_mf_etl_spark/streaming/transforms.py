@@ -117,6 +117,37 @@ def session_rollup(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def enriched_side_rollup(
+    events: DataFrame, dim: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Stream-static enrichment + tumbling rollup: broadcast-join a
+    static dimension (the B2 state map) onto the event stream, then
+    aggregate 1-day event-time windows per mapped trade side.
+
+    Stream-static inner/left joins need no state on the stream side —
+    the dim is broadcast to every task per micro-batch — so this is THE
+    scale-safe way to enrich a firehose with reference data (the
+    streaming twin of j2/b2's broadcast joins)."""
+    joined = normalize_event_ts(events).join(F.broadcast(dim), "event_type", "left")
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.coalesce("side", F.lit(0)).alias("side"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("window_day"),
+            "side",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_bronze_ingest(
     spark: SparkSession, sf_dir: str, output_path: str, checkpoint: str
 ) -> None:

@@ -158,3 +158,26 @@ def test_stream_dedupe_removes_cross_batch_replays(spark, tmp_path):
     assert s_ids == b_ids and len(b_ids) > 0
     # the dedupe actually removed something: fewer rows out than fed in
     assert len(s_ids) < ev.count() + replays.count()
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """st6: the stream-static broadcast join + windowed rollup must be
+    identical through readStream and the batch loader."""
+    from pipeline_mf_etl_spark.queries.backtest import _state_map_df
+    from pipeline_mf_etl_spark.streaming import enriched_side_rollup
+
+    dim = _state_map_df(spark)
+    streamed = sorted(
+        map(tuple, _run_stream(spark, lambda ev: enriched_side_rollup(ev, dim)).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            enriched_side_rollup(load_table(spark, SF_SMOKE, "events"), dim).collect(),
+        )
+    )
+    assert streamed == batch
+    assert len(batch) > 0
+    # every mapped side appears (the dim actually enriched the stream)
+    sides = {r[1] for r in batch}
+    assert {-1, 0, 1} <= sides
