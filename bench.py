@@ -69,11 +69,12 @@ def main() -> None:
     # JIT surface — warm it so e1 measures the scoring plan, not codegen
     _force(specs["e1_ann_bruteforce"].spark(spark, "/root/testdata/sf0.001"))
 
-    # Two timed executions per query, keep the MIN (timeit-style): on a
-    # shared box single-shot numbers swing ±20% with unrelated load; the
-    # min is the cleanest estimate of the plan's actual cost. Disclosed
-    # in the output ("runs"/"agg") so rounds are compared knowingly.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # Three timed executions per query, keep the MIN (timeit-style): on
+    # a shared box single-shot numbers swing ±30% with unrelated load;
+    # the min is the cleanest estimate of the plan's actual cost.
+    # Disclosed in the output ("runs"/"agg") so rounds are compared
+    # knowingly.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     total = 0.0
     for name in HEADLINE:
         spec = specs.get(name)
