@@ -44,13 +44,10 @@ _SAMPLE_SALT = "ml-export:"
 
 def _hash_unit(col) -> F.Column:
     """Deterministic [0, 1) fold of md5(salt || id) — engine-agnostic,
-    order-independent (same idiom as o4b_hash_sample / o9)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(_SAMPLE_SALT), col.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
-    return (h % 1000000) / 1000000.0
+    order-independent (shared ``md5_unit`` idiom)."""
+    from pipeline_mf_etl_spark.operators.dedupe import md5_unit
+
+    return md5_unit(col, _SAMPLE_SALT)
 
 
 def build_ml_dataset(

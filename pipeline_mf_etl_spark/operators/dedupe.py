@@ -39,6 +39,17 @@ def md5_int64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def md5_unit(col: Column, salt: str = "") -> Column:
+    """Deterministic [0, 1) fold of md5(salt || col) — the engine-agnostic
+    Bernoulli-sampling key (stable under repartitioning, reproducible on
+    any engine). Single source for the idiom used by o9/o10/o4b-style
+    hash sampling and the ML-dataset split; DuckDB oracles reconstruct
+    the identical arithmetic via the strpos/list_reduce fold (see
+    queries/corpus.py)."""
+    keyed = F.concat(F.lit(salt), col.cast("string")) if salt else col.cast("string")
+    return (md5_int64(keyed) % 1_000_000) / 1_000_000.0
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical text form for exact dedupe: lower, strip punctuation,
     collapse whitespace."""

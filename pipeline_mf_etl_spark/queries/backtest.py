@@ -596,16 +596,18 @@ def b15_equity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     under = F.col("drawdown") < 0
-    runs = dd.withColumn(
-        "grp", F.col("rn") - F.row_number().over(Window.partitionBy(under).orderBy("rn"))
-    ).withColumn("under", under)
-    max_dd_days = (
-        runs.filter("under")
-        .groupBy("grp")
-        .count()
-        .agg(F.coalesce(F.max("count"), F.lit(0)).alias("max_dd_days"))
-    )
-    agg = dd.agg(
+    # run length attached per-row (count over the island) so ONE final
+    # aggregate covers both the summary stats and the longest underwater
+    # run — a separate max-run branch would re-execute the whole
+    # uncached trade/equity lineage a second time
+    runs = dd.withColumns(
+        {
+            "under": under,
+            "grp": F.col("rn")
+            - F.row_number().over(Window.partitionBy(under).orderBy("rn")),
+        }
+    ).withColumn("run_len", F.count("*").over(Window.partitionBy("under", "grp")))
+    agg = runs.agg(
         F.count("*").alias("n_days"),
         F.min("exit_day").alias("d0"),
         F.max("exit_day").alias("d1"),
@@ -613,10 +615,13 @@ def b15_equity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("drawdown"), 6).alias("max_drawdown"),
         F.stddev_pop("day_ret").alias("vol_raw"),
         F.avg("day_ret").alias("mean_raw"),
+        F.coalesce(
+            F.max(F.when(F.col("under"), F.col("run_len"))), F.lit(0)
+        ).alias("max_dd_days"),
     )
     vol_r = F.round(F.col("vol_raw"), 6)
     years_inv = 365.25 / F.greatest(F.datediff("d1", "d0"), F.lit(1))
-    return agg.crossJoin(max_dd_days).select(
+    return agg.select(
         F.col("n_days").cast("long").alias("n_days"),
         F.round(F.col("equity_end") - 1, 6).alias("cumulative_return"),
         "max_drawdown",

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pipeline_mf_etl_spark.operators.dedupe import md5_unit
 from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import load_table
 
@@ -114,15 +115,10 @@ def o9_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism as o4b_hash_sample). Output: per-stratum admitted counts
     + id range."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
     rate = F.when(F.col("lang") == "en", 0.25).otherwise(0.75)
-    kept = docs.select("doc_id", "lang", h.alias("h"), rate.alias("rate")).filter(
-        (F.col("h") % 1000000) / 1000000.0 < F.col("rate")
-    )
+    kept = docs.select(
+        "doc_id", "lang", md5_unit(F.col("doc_id"), "strat:").alias("u"), rate.alias("rate")
+    ).filter(F.col("u") < F.col("rate"))
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_sampled"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
@@ -138,11 +134,11 @@ _MIX_TOK_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 @query(
     "o10_token_budget_mix",
-    oracle=r"""
+    oracle=f"""
     WITH tok AS (
         SELECT doc_id, lang,
                CAST(LEN(regexp_extract_all(LOWER(text),
-                   '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+                   '{_MIX_TOK_RE}')) AS BIGINT) AS n_tokens
         FROM documents
     ), tot AS (
         SELECT lang, SUM(n_tokens) AS lang_tokens FROM tok GROUP BY lang
@@ -152,7 +148,8 @@ _MIX_TOK_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
         SELECT lang,
                CASE WHEN lang_tokens = 0 THEN 1.0
                     ELSE LEAST(1.0,
-                        (0.5 * total_tokens / n_langs) / lang_tokens) END AS rate
+                        ({_MIX_BUDGET!r} * total_tokens / n_langs) / lang_tokens) END
+                   AS rate
         FROM tot CROSS JOIN gl
     ), keyed AS (
         SELECT t.lang, t.n_tokens, r.rate,
@@ -203,20 +200,14 @@ def o10_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(
             F.least(
                 F.lit(1.0),
-                (F.lit(0.5) * F.col("total_tokens") / F.col("n_langs"))
+                (F.lit(_MIX_BUDGET) * F.col("total_tokens") / F.col("n_langs"))
                 / F.col("lang_tokens"),
             )
         )
         .alias("rate"),
     )
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
-    admitted = (
-        tok.join(F.broadcast(rates), "lang")
-        .filter((h % 1000000) / 1000000.0 < F.col("rate"))
+    admitted = tok.join(F.broadcast(rates), "lang").filter(
+        md5_unit(F.col("doc_id"), "mix:") < F.col("rate")
     )
     return admitted.groupBy("lang", "rate").agg(
         F.count("*").alias("n_docs_admitted"),

@@ -479,12 +479,16 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributed Viterbi/posterior decode (reference research_hmm/
 # sequence_builder.py:25-108, hmm_model.py:29-98, decode.py:57-157).
 # ---------------------------------------------------------------------------
-# Memo of (applicationId, sf_dir) -> export path. The value is the PATH,
-# not the DataFrame: a cached frame pins the file listing it was created
-# with, so any rewrite of the export (e.g. another harness process)
-# would break collects with FILE_NOT_EXIST; re-reading on every hit
-# stays robust while still skipping the expensive fit + decode + write.
-_HMM_EXPORT_CACHE: dict[tuple[str, str], str] = {}
+# Memo of (applicationId, export tag) -> (producing sf_dir, path). The
+# value holds the PATH, not the DataFrame: a cached frame pins the file
+# listing it was created with, so any rewrite of the export (e.g.
+# another harness process) would break collects with FILE_NOT_EXIST;
+# re-reading on every hit stays robust while still skipping the
+# expensive fit + decode + write. Keyed by the same basename tag the
+# on-disk path uses — two sf_dirs sharing a basename share one export
+# slot, so a hit is honored only when the producing sf_dir matches
+# (otherwise the export is rebuilt, never cross-read).
+_HMM_EXPORT_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 
 
 def hmm_decoded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,9 +501,13 @@ def hmm_decoded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit + decode + export once — the result is deterministic, so the
     second call would recompute identical rows; freshness is unaffected
     (the export was written by THIS process either way)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _HMM_EXPORT_CACHE:
-        return spark.read.parquet(_HMM_EXPORT_CACHE[key])
+    import os as _os
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    key = (spark.sparkContext.applicationId, tag)
+    hit = _HMM_EXPORT_CACHE.get(key)
+    if hit is not None and hit[0] == sf_dir:
+        return spark.read.parquet(hit[1])
     import numpy as np
     from pyspark.sql import Window
 
@@ -547,12 +555,9 @@ def hmm_decoded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "m10_decoded",
     )
-    import os
-
     from pipeline_mf_etl_spark.queries.export import _EXPORT_ROOT
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    _HMM_EXPORT_CACHE[key] = os.path.join(_EXPORT_ROOT, tag, "m10_decoded")
+    _HMM_EXPORT_CACHE[key] = (sf_dir, _os.path.join(_EXPORT_ROOT, tag, "m10_decoded"))
     return out
 
 

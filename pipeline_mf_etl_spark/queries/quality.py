@@ -255,10 +255,10 @@ def p4_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def o4b_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-agnostic deterministic ~10% Bernoulli sample via md5 fold (O4)."""
+    from pipeline_mf_etl_spark.operators.dedupe import md5_int64
+
     ev = load_table(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = md5_int64(F.col("event_id").cast("string"))
     return (
         ev.filter(h % 10 == 0)
         .groupBy("event_type")

@@ -21,8 +21,11 @@ collapse: trh/trl use prev-close only and the first bar defines
 ``prev_close = close`` (tr = 0) instead of the reference's leading-NaN
 row — documented proxy deviation, applied identically on both engines.
 
-Spark-first shape: the four RMAs are ONE mapInPandas pass
-(``ewm_smooth_many``) over series-partitioned data; everything else is
+Spark-first shape: the four RMAs AND every per-series sequential
+column are ONE mapInPandas island (``_panel_frame``) over
+series-partitioned data — a widened inline variant of the
+``ewm_smooth_many`` library operator (tests assert the two stay
+bit-identical on the smoothing step); everything downstream is
 window/CASE algebra that Catalyst pipelines into the same single
 shuffle. The DuckDB oracles reuse the block-rescaled exact EWM
 expansion from ``queries/flow.py`` (naive closed forms overflow double
@@ -223,9 +226,12 @@ def _panel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         close, vol = pdf["close"], pdf["volume"]
         prev_raw = g["close"].shift(1)
         prev = prev_raw.fillna(close)
-        hi, lo = np.maximum(close, prev), np.minimum(close, prev)
+        # fmax/fmin ignore NaN exactly as DuckDB GREATEST/LEAST ignore
+        # NULL, so a NULL-valued bar yields tr = 0 on both engines
+        # (np.maximum would propagate NaN -> SQL NULL and hash-diverge)
+        hi, lo = np.fmax(close, prev), np.fmin(close, prev)
         tr = hi - lo
-        core = (2.0 * close - hi - lo) / np.maximum(tr, _EPS)
+        core = (2.0 * close - hi - lo) / np.fmax(tr, _EPS)
         pdf["prev_close"] = prev
         pdf["tr"] = tr
         pdf["adv"] = core * vol
@@ -243,8 +249,8 @@ def _panel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         # np.round on the binary double == Spark HALF_UP / DuckDB ROUND
         # here: k·10⁻⁶ midpoints are never exactly representable, so the
         # half-even tiebreak can't fire; + 0.0 clears -0.0.
-        pdf["tmf_raw"] = np.round(sm["num_t"] / np.maximum(sm["den_t"], _EPS), 6) + 0.0
-        pdf["tti_raw"] = np.round(sm["num_u"] / np.maximum(sm["den_u"], _EPS), 6) + 0.0
+        pdf["tmf_raw"] = np.round(sm["num_t"] / np.fmax(sm["den_t"], _EPS), 6) + 0.0
+        pdf["tti_raw"] = np.round(sm["num_u"] / np.fmax(sm["den_u"], _EPS), 6) + 0.0
         g = pdf.groupby(["user_id"], sort=True)
         lag1_t, lag5_t = g["tmf_raw"].shift(1), g["tmf_raw"].shift(5)
         lag1_u, lag5_u = g["tti_raw"].shift(1), g["tti_raw"].shift(5)
