@@ -91,10 +91,10 @@ def d1_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + banded LSH near-dup detection (16 slots, 4 bands), with exact
 # Jaccard verification on candidates only — the sub-quadratic scale path.
 # ---------------------------------------------------------------------------
-@query(
-    "d2_minhash_lsh",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
+# The full MinHash→LSH→verify chain as a reusable CTE block: d2 emits
+# the verified pairs directly; d6 builds duplicate groups on top of the
+# SAME pair definition (one source of truth for the dedup semantics).
+_D2_CHAIN = f"""{_SHINGLES_CTE},
     hashes AS (
         SELECT doc_id, {_FOLD.format(x="shingle")} % 2147483647 AS h
         FROM sh
@@ -123,29 +123,43 @@ def d1_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sh sa ON sa.doc_id = c.a
         JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
         GROUP BY c.a, c.b
-    )
-    SELECT i.a, i.b,
-           ROUND(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sizes za ON za.doc_id = i.a
-    JOIN sizes zb ON zb.doc_id = i.b
-    WHERE i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter) >= 0.5
+    ),
+    verified AS (
+        SELECT i.a, i.b,
+               ROUND(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.a
+        JOIN sizes zb ON zb.doc_id = i.b
+        WHERE i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter) >= 0.5
+    )"""
+
+
+def _verified_pairs(docs: DataFrame) -> DataFrame:
+    """Verified near-dup pairs (a, b, jaccard >= 0.5) — the Spark twin
+    of the ``verified`` CTE in ``_D2_CHAIN``, shared by d2 (pair
+    emission) and d6 (group formation + canonical selection).
+
+    The shingle set feeds three consumers (signatures, sizes, exact
+    verification) — persist it so the tokenize/explode runs once, not
+    once per plan branch (at scale this is the difference between one
+    corpus scan and four)."""
+    sh = exploded_shingles(docs, "doc_id", "text", n=3).persist()
+    sig = minhash_signatures(sh, "doc_id", k=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4)
+    return jaccard_on_pairs(cand, sh, "doc_id").filter(F.col("jaccard") >= 0.5)
+
+
+@query(
+    "d2_minhash_lsh",
+    oracle=f"""
+    WITH {_D2_CHAIN}
+    SELECT a, b, jaccard FROM verified
     """,
 )
 def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures → banded LSH buckets → verified near-dup pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    # the shingle set feeds three consumers (signatures, sizes, exact
-    # verification) — persist it so the tokenize/explode runs once, not
-    # once per plan branch (at scale this is the difference between one
-    # corpus scan and four).
-    sh = exploded_shingles(docs, "doc_id", "text", n=3).persist()
-    sig = minhash_signatures(sh, "doc_id", k=16)
-    cand = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4)
-    verified = jaccard_on_pairs(cand, sh, "doc_id")
-    return verified.filter(F.col("jaccard") >= 0.5).select(
-        "a", "b", _r(F.col("jaccard")).alias("jaccard")
-    )
+    return _verified_pairs(docs).select("a", "b", _r(F.col("jaccard")).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -265,4 +279,111 @@ def d5_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("vec_id"),
         F.col("component").alias("group_id"),
         F.count("*").over(w).alias("group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D6: canonical-document selection — the retention step a training-data
+# pipeline runs AFTER near-dup detection: form duplicate clusters from
+# the verified MinHash pairs (d2's exact pair definition), score every
+# clustered doc with the t2 quality model, and keep the best-quality doc
+# per cluster (quality desc, doc_id asc tiebreak). The reference keeps
+# first-by-id (cleaning.py keep="first"); keeping best-by-quality is the
+# corpus-curation upgrade an LLM pipeline wants.
+# ---------------------------------------------------------------------------
+@query(
+    "d6_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE {_D2_CHAIN},
+    edges AS (
+        SELECT a AS u, b AS w FROM verified UNION SELECT b, a FROM verified
+    ), reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.w
+    ), comp AS (
+        SELECT u AS doc_id, MIN(r) AS group_id FROM reach GROUP BY u
+    ), qtok AS (
+        SELECT doc_id, {_TOKS} AS toks,
+               LENGTH(text) AS n_chars_raw,
+               LENGTH(text) - LENGTH(regexp_replace(text,
+                   '[.,;:!?''"()\\[\\]-]', '', 'g')) AS n_punct
+        FROM documents
+    ), qual AS (
+        SELECT doc_id,
+               ROUND(0.5 * LEAST(len(toks) / 50.0, 1.0)
+                 + 0.25 * (1.0 - LEAST((CASE WHEN n_chars_raw > 0
+                       THEN n_punct * 1.0 / n_chars_raw ELSE 0.0 END) * 5.0, 1.0))
+                 + 0.25 * (CASE WHEN len(toks) > 0 AND
+                       list_sum(list_transform(toks, t -> LENGTH(t))) * 1.0
+                           / len(toks) BETWEEN 3.0 AND 8.0
+                       THEN 1.0 ELSE 0.5 END), 6) AS q
+        FROM qtok
+    ), ranked AS (
+        SELECT c.doc_id, c.group_id, qual.q,
+               ROW_NUMBER() OVER (PARTITION BY c.group_id
+                                  ORDER BY qual.q DESC, c.doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY c.group_id) AS group_size
+        FROM comp c JOIN qual USING (doc_id)
+    )
+    SELECT group_id,
+           CAST(group_size AS BIGINT) AS group_size,
+           doc_id AS canonical_doc_id,
+           q AS canonical_quality,
+           CAST(group_size - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rk = 1
+    """,
+)
+def d6_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-quality canonical document per near-dup cluster: verified
+    MinHash pairs (``_verified_pairs``) → connected components →
+    per-cluster arg-max on the 6-dp-rounded t2 quality score (tiebreak
+    doc_id asc, so both engines pick identical winners).
+
+    Scale shape: the pair graph and CC shuffle on doc id only; the
+    quality score is a single projection over the corpus joined to the
+    (much smaller) clustered-doc set — quality is computed AFTER the
+    join so un-clustered docs never pay the scoring regexes. Rounding
+    BEFORE ranking makes the ordering ulp-stable across engines."""
+    from pyspark.sql import Window
+
+    from pipeline_mf_etl_spark.operators.dedupe import connected_components, tokens
+    from pipeline_mf_etl_spark.operators.text import (
+        mean_token_len,
+        punct_ratio,
+        quality_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _verified_pairs(docs).select("a", "b")
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )
+    clustered = cc.join(docs.select("doc_id", "text"), "doc_id")
+    t = clustered.select(
+        "doc_id", "group_id", "text", tokens(F.col("text")).alias("toks")
+    )
+    q = _r(
+        quality_score(
+            token_count(F.col("toks")),
+            punct_ratio(F.col("text")),
+            mean_token_len(F.col("toks")),
+        )
+    )
+    wg = Window.partitionBy("group_id")
+    ranked = t.select("doc_id", "group_id", q.alias("q")).withColumns(
+        {
+            "rk": F.row_number().over(
+                Window.partitionBy("group_id").orderBy(F.desc("q"), F.asc("doc_id"))
+            ),
+            "group_size": F.count("*").over(wg),
+        }
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "group_id",
+        "group_size",
+        F.col("doc_id").alias("canonical_doc_id"),
+        F.col("q").alias("canonical_quality"),
+        (F.col("group_size") - 1).alias("n_dropped"),
     )

@@ -30,11 +30,11 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # correctness harness certifies the first 50 registered queries. Round-4
 # rotation: round 3 certified the quality/windows/relational families
 # plus the priority set (all green), so those register LAST; the filler
-# slots after _PRIORITY re-certify validation, backtest, and d1-d3 (last
+# slots after _PRIORITY re-certify validation, backtest, and d1/d2 (last
 # green row round 2). Deliberately OUTSIDE the round-4 window (positions
-# 51-54, all round-2 green on code unchanged since): d4_ngram_jaccard,
-# w3_ewm_wilder, f1_flow_states, f2_flow_activity — rotate those in
-# first next round.
+# 51+, all round-2 green on code unchanged since): m16_event_study,
+# m21_walkforward, d3_simhash, d4_ngram_jaccard, w3_ewm_wilder,
+# f1_flow_states, f2_flow_activity — rotate those in first next round.
 # NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
 # so keep backtest ahead of viewer in this list (otherwise backtest's
 # queries register mid-viewer-import and the fill order shifts).
@@ -105,6 +105,11 @@ _PRIORITY = (
     "m10_hmm_states",
     # r4-new: portfolio summary over the shared equity curve
     "b15_equity_summary",
+    # r4-new: stream-static broadcast enrichment, landed after the
+    # window was first pinned — never certified, so it takes the slot
+    # of m16_event_study (green r2, code unchanged since; rotate m16
+    # back in next round alongside m21)
+    "st6_stream_enrich",
     # Explicit window tail (positions 33-50): the validation/backtest/
     # dedup families whose last green row is round 2 — several were
     # touched again this round (b4 gate refactor, b8 equity-curve
@@ -112,7 +117,6 @@ _PRIORITY = (
     # they must recertify. m21_walkforward (green r2, untouched since)
     # yields its slot to the new o10 mixing query — rotate m21 back in
     # next round.
-    "m16_event_study",
     "m18_hardening_policy",
     "m17_frobenius_stability",
     "b2_state_eligibility",

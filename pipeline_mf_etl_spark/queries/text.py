@@ -391,3 +391,89 @@ def t8_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("overlap_share"),
         (share >= _T8_THR).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T9: corpus-trained character-trigram LM score — the CCNet-style
+# quality-filter signal: documents whose character statistics diverge
+# from the corpus (boilerplate, code dumps, mojibake) score low mean
+# log-probability and high OOV share. The "model" is the corpus's own
+# top-K trigram table, so no external LM is needed.
+# ---------------------------------------------------------------------------
+_T9_VOCAB = 5000
+
+
+@query(
+    "t9_trigram_lm",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+        FROM documents
+    ), tri AS (
+        SELECT doc_id, substr(norm, i, 3) AS tri
+        FROM norm, UNNEST(range(1, greatest(len(norm) - 1, 1))) AS t(i)
+        WHERE len(norm) >= 3
+    ), cnt AS (
+        SELECT tri, COUNT(*) AS c FROM tri GROUP BY tri
+    ), gl AS (
+        SELECT SUM(c) AS total FROM cnt
+    ), vocab AS (
+        SELECT tri, LN((c * 1.0) / total) AS lp
+        FROM cnt CROSS JOIN gl
+        ORDER BY c DESC, tri ASC LIMIT {_T9_VOCAB}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(AVG(COALESCE(v.lp, LN(0.5 / gl.total))), 6) AS mean_logprob,
+           ROUND(SUM(CASE WHEN v.lp IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS oov_share
+    FROM tri t
+    LEFT JOIN vocab v USING (tri)
+    CROSS JOIN gl
+    GROUP BY t.doc_id
+    """,
+)
+def t9_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-trigram LM score trained on the corpus itself:
+    mean ln-probability of the doc's trigrams under the corpus top-5000
+    trigram table (unseen trigrams back off to a 0.5-count floor) plus
+    the out-of-vocab share. Docs shorter than 3 normalized chars emit no
+    trigrams and are absent, identically on both engines.
+
+    Scale shape: trigram expansion is a JVM-side transform+explode (no
+    Python); the model is ONE groupBy(trigram) with map-side partial
+    aggregation, and the top-K vocab + one-row total are broadcast back,
+    so scoring is a map-only join + one groupBy(doc_id). Nothing driver-
+    side, nothing quadratic; the vocab cap keeps the broadcast constant
+    as the corpus grows."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id", F.regexp_replace(F.lower("text"), r"\s+", " ").alias("norm")
+    )
+    tri = norm.filter(F.length("norm") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))")
+        ).alias("tri"),
+    )
+    cnt = tri.groupBy("tri").agg(F.count("*").alias("c"))
+    gl = cnt.agg(F.sum("c").alias("total"))
+    vocab = (
+        cnt.crossJoin(F.broadcast(gl))
+        .orderBy(F.desc("c"), F.asc("tri"))
+        .limit(_T9_VOCAB)
+        .select("tri", F.log((F.col("c") * 1.0) / F.col("total")).alias("lp"))
+    )
+    floor = F.log(F.lit(0.5) / F.col("total"))
+    return (
+        tri.join(F.broadcast(vocab), "tri", "left")
+        .crossJoin(F.broadcast(gl))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg(F.coalesce(F.col("lp"), floor)), 6).alias("mean_logprob"),
+            F.round(
+                F.sum(F.when(F.col("lp").isNull(), 1).otherwise(0)) * 1.0 / F.count("*"), 6
+            ).alias("oov_share"),
+        )
+    )

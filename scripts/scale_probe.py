@@ -57,6 +57,11 @@ PROBE = (
     "t2_quality_score",
     "e2_ann_bucketed",
     "e4_ann_ivf",
+    # round-4 late additions: the trigram-LM scorer (explode + broadcast
+    # model) and the canonical-doc retention step (MinHash pairs → CC →
+    # quality arg-max; rounds scale with cluster diameter, not corpus)
+    "t9_trigram_lm",
+    "d6_canonical_docs",
 )
 
 

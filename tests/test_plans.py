@@ -235,3 +235,20 @@ def test_wav_decode_map_only(spark):
     map-only pipeline: zero shuffles end to end."""
     plan = _plan(spark, "mm4_wav_decode")
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_trigram_lm_broadcast_model(spark):
+    """t9's scoring join must broadcast the capped vocab/total tables —
+    a sort-merge join there would co-shuffle the full trigram stream
+    against a 5000-row model. The only hash exchanges allowed are the
+    model-count groupBy and the final per-doc groupBy."""
+    plan = _plan(spark, "t9_trigram_lm")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_canonical_docs_no_cartesian(spark):
+    """d6's quality scoring joins the corpus to the clustered-doc set on
+    doc_id — no cartesian product anywhere in the plan."""
+    plan = _plan(spark, "d6_canonical_docs")
+    assert "CartesianProduct" not in plan, plan
