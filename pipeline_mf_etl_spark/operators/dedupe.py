@@ -347,3 +347,49 @@ def connected_components(
             "iteration budget; raise max_iter"
         )
     return labels
+
+
+def minhash_band_buckets_rowwise(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band, band_hash) LSH bucket rows computed ENTIRELY per-row
+    with array higher-order functions — no per-doc aggregation, so the
+    same expression is legal on a streaming DataFrame (stream-static
+    LSH lookup of new docs against a static corpus index), where the
+    groupBy-based ``minhash_signatures`` path cannot run in append mode.
+
+    Arithmetic is bit-identical to ``minhash_signatures`` +
+    ``lsh_candidate_pairs``: one md5 per shingle, k affine mixes
+    ``(a_i·h + b_i) mod P``, band hash = md5 of the comma-joined slot
+    minima — equivalence is asserted by
+    tests/test_operators.py::test_rowwise_buckets_match_grouped.
+
+    Docs with no shingles (under 3 tokens) emit no rows, same as the
+    exploded path. Tokens and base hashes are materialized in their own
+    projection stages (see ``exploded_shingles`` for why inlining the
+    regex pipeline into per-shingle lambdas is O(tokens·shingles))."""
+    rows_per_band = k // bands
+    t = df.select("*", tokens(F.col(text_col)).alias("__toks"))
+    h = F.transform(
+        _ngram_join(F.col("__toks"), 3),
+        lambda s: F.pmod(md5_int64(s), F.lit(_FOLD_PRIME)),
+    )
+    hashed = t.select("*", h.alias("__h")).filter(F.size("__h") > 0).drop("__toks")
+    def _mix(a: int, b: int):
+        # closure factory: F.transform infers lambda arity via signature
+        # inspection, so default-arg capture would read as a 3-arg lambda
+        return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_FOLD_PRIME))
+
+    mins = [
+        F.array_min(F.transform(F.col("__h"), _mix(a, b))).cast("string")
+        for a, b in (minhash_slot_params(i) for i in range(k))
+    ]
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat_ws(",", *mins[b * rows_per_band : (b + 1) * rows_per_band]))
+            for b in range(bands)
+        ]
+    )
+    return hashed.select(
+        id_col, F.posexplode(band_hashes).alias("band", "band_hash")
+    )

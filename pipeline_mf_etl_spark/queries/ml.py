@@ -592,3 +592,114 @@ def m10_hmm_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hmm_state")
     )
+
+
+# ---------------------------------------------------------------------------
+# M7b: EXACT pairwise silhouette on a capped sample — the reference-
+# parity twin of m7 (research/clustering.py:31-71 subsamples sklearn
+# silhouette to <=200k rows; m7's full-corpus simplified silhouette is
+# the scale path, this is the fidelity path).
+# ---------------------------------------------------------------------------
+_M7B_CAP = 1000
+
+
+def _m7b_oracle() -> str:
+    return f"""
+    WITH s AS (
+        SELECT vec_id, prediction, CAST(v AS DOUBLE[]) AS v
+        FROM read_parquet('{_export_glob("m7b_sample")}')
+    ), pairs AS (
+        SELECT p.vec_id AS i, p.prediction AS ci, q.prediction AS cj,
+               SQRT(GREATEST(ROUND(
+                   list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, q.v)
+                   + list_dot_product(q.v, q.v), 9), 0)) AS dist
+        FROM s p JOIN s q ON p.vec_id <> q.vec_id
+    ), md AS (
+        SELECT i, ci, cj, ROUND(AVG(dist), 6) AS mdist
+        FROM pairs GROUP BY i, ci, cj
+    ), pp AS (
+        SELECT i, ci,
+               MAX(CASE WHEN ci = cj THEN mdist END) AS a,
+               MIN(CASE WHEN ci <> cj THEN mdist END) AS b
+        FROM md GROUP BY i, ci
+    ), sil AS (
+        SELECT ci, CASE WHEN a IS NULL OR b IS NULL OR GREATEST(a, b) = 0
+                        THEN 0.0 ELSE (b - a) / GREATEST(a, b) END AS s
+        FROM pp
+    )
+    SELECT ci AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ROUND(AVG(s), 6) AS mean_silhouette
+    FROM sil GROUP BY ci
+    """
+
+
+@query("m7b_silhouette_sampled", eager=True, oracle=_m7b_oracle())
+def m7b_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact silhouette per cluster on a deterministic hash-sample of
+    <=1000 clustered embeddings: a(i) = mean distance to same-cluster
+    sampled points, b(i) = min over other clusters of the mean
+    distance, s = (b-a)/max(a,b) (singletons score 0, the sklearn
+    convention). EAGER: fits KMeans, hash-samples, persists the sample
+    (``m7b_sample``) so both engines run the identical pairwise set.
+
+    Scale shape: the reference's exact silhouette is O(S²) by
+    definition — the cap bounds S, the sampled side is broadcast, and
+    distances use the rounded dot-product identity (same 9-dp guard as
+    m7) so accumulation ulps cannot flip the nearest-other-cluster
+    choice. The full-corpus scale path remains m7."""
+    from pipeline_mf_etl_spark.operators.dedupe import md5_unit
+
+    pred = _kmeans_predictions(spark, sf_dir).select(
+        "vec_id", F.col("prediction").cast("int").alias("prediction")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = pred.join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "vec_id",
+    )
+    n = pts.count()
+    rate = min(1.0, _M7B_CAP / max(n, 1))
+    samp = _export(
+        pts.filter(md5_unit(F.col("vec_id"), "sil:") < F.lit(rate)),
+        spark,
+        sf_dir,
+        "m7b_sample",
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    p = samp.select(
+        F.col("vec_id").alias("i"), F.col("prediction").alias("ci"), F.col("v").alias("vi")
+    )
+    q = samp.select(
+        F.col("vec_id").alias("j"), F.col("prediction").alias("cj"), F.col("v").alias("vj")
+    )
+    d2 = F.round(
+        _dot(F.col("vi"), F.col("vi"))
+        - 2 * _dot(F.col("vi"), F.col("vj"))
+        + _dot(F.col("vj"), F.col("vj")),
+        9,
+    )
+    pairs = (
+        p.crossJoin(F.broadcast(q))
+        .filter(F.col("i") != F.col("j"))
+        .select("i", "ci", "cj", F.sqrt(F.greatest(d2, F.lit(0.0))).alias("dist"))
+    )
+    md = pairs.groupBy("i", "ci", "cj").agg(F.round(F.avg("dist"), 6).alias("mdist"))
+    pp = md.groupBy("i", "ci").agg(
+        F.max(F.when(F.col("ci") == F.col("cj"), F.col("mdist"))).alias("a"),
+        F.min(F.when(F.col("ci") != F.col("cj"), F.col("mdist"))).alias("b"),
+    )
+    s = F.when(
+        F.col("a").isNull() | F.col("b").isNull()
+        | (F.greatest("a", "b") == 0),
+        F.lit(0.0),
+    ).otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+    return pp.groupBy(F.col("ci").alias("cluster")).agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.avg(s), 6).alias("mean_silhouette"),
+    )

@@ -205,3 +205,36 @@ def st6_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched_side_rollup(
         load_table(spark, sf_dir, "events"), _state_map_df(spark)
     )
+
+
+def _st7_oracle() -> str:
+    from pipeline_mf_etl_spark.queries.dedup import _D2_CHAIN
+
+    # only the bands CTE of the shared chain is referenced — the
+    # candidate pair definition is d2's, restated as DIRECTED pairs
+    # (each incoming doc lists its corpus matches)
+    return f"""
+    WITH {_D2_CHAIN}
+    SELECT DISTINCT l.doc_id AS doc_id, r.doc_id AS matched_doc_id
+    FROM bands l
+    JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+                AND l.doc_id <> r.doc_id
+    """
+
+
+@query("st7_stream_neardup", oracle=_st7_oracle())
+def st7_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online near-dup admission check: incoming documents are MinHash-
+    banded PER-ROW (array HOFs, no aggregation — append-mode legal) and
+    looked up against the static corpus LSH bucket index; output is the
+    directed (doc_id, matched_doc_id) candidate pairs. Batch entry runs
+    the corpus against its own index; tests/test_streaming.py drives
+    the identical transform through readStream(availableNow) and
+    asserts the same pair set. The rowwise banding is asserted
+    bit-identical to the d2 groupBy path in tests/test_operators.py."""
+    from pipeline_mf_etl_spark.operators.dedupe import minhash_band_buckets_rowwise
+    from pipeline_mf_etl_spark.streaming import neardup_candidates_against_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = minhash_band_buckets_rowwise(docs, "doc_id", "text")
+    return neardup_candidates_against_index(docs, index)

@@ -3,7 +3,9 @@ from pipeline_mf_etl_spark.streaming.transforms import (
     enriched_side_rollup,
     dedupe_events_batch,
     dedupe_events_stream,
+    neardup_candidates_against_index,
     normalize_event_ts,
+    read_documents_stream,
     read_events_stream,
     replayed_events,
     session_rollup,
@@ -15,7 +17,9 @@ __all__ = [
     "enriched_side_rollup",
     "dedupe_events_batch",
     "dedupe_events_stream",
+    "neardup_candidates_against_index",
     "normalize_event_ts",
+    "read_documents_stream",
     "read_events_stream",
     "replayed_events",
     "session_rollup",

@@ -209,3 +209,44 @@ def dedupe_events_stream(events: DataFrame, within: str = "1 day") -> DataFrame:
     return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the incoming-doc
+    firehose of a corpus-ingest pipeline (same checkpointed file
+    tracking as :func:`read_events_stream`)."""
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def neardup_candidates_against_index(docs: DataFrame, index: DataFrame) -> DataFrame:
+    """Stream-static LSH lookup: every incoming document is MinHash-
+    banded PER-ROW (``minhash_band_buckets_rowwise`` — array HOFs only,
+    no per-doc aggregation, so the expression is append-mode legal) and
+    equi-joined against a STATIC corpus bucket index; output is the
+    distinct (doc_id, matched_doc_id) near-dup candidate pairs.
+
+    This is the online admission check of a training-corpus pipeline:
+    "is this new document a near-duplicate of anything we already
+    hold?" — answered per micro-batch with the index broadcast to every
+    task, no stream-side state beyond the dropDuplicates buffer (bounded
+    by each micro-batch's collision count; exact verification of the
+    candidates happens downstream in batch, same as d2).
+    """
+    from pipeline_mf_etl_spark.operators.dedupe import minhash_band_buckets_rowwise
+
+    b = minhash_band_buckets_rowwise(docs, "doc_id", "text")
+    idx = index.select(F.col("doc_id").alias("matched_doc_id"), "band", "band_hash")
+    return (
+        b.join(F.broadcast(idx), ["band", "band_hash"])
+        .filter(F.col("doc_id") != F.col("matched_doc_id"))
+        .select("doc_id", "matched_doc_id")
+        .dropDuplicates(["doc_id", "matched_doc_id"])
+    )

@@ -321,3 +321,44 @@ def test_ewm_smooth_many_matches_single(spark):
         (~(F.col("a").eqNullSafe(F.col("a1")))) | (~(F.col("b").eqNullSafe(F.col("b1"))))
     )
     assert bad.count() == 0
+
+
+def test_rowwise_buckets_match_grouped(spark):
+    """minhash_band_buckets_rowwise must emit bit-identical
+    (doc_id, band, band_hash) rows to the exploded-shingle groupBy path
+    (minhash_signatures + the band construction of lsh_candidate_pairs)
+    — the rowwise form exists ONLY so the same arithmetic runs on a
+    stream; any divergence would silently split the LSH bucket space."""
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.operators.dedupe import (
+        exploded_shingles,
+        minhash_band_buckets_rowwise,
+        minhash_signatures,
+    )
+    from pipeline_mf_etl_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig = minhash_signatures(exploded_shingles(docs, "doc_id", "text", n=3), "doc_id")
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh_{i}").cast("string") for i in range(b * 4, (b + 1) * 4)]
+                )
+            )
+            for b in range(4)
+        ]
+    )
+    grouped = set(
+        map(
+            tuple,
+            sig.select("doc_id", F.posexplode(band_hashes).alias("band", "band_hash")).collect(),
+        )
+    )
+    rowwise = set(
+        map(tuple, minhash_band_buckets_rowwise(docs, "doc_id", "text").collect())
+    )
+    assert grouped == rowwise
+    assert len(rowwise) > 0

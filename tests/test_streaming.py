@@ -181,3 +181,40 @@ def test_stream_static_enrich_matches_batch(spark):
     # every mapped side appears (the dim actually enriched the stream)
     sides = {r[1] for r in batch}
     assert {-1, 0, 1} <= sides
+
+
+def test_stream_neardup_matches_batch(spark):
+    """st7: the per-row LSH lookup against the static corpus index must
+    emit the identical candidate-pair set through readStream (append
+    mode — no aggregation anywhere in the stream plan) and batch."""
+    import uuid
+
+    from pipeline_mf_etl_spark.operators.dedupe import minhash_band_buckets_rowwise
+    from pipeline_mf_etl_spark.streaming import (
+        neardup_candidates_against_index,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    index = minhash_band_buckets_rowwise(docs, "doc_id", "text")
+
+    stream = read_documents_stream(spark, SF_SMOKE)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        neardup_candidates_against_index(stream, index)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+    batch = sorted(
+        map(tuple, neardup_candidates_against_index(docs, index).collect())
+    )
+    assert streamed == batch
+    assert len(batch) > 0
+    # directed pairs: every (a, b) has its (b, a) mirror
+    s = set(streamed)
+    assert all((b, a) in s for a, b in s)
