@@ -83,6 +83,14 @@ def _build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--symbols-limit", type=int, default=None)
     exp.add_argument("--sample-frac", type=float, default=None)
 
+    cur = sub.add_parser(
+        "curate",
+        help="run the corpus-curation waterfall (dedupe + quality filters)",
+    )
+    cur.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    cur.add_argument("--output", required=True)
+    cur.add_argument("--quality-min", type=float, default=None)
+
     q = sub.add_parser("query", help="run one registered query and print rows")
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -206,6 +214,21 @@ def main(argv: list[str] | None = None) -> int:
 
         summary = run_sanity(spark, args.sf_dir, args.output, args.layer)
         json.dump(summary, sys.stdout, indent=2, sort_keys=True, default=str)
+        print()
+        return 0
+
+    if args.cmd == "curate":
+        from pipeline_mf_etl_spark.corpus_curate import DEFAULT_QUALITY_MIN, curate_corpus
+
+        report = curate_corpus(
+            spark,
+            args.sf_dir,
+            args.output,
+            quality_min=(
+                args.quality_min if args.quality_min is not None else DEFAULT_QUALITY_MIN
+            ),
+        )
+        json.dump(report, sys.stdout, indent=2, sort_keys=True)
         print()
         return 0
 

@@ -1,0 +1,153 @@
+"""End-to-end corpus curation: the cleaning pipeline a training-data
+team runs before a corpus is mixed and tokenized, composed from the
+engine's certified per-signal queries:
+
+1. exact dedupe       — d1 semantics: one keeper (min doc_id) per
+                        normalized-token-set fingerprint
+2. near-dup retention — d6 semantics: MinHash pairs → connected
+                        components → keep the best-quality doc per
+                        cluster, drop the rest
+3. quality floor      — t2 composite score >= ``quality_min``
+4. repetition filter  — t7 ``is_repetitive`` flag
+5. contamination gate — t8 ``contaminated`` flag (benchmark 13-gram
+                        overlap)
+
+Every drop is attributed to the FIRST stage that rejects it (waterfall
+counts, one aggregation), survivors are written as ``documents.parquet``
+so the curated output is itself a valid corpus directory — re-running
+curation on its own output must drop ~nothing (idempotence is a pytest,
+tests/test_curate.py).
+
+Scale shape: each signal is the already-plan-audited query (one scan +
+bounded shuffles each); the decision frame joins them on doc_id — five
+hash joins on the id — and ONE aggregation produces the whole report.
+Nothing here adds a driver loop or a new shuffle beyond the signal
+queries themselves.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.sources.readers import load_table
+from pipeline_mf_etl_spark.sources.writers import write_json_artifact
+
+DEFAULT_QUALITY_MIN = 0.5
+
+
+def _exact_dup_drops(docs: DataFrame) -> DataFrame:
+    """doc_ids that are NOT the min-id keeper of their d1 fingerprint."""
+    from pipeline_mf_etl_spark.operators.dedupe import tokens
+
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+        ).alias("fingerprint"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    return fp.withColumn("keeper", keeper).filter(
+        F.col("doc_id") != F.col("keeper")
+    ).select("doc_id")
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    output_path: str,
+    quality_min: float = DEFAULT_QUALITY_MIN,
+) -> dict[str, Any]:
+    """Run the five-stage curation waterfall over ``sf_dir``'s documents
+    table; write survivors to ``<output_path>/documents.parquet`` and a
+    JSON report to ``<output_path>/curation_report.json``. Returns the
+    report dict."""
+    from pipeline_mf_etl_spark.queries.dedup import ranked_neardup_clusters
+    from pipeline_mf_etl_spark.queries.text import (
+        t2_quality_score,
+        t7_repetition_quality,
+        t8_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    flag = F.lit(True).alias("f")
+    exact = _exact_dup_drops(docs).select("doc_id", flag.alias("f_exact"))
+    # near-dup clustering runs on the EXACT-stage survivors: a cluster
+    # whose best-quality canonical happens to be an exact-dup non-keeper
+    # (same token set, different raw text) would otherwise lose every
+    # member — the canonical to the exact stage, the rest to this one
+    after_exact = docs.join(exact.select("doc_id"), "doc_id", "left_anti")
+    near = (
+        ranked_neardup_clusters(after_exact)
+        .filter(F.col("rk") > 1)
+        .select("doc_id", flag.alias("f_near"))
+    )
+    lowq = (
+        t2_quality_score(spark, sf_dir)
+        .filter(F.col("quality") < quality_min)
+        .select("doc_id", flag.alias("f_quality"))
+    )
+    rep = (
+        t7_repetition_quality(spark, sf_dir)
+        .filter(F.col("is_repetitive"))
+        .select("doc_id", flag.alias("f_repetition"))
+    )
+    contam = (
+        t8_contamination(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select("doc_id", flag.alias("f_contamination"))
+    )
+
+    stages = ("exact", "near", "quality", "repetition", "contamination")
+    decision = docs.select("doc_id")
+    for name, frame in zip(stages, (exact, near, lowq, rep, contam)):
+        decision = decision.join(frame, "doc_id", "left")
+    decision = decision.select(
+        "doc_id",
+        *[F.coalesce(f"f_{n}", F.lit(False)).alias(f"f_{n}") for n in stages],
+    ).persist()
+
+    # waterfall attribution: each doc counts against the FIRST stage
+    # that drops it — one aggregation for the whole report
+    not_before = F.lit(True)
+    attributed = []
+    for n in stages:
+        attributed.append(
+            F.sum((not_before & F.col(f"f_{n}")).cast("long")).alias(f"dropped_{n}")
+        )
+        not_before = not_before & ~F.col(f"f_{n}")
+    counts = decision.agg(
+        F.count("*").alias("n_input"),
+        *attributed,
+        F.sum(not_before.cast("long")).alias("n_retained"),
+    ).collect()[0]
+
+    any_drop = F.col("f_exact")
+    for n in stages[1:]:
+        any_drop = any_drop | F.col(f"f_{n}")
+    survivor_ids = decision.filter(~any_drop).select("doc_id")
+    curated = docs.join(survivor_ids, "doc_id")
+    out_parquet = os.path.join(output_path, "documents.parquet")
+    curated.write.mode("overwrite").parquet(out_parquet)
+    decision.unpersist()
+
+    report: dict[str, Any] = {
+        "input_dir": sf_dir,
+        "output": out_parquet,
+        "quality_min": quality_min,
+        "n_input": int(counts["n_input"]),
+        "n_retained": int(counts["n_retained"]),
+        "retention_rate": round(
+            counts["n_retained"] / counts["n_input"], 6
+        )
+        if counts["n_input"]
+        else None,
+        "dropped": {n: int(counts[f"dropped_{n}"]) for n in stages},
+    }
+    assert report["n_retained"] + sum(report["dropped"].values()) == report["n_input"]
+    write_json_artifact(report, os.path.join(output_path, "curation_report.json"))
+    return report

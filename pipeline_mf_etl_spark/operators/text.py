@@ -83,3 +83,23 @@ def quality_score(n_tok: Column, p_ratio: Column, mtl: Column) -> Column:
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(text))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins of the quality helpers above — the ORACLE-side single
+# source for the punctuation class and the composite-score formula
+# (queries/text.py t2 and queries/dedup.py d6 both compose these; a
+# weight/band/regex change edits exactly one place per engine).
+# ---------------------------------------------------------------------------
+PUNCT_SQL_LITERAL = "'[.,;:!?''\"()\\[\\]-]'"
+
+
+def quality_sql(n_tokens: str, p_ratio: str, mtl: str) -> str:
+    """The quality_score() formula as a DuckDB expression over the given
+    sub-expressions (same weights/bands as the Spark column above)."""
+    return (
+        f"0.5 * LEAST({n_tokens} / 50.0, 1.0)"
+        f" + 0.25 * (1.0 - LEAST({p_ratio} * 5.0, 1.0))"
+        f" + 0.25 * (CASE WHEN COALESCE({mtl}, 0.0) BETWEEN 3.0 AND 8.0"
+        f" THEN 1.0 ELSE 0.5 END)"
+    )

@@ -134,7 +134,7 @@ _D2_CHAIN = f"""{_SHINGLES_CTE},
     )"""
 
 
-def _verified_pairs(docs: DataFrame) -> DataFrame:
+def _verified_pairs(docs: DataFrame, return_shingles: bool = False):
     """Verified near-dup pairs (a, b, jaccard >= 0.5) — the Spark twin
     of the ``verified`` CTE in ``_D2_CHAIN``, shared by d2 (pair
     emission) and d6 (group formation + canonical selection).
@@ -142,11 +142,15 @@ def _verified_pairs(docs: DataFrame) -> DataFrame:
     The shingle set feeds three consumers (signatures, sizes, exact
     verification) — persist it so the tokenize/explode runs once, not
     once per plan branch (at scale this is the difference between one
-    corpus scan and four)."""
+    corpus scan and four). ``return_shingles=True`` also hands the
+    persisted shingle frame to the caller, so an EAGER consumer that
+    materializes the pairs (d6's connected components) can unpersist
+    the cache instead of leaving it pinned for the session."""
     sh = exploded_shingles(docs, "doc_id", "text", n=3).persist()
     sig = minhash_signatures(sh, "doc_id", k=16)
     cand = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4)
-    return jaccard_on_pairs(cand, sh, "doc_id").filter(F.col("jaccard") >= 0.5)
+    verified = jaccard_on_pairs(cand, sh, "doc_id").filter(F.col("jaccard") >= 0.5)
+    return (verified, sh) if return_shingles else verified
 
 
 @query(
@@ -241,6 +245,7 @@ _NEARDUP_COS = (
 
 @query(
     "d5_neardup_groups",
+    eager=True,
     oracle=f"""
     WITH RECURSIVE v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -265,7 +270,8 @@ _NEARDUP_COS = (
 def d5_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment for every embedding that has at least
     one near-dup (cosine >= 0.4): LSH candidate pairs → connected
-    components → (vec_id, group_id, group_size)."""
+    components → (vec_id, group_id, group_size). EAGER: connected
+    components iterates join+count rounds at build time."""
     from pipeline_mf_etl_spark.operators.dedupe import connected_components
     from pipeline_mf_etl_spark.operators.similarity import embedding_near_dup_pairs
     from pyspark.sql import Window
@@ -291,9 +297,18 @@ def d5_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first-by-id (cleaning.py keep="first"); keeping best-by-quality is the
 # corpus-curation upgrade an LLM pipeline wants.
 # ---------------------------------------------------------------------------
-@query(
-    "d6_canonical_docs",
-    oracle=f"""
+def _d6_oracle() -> str:
+    from pipeline_mf_etl_spark.operators.text import PUNCT_SQL_LITERAL, quality_sql
+
+    # quality formula + punct class come from the SAME shared fragments
+    # as t2_quality_score's oracle — one source per engine
+    q_expr = quality_sql(
+        "len(toks)",
+        "(CASE WHEN n_chars_raw > 0 THEN n_punct * 1.0 / n_chars_raw ELSE 0.0 END)",
+        "(CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks,"
+        " t -> LENGTH(t))) * 1.0 / len(toks) END)",
+    )
+    return f"""
     WITH RECURSIVE {_D2_CHAIN},
     edges AS (
         SELECT a AS u, b AS w FROM verified UNION SELECT b, a FROM verified
@@ -307,17 +322,10 @@ def d5_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, {_TOKS} AS toks,
                LENGTH(text) AS n_chars_raw,
                LENGTH(text) - LENGTH(regexp_replace(text,
-                   '[.,;:!?''"()\\[\\]-]', '', 'g')) AS n_punct
+                   {PUNCT_SQL_LITERAL}, '', 'g')) AS n_punct
         FROM documents
     ), qual AS (
-        SELECT doc_id,
-               ROUND(0.5 * LEAST(len(toks) / 50.0, 1.0)
-                 + 0.25 * (1.0 - LEAST((CASE WHEN n_chars_raw > 0
-                       THEN n_punct * 1.0 / n_chars_raw ELSE 0.0 END) * 5.0, 1.0))
-                 + 0.25 * (CASE WHEN len(toks) > 0 AND
-                       list_sum(list_transform(toks, t -> LENGTH(t))) * 1.0
-                           / len(toks) BETWEEN 3.0 AND 8.0
-                       THEN 1.0 ELSE 0.5 END), 6) AS q
+        SELECT doc_id, ROUND({q_expr}, 6) AS q
         FROM qtok
     ), ranked AS (
         SELECT c.doc_id, c.group_id, qual.q,
@@ -332,13 +340,16 @@ def d5_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
            q AS canonical_quality,
            CAST(group_size - 1 AS BIGINT) AS n_dropped
     FROM ranked WHERE rk = 1
-    """,
-)
-def d6_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Best-quality canonical document per near-dup cluster: verified
-    MinHash pairs (``_verified_pairs``) → connected components →
-    per-cluster arg-max on the 6-dp-rounded t2 quality score (tiebreak
-    doc_id asc, so both engines pick identical winners).
+    """
+
+
+def ranked_neardup_clusters(docs: DataFrame) -> DataFrame:
+    """(doc_id, group_id, q, rk, group_size) for every document in a
+    near-dup cluster: verified MinHash pairs → connected components →
+    within-cluster quality rank (6-dp t2 quality desc, doc_id asc).
+    rk = 1 is the canonical keeper. Shared by d6 (canonical emission)
+    and the corpus-curation pipeline (rk > 1 = the drop set). EAGER:
+    connected components iterates join+count rounds when called.
 
     Scale shape: the pair graph and CC shuffle on doc id only; the
     quality score is a single projection over the corpus joined to the
@@ -355,11 +366,14 @@ def d6_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _verified_pairs(docs).select("a", "b")
-    cc = connected_components(pairs).select(
+    verified, sh = _verified_pairs(docs, return_shingles=True)
+    cc = connected_components(verified.select("a", "b")).select(
         F.col("node").alias("doc_id"), F.col("component").alias("group_id")
     )
+    # CC's localCheckpoints materialized the pair graph — the shingle
+    # cache has no further reader, so free it rather than pinning a
+    # full-corpus explode in executor memory for the session
+    sh.unpersist()
     clustered = cc.join(docs.select("doc_id", "text"), "doc_id")
     t = clustered.select(
         "doc_id", "group_id", "text", tokens(F.col("text")).alias("toks")
@@ -372,7 +386,7 @@ def d6_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wg = Window.partitionBy("group_id")
-    ranked = t.select("doc_id", "group_id", q.alias("q")).withColumns(
+    return t.select("doc_id", "group_id", q.alias("q")).withColumns(
         {
             "rk": F.row_number().over(
                 Window.partitionBy("group_id").orderBy(F.desc("q"), F.asc("doc_id"))
@@ -380,6 +394,16 @@ def d6_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_size": F.count("*").over(wg),
         }
     )
+
+
+@query("d6_canonical_docs", eager=True, oracle=_d6_oracle())
+def d6_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-quality canonical document per near-dup cluster — the rk=1
+    row of ``ranked_neardup_clusters`` per group (see that helper for
+    semantics and scale shape). EAGER: connected components iterates
+    join+count rounds at build time."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = ranked_neardup_clusters(docs)
     return ranked.filter(F.col("rk") == 1).select(
         "group_id",
         "group_size",

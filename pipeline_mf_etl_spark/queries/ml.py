@@ -637,9 +637,12 @@ def _m7b_oracle() -> str:
 @query("m7b_silhouette_sampled", eager=True, oracle=_m7b_oracle())
 def m7b_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact silhouette per cluster on a deterministic hash-sample of
-    <=1000 clustered embeddings: a(i) = mean distance to same-cluster
-    sampled points, b(i) = min over other clusters of the mean
-    distance, s = (b-a)/max(a,b) (singletons score 0, the sklearn
+    AT MOST 1000 clustered embeddings — the cap is enforced by RANK
+    (the 1000 smallest md5-fold keys, vec_id tiebreak), not by a
+    Bernoulli rate whose binomial draw would routinely overshoot the
+    bound the O(S²) pairwise stage depends on. a(i) = mean distance to
+    same-cluster sampled points, b(i) = min over other clusters of the
+    mean distance, s = (b-a)/max(a,b) (singletons score 0, the sklearn
     convention). EAGER: fits KMeans, hash-samples, persists the sample
     (``m7b_sample``) so both engines run the identical pairwise set.
 
@@ -658,10 +661,11 @@ def m7b_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
         "vec_id",
     )
-    n = pts.count()
-    rate = min(1.0, _M7B_CAP / max(n, 1))
     samp = _export(
-        pts.filter(md5_unit(F.col("vec_id"), "sil:") < F.lit(rate)),
+        pts.withColumn("__u", md5_unit(F.col("vec_id"), "sil:"))
+        .orderBy("__u", "vec_id")
+        .limit(_M7B_CAP)
+        .drop("__u"),
         spark,
         sf_dir,
         "m7b_sample",

@@ -225,16 +225,19 @@ def _st7_oracle() -> str:
 @query("st7_stream_neardup", oracle=_st7_oracle())
 def st7_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online near-dup admission check: incoming documents are MinHash-
-    banded PER-ROW (array HOFs, no aggregation — append-mode legal) and
-    looked up against the static corpus LSH bucket index; output is the
-    directed (doc_id, matched_doc_id) candidate pairs. Batch entry runs
-    the corpus against its own index; tests/test_streaming.py drives
-    the identical transform through readStream(availableNow) and
-    asserts the same pair set. The rowwise banding is asserted
-    bit-identical to the d2 groupBy path in tests/test_operators.py."""
+    banded PER-ROW (array HOFs, no aggregation — the stream plan is
+    fully stateless) and looked up against the static corpus LSH bucket
+    index; output is the directed (doc_id, matched_doc_id) candidate
+    pairs. The stream transform emits one hit per colliding band; the
+    distinct here is the batch-side dedupe the downstream verifier
+    applies either way. Batch entry runs the corpus against its own
+    index; tests/test_streaming.py drives the identical transform
+    through readStream(availableNow) and asserts the same pair set.
+    The rowwise banding is asserted bit-identical to the d2 groupBy
+    path in tests/test_operators.py."""
     from pipeline_mf_etl_spark.operators.dedupe import minhash_band_buckets_rowwise
     from pipeline_mf_etl_spark.streaming import neardup_candidates_against_index
 
     docs = load_table(spark, sf_dir, "documents")
     index = minhash_band_buckets_rowwise(docs, "doc_id", "text")
-    return neardup_candidates_against_index(docs, index)
+    return neardup_candidates_against_index(docs, index).distinct()

@@ -10,10 +10,12 @@ from pyspark.sql import functions as F
 
 from pipeline_mf_etl_spark.operators.text import (
     LANG_STOPWORDS,
+    PUNCT_SQL_LITERAL,
     doc_fingerprint,
     mean_token_len,
     punct_ratio,
     quality_score,
+    quality_sql,
     stopword_share,
     token_count,
 )
@@ -110,7 +112,7 @@ def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
         SELECT doc_id, text, {_TOKS} AS toks,
                LENGTH(text) AS n_chars_raw,
-               LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\\[\\]-]', '', 'g')) AS n_punct
+               LENGTH(text) - LENGTH(regexp_replace(text, {PUNCT_SQL_LITERAL}, '', 'g')) AS n_punct
         FROM documents
     ),
     feat AS (
@@ -124,10 +126,7 @@ def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
            ROUND(p_ratio, 6) AS punct_ratio,
            ROUND(mtl, 6) AS mean_token_len,
-           ROUND(0.5 * LEAST(n_tokens / 50.0, 1.0)
-                 + 0.25 * (1.0 - LEAST(p_ratio * 5.0, 1.0))
-                 + 0.25 * (CASE WHEN COALESCE(mtl, 0.0) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END),
-                 6) AS quality
+           ROUND({quality_sql("n_tokens", "p_ratio", "mtl")}, 6) AS quality
     FROM feat
     """,
 )
@@ -445,7 +444,11 @@ def t9_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, and the top-K vocab + one-row total are broadcast back,
     so scoring is a map-only join + one groupBy(doc_id). Nothing driver-
     side, nothing quadratic; the vocab cap keeps the broadcast constant
-    as the corpus grows."""
+    as the corpus grows. The trigram stream feeds three consumers
+    (counts, total, scoring) and the count table two (vocab, total) —
+    both are persisted so the corpus scan+explode and the model groupBy
+    each run ONCE per action, not once per plan branch (same convention
+    as the shingle cache in queries/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
     norm = docs.select(
         "doc_id", F.regexp_replace(F.lower("text"), r"\s+", " ").alias("norm")
@@ -455,8 +458,8 @@ def t9_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))")
         ).alias("tri"),
-    )
-    cnt = tri.groupBy("tri").agg(F.count("*").alias("c"))
+    ).persist()
+    cnt = tri.groupBy("tri").agg(F.count("*").alias("c")).persist()
     gl = cnt.agg(F.sum("c").alias("total"))
     vocab = (
         cnt.crossJoin(F.broadcast(gl))

@@ -231,22 +231,27 @@ def neardup_candidates_against_index(docs: DataFrame, index: DataFrame) -> DataF
     banded PER-ROW (``minhash_band_buckets_rowwise`` — array HOFs only,
     no per-doc aggregation, so the expression is append-mode legal) and
     equi-joined against a STATIC corpus bucket index; output is the
-    distinct (doc_id, matched_doc_id) near-dup candidate pairs.
+    (doc_id, matched_doc_id) near-dup candidate hits, one row per
+    COLLIDING BAND (a pair agreeing in several bands appears up to
+    ``bands`` times — the downstream batch verifier dedupes, same place
+    exact Jaccard runs, so the stream plan itself is fully STATELESS:
+    documents carry no event time to watermark on, and an in-stream
+    dropDuplicates would grow its state store with every distinct pair
+    forever).
 
     This is the online admission check of a training-corpus pipeline:
     "is this new document a near-duplicate of anything we already
-    hold?" — answered per micro-batch with the index broadcast to every
-    task, no stream-side state beyond the dropDuplicates buffer (bounded
-    by each micro-batch's collision count; exact verification of the
-    candidates happens downstream in batch, same as d2).
+    hold?". The index join is a plain equi-join — Spark broadcasts the
+    static side when it fits and shuffle-joins otherwise; forcing a
+    broadcast would ship an O(corpus) bucket table (4 rows/doc) to
+    every task at 100 TB scale.
     """
     from pipeline_mf_etl_spark.operators.dedupe import minhash_band_buckets_rowwise
 
     b = minhash_band_buckets_rowwise(docs, "doc_id", "text")
     idx = index.select(F.col("doc_id").alias("matched_doc_id"), "band", "band_hash")
     return (
-        b.join(F.broadcast(idx), ["band", "band_hash"])
+        b.join(idx, ["band", "band_hash"])
         .filter(F.col("doc_id") != F.col("matched_doc_id"))
         .select("doc_id", "matched_doc_id")
-        .dropDuplicates(["doc_id", "matched_doc_id"])
     )
