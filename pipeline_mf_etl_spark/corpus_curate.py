@@ -38,6 +38,10 @@ from pipeline_mf_etl_spark.sources.writers import write_json_artifact
 
 DEFAULT_QUALITY_MIN = 0.5
 
+#: waterfall stage order — drops are attributed to the FIRST rejecting
+#: stage, in this order (shared by curate_corpus and the d7 query)
+STAGES = ("exact", "near", "quality", "repetition", "contamination")
+
 
 def _exact_dup_drops(docs: DataFrame) -> DataFrame:
     """doc_ids that are NOT the min-id keeper of their d1 fingerprint."""
@@ -55,16 +59,13 @@ def _exact_dup_drops(docs: DataFrame) -> DataFrame:
     ).select("doc_id")
 
 
-def curate_corpus(
-    spark: SparkSession,
-    sf_dir: str,
-    output_path: str,
-    quality_min: float = DEFAULT_QUALITY_MIN,
-) -> dict[str, Any]:
-    """Run the five-stage curation waterfall over ``sf_dir``'s documents
-    table; write survivors to ``<output_path>/documents.parquet`` and a
-    JSON report to ``<output_path>/curation_report.json``. Returns the
-    report dict."""
+def curation_decision_frame(
+    spark: SparkSession, sf_dir: str, quality_min: float = DEFAULT_QUALITY_MIN
+) -> DataFrame:
+    """Per-document drop flags (doc_id, f_exact, f_near, f_quality,
+    f_repetition, f_contamination) — one row per input doc, each flag
+    from its certified signal query. EAGER: the near stage's connected
+    components iterates join+count rounds when called."""
     from pipeline_mf_etl_spark.queries.dedup import ranked_neardup_clusters
     from pipeline_mf_etl_spark.queries.text import (
         t2_quality_score,
@@ -102,29 +103,46 @@ def curate_corpus(
         .select("doc_id", flag.alias("f_contamination"))
     )
 
-    stages = ("exact", "near", "quality", "repetition", "contamination")
     decision = docs.select("doc_id")
-    for name, frame in zip(stages, (exact, near, lowq, rep, contam)):
+    for name, frame in zip(STAGES, (exact, near, lowq, rep, contam)):
         decision = decision.join(frame, "doc_id", "left")
-    decision = decision.select(
+    return decision.select(
         "doc_id",
-        *[F.coalesce(f"f_{n}", F.lit(False)).alias(f"f_{n}") for n in stages],
-    ).persist()
+        *[F.coalesce(f"f_{n}", F.lit(False)).alias(f"f_{n}") for n in STAGES],
+    )
 
-    # waterfall attribution: each doc counts against the FIRST stage
-    # that drops it — one aggregation for the whole report
+
+def waterfall_counts(decision: DataFrame) -> DataFrame:
+    """ONE aggregation over the decision frame: input count, per-stage
+    first-rejecting-stage drop attribution, survivor count."""
     not_before = F.lit(True)
     attributed = []
-    for n in stages:
+    for n in STAGES:
         attributed.append(
             F.sum((not_before & F.col(f"f_{n}")).cast("long")).alias(f"dropped_{n}")
         )
         not_before = not_before & ~F.col(f"f_{n}")
-    counts = decision.agg(
+    return decision.agg(
         F.count("*").alias("n_input"),
         *attributed,
         F.sum(not_before.cast("long")).alias("n_retained"),
-    ).collect()[0]
+    )
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    output_path: str,
+    quality_min: float = DEFAULT_QUALITY_MIN,
+) -> dict[str, Any]:
+    """Run the five-stage curation waterfall over ``sf_dir``'s documents
+    table; write survivors to ``<output_path>/documents.parquet`` and a
+    JSON report to ``<output_path>/curation_report.json``. Returns the
+    report dict."""
+    docs = load_table(spark, sf_dir, "documents")
+    stages = STAGES
+    decision = curation_decision_frame(spark, sf_dir, quality_min).persist()
+    counts = waterfall_counts(decision).collect()[0]
 
     any_drop = F.col("f_exact")
     for n in stages[1:]:

@@ -40,15 +40,21 @@ _TOKS = (
     " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '), t -> t <> '')"
 )
 
-# distinct word-3-gram shingles CTE (doc_id, shingle)
-_SHINGLES_CTE = f"""
-    tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# distinct word-3-gram shingles CTE (doc_id, shingle). ``src`` is the
+# relation shingled — "documents" for the standalone dedup queries, a
+# prior CTE (e.g. exact-dedupe survivors) for the d7 waterfall.
+def shingles_cte(src: str = "documents") -> str:
+    return f"""
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
     sh AS (
         SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
         FROM tok, UNNEST(range(1, greatest(len(toks) - 1, 1))) AS t(i)
         WHERE len(toks) >= 3
     )
 """
+
+
+_SHINGLES_CTE = shingles_cte()
 
 
 def _r(col, n=6):
@@ -93,8 +99,10 @@ def d1_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # The full MinHash→LSH→verify chain as a reusable CTE block: d2 emits
 # the verified pairs directly; d6 builds duplicate groups on top of the
-# SAME pair definition (one source of truth for the dedup semantics).
-_D2_CHAIN = f"""{_SHINGLES_CTE},
+# SAME pair definition, and d7 re-runs it over the exact-dedupe
+# survivors (one source of truth for the dedup semantics).
+def d2_chain(src: str = "documents") -> str:
+    return f"""{shingles_cte(src)},
     hashes AS (
         SELECT doc_id, {_FOLD.format(x="shingle")} % 2147483647 AS h
         FROM sh
@@ -132,6 +140,9 @@ _D2_CHAIN = f"""{_SHINGLES_CTE},
         JOIN sizes zb ON zb.doc_id = i.b
         WHERE i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter) >= 0.5
     )"""
+
+
+_D2_CHAIN = d2_chain()
 
 
 def _verified_pairs(docs: DataFrame, return_shingles: bool = False):
@@ -297,7 +308,12 @@ def d5_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first-by-id (cleaning.py keep="first"); keeping best-by-quality is the
 # corpus-curation upgrade an LLM pipeline wants.
 # ---------------------------------------------------------------------------
-def _d6_oracle() -> str:
+def neardup_ranked_ctes(doc_src: str = "documents") -> str:
+    """edges/reach/comp/qtok/qual/ranked CTEs over an in-scope
+    ``verified`` pair CTE (from ``d2_chain``): recursive transitive
+    closure → component ids → within-cluster quality rank. ``doc_src``
+    is where quality is scored (a superset of the clustered docs).
+    Shared by the d6 oracle and the d7 waterfall oracle."""
     from pipeline_mf_etl_spark.operators.text import PUNCT_SQL_LITERAL, quality_sql
 
     # quality formula + punct class come from the SAME shared fragments
@@ -309,7 +325,6 @@ def _d6_oracle() -> str:
         " t -> LENGTH(t))) * 1.0 / len(toks) END)",
     )
     return f"""
-    WITH RECURSIVE {_D2_CHAIN},
     edges AS (
         SELECT a AS u, b AS w FROM verified UNION SELECT b, a FROM verified
     ), reach AS (
@@ -323,7 +338,7 @@ def _d6_oracle() -> str:
                LENGTH(text) AS n_chars_raw,
                LENGTH(text) - LENGTH(regexp_replace(text,
                    {PUNCT_SQL_LITERAL}, '', 'g')) AS n_punct
-        FROM documents
+        FROM {doc_src}
     ), qual AS (
         SELECT doc_id, ROUND({q_expr}, 6) AS q
         FROM qtok
@@ -333,7 +348,13 @@ def _d6_oracle() -> str:
                                   ORDER BY qual.q DESC, c.doc_id) AS rk,
                COUNT(*) OVER (PARTITION BY c.group_id) AS group_size
         FROM comp c JOIN qual USING (doc_id)
-    )
+    )"""
+
+
+def _d6_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_D2_CHAIN},
+    {neardup_ranked_ctes()}
     SELECT group_id,
            CAST(group_size AS BIGINT) AS group_size,
            doc_id AS canonical_doc_id,

@@ -31,10 +31,13 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # rotation: round 3 certified the quality/windows/relational families
 # plus the priority set (all green), so those register LAST; the filler
 # slots after _PRIORITY re-certify validation, backtest, and d1/d2 (last
-# green row round 2). Deliberately OUTSIDE the round-4 window (positions
-# 51+, all round-2 green on code unchanged since): m16_event_study,
+# green row round 2). OUTSIDE the round-4 window, rotate in first next
+# round: (a) round-2-green-on-unchanged-code backlog — m16_event_study,
 # m21_walkforward, d3_simhash, d4_ngram_jaccard, w3_ewm_wilder,
-# f1_flow_states, f2_flow_activity — rotate those in first next round.
+# f1_flow_states, f2_flow_activity; (b) NEW late-round-4 queries never
+# driver-certified (local parity green) — d6_canonical_docs,
+# t9_trigram_lm, m7b_silhouette_sampled, st7_stream_neardup,
+# d7_curation_waterfall.
 # NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
 # so keep backtest ahead of viewer in this list (otherwise backtest's
 # queries register mid-viewer-import and the fill order shifts).
@@ -54,6 +57,9 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.windows",
     "pipeline_mf_etl_spark.queries.relational",
     "pipeline_mf_etl_spark.queries.stats",
+    # registers LAST (outside the r4 window; certify in r5): imports SQL
+    # fragments from dedup + text, both already loaded by this point
+    "pipeline_mf_etl_spark.queries.curation",
 )
 
 # Explicit front-of-queue names (certification priority within the driver's

@@ -106,9 +106,10 @@ def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Quality scoring: length/punct/token-shape components + composite score.
 # ---------------------------------------------------------------------------
-@query(
-    "t2_quality_score",
-    oracle=f"""
+# The full t2 oracle as an importable constant — the d7 curation-
+# waterfall oracle reuses it verbatim as a subquery (one source of
+# truth for the quality scoring SQL).
+T2_SQL = f"""
     WITH tok AS (
         SELECT doc_id, text, {_TOKS} AS toks,
                LENGTH(text) AS n_chars_raw,
@@ -128,8 +129,10 @@ def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(mtl, 6) AS mean_token_len,
            ROUND({quality_sql("n_tokens", "p_ratio", "mtl")}, 6) AS quality
     FROM feat
-    """,
-)
+    """
+
+
+@query("t2_quality_score", oracle=T2_SQL)
 def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score.
 
@@ -256,9 +259,7 @@ _T7_TBS_THR = 0.08
 _T7_DR_THR = 0.35
 
 
-@query(
-    "t7_repetition_quality",
-    oracle=f"""
+T7_SQL = f"""
     WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     base AS (
         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -281,8 +282,10 @@ _T7_DR_THR = 0.35
            (ROUND(COALESCE(t.tbs, 0.0), 6) > {_T7_TBS_THR}
             OR ROUND(b.dr, 6) < {_T7_DR_THR}) AS is_repetitive
     FROM base b LEFT JOIN top t USING (doc_id)
-    """,
-)
+    """
+
+
+@query("t7_repetition_quality", oracle=T7_SQL)
 def t7_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signals per document: distinct-token ratio and
     the share of the single most frequent word bigram, with the
@@ -334,9 +337,7 @@ def t7_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T8_THR = 0.05
 
 
-@query(
-    "t8_contamination",
-    oracle=f"""
+T8_SQL = f"""
     WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     g AS (
         SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
@@ -356,8 +357,10 @@ _T8_THR = 0.05
            ROUND(n_overlap * 1.0 / n_grams, 6) AS overlap_share,
            ROUND(n_overlap * 1.0 / n_grams, 6) >= {_T8_THR} AS contaminated
     FROM scored
-    """,
-)
+    """
+
+
+@query("t8_contamination", oracle=T8_SQL)
 def t8_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: flag training documents whose
     distinct 3-gram overlap with the benchmark set exceeds the
