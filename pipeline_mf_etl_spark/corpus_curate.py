@@ -45,14 +45,9 @@ STAGES = ("exact", "near", "quality", "repetition", "contamination")
 
 def _exact_dup_drops(docs: DataFrame) -> DataFrame:
     """doc_ids that are NOT the min-id keeper of their d1 fingerprint."""
-    from pipeline_mf_etl_spark.operators.dedupe import tokens
+    from pipeline_mf_etl_spark.operators.dedupe import exact_fingerprint
 
-    fp = docs.select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
-        ).alias("fingerprint"),
-    )
+    fp = docs.select("doc_id", exact_fingerprint(F.col("text")).alias("fingerprint"))
     keeper = F.min("doc_id").over(Window.partitionBy("fingerprint"))
     return fp.withColumn("keeper", keeper).filter(
         F.col("doc_id") != F.col("keeper")
@@ -104,7 +99,7 @@ def curation_decision_frame(
     )
 
     decision = docs.select("doc_id")
-    for name, frame in zip(STAGES, (exact, near, lowq, rep, contam)):
+    for frame in (exact, near, lowq, rep, contam):
         decision = decision.join(frame, "doc_id", "left")
     return decision.select(
         "doc_id",
@@ -118,14 +113,18 @@ def waterfall_counts(decision: DataFrame) -> DataFrame:
     not_before = F.lit(True)
     attributed = []
     for n in STAGES:
+        # coalesce: SUM over zero rows is NULL — an empty corpus must
+        # report zeros, not crash the int() casts in the report
         attributed.append(
-            F.sum((not_before & F.col(f"f_{n}")).cast("long")).alias(f"dropped_{n}")
+            F.coalesce(
+                F.sum((not_before & F.col(f"f_{n}")).cast("long")), F.lit(0)
+            ).alias(f"dropped_{n}")
         )
         not_before = not_before & ~F.col(f"f_{n}")
     return decision.agg(
         F.count("*").alias("n_input"),
         *attributed,
-        F.sum(not_before.cast("long")).alias("n_retained"),
+        F.coalesce(F.sum(not_before.cast("long")), F.lit(0)).alias("n_retained"),
     )
 
 
@@ -140,12 +139,11 @@ def curate_corpus(
     JSON report to ``<output_path>/curation_report.json``. Returns the
     report dict."""
     docs = load_table(spark, sf_dir, "documents")
-    stages = STAGES
     decision = curation_decision_frame(spark, sf_dir, quality_min).persist()
     counts = waterfall_counts(decision).collect()[0]
 
     any_drop = F.col("f_exact")
-    for n in stages[1:]:
+    for n in STAGES[1:]:
         any_drop = any_drop | F.col(f"f_{n}")
     survivor_ids = decision.filter(~any_drop).select("doc_id")
     curated = docs.join(survivor_ids, "doc_id")
@@ -164,7 +162,7 @@ def curate_corpus(
         )
         if counts["n_input"]
         else None,
-        "dropped": {n: int(counts[f"dropped_{n}"]) for n in stages},
+        "dropped": {n: int(counts[f"dropped_{n}"]) for n in STAGES},
     }
     assert report["n_retained"] + sum(report["dropped"].values()) == report["n_input"]
     write_json_artifact(report, os.path.join(output_path, "curation_report.json"))

@@ -63,6 +63,13 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(normalize_text(col), " "), lambda t: t != "")
 
 
+def exact_fingerprint(col: Column) -> Column:
+    """The d1 exact-dedupe fingerprint: md5 over the sorted distinct
+    token set. Single Spark-side source (d1 and the curation waterfall);
+    the oracle twin is ``queries/dedup.py:EXACT_FP_SQL``."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
 def _ngram_join(toks: Column, n: int, distinct: bool = True) -> Column:
     """Word n-grams by zipping n shifted copies of the token array —
     each shingle is built with n-1 string concats instead of an

@@ -19,7 +19,7 @@ from pipeline_mf_etl_spark.queries.registry import query
 def _d7_oracle() -> str:
     from pipeline_mf_etl_spark.corpus_curate import DEFAULT_QUALITY_MIN
     from pipeline_mf_etl_spark.queries.dedup import (
-        _TOKS,
+        EXACT_FP_SQL,
         d2_chain,
         neardup_ranked_ctes,
     )
@@ -36,8 +36,7 @@ def _d7_oracle() -> str:
     return f"""
     WITH RECURSIVE exact_fp AS (
         SELECT doc_id,
-               MIN(doc_id) OVER (PARTITION BY md5(array_to_string(
-                   list_sort(list_distinct({_TOKS})), ' '))) AS keeper
+               MIN(doc_id) OVER (PARTITION BY {EXACT_FP_SQL}) AS keeper
         FROM documents
     ), exact_drop AS (
         SELECT doc_id FROM exact_fp WHERE doc_id <> keeper

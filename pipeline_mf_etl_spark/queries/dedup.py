@@ -61,6 +61,11 @@ def _r(col, n=6):
     return F.round(col, n)
 
 
+# DuckDB twin of operators.dedupe.exact_fingerprint — single SQL-side
+# source for the d1 fingerprint (d1 oracle + d7 waterfall oracle).
+EXACT_FP_SQL = f"md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))"
+
+
 # ---------------------------------------------------------------------------
 # Exact dedupe on canonical token-set fingerprint (hash-groupBy).
 # Catches both byte-identical and bag-of-words-identical duplicates.
@@ -69,8 +74,7 @@ def _r(col, n=6):
     "d1_exact_dedupe",
     oracle=f"""
     WITH fp AS (
-        SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+        SELECT doc_id, {EXACT_FP_SQL} AS fingerprint
         FROM documents
     )
     SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
@@ -79,13 +83,10 @@ def _r(col, n=6):
 )
 def d1_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedupe: md5 over sorted distinct token set, keep min doc_id."""
+    from pipeline_mf_etl_spark.operators.dedupe import exact_fingerprint
+
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))).alias(
-            "fingerprint"
-        ),
-    )
+    fp = docs.select("doc_id", exact_fingerprint(F.col("text")).alias("fingerprint"))
     return (
         fp.groupBy("fingerprint")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))

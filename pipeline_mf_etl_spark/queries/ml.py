@@ -637,10 +637,11 @@ def _m7b_oracle() -> str:
 @query("m7b_silhouette_sampled", eager=True, oracle=_m7b_oracle())
 def m7b_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact silhouette per cluster on a deterministic hash-sample of
-    AT MOST 1000 clustered embeddings — the cap is enforced by RANK
-    (the 1000 smallest md5-fold keys, vec_id tiebreak), not by a
-    Bernoulli rate whose binomial draw would routinely overshoot the
-    bound the O(S²) pairwise stage depends on. a(i) = mean distance to
+    AT MOST 1000 clustered embeddings — the cap is enforced by an
+    ordered LIMIT (exactly the 1000 smallest md5-fold keys under the
+    total order (key, vec_id) — TakeOrderedAndProject, never a global
+    sort), not by a Bernoulli rate whose binomial draw would routinely
+    overshoot the bound the O(S²) pairwise stage depends on. a(i) = mean distance to
     same-cluster sampled points, b(i) = min over other clusters of the
     mean distance, s = (b-a)/max(a,b) (singletons score 0, the sklearn
     convention). EAGER: fits KMeans, hash-samples, persists the sample

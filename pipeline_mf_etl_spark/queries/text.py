@@ -447,11 +447,12 @@ def t9_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, and the top-K vocab + one-row total are broadcast back,
     so scoring is a map-only join + one groupBy(doc_id). Nothing driver-
     side, nothing quadratic; the vocab cap keeps the broadcast constant
-    as the corpus grows. The trigram stream feeds three consumers
-    (counts, total, scoring) and the count table two (vocab, total) —
-    both are persisted so the corpus scan+explode and the model groupBy
-    each run ONCE per action, not once per plan branch (same convention
-    as the shingle cache in queries/dedup.py)."""
+    as the corpus grows. The count table feeds two branches (vocab,
+    total) and is persisted so the model groupBy runs once — it is the
+    SMALL frame (distinct trigrams), so the pinned cache is bounded;
+    the full trigram explode is deliberately NOT cached (a lazy builder
+    has no unpersist point, and pinning a corpus-sized explode per
+    invocation would dwarf the one extra scan it saves)."""
     docs = load_table(spark, sf_dir, "documents")
     norm = docs.select(
         "doc_id", F.regexp_replace(F.lower("text"), r"\s+", " ").alias("norm")
@@ -461,7 +462,7 @@ def t9_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))")
         ).alias("tri"),
-    ).persist()
+    )
     cnt = tri.groupBy("tri").agg(F.count("*").alias("c")).persist()
     gl = cnt.agg(F.sum("c").alias("total"))
     vocab = (

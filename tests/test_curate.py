@@ -58,3 +58,19 @@ def test_curation_is_idempotent(spark, curated, tmp_path):
     assert second["n_input"] == report["n_retained"]
     assert second["n_retained"] == second["n_input"]
     assert all(v == 0 for v in second["dropped"].values())
+
+
+def test_quality_floor_is_live(spark, tmp_path):
+    """The shipped corpora all score >= 0.5, leaving the default
+    quality stage with zero drops — so exercise the floor explicitly
+    with a high threshold: drops must be attributed to the quality
+    stage and every survivor must clear the raised bar (catches a
+    </<= boundary drift or the threshold being plumbed to the wrong
+    stage, which the default-threshold tests cannot)."""
+    from pipeline_mf_etl_spark.queries.text import t2_quality_score
+
+    out = str(tmp_path / "hq")
+    report = curate_corpus(spark, SF_SMOKE, out, quality_min=0.9)
+    assert report["quality_min"] == 0.9
+    assert report["dropped"]["quality"] > 0
+    assert t2_quality_score(spark, out).filter("quality < 0.9").count() == 0
