@@ -394,3 +394,158 @@ def embedding_near_dup_pairs(
         .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN scale path beyond IVF:
+# vectors compress to M sub-space codebook codes (here 64 dims -> 8 bytes,
+# 32x), and queries score candidates with asymmetric distance (ADC): a
+# per-query M x K lookup table of squared sub-distances, summed by code.
+# ---------------------------------------------------------------------------
+def fit_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 8,
+    sample_cap: int = 20_000,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means codebooks (M x K x D/M), fit on the
+    driver over the same deterministic hash-ordered sample contract as
+    :func:`fit_ivf_centroids` (uniform draw, RNG-free, bounded collect;
+    TakeOrderedAndProject keeps the sample pull per-partition top-k).
+    Euclidean metric — PQ quantizes raw coordinates and ADC approximates
+    squared L2. Init is the first ``ksub`` sample sub-vectors."""
+    import numpy as np
+
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    ds = d // m
+    books: list[list[list[float]]] = []
+    for mm in range(m):
+        sub = X[:, mm * ds : (mm + 1) * ds]
+        k = min(ksub, len(sub))
+        C = sub[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                members = sub[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, codes array<int>) — map-only PQ encoding: the codebooks ride
+    to every task inside the Arrow-batched closure (M·K·D/M floats, a
+    few KB) and each batch assigns codes with one vectorized NumPy
+    argmin per subspace. No shuffle, no driver round-trip; the encode
+    stage scales as a pure scan like IVF assignment."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    id_field = vectors.select(id_col).schema.fields[0]
+    schema = StructType(
+        [id_field, StructField("codes", ArrayType(IntegerType(), False), False)]
+    )
+    m = len(codebooks)
+
+    def encode(batches):
+        import numpy as np
+
+        C = [np.asarray(b, dtype=np.float64) for b in codebooks]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            ds = X.shape[1] // m
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for mm in range(m):
+                sub = X[:, mm * ds : (mm + 1) * ds]
+                d2 = ((sub[:, None, :] - C[mm][None, :, :]) ** 2).sum(axis=-1)
+                codes[:, mm] = d2.argmin(axis=1)
+            yield type(pdf)({id_field.name: pdf[id_col], "codes": list(codes.tolist())})
+
+    return vectors.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def pq_luts(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(query_id, luts array<array<double>>) — the per-query ADC lookup
+    tables: luts[m][k] = squared L2 between the query's m-th sub-vector
+    and codebook centroid k. Built on the driver (queries are few by
+    contract); each LUT is M·K doubles."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    C = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(C)
+    rows = queries.select(id_col, vec_col).collect()
+    out = []
+    for r in rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        ds = len(qv) // m
+        luts = [
+            [float(((qv[mm * ds : (mm + 1) * ds] - c) ** 2).sum()) for c in C[mm]]
+            for mm in range(m)
+        ]
+        out.append((r[0], luts))
+    return spark.createDataFrame(out, f"query_id BIGINT, luts ARRAY<ARRAY<DOUBLE>>")
+
+
+def pq_topk(
+    codes: DataFrame,
+    luts: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k per query over the encoded corpus: score = sum over
+    subspaces of luts[m][codes[m]] — a zip_with/aggregate over two small
+    arrays, fully JVM-side; the LUT table is broadcast (rows = queries),
+    so the only shuffle is the final per-query rank, the same
+    one-exchange shape as IVF. Ranking uses the 6-dp-rounded distance
+    with an id tie-break (ascending — smaller ADC is closer)."""
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("luts"), lambda cd, l: F.element_at(l, cd + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(adc, 6).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adc", "rank")
+    )

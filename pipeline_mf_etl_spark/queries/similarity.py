@@ -167,3 +167,58 @@ def e3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning test). Vectors are 64-dim here."""
     v = _vectors(spark, sf_dir)
     return embedding_near_dup_pairs(v, 0.4, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN — the memory-bound scale path: 64-dim vectors
+# compress to 8 one-byte codes (32x), queries score by ADC lookup. The
+# codebook fit is the same driver-side deterministic procedure as IVF,
+# so codes + LUTs are persisted and everything downstream (ADC scoring,
+# ranking, top-k) is oracle-checked.
+# ---------------------------------------------------------------------------
+_PQ_M = 8
+
+
+@query(
+    "e5_ann_pq",
+    eager=True,
+    oracle=f"""
+    WITH c AS (SELECT * FROM read_parquet('{export_glob("e5_codes")}')),
+    q AS (SELECT * FROM read_parquet('{export_glob("e5_luts")}')),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROUND(list_sum(list_transform(range(1, {_PQ_M + 1}),
+                   i -> q.luts[i][c.codes[i] + 1])), 6) AS adc
+        FROM c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc ASC, cand_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, adc, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def e5_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-5 for 8 query vectors: per-subspace k-means codebooks
+    (8 subspaces x 16 centroids, driver fit on the bounded hash
+    sample), map-only Arrow-batched encoding, broadcast per-query LUTs,
+    zip_with/aggregate ADC scoring — one final rank shuffle. Codes and
+    LUTs are persisted so both engines score identical inputs; ranking
+    uses the rounded ADC with an id tie-break. EAGER: fits + encodes +
+    exports at build time."""
+    from pipeline_mf_etl_spark.operators.similarity import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_luts,
+        pq_topk,
+    )
+
+    v = _vectors(spark, sf_dir)
+    books = fit_pq_codebooks(v, m=_PQ_M, ksub=16, iters=8)
+    codes = export_frame(pq_encode(v, books), spark, sf_dir, "e5_codes")
+    luts = export_frame(
+        pq_luts(v.filter(F.col("vec_id") < 8), books), spark, sf_dir, "e5_luts"
+    )
+    return pq_topk(codes, luts, k=5)

@@ -362,3 +362,59 @@ def test_rowwise_buckets_match_grouped(spark):
     )
     assert grouped == rowwise
     assert len(rowwise) > 0
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """PQ/ADC ranking must be a useful approximation of exact L2. On
+    64-d data with concentrated pairwise distances (the hardest case
+    for quantization), exact top-5 recall is not the right bar — the
+    robust property is CONTAINMENT: the ADC top-5 should land in the
+    true top decile of the corpus far above the ~10% chance rate
+    (measured 0.60 at sf0.001; floor 0.35). The per-row ADC score must
+    equal the NumPy-recomputed LUT sum exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.operators.similarity import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_luts,
+        pq_topk,
+    )
+    from pipeline_mf_etl_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    books = fit_pq_codebooks(v, m=8, ksub=16, iters=8)
+    codes = pq_encode(v, books)
+    queries = v.filter(F.col("vec_id") < 8)
+    got = pq_topk(codes, pq_luts(queries, books), k=5).collect()
+
+    X = {r["vec_id"]: np.asarray(r["v"]) for r in v.collect()}
+    code_map = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    C = [np.asarray(b) for b in books]
+    decile = max(5, len(X) // 10)
+    hits = total = 0
+    for r in queries.collect():
+        qid, qv = r["vec_id"], np.asarray(r["v"])
+        exact = sorted(
+            ((float(((qv - x) ** 2).sum()), i) for i, x in X.items() if i != qid)
+        )[:decile]
+        exact_ids = {i for _, i in exact}
+        mine = {row["cand_id"] for row in got if row["query_id"] == qid}
+        assert len(mine) == 5
+        hits += len(mine & exact_ids)
+        total += 5
+        # ADC exactness: the Spark score equals the NumPy LUT sum
+        ds = len(qv) // 8
+        for row in got:
+            if row["query_id"] != qid:
+                continue
+            cd = code_map[row["cand_id"]]
+            adc = sum(
+                float(((qv[m * ds : (m + 1) * ds] - C[m][cd[m]]) ** 2).sum())
+                for m in range(8)
+            )
+            assert abs(row["adc"] - round(adc, 6)) <= 1e-6
+    assert hits / total >= 0.35, f"top-decile containment too low: {hits}/{total}"

@@ -252,3 +252,12 @@ def test_canonical_docs_no_cartesian(spark):
     doc_id — no cartesian product anywhere in the plan."""
     plan = _plan(spark, "d6_canonical_docs")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_scoring_broadcast_no_cartesian(spark):
+    """e5's ADC scoring joins the encoded corpus against the tiny LUT
+    table — the plan must broadcast the LUT side (no CartesianProduct,
+    no SortMergeJoin) and keep exactly one MapInPandas (the encode)."""
+    plan = _plan(spark, "e5_ann_pq")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
