@@ -427,6 +427,13 @@ def fit_pq_codebooks(
         .collect()
     )
     X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    return _subspace_kmeans(X, m, ksub, iters)
+
+
+def _subspace_kmeans(X, m: int, ksub: int, iters: int) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means over a driver-side matrix (shared by
+    the raw-vector and residual codebook fits). Deterministic: init is
+    the first ``ksub`` rows of each subspace."""
     d = X.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     ds = d // m
@@ -444,6 +451,62 @@ def fit_pq_codebooks(
                     C[j] = members.mean(axis=0)
         books.append([[float(x) for x in c] for c in C])
     return books
+
+
+def fit_coarse_centroids_l2(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 8,
+    sample_cap: int = 20_000,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list[list[float]]:
+    """Euclidean Lloyd's coarse centroids for IVF-PQ (the spherical
+    cosine fit of :func:`fit_ivf_centroids` would mismatch the L2
+    residual metric ADC scores in). Same deterministic hash-ordered
+    sample contract; implemented as the m=1 case of the subspace
+    k-means."""
+    import numpy as np
+
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    return _subspace_kmeans(X, 1, n_centroids, iters)[0]
+
+
+def fit_residual_codebooks(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 8,
+    sample_cap: int = 20_000,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list[list[list[float]]]:
+    """IVF-PQ codebooks fit on RESIDUALS (sample vector minus its
+    nearest coarse centroid) — residual magnitudes are what in-list ADC
+    must resolve, so quantizing raw coordinates would waste the code
+    budget on the part the coarse centroid already explains. Same
+    deterministic hash-ordered sample contract as the other fits."""
+    import numpy as np
+
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    CENT = np.asarray(centroids, dtype=np.float64)
+    assign = ((X[:, None, :] - CENT[None, :, :]) ** 2).sum(axis=-1).argmin(axis=1)
+    return _subspace_kmeans(X - CENT[assign], m, ksub, iters)
 
 
 def pq_encode(
@@ -536,6 +599,150 @@ def pq_topk(
     )
     scored = (
         codes.crossJoin(F.broadcast(luts))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(adc, 6).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adc", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the production big-corpus ANN composition: IVF coarse lists
+# bound the search to nprobe inverted lists, PQ codes on the RESIDUAL
+# (vector minus its list centroid) give compact in-list storage, and
+# queries score candidates with a per-(query, probed-list) ADC table
+# built from the query's residual against that list's centroid.
+# ---------------------------------------------------------------------------
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, centroid_id, codes) — map-only: each Arrow batch assigns the
+    nearest coarse centroid (L2) and PQ-encodes the residual. Both the
+    centroid table and the codebooks ride in the closure (KB-scale);
+    no shuffle anywhere."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    id_field = vectors.select(id_col).schema.fields[0]
+    schema = StructType(
+        [
+            id_field,
+            StructField("centroid_id", IntegerType(), False),
+            StructField("codes", ArrayType(IntegerType(), False), False),
+        ]
+    )
+    m = len(codebooks)
+
+    def encode(batches):
+        import numpy as np
+
+        CENT = np.asarray(centroids, dtype=np.float64)
+        C = [np.asarray(b, dtype=np.float64) for b in codebooks]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            d2c = ((X[:, None, :] - CENT[None, :, :]) ** 2).sum(axis=-1)
+            cell = d2c.argmin(axis=1)
+            R = X - CENT[cell]
+            ds = X.shape[1] // m
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for mm in range(m):
+                sub = R[:, mm * ds : (mm + 1) * ds]
+                d2 = ((sub[:, None, :] - C[mm][None, :, :]) ** 2).sum(axis=-1)
+                codes[:, mm] = d2.argmin(axis=1)
+            yield type(pdf)(
+                {
+                    id_field.name: pdf[id_col],
+                    "centroid_id": cell.astype("int32"),
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def ivfpq_query_luts(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(query_id, centroid_id, luts) — one row per probed list: the
+    query's ``nprobe`` nearest coarse lists (L2, centroid-id tiebreak)
+    each carry the ADC table of the query RESIDUAL against that list's
+    centroid. Driver-built (queries are few by contract)."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    CENT = np.asarray(centroids, dtype=np.float64)
+    C = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(C)
+    out = []
+    for r in queries.select(id_col, vec_col).collect():
+        qv = np.asarray(r[1], dtype=np.float64)
+        d2c = ((qv[None, :] - CENT) ** 2).sum(axis=-1)
+        order = sorted(range(len(CENT)), key=lambda i: (d2c[i], i))[:nprobe]
+        ds = len(qv) // m
+        for cell in order:
+            res = qv - CENT[cell]
+            luts = [
+                [
+                    float(((res[mm * ds : (mm + 1) * ds] - c) ** 2).sum())
+                    for c in C[mm]
+                ]
+                for mm in range(m)
+            ]
+            out.append((r[0], int(cell), luts))
+    return spark.createDataFrame(
+        out, "query_id BIGINT, centroid_id INT, luts ARRAY<ARRAY<DOUBLE>>"
+    )
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    luts: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k restricted to the probed lists: an EQUI-join on
+    centroid_id (broadcast LUT side — rows = queries × nprobe) prunes
+    every unprobed candidate before any scoring, then the same
+    zip_with/aggregate ADC sum and one per-query rank shuffle as
+    :func:`pq_topk`. This is the composition that holds at corpus
+    scale: storage is codes-only (32x), and compute per query is
+    |probed lists| · ADC, not corpus-wide."""
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("luts"), lambda cd, l: F.element_at(l, cd + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.join(F.broadcast(luts), "centroid_id")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",

@@ -222,3 +222,59 @@ def e5_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_luts(v.filter(F.col("vec_id") < 8), books), spark, sf_dir, "e5_luts"
     )
     return pq_topk(codes, luts, k=5)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the production big-corpus composition: coarse inverted lists
+# bound the search, PQ-on-residuals gives 32x in-list storage, ADC
+# scores only the probed lists.
+# ---------------------------------------------------------------------------
+@query(
+    "e6_ann_ivfpq",
+    eager=True,
+    oracle=f"""
+    WITH c AS (SELECT * FROM read_parquet('{export_glob("e6_codes")}')),
+    q AS (SELECT * FROM read_parquet('{export_glob("e6_luts")}')),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROUND(list_sum(list_transform(range(1, {_PQ_M + 1}),
+                   i -> q.luts[i][c.codes[i] + 1])), 6) AS adc
+        FROM c JOIN q USING (centroid_id)
+        WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc ASC, cand_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, adc, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def e6_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 for 8 query vectors: L2 coarse centroids (8 lists)
+    + PQ codebooks fit on RESIDUALS, one map-only Arrow pass assigning
+    list + codes, per-(query, probed-list) residual ADC tables
+    (nprobe=2) equi-joined on centroid_id so unprobed lists never score
+    — the composition that holds at corpus scale. Every candidate lives
+    in exactly one list, so the probe union needs no dedupe. Codes and
+    LUTs are persisted; scoring/ranking is oracle-checked. EAGER: fits
+    + encodes + exports at build time."""
+    from pipeline_mf_etl_spark.operators.similarity import (
+        fit_coarse_centroids_l2,
+        fit_residual_codebooks,
+        ivfpq_encode,
+        ivfpq_query_luts,
+        ivfpq_topk,
+    )
+
+    v = _vectors(spark, sf_dir)
+    coarse = fit_coarse_centroids_l2(v, n_centroids=8, iters=8)
+    books = fit_residual_codebooks(v, coarse, m=_PQ_M, ksub=16, iters=8)
+    codes = export_frame(ivfpq_encode(v, coarse, books), spark, sf_dir, "e6_codes")
+    luts = export_frame(
+        ivfpq_query_luts(v.filter(F.col("vec_id") < 8), coarse, books, nprobe=2),
+        spark,
+        sf_dir,
+        "e6_luts",
+    )
+    return ivfpq_topk(codes, luts, k=5)

@@ -62,6 +62,11 @@ PROBE = (
     # quality arg-max; rounds scale with cluster diameter, not corpus)
     "t9_trigram_lm",
     "d6_canonical_docs",
+    # PQ family: map-only encode + broadcast-LUT ADC (e5 scores the
+    # whole corpus, e6 only the probed lists — e6's growth should sit
+    # clearly below e5's)
+    "e5_ann_pq",
+    "e6_ann_ivfpq",
 )
 
 

@@ -418,3 +418,56 @@ def test_pq_adc_recall_vs_exact(spark):
             )
             assert abs(row["adc"] - round(adc, 6)) <= 1e-6
     assert hits / total >= 0.35, f"top-decile containment too low: {hits}/{total}"
+
+
+def test_ivfpq_probing_and_containment(spark):
+    """IVF-PQ structural + quality contract: every returned candidate
+    must belong to one of its query's probed lists, each query returns
+    exactly k results, and the ADC top-5 lands in the exact-L2 top
+    decile far above chance (measured 0.62 at sf0.001; floor 0.3 —
+    probing restricts candidates to ~nprobe/n_lists of the corpus, so
+    the bar sits below e5's unrestricted PQ)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.operators.similarity import (
+        fit_coarse_centroids_l2,
+        fit_residual_codebooks,
+        ivfpq_encode,
+        ivfpq_query_luts,
+        ivfpq_topk,
+    )
+    from pipeline_mf_etl_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    coarse = fit_coarse_centroids_l2(v, n_centroids=8, iters=8)
+    books = fit_residual_codebooks(v, coarse)
+    codes = ivfpq_encode(v, coarse, books)
+    queries = v.filter(F.col("vec_id") < 8)
+    luts = ivfpq_query_luts(queries, coarse, books, nprobe=2)
+    got = ivfpq_topk(codes, luts, k=5).collect()
+
+    cellmap = {r["vec_id"]: r["centroid_id"] for r in codes.collect()}
+    probed: dict[int, set[int]] = {}
+    for r in luts.collect():
+        probed.setdefault(r["query_id"], set()).add(r["centroid_id"])
+    assert all(
+        cellmap[row["cand_id"]] in probed[row["query_id"]] for row in got
+    ), "candidate outside its query's probed lists"
+
+    X = {r["vec_id"]: np.asarray(r["v"]) for r in v.collect()}
+    decile = max(5, len(X) // 10)
+    hits = tot = 0
+    for r in queries.collect():
+        qid, qv = r["vec_id"], np.asarray(r["v"])
+        exact = sorted(
+            ((float(((qv - x) ** 2).sum()), i) for i, x in X.items() if i != qid)
+        )[:decile]
+        ids = {i for _, i in exact}
+        mine = {row["cand_id"] for row in got if row["query_id"] == qid}
+        assert len(mine) == 5
+        hits += len(mine & ids)
+        tot += 5
+    assert hits / tot >= 0.3, f"top-decile containment too low: {hits}/{tot}"

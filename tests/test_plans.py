@@ -261,3 +261,15 @@ def test_pq_scoring_broadcast_no_cartesian(spark):
     plan = _plan(spark, "e5_ann_pq")
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivfpq_probed_equi_join_only(spark):
+    """e6's scoring must reach candidates ONLY through the centroid_id
+    equi-join with the LUT side broadcast — no cartesian, no shuffle
+    join. (The encode's MapInPandas ran at build time; the certified
+    plan reads the persisted codes export, so a hash join is the whole
+    candidate path.)"""
+    plan = _plan(spark, "e6_ann_ivfpq")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
