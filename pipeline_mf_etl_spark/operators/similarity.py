@@ -146,13 +146,7 @@ def fit_ivf_centroids(
     """
     import numpy as np
 
-    rows = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
-        .limit(sample_cap)
-        .collect()
-    )
-    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    X = hash_sample_matrix(vectors, sample_cap, id_col=id_col, vec_col=vec_col)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(n_centroids, len(Xn))
     C = Xn[:k].copy()
@@ -402,6 +396,31 @@ def embedding_near_dup_pairs(
 # 32x), and queries score candidates with asymmetric distance (ADC): a
 # per-query M x K lookup table of squared sub-distances, summed by code.
 # ---------------------------------------------------------------------------
+def hash_sample_matrix(
+    vectors: DataFrame,
+    sample_cap: int = 20_000,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+):
+    """Driver-side matrix of the deterministic hash-ordered sample —
+    THE sampling contract every fit in this module shares (uniform draw
+    regardless of corpus ordering, RNG-free, bounded collect executed
+    as TakeOrderedAndProject; see fit_ivf_centroids for the full
+    rationale). One source so the cap/ordering can never diverge
+    between fits, and so a caller composing several fits (IVF-PQ)
+    collects the sample ONCE."""
+    import numpy as np
+
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    return np.asarray([r[1] for r in rows], dtype=np.float64)
+
+
 def fit_pq_codebooks(
     vectors: DataFrame,
     m: int = 8,
@@ -418,16 +437,12 @@ def fit_pq_codebooks(
     TakeOrderedAndProject keeps the sample pull per-partition top-k).
     Euclidean metric — PQ quantizes raw coordinates and ADC approximates
     squared L2. Init is the first ``ksub`` sample sub-vectors."""
-    import numpy as np
-
-    rows = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
-        .limit(sample_cap)
-        .collect()
+    return _subspace_kmeans(
+        hash_sample_matrix(vectors, sample_cap, id_col=id_col, vec_col=vec_col),
+        m,
+        ksub,
+        iters,
     )
-    X = np.asarray([r[1] for r in rows], dtype=np.float64)
-    return _subspace_kmeans(X, m, ksub, iters)
 
 
 def _subspace_kmeans(X, m: int, ksub: int, iters: int) -> list[list[list[float]]]:
@@ -461,21 +476,16 @@ def fit_coarse_centroids_l2(
     *,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    sample_x=None,
 ) -> list[list[float]]:
     """Euclidean Lloyd's coarse centroids for IVF-PQ (the spherical
     cosine fit of :func:`fit_ivf_centroids` would mismatch the L2
     residual metric ADC scores in). Same deterministic hash-ordered
     sample contract; implemented as the m=1 case of the subspace
     k-means."""
-    import numpy as np
-
-    rows = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
-        .limit(sample_cap)
-        .collect()
+    X = sample_x if sample_x is not None else hash_sample_matrix(
+        vectors, sample_cap, id_col=id_col, vec_col=vec_col
     )
-    X = np.asarray([r[1] for r in rows], dtype=np.float64)
     return _subspace_kmeans(X, 1, n_centroids, iters)[0]
 
 
@@ -489,6 +499,7 @@ def fit_residual_codebooks(
     *,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    sample_x=None,
 ) -> list[list[list[float]]]:
     """IVF-PQ codebooks fit on RESIDUALS (sample vector minus its
     nearest coarse centroid) — residual magnitudes are what in-list ADC
@@ -497,13 +508,9 @@ def fit_residual_codebooks(
     deterministic hash-ordered sample contract as the other fits."""
     import numpy as np
 
-    rows = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
-        .limit(sample_cap)
-        .collect()
+    X = sample_x if sample_x is not None else hash_sample_matrix(
+        vectors, sample_cap, id_col=id_col, vec_col=vec_col
     )
-    X = np.asarray([r[1] for r in rows], dtype=np.float64)
     CENT = np.asarray(centroids, dtype=np.float64)
     assign = ((X[:, None, :] - CENT[None, :, :]) ** 2).sum(axis=-1).argmin(axis=1)
     return _subspace_kmeans(X - CENT[assign], m, ksub, iters)
@@ -537,6 +544,9 @@ def pq_encode(
             if pdf.empty:
                 continue
             X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            # fail loudly like the fit does — silent ds truncation would
+            # drop trailing dims from every ADC score
+            assert X.shape[1] % m == 0, f"dim {X.shape[1]} not divisible by m={m}"
             ds = X.shape[1] // m
             codes = np.empty((len(X), m), dtype=np.int32)
             for mm in range(m):
@@ -560,6 +570,7 @@ def pq_luts(
     and codebook centroid k. Built on the driver (queries are few by
     contract); each LUT is M·K doubles."""
     import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
     spark = queries.sparkSession
     C = [np.asarray(b, dtype=np.float64) for b in codebooks]
@@ -574,7 +585,43 @@ def pq_luts(
             for mm in range(m)
         ]
         out.append((r[0], luts))
-    return spark.createDataFrame(out, f"query_id BIGINT, luts ARRAY<ARRAY<DOUBLE>>")
+    # query_id keeps the INPUT id type — a hardcoded BIGINT would make
+    # the id_col keyword a trap for any non-long id column
+    schema = StructType(
+        [
+            StructField("query_id", queries.select(id_col).schema.fields[0].dataType),
+            StructField(
+                "luts", ArrayType(ArrayType(DoubleType(), False), False), False
+            ),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _adc_rank_tail(joined: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared ADC-score + rank tail of :func:`pq_topk` / :func:`ivfpq_topk`
+    (the two differ ONLY in how codes meet LUTs): score = sum over
+    subspaces of luts[m][codes[m]] via zip_with/aggregate (JVM-side),
+    then one per-query rank shuffle on the 6-dp-rounded distance with
+    an id tie-break (ascending — smaller ADC is closer)."""
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("luts"), lambda cd, l: F.element_at(l, cd + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.filter(F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        F.round(adc, 6).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adc", "rank")
+    )
 
 
 def pq_topk(
@@ -584,34 +631,11 @@ def pq_topk(
     *,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """ADC top-k per query over the encoded corpus: score = sum over
-    subspaces of luts[m][codes[m]] — a zip_with/aggregate over two small
-    arrays, fully JVM-side; the LUT table is broadcast (rows = queries),
-    so the only shuffle is the final per-query rank, the same
-    one-exchange shape as IVF. Ranking uses the 6-dp-rounded distance
-    with an id tie-break (ascending — smaller ADC is closer)."""
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"), F.col("luts"), lambda cd, l: F.element_at(l, cd + 1)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        codes.crossJoin(F.broadcast(luts))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("cand_id"),
-            F.round(adc, 6).alias("adc"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("cand_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "adc", "rank")
-    )
+    """ADC top-k per query over the ENTIRE encoded corpus: the LUT
+    table is broadcast (rows = queries) against every code row, so the
+    only shuffle is the final per-query rank — see
+    :func:`_adc_rank_tail` for the shared scoring/ranking contract."""
+    return _adc_rank_tail(codes.crossJoin(F.broadcast(luts)), k, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -633,7 +657,6 @@ def ivfpq_encode(
     nearest coarse centroid (L2) and PQ-encodes the residual. Both the
     centroid table and the codebooks ride in the closure (KB-scale);
     no shuffle anywhere."""
-    import numpy as np
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
@@ -660,6 +683,9 @@ def ivfpq_encode(
             if pdf.empty:
                 continue
             X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            # fail loudly like the fit does — silent ds truncation would
+            # drop trailing dims from every ADC score
+            assert X.shape[1] % m == 0, f"dim {X.shape[1]} not divisible by m={m}"
             d2c = ((X[:, None, :] - CENT[None, :, :]) ** 2).sum(axis=-1)
             cell = d2c.argmin(axis=1)
             R = X - CENT[cell]
@@ -715,9 +741,25 @@ def ivfpq_query_luts(
                 for mm in range(m)
             ]
             out.append((r[0], int(cell), luts))
-    return spark.createDataFrame(
-        out, "query_id BIGINT, centroid_id INT, luts ARRAY<ARRAY<DOUBLE>>"
+    # query_id keeps the INPUT id type (see pq_luts)
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
+
+    schema = StructType(
+        [
+            StructField("query_id", queries.select(id_col).schema.fields[0].dataType),
+            StructField("centroid_id", IntegerType(), False),
+            StructField(
+                "luts", ArrayType(ArrayType(DoubleType(), False), False), False
+            ),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
 
 
 def ivfpq_topk(
@@ -733,26 +775,6 @@ def ivfpq_topk(
     zip_with/aggregate ADC sum and one per-query rank shuffle as
     :func:`pq_topk`. This is the composition that holds at corpus
     scale: storage is codes-only (32x), and compute per query is
-    |probed lists| · ADC, not corpus-wide."""
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"), F.col("luts"), lambda cd, l: F.element_at(l, cd + 1)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        codes.join(F.broadcast(luts), "centroid_id")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("cand_id"),
-            F.round(adc, 6).alias("adc"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("cand_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "adc", "rank")
-    )
+    |probed lists| · ADC, not corpus-wide. Scoring/ranking is the same
+    :func:`_adc_rank_tail` contract as plain PQ."""
+    return _adc_rank_tail(codes.join(F.broadcast(luts), "centroid_id"), k, id_col)

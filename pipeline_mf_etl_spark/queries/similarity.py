@@ -262,14 +262,21 @@ def e6_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_mf_etl_spark.operators.similarity import (
         fit_coarse_centroids_l2,
         fit_residual_codebooks,
+        hash_sample_matrix,
         ivfpq_encode,
         ivfpq_query_luts,
         ivfpq_topk,
     )
 
     v = _vectors(spark, sf_dir)
-    coarse = fit_coarse_centroids_l2(v, n_centroids=8, iters=8)
-    books = fit_residual_codebooks(v, coarse, m=_PQ_M, ksub=16, iters=8)
+    # ONE sample collect feeds both fits — they share the identical
+    # hash-ordered draw by contract, so collecting twice only doubled
+    # the TakeOrderedAndProject scans
+    sample = hash_sample_matrix(v)
+    coarse = fit_coarse_centroids_l2(v, n_centroids=8, iters=8, sample_x=sample)
+    books = fit_residual_codebooks(
+        v, coarse, m=_PQ_M, ksub=16, iters=8, sample_x=sample
+    )
     codes = export_frame(ivfpq_encode(v, coarse, books), spark, sf_dir, "e6_codes")
     luts = export_frame(
         ivfpq_query_luts(v.filter(F.col("vec_id") < 8), coarse, books, nprobe=2),

@@ -257,10 +257,13 @@ def test_canonical_docs_no_cartesian(spark):
 def test_pq_scoring_broadcast_no_cartesian(spark):
     """e5's ADC scoring joins the encoded corpus against the tiny LUT
     table — the plan must broadcast the LUT side (no CartesianProduct,
-    no SortMergeJoin) and keep exactly one MapInPandas (the encode)."""
+    no SortMergeJoin). The encode's MapInPandas ran at build time; the
+    certified plan reads the persisted codes export, so it contains no
+    Python stage at all."""
     plan = _plan(spark, "e5_ann_pq")
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    assert plan.count("MapInPandas") == 0, plan
 
 
 def test_ivfpq_probed_equi_join_only(spark):
