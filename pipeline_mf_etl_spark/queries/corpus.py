@@ -331,3 +331,79 @@ def a17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id long, est_count long"
     ).orderBy(F.desc("est_count"), F.asc("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# O11: train/val/test split + near-dup leakage matrix — the eval-
+# contamination check a training-data pipeline runs before freezing a
+# split: a near-duplicate pair straddling train and val/test leaks the
+# held-out answer into training. Split assignment is the md5-fold
+# Bernoulli (deterministic, repartition-stable); pairs are d2's
+# verified MinHash pairs, so the leakage definition is exactly the
+# certified near-dup semantics.
+# ---------------------------------------------------------------------------
+_SPLIT_TRAIN = 0.8
+_SPLIT_VAL = 0.9  # (train, val] boundary; remainder is test
+
+
+def _o11_oracle() -> str:
+    from pipeline_mf_etl_spark.queries.dedup import _D2_CHAIN
+
+    fold = (
+        "list_reduce(list_transform(split(substr(md5("
+        "'split:' || CAST({x} AS VARCHAR)), 1, 15), ''),"
+        " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+        " (acc, y) -> acc * 16 + y)"
+    )
+    split = (
+        f"CASE WHEN ({fold} % 1000000) / 1000000.0 < {_SPLIT_TRAIN!r} THEN 'train' "
+        f"WHEN ({fold} % 1000000) / 1000000.0 < {_SPLIT_VAL!r} THEN 'val' "
+        "ELSE 'test' END"
+    )
+    return f"""
+    WITH {_D2_CHAIN},
+    splits AS (
+        SELECT doc_id, {split.format(x="doc_id")} AS split FROM documents
+    )
+    SELECT LEAST(sa.split, sb.split) AS split_lo,
+           GREATEST(sa.split, sb.split) AS split_hi,
+           COUNT(*) AS n_neardup_pairs,
+           LEAST(sa.split, sb.split) <> GREATEST(sa.split, sb.split) AS is_leak
+    FROM verified v
+    JOIN splits sa ON sa.doc_id = v.a
+    JOIN splits sb ON sb.doc_id = v.b
+    GROUP BY 1, 2
+    """
+
+
+@query("o11_split_leakage", oracle=_o11_oracle())
+def o11_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage matrix over a deterministic 80/10/10 split:
+    every verified MinHash near-dup pair is mapped to the unordered
+    (split, split) cell of its endpoints; off-diagonal rows
+    (is_leak = true) are pairs whose training copy leaks a held-out
+    document. Plan shape: the split column is a pure projection on the
+    hash key, pairs come from the d2 chain (equi-joins only), and the
+    matrix is a tiny groupBy — nothing beyond d2's own cost."""
+    from pipeline_mf_etl_spark.queries.dedup import _verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = md5_unit(F.col("doc_id"), "split:")
+    splits = docs.select(
+        "doc_id",
+        F.when(u < _SPLIT_TRAIN, "train")
+        .when(u < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = _verified_pairs(docs).select("a", "b")
+    joined = pairs.join(
+        splits.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a")), "a"
+    ).join(
+        splits.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b")), "b"
+    )
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return joined.groupBy(lo.alias("split_lo"), hi.alias("split_hi")).agg(
+        F.count("*").alias("n_neardup_pairs")
+    ).withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
