@@ -484,3 +484,62 @@ def t9_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T10: per-source (domain-level) quality rollup — the domain-filtering
+# step of a pretraining pipeline: sources are admitted or blocked as a
+# unit, by aggregate quality and repetition rates, not per document.
+# ---------------------------------------------------------------------------
+_T10_MIN_QUALITY = 0.55
+_T10_MAX_REP_SHARE = 0.35
+
+
+@query(
+    "t10_source_quality",
+    oracle=f"""
+    WITH q AS ({T2_SQL}),
+    r AS ({T7_SQL}),
+    per_doc AS (
+        SELECT d.source, q.quality, r.is_repetitive
+        FROM documents d
+        JOIN q USING (doc_id)
+        JOIN r USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(quality), 6) AS mean_quality,
+           ROUND(AVG(CASE WHEN is_repetitive THEN 1.0 ELSE 0.0 END), 6)
+               AS repetitive_share,
+           (ROUND(AVG(quality), 6) < {_T10_MIN_QUALITY!r}
+            OR ROUND(AVG(CASE WHEN is_repetitive THEN 1.0 ELSE 0.0 END), 6)
+               > {_T10_MAX_REP_SHARE!r}) AS blocked
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def t10_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate: mean t2 quality and t7 repetitive share
+    per source, with the block decision (low mean quality OR high
+    repetition) computed from the ROUNDED aggregates so both engines
+    flip identically. Domain-level admit/block is how web-scale corpora
+    are actually filtered — a per-doc pass cannot catch a domain whose
+    every page is individually plausible boilerplate. One scan per
+    signal + one groupBy(source); the oracle composes the t2/t7 oracle
+    SELECTs verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = t2_quality_score(spark, sf_dir).select("doc_id", "quality")
+    r = t7_repetition_quality(spark, sf_dir).select("doc_id", "is_repetitive")
+    per_doc = docs.select("doc_id", "source").join(q, "doc_id").join(r, "doc_id")
+    mean_q = F.round(F.avg("quality"), 6)
+    rep_share = F.round(
+        F.avg(F.when(F.col("is_repetitive"), 1.0).otherwise(0.0)), 6
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        mean_q.alias("mean_quality"),
+        rep_share.alias("repetitive_share"),
+        (
+            (mean_q < _T10_MIN_QUALITY) | (rep_share > _T10_MAX_REP_SHARE)
+        ).alias("blocked"),
+    )
