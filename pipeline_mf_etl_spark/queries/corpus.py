@@ -343,18 +343,15 @@ def a17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # certified near-dup semantics.
 # ---------------------------------------------------------------------------
 _SPLIT_TRAIN = 0.8
-_SPLIT_VAL = 0.9  # (train, val] boundary; remainder is test
+_SPLIT_VAL = 0.9  # val is [0.8, 0.9); u >= 0.9 is test
 
 
 def _o11_oracle() -> str:
-    from pipeline_mf_etl_spark.queries.dedup import _D2_CHAIN
+    # the fold comes from dedup's lockstep constant — one SQL source of
+    # truth for the md5 hex-fold arithmetic
+    from pipeline_mf_etl_spark.queries.dedup import _D2_CHAIN, _FOLD
 
-    fold = (
-        "list_reduce(list_transform(split(substr(md5("
-        "'split:' || CAST({x} AS VARCHAR)), 1, 15), ''),"
-        " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
-        " (acc, y) -> acc * 16 + y)"
-    )
+    fold = _FOLD.format(x="'split:' || CAST({x} AS VARCHAR)")
     split = (
         f"CASE WHEN ({fold} % 1000000) / 1000000.0 < {_SPLIT_TRAIN!r} THEN 'train' "
         f"WHEN ({fold} % 1000000) / 1000000.0 < {_SPLIT_VAL!r} THEN 'val' "
@@ -381,8 +378,9 @@ def o11_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup leakage matrix over a deterministic 80/10/10 split:
     every verified MinHash near-dup pair is mapped to the unordered
     (split, split) cell of its endpoints; off-diagonal rows
-    (is_leak = true) are pairs whose training copy leaks a held-out
-    document. Plan shape: the split column is a pure projection on the
+    (is_leak = true) are cross-split contamination — train↔val and
+    train↔test cells leak a held-out document into training, and the
+    val↔test cell couples the two eval sets. Plan shape: the split column is a pure projection on the
     hash key, pairs come from the d2 chain (equi-joins only), and the
     matrix is a tiny groupBy — nothing beyond d2's own cost."""
     from pipeline_mf_etl_spark.queries.dedup import _verified_pairs

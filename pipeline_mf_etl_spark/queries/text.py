@@ -524,9 +524,12 @@ def t10_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition) computed from the ROUNDED aggregates so both engines
     flip identically. Domain-level admit/block is how web-scale corpora
     are actually filtered — a per-doc pass cannot catch a domain whose
-    every page is individually plausible boilerplate. One scan per
-    signal + one groupBy(source); the oracle composes the t2/t7 oracle
-    SELECTs verbatim."""
+    every page is individually plausible boilerplate. Cost shape:
+    composing the two certified builders means the tokenize pipeline
+    runs once per signal (two corpus scans) — the price of
+    one-source-of-truth semantics, same trade as the d7 waterfall —
+    then one tiny groupBy(source); the oracle composes the t2/t7
+    oracle SELECTs verbatim."""
     docs = load_table(spark, sf_dir, "documents")
     q = t2_quality_score(spark, sf_dir).select("doc_id", "quality")
     r = t7_repetition_quality(spark, sf_dir).select("doc_id", "is_repetitive")
