@@ -38,7 +38,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # driver-certified (local parity green) — d6_canonical_docs,
 # t9_trigram_lm, m7b_silhouette_sampled, st7_stream_neardup,
 # d7_curation_waterfall, e5_ann_pq, e6_ann_ivfpq, o11_split_leakage,
-# t10_source_quality.
+# t10_source_quality, st8_stream_quality_route.
 # NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
 # so keep backtest ahead of viewer in this list (otherwise backtest's
 # queries register mid-viewer-import and the fill order shifts).

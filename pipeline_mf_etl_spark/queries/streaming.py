@@ -241,3 +241,28 @@ def st7_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     index = minhash_band_buckets_rowwise(docs, "doc_id", "text")
     return neardup_candidates_against_index(docs, index).distinct()
+
+
+def _st8_oracle() -> str:
+    from pipeline_mf_etl_spark.queries.text import T2_SQL
+
+    return f"""
+    WITH q AS ({T2_SQL})
+    SELECT d.doc_id, d.source, q.quality,
+           CASE WHEN q.quality >= 0.5 THEN 'admit' ELSE 'reject' END AS route
+    FROM documents d JOIN q USING (doc_id)
+    """
+
+
+@query("st8_stream_quality_route", oracle=_st8_oracle())
+def st8_stream_quality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time quality routing: per-document t2 composite score +
+    admit/reject route as a pure projection — no aggregation, no state,
+    so the identical transform runs append-mode on the document stream
+    (tests/test_streaming.py drives it through readStream and asserts
+    the same row set). This is the gate a streaming corpus ingest
+    applies before dedup/embedding ever see a rejected doc; the oracle
+    composes the certified t2 SELECT with the same threshold CASE."""
+    from pipeline_mf_etl_spark.streaming import quality_route
+
+    return quality_route(load_table(spark, sf_dir, "documents"))

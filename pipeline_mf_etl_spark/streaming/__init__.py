@@ -5,6 +5,7 @@ from pipeline_mf_etl_spark.streaming.transforms import (
     dedupe_events_stream,
     neardup_candidates_against_index,
     normalize_event_ts,
+    quality_route,
     read_documents_stream,
     read_events_stream,
     replayed_events,
@@ -19,6 +20,7 @@ __all__ = [
     "dedupe_events_stream",
     "neardup_candidates_against_index",
     "normalize_event_ts",
+    "quality_route",
     "read_documents_stream",
     "read_events_stream",
     "replayed_events",

@@ -255,3 +255,32 @@ def neardup_candidates_against_index(docs: DataFrame, index: DataFrame) -> DataF
         .filter(F.col("doc_id") != F.col("matched_doc_id"))
         .select("doc_id", "matched_doc_id")
     )
+
+
+def quality_route(docs: DataFrame, quality_min: float = 0.5) -> DataFrame:
+    """Ingest-time quality routing: every incoming document gets its t2
+    composite quality score and an admit/reject route — a pure per-row
+    projection (tokenize + arithmetic, no aggregation, no state), so
+    the identical expression runs append-mode on a document stream.
+    This is the gate a streaming corpus ingest applies BEFORE expensive
+    downstream work (dedup, embedding) ever sees a rejected doc."""
+    from pipeline_mf_etl_spark.operators.dedupe import tokens
+    from pipeline_mf_etl_spark.operators.text import (
+        mean_token_len,
+        punct_ratio,
+        quality_score,
+    )
+
+    t = docs.select("doc_id", "source", "text", tokens(F.col("text")).alias("toks"))
+    q = F.round(
+        quality_score(
+            F.size("toks"), punct_ratio(F.col("text")), mean_token_len(F.col("toks"))
+        ),
+        6,
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        q.alias("quality"),
+        F.when(q >= quality_min, "admit").otherwise("reject").alias("route"),
+    )

@@ -219,3 +219,32 @@ def test_stream_neardup_matches_batch(spark):
     assert len(batch) > 0
     # directed pairs: every (a, b) has its (b, a) mirror
     assert all((b, a) in streamed for a, b in streamed)
+
+
+def test_stream_quality_route_matches_batch(spark):
+    """st8: the quality router is a stateless projection — identical
+    row set through readStream (append, no state) and batch, and both
+    routes actually occur on the smoke corpus."""
+    import uuid
+
+    from pipeline_mf_etl_spark.streaming import quality_route, read_documents_stream
+
+    stream = read_documents_stream(spark, SF_SMOKE)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        quality_route(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+    batch = sorted(
+        map(tuple, quality_route(load_table(spark, SF_SMOKE, "documents")).collect())
+    )
+    assert streamed == batch
+    assert len(batch) > 0
+    routes = {r[-1] for r in batch}
+    assert routes == {"admit"} or routes == {"admit", "reject"}
