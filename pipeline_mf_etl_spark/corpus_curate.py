@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 from pipeline_mf_etl_spark.sources.readers import load_table
 from pipeline_mf_etl_spark.sources.writers import write_json_artifact
 
-DEFAULT_QUALITY_MIN = 0.5
+from pipeline_mf_etl_spark.operators.text import QUALITY_ADMIT_MIN
+
+DEFAULT_QUALITY_MIN = QUALITY_ADMIT_MIN
 
 #: waterfall stage order — drops are attributed to the FIRST rejecting
 #: stage, in this order (shared by curate_corpus and the d7 query)

@@ -103,3 +103,20 @@ def quality_sql(n_tokens: str, p_ratio: str, mtl: str) -> str:
         f" + 0.25 * (CASE WHEN COALESCE({mtl}, 0.0) BETWEEN 3.0 AND 8.0"
         f" THEN 1.0 ELSE 0.5 END)"
     )
+
+
+#: The corpus admit floor — ONE constant shared by the batch curation
+#: waterfall (corpus_curate.DEFAULT_QUALITY_MIN), the streaming ingest
+#: gate (streaming.quality_route), and the st8 oracle literal, so the
+#: batch and streaming gates can never silently diverge.
+QUALITY_ADMIT_MIN = 0.5
+
+
+def rounded_quality(text_col: Column, toks_col: Column) -> Column:
+    """The 6-dp composite quality column from a raw-text column and its
+    MATERIALIZED token array — the single wiring of quality_score used
+    by t2, the d6 cluster ranking, and the streaming quality router."""
+    return F.round(
+        quality_score(F.size(toks_col), punct_ratio(text_col), mean_token_len(toks_col)),
+        6,
+    )

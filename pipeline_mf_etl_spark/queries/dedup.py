@@ -381,12 +381,7 @@ def ranked_neardup_clusters(docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     from pipeline_mf_etl_spark.operators.dedupe import connected_components, tokens
-    from pipeline_mf_etl_spark.operators.text import (
-        mean_token_len,
-        punct_ratio,
-        quality_score,
-        token_count,
-    )
+    from pipeline_mf_etl_spark.operators.text import rounded_quality
 
     verified, sh = _verified_pairs(docs, return_shingles=True)
     cc = connected_components(verified.select("a", "b")).select(
@@ -400,13 +395,7 @@ def ranked_neardup_clusters(docs: DataFrame) -> DataFrame:
     t = clustered.select(
         "doc_id", "group_id", "text", tokens(F.col("text")).alias("toks")
     )
-    q = _r(
-        quality_score(
-            token_count(F.col("toks")),
-            punct_ratio(F.col("text")),
-            mean_token_len(F.col("toks")),
-        )
-    )
+    q = rounded_quality(F.col("text"), F.col("toks"))
     wg = Window.partitionBy("group_id")
     return t.select("doc_id", "group_id", q.alias("q")).withColumns(
         {

@@ -244,12 +244,14 @@ def st7_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _st8_oracle() -> str:
+    from pipeline_mf_etl_spark.operators.text import QUALITY_ADMIT_MIN
     from pipeline_mf_etl_spark.queries.text import T2_SQL
 
     return f"""
     WITH q AS ({T2_SQL})
     SELECT d.doc_id, d.source, q.quality,
-           CASE WHEN q.quality >= 0.5 THEN 'admit' ELSE 'reject' END AS route
+           CASE WHEN q.quality >= {QUALITY_ADMIT_MIN!r} THEN 'admit'
+                ELSE 'reject' END AS route
     FROM documents d JOIN q USING (doc_id)
     """
 

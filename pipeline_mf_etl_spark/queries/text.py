@@ -143,6 +143,8 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies across the aggregate lambdas)."""
     from pipeline_mf_etl_spark.operators.dedupe import tokens
 
+    from pipeline_mf_etl_spark.operators.text import rounded_quality
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
     n_tok = token_count(F.col("toks"))
@@ -153,7 +155,7 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("n_tokens"),
         _r(pr).alias("punct_ratio"),
         _r(mtl).alias("mean_token_len"),
-        _r(quality_score(n_tok, pr, mtl)).alias("quality"),
+        rounded_quality(F.col("text"), F.col("toks")).alias("quality"),
     )
 
 

@@ -257,7 +257,7 @@ def neardup_candidates_against_index(docs: DataFrame, index: DataFrame) -> DataF
     )
 
 
-def quality_route(docs: DataFrame, quality_min: float = 0.5) -> DataFrame:
+def quality_route(docs: DataFrame, quality_min: float | None = None) -> DataFrame:
     """Ingest-time quality routing: every incoming document gets its t2
     composite quality score and an admit/reject route — a pure per-row
     projection (tokenize + arithmetic, no aggregation, no state), so
@@ -265,19 +265,12 @@ def quality_route(docs: DataFrame, quality_min: float = 0.5) -> DataFrame:
     This is the gate a streaming corpus ingest applies BEFORE expensive
     downstream work (dedup, embedding) ever sees a rejected doc."""
     from pipeline_mf_etl_spark.operators.dedupe import tokens
-    from pipeline_mf_etl_spark.operators.text import (
-        mean_token_len,
-        punct_ratio,
-        quality_score,
-    )
+    from pipeline_mf_etl_spark.operators.text import QUALITY_ADMIT_MIN, rounded_quality
 
+    if quality_min is None:
+        quality_min = QUALITY_ADMIT_MIN
     t = docs.select("doc_id", "source", "text", tokens(F.col("text")).alias("toks"))
-    q = F.round(
-        quality_score(
-            F.size("toks"), punct_ratio(F.col("text")), mean_token_len(F.col("toks"))
-        ),
-        6,
-    )
+    q = rounded_quality(F.col("text"), F.col("toks"))
     return t.select(
         "doc_id",
         "source",

@@ -85,7 +85,7 @@ def test_waterfall_attribution_on_planted_corpus(spark, tmp_path):
     - ids 1000/1001: same token SET, different punctuation → exact
       stage drops 1001 (min-id keeper)
     - ids 300/301/302: shared 40-token base ± two appended words
-      (pairwise shingle jaccard ≈ 0.95 → LSH-certain cluster); 301/302
+      (pairwise shingle jaccard ≈ 0.9 → deterministic-hash-stable cluster); 301/302
       carry heavy punctuation so 300 is the best-quality canonical
     - id 450: three one-letter tokens → composite quality ≈ 0.41 < 0.5
     - id 400: one word repeated 100× → repetitive

@@ -223,8 +223,11 @@ def test_stream_neardup_matches_batch(spark):
 
 def test_stream_quality_route_matches_batch(spark):
     """st8: the quality router is a stateless projection — identical
-    row set through readStream (append, no state) and batch, and both
-    routes actually occur on the smoke corpus."""
+    row set through readStream (append, no state) and batch. Every
+    shipped doc scores >= 0.6, so the default floor admits everything
+    — the stream run therefore RAISES the floor to 0.9 so the reject
+    branch is actually exercised (a broken otherwise() would pass an
+    admit-only comparison vacuously)."""
     import uuid
 
     from pipeline_mf_etl_spark.streaming import quality_route, read_documents_stream
@@ -232,7 +235,7 @@ def test_stream_quality_route_matches_batch(spark):
     stream = read_documents_stream(spark, SF_SMOKE)
     name = f"mem_{uuid.uuid4().hex[:8]}"
     q = (
-        quality_route(stream)
+        quality_route(stream, quality_min=0.9)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -242,9 +245,14 @@ def test_stream_quality_route_matches_batch(spark):
     q.awaitTermination(120)
     streamed = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
     batch = sorted(
-        map(tuple, quality_route(load_table(spark, SF_SMOKE, "documents")).collect())
+        map(
+            tuple,
+            quality_route(
+                load_table(spark, SF_SMOKE, "documents"), quality_min=0.9
+            ).collect(),
+        )
     )
     assert streamed == batch
     assert len(batch) > 0
     routes = {r[-1] for r in batch}
-    assert routes == {"admit"} or routes == {"admit", "reject"}
+    assert routes == {"admit", "reject"}, routes
