@@ -146,6 +146,11 @@ def lsh_candidate_pairs(
     a union of per-band frames would rescan (and at 100 TB recompute)
     the whole signature input once per band.
     """
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} must be divisible by bands={bands}: integer division "
+            "would silently drop trailing minhash slots and weaken LSH recall"
+        )
     rows_per_band = k // bands
     band_hashes = F.array(
         *[
@@ -375,6 +380,11 @@ def minhash_band_buckets_rowwise(
     exploded path. Tokens and base hashes are materialized in their own
     projection stages (see ``exploded_shingles`` for why inlining the
     regex pipeline into per-shingle lambdas is O(tokens·shingles))."""
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} must be divisible by bands={bands}: integer division "
+            "would silently drop trailing minhash slots and weaken LSH recall"
+        )
     rows_per_band = k // bands
     t = df.select("*", tokens(F.col(text_col)).alias("__toks"))
     h = F.transform(

@@ -160,6 +160,62 @@ def fit_ivf_centroids(
     return [[float(x) for x in c] for c in C]
 
 
+def ivf_assign_cells(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    n: int = 1,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, vec, centroid_id) — one row per assigned (n=1) or probed
+    (n=nprobe) inverted list, by ROUNDED cosine (9 dp) with centroid-id
+    ascending tiebreak.
+
+    Map-only, same kernel shape as :func:`ivfpq_encode`: the centroid
+    matrix rides in the mapInPandas closure (KB-scale, shipped with the
+    task binary) and each Arrow batch ranks its rows against all
+    centroids in one BLAS matmul — no join, no Exchange anywhere, the
+    shape that survives a 100-TB corpus with thousands of centroids
+    (where a crossJoin(centroids) + per-row window would shuffle
+    corpus×n_centroids rows just to take an argmax).
+    Guarded by tests/test_plans.py (no Exchange in the assignment plan).
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    fields = vectors.select(id_col, vec_col).schema.fields
+    schema = StructType(list(fields) + [StructField("centroid_id", IntegerType(), False)])
+
+    def assign(batches):
+        import numpy as np
+
+        C = np.asarray(centroids, dtype=np.float64)
+        cnorm = np.linalg.norm(C, axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            # same arithmetic contract as the JVM `cosine` HOF: raw
+            # float64 cosine rounded to 9 dp, ties broken by lower
+            # centroid id (stable argsort on the negated score)
+            sim = np.round(
+                (X @ C.T) / (np.linalg.norm(X, axis=1, keepdims=True) * cnorm[None, :]),
+                9,
+            )
+            take = min(n, len(C))
+            order = np.argsort(-sim, axis=1, kind="stable")[:, :take]
+            idx = np.repeat(np.arange(len(pdf)), take)
+            yield type(pdf)(
+                {
+                    id_col: pdf[id_col].to_numpy()[idx],
+                    vec_col: pdf[vec_col].to_numpy()[idx],
+                    "centroid_id": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -175,9 +231,11 @@ def ivf_topk(
     nearest centroid (inverted lists), probe each query's ``nprobe``
     nearest lists, exact-rerank within the probed union.
 
-    All scoring is JVM-side; the centroid table is a broadcast literal,
-    so candidate assignment is a map-only stage — the only shuffle is the
-    final per-query rank, exactly the shape that survives a 100× corpus.
+    Candidate/query assignment is :func:`ivf_assign_cells` — a genuinely
+    map-only Arrow-batch stage (no Exchange); rerank scoring is JVM-side
+    HOF cosine, so the only shuffles are the candidate-pair dedupe and
+    the final per-query rank, exactly the shape that survives a 100×
+    corpus.
 
     The QUERY side is broadcast (line below) — correct for the top-k-for-
     probes use case where queries ≪ corpus. Do NOT call this with
@@ -185,31 +243,19 @@ def ivf_topk(
     :func:`embedding_near_dup_pairs` (banded LSH), not a broadcast of
     the full corpus.
     """
-    spark = candidates.sparkSession
-    cent = F.broadcast(
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)],
-            "centroid_id INT, cent ARRAY<DOUBLE>",
-        )
-    )
-
-    def nearest(df: DataFrame, side_id: str, n: int) -> DataFrame:
-        w = Window.partitionBy(side_id).orderBy(
-            F.col("_csim").desc(), F.col("centroid_id").asc()
-        )
-        return (
-            df.crossJoin(cent)
-            .withColumn("_csim", F.round(cosine(F.col(vec_col), F.col("cent")), 9))
-            .withColumn("_cr", F.row_number().over(w))
-            .filter(F.col("_cr") <= n)
-            .drop("cent", "_csim", "_cr")
-        )
-
-    c = nearest(
-        candidates.select(F.col(id_col).alias("cand_id"), vec_col), "cand_id", 1
+    c = ivf_assign_cells(
+        candidates.select(F.col(id_col).alias("cand_id"), vec_col),
+        centroids,
+        1,
+        id_col="cand_id",
+        vec_col=vec_col,
     ).withColumnRenamed(vec_col, "cv")
-    q = nearest(
-        queries.select(F.col(id_col).alias("query_id"), vec_col), "query_id", nprobe
+    q = ivf_assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        centroids,
+        nprobe,
+        id_col="query_id",
+        vec_col=vec_col,
     ).withColumnRenamed(vec_col, "qv")
     if assignments_cb is not None:
         # hook for oracle certification: persist the inverted-list

@@ -162,7 +162,7 @@ _MIX_TOK_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
     SELECT lang,
            ROUND(rate, 6) AS rate,
            COUNT(*) AS n_docs_admitted,
-           SUM(n_tokens) AS tokens_admitted
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_admitted
     FROM keyed
     WHERE (h % 1000000) / 1000000.0 < rate
     GROUP BY lang, rate

@@ -146,6 +146,14 @@ def d2_chain(src: str = "documents") -> str:
 _D2_CHAIN = d2_chain()
 
 
+# The most recent shingle persist handed to a LAZY caller (d2 /
+# o11) — those callers return an unexecuted plan, so they can never
+# unpersist it themselves. Each new invocation evicts the previous
+# entry, bounding pinned executor memory to ONE corpus explode per
+# session instead of one per query run.
+_LAZY_SHINGLE_CACHE: list[DataFrame] = []
+
+
 def _verified_pairs(docs: DataFrame, return_shingles: bool = False):
     """Verified near-dup pairs (a, b, jaccard >= 0.5) — the Spark twin
     of the ``verified`` CTE in ``_D2_CHAIN``, shared by d2 (pair
@@ -162,7 +170,14 @@ def _verified_pairs(docs: DataFrame, return_shingles: bool = False):
     sig = minhash_signatures(sh, "doc_id", k=16)
     cand = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4)
     verified = jaccard_on_pairs(cand, sh, "doc_id").filter(F.col("jaccard") >= 0.5)
-    return (verified, sh) if return_shingles else verified
+    if return_shingles:
+        return verified, sh
+    # Lazy path: the caller never sees sh, so park it in the one-slot
+    # eviction cache (see _LAZY_SHINGLE_CACHE above).
+    while _LAZY_SHINGLE_CACHE:
+        _LAZY_SHINGLE_CACHE.pop().unpersist()
+    _LAZY_SHINGLE_CACHE.append(sh)
+    return verified
 
 
 @query(

@@ -217,12 +217,16 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracking as :func:`read_events_stream`)."""
     import os
 
-    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    # Stream the table path itself rather than globbing the parent dir:
+    # a glob on "documents.parquet" only matches the single-file layout,
+    # while curate_corpus writes documents.parquet as a Spark DIRECTORY
+    # of part files — pointing at the path handles both layouts.
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        .parquet(path)
     )
 
 

@@ -138,28 +138,39 @@ def test_bucketed_join_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS usr_bkt")
 
 
-def test_ivf_assignment_broadcast_only(spark):
-    """IVF centroid assignment must be a broadcast of the tiny centroid
-    table against the partitioned corpus (BroadcastNestedLoopJoin over a
-    literal), never a CartesianProduct, and the corpus side must shuffle
-    only for the per-id rank windows — the plan shape that lets
-    assignment scale as a map-only pass over 100 TB of vectors.
+def test_ivf_assignment_map_only(spark):
+    """IVF centroid assignment (ivf_assign_cells) must be a genuinely
+    map-only Arrow-batch stage: the centroid matrix rides in the task
+    closure, so the assignment plan may contain NO Exchange, no join of
+    any kind, and exactly one Python map stage — the shape that lets
+    assignment scale as a map-only pass over 100 TB of vectors (the old
+    crossJoin+window shape shuffled corpus×n_centroids rows just to
+    take an argmax).
 
     Asserted on the OPERATOR's lazy plan: the certified e4 query
     persists the assignments mid-query (for its oracle), so its final
     plan is rooted at the export parquet and no longer shows the
-    assignment join."""
+    assignment stage."""
     import pyspark.sql.functions as F
 
-    from pipeline_mf_etl_spark.operators.similarity import fit_ivf_centroids, ivf_topk
+    from pipeline_mf_etl_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_assign_cells,
+        ivf_topk,
+    )
     from pipeline_mf_etl_spark.queries.similarity import _vectors
 
     v = _vectors(spark, SF_ORACLE)
     centroids = fit_ivf_centroids(v, n_centroids=8, iters=5)
+    cells = ivf_assign_cells(v, centroids, 1)
+    aplan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in aplan, aplan
+    assert "Join" not in aplan and "Cartesian" not in aplan, aplan
+    assert "MapInPandas" in aplan, aplan
+    # the full rerank plan shuffles only for dedupe + per-query rank
     df = ivf_topk(v.filter(F.col("vec_id") < 8), v, centroids, k=5, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
     # the certified query (persisted assignments) must stay cartesian-free
     plan2 = _plan(spark, "e4_ann_ivf")
     assert "Cartesian" not in plan2, plan2
