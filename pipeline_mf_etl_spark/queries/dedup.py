@@ -380,13 +380,45 @@ def _d6_oracle() -> str:
     """
 
 
-def ranked_neardup_clusters(docs: DataFrame) -> DataFrame:
+def verified_pairs_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d2's verified near-dup pairs (a, b, jaccard) as a per-process
+    parquet export, computed AT MOST ONCE per (process, sf): the MinHash
+    chain (shingle explode → signatures → band join → exact verify) is
+    the most expensive subplan in the dedup family, and several
+    consumers (d6's connected components, repeated probe runs) need the
+    SAME raw-corpus pair set — without the export every invocation
+    re-runs the full chain. Oracles are unchanged: they recompute the
+    chain in SQL, and the export content is exactly the chain's output
+    (hash-certified via d2), so reuse dedupes ENGINE work only."""
+    from pipeline_mf_etl_spark.queries.export import (
+        export_frame,
+        have_export,
+        read_export,
+    )
+
+    name = "d2_pairs"
+    if have_export(sf_dir, name):
+        return read_export(spark, sf_dir, name)
+    docs = load_table(spark, sf_dir, "documents")
+    verified, sh = _verified_pairs(docs, return_shingles=True)
+    out = export_frame(verified.select("a", "b", "jaccard"), spark, sf_dir, name)
+    sh.unpersist()
+    return out
+
+
+def ranked_neardup_clusters(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """(doc_id, group_id, q, rk, group_size) for every document in a
     near-dup cluster: verified MinHash pairs → connected components →
     within-cluster quality rank (6-dp t2 quality desc, doc_id asc).
     rk = 1 is the canonical keeper. Shared by d6 (canonical emission)
     and the corpus-curation pipeline (rk > 1 = the drop set). EAGER:
     connected components iterates join+count rounds when called.
+
+    ``pairs`` (optional): a precomputed verified-pair frame — e.g.
+    :func:`verified_pairs_export` — so callers over the RAW corpus skip
+    recomputing the MinHash chain; when None the chain runs inline
+    (the curation pipeline passes a FILTERED doc set whose pair graph
+    differs from the raw corpus, so it must compute its own).
 
     Scale shape: the pair graph and CC shuffle on doc id only; the
     quality score is a single projection over the corpus joined to the
@@ -398,14 +430,18 @@ def ranked_neardup_clusters(docs: DataFrame) -> DataFrame:
     from pipeline_mf_etl_spark.operators.dedupe import connected_components, tokens
     from pipeline_mf_etl_spark.operators.text import rounded_quality
 
-    verified, sh = _verified_pairs(docs, return_shingles=True)
+    if pairs is None:
+        verified, sh = _verified_pairs(docs, return_shingles=True)
+    else:
+        verified, sh = pairs, None
     cc = connected_components(verified.select("a", "b")).select(
         F.col("node").alias("doc_id"), F.col("component").alias("group_id")
     )
     # CC's localCheckpoints materialized the pair graph — the shingle
     # cache has no further reader, so free it rather than pinning a
     # full-corpus explode in executor memory for the session
-    sh.unpersist()
+    if sh is not None:
+        sh.unpersist()
     clustered = cc.join(docs.select("doc_id", "text"), "doc_id")
     t = clustered.select(
         "doc_id", "group_id", "text", tokens(F.col("text")).alias("toks")
@@ -429,7 +465,7 @@ def d6_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics and scale shape). EAGER: connected components iterates
     join+count rounds at build time."""
     docs = load_table(spark, sf_dir, "documents")
-    ranked = ranked_neardup_clusters(docs)
+    ranked = ranked_neardup_clusters(docs, pairs=verified_pairs_export(spark, sf_dir))
     return ranked.filter(F.col("rk") == 1).select(
         "group_id",
         "group_size",

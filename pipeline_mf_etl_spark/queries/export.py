@@ -51,6 +51,20 @@ def export_frame(df: DataFrame, spark: SparkSession, sf_dir: str, name: str) -> 
     return spark.read.parquet(path)
 
 
+def have_export(sf_dir: str, name: str) -> bool:
+    """True when THIS process already wrote export ``name`` for the sf —
+    lets expensive shared intermediates (e.g. the MinHash verified-pair
+    set) be computed at most once per (process, sf) across consumers."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return (tag, name) in _WRITTEN
+
+
+def read_export(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read back an export previously written by this process."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return spark.read.parquet(os.path.join(_EXPORT_ROOT, tag, name))
+
+
 def export_glob(name: str) -> str:
     """Path glob the oracle SQL reads (fixed to the oracle sf tag)."""
     return os.path.join(_EXPORT_ROOT, _ORACLE_TAG, name, "*.parquet")
