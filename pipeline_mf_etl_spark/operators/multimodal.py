@@ -56,11 +56,15 @@ def decode_media(payload_bytes: bytes, mime: str):
     """Decode dispatch for multimodal payloads.
 
     ``audio/wav`` decodes NATIVELY (``parse_wav`` below — a real,
-    dependency-free RIFF/PCM parser). Image/video formats still need
-    codec libraries (PIL/av) that are not installed in this
-    environment, so those mimes stay behind a clearly-marked gate."""
+    dependency-free RIFF/PCM parser), as does ``image/x-portable-
+    pixmap`` (``parse_ppm`` — binary PPM). Compressed image/video
+    formats still need codec libraries (PIL/av) that are not installed
+    in this environment, so those mimes stay behind a clearly-marked
+    gate."""
     if mime.startswith("audio/wav") or mime.startswith("audio/x-wav"):
         return parse_wav(payload_bytes)
+    if mime.startswith("image/x-portable-pixmap"):
+        return parse_ppm(payload_bytes)
     # Image/video decode is not implemented in this engine regardless of
     # installed libraries — raise ALWAYS (returning None silently would
     # hide the gap in environments where PIL happens to be importable);
@@ -282,3 +286,138 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", stride: int = 4) -> Dat
     return frames.withColumn(
         "frame_key", F.md5(F.concat_ws(":", F.col(id_col).cast("string"), "frame_idx"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary PPM (P6) — dependency-free encoder (synthesis side) + decoder
+# (the real image-codec path; same pattern that made the WAV leg real).
+# Layout: ASCII header "P6" <ws> width <ws> height <ws> maxval <single
+# ws>, then exactly 3*width*height RGB bytes. '#' comments are legal
+# anywhere in the header whitespace and must be skipped — a parser that
+# ignores them mis-reads the geometry.
+# ---------------------------------------------------------------------------
+PPM_WIDTH = 16
+
+
+def encode_ppm(rgb: bytes, width: int, height: int) -> bytes:
+    """Serialize raw RGB bytes as a standards-compliant binary PPM."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError(
+            f"payload is {len(rgb)} bytes, geometry {width}x{height} needs "
+            f"{3 * width * height}"
+        )
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + rgb
+
+
+def parse_ppm(payload: bytes) -> dict:
+    """REAL minimal PPM decoder: validate the P6 magic, tokenize the
+    header (skipping '#' comments), check maxval=255, and require the
+    pixel payload to be exactly 3*w*h bytes. Fails loudly on malformed
+    input — never guesses."""
+    if len(payload) < 2 or payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        # skip whitespace and comments between header tokens
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tok = payload[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"non-numeric PPM header token {tok!r}")
+        tokens.append(int(tok))
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 8-bit/255)")
+    pos += 1  # exactly ONE whitespace byte separates maxval from pixels
+    rgb = payload[pos:]
+    if len(rgb) != 3 * width * height:
+        raise ValueError(
+            f"PPM geometry {width}x{height} needs {3 * width * height} pixel "
+            f"bytes, payload carries {len(rgb)}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "pixels": np.frombuffer(rgb, dtype=np.uint8),
+    }
+
+
+PPM_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("max_byte", LongType(), True),
+    ]
+)
+
+
+def with_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic PPM payload per row: the UTF-8 text
+    bytes become the RGB stream at fixed width ``PPM_WIDTH``, truncated
+    to whole pixel rows (height = len//3//width; short docs yield a
+    legal 0-row image). Arrow-batched; the mapping is invertible so an
+    oracle can derive decoded stats straight from the characters."""
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), False)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for t in pdf[text_col]:
+                raw = t.encode("utf-8")
+                h = len(raw) // 3 // PPM_WIDTH
+                payloads.append(encode_ppm(raw[: 3 * PPM_WIDTH * h], PPM_WIDTH, h))
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn(
+        "mime", F.lit("image/x-portable-pixmap")
+    )
+
+
+def decode_ppm_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each PPM payload (REAL parse, not a byte passthrough) and
+    emit geometry + exact per-channel stats. Integer channel sums divide
+    in float64 (exact-int / exact-int) so any engine agrees bitwise
+    before rounding; luma is the Rec.601 mix of the RAW channel means."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                p = parse_ppm(bytes(payload))
+                px = p["pixels"].astype(np.int64)
+                n = p["width"] * p["height"]
+                if n:
+                    mr = float(px[0::3].sum()) / n
+                    mg = float(px[1::3].sum()) / n
+                    mb = float(px[2::3].sum()) / n
+                    luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+                    mx = int(px.max())
+                else:
+                    mr = mg = mb = luma = mx = None
+                rows.append(
+                    (int(doc_id), p["width"], p["height"], n, mr, mg, mb, luma, mx)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PPM_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, "payload").mapInPandas(feats, PPM_FEATURE_SCHEMA)

@@ -170,3 +170,71 @@ def mm4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms_amp", 6).alias("rms_amp"),
         "peak_amp",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm5: decoded-IMAGE stats — encode→decode round-trip through the real
+# dependency-free binary-PPM codec (operators/multimodal.py parse_ppm),
+# closing the image leg the same way mm4 closed audio. The oracle
+# derives the decoded stats straight from the characters (ASCII corpus:
+# ord == byte; geometry = fixed width 16, whole pixel rows only).
+# ---------------------------------------------------------------------------
+@query(
+    "mm5_image_decode",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) // 48 AS h
+        FROM documents
+    ), chars AS (
+        SELECT g.doc_id,
+               (i - 1) % 3 AS chan,
+               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+        FROM geo g, UNNEST(range(1, CAST(g.h * 48 + 1 AS BIGINT))) AS t(i)
+    ), agg AS (
+        SELECT doc_id,
+               SUM(CASE WHEN chan = 0 THEN byte END) AS sr,
+               SUM(CASE WHEN chan = 1 THEN byte END) AS sg,
+               SUM(CASE WHEN chan = 2 THEN byte END) AS sb,
+               MAX(byte) AS mx
+        FROM chars GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(g.h AS BIGINT) AS height,
+           CAST(g.h * 16 AS BIGINT) AS n_pixels,
+           ROUND(a.sr * 1.0 / (g.h * 16), 6) AS mean_r,
+           ROUND(a.sg * 1.0 / (g.h * 16), 6) AS mean_g,
+           ROUND(a.sb * 1.0 / (g.h * 16), 6) AS mean_b,
+           ROUND(0.299 * (a.sr * 1.0 / (g.h * 16))
+                 + 0.587 * (a.sg * 1.0 / (g.h * 16))
+                 + 0.114 * (a.sb * 1.0 / (g.h * 16)), 6) AS mean_luma,
+           CAST(a.mx AS BIGINT) AS max_byte
+    FROM geo g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm5_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-image stats per document: geometry parsed from the REAL
+    PPM header plus exact per-channel means, Rec.601 luma of the raw
+    means, and the peak byte — encode→decode round-trip through
+    operators/multimodal.py parse_ppm. Docs shorter than one pixel row
+    (48 bytes) decode as a legal 0-row image and emit NULL stats,
+    identically on both engines. Map-only plan (synth + decode are the
+    same Arrow pipeline; zero shuffles end to end)."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_ppm_features,
+        with_ppm_payload,
+    )
+
+    docs = with_ppm_payload(load_table(spark, sf_dir, "documents"))
+    feats = decode_ppm_features(docs)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "max_byte",
+    )

@@ -176,3 +176,50 @@ def test_wav_rejects_truncated_and_multichannel(spark, tmp_path):
     sdf = spark.createDataFrame(pdf)
     with pytest.raises(Exception, match="channel"):
         decode_wav_features(sdf).collect()
+
+
+def test_ppm_roundtrip_and_comments():
+    """encode_ppm → parse_ppm must round-trip geometry + pixels exactly,
+    honor '#' comments in the header whitespace, and reject malformed
+    payloads loudly (bad magic, wrong maxval, geometry/payload size
+    mismatch, junk header tokens)."""
+    import numpy as np
+    import pytest
+
+    from pipeline_mf_etl_spark.operators.multimodal import encode_ppm, parse_ppm
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=3 * 16 * 5, dtype=np.uint8).tobytes()
+    out = parse_ppm(encode_ppm(rgb, 16, 5))
+    assert (out["width"], out["height"], out["maxval"]) == (16, 5, 255)
+    assert out["pixels"].tobytes() == rgb
+
+    # comments between header tokens are legal and must be skipped
+    commented = b"P6\n# synthetic\n16 # w\n5\n# maxval next\n255\n" + rgb
+    cm = parse_ppm(commented)
+    assert (cm["width"], cm["height"]) == (16, 5)
+    assert cm["pixels"].tobytes() == rgb
+
+    # 0-row image is legal (short docs synth to this)
+    empty = parse_ppm(encode_ppm(b"", 16, 0))
+    assert empty["height"] == 0 and len(empty["pixels"]) == 0
+
+    with pytest.raises(ValueError, match="P6"):
+        parse_ppm(b"P3\n1 1\n255\n000")
+    with pytest.raises(ValueError, match="maxval"):
+        parse_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+    with pytest.raises(ValueError, match="pixel"):
+        parse_ppm(b"P6\n4 4\n255\n" + b"\x00" * 5)
+    with pytest.raises(ValueError, match="non-numeric"):
+        parse_ppm(b"P6\nwide 1\n255\n\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_ppm(b"P6\n16 ")
+
+
+def test_ppm_decode_media_dispatch():
+    """image/x-portable-pixmap decodes natively through decode_media;
+    compressed image formats stay gated."""
+    from pipeline_mf_etl_spark.operators.multimodal import decode_media, encode_ppm
+
+    out = decode_media(encode_ppm(b"\x01\x02\x03" * 16, 16, 1), "image/x-portable-pixmap")
+    assert out["width"] == 16 and out["height"] == 1

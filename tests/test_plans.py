@@ -289,3 +289,10 @@ def test_ivfpq_probed_equi_join_only(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_image_decode_map_only(spark):
+    """mm5 is synth + decode over the same rows — the plan must stay a
+    map-only pipeline: zero shuffles end to end (mirror of mm4)."""
+    plan = _plan(spark, "mm5_image_decode")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
