@@ -38,6 +38,11 @@ HEADLINE = (
     "st1_tumbling_daily",     # event-time tumbling windows
     # added round 4 (totals before r4 cover the first 14 only)
     "v1_tmf_tti_panel",       # viewer panel: 4 RMAs in one island pass
+    # added round 5 (r4-comparable subtotal = first 15)
+    "e6_ann_ivfpq",           # production ANN: IVF-PQ encode+ADC search
+    "d7_curation_waterfall",  # end-to-end 5-stage corpus curation
+    "t9_trigram_lm",          # corpus-trained trigram LM quality score
+    "v4_hmm_ribbon",          # HMM decode ribbon (persisted-fit family)
 )
 
 

@@ -166,6 +166,12 @@ def _verified_pairs(docs: DataFrame, return_shingles: bool = False):
     persisted shingle frame to the caller, so an EAGER consumer that
     materializes the pairs (d6's connected components) can unpersist
     the cache instead of leaving it pinned for the session."""
+    # Evict BEFORE persisting the new frame: Spark's cache manager keys
+    # entries by ANALYZED PLAN, not object identity, so unpersisting an
+    # old parked frame after the new persist would evict the new cache
+    # too whenever both were built over the same corpus (same plan).
+    while _LAZY_SHINGLE_CACHE:
+        _LAZY_SHINGLE_CACHE.pop().unpersist()
     sh = exploded_shingles(docs, "doc_id", "text", n=3).persist()
     sig = minhash_signatures(sh, "doc_id", k=16)
     cand = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4)
@@ -174,8 +180,6 @@ def _verified_pairs(docs: DataFrame, return_shingles: bool = False):
         return verified, sh
     # Lazy path: the caller never sees sh, so park it in the one-slot
     # eviction cache (see _LAZY_SHINGLE_CACHE above).
-    while _LAZY_SHINGLE_CACHE:
-        _LAZY_SHINGLE_CACHE.pop().unpersist()
     _LAZY_SHINGLE_CACHE.append(sh)
     return verified
 

@@ -27,18 +27,13 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, "QuerySpec"] = {}
 
 # Modules that register queries on import. Order matters: the driver's
-# correctness harness certifies the first 50 registered queries. Round-4
-# rotation: round 3 certified the quality/windows/relational families
-# plus the priority set (all green), so those register LAST; the filler
-# slots after _PRIORITY re-certify validation, backtest, and d1/d2 (last
-# green row round 2). OUTSIDE the round-4 window, rotate in first next
-# round: (a) round-2-green-on-unchanged-code backlog — m16_event_study,
-# m21_walkforward, d3_simhash, d4_ngram_jaccard, w3_ewm_wilder,
-# f1_flow_states, f2_flow_activity; (b) NEW late-round-4 queries never
-# driver-certified (local parity green) — d6_canonical_docs,
-# t9_trigram_lm, m7b_silhouette_sampled, st7_stream_neardup,
-# d7_curation_waterfall, e5_ann_pq, e6_ann_ivfpq, o11_split_leakage,
-# t10_source_quality, st8_stream_quality_route.
+# correctness harness certifies the first 50 registered queries; the
+# _PRIORITY tuple below pins the round-5 window exactly (see its section
+# comments). OUTSIDE the round-5 window (all green r3/r4 on code
+# untouched this round): the backtest/validation/viewer families, the
+# quality/windows/relational families, stats bootstraps, and
+# mm2/mm3/v1-v3 — rotate back in next round any of those whose files
+# change, plus whatever round 6 adds.
 # NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
 # so keep backtest ahead of viewer in this list (otherwise backtest's
 # queries register mid-viewer-import and the fill order shifts).
@@ -71,77 +66,68 @@ _QUERY_MODULES = (
 # certification (VERDICT r3 "what's wrong" #1 — parity-green locally but
 # the hard signal is one round stale).
 _PRIORITY = (
-    # new or changed this round — never certified in current form
-    "b6_trade_sim",
-    "m7_cluster_quality",
-    "mm4_wav_decode",
-    "v1_tmf_tti_panel",
-    "v2_viewer_markers",
-    "v3_reading_labels",
-    # r3-modified but last certified r1/r2 (similarity norm precompute,
-    # dedupe checkpoint freeing, text tokenization reuse, scaler/profile
-    # refactors, mm2 oracle hardening, streaming transforms)
-    "e1_ann_bruteforce",
-    "e2_ann_bucketed",
-    "e3_embedding_neardup",
+    # --- round-5 window ---
+    # (1) the r4 red row: o10's oracle gained its missing BIGINT cast
+    "o10_token_budget_mix",
+    # (2) never-driver-certified late-r4 queries (all local-parity green)
+    "d6_canonical_docs",
+    "d7_curation_waterfall",
+    "t9_trigram_lm",
+    "t10_source_quality",
+    "m7b_silhouette_sampled",
+    "st7_stream_neardup",
+    "st8_stream_quality_route",
+    "e5_ann_pq",
+    "e6_ann_ivfpq",
+    "o11_split_leakage",
+    # (3) edited-after-green stragglers (viewer/m17/dedup r4 edits)
+    "w3_ewm_wilder",
+    "f1_flow_states",
+    "f2_flow_activity",
+    "m16_event_study",
+    "m21_walkforward",
+    "d3_simhash",
+    "d4_ngram_jaccard",
+    # (4) code changed THIS round: e4's assignment kernel is the new
+    # map-only ivf_assign_cells; dedup.py gained the pair export +
+    # eviction cache (d1/d2/d5 share the file); mm5 is new; streaming
+    # transforms' doc-stream path changed (st1-st8 share the module)
+    "e4_ann_ivf",
+    "d1_exact_dedupe",
+    "d2_minhash_lsh",
     "d5_neardup_groups",
+    "mm5_image_decode",
+    "st5_stream_dedupe",
+    "st1_tumbling_daily",
+    "st2_sliding_windows",
+    "st3_session_windows",
+    "st4_stateful_user_stats",
+    "st6_stream_enrich",
+    # (5) same-file staleness cover: text.py (t9 rework), similarity.py
+    # (assignment kernel), corpus.py (o10 cast), export.py (have/read
+    # helpers — every export-backed fit query reads through it),
+    # multimodal files (mm5)
     "t1_lang_id",
     "t2_quality_score",
     "t3_top_terms",
     "t4_fingerprint",
     "t5_token_stats",
-    "mm1_binary_metadata",
-    "mm2_byte_features",
-    "mm3_frame_sample",
-    "st1_tumbling_daily",
-    "st2_sliding_windows",
-    "st3_session_windows",
-    "st4_stateful_user_stats",
-    "m1_global_scaler",
-    "m2_per_group_scaler",
-    "m8_state_profiles",
-    "m12_dwell_stats",
-    "m17_trend_slope",
-    "j8_transition_matrix",
-    # r4-changed: IVF centroid fit now hash-samples (uniform draw), so
-    # e4's export contents changed — recertify over the new centroids
-    "e4_ann_ivf",
-    # r4-changed: the decoded export now carries ts/value for the v4
-    # ribbon (schema widened, builder refactored into a shared helper)
-    "v4_hmm_ribbon",
+    "t6_pii_scrub",
+    "t7_repetition_quality",
+    "t8_contamination",
+    "e1_ann_bruteforce",
+    "e2_ann_bucketed",
+    "e3_embedding_neardup",
+    "o9_stratified_sample",
+    "m4_kmeans_profile",
+    "m5_gmm_mixture",
+    "m6_density_clusters",
     "m10_hmm_states",
-    # r4-new: portfolio summary over the shared equity curve
-    "b15_equity_summary",
-    # r4-new: stream-static broadcast enrichment, landed after the
-    # window was first pinned — never certified, so it takes the slot
-    # of m16_event_study (green r2, code unchanged since; rotate m16
-    # back in next round alongside m21)
-    "st6_stream_enrich",
-    # Explicit window tail (positions 33-50): the validation/backtest/
-    # dedup families whose last green row is round 2 — several were
-    # touched again this round (b4 gate refactor, b8 equity-curve
-    # split, m17 global-matrix fold, d2's r3 shingle-join rework), so
-    # they must recertify. m21_walkforward (green r2, untouched since)
-    # yields its slot to the new o10 mixing query — rotate m21 back in
-    # next round.
-    "m18_hardening_policy",
-    "m17_frobenius_stability",
-    "b2_state_eligibility",
-    "b4_execution_realism",
-    "b5_signals",
-    "b7_trade_metrics",
-    "b8_equity_curve",
-    "b10_sensitivity_grid",
-    "b14_calibration_sweep",
-    "b13_candidate_drift",
-    "b3_overlay_pass_modes",
-    "b12_walkforward_grid",
-    "b1_input_adapter",
-    "b11_robustness_score",
-    "d1_exact_dedupe",
-    "d2_minhash_lsh",
-    # r4-new: token-budget corpus mixing (LLM-pipeline family)
-    "o10_token_budget_mix",
+    "m20_ari_vs_truth",
+    "v4_hmm_ribbon",
+    "m7_cluster_quality",
+    "mm4_wav_decode",
+    "mm1_binary_metadata",
 )
 
 

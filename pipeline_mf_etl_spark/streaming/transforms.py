@@ -219,15 +219,16 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
-    # Stream the table path itself rather than globbing the parent dir:
-    # a glob on "documents.parquet" only matches the single-file layout,
-    # while curate_corpus writes documents.parquet as a Spark DIRECTORY
-    # of part files — pointing at the path handles both layouts.
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(path)
-    )
+    # Two on-disk layouts exist: the testdata generator writes
+    # documents.parquet as a single FILE, while curate_corpus writes it
+    # as a Spark DIRECTORY of part files. Spark's file stream source
+    # requires a directory basePath, so stream the directory itself when
+    # the table is one, and fall back to globbing the parent for the
+    # single-file layout (where the old glob is correct).
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
 
 
 def neardup_candidates_against_index(docs: DataFrame, index: DataFrame) -> DataFrame:

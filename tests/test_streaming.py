@@ -256,3 +256,32 @@ def test_stream_quality_route_matches_batch(spark):
     assert len(batch) > 0
     routes = {r[-1] for r in batch}
     assert routes == {"admit", "reject"}, routes
+
+
+def test_read_documents_stream_directory_layout(spark, tmp_path):
+    """read_documents_stream must also work when documents.parquet is a
+    Spark DIRECTORY of part files — the layout curate_corpus writes —
+    not just the testdata generator's single-file layout (ADVICE r4:
+    the old parent-dir glob silently read zero rows from a curated
+    corpus directory)."""
+    import uuid
+
+    from pipeline_mf_etl_spark.sources.readers import load_table
+    from pipeline_mf_etl_spark.streaming import read_documents_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "curated")
+    docs.repartition(3).write.parquet(f"{out}/documents.parquet")
+
+    stream = read_documents_stream(spark, out)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql(f"SELECT COUNT(*) FROM {name}").collect()[0][0]
+    assert n == docs.count() > 0
