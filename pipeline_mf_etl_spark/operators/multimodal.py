@@ -65,23 +65,26 @@ def decode_media(payload_bytes: bytes, mime: str):
         return parse_wav(payload_bytes)
     if mime.startswith("image/x-portable-pixmap"):
         return parse_ppm(payload_bytes)
-    # Image/video decode is not implemented in this engine regardless of
-    # installed libraries — raise ALWAYS (returning None silently would
-    # hide the gap in environments where PIL happens to be importable);
-    # chain the ImportError when the codec lib is the missing piece.
+    if mime.startswith("video/x-yuv4mpeg"):
+        return parse_y4m(payload_bytes)
+    # COMPRESSED image/video decode is not implemented in this engine
+    # regardless of installed libraries — raise ALWAYS (returning None
+    # silently would hide the gap in environments where PIL happens to be
+    # importable); chain the ImportError when the codec lib is the
+    # missing piece. Uncompressed formats decode natively above.
     try:  # pragma: no cover - depends on env
         import PIL.Image  # noqa: F401
 
         raise NotImplementedError(
             f"decode for mime {mime!r} is not implemented; integrate "
-            "PIL/av here in production images. audio/wav decodes "
-            "natively via parse_wav."
+            "PIL/av here in production images. audio/wav, image PPM and "
+            "video Y4M decode natively (parse_wav/parse_ppm/parse_y4m)."
         )
     except ImportError as exc:
         raise NotImplementedError(
-            "image/video decode requires a codec library (PIL/av); "
-            "install them in production images. audio/wav decodes "
-            "natively via parse_wav."
+            "compressed image/video decode requires a codec library "
+            "(PIL/av); install them in production images. audio/wav, "
+            "image PPM and video Y4M decode natively."
         ) from exc
 
 
@@ -421,3 +424,184 @@ def decode_ppm_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in PPM_FEATURE_SCHEMA.fields])
 
     return df.select(id_col, "payload").mapInPandas(feats, PPM_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — dependency-free encoder (synthesis side) + decoder
+# (the real video-codec path; completes the WAV/PPM pattern for the
+# third modality). Layout: one ASCII stream header
+# "YUV4MPEG2 W<w> H<h> F<num>:<den> [Ip A1:1 Cmono ...]\n", then per
+# frame a "FRAME[ <params>]\n" marker followed by the raw planar
+# payload. Colorspace fixes the frame byte count: Cmono = w*h (luma
+# only), C444 = 3*w*h; the spec DEFAULT when no C tag is present is
+# C420 (1.5*w*h) — a parser that ignores the tag mis-strides every
+# frame after the first.
+# ---------------------------------------------------------------------------
+Y4M_WIDTH = 8
+Y4M_HEIGHT = 8
+Y4M_FPS = (25, 1)
+
+_Y4M_FRAME_BYTES = {"mono": 1.0, "444": 3.0, "420": 1.5, "420jpeg": 1.5, "420paldv": 1.5}
+
+
+def encode_y4m(
+    frames: np.ndarray,
+    width: int,
+    height: int,
+    fps: tuple[int, int] = Y4M_FPS,
+    colorspace: str = "mono",
+) -> bytes:
+    """Serialize frames (n_frames, bytes_per_frame) as a standards-
+    compliant YUV4MPEG2 stream."""
+    per = _Y4M_FRAME_BYTES[colorspace] * width * height
+    if per != int(per):
+        raise ValueError(f"{width}x{height} {colorspace} has fractional frame size")
+    per = int(per)
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 2 or frames.shape[1] != per:
+        raise ValueError(
+            f"frames must be (n, {per}) for {width}x{height} C{colorspace}, "
+            f"got {frames.shape}"
+        )
+    hdr = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C{colorspace}\n"
+    out = [hdr.encode("ascii")]
+    for i in range(frames.shape[0]):
+        out.append(b"FRAME\n")
+        out.append(frames[i].tobytes())
+    return b"".join(out)
+
+
+def parse_y4m(payload: bytes) -> dict:
+    """REAL minimal Y4M decoder: validate the YUV4MPEG2 magic, parse the
+    stream-header tags (W/H required; F required; C optional with the
+    spec's 420 default), then walk the FRAME markers verifying each
+    frame's payload is exactly the colorspace-implied byte count. Fails
+    loudly on malformed input, unknown colorspaces, or a truncated final
+    frame — never guesses."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    width = height = fps_num = fps_den = None
+    colorspace = "420"  # spec default when no C tag is present
+    for tag in payload[9:nl].split():
+        key, val = tag[:1], tag[1:].decode("ascii", "replace")
+        if key == b"W":
+            width = int(val)
+        elif key == b"H":
+            height = int(val)
+        elif key == b"F":
+            num, _, den = val.partition(":")
+            fps_num, fps_den = int(num), int(den)
+        elif key == b"C":
+            colorspace = val
+        # Ip / A1:1 / X-comments are legal and irrelevant to geometry
+    if width is None or height is None or fps_num is None:
+        raise ValueError("Y4M header missing required W/H/F tags")
+    if colorspace not in _Y4M_FRAME_BYTES:
+        raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+    per = _Y4M_FRAME_BYTES[colorspace] * width * height
+    if per != int(per):
+        raise ValueError(f"{width}x{height} C{colorspace} has fractional frame size")
+    per = int(per)
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        if fnl + 1 + per > len(payload):
+            raise ValueError(
+                f"truncated Y4M: frame {len(frames)} needs {per} bytes, "
+                f"{len(payload) - fnl - 1} remain"
+            )
+        frames.append(np.frombuffer(payload, dtype=np.uint8, count=per, offset=fnl + 1))
+        pos = fnl + 1 + per
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "colorspace": colorspace,
+        "frames": np.vstack(frames) if frames else np.empty((0, per), dtype=np.uint8),
+    }
+
+
+Y4M_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("fps_num", LongType(), False),
+        StructField("fps_den", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("max_luma", LongType(), True),
+    ]
+)
+
+
+def with_y4m_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic Y4M payload per row: the UTF-8 text
+    bytes become consecutive mono luma frames at fixed geometry
+    ``Y4M_WIDTH``×``Y4M_HEIGHT`` (64 bytes/frame), truncated to whole
+    frames (short docs yield a legal 0-frame stream). Arrow-batched; the
+    mapping is invertible so an oracle can derive decoded frame stats
+    straight from the characters."""
+    from pyspark.sql.types import BinaryType
+
+    per = Y4M_WIDTH * Y4M_HEIGHT
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), False)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for t in pdf[text_col]:
+                raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                n = len(raw) // per
+                payloads.append(
+                    encode_y4m(raw[: n * per].reshape(n, per), Y4M_WIDTH, Y4M_HEIGHT)
+                )
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("video/x-yuv4mpeg"))
+
+
+def decode_y4m_frame_stats(
+    df: DataFrame, id_col: str = "doc_id", stride: int = 4
+) -> DataFrame:
+    """Decode each Y4M payload (REAL parse, not a byte passthrough),
+    sample every ``stride``-th frame, and emit one row per sampled frame
+    with exact luma statistics — decode + frame-sample fan-out in a
+    single map-only Arrow pass (one output row per sampled frame, zero
+    shuffles). Integer luma sums divide in float64 (exact-int/exact-int)
+    so any engine agrees bitwise before rounding. 0-frame streams emit
+    no rows, matching the explode-shaped sampler (mm3) semantics."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                v = parse_y4m(bytes(payload))
+                fr = v["frames"].astype(np.int64)
+                n = fr.shape[0]
+                per = fr.shape[1]
+                for idx in range(0, n, stride):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            v["width"],
+                            v["height"],
+                            v["fps_num"],
+                            v["fps_den"],
+                            n,
+                            idx,
+                            float(fr[idx].sum()) / per,
+                            int(fr[idx].max()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in Y4M_FRAME_SCHEMA.fields])
+
+    return df.select(id_col, "payload").mapInPandas(feats, Y4M_FRAME_SCHEMA)

@@ -238,3 +238,66 @@ def mm5_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_luma", 6).alias("mean_luma"),
         "max_byte",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm6: decoded-VIDEO frame stats — encode→decode round-trip through the
+# real dependency-free Y4M (YUV4MPEG2) codec (operators/multimodal.py
+# parse_y4m), closing the video leg the same way mm4/mm5 closed audio
+# and image. Decode + every-4th-frame sampling run in ONE map-only Arrow
+# pass; the oracle derives each sampled frame's luma stats straight from
+# the characters (ASCII corpus: ord == byte; frame f covers text bytes
+# [64f, 64f+64), partial trailing frames truncated at encode time).
+# ---------------------------------------------------------------------------
+@query(
+    "mm6_video_decode",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) // 64 AS nf
+        FROM documents
+    ), chars AS (
+        SELECT g.doc_id, g.nf,
+               (i - 1) // 64 AS frame_idx,
+               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+        FROM geo g, UNNEST(range(1, CAST(g.nf * 64 + 1 AS BIGINT))) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(25 AS BIGINT) AS fps_num,
+           CAST(1 AS BIGINT) AS fps_den,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           ROUND(SUM(byte) * 1.0 / 64, 6) AS mean_luma,
+           CAST(MAX(byte) AS BIGINT) AS max_luma
+    FROM chars
+    WHERE frame_idx % 4 = 0
+    GROUP BY doc_id, nf, frame_idx
+    """,
+)
+def mm6_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-video frame stats: geometry + frame rate parsed from the
+    REAL Y4M stream header, every 4th frame sampled, exact per-frame
+    luma mean/peak — encode→decode round-trip through
+    operators/multimodal.py parse_y4m. Docs shorter than one 8×8 frame
+    (64 bytes) decode as a legal 0-frame stream and emit no rows,
+    matching the mm3 fan-out semantics. Map-only plan (synth + decode +
+    sampling are the same Arrow pipeline; zero shuffles end to end)."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_y4m_frame_stats,
+        with_y4m_payload,
+    )
+
+    docs = with_y4m_payload(load_table(spark, sf_dir, "documents"))
+    frames = decode_y4m_frame_stats(docs, stride=4)
+    return frames.select(
+        "doc_id",
+        "width",
+        "height",
+        "fps_num",
+        "fps_den",
+        "n_frames",
+        "frame_idx",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "max_luma",
+    )

@@ -97,6 +97,7 @@ _PRIORITY = (
     "d2_minhash_lsh",
     "d5_neardup_groups",
     "mm5_image_decode",
+    "mm6_video_decode",
     "st5_stream_dedupe",
     "st1_tumbling_daily",
     "st2_sliding_windows",
@@ -118,6 +119,9 @@ _PRIORITY = (
     "e1_ann_bruteforce",
     "e2_ann_bucketed",
     "e3_embedding_neardup",
+    # NOTE: 51 names — one past the driver's 50-query window, so the
+    # LAST entry (mm1: pure-JVM expressions, green r4, code path
+    # untouched by the mm5/mm6 appends) is the designated overflow.
     "o9_stratified_sample",
     "m4_kmeans_profile",
     "m5_gmm_mixture",

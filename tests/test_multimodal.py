@@ -223,3 +223,92 @@ def test_ppm_decode_media_dispatch():
 
     out = decode_media(encode_ppm(b"\x01\x02\x03" * 16, 16, 1), "image/x-portable-pixmap")
     assert out["width"] == 16 and out["height"] == 1
+
+
+def test_y4m_roundtrip_and_header_tags():
+    """encode_y4m → parse_y4m must round-trip geometry, frame rate and
+    every frame bit-exactly; honor optional header tags (Ip, A, X-) and
+    per-frame FRAME parameters; apply the spec's C420 default; and
+    reject malformed payloads loudly (bad magic, missing tags, unknown
+    colorspace, truncated frame, junk between frames)."""
+    import numpy as np
+    import pytest
+
+    from pipeline_mf_etl_spark.operators.multimodal import encode_y4m, parse_y4m
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, size=(5, 64), dtype=np.uint8)
+    out = parse_y4m(encode_y4m(frames, 8, 8))
+    assert (out["width"], out["height"]) == (8, 8)
+    assert (out["fps_num"], out["fps_den"]) == (25, 1)
+    assert out["colorspace"] == "mono"
+    assert np.array_equal(out["frames"], frames)
+
+    # 0-frame stream is legal (short docs synth to this)
+    empty = parse_y4m(encode_y4m(np.empty((0, 64), dtype=np.uint8), 8, 8))
+    assert empty["frames"].shape == (0, 64)
+
+    # C444 strides 3*w*h per frame; a parser ignoring the tag mis-reads
+    f444 = rng.integers(0, 256, size=(2, 3 * 4 * 2), dtype=np.uint8)
+    out444 = parse_y4m(encode_y4m(f444, 4, 2, colorspace="444"))
+    assert np.array_equal(out444["frames"], f444)
+
+    # spec default colorspace (no C tag) is 420 = 1.5*w*h per frame
+    body = b"FRAME\n" + bytes(range(6))
+    dflt = parse_y4m(b"YUV4MPEG2 W2 H2 F30:1\n" + body)
+    assert dflt["colorspace"] == "420" and dflt["frames"].shape == (1, 6)
+
+    # extra header tags + per-frame params are legal and skipped
+    tagged = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono Xsynthetic\nFRAME Ixyz\n\x01\x02\x03\x04"
+    tg = parse_y4m(tagged)
+    assert tg["frames"].tolist() == [[1, 2, 3, 4]]
+
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        parse_y4m(b"NOTAVIDEO\n")
+    with pytest.raises(ValueError, match="W/H/F"):
+        parse_y4m(b"YUV4MPEG2 W8 H8\nFRAME\n" + b"\x00" * 96)
+    with pytest.raises(ValueError, match="colorspace"):
+        parse_y4m(b"YUV4MPEG2 W8 H8 F25:1 C422\nFRAME\n" + b"\x00" * 128)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_y4m(b"YUV4MPEG2 W8 H8 F25:1 Cmono\nFRAME\n" + b"\x00" * 63)
+    with pytest.raises(ValueError, match="FRAME marker"):
+        parse_y4m(b"YUV4MPEG2 W2 H2 Cmono F25:1\nJUNK\n\x00\x00\x00\x00")
+
+
+def test_y4m_frame_stats_match_text(spark, tmp_path):
+    """mm6 end-to-end on a tiny corpus: per-frame luma stats must equal
+    stats computed directly from the text bytes (frame f = bytes
+    [64f, 64f+64)), sampling every 4th frame, with sub-frame docs
+    emitting no rows."""
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    texts = {
+        1: "a" * 300,   # 4 frames -> sampled frames 0
+        2: "xy" * 160,  # 5 frames -> sampled 0, 4
+        3: "short",     # 0 frames -> no rows
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+
+    rows = all_queries()["mm6_video_decode"].spark(spark, str(tmp_path)).collect()
+    got = {(r["doc_id"], r["frame_idx"]): r for r in rows}
+    expect_keys = {(1, 0), (2, 0), (2, 4)}
+    assert set(got) == expect_keys
+    for (doc_id, fidx), r in got.items():
+        raw = np.frombuffer(texts[doc_id].encode(), dtype=np.uint8)[
+            fidx * 64 : (fidx + 1) * 64
+        ].astype(np.int64)
+        assert r["n_frames"] == len(texts[doc_id]) // 64
+        assert r["mean_luma"] == round(float(raw.sum()) / 64, 6)
+        assert r["max_luma"] == int(raw.max())
+        assert (r["width"], r["height"], r["fps_num"], r["fps_den"]) == (8, 8, 25, 1)
