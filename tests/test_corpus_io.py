@@ -1,0 +1,90 @@
+"""JSONL corpus source/sink: round-trip fidelity, explicit-schema read,
+corrupt-line rejects side-channel, missing-key semantics."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.sources.corpus_io import (
+    DOCUMENTS_SCHEMA,
+    read_jsonl_corpus,
+    write_jsonl_corpus,
+)
+from pipeline_mf_etl_spark.sources.readers import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_jsonl_roundtrip_documents(spark, tmp_path):
+    """documents → JSONL.gz → documents must be lossless (same rows,
+    same types), with zero rejects on clean data."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl_corpus(docs, out)
+    assert glob.glob(os.path.join(out, "*.json.gz")), "expected gzip part files"
+
+    valid, rejects = read_jsonl_corpus(spark, out)
+    assert rejects.count() == 0
+    assert valid.schema == DOCUMENTS_SCHEMA
+    orig = {tuple(r) for r in docs.select(*[f.name for f in DOCUMENTS_SCHEMA]).collect()}
+    back = {tuple(r) for r in valid.collect()}
+    assert back == orig
+
+
+def test_jsonl_rejects_side_channel(spark, tmp_path):
+    """Malformed JSON and type-conflicting rows land in rejects with
+    their raw bytes; valid-but-sparse rows stay valid with nulls."""
+    p = tmp_path / "corpus"
+    p.mkdir()
+    lines = [
+        json.dumps({"doc_id": 1, "text": "good", "lang": "en", "source": "a", "n_chars": 4}),
+        '{"doc_id": 2, "text": "unterminated',          # not JSON
+        json.dumps({"doc_id": "NaN?", "text": "bad type"}),  # doc_id not a long
+        json.dumps({"doc_id": 4}),                      # missing keys = nulls, valid
+    ]
+    (p / "part-0.jsonl").write_text("\n".join(lines) + "\n")
+
+    valid, rejects = read_jsonl_corpus(spark, str(p))
+    vrows = {r["doc_id"]: r for r in valid.collect()}
+    assert set(vrows) == {1, 4}
+    assert vrows[4]["text"] is None  # sparse, not rejected
+    rrows = rejects.collect()
+    assert {r["reason"] for r in rrows} == {"BAD_JSON"}
+    raws = [r["raw_line"] for r in rrows]
+    assert any("unterminated" in r for r in raws)
+    assert any("NaN?" in r for r in raws)
+
+
+def test_jsonl_uncompressed_splittable_and_infer(spark, tmp_path):
+    """compression=None emits plain .json parts (splittable on re-read);
+    schema=None takes the documented inference path."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    out = str(tmp_path / "plain")
+    write_jsonl_corpus(docs, out, compression=None)
+    parts = glob.glob(os.path.join(out, "part-*"))
+    assert parts and not any(f.endswith(".gz") for f in parts)
+
+    valid, rejects = read_jsonl_corpus(spark, out, schema=None)
+    assert rejects.count() == 0
+    assert valid.count() == 20
+    assert valid.filter(F.col("text").isNull()).count() == 0
+
+
+def test_jsonl_gzip_lines_parse_standalone(tmp_path, spark):
+    """The .gz parts are genuine JSONL: gunzip + json.loads per line
+    succeeds outside Spark (interchange-format contract)."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(5)
+    out = str(tmp_path / "gz")
+    write_jsonl_corpus(docs, out)
+    n = 0
+    for part in glob.glob(os.path.join(out, "*.json.gz")):
+        with gzip.open(part, "rt") as fh:
+            for line in fh:
+                obj = json.loads(line)
+                assert "doc_id" in obj
+                n += 1
+    assert n == 5
