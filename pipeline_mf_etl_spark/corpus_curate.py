@@ -77,10 +77,25 @@ def curation_decision_frame(
     # near-dup clustering runs on the EXACT-stage survivors: a cluster
     # whose best-quality canonical happens to be an exact-dup non-keeper
     # (same token set, different raw text) would otherwise lose every
-    # member — the canonical to the exact stage, the rest to this one
+    # member — the canonical to the exact stage, the rest to this one.
+    # The pair graph comes from the shared raw-corpus export: MinHash
+    # signatures, band buckets and pair Jaccard are all PER-DOC/PER-PAIR
+    # quantities, so the survivor subset's pair graph is exactly the
+    # raw pair set restricted to pairs with BOTH endpoints surviving —
+    # two doc_id equi-joins replace recomputing the whole MinHash chain
+    # (the most expensive subplan in the family) inside the waterfall.
+    from pipeline_mf_etl_spark.queries.dedup import verified_pairs_export
+
     after_exact = docs.join(exact.select("doc_id"), "doc_id", "left_anti")
+    surv = after_exact.select("doc_id")
+    pairs = (
+        verified_pairs_export(spark, sf_dir)
+        .select("a", "b")
+        .join(surv.select(F.col("doc_id").alias("a")), "a")
+        .join(surv.select(F.col("doc_id").alias("b")), "b")
+    )
     near = (
-        ranked_neardup_clusters(after_exact)
+        ranked_neardup_clusters(after_exact, pairs=pairs)
         .filter(F.col("rk") > 1)
         .select("doc_id", flag.alias("f_near"))
     )

@@ -419,10 +419,12 @@ def ranked_neardup_clusters(docs: DataFrame, pairs: DataFrame | None = None) -> 
     connected components iterates join+count rounds when called.
 
     ``pairs`` (optional): a precomputed verified-pair frame — e.g.
-    :func:`verified_pairs_export` — so callers over the RAW corpus skip
-    recomputing the MinHash chain; when None the chain runs inline
-    (the curation pipeline passes a FILTERED doc set whose pair graph
-    differs from the raw corpus, so it must compute its own).
+    :func:`verified_pairs_export` — so callers skip recomputing the
+    MinHash chain; when None the chain runs inline. Signatures, band
+    buckets and pair Jaccard are per-doc/per-pair quantities, so a
+    caller over a FILTERED doc set (the curation waterfall) can reuse
+    the raw-corpus export too: its pair graph is exactly the export
+    restricted to pairs whose endpoints both survive the filter.
 
     Scale shape: the pair graph and CC shuffle on doc id only; the
     quality score is a single projection over the corpus joined to the

@@ -409,7 +409,6 @@ _T9_VOCAB = 5000
 
 @query(
     "t9_trigram_lm",
-    eager=True,
     oracle=f"""
     WITH norm AS (
         SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
@@ -445,97 +444,57 @@ def t9_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the out-of-vocab share. Docs shorter than 3 normalized chars emit no
     trigrams and are absent, identically on both engines.
 
-    EAGER builder: the model fit runs at build time (one JVM-side
-    groupBy(trigram) with map-side partial aggregation — shuffle volume
-    is bounded by distinct trigrams per task, not corpus rows — then a
-    TakeOrdered top-5000), and the bounded vocab is collected into a
-    closure dict. SCORING is then a single map-only Arrow stage over
-    the per-doc trigram ARRAY: vectorized dict lookups + segment sums,
-    no second explode, no join, no groupBy(doc_id) shuffle — the r4
-    string-trigram shuffle (0.80-of-linear in SCALE.md, worst scaler in
-    the repo) is gone; only the model groupBy touches the network. Log
-    values and final round-6 arithmetic stay JVM-side, so numeric
-    parity with the DuckDB oracle is byte-identical to the r4 path."""
+    Scale shape: trigram expansion is a JVM-side transform+explode (no
+    Python); the model is ONE groupBy(trigram) with map-side partial
+    aggregation, and the top-K vocab + one-row total are broadcast back,
+    so scoring is a map-only join + one groupBy(doc_id). Nothing driver-
+    side, nothing quadratic; the vocab cap keeps the broadcast constant
+    as the corpus grows. The count table feeds two branches (vocab,
+    total) and is persisted so the model groupBy runs once — it is the
+    SMALL frame (distinct trigrams), so the pinned cache is bounded;
+    the full trigram explode is deliberately NOT cached (a lazy builder
+    has no unpersist point, and pinning a corpus-sized explode per
+    invocation would dwarf the one extra scan it saves).
+
+    MEASURED DECISION (r5): an attempted rework that collected the vocab
+    driver-side and scored the per-doc trigram ARRAY in a mapInPandas
+    stage ("no join, no groupBy(doc_id)") was 5.5x SLOWER at 1x sf0.1
+    (21.6s vs 3.9s) with no growth-ratio gain (0.84 vs 0.80): shipping
+    ~30M three-char strings through Arrow into Python objects costs far
+    more than the JVM explode+broadcast-join+partial-agg it replaced.
+    This plan's 0.80-of-linear growth is the work itself (trigram volume
+    tracks corpus bytes, near-zero fixed overhead to amortize), not a
+    shuffle defect — scoring stays JVM-side."""
     docs = load_table(spark, sf_dir, "documents")
     norm = docs.select(
         "doc_id", F.regexp_replace(F.lower("text"), r"\s+", " ").alias("norm")
     )
     tri = norm.filter(F.length("norm") >= 3).select(
         "doc_id",
-        F.expr(
-            "transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))"
-        ).alias("tris"),
+        F.explode(
+            F.expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))")
+        ).alias("tri"),
     )
-    cnt = (
-        tri.select(F.explode("tris").alias("tri"))
-        .groupBy("tri")
-        .agg(F.count("*").alias("c"))
-        .persist()
+    cnt = tri.groupBy("tri").agg(F.count("*").alias("c")).persist()
+    gl = cnt.agg(F.sum("c").alias("total"))
+    vocab = (
+        cnt.crossJoin(F.broadcast(gl))
+        .orderBy(F.desc("c"), F.asc("tri"))
+        .limit(_T9_VOCAB)
+        .select("tri", F.log((F.col("c") * 1.0) / F.col("total")).alias("lp"))
     )
-    try:
-        total = int(cnt.agg(F.sum("c")).collect()[0][0] or 0)
-        if total == 0:
-            # empty corpus: no docs have >= 3 normalized chars
-            return spark.createDataFrame(
-                [], "doc_id BIGINT, n_trigrams BIGINT, mean_logprob DOUBLE, oov_share DOUBLE"
-            )
-        vocab_rows = (
-            cnt.orderBy(F.desc("c"), F.asc("tri"))
-            .limit(_T9_VOCAB)
-            .select("tri", F.log((F.col("c") * 1.0) / F.lit(total)).alias("lp"))
-            .collect()
+    floor = F.log(F.lit(0.5) / F.col("total"))
+    return (
+        tri.join(F.broadcast(vocab), "tri", "left")
+        .crossJoin(F.broadcast(gl))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg(F.coalesce(F.col("lp"), floor)), 6).alias("mean_logprob"),
+            F.round(
+                F.sum(F.when(F.col("lp").isNull(), 1).otherwise(0)) * 1.0 / F.count("*"), 6
+            ).alias("oov_share"),
         )
-    finally:
-        cnt.unpersist()
-    vocab = {r["tri"]: r["lp"] for r in vocab_rows}
-
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
-
-    id_field = tri.select("doc_id").schema.fields[0]
-    mid_schema = StructType(
-        [
-            id_field,
-            StructField("n_trigrams", LongType(), False),
-            StructField("sum_lp", DoubleType(), False),
-            StructField("n_oov", LongType(), False),
-        ]
-    )
-
-    def score(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            lists = pdf["tris"].to_numpy()
-            lens = np.fromiter((len(t) for t in lists), dtype=np.int64, count=len(lists))
-            flat = pd.Series(np.concatenate(lists), dtype=object)
-            lp = flat.map(vocab)  # C-speed hash lookups; NaN = OOV
-            oov = lp.isna().to_numpy()
-            lpv = lp.to_numpy(dtype="float64", na_value=0.0)
-            starts = np.zeros(len(lists), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_trigrams": lens,
-                    "sum_lp": np.add.reduceat(lpv, starts),
-                    "n_oov": np.add.reduceat(oov.astype(np.int64), starts),
-                }
-            )
-
-    floor = F.log(F.lit(0.5) / F.lit(total))
-    mid = tri.mapInPandas(score, mid_schema)
-    return mid.select(
-        "doc_id",
-        "n_trigrams",
-        # OOV trigrams contributed 0 to sum_lp; add the floor term here so
-        # ln stays a JVM computation (same libm as the r4 plan)
-        F.round(
-            (F.col("sum_lp") + F.col("n_oov") * floor) / F.col("n_trigrams"), 6
-        ).alias("mean_logprob"),
-        F.round(F.col("n_oov") * 1.0 / F.col("n_trigrams"), 6).alias("oov_share"),
     )
 
 
