@@ -405,3 +405,78 @@ def o11_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(lo.alias("split_lo"), hi.alias("split_hi")).agg(
         F.count("*").alias("n_neardup_pairs")
     ).withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
+
+
+# ---------------------------------------------------------------------------
+# O12: sequence packing — fill fixed-capacity token contexts with
+# documents (next-fit within md5-fold buckets). The packing step of a
+# pretraining data pipeline: short documents share a context window
+# instead of each paying padding to the context length. The oracle
+# replays the per-bucket prefix recurrence as a recursive CTE (the b6
+# pattern for sequential islands).
+# ---------------------------------------------------------------------------
+
+
+def _o12_oracle() -> str:
+    from pipeline_mf_etl_spark.operators.packing import PACK_BUCKETS, PACK_BUDGET
+    from pipeline_mf_etl_spark.queries.dedup import _FOLD
+
+    fold = _FOLD.format(x="'pack:' || CAST(doc_id AS VARCHAR)")
+    b = PACK_BUDGET
+    return f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               {fold} % {PACK_BUCKETS} AS bucket,
+               CAST(LEN(regexp_extract_all(LOWER(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), ord AS (
+        SELECT doc_id, bucket, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        FROM toks
+    ), pack AS (
+        SELECT bucket, rn, doc_id, n_tokens,
+               CAST(1 AS BIGINT) AS seq_id, n_tokens AS fill
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN p.fill + o.n_tokens > {b}
+                    THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.fill + o.n_tokens > {b}
+                    THEN o.n_tokens ELSE p.fill + o.n_tokens END
+        FROM pack p
+        JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, bucket, seq_id, n_tokens,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS seq_tokens,
+           CAST(COUNT(*) OVER w AS BIGINT) AS seq_n_docs,
+           ROUND(SUM(n_tokens) OVER w * 1.0 / {b}, 6) AS fill_ratio
+    FROM pack
+    WINDOW w AS (PARTITION BY bucket, seq_id)
+    """
+
+
+@query("o12_sequence_packing", oracle=_o12_oracle())
+def o12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document context assignment under next-fit sequence packing:
+    (bucket, seq_id) plus the packed sequence's token total, document
+    count and fill ratio against the 256-token budget. Buckets are the
+    scale/parallelism knob (one applyInPandas island per bucket; the
+    bucket groupBy is the plan's only shuffle — see
+    operators/packing.py). A doc longer than the budget sits alone in
+    its sequence with fill_ratio > 1, reported not hidden."""
+    from pipeline_mf_etl_spark.operators.packing import PACK_BUDGET, pack_next_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    packed = pack_next_fit(counted)
+    return packed.withColumn(
+        "fill_ratio", F.round(F.col("seq_tokens") * 1.0 / F.lit(PACK_BUDGET), 6)
+    )

@@ -80,6 +80,7 @@ _PRIORITY = (
     "e5_ann_pq",
     "e6_ann_ivfpq",
     "o11_split_leakage",
+    "o12_sequence_packing",
     # (3) edited-after-green stragglers (viewer/m17/dedup r4 edits)
     "w3_ewm_wilder",
     "f1_flow_states",
@@ -119,9 +120,10 @@ _PRIORITY = (
     "e1_ann_bruteforce",
     "e2_ann_bucketed",
     "e3_embedding_neardup",
-    # NOTE: 51 names — one past the driver's 50-query window, so the
-    # LAST entry (mm1: pure-JVM expressions, green r4, code path
-    # untouched by the mm5/mm6 appends) is the designated overflow.
+    # NOTE: 52 names — two past the driver's 50-query window, so the
+    # LAST entries (mm4/mm1: green r4, their with_wav_payload /
+    # with_binary_payload code paths untouched by the mm5/mm6 appends)
+    # are the designated overflow.
     "o9_stratified_sample",
     "m4_kmeans_profile",
     "m5_gmm_mixture",

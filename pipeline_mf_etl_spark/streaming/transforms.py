@@ -211,6 +211,36 @@ def dedupe_events_stream(events: DataFrame, within: str = "1 day") -> DataFrame:
     )
 
 
+def read_jsonl_corpus_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of ``sources/corpus_io.read_jsonl_corpus``: tail a
+    directory of JSONL files (the drop-zone of a corpus ingest — new
+    .jsonl/.jsonl.gz shards land, Spark's file source picks each up
+    once, checkpoint-tracked) with the SAME explicit documents schema
+    and the SAME corrupt-record column.
+
+    Returns the RAW parsed stream including ``_corrupt_record``: a
+    stream can't be cached and forked like the batch reader's two
+    return legs, so production routes it with ``foreachBatch`` (where
+    the batch-side filter split applies verbatim) or two filtered
+    sinks. Rows with a non-null ``_corrupt_record`` carry the raw bytes
+    of the malformed line; everything else parses under the explicit
+    schema — never inferred, a second full pass over the corpus is not
+    a thing a 100 TB stream can do."""
+    from pipeline_mf_etl_spark.sources.corpus_io import _CORRUPT, DOCUMENTS_SCHEMA
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    read_schema = StructType(
+        list(DOCUMENTS_SCHEMA.fields) + [StructField(_CORRUPT, StringType(), True)]
+    )
+    return (
+        spark.readStream.schema(read_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet — the incoming-doc
     firehose of a corpus-ingest pipeline (same checkpointed file

@@ -74,6 +74,52 @@ def test_jsonl_uncompressed_splittable_and_infer(spark, tmp_path):
     assert valid.filter(F.col("text").isNull()).count() == 0
 
 
+def test_jsonl_stream_matches_batch_read(spark, tmp_path):
+    """Streaming the JSONL drop-zone (availableNow, one file per
+    trigger) must yield exactly the batch reader's valid/reject split —
+    including corrupt lines planted across separate shard files."""
+    import json as _json
+
+    from pipeline_mf_etl_spark.streaming import read_jsonl_corpus_stream
+
+    zone = tmp_path / "dropzone"
+    zone.mkdir()
+    (zone / "shard-0.jsonl").write_text(
+        "\n".join(
+            _json.dumps(
+                {"doc_id": i, "text": f"doc {i}", "lang": "en", "source": "s", "n_chars": 5}
+            )
+            for i in range(5)
+        )
+        + "\n"
+    )
+    (zone / "shard-1.jsonl").write_text(
+        '{"doc_id": 100, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        '{"doc_id": broken\n'
+        '{"doc_id": 101}\n'
+    )
+
+    stream = read_jsonl_corpus_stream(spark, str(zone))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_ingest")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from jsonl_ingest").collect()
+
+    valid_b, rejects_b = read_jsonl_corpus(spark, str(zone))
+    valid_s = {tuple(r) for r in got if r["_corrupt_record"] is None}
+    # the stream's valid rows carry the trailing corrupt column; strip it
+    valid_s = {t[:-1] for t in valid_s}
+    assert valid_s == {tuple(r) for r in valid_b.collect()}
+    assert len(valid_s) == 7
+    rej_s = sorted(r["_corrupt_record"] for r in got if r["_corrupt_record"] is not None)
+    assert rej_s == sorted(r["raw_line"] for r in rejects_b.collect())
+    assert len(rej_s) == 1 and "broken" in rej_s[0]
+
+
 def test_jsonl_gzip_lines_parse_standalone(tmp_path, spark):
     """The .gz parts are genuine JSONL: gunzip + json.loads per line
     succeeds outside Spark (interchange-format contract)."""
