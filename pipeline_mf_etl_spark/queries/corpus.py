@@ -480,3 +480,104 @@ def o12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.withColumn(
         "fill_ratio", F.round(F.col("seq_tokens") * 1.0 / F.lit(PACK_BUDGET), 6)
     )
+
+
+# ---------------------------------------------------------------------------
+# O13: temperature-flattened source sampling — the multilingual/
+# multi-domain rebalancing idiom (sample stratum s at an effective
+# share ∝ n_s^α, α = 0.5): big sources are downsampled toward
+# sqrt-growth, small sources kept whole, so no single domain dominates
+# the mix. Per-stratum rate = min(1, sqrt(K / n_s)) gives an expected
+# kept count min(n_s, sqrt(K·n_s)) — exactly the α = 0.5 flattening —
+# WITHOUT any cross-stratum float sum: sqrt and division are IEEE
+# correctly-rounded (pow is not), so both engines compute the
+# bit-identical rate and the md5-fold Bernoulli admits the bit-
+# identical doc set. K is the "keep-whole" pivot (strata smaller than
+# K tokens^0 docs are untouched).
+# ---------------------------------------------------------------------------
+_TEMP_PIVOT = 100
+
+
+@query(
+    "o13_temperature_mix",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), rates AS (
+        SELECT source, n_docs,
+               LEAST(1.0, SQRT({_TEMP_PIVOT} * 1.0 / n_docs)) AS rate
+        FROM cnt
+    ), keyed AS (
+        SELECT d.doc_id, d.source, r.n_docs, r.rate,
+               list_reduce(list_transform(split(substr(md5(
+                   'temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15), ''),
+                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (acc, y) -> acc * 16 + y) AS h
+        FROM documents d JOIN rates r USING (source)
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(rate, 6) AS rate,
+           COUNT(*) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM keyed
+    WHERE (h % 1000000) / 1000000.0 < rate
+    GROUP BY source, n_docs, rate
+    """,
+)
+def o13_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (α = 0.5) per-source sampling: admit each
+    document Bernoulli(min(1, sqrt(K/n_source))) on the md5 fold —
+    expected kept count min(n_s, sqrt(K·n_s)), the sqrt-growth
+    flattening of a pretraining source mix. Plan shape: one
+    groupBy(source) for the tiny rate table, broadcast back onto the
+    doc stream, one admitted aggregate — same scale shape as o10."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    rates = cnt.select(
+        "source",
+        "n_docs",
+        F.least(F.lit(1.0), F.sqrt(F.lit(_TEMP_PIVOT) * 1.0 / F.col("n_docs"))).alias(
+            "rate"
+        ),
+    )
+    admitted = docs.join(F.broadcast(rates), "source").filter(
+        md5_unit(F.col("doc_id"), "temp:") < F.col("rate")
+    )
+    return admitted.groupBy("source", "n_docs", "rate").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    ).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round("rate", 6).alias("rate"),
+        "n_sampled",
+        "min_doc_id",
+        "max_doc_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A18: HyperLogLog distinct-count sketch — completes the mergeable-
+# sketch family (GK quantiles a16, count-min frequencies a17, HLL
+# cardinalities a18): the constant-memory alternative to an exact
+# COUNT(DISTINCT) whose shuffle grows with the key space. Rows-only by
+# design (HLL++ register layouts are engine-specific); the property
+# test bounds the estimate against the exact cardinality.
+# ---------------------------------------------------------------------------
+@query("a18_approx_distinct", oracle=None)
+def a18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users and distinct event days per event_type
+    via HLL++ (rsd = 2%): one pass, mergeable partials, no
+    key-space-sized shuffle — the 100 TB cardinality path."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct(F.to_date("ts"), rsd=0.02).alias("approx_days"),
+        )
+        .orderBy("event_type")
+    )

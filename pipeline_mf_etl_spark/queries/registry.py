@@ -81,6 +81,8 @@ _PRIORITY = (
     "e6_ann_ivfpq",
     "o11_split_leakage",
     "o12_sequence_packing",
+    "o13_temperature_mix",
+    "a18_approx_distinct",
     # (3) edited-after-green stragglers (viewer/m17/dedup r4 edits)
     "w3_ewm_wilder",
     "f1_flow_states",
@@ -109,10 +111,10 @@ _PRIORITY = (
     # (assignment kernel), corpus.py (o10 cast), export.py (have/read
     # helpers — every export-backed fit query reads through it),
     # multimodal files (mm5)
+    "v4_hmm_ribbon",
+    "m7_cluster_quality",
     "t1_lang_id",
     "t2_quality_score",
-    "t3_top_terms",
-    "t4_fingerprint",
     "t5_token_stats",
     "t6_pii_scrub",
     "t7_repetition_quality",
@@ -120,18 +122,21 @@ _PRIORITY = (
     "e1_ann_bruteforce",
     "e2_ann_bucketed",
     "e3_embedding_neardup",
-    # NOTE: 52 names — two past the driver's 50-query window, so the
-    # LAST entries (mm4/mm1: green r4, their with_wav_payload /
-    # with_binary_payload code paths untouched by the mm5/mm6 appends)
-    # are the designated overflow.
     "o9_stratified_sample",
     "m4_kmeans_profile",
     "m5_gmm_mixture",
     "m6_density_clusters",
     "m10_hmm_states",
     "m20_ari_vs_truth",
-    "v4_hmm_ribbon",
-    "m7_cluster_quality",
+    # NOTE: 54 names — four past the driver's 50-query window; the four
+    # BELOW this line are the designated overflow (positions 51-54):
+    # their code paths are byte-identical to r4-certified code (text.py's
+    # only r5 change was inside t9, since reverted; the mm5/mm6 appends
+    # never touch with_wav_payload / with_binary_payload), unlike the
+    # export-backed ML family above, which reads through the export.py
+    # helpers that DID change this round.
+    "t3_top_terms",
+    "t4_fingerprint",
     "mm4_wav_decode",
     "mm1_binary_metadata",
 )

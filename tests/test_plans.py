@@ -248,16 +248,16 @@ def test_wav_decode_map_only(spark):
     assert plan.count("Exchange hashpartitioning") == 0, plan
 
 
-def test_trigram_lm_scoring_map_only(spark):
-    """t9's SCORING pass (everything after the eager model fit) must be
-    map-only: the vocab rides in the Arrow-stage closure, so the final
-    plan may contain no join and no Exchange at all — the r4 shape
-    (explode → broadcast-join → groupBy(doc_id)) shuffled the full
-    string-trigram stream twice and was the worst scaler in SCALE.md."""
+def test_trigram_lm_jvm_broadcast_shape(spark):
+    """t9 stays entirely JVM-side (MEASURED decision, r5: a mapInPandas
+    scoring rework was 5.5× slower — see the t9 docstring): the vocab
+    and total ride broadcast joins, scoring never shuffle-joins the
+    trigram stream, and no Python stage appears anywhere."""
     plan = _plan(spark, "t9_trigram_lm")
-    assert "Exchange hashpartitioning" not in plan, plan
-    assert "Join" not in plan and "Cartesian" not in plan, plan
-    assert plan.count("MapInPandas") == 1, plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_canonical_docs_no_cartesian(spark):

@@ -56,3 +56,28 @@ def test_heavy_hitters_bounds(spark):
     for uid, e in est.items():
         assert e >= exact[uid], f"CMS undercounted uid {uid}"
         assert e <= exact[uid] + max(3, 0.002 * n_total), f"overestimate too large for {uid}"
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ (rsd=2%) distinct estimates land within a generous 5x rsd
+    band of the exact cardinalities, per event_type, on both probed
+    dimensions (users, days)."""
+    approx = {
+        r["event_type"]: r
+        for r in _QUERIES["a18_approx_distinct"].spark(spark, SF_ORACLE).collect()
+    }
+    ev = load_table(spark, SF_ORACLE, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.countDistinct(F.to_date("ts")).alias("days"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for et, a in approx.items():
+        x = exact[et]
+        assert abs(a["approx_users"] - x["users"]) <= max(2, 0.10 * x["users"]), (et, a, x)
+        assert abs(a["approx_days"] - x["days"]) <= max(2, 0.10 * x["days"]), (et, a, x)
