@@ -292,36 +292,55 @@ def t7_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signals per document: distinct-token ratio and
     the share of the single most frequent word bigram, with the
     repetition flag a training pipeline filters on. The flag compares
-    ROUNDED values on both engines so a boundary ulp cannot flip it."""
-    from pipeline_mf_etl_spark.operators.dedupe import tokens
+    ROUNDED values on both engines so a boundary ulp cannot flip it.
+
+    Plan shape (r5 rewrite): the most-frequent-bigram COUNT equals the
+    longest equal-run in the SORTED per-doc bigram array, so the whole
+    query is ONE shuffle-free projection — array_sort + an aggregate()
+    run-length HOF replace the previous explode → groupBy(doc_id,
+    bigram) → groupBy(doc_id) → join-back chain (three exchanges of the
+    corpus-sized bigram stream). Values are identical: max(count) =
+    max run, sum(count) = len(bigrams); the oracle keeps the groupBy
+    formulation as the independent derivation. Measured at sf0.1:
+    2.46 s → map-only."""
+    from pipeline_mf_etl_spark.operators.dedupe import _ngram_join, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     n = F.size("toks")
-    base = t.select(
+    base = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         F.when(n > 0, F.size(F.array_distinct("toks")) * 1.0 / n)
         .otherwise(1.0)
         .alias("dr"),
-        "toks",
+        # ALL bigrams (non-distinct — the share needs occurrence counts)
+        _ngram_join(F.col("toks"), 2, distinct=False).alias("bgs"),
     )
-    from pipeline_mf_etl_spark.operators.dedupe import _ngram_join
-
-    # ALL bigrams (non-distinct — the share needs occurrence counts)
-    bg = base.select(
-        "doc_id", F.explode(_ngram_join(F.col("toks"), 2, distinct=False)).alias("bigram")
+    best_run = F.expr(
+        """
+        aggregate(
+            array_sort(bgs),
+            named_struct('prev', '', 'run', 0L, 'best', 0L),
+            (acc, x) -> named_struct(
+                'prev', x,
+                'run', IF(x = acc.prev, acc.run + 1L, 1L),
+                'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+            acc -> acc.best)
+        """
     )
-    top = (
-        bg.groupBy("doc_id", "bigram")
-        .count()
-        .groupBy("doc_id")
-        .agg((F.max("count") * 1.0 / F.sum("count")).alias("tbs"))
+    scored = base.select(
+        "doc_id",
+        "n_tokens",
+        "dr",
+        F.when(F.size("bgs") > 0, best_run * 1.0 / F.size("bgs"))
+        .otherwise(0.0)
+        .alias("tbs"),
     )
-    joined = base.drop("toks").join(top, "doc_id", "left")
-    tbs_r = F.round(F.coalesce(F.col("tbs"), F.lit(0.0)), 6)
+    tbs_r = F.round(F.col("tbs"), 6)
     dr_r = F.round(F.col("dr"), 6)
-    return joined.select(
+    return scored.select(
         "doc_id",
         "n_tokens",
         dr_r.alias("distinct_token_ratio"),

@@ -70,3 +70,78 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Online sequence packing: the streaming twin of operators/packing.py —
+# documents arrive on the ingest stream, each is assigned its
+# (bucket, seq_id) context IMMEDIATELY (training shards are written as
+# the stream flows; assignments cannot be revised), and the per-bucket
+# packing cursor (current sequence, current fill) lives in the state
+# store across micro-batches.
+# ---------------------------------------------------------------------------
+PACK_STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType(), True),
+        StructField("fill", LongType(), True),
+    ]
+)
+
+PACK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType(), True),
+        StructField("doc_id", LongType(), True),
+        StructField("n_tokens", LongType(), True),
+        StructField("seq_id", LongType(), True),
+    ]
+)
+
+
+def streaming_pack_next_fit(docs: DataFrame, budget: int) -> DataFrame:
+    """Online next-fit packing over a (bucket, doc_id, n_tokens) stream.
+
+    Same recurrence as the batch operator (a doc opens a new sequence
+    iff the bucket has prior docs and fill + n_tokens > budget; an
+    oversize doc therefore sits alone), with the cursor state persisted
+    per bucket. Docs are ordered by doc_id WITHIN a micro-batch (the
+    only window where online packing may still reorder); across batches
+    the arrival order is the packing order — that is the online
+    semantics, and exactly why seq_ids are monotone per bucket. When
+    the whole corpus arrives in one batch in doc_id order the output is
+    bit-identical to ``operators.packing.pack_next_fit`` (asserted in
+    tests/test_streaming.py)."""
+    import numpy as np
+
+    def update(key, batches, state: GroupState):
+        seq, fill = state.get if state.exists else (0, 0)
+        out_ids, out_toks, out_seqs = [], [], []
+        for pdf in batches:
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, t in zip(
+                pdf["doc_id"].to_numpy(np.int64), pdf["n_tokens"].to_numpy(np.int64)
+            ):
+                if seq == 0:  # first doc this bucket has ever seen
+                    seq, fill = 1, 0
+                elif fill + t > budget:
+                    seq, fill = seq + 1, 0
+                fill += int(t)
+                out_ids.append(int(doc_id))
+                out_toks.append(int(t))
+                out_seqs.append(seq)
+        state.update((seq, fill))
+        yield pd.DataFrame(
+            {
+                "bucket": key[0],
+                "doc_id": out_ids,
+                "n_tokens": out_toks,
+                "seq_id": out_seqs,
+            }
+        )
+
+    return docs.select("bucket", "doc_id", "n_tokens").groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=PACK_OUTPUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

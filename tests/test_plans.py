@@ -260,6 +260,16 @@ def test_trigram_lm_jvm_broadcast_shape(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_repetition_quality_shuffle_free(spark):
+    """t7 is ONE map-only projection: the top-bigram share comes from a
+    run-length HOF over the sorted per-doc bigram array, so the plan
+    contains no Exchange and no join at all (the r4 shape exchanged the
+    corpus-sized bigram stream three times)."""
+    plan = _plan(spark, "t7_repetition_quality")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_canonical_docs_no_cartesian(spark):
     """d6's quality scoring joins the corpus to the clustered-doc set on
     doc_id — no cartesian product anywhere in the plan."""

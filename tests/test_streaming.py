@@ -285,3 +285,119 @@ def test_read_documents_stream_directory_layout(spark, tmp_path):
     q.awaitTermination(120)
     n = spark.sql(f"SELECT COUNT(*) FROM {name}").collect()[0][0]
     assert n == docs.count() > 0
+
+
+def test_streaming_pack_matches_batch_single_batch(spark, tmp_path):
+    """Online packing over one micro-batch (whole corpus, doc_id order)
+    must be bit-identical to the batch next-fit operator."""
+    import uuid as _uuid
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.operators.packing import (
+        PACK_BUDGET,
+        pack_bucket,
+        pack_next_fit,
+    )
+    from pipeline_mf_etl_spark.streaming.stateful import streaming_pack_next_fit
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(300, dtype=np.int64),
+            "n_tokens": rng.integers(0, 300, size=300).astype(np.int64),
+        }
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    pdf.to_parquet(src / "part-0.parquet")
+
+    batch_df = spark.createDataFrame(pdf)
+    expect = {
+        (r["doc_id"]): (r["bucket"], r["seq_id"])
+        for r in pack_next_fit(batch_df).collect()
+    }
+
+    schema = "doc_id long, n_tokens long"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .withColumn("bucket", pack_bucket(F.col("doc_id")))
+    )
+    name = f"pack_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_pack_next_fit(stream, PACK_BUDGET)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["bucket"], r["seq_id"])
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    assert got == expect
+
+
+def test_streaming_pack_state_continues_across_batches(spark, tmp_path):
+    """With one file per trigger, the packing cursor must persist: every
+    doc is assigned exactly once, per-(bucket, seq) fills respect the
+    budget except lone oversize docs, and a bucket's seq ids stay dense
+    starting at 1 even when its docs span micro-batches."""
+    import uuid as _uuid
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.operators.packing import PACK_BUDGET, pack_bucket
+    from pipeline_mf_etl_spark.streaming.stateful import streaming_pack_next_fit
+
+    rng = np.random.default_rng(9)
+    src = tmp_path / "docs"
+    src.mkdir()
+    n_per, n_files = 150, 3
+    for f in range(n_files):
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(f * n_per, (f + 1) * n_per, dtype=np.int64),
+                "n_tokens": rng.integers(0, 300, size=n_per).astype(np.int64),
+            }
+        ).to_parquet(src / f"part-{f}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, n_tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("bucket", pack_bucket(F.col("doc_id")))
+    )
+    name = f"packm_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_pack_next_fit(stream, PACK_BUDGET)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(f"select * from {name}").collect()
+    assert len(rows) == n_per * n_files
+    assert len({r["doc_id"] for r in rows}) == n_per * n_files  # exactly once
+
+    seqs: dict[tuple, list] = {}
+    buckets: dict[int, set] = {}
+    for r in rows:
+        seqs.setdefault((r["bucket"], r["seq_id"]), []).append(r["n_tokens"])
+        buckets.setdefault(r["bucket"], set()).add(r["seq_id"])
+    for (b, s), toks in seqs.items():
+        if sum(toks) > PACK_BUDGET:
+            assert len(toks) == 1 and toks[0] > PACK_BUDGET, (b, s, toks)
+    for b, ids in buckets.items():
+        assert ids == set(range(1, max(ids) + 1)), (b, ids)
