@@ -67,6 +67,12 @@ PROBE = (
     # clearly below e5's)
     "e5_ann_pq",
     "e6_ann_ivfpq",
+    # round-5 additions: the shuffle-free t7 rewrite (run-length HOF,
+    # zero exchanges), next-fit sequence packing (one bucket shuffle +
+    # per-bucket islands), and the Y4M decode+frame-sample map pass
+    "t7_repetition_quality",
+    "o12_sequence_packing",
+    "mm6_video_decode",
 )
 
 
