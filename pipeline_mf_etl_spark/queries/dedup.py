@@ -479,3 +479,119 @@ def d6_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("canonical_quality"),
         (F.col("group_size") - 1).alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D8: exact-substring span dedup report — the "duplicated training
+# spans" analysis of Lee et al.-style exact substring deduplication:
+# any 8-token span occurring in >= 2 DISTINCT documents is a duplicated
+# span; per document, report how many spans are duplicated and what
+# share of its tokens those spans cover (the union of their [i, i+7]
+# windows). A curation pipeline clips or down-weights covered spans;
+# the report is the decision input and the whole computation is the
+# same plan a clip step would run.
+# ---------------------------------------------------------------------------
+_D8_N = 8
+_D8_DF = 2
+
+
+@query(
+    "d8_substring_dedup",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sp AS (
+        SELECT doc_id, i,
+               array_to_string(toks[i:i + {_D8_N - 1}], ' ') AS gram
+        FROM tok, UNNEST(range(1, len(toks) - {_D8_N - 2})) AS t(i)
+        WHERE len(toks) >= {_D8_N}
+    ), df AS (
+        SELECT gram FROM sp GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= {_D8_DF}
+    ), flagged AS (
+        SELECT s.doc_id, s.i FROM sp s JOIN df USING (gram)
+    ), cover AS (
+        SELECT DISTINCT f.doc_id, f.i + o.off AS p
+        FROM flagged f, UNNEST(range(0, {_D8_N})) AS o(off)
+    ), per_doc AS (
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(GREATEST(len(t.toks) - {_D8_N - 1}, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(fc.n_dup, 0) AS BIGINT) AS n_dup_spans,
+               CAST(COALESCE(cc.n_cov, 0) AS BIGINT) AS n_covered_tokens
+        FROM tok t
+        LEFT JOIN (SELECT doc_id, COUNT(*) AS n_dup FROM flagged GROUP BY doc_id) fc
+               USING (doc_id)
+        LEFT JOIN (SELECT doc_id, COUNT(*) AS n_cov FROM cover GROUP BY doc_id) cc
+               USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, n_spans, n_dup_spans, n_covered_tokens,
+           ROUND(CASE WHEN n_tokens > 0
+                      THEN n_covered_tokens * 1.0 / n_tokens ELSE 0.0 END, 6)
+               AS covered_share
+    FROM per_doc
+    """,
+)
+def d8_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span report for exact-substring dedup:
+    8-token spans occurring in >= 2 distinct documents, and the token
+    coverage of their unioned windows.
+
+    Plan shape: span generation is the shifted-zip n-gram build (no
+    per-index slicing) + one posexplode; the duplicated-gram set is ONE
+    groupBy(gram) with map-side partials; flagging is an equi-join of
+    spans against that set; coverage is a bounded 8-way position
+    explode over FLAGGED spans only (dup density, not corpus size,
+    prices it) + one distinct + one groupBy(doc_id). Nothing is
+    quadratic, no cartesian anywhere; the heavy key (gram strings)
+    is exchanged once for the frequency count, the same cost class as
+    d1/t9's model side."""
+    from pipeline_mf_etl_spark.operators.dedupe import _ngram_join, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sp = tok.select(
+        "doc_id",
+        F.posexplode(_ngram_join(F.col("toks"), _D8_N, distinct=False)).alias(
+            "pos0", "gram"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gram")
+    dup = (
+        sp.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _D8_DF)
+        .select("gram")
+    )
+    flagged = sp.join(dup, "gram").select("doc_id", "i")
+    cover = (
+        flagged.select(
+            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (_D8_N - 1))).alias("p")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_cov"))
+    )
+    fc = flagged.groupBy("doc_id").agg(F.count("*").alias("n_dup"))
+    n = F.size("toks")
+    per_doc = (
+        tok.select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            F.greatest(n - (_D8_N - 1), F.lit(0)).cast("long").alias("n_spans"),
+        )
+        .join(fc, "doc_id", "left")
+        .join(cover, "doc_id", "left")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("n_cov", F.lit(0)).cast("long").alias("n_covered_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("n_cov", F.lit(0)) * 1.0 / F.col("n_tokens"),
+            ).otherwise(0.0),
+            6,
+        ).alias("covered_share"),
+    )

@@ -83,6 +83,7 @@ _PRIORITY = (
     "o12_sequence_packing",
     "o13_temperature_mix",
     "a18_approx_distinct",
+    "d8_substring_dedup",
     # (3) edited-after-green stragglers (viewer/m17/dedup r4 edits)
     "w3_ewm_wilder",
     "f1_flow_states",
@@ -115,7 +116,6 @@ _PRIORITY = (
     "m7_cluster_quality",
     "t1_lang_id",
     "t2_quality_score",
-    "t5_token_stats",
     "t6_pii_scrub",
     "t7_repetition_quality",
     "t8_contamination",
@@ -128,13 +128,15 @@ _PRIORITY = (
     "m6_density_clusters",
     "m10_hmm_states",
     "m20_ari_vs_truth",
-    # NOTE: 54 names — four past the driver's 50-query window; the four
-    # BELOW this line are the designated overflow (positions 51-54):
+    # NOTE: 55 names — five past the driver's 50-query window; the five
+    # BELOW this line are the designated overflow (positions 51-55):
     # their code paths are byte-identical to r4-certified code (text.py's
-    # only r5 change was inside t9, since reverted; the mm5/mm6 appends
-    # never touch with_wav_payload / with_binary_payload), unlike the
-    # export-backed ML family above, which reads through the export.py
-    # helpers that DID change this round.
+    # r5 changes are confined to t9 — reverted — and t7 — rewritten and
+    # certified IN-window above; the mm5/mm6 appends never touch
+    # with_wav_payload / with_binary_payload), unlike the export-backed
+    # ML family above, which reads through the export.py helpers that
+    # DID change this round.
+    "t5_token_stats",
     "t3_top_terms",
     "t4_fingerprint",
     "mm4_wav_decode",

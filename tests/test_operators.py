@@ -471,3 +471,36 @@ def test_ivfpq_probing_and_containment(spark):
         hits += len(mine & ids)
         tot += 5
     assert hits / tot >= 0.3, f"top-decile containment too low: {hits}/{tot}"
+
+
+def test_substring_dedup_planted_coverage(spark, tmp_path):
+    """d8 on a planted corpus: two docs share a 10-token run (three
+    overlapping 8-token spans); the union coverage must count each
+    token once (10, not 24), and the unique doc must report zeros."""
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        1: f"one two {shared} three four",
+        2: f"{shared} five six seven",
+        3: "entirely different words with no repeated span at all here ok",
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+
+    rows = {r["doc_id"]: r for r in
+            all_queries()["d8_substring_dedup"].spark(spark, str(tmp_path)).collect()}
+    assert rows[3]["n_dup_spans"] == 0 and rows[3]["n_covered_tokens"] == 0
+    for d in (1, 2):
+        assert rows[d]["n_dup_spans"] == 3, rows[d]  # 10-token run -> 3 spans
+        assert rows[d]["n_covered_tokens"] == 10, rows[d]  # union, not 3*8
+        assert rows[d]["covered_share"] == round(10 / rows[d]["n_tokens"], 6)
