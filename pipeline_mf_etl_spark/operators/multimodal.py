@@ -605,3 +605,62 @@ def decode_y4m_frame_stats(
             yield pd.DataFrame(rows, columns=[f.name for f in Y4M_FRAME_SCHEMA.fields])
 
     return df.select(id_col, "payload").mapInPandas(feats, Y4M_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash (aHash) over decoded PPM images — the image
+# near-dup primitive: images whose 8x8 block-mean luma pattern matches
+# share a 64-bit signature. All comparisons are INTEGER cross-
+# multiplications (cell_sum * total_count > cell_count * total_sum), so
+# any engine derives bit-identical hashes with no float rounding
+# anywhere. The 64 bits ship as two signed-safe 32-bit halves
+# (hash_hi = bits 0-31, hash_lo = bits 32-63, bit b at weight
+# 1 << (31 - b mod 32)) to avoid int64 sign traps in cross-engine SQL.
+# ---------------------------------------------------------------------------
+AHASH_GRID = 8
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("hash_hi", LongType(), True),
+        StructField("hash_lo", LongType(), True),
+    ]
+)
+
+
+def ahash_ppm_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each PPM payload and emit its 64-bit average-hash as two
+    32-bit halves (null for 0-row images). One map-only Arrow pass."""
+
+    def feats(batches):
+        g = AHASH_GRID
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                p = parse_ppm(bytes(payload))
+                w, h = p["width"], p["height"]
+                if h == 0:
+                    rows.append((int(doc_id), 0, None, None))
+                    continue
+                px = p["pixels"].astype(np.int64).reshape(h, w, 3).sum(axis=2)
+                ys, xs = np.arange(h), np.arange(w)
+                r = (ys * g) // h
+                c = (xs * g) // w
+                cs = np.zeros((g, g), dtype=np.int64)
+                cn = np.zeros((g, g), dtype=np.int64)
+                np.add.at(cs, (r[:, None].repeat(w, 1), c[None, :].repeat(h, 0)), px)
+                np.add.at(cn, (r[:, None].repeat(w, 1), c[None, :].repeat(h, 0)), 1)
+                ts, tn = int(cs.sum()), int(cn.sum())
+                hi = lo = 0
+                for b in range(g * g):
+                    rr, cc = b // g, b % g
+                    if cn[rr, cc] and tn * int(cs[rr, cc]) > int(cn[rr, cc]) * ts:
+                        if b < 32:
+                            hi |= 1 << (31 - b)
+                        else:
+                            lo |= 1 << (63 - b)
+                rows.append((int(doc_id), int(h), hi, lo))
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    return df.select(id_col, "payload").mapInPandas(feats, AHASH_SCHEMA)

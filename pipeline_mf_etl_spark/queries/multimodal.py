@@ -301,3 +301,89 @@ def mm6_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_luma", 6).alias("mean_luma"),
         "max_luma",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm7: perceptual-hash image near-dup — 64-bit average-hash (8x8 block-
+# mean luma pattern) over the REAL decoded PPM pixels, then duplicate
+# grouping on the signature. Every comparison in the hash is an INTEGER
+# cross-multiplication (total_count * cell_sum > cell_count * total_sum)
+# so both engines derive bit-identical signatures with no float
+# anywhere; the 64 bits ship as two 32-bit halves to stay clear of
+# int64 sign traps. The oracle replays the whole derivation from the
+# characters (ASCII corpus; geometry = fixed width 16, whole pixel
+# rows; luma = r+g+b per pixel, unscaled — ordering is scale-free).
+# ---------------------------------------------------------------------------
+@query(
+    "mm7_image_phash_dedup",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) // 48 AS h FROM documents
+    ), bytes AS (
+        SELECT g.doc_id, g.h,
+               (i - 1) // 3 AS p,
+               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+        FROM geo g, UNNEST(range(1, CAST(g.h * 48 + 1 AS BIGINT))) AS t(i)
+    ), pix AS (
+        SELECT doc_id, h, p, SUM(byte) AS s FROM bytes GROUP BY doc_id, h, p
+    ), cells AS (
+        SELECT doc_id, h,
+               ((p // 16) * 8) // h AS r,
+               ((p % 16) * 8) // 16 AS c,
+               s
+        FROM pix
+    ), cagg AS (
+        SELECT doc_id, r, c, SUM(s) AS cs, COUNT(*) AS cn
+        FROM cells GROUP BY doc_id, r, c
+    ), tot AS (
+        SELECT doc_id, SUM(cs) AS ts, SUM(cn) AS tn FROM cagg GROUP BY doc_id
+    ), bits AS (
+        SELECT a.doc_id, a.r * 8 + a.c AS b,
+               CASE WHEN t.tn * a.cs > a.cn * t.ts THEN 1 ELSE 0 END AS bit
+        FROM cagg a JOIN tot t USING (doc_id)
+    ), hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - b))
+                             ELSE 0 END) AS BIGINT) AS hash_hi,
+               CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - b))
+                             ELSE 0 END) AS BIGINT) AS hash_lo
+        FROM bits GROUP BY doc_id
+    ), grp AS (
+        SELECT hash_hi, hash_lo, COUNT(*) AS n_same_hash
+        FROM hashes GROUP BY hash_hi, hash_lo
+    )
+    SELECT g.doc_id,
+           CAST(g.h AS BIGINT) AS height,
+           hs.hash_hi, hs.hash_lo,
+           CAST(gr.n_same_hash AS BIGINT) AS n_same_hash
+    FROM geo g
+    LEFT JOIN hashes hs USING (doc_id)
+    LEFT JOIN grp gr ON gr.hash_hi = hs.hash_hi AND gr.hash_lo = hs.hash_lo
+    """,
+)
+def mm7_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perceptual image signature + duplicate-group size:
+    decode the PPM payload (REAL parse), compute the 8x8 average-hash
+    with integer-exact bit decisions, and count documents sharing each
+    signature. 0-row images hash to null and join to no group,
+    identically on both engines. Plan: one map-only Arrow decode pass +
+    one small groupBy on the 64-bit signature."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        ahash_ppm_features,
+        with_ppm_payload,
+    )
+
+    docs = with_ppm_payload(load_table(spark, sf_dir, "documents"))
+    hashes = ahash_ppm_features(docs)
+    grp = (
+        hashes.filter(F.col("hash_hi").isNotNull())
+        .groupBy("hash_hi", "hash_lo")
+        .agg(F.count("*").alias("n_same_hash"))
+    )
+    return hashes.join(grp, ["hash_hi", "hash_lo"], "left").select(
+        "doc_id",
+        "height",
+        "hash_hi",
+        "hash_lo",
+        "n_same_hash",
+    )

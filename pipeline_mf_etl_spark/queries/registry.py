@@ -102,9 +102,9 @@ _PRIORITY = (
     "d5_neardup_groups",
     "mm5_image_decode",
     "mm6_video_decode",
+    "mm7_image_phash_dedup",
     "st5_stream_dedupe",
     "st1_tumbling_daily",
-    "st2_sliding_windows",
     "st3_session_windows",
     "st4_stateful_user_stats",
     "st6_stream_enrich",
@@ -128,14 +128,16 @@ _PRIORITY = (
     "m6_density_clusters",
     "m10_hmm_states",
     "m20_ari_vs_truth",
-    # NOTE: 55 names — five past the driver's 50-query window; the five
-    # BELOW this line are the designated overflow (positions 51-55):
+    # NOTE: 56 names — six past the driver's 50-query window; the six
+    # BELOW this line are the designated overflow (positions 51-56):
     # their code paths are byte-identical to r4-certified code (text.py's
     # r5 changes are confined to t9 — reverted — and t7 — rewritten and
-    # certified IN-window above; the mm5/mm6 appends never touch
-    # with_wav_payload / with_binary_payload), unlike the export-backed
-    # ML family above, which reads through the export.py helpers that
-    # DID change this round.
+    # certified IN-window above; the multimodal appends never touch
+    # with_wav_payload / with_binary_payload; streaming's r5 change is
+    # confined to the documents/JSONL stream sources, and st2 is
+    # events-side), unlike the export-backed ML family above, which
+    # reads through the export.py helpers that DID change this round.
+    "st2_sliding_windows",
     "t5_token_stats",
     "t3_top_terms",
     "t4_fingerprint",
