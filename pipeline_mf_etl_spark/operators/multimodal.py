@@ -576,9 +576,13 @@ def decode_y4m_frame_stats(
     sample every ``stride``-th frame, and emit one row per sampled frame
     with exact luma statistics — decode + frame-sample fan-out in a
     single map-only Arrow pass (one output row per sampled frame, zero
-    shuffles). Integer luma sums divide in float64 (exact-int/exact-int)
-    so any engine agrees bitwise before rounding. 0-frame streams emit
-    no rows, matching the explode-shaped sampler (mm3) semantics."""
+    shuffles). Stats cover the LUMA PLANE ONLY — planar Y4M frames put
+    the Y plane first (w*h bytes), so slicing it keeps mean_luma /
+    max_luma honest for C420/C444 streams whose frame payloads also
+    carry chroma planes (for Cmono the slice is the whole frame).
+    Integer luma sums divide in float64 (exact-int/exact-int) so any
+    engine agrees bitwise before rounding. 0-frame streams emit no
+    rows, matching the explode-shaped sampler (mm3) semantics."""
 
     def feats(batches):
         for pdf in batches:
@@ -587,8 +591,9 @@ def decode_y4m_frame_stats(
                 v = parse_y4m(bytes(payload))
                 fr = v["frames"].astype(np.int64)
                 n = fr.shape[0]
-                per = fr.shape[1]
+                y_len = v["width"] * v["height"]  # Y plane leads the frame
                 for idx in range(0, n, stride):
+                    luma = fr[idx, :y_len]
                     rows.append(
                         (
                             int(doc_id),
@@ -598,8 +603,8 @@ def decode_y4m_frame_stats(
                             v["fps_den"],
                             n,
                             idx,
-                            float(fr[idx].sum()) / per,
-                            int(fr[idx].max()),
+                            float(luma.sum()) / y_len,
+                            int(luma.max()),
                         )
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in Y4M_FRAME_SCHEMA.fields])

@@ -428,7 +428,7 @@ def _o12_oracle() -> str:
         SELECT doc_id,
                {fold} % {PACK_BUCKETS} AS bucket,
                CAST(LEN(regexp_extract_all(LOWER(text),
-                    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+                    '{_MIX_TOK_RE}')) AS BIGINT) AS n_tokens
         FROM documents
     ), ord AS (
         SELECT doc_id, bucket, n_tokens,
@@ -471,9 +471,7 @@ def o12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = docs.select(
         "doc_id",
         F.size(
-            F.regexp_extract_all(
-                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
-            )
+            F.regexp_extract_all(F.lower("text"), F.lit(_MIX_TOK_RE), 0)
         ).cast("long").alias("n_tokens"),
     )
     packed = pack_next_fit(counted)

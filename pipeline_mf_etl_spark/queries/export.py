@@ -13,6 +13,7 @@ the repo.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -27,19 +28,35 @@ _EXPORT_ROOT = os.path.join(
 # harness uses this to refuse running an oracle against a stale on-disk
 # export left by an earlier run (see ``assert_exports_fresh``).
 _WRITTEN: set[tuple[str, str]] = set()
+
+
+def _tag(sf_dir: str) -> str:
+    """Export directory tag for an sf dir: leaf name + a short hash of
+    the FULL absolute path. Leaf name alone aliases two different
+    corpora whose directories share a basename (e.g. two tmp corpora
+    both named 'corpus', or a curated output mirroring the source
+    layout) — with the per-process reuse in ``have_export`` that
+    collision would silently serve the FIRST corpus's pair export to
+    the second's consumers."""
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    return (
+        os.path.basename(norm)
+        + "-"
+        + hashlib.md5(norm.encode("utf-8")).hexdigest()[:8]
+    )
+
+
 # Oracle SQL strings are static: they read the export for the oracle
 # scale factor (the driver certifies at sf0.01; tests honor the same
 # env override the parity harness uses).
-_ORACLE_TAG = os.path.basename(
-    os.path.normpath(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
-)
+_ORACLE_TAG = _tag(os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
 
 
 def export_frame(df: DataFrame, spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Write a deterministic intermediate frame to the export dir and
     read it back, so Spark aggregation and the DuckDB oracle consume
     bit-identical rows."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _tag(sf_dir)
     path = os.path.join(_EXPORT_ROOT, tag, name)
     df.write.mode("overwrite").parquet(path)
     # Run marker: ties the on-disk export to the invocation that wrote
@@ -55,13 +72,13 @@ def have_export(sf_dir: str, name: str) -> bool:
     """True when THIS process already wrote export ``name`` for the sf —
     lets expensive shared intermediates (e.g. the MinHash verified-pair
     set) be computed at most once per (process, sf) across consumers."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _tag(sf_dir)
     return (tag, name) in _WRITTEN
 
 
 def read_export(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read back an export previously written by this process."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _tag(sf_dir)
     return spark.read.parquet(os.path.join(_EXPORT_ROOT, tag, name))
 
 

@@ -115,8 +115,18 @@ def streaming_pack_next_fit(docs: DataFrame, budget: int) -> DataFrame:
     def update(key, batches, state: GroupState):
         seq, fill = state.get if state.exists else (0, 0)
         out_ids, out_toks, out_seqs = [], [], []
-        for pdf in batches:
-            pdf = pdf.sort_values("doc_id")
+        # One micro-batch can arrive as SEVERAL Arrow chunks (any bucket
+        # larger than arrow.maxRecordsPerBatch) — concatenate before the
+        # single sort, otherwise each chunk sorts independently and a low
+        # doc_id in a later chunk breaks the documented doc_id order
+        # (and with it the bit-identity to the batch operator).
+        chunks = [pdf for pdf in batches if not pdf.empty]
+        whole = (
+            pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+            if chunks
+            else None
+        )
+        for pdf in ([whole] if whole is not None else []):
             for doc_id, t in zip(
                 pdf["doc_id"].to_numpy(np.int64), pdf["n_tokens"].to_numpy(np.int64)
             ):

@@ -312,3 +312,31 @@ def test_y4m_frame_stats_match_text(spark, tmp_path):
         assert r["mean_luma"] == round(float(raw.sum()) / 64, 6)
         assert r["max_luma"] == int(raw.max())
         assert (r["width"], r["height"], r["fps_num"], r["fps_den"]) == (8, 8, 25, 1)
+
+
+def test_y4m_frame_stats_use_luma_plane_only(spark):
+    """For a C444 stream (frame payload = Y then U then V planes), the
+    frame stats must cover ONLY the leading w*h luma bytes — averaging
+    chroma into 'mean_luma' would mislabel the column for every
+    non-mono colorspace the parser supports."""
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_y4m_frame_stats,
+        encode_y4m,
+    )
+
+    w, h = 4, 2
+    y = np.full(w * h, 10, dtype=np.uint8)
+    u = np.full(w * h, 200, dtype=np.uint8)
+    v = np.full(w * h, 250, dtype=np.uint8)
+    frame = np.concatenate([y, u, v])[None, :]
+    payload = encode_y4m(frame, w, h, colorspace="444")
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [bytes(payload)]})
+    )
+    row = decode_y4m_frame_stats(sdf, stride=1).collect()[0]
+    assert row["mean_luma"] == 10.0  # not (10+200+250)/3
+    assert row["max_luma"] == 10    # not 250

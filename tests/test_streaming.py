@@ -289,7 +289,10 @@ def test_read_documents_stream_directory_layout(spark, tmp_path):
 
 def test_streaming_pack_matches_batch_single_batch(spark, tmp_path):
     """Online packing over one micro-batch (whole corpus, doc_id order)
-    must be bit-identical to the batch next-fit operator."""
+    must be bit-identical to the batch next-fit operator — INCLUDING
+    when a bucket's rows arrive as several Arrow chunks (tiny
+    maxRecordsPerBatch forces the multi-chunk path: a per-chunk sort
+    instead of a whole-group sort would scramble doc_id order)."""
     import uuid as _uuid
 
     import numpy as np
@@ -327,16 +330,21 @@ def test_streaming_pack_matches_batch_single_batch(spark, tmp_path):
         .parquet(str(src))
         .withColumn("bucket", pack_bucket(F.col("doc_id")))
     )
-    name = f"pack_{_uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_pack_next_fit(stream, PACK_BUDGET)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        name = f"pack_{_uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_pack_next_fit(stream, PACK_BUDGET)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     got = {
         r["doc_id"]: (r["bucket"], r["seq_id"])
         for r in spark.sql(f"select * from {name}").collect()
