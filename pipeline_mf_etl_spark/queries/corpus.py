@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipeline_mf_etl_spark.operators.dedupe import md5_unit
+from pipeline_mf_etl_spark.queries.dedup import _TOKS as _DOC_TOKS
 from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import load_table
 
@@ -578,4 +579,75 @@ def a18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct(F.to_date("ts"), rsd=0.02).alias("approx_days"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O14: sliding-window chunking — the context-preparation operator of a
+# RAG / long-context training pipeline: split each document into
+# overlapping fixed-size token windows (size 32, stride 24) with a
+# per-chunk fingerprint for downstream chunk-level dedupe. Coverage
+# rule: starts at 0, stride apart, last window truncated at the end of
+# the doc; n_chunks = ceil(max(n - size, 0) / stride) + 1, so every
+# token lands in >=1 chunk and no start position passes the end.
+#
+# Plan shape: tokenize + transform(sequence(...)) + one posexplode —
+# map-only, ZERO exchanges; output rows grow ~n_tokens/stride, linear
+# in corpus bytes. The 100 TB story is the same as a scan.
+# ---------------------------------------------------------------------------
+_O14_SIZE = 32
+_O14_STRIDE = 24
+
+
+@query(
+    "o14_chunk_windows",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_DOC_TOKS} AS toks FROM documents
+    ),
+    geo AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CAST(ceil(greatest(len(toks) - {_O14_SIZE}, 0) * 1.0
+                    / {_O14_STRIDE}) AS INTEGER) + 1 AS n_chunks
+        FROM tok
+    ),
+    chunks AS (
+        SELECT g.doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               CAST(i * {_O14_STRIDE} AS INTEGER) AS chunk_start,
+               list_slice(g.toks, i * {_O14_STRIDE} + 1,
+                          i * {_O14_STRIDE} + {_O14_SIZE}) AS sl
+        FROM geo g, UNNEST(range(g.n_chunks)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx, chunk_start,
+           CAST(len(sl) AS INTEGER) AS n_chunk_tokens,
+           md5(array_to_string(sl, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def o14_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking with per-chunk md5 fingerprints
+    (chunk text is identified by fingerprint, not re-emitted — at 100 TB
+    the chunk payload ships to the sink, not through every stage)."""
+    from pipeline_mf_etl_spark.operators.dedupe import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    n_chunks = (
+        F.ceil(F.greatest(n - _O14_SIZE, F.lit(0)) * 1.0 / _O14_STRIDE).cast("int") + 1
+    )
+    geo = t.select("doc_id", "toks", n_chunks.alias("n_chunks"))
+    ch = geo.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx", "_i"),
+    )
+    sl = F.slice(F.col("toks"), F.col("chunk_idx") * _O14_STRIDE + 1, _O14_SIZE)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * _O14_STRIDE).cast("int").alias("chunk_start"),
+        F.size(sl).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
     )

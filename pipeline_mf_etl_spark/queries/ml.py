@@ -484,11 +484,12 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listing it was created with, so any rewrite of the export (e.g.
 # another harness process) would break collects with FILE_NOT_EXIST;
 # re-reading on every hit stays robust while still skipping the
-# expensive fit + decode + write. Keyed by the same basename tag the
-# on-disk path uses — two sf_dirs sharing a basename share one export
-# slot, so a hit is honored only when the producing sf_dir matches
-# (otherwise the export is rebuilt, never cross-read).
-_HMM_EXPORT_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+# expensive fit + decode + write. Keyed by the export module's _tag
+# (basename + path hash — the SAME tag the on-disk path uses; a bare
+# basename key once aliased to a directory that never existed and
+# broke the v4 cache-hit read), so a hit always points at the
+# directory export_frame actually wrote.
+_HMM_EXPORT_CACHE: dict[tuple[str, str], str] = {}
 
 
 def hmm_decoded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,13 +502,11 @@ def hmm_decoded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit + decode + export once — the result is deterministic, so the
     second call would recompute identical rows; freshness is unaffected
     (the export was written by THIS process either way)."""
-    import os as _os
+    from pipeline_mf_etl_spark.queries.export import _tag, read_export
 
-    tag = _os.path.basename(_os.path.normpath(sf_dir))
-    key = (spark.sparkContext.applicationId, tag)
-    hit = _HMM_EXPORT_CACHE.get(key)
-    if hit is not None and hit[0] == sf_dir:
-        return spark.read.parquet(hit[1])
+    key = (spark.sparkContext.applicationId, _tag(sf_dir))
+    if _HMM_EXPORT_CACHE.get(key) == sf_dir:
+        return read_export(spark, sf_dir, "m10_decoded")
     import numpy as np
     from pyspark.sql import Window
 
@@ -555,9 +554,7 @@ def hmm_decoded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "m10_decoded",
     )
-    from pipeline_mf_etl_spark.queries.export import _EXPORT_ROOT
-
-    _HMM_EXPORT_CACHE[key] = (sf_dir, _os.path.join(_EXPORT_ROOT, tag, "m10_decoded"))
+    _HMM_EXPORT_CACHE[key] = sf_dir
     return out
 
 

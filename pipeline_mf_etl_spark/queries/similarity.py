@@ -285,3 +285,101 @@ def e6_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e6_luts",
     )
     return ivfpq_topk(codes, luts, k=5)
+
+
+# ---------------------------------------------------------------------------
+# E7: semantic deduplication (SemDeDup, Abbas et al. 2023 — public):
+# cluster the embedding space with spherical k-means, then find
+# high-cosine pairs ONLY within each cluster and keep one
+# representative per duplicate relation. The design point that makes
+# this the 100 TB shape: k grows with the corpus so the expected cell
+# stays bounded (~N/k vectors), and the quadratic verify is confined
+# to cells — total work O(N²/k), never a global all-pairs. Pairs that
+# straddle cell boundaries are the documented recall trade (same trade
+# the paper makes); e3's LSH path is the alternative when global
+# recall at a fixed threshold is required.
+# ---------------------------------------------------------------------------
+_E7_TAU = 0.4
+_E7_K = 8
+
+
+@query(
+    "e7_semantic_dedup",
+    eager=True,
+    oracle=f"""
+    WITH a AS (SELECT * FROM read_parquet('{export_glob("e7_assign")}')),
+    v AS (
+        SELECT a.vec_id, a.centroid_id, CAST(e.embedding AS DOUBLE[]) AS emb
+        FROM a JOIN embeddings e USING (vec_id)
+    ),
+    pairs AS (
+        SELECT x.centroid_id, x.vec_id AS pa, y.vec_id AS pb
+        FROM v x JOIN v y
+          ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+        WHERE ROUND({_COS.format(a="x.emb", b="y.emb")}, 6) >= {_E7_TAU}
+    ),
+    dropped AS (SELECT DISTINCT centroid_id, pb AS vec_id FROM pairs),
+    per AS (
+        SELECT v.centroid_id, COUNT(*) AS n_vecs, COUNT(d.vec_id) AS n_dropped
+        FROM v LEFT JOIN dropped d
+          ON v.centroid_id = d.centroid_id AND v.vec_id = d.vec_id
+        GROUP BY v.centroid_id
+    ),
+    np AS (SELECT centroid_id, COUNT(*) AS n_pairs FROM pairs GROUP BY centroid_id)
+    SELECT CAST(per.centroid_id AS INTEGER) AS cluster,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           CAST(n_vecs - n_dropped AS BIGINT) AS n_kept
+    FROM per LEFT JOIN np ON per.centroid_id = np.centroid_id
+    """,
+)
+def e7_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster semantic-dedup rollup: cell size, within-cell dup
+    pairs (cosine >= 0.4 on the ROUNDED score), dropped count under the
+    keep-first policy (a vector is dropped iff a smaller-id cell-mate
+    matches it — the paper notes the keeper choice barely moves
+    downstream quality, so the engine uses the deterministic one), and
+    kept count. Assignment is the map-only ivf_assign_cells kernel
+    (no Exchange); the within-cell self-join is equi-join shaped on
+    centroid_id. Assignments are persisted so both engines dedupe the
+    exact same partition of the space. EAGER: fits + exports at build
+    time."""
+    from pipeline_mf_etl_spark.operators.similarity import cosine, ivf_assign_cells
+
+    v = _vectors(spark, sf_dir)
+    cents = fit_ivf_centroids(v, n_centroids=_E7_K, iters=5)
+    assign = export_frame(
+        ivf_assign_cells(v, cents).select(
+            "vec_id", F.col("centroid_id").cast("int").alias("centroid_id")
+        ),
+        spark,
+        sf_dir,
+        "e7_assign",
+    )
+    emb = assign.join(v.select("vec_id", "v"), "vec_id")
+    x = emb.select("centroid_id", F.col("vec_id").alias("pa"), F.col("v").alias("va"))
+    y = emb.select("centroid_id", F.col("vec_id").alias("pb"), F.col("v").alias("vb"))
+    pairs = (
+        x.join(y, "centroid_id")
+        .filter(F.col("pa") < F.col("pb"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= _E7_TAU)
+        .select("centroid_id", "pa", "pb")
+    )
+    dropped = pairs.select("centroid_id", F.col("pb").alias("vec_id")).distinct()
+    per = (
+        assign.join(dropped.withColumn("is_dropped", F.lit(1)), ["centroid_id", "vec_id"], "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).alias("n_dropped"),
+        )
+    )
+    npairs = pairs.groupBy("centroid_id").agg(F.count("*").alias("n_dup_pairs"))
+    return per.join(npairs, "centroid_id", "left").select(
+        F.col("centroid_id").cast("int").alias("cluster"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.coalesce(F.col("n_dup_pairs"), F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        (F.col("n_vecs") - F.col("n_dropped")).cast("bigint").alias("n_kept"),
+    )

@@ -577,3 +577,148 @@ def t10_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean_q < _T10_MIN_QUALITY) | (rep_share > _T10_MAX_REP_SHARE)
         ).alias("blocked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T11: Gopher-style rule filter — the canonical hand-written quality
+# rule battery (Rae et al. 2021 §A1.1, public) every large pretraining
+# corpus applies before model-based scoring: token-count band, mean
+# word length band, symbol-to-word ratio, alphabetic-token share,
+# required-stopword presence, and top-token concentration. Thresholds
+# are engine policy calibrated on the synthetic corpus so each rule
+# discriminates (the paper's exact numbers target web text).
+#
+# Plan shape: ONE shuffle-free projection — every signal derives from
+# the per-doc token array (tokenize once), and the top-token share
+# reuses t7's sorted-run aggregate() HOF instead of an explode →
+# groupBy → join-back chain, so the whole battery is map-only and
+# scales like a scan at 100 TB. The oracle derives top-token share via
+# the independent UNNEST/GROUP BY formulation.
+# ---------------------------------------------------------------------------
+_T11_WC_MIN, _T11_WC_MAX = 20, 100_000
+_T11_MWL_MIN, _T11_MWL_MAX = 3.0, 10.0
+_T11_MAX_SYMBOL_RATIO = 0.1
+_T11_MIN_ALPHA_SHARE = 0.8
+_T11_MIN_STOPWORDS = 2
+_T11_MAX_TOP_TOKEN = 0.12
+_T11_STOPS_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+@query(
+    "t11_gopher_rules",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    feat AS (
+        SELECT doc_id, len(toks) AS n,
+               ROUND(CASE WHEN len(toks) > 0 THEN
+                   list_sum(list_transform(toks, t -> LENGTH(t))) * 1.0 / len(toks)
+               END, 6) AS mwl,
+               ROUND(CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) * 1.0 / len(toks)
+               ELSE 0.0 END, 6) AS alpha,
+               len(list_distinct(list_filter(toks,
+                   t -> t IN ({_T11_STOPS_SQL})))) AS nstop,
+               ROUND(CASE WHEN len(toks) > 0 THEN
+                   ((LENGTH(text) - LENGTH(regexp_replace(text, '#', '', 'g')))
+                    + (LENGTH(text) - LENGTH(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+                   ) * 1.0 / len(toks)
+               ELSE 0.0 END, 6) AS symr
+        FROM tok
+    ),
+    tts AS (
+        SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS tts
+        FROM (
+            SELECT doc_id, term, COUNT(*) AS c
+            FROM (SELECT doc_id, UNNEST(toks) AS term FROM tok)
+            GROUP BY doc_id, term
+        )
+        GROUP BY doc_id
+    ),
+    rules AS (
+        SELECT f.doc_id, f.n,
+               f.n BETWEEN {_T11_WC_MIN} AND {_T11_WC_MAX} AS wc_ok,
+               COALESCE(f.mwl BETWEEN {_T11_MWL_MIN} AND {_T11_MWL_MAX}, FALSE) AS mwl_ok,
+               f.symr <= {_T11_MAX_SYMBOL_RATIO} AS symbol_ok,
+               f.alpha >= {_T11_MIN_ALPHA_SHARE} AS alpha_ok,
+               f.nstop >= {_T11_MIN_STOPWORDS} AS stop_ok,
+               COALESCE(t.tts, 0.0) <= {_T11_MAX_TOP_TOKEN} AS top_token_ok
+        FROM feat f LEFT JOIN tts t USING (doc_id)
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           wc_ok, mwl_ok, symbol_ok, alpha_ok, stop_ok, top_token_ok,
+           CAST((NOT wc_ok)::INT + (NOT mwl_ok)::INT + (NOT symbol_ok)::INT
+                + (NOT alpha_ok)::INT + (NOT stop_ok)::INT
+                + (NOT top_token_ok)::INT AS INTEGER) AS n_failed,
+           (wc_ok AND mwl_ok AND symbol_ok AND alpha_ok AND stop_ok
+            AND top_token_ok) AS admit
+    FROM rules
+    """,
+)
+def t11_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher-rule battery: six boolean rules, failure count,
+    and the admit decision. Every comparison happens on ROUNDED values
+    on both engines so a boundary ulp cannot flip a rule."""
+    from pipeline_mf_etl_spark.operators.dedupe import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    best_run = F.expr(
+        """
+        aggregate(
+            array_sort(toks),
+            named_struct('prev', '', 'run', 0L, 'best', 0L),
+            (acc, x) -> named_struct(
+                'prev', x,
+                'run', IF(x = acc.prev, acc.run + 1L, 1L),
+                'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+            acc -> acc.best)
+        """
+    )
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", r"#", ""))
+    n_ellipsis = (
+        F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / F.lit(3).cast("long")
+    feat = t.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(mean_token_len(F.col("toks")), 6).alias("mwl"),
+        F.round(
+            F.when(n > 0, F.size(F.filter(F.col("toks"), lambda x: x.rlike("[a-z]"))) * 1.0 / n)
+            .otherwise(0.0),
+            6,
+        ).alias("alpha"),
+        F.size(
+            F.array_intersect(
+                F.col("toks"), F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+            )
+        ).alias("nstop"),
+        F.round(
+            F.when(n > 0, (n_hash + F.floor(n_ellipsis)) * 1.0 / n).otherwise(0.0), 6
+        ).alias("symr"),
+        F.round(F.when(n > 0, best_run * 1.0 / n).otherwise(0.0), 6).alias("tts"),
+    )
+    rules = feat.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_tokens").between(_T11_WC_MIN, _T11_WC_MAX).alias("wc_ok"),
+        F.coalesce(
+            F.col("mwl").between(_T11_MWL_MIN, _T11_MWL_MAX), F.lit(False)
+        ).alias("mwl_ok"),
+        (F.col("symr") <= _T11_MAX_SYMBOL_RATIO).alias("symbol_ok"),
+        (F.col("alpha") >= _T11_MIN_ALPHA_SHARE).alias("alpha_ok"),
+        (F.col("nstop") >= _T11_MIN_STOPWORDS).alias("stop_ok"),
+        (F.col("tts") <= _T11_MAX_TOP_TOKEN).alias("top_token_ok"),
+    )
+    flags = ["wc_ok", "mwl_ok", "symbol_ok", "alpha_ok", "stop_ok", "top_token_ok"]
+    n_failed = sum(F.when(F.col(c), 0).otherwise(1) for c in flags)
+    admit = F.lit(True)
+    for c in flags:
+        admit = admit & F.col(c)
+    return rules.select(
+        "doc_id",
+        "n_tokens",
+        *flags,
+        n_failed.cast("int").alias("n_failed"),
+        admit.alias("admit"),
+    )

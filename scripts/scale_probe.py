@@ -73,6 +73,13 @@ PROBE = (
     "t7_repetition_quality",
     "o12_sequence_packing",
     "mm6_video_decode",
+    # round-5 late additions: the map-only Gopher rule battery and
+    # chunker (both should scale like a scan), and semantic dedup
+    # (O(N²/k) within-cell verify; replication inflates within-cell
+    # pair OUTPUT the same way it inflates d2's — see SCALE.md)
+    "t11_gopher_rules",
+    "o14_chunk_windows",
+    "e7_semantic_dedup",
 )
 
 

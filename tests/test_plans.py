@@ -306,3 +306,31 @@ def test_image_decode_map_only(spark):
     map-only pipeline: zero shuffles end to end (mirror of mm4)."""
     plan = _plan(spark, "mm5_image_decode")
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_gopher_rules_shuffle_free(spark):
+    """t11 is ONE map-only projection: every rule derives from the
+    per-doc token array (top-token share via the sorted-run HOF), so
+    the plan has no Exchange and no join — the whole battery scales
+    like a scan."""
+    plan = _plan(spark, "t11_gopher_rules")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_chunk_windows_shuffle_free(spark):
+    """o14 chunking is tokenize + sequence/slice + ONE generator
+    (posexplode) — no Exchange, no join; chunk output rows are produced
+    where the document bytes already live."""
+    plan = _plan(spark, "o14_chunk_windows")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_semantic_dedup_equi_join_only(spark):
+    """e7's within-cell verify is equi-join shaped on centroid_id —
+    never a cartesian product; the assignment itself ran map-only at
+    build time (same kernel contract as test_ivf_assignment_map_only)."""
+    plan = _plan(spark, "e7_semantic_dedup")
+    assert "CartesianProduct" not in plan, plan
