@@ -669,3 +669,78 @@ def ahash_ppm_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
 
     return df.select(id_col, "payload").mapInPandas(feats, AHASH_SCHEMA)
+
+
+WAV_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("n_silent", LongType(), False),
+        StructField("longest_silence_run", LongType(), False),
+        StructField("n_gaps", LongType(), False),
+        StructField("n_segments", LongType(), False),
+        StructField("n_segment_samples", LongType(), False),
+    ]
+)
+
+#: Silence threshold on int16 amplitude and the minimum silent-run
+#: length that splits segments — ONE home for both constants; the mm8
+#: oracle derives the same values from the synthesis mapping
+#: (|sample| < 8192  ⇔  |byte − 128| < 32 under (b−128)·256).
+WAV_SILENCE_AMP = 8192
+WAV_MIN_GAP = 8
+
+
+def wav_segment_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Silence-run segmentation over decoded PCM — the VAD-style
+    splitting an ASR data pipeline applies before transcription: a
+    sample is silent when |amp| < WAV_SILENCE_AMP; a maximal silent run
+    of >= WAV_MIN_GAP samples is a gap; segments are the non-gap spans
+    between gaps. All outputs are exact integers (no float rounding
+    contract needed). Decode + run-length analysis happen in ONE
+    Arrow-batched map pass — same scale shape as every codec leg:
+    linear in payload bytes, zero shuffles."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                w = parse_wav(bytes(payload))
+                s = w["samples"].astype(np.int64)
+                n = len(s)
+                if n == 0:
+                    rows.append((int(doc_id), 0, 0, 0, 0, 0, 0))
+                    continue
+                sil = np.abs(s) < WAV_SILENCE_AMP
+                # run-length encode the silent mask
+                flips = np.flatnonzero(np.diff(sil.astype(np.int8))) + 1
+                starts = np.concatenate(([0], flips))
+                ends = np.concatenate((flips, [n]))
+                lens = ends - starts
+                vals = sil[starts]
+                sil_lens = lens[vals]
+                gap = vals & (lens >= WAV_MIN_GAP)
+                n_gaps = int(gap.sum())
+                gap_samples = int(lens[gap].sum())
+                # gaps are maximal silent runs, so two gaps are never
+                # adjacent: the n_gaps+1 spans around them are empty
+                # only at the doc's edges
+                n_segments = n_gaps + 1
+                if n_gaps and gap[0]:
+                    n_segments -= 1
+                if n_gaps and gap[-1]:
+                    n_segments -= 1
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        int(sil.sum()),
+                        int(sil_lens.max()) if len(sil_lens) else 0,
+                        n_gaps,
+                        n_segments,
+                        n - gap_samples,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_SEGMENT_SCHEMA.fields])
+
+    return df.select(id_col, "payload").mapInPandas(feats, WAV_SEGMENT_SCHEMA)

@@ -824,3 +824,60 @@ def ivfpq_topk(
     |probed lists| · ADC, not corpus-wide. Scoring/ranking is the same
     :func:`_adc_rank_tail` contract as plain PQ."""
     return _adc_rank_tail(codes.join(F.broadcast(luts), "centroid_id"), k, id_col)
+
+
+def semantic_dup_pairs_blas(
+    emb: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cell_col: str = "centroid_id",
+) -> DataFrame:
+    """Within-cell high-cosine pairs via ONE BLAS matmul per cell — the
+    production verify kernel for semantic dedup (SemDeDup): after the
+    map-only cell assignment, each cell's member matrix multiplies
+    against itself (``Xn @ Xn.T``) in an Arrow-batched applyInPandas,
+    ~100× less per-pair overhead than an element-lambda dot in codegen.
+
+    The certified e7 query keeps the JVM HOF dot because its float
+    SEQUENCE is bit-identical to the DuckDB oracle's
+    ``list_dot_product`` (BLAS blocks the summation, so a pair whose
+    rounded cosine sits exactly on a 1e-6 boundary could flip);
+    tests/test_operators.py pins set-equality of the two kernels on
+    the real corpus. Deploy THIS kernel when the corpus outgrows the
+    HOF (same cell-size invariant: k ∝ N keeps each matmul bounded).
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(cell_col, IntegerType(), False),
+            StructField("pa", LongType(), False),
+            StructField("pb", LongType(), False),
+        ]
+    )
+
+    def pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        S = np.round(Xn @ Xn.T, 6)
+        ai, bi = np.nonzero(np.triu(S >= threshold, k=1))
+        pa, pb = ids[ai], ids[bi]
+        swap = pa > pb
+        pa[swap], pb[swap] = pb[swap], pa[swap]
+        return pd.DataFrame(
+            {
+                cell_col: np.full(len(pa), int(pdf[cell_col].iloc[0]), dtype="int32"),
+                "pa": pa,
+                "pb": pb,
+            }
+        )
+
+    return emb.select(cell_col, id_col, vec_col).groupBy(cell_col).applyInPandas(
+        pairs, out_schema
+    )

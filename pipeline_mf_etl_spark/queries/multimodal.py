@@ -387,3 +387,73 @@ def mm7_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hash_lo",
         "n_same_hash",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm8: silence-run SEGMENTATION over decoded audio — the VAD-style
+# splitting an ASR data pipeline applies before transcription: decode
+# PCM, mark samples with |amp| < 8192 silent, call a silent run of
+# >= 8 samples a gap, and count the speech segments between gaps. All
+# features are exact integers, so there is no float-rounding contract
+# at all. Decode + run-length analysis in ONE Arrow map pass; the
+# oracle re-derives the runs from the characters (ASCII corpus:
+# |sample| < 8192  ⇔  |ord − 128| < 32) via the independent
+# gaps-and-islands SQL formulation.
+# ---------------------------------------------------------------------------
+@query(
+    "mm8_audio_segments",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               abs(ord(substr(text, CAST(i AS INTEGER), 1)) - 128) < 32 AS silent
+        FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+    ),
+    rle AS (
+        SELECT doc_id, silent, MIN(i) AS run_start, COUNT(*) AS run_len
+        FROM (
+            SELECT doc_id, silent, i,
+                   i - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, silent ORDER BY i) AS grp
+            FROM chars
+        )
+        GROUP BY doc_id, silent, grp
+    ),
+    doc AS (SELECT doc_id, length(text) AS n FROM documents),
+    agg AS (
+        SELECT d.doc_id, d.n,
+               COALESCE(SUM(CASE WHEN r.silent THEN r.run_len END), 0) AS n_silent,
+               COALESCE(MAX(CASE WHEN r.silent THEN r.run_len END), 0) AS longest
+        FROM doc d LEFT JOIN rle r USING (doc_id)
+        GROUP BY d.doc_id, d.n
+    ),
+    gagg AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_gaps,
+               SUM(g.run_len) AS gap_samples,
+               MAX(CASE WHEN g.run_start = 1 THEN 1 ELSE 0 END) AS starts_gap,
+               MAX(CASE WHEN g.run_start + g.run_len - 1 = d.n
+                        THEN 1 ELSE 0 END) AS ends_gap
+        FROM rle g JOIN doc d USING (doc_id)
+        WHERE g.silent AND g.run_len >= 8
+        GROUP BY g.doc_id
+    )
+    SELECT a.doc_id,
+           CAST(a.n AS BIGINT) AS n_samples,
+           CAST(a.n_silent AS BIGINT) AS n_silent,
+           CAST(a.longest AS BIGINT) AS longest_silence_run,
+           CAST(COALESCE(g.n_gaps, 0) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(g.n_gaps, 0) + 1 - COALESCE(g.starts_gap, 0)
+                - COALESCE(g.ends_gap, 0) AS BIGINT) AS n_segments,
+           CAST(a.n - COALESCE(g.gap_samples, 0) AS BIGINT) AS n_segment_samples
+    FROM agg a LEFT JOIN gagg g USING (doc_id)
+    """,
+)
+def mm8_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document speech-segmentation features from the REAL WAV
+    decode: sample counts, silent-sample count, longest silence run,
+    gap count, and the segment count/sample mass an ASR pipeline would
+    feed to transcription."""
+    from pipeline_mf_etl_spark.operators.multimodal import wav_segment_features
+
+    docs = with_wav_payload(load_table(spark, sf_dir, "documents"))
+    return wav_segment_features(docs)

@@ -60,8 +60,8 @@ _QUERY_MODULES = (
 
 # ROUND-6 ROTATION QUEUE (late-r5 additions registered AFTER the window
 # below filled; all local-parity green, never driver-certified):
-# t11_gopher_rules, o14_chunk_windows, e7_semantic_dedup — plus any r6
-# edits' same-file stragglers.
+# t11_gopher_rules, o14_chunk_windows, e7_semantic_dedup,
+# mm8_audio_segments — plus any r6 edits' same-file stragglers.
 #
 # Explicit front-of-queue names (certification priority within the driver's
 # 50-query window). Round-4 set = queries that are NEW or semantically

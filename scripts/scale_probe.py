@@ -150,6 +150,8 @@ def main() -> None:
             t0 = time.perf_counter()
             force(specs[name].spark(spark, sf_dir))
             results[name][f"x{mult}"] = round(time.perf_counter() - t0, 2)
+            # incremental line so a killed/partial run still leaves data
+            print(f"# {name} x{mult}: {results[name][f'x{mult}']}s", flush=True)
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
     lo, hi = f"x{mults[0]}", f"x{mults[-1]}"

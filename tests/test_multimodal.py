@@ -340,3 +340,46 @@ def test_y4m_frame_stats_use_luma_plane_only(spark):
     row = decode_y4m_frame_stats(sdf, stride=1).collect()[0]
     assert row["mean_luma"] == 10.0  # not (10+200+250)/3
     assert row["max_luma"] == 10    # not 250
+
+
+def test_wav_segmentation_edges(spark):
+    """Segment math at the edges: all-gap doc -> 0 segments; gaps at
+    start/end don't create empty segments; short silent runs do NOT
+    split; features are exact integers."""
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        WAV_MIN_GAP,
+        WAV_SILENCE_AMP,
+        encode_wav_pcm16,
+        wav_segment_features,
+    )
+
+    loud, quiet = WAV_SILENCE_AMP + 1, 0
+
+    def wav(amps):
+        return bytes(encode_wav_pcm16(np.array(amps, dtype=np.int16)))
+
+    gap = [quiet] * WAV_MIN_GAP
+    short = [quiet] * (WAV_MIN_GAP - 1)
+    cases = {
+        1: wav(gap),                          # all one gap -> 0 segments
+        2: wav([loud] * 5),                   # no silence -> 1 segment
+        3: wav(gap + [loud] * 3 + gap),       # edge gaps -> 1 segment
+        4: wav([loud] + gap + [loud]),        # interior gap -> 2 segments
+        5: wav([loud] + short + [loud]),      # short run doesn't split
+    }
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(cases), "payload": list(cases.values())})
+    )
+    rows = {r["doc_id"]: r for r in wav_segment_features(sdf).collect()}
+    assert rows[1]["n_segments"] == 0 and rows[1]["n_gaps"] == 1
+    assert rows[1]["n_segment_samples"] == 0
+    assert rows[2]["n_segments"] == 1 and rows[2]["n_gaps"] == 0
+    assert rows[3]["n_segments"] == 1 and rows[3]["n_gaps"] == 2
+    assert rows[3]["n_segment_samples"] == 3
+    assert rows[4]["n_segments"] == 2 and rows[4]["n_gaps"] == 1
+    assert rows[5]["n_segments"] == 1 and rows[5]["n_gaps"] == 0
+    assert rows[5]["n_silent"] == WAV_MIN_GAP - 1
+    assert rows[5]["longest_silence_run"] == WAV_MIN_GAP - 1

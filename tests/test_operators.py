@@ -504,3 +504,50 @@ def test_substring_dedup_planted_coverage(spark, tmp_path):
         assert rows[d]["n_dup_spans"] == 3, rows[d]  # 10-token run -> 3 spans
         assert rows[d]["n_covered_tokens"] == 10, rows[d]  # union, not 3*8
         assert rows[d]["covered_share"] == round(10 / rows[d]["n_tokens"], 6)
+
+
+def test_semantic_blas_kernel_matches_hof(spark):
+    """The production BLAS verify kernel (per-cell matmul,
+    applyInPandas) must produce the exact same within-cell pair set as
+    the certified JVM-HOF dot path over the real corpus — same cells,
+    same threshold, same 6-dp rounding."""
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.operators.similarity import (
+        dot,
+        fit_ivf_centroids,
+        ivf_assign_cells,
+        norm,
+        semantic_dup_pairs_blas,
+    )
+    from tests.conftest import SF_ORACLE
+
+    from pipeline_mf_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = fit_ivf_centroids(emb, n_centroids=8, iters=5)
+    assign = ivf_assign_cells(emb, cents).select(
+        "vec_id", "v", F.col("centroid_id").cast("int").alias("centroid_id")
+    )
+    blas = {
+        (r["pa"], r["pb"])
+        for r in semantic_dup_pairs_blas(assign, 0.4).collect()
+    }
+    nv = assign.select(
+        "centroid_id", "vec_id", norm(F.col("v")).alias("n"), "v"
+    ).select(
+        "centroid_id", "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("n")).alias("nv"),
+    )
+    x = nv.select("centroid_id", F.col("vec_id").alias("pa"), F.col("nv").alias("va"))
+    y = nv.select("centroid_id", F.col("vec_id").alias("pb"), F.col("nv").alias("vb"))
+    hof = {
+        (r["pa"], r["pb"])
+        for r in x.join(y, "centroid_id")
+        .filter(F.col("pa") < F.col("pb"))
+        .filter(F.round(dot(F.col("va"), F.col("vb")), 6) >= 0.4)
+        .collect()
+    }
+    assert blas == hof and len(hof) > 0
