@@ -243,6 +243,41 @@ def st7_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_candidates_against_index(docs, index).distinct()
 
 
+# ---------------------------------------------------------------------------
+# st9: STREAM-STREAM interval join — click→purchase attribution. Both
+# sides buffer state; the interval condition + watermark bound it to
+# O(rate × attr_window) regardless of stream length (a click is evicted
+# once the purchase watermark passes click_ts + window). The batch entry
+# runs the identical join on the static events table; the streaming
+# test drives two readStream sources through the same transform.
+# ---------------------------------------------------------------------------
+@query(
+    "st9_attribution_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           c.event_id AS click_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts < p.ts
+     AND c.ts >= p.ts - INTERVAL 2 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def st9_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every purchase matched to the same user's clicks in the preceding
+    2 hours, with the exact microsecond gap — the canonical stream-stream
+    interval join (streaming/transforms.py:attribution_join). Batch and
+    streaming run the SAME transform; tests/test_streaming.py certifies
+    the stream path against this batch result."""
+    from pipeline_mf_etl_spark.streaming import attribution_join
+
+    events = load_table(spark, sf_dir, "events")
+    return attribution_join(events, events)
+
+
 def _st8_oracle() -> str:
     from pipeline_mf_etl_spark.operators.text import QUALITY_ADMIT_MIN
     from pipeline_mf_etl_spark.queries.text import T2_SQL

@@ -312,3 +312,56 @@ def quality_route(docs: DataFrame, quality_min: float | None = None) -> DataFram
         q.alias("quality"),
         F.when(q >= quality_min, "admit").otherwise("reject").alias("route"),
     )
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attr_window: str = "2 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the attribution query: every
+    purchase matched to the same user's click events in the preceding
+    ``attr_window``. This is the hardest streaming op class (both sides
+    buffer state); the interval condition + watermarks bound that state:
+    a buffered click can only ever match purchases at most
+    ``attr_window`` ahead, so once the purchase-side watermark passes
+    ``click_ts + attr_window`` the click is evicted — state is
+    O(rate × window), independent of stream length. The SAME join runs
+    unchanged on batch frames (watermarks are streaming-only and added
+    here only when the inputs stream).
+
+    Inputs are the raw event frames (batch or streaming); output is one
+    row per (purchase, preceding click) pair with the exact microsecond
+    gap. Picking the LATEST click per purchase is a downstream batch
+    concern (arg-max over gap) — the join itself emits the match set,
+    which is what a streaming sink can append incrementally."""
+    c = normalize_event_ts(clicks).filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = normalize_event_ts(purchases).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attr_window}"))
+    )
+    return c.join(p, cond).select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "gap_us"
+        ),
+    )

@@ -409,3 +409,35 @@ def test_streaming_pack_state_continues_across_batches(spark, tmp_path):
             assert len(toks) == 1 and toks[0] > PACK_BUDGET, (b, s, toks)
     for b, ids in buckets.items():
         assert ids == set(range(1, max(ids) + 1)), (b, ids)
+
+
+def test_stream_stream_attribution_matches_batch(spark):
+    """st9: the stream-stream interval join (click→purchase attribution)
+    must emit the identical pair set through TWO readStream sources with
+    watermarks (append mode) as through the batch loader. Inner
+    stream-stream joins emit on match; the watermark only bounds buffered
+    state, so one availableNow pass yields the full set."""
+    import uuid
+
+    from pipeline_mf_etl_spark.streaming import attribution_join, read_events_stream
+
+    clicks = read_events_stream(spark, SF_SMOKE)
+    purchases = read_events_stream(spark, SF_SMOKE)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        attribution_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = set(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = set(map(tuple, attribution_join(ev, ev).collect()))
+    assert streamed == batch
+    assert len(batch) > 0
+    # the interval bound actually constrains: every gap is in (0, 2h]
+    assert all(0 < t[3] <= 2 * 3600 * 1_000_000 for t in batch)
