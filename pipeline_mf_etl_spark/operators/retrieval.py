@@ -1,0 +1,108 @@
+"""BM25 lexical retrieval — the inverted-index half of the search stack.
+
+The embedding ANN ladder (operators/similarity.py) covers dense
+retrieval; this module adds the sparse/lexical leg: an inverted index
+(term -> postings) built in one shuffle and Okapi BM25 scoring as a
+posting-list equi-join. Together they are the standard hybrid-retrieval
+pair a RAG / decontamination pipeline needs.
+
+Scale shape (the 100-TB story):
+- Index build is ONE shuffle: explode tokens -> groupBy(doc_id, term).
+  Doc lengths reuse the same exploded frame (separate groupBy on the
+  same key prefix); corpus scalars (N, avgdl) are a 1-row aggregate.
+- Scoring joins the postings to the query-term set. The query side is
+  tiny (a handful of terms) and is BROADCAST, so candidate generation
+  is a map-side semi-join — postings for non-query terms are never
+  shuffled. Per-(query, doc) summation groups only candidate rows.
+- Nothing is ever all-pairs: a doc sharing no term with a query never
+  appears downstream of the broadcast join.
+
+Tokenization is the corpus-wide shared tokenizer
+(operators/dedupe.py:tokens) so index terms, dedup shingles, and the
+text-quality family agree on what a "word" is; the DuckDB oracle twin
+is queries/text.py:_TOKS.
+
+No reference counterpart: the reference has no search surface at all
+(SURVEY.md §2.13 — engine addition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipeline_mf_etl_spark.operators.dedupe import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def build_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Inverted-index postings: one row per (doc, term) with the term
+    frequency and the doc's token length. One explode + two groupBys on
+    the same exploded frame; Catalyst reuses the scan."""
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    return tf.join(dl, id_col)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k docs per query.
+
+    ``queries`` is a (query_id, qtext) frame; query terms are DISTINCT
+    per query (standard bag-of-words BM25 with unit query weights).
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (the Robertson-Sparck
+    Jones form with the +1 floor, always positive).
+
+    Scores are rounded to 6 dp BEFORE ranking with an id tie-break, so
+    the ordering is reproducible across engines and accumulation
+    orders (same convention as the ANN family)."""
+    postings = build_postings(docs, id_col, text_col)
+
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens(F.col("qtext")))).alias("term"),
+    )
+
+    # corpus scalars, one row each, broadcast onto every candidate.
+    # avgdl = total tokens / total docs (empty docs count in the
+    # denominator) — a plain aggregate over the postings, no distinct.
+    stats = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    avg = postings.crossJoin(F.broadcast(stats)).agg(
+        (F.sum("tf") / F.first("n_docs")).alias("avgdl")
+    )
+
+    cand = (
+        postings.join(F.broadcast(qterms), "term")  # map-side prune to query terms
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(avg))
+    )
+    # df per query term, computed on the pruned postings (identical to
+    # the full-corpus df for those terms: pruning drops terms, not docs)
+    dfreq = cand.groupBy("term").agg(F.countDistinct(id_col).cast("double").alias("df"))
+
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        cand.join(F.broadcast(dfreq), "term")
+        .withColumn("contrib", idf * tf_part)
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )
