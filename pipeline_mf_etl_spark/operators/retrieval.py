@@ -106,3 +106,46 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+RRF_C = 60
+
+
+def rrf_fuse(sparse: DataFrame, dense: DataFrame, k: int = 10, c: int = RRF_C) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked result lists (the standard
+    hybrid-retrieval combiner: rrf(d) = Σ 1/(c + rank_m(d)) over the
+    modalities that returned d).
+
+    Inputs are (query_id, doc_id, rank) frames — one per modality; a doc
+    missing from a modality simply contributes nothing (full outer
+    join + coalesce-to-zero). Fusion operates on RANKS, not scores, so
+    no cross-modality score calibration is needed — and because ranks
+    are small exact ints, the fused score is reproducible across
+    engines by construction. Both inputs are already top-k'd per query
+    (bounded), so the fusion join is trivially small per query."""
+    sp = sparse.select("query_id", "doc_id", F.col("rank").alias("rank_sparse"))
+    de = dense.select("query_id", "doc_id", F.col("rank").alias("rank_dense"))
+    fused = sp.join(de, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (c + F.col("rank_sparse")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (c + F.col("rank_dense")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        "rank_sparse",
+        "rank_dense",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf",
+            "rank_sparse",
+            "rank_dense",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

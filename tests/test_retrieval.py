@@ -68,3 +68,21 @@ def test_bm25_plan_broadcasts_query_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from pipeline_mf_etl_spark.operators.retrieval import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, doc_id long, rank int"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse(sparse, dense, k=10).collect()}
+    assert rows[10]["rrf"] == round(1 / 61, 6)
+    assert rows[11]["rrf"] == round(1 / 62 + 1 / 61, 6)
+    assert rows[12]["rrf"] == round(1 / 62, 6)
+    # doc 11 appears in both modalities and wins; one-sided ranks are null
+    assert [rows[d]["rank"] for d in (11, 10, 12)] == [1, 2, 3]
+    assert rows[10]["rank_dense"] is None and rows[12]["rank_sparse"] is None
