@@ -413,3 +413,39 @@ def e7_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dropped").cast("bigint").alias("n_dropped"),
         (F.col("n_vecs") - F.col("n_dropped")).cast("bigint").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E8: distributed PCA — the dimensionality-reduction step before ANN
+# indexing / semantic dedup. Fit is one corpus pass of per-partition
+# Gram partials (operators/pca.py); the persisted component matrix lets
+# the oracle replay the exact map-only projection with list_dot_product.
+# ---------------------------------------------------------------------------
+@query(
+    "e8_pca_project",
+    eager=True,
+    oracle=f"""
+    SELECT e.vec_id, c.pc_idx,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.weights)
+                 - c.bias, 6) AS proj
+    FROM embeddings e
+    CROSS JOIN read_parquet('{export_glob("e8_components")}') c
+    """,
+)
+def e8_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal-component projections of every embedding
+    (centering folded into a per-component bias). Components are fit
+    distributively (partition Gram partials, driver eigh) and persisted
+    so both engines project with the same matrix."""
+    from pipeline_mf_etl_spark.operators.pca import (
+        components_frame,
+        fit_pca,
+        pca_project,
+    )
+
+    v = _vectors(spark, sf_dir)
+    w, bias, eigvals = fit_pca(v, q=8)
+    comps = export_frame(
+        components_frame(spark, w, bias, eigvals), spark, sf_dir, "e8_components"
+    )
+    return pca_project(v, comps.select("pc_idx", "weights", "bias"))
