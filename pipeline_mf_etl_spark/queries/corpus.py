@@ -651,3 +651,60 @@ def o14_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sl).cast("int").alias("n_chunk_tokens"),
         F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# o15: deterministic global shuffle + shard assignment — the last step
+# before training-file export: every doc gets a pseudo-random shard
+# (md5 fold, map-only — no global sort, no single-partition bottleneck)
+# and a within-shard position from a second independent fold (the
+# "shuffled" read order). Shard count is chosen for target file size;
+# each shard sorts independently, so the only shuffle is the N-way
+# hash partition by shard. Reproducible on any engine / partitioning.
+# ---------------------------------------------------------------------------
+_O15_SHARDS = 8
+
+
+def _o15_oracle() -> str:
+    from pipeline_mf_etl_spark.queries.dedup import _FOLD
+
+    shard_fold = _FOLD.format(x="'shard:' || CAST(doc_id AS VARCHAR)")
+    ord_fold = _FOLD.format(x="'ord:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST({shard_fold} % {_O15_SHARDS} AS INTEGER) AS shard,
+               ({ord_fold} % 1000000) / 1000000.0 AS u
+        FROM documents
+    )
+    SELECT shard, doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY u, doc_id) AS INTEGER) AS pos
+    FROM keyed
+    """
+
+
+@query("o15_shard_shuffle", oracle=_o15_oracle())
+def o15_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard + shuffled read-order assignment per doc:
+    shard = md5-fold('shard:'||id) mod N (map-only), pos = rank of an
+    independent md5-fold within the shard (doc_id tie-break — the
+    [0,1) fold has 1e6 distinct values, so collisions are expected at
+    corpus scale and must not make the order ambiguous)."""
+    from pyspark.sql import Window
+
+    from pipeline_mf_etl_spark.operators.dedupe import md5_int64, md5_unit
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        (md5_int64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+         % _O15_SHARDS).cast("int").alias("shard"),
+        md5_unit(F.col("doc_id"), "ord:").alias("u"),
+    )
+    w = Window.partitionBy("shard").orderBy("u", "doc_id")
+    return keyed.select(
+        "shard",
+        "doc_id",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
