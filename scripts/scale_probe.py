@@ -80,6 +80,19 @@ PROBE = (
     "t11_gopher_rules",
     "o14_chunk_windows",
     "e7_semantic_dedup",
+    # round-5 late additions: BM25 (postings groupBy + broadcast query
+    # semi-join — index build dominates, scoring is corpus-independent
+    # per query), hybrid fusion (adds a fixed-size brute-force dense leg
+    # over the replicated embeddings — linear in corpus), PCA (one
+    # Gram-partial pass + map-only projection), shard shuffle (map-only
+    # assignment + N-way partition sort), and the batch form of the
+    # stream-stream attribution join (per-user interval join: key-space
+    # remapping keeps pairs-per-user constant, so growth is linear)
+    "r1_bm25_topk",
+    "r2_hybrid_rrf",
+    "e8_pca_project",
+    "o15_shard_shuffle",
+    "st9_attribution_join",
 )
 
 
