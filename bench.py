@@ -80,6 +80,19 @@ def main() -> None:
     # Disclosed in the output ("runs"/"agg") so rounds are compared
     # knowingly.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    # Host-speed calibration: a fixed data-independent JVM job (codegen
+    # sum over a generated range). Rounds run on a shared virtualized
+    # box whose effective speed shifts between boots; this constant
+    # workload lets cross-round query timings be normalized
+    # (query_sec / calib_sec) instead of read as raw regressions.
+    calib = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(1_000_000_000).selectExpr("sum(id * 2)").collect()
+        dt = time.perf_counter() - t0
+        calib = dt if calib is None else min(calib, dt)
+
     total = 0.0
     for name in HEADLINE:
         spec = specs.get(name)
@@ -102,6 +115,7 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
         "agg": "min",
+        "calib_range_sum_sec": round(calib, 3),
     }))
 
 

@@ -57,3 +57,27 @@ def test_fit_guards(spark):
     empty = spark.createDataFrame([], "vec_id long, v array<double>")
     with pytest.raises(ValueError):
         fit_pca(empty)
+
+
+def test_projection_plan_is_map_only(spark):
+    """pca_project must be shuffle-free: broadcast the q-row component
+    frame onto the scan (BroadcastNestedLoopJoin is the expected shape
+    for a keyless tiny side), no Exchange anywhere. (The fit input is
+    built WITHOUT _toy's repartition(5) — that Exchange belongs to the
+    test fixture, not the operator.)"""
+    x, _ = _toy(spark, n=50)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(50)],
+        "vec_id long, v array<double>",
+    )
+    w, bias, eigvals = fit_pca(df, q=2)
+    comps = components_frame(spark, w, bias, eigvals)
+    plan = (
+        pca_project(df, comps)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the q-row component side broadcasts (BroadcastExchange is the
+    # desired shape); no data-sized shuffle may appear
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

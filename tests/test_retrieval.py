@@ -86,3 +86,14 @@ def test_rrf_fuse_hand_computed(spark):
     # doc 11 appears in both modalities and wins; one-sided ranks are null
     assert [rows[d]["rank"] for d in (11, 10, 12)] == [1, 2, 3]
     assert rows[10]["rank_dense"] is None and rows[12]["rank_sparse"] is None
+
+
+def test_shard_shuffle_single_exchange(spark):
+    """o15's only shuffle may be the N-way hash partition by shard
+    (the within-shard rank); assignment itself is map-only."""
+    from pipeline_mf_etl_spark.queries import all_queries
+    from tests.conftest import SF_SMOKE
+
+    df = all_queries()["o15_shard_shuffle"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
