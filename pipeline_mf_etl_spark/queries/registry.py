@@ -56,16 +56,18 @@ _QUERY_MODULES = (
     # registers LAST (outside the r4 window; certify in r5): imports SQL
     # fragments from dedup + text, both already loaded by this point
     "pipeline_mf_etl_spark.queries.curation",
-    # registers last (round-6 rotation queue): BM25 lexical retrieval
+    # register last (round-6 rotation queue): BM25/hybrid retrieval and
+    # the near-dup graph analytics
     "pipeline_mf_etl_spark.queries.retrieval",
+    "pipeline_mf_etl_spark.queries.graph",
 )
 
 # ROUND-6 ROTATION QUEUE (late-r5 additions registered AFTER the window
 # below filled; all local-parity green, never driver-certified):
 # t11_gopher_rules, o14_chunk_windows, e7_semantic_dedup,
 # mm8_audio_segments, st9_attribution_join, r1_bm25_topk,
-# r2_hybrid_rrf, e8_pca_project, o15_shard_shuffle — plus any r6
-# edits' same-file stragglers.
+# r2_hybrid_rrf, e8_pca_project, o15_shard_shuffle,
+# g1_pagerank_neardup — plus any r6 edits' same-file stragglers.
 #
 # Explicit front-of-queue names (certification priority within the driver's
 # 50-query window). Round-4 set = queries that are NEW or semantically
