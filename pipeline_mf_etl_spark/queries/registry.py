@@ -67,7 +67,8 @@ _QUERY_MODULES = (
 # t11_gopher_rules, o14_chunk_windows, e7_semantic_dedup,
 # mm8_audio_segments, st9_attribution_join, r1_bm25_topk,
 # r2_hybrid_rrf, e8_pca_project, o15_shard_shuffle,
-# g1_pagerank_neardup — plus any r6 edits' same-file stragglers.
+# g1_pagerank_neardup, t12_bpe_tokenize — plus any r6 edits'
+# same-file stragglers.
 #
 # Explicit front-of-queue names (certification priority within the driver's
 # 50-query window). Round-4 set = queries that are NEW or semantically

@@ -722,3 +722,79 @@ def t11_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_failed.cast("int").alias("n_failed"),
         admit.alias("admit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T12: BPE tokenizer — train on distributed word counts (one corpus
+# groupBy; merge learning is O(top-V vocab) on the driver, the standard
+# word-frequency decomposition), encode via map-only JVM string
+# replaces over the DISTINCT vocabulary, stats via broadcast join. The
+# persisted merge list lets the oracle replay encoding with a recursive
+# CTE (scalar replace per step — no aggregates in the recursive term),
+# so token counts certify integer-for-integer with zero float surface.
+# ---------------------------------------------------------------------------
+def _t12_oracle() -> str:
+    from pipeline_mf_etl_spark.operators.bpe import _REPEATS
+    from pipeline_mf_etl_spark.queries.export import export_glob
+
+    rep = "e.s"
+    for _ in range(_REPEATS):
+        rep = (
+            f"replace({rep}, ' ' || m.l || ' ' || m.r || ' ',"
+            " ' ' || m.l || m.r || ' ')"
+        )
+    return f"""
+    WITH RECURSIVE tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    words AS (SELECT doc_id, UNNEST(toks) AS word FROM tok),
+    vocab AS (SELECT DISTINCT word FROM words),
+    m AS (SELECT * FROM read_parquet('{export_glob("t12_merges")}')),
+    enc AS (
+        SELECT word,
+               ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS s,
+               0 AS step
+        FROM vocab
+        UNION ALL
+        SELECT e.word, {rep}, e.step + 1
+        FROM enc e JOIN m ON m.merge_idx = e.step + 1
+    ),
+    final AS (
+        SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS bpe_len
+        FROM enc
+        WHERE step = (SELECT COALESCE(MAX(merge_idx), 0) FROM m)
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(f.bpe_len) AS BIGINT) AS n_bpe_tokens
+    FROM words w JOIN final f USING (word)
+    GROUP BY w.doc_id
+    """
+
+
+@query("t12_bpe_tokenize", eager=True, oracle=_t12_oracle())
+def t12_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE token stats under a tokenizer TRAINED on this corpus
+    (operators/bpe.py): n_words and n_bpe_tokens after 12 learned
+    merges. EAGER: the distributed word count + driver merge loop run
+    at build time and the merge list persists for the oracle replay."""
+    from pipeline_mf_etl_spark.operators.bpe import (
+        merges_frame,
+        train_bpe,
+        word_bpe_lengths,
+    )
+    from pipeline_mf_etl_spark.operators.dedupe import tokens as _tok
+    from pipeline_mf_etl_spark.queries.export import export_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs)
+    export_frame(merges_frame(spark, merges), spark, sf_dir, "t12_merges")
+
+    words = docs.select("doc_id", F.explode(_tok(F.col("text"))).alias("word"))
+    lens = word_bpe_lengths(words.select("word").distinct(), merges)
+    return (
+        words.join(F.broadcast(lens), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("bpe_len").cast("long").alias("n_bpe_tokens"),
+        )
+    )
