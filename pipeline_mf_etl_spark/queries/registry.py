@@ -67,8 +67,11 @@ _QUERY_MODULES = (
 # t11_gopher_rules, o14_chunk_windows, e7_semantic_dedup,
 # mm8_audio_segments, st9_attribution_join, r1_bm25_topk,
 # r2_hybrid_rrf, e8_pca_project, o15_shard_shuffle,
-# g1_pagerank_neardup, t12_bpe_tokenize — plus any r6 edits'
-# same-file stragglers.
+# g1_pagerank_neardup, t12_bpe_tokenize, w19_time_decay_score — plus
+# any r6 edits' same-file stragglers. NOTE: the late-r5 w19 append
+# touched queries/windows.py (w1-w18 share the file; their last green
+# is r3/r5-window) and t12 touched queries/text.py — rotate both
+# families' stalest members with the r6 window.
 #
 # Explicit front-of-queue names (certification priority within the driver's
 # 50-query window). Round-4 set = queries that are NEW or semantically

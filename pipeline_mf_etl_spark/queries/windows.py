@@ -535,3 +535,48 @@ def w18_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.filter(F.col("event_type") == "signup").select(
         "event_id", "user_id", "n_next_hour", "sum_prev_hour"
     )
+
+
+# ---------------------------------------------------------------------------
+# W19: exponential time-decay scoring — the feature-store recency
+# aggregate: score_u = Σ value · exp(−Δdays / τ) with Δ measured from
+# the corpus max timestamp (deterministic, data-derived reference; a
+# production run passes "now"). One scan: the 1-row max-ts aggregate
+# broadcasts onto the stream, decay is a JVM scalar, one groupBy.
+# Both engines compose the identical exp argument from exact integer
+# microsecond arithmetic; the 6-dp round absorbs libm ulp variation.
+# ---------------------------------------------------------------------------
+_W19_TAU_DAYS = 7.0
+
+
+@query(
+    "w19_time_decay_score",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(ts) AS t_ref FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value * exp(-((epoch_us(ref.t_ref) - epoch_us(ts))
+                                   / 86400000000.0) / {_W19_TAU_DAYS})), 6)
+               AS decayed_value
+    FROM events, ref
+    GROUP BY user_id
+    """,
+)
+def w19_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed value (τ = 7 days, reference
+    point = corpus max event time) — W19, engine addition."""
+    from pipeline_mf_etl_spark.streaming.transforms import normalize_event_ts
+
+    ev = normalize_event_ts(load_table(spark, sf_dir, "events"))
+    ref = ev.agg(F.max("ts").alias("t_ref"))
+    delta_days = (F.unix_micros("t_ref") - F.unix_micros("ts")) / 86400000000.0
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * F.exp(-delta_days / _W19_TAU_DAYS)), 6
+            ).alias("decayed_value"),
+        )
+    )

@@ -93,6 +93,12 @@ PROBE = (
     "e8_pca_project",
     "o15_shard_shuffle",
     "st9_attribution_join",
+    # PageRank: fixed join+agg rounds over the verified-pair graph
+    # (graph size scales with the corpus; round count does not) and the
+    # BPE pipeline (one word-count groupBy + driver merge loop +
+    # broadcast encode join)
+    "g1_pagerank_neardup",
+    "t12_bpe_tokenize",
 )
 
 
@@ -151,7 +157,7 @@ def main() -> None:
     for mult in mults:
         sf_dir = replicate(spark, mult)
         for name in probe:
-            if name == "d6_canonical_docs":
+            if name in ("d6_canonical_docs", "g1_pagerank_neardup"):
                 # Measure the retention step AS DEPLOYED: the verified
                 # pair set comes from the d2 stage that already ran
                 # (verified_pairs_export is written once per process+sf
