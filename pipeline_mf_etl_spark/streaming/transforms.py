@@ -365,3 +365,78 @@ def attribution_join(
             "gap_us"
         ),
     )
+
+
+def ingest_with_growing_lsh_index(
+    docs_stream: DataFrame,
+    index_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming corpus admission against an INCREMENTALLY GROWN LSH
+    index — the production form of st7's static lookup: each
+    micro-batch is MinHash-banded per-row, checked against the
+    persisted band index (equi-join), and the ADMITTED docs' bands are
+    appended to that same index, so a near-dup of a doc admitted three
+    batches ago is caught even though no static index ever existed.
+
+    foreachBatch is the right tool: the index is stream-side state that
+    must outlive the query and be queryable by OTHER jobs (batch d2,
+    st7, ops), which the state store cannot offer; parquet appends per
+    batch are atomic at task-commit granularity and the checkpoint
+    makes redelivery idempotent at the file level.
+
+    Intra-batch policy (deterministic, single-pass): a doc is rejected
+    if it band-collides with ANY batch doc of smaller doc_id —
+    regardless of that doc's own admission fate — or with any indexed
+    doc. No iteration, no order dependence on partitioning.
+
+    Returns the StreamingQuery (availableNow trigger; caller awaits)."""
+    import os
+
+    from pipeline_mf_etl_spark.operators.dedupe import minhash_band_buckets_rowwise
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if len(batch.take(1)) == 0:
+            return
+        sp = batch.sparkSession
+        bands = minhash_band_buckets_rowwise(batch, "doc_id", "text").persist()
+        try:
+            # vs the grown index
+            if os.path.isdir(index_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(index_dir)
+            ):
+                idx = sp.read.parquet(index_dir).withColumnRenamed(
+                    "doc_id", "matched_doc_id"
+                )
+                index_hits = (
+                    bands.join(idx, ["band", "band_hash"])
+                    .filter(F.col("doc_id") != F.col("matched_doc_id"))
+                    .select("doc_id")
+                )
+            else:
+                index_hits = bands.select("doc_id").limit(0)
+            # vs smaller-id docs of the same batch
+            peer = bands.select(
+                F.col("doc_id").alias("peer_id"), "band", "band_hash"
+            )
+            batch_hits = (
+                bands.join(peer, ["band", "band_hash"])
+                .filter(F.col("peer_id") < F.col("doc_id"))
+                .select("doc_id")
+            )
+            rejected = index_hits.union(batch_hits).distinct()
+            admitted = batch.join(rejected, "doc_id", "left_anti")
+            admitted.write.mode("append").parquet(admitted_dir)
+            bands.join(rejected, "doc_id", "left_anti").write.mode("append").parquet(
+                index_dir
+            )
+        finally:
+            bands.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

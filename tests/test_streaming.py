@@ -441,3 +441,74 @@ def test_stream_stream_attribution_matches_batch(spark):
     assert len(batch) > 0
     # the interval bound actually constrains: every gap is in (0, 2h]
     assert all(0 < t[3] <= 2 * 3600 * 1_000_000 for t in batch)
+
+
+def test_growing_lsh_index_catches_cross_batch_neardups(spark, tmp_path):
+    """The foreachBatch ingest gate must reject a doc that near-dups a
+    doc ADMITTED IN AN EARLIER BATCH (the index grew), reject
+    smaller-id intra-batch collisions, and admit everything unique."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.streaming import (
+        ingest_with_growing_lsh_index,
+        read_jsonl_corpus_stream,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    uniq = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "spark engines shuffle partitions across the cluster ring buffer",
+        3: "completely different text about marmalade recipes and citrus peel",
+        4: "orthogonal content covering tide tables and lunar phase charts",
+    }
+    dup_text = "identical payload text that appears in both stream batches verbatim"
+    # file A: two unique docs + doc 10 (first copy of the dup) + an
+    # intra-batch dup pair (20 admits, 21 rejects)
+    intra = "intra batch duplicated sentence shared by twenty and twentyone"
+    a = [
+        {"doc_id": 1, "text": uniq[1]},
+        {"doc_id": 10, "text": dup_text},
+        {"doc_id": 20, "text": intra},
+        {"doc_id": 21, "text": intra},
+        {"doc_id": 2, "text": uniq[2]},
+    ]
+    # file B: two unique docs + doc 30 (second copy of the dup)
+    b = [
+        {"doc_id": 3, "text": uniq[3]},
+        {"doc_id": 30, "text": dup_text},
+        {"doc_id": 4, "text": uniq[4]},
+    ]
+    for name, rows in (("a.jsonl", a), ("b.jsonl", b)):
+        with open(drop / name, "w") as fh:
+            for r in rows:
+                base = {"lang": "en", "source": "s", "n_chars": len(r["text"])}
+                fh.write(json.dumps({**r, **base}) + "\n")
+
+    stream = read_jsonl_corpus_stream(spark, str(drop)).filter(
+        F.col("_corrupt_record").isNull()
+    ).drop("_corrupt_record")
+    q = ingest_with_growing_lsh_index(
+        stream,
+        str(tmp_path / "index"),
+        str(tmp_path / "admitted"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    admitted = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "admitted")).collect()
+    }
+    # uniques always admitted; intra-batch: 20 in, 21 out
+    assert {1, 2, 3, 4} <= admitted
+    assert 20 in admitted and 21 not in admitted
+    # exactly ONE of the cross-batch dup pair survived (whichever batch
+    # ran first admitted its copy; the grown index rejected the other)
+    assert len({10, 30} & admitted) == 1
+    # the index holds bands for every admitted doc and no rejected one
+    idx_ids = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "index")).collect()
+    }
+    assert idx_ids == admitted
