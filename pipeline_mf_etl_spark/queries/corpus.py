@@ -708,3 +708,49 @@ def o15_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.row_number().over(w).cast("int").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# o16: exact-k deterministic per-group sampling — the balanced-subset
+# op (k docs per source, reproducibly, no RNG): rank an md5 fold within
+# each group and keep the k smallest. Unlike o9's Bernoulli (expected
+# rate, binomial count), this guarantees EXACTLY min(k, group size)
+# rows per group — what an eval-set builder or per-source cap wants.
+# One shuffle (the per-group rank); stable under repartitioning.
+# ---------------------------------------------------------------------------
+_O16_K = 20
+
+
+def _o16_oracle() -> str:
+    from pipeline_mf_etl_spark.queries.dedup import _FOLD
+
+    fold = _FOLD.format(x="'pick:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, source, ({fold} % 1000000) / 1000000.0 AS u
+        FROM documents
+    )
+    SELECT source, doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY u, doc_id) AS INTEGER) AS pick
+    FROM keyed
+    QUALIFY pick <= {_O16_K}
+    """
+
+
+@query("o16_per_group_sample", oracle=_o16_oracle())
+def o16_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k=20 docs per source, chosen by md5-fold order with a
+    doc_id tie-break (the fold's 1e6 values collide at corpus scale)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "source", md5_unit(F.col("doc_id"), "pick:").alias("u")
+    )
+    w = Window.partitionBy("source").orderBy("u", "doc_id")
+    return (
+        keyed.withColumn("pick", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick") <= _O16_K)
+        .select("source", "doc_id", "pick")
+    )
