@@ -43,6 +43,10 @@ HEADLINE = (
     "d7_curation_waterfall",  # end-to-end 5-stage corpus curation
     "t9_trigram_lm",          # corpus-trained trigram LM quality score
     "v4_hmm_ribbon",          # HMM decode ribbon (persisted-fit family)
+    # added late round 5 (r5-comparable subtotal = first 19)
+    "r1_bm25_topk",           # BM25: inverted postings + broadcast scoring
+    "t12_bpe_tokenize",       # BPE train (word-count reduce) + encode
+    "g1_pagerank_neardup",    # PageRank rounds over the pair graph
 )
 
 
@@ -93,19 +97,26 @@ def main() -> None:
         dt = time.perf_counter() - t0
         calib = dt if calib is None else min(calib, dt)
 
-    total = 0.0
-    for name in HEADLINE:
-        spec = specs.get(name)
-        if spec is None:
-            continue
-        best = None
-        for _ in range(runs):
+    # INTERLEAVED rounds (all queries once per round, then repeat):
+    # back-to-back repetitions of one query sit inside the same
+    # noise window on a shared host, so a multi-minute neighbor burst
+    # poisons all of a query's samples at once; spreading each query's
+    # samples across the full run makes min-of-N actually robust.
+    best: dict[str, float] = {}
+    for _ in range(runs):
+        for name in HEADLINE:
+            spec = specs.get(name)
+            if spec is None:
+                continue
             t0 = time.perf_counter()
             _force(spec.spark(spark, sf_dir))
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        total += best
+            best[name] = min(best.get(name, dt), dt)
+    total = 0.0
+    for name in HEADLINE:
+        if name in best:
+            timings[name] = round(best[name], 3)
+            total += best[name]
 
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -62,7 +62,13 @@ def g1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, 5 fixed iterations) over the verified
     near-dup pair graph; output every graph node with its 6-dp rank
     value and a global importance rank. EAGER: the engine consumes the
-    persisted pair export and iterates join+agg rounds at build time."""
+    persisted pair export and iterates join+agg rounds at build time.
+
+    The final unpartitioned row_number is a PRESENTATION rank over the
+    near-dup-member node set (a small fraction of the corpus); a
+    100-TB consumer wanting the full ordering should take the
+    (doc_id, pagerank) pairs and sort/top-k at the sink instead of
+    forcing a single-partition global rank."""
     from pyspark.sql import Window
 
     from pipeline_mf_etl_spark.queries.dedup import verified_pairs_export
