@@ -457,3 +457,62 @@ def mm8_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_wav_payload(load_table(spark, sf_dir, "documents"))
     return wav_segment_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# mm9: image RESIZE — average-pool each decoded PPM to a fixed 4×4
+# thumbnail in the same Arrow pass that decodes it (no shuffle; pixel
+# rows never leave the task). The synth mapping is invertible, so the
+# oracle recomputes every cell straight from the characters: pixel p
+# sits at (y, x) = (p // 16, p % 16), bytes at text positions
+# 3p+1..3p+3, and pools into cell (y·4 // h, x // 4).
+# ---------------------------------------------------------------------------
+@query(
+    "mm9_image_resize",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) // 48 AS h
+        FROM documents
+    ), px AS (
+        SELECT g.doc_id,
+               (((i - 1) // 16) * 4) // g.h AS cell_y,
+               ((i - 1) % 16) // 4 AS cell_x,
+               ord(substr(g.text, CAST(3 * (i - 1) + 1 AS INTEGER), 1)) AS r,
+               ord(substr(g.text, CAST(3 * (i - 1) + 2 AS INTEGER), 1)) AS gg,
+               ord(substr(g.text, CAST(3 * (i - 1) + 3 AS INTEGER), 1)) AS b
+        FROM geo g, UNNEST(range(1, CAST(g.h * 16 + 1 AS BIGINT))) AS t(i)
+        WHERE g.h > 0
+    )
+    SELECT doc_id,
+           CAST(cell_y AS INTEGER) AS cell_y,
+           CAST(cell_x AS INTEGER) AS cell_x,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           ROUND(SUM(r) * 1.0 / COUNT(*), 6) AS mean_r,
+           ROUND(SUM(gg) * 1.0 / COUNT(*), 6) AS mean_g,
+           ROUND(SUM(b) * 1.0 / COUNT(*), 6) AS mean_b
+    FROM px
+    GROUP BY doc_id, cell_y, cell_x
+    """,
+)
+def mm9_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4×4 average-pool thumbnail cells per document image (the
+    multimodal resize verb): exact integer channel sums pooled in the
+    decode pass, means divided exact-int/exact-int. 0-row images emit
+    no cells; short images fill only existing bands — identically on
+    both engines."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        resize_ppm_cells,
+        with_ppm_payload,
+    )
+
+    docs = with_ppm_payload(load_table(spark, sf_dir, "documents"))
+    cells = resize_ppm_cells(docs)
+    return cells.select(
+        "doc_id",
+        "cell_y",
+        "cell_x",
+        "n_px",
+        F.round(F.col("sum_r") * 1.0 / F.col("n_px"), 6).alias("mean_r"),
+        F.round(F.col("sum_g") * 1.0 / F.col("n_px"), 6).alias("mean_g"),
+        F.round(F.col("sum_b") * 1.0 / F.col("n_px"), 6).alias("mean_b"),
+    )

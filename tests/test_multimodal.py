@@ -383,3 +383,39 @@ def test_wav_segmentation_edges(spark):
     assert rows[5]["n_segments"] == 1 and rows[5]["n_gaps"] == 0
     assert rows[5]["n_silent"] == WAV_MIN_GAP - 1
     assert rows[5]["longest_silence_run"] == WAV_MIN_GAP - 1
+
+
+def test_resize_pools_uneven_bands_exactly(spark):
+    """A 6-row image pools into 4 uneven y-bands (2,1,2,1 rows via
+    y*4//h); a 2-row image fills only bands {0, 2}; channel sums are
+    exact integers."""
+    import numpy as np
+
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        PPM_WIDTH,
+        encode_ppm,
+        resize_ppm_cells,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = {1: 6, 2: 2}  # doc_id -> height
+    raw = {d: rng.integers(0, 256, (h, PPM_WIDTH, 3), dtype=np.uint8) for d, h in imgs.items()}
+    df = spark.createDataFrame(
+        [(d, bytearray(encode_ppm(raw[d].tobytes(), PPM_WIDTH, h))) for d, h in imgs.items()],
+        "doc_id long, payload binary",
+    )
+    rows = resize_ppm_cells(df).collect()
+    got = {(r["doc_id"], r["cell_y"], r["cell_x"]): r for r in rows}
+
+    for d, h in imgs.items():
+        ys = (np.arange(h) * 4) // h
+        xs = (np.arange(PPM_WIDTH) * 4) // PPM_WIDTH
+        expect_bands = set(ys.tolist())
+        assert {cy for (dd, cy, _) in got if dd == d} == expect_bands
+        # exact sums per cell
+        for cy in expect_bands:
+            for cx in range(4):
+                sel = raw[d][ys == cy][:, xs == cx, :].reshape(-1, 3).astype(int)
+                r = got[(d, cy, cx)]
+                assert r["n_px"] == sel.shape[0]
+                assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(sel.sum(axis=0))
