@@ -803,3 +803,46 @@ def resize_ppm_cells(df: DataFrame, id_col: str = "doc_id", grid: int = RESIZE_G
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(cells, RESIZE_CELL_SCHEMA)
+
+
+WAV_DOWNSAMPLE_FACTOR = 8
+
+WAV_BLOCK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("block_idx", IntegerType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sum_sample", LongType(), False),
+    ]
+)
+
+
+def downsample_wav_blocks(
+    df: DataFrame, id_col: str = "doc_id", factor: int = WAV_DOWNSAMPLE_FACTOR
+) -> DataFrame:
+    """Block-averaged audio DOWNSAMPLE (the audio resize verb): decode
+    each WAV and reduce every ``factor`` consecutive samples to one
+    block row with its EXACT integer sample sum — decode + decimate in
+    one Arrow pass, no shuffle, and the mean divides exact-int /
+    exact-int downstream so engines agree bitwise. The trailing
+    partial block keeps its own (smaller) count."""
+
+    def blocks(batches):
+        for pdf in batches:
+            out = {k.name: [] for k in WAV_BLOCK_SCHEMA.fields}
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                s = parse_wav(bytes(payload))["samples"].astype(np.int64)
+                n = len(s)
+                if n == 0:
+                    continue
+                starts = np.arange(0, n, factor)
+                sums = np.add.reduceat(s, starts)
+                counts = np.minimum(starts + factor, n) - starts
+                for bi in range(len(starts)):
+                    out["doc_id"].append(int(did))
+                    out["block_idx"].append(int(bi))
+                    out["n_samples"].append(int(counts[bi]))
+                    out["sum_sample"].append(int(sums[bi]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(blocks, WAV_BLOCK_SCHEMA)

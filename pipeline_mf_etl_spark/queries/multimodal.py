@@ -516,3 +516,46 @@ def mm9_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_g") * 1.0 / F.col("n_px"), 6).alias("mean_g"),
         F.round(F.col("sum_b") * 1.0 / F.col("n_px"), 6).alias("mean_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm10: audio DOWNSAMPLE — block-averaged decimation (factor 8) in the
+# decode pass; the audio twin of mm9's image resize. The WAV synth is
+# invertible (sample i = (byte_i − 128)·256), so the oracle recomputes
+# every block straight from the characters.
+# ---------------------------------------------------------------------------
+@query(
+    "mm10_audio_downsample",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               (i - 1) // 8 AS block_idx,
+               (ord(substr(text, CAST(i AS INTEGER), 1)) - 128) * 256 AS v
+        FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(block_idx AS INTEGER) AS block_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           ROUND(SUM(v) * 1.0 / COUNT(*), 6) AS mean_sample
+    FROM s
+    GROUP BY doc_id, block_idx
+    """,
+)
+def mm10_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8:1 block-averaged PCM downsample per document audio payload:
+    exact integer block sums from the decode pass, means divided
+    exact-int/exact-int; the trailing partial block keeps its own
+    count — identically on both engines."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        downsample_wav_blocks,
+        with_wav_payload,
+    )
+
+    docs = with_wav_payload(load_table(spark, sf_dir, "documents"))
+    blocks = downsample_wav_blocks(docs)
+    return blocks.select(
+        "doc_id",
+        "block_idx",
+        "n_samples",
+        F.round(F.col("sum_sample") * 1.0 / F.col("n_samples"), 6).alias("mean_sample"),
+    )

@@ -99,6 +99,11 @@ PROBE = (
     # broadcast encode join)
     "g1_pagerank_neardup",
     "t12_bpe_tokenize",
+    # map-shaped late additions (decode+pool passes / single-shuffle)
+    "mm9_image_resize",
+    "mm10_audio_downsample",
+    "w19_time_decay_score",
+    "o16_per_group_sample",
 )
 
 
