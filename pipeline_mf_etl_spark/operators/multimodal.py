@@ -846,3 +846,45 @@ def downsample_wav_blocks(
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(blocks, WAV_BLOCK_SCHEMA)
+
+
+VIDEO_POOL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("cell_y", IntegerType(), False),
+        StructField("cell_x", IntegerType(), False),
+        StructField("sum_luma", LongType(), False),
+    ]
+)
+
+
+def pool_y4m_frames(df: DataFrame, id_col: str = "doc_id", stride: int = 4) -> DataFrame:
+    """Video RESIZE: every ``stride``-th decoded frame spatially pooled
+    to 2×2 quadrants (each an exact 4×4-pixel luma sum at the fixed 8×8
+    geometry) — decode + sample + pool in one Arrow pass, no shuffle;
+    means divide exact-int/16 downstream."""
+
+    def cells(batches):
+        for pdf in batches:
+            out = {k.name: [] for k in VIDEO_POOL_SCHEMA.fields}
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                meta = parse_y4m(bytes(payload))
+                frames = meta["frames"]  # (n_frames, 64) uint8 luma
+                for fi in range(0, frames.shape[0], stride):
+                    q = (
+                        frames[fi]
+                        .reshape(2, 4, 2, 4)
+                        .astype(np.int64)
+                        .sum(axis=(1, 3))
+                    )
+                    for cy in range(2):
+                        for cx in range(2):
+                            out["doc_id"].append(int(did))
+                            out["frame_idx"].append(int(fi))
+                            out["cell_y"].append(cy)
+                            out["cell_x"].append(cx)
+                            out["sum_luma"].append(int(q[cy, cx]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(cells, VIDEO_POOL_SCHEMA)

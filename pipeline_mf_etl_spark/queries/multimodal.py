@@ -559,3 +559,55 @@ def mm10_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.round(F.col("sum_sample") * 1.0 / F.col("n_samples"), 6).alias("mean_sample"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm11: video RESIZE — every 4th decoded frame pooled to 2×2 quadrants
+# (exact 16-pixel luma sums) in the decode pass; completes the
+# modality × verb matrix (decode / features / frame-sample / resize
+# for image, audio AND video). Oracle from the invertible char→luma
+# mapping: char p (0-based) → frame p//64, row (p%64)//8, col p%8.
+# ---------------------------------------------------------------------------
+@query(
+    "mm11_video_resize",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) // 64 AS nf
+        FROM documents
+    ), px AS (
+        SELECT g.doc_id,
+               (i - 1) // 64 AS frame_idx,
+               (((i - 1) % 64) // 8) // 4 AS cell_y,
+               (((i - 1) % 64) % 8) // 4 AS cell_x,
+               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+        FROM geo g, UNNEST(range(1, CAST(g.nf * 64 + 1 AS BIGINT))) AS t(i)
+        WHERE g.nf > 0
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(cell_y AS INTEGER) AS cell_y,
+           CAST(cell_x AS INTEGER) AS cell_x,
+           ROUND(SUM(byte) * 1.0 / 16, 6) AS mean_luma
+    FROM px
+    WHERE frame_idx % 4 = 0
+    GROUP BY doc_id, frame_idx, cell_y, cell_x
+    """,
+)
+def mm11_video_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 spatial pooling of every 4th decoded video frame: exact
+    16-pixel luma sums from the decode pass, means divided
+    exact-int/16 — identically on both engines."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        pool_y4m_frames,
+        with_y4m_payload,
+    )
+
+    docs = with_y4m_payload(load_table(spark, sf_dir, "documents"))
+    cells = pool_y4m_frames(docs, stride=4)
+    return cells.select(
+        "doc_id",
+        "frame_idx",
+        "cell_y",
+        "cell_x",
+        F.round(F.col("sum_luma") * 1.0 / 16, 6).alias("mean_luma"),
+    )
