@@ -440,3 +440,49 @@ def ingest_with_growing_lsh_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def continuous_daily_rollup(
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+):
+    """MATERIALIZED continuous aggregate (the hypertable-rollup
+    pattern): the tumbling daily rollup maintained incrementally in a
+    day/type-partitioned parquet table as new event files land.
+
+    Update-mode streaming aggregation emits one row per CHANGED
+    (window_day, event_type) key per micro-batch, each carrying the
+    key's FULL new aggregate from the state store — so refreshing the
+    materialization is a dynamic-partition overwrite of exactly the
+    touched partitions (an idempotent upsert: re-delivering a batch
+    rewrites the same partitions with the same totals). Untouched days
+    are never read or rewritten; a 100-TB history costs nothing per
+    refresh. Readers see the rollup as a plain partitioned parquet
+    table (partition pruning applies), independent of this query's
+    lifetime.
+
+    Returns the StreamingQuery (availableNow; caller awaits)."""
+    agg = daily_rollup(events_stream, watermark=watermark)
+
+    def _upsert(batch: DataFrame, batch_id: int) -> None:
+        if len(batch.take(1)) == 0:
+            return
+        sp = batch.sparkSession
+        prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            batch.write.mode("overwrite").partitionBy(
+                "window_day", "event_type"
+            ).parquet(out_dir)
+        finally:
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

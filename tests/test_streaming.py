@@ -512,3 +512,46 @@ def test_growing_lsh_index_catches_cross_batch_neardups(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(str(tmp_path / "index")).collect()
     }
     assert idx_ids == admitted
+
+
+def test_continuous_rollup_materializes_incrementally(spark, tmp_path):
+    """The materialized continuous aggregate must equal the batch
+    rollup after two micro-batches, with only touched (day, type)
+    partitions rewritten per refresh (update-mode rows carry full
+    aggregates from the state store)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.streaming import (
+        continuous_daily_rollup,
+        daily_rollup,
+        normalize_event_ts,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    feed = tmp_path / "feed"
+    # two files -> two micro-batches (maxFilesPerTrigger=1); overlapping
+    # days across the halves exercise the upsert path
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(feed / "h0"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(feed / "h1"))
+
+    schema = spark.read.parquet(str(feed / "h0")).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(feed))
+    )
+    q = continuous_daily_rollup(
+        stream, str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (str(r["window_day"]), r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(str(tmp_path / "rollup")).collect()
+    )
+    want = sorted(
+        (str(r["window_day"]), r["event_type"], r["n_events"], r["sum_value"])
+        for r in daily_rollup(ev).collect()
+    )
+    assert got == want and len(want) > 0
