@@ -81,3 +81,60 @@ def g1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r", 6).alias("pagerank"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def _g2_oracle() -> str:
+    from pipeline_mf_etl_spark.queries.dedup import _D2_CHAIN
+
+    steps = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        steps.append(f"""r{k} AS (
+        SELECT nd.node,
+               ROUND((1 - {PR_DAMPING}) / (SELECT n FROM nn)
+                     + {PR_DAMPING} * COALESCE(SUM(p.r * e.w / dg.deg), 0), 9) AS r
+        FROM nodes nd
+        LEFT JOIN edges e ON e.dst = nd.node
+        LEFT JOIN {prev} p ON p.node = e.src
+        LEFT JOIN deg dg ON dg.node = e.src
+        GROUP BY nd.node
+    )""")
+        prev = f"r{k}"
+    return f"""
+    WITH {_D2_CHAIN},
+    edges AS (
+        SELECT a AS src, b AS dst, jaccard AS w FROM verified
+        UNION ALL
+        SELECT b AS src, a AS dst, jaccard AS w FROM verified
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src AS node, SUM(w) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), 9) AS r FROM nodes),
+    {", ".join(steps)}
+    SELECT node AS doc_id,
+           ROUND(r, 6) AS pagerank,
+           CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node ASC) AS INTEGER) AS rank
+    FROM {prev}
+    """
+
+
+@query("g2_pagerank_weighted", eager=True, oracle=_g2_oracle())
+def g2_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-WEIGHTED PageRank over the verified near-dup graph: a doc
+    distributes rank proportionally to pair similarity (w / Σ_out w), so
+    tight duplicate hubs concentrate mass that uniform g1 spreads over
+    incidental low-similarity links. Same plan shape and determinism
+    regime as g1 (fixed rounds, per-iteration 9-dp rounding)."""
+    from pyspark.sql import Window
+
+    from pipeline_mf_etl_spark.queries.dedup import verified_pairs_export
+
+    pairs = verified_pairs_export(spark, sf_dir).select("a", "b", "jaccard")
+    ranks = pagerank(pairs, weight_col="jaccard")
+    w = Window.orderBy(F.col("r").desc(), F.col("node").asc())
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        F.round("r", 6).alias("pagerank"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -580,3 +580,78 @@ def w19_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W20: rolling autocorrelation — 20-bar Pearson correlation between the
+# value and its lag-1, per user, computed from MANUAL window sums
+# (n, Σx, Σy, Σxy, Σx², Σy²) with the identical closed form on both
+# engines: built-in corr() implementations differ in accumulation
+# detail across engines, while the sum-form is deterministic at 6 dp
+# for 20-element frames. Guarded for zero variance (constant windows).
+# ---------------------------------------------------------------------------
+_W20_N = 20
+
+
+@query(
+    "w20_rolling_autocorr",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT user_id, event_id, ts, value AS x,
+               LAG(value) OVER w AS y
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sums AS (
+        SELECT user_id, event_id,
+               COUNT(y) OVER r AS n,
+               SUM(CASE WHEN y IS NOT NULL THEN x END) OVER r AS sx,
+               SUM(y) OVER r AS sy,
+               SUM(x * y) OVER r AS sxy,
+               SUM(CASE WHEN y IS NOT NULL THEN x * x END) OVER r AS sxx,
+               SUM(y * y) OVER r AS syy
+        FROM lagged
+        WINDOW r AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_W20_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n >= 3
+                     AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN ROUND((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+           END AS autocorr
+    FROM sums
+    """,
+)
+def w20_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bar rolling lag-1 autocorrelation per user from manual window
+    sums (W20, engine addition); NULL below 3 pairs or on zero-variance
+    windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = w.rowsBetween(-(_W20_N - 1), 0)
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("value").alias("x"),
+        F.lag("value").over(w).alias("y"),
+    )
+    has = F.col("y").isNotNull()
+    n = F.count("y").over(r)
+    sx = F.sum(F.when(has, F.col("x"))).over(r)
+    sy = F.sum("y").over(r)
+    sxy = F.sum(F.col("x") * F.col("y")).over(r)
+    sxx = F.sum(F.when(has, F.col("x") * F.col("x"))).over(r)
+    syy = F.sum(F.col("y") * F.col("y")).over(r)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return lagged.select(
+        "user_id",
+        "event_id",
+        n.cast("long").alias("n_pairs"),
+        F.when(
+            (n >= 3) & (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("autocorr"),
+    )
