@@ -104,6 +104,8 @@ PROBE = (
     "mm10_audio_downsample",
     "w19_time_decay_score",
     "o16_per_group_sample",
+    "w20_rolling_autocorr",
+    "g2_pagerank_weighted",
 )
 
 
@@ -162,7 +164,11 @@ def main() -> None:
     for mult in mults:
         sf_dir = replicate(spark, mult)
         for name in probe:
-            if name in ("d6_canonical_docs", "g1_pagerank_neardup"):
+            if name in (
+                "d6_canonical_docs",
+                "g1_pagerank_neardup",
+                "g2_pagerank_weighted",
+            ):
                 # Measure the retention step AS DEPLOYED: the verified
                 # pair set comes from the d2 stage that already ran
                 # (verified_pairs_export is written once per process+sf
