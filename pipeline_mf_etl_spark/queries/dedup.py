@@ -595,3 +595,62 @@ def d8_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("covered_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d9: cross-source duplication matrix — which SOURCES duplicate each
+# other: every verified near-dup pair mapped to the unordered
+# (source, source) cell of its endpoints, with the mean pair jaccard.
+# Off-diagonal cells are cross-source contamination (mirrors scraped
+# twice, syndicated content); the diagonal is within-source dup
+# density. Same shape as o11's split-leakage matrix with sources in
+# place of splits; pairs come from the shared export (engine) / the d2
+# chain (oracle), so the cost beyond d2 is two doc_id equi-joins and a
+# tiny groupBy.
+# ---------------------------------------------------------------------------
+def _d9_oracle() -> str:
+    return f"""
+    WITH {_D2_CHAIN}
+    SELECT LEAST(da.source, db.source) AS source_lo,
+           GREATEST(da.source, db.source) AS source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(v.jaccard), 6) AS sum_jaccard,
+           LEAST(da.source, db.source) <> GREATEST(da.source, db.source)
+               AS is_cross_source
+    FROM verified v
+    JOIN documents da ON da.doc_id = v.a
+    JOIN documents db ON db.doc_id = v.b
+    GROUP BY 1, 2
+    """
+
+
+@query("d9_source_dup_matrix", eager=True, oracle=_d9_oracle())
+def d9_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered source×source matrix of verified near-dup pairs with
+    summed jaccard; is_cross_source marks contamination between sources.
+    EAGER: consumes the persisted pair export."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    v = verified_pairs_export(spark, sf_dir).select("a", "b", "jaccard")
+    paired = (
+        v.join(docs.select(F.col("doc_id").alias("a"), F.col("source").alias("sa")), "a")
+        .join(docs.select(F.col("doc_id").alias("b"), F.col("source").alias("sb")), "b")
+    )
+    lo = F.least("sa", "sb")
+    hi = F.greatest("sa", "sb")
+    return (
+        paired.groupBy(lo.alias("source_lo"), hi.alias("source_hi"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            # the export carries UNROUNDED jaccard; round per pair first
+            # so the sum runs over the same 6-dp multiples the oracle's
+            # chain emits
+            F.round(F.sum(F.round("jaccard", 6)), 6).alias("sum_jaccard"),
+        )
+        .select(
+            "source_lo",
+            "source_hi",
+            "n_pairs",
+            "sum_jaccard",
+            (F.col("source_lo") != F.col("source_hi")).alias("is_cross_source"),
+        )
+    )
