@@ -754,3 +754,60 @@ def o16_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick") <= _O16_K)
         .select("source", "doc_id", "pick")
     )
+
+
+# ---------------------------------------------------------------------------
+# o17: quality-WEIGHTED sampling — admission probability proportional
+# to the document's t2 quality (rate = quality/2, so a 1.0-quality doc
+# admits at 50% and junk near-0 almost never): the soft alternative to
+# t10's hard floor when a budget must prefer, not require, quality.
+# Deterministic (md5-fold vs per-doc rate), map-only decision, one
+# per-source rollup; quality sums aggregate 6-dp multiples (boundary-
+# safe, see d9).
+# ---------------------------------------------------------------------------
+_O17_BASE = 0.5
+
+
+def _o17_oracle() -> str:
+    from pipeline_mf_etl_spark.queries.dedup import _FOLD
+    from pipeline_mf_etl_spark.queries.text import T2_SQL
+
+    fold = _FOLD.format(x="'wsample:' || CAST(d.doc_id AS VARCHAR)")
+    return f"""
+    WITH q AS ({T2_SQL}),
+    decided AS (
+        SELECT d.source, q.quality,
+               ({fold} % 1000000) / 1000000.0
+                   < ROUND(q.quality * {_O17_BASE}, 6) AS admitted
+        FROM documents d JOIN q USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           ROUND(SUM(CASE WHEN admitted THEN quality ELSE 0 END), 6)
+               AS sum_quality_admitted
+    FROM decided
+    GROUP BY source
+    """
+
+
+@query("o17_weighted_sample", oracle=_o17_oracle())
+def o17_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source admission report under quality-proportional sampling
+    (deterministic md5-fold vs rate = quality/2)."""
+    from pipeline_mf_etl_spark.queries.text import t2_quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = t2_quality_score(spark, sf_dir).select("doc_id", "quality")
+    u = md5_unit(F.col("doc_id"), "wsample:")
+    rate = F.round(F.col("quality") * _O17_BASE, 6)
+    decided = docs.join(q, "doc_id").select(
+        "source", "quality", (u < rate).alias("admitted")
+    )
+    return decided.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("admitted"), 1).otherwise(0)).cast("long").alias("n_admitted"),
+        F.round(
+            F.sum(F.when(F.col("admitted"), F.col("quality")).otherwise(0.0)), 6
+        ).alias("sum_quality_admitted"),
+    )
