@@ -70,7 +70,7 @@ _QUERY_MODULES = (
 # g1_pagerank_neardup, t12_bpe_tokenize, w19_time_decay_score,
 # o16_per_group_sample, mm9_image_resize, mm10_audio_downsample,
 # mm11_video_resize, w20_rolling_autocorr, g2_pagerank_weighted,
-# d9_source_dup_matrix, o17_weighted_sample — plus
+# d9_source_dup_matrix, o17_weighted_sample, st10_last_click — plus
 # any r6 edits' same-file stragglers. NOTE: the late-r5 w19 append
 # touched queries/windows.py (w1-w18 share the file; their last green
 # is r3/r5-window) and t12 touched queries/text.py — rotate both

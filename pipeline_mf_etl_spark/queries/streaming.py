@@ -303,3 +303,52 @@ def st8_stream_quality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_mf_etl_spark.streaming import quality_route
 
     return quality_route(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# st10: LAST-CLICK attribution — the business query on top of st9's
+# match set: for every purchase, the single closest preceding click
+# (min gap; click_id tie-break). Pure batch arg-max over the join
+# output — exactly the post-processing a streaming sink's consumer
+# runs, certified end-to-end against the SQL replay.
+# ---------------------------------------------------------------------------
+@query(
+    "st10_last_click",
+    oracle="""
+    WITH matches AS (
+        SELECT p.event_id AS purchase_id,
+               p.user_id AS user_id,
+               c.event_id AS click_id,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts < p.ts
+         AND c.ts >= p.ts - INTERVAL 2 HOUR
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY purchase_id ORDER BY gap_us ASC, click_id ASC) AS rn
+        FROM matches
+    )
+    SELECT purchase_id, user_id, click_id, gap_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def st10_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest preceding click per purchase (2-hour window): min-gap
+    arg-max over the st9 attribution match set, click_id tie-break."""
+    from pyspark.sql import Window
+
+    from pipeline_mf_etl_spark.streaming import attribution_join
+
+    events = load_table(spark, sf_dir, "events")
+    matches = attribution_join(events, events)
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("gap_us").asc(), F.col("click_id").asc()
+    )
+    return (
+        matches.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "click_id", "gap_us")
+    )
