@@ -21,7 +21,7 @@ candidate pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Large prime < 2^31 used to fold 60-bit md5 prefixes into a stable range.
@@ -137,7 +137,8 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, k: int = 16, bands: int = 4
+    sig: DataFrame, id_col: str, k: int = 16, bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature; docs sharing any band
     bucket become candidate pairs (a < b).
@@ -145,6 +146,19 @@ def lsh_candidate_pairs(
     One projection builds all band hashes as an array and explodes it —
     a union of per-band frames would rescan (and at 100 TB recompute)
     the whole signature input once per band.
+
+    ``max_bucket`` (optional) guards against adversarial duplicate
+    density: a corpus dominated by ONE giant duplicate cluster puts
+    O(cluster) docs in the same band bucket, and the self-join then
+    emits O(cluster²) candidate pairs (the measured 64× rise in
+    SCALE.md). The cap keeps only the ``max_bucket`` smallest doc ids
+    per (band, bucket) — pair output per bucket is bounded by
+    C(max_bucket, 2) regardless of cluster size. Recall trade: capped-
+    out docs can still be caught by their OTHER bands, and the
+    production ordering (d7) runs d1 exact-dedupe first so exact
+    clusters never reach LSH; the cap is the belt-and-braces for
+    near-exact floods. Default None = exact candidate set (the
+    certified-oracle behavior).
     """
     if k % bands != 0:
         raise ValueError(
@@ -169,6 +183,17 @@ def lsh_candidate_pairs(
     buckets = sig.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash")
     )
+    if max_bucket is not None:
+        # rank WITHIN each bucket (partitioned window — max task = one
+        # bucket's membership rows, never the corpus) and keep the
+        # smallest ids; deterministic, so both sides of the self-join
+        # see the same truncated membership.
+        wb = Window.partitionBy("band", "band_hash").orderBy(F.col(id_col).asc())
+        buckets = (
+            buckets.withColumn("_bn", F.row_number().over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     left = buckets.select(F.col(id_col).alias("a"), "band", "band_hash")
     right = buckets.select(F.col(id_col).alias("b"), "band", "band_hash")
     return (
@@ -282,6 +307,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected pair graph by min-label
     propagation (hash-to-min): every node repeatedly adopts the smallest
@@ -295,23 +321,32 @@ def connected_components(
     corpus size. The converged label is the minimum node id reachable
     from each node — a deterministic canonical representative.
 
+    ``reliable``: fault-tolerant checkpoints for loop-carried state
+    (see operators/graph.py:loop_checkpoint) — default localCheckpoint
+    is fast but an executor loss mid-run fails the job; on a cluster
+    call ``spark.sparkContext.setCheckpointDir(<durable>)`` and pass
+    True so an hour-10 failure resumes from the last round's files.
+
     Returns (node, component) for every node that appears in ``edges``.
     """
-    # localCheckpoint (not cache) on the loop-carried frames: an iterative
+    from pipeline_mf_etl_spark.operators.graph import loop_checkpoint
+
+    # checkpoint (not cache) on the loop-carried frames: an iterative
     # plan that only caches still GROWS its logical plan every round (each
     # round's analysis re-walks the whole upstream expression tree, e.g. a
     # large LSH literal at the base) — checkpointing truncates lineage so
     # every round analyzes a constant-size plan.
-    sym = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionAll(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .localCheckpoint()
+    sym = loop_checkpoint(
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionAll(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        ),
+        reliable,
     )
-    labels = (
+    labels = loop_checkpoint(
         sym.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .withColumn("component", F.col("node")),
+        reliable,
     )
     converged = False
     # max_iter CHANGING rounds are allowed, plus one confirming round —
@@ -324,16 +359,15 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("src", "node")
         )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
+        updated = loop_checkpoint(
+            labels.join(neighbor_min, "node", "left").select(
                 "node",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
         changed = (
             updated.withColumnRenamed("component", "new_component")
@@ -344,12 +378,16 @@ def connected_components(
         )
         # `updated` is its own (eager) checkpoint and `changed` is
         # computed — the previous round's blocks are now garbage.
-        _free_local_checkpoint(labels)
+        # (reliable checkpoints live in the checkpoint dir, not executor
+        # block storage — nothing to free, and freeing would be wrong.)
+        if not reliable:
+            _free_local_checkpoint(labels)
         labels = updated
         if changed == 0:
             converged = True
             break
-    _free_local_checkpoint(sym)
+    if not reliable:
+        _free_local_checkpoint(sym)
     if not converged:
         # returning partial labels would silently assign WRONG components
         # to the far ends of long chains — fail loudly instead.

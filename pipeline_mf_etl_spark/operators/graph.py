@@ -10,8 +10,10 @@ Scale shape: each iteration is one equi-join (edges ⋈ ranks on src)
 plus one groupBy(dst) — the GraphX/Pregel shuffle pattern. The
 iteration count is FIXED (a hyperparameter, not data-driven), so the
 job count is constant at any corpus size. Loop-carried frames are
-localCheckpoint'ed per round so the analyzed plan stays constant-size
-(same rationale as connected_components).
+checkpointed per round so the analyzed plan stays constant-size
+(same rationale as connected_components); ``reliable=True`` switches
+from lineage-truncating localCheckpoint to a fault-tolerant
+``checkpoint()`` for long cluster runs (see :func:`loop_checkpoint`).
 
 Cross-engine determinism: ranks are rounded to 9 dp after EVERY
 iteration on both engines, so accumulation-order ulp drift cannot
@@ -20,11 +22,29 @@ compound across rounds — the same convention as the EWM/flow oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 PR_DAMPING = 0.85
 PR_ITERS = 5
+
+
+def loop_checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
+    """Truncate the lineage of a loop-carried frame.
+
+    ``reliable=False`` (default) uses ``localCheckpoint`` — executor-
+    local block storage, zero extra I/O, the right call at local[32]
+    and for short jobs. It is NOT resilient to executor loss: on a real
+    cluster, losing an executor at hour 10 of a 100-TB run loses its
+    blocks and the truncated lineage cannot recompute them, failing the
+    job. ``reliable=True`` uses ``checkpoint`` (eager), which writes to
+    the SparkContext checkpoint directory — point it at durable storage
+    (HDFS/S3) via ``spark.sparkContext.setCheckpointDir(...)`` before
+    calling; iteration state then survives executor loss at the cost of
+    one distributed-FS write per round."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
 
 
 def pagerank(
@@ -34,6 +54,7 @@ def pagerank(
     damping: float = PR_DAMPING,
     iters: int = PR_ITERS,
     weight_col: str | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """PageRank over an UNDIRECTED pair graph (each pair contributes
     both directed edges, so every node has out-degree ≥ 1 — no dangling
@@ -44,6 +65,10 @@ def pagerank(
     instead of uniformly; the plan shape is identical (the degree
     aggregate becomes a weight-sum aggregate).
 
+    ``reliable``: use fault-tolerant checkpoints for the loop-carried
+    rank frame (see :func:`loop_checkpoint`) — set True on a real
+    cluster after ``setCheckpointDir`` to durable storage.
+
     Ranks are normalized over the nodes that appear in ``edges``
     (isolated docs never enter the graph and keep no rank).
     """
@@ -52,20 +77,29 @@ def pagerank(
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("double").alias("w"))
         rcols.append(F.col(weight_col).cast("double").alias("w"))
-    sym = edges.select(*cols).unionAll(edges.select(*rcols)).localCheckpoint()
-    nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    sym = loop_checkpoint(
+        edges.select(*cols).unionAll(edges.select(*rcols)), reliable
+    )
+    nodes = loop_checkpoint(
+        sym.select(F.col("src").alias("node")).distinct(), reliable
+    )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("r", F.lit(0.0))
     wexpr = F.sum("w") if weight_col is not None else F.count("*").cast("double")
-    deg = sym.groupBy("src").agg(wexpr.alias("deg")).localCheckpoint()
+    deg = loop_checkpoint(sym.groupBy("src").agg(wexpr.alias("deg")), reliable)
     # float-expression parity with the SQL oracles: unweighted is
     # EXACTLY r/deg; weighted is EXACTLY r*w/deg (same literal forms)
     if weight_col is not None:
         contrib_term = F.col("r") * F.col("w") / F.col("deg")
     else:
         contrib_term = F.col("r") / F.col("deg")
-    base = (1 - damping) / float(n)  # IEEE double, same arithmetic as the SQL twin
+    # the oracle SQL interpolates repr() of THESE python doubles, so both
+    # engines start each iteration from bit-identical constants (DuckDB's
+    # own `1 - 0.85` evaluates in DECIMAL to exactly 0.15, a ~5e-17
+    # divergence from IEEE 1-0.85 that could flip a 9-dp round on an
+    # exact boundary)
+    base = (1 - damping) / float(n)
     ranks = nodes.select("node", F.round(F.lit(1.0 / float(n)), 9).alias("r"))
     for _ in range(iters):
         contrib = (
@@ -75,14 +109,66 @@ def pagerank(
             .agg(F.sum(contrib_term).alias("c"))
             .withColumnRenamed("dst", "node")
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
+        ranks = loop_checkpoint(
+            nodes.join(contrib, "node", "left").select(
                 "node",
                 F.round(
                     F.lit(base) + damping * F.coalesce(F.col("c"), F.lit(0.0)), 9
                 ).alias("r"),
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
     return ranks
+
+
+def total_order_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_name: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense global row_number WITHOUT a single-partition exchange.
+
+    ``Window.orderBy(...)`` with no partitionBy compiles to
+    ``Exchange SinglePartition`` + WindowExec — the entire input moves
+    to ONE task, the classic 100-TB cliff (and the `WindowExec: No
+    Partition Defined` warning). This is the standard distributed
+    total-order idiom instead:
+
+    1. ``repartitionByRange`` on the order columns — partition i holds
+       a contiguous slice of the global order (RangePartitioner assigns
+       ranges in ascending partition-id order, honoring desc() exprs);
+    2. per-PARTITION row_number (Window partitioned by the range
+       partition id — a normal partitioned window, max task = one
+       range slice, never the whole set);
+    3. per-partition row counts (tiny: one row per partition) are
+       collected, prefix-summed on the driver, and broadcast back as
+       offsets; global rank = partition offset + local row number.
+
+    The input is localCheckpoint'ed once so the count job and the rank
+    job see identical partition ids. EAGER (runs the count job).
+    """
+    spark = df.sparkSession
+    from pyspark.sql import Window
+
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((int(row["_pid"]), acc))
+        acc += int(row["cnt"])
+    off = spark.createDataFrame(offsets, schema="_pid INT, _off BIGINT")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        part.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off), "_pid")
+        .withColumn(rank_name, F.col("_off") + F.col("_rn"))
+        .drop("_pid", "_rn", "_off")
+    )

@@ -840,13 +840,15 @@ def semantic_dup_pairs_blas(
     against itself (``Xn @ Xn.T``) in an Arrow-batched applyInPandas,
     ~100× less per-pair overhead than an element-lambda dot in codegen.
 
-    The certified e7 query keeps the JVM HOF dot because its float
-    SEQUENCE is bit-identical to the DuckDB oracle's
-    ``list_dot_product`` (BLAS blocks the summation, so a pair whose
-    rounded cosine sits exactly on a 1e-6 boundary could flip);
-    tests/test_operators.py pins set-equality of the two kernels on
-    the real corpus. Deploy THIS kernel when the corpus outgrows the
-    HOF (same cell-size invariant: k ∝ N keeps each matmul bounded).
+    This IS the certified e7 verify path (round 6): the kernel rounds
+    each pair cosine to 6 dp before thresholding, the same convention
+    ivf_assign_cells uses, so the oracle's ``ROUND(list_dot_product,
+    6)`` compares on the identical grid — BLAS blocks the summation
+    differently than a sequential fold, but a flip needs ~1e-15 drift
+    to straddle a 1e-6 grid line. tests/test_operators.py additionally
+    pins set-equality against the element-lambda JVM-HOF dot sequence
+    on the real corpus. The k ∝ N cell-size invariant keeps each
+    matmul bounded at any corpus size.
     """
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 

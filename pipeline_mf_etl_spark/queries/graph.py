@@ -8,7 +8,17 @@ recomputes the pair chain in SQL (d6's convention) and unrolls the
 FIXED five PageRank iterations as chained aggregating CTEs — DuckDB
 disallows aggregates in a recursive term, and a fixed iteration count
 needs no recursion anyway. Per-iteration 9-dp rounding on BOTH engines
-stops accumulation-order drift from compounding.
+stops accumulation-order drift from compounding; the (1-damping)
+numerator is interpolated from the SAME Python double the engine uses
+(DuckDB's own `1 - 0.85` evaluates in DECIMAL to exactly 0.15, a
+~5e-17 divergence that could flip a 9-dp round on a boundary).
+
+The global importance rank is computed with the distributed
+total-order idiom (range repartition + per-partition row_number +
+broadcast offsets, operators/graph.py:total_order_rank) — NEVER a
+single-partition Window.orderBy, which would move the entire node set
+(O(corpus) for boilerplate-heavy corpora, the very case g1 exists to
+detect) onto one task. tests/test_plans.py guards the plan.
 """
 
 from __future__ import annotations
@@ -16,8 +26,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pipeline_mf_etl_spark.operators.graph import PR_DAMPING, PR_ITERS, pagerank
+from pipeline_mf_etl_spark.operators.graph import (
+    PR_DAMPING,
+    PR_ITERS,
+    pagerank,
+    total_order_rank,
+)
 from pipeline_mf_etl_spark.queries.registry import query
+
+#: bit-identical numerator on both engines (see module docstring)
+_BASE_NUM = repr(1 - PR_DAMPING)
 
 
 def _g1_oracle() -> str:
@@ -28,7 +46,7 @@ def _g1_oracle() -> str:
     for k in range(1, PR_ITERS + 1):
         steps.append(f"""r{k} AS (
         SELECT nd.node,
-               ROUND((1 - {PR_DAMPING}) / (SELECT n FROM nn)
+               ROUND(CAST({_BASE_NUM} AS DOUBLE) / (SELECT n FROM nn)
                      + {PR_DAMPING} * COALESCE(SUM(p.r / dg.deg), 0), 9) AS r
         FROM nodes nd
         LEFT JOIN edges e ON e.dst = nd.node
@@ -64,22 +82,21 @@ def g1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     value and a global importance rank. EAGER: the engine consumes the
     persisted pair export and iterates join+agg rounds at build time.
 
-    The final unpartitioned row_number is a PRESENTATION rank over the
-    near-dup-member node set (a small fraction of the corpus); a
-    100-TB consumer wanting the full ordering should take the
-    (doc_id, pagerank) pairs and sort/top-k at the sink instead of
-    forcing a single-partition global rank."""
-    from pyspark.sql import Window
-
+    The total order is produced WITHOUT a single-partition exchange:
+    range-repartition on (r desc, node) + per-partition row_number +
+    broadcast partition offsets (the oracle's ROW_NUMBER is the
+    semantic spec; the engine reproduces it distributedly)."""
     from pipeline_mf_etl_spark.queries.dedup import verified_pairs_export
 
     pairs = verified_pairs_export(spark, sf_dir).select("a", "b")
     ranks = pagerank(pairs)
-    w = Window.orderBy(F.col("r").desc(), F.col("node").asc())
-    return ranks.select(
+    ranked = total_order_rank(
+        ranks, [F.col("r").desc(), F.col("node").asc()], rank_name="rank"
+    )
+    return ranked.select(
         F.col("node").alias("doc_id"),
         F.round("r", 6).alias("pagerank"),
-        F.row_number().over(w).cast("int").alias("rank"),
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -91,7 +108,7 @@ def _g2_oracle() -> str:
     for k in range(1, PR_ITERS + 1):
         steps.append(f"""r{k} AS (
         SELECT nd.node,
-               ROUND((1 - {PR_DAMPING}) / (SELECT n FROM nn)
+               ROUND(CAST({_BASE_NUM} AS DOUBLE) / (SELECT n FROM nn)
                      + {PR_DAMPING} * COALESCE(SUM(p.r * e.w / dg.deg), 0), 9) AS r
         FROM nodes nd
         LEFT JOIN edges e ON e.dst = nd.node
@@ -125,16 +142,17 @@ def g2_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributes rank proportionally to pair similarity (w / Σ_out w), so
     tight duplicate hubs concentrate mass that uniform g1 spreads over
     incidental low-similarity links. Same plan shape and determinism
-    regime as g1 (fixed rounds, per-iteration 9-dp rounding)."""
-    from pyspark.sql import Window
-
+    regime as g1 (fixed rounds, per-iteration 9-dp rounding,
+    distributed total-order rank)."""
     from pipeline_mf_etl_spark.queries.dedup import verified_pairs_export
 
     pairs = verified_pairs_export(spark, sf_dir).select("a", "b", "jaccard")
     ranks = pagerank(pairs, weight_col="jaccard")
-    w = Window.orderBy(F.col("r").desc(), F.col("node").asc())
-    return ranks.select(
+    ranked = total_order_rank(
+        ranks, [F.col("r").desc(), F.col("node").asc()], rank_name="rank"
+    )
+    return ranked.select(
         F.col("node").alias("doc_id"),
         F.round("r", 6).alias("pagerank"),
-        F.row_number().over(w).cast("int").alias("rank"),
+        F.col("rank").cast("int").alias("rank"),
     )

@@ -355,11 +355,23 @@ def e7_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches it — the paper notes the keeper choice barely moves
     downstream quality, so the engine uses the deterministic one), and
     kept count. Assignment is the map-only ivf_assign_cells kernel
-    (no Exchange); the within-cell self-join is equi-join shaped on
-    centroid_id. Assignments are persisted so both engines dedupe the
-    exact same partition of the space. EAGER: fits + exports at build
-    time."""
-    from pipeline_mf_etl_spark.operators.similarity import dot, ivf_assign_cells
+    (no Exchange). The within-cell verify is the PRODUCTION BLAS
+    kernel (semantic_dup_pairs_blas): one Xn@Xn.T matmul per cell in
+    an Arrow-batched applyInPandas, grouped equi-shaped on
+    centroid_id — measured ~5× cheaper at 16× than the element-lambda
+    HOF dot it replaced (which remains set-equality-pinned to this
+    kernel in tests/test_operators.py). Cross-engine determinism
+    follows the ivf_assign_cells convention: the kernel rounds each
+    pair cosine to 6 dp before thresholding and the oracle compares
+    ROUND(list_dot_product, 6) — BLAS blocks the summation differently
+    than a sequential fold, but a flip needs ~1e-15 drift to straddle
+    a 1e-6 grid line. Assignments are persisted so both engines dedupe
+    the exact same partition of the space. EAGER: fits + exports at
+    build time."""
+    from pipeline_mf_etl_spark.operators.similarity import (
+        ivf_assign_cells,
+        semantic_dup_pairs_blas,
+    )
 
     v = _vectors(spark, sf_dir)
     n_vecs = v.count()
@@ -373,29 +385,8 @@ def e7_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "e7_assign",
     )
-    # normalize ONCE per vector (not once per pair): the pair verify is
-    # the hot stage, and cosine-per-pair does 3 array passes (dot + two
-    # norms) where a pre-normalized dot does 1 — hoisting the norm out
-    # of the O(N·cell) join cuts per-pair work ~3×. Both engines use
-    # the identical normalize-then-dot float sequence.
-    from pipeline_mf_etl_spark.operators.similarity import norm as _vnorm
-
-    emb = assign.join(v.select("vec_id", "v"), "vec_id").select(
-        "centroid_id", "vec_id", _vnorm(F.col("v")).alias("n"), "v"
-    )
-    emb = emb.select(
-        "centroid_id",
-        "vec_id",
-        F.transform(F.col("v"), lambda x: x / F.col("n")).alias("nv"),
-    )
-    x = emb.select("centroid_id", F.col("vec_id").alias("pa"), F.col("nv").alias("va"))
-    y = emb.select("centroid_id", F.col("vec_id").alias("pb"), F.col("nv").alias("vb"))
-    pairs = (
-        x.join(y, "centroid_id")
-        .filter(F.col("pa") < F.col("pb"))
-        .filter(F.round(dot(F.col("va"), F.col("vb")), 6) >= _E7_TAU)
-        .select("centroid_id", "pa", "pb")
-    )
+    emb = assign.join(v.select("vec_id", "v"), "vec_id")
+    pairs = semantic_dup_pairs_blas(emb, _E7_TAU).select("centroid_id", "pa", "pb")
     dropped = pairs.select("centroid_id", F.col("pb").alias("vec_id")).distinct()
     per = (
         assign.join(dropped.withColumn("is_dropped", F.lit(1)), ["centroid_id", "vec_id"], "left")

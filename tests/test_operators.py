@@ -551,3 +551,49 @@ def test_semantic_blas_kernel_matches_hof(spark):
         .collect()
     }
     assert blas == hof and len(hof) > 0
+
+
+def test_lsh_bucket_cap_bounds_giant_cluster(spark):
+    """One giant duplicate cluster floods a band bucket with O(cluster)
+    members; the max_bucket cap must bound candidate output at
+    C(cap, 2) per bucket instead of C(cluster, 2) — the SCALE.md
+    adversarial-density mitigation."""
+    from pipeline_mf_etl_spark.operators.dedupe import (
+        exploded_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    text = "the same boilerplate sentence repeated across the entire cluster"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(100)], "doc_id long, text string"
+    )
+    sig = minhash_signatures(
+        exploded_shingles(docs, "doc_id", "text", n=3), "doc_id"
+    )
+    uncapped = lsh_candidate_pairs(sig, "doc_id").count()
+    assert uncapped == 100 * 99 // 2  # quadratic blow-up, the failure mode
+    capped = lsh_candidate_pairs(sig, "doc_id", max_bucket=10)
+    rows = capped.collect()
+    # identical docs share every band bucket; the cap keeps the 10
+    # smallest ids in each, so output is exactly C(10,2) distinct pairs
+    assert len(rows) == 10 * 9 // 2
+    assert all(r["a"] < 10 and r["b"] < 10 for r in rows)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable=True must produce identical components via fault-
+    tolerant checkpoints."""
+    from pipeline_mf_etl_spark.operators.dedupe import connected_components
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "a long, b long"
+    )
+    base = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    rel = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, reliable=True).collect()
+    }
+    assert base == rel
+    assert rel == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

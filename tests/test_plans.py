@@ -334,3 +334,16 @@ def test_semantic_dedup_equi_join_only(spark):
     build time (same kernel contract as test_ivf_assignment_map_only)."""
     plan = _plan(spark, "e7_semantic_dedup")
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["g1_pagerank_neardup", "g2_pagerank_weighted"])
+def test_pagerank_rank_no_single_partition_window(spark, name):
+    """The global importance rank must use the distributed total-order
+    idiom (range repartition + partitioned window + broadcast offsets)
+    — an unpartitioned Window.orderBy compiles to `Exchange
+    SinglePartition`, moving the whole node set to ONE task (the
+    `WindowExec: No Partition Defined` cliff this guard exists to keep
+    out)."""
+    plan = _plan(spark, name)
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # offsets joined broadcast
