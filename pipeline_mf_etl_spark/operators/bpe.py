@@ -24,7 +24,12 @@ persisted merge sequence with a recursive CTE and matches token counts
 integer-for-integer (no float anywhere).
 
 Merge selection ties are broken deterministically: highest pair count,
-then lexicographically smallest (left, right).
+then lexicographically smallest (left, right). The TRAINER applies each
+learned merge to its vocabulary under the same consumed-delimiter
+replace semantics the encoder uses (a replacement eats its trailing
+space, so the next symbol cannot start a match in the same pass), so
+later merges' pair counts are computed on symbol sequences the encoder
+actually produces.
 """
 
 from __future__ import annotations
@@ -77,12 +82,28 @@ def train_bpe(
         best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
         l, r = best
+        # Apply the merge with STRING-REPLACE semantics, exactly like
+        # the encoder's chained ``replace(' l r ', ' lr ')``: within a
+        # pass, a replacement consumes its trailing delimiter, so the
+        # symbol immediately after a merged pair cannot START the next
+        # match (on 'aaaaaaaa' one pass yields [aa,a,aa,a,aa], not
+        # [aa,aa,aa,aa]); _REPEATS passes mirror the encoder's repeat
+        # count. Keeping trainer and encoder on identical semantics
+        # means pair counts for later merges are computed on symbol
+        # sequences the encoder actually produces.
         for sym, _ in seqs:
-            i = 0
-            while i < len(sym) - 1:
-                if sym[i] == l and sym[i + 1] == r:
-                    sym[i : i + 2] = [l + r]
-                i += 1
+            for _pass in range(_REPEATS):
+                changed = False
+                i = 0
+                while i < len(sym) - 1:
+                    if sym[i] == l and sym[i + 1] == r:
+                        sym[i : i + 2] = [l + r]
+                        changed = True
+                        i += 2
+                    else:
+                        i += 1
+                if not changed:
+                    break
     return merges
 
 

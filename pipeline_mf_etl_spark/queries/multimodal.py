@@ -442,8 +442,9 @@ def mm7_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(a.n_silent AS BIGINT) AS n_silent,
            CAST(a.longest AS BIGINT) AS longest_silence_run,
            CAST(COALESCE(g.n_gaps, 0) AS BIGINT) AS n_gaps,
-           CAST(COALESCE(g.n_gaps, 0) + 1 - COALESCE(g.starts_gap, 0)
-                - COALESCE(g.ends_gap, 0) AS BIGINT) AS n_segments,
+           CAST(CASE WHEN a.n = 0 THEN 0
+                     ELSE COALESCE(g.n_gaps, 0) + 1 - COALESCE(g.starts_gap, 0)
+                          - COALESCE(g.ends_gap, 0) END AS BIGINT) AS n_segments,
            CAST(a.n - COALESCE(g.gap_samples, 0) AS BIGINT) AS n_segment_samples
     FROM agg a LEFT JOIN gagg g USING (doc_id)
     """,

@@ -44,11 +44,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     long under spark.sql.legacy.parquet.nanosAsLong) and as
     TIMESTAMP(MICROS) (surfaced as a native timestamp), and a schema
     that bakes in one generation silently corrupts the other (a
-    micros-long divided by 1000 lands in 1970)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    micros-long divided by 1000 lands in 1970).
+
+    Session-config dependency: a NANOS-generation file cannot be read
+    at all without ``spark.sql.legacy.parquet.nanosAsLong=true``, and
+    the flag must still be set when the STREAM executes its scans —
+    so when (and only when) the probe fails without it, this function
+    sets it for the session and leaves it set. The MICROS generation
+    never touches session config."""
     import os
 
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        # NANOS generation: the flag is required for the probe AND for
+        # every scan the returned stream runs later, so it must persist
+        # for the session lifetime (see docstring).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(path).schema
     # the file-source needs a directory; select just the events file via
     # a glob filter over the sf dir.
     raw = (
@@ -382,9 +396,18 @@ def ingest_with_growing_lsh_index(
 
     foreachBatch is the right tool: the index is stream-side state that
     must outlive the query and be queryable by OTHER jobs (batch d2,
-    st7, ops), which the state store cannot offer; parquet appends per
-    batch are atomic at task-commit granularity and the checkpoint
-    makes redelivery idempotent at the file level.
+    st7, ops), which the state store cannot offer. foreachBatch itself
+    is only at-least-once, so the sink makes redelivery IDEMPOTENT
+    explicitly: each batch writes to ``batch_id=<N>`` subdirectories
+    (mode=overwrite), a fully committed batch (``_SUCCESS`` in BOTH
+    subdirs) is skipped on replay, and a partially committed one is
+    deterministically recomputed and overwritten — the file source
+    redelivers the same rows for the same batch_id, and the index the
+    recompute consults is exactly the committed earlier batches (the
+    current batch's own partial output is excluded), so the rewrite is
+    byte-equivalent. Readers see only committed subdirectories plus at
+    most one in-flight overwrite of the failed batch — never
+    duplicated admitted docs or index bands.
 
     Intra-batch policy (deterministic, single-pass): a doc is rejected
     if it band-collides with ANY batch doc of smaller doc_id —
@@ -396,17 +419,34 @@ def ingest_with_growing_lsh_index(
 
     from pipeline_mf_etl_spark.operators.dedupe import minhash_band_buckets_rowwise
 
+    def _committed(d: str) -> bool:
+        return os.path.isfile(os.path.join(d, "_SUCCESS"))
+
     def _process(batch: DataFrame, batch_id: int) -> None:
         if len(batch.take(1)) == 0:
             return
+        sub_adm = os.path.join(admitted_dir, f"batch_id={batch_id}")
+        sub_idx = os.path.join(index_dir, f"batch_id={batch_id}")
+        if _committed(sub_adm) and _committed(sub_idx):
+            return  # replayed batch, fully committed — idempotent skip
         sp = batch.sparkSession
         bands = minhash_band_buckets_rowwise(batch, "doc_id", "text").persist()
         try:
-            # vs the grown index
-            if os.path.isdir(index_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(index_dir)
-            ):
-                idx = sp.read.parquet(index_dir).withColumnRenamed(
+            # vs the grown index: committed earlier batches only (the
+            # current batch's own partial output from a failed attempt
+            # must not reject its replay)
+            idx_parts = []
+            if os.path.isdir(index_dir):
+                for name in sorted(os.listdir(index_dir)):
+                    p = os.path.join(index_dir, name)
+                    if (
+                        name.startswith("batch_id=")
+                        and name != f"batch_id={batch_id}"
+                        and _committed(p)
+                    ):
+                        idx_parts.append(p)
+            if idx_parts:
+                idx = sp.read.parquet(*idx_parts).withColumnRenamed(
                     "doc_id", "matched_doc_id"
                 )
                 index_hits = (
@@ -427,10 +467,10 @@ def ingest_with_growing_lsh_index(
             )
             rejected = index_hits.union(batch_hits).distinct()
             admitted = batch.join(rejected, "doc_id", "left_anti")
-            admitted.write.mode("append").parquet(admitted_dir)
-            bands.join(rejected, "doc_id", "left_anti").write.mode("append").parquet(
-                index_dir
-            )
+            admitted.write.mode("overwrite").parquet(sub_adm)
+            bands.join(rejected, "doc_id", "left_anti").write.mode(
+                "overwrite"
+            ).parquet(sub_idx)
         finally:
             bands.unpersist()
 

@@ -513,6 +513,41 @@ def test_growing_lsh_index_catches_cross_batch_neardups(spark, tmp_path):
     }
     assert idx_ids == admitted
 
+    # --- redelivery idempotency (foreachBatch is at-least-once) ---
+    # Snapshot, then replay the whole stream: (a) clean replay of fully
+    # committed batches must be a no-op; (b) a PARTIALLY committed batch
+    # (failure between the admitted write and the index write) must be
+    # deterministically recomputed, not duplicated.
+    import shutil
+
+    adm_rows_before = spark.read.parquet(str(tmp_path / "admitted")).count()
+    idx_rows_before = spark.read.parquet(str(tmp_path / "index")).count()
+    # simulate the partial failure on the LAST batch: its index subdir
+    # never committed
+    idx_subdirs = sorted(
+        p for p in (tmp_path / "index").iterdir() if p.name.startswith("batch_id=")
+    )
+    assert len(idx_subdirs) >= 2  # one per non-empty micro-batch
+    shutil.rmtree(idx_subdirs[-1])
+    # replay from scratch (fresh checkpoint => same files, same batch
+    # split under maxFilesPerTrigger=1)
+    q2 = ingest_with_growing_lsh_index(
+        stream,
+        str(tmp_path / "index"),
+        str(tmp_path / "admitted"),
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(str(tmp_path / "admitted")).count() == adm_rows_before
+    assert spark.read.parquet(str(tmp_path / "index")).count() == idx_rows_before
+    admitted2 = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "admitted")).collect()
+    }
+    idx_ids2 = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "index")).collect()
+    }
+    assert admitted2 == admitted and idx_ids2 == admitted
+
 
 def test_continuous_rollup_materializes_incrementally(spark, tmp_path):
     """The materialized continuous aggregate must equal the batch
