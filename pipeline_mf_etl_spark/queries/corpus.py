@@ -582,6 +582,38 @@ def a18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A18b: the exact COUNT(DISTINCT) twin of a18 — same grouping, same two
+# cardinalities, hash-certifiable against the oracle (mirrors the
+# o4/o4b seeded-vs-hash sampling pair: the native-RNG / sketch member
+# stays rows-only, the deterministic twin carries the hard signal).
+# Scale note: exact distinct shuffles the key space where a18 ships
+# constant-size HLL registers — a18 remains the 100 TB default; a18b
+# exists to certify the aggregation path and for exact-audit runs.
+@query(
+    "a18b_exact_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS exact_days
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def a18b_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users and distinct event days per event_type —
+    the hash-certified sibling of the a18 HLL sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.count_distinct(F.to_date("ts")).alias("exact_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # O14: sliding-window chunking — the context-preparation operator of a
 # RAG / long-context training pipeline: split each document into

@@ -28,12 +28,12 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 
 # Modules that register queries on import. Order matters: the driver's
 # correctness harness certifies the first 50 registered queries; the
-# _PRIORITY tuple below pins the round-5 window exactly (see its section
-# comments). OUTSIDE the round-5 window (all green r3/r4 on code
+# _PRIORITY tuple below pins the ROUND-7 window exactly (see its section
+# comments). OUTSIDE the round-7 window (all green r4/r6 on code
 # untouched this round): the backtest/validation/viewer families, the
-# quality/windows/relational families, stats bootstraps, and
-# mm2/mm3/v1-v3 — rotate back in next round any of those whose files
-# change, plus whatever round 6 adds.
+# dedup/similarity/text/corpus/streaming families certified in r6, and
+# the ML fit family — rotate back in next round any of those whose files
+# change, plus whatever round 7 adds.
 # NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
 # so keep backtest ahead of viewer in this list (otherwise backtest's
 # queries register mid-viewer-import and the fill order shifts).
@@ -62,105 +62,71 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.graph",
 )
 
-# ROUND-6 ROTATION QUEUE (late-r5 additions registered AFTER the window
-# below filled; all local-parity green, never driver-certified):
-# t11_gopher_rules, o14_chunk_windows, e7_semantic_dedup,
-# mm8_audio_segments, st9_attribution_join, r1_bm25_topk,
-# r2_hybrid_rrf, e8_pca_project, o15_shard_shuffle,
-# g1_pagerank_neardup, t12_bpe_tokenize, w19_time_decay_score,
-# o16_per_group_sample, mm9_image_resize, mm10_audio_downsample,
-# mm11_video_resize, w20_rolling_autocorr, g2_pagerank_weighted,
-# d9_source_dup_matrix, o17_weighted_sample, st10_last_click — plus
-# any r6 edits' same-file stragglers. NOTE: the late-r5 w19 append
-# touched queries/windows.py (w1-w18 share the file; their last green
-# is r3/r5-window) and t12 touched queries/text.py — rotate both
-# families' stalest members with the r6 window.
-#
-# Explicit front-of-queue names (certification priority within the driver's
-# 50-query window). Round-4 set = queries that are NEW or semantically
-# CHANGED this round (b6 gained its recursive-CTE oracle, m7's schema
-# renamed the silhouette column, mm4/v1-v3 are new), + the queries whose
-# implementation was modified in round 3 AFTER their last driver
-# certification (VERDICT r3 "what's wrong" #1 — parity-green locally but
-# the hard signal is one round stale).
+# ROUND-7 WINDOW (the r6 verdict's ranked #1 task): the 21 queries that
+# have NEVER seen a driver check — four of which (e7, g1, g2, t12) carry
+# uncertified round-6 edits — go FIRST, in a fixed order a short round
+# cannot displace. New round-7 registrations (a18b exact-distinct twin,
+# the two foreachBatch ops promoted to batch-form queries) come next,
+# then the stalest green rows (r1-green set, then the oldest r3-green
+# A/W/J/P families) fill out the 50 slots.
 _PRIORITY = (
-    # --- round-5 window ---
-    # (1) the r4 red row: o10's oracle gained its missing BIGINT cast
-    "o10_token_budget_mix",
-    # (2) never-driver-certified late-r4 queries (all local-parity green)
-    "d6_canonical_docs",
-    "d7_curation_waterfall",
-    "t9_trigram_lm",
-    "t10_source_quality",
-    "m7b_silhouette_sampled",
-    "st7_stream_neardup",
-    "st8_stream_quality_route",
-    "e5_ann_pq",
-    "e6_ann_ivfpq",
-    "o11_split_leakage",
-    "o12_sequence_packing",
-    "o13_temperature_mix",
-    "a18_approx_distinct",
-    "d8_substring_dedup",
-    # (3) edited-after-green stragglers (viewer/m17/dedup r4 edits)
-    "w3_ewm_wilder",
-    "f1_flow_states",
-    "f2_flow_activity",
-    "m16_event_study",
-    "m21_walkforward",
-    "d3_simhash",
-    "d4_ngram_jaccard",
-    # (4) code changed THIS round: e4's assignment kernel is the new
-    # map-only ivf_assign_cells; dedup.py gained the pair export +
-    # eviction cache (d1/d2/d5 share the file); mm5 is new; streaming
-    # transforms' doc-stream path changed (st1-st8 share the module)
-    "e4_ann_ivf",
-    "d1_exact_dedupe",
-    "d2_minhash_lsh",
-    "d5_neardup_groups",
-    "mm5_image_decode",
-    "mm6_video_decode",
-    "mm7_image_phash_dedup",
-    "st5_stream_dedupe",
-    "st1_tumbling_daily",
-    "st3_session_windows",
-    "st4_stateful_user_stats",
-    "st6_stream_enrich",
-    # (5) same-file staleness cover: text.py (t9 rework), similarity.py
-    # (assignment kernel), corpus.py (o10 cast), export.py (have/read
-    # helpers — every export-backed fit query reads through it),
-    # multimodal files (mm5)
-    "v4_hmm_ribbon",
-    "m7_cluster_quality",
-    "t1_lang_id",
-    "t2_quality_score",
-    "t6_pii_scrub",
-    "t7_repetition_quality",
-    "t8_contamination",
-    "e1_ann_bruteforce",
-    "e2_ann_bucketed",
-    "e3_embedding_neardup",
-    "o9_stratified_sample",
-    "m4_kmeans_profile",
-    "m5_gmm_mixture",
-    "m6_density_clusters",
-    "m10_hmm_states",
-    "m20_ari_vs_truth",
-    # NOTE: 56 names — six past the driver's 50-query window; the six
-    # BELOW this line are the designated overflow (positions 51-56):
-    # their code paths are byte-identical to r4-certified code (text.py's
-    # r5 changes are confined to t9 — reverted — and t7 — rewritten and
-    # certified IN-window above; the multimodal appends never touch
-    # with_wav_payload / with_binary_payload; streaming's r5 change is
-    # confined to the documents/JSONL stream sources, and st2 is
-    # events-side), unlike the export-backed ML family above, which
-    # reads through the export.py helpers that DID change this round.
-    "st2_sliding_windows",
-    "t5_token_stats",
-    "t3_top_terms",
-    "t4_fingerprint",
-    "mm4_wav_decode",
-    "mm1_binary_metadata",
+    # --- (1) the 21 never-driver-certified queries (backlog since r5;
+    #     e7/g1/g2/t12 additionally carry uncertified r6 edits) ---
+    "e7_semantic_dedup",
+    "g1_pagerank_neardup",
+    "g2_pagerank_weighted",
+    "t12_bpe_tokenize",
+    "r1_bm25_topk",
+    "r2_hybrid_rrf",
+    "t11_gopher_rules",
+    "e8_pca_project",
+    "o14_chunk_windows",
+    "o15_shard_shuffle",
+    "o16_per_group_sample",
+    "o17_weighted_sample",
+    "st9_attribution_join",
+    "st10_last_click",
+    "mm8_audio_segments",
+    "mm9_image_resize",
+    "mm10_audio_downsample",
+    "mm11_video_resize",
+    "w19_time_decay_score",
+    "w20_rolling_autocorr",
+    "d9_source_dup_matrix",
+    # --- (2) new round-7 registrations (first driver look) ---
+    "a18b_exact_distinct",
+    "st11_lsh_admission_batch",
+    "st12_daily_rollup_batch",
+    # --- (3) stalest certified rows: the full r1-green set (five rounds
+    #     stale) ---
+    "s3_pushdown_scan",
+    "i2_manifest_classify",
+    "a7_region_rollup",
+    "a14_salted_skew_agg",
+    "a15_rollup",
+    "j11_asof_join",
+    "j12_star_join",
+    "j7_j10_profile_joins",
+    "o5_union_by_name",
+    "o7_distinct_counts",
+    # --- (4) oldest r3-green A/W/J/P rows to fill 50 (windows.py took
+    #     the late-r5 w19/w20 appends, so its r3 members rotate first) ---
+    "w1_lag_lead",
+    "w2_rolling_stats",
+    "w4_cumulative",
+    "w5_bars_since_event",
+    "w6_run_length",
+    "w14_forward_labels",
+    "a1_grouped_stats",
+    "a2_conditional_aggregates",
+    "a4_horizontal_aggs",
+    "a5_crosstab",
+    "j2_broadcast_enrich",
+    "j5_state_mapping",
+    "j6_overlay_coverage",
+    "p1_normalize",
+    "p2_p3_quality_flags",
+    "p6_input_cleaning",
 )
 
 
