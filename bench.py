@@ -97,6 +97,33 @@ def main() -> None:
         dt = time.perf_counter() - t0
         calib = dt if calib is None else min(calib, dt)
 
+    # Second calibrator (r6 verdict task 7): the range-sum job is pure
+    # whole-stage-codegen arithmetic and missed an r5→r6 drift that hit
+    # shuffle/window-shaped queries (+8-15%) while itself staying flat.
+    # This job exercises the machinery those queries actually spend
+    # time in — a real exchange (hash partitioning, serialization), a
+    # per-key ordered window, and the sort that feeds it — over
+    # generated data, so host-state shifts in shuffle/GC/memory show up
+    # here even when raw arithmetic speed is unchanged. Cross-round
+    # comparisons should normalize window/join-shaped queries by THIS
+    # number and scan/arithmetic-shaped ones by calib_range_sum_sec.
+    calib_sw = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(20_000_000)
+            .selectExpr("id % 100000 AS k", "id % 977 AS v")
+            .selectExpr(
+                "k",
+                "SUM(v) OVER (PARTITION BY k ORDER BY v "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s",
+            )
+            .selectExpr("COUNT(*)", "SUM(s)")
+            .collect()
+        )
+        dt = time.perf_counter() - t0
+        calib_sw = dt if calib_sw is None else min(calib_sw, dt)
+
     # INTERLEAVED rounds (all queries once per round, then repeat):
     # back-to-back repetitions of one query sit inside the same
     # noise window on a shared host, so a multi-minute neighbor burst
@@ -127,6 +154,7 @@ def main() -> None:
         "runs": runs,
         "agg": "min",
         "calib_range_sum_sec": round(calib, 3),
+        "calib_shuffle_window_sec": round(calib_sw, 3),
     }))
 
 

@@ -98,6 +98,33 @@ class IndicatorSettings:
 
 
 @dataclass(frozen=True)
+class GraphSettings:
+    """Iterative-graph fault tolerance (d5 connected components, g1/g2
+    PageRank). ``reliable_checkpoints=True`` switches every
+    loop-carried checkpoint from executor-local ``localCheckpoint`` to
+    fault-tolerant ``checkpoint()`` — required on a real cluster where
+    losing an executor mid-run must not fail the job; point
+    ``spark.sparkContext.setCheckpointDir(...)`` at durable storage
+    first. Default False = the local[32]/short-job fast path."""
+
+    reliable_checkpoints: bool = False
+
+
+@dataclass(frozen=True)
+class StreamingSettings:
+    """Streaming-ingest guards. ``lsh_max_bucket`` caps per-(band,
+    bucket) index membership consulted by the online near-dup admission
+    paths (st7's static lookup and the growing-LSH foreachBatch ingest)
+    — a near-exact duplicate flood otherwise turns one bucket into an
+    unbounded join fan-out mid-ingest, where no d1-first batch ordering
+    protects it. Deterministic: the ``lsh_max_bucket`` smallest doc ids
+    per bucket are kept, so the cap is oracle-expressible. ``None``
+    disables the cap (exact candidate set)."""
+
+    lsh_max_bucket: int | None = 64
+
+
+@dataclass(frozen=True)
 class PrecisionSettings:
     """Layer float width on DISK (reference settings.yaml ``precision``:
     bronze float64, silver/gold float32 — compute always float64, the
@@ -116,6 +143,8 @@ class Settings:
     backtest: BacktestSettings = field(default_factory=BacktestSettings)
     bootstrap: BootstrapSettings = field(default_factory=BootstrapSettings)
     indicators: IndicatorSettings = field(default_factory=IndicatorSettings)
+    graph: GraphSettings = field(default_factory=GraphSettings)
+    streaming: StreamingSettings = field(default_factory=StreamingSettings)
     precision: PrecisionSettings = field(default_factory=PrecisionSettings)
 
 

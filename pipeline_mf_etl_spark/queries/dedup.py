@@ -22,8 +22,13 @@ from pipeline_mf_etl_spark.operators.dedupe import (
     simhash32,
     tokens,
 )
+from pipeline_mf_etl_spark.config import load_settings
 from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import load_table
+
+#: cluster deployments flip graph.reliable_checkpoints in settings.yaml
+#: (after setCheckpointDir to durable storage) — no code edit needed.
+_RELIABLE = load_settings().graph.reliable_checkpoints
 
 # DuckDB fragments kept in lockstep with operators/dedupe.py ------------------
 
@@ -310,7 +315,7 @@ def d5_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     pairs = embedding_near_dup_pairs(v, 0.4, dim=64).select("a", "b")
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, reliable=_RELIABLE)
     w = Window.partitionBy("component")
     return cc.select(
         F.col("node").alias("vec_id"),
@@ -440,7 +445,7 @@ def ranked_neardup_clusters(docs: DataFrame, pairs: DataFrame | None = None) -> 
         verified, sh = _verified_pairs(docs, return_shingles=True)
     else:
         verified, sh = pairs, None
-    cc = connected_components(verified.select("a", "b")).select(
+    cc = connected_components(verified.select("a", "b"), reliable=_RELIABLE).select(
         F.col("node").alias("doc_id"), F.col("component").alias("group_id")
     )
     # CC's localCheckpoints materialized the pair graph — the shingle

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pipeline_mf_etl_spark.config import load_settings
 from pipeline_mf_etl_spark.operators.graph import (
     PR_DAMPING,
     PR_ITERS,
@@ -33,6 +34,10 @@ from pipeline_mf_etl_spark.operators.graph import (
     total_order_rank,
 )
 from pipeline_mf_etl_spark.queries.registry import query
+
+#: cluster deployments flip graph.reliable_checkpoints in settings.yaml
+#: (after setCheckpointDir to durable storage) — no code edit needed.
+_RELIABLE = load_settings().graph.reliable_checkpoints
 
 #: bit-identical numerator on both engines (see module docstring)
 _BASE_NUM = repr(1 - PR_DAMPING)
@@ -89,7 +94,7 @@ def g1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_mf_etl_spark.queries.dedup import verified_pairs_export
 
     pairs = verified_pairs_export(spark, sf_dir).select("a", "b")
-    ranks = pagerank(pairs)
+    ranks = pagerank(pairs, reliable=_RELIABLE)
     ranked = total_order_rank(
         ranks, [F.col("r").desc(), F.col("node").asc()], rank_name="rank"
     )
@@ -147,7 +152,7 @@ def g2_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_mf_etl_spark.queries.dedup import verified_pairs_export
 
     pairs = verified_pairs_export(spark, sf_dir).select("a", "b", "jaccard")
-    ranks = pagerank(pairs, weight_col="jaccard")
+    ranks = pagerank(pairs, weight_col="jaccard", reliable=_RELIABLE)
     ranked = total_order_rank(
         ranks, [F.col("r").desc(), F.col("node").asc()], rank_name="rank"
     )

@@ -208,16 +208,35 @@ def st6_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _st7_oracle() -> str:
+    from pipeline_mf_etl_spark.config import load_settings
     from pipeline_mf_etl_spark.queries.dedup import _D2_CHAIN
 
     # only the bands CTE of the shared chain is referenced — the
     # candidate pair definition is d2's, restated as DIRECTED pairs
-    # (each incoming doc lists its corpus matches)
+    # (each incoming doc lists its corpus matches). The index side is
+    # capped to the streaming.lsh_max_bucket smallest doc_ids per
+    # bucket — the SAME deterministic duplicate-flood guard the
+    # production admission path applies, expressed as a ROW_NUMBER
+    # sub-select so the certification covers the cap semantics too.
+    cap = load_settings().streaming.lsh_max_bucket
+    idx = "bands"
+    capped_cte = ""
+    if cap is not None:
+        idx = "capped"
+        capped_cte = f""",
+    capped AS (
+        SELECT doc_id, band, band_hash FROM (
+            SELECT doc_id, band, band_hash,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+            FROM bands
+        ) WHERE rn <= {cap}
+    )"""
     return f"""
-    WITH {_D2_CHAIN}
+    WITH {_D2_CHAIN}{capped_cte}
     SELECT DISTINCT l.doc_id AS doc_id, r.doc_id AS matched_doc_id
     FROM bands l
-    JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+    JOIN {idx} r ON l.band = r.band AND l.band_hash = r.band_hash
                 AND l.doc_id <> r.doc_id
     """
 
@@ -227,20 +246,24 @@ def st7_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online near-dup admission check: incoming documents are MinHash-
     banded PER-ROW (array HOFs, no aggregation — the stream plan is
     fully stateless) and looked up against the static corpus LSH bucket
-    index; output is the directed (doc_id, matched_doc_id) candidate
-    pairs. The stream transform emits one hit per colliding band; the
+    index, capped per-bucket by streaming.lsh_max_bucket (the
+    duplicate-flood guard; the oracle expresses the identical cap);
+    output is the directed (doc_id, matched_doc_id) candidate pairs.
+    The stream transform emits one hit per colliding band; the
     distinct here is the batch-side dedupe the downstream verifier
     applies either way. Batch entry runs the corpus against its own
     index; tests/test_streaming.py drives the identical transform
     through readStream(availableNow) and asserts the same pair set.
     The rowwise banding is asserted bit-identical to the d2 groupBy
     path in tests/test_operators.py."""
+    from pipeline_mf_etl_spark.config import load_settings
     from pipeline_mf_etl_spark.operators.dedupe import minhash_band_buckets_rowwise
     from pipeline_mf_etl_spark.streaming import neardup_candidates_against_index
 
     docs = load_table(spark, sf_dir, "documents")
     index = minhash_band_buckets_rowwise(docs, "doc_id", "text")
-    return neardup_candidates_against_index(docs, index).distinct()
+    cap = load_settings().streaming.lsh_max_bucket
+    return neardup_candidates_against_index(docs, index, max_bucket=cap).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -351,4 +374,124 @@ def st10_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("purchase_id", "user_id", "click_id", "gap_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# st11: the growing-LSH foreachBatch ingest promoted from library op to
+# registered query — the REAL streaming machinery runs end-to-end
+# (readStream → foreachBatch admission → batch_id-partitioned parquet
+# sinks), and the returned frame is the admitted doc set read back from
+# the sink. The driver's documents table is a single parquet file, so
+# availableNow delivers exactly one micro-batch and the admission
+# policy reduces to its intra-batch leg: a doc is rejected iff it
+# band-collides with a smaller-id doc within the CAPPED bucket
+# membership (streaming.lsh_max_bucket) — which is precisely what the
+# oracle's ROW_NUMBER sub-select expresses. Multi-batch admission and
+# partial-failure replay are certified by tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+def _st11_oracle() -> str:
+    from pipeline_mf_etl_spark.config import load_settings
+    from pipeline_mf_etl_spark.queries.dedup import _D2_CHAIN
+
+    cap = load_settings().streaming.lsh_max_bucket
+    peer = "bands"
+    capped_cte = ""
+    if cap is not None:
+        peer = "capped"
+        capped_cte = f""",
+    capped AS (
+        SELECT doc_id, band, band_hash FROM (
+            SELECT doc_id, band, band_hash,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+            FROM bands
+        ) WHERE rn <= {cap}
+    )"""
+    return f"""
+    WITH {_D2_CHAIN}{capped_cte},
+    rejected AS (
+        SELECT DISTINCT l.doc_id
+        FROM bands l
+        JOIN {peer} r ON l.band = r.band AND l.band_hash = r.band_hash
+                     AND r.doc_id < l.doc_id
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM rejected)
+    """
+
+
+@query("st11_lsh_admission_batch", eager=True, oracle=_st11_oracle())
+def st11_lsh_admission_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admitted docs of the growing-LSH streaming corpus ingest
+    (streaming/transforms.py:ingest_with_growing_lsh_index), driven
+    end-to-end through readStream + foreachBatch into fresh sink dirs.
+    EAGER: the streaming query runs at build time; the result is the
+    admitted set read back from the batch_id-partitioned sink
+    (explicit column select drops the partition column)."""
+    import tempfile
+
+    from pipeline_mf_etl_spark.streaming import (
+        ingest_with_growing_lsh_index,
+        read_documents_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="st11_")
+    q = ingest_with_growing_lsh_index(
+        read_documents_stream(spark, sf_dir),
+        index_dir=f"{root}/index",
+        admitted_dir=f"{root}/admitted",
+        checkpoint_dir=f"{root}/ckpt",
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{root}/admitted").select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# st12: the continuous daily rollup (materialized continuous aggregate)
+# promoted from library op to registered query — update-mode streaming
+# aggregation maintained in a day/type-partitioned parquet table via
+# dynamic-partition-overwrite foreachBatch upserts; the result is the
+# materialization read back as a plain partitioned table. Oracle = the
+# same daily rollup SQL that certifies st1 (the materialized table must
+# equal the from-scratch aggregate — the invariant of an incrementally
+# maintained rollup).
+# ---------------------------------------------------------------------------
+@query(
+    "st12_daily_rollup_batch",
+    eager=True,
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st12_daily_rollup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized continuous daily rollup read back from its
+    partitioned parquet table after the incremental-refresh streaming
+    query drains (streaming/transforms.py:continuous_daily_rollup).
+    EAGER: runs the streaming query at build time."""
+    import tempfile
+
+    from pipeline_mf_etl_spark.streaming import (
+        continuous_daily_rollup,
+        read_events_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="st12_")
+    q = continuous_daily_rollup(
+        read_events_stream(spark, sf_dir),
+        out_dir=f"{root}/rollup",
+        checkpoint_dir=f"{root}/ckpt",
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{root}/rollup").select(
+        F.col("window_day").cast("date").alias("window_day"),
+        "event_type",
+        "n_events",
+        "sum_value",
     )

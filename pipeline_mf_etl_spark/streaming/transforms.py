@@ -15,7 +15,7 @@ semantic oracle for the stream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
@@ -57,10 +57,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     try:
         schema = spark.read.parquet(path).schema
-    except Exception:
+    except Exception as exc:
         # NANOS generation: the flag is required for the probe AND for
         # every scan the returned stream runs later, so it must persist
-        # for the session lifetime (see docstring).
+        # for the session lifetime (see docstring). Only that specific
+        # failure earns the config mutation — any other read error
+        # (missing file, corrupt footer, permissions) re-raises
+        # untouched instead of mutating session state and then failing
+        # again with a misleading second error.
+        msg = str(exc)
+        if "TIMESTAMP(NANOS" not in msg and "Illegal Parquet type" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = spark.read.parquet(path).schema
     # the file-source needs a directory; select just the events file via
@@ -275,7 +282,30 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
 
 
-def neardup_candidates_against_index(docs: DataFrame, index: DataFrame) -> DataFrame:
+def capped_bucket_index(index: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Bound per-(band, bucket) membership of a STATIC LSH band index to
+    the ``max_bucket`` smallest doc_ids (deterministic, so the cap is
+    oracle-expressible). This is the streaming-admission guard: an
+    adversarial near-exact duplicate flood puts O(flood) docs in one
+    bucket, and every later incoming doc's equi-join then fans out
+    O(flood) rows PER BAND against that bucket — unbounded mid-ingest,
+    with no d1-first batch ordering to absorb it. The window partitions
+    by (band, band_hash): the largest task is one bucket's membership,
+    never the corpus. Recall trade as ``lsh_candidate_pairs.max_bucket``:
+    capped-out docs remain reachable through their other bands."""
+    if max_bucket is None:
+        return index
+    wb = Window.partitionBy("band", "band_hash").orderBy(F.col("doc_id").asc())
+    return (
+        index.withColumn("_bn", F.row_number().over(wb))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+
+
+def neardup_candidates_against_index(
+    docs: DataFrame, index: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """Stream-static LSH lookup: every incoming document is MinHash-
     banded PER-ROW (``minhash_band_buckets_rowwise`` — array HOFs only,
     no per-doc aggregation, so the expression is append-mode legal) and
@@ -294,11 +324,20 @@ def neardup_candidates_against_index(docs: DataFrame, index: DataFrame) -> DataF
     static side when it fits and shuffle-joins otherwise; forcing a
     broadcast would ship an O(corpus) bucket table (4 rows/doc) to
     every task at 100 TB scale.
+
+    ``max_bucket`` bounds per-bucket index membership consulted by the
+    join (see :func:`capped_bucket_index`) — the duplicate-flood guard
+    for the online path. The cap applies to the STATIC side only (a
+    window on the stream side would be illegal in append mode anyway);
+    it is deterministic and therefore certifiable by the same SQL
+    oracle with a ROW_NUMBER sub-select.
     """
     from pipeline_mf_etl_spark.operators.dedupe import minhash_band_buckets_rowwise
 
     b = minhash_band_buckets_rowwise(docs, "doc_id", "text")
-    idx = index.select(F.col("doc_id").alias("matched_doc_id"), "band", "band_hash")
+    idx = capped_bucket_index(index, max_bucket).select(
+        F.col("doc_id").alias("matched_doc_id"), "band", "band_hash"
+    )
     return (
         b.join(idx, ["band", "band_hash"])
         .filter(F.col("doc_id") != F.col("matched_doc_id"))
@@ -386,6 +425,7 @@ def ingest_with_growing_lsh_index(
     index_dir: str,
     admitted_dir: str,
     checkpoint_dir: str,
+    max_bucket: int | None = None,
 ):
     """Streaming corpus admission against an INCREMENTALLY GROWN LSH
     index — the production form of st7's static lookup: each
@@ -414,10 +454,30 @@ def ingest_with_growing_lsh_index(
     regardless of that doc's own admission fate — or with any indexed
     doc. No iteration, no order dependence on partitioning.
 
+    ``max_bucket`` is the duplicate-flood guard (default: the
+    ``streaming.lsh_max_bucket`` setting): both the persisted-index
+    side and the intra-batch peer side are capped to the
+    ``max_bucket`` smallest doc_ids per (band, bucket) before the
+    equi-joins, bounding join fan-out at C(cap, 2) per bucket even
+    when an adversarial near-exact flood lands mid-ingest (this path
+    has no d1-first ordering to absorb one). Deterministic, so
+    replays recompute identically.
+
+    Layout/schema note for EXTERNAL consumers: ``admitted_dir`` and
+    ``index_dir`` are ``batch_id=<N>`` partitioned directories —
+    reading the root with partition discovery surfaces an extra
+    ``batch_id`` column; select explicit columns (as the in-repo
+    readers do) or drop it.
+
     Returns the StreamingQuery (availableNow trigger; caller awaits)."""
     import os
+    import re
 
+    from pipeline_mf_etl_spark.config import load_settings
     from pipeline_mf_etl_spark.operators.dedupe import minhash_band_buckets_rowwise
+
+    if max_bucket is None:
+        max_bucket = load_settings().streaming.lsh_max_bucket
 
     def _committed(d: str) -> bool:
         return os.path.isfile(os.path.join(d, "_SUCCESS"))
@@ -432,23 +492,25 @@ def ingest_with_growing_lsh_index(
         sp = batch.sparkSession
         bands = minhash_band_buckets_rowwise(batch, "doc_id", "text").persist()
         try:
-            # vs the grown index: committed earlier batches only (the
-            # current batch's own partial output from a failed attempt
-            # must not reject its replay)
+            # vs the grown index: committed EARLIER batches only (N <
+            # batch_id). Excluding just the current id is not enough
+            # under a fresh-checkpoint full replay, where a damaged
+            # non-last batch would otherwise be recomputed against
+            # LATER batches' indexes and admit a different set.
             idx_parts = []
             if os.path.isdir(index_dir):
                 for name in sorted(os.listdir(index_dir)):
                     p = os.path.join(index_dir, name)
-                    if (
-                        name.startswith("batch_id=")
-                        and name != f"batch_id={batch_id}"
-                        and _committed(p)
-                    ):
+                    m = re.fullmatch(r"batch_id=(\d+)", name)
+                    if m and int(m.group(1)) < batch_id and _committed(p):
                         idx_parts.append(p)
             if idx_parts:
-                idx = sp.read.parquet(*idx_parts).withColumnRenamed(
-                    "doc_id", "matched_doc_id"
-                )
+                idx = capped_bucket_index(
+                    sp.read.parquet(*idx_parts).select(
+                        "doc_id", "band", "band_hash"
+                    ),
+                    max_bucket,
+                ).withColumnRenamed("doc_id", "matched_doc_id")
                 index_hits = (
                     bands.join(idx, ["band", "band_hash"])
                     .filter(F.col("doc_id") != F.col("matched_doc_id"))
@@ -456,10 +518,15 @@ def ingest_with_growing_lsh_index(
                 )
             else:
                 index_hits = bands.select("doc_id").limit(0)
-            # vs smaller-id docs of the same batch
-            peer = bands.select(
-                F.col("doc_id").alias("peer_id"), "band", "band_hash"
-            )
+            # vs smaller-id docs of the same batch; peer side capped to
+            # the same per-bucket bound (smallest ids kept ⇒ every doc
+            # that has ANY smaller peer in the bucket still sees one
+            # unless the bucket's first `cap` ids are all larger — i.e.
+            # rejection decisions change only for docs ranked past the
+            # cap, the accepted recall trade)
+            peer = capped_bucket_index(
+                bands.select("doc_id", "band", "band_hash"), max_bucket
+            ).select(F.col("doc_id").alias("peer_id"), "band", "band_hash")
             batch_hits = (
                 bands.join(peer, ["band", "band_hash"])
                 .filter(F.col("peer_id") < F.col("doc_id"))

@@ -122,3 +122,39 @@ def test_show_config_cli_round_trips(capsys):
     payload = json.loads(capsys.readouterr().out)
     assert payload["backtest"]["hold_bars"] == 5
     assert "realism" in payload
+
+
+def test_graph_and_streaming_settings_sections():
+    """graph.reliable_checkpoints and streaming.lsh_max_bucket are
+    config-driven (cluster deployments flip them in settings.yaml, no
+    code edits): defaults are the local[32] fast path, overrides flow
+    through the standard section mechanism, and the YAML loader accepts
+    them like every other section."""
+    from pipeline_mf_etl_spark.config import Settings, load_settings, override
+
+    s = load_settings()
+    assert s.graph.reliable_checkpoints is False
+    assert s.streaming.lsh_max_bucket == 64
+
+    o = override(
+        Settings(),
+        graph={"reliable_checkpoints": True},
+        streaming={"lsh_max_bucket": None},
+    )
+    assert o.graph.reliable_checkpoints is True
+    assert o.streaming.lsh_max_bucket is None
+
+
+def test_graph_reliable_setting_reaches_loop_checkpoint(spark, tmp_path, monkeypatch):
+    """The reliable=True path the config selects must actually produce a
+    fault-tolerant checkpoint (files under the checkpoint dir), and the
+    capped/uncapped admission paths must stay consistent with their
+    settings defaults."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    from pipeline_mf_etl_spark.operators.graph import loop_checkpoint
+
+    df = spark.range(10)
+    out = loop_checkpoint(df, reliable=True)
+    assert out.count() == 10
+    ckpt_files = list((tmp_path / "ckpt").rglob("*"))
+    assert ckpt_files, "reliable checkpoint wrote nothing durable"

@@ -590,3 +590,88 @@ def test_continuous_rollup_materializes_incrementally(spark, tmp_path):
         for r in daily_rollup(ev).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_lsh_admission_flood_is_bounded_by_bucket_cap(spark, tmp_path):
+    """Adversarial near-exact duplicate flood against the streaming
+    admission paths: with streaming.lsh_max_bucket the static-index
+    lookup's join fan-out is bounded by the cap (not the flood size),
+    and the growing-LSH ingest still admits exactly one copy of the
+    flood while its peer/index joins consult capped buckets only."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.operators.dedupe import (
+        minhash_band_buckets_rowwise,
+    )
+    from pipeline_mf_etl_spark.streaming import (
+        ingest_with_growing_lsh_index,
+        neardup_candidates_against_index,
+        read_jsonl_corpus_stream,
+    )
+
+    flood_text = (
+        "identical boilerplate sentence repeated across the entire flood "
+        "of near exact duplicate submissions hitting the ingest gate"
+    )
+    n_flood, cap = 200, 4
+
+    # --- static lookup (st7's path): one incoming doc vs a flooded index
+    flood = spark.createDataFrame(
+        [(i, flood_text) for i in range(n_flood)], "doc_id int, text string"
+    )
+    index = minhash_band_buckets_rowwise(flood, "doc_id", "text")
+    probe = spark.createDataFrame([(10_000, flood_text)], "doc_id int, text string")
+    uncapped = neardup_candidates_against_index(probe, index).count()
+    capped = neardup_candidates_against_index(probe, index, max_bucket=cap).count()
+    bands = 4
+    assert uncapped == n_flood * bands  # the blow-up the cap exists for
+    assert capped == cap * bands  # bounded by the cap, not the flood
+    # determinism: the kept bucket members are the cap smallest ids
+    kept = {
+        r["matched_doc_id"]
+        for r in neardup_candidates_against_index(
+            probe, index, max_bucket=cap
+        ).collect()
+    }
+    assert kept == set(range(cap))
+
+    # --- growing-LSH ingest: a flood batch admits exactly one copy
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    with open(drop / "flood.jsonl", "w") as fh:
+        for i in range(n_flood):
+            fh.write(
+                json.dumps(
+                    {
+                        "doc_id": i,
+                        "text": flood_text,
+                        "lang": "en",
+                        "source": "s",
+                        "n_chars": len(flood_text),
+                    }
+                )
+                + "\n"
+            )
+    stream = (
+        read_jsonl_corpus_stream(spark, str(drop))
+        .filter(F.col("_corrupt_record").isNull())
+        .drop("_corrupt_record")
+    )
+    q = ingest_with_growing_lsh_index(
+        stream,
+        str(tmp_path / "index"),
+        str(tmp_path / "admitted"),
+        str(tmp_path / "ckpt"),
+        max_bucket=cap,
+    )
+    q.awaitTermination(180)
+    admitted = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "admitted")).collect()
+    }
+    assert admitted == {0}  # smallest id survives; the flood is rejected
+    idx_ids = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "index")).collect()
+    }
+    assert idx_ids == {0}  # rejected docs never pollute the grown index
