@@ -97,6 +97,9 @@ _PRIORITY = (
     "a18b_exact_distinct",
     "st11_lsh_admission_batch",
     "st12_daily_rollup_batch",
+    "t13_perplexity_buckets",
+    "w21_scd2_intervals",
+    "w22_funnel_steps",
     # --- (3) stalest certified rows: the full r1-green set (five rounds
     #     stale) ---
     "s3_pushdown_scan",
@@ -124,9 +127,6 @@ _PRIORITY = (
     "j2_broadcast_enrich",
     "j5_state_mapping",
     "j6_overlay_coverage",
-    "p1_normalize",
-    "p2_p3_quality_flags",
-    "p6_input_cleaning",
 )
 
 

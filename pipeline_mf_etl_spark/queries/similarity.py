@@ -358,9 +358,11 @@ def e7_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no Exchange). The within-cell verify is the PRODUCTION BLAS
     kernel (semantic_dup_pairs_blas): one Xn@Xn.T matmul per cell in
     an Arrow-batched applyInPandas, grouped equi-shaped on
-    centroid_id — measured ~5× cheaper at 16× than the element-lambda
-    HOF dot it replaced (which remains set-equality-pinned to this
-    kernel in tests/test_operators.py). Cross-engine determinism
+    centroid_id — measured at 3.88 s vs the element-lambda HOF dot's
+    171.78 s at the 16× probe (≈44×), and 0.04-of-linear growth at
+    64× (SCALE.md "r7 probes"); the HOF path remains
+    set-equality-pinned to this kernel in tests/test_operators.py.
+    Cross-engine determinism
     follows the ivf_assign_cells convention: the kernel rounds each
     pair cosine to 6 dp before thresholding and the oracle compares
     ROUND(list_dot_product, 6) — BLAS blocks the summation differently

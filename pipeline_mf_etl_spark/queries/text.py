@@ -518,6 +518,82 @@ def t9_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T13: CCNet-style perplexity bucketing — split the corpus into
+# head/middle/tail terciles by the t9 LM score (the canonical
+# quality-stratification step before mixing: head feeds training
+# directly, middle gets re-filtered, tail is dropped or down-weighted).
+# Thresholds are EXACT linear-interpolated terciles computed in one
+# aggregate and broadcast back — never an NTILE over a global ORDER BY
+# window, which would single-partition the corpus (the g1 lesson).
+# Both engines round scores and thresholds to the same 1e-6 grid before
+# comparing, so an interpolation ulp cannot flip a bucket.
+# ---------------------------------------------------------------------------
+_T13_Q = (0.3333333333333333, 0.6666666666666666)
+
+
+@query(
+    "t13_perplexity_buckets",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+        FROM documents
+    ), tri AS (
+        SELECT doc_id, substr(norm, i, 3) AS tri
+        FROM norm, UNNEST(range(1, greatest(len(norm) - 1, 1))) AS t(i)
+        WHERE len(norm) >= 3
+    ), cnt AS (
+        SELECT tri, COUNT(*) AS c FROM tri GROUP BY tri
+    ), gl AS (
+        SELECT SUM(c) AS total FROM cnt
+    ), vocab AS (
+        SELECT tri, LN((c * 1.0) / total) AS lp
+        FROM cnt CROSS JOIN gl
+        ORDER BY c DESC, tri ASC LIMIT {_T9_VOCAB}
+    ), scores AS (
+        SELECT t.doc_id,
+               ROUND(AVG(COALESCE(v.lp, LN(0.5 / gl.total))), 6) AS mean_logprob
+        FROM tri t
+        LEFT JOIN vocab v USING (tri)
+        CROSS JOIN gl
+        GROUP BY t.doc_id
+    ), thr AS (
+        SELECT ROUND(quantile_cont(mean_logprob, {_T13_Q[0]!r}), 6) AS t_lo,
+               ROUND(quantile_cont(mean_logprob, {_T13_Q[1]!r}), 6) AS t_hi
+        FROM scores
+    )
+    SELECT s.doc_id, s.mean_logprob,
+           CASE WHEN s.mean_logprob >= thr.t_hi THEN 'head'
+                WHEN s.mean_logprob >= thr.t_lo THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scores s CROSS JOIN thr
+    """,
+)
+def t13_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail corpus stratification by the t9 trigram-LM
+    score: exact tercile thresholds (one aggregate, broadcast back as a
+    1-row frame) and a map-only bucket assignment — the distributed
+    shape of CCNet's perplexity bucketing. Higher mean log-prob =
+    lower perplexity = head."""
+    scores = t9_trigram_lm(spark, sf_dir).select("doc_id", "mean_logprob")
+    thr = scores.agg(
+        F.expr(
+            f"percentile(mean_logprob, array({_T13_Q[0]!r}D, {_T13_Q[1]!r}D))"
+        ).alias("q")
+    ).select(
+        F.round(F.col("q")[0], 6).alias("t_lo"),
+        F.round(F.col("q")[1], 6).alias("t_hi"),
+    )
+    return scores.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "mean_logprob",
+        F.when(F.col("mean_logprob") >= F.col("t_hi"), "head")
+        .when(F.col("mean_logprob") >= F.col("t_lo"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # T10: per-source (domain-level) quality rollup — the domain-filtering
 # step of a pretraining pipeline: sources are admitted or blocked as a
 # unit, by aggregate quality and repetition rates, not per document.

@@ -655,3 +655,148 @@ def w20_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6),
         ).alias("autocorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W21: SCD2 validity intervals — the warehouse dimension-history op: a
+# user's consecutive same-type event runs collapse into one row with
+# [valid_from, valid_to) bounds and an is_current flag. Composition of
+# the certified two-window run-length idiom (w6) + lead over run starts;
+# one shuffle on user_id serves every window, the same plan class the
+# single-shuffle w2 test guards. Deterministic ordering: (ts, event_id).
+# ---------------------------------------------------------------------------
+@query(
+    "w21_scd2_intervals",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN LAG(event_type) OVER w IS NULL
+                         OR event_type <> LAG(event_type) OVER w
+                    THEN 1 ELSE 0 END AS changed
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT *, SUM(changed) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        FROM flagged
+    ), intervals AS (
+        SELECT user_id, run_id,
+               FIRST(event_type ORDER BY ts, event_id) AS state,
+               MIN(ts) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (
+               PARTITION BY user_id ORDER BY run_id) AS valid_to,
+           LEAD(valid_from) OVER (
+               PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current,
+           n_events
+    FROM intervals
+    """,
+)
+def w21_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history rows per user: each run of consecutive same-type
+    events becomes one validity interval [valid_from, valid_to) with
+    the run's event count; the open interval is flagged is_current."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w))
+    ).cast("int")
+    runs = ev.select(
+        "user_id", "event_type", "ts", F.sum(changed).over(cum).alias("run_id")
+    )
+    intervals = runs.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    valid_to = F.lead("valid_from").over(wr)
+    return intervals.select(
+        "user_id",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# W22: funnel progression — the product-analytics staple: per user, the
+# first view, the first click AT OR AFTER that view, the first purchase
+# at or after that click, and the deepest stage reached. Three chained
+# conditional aggregates (each stage's min-ts joins back as the next
+# stage's lower bound) — groupBy+broadcast-join shapes only, no global
+# window, no per-user state machine.
+# ---------------------------------------------------------------------------
+@query(
+    "w22_funnel_steps",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS view_ts
+        FROM events GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS click_ts
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                     WHEN c.click_ts IS NOT NULL THEN 2
+                     WHEN v.view_ts IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS reached_stage
+    FROM v
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+)
+def w22_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel per user with stage timestamps
+    and the deepest stage reached (click must not precede the first
+    view; purchase must not precede that click).
+
+    Plan shape: the oracle's three chained CTEs are semantically three
+    per-user constants, so the engine computes them as three STACKED
+    unbounded windows over the SAME partitionBy(user_id) — one scan of
+    events, ONE exchange serving all three windows and the final
+    per-user groupBy (a join-per-stage formulation measured 10
+    exchanges and 3 scans). A null earlier stage nulls the predicate,
+    so later stages collapse to null exactly like the oracle's inner
+    joins."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    t, ts = F.col("event_type"), F.col("ts")
+    s1 = ev.withColumn(
+        "view_ts", F.min(F.when(t == "view", ts)).over(wu)
+    )
+    s2 = s1.withColumn(
+        "click_ts",
+        F.min(F.when((t == "click") & (ts >= F.col("view_ts")), ts)).over(wu),
+    )
+    s3 = s2.withColumn(
+        "purchase_ts",
+        F.min(F.when((t == "purchase") & (ts >= F.col("click_ts")), ts)).over(wu),
+    )
+    return s3.groupBy("user_id").agg(
+        F.min("view_ts").alias("view_ts"),
+        F.min("click_ts").alias("click_ts"),
+        F.min("purchase_ts").alias("purchase_ts"),
+        F.when(F.min("purchase_ts").isNotNull(), 3)
+        .when(F.min("click_ts").isNotNull(), 2)
+        .when(F.min("view_ts").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("reached_stage"),
+    )

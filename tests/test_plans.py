@@ -347,3 +347,17 @@ def test_pagerank_rank_no_single_partition_window(spark, name):
     plan = _plan(spark, name)
     assert "SinglePartition" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # offsets joined broadcast
+
+
+def test_scd2_and_funnel_single_shuffle(spark):
+    """w21's run-length windows + run groupBy + lead window, and w22's
+    three stacked funnel windows + final per-user groupBy, must all ride
+    ONE hashpartitioning(user_id) exchange — HashPartitioning(user_id)
+    satisfies every downstream ClusteredDistribution whose keys include
+    user_id, so a second exchange would be a full fact-table reshuffle
+    the plan doesn't need (the join-per-stage w22 formulation measured
+    10 exchanges and 3 scans of events)."""
+    for name in ("w21_scd2_intervals", "w22_funnel_steps"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
