@@ -249,6 +249,46 @@ def a16_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A16b: the exact-quantile twin of the a16 GK sketch — same grouping,
+# same four quantiles, hash-certifiable (a18/a18b convention: the
+# sketch member stays rows-only with an error-bound property test, the
+# exact twin carries the hard signal). Exact `percentile` sorts each
+# group's full value column through the shuffle — a16 remains the
+# 100 TB default; a16b certifies the aggregation path and serves
+# exact-audit runs. Both engines interpolate linearly on the sorted
+# values and round to the shared 1e-6 grid.
+@query(
+    "a16b_exact_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def a16b_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated value quantiles per event_type — the
+    hash-certified sibling of the a16 GK sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(qs.alias("q"))
+        .select(
+            "event_type",
+            F.round(F.element_at("q", 1), 6).alias("p25"),
+            F.round(F.element_at("q", 2), 6).alias("p50"),
+            F.round(F.element_at("q", 3), 6).alias("p75"),
+            F.round(F.element_at("q", 4), 6).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def partial_topk_candidates(ev: DataFrame, key: str, k_per_partition: int = 50) -> DataFrame:
     """Per-partition partial top-k candidate generation: each partition
     emits at most ``k_per_partition`` (key, partial_count) rows BEFORE
@@ -332,6 +372,35 @@ def a17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id long, est_count long"
     ).orderBy(F.desc("est_count"), F.asc("user_id"))
+
+
+# A17b: the exact top-k twin of the a17 count-min path — one full
+# groupBy(user_id) + deterministic top-10 (count desc, user_id asc),
+# hash-certifiable (a16/a16b, a18/a18b convention: the whole sketch
+# family now carries an exact certified sibling). Exact distinct-key
+# aggregation shuffles one row per user where a17 ships ≤50 candidate
+# rows per partition plus one constant sketch — a17 remains the 100 TB
+# default; a17b certifies the aggregation path.
+@query(
+    "a17b_exact_heavy_hitters",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT 10
+    """,
+)
+def a17b_exact_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 users by event count (count desc, user_id asc
+    tie-break) — the hash-certified sibling of the a17 sketch probe."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -65,10 +65,14 @@ _QUERY_MODULES = (
 # ROUND-7 WINDOW (the r6 verdict's ranked #1 task): the 21 queries that
 # have NEVER seen a driver check — four of which (e7, g1, g2, t12) carry
 # uncertified round-6 edits — go FIRST, in a fixed order a short round
-# cannot displace. New round-7 registrations (a18b exact-distinct twin,
-# the two foreachBatch ops promoted to batch-form queries) come next,
-# then the stalest green rows (r1-green set, then the oldest r3-green
-# A/W/J/P families) fill out the 50 slots.
+# cannot displace. The TEN new round-7 registrations come next (the
+# exact sketch twins a16b/a17b/a18b, the two foreachBatch ops promoted
+# to batch-form queries, perplexity buckets, SCD2, funnel, cube,
+# Z-order layout), then the stalest green rows (the full r1-green set,
+# then the oldest r3-green A/W rows) fill out the 50 slots. Rotated out
+# to make room (all green r3, code untouched): a5/a6/a8/a9/a12/a13,
+# j2/j5/j6, the P-family, o4b/o6, m13-m15, w7/w8-w13/w15-w18 — stalest
+# of those rotate back in round 8.
 _PRIORITY = (
     # --- (1) the 21 never-driver-certified queries (backlog since r5;
     #     e7/g1/g2/t12 additionally carry uncertified r6 edits) ---
@@ -100,6 +104,10 @@ _PRIORITY = (
     "t13_perplexity_buckets",
     "w21_scd2_intervals",
     "w22_funnel_steps",
+    "a16b_exact_quantiles",
+    "a17b_exact_heavy_hitters",
+    "a19_cube",
+    "o18_zorder_layout",
     # --- (3) stalest certified rows: the full r1-green set (five rounds
     #     stale) ---
     "s3_pushdown_scan",
@@ -123,10 +131,6 @@ _PRIORITY = (
     "a1_grouped_stats",
     "a2_conditional_aggregates",
     "a4_horizontal_aggs",
-    "a5_crosstab",
-    "j2_broadcast_enrich",
-    "j5_state_mapping",
-    "j6_overlay_coverage",
 )
 
 

@@ -805,3 +805,99 @@ def a15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A19 one-pass CUBE — completes the grouping-sets family next to A15's
+# ROLLUP: all four grouping sets {(flag,status), (flag), (status), ()}
+# from a single shuffle instead of four scans. The expand operator
+# multiplies rows by the grouping-set count BEFORE the exchange — at
+# 100 TB that 4× map-side inflation is the price of one-pass totals and
+# is still far cheaper than four full scans; partial aggregation
+# collapses it per grouping set on the map side.
+# ---------------------------------------------------------------------------
+@query(
+    "a19_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+           COALESCE(l_linestatus, '<all>') AS l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set summaries (flag×status, flag, status, grand
+    total) in ONE pass via cube (A19)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _r(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O18 Z-order layout keys (beyond reference; operators/layout.py): the
+# multi-dimensional write-clustering step of a 100 TB table — Morton-
+# interleave the two dominant filter dimensions (user, event day) so
+# parquet row-group min/max stats stay tight on BOTH columns at once
+# (the OPTIMIZE ZORDER BY of Delta/Iceberg, as engine-portable integer
+# arithmetic). Binning is map-only: one global min/max aggregate
+# broadcast back, then pure JVM bit-spread codegen — no global sort, no
+# rank, no single-partition stage; the actual layout write is
+# repartitionByRange(file_bucket) + write, which shuffles once.
+# ---------------------------------------------------------------------------
+def _o18_oracle() -> str:
+    from pipeline_mf_etl_spark.operators.layout import morton_key_sql
+
+    z = morton_key_sql(
+        "((user_id - mm.min_u) * 65536) // (mm.max_u - mm.min_u + 1)",
+        "((date_diff('day', mm.min_d, CAST(ts AS DATE))) * 65536) // "
+        "(date_diff('day', mm.min_d, mm.max_d) + 1)",
+    )
+    return f"""
+    WITH mm AS (
+        SELECT MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+               MIN(CAST(ts AS DATE)) AS min_d, MAX(CAST(ts AS DATE)) AS max_d
+        FROM events
+    )
+    SELECT event_id, {z} AS z_key,
+           CAST({z} >> 24 AS INTEGER) AS file_bucket
+    FROM events, mm
+    """
+
+
+@query("o18_zorder_layout", oracle=_o18_oracle())
+def o18_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key per event over (user bin, day
+    bin), each range-binned to 16 bits from one broadcast min/max row,
+    plus the 256-way file bucket (top 8 interleaved bits) a layout
+    write would range-partition on (O18)."""
+    from pipeline_mf_etl_spark.operators.layout import morton_key
+    from pipeline_mf_etl_spark.sources.readers import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    mm = ev.agg(
+        F.min("user_id").alias("min_u"),
+        F.max("user_id").alias("max_u"),
+        F.min(F.to_date("ts")).alias("min_d"),
+        F.max(F.to_date("ts")).alias("max_d"),
+    )
+    with_mm = ev.crossJoin(F.broadcast(mm))
+    bin_u = F.expr("((user_id - min_u) * 65536) div (max_u - min_u + 1)")
+    bin_d = F.expr(
+        "(datediff(to_date(ts), min_d) * 65536) div (datediff(max_d, min_d) + 1)"
+    )
+    z = morton_key(bin_u, bin_d)
+    return with_mm.select(
+        "event_id",
+        z.alias("z_key"),
+        F.shiftright(z, 24).cast("int").alias("file_bucket"),
+    )

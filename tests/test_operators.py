@@ -597,3 +597,56 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     }
     assert base == rel
     assert rel == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_morton_key_bit_interleave_exact(spark):
+    """Morton key ground truth on hand-computable points, plus the SQL
+    twin must produce bit-identical keys (the oracle relies on it)."""
+    import duckdb
+
+    from pipeline_mf_etl_spark.operators.layout import morton_key, morton_key_sql
+    from pyspark.sql import functions as F
+
+    cases = [(0, 0, 0), (1, 0, 1), (0, 1, 2), (3, 3, 15), (2, 1, 6),
+             (65535, 0, 0x55555555), (0, 65535, 0xAAAAAAAA),
+             (65535, 65535, 0xFFFFFFFF), (70000, 0, 0x55555555)]  # clamps
+    df = spark.createDataFrame([(a, b) for a, b, _ in cases], "a long, b long")
+    got = [r["z"] for r in df.select(morton_key(F.col("a"), F.col("b")).alias("z")).collect()]
+    assert got == [z for _, _, z in cases]
+    sql_got = [
+        duckdb.sql(f"SELECT {morton_key_sql(str(a), str(b))} AS z").fetchone()[0]
+        for a, b, _ in cases
+    ]
+    assert sql_got == [z for _, _, z in cases]
+
+
+def test_zorder_buckets_have_locality_on_both_dimensions(spark):
+    """The point of Z-ordering: bucketing by the interleaved key keeps
+    BOTH dimensions' per-bucket min/max spans tight, where bucketing by
+    one column's sort leaves the other column full-width (no row-group
+    skipping on it). Uniform grid, 64 buckets: the z-layout's mean span
+    on dimension b must be a small fraction of the a-sorted layout's."""
+    from pipeline_mf_etl_spark.operators.layout import morton_key
+    from pyspark.sql import functions as F
+
+    n = 1 << 12  # 64x64 grid
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    # bins scaled to 16-bit like o18 does
+    z = morton_key(F.col("a") * 1024, F.col("b") * 1024)
+    zspan = (
+        df.select("a", "b", F.shiftright(z, 26).alias("bucket"))  # 64 buckets
+        .groupBy("bucket")
+        .agg((F.max("b") - F.min("b")).alias("span_b"))
+        .agg(F.avg("span_b"))
+        .collect()[0][0]
+    )
+    aspan = (
+        df.select("a", "b", (F.col("a") % 64).alias("bucket"))  # a-sorted files
+        .groupBy("bucket")
+        .agg((F.max("b") - F.min("b")).alias("span_b"))
+        .agg(F.avg("span_b"))
+        .collect()[0][0]
+    )
+    assert zspan <= aspan / 4, (zspan, aspan)
