@@ -70,14 +70,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = spark.read.parquet(path).schema
-    # the file-source needs a directory; select just the events file via
-    # a glob filter over the sf dir.
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # Two on-disk layouts exist (same as read_documents_stream): the
+    # testdata generator writes events.parquet as a single FILE (stream
+    # the sf dir with a glob), while Spark-written tables (replication
+    # scratch, curated outputs) are a DIRECTORY of part files (stream
+    # the directory itself — the glob would match nothing inside it).
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if os.path.isdir(path):
+        raw = reader.parquet(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return normalize_event_ts(raw)
 
 

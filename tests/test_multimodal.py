@@ -44,7 +44,7 @@ def test_sha256_matches_local(feats, spark):
 
 def test_decode_gate():
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x00", "image/png")
+        decode_media(b"\x00", "image/jpeg")
 
 
 def test_corpus_is_ascii(spark):
@@ -146,7 +146,7 @@ def test_decode_media_dispatch():
     out = decode_media(encode_wav_pcm16(np.array([1, -1], dtype=np.int16)), "audio/wav")
     assert out["sample_rate"] == 8000 and len(out["samples"]) == 2
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
 
 
 def test_wav_rejects_truncated_and_multichannel(spark, tmp_path):
@@ -419,3 +419,66 @@ def test_resize_pools_uneven_bands_exactly(spark):
                 r = got[(d, cy, cx)]
                 assert r["n_px"] == sel.shape[0]
                 assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(sel.sum(axis=0))
+
+
+class TestPngCodec:
+    """Real compressed-codec path: zlib container + all five filters."""
+
+    def test_roundtrip_exact_all_filters(self):
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import encode_png, parse_png
+
+        rng = np.random.default_rng(7)
+        for h in (0, 1, 2, 5, 6, 23):  # ≥6 rows cycles through every filter
+            rgb = bytes(rng.integers(0, 256, 48 * h, dtype=np.uint8))
+            p = parse_png(encode_png(rgb, 16, h))
+            assert (p["width"], p["height"]) == (16, h)
+            assert bytes(p["pixels"]) == rgb
+
+    def test_every_filter_type_is_emitted(self):
+        import zlib
+
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import encode_png
+
+        rgb = bytes(np.arange(48 * 6, dtype=np.uint64).astype(np.uint8))
+        payload = encode_png(rgb, 16, 6)
+        idat = payload[payload.index(b"IDAT") + 4 :]
+        raw = zlib.decompress(idat[: -(12 + 4)])  # strip IDAT CRC + IEND chunk
+        ftypes = [raw[y * 49] for y in range(6)]
+        assert ftypes == [0, 1, 2, 3, 4, 0]
+
+    def test_malformed_inputs_fail_loudly(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        from pipeline_mf_etl_spark.operators.multimodal import encode_png, parse_png
+
+        good = encode_png(bytes(range(48)), 16, 1)
+        with pytest.raises(ValueError, match="signature"):
+            parse_png(b"JUNK" + good[4:])
+        # flip one IDAT byte: CRC must catch it
+        idx = good.index(b"IDAT") + 6
+        bad = good[:idx] + bytes([good[idx] ^ 0xFF]) + good[idx + 1 :]
+        with pytest.raises(ValueError, match="CRC"):
+            parse_png(bad)
+        # unsupported variant (16-bit depth) must be refused, not guessed
+        ihdr = struct.pack(">IIBBBBB", 16, 1, 16, 2, 0, 0, 0)
+        chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+            ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+        )
+        with pytest.raises(ValueError, match="unsupported"):
+            parse_png(good[:8] + chunk + good[8 + 12 + 13 :])
+
+    def test_decode_media_dispatches_png(self):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            decode_media,
+            encode_png,
+        )
+
+        p = decode_media(encode_png(bytes(range(48)), 16, 1), "image/png")
+        assert p["width"] == 16 and bytes(p["pixels"]) == bytes(range(48))
