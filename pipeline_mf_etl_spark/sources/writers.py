@@ -16,6 +16,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -80,3 +81,51 @@ def write_json_artifact(payload: dict, path: str) -> None:
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(payload, fh, indent=2, sort_keys=True)
     os.replace(tmp, path)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Compact a small-files parquet directory into ~``target_mb`` files
+    — the standing operational fix for the 100 TB small-files problem
+    (streaming sinks, per-batch appends, and over-parallel writes leave
+    thousands of KB-scale files; every later scan then pays one task +
+    one footer read per file, and the driver pays listing time).
+
+    File count = ceil(total_bytes / target). With ``sort_cols`` the
+    rewrite is ``repartitionByRange`` + within-partition sort, so the
+    compacted files carry tight min/max row-group stats on the sort
+    key(s) (combine with a Z-order key column — operators/layout.py —
+    for multi-dimensional locality); without, a plain ``repartition``
+    balances bytes. Returns {files_before, files_after, bytes} for the
+    caller's ops ledger. The write goes to ``dst`` (atomic swap is the
+    caller's move — rewriting in place would race readers)."""
+    import math
+    import os
+
+    total = 0
+    files_before = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                files_before += 1
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        df = df.sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dst)
+    files_after = sum(
+        1
+        for root, _dirs, files in os.walk(dst)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return {"files_before": files_before, "files_after": files_after, "bytes": total}

@@ -155,3 +155,77 @@ def streaming_pack_next_fit(docs: DataFrame, budget: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState variant — the CURRENT stateful API (Spark 4.x):
+# typed value state managed by a StatefulProcessor instead of the
+# single opaque tuple applyInPandasWithState exposes. Requires the
+# RocksDB state-store provider (set by running_user_stats_tws below);
+# the semantics are identical to running_user_stats, so the same batch
+# groupBy certifies both paths.
+# ---------------------------------------------------------------------------
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) via transformWithStateInPandas
+    — emits updated totals per key per micro-batch (update mode).
+
+    ENVIRONMENT GATE: Spark's TransformWithStateInPySpark driver worker
+    speaks protobuf to the JVM, so ``google.protobuf`` must be
+    importable (it is not in this sandbox — the query would crash the
+    streaming runner at init). Probe it up front and fail loudly with
+    the reason instead of a mid-query worker crash;
+    ``running_user_stats`` (applyInPandasWithState) is the
+    dependency-free path with identical semantics."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf Python package "
+            "for Spark's streaming runner; install protobuf in production "
+            "images or use running_user_stats (applyInPandasWithState), "
+            "which has identical semantics"
+        ) from exc
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = (
+                tuple(self._state.get()) if self._state.exists() else (0, 0.0, None)
+            )
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    n += int(len(vals))
+                    total += float(vals.sum())
+                    m = float(vals.max())
+                    mx = m if mx is None else max(mx, m)
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                [(key[0], n, round(total, 6), mx)],
+                columns=["user_id", "n_events", "sum_value", "max_value"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    sp = events.sparkSession
+    # transformWithState requires the RocksDB provider; flip it for the
+    # session (local[32] bundles RocksDB; on a cluster this is the
+    # provider you want anyway — disk-backed state, bounded executor heap)
+    sp.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -675,3 +675,57 @@ def test_lsh_admission_flood_is_bounded_by_bucket_cap(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(str(tmp_path / "index")).collect()
     }
     assert idx_ids == {0}  # rejected docs never pollute the grown index
+
+
+def test_tws_running_stats_matches_batch_or_gates_loudly(spark):
+    """running_user_stats_tws (the transformWithState API) either runs
+    and matches the batch groupBy totals, or — in environments without
+    the protobuf package Spark's streaming runner needs — raises the
+    documented NotImplementedError up front instead of crashing the
+    query mid-run."""
+    import pytest
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.streaming import read_events_stream
+    from pipeline_mf_etl_spark.streaming.stateful import running_user_stats_tws
+    from tests.conftest import SF_SMOKE
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_user_stats_tws(read_events_stream(spark, SF_SMOKE))
+        return
+
+    import uuid
+
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats_tws(read_events_stream(spark, SF_SMOKE))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    from pipeline_mf_etl_spark.sources.readers import load_table
+
+    want = {
+        (r["user_id"], r["n"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("value").alias("n"))
+        .collect()
+    }
+    assert got == want
