@@ -800,3 +800,75 @@ def w22_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("reached_stage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W23: OHLC bar resampling — the timeframe-downsampling op of every bar
+# pipeline (the reference is daily-bars-only; weekly/monthly views are
+# its users' first ask): per (user, week) the first value opens the
+# bar, the last closes it, min/max bound it. First/last are made
+# deterministic by ranking on (ts, event_id) — never first()/last()
+# inside groupBy, whose result depends on partition arrival order.
+# Window ranks and the final groupBy share one (user_id)-clustered
+# exchange (same single-shuffle class as w21/w22).
+# ---------------------------------------------------------------------------
+@query(
+    "w23_ohlc_resample",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, date_trunc('week', ts) AS week_start, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('week', ts)
+                                  ORDER BY ts ASC, event_id ASC) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('week', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT user_id,
+           CAST(week_start AS DATE) AS week_start,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_bars,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM ranked
+    GROUP BY user_id, week_start
+    """,
+)
+def w23_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC bars per user from the event value series (W23):
+    deterministic open/close via (ts, event_id) ranks, exact high/low,
+    bar count and volume proxy."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.date_trunc("week", F.col("ts")).alias("week_start"),
+    )
+    wk = ["user_id", "week_start"]
+    wa = Window.partitionBy(*wk).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wd = Window.partitionBy(*wk).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = ev.select(
+        *wk,
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy(*wk).agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
+        F.count("*").alias("n_bars"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    ).select(
+        "user_id",
+        F.col("week_start").cast("date").alias("week_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_bars",
+        "sum_value",
+    )

@@ -357,7 +357,7 @@ def test_scd2_and_funnel_single_shuffle(spark):
     user_id, so a second exchange would be a full fact-table reshuffle
     the plan doesn't need (the join-per-stage w22 formulation measured
     10 exchanges and 3 scans of events)."""
-    for name in ("w21_scd2_intervals", "w22_funnel_steps"):
+    for name in ("w21_scd2_intervals", "w22_funnel_steps", "w23_ohlc_resample"):
         plan = _plan(spark, name)
         assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
         assert "Join" not in plan, (name, plan)
