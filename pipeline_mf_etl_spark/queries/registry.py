@@ -65,10 +65,11 @@ _QUERY_MODULES = (
 # ROUND-7 WINDOW (the r6 verdict's ranked #1 task): the 21 queries that
 # have NEVER seen a driver check — four of which (e7, g1, g2, t12) carry
 # uncertified round-6 edits — go FIRST, in a fixed order a short round
-# cannot displace. The TWELVE new round-7 registrations come next (the
+# cannot displace. The THIRTEEN new round-7 registrations come next (the
 # exact sketch twins a16b/a17b/a18b, the two foreachBatch ops promoted
 # to batch-form queries, perplexity buckets, SCD2, funnel, cube,
-# Z-order layout, PNG decode, OHLC resample), then the stalest green rows (the full r1-green set,
+# Z-order layout, PNG decode, OHLC resample, interval lookup), then
+# the stalest green rows (the full r1-green set,
 # then the oldest r3-green A/W rows) fill out the 50 slots. Rotated out
 # to make room (all green r3, code untouched): a5/a6/a8/a9/a12/a13,
 # j2/j5/j6, the P-family, o4b/o6, m13-m15, w7/w8-w13/w15-w18 — stalest
@@ -110,6 +111,7 @@ _PRIORITY = (
     "o18_zorder_layout",
     "mm12_png_decode",
     "w23_ohlc_resample",
+    "j13_interval_lookup",
     # --- (3) stalest certified rows: the full r1-green set (five rounds
     #     stale) ---
     "s3_pushdown_scan",
@@ -130,7 +132,6 @@ _PRIORITY = (
     "w5_bars_since_event",
     "w6_run_length",
     "w14_forward_labels",
-    "a1_grouped_stats",
 )
 
 

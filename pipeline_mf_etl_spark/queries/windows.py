@@ -872,3 +872,93 @@ def w23_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bars",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# J13: point-in-interval lookup — the consumer of W21's SCD2 history:
+# "which state was valid at time T?" for a probe stream (here: every
+# event probed one hour after it occurred, so state changes within the
+# hour surface as changed=true). Implemented with the asof_join
+# operator — union + ONE key shuffle + forward-fill — NEVER the naive
+# `valid_from <= t AND (t < valid_to)` theta join, which is quadratic
+# per key (the oracle can afford the theta form at sf0.01; the engine
+# cannot at 100 TB). Contiguous intervals mean the as-of match IS the
+# covering interval; the valid_to guard is asserted, not filtered.
+# ---------------------------------------------------------------------------
+@query(
+    "j13_interval_lookup",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN LAG(event_type) OVER w IS NULL
+                         OR event_type <> LAG(event_type) OVER w
+                    THEN 1 ELSE 0 END AS changed
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT *, SUM(changed) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        FROM flagged
+    ), intervals AS (
+        SELECT user_id, run_id,
+               FIRST(event_type ORDER BY ts, event_id) AS state,
+               MIN(ts) AS valid_from
+        FROM runs GROUP BY user_id, run_id
+    ), probes AS (
+        SELECT event_id, user_id, event_type,
+               ts + INTERVAL 1 HOUR AS probe_ts
+        FROM events
+    ), matched AS (
+        SELECT p.event_id, p.user_id, p.probe_ts, p.event_type, i.state,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY i.valid_from DESC) AS rn
+        FROM probes p
+        JOIN intervals i
+          ON i.user_id = p.user_id AND i.valid_from <= p.probe_ts
+    )
+    SELECT event_id, user_id, probe_ts,
+           state AS state_at,
+           (state <> event_type) AS state_changed
+    FROM matched WHERE rn = 1
+    """,
+)
+def j13_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State valid one hour after each event, looked up against the
+    SCD2 run intervals with the sort-based as-of join (J13)."""
+    from pipeline_mf_etl_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w))
+    ).cast("int")
+    runs = ev.select(
+        "user_id", "event_type", "ts", F.sum(changed).over(cum).alias("run_id")
+    )
+    intervals = (
+        runs.groupBy("user_id", "run_id")
+        .agg(
+            F.first("event_type").alias("state"),
+            F.min("ts").alias("valid_from"),
+        )
+        .select("user_id", F.col("valid_from").alias("t"), "state")
+    )
+    probes = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+    )
+    looked = asof_join(
+        probes, intervals, key_cols=["user_id"], time_col="t", value_cols=["state"]
+    )
+    return looked.select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("probe_ts"),
+        F.col("state").alias("state_at"),
+        (F.col("state") != F.col("event_type")).alias("state_changed"),
+    )
