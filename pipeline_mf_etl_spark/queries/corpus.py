@@ -912,3 +912,61 @@ def o17_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("admitted"), F.col("quality")).otherwise(0.0)), 6
         ).alias("sum_quality_admitted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O19: purged temporal K-fold split with embargo — the leakage-rigorous
+# version of the reference's plain time split (research/pipeline.py's
+# train<=end / test>end) and the standard protocol for financial CV:
+# rows are folded by calendar week, and every row within the embargo
+# horizon of a fold BOUNDARY is flagged for exclusion from training, so
+# forward-looking labels computed near the boundary (fwd_ret_k, W14)
+# cannot leak across folds. Pure column arithmetic — one scan, one
+# deterministic week->fold map; the fold/embargo decision ships WITH
+# each row so any downstream trainer filters locally (no join).
+# ---------------------------------------------------------------------------
+_O19_FOLDS = 4
+_O19_EMBARGO_DAYS = 1
+
+
+@query(
+    "o19_purged_split",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, user_id, ts,
+               CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               CAST((CAST(date_trunc('week', ts) AS DATE)
+                     - DATE '1970-01-01') // 7
+                    % {_O19_FOLDS} AS INTEGER) AS fold
+        FROM events
+    )
+    SELECT event_id, user_id, week_start, fold,
+           (ts < CAST(week_start AS TIMESTAMP) + INTERVAL {_O19_EMBARGO_DAYS} DAY
+            OR ts >= CAST(week_start AS TIMESTAMP) + INTERVAL 7 DAY
+                     - INTERVAL {_O19_EMBARGO_DAYS} DAY) AS embargoed
+    FROM base
+    """,
+)
+def o19_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-folded purged split: fold = (epoch-week index) mod K, and
+    rows within the embargo horizon of either weekly fold boundary are
+    flagged ``embargoed`` (drop from TRAIN when the label looks
+    forward; keep in eval). Deterministic, repartition-stable, no
+    shuffle beyond the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    fold = (
+        F.floor(F.unix_date(week) / 7) % _O19_FOLDS
+    ).cast("int")
+    wk_ts = week.cast("timestamp")
+    lo = wk_ts + F.expr(f"INTERVAL {_O19_EMBARGO_DAYS} DAY")
+    hi = wk_ts + F.expr("INTERVAL 7 DAY") - F.expr(
+        f"INTERVAL {_O19_EMBARGO_DAYS} DAY"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        week.alias("week_start"),
+        fold.alias("fold"),
+        ((F.col("ts") < lo) | (F.col("ts") >= hi)).alias("embargoed"),
+    )
