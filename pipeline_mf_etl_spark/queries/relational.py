@@ -901,3 +901,78 @@ def o18_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_key"),
         F.shiftright(z, 24).cast("int").alias("file_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D10 record linkage (blocked fuzzy match) — the entity-resolution
+# operator of a warehouse/training pipeline: find candidate duplicate
+# ENTITY records (here: customers whose names are within edit distance
+# 1) without the all-pairs cross join. The scalable shape is the same
+# as every dedup family member: BLOCK first (equi-join key — name
+# prefix + nation), compare WITHIN blocks only (levenshtein is a JVM
+# built-in on both engines), emit scored pairs. All-pairs at 100 TB is
+# O(N²); blocking bounds the comparison volume to Σ C(block,2), and a
+# production deployment adds multi-pass blocking (different keys per
+# pass) to recover recall lost at block boundaries — exactly the
+# d2-LSH trade restated for structured records.
+# ---------------------------------------------------------------------------
+_D10_PREFIX = 14  # "Customer#00000" + leading digits shared within a block
+_D10_MAX_LEV = 1
+
+
+@query(
+    "d10_record_linkage",
+    oracle=f"""
+    WITH blocked AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               substr(c_name, 1, {_D10_PREFIX}) AS blk
+        FROM customer
+    )
+    SELECT a.c_custkey AS custkey_a,
+           b.c_custkey AS custkey_b,
+           a.c_name AS name_a,
+           b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS name_dist,
+           (a.c_nationkey = b.c_nationkey) AS same_nation
+    FROM blocked a
+    JOIN blocked b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {_D10_MAX_LEV}
+    """,
+)
+def d10_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage over customers: within-block
+    (name-prefix) pairs at edit distance <= 1, with a nation-agreement
+    flag for downstream merge rules (D10)."""
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 1, _D10_PREFIX).alias("blk"),
+    )
+    a = cu.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nation_a"),
+        "blk",
+    )
+    b = cu.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nation_b"),
+        "blk",
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .filter(dist <= _D10_MAX_LEV)
+        .select(
+            "custkey_a",
+            "custkey_b",
+            "name_a",
+            "name_b",
+            dist.cast("int").alias("name_dist"),
+            (F.col("nation_a") == F.col("nation_b")).alias("same_nation"),
+        )
+    )
