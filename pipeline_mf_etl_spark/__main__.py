@@ -101,6 +101,20 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cfg.add_argument("--settings", default=None, help="YAML settings override file")
 
+    cp = sub.add_parser(
+        "compact",
+        help="rewrite a small-files parquet dir into ~target-MB files",
+    )
+    cp.add_argument("src")
+    cp.add_argument("dst")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument(
+        "--sort-cols",
+        default=None,
+        help="comma-separated sort keys (range-partitioned rewrite with "
+        "tight per-file min/max stats); omit for byte balancing only",
+    )
+
     sub.add_parser("list", help="list registered queries")
     return p
 
@@ -141,6 +155,20 @@ def main(argv: list[str] | None = None) -> int:
     from pipeline_mf_etl_spark.session import get_spark
 
     spark = get_spark()
+    if args.cmd == "compact":
+        from pipeline_mf_etl_spark.sources.writers import compact_parquet_dir
+
+        stats = compact_parquet_dir(
+            spark,
+            args.src,
+            args.dst,
+            target_mb=args.target_mb,
+            sort_cols=args.sort_cols.split(",") if args.sort_cols else None,
+        )
+        json.dump(stats, sys.stdout, indent=2, sort_keys=True)
+        print()
+        return 0
+
     if args.cmd == "run":
         from pipeline_mf_etl_spark.config import load_settings
         from pipeline_mf_etl_spark.pipeline import run_pipeline

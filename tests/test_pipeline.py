@@ -315,3 +315,20 @@ def test_walkforward_rejects_malformed_dates_and_honors_zero_splits(spark, tmp_p
         spark, "/root/testdata/sf0.001", root, ["2024-01-10"], max_splits=0
     )
     assert m["splits"] == []
+
+
+def test_compact_cli(spark, tmp_path, capsys):
+    """`compact` CLI rewrites a small-files dir and prints the ops
+    summary JSON."""
+    import json
+
+    from pipeline_mf_etl_spark.__main__ import main
+
+    src = str(tmp_path / "small")
+    spark.range(5_000).selectExpr("id", "id % 13 AS k").repartition(16).write.parquet(src)
+    rc = main(["compact", src, str(tmp_path / "out"), "--target-mb", "256",
+               "--sort-cols", "id"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["files_before"] == 16 and stats["files_after"] == 1
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 5_000
