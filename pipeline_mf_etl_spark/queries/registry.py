@@ -65,11 +65,11 @@ _QUERY_MODULES = (
 # ROUND-7 WINDOW (the r6 verdict's ranked #1 task): the 21 queries that
 # have NEVER seen a driver check — four of which (e7, g1, g2, t12) carry
 # uncertified round-6 edits — go FIRST, in a fixed order a short round
-# cannot displace. The FIFTEEN new round-7 registrations come next (the
+# cannot displace. The SIXTEEN new round-7 registrations come next (the
 # exact sketch twins a16b/a17b/a18b, the two foreachBatch ops promoted
 # to batch-form queries, perplexity buckets, SCD2, funnel, cube,
 # Z-order layout, PNG decode, OHLC resample, interval lookup, purged
-# split, record linkage), then
+# split, record linkage, manifest merge), then
 # the stalest green rows (the full r1-green set,
 # then the oldest r3-green A/W rows) fill out the 50 slots. Rotated out
 # to make room (all green r3, code untouched): a5/a6/a8/a9/a12/a13,
@@ -115,6 +115,7 @@ _PRIORITY = (
     "j13_interval_lookup",
     "o19_purged_split",
     "d10_record_linkage",
+    "i5_manifest_merge",
     # --- (3) stalest certified rows: the full r1-green set (five rounds
     #     stale) ---
     "s3_pushdown_scan",
@@ -132,7 +133,6 @@ _PRIORITY = (
     "w1_lag_lead",
     "w2_rolling_stats",
     "w4_cumulative",
-    "w5_bars_since_event",
 )
 
 

@@ -976,3 +976,69 @@ def d10_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nation_a") == F.col("nation_b")).alias("same_nation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# I5 manifest MERGE (ledger upsert) — the step AFTER i2's classification:
+# produce the NEXT stable ledger from (previous, current) snapshots with
+# Delta-MERGE semantics expressed as one FULL OUTER join: inserts carry
+# the new epoch, updates keep first_seen and take the new fingerprint,
+# unchanged rows carry through, and files that vanished from the scan
+# become DELETED tombstones (kept so incremental consumers can retract).
+# Same deterministic snapshot synthesis as i2 (prev lacks %7 rows, has
+# perturbed fingerprints for %5; current lacks %11 rows → tombstones).
+# One equi-join on the ledger key — at 100 TB this is the cheap path
+# (the ledger is rows-per-FILE, not rows-per-record).
+# ---------------------------------------------------------------------------
+@query(
+    "i5_manifest_merge",
+    oracle="""
+    WITH previous AS (
+        SELECT doc_id AS source_file,
+               CASE WHEN doc_id % 5 = 0 THEN MD5(text || '#prev') ELSE MD5(text) END AS fingerprint,
+               'epoch0' AS first_seen
+        FROM documents WHERE doc_id % 7 <> 0
+    ), current AS (
+        SELECT doc_id AS source_file, MD5(text) AS fingerprint
+        FROM documents WHERE doc_id % 11 <> 0
+    )
+    SELECT COALESCE(c.source_file, p.source_file) AS source_file,
+           CASE WHEN p.source_file IS NULL THEN 'NEW'
+                WHEN c.source_file IS NULL THEN 'DELETED'
+                WHEN c.fingerprint = p.fingerprint THEN 'UNCHANGED'
+                ELSE 'CHANGED' END AS status,
+           COALESCE(c.fingerprint, p.fingerprint) AS fingerprint,
+           COALESCE(p.first_seen, 'epoch1') AS first_seen
+    FROM current c FULL OUTER JOIN previous p ON c.source_file = p.source_file
+    """,
+)
+def i5_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next stable manifest ledger via MERGE-style full-outer upsert:
+    NEW inserts, CHANGED fingerprint updates keeping first_seen,
+    UNCHANGED carry-through, DELETED tombstones (I5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    previous = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("source_file"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.md5(F.concat(F.col("text"), F.lit("#prev")).cast("binary")),
+        )
+        .otherwise(fp)
+        .alias("prev_fingerprint"),
+        F.lit("epoch0").alias("prev_first_seen"),
+    )
+    current = docs.filter(F.col("doc_id") % 11 != 0).select(
+        F.col("doc_id").alias("source_file"), fp.alias("cur_fingerprint")
+    )
+    merged = current.join(previous, "source_file", "full_outer")
+    return merged.select(
+        "source_file",
+        F.when(F.col("prev_fingerprint").isNull(), "NEW")
+        .when(F.col("cur_fingerprint").isNull(), "DELETED")
+        .when(F.col("cur_fingerprint") == F.col("prev_fingerprint"), "UNCHANGED")
+        .otherwise("CHANGED")
+        .alias("status"),
+        F.coalesce("cur_fingerprint", "prev_fingerprint").alias("fingerprint"),
+        F.coalesce("prev_first_seen", F.lit("epoch1")).alias("first_seen"),
+    )
