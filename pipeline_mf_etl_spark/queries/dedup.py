@@ -659,3 +659,79 @@ def d9_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("source_lo") != F.col("source_hi")).alias("is_cross_source"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D11: asymmetric CONTAINMENT dedup — the subset-duplication detector a
+# symmetric Jaccard threshold structurally misses: a short doc quoted
+# wholesale inside a long one has c(A→B) = |A∩B|/|A| ≈ 1 while the
+# Jaccard |A∩B|/|A∪B| stays far below any dedup threshold (the classic
+# Broder containment-vs-resemblance distinction). Candidates come from
+# the SAME banded-LSH generation as d2 (no new all-pairs risk; recall
+# for extreme size skew would use the documented multi-band / prefix
+# tricks at production thresholds), then exact shingle intersections
+# yield both directed containments.
+# ---------------------------------------------------------------------------
+_D11_TAU = 0.8
+
+
+@query(
+    "d11_containment",
+    oracle=f"""
+    WITH {_D2_CHAIN},
+    cont AS (
+        SELECT i.a, i.b,
+               ROUND(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) AS jaccard,
+               ROUND(i.n_inter * 1.0 / za.sz, 6) AS c_a_in_b,
+               ROUND(i.n_inter * 1.0 / zb.sz, 6) AS c_b_in_a
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.a
+        JOIN sizes zb ON zb.doc_id = i.b
+    )
+    SELECT a, b, jaccard, c_a_in_b, c_b_in_a,
+           (jaccard < 0.5) AS jaccard_missed
+    FROM cont
+    WHERE c_a_in_b >= {_D11_TAU} OR c_b_in_a >= {_D11_TAU}
+    """,
+)
+def d11_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-set containments on the d2 candidate pairs; keep
+    pairs where either containment >= 0.8 and flag the ones the
+    symmetric Jaccard-0.5 gate would have missed (D11)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # one-slot shingle cache discipline (see _LAZY_SHINGLE_CACHE): evict
+    # the previous lazy holder BEFORE persisting, never after
+    while _LAZY_SHINGLE_CACHE:
+        _LAZY_SHINGLE_CACHE.pop().unpersist()
+    sh = exploded_shingles(docs, "doc_id", "text", n=3).persist()
+    try:
+        sig = minhash_signatures(sh, "doc_id", k=16)
+        cand = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4)
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        inter = (
+            cand.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+            .join(sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        cont = (
+            inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), "a")
+            .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), "b")
+            .select(
+                "a",
+                "b",
+                _r(F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))).alias("jaccard"),
+                _r(F.col("n_inter") / F.col("sz_a")).alias("c_a_in_b"),
+                _r(F.col("n_inter") / F.col("sz_b")).alias("c_b_in_a"),
+            )
+        )
+        out = cont.filter(
+            (F.col("c_a_in_b") >= _D11_TAU) | (F.col("c_b_in_a") >= _D11_TAU)
+        ).select("a", "b", "jaccard", "c_a_in_b", "c_b_in_a",
+                 (F.col("jaccard") < 0.5).alias("jaccard_missed"))
+        # the plan is lazy; park the shingle cache exactly like d2 does
+        _LAZY_SHINGLE_CACHE.append(sh)
+        return out
+    except Exception:
+        sh.unpersist()
+        raise

@@ -65,11 +65,11 @@ _QUERY_MODULES = (
 # ROUND-7 WINDOW (the r6 verdict's ranked #1 task): the 21 queries that
 # have NEVER seen a driver check — four of which (e7, g1, g2, t12) carry
 # uncertified round-6 edits — go FIRST, in a fixed order a short round
-# cannot displace. The SIXTEEN new round-7 registrations come next (the
+# cannot displace. The SEVENTEEN new round-7 registrations come next (the
 # exact sketch twins a16b/a17b/a18b, the two foreachBatch ops promoted
 # to batch-form queries, perplexity buckets, SCD2, funnel, cube,
 # Z-order layout, PNG decode, OHLC resample, interval lookup, purged
-# split, record linkage, manifest merge), then
+# split, record linkage, manifest merge, containment), then
 # the stalest green rows (the full r1-green set,
 # then the oldest r3-green A/W rows) fill out the 50 slots. Rotated out
 # to make room (all green r3, code untouched): a5/a6/a8/a9/a12/a13,
@@ -116,6 +116,7 @@ _PRIORITY = (
     "o19_purged_split",
     "d10_record_linkage",
     "i5_manifest_merge",
+    "d11_containment",
     # --- (3) stalest certified rows: the full r1-green set (five rounds
     #     stale) ---
     "s3_pushdown_scan",
@@ -132,7 +133,6 @@ _PRIORITY = (
     #     the late-r5 w19/w20 appends, so its r3 members rotate first) ---
     "w1_lag_lead",
     "w2_rolling_stats",
-    "w4_cumulative",
 )
 
 
