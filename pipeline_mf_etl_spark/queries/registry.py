@@ -28,12 +28,13 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 
 # Modules that register queries on import. Order matters: the driver's
 # correctness harness certifies the first 50 registered queries; the
-# _PRIORITY tuple below pins the ROUND-7 window exactly (see its section
-# comments). OUTSIDE the round-7 window (all green r4/r6 on code
-# untouched this round): the backtest/validation/viewer families, the
-# dedup/similarity/text/corpus/streaming families certified in r6, and
-# the ML fit family — rotate back in next round any of those whose files
-# change, plus whatever round 7 adds.
+# _PRIORITY tuple below pins the ROUND-8 window exactly (see its section
+# comments). OUTSIDE the round-8 window (all green r6/r7 on code
+# untouched this round): the r7 window (retrieval/graph/BPE/PCA/
+# sampling/multimodal/streaming promotions), the dedup/similarity/text/
+# corpus families certified in r6, and the ML fit family — rotate back
+# in next round any of those whose files change, plus whatever round 8
+# adds.
 # NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
 # so keep backtest ahead of viewer in this list (otherwise backtest's
 # queries register mid-viewer-import and the fill order shifts).
@@ -62,77 +63,72 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.graph",
 )
 
-# ROUND-7 WINDOW (the r6 verdict's ranked #1 task): the 21 queries that
-# have NEVER seen a driver check — four of which (e7, g1, g2, t12) carry
-# uncertified round-6 edits — go FIRST, in a fixed order a short round
-# cannot displace. The SEVENTEEN new round-7 registrations come next (the
-# exact sketch twins a16b/a17b/a18b, the two foreachBatch ops promoted
-# to batch-form queries, perplexity buckets, SCD2, funnel, cube,
-# Z-order layout, PNG decode, OHLC resample, interval lookup, purged
-# split, record linkage, manifest merge, containment), then
-# the stalest green rows (the full r1-green set,
-# then the oldest r3-green A/W rows) fill out the 50 slots. Rotated out
-# to make room (all green r3, code untouched): a5/a6/a8/a9/a12/a13,
-# j2/j5/j6, the P-family, o4b/o6, m13-m15, w7/w8-w13/w15-w18 — stalest
-# of those rotate back in round 8.
+# ROUND-8 WINDOW (the r7 verdict's ranked #1 task): after r7's all-green
+# sweep the backlog is zero, so this window is pure staleness rotation —
+# the 33 rows whose latest driver green is the r3 window (code untouched
+# since; local parity re-proves them every round) go FIRST, then the
+# round-8 edits/additions that need (re-)certification (mm13 JPEG decode
+# is new; d10 gains a second blocking key, d11 the one-sided containment
+# bands, i5 is rewired through the shared manifest-merge path), then the
+# oldest r4-green rows (the B-family) fill the 50 slots. Rotated out (all
+# green r7, code untouched): the r7 window. After r8 no certification is
+# older than r4; rotate the remaining r4 rows (m1/m2/m8, j8, m12,
+# m16-m21 companions) in round 9.
 _PRIORITY = (
-    # --- (1) the 21 never-driver-certified queries (backlog since r5;
-    #     e7/g1/g2/t12 additionally carry uncertified r6 edits) ---
-    "e7_semantic_dedup",
-    "g1_pagerank_neardup",
-    "g2_pagerank_weighted",
-    "t12_bpe_tokenize",
-    "r1_bm25_topk",
-    "r2_hybrid_rrf",
-    "t11_gopher_rules",
-    "e8_pca_project",
-    "o14_chunk_windows",
-    "o15_shard_shuffle",
-    "o16_per_group_sample",
-    "o17_weighted_sample",
-    "st9_attribution_join",
-    "st10_last_click",
-    "mm8_audio_segments",
-    "mm9_image_resize",
-    "mm10_audio_downsample",
-    "mm11_video_resize",
-    "w19_time_decay_score",
-    "w20_rolling_autocorr",
-    "d9_source_dup_matrix",
-    # --- (2) new round-7 registrations (first driver look) ---
-    "a18b_exact_distinct",
-    "st11_lsh_admission_batch",
-    "st12_daily_rollup_batch",
-    "t13_perplexity_buckets",
-    "w21_scd2_intervals",
-    "w22_funnel_steps",
-    "a16b_exact_quantiles",
-    "a17b_exact_heavy_hitters",
-    "a19_cube",
-    "o18_zorder_layout",
-    "mm12_png_decode",
-    "w23_ohlc_resample",
-    "j13_interval_lookup",
-    "o19_purged_split",
+    # --- (1) the 33 r3-stale certifications (verdict r7 task 1) ---
+    "p1_normalize",
+    "p2_p3_quality_flags",
+    "p4_quality_report",
+    "p6_input_cleaning",
+    "p7_filters",
+    "a1_grouped_stats",
+    "a2_conditional_aggregates",
+    "a4_horizontal_aggs",
+    "a5_crosstab",
+    "a6_rows_by_year",
+    "a8_topk_parts",
+    "a9_null_rates",
+    "a12_quantile_edges",
+    "a13_orders_by_year",
+    "w4_cumulative",
+    "w5_bars_since_event",
+    "w6_run_length",
+    "w7_pivot_detection",
+    "w8_w10_event_flags",
+    "w11_w13_burst_activity",
+    "w14_forward_labels",
+    "w15_duplicate_flag",
+    "w16_dedupe_keep_first",
+    "w17_latest_per_group",
+    "w18_range_window",
+    "j2_broadcast_enrich",
+    "j5_state_mapping",
+    "j6_overlay_coverage",
+    "m13_bootstrap_ci",
+    "m14_block_bootstrap",
+    "m15_pairwise_diff_ci",
+    "o4b_hash_sample",
+    "o6_anti_join",
+    # --- (2) round-8 new/edited code needing (re-)certification ---
+    "mm13_jpeg_decode",
     "d10_record_linkage",
-    "i5_manifest_merge",
     "d11_containment",
-    # --- (3) stalest certified rows: the full r1-green set (five rounds
-    #     stale) ---
-    "s3_pushdown_scan",
-    "i2_manifest_classify",
-    "a7_region_rollup",
-    "a14_salted_skew_agg",
-    "a15_rollup",
-    "j11_asof_join",
-    "j12_star_join",
-    "j7_j10_profile_joins",
-    "o5_union_by_name",
-    "o7_distinct_counts",
-    # --- (4) oldest r3-green A/W/J/P rows to fill 50 (windows.py took
-    #     the late-r5 w19/w20 appends, so its r3 members rotate first) ---
-    "w1_lag_lead",
-    "w2_rolling_stats",
+    "i5_manifest_merge",
+    # --- (3) oldest r4-green rows (B-family) to fill 50; b12 stays out
+    #     this round (r4-green, heaviest of the family) and leads r9 ---
+    "b1_input_adapter",
+    "b2_state_eligibility",
+    "b3_overlay_pass_modes",
+    "b4_execution_realism",
+    "b5_signals",
+    "b6_trade_sim",
+    "b7_trade_metrics",
+    "b8_equity_curve",
+    "b10_sensitivity_grid",
+    "b11_robustness_score",
+    "b13_candidate_drift",
+    "b14_calibration_sweep",
+    "b15_equity_summary",
 )
 
 
