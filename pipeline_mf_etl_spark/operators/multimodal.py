@@ -58,17 +58,22 @@ def decode_media(payload_bytes: bytes, mime: str):
 
     ``audio/wav`` decodes NATIVELY (``parse_wav`` below — a real,
     dependency-free RIFF/PCM parser), as do ``image/x-portable-
-    pixmap`` (``parse_ppm`` — binary PPM) and ``image/png``
-    (``parse_png`` — full zlib+filters decode, stdlib only). The
-    remaining compressed image/video formats (JPEG/MP4) still need
-    codec libraries (PIL/av) that are not installed in this
-    environment, so those mimes stay behind a clearly-marked gate."""
+    pixmap`` (``parse_ppm`` — binary PPM), ``image/png``
+    (``parse_png`` — full zlib+filters decode, stdlib only) and
+    ``image/jpeg`` (``parse_jpeg_gray`` — baseline-sequential
+    grayscale: Huffman entropy decode + dequantize + IDCT; color /
+    progressive variants fail loudly inside it). The remaining
+    compressed video formats (MP4/H.264) still need codec libraries
+    (av) absent in this environment, so those mimes stay behind a
+    clearly-marked gate."""
     if mime.startswith("audio/wav") or mime.startswith("audio/x-wav"):
         return parse_wav(payload_bytes)
     if mime.startswith("image/x-portable-pixmap"):
         return parse_ppm(payload_bytes)
     if mime.startswith("image/png"):
         return parse_png(payload_bytes)
+    if mime.startswith("image/jpeg"):
+        return parse_jpeg_gray(payload_bytes)
     if mime.startswith("video/x-yuv4mpeg"):
         return parse_y4m(payload_bytes)
     # COMPRESSED image/video decode is not implemented in this engine
@@ -1086,6 +1091,469 @@ def with_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(synth, schema).withColumn("mime", F.lit("image/png"))
+
+
+# ---------------------------------------------------------------------------
+# JPEG — dependency-free BASELINE-SEQUENTIAL codec (the format a real
+# multimodal corpus is actually made of; the r7 verdict's remaining
+# compressed-decode leg). Grayscale JFIF: SOI, APP0, DQT, SOF0, DHT,
+# SOS + entropy-coded data (byte-stuffed), EOI. The ENCODER runs the
+# real forward pipeline (level shift, 8x8 float DCT, quantize, zigzag,
+# DC-difference + AC run-length canonical-Huffman entropy coding); the
+# DECODER is fully general for the declared subset: marker walk,
+# DQT/DHT table parse, canonical-Huffman bit decode with 0xFF00
+# unstuffing, dequantize, de-zigzag, IDCT, level shift, clamp, crop.
+# Unsupported variants (progressive SOF2, multi-component, restart
+# intervals, 16-bit quant tables) fail LOUDLY — never guessed at.
+#
+# Exactness contract used by the mm13 oracle: a block whose 64 pixels
+# are all v has DCT == (8*(v-128), 0, ..., 0); with the synthesis
+# quant table (DC step 8, AC step 1) the quantized DC is exactly
+# v-128, so decode reproduces v byte-exactly — the lossy pipeline is
+# lossless on block-constant images, letting DuckDB recompute decoded
+# stats straight from the characters (mm12 convention). The general
+# lossy path (nonzero ACs, q=1) is covered by coefficient-level and
+# tolerance round-trip tests in tests/test_multimodal.py.
+#
+# Reference anchor: the reference engine is OHLCV-only and has no
+# image codecs; this implements the engine's own decode_media contract
+# (see queries/ml.py:12 note in SURVEY §2.13) from the public JPEG
+# spec (ITU-T T.81 baseline process).
+# ---------------------------------------------------------------------------
+
+JPEG_BLOCKS_PER_ROW = 16  # synthesis: one 8x8 block per character, 16/row
+JPEG_WIDTH = 8 * JPEG_BLOCKS_PER_ROW
+
+# zigzag scan order: index i holds the (row-major) position of the i-th
+# zigzag coefficient
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# synthesis quant table (zigzag order): DC step 8 (exact for constant
+# blocks — 8*(v-128)/8 == v-128), AC step 1 (lossless at the
+# coefficient level for the general tests)
+_JPEG_QUANT_SYNTH = np.array([8] + [1] * 63, dtype=np.int64)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    j = np.arange(8, dtype=np.float64)
+    m = np.cos((2 * j[None, :] + 1) * j[:, None] * np.pi / 16) / 2
+    m[0, :] /= np.sqrt(2.0)
+    return m
+
+
+_JPEG_D = _jpeg_dct_matrix()
+
+
+def _jpeg_canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for a JPEG DHT (bits[i] codes of length i+1)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# Canonical tables the encoder emits in DHT (decoder always reads the
+# tables from the stream — these are just what the synthesis side
+# writes): 12 DC categories at length 4, the 162 standard AC symbols
+# (EOB, ZRL, (run 0-15, size 1-10)) at length 8. Both leave the
+# all-ones code unused, so padding bits can never alias a symbol.
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALUES = list(range(12))
+_JPEG_AC_VALUES = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_VALUES), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing inside entropy data
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per T.81
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _jpeg_marker(marker: int, data: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">HH", marker, len(data) + 2) + data
+
+
+def encode_jpeg_gray(
+    gray: bytes, width: int, height: int, quant: np.ndarray | None = None
+) -> bytes:
+    """Serialize raw 8-bit grayscale pixels as a real baseline JFIF
+    stream (forward DCT + quantize + Huffman entropy coding). Partial
+    edge blocks are padded by edge replication, the standard trick —
+    the decoder crops back to the SOF geometry."""
+    import struct
+
+    if len(gray) != width * height:
+        raise ValueError(
+            f"payload is {len(gray)} bytes, geometry {width}x{height} "
+            f"needs {width * height}"
+        )
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(f"JPEG geometry out of range: {width}x{height}")
+    q = _JPEG_QUANT_SYNTH if quant is None else np.asarray(quant, dtype=np.int64)
+    if q.shape != (64,) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant table must be 64 entries in 1..255 (8-bit DQT)")
+    bw, bh = -(-width // 8), -(-height // 8)
+    px = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
+    px = np.pad(px, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALUES)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALUES)
+    w = _JpegBitWriter()
+    prev_dc = 0
+    qz = q[np.argsort(_JPEG_ZIGZAG)]  # quant table in row-major order
+    for by in range(bh):
+        for bx in range(bw):
+            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
+            coef = _JPEG_D @ (block - 128.0) @ _JPEG_D.T
+            qc = np.rint(coef.reshape(-1) / qz).astype(np.int64)
+            zz = qc[_JPEG_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s = _jpeg_category(diff)
+            code, length = dc_codes[s]
+            w.write(code, length)
+            if s:
+                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = int(nz[-1]) + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                s = _jpeg_category(v)
+                code, length = ac_codes[(run << 4) | s]
+                w.write(code, length)
+                w.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                code, length = ac_codes[0x00]
+                w.write(code, length)
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALUES)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALUES)
+    )
+    return (
+        b"\xff\xd8"  # SOI
+        + _jpeg_marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _jpeg_marker(0xFFDB, bytes([0x00]) + bytes(q.astype(np.uint8)))
+        + _jpeg_marker(
+            0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+        )
+        + _jpeg_marker(0xFFC4, dht)
+        + _jpeg_marker(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + w.flush()
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted mid-symbol")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code (no symbol within 16 bits)")
+
+
+def _jpeg_extend(bits: int, s: int) -> int:
+    # T.81 F.2.2.1: received s bits encode v>0 directly, v<0 as
+    # v + 2^s - 1
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def parse_jpeg_gray(payload: bytes) -> dict:
+    """REAL baseline JPEG decoder for 8-bit single-component streams:
+    marker walk, DQT/DHT parsed from the stream (nothing assumed about
+    the encoder's tables), canonical-Huffman entropy decode with
+    0xFF00 unstuffing, dequantize, de-zigzag, IDCT, level shift,
+    clamp, crop to the SOF geometry. Fails loudly on anything outside
+    the declared subset — progressive (SOF2), extended/arithmetic
+    SOFs, multi-component scans, restart intervals, 16-bit quant
+    tables — never guesses."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI marker)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comp_qtab = comp_dc = comp_ac = None
+    scan_data = None
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: bare
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment body")
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit JPEG quant tables not supported (baseline is 8-bit)"
+                    )
+                quant[tq] = np.frombuffer(
+                    seg[off + 1 : off + 65], dtype=np.uint8
+                ).astype(np.int64)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1 : off + 17])
+                n = sum(bits)
+                values = list(seg[off + 17 : off + 17 + n])
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = values[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} not supported")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG not supported (grayscale baseline only)"
+                )
+            _cid, sampling, comp_qtab = seg[6], seg[7], seg[8]
+            if sampling != 0x11:
+                raise NotImplementedError("subsampled JPEG not supported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{marker:02X} (progressive/extended/"
+                "arithmetic) not supported — baseline sequential only"
+            )
+        elif marker == 0xDD:  # DRI
+            raise NotImplementedError("JPEG restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component JPEG scan not supported")
+            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
+            # entropy data runs to the next real marker (0xFF followed
+            # by anything but 0x00); unstuff 0xFF00 on the way
+            raw = bytearray()
+            while pos < len(payload):
+                b = payload[pos]
+                if b == 0xFF:
+                    nxt = payload[pos + 1] if pos + 1 < len(payload) else None
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        pos += 2
+                        continue
+                    break
+                raw.append(b)
+                pos += 1
+            scan_data = bytes(raw)
+        # APPn / COM / others: skipped
+    if width is None:
+        raise ValueError("JPEG carries no SOF0 frame header")
+    if scan_data is None:
+        raise ValueError("JPEG carries no scan (SOS) data")
+    if comp_qtab not in quant:
+        raise ValueError(f"JPEG references undefined quant table {comp_qtab}")
+    if (0, comp_dc) not in huff or (1, comp_ac) not in huff:
+        raise ValueError("JPEG references undefined Huffman table")
+    qtab = quant[comp_qtab]
+    dc_tab, ac_tab = huff[(0, comp_dc)], huff[(1, comp_ac)]
+    bw, bh = -(-width // 8), -(-height // 8)
+    reader = _JpegBitReader(scan_data)
+    out = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.int64)
+            s = reader.read_symbol(dc_tab)
+            diff = _jpeg_extend(reader.read(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = reader.read_symbol(ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, s = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run overflows the block")
+                zz[k] = _jpeg_extend(reader.read(s), s)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_JPEG_ZIGZAG] = (zz * qtab).astype(np.float64)
+            block = _JPEG_D.T @ coef.reshape(8, 8) @ _JPEG_D
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(block) + 128, 0, 255
+            ).astype(np.int64)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "pixels": out[:height, :width].reshape(-1).astype(np.uint8),
+    }
+
+
+JPEG_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("max_byte", LongType(), True),
+        StructField("min_byte", LongType(), True),
+    ]
+)
+
+
+def with_jpeg_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic grayscale JPEG per row: each character
+    byte becomes one CONSTANT 8x8 block (16 blocks per row, whole rows
+    only), run through the real forward pipeline. Block-constant
+    images round-trip byte-exactly under the synthesis quant table
+    (see the section comment), so the oracle can recompute decoded
+    stats straight from the characters. Docs shorter than one block
+    row carry a NULL payload (a 0-height JPEG frame is not encodable)."""
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), True)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for t in pdf[text_col]:
+                raw = t.encode("utf-8")
+                br = len(raw) // JPEG_BLOCKS_PER_ROW
+                if br == 0:
+                    payloads.append(None)
+                    continue
+                vals = np.frombuffer(
+                    raw[: br * JPEG_BLOCKS_PER_ROW], dtype=np.uint8
+                ).reshape(br, JPEG_BLOCKS_PER_ROW)
+                gray = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(encode_jpeg_gray(gray.tobytes(), JPEG_WIDTH, 8 * br))
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("image/jpeg"))
+
+
+def decode_jpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each JPEG payload through the real Huffman+IDCT path and
+    emit grayscale geometry/stats. Map-only Arrow pipeline, zero
+    shuffles; NULL payloads (sub-block docs) yield the 0-geometry row
+    with NULL stats, mirroring mm12's empty-image convention."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    rows.append((int(doc_id), JPEG_WIDTH, 0, 0, None, None, None))
+                    continue
+                p = parse_jpeg_gray(bytes(payload))
+                px = p["pixels"].astype(np.int64)
+                n = p["width"] * p["height"]
+                rows.append(
+                    (
+                        int(doc_id),
+                        p["width"],
+                        p["height"],
+                        n,
+                        float(px.sum()) / n,
+                        int(px.max()),
+                        int(px.min()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in JPEG_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, "payload").mapInPandas(feats, JPEG_FEATURE_SCHEMA)
 
 
 def decode_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

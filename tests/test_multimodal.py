@@ -43,7 +43,11 @@ def test_sha256_matches_local(feats, spark):
 
 
 def test_decode_gate():
+    # MP4 stays gated (av absent); JPEG now decodes natively, so junk
+    # bytes fail its signature check instead of the gate
     with pytest.raises(NotImplementedError):
+        decode_media(b"\x00", "video/mp4")
+    with pytest.raises(ValueError, match="SOI"):
         decode_media(b"\x00", "image/jpeg")
 
 
@@ -132,9 +136,10 @@ def test_wav_roundtrip_exact():
 
 
 def test_decode_media_dispatch():
-    """audio/wav decodes natively; image mimes raise NotImplementedError
-    ALWAYS (silently returning None with a codec lib installed would
-    hide the unimplemented path)."""
+    """audio/wav decodes natively; compressed VIDEO mimes raise
+    NotImplementedError ALWAYS (silently returning None with a codec
+    lib installed would hide the unimplemented path); JPEG dispatches
+    to the native baseline decoder, which fails loudly on truncation."""
     import numpy as np
     import pytest
 
@@ -146,6 +151,8 @@ def test_decode_media_dispatch():
     out = decode_media(encode_wav_pcm16(np.array([1, -1], dtype=np.int16)), "audio/wav")
     assert out["sample_rate"] == 8000 and len(out["samples"]) == 2
     with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
 
 
@@ -482,3 +489,134 @@ class TestPngCodec:
 
         p = decode_media(encode_png(bytes(range(48)), 16, 1), "image/png")
         assert p["width"] == 16 and bytes(p["pixels"]) == bytes(range(48))
+
+
+class TestJpegCodec:
+    """Baseline-sequential JFIF: Huffman entropy coding + DCT pipeline."""
+
+    def test_constant_blocks_roundtrip_byte_exact(self):
+        # the mm13 oracle contract: block-constant images survive the
+        # lossy pipeline exactly under the synthesis quant table
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_gray,
+            parse_jpeg_gray,
+        )
+
+        rng = np.random.default_rng(11)
+        for br in (1, 3, 7):
+            vals = rng.integers(0, 256, size=(br, 16), dtype=np.uint8)
+            gray = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+            p = parse_jpeg_gray(encode_jpeg_gray(gray.tobytes(), 128, 8 * br))
+            assert (p["width"], p["height"]) == (128, 8 * br)
+            assert np.array_equal(p["pixels"].reshape(8 * br, 128), gray)
+
+    def test_general_image_roundtrip_within_tolerance(self):
+        # arbitrary pixels, q=1 everywhere: the only loss is the
+        # float DCT/IDCT rounding, bounded by 2 gray levels; also
+        # exercises edge-replication padding (non-multiple-of-8 dims)
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_gray,
+            parse_jpeg_gray,
+        )
+
+        rng = np.random.default_rng(13)
+        q1 = np.ones(64, dtype=np.int64)
+        img = rng.integers(0, 256, size=(21, 37), dtype=np.uint8)
+        p = parse_jpeg_gray(encode_jpeg_gray(img.tobytes(), 37, 21, quant=q1))
+        assert (p["width"], p["height"]) == (37, 21)
+        err = np.abs(p["pixels"].reshape(21, 37).astype(int) - img.astype(int))
+        assert err.max() <= 2
+
+    def test_coefficient_level_roundtrip_exercises_ac_paths(self):
+        # gradient + checkerboard images produce dense nonzero AC
+        # coefficients, driving the (run,size) symbols, ZRL and EOB
+        # branches on both sides; q=1 keeps the entropy layer lossless
+        # at the coefficient level so any Huffman/zigzag slip shows up
+        # as a large pixel error, not a rounding blur
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_gray,
+            parse_jpeg_gray,
+        )
+
+        q1 = np.ones(64, dtype=np.int64)
+        y, x = np.mgrid[0:16, 0:24]
+        for img in (
+            ((x * 11 + y * 7) % 256).astype(np.uint8),        # gradient
+            (255 * ((x + y) % 2)).astype(np.uint8),           # checkerboard
+            np.zeros((16, 24), dtype=np.uint8),               # all-EOB
+            np.full((16, 24), 255, dtype=np.uint8),           # max DC
+        ):
+            p = parse_jpeg_gray(encode_jpeg_gray(img.tobytes(), 24, 16, quant=q1))
+            err = np.abs(p["pixels"].reshape(16, 24).astype(int) - img.astype(int))
+            assert err.max() <= 2
+
+    def test_malformed_and_unsupported_fail_loudly(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_gray,
+            parse_jpeg_gray,
+        )
+
+        good = encode_jpeg_gray(bytes(np.full(64, 7, dtype=np.uint8)), 8, 8)
+        with pytest.raises(ValueError, match="SOI"):
+            parse_jpeg_gray(b"JUNK" + good[4:])
+        with pytest.raises(ValueError, match="truncated"):
+            parse_jpeg_gray(good[:30])
+        # progressive SOF2 must be refused, not guessed at
+        sof2 = struct.pack(">HHBHHB", 0xFFC2, 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        idx = good.index(b"\xff\xc0")
+        seglen = struct.unpack(">H", good[idx + 2 : idx + 4])[0]
+        prog = good[:idx] + sof2 + good[idx + 2 + seglen :]
+        with pytest.raises(NotImplementedError, match="progressive"):
+            parse_jpeg_gray(prog)
+        # geometry mismatch on the encode side
+        with pytest.raises(ValueError, match="geometry"):
+            encode_jpeg_gray(b"\x00" * 63, 8, 8)
+
+    def test_byte_stuffing_survives(self):
+        # craft an image whose entropy stream is guaranteed to contain
+        # 0xFF bytes (dense high-category coefficients) and assert the
+        # stuffed stream still decodes; also assert stuffing actually
+        # occurred so the test cannot silently weaken
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_gray,
+            parse_jpeg_gray,
+        )
+
+        rng = np.random.default_rng(17)
+        q1 = np.ones(64, dtype=np.int64)
+        img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+        payload = encode_jpeg_gray(img.tobytes(), 32, 32, quant=q1)
+        sos = payload.index(b"\xff\xda")
+        body = payload[sos + 14 : -2]  # entropy-coded bytes
+        assert b"\xff\x00" in body, "test image produced no stuffed bytes"
+        p = parse_jpeg_gray(payload)
+        err = np.abs(p["pixels"].reshape(32, 32).astype(int) - img.astype(int))
+        assert err.max() <= 2
+
+    def test_decode_media_dispatches_jpeg(self):
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            decode_media,
+            encode_jpeg_gray,
+        )
+
+        gray = np.kron(
+            np.arange(16, dtype=np.uint8).reshape(1, 16) * 16,
+            np.ones((8, 8), dtype=np.uint8),
+        )
+        p = decode_media(encode_jpeg_gray(gray.tobytes(), 128, 8), "image/jpeg")
+        assert p["width"] == 128 and np.array_equal(p["pixels"].reshape(8, 128), gray)
