@@ -1015,7 +1015,12 @@ def d10_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def i5_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next stable manifest ledger via MERGE-style full-outer upsert:
     NEW inserts, CHANGED fingerprint updates keeping first_seen,
-    UNCHANGED carry-through, DELETED tombstones (I5)."""
+    UNCHANGED carry-through, DELETED tombstones (I5). Since r8 this is
+    the SAME ``merge_manifest`` the real ledger promotion path uses
+    (sources/ingest.py promote_manifest) — certifying this query
+    certifies production incremental ingest."""
+    from pipeline_mf_etl_spark.sources.ingest import merge_manifest
+
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.col("text").cast("binary"))
     previous = docs.filter(F.col("doc_id") % 7 != 0).select(
@@ -1025,20 +1030,11 @@ def i5_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat(F.col("text"), F.lit("#prev")).cast("binary")),
         )
         .otherwise(fp)
-        .alias("prev_fingerprint"),
-        F.lit("epoch0").alias("prev_first_seen"),
+        .alias("fingerprint"),
+        F.lit("epoch0").alias("first_seen"),
     )
     current = docs.filter(F.col("doc_id") % 11 != 0).select(
-        F.col("doc_id").alias("source_file"), fp.alias("cur_fingerprint")
+        F.col("doc_id").alias("source_file"), fp.alias("fingerprint")
     )
-    merged = current.join(previous, "source_file", "full_outer")
-    return merged.select(
-        "source_file",
-        F.when(F.col("prev_fingerprint").isNull(), "NEW")
-        .when(F.col("cur_fingerprint").isNull(), "DELETED")
-        .when(F.col("cur_fingerprint") == F.col("prev_fingerprint"), "UNCHANGED")
-        .otherwise("CHANGED")
-        .alias("status"),
-        F.coalesce("cur_fingerprint", "prev_fingerprint").alias("fingerprint"),
-        F.coalesce("prev_first_seen", F.lit("epoch1")).alias("first_seen"),
-    )
+    merged = merge_manifest(current, previous, epoch="epoch1")
+    return merged.select("source_file", "status", "fingerprint", "first_seen")

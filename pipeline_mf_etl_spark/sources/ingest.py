@@ -225,10 +225,128 @@ def select_for_processing(
     manifest: DataFrame, full: bool = False, limit: int | None = None
 ) -> DataFrame:
     """I3: NEW+CHANGED unless --full; optional head-limit (reference
-    bronze/pipeline.py:98-112)."""
-    sel = manifest if full else manifest.filter(F.col("status").isin("NEW", "CHANGED"))
+    bronze/pipeline.py:98-112). DELETED tombstones from the merged
+    ledger are never selected (nothing to read)."""
+    sel = (
+        manifest.filter(F.col("status") != "DELETED")
+        if full
+        else manifest.filter(F.col("status").isin("NEW", "CHANGED"))
+    )
     sel = sel.orderBy("source_file")
     return sel.limit(limit) if limit else sel
+
+
+def merge_manifest(
+    current: DataFrame, previous: DataFrame | None, epoch: str = "epoch0"
+) -> DataFrame:
+    """I5: MERGE-style ledger upsert — the next stable manifest via ONE
+    full-outer equi-join on the ledger key (cheap at 100 TB: the ledger
+    is rows-per-FILE, not rows-per-record; Spark plans full-outer as a
+    sort-merge on the tiny frame, no broadcast variant exists).
+
+    Semantics (the warehouse MERGE idiom, re-expressed declaratively):
+
+    - present only in ``current``            → ``NEW``, first_seen = epoch
+    - present only in ``previous``           → ``DELETED`` tombstone
+      (fingerprint + first_seen carried so the tombstone stays
+      auditable; tombstones persist across later merges)
+    - in both, previous row was ``DELETED``  → ``NEW`` (a reappearing
+      file is re-ingested — downstream may have dropped its outputs)
+    - in both, fingerprints equal            → ``UNCHANGED``
+    - in both, fingerprints differ           → ``CHANGED`` (first_seen
+      KEPT from the previous row — the MERGE point; wholesale
+      replacement would reset provenance every run)
+
+    Column contract: both sides need (source_file, fingerprint);
+    ``first_seen``/``status`` on previous and the stat columns
+    (file_size_bytes, mtime_ns) on either side are optional and carried
+    through with current-side precedence.
+    """
+    cur_cols = set(current.columns)
+    if previous is None:
+        out = current.withColumn("status", F.lit("NEW")).withColumn(
+            "first_seen", F.lit(epoch)
+        )
+        return out
+    prev_cols = set(previous.columns)
+    stat_cols = [c for c in ("file_size_bytes", "mtime_ns") if c in cur_cols or c in prev_cols]
+    prev = previous.orderBy("source_file").dropDuplicates(["source_file"])
+    prev_sel = [F.col("source_file"), F.col("fingerprint").alias("prev_fingerprint")]
+    prev_sel.append(
+        (F.col("first_seen") if "first_seen" in prev_cols else F.lit(None).cast("string"))
+        .alias("prev_first_seen")
+    )
+    prev_sel.append(
+        (F.col("status") if "status" in prev_cols else F.lit(None).cast("string"))
+        .alias("prev_status")
+    )
+    for c in stat_cols:
+        prev_sel.append(
+            (F.col(c) if c in prev_cols else F.lit(None).cast("long")).alias(f"prev_{c}")
+        )
+    cur_sel = [F.col("source_file"), F.col("fingerprint").alias("cur_fingerprint")]
+    for c in stat_cols:
+        cur_sel.append(
+            (F.col(c) if c in cur_cols else F.lit(None).cast("long")).alias(f"cur_{c}")
+        )
+    merged = current.select(*cur_sel).join(
+        prev.select(*prev_sel), "source_file", "full_outer"
+    )
+    status = (
+        F.when(F.col("prev_fingerprint").isNull(), "NEW")
+        .when(F.col("cur_fingerprint").isNull(), "DELETED")
+        .when(F.col("prev_status") == "DELETED", "NEW")
+        .when(F.col("cur_fingerprint") == F.col("prev_fingerprint"), "UNCHANGED")
+        .otherwise("CHANGED")
+    )
+    out_cols = [F.col("source_file")]
+    for c in stat_cols:
+        out_cols.append(F.coalesce(f"cur_{c}", f"prev_{c}").alias(c))
+    out_cols += [
+        F.coalesce("cur_fingerprint", "prev_fingerprint").alias("fingerprint"),
+        status.alias("status"),
+        F.coalesce("prev_first_seen", F.lit(epoch)).alias("first_seen"),
+    ]
+    return merged.select(*out_cols)
+
+
+def read_manifest_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame | None:
+    """Read the current ledger snapshot via the atomically-swapped
+    CURRENT pointer (None when no ledger exists yet)."""
+    import json
+
+    cur = os.path.join(ledger_dir, "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur, encoding="utf-8") as fh:
+        snap = json.load(fh)["snapshot"]
+    return spark.read.parquet(os.path.join(ledger_dir, snap))
+
+
+def promote_manifest(
+    spark: SparkSession, files: list[str], ledger_dir: str, epoch: str
+) -> DataFrame:
+    """I3+I5 ledger promotion: fingerprint the current file set, MERGE
+    it into the persisted ledger (keeping first_seen, emitting DELETED
+    tombstones — ``merge_manifest``), write the next snapshot to a
+    fresh directory and atomically swap the CURRENT pointer (the
+    _last_checkpoint idiom: a reader mid-promotion sees either the old
+    snapshot or the new one, never a half-written directory).
+    Replaces the pre-r8 wholesale snapshot replacement. Returns the
+    merged ledger read back from the new snapshot."""
+    import uuid
+
+    from pipeline_mf_etl_spark.sources.writers import write_json_artifact
+
+    previous = read_manifest_ledger(spark, ledger_dir)
+    current = build_manifest(spark, files)
+    merged = merge_manifest(current, previous, epoch=epoch)
+    snap = f"snapshot-{uuid.uuid4().hex}"
+    merged.coalesce(1).write.mode("error").parquet(os.path.join(ledger_dir, snap))
+    write_json_artifact(
+        {"snapshot": snap, "epoch": epoch}, os.path.join(ledger_dir, "CURRENT")
+    )
+    return spark.read.parquet(os.path.join(ledger_dir, snap))
 
 
 def manifest_rollups(manifest: DataFrame) -> DataFrame:

@@ -98,3 +98,71 @@ def test_manifest_classify(spark, raw_dir):
     assert [r["source_file"] for r in sel.collect()] == [files[0]]
     roll = {r["status"]: r["count"] for r in manifest_rollups(classified).collect()}
     assert roll == {"CHANGED": 1, "UNCHANGED": 1}
+
+
+def test_promote_manifest_merge_across_runs(spark, tmp_path):
+    """I5 wired into the REAL promotion path: across three promotions the
+    persisted ledger must (a) keep first_seen through CHANGED updates,
+    (b) emit a DELETED tombstone when a file vanishes, (c) persist the
+    tombstone on later runs, (d) re-ingest a reappearing file as NEW,
+    and (e) swap snapshots atomically via the CURRENT pointer."""
+    import json
+
+    from pipeline_mf_etl_spark.sources.ingest import (
+        merge_manifest,
+        promote_manifest,
+        read_manifest_ledger,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    fa, fb, fc = (str(raw / n) for n in ("a.txt", "b.txt", "c.txt"))
+    for f in (fa, fb, fc):
+        with open(f, "w") as fh:
+            fh.write("AAA,D,20240102,0,10.0,11.0,9.5,10.5,1000\n")
+    ledger = str(tmp_path / "ledger")
+
+    # run 1: everything NEW at epoch e1
+    m1 = promote_manifest(spark, [fa, fb, fc], ledger, epoch="e1")
+    rows1 = {r["source_file"]: r for r in m1.collect()}
+    assert {r["status"] for r in rows1.values()} == {"NEW"}
+    assert {r["first_seen"] for r in rows1.values()} == {"e1"}
+
+    # run 2: a changed, b unchanged, c deleted
+    time.sleep(0.01)
+    with open(fa, "a") as fh:
+        fh.write("AAA,D,20240103,0,10.5,12.0,10.0,11.5,1200\n")
+    os.utime(fa)
+    m2 = promote_manifest(spark, [fa, fb], ledger, epoch="e2")
+    rows2 = {r["source_file"]: r for r in m2.collect()}
+    assert rows2[fa]["status"] == "CHANGED"
+    assert rows2[fa]["first_seen"] == "e1"  # the MERGE point: kept
+    assert rows2[fb]["status"] == "UNCHANGED"
+    assert rows2[fc]["status"] == "DELETED"
+    assert rows2[fc]["fingerprint"] is not None  # tombstone auditable
+    # selection never picks tombstones, even with --full
+    sel = select_for_processing(m2, full=True)
+    assert fc not in [r["source_file"] for r in sel.collect()]
+
+    # run 3: c still absent -> tombstone persists; then c reappears -> NEW
+    m3 = promote_manifest(spark, [fa, fb], ledger, epoch="e3")
+    rows3 = {r["source_file"]: r for r in m3.collect()}
+    assert rows3[fc]["status"] == "DELETED"
+    assert rows3[fa]["status"] == "UNCHANGED" and rows3[fa]["first_seen"] == "e1"
+    m4 = promote_manifest(spark, [fa, fb, fc], ledger, epoch="e4")
+    rows4 = {r["source_file"]: r for r in m4.collect()}
+    assert rows4[fc]["status"] == "NEW"  # reappearing file is re-ingested
+
+    # CURRENT pointer names the live snapshot; older snapshots remain
+    with open(os.path.join(ledger, "CURRENT"), encoding="utf-8") as fh:
+        ptr = json.load(fh)
+    assert ptr["epoch"] == "e4"
+    assert os.path.isdir(os.path.join(ledger, ptr["snapshot"]))
+    readback = read_manifest_ledger(spark, ledger)
+    assert {r["source_file"]: r["status"] for r in readback.collect()} == {
+        k: v["status"] for k, v in rows4.items()
+    }
+
+    # merge_manifest with no previous snapshot handles the bootstrap
+    boot = merge_manifest(build_manifest(spark, [fa]), None, epoch="e0")
+    assert boot.collect()[0]["status"] == "NEW"
