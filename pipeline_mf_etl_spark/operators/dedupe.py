@@ -229,6 +229,64 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def containment_candidate_pairs(
+    sh: DataFrame, id_col: str, tau_num: int = 4, tau_den: int = 5
+) -> DataFrame:
+    """Recall-COMPLETE candidate pairs for directed set containment
+    ``c(A→B) = |A∩B|/|A| >= tau`` with ``tau = tau_num/tau_den``
+    (integer arithmetic throughout — ``floor(float_tau * |A|)`` can
+    round the prefix length down by one and silently void the recall
+    guarantee, e.g. 0.8*5 = 4.000000000000001).
+
+    One-sided PREFIX FILTERING (the AllPairs/PPJoin idiom in its
+    containment form — the r7 verdict's task 4): order each doc's
+    distinct shingles by GLOBAL RARITY (document frequency asc, shingle
+    asc as the tiebreak), keep the first ``p = |A| - ceil(tau·|A|) + 1``
+    as the doc's PROBE prefix, and equi-join probes against the FULL
+    shingle inverted index. Guarantee: if ``c(A→B) >= tau`` then
+    ``|A∩B| >= ceil(tau·|A|)`` (intersection sizes are integers), so A
+    has at most ``|A| - ceil(tau·|A|) < p`` shingles outside B — at
+    least one probe shingle of A must land in B's index row and the
+    pair collides. Symmetric MinHash LSH cannot give this: its band
+    collision probability tracks JACCARD, which collapses to ~|A|/|B|
+    for a tiny doc quoted inside a huge one even when containment is
+    1.0 (Broder's containment-vs-resemblance distinction).
+
+    Scale shape: one shuffle on shingle for the doc-frequency agg, one
+    doc-clustered window for the prefix rank (max task = one doc's
+    shingles), one equi-join probe⋈index whose fan-out is
+    Σ_prefix-shingles df(s) — rare-FIRST ordering keeps that near its
+    minimum because each doc probes with its most discriminative
+    shingles; the index side is the corpus shingle set itself, never an
+    all-pairs cross."""
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(f"tau must be in (0, 1]: got {tau_num}/{tau_den}")
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("_rk")
+            <= F.col("_sz")
+            - F.expr(f"(_sz * {tau_num} + {tau_den - 1}) DIV {tau_den}")
+            + F.lit(1)
+        )
+    )
+    probe = prefix.select(F.col(id_col).alias("a"), "shingle")
+    index = sh.select(F.col(id_col).alias("b"), "shingle")
+    return (
+        probe.join(index, "shingle")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+
+
 def all_pairs_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
     """Exact Jaccard for every pair sharing at least one shingle.
 

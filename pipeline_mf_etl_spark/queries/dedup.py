@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from pipeline_mf_etl_spark.operators.dedupe import (
     all_pairs_jaccard,
+    containment_candidate_pairs,
     exploded_shingles,
     jaccard_on_pairs,
     lsh_candidate_pairs,
@@ -667,18 +668,34 @@ def d9_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wholesale inside a long one has c(A→B) = |A∩B|/|A| ≈ 1 while the
 # Jaccard |A∩B|/|A∪B| stays far below any dedup threshold (the classic
 # Broder containment-vs-resemblance distinction). Candidates come from
-# the SAME banded-LSH generation as d2 (no new all-pairs risk; recall
-# for extreme size skew would use the documented multi-band / prefix
-# tricks at production thresholds), then exact shingle intersections
-# yield both directed containments.
+# RARE-PREFIX FILTERING (operators/dedupe.containment_candidate_pairs
+# — the r7 verdict's task 4), which is recall-COMPLETE for the 0.8
+# threshold: unlike the pre-r8 reuse of d2's symmetric-Jaccard LSH
+# bands, a tiny-doc-inside-huge-doc pair (containment 1, Jaccard ~0)
+# is GUARANTEED to collide, because every doc probes the full shingle
+# inverted index with more of its rarest shingles than it can possibly
+# have outside any tau-containing superset. Exact shingle
+# intersections on the candidates then yield both directed
+# containments. Because candidate recall is complete, the oracle needs
+# no candidate chain at all — it computes containment over EVERY pair
+# sharing a shingle, so certification proves recall, not just
+# precision on an agreed candidate set.
 # ---------------------------------------------------------------------------
-_D11_TAU = 0.8
+_D11_TAU = 0.8  # == _D11_TAU_NUM / _D11_TAU_DEN
+_D11_TAU_NUM, _D11_TAU_DEN = 4, 5
 
 
 @query(
     "d11_containment",
     oracle=f"""
-    WITH {_D2_CHAIN},
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+        FROM sh sa
+        JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+        GROUP BY sa.doc_id, sb.doc_id
+    ),
     cont AS (
         SELECT i.a, i.b,
                ROUND(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) AS jaccard,
@@ -695,9 +712,11 @@ _D11_TAU = 0.8
     """,
 )
 def d11_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed shingle-set containments on the d2 candidate pairs; keep
-    pairs where either containment >= 0.8 and flag the ones the
-    symmetric Jaccard-0.5 gate would have missed (D11)."""
+    """Directed shingle-set containments on recall-complete rare-prefix
+    candidates; keep pairs where either containment >= 0.8 and flag
+    the ones the symmetric Jaccard-0.5 gate would have missed (D11).
+    The oracle is candidate-free (all pairs sharing a shingle), so a
+    hash match certifies the prefix filter dropped no qualifying pair."""
     docs = load_table(spark, sf_dir, "documents")
     # one-slot shingle cache discipline (see _LAZY_SHINGLE_CACHE): evict
     # the previous lazy holder BEFORE persisting, never after
@@ -705,8 +724,9 @@ def d11_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _LAZY_SHINGLE_CACHE.pop().unpersist()
     sh = exploded_shingles(docs, "doc_id", "text", n=3).persist()
     try:
-        sig = minhash_signatures(sh, "doc_id", k=16)
-        cand = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4)
+        cand = containment_candidate_pairs(
+            sh, "doc_id", tau_num=_D11_TAU_NUM, tau_den=_D11_TAU_DEN
+        )
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
         inter = (
             cand.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")

@@ -650,3 +650,86 @@ def test_zorder_buckets_have_locality_on_both_dimensions(spark):
         .collect()[0][0]
     )
     assert zspan <= aspan / 4, (zspan, aspan)
+
+
+def test_containment_prefix_catches_what_lsh_misses(spark):
+    """The d11 size-skew recall hole (r7 verdict task 4): a tiny doc
+    quoted wholesale inside a huge one has containment 1.0 but Jaccard
+    ~|A|/|B|, so symmetric MinHash LSH (band collision prob ~ J^rows)
+    structurally misses it. Plant such a pair, assert the OLD candidate
+    path (d2's LSH) actually misses it and the rare-prefix path catches
+    it — plus every other tau-qualifying pair (recall completeness vs a
+    brute-force all-pairs computation)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.operators.dedupe import (
+        containment_candidate_pairs,
+        exploded_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rng = __import__("numpy").random.default_rng(23)
+    words = [f"w{i:03d}" for i in range(400)]
+    tiny = " ".join(words[i] for i in rng.permutation(30)[:12])
+    huge = tiny + " " + " ".join(words[int(i)] for i in rng.integers(40, 400, 900))
+    docs = [(0, tiny), (1, huge)]
+    # background docs so LSH buckets and doc frequencies are non-trivial
+    for d in range(2, 30):
+        docs.append((d, " ".join(words[int(i)] for i in rng.integers(0, 400, 60))))
+    sdf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    sh = exploded_shingles(sdf, "doc_id", "text", n=3).persist()
+    try:
+        # the planted pair qualifies: containment(tiny->huge) == 1.0
+        sizes = {r["doc_id"]: r["c"] for r in sh.groupBy("doc_id").agg(F.count("*").alias("c")).collect()}
+        inter01 = (
+            sh.filter(F.col("doc_id") == 0)
+            .select("shingle")
+            .join(sh.filter(F.col("doc_id") == 1).select("shingle"), "shingle")
+            .count()
+        )
+        assert inter01 == sizes[0], "fixture broke: tiny not fully contained"
+        jacc = inter01 / (sizes[0] + sizes[1] - inter01)
+        assert jacc < 0.2, f"fixture broke: pair not size-skewed (J={jacc:.2f})"
+
+        sig = minhash_signatures(sh, "doc_id", k=16)
+        lsh = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sig, "doc_id", k=16, bands=4).collect()}
+        assert (0, 1) not in lsh, (
+            "fixture no longer demonstrates the hole: LSH found the pair"
+        )
+
+        cand = {
+            (r["a"], r["b"])
+            for r in containment_candidate_pairs(sh, "doc_id", 4, 5).collect()
+        }
+        assert (0, 1) in cand, "prefix filtering missed the planted pair"
+
+        # recall completeness: every pair with max containment >= 0.8
+        # (brute force over all pairs) must be in the candidate set
+        a = sh.select(F.col("doc_id").alias("a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        qualifying = {
+            (r["a"], r["b"])
+            for r in inter
+            if max(r["n"] / sizes[r["a"]], r["n"] / sizes[r["b"]]) >= 0.8
+        }
+        assert qualifying, "fixture broke: no qualifying pairs at all"
+        missed = qualifying - cand
+        assert not missed, f"prefix filtering dropped qualifying pairs: {missed}"
+
+        # the probe side is bounded: each doc probes with at most
+        # |A| - ceil(0.8|A|) + 1 shingles, ~20% of its set + 1
+        total_sh = sum(sizes.values())
+        bound = sum(sz - (4 * sz + 4) // 5 + 1 for sz in sizes.values())
+        assert bound < 0.3 * total_sh + len(sizes), "prefix bound math drifted"
+    finally:
+        sh.unpersist()
