@@ -908,15 +908,27 @@ def o18_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operator of a warehouse/training pipeline: find candidate duplicate
 # ENTITY records (here: customers whose names are within edit distance
 # 1) without the all-pairs cross join. The scalable shape is the same
-# as every dedup family member: BLOCK first (equi-join key — name
-# prefix + nation), compare WITHIN blocks only (levenshtein is a JVM
-# built-in on both engines), emit scored pairs. All-pairs at 100 TB is
-# O(N²); blocking bounds the comparison volume to Σ C(block,2), and a
-# production deployment adds multi-pass blocking (different keys per
-# pass) to recover recall lost at block boundaries — exactly the
-# d2-LSH trade restated for structured records.
+# as every dedup family member: BLOCK first (equi-join key), compare
+# WITHIN blocks only (levenshtein is a JVM built-in on both engines),
+# emit scored pairs. All-pairs at 100 TB is O(N²); blocking bounds the
+# comparison volume to Σ C(block,2) summed over BOTH passes.
+#
+# TWO-PASS blocking (r7 verdict task 7): single-key prefix blocking has
+# the textbook ER failure — a typo in the FIRST characters lands the
+# two records in different blocks and the pair is never compared. Pass
+# 2 blocks on the name SUFFIX (chars 15+). Coverage argument for the
+# lev<=1 threshold on same-length names (TPC-H names are fixed-form
+# "Customer#" + 9 digits, so lev 1 == one substitution): a substitution
+# at position p <= 14 leaves the suffix intact (pass-2 collision); at
+# p >= 15 it leaves the prefix intact (pass-1 collision) — every
+# qualifying pair is compared, i.e. the two passes are jointly
+# recall-COMPLETE for this threshold, not best-effort. (For variable-
+# length corpora an insertion near the front shifts the suffix too —
+# there the second pass would be a sorted-neighborhood window or q-gram
+# key instead; same Σ C(block,2) bound.)
 # ---------------------------------------------------------------------------
 _D10_PREFIX = 14  # "Customer#00000" + leading digits shared within a block
+_D10_SUFFIX_FROM = _D10_PREFIX + 1  # pass 2: chars 15+ (the last 4 digits)
 _D10_MAX_LEV = 1
 
 
@@ -925,56 +937,75 @@ _D10_MAX_LEV = 1
     oracle=f"""
     WITH blocked AS (
         SELECT c_custkey, c_name, c_nationkey,
-               substr(c_name, 1, {_D10_PREFIX}) AS blk
+               substr(c_name, 1, {_D10_PREFIX}) AS blk1,
+               substr(c_name, {_D10_SUFFIX_FROM}, 64) AS blk2
         FROM customer
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               a.c_nationkey AS nation_a, b.c_nationkey AS nation_b
+        FROM blocked a
+        JOIN blocked b ON a.blk1 = b.blk1 AND a.c_custkey < b.c_custkey
+        UNION
+        SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name,
+               a.c_nationkey, b.c_nationkey
+        FROM blocked a
+        JOIN blocked b ON a.blk2 = b.blk2 AND a.c_custkey < b.c_custkey
     )
-    SELECT a.c_custkey AS custkey_a,
-           b.c_custkey AS custkey_b,
-           a.c_name AS name_a,
-           b.c_name AS name_b,
-           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS name_dist,
-           (a.c_nationkey = b.c_nationkey) AS same_nation
-    FROM blocked a
-    JOIN blocked b
-      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
-    WHERE levenshtein(a.c_name, b.c_name) <= {_D10_MAX_LEV}
+    SELECT custkey_a, custkey_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS name_dist,
+           (nation_a = nation_b) AS same_nation
+    FROM pairs
+    WHERE levenshtein(name_a, name_b) <= {_D10_MAX_LEV}
     """,
 )
 def d10_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy record linkage over customers: within-block
-    (name-prefix) pairs at edit distance <= 1, with a nation-agreement
-    flag for downstream merge rules (D10)."""
+    """Two-pass blocked fuzzy record linkage over customers: union of
+    name-prefix blocks (pass 1) and name-suffix blocks (pass 2 — the
+    first-character-typo recovery), pairs at edit distance <= 1, with
+    a nation-agreement flag for downstream merge rules (D10). The two
+    passes are jointly recall-complete for one-substitution typos on
+    the fixed-form names (see the section comment)."""
     cu = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
         "c_nationkey",
-        F.substring("c_name", 1, _D10_PREFIX).alias("blk"),
+        F.substring("c_name", 1, _D10_PREFIX).alias("blk1"),
+        F.substring("c_name", _D10_SUFFIX_FROM, 64).alias("blk2"),
     )
-    a = cu.select(
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("c_name").alias("name_a"),
-        F.col("c_nationkey").alias("nation_a"),
-        "blk",
-    )
-    b = cu.select(
-        F.col("c_custkey").alias("custkey_b"),
-        F.col("c_name").alias("name_b"),
-        F.col("c_nationkey").alias("nation_b"),
-        "blk",
-    )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return (
-        a.join(b, "blk")
-        .filter(F.col("custkey_a") < F.col("custkey_b"))
-        .filter(dist <= _D10_MAX_LEV)
-        .select(
-            "custkey_a",
-            "custkey_b",
-            "name_a",
-            "name_b",
-            dist.cast("int").alias("name_dist"),
-            (F.col("nation_a") == F.col("nation_b")).alias("same_nation"),
+
+    def pass_pairs(blk: str) -> DataFrame:
+        a = cu.select(
+            F.col("c_custkey").alias("custkey_a"),
+            F.col("c_name").alias("name_a"),
+            F.col("c_nationkey").alias("nation_a"),
+            F.col(blk).alias("blk"),
         )
+        b = cu.select(
+            F.col("c_custkey").alias("custkey_b"),
+            F.col("c_name").alias("name_b"),
+            F.col("c_nationkey").alias("nation_b"),
+            F.col(blk).alias("blk"),
+        )
+        return (
+            a.join(b, "blk")
+            .filter(F.col("custkey_a") < F.col("custkey_b"))
+            .drop("blk")
+        )
+
+    # union BEFORE the distance filter mirrors the oracle's UNION-dedup;
+    # distinct() on the full pair row removes the (rare) pairs both
+    # passes emit, so the expensive levenshtein runs once per pair
+    pairs = pass_pairs("blk1").unionByName(pass_pairs("blk2")).distinct()
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return pairs.filter(dist <= _D10_MAX_LEV).select(
+        "custkey_a",
+        "custkey_b",
+        "name_a",
+        "name_b",
+        dist.cast("int").alias("name_dist"),
+        (F.col("nation_a") == F.col("nation_b")).alias("same_nation"),
     )
 
 

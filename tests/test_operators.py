@@ -733,3 +733,94 @@ def test_containment_prefix_catches_what_lsh_misses(spark):
         assert bound < 0.3 * total_sh + len(sizes), "prefix bound math drifted"
     finally:
         sh.unpersist()
+
+
+def test_d10_second_blocking_pass_catches_early_typo(spark, tmp_path):
+    """The textbook ER failure of single-key blocking (r7 verdict task
+    7): a typo INSIDE the prefix key lands the pair in different
+    prefix blocks. Plant one early-digit typo pair and one late-digit
+    typo pair; the prefix-only pass must miss the former, the shipped
+    two-pass query must catch both; comparison volume must equal
+    Σ C(block,2) over both passes (the blocking bound, no hidden
+    all-pairs)."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.queries import all_queries
+    from tests.conftest import canonical_rows
+
+    base = [f"Customer#{i:09d}" for i in range(1, 41)]
+    names = base + [
+        "Customer#100000007",  # early typo twin of #000000007 (pos 10)
+        "Customer#000000031",  # exact-form neighbor: typo twin of
+                               # #000000081 at pos 16 (late, pass 1)
+    ]
+    # make the late-typo pair explicit: 41 differs from 31 at last digit
+    names.append("Customer#000000032")
+    pdf = pd.DataFrame(
+        {
+            "c_custkey": range(1, len(names) + 1),
+            "c_name": names,
+            "c_nationkey": [i % 5 for i in range(len(names))],
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/customer.parquet")
+
+    spec = all_queries()["d10_record_linkage"]
+    sdf = spec.spark(spark, str(tmp_path))
+    rows = [tuple(r) for r in sdf.collect()]
+    pairs = {(r[2], r[3]) for r in rows}
+    assert ("Customer#000000007", "Customer#100000007") in pairs, (
+        "second blocking pass failed to catch the early-position typo"
+    )
+    assert ("Customer#000000031", "Customer#000000032") in pairs, (
+        "prefix pass regressed on late-position typos"
+    )
+
+    # prefix-only pass really does miss the early typo (the hole exists)
+    cu = spark.read.parquet(f"{tmp_path}/customer.parquet")
+    blk = cu.select("c_custkey", "c_name", F.substring("c_name", 1, 14).alias("b"))
+    one_pass = (
+        blk.alias("x")
+        .join(blk.alias("y"), "b")
+        .filter(F.col("x.c_custkey") < F.col("y.c_custkey"))
+        .filter(F.levenshtein(F.col("x.c_name"), F.col("y.c_name")) <= 1)
+        .select(F.col("x.c_name").alias("na"), F.col("y.c_name").alias("nb"))
+    )
+    assert ("Customer#000000007", "Customer#100000007") not in {
+        (r["na"], r["nb"]) for r in one_pass.collect()
+    }
+
+    # comparison volume == Σ C(block,2) over both passes (pre-dedup)
+    def block_bound(col_expr):
+        sizes = [
+            r["n"]
+            for r in cu.groupBy(col_expr.alias("b")).agg(F.count("*").alias("n")).collect()
+        ]
+        return sum(n * (n - 1) // 2 for n in sizes)
+
+    expected = block_bound(F.substring("c_name", 1, 14)) + block_bound(
+        F.substring("c_name", 15, 64)
+    )
+    b1 = blk.alias("x").join(blk.alias("y"), "b").filter(
+        F.col("x.c_custkey") < F.col("y.c_custkey")
+    )
+    blk2 = cu.select("c_custkey", F.substring("c_name", 15, 64).alias("b"))
+    b2 = blk2.alias("x").join(blk2.alias("y"), "b").filter(
+        F.col("x.c_custkey") < F.col("y.c_custkey")
+    )
+    assert b1.count() + b2.count() == expected
+
+    # oracle parity on the synthetic table (same UNION-dedup semantics)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/customer.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    dcols = [d[0] for d in cur.description]
+    assert canonical_rows(rows, list(sdf.columns)) == canonical_rows(
+        cur.fetchall(), dcols
+    )
