@@ -145,6 +145,20 @@ def main() -> None:
             timings[name] = round(best[name], 3)
             total += best[name]
 
+    # Calibration-normalized timings (r7 verdict task 8): each query's
+    # min-sec divided by the calibrator matching its plan shape, so
+    # round-over-round deltas separate host drift from code changes
+    # without judge-side arithmetic. Scan/arithmetic-bound queries
+    # (pushdown scan, map-only text scoring, broadcast HOF cosine)
+    # normalize by the codegen range-sum; everything else — shuffles,
+    # windows, joins, pandas islands — by the shuffle+window job, which
+    # exercises the exchange/sort/GC machinery those plans live in.
+    scan_shaped = {"s3_pushdown_scan", "t2_quality_score", "e1_ann_bruteforce"}
+    normalized = {
+        name: round(sec / (calib if name in scan_shaped else calib_sw), 3)
+        for name, sec in timings.items()
+    }
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -155,6 +169,11 @@ def main() -> None:
         "agg": "min",
         "calib_range_sum_sec": round(calib, 3),
         "calib_shuffle_window_sec": round(calib_sw, 3),
+        "normalized_queries": normalized,
+        "normalized_by": {
+            "calib_range_sum_sec": sorted(scan_shaped),
+            "calib_shuffle_window_sec": "all others",
+        },
     }))
 
 

@@ -1236,42 +1236,57 @@ def encode_jpeg_gray(
     px = np.pad(px, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
     dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALUES)
     ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALUES)
+    # forward DCT + quantize VECTORIZED across all blocks (one einsum
+    # instead of a per-block Python matmul loop — the difference
+    # between a codec that scale-probes and one that doesn't); only the
+    # inherently sequential entropy coding stays a per-block loop
+    blocks = (
+        px.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8).astype(np.float64)
+        - 128.0
+    )
+    coef = _JPEG_D @ blocks @ _JPEG_D.T  # broadcast matmul: BLAS, not einsum's generic loop
+    qz = q[np.argsort(_JPEG_ZIGZAG)]  # quant table in row-major order
+    qc = np.rint(coef.reshape(-1, 64) / qz).astype(np.int64)
+    zz_all = qc[:, _JPEG_ZIGZAG]
+    # hoist the per-block numpy work out of the entropy loop: DC values
+    # and last-nonzero-AC positions come out vectorized, and blocks
+    # with no AC energy (the block-constant synthesis family) take a
+    # three-write fast path with no array access at all
+    dcs = zz_all[:, 0].tolist()
+    ac_mask = zz_all[:, 1:] != 0
+    has_ac = ac_mask.any(axis=1)
+    last_all = np.where(has_ac, 63 - ac_mask[:, ::-1].argmax(axis=1), 0).tolist()
     w = _JpegBitWriter()
     prev_dc = 0
-    qz = q[np.argsort(_JPEG_ZIGZAG)]  # quant table in row-major order
-    for by in range(bh):
-        for bx in range(bw):
-            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
-            coef = _JPEG_D @ (block - 128.0) @ _JPEG_D.T
-            qc = np.rint(coef.reshape(-1) / qz).astype(np.int64)
-            zz = qc[_JPEG_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s = _jpeg_category(diff)
-            code, length = dc_codes[s]
-            w.write(code, length)
-            if s:
-                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    eob_code, eob_len = ac_codes[0x00]
+    zrl_code, zrl_len = ac_codes[0xF0]
+    for bi, dc in enumerate(dcs):
+        diff = dc - prev_dc
+        prev_dc = dc
+        s = _jpeg_category(diff)
+        code, length = dc_codes[s]
+        w.write(code, length)
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        last = last_all[bi]
+        if last:
+            zz = zz_all[bi].tolist()
             run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = int(nz[-1]) + 1 if len(nz) else 0
             for k in range(1, last + 1):
-                v = int(zz[k])
+                v = zz[k]
                 if v == 0:
                     run += 1
                     continue
                 while run >= 16:
-                    code, length = ac_codes[0xF0]
-                    w.write(code, length)
+                    w.write(zrl_code, zrl_len)
                     run -= 16
                 s = _jpeg_category(v)
                 code, length = ac_codes[(run << 4) | s]
                 w.write(code, length)
                 w.write(v if v >= 0 else v + (1 << s) - 1, s)
                 run = 0
-            if last < 63:
-                code, length = ac_codes[0x00]
-                w.write(code, length)
+        if last < 63:
+            w.write(eob_code, eob_len)
     dht = (
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALUES)
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALUES)
@@ -1288,6 +1303,36 @@ def encode_jpeg_gray(
         + w.flush()
         + b"\xff\xd9"  # EOI
     )
+
+
+# LUT cache keyed by the raw DHT payload bytes: a corpus decode sees
+# the same Huffman tables in every payload, and rebuilding the 65536-
+# entry tables per image costs more than the entropy decode itself
+_JPEG_LUT_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
+
+
+def _jpeg_decode_lut(
+    table: dict[tuple[int, int], int], raw_key: bytes
+) -> tuple[list[int], list[int]]:
+    """16-bit-window lookup tables (symbol, code length) for one DHT —
+    the libjpeg fast-decode idiom: every 16-bit bit-window whose prefix
+    is a valid code maps to its symbol, so decoding is one list index
+    instead of a bit-by-bit tree walk. Unused windows carry -1. Cached
+    on the DHT segment bytes (bounded: distinct tables per process)."""
+    hit = _JPEG_LUT_CACHE.get(raw_key)
+    if hit is not None:
+        return hit
+    sym = np.full(1 << 16, -1, dtype=np.int32)
+    ln = np.zeros(1 << 16, dtype=np.int32)
+    for (length, code), s in table.items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    out = (sym.tolist(), ln.tolist())
+    if len(_JPEG_LUT_CACHE) < 64:
+        _JPEG_LUT_CACHE[raw_key] = out
+    return out
 
 
 class _JpegBitReader:
@@ -1309,15 +1354,31 @@ class _JpegBitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
-    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read(1)
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code (no symbol within 16 bits)")
+    def read_symbol(self, lut: tuple[list[int], list[int]]) -> int:
+        # top up to 16 buffered bits (or stream end), peek the window
+        # (right-padded with 1s — the T.81 pad value, so a final symbol
+        # flush against padding still resolves), one LUT probe, consume
+        data, sym_t, len_t = self.data, lut[0], lut[1]
+        while self.nbits < 16 and self.pos < len(data):
+            self.acc = (self.acc << 8) | data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        if self.nbits >= 16:
+            window = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        else:
+            pad = 16 - self.nbits
+            window = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+        sym = sym_t[window]
+        length = len_t[window]
+        if sym < 0 or length > self.nbits:
+            raise ValueError(
+                "invalid JPEG Huffman code (no symbol within 16 bits)"
+                if sym < 0
+                else "JPEG entropy stream exhausted mid-symbol"
+            )
+        self.nbits -= length
+        self.acc &= (1 << self.nbits) - 1
+        return sym
 
 
 def _jpeg_extend(bits: int, s: int) -> int:
@@ -1341,7 +1402,7 @@ def parse_jpeg_gray(payload: bytes) -> dict:
         raise ValueError("not a JPEG payload (no SOI marker)")
     pos = 2
     quant: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], tuple[dict[tuple[int, int], int], bytes]] = {}
     width = height = None
     comp_qtab = comp_dc = comp_ac = None
     scan_data = None
@@ -1388,7 +1449,7 @@ def parse_jpeg_gray(payload: bytes) -> dict:
                         code += 1
                         k += 1
                     code <<= 1
-                huff[(tc, th)] = table
+                huff[(tc, th)] = (table, bytes(seg[off : off + 17 + n]))
                 off += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
@@ -1438,38 +1499,42 @@ def parse_jpeg_gray(payload: bytes) -> dict:
     if (0, comp_dc) not in huff or (1, comp_ac) not in huff:
         raise ValueError("JPEG references undefined Huffman table")
     qtab = quant[comp_qtab]
-    dc_tab, ac_tab = huff[(0, comp_dc)], huff[(1, comp_ac)]
+    dc_tab = _jpeg_decode_lut(*huff[(0, comp_dc)])
+    ac_tab = _jpeg_decode_lut(*huff[(1, comp_ac)])
     bw, bh = -(-width // 8), -(-height // 8)
     reader = _JpegBitReader(scan_data)
-    out = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    n_blocks = bh * bw
+    zz_all = np.zeros((n_blocks, 64), dtype=np.int64)
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int64)
-            s = reader.read_symbol(dc_tab)
-            diff = _jpeg_extend(reader.read(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = reader.read_symbol(ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, s = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC run overflows the block")
-                zz[k] = _jpeg_extend(reader.read(s), s)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_JPEG_ZIGZAG] = (zz * qtab).astype(np.float64)
-            block = _JPEG_D.T @ coef.reshape(8, 8) @ _JPEG_D
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(block) + 128, 0, 255
-            ).astype(np.int64)
+    # entropy decode is inherently sequential (DC differences chain
+    # block to block); the DCT math below is vectorized across blocks
+    for bi in range(n_blocks):
+        zz = zz_all[bi]
+        s = reader.read_symbol(dc_tab)
+        diff = _jpeg_extend(reader.read(s), s) if s else 0
+        prev_dc += diff
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = reader.read_symbol(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, s = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC run overflows the block")
+            zz[k] = _jpeg_extend(reader.read(s), s)
+            k += 1
+    coef = np.zeros((n_blocks, 64), dtype=np.float64)
+    coef[:, _JPEG_ZIGZAG] = (zz_all * qtab).astype(np.float64)
+    blocks = _JPEG_D.T @ coef.reshape(-1, 8, 8) @ _JPEG_D  # broadcast matmul (BLAS)
+    px_blocks = np.clip(np.rint(blocks) + 128, 0, 255).astype(np.int64)
+    out = (
+        px_blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    )
     return {
         "width": int(width),
         "height": int(height),
