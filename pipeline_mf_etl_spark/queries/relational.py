@@ -911,25 +911,33 @@ def o18_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as every dedup family member: BLOCK first (equi-join key), compare
 # WITHIN blocks only (levenshtein is a JVM built-in on both engines),
 # emit scored pairs. All-pairs at 100 TB is O(N²); blocking bounds the
-# comparison volume to Σ C(block,2) summed over BOTH passes.
+# comparison volume to Σ C(block,2) summed over the passes.
 #
-# TWO-PASS blocking (r7 verdict task 7): single-key prefix blocking has
-# the textbook ER failure — a typo in the FIRST characters lands the
-# two records in different blocks and the pair is never compared. Pass
-# 2 blocks on the name SUFFIX (chars 15+). Coverage argument for the
-# lev<=1 threshold on same-length names (TPC-H names are fixed-form
-# "Customer#" + 9 digits, so lev 1 == one substitution): a substitution
-# at position p <= 14 leaves the suffix intact (pass-2 collision); at
-# p >= 15 it leaves the prefix intact (pass-1 collision) — every
-# qualifying pair is compared, i.e. the two passes are jointly
-# recall-COMPLETE for this threshold, not best-effort. (For variable-
-# length corpora an insertion near the front shifts the suffix too —
-# there the second pass would be a sorted-neighborhood window or q-gram
-# key instead; same Σ C(block,2) bound.)
+# FRAGMENT blocking, 3 passes (r7 verdict task 7): single-key prefix
+# blocking has the textbook ER failure — a typo in the FIRST characters
+# lands the two records in different blocks and the pair is never
+# compared. The scalable multi-pass fix is NOT a prefix+suffix pair
+# (any single fixed-position substring key has FIXED cardinality, so
+# its block sizes — and Σ C(block,2) — grow quadratically with the
+# corpus; measured in SCALE.md r8). Instead, split the 9 name digits
+# into three 3-digit fragments P1/P2/P3 and block on the three PAIRS
+# (P1,P2), (P1,P3), (P2,P3). Coverage for the lev<=1 threshold on the
+# fixed-form names ("Customer#" + 9 digits, so lev 1 == one
+# substitution): the typo touches at most one fragment (or only the
+# constant prefix), so at least one fragment PAIR is intact on both
+# records and that pass collides — jointly recall-COMPLETE, not
+# best-effort. Scale: each key has 10^6 values, 10× the single-pass
+# 10^5, so blocks stay small 10× longer, and the general pattern
+# (choose-(m-k) fragment keys for lev<=k over m fragments) lets key
+# cardinality grow with the corpus instead of being pinned by one
+# substring's length. (For variable-length corpora an insertion shifts
+# every later fragment — there the extra pass is a sorted-neighborhood
+# window or q-gram key instead; same Σ C(block,2) bound.)
 # ---------------------------------------------------------------------------
-_D10_PREFIX = 14  # "Customer#00000" + leading digits shared within a block
-_D10_SUFFIX_FROM = _D10_PREFIX + 1  # pass 2: chars 15+ (the last 4 digits)
 _D10_MAX_LEV = 1
+# the 9 name digits split as chars 10-12 / 13-15 / 16-18
+_D10_FRAGS = ((10, 3), (13, 3), (16, 3))
+_D10_KEYS = ((0, 1), (0, 2), (1, 2))  # fragment-pair blocking keys
 
 
 @query(
@@ -937,8 +945,9 @@ _D10_MAX_LEV = 1
     oracle=f"""
     WITH blocked AS (
         SELECT c_custkey, c_name, c_nationkey,
-               substr(c_name, 1, {_D10_PREFIX}) AS blk1,
-               substr(c_name, {_D10_SUFFIX_FROM}, 64) AS blk2
+               substr(c_name, 10, 3) AS p1,
+               substr(c_name, 13, 3) AS p2,
+               substr(c_name, 16, 3) AS p3
         FROM customer
     ),
     pairs AS (
@@ -946,12 +955,20 @@ _D10_MAX_LEV = 1
                a.c_name AS name_a, b.c_name AS name_b,
                a.c_nationkey AS nation_a, b.c_nationkey AS nation_b
         FROM blocked a
-        JOIN blocked b ON a.blk1 = b.blk1 AND a.c_custkey < b.c_custkey
+        JOIN blocked b ON a.p1 = b.p1 AND a.p2 = b.p2
+                      AND a.c_custkey < b.c_custkey
         UNION
         SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name,
                a.c_nationkey, b.c_nationkey
         FROM blocked a
-        JOIN blocked b ON a.blk2 = b.blk2 AND a.c_custkey < b.c_custkey
+        JOIN blocked b ON a.p1 = b.p1 AND a.p3 = b.p3
+                      AND a.c_custkey < b.c_custkey
+        UNION
+        SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name,
+               a.c_nationkey, b.c_nationkey
+        FROM blocked a
+        JOIN blocked b ON a.p2 = b.p2 AND a.p3 = b.p3
+                      AND a.c_custkey < b.c_custkey
     )
     SELECT custkey_a, custkey_b, name_a, name_b,
            CAST(levenshtein(name_a, name_b) AS INTEGER) AS name_dist,
@@ -961,43 +978,48 @@ _D10_MAX_LEV = 1
     """,
 )
 def d10_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-pass blocked fuzzy record linkage over customers: union of
-    name-prefix blocks (pass 1) and name-suffix blocks (pass 2 — the
-    first-character-typo recovery), pairs at edit distance <= 1, with
-    a nation-agreement flag for downstream merge rules (D10). The two
-    passes are jointly recall-complete for one-substitution typos on
-    the fixed-form names (see the section comment)."""
+    """Fragment-blocked fuzzy record linkage over customers: the name
+    digits split into three fragments, three passes blocked on each
+    fragment PAIR (jointly recall-complete for one-substitution typos
+    anywhere in the name — see the section comment), pairs at edit
+    distance <= 1, with a nation-agreement flag for downstream merge
+    rules (D10)."""
+    frag_cols = [
+        F.substring("c_name", start, ln).alias(f"p{i + 1}")
+        for i, (start, ln) in enumerate(_D10_FRAGS)
+    ]
     cu = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        F.substring("c_name", 1, _D10_PREFIX).alias("blk1"),
-        F.substring("c_name", _D10_SUFFIX_FROM, 64).alias("blk2"),
+        "c_custkey", "c_name", "c_nationkey", *frag_cols
     )
 
-    def pass_pairs(blk: str) -> DataFrame:
+    def pass_pairs(ka: int, kb: int) -> DataFrame:
+        keys = [f"p{ka + 1}", f"p{kb + 1}"]
         a = cu.select(
             F.col("c_custkey").alias("custkey_a"),
             F.col("c_name").alias("name_a"),
             F.col("c_nationkey").alias("nation_a"),
-            F.col(blk).alias("blk"),
+            *keys,
         )
         b = cu.select(
             F.col("c_custkey").alias("custkey_b"),
             F.col("c_name").alias("name_b"),
             F.col("c_nationkey").alias("nation_b"),
-            F.col(blk).alias("blk"),
+            *keys,
         )
         return (
-            a.join(b, "blk")
+            a.join(b, keys)
             .filter(F.col("custkey_a") < F.col("custkey_b"))
-            .drop("blk")
+            .drop(*keys)
         )
 
     # union BEFORE the distance filter mirrors the oracle's UNION-dedup;
-    # distinct() on the full pair row removes the (rare) pairs both
-    # passes emit, so the expensive levenshtein runs once per pair
-    pairs = pass_pairs("blk1").unionByName(pass_pairs("blk2")).distinct()
+    # distinct() on the full pair row removes the pairs several passes
+    # emit (exact-fragment twins collide in all three), so the
+    # expensive levenshtein runs once per pair
+    pairs = pass_pairs(*_D10_KEYS[0])
+    for ka, kb in _D10_KEYS[1:]:
+        pairs = pairs.unionByName(pass_pairs(ka, kb))
+    pairs = pairs.distinct()
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return pairs.filter(dist <= _D10_MAX_LEV).select(
         "custkey_a",

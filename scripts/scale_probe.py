@@ -139,6 +139,46 @@ def replicate(spark, mult: int) -> str:
     emb.select("*", copies).withColumn(
         "vec_id", F.col("vec_id") + F.col("copy") * n_vecs
     ).drop("copy").write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+    # customer (the d10 record-linkage probe): remap the key AND rebuild
+    # the fixed-form name from it — pure copies would give every name
+    # mult-1 exact lev-0 twins, so pair OUTPUT (not the plan) would grow
+    # quadratically in the multiple and the probe would measure the
+    # replication artifact instead of the blocking strategy
+    cu = load_table(spark, BASE_SF, "customer")
+    n_cust = cu.agg(F.max("c_custkey")).collect()[0][0] + 1
+    (
+        cu.select("*", copies)
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("copy") * n_cust)
+        .withColumn(
+            "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+        )
+        .drop("copy")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "customer.parquet"))
+    )
+
+    # adversarial hot-key mode (r7 verdict task 5): remap the given
+    # fraction of EVENT rows onto one user so the single-exchange
+    # window families (w21/w22/w23/j13) face a straggler partition AQE
+    # cannot split (windows are not salt-able)
+    skew = float(os.environ.get("SPARK_GRAFT_PROBE_SKEW", "0") or 0)
+    if skew > 0:
+        ev_path = os.path.join(out, "events.parquet")
+        skewed = (
+            spark.read.parquet(ev_path)
+            .withColumn(
+                "user_id",
+                F.when(
+                    F.pmod(F.xxhash64("event_id"), F.lit(int(round(1 / skew)))) == 0,
+                    F.lit(0),
+                ).otherwise(F.col("user_id")),
+            )
+        )
+        tmp = ev_path + ".skewed"
+        skewed.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(ev_path)
+        os.rename(tmp, ev_path)
     return out
 
 

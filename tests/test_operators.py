@@ -735,14 +735,14 @@ def test_containment_prefix_catches_what_lsh_misses(spark):
         sh.unpersist()
 
 
-def test_d10_second_blocking_pass_catches_early_typo(spark, tmp_path):
+def test_d10_fragment_blocking_catches_early_typo(spark, tmp_path):
     """The textbook ER failure of single-key blocking (r7 verdict task
     7): a typo INSIDE the prefix key lands the pair in different
     prefix blocks. Plant one early-digit typo pair and one late-digit
-    typo pair; the prefix-only pass must miss the former, the shipped
-    two-pass query must catch both; comparison volume must equal
-    Σ C(block,2) over both passes (the blocking bound, no hidden
-    all-pairs)."""
+    typo pair; a prefix-only pass must miss the former, the shipped
+    three-pass fragment-blocked query must catch both; comparison
+    volume must equal Σ C(block,2) over the three fragment-pair keys
+    (the blocking bound, no hidden all-pairs)."""
     import duckdb
     import pandas as pd
 
@@ -753,12 +753,10 @@ def test_d10_second_blocking_pass_catches_early_typo(spark, tmp_path):
 
     base = [f"Customer#{i:09d}" for i in range(1, 41)]
     names = base + [
-        "Customer#100000007",  # early typo twin of #000000007 (pos 10)
-        "Customer#000000031",  # exact-form neighbor: typo twin of
-                               # #000000081 at pos 16 (late, pass 1)
+        "Customer#100000007",  # early typo twin of #000000007 (pos 10, P1)
+        "Customer#000500013",  # middle typo twin of #000000013 (pos 13, P2)
+        "Customer#000000032",  # late typo twin of #000000031 (pos 18, P3)
     ]
-    # make the late-typo pair explicit: 41 differs from 31 at last digit
-    names.append("Customer#000000032")
     pdf = pd.DataFrame(
         {
             "c_custkey": range(1, len(names) + 1),
@@ -772,14 +770,15 @@ def test_d10_second_blocking_pass_catches_early_typo(spark, tmp_path):
     sdf = spec.spark(spark, str(tmp_path))
     rows = [tuple(r) for r in sdf.collect()]
     pairs = {(r[2], r[3]) for r in rows}
-    assert ("Customer#000000007", "Customer#100000007") in pairs, (
-        "second blocking pass failed to catch the early-position typo"
-    )
-    assert ("Customer#000000031", "Customer#000000032") in pairs, (
-        "prefix pass regressed on late-position typos"
-    )
+    for planted in [
+        ("Customer#000000007", "Customer#100000007"),  # typo in P1
+        ("Customer#000000013", "Customer#000500013"),  # typo in P2
+        ("Customer#000000031", "Customer#000000032"),  # typo in P3
+    ]:
+        assert planted in pairs, f"fragment blocking missed planted pair {planted}"
 
-    # prefix-only pass really does miss the early typo (the hole exists)
+    # a prefix-only single pass really does miss the early typo (the
+    # hole the multi-pass design exists to close)
     cu = spark.read.parquet(f"{tmp_path}/customer.parquet")
     blk = cu.select("c_custkey", "c_name", F.substring("c_name", 1, 14).alias("b"))
     one_pass = (
@@ -793,25 +792,28 @@ def test_d10_second_blocking_pass_catches_early_typo(spark, tmp_path):
         (r["na"], r["nb"]) for r in one_pass.collect()
     }
 
-    # comparison volume == Σ C(block,2) over both passes (pre-dedup)
-    def block_bound(col_expr):
+    # comparison volume == Σ C(block,2) over the three fragment-pair
+    # keys (pre-dedup): the blocking bound, no hidden all-pairs
+    frags = {
+        "p1": F.substring("c_name", 10, 3),
+        "p2": F.substring("c_name", 13, 3),
+        "p3": F.substring("c_name", 16, 3),
+    }
+    total_cmp, expected = 0, 0
+    for ka, kb in (("p1", "p2"), ("p1", "p3"), ("p2", "p3")):
+        keyed = cu.select("c_custkey", frags[ka].alias("ka"), frags[kb].alias("kb"))
         sizes = [
             r["n"]
-            for r in cu.groupBy(col_expr.alias("b")).agg(F.count("*").alias("n")).collect()
+            for r in keyed.groupBy("ka", "kb").agg(F.count("*").alias("n")).collect()
         ]
-        return sum(n * (n - 1) // 2 for n in sizes)
-
-    expected = block_bound(F.substring("c_name", 1, 14)) + block_bound(
-        F.substring("c_name", 15, 64)
-    )
-    b1 = blk.alias("x").join(blk.alias("y"), "b").filter(
-        F.col("x.c_custkey") < F.col("y.c_custkey")
-    )
-    blk2 = cu.select("c_custkey", F.substring("c_name", 15, 64).alias("b"))
-    b2 = blk2.alias("x").join(blk2.alias("y"), "b").filter(
-        F.col("x.c_custkey") < F.col("y.c_custkey")
-    )
-    assert b1.count() + b2.count() == expected
+        expected += sum(n * (n - 1) // 2 for n in sizes)
+        total_cmp += (
+            keyed.alias("x")
+            .join(keyed.alias("y"), ["ka", "kb"])
+            .filter(F.col("x.c_custkey") < F.col("y.c_custkey"))
+            .count()
+        )
+    assert total_cmp == expected
 
     # oracle parity on the synthetic table (same UNION-dedup semantics)
     con = duckdb.connect()
