@@ -911,64 +911,47 @@ def o18_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as every dedup family member: BLOCK first (equi-join key), compare
 # WITHIN blocks only (levenshtein is a JVM built-in on both engines),
 # emit scored pairs. All-pairs at 100 TB is O(N²); blocking bounds the
-# comparison volume to Σ C(block,2) summed over the passes.
+# comparison volume to Σ C(block,2) summed over the blocking keys.
 #
-# FRAGMENT blocking, 3 passes (r7 verdict task 7): single-key prefix
-# blocking has the textbook ER failure — a typo in the FIRST characters
-# lands the two records in different blocks and the pair is never
-# compared. The scalable multi-pass fix is NOT a prefix+suffix pair
-# (any single fixed-position substring key has FIXED cardinality, so
-# its block sizes — and Σ C(block,2) — grow quadratically with the
-# corpus; measured in SCALE.md r8). Instead, split the 9 name digits
-# into three 3-digit fragments P1/P2/P3 and block on the three PAIRS
-# (P1,P2), (P1,P3), (P2,P3). Coverage for the lev<=1 threshold on the
-# fixed-form names ("Customer#" + 9 digits, so lev 1 == one
-# substitution): the typo touches at most one fragment (or only the
-# constant prefix), so at least one fragment PAIR is intact on both
-# records and that pass collides — jointly recall-COMPLETE, not
-# best-effort. Scale: each key has 10^6 values, 10× the single-pass
-# 10^5, so blocks stay small 10× longer, and the general pattern
-# (choose-(m-k) fragment keys for lev<=k over m fragments) lets key
-# cardinality grow with the corpus instead of being pinned by one
-# substring's length. (For variable-length corpora an insertion shifts
-# every later fragment — there the extra pass is a sorted-neighborhood
-# window or q-gram key instead; same Σ C(block,2) bound.)
+# MASKED-POSITION blocking (FastSS / deletion-neighborhood idiom,
+# Bocek et al. 2007 — public): each record emits 9 keys, the name's
+# digit string with ONE position deleted, tagged with that position.
+# Two fixed-form names at lev<=1 (one substitution) agree everywhere
+# except the typo position, so masking THAT position on both sides
+# yields equal keys — recall-COMPLETE for lev<=1, one equi-self-join
+# on (pos, masked). This supersedes the r8 fragment-PAIR scheme, whose
+# (P1,P2) key shares the six HIGH-order digits: on dense sequential
+# keys those digits barely vary, so blocks hit the full 1000-row span
+# of the free low digits (measured: 7.49M of the 7.60M 1× comparisons
+# came from that one pass). Masking one position leaves eight fixed
+# digits per key — block size <= 10 on sequential ids (one free digit),
+# 262.5k comparisons at the same 1× (29× fewer), and the bound holds
+# under any key distribution because every key pins 8 of 9 digits.
+# Generalizes: lev<=k masks k positions (C(9,k) keys/record); for
+# variable-length corpora the same deletion keys additionally cover
+# single insert/delete edits (the original FastSS result).
 # ---------------------------------------------------------------------------
 _D10_MAX_LEV = 1
-# the 9 name digits split as chars 10-12 / 13-15 / 16-18
-_D10_FRAGS = ((10, 3), (13, 3), (16, 3))
-_D10_KEYS = ((0, 1), (0, 2), (1, 2))  # fragment-pair blocking keys
+_D10_DIGITS = (10, 9)  # the 9 name digits start at char 10 (1-based)
 
 
 @query(
     "d10_record_linkage",
     oracle=f"""
-    WITH blocked AS (
-        SELECT c_custkey, c_name, c_nationkey,
-               substr(c_name, 10, 3) AS p1,
-               substr(c_name, 13, 3) AS p2,
-               substr(c_name, 16, 3) AS p3
-        FROM customer
+    WITH keyed AS (
+        SELECT c_custkey, c_name, c_nationkey, pos,
+               substr(c_name, 10, pos - 1) || substr(c_name, 10 + pos, 9 - pos)
+                   AS masked
+        FROM customer, (SELECT unnest(range(1, 10)) AS pos)
     ),
     pairs AS (
-        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+        SELECT DISTINCT
+               a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
                a.c_name AS name_a, b.c_name AS name_b,
                a.c_nationkey AS nation_a, b.c_nationkey AS nation_b
-        FROM blocked a
-        JOIN blocked b ON a.p1 = b.p1 AND a.p2 = b.p2
-                      AND a.c_custkey < b.c_custkey
-        UNION
-        SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name,
-               a.c_nationkey, b.c_nationkey
-        FROM blocked a
-        JOIN blocked b ON a.p1 = b.p1 AND a.p3 = b.p3
-                      AND a.c_custkey < b.c_custkey
-        UNION
-        SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name,
-               a.c_nationkey, b.c_nationkey
-        FROM blocked a
-        JOIN blocked b ON a.p2 = b.p2 AND a.p3 = b.p3
-                      AND a.c_custkey < b.c_custkey
+        FROM keyed a
+        JOIN keyed b ON a.pos = b.pos AND a.masked = b.masked
+                    AND a.c_custkey < b.c_custkey
     )
     SELECT custkey_a, custkey_b, name_a, name_b,
            CAST(levenshtein(name_a, name_b) AS INTEGER) AS name_dist,
@@ -978,48 +961,51 @@ _D10_KEYS = ((0, 1), (0, 2), (1, 2))  # fragment-pair blocking keys
     """,
 )
 def d10_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fragment-blocked fuzzy record linkage over customers: the name
-    digits split into three fragments, three passes blocked on each
-    fragment PAIR (jointly recall-complete for one-substitution typos
-    anywhere in the name — see the section comment), pairs at edit
-    distance <= 1, with a nation-agreement flag for downstream merge
-    rules (D10)."""
-    frag_cols = [
-        F.substring("c_name", start, ln).alias(f"p{i + 1}")
-        for i, (start, ln) in enumerate(_D10_FRAGS)
-    ]
+    """Masked-position (deletion-neighborhood) fuzzy record linkage
+    over customers: each name emits 9 (position, digits-minus-that-
+    position) keys, one equi-self-join on the key finds every pair at
+    edit distance <= 1 (recall-complete for one-substitution typos
+    anywhere in the name — see the section comment), with a
+    nation-agreement flag for downstream merge rules (D10)."""
+    start, ndig = _D10_DIGITS
     cu = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey", *frag_cols
+        "c_custkey", "c_name", "c_nationkey"
     )
-
-    def pass_pairs(ka: int, kb: int) -> DataFrame:
-        keys = [f"p{ka + 1}", f"p{kb + 1}"]
-        a = cu.select(
-            F.col("c_custkey").alias("custkey_a"),
-            F.col("c_name").alias("name_a"),
-            F.col("c_nationkey").alias("nation_a"),
-            *keys,
-        )
-        b = cu.select(
-            F.col("c_custkey").alias("custkey_b"),
-            F.col("c_name").alias("name_b"),
-            F.col("c_nationkey").alias("nation_b"),
-            *keys,
-        )
-        return (
-            a.join(b, keys)
-            .filter(F.col("custkey_a") < F.col("custkey_b"))
-            .drop(*keys)
-        )
-
-    # union BEFORE the distance filter mirrors the oracle's UNION-dedup;
-    # distinct() on the full pair row removes the pairs several passes
-    # emit (exact-fragment twins collide in all three), so the
+    keyed = cu.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.explode(F.sequence(F.lit(1), F.lit(ndig))).alias("pos"),
+    ).withColumn(
+        "masked",
+        F.concat(
+            F.expr(f"substring(c_name, {start}, pos - 1)"),
+            F.expr(f"substring(c_name, {start} + pos, {ndig} - pos)"),
+        ),
+    )
+    a = keyed.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nation_a"),
+        "pos",
+        "masked",
+    )
+    b = keyed.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nation_b"),
+        "pos",
+        "masked",
+    )
+    # distinct BEFORE the distance filter mirrors the oracle's
+    # DISTINCT: exact-digit twins collide at all 9 positions, so the
     # expensive levenshtein runs once per pair
-    pairs = pass_pairs(*_D10_KEYS[0])
-    for ka, kb in _D10_KEYS[1:]:
-        pairs = pairs.unionByName(pass_pairs(ka, kb))
-    pairs = pairs.distinct()
+    pairs = (
+        a.join(b, ["pos", "masked"])
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .drop("pos", "masked")
+        .distinct()
+    )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return pairs.filter(dist <= _D10_MAX_LEV).select(
         "custkey_a",

@@ -735,14 +735,14 @@ def test_containment_prefix_catches_what_lsh_misses(spark):
         sh.unpersist()
 
 
-def test_d10_fragment_blocking_catches_early_typo(spark, tmp_path):
+def test_d10_masked_blocking_catches_early_typo(spark, tmp_path):
     """The textbook ER failure of single-key blocking (r7 verdict task
     7): a typo INSIDE the prefix key lands the pair in different
-    prefix blocks. Plant one early-digit typo pair and one late-digit
-    typo pair; a prefix-only pass must miss the former, the shipped
-    three-pass fragment-blocked query must catch both; comparison
-    volume must equal Σ C(block,2) over the three fragment-pair keys
-    (the blocking bound, no hidden all-pairs)."""
+    prefix blocks. Plant early-, middle- and late-digit typo pairs; a
+    prefix-only pass must miss the first, the shipped masked-position
+    (deletion-neighborhood) query must catch all three; comparison
+    volume must equal Σ C(block,2) over the (pos, masked) keys (the
+    blocking bound, no hidden all-pairs)."""
     import duckdb
     import pandas as pd
 
@@ -771,11 +771,11 @@ def test_d10_fragment_blocking_catches_early_typo(spark, tmp_path):
     rows = [tuple(r) for r in sdf.collect()]
     pairs = {(r[2], r[3]) for r in rows}
     for planted in [
-        ("Customer#000000007", "Customer#100000007"),  # typo in P1
-        ("Customer#000000013", "Customer#000500013"),  # typo in P2
-        ("Customer#000000031", "Customer#000000032"),  # typo in P3
+        ("Customer#000000007", "Customer#100000007"),  # typo in digit 1
+        ("Customer#000000013", "Customer#000500013"),  # typo in digit 4
+        ("Customer#000000031", "Customer#000000032"),  # typo in digit 9
     ]:
-        assert planted in pairs, f"fragment blocking missed planted pair {planted}"
+        assert planted in pairs, f"masked blocking missed planted pair {planted}"
 
     # a prefix-only single pass really does miss the early typo (the
     # hole the multi-pass design exists to close)
@@ -792,28 +792,36 @@ def test_d10_fragment_blocking_catches_early_typo(spark, tmp_path):
         (r["na"], r["nb"]) for r in one_pass.collect()
     }
 
-    # comparison volume == Σ C(block,2) over the three fragment-pair
-    # keys (pre-dedup): the blocking bound, no hidden all-pairs
-    frags = {
-        "p1": F.substring("c_name", 10, 3),
-        "p2": F.substring("c_name", 13, 3),
-        "p3": F.substring("c_name", 16, 3),
-    }
-    total_cmp, expected = 0, 0
-    for ka, kb in (("p1", "p2"), ("p1", "p3"), ("p2", "p3")):
-        keyed = cu.select("c_custkey", frags[ka].alias("ka"), frags[kb].alias("kb"))
-        sizes = [
-            r["n"]
-            for r in keyed.groupBy("ka", "kb").agg(F.count("*").alias("n")).collect()
-        ]
-        expected += sum(n * (n - 1) // 2 for n in sizes)
-        total_cmp += (
-            keyed.alias("x")
-            .join(keyed.alias("y"), ["ka", "kb"])
-            .filter(F.col("x.c_custkey") < F.col("y.c_custkey"))
-            .count()
-        )
+    # comparison volume == Σ C(block,2) over the (pos, masked) keys
+    # (pre-dedup): the blocking bound, no hidden all-pairs
+    keyed = cu.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("pos"),
+    ).withColumn(
+        "masked",
+        F.concat(
+            F.expr("substring(c_name, 10, pos - 1)"),
+            F.expr("substring(c_name, 10 + pos, 9 - pos)"),
+        ),
+    )
+    sizes = [
+        r["n"]
+        for r in keyed.groupBy("pos", "masked").agg(F.count("*").alias("n")).collect()
+    ]
+    expected = sum(n * (n - 1) // 2 for n in sizes)
+    total_cmp = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), ["pos", "masked"])
+        .filter(F.col("x.c_custkey") < F.col("y.c_custkey"))
+        .count()
+    )
     assert total_cmp == expected
+    # on sequential ids every key pins 8 of the 9 digits: blocks stay
+    # single-digit-sized (10 per decade run, +1 for the planted twin),
+    # unlike the fragment-pair scheme's 1000-row high-order blocks this
+    # rewrite replaced
+    assert max(sizes) <= 11
 
     # oracle parity on the synthetic table (same UNION-dedup semantics)
     con = duckdb.connect()
