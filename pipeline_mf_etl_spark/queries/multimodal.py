@@ -753,3 +753,75 @@ def mm13_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_byte",
         "min_byte",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm14: MP4 demux — the VIDEO-CONTAINER leg of the codec family. What a
+# training pipeline must get right on MP4 at 100 TB is the CONTAINER:
+# box-tree walk + sample-table resolution (stts/stsc/stsz/stco) to
+# per-sample byte ranges, so frame extraction is offset slicing, never
+# a transcode. Synthesis packs the text bytes as 8x8 uncompressed luma
+# samples (4 per chunk — real stsc chunk-run resolution on every
+# multi-chunk doc) with cycling 1,2,3-tick durations (real stts run
+# expansion); the mapping is invertible, so the oracle recomputes the
+# decoded stats and the tick total straight from the characters — a
+# hash match certifies the whole demux path. Compressed sample entries
+# (avc1/...) raise loudly at the stsd gate, mirroring decode_media.
+# ---------------------------------------------------------------------------
+@query(
+    "mm14_mp4_demux",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) // 64 AS n
+        FROM documents
+    ), sampled AS (
+        SELECT g.doc_id,
+               ord(substr(g.text, CAST(t.f * 64 + i AS INTEGER), 1)) AS byte
+        FROM geo g,
+             UNNEST(range(0, g.n, 4)) AS t(f),
+             UNNEST(range(1, 65)) AS u(i)
+    ), agg AS (
+        SELECT doc_id, SUM(byte) AS sb, MAX(byte) AS mx, COUNT(*) AS c
+        FROM sampled GROUP BY doc_id
+    ), dur AS (
+        SELECT g.doc_id, SUM(1 + (t.i % 3)) AS ticks
+        FROM geo g, UNNEST(range(0, g.n)) AS t(i)
+        GROUP BY g.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(g.n AS BIGINT) AS n_samples,
+           CAST(COALESCE(d.ticks, 0) AS BIGINT) AS duration_ticks,
+           ROUND(a.sb * 1.0 / a.c, 6) AS mean_luma,
+           CAST(a.mx AS BIGINT) AS max_luma
+    FROM geo g
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN dur d USING (doc_id)
+    """,
+)
+def mm14_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats through the real ISO-BMFF demux: text -> MP4
+    encode (ftyp/mdat/moov with a fully populated sample table) -> box
+    walk + stts/stsc/stsz/stco resolution + sample slicing -> exact
+    luma stats over every 4th frame plus the track's tick duration.
+    The oracle recomputes everything from the raw characters, so a
+    hash match proves the demux resolved every chunk run, sample size
+    and duration run byte-exactly. Map-only plan (synth + demux in one
+    Arrow pipeline, zero shuffles)."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_mp4_features,
+        with_mp4_payload,
+    )
+
+    docs = with_mp4_payload(load_table(spark, sf_dir, "documents"))
+    feats = decode_mp4_features(docs, stride=4)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_samples",
+        "duration_ticks",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "max_luma",
+    )

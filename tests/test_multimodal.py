@@ -620,3 +620,125 @@ class TestJpegCodec:
         )
         p = decode_media(encode_jpeg_gray(gray.tobytes(), 128, 8), "image/jpeg")
         assert p["width"] == 128 and np.array_equal(p["pixels"].reshape(8, 128), gray)
+
+
+class TestMp4Demux:
+    """ISO-BMFF box grammar + full sample-table resolution (mm14)."""
+
+    def test_roundtrip_exact_and_sample_table(self):
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            _mp4_sample_durations,
+            encode_mp4,
+            parse_mp4,
+        )
+
+        rng = np.random.default_rng(19)
+        # 0 samples, sub-chunk, exact-chunk, multi-chunk + tail chunk
+        for n in (0, 1, 3, 4, 8, 13):
+            fr = rng.integers(0, 256, size=(n, 64), dtype=np.uint8)
+            v = parse_mp4(encode_mp4(fr, 8, 8))
+            assert (v["width"], v["height"]) == (8, 8)
+            assert v["n_samples"] == n
+            assert v["timescale"] == 600
+            assert v["durations"] == _mp4_sample_durations(n)
+            assert v["duration"] == sum(v["durations"])
+            assert np.array_equal(v["frames"], fr)
+
+    def test_malformed_inputs_fail_loudly(self):
+        import numpy as np
+        import pytest
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_mp4,
+            parse_mp4,
+        )
+
+        good = encode_mp4(np.zeros((5, 64), dtype=np.uint8), 8, 8)
+        with pytest.raises(ValueError, match="ftyp"):
+            parse_mp4(b"\x00\x00\x00\x08free" + good)
+        with pytest.raises(ValueError, match="truncated|overruns"):
+            parse_mp4(good[:-7])  # moov loses its tail
+        with pytest.raises(ValueError, match="impossible box size"):
+            parse_mp4(good[:4].replace(good[:4], b"\x00\x00\x00\x03") + good[4:])
+        # corrupt the stsz sample count: stts/stsz mismatch must be caught
+        import struct
+        i = good.index(b"stsz")
+        bad = (
+            good[: i + 12]
+            + struct.pack(">I", 4)  # declare 4 samples, stts covers 5
+            + good[i + 16 :]
+        )
+        with pytest.raises(ValueError, match="mismatch"):
+            parse_mp4(bad)
+        # patch an stco chunk offset past EOF: the sample slicer must
+        # refuse rather than read garbage
+        k = good.index(b"stco")
+        first_off = k + 12  # size+type+fullbox+entry_count
+        hacked = (
+            good[:first_off] + struct.pack(">I", len(good) + 100) + good[first_off + 4 :]
+        )
+        with pytest.raises(ValueError, match="overruns the file"):
+            parse_mp4(hacked)
+
+    def test_compressed_sample_entry_gate(self):
+        import numpy as np
+        import pytest
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_mp4,
+            parse_mp4,
+        )
+
+        good = encode_mp4(np.zeros((2, 64), dtype=np.uint8), 8, 8)
+        with pytest.raises(NotImplementedError, match="avc1"):
+            parse_mp4(good.replace(b"raw ", b"avc1", 1))
+
+    def test_decode_media_dispatches_mp4(self):
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            decode_media,
+            encode_mp4,
+        )
+
+        fr = np.arange(2 * 64, dtype=np.uint64).astype(np.uint8).reshape(2, 64)
+        v = decode_media(encode_mp4(fr, 8, 8), "video/mp4")
+        assert v["n_samples"] == 2 and np.array_equal(v["frames"], fr)
+
+    def test_mm14_stats_match_text(self, spark, tmp_path):
+        # end-to-end through the Spark plan on a tiny synthetic corpus:
+        # decoded stats equal what the characters imply (the oracle
+        # contract), including the 0-sample and tail-chunk shapes
+        import pandas as pd
+
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        texts = [
+            "",  # 0 samples
+            "x" * 63,  # still 0 samples
+            "a" * 64,  # one sample
+            "".join(chr(33 + (i % 90)) for i in range(64 * 9 + 7)),  # tail chunk
+        ]
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in all_queries()["mm14_mp4_demux"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        }
+        assert rows[0]["n_samples"] == 0 and rows[0]["mean_luma"] is None
+        assert rows[1]["n_samples"] == 0 and rows[1]["duration_ticks"] == 0
+        assert rows[2]["n_samples"] == 1 and rows[2]["mean_luma"] == float(ord("a"))
+        r3 = rows[3]
+        assert r3["n_samples"] == 9
+        assert r3["duration_ticks"] == sum(1 + (i % 3) for i in range(9))
+        sampled = [i for i in range(9) if i % 4 == 0]
+        byts = [
+            ord(texts[3][f * 64 + k]) for f in sampled for k in range(64)
+        ]
+        assert r3["mean_luma"] == round(sum(byts) / len(byts), 6)
+        assert r3["max_luma"] == max(byts)
