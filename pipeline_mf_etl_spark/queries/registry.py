@@ -68,12 +68,12 @@ _QUERY_MODULES = (
 # the 33 rows whose latest driver green is the r3 window (code untouched
 # since; local parity re-proves them every round) go FIRST, then the
 # round-8 edits/additions that need (re-)certification (mm13 JPEG decode
-# is new; d10 gains a second blocking key, d11 the one-sided containment
-# bands, i5 is rewired through the shared manifest-merge path), then the
-# oldest r4-green rows (the B-family) fill the 50 slots. Rotated out (all
-# green r7, code untouched): the r7 window. After r8 no certification is
-# older than r4; rotate the remaining r4 rows (m1/m2/m8, j8, m12,
-# m16-m21 companions) in round 9.
+# and mm14 MP4 demux are new; d10 moves to masked-position blocking, d11
+# to one-sided containment candidates, i5 is rewired through the shared
+# manifest-merge path), then the oldest r4-green rows (the B-family)
+# fill the 50 slots. Rotated out (all green r7, code untouched): the r7
+# window. After r8 no certification is older than r4; rotate the
+# remaining r4 rows (m1/m2/m8, j8, m12, m16-m21 companions) in round 9.
 _PRIORITY = (
     # --- (1) the 33 r3-stale certifications (verdict r7 task 1) ---
     "p1_normalize",
@@ -111,6 +111,7 @@ _PRIORITY = (
     "o6_anti_join",
     # --- (2) round-8 new/edited code needing (re-)certification ---
     "mm13_jpeg_decode",
+    "mm14_mp4_demux",
     "d10_record_linkage",
     "d11_containment",
     "i5_manifest_merge",

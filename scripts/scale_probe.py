@@ -130,9 +130,33 @@ def replicate(spark, mult: int) -> str:
 
     docs = load_table(spark, BASE_SF, "documents")
     n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    docs.select("*", copies).withColumn(
+    docs = docs.select("*", copies).withColumn(
         "doc_id", F.col("doc_id") + F.col("copy") * n_docs
-    ).drop("copy").write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    )
+    # constant-duplicate-density mode: plain replication gives every doc
+    # mult-1 EXACT twins, so dedup-family pair OUTPUT grows quadratically
+    # in the multiple BY CORRECTNESS (the algorithm must emit every
+    # qualifying pair) and the probe measures that output flood, not the
+    # plan. With UNIQUE=1 each copy's letters are Caesar-rotated by the
+    # copy index — token structure, lengths and within-copy duplicate
+    # rate are preserved, but cross-copy shingles are disjoint, which is
+    # how a real corpus grows (new vocabulary, constant dup density).
+    if os.environ.get("SPARK_GRAFT_PROBE_UNIQUE"):
+        lo = "abcdefghijklmnopqrstuvwxyz"
+        up = lo.upper()
+        rotated = F.col("text")
+        for k in range(1, mult):
+            r = k % 26
+            rotated = F.when(
+                F.col("copy") == k,
+                F.translate(
+                    "text", lo + up, lo[r:] + lo[:r] + up[r:] + up[:r]
+                ),
+            ).otherwise(rotated)
+        docs = docs.withColumn("text", rotated)
+    docs.drop("copy").write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
 
     emb = load_table(spark, BASE_SF, "embeddings")
     n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
