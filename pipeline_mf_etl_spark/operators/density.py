@@ -79,3 +79,191 @@ def eps_from_quantile(
         D = pairwise_dist_chunked(X)
     upper = D[np.triu_indices(len(X), k=1)]
     return float(np.quantile(upper, q))
+
+
+# ---------------------------------------------------------------------------
+# Exact HDBSCAN (Campello, Moulavi, Sander 2013) — pure NumPy, no
+# optional package. Pipeline: core distances (min_samples-th NN, self
+# included, matching the reference library's convention) → mutual-
+# reachability graph → Prim MST (O(n²), fine at the 4k driver cap) →
+# single-linkage dendrogram → condensed tree at min_cluster_size →
+# excess-of-mass cluster selection (allow_single_cluster=False: the
+# root is never selected, exactly like the library default). All ties
+# break on index order, so labels are deterministic.
+# ---------------------------------------------------------------------------
+def _mst_prim(W: np.ndarray) -> list[tuple[float, int, int]]:
+    """Minimum spanning tree of a dense weight matrix, Prim's algorithm.
+    Returns (weight, a, b) edges; ties resolve toward the lowest index
+    (np.argmin picks the first minimum), so the tree is deterministic."""
+    n = len(W)
+    in_tree = np.zeros(n, dtype=bool)
+    best = np.full(n, np.inf)
+    best_from = np.zeros(n, dtype=np.int64)
+    in_tree[0] = True
+    np.minimum(best, W[0], out=best)
+    best_from[:] = 0
+    best[0] = np.inf
+    edges: list[tuple[float, int, int]] = []
+    for _ in range(n - 1):
+        j = int(np.argmin(best))
+        edges.append((float(best[j]), int(best_from[j]), j))
+        in_tree[j] = True
+        improved = W[j] < best
+        improved &= ~in_tree
+        best_from[improved] = j
+        np.minimum(best, np.where(in_tree, np.inf, W[j]), out=best)
+        best[j] = np.inf
+    return edges
+
+
+def hdbscan_labels(
+    X: np.ndarray,
+    min_cluster_size: int = 5,
+    min_samples: int | None = None,
+    D: np.ndarray | None = None,
+) -> np.ndarray:
+    """Exact HDBSCAN labels with -1 noise.
+
+    Unlike DBSCAN's single global eps, the condensed tree keeps a
+    cluster alive across its own density range and the excess-of-mass
+    rule picks the most stable clusters — so clusters of DIFFERENT
+    densities are recovered simultaneously (the planted variable-
+    density test asserts exactly the case a single-eps DBSCAN cannot
+    split correctly).
+    """
+    if min_cluster_size < 2:
+        raise ValueError("min_cluster_size must be >= 2")
+    n = len(X)
+    if min_samples is None:
+        min_samples = min_cluster_size
+    if n < min_cluster_size:
+        return np.full(n, -1, dtype=np.int64)
+    if D is None:
+        D = pairwise_dist_chunked(X)
+
+    # core distance: min_samples-th nearest including self (row has d=0
+    # to itself, so index min_samples-1 after a partial sort)
+    k = min(min_samples, n) - 1
+    core = np.partition(D, k, axis=1)[:, k]
+    mreach = np.maximum(np.maximum.outer(core, core), D)
+
+    edges = sorted(
+        _mst_prim(mreach), key=lambda e: (e[0], min(e[1], e[2]), max(e[1], e[2]))
+    )
+
+    # single-linkage dendrogram over the MST: leaves 0..n-1, internal
+    # nodes n..2n-2 in merge order
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    comp_node = list(range(n))  # uf root -> dendrogram node id
+    children: dict[int, tuple[int, int]] = {}
+    node_dist = [0.0] * (2 * n - 1)
+    size = [1] * n + [0] * (n - 1)
+    nxt = n
+    for w, a, b in edges:
+        ra, rb = find(a), find(b)
+        na, nb = comp_node[ra], comp_node[rb]
+        parent[ra] = rb
+        children[nxt] = (na, nb)
+        node_dist[nxt] = w
+        size.append(0)
+        size[nxt] = size[na] + size[nb]
+        comp_node[rb] = nxt
+        nxt += 1
+    root = nxt - 1
+
+    def leaves_under(node: int) -> list[int]:
+        out, stack = [], [node]
+        while stack:
+            m = stack.pop()
+            if m < n:
+                out.append(m)
+            else:
+                stack.extend(children[m])
+        return out
+
+    def lam(dist: float) -> float:
+        return 1.0 / max(dist, 1e-300)
+
+    # condensed tree: clusters are born at splits where BOTH sides hold
+    # >= min_cluster_size points; smaller sides fall out as members
+    birth: dict[int, float] = {0: 0.0}
+    stab: dict[int, float] = {0: 0.0}
+    kids: dict[int, list[int]] = {0: []}
+    members: dict[int, list[tuple[int, float]]] = {0: []}
+    next_cid = 1
+    stack = [(root, 0)]
+    while stack:
+        node, c = stack.pop()
+        if node < n:  # singleton component: falls out when its edge cut
+            members[c].append((node, birth[c]))
+            continue
+        d = node_dist[node]
+        la = lam(d)
+        L, R = children[node]
+        big = [ch for ch in (L, R) if size[ch] >= min_cluster_size]
+        if len(big) == 2:
+            stab[c] += size[node] * (la - birth[c])
+            for ch in (L, R):
+                cid = next_cid
+                next_cid += 1
+                birth[cid] = la
+                stab[cid] = 0.0
+                kids[cid] = []
+                members[cid] = []
+                kids[c].append(cid)
+                stack.append((ch, cid))
+        elif len(big) == 1:
+            small = R if big[0] == L else L
+            for p in leaves_under(small):
+                stab[c] += la - birth[c]
+                members[c].append((p, la))
+            stack.append((big[0], c))
+        else:
+            stab[c] += size[node] * (la - birth[c])
+            for p in leaves_under(node):
+                members[c].append((p, la))
+
+    # excess-of-mass selection, bottom-up (children have larger cids);
+    # the root cluster 0 is never selectable
+    selected: dict[int, bool] = {}
+    subtree_stab: dict[int, float] = {}
+    for c in sorted(birth, reverse=True):
+        ch_sum = sum(subtree_stab[ch] for ch in kids[c])
+        if c == 0:
+            selected[c] = False
+            subtree_stab[c] = ch_sum
+        elif not kids[c] or stab[c] >= ch_sum:
+            selected[c] = True
+            subtree_stab[c] = stab[c]
+        else:
+            selected[c] = False
+            subtree_stab[c] = ch_sum
+
+    def deselect_descendants(c: int) -> None:
+        stack2 = list(kids[c])
+        while stack2:
+            d2 = stack2.pop()
+            selected[d2] = False
+            stack2.extend(kids[d2])
+
+    for c in sorted(birth):  # top-down: outermost selected wins
+        if selected.get(c):
+            deselect_descendants(c)
+
+    labels = np.full(n, -1, dtype=np.int64)
+    picked = [c for c in sorted(birth) if selected.get(c)]
+    for label, c in enumerate(picked):
+        stack3 = [c]
+        while stack3:
+            d3 = stack3.pop()
+            for p, _ in members[d3]:
+                labels[p] = label
+            stack3.extend(kids[d3])
+    return labels
