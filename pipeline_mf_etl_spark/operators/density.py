@@ -1,12 +1,14 @@
-"""Density-based clustering (M6) — pure-NumPy DBSCAN fallback.
+"""Density-based clustering (M6) — pure-NumPy exact HDBSCAN + DBSCAN.
 
 The reference treats HDBSCAN as an optional dependency
-(research/clustering.py:184-203); this container has neither sklearn
-nor hdbscan, so the engine gates the exact HDBSCAN path
-(queries/ml.py:hdbscan_fit) and provides this deterministic fallback
-with the same operational contract: integer cluster labels with ``-1``
-noise, fit on a bounded driver sample, cluster-level diagnostics only
-(label-invariant outputs, like every ML query here).
+(research/clustering.py:184-203); this engine carries NO such gate:
+``hdbscan_labels`` below is a complete exact HDBSCAN (mutual-
+reachability MST -> single-linkage dendrogram -> condensed tree ->
+excess-of-mass selection) with the standard operational contract —
+integer cluster labels with ``-1`` noise, fit on a bounded driver
+sample, cluster-level diagnostics only (label-invariant outputs, like
+every ML query here). ``dbscan_labels`` (single global eps) stays for
+its own semantics and as the measured contrast case.
 
 Scale shape mirrors the HMM/IVF pattern: the O(n²) fit runs on a capped
 id-ordered sample on the driver; anything distributed consumes only the

@@ -334,20 +334,17 @@ def m20_ari_vs_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M6: HDBSCAN — optional in the reference, unavailable here (no sklearn/
-# hdbscan in the environment); the gate mirrors research/clustering.py:184-203.
-# m6_density_clusters below runs the exact HDBSCAN when the package is
-# present and otherwise a deterministic pure-NumPy DBSCAN with the same
-# labels-with-noise contract (operators/density.py).
+# M6: HDBSCAN — optional in the reference (research/clustering.py:184-203
+# falls back when the package is missing). Since r8 the engine needs no
+# package at all: operators/density.hdbscan_labels is a complete exact
+# HDBSCAN (mutual-reachability MST -> condensed tree -> excess-of-mass
+# selection, Campello/Moulavi/Sander 2013) in pure NumPy, deterministic
+# by construction. The earlier DBSCAN fallback remains in the module for
+# its single-eps semantics tests, but m6 no longer uses it — HDBSCAN's
+# whole point is recovering clusters of DIFFERENT densities, which a
+# single global eps structurally cannot (tests/test_operators.py::
+# test_hdbscan_variable_density_beats_single_eps measures the contrast).
 # ---------------------------------------------------------------------------
-def hdbscan_fit(*_args, **_kwargs):
-    try:
-        import hdbscan  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "HDBSCAN requires the optional 'hdbscan' package (reference "
-            "research/clustering.py:184-203 treats it as optional too)"
-        ) from exc
 
 
 @query(
@@ -379,20 +376,17 @@ def hdbscan_fit(*_args, **_kwargs):
     """,
 )
 def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Density clustering diagnostics (M6): HDBSCAN when installed, else
-    the NumPy DBSCAN fallback — driver fit on an id-ordered capped
-    sample (the reference's research fit is driver-side too), eps from
-    the 2% pairwise-distance quantile, min_pts=5. Output is
-    label-invariant: cluster count, noise share, size profile of the
-    top clusters. ``sample_coverage`` makes the capped-sample basis
-    self-describing: at sf1+ the 4k cap covers a sliver of the corpus
-    and the consumer must see that in the output, not the docstring."""
+    """Density clustering diagnostics (M6): exact in-house HDBSCAN
+    (operators/density.hdbscan_labels, min_cluster_size=5) — driver fit
+    on an id-ordered capped sample (the reference's research fit is
+    driver-side too). Output is label-invariant: cluster count, noise
+    share, size profile of the top clusters. ``sample_coverage`` makes
+    the capped-sample basis self-describing: at sf1+ the 4k cap covers
+    a sliver of the corpus and the consumer must see that in the
+    output, not the docstring."""
     import numpy as np
 
-    from pipeline_mf_etl_spark.operators.density import (
-        dbscan_labels,
-        eps_from_quantile,
-    )
+    from pipeline_mf_etl_spark.operators.density import hdbscan_labels
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_total = emb.count()
@@ -406,15 +400,7 @@ def m6_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if len(X) < 2:  # no pairwise distances → no clusters, only noise
         labels = np.full(len(X), -1, dtype=np.int64)
     else:
-        try:
-            import hdbscan
-
-            labels = hdbscan.HDBSCAN(min_cluster_size=5).fit_predict(X)
-        except ImportError:
-            from pipeline_mf_etl_spark.operators.density import pairwise_dist_chunked
-
-            D = pairwise_dist_chunked(X)  # shared: eps derivation + fit
-            labels = dbscan_labels(X, eps_from_quantile(X, D=D), min_pts=5, D=D)
+        labels = hdbscan_labels(X, min_cluster_size=5)
 
     labels = np.asarray(labels)
     persisted = _export(

@@ -129,7 +129,10 @@ _PRIORITY = (
     "b11_robustness_score",
     "b13_candidate_drift",
     "b14_calibration_sweep",
-    "b15_equity_summary",
+    # m6's fallback became the exact in-house HDBSCAN in r8 — changed
+    # code outranks stale-but-untouched code for the 50th slot; b15
+    # (r4-green, untouched) leads the r9 rotation with b12 instead
+    "m6_density_clusters",
 )
 
 

@@ -834,3 +834,68 @@ def test_d10_masked_blocking_catches_early_typo(spark, tmp_path):
     assert canonical_rows(rows, list(sdf.columns)) == canonical_rows(
         cur.fetchall(), dcols
     )
+
+
+def test_hdbscan_hand_computed_case():
+    """Tiny 1-D case checkable by hand: two triplets 8 apart, unit
+    spacing inside. Condensed tree: root splits at lambda=1/8 into two
+    size-3 clusters; each is a leaf cluster (its internal splits only
+    shed sub-min_cluster_size sides), so EOM selects both."""
+    import numpy as np
+
+    from pipeline_mf_etl_spark.operators.density import hdbscan_labels
+
+    X = np.array([[0.0], [1.0], [2.0], [10.0], [11.0], [12.0]])
+    labels = hdbscan_labels(X, min_cluster_size=2)
+    assert labels.tolist() == [0, 0, 0, 1, 1, 1]
+
+
+def test_hdbscan_variable_density_beats_single_eps():
+    """The case single-eps DBSCAN structurally cannot handle: one tight
+    cluster (sigma .05) and one loose cluster (sigma .8). HDBSCAN must
+    recover both intact; DBSCAN at the tight-cluster eps must lose the
+    loose cluster to noise (this contrast is the reason m6's fallback
+    is now exact HDBSCAN, not DBSCAN)."""
+    import numpy as np
+
+    from pipeline_mf_etl_spark.operators.density import (
+        dbscan_labels,
+        eps_from_quantile,
+        hdbscan_labels,
+        pairwise_dist_chunked,
+    )
+
+    rng = np.random.default_rng(23)
+    A = rng.normal([0, 0], 0.05, (50, 2))
+    B = rng.normal([20, 20], 0.8, (50, 2))
+    X = np.vstack([A, B])
+
+    labels = hdbscan_labels(X, min_cluster_size=5)
+    la, lb = set(labels[:50].tolist()), set(labels[50:].tolist())
+    assert la == {0} and lb == {1}, (la, lb)
+    # determinism
+    assert (hdbscan_labels(X, min_cluster_size=5) == labels).all()
+
+    eps = eps_from_quantile(X)
+    dl = dbscan_labels(X, eps, 5, D=pairwise_dist_chunked(X))
+    assert set(dl[50:].tolist()) == {-1}  # loose cluster lost at tight eps
+
+
+def test_hdbscan_noise_and_degenerate_inputs():
+    import numpy as np
+    import pytest
+
+    from pipeline_mf_etl_spark.operators.density import hdbscan_labels
+
+    rng = np.random.default_rng(29)
+    # sparse uniform scatter: no 15-point density peak -> all noise
+    U = rng.uniform(0, 100, (30, 2))
+    assert set(hdbscan_labels(U, min_cluster_size=15).tolist()) == {-1}
+    # fewer points than min_cluster_size -> all noise
+    assert hdbscan_labels(U[:3], min_cluster_size=5).tolist() == [-1, -1, -1]
+    # duplicate points (zero distances) must not break the lambda math
+    Z = np.vstack([np.zeros((10, 2)), np.ones((10, 2)) * 50])
+    lz = hdbscan_labels(Z, min_cluster_size=5)
+    assert set(lz[:10].tolist()) == {0} and set(lz[10:].tolist()) == {1}
+    with pytest.raises(ValueError, match="min_cluster_size"):
+        hdbscan_labels(U, min_cluster_size=1)
