@@ -127,12 +127,12 @@ _PRIORITY = (
     "b8_equity_curve",
     "b10_sensitivity_grid",
     "b11_robustness_score",
-    "b13_candidate_drift",
-    "b14_calibration_sweep",
-    # m6's fallback became the exact in-house HDBSCAN in r8 — changed
-    # code outranks stale-but-untouched code for the 50th slot; b15
-    # (r4-green, untouched) leads the r9 rotation with b12 instead
+    # m6's fallback became the exact in-house HDBSCAN in r8, and t14 is
+    # brand-new — changed/never-certified code outranks stale-but-
+    # untouched code for the last two slots; b12-b15 (r4-green,
+    # untouched) lead the r9 rotation
     "m6_density_clusters",
+    "t14_boilerplate_lines",
 )
 
 

@@ -874,3 +874,124 @@ def t12_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpe_len").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t14: cross-document LINE-level boilerplate removal — the CCNet /
+# RefinedWeb curation stage doc-level dedup cannot express: a header or
+# footer segment repeated across MANY documents is boilerplate even
+# when every page it appears on is unique. Lines here are deterministic
+# 10-word segments (the corpus carries no newlines; the operator is
+# generic over any splitter that both engines can reproduce). Scale
+# shape: one explode (output tracks corpus bytes), ONE corpus-sized
+# groupBy on the md5 line fingerprint (the d1 idiom — never the raw
+# string), and the FILTERED frequent set is tiny by definition
+# (boilerplate = few distinct lines, many occurrences), so it comes
+# back as a BROADCAST join; the per-doc rollup is the only other
+# shuffle. No all-pairs anything, no driver round-trips.
+# ---------------------------------------------------------------------------
+_T14_LINE_WORDS = 10
+_T14_MIN_DOCS = 3  # a line in >= 3 distinct docs is boilerplate
+
+
+@query(
+    "t14_boilerplate_lines",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), lines AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(w, i * {_T14_LINE_WORDS} + 1,
+                              i * {_T14_LINE_WORDS} + {_T14_LINE_WORDS}), ' '))
+                   AS line_md5,
+               length(array_to_string(
+                   list_slice(w, i * {_T14_LINE_WORDS} + 1,
+                              i * {_T14_LINE_WORDS} + {_T14_LINE_WORDS}), ' '))
+                   AS line_chars
+        FROM words,
+             UNNEST(range(0, CAST(ceil(len(w) / {_T14_LINE_WORDS}.0) AS BIGINT)))
+                 AS t(i)
+        WHERE len(w) > 0 AND w <> ['']
+    ), freq AS (
+        SELECT line_md5
+        FROM (SELECT DISTINCT doc_id, line_md5 FROM lines)
+        GROUP BY line_md5
+        HAVING COUNT(*) >= {_T14_MIN_DOCS}
+    ), marked AS (
+        SELECT l.doc_id, l.line_chars,
+               (f.line_md5 IS NOT NULL) AS is_boiler
+        FROM lines l LEFT JOIN freq f USING (line_md5)
+    ), roll AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler_lines,
+               CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE line_chars END) AS BIGINT)
+                   AS kept_chars
+        FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.n_lines, 0) AS n_lines,
+           COALESCE(r.n_boiler_lines, 0) AS n_boiler_lines,
+           ROUND(r.n_boiler_lines * 1.0 / r.n_lines, 6) AS boiler_share,
+           COALESCE(r.kept_chars, 0) AS kept_chars
+    FROM documents d LEFT JOIN roll r USING (doc_id)
+    """,
+)
+def t14_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line-level boilerplate detection (t14): 10-word
+    segments repeated in >= 3 distinct documents are boilerplate; per
+    document, the segment count, boilerplate count/share, and the
+    character volume that survives removal. One md5-keyed corpus
+    groupBy + a broadcast of the (tiny) frequent set — the CCNet-style
+    curation stage between doc-level dedup (d1) and quality scoring
+    (t2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size("w") / float(_T14_LINE_WORDS)).cast("long")
+    lines = (
+        docs.select("doc_id", w.alias("w"))
+        .filter((F.size("w") > 0) & ~((F.size("w") == 1) & (F.element_at("w", 1) == "")))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice("w", F.col("i") * _T14_LINE_WORDS + 1, _T14_LINE_WORDS), " "
+            ).alias("line"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.col("line").cast("binary")).alias("line_md5"),
+            F.length("line").alias("line_chars"),
+        )
+    )
+    freq = (
+        lines.select("doc_id", "line_md5")
+        .distinct()
+        .groupBy("line_md5")
+        .count()
+        .filter(F.col("count") >= _T14_MIN_DOCS)
+        .select("line_md5", F.lit(True).alias("is_boiler"))
+    )
+    marked = lines.join(F.broadcast(freq), "line_md5", "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    roll = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("is_boiler").cast("int")).cast("long").alias("n_boiler_lines"),
+        F.sum(F.when(F.col("is_boiler"), 0).otherwise(F.col("line_chars")))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+    return docs.select("doc_id").join(roll, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_boiler_lines", F.lit(0)).alias("n_boiler_lines"),
+        _r(F.col("n_boiler_lines") / F.col("n_lines")).alias("boiler_share"),
+        F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+    )

@@ -43,12 +43,17 @@ def test_sha256_matches_local(feats, spark):
 
 
 def test_decode_gate():
-    # MP4 stays gated (av absent); JPEG now decodes natively, so junk
-    # bytes fail its signature check instead of the gate
-    with pytest.raises(NotImplementedError):
+    # every shipped mime decodes natively now: junk bytes fail each
+    # format's own grammar check, not an import gate; the only
+    # remaining NotImplementedError is compressed TRACKS inside MP4
+    # (TestMp4Demux::test_compressed_sample_entry_gate) and unknown
+    # mimes below
+    with pytest.raises(ValueError, match="box"):
         decode_media(b"\x00", "video/mp4")
     with pytest.raises(ValueError, match="SOI"):
         decode_media(b"\x00", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00", "image/webp")
 
 
 def test_corpus_is_ascii(spark):
