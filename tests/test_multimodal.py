@@ -141,10 +141,11 @@ def test_wav_roundtrip_exact():
 
 
 def test_decode_media_dispatch():
-    """audio/wav decodes natively; compressed VIDEO mimes raise
-    NotImplementedError ALWAYS (silently returning None with a codec
-    lib installed would hide the unimplemented path); JPEG dispatches
-    to the native baseline decoder, which fails loudly on truncation."""
+    """audio/wav decodes natively; video/mp4 dispatches to the native
+    ISO-BMFF demux (a bare ftyp with no moov fails ITS grammar, and
+    compressed sample entries raise NotImplementedError at the stsd
+    gate — TestMp4Demux); JPEG dispatches to the native baseline
+    decoder, which fails loudly on truncation."""
     import numpy as np
     import pytest
 
@@ -155,8 +156,8 @@ def test_decode_media_dispatch():
 
     out = decode_media(encode_wav_pcm16(np.array([1, -1], dtype=np.int16)), "audio/wav")
     assert out["sample_rate"] == 8000 and len(out["samples"]) == 2
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+    with pytest.raises(ValueError, match="moov"):
+        decode_media(b"\x00\x00\x00\x10ftypmp42\x00\x00\x02\x00", "video/mp4")
     with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
 
