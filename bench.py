@@ -47,6 +47,9 @@ HEADLINE = (
     "r1_bm25_topk",           # BM25: inverted postings + broadcast scoring
     "t12_bpe_tokenize",       # BPE train (word-count reduce) + encode
     "g1_pagerank_neardup",    # PageRank rounds over the pair graph
+    # added round 8 (r7-comparable subtotal = first 22)
+    "mm13_jpeg_decode",       # baseline JPEG entropy decode + IDCT pass
+    "d10_record_linkage",     # masked-position blocked entity resolution
 )
 
 
