@@ -361,3 +361,34 @@ def test_scd2_and_funnel_single_shuffle(spark):
         plan = _plan(spark, name)
         assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
         assert "Join" not in plan, (name, plan)
+
+
+def test_record_linkage_equi_join_only(spark):
+    """d10's masked-position blocking must compare within blocks via ONE
+    shuffled equi-self-join on (pos, masked) — never a cartesian or a
+    nested-loop over customers, and never more than the one join the
+    single-pass design promises (the replaced fragment-pair scheme had
+    three)."""
+    plan = _plan(spark, "d10_record_linkage")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = [l for l in plan.splitlines() if "Join" in l and "pos" in l]
+    assert len(joins) == 1, plan
+
+
+def test_mp4_demux_map_only(spark):
+    """mm14's synth + demux must be one Arrow pipeline with zero
+    exchanges — container demux is offset slicing, not a shuffle."""
+    plan = _plan(spark, "mm14_mp4_demux")
+    assert "Exchange" not in plan, plan
+
+
+def test_boilerplate_lines_broadcast_frequent_set(spark):
+    """t14's frequent-line set must come back as a BROADCAST join (it is
+    tiny by definition); the corpus-sized side shuffles only for the
+    line-frequency groupBy and the per-doc rollup, and nothing
+    degenerates into a nested loop."""
+    plan = _plan(spark, "t14_boilerplate_lines")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
