@@ -172,3 +172,70 @@ def total_order_rank(
         .withColumn(rank_name, F.col("_off") + F.col("_rn"))
         .drop("_pid", "_rn", "_off")
     )
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected edge list (columns a, b; a<b, distinct, no self-loops).
+
+    Degree-ordered node-iterator (Suri & Vassilvitskii's MapReduce
+    triangle counting): orient each edge from its (degree, id)-smaller
+    endpoint, self-join oriented edges on the source to form wedges,
+    close each wedge with one equi-join against the oriented edge set.
+    Each triangle is counted exactly once (its lex-smallest vertex
+    sources both wedge legs), and the wedge join's fan-out is
+    Σ out-deg² = O(m^1.5) under degree orientation — hub nodes become
+    SINKS, never wedge centers, so one document near-duplicating half
+    the corpus cannot blow up the join. Equi-joins only; one-row
+    output (n_nodes, n_edges, n_wedges, n_triangles, clustering_coeff).
+    """
+    und = pairs.select(F.col("a").alias("node")).unionAll(
+        pairs.select(F.col("b").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count("*").alias("deg"))
+    e = (
+        pairs.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a"
+        ).join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b"
+        )
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    )
+    x = oriented.select("u", F.col("v").alias("p"), F.col("deg_v").alias("deg_p"))
+    y = oriented.select("u", F.col("v").alias("q"), F.col("deg_v").alias("deg_q"))
+    wedges = x.join(y, "u").filter(
+        (F.col("deg_p") < F.col("deg_q"))
+        | ((F.col("deg_p") == F.col("deg_q")) & (F.col("p") < F.col("q")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("p"), F.col("v").alias("q")), ["p", "q"]
+    ).agg(F.count("*").cast("long").alias("n_triangles"))
+    base = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("(deg * (deg - 1)) DIV 2")).cast("long").alias("n_wedges"),
+    )
+    ne = pairs.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        base.crossJoin(ne)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -161,3 +161,76 @@ def g2_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r", 6).alias("pagerank"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g3: triangle count + global clustering coefficient over the verified
+# near-dup pair graph — the density diagnostic PageRank cannot give:
+# template families show up as CLIQUES (every pair verifies), so a high
+# triangle-to-wedge ratio says the duplicate mass is a few dense
+# families rather than long chains, which changes the right canonical-
+# retention strategy (d6 keeps one per family either way, but chains
+# risk transitive drift; see d5/d6).
+#
+# Scale shape: the DEGREE-ORDERED node-iterator (Suri & Vassilvitskii's
+# MR triangle counting, public) — orient every edge from its
+# (degree, id)-smaller endpoint, build wedges by self-joining oriented
+# edges on the source, close them with one more equi-join against the
+# oriented edge set. Each triangle is counted exactly once (its
+# lex-smallest vertex sources both wedge legs), and the wedge join's
+# fan-out is Σ out-deg², bounded O(m^1.5) under degree orientation —
+# hub nodes become SINKS, never wedge centers, so a boilerplate doc
+# near-duplicating half the corpus cannot blow the join up. Equi-joins
+# only; one-row output.
+# ---------------------------------------------------------------------------
+def _g3_oracle() -> str:
+    from pipeline_mf_etl_spark.queries.dedup import _D2_CHAIN
+
+    return f"""
+    WITH {_D2_CHAIN},
+    und AS (SELECT a AS node FROM verified UNION ALL SELECT b FROM verified),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY node),
+    oriented AS (
+        SELECT CASE WHEN (da.deg, v.a) < (db.deg, v.b) THEN v.a ELSE v.b END AS u,
+               CASE WHEN (da.deg, v.a) < (db.deg, v.b) THEN v.b ELSE v.a END AS v,
+               CASE WHEN (da.deg, v.a) < (db.deg, v.b) THEN db.deg ELSE da.deg
+                   END AS deg_v
+        FROM verified v
+        JOIN deg da ON da.node = v.a
+        JOIN deg db ON db.node = v.b
+    ),
+    wedges AS (
+        SELECT x.v AS p, y.v AS q
+        FROM oriented x JOIN oriented y ON x.u = y.u
+        WHERE (x.deg_v, x.v) < (y.deg_v, y.v)
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM wedges w JOIN oriented o ON o.u = w.p AND o.v = w.q
+    ),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM verified)
+    SELECT base.n_nodes, ne.n_edges, base.n_wedges, tri.n_triangles,
+           ROUND(CASE WHEN base.n_wedges > 0
+                      THEN 3.0 * tri.n_triangles / base.n_wedges END, 6)
+               AS clustering_coeff
+    FROM base, ne, tri
+    """
+
+
+@query("g3_triangle_count", eager=True, oracle=_g3_oracle())
+def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count and global clustering coefficient
+    (3·triangles / wedges) over the verified near-dup pair graph, via
+    the degree-ordered node-iterator (equi-joins only, hub nodes are
+    wedge SINKS — see the section comment). One-row output; the
+    1-row×1-row combining joins are broadcast by construction."""
+    from pipeline_mf_etl_spark.operators.graph import triangle_stats
+    from pipeline_mf_etl_spark.queries.dedup import verified_pairs_export
+
+    pairs = verified_pairs_export(spark, sf_dir).select("a", "b")
+    return triangle_stats(pairs)

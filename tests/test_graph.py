@@ -90,3 +90,35 @@ def test_pagerank_reliable_checkpoint(spark, tmp_path):
     base = {r["node"]: r["r"] for r in pagerank(df).collect()}
     rel = {r["node"]: r["r"] for r in pagerank(df, reliable=True).collect()}
     assert base == rel
+
+
+def test_triangle_stats_planted_graphs(spark):
+    """Hand-computable graphs: a 4-clique (4 triangles, gcc=1), a
+    4-path (0 triangles), and a clique+pendant mix where the wedge
+    count includes the open wedges the pendant creates."""
+    from pipeline_mf_etl_spark.operators.graph import triangle_stats
+
+    def stats(edges):
+        df = spark.createDataFrame(edges, "a long, b long")
+        return triangle_stats(df).collect()[0]
+
+    # 4-clique: C(4,3)=4 triangles, 4 nodes with deg 3 -> 12 wedges
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    r = stats(clique)
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 6, 12, 4)
+    assert r["clustering_coeff"] == 1.0
+
+    # path 0-1-2-3: no triangles, two interior deg-2 nodes -> 2 wedges
+    r = stats([(0, 1), (1, 2), (2, 3)])
+    assert (r["n_triangles"], r["n_wedges"]) == (0, 2)
+    assert r["clustering_coeff"] == 0.0
+
+    # triangle + pendant on node 0: 1 triangle; degs = [3,2,2,1]
+    # wedges = 3+1+1+0 = 5; gcc = 3/5
+    r = stats([(0, 1), (0, 2), (1, 2), (0, 3)])
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 4, 5, 1)
+    assert r["clustering_coeff"] == 0.6
+
+    # two disjoint triangles sharing no nodes: exactly 2, never double-counted
+    r = stats([(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12)])
+    assert r["n_triangles"] == 2 and r["clustering_coeff"] == 1.0
