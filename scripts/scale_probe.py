@@ -232,6 +232,7 @@ def main() -> None:
                 "d6_canonical_docs",
                 "g1_pagerank_neardup",
                 "g2_pagerank_weighted",
+                "g3_triangle_count",
             ):
                 # Measure the retention step AS DEPLOYED: the verified
                 # pair set comes from the d2 stage that already ran
