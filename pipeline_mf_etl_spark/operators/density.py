@@ -174,7 +174,6 @@ def hdbscan_labels(
         parent[ra] = rb
         children[nxt] = (na, nb)
         node_dist[nxt] = w
-        size.append(0)
         size[nxt] = size[na] + size[nb]
         comp_node[rb] = nxt
         nxt += 1
@@ -203,9 +202,10 @@ def hdbscan_labels(
     stack = [(root, 0)]
     while stack:
         node, c = stack.pop()
-        if node < n:  # singleton component: falls out when its edge cut
-            members[c].append((node, birth[c]))
-            continue
+        # only internal nodes ever reach the stack: pushed children have
+        # size >= min_cluster_size >= 2 and the root is internal for
+        # n >= 2 (guaranteed by the n < min_cluster_size early return)
+        assert node >= n, "leaf reached the condensed-tree walk"
         d = node_dist[node]
         la = lam(d)
         L, R = children[node]

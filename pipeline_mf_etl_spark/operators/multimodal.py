@@ -1892,8 +1892,23 @@ def parse_mp4(payload: bytes) -> dict:
         raise ValueError(f"expected exactly one moov box, found {len(moov)}")
     mb, me = moov[0]
 
-    tb, te = _mp4_child(payload, mb, me, b"trak", "moov")
-    mdb, mde = _mp4_child(payload, tb, te, b"mdia", "trak")
+    # find the VIDEO track: real muxes often list audio first, so walk
+    # every trak and pick the first whose hdlr handler is 'vide'
+    handlers = []
+    mdb = mde = None
+    for btype, tb, te in _mp4_boxes(payload, mb, me):
+        if btype != b"trak":
+            continue
+        cand_mdb, cand_mde = _mp4_child(payload, tb, te, b"mdia", "trak")
+        hb, he = _mp4_child(payload, cand_mdb, cand_mde, b"hdlr", "mdia")
+        _, _, p = _mp4_fullbox(payload, hb)
+        handler = payload[p + 4 : p + 8]
+        handlers.append(handler)
+        if handler == b"vide":
+            mdb, mde = cand_mdb, cand_mde
+            break
+    if mdb is None:
+        raise ValueError(f"no video track in moov (track handlers: {handlers!r})")
 
     # mdhd: timescale + duration (version 0: 32-bit fields, 1: 64-bit)
     hb, he = _mp4_child(payload, mdb, mde, b"mdhd", "mdia")
@@ -1905,14 +1920,16 @@ def parse_mp4(payload: bytes) -> dict:
         timescale = int.from_bytes(payload[p + 8 : p + 12], "big")
         duration = int.from_bytes(payload[p + 12 : p + 16], "big")
 
-    hb, he = _mp4_child(payload, mdb, mde, b"hdlr", "mdia")
-    _, _, p = _mp4_fullbox(payload, hb)
-    handler = payload[p + 4 : p + 8]
-    if handler != b"vide":
-        raise ValueError(f"unsupported track handler {handler!r}")
-
     mib, mie = _mp4_child(payload, mdb, mde, b"minf", "mdia")
     sb, se = _mp4_child(payload, mib, mie, b"stbl", "minf")
+
+    def _table(box_start: int, box_end: int, count: int, entry_bytes: int, name: str):
+        """Validate a sample-table's declared entry count fits its box."""
+        if box_start + count * entry_bytes > box_end:
+            raise ValueError(
+                f"{name} declares {count} entries but its box holds only "
+                f"{box_end - box_start} bytes"
+            )
 
     # stsd: sample entry format + geometry
     db, de = _mp4_child(payload, sb, se, b"stsd", "stbl")
@@ -1920,6 +1937,8 @@ def parse_mp4(payload: bytes) -> dict:
     if int.from_bytes(payload[p : p + 4], "big") < 1:
         raise ValueError("stsd has no sample entries")
     entries = list(_mp4_boxes(payload, p + 4, de))
+    if not entries:
+        raise ValueError("stsd declares entries but its body holds none")
     fmt, eb, ee = entries[0]
     if fmt != b"raw ":
         raise NotImplementedError(
@@ -1933,6 +1952,7 @@ def parse_mp4(payload: bytes) -> dict:
     bb, be = _mp4_child(payload, sb, se, b"stts", "stbl")
     _, _, p = _mp4_fullbox(payload, bb)
     n_runs = int.from_bytes(payload[p : p + 4], "big")
+    _table(p + 4, be, n_runs, 8, "stts")
     durations: list[int] = []
     for i in range(n_runs):
         c = int.from_bytes(payload[p + 4 + 8 * i : p + 8 + 8 * i], "big")
@@ -1947,6 +1967,7 @@ def parse_mp4(payload: bytes) -> dict:
     if fixed:
         sizes = [fixed] * n_samples
     else:
+        _table(p + 8, be, n_samples, 4, "stsz")
         sizes = [
             int.from_bytes(payload[p + 8 + 4 * i : p + 12 + 4 * i], "big")
             for i in range(n_samples)
@@ -1965,6 +1986,7 @@ def parse_mp4(payload: bytes) -> dict:
     bb, be = _mp4_child(payload, sb, se, b"stsc", "stbl")
     _, _, p = _mp4_fullbox(payload, bb)
     n_sc = int.from_bytes(payload[p : p + 4], "big")
+    _table(p + 4, be, n_sc, 12, "stsc")
     sc_runs = [
         (
             int.from_bytes(payload[p + 4 + 12 * i : p + 8 + 12 * i], "big"),
@@ -1981,6 +2003,7 @@ def parse_mp4(payload: bytes) -> dict:
         _, _, p = _mp4_fullbox(payload, bb)
         width_bytes = 8
     n_chunks = int.from_bytes(payload[p : p + 4], "big")
+    _table(p + 4, be, n_chunks, width_bytes, "stco" if width_bytes == 4 else "co64")
     offsets = [
         int.from_bytes(
             payload[p + 4 + width_bytes * i : p + 4 + width_bytes * (i + 1)], "big"
@@ -2079,8 +2102,9 @@ def decode_mp4_features(
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 v = parse_mp4(bytes(payload))
-                fr = v["frames"].astype(np.int64)
-                picked = fr[::stride] if fr.shape[0] else fr
+                # stride BEFORE widening: only sampled frames pay the
+                # int64 conversion (8x bytes) in the Arrow worker
+                picked = v["frames"][::stride].astype(np.int64)
                 if picked.shape[0]:
                     mean = float(picked.sum()) / picked.size
                     mx = int(picked.max())

@@ -143,15 +143,30 @@ def replicate(spark, mult: int) -> str:
     # how a real corpus grows (new vocabulary, constant dup density).
     if os.environ.get("SPARK_GRAFT_PROBE_UNIQUE"):
         lo = "abcdefghijklmnopqrstuvwxyz"
-        up = lo.upper()
+        vowels = "aeiou"
+
+        def mapping(k: int) -> str:
+            # compose a full rotation (k % 26) with a vowel-slot cycle
+            # (k // 26 % 5) so copies k and k+26 do NOT collide back to
+            # the same mapping (26*5 = 130 distinct copies supported);
+            # a bare k % 26 rotation made copy 26 an exact duplicate of
+            # the base corpus — precisely the flood this mode removes
+            r, s = k % 26, (k // 26) % 5
+            rot = lo[r:] + lo[:r]
+            out = list(rot)
+            vpos = [i for i, ch in enumerate(rot) if ch in vowels]
+            for j, i in enumerate(vpos):
+                out[i] = rot[vpos[(j + s) % len(vpos)]]
+            return "".join(out)
+
+        if mult > 130:
+            raise ValueError("UNIQUE mode supports at most 130 copies")
         rotated = F.col("text")
         for k in range(1, mult):
-            r = k % 26
+            m = mapping(k)
             rotated = F.when(
                 F.col("copy") == k,
-                F.translate(
-                    "text", lo + up, lo[r:] + lo[:r] + up[r:] + up[:r]
-                ),
+                F.translate("text", lo + lo.upper(), m + m.upper()),
             ).otherwise(rotated)
         docs = docs.withColumn("text", rotated)
     docs.drop("copy").write.mode("overwrite").parquet(

@@ -687,6 +687,61 @@ class TestMp4Demux:
         )
         with pytest.raises(ValueError, match="overruns the file"):
             parse_mp4(hacked)
+        # inflate the stts run count so the declared table overruns its
+        # box: must refuse, never read the neighboring box's bytes as
+        # duration runs
+        t = good.index(b"stts")
+        inflated = good[: t + 8] + struct.pack(">I", 999) + good[t + 12 :]
+        with pytest.raises(ValueError, match="stts declares 999"):
+            parse_mp4(inflated)
+
+    def test_audio_track_before_video_is_skipped(self):
+        # real muxes often list the audio track first: the demux must
+        # walk past it to the 'vide' track, not fail on trak #1
+        import numpy as np
+        import pytest
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            _mp4_box,
+            _mp4_full,
+            encode_mp4,
+            parse_mp4,
+        )
+
+        fr = np.arange(2 * 64, dtype=np.uint64).astype(np.uint8).reshape(2, 64)
+        good = encode_mp4(fr, 8, 8)
+        # build a minimal audio trak (mdia > mdhd + hdlr 'soun') and
+        # splice it in as the FIRST child of moov
+        import struct
+        mdhd = _mp4_full(
+            b"mdhd", 0, 0,
+            struct.pack(">IIII", 0, 0, 600, 0) + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _mp4_full(
+            b"hdlr", 0, 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"Sound\x00"
+        )
+        audio_trak = _mp4_box(b"trak", _mp4_box(b"mdia", mdhd + hdlr))
+        m = good.index(b"moov")
+        moov_size = struct.unpack(">I", good[m - 4 : m])[0]
+        new_moov_size = moov_size + len(audio_trak)
+        spliced = (
+            good[: m - 4]
+            + struct.pack(">I", new_moov_size)
+            + good[m : m + 4]
+            + audio_trak
+            + good[m + 4 :]
+        )
+        v = parse_mp4(spliced)
+        assert v["n_samples"] == 2 and np.array_equal(v["frames"], fr)
+        # and a moov with ONLY the audio trak fails loudly, naming it
+        only_audio = (
+            good[: m - 4]
+            + struct.pack(">I", 8 + len(audio_trak))
+            + good[m : m + 4]
+            + audio_trak
+        )
+        with pytest.raises(ValueError, match="soun"):
+            parse_mp4(only_audio)
 
     def test_compressed_sample_entry_gate(self):
         import numpy as np
