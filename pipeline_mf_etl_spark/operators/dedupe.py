@@ -230,7 +230,11 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
 
 
 def containment_candidate_pairs(
-    sh: DataFrame, id_col: str, tau_num: int = 4, tau_den: int = 5
+    sh: DataFrame,
+    id_col: str,
+    tau_num: int = 4,
+    tau_den: int = 5,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Recall-COMPLETE candidate pairs for directed set containment
     ``c(A→B) = |A∩B|/|A| >= tau`` with ``tau = tau_num/tau_den``
@@ -262,7 +266,8 @@ def containment_candidate_pairs(
     if not (0 < tau_num <= tau_den):
         raise ValueError(f"tau must be in (0, 1]: got {tau_num}/{tau_den}")
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    if sizes is None:  # caller may share its own (id, _sz) aggregate
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
     w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
     prefix = (
         sh.join(dfreq, "shingle")

@@ -1128,6 +1128,10 @@ def with_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 JPEG_BLOCKS_PER_ROW = 16  # synthesis: one 8x8 block per character, 16/row
 JPEG_WIDTH = 8 * JPEG_BLOCKS_PER_ROW
+# JFIF height is a 16-bit field: cap synthesis at the largest block-row
+# count whose pixel height fits (8*8191 = 65528 <= 0xFFFF) — a >=128 KiB
+# document truncates to the cap instead of crashing the encode
+JPEG_MAX_BLOCK_ROWS = 0xFFFF // 8
 
 # zigzag scan order: index i holds the (row-major) position of the i-th
 # zigzag coefficient
@@ -1467,10 +1471,13 @@ def parse_jpeg_gray(payload: bytes) -> dict:
             _cid, sampling, comp_qtab = seg[6], seg[7], seg[8]
             if sampling != 0x11:
                 raise NotImplementedError("subsampled JPEG not supported")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (
+            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,  # SOF13-15: differential/arith
+        ):
             raise NotImplementedError(
                 f"JPEG SOF marker 0xFF{marker:02X} (progressive/extended/"
-                "arithmetic) not supported — baseline sequential only"
+                "differential/arithmetic) not supported — baseline sequential only"
             )
         elif marker == 0xDD:  # DRI
             raise NotImplementedError("JPEG restart intervals not supported")
@@ -1579,7 +1586,7 @@ def with_jpeg_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             payloads = []
             for t in pdf[text_col]:
                 raw = t.encode("utf-8")
-                br = len(raw) // JPEG_BLOCKS_PER_ROW
+                br = min(len(raw) // JPEG_BLOCKS_PER_ROW, JPEG_MAX_BLOCK_ROWS)
                 if br == 0:
                     payloads.append(None)
                     continue

@@ -700,7 +700,13 @@ _D11_TAU_NUM, _D11_TAU_DEN = 4, 5
         SELECT i.a, i.b,
                ROUND(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) AS jaccard,
                ROUND(i.n_inter * 1.0 / za.sz, 6) AS c_a_in_b,
-               ROUND(i.n_inter * 1.0 / zb.sz, 6) AS c_b_in_a
+               ROUND(i.n_inter * 1.0 / zb.sz, 6) AS c_b_in_a,
+               -- threshold on EXACT integers, not the 6-dp rounded value:
+               -- ROUND can pull 0.7999995 up to the 0.8 boundary, which
+               -- the prefix filter's recall guarantee does not cover
+               (i.n_inter * {_D11_TAU_DEN} >= {_D11_TAU_NUM} * za.sz
+                OR i.n_inter * {_D11_TAU_DEN} >= {_D11_TAU_NUM} * zb.sz)
+                   AS qualifies
         FROM inter i
         JOIN sizes za ON za.doc_id = i.a
         JOIN sizes zb ON zb.doc_id = i.b
@@ -708,7 +714,7 @@ _D11_TAU_NUM, _D11_TAU_DEN = 4, 5
     SELECT a, b, jaccard, c_a_in_b, c_b_in_a,
            (jaccard < 0.5) AS jaccard_missed
     FROM cont
-    WHERE c_a_in_b >= {_D11_TAU} OR c_b_in_a >= {_D11_TAU}
+    WHERE qualifies
     """,
 )
 def d11_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,10 +730,14 @@ def d11_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _LAZY_SHINGLE_CACHE.pop().unpersist()
     sh = exploded_shingles(docs, "doc_id", "text", n=3).persist()
     try:
-        cand = containment_candidate_pairs(
-            sh, "doc_id", tau_num=_D11_TAU_NUM, tau_den=_D11_TAU_DEN
-        )
+        # compute per-doc sizes ONCE and share them with the candidate
+        # generator (it needs the same aggregate for its prefix bound —
+        # passing it in removes a redundant corpus-wide shuffle)
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        cand = containment_candidate_pairs(
+            sh, "doc_id", tau_num=_D11_TAU_NUM, tau_den=_D11_TAU_DEN,
+            sizes=sizes.select("doc_id", F.col("sz").alias("_sz")),
+        )
         inter = (
             cand.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
             .join(sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
@@ -743,12 +753,18 @@ def d11_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _r(F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))).alias("jaccard"),
                 _r(F.col("n_inter") / F.col("sz_a")).alias("c_a_in_b"),
                 _r(F.col("n_inter") / F.col("sz_b")).alias("c_b_in_a"),
+                # threshold on EXACT integers, not the 6-dp rounded value
+                # (ROUND can pull 0.7999995 up to the boundary, outside
+                # the prefix filter's recall guarantee)
+                (
+                    (F.col("n_inter") * _D11_TAU_DEN >= _D11_TAU_NUM * F.col("sz_a"))
+                    | (F.col("n_inter") * _D11_TAU_DEN >= _D11_TAU_NUM * F.col("sz_b"))
+                ).alias("qualifies"),
             )
         )
-        out = cont.filter(
-            (F.col("c_a_in_b") >= _D11_TAU) | (F.col("c_b_in_a") >= _D11_TAU)
-        ).select("a", "b", "jaccard", "c_a_in_b", "c_b_in_a",
-                 (F.col("jaccard") < 0.5).alias("jaccard_missed"))
+        out = cont.filter(F.col("qualifies")).select(
+            "a", "b", "jaccard", "c_a_in_b", "c_b_in_a",
+            (F.col("jaccard") < 0.5).alias("jaccard_missed"))
         # the plan is lazy; park the shingle cache exactly like d2 does
         _LAZY_SHINGLE_CACHE.append(sh)
         return out

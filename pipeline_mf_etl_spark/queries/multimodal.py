@@ -704,7 +704,10 @@ def mm12_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm13_jpeg_decode",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) // 16 AS br
+        SELECT doc_id, text,
+               -- mirror the synthesis height cap (JPEG_MAX_BLOCK_ROWS):
+               -- the 16-bit JFIF height field truncates >=128 KiB docs
+               LEAST(length(text) // 16, 8191) AS br
         FROM documents
     ), chars AS (
         SELECT g.doc_id,

@@ -270,7 +270,20 @@ def merge_manifest(
         return out
     prev_cols = set(previous.columns)
     stat_cols = [c for c in ("file_size_bytes", "mtime_ns") if c in cur_cols or c in prev_cols]
-    prev = previous.orderBy("source_file").dropDuplicates(["source_file"])
+    # duplicate-key previous rows (a corrupted/hand-edited ledger) are
+    # collapsed DETERMINISTICALLY: keep the lexicographically-smallest
+    # fingerprint's row per file. A bare dropDuplicates keeps an
+    # arbitrary row (orderBy before it guarantees nothing), which would
+    # let the same input classify CHANGED on one run and UNCHANGED on
+    # the next.
+    w_dedup = Window.partitionBy("source_file").orderBy(
+        *[F.col(c) for c in previous.columns if c != "source_file"]
+    )
+    prev = (
+        previous.withColumn("_rk", F.row_number().over(w_dedup))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
     prev_sel = [F.col("source_file"), F.col("fingerprint").alias("prev_fingerprint")]
     prev_sel.append(
         (F.col("first_seen") if "first_seen" in prev_cols else F.lit(None).cast("string"))
@@ -302,10 +315,18 @@ def merge_manifest(
     out_cols = [F.col("source_file")]
     for c in stat_cols:
         out_cols.append(F.coalesce(f"cur_{c}", f"prev_{c}").alias(c))
+    # a file that reappears after a DELETED tombstone is RE-ingested:
+    # its first_seen is THIS epoch (the NEW contract), not the
+    # tombstone-era provenance it abandoned
+    reappeared = (
+        F.col("cur_fingerprint").isNotNull() & (F.col("prev_status") == "DELETED")
+    )
     out_cols += [
         F.coalesce("cur_fingerprint", "prev_fingerprint").alias("fingerprint"),
         status.alias("status"),
-        F.coalesce("prev_first_seen", F.lit(epoch)).alias("first_seen"),
+        F.when(reappeared, F.lit(epoch))
+        .otherwise(F.coalesce("prev_first_seen", F.lit(epoch)))
+        .alias("first_seen"),
     ]
     return merged.select(*out_cols)
 

@@ -109,7 +109,7 @@ PROBE = (
 )
 
 
-def replicate(spark, mult: int) -> str:
+def replicate(spark, mult: int, need_customer: bool = False) -> str:
     """Replicate events/documents mult×, remapping keys so series/doc
     cardinality scales with volume (pure copies would only deepen each
     series, skewing windows instead of widening the key space)."""
@@ -184,18 +184,25 @@ def replicate(spark, mult: int) -> str:
     # mult-1 exact lev-0 twins, so pair OUTPUT (not the plan) would grow
     # quadratically in the multiple and the probe would measure the
     # replication artifact instead of the blocking strategy
-    cu = load_table(spark, BASE_SF, "customer")
-    n_cust = cu.agg(F.max("c_custkey")).collect()[0][0] + 1
-    (
-        cu.select("*", copies)
-        .withColumn("c_custkey", F.col("c_custkey") + F.col("copy") * n_cust)
-        .withColumn(
-            "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+    if not need_customer:
+        # only the d10 record-linkage probe reads customer — skip the
+        # replication work (max-key scan + full rewrite per multiple)
+        # on runs that never consume it
+        cu = None
+    else:
+        cu = load_table(spark, BASE_SF, "customer")
+    if cu is not None:
+        n_cust = cu.agg(F.max("c_custkey")).collect()[0][0] + 1
+        (
+            cu.select("*", copies)
+            .withColumn("c_custkey", F.col("c_custkey") + F.col("copy") * n_cust)
+            .withColumn(
+                "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+            )
+            .drop("copy")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "customer.parquet"))
         )
-        .drop("copy")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out, "customer.parquet"))
-    )
 
     # adversarial hot-key mode (r7 verdict task 5): remap the given
     # fraction of EVENT rows onto one user so the single-exchange
@@ -241,7 +248,7 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {q: {} for q in probe}
     for mult in mults:
-        sf_dir = replicate(spark, mult)
+        sf_dir = replicate(spark, mult, need_customer=any(q.startswith("d10") for q in probe))
         for name in probe:
             if name in (
                 "d6_canonical_docs",

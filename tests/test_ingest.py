@@ -152,6 +152,10 @@ def test_promote_manifest_merge_across_runs(spark, tmp_path):
     m4 = promote_manifest(spark, [fa, fb, fc], ledger, epoch="e4")
     rows4 = {r["source_file"]: r for r in m4.collect()}
     assert rows4[fc]["status"] == "NEW"  # reappearing file is re-ingested
+    # ...and its provenance restarts: first_seen is the RE-ingest epoch,
+    # not the tombstone-era e1 (the NEW contract)
+    assert rows4[fc]["first_seen"] == "e4"
+    assert rows4[fa]["first_seen"] == "e1"  # continuous files keep theirs
 
     # CURRENT pointer names the live snapshot; older snapshots remain
     with open(os.path.join(ledger, "CURRENT"), encoding="utf-8") as fh:
@@ -166,3 +170,28 @@ def test_promote_manifest_merge_across_runs(spark, tmp_path):
     # merge_manifest with no previous snapshot handles the bootstrap
     boot = merge_manifest(build_manifest(spark, [fa]), None, epoch="e0")
     assert boot.collect()[0]["status"] == "NEW"
+
+
+def test_merge_manifest_duplicate_prev_keys_deterministic(spark):
+    """A corrupted/hand-edited previous ledger with duplicate
+    source_file rows must collapse DETERMINISTICALLY (smallest
+    fingerprint wins), never arbitrarily — the same input must yield
+    the same CHANGED/UNCHANGED classification on every run."""
+    from pipeline_mf_etl_spark.sources.ingest import merge_manifest
+
+    prev = spark.createDataFrame(
+        [("f1", "aaa", "e0"), ("f1", "zzz", "e0"), ("f2", "bbb", "e0")],
+        "source_file string, fingerprint string, first_seen string",
+    )
+    cur = spark.createDataFrame(
+        [("f1", "aaa"), ("f2", "ccc")], "source_file string, fingerprint string"
+    )
+    for _ in range(3):
+        rows = {
+            r["source_file"]: r
+            for r in merge_manifest(cur, prev, epoch="e1").collect()
+        }
+        # 'aaa' < 'zzz' wins the dup -> f1 is UNCHANGED every run
+        assert rows["f1"]["status"] == "UNCHANGED"
+        assert rows["f2"]["status"] == "CHANGED"
+        assert rows["f2"]["first_seen"] == "e0"
