@@ -1186,6 +1186,10 @@ _JPEG_AC_VALUES = [0x00, 0xF0] + [
 ]
 _JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_VALUES), 0, 0, 0, 0, 0, 0, 0, 0]
 
+# the encoder's tables never change — build their code dicts once
+_JPEG_DC_CODES = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALUES)
+_JPEG_AC_CODES = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALUES)
+
 
 class _JpegBitWriter:
     def __init__(self) -> None:
@@ -1243,8 +1247,7 @@ def encode_jpeg_gray(
     bw, bh = -(-width // 8), -(-height // 8)
     px = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
     px = np.pad(px, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
-    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALUES)
-    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALUES)
+    dc_codes, ac_codes = _JPEG_DC_CODES, _JPEG_AC_CODES
     # forward DCT + quantize VECTORIZED across all blocks (one einsum
     # instead of a per-block Python matmul loop — the difference
     # between a codec that scale-probes and one that doesn't); only the
@@ -1265,20 +1268,40 @@ def encode_jpeg_gray(
     ac_mask = zz_all[:, 1:] != 0
     has_ac = ac_mask.any(axis=1)
     last_all = np.where(has_ac, 63 - ac_mask[:, ::-1].argmax(axis=1), 0).tolist()
-    w = _JpegBitWriter()
+    # the bit-writer is INLINED (no _JpegBitWriter) on purpose: the
+    # per-write method call measured as ~40% of the whole encode, and
+    # the block-constant synthesis family emits 2-3 writes per block —
+    # semantics are exactly _JpegBitWriter.write/flush above, kept as
+    # the readable reference implementation. Bits accumulate per block
+    # and drain to bytes (with 0xFF00 stuffing) once per block / once
+    # per AC coefficient, so acc stays a small int.
+    out = bytearray()
+    append = out.append
+    acc = nbits = 0
     prev_dc = 0
     eob_code, eob_len = ac_codes[0x00]
     zrl_code, zrl_len = ac_codes[0xF0]
     for bi, dc in enumerate(dcs):
         diff = dc - prev_dc
         prev_dc = dc
-        s = _jpeg_category(diff)
+        s = (diff if diff >= 0 else -diff).bit_length()
         code, length = dc_codes[s]
-        w.write(code, length)
+        acc = (acc << length) | code
+        nbits += length
         if s:
-            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            acc = (acc << s) | (
+                (diff if diff >= 0 else diff + (1 << s) - 1) & ((1 << s) - 1)
+            )
+            nbits += s
         last = last_all[bi]
         if last:
+            while nbits >= 8:
+                nbits -= 8
+                byte = (acc >> nbits) & 0xFF
+                append(byte)
+                if byte == 0xFF:
+                    append(0x00)
+            acc &= (1 << nbits) - 1
             zz = zz_all[bi].tolist()
             run = 0
             for k in range(1, last + 1):
@@ -1287,15 +1310,40 @@ def encode_jpeg_gray(
                     run += 1
                     continue
                 while run >= 16:
-                    w.write(zrl_code, zrl_len)
+                    acc = (acc << zrl_len) | zrl_code
+                    nbits += zrl_len
                     run -= 16
-                s = _jpeg_category(v)
+                s = (v if v >= 0 else -v).bit_length()
                 code, length = ac_codes[(run << 4) | s]
-                w.write(code, length)
-                w.write(v if v >= 0 else v + (1 << s) - 1, s)
+                acc = (
+                    ((acc << length) | code) << s
+                ) | ((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1))
+                nbits += length + s
                 run = 0
+                while nbits >= 8:
+                    nbits -= 8
+                    byte = (acc >> nbits) & 0xFF
+                    append(byte)
+                    if byte == 0xFF:
+                        append(0x00)
+                acc &= (1 << nbits) - 1
         if last < 63:
-            w.write(eob_code, eob_len)
+            acc = (acc << eob_len) | eob_code
+            nbits += eob_len
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            append(byte)
+            if byte == 0xFF:
+                append(0x00)
+        acc &= (1 << nbits) - 1
+    if nbits:  # flush: pad the tail byte with 1s per T.81
+        pad = 8 - nbits
+        byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        append(byte)
+        if byte == 0xFF:
+            append(0x00)
+    scan_body = bytes(out)
     dht = (
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALUES)
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALUES)
@@ -1309,7 +1357,7 @@ def encode_jpeg_gray(
         )
         + _jpeg_marker(0xFFC4, dht)
         + _jpeg_marker(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-        + w.flush()
+        + scan_body
         + b"\xff\xd9"  # EOI
     )
 
@@ -1487,20 +1535,19 @@ def parse_jpeg_gray(payload: bytes) -> dict:
                 raise NotImplementedError("multi-component JPEG scan not supported")
             comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
             # entropy data runs to the next real marker (0xFF followed
-            # by anything but 0x00); unstuff 0xFF00 on the way
-            raw = bytearray()
-            while pos < len(payload):
-                b = payload[pos]
-                if b == 0xFF:
-                    nxt = payload[pos + 1] if pos + 1 < len(payload) else None
-                    if nxt == 0x00:
-                        raw.append(0xFF)
-                        pos += 2
-                        continue
+            # by anything but 0x00). Vectorized: only 0xFF positions are
+            # inspected (a byte-at-a-time python walk measured ~20% of
+            # the whole decode); stuffed pairs then unstuff in one
+            # bytes.replace pass
+            buf = payload[pos:]
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            end = len(buf)
+            for i in np.flatnonzero(arr == 0xFF):
+                if i + 1 >= len(buf) or buf[i + 1] != 0x00:
+                    end = int(i)  # real marker (or trailing 0xFF)
                     break
-                raw.append(b)
-                pos += 1
-            scan_data = bytes(raw)
+            pos += end
+            scan_data = buf[:end].replace(b"\xff\x00", b"\xff")
         # APPn / COM / others: skipped
     if width is None:
         raise ValueError("JPEG carries no SOF0 frame header")
@@ -1514,21 +1561,80 @@ def parse_jpeg_gray(payload: bytes) -> dict:
     dc_tab = _jpeg_decode_lut(*huff[(0, comp_dc)])
     ac_tab = _jpeg_decode_lut(*huff[(1, comp_ac)])
     bw, bh = -(-width // 8), -(-height // 8)
-    reader = _JpegBitReader(scan_data)
     n_blocks = bh * bw
-    zz_all = np.zeros((n_blocks, 64), dtype=np.int64)
-    prev_dc = 0
     # entropy decode is inherently sequential (DC differences chain
-    # block to block); the DCT math below is vectorized across blocks
-    for bi in range(n_blocks):
-        zz = zz_all[bi]
-        s = reader.read_symbol(dc_tab)
-        diff = _jpeg_extend(reader.read(s), s) if s else 0
-        prev_dc += diff
-        zz[0] = prev_dc
+    # block to block); the DCT math below is vectorized across blocks.
+    # The symbol loop is INLINED (no _JpegBitReader) on purpose: per-
+    # symbol method calls measured as ~60% of the whole decode, and a
+    # payload has 2+ symbols per block — the semantics are exactly
+    # read_symbol/read/_jpeg_extend above, kept as the readable
+    # reference implementation (and used by the coefficient-level
+    # tests).
+    sym_dc, len_dc = dc_tab
+    sym_ac, len_ac = ac_tab
+    data, n_data = scan_data, len(scan_data)
+    acc = nbits = pos = 0
+    prev_dc = 0
+    # sparse (flat index, value) pairs: most blocks carry few nonzero
+    # coefficients, so scatter ONCE at the end instead of materializing
+    # a dense python list per payload
+    idxs: list[int] = []
+    vals: list[int] = []
+    for base in range(0, n_blocks * 64, 64):
+        # DC: one LUT probe on the 16-bit window (1-padded at stream end)
+        while nbits < 16 and pos < n_data:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits >= 16:
+            window = (acc >> (nbits - 16)) & 0xFFFF
+        else:
+            pad = 16 - nbits
+            window = ((acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+        s = sym_dc[window]
+        length = len_dc[window]
+        if s < 0 or length > nbits:
+            raise ValueError(
+                "invalid JPEG Huffman code (no symbol within 16 bits)"
+                if s < 0
+                else "JPEG entropy stream exhausted mid-symbol"
+            )
+        nbits -= length
+        acc &= (1 << nbits) - 1
+        if s:
+            while nbits < s:
+                if pos >= n_data:
+                    raise ValueError("JPEG entropy stream exhausted mid-symbol")
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nbits += 8
+            nbits -= s
+            bits = (acc >> nbits) & ((1 << s) - 1)
+            acc &= (1 << nbits) - 1
+            prev_dc += bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+        idxs.append(base)
+        vals.append(prev_dc)
         k = 1
         while k < 64:
-            sym = reader.read_symbol(ac_tab)
+            while nbits < 16 and pos < n_data:
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nbits += 8
+            if nbits >= 16:
+                window = (acc >> (nbits - 16)) & 0xFFFF
+            else:
+                pad = 16 - nbits
+                window = ((acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+            sym = sym_ac[window]
+            length = len_ac[window]
+            if sym < 0 or length > nbits:
+                raise ValueError(
+                    "invalid JPEG Huffman code (no symbol within 16 bits)"
+                    if sym < 0
+                    else "JPEG entropy stream exhausted mid-symbol"
+                )
+            nbits -= length
+            acc &= (1 << nbits) - 1
             if sym == 0x00:  # EOB
                 break
             if sym == 0xF0:  # ZRL
@@ -1538,8 +1644,23 @@ def parse_jpeg_gray(payload: bytes) -> dict:
             k += run
             if k > 63:
                 raise ValueError("JPEG AC run overflows the block")
-            zz[k] = _jpeg_extend(reader.read(s), s)
+            while nbits < s:
+                if pos >= n_data:
+                    raise ValueError("JPEG entropy stream exhausted mid-symbol")
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nbits += 8
+            nbits -= s
+            bits = (acc >> nbits) & ((1 << s) - 1)
+            acc &= (1 << nbits) - 1
+            idxs.append(base + k)
+            vals.append(
+                bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+            )
             k += 1
+    zz_all = np.zeros(n_blocks * 64, dtype=np.int64)
+    zz_all[np.asarray(idxs, dtype=np.int64)] = np.asarray(vals, dtype=np.int64)
+    zz_all = zz_all.reshape(n_blocks, 64)
     coef = np.zeros((n_blocks, 64), dtype=np.float64)
     coef[:, _JPEG_ZIGZAG] = (zz_all * qtab).astype(np.float64)
     blocks = _JPEG_D.T @ coef.reshape(-1, 8, 8) @ _JPEG_D  # broadcast matmul (BLAS)
