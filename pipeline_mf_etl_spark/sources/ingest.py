@@ -331,11 +331,33 @@ def merge_manifest(
     return merged.select(*out_cols)
 
 
-def read_manifest_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame | None:
-    """Read the current ledger snapshot via the atomically-swapped
-    CURRENT pointer (None when no ledger exists yet)."""
+def read_manifest_ledger(
+    spark: SparkSession, ledger_dir: str, epoch: str | None = None
+) -> DataFrame | None:
+    """Read a ledger snapshot. Default: the live one via the
+    atomically-swapped CURRENT pointer (None when no ledger exists
+    yet). Pass ``epoch`` to TIME-TRAVEL to the snapshot a past
+    promotion produced — old snapshot directories are retained and the
+    HISTORY log maps epoch -> snapshot, so an auditor can reproduce
+    exactly what any earlier incremental run saw. Unknown epochs fail
+    loudly listing what exists."""
     import json
 
+    if epoch is not None:
+        hist_path = os.path.join(ledger_dir, "HISTORY")
+        if not os.path.exists(hist_path):
+            raise ValueError(f"no HISTORY log in {ledger_dir!r}")
+        with open(hist_path, encoding="utf-8") as fh:
+            history = json.load(fh)["snapshots"]
+        # later promotions may reuse an epoch label: the LAST entry wins,
+        # matching CURRENT's view of that epoch
+        by_epoch = {h["epoch"]: h["snapshot"] for h in history}
+        if epoch not in by_epoch:
+            raise ValueError(
+                f"epoch {epoch!r} not in ledger history "
+                f"(have: {sorted(by_epoch)})"
+            )
+        return spark.read.parquet(os.path.join(ledger_dir, by_epoch[epoch]))
     cur = os.path.join(ledger_dir, "CURRENT")
     if not os.path.exists(cur):
         return None
@@ -364,6 +386,19 @@ def promote_manifest(
     merged = merge_manifest(current, previous, epoch=epoch)
     snap = f"snapshot-{uuid.uuid4().hex}"
     merged.coalesce(1).write.mode("error").parquet(os.path.join(ledger_dir, snap))
+    # append to the epoch->snapshot HISTORY log BEFORE swapping CURRENT
+    # (the Iceberg metadata-log idiom): every snapshot CURRENT can name
+    # is already in HISTORY, so time-travel reads never race promotion.
+    # Both files swap atomically (write_json_artifact = temp+rename).
+    import json
+
+    hist_path = os.path.join(ledger_dir, "HISTORY")
+    history = []
+    if os.path.exists(hist_path):
+        with open(hist_path, encoding="utf-8") as fh:
+            history = json.load(fh)["snapshots"]
+    history.append({"snapshot": snap, "epoch": epoch})
+    write_json_artifact({"snapshots": history}, hist_path)
     write_json_artifact(
         {"snapshot": snap, "epoch": epoch}, os.path.join(ledger_dir, "CURRENT")
     )

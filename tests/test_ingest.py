@@ -195,3 +195,39 @@ def test_merge_manifest_duplicate_prev_keys_deterministic(spark):
         assert rows["f1"]["status"] == "UNCHANGED"
         assert rows["f2"]["status"] == "CHANGED"
         assert rows["f2"]["first_seen"] == "e0"
+
+
+def test_ledger_time_travel_by_epoch(spark, tmp_path):
+    """Snapshot time travel: every promotion's snapshot stays readable
+    by epoch through the HISTORY log, reproducing exactly what that
+    incremental run saw — including pre-tombstone states."""
+    import pytest
+
+    from pipeline_mf_etl_spark.sources.ingest import (
+        promote_manifest,
+        read_manifest_ledger,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    fa, fb = str(raw / "a.txt"), str(raw / "b.txt")
+    for f in (fa, fb):
+        with open(f, "w") as fh:
+            fh.write("AAA,D,20240102,0,10.0,11.0,9.5,10.5,1000\n")
+    ledger = str(tmp_path / "ledger")
+
+    promote_manifest(spark, [fa, fb], ledger, epoch="e1")
+    promote_manifest(spark, [fa], ledger, epoch="e2")  # b deleted
+
+    e1 = {r["source_file"]: r["status"]
+          for r in read_manifest_ledger(spark, ledger, epoch="e1").collect()}
+    assert e1 == {fa: "NEW", fb: "NEW"}  # pre-tombstone state preserved
+    e2 = {r["source_file"]: r["status"]
+          for r in read_manifest_ledger(spark, ledger, epoch="e2").collect()}
+    assert e2[fb] == "DELETED"
+    # CURRENT still reads the live snapshot
+    live = {r["source_file"]: r["status"]
+            for r in read_manifest_ledger(spark, ledger).collect()}
+    assert live == e2
+    with pytest.raises(ValueError, match="e9.*not in ledger history"):
+        read_manifest_ledger(spark, ledger, epoch="e9")
