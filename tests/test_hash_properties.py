@@ -77,3 +77,77 @@ def test_md5_unit_range_determinism_uniformity(spark):
     }
     overlap = len(a & b) / n
     assert 0.02 < overlap < 0.06, overlap  # ~0.04 expected
+
+
+# ---------------------------------------------------------------------------
+# HDBSCAN invariances (r8): the label PARTITION must be stable under
+# global distance scaling (stabilities all scale by the same 1/c, so
+# excess-of-mass selection is unchanged) and must be exactly
+# deterministic for a fixed row order. Row-PERMUTATION invariance does
+# NOT hold for HDBSCAN in general and is deliberately not asserted:
+# mutual reachability creates exact weight ties generically (every
+# pair a hub's core distance dominates shares mr = core_hub), so
+# equal-weight MST edges tie-break differently under reordering — a
+# degeneracy the reference hdbscan library shares, not an
+# implementation bug (verified with a falsifying seed before writing
+# this comment).
+# ---------------------------------------------------------------------------
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=12, deadline=None)
+def test_hdbscan_scaling_invariance_and_determinism(seed):
+    import numpy as np
+
+    from pipeline_mf_etl_spark.operators.density import hdbscan_labels
+
+    rng = np.random.default_rng(seed)
+    # two blobs + scatter: enough structure that clusters usually exist
+    X = np.vstack([
+        rng.normal(0, 0.3, (25, 3)),
+        rng.normal(8, 0.3, (25, 3)),
+        rng.uniform(-4, 12, (12, 3)),
+    ])
+
+    def partition(labels):
+        groups: dict[int, frozenset] = {}
+        for i, l in enumerate(labels):
+            if l != -1:
+                groups[l] = groups.get(l, frozenset()) | {i}
+        return frozenset(groups.values()), frozenset(
+            i for i, l in enumerate(labels) if l == -1
+        )
+
+    base = hdbscan_labels(X, min_cluster_size=5)
+    assert (hdbscan_labels(X, min_cluster_size=5) == base).all()
+
+    # global scaling: distances scale uniformly -> identical partition
+    scaled = hdbscan_labels(X * 37.5, min_cluster_size=5)
+    assert partition(base) == partition(scaled)
+
+    # every emitted cluster holds at least min_cluster_size points (a
+    # condensed-tree cluster is born with >= mcs members and EOM only
+    # selects whole clusters)
+    labels, counts = np.unique(base[base != -1], return_counts=True)
+    assert (counts >= 5).all()
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    n=st.integers(0, 11),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_mp4_roundtrip_random_geometry(w, h, n, seed):
+    import numpy as np
+
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        encode_mp4,
+        parse_mp4,
+    )
+
+    rng = np.random.default_rng(seed)
+    fr = rng.integers(0, 256, size=(n, w * h), dtype=np.uint8)
+    v = parse_mp4(encode_mp4(fr, w, h))
+    assert (v["width"], v["height"], v["n_samples"]) == (w, h, n)
+    assert np.array_equal(v["frames"], fr)
+    assert v["duration"] == sum(v["durations"])
