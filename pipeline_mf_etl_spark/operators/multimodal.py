@@ -1466,6 +1466,13 @@ def parse_jpeg_gray(payload: bytes) -> dict:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected JPEG marker at offset {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by fill bytes
+        # (repeated 0xFF) — skip them so the next byte is the marker
+        # code, not another 0xFF misread as code 0xFF
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG payload ends in fill bytes with no marker")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -2105,6 +2112,19 @@ def parse_mp4(payload: bytes) -> dict:
             f"sample-table mismatch: stts covers {len(durations)} samples, "
             f"stsz declares {n_samples}"
         )
+    # 'raw ' samples are exactly one uncompressed luma frame: a size
+    # that differs from width*height is a malformed (or stride-padded)
+    # track — fail at the gate with the real reason instead of dying in
+    # np.vstack with an unrelated shape error, or worse, silently
+    # producing misshaped frames when the sizes happen to agree
+    per = width * height
+    for i, s in enumerate(sizes):
+        if s != per:
+            raise ValueError(
+                f"'raw ' sample {i} is {s} bytes but geometry "
+                f"{width}x{height} needs {per} — stride-padded or "
+                "malformed track"
+            )
     if sum(durations) != duration:
         raise ValueError(
             f"mdhd duration {duration} != stts total {sum(durations)}"

@@ -348,11 +348,16 @@ def read_manifest_ledger(
         if not os.path.exists(hist_path):
             raise ValueError(f"no HISTORY log in {ledger_dir!r}")
         with open(hist_path, encoding="utf-8") as fh:
-            history = json.load(fh)["snapshots"]
+            doc = json.load(fh)
         # later promotions may reuse an epoch label: the LAST entry wins,
         # matching CURRENT's view of that epoch
-        by_epoch = {h["epoch"]: h["snapshot"] for h in history}
+        by_epoch = {h["epoch"]: h["snapshot"] for h in doc["snapshots"]}
         if epoch not in by_epoch:
+            if epoch in doc.get("pruned", []):
+                raise ValueError(
+                    f"epoch {epoch!r} was pruned by the ledger retention "
+                    f"policy (retained: {sorted(by_epoch)})"
+                )
             raise ValueError(
                 f"epoch {epoch!r} not in ledger history "
                 f"(have: {sorted(by_epoch)})"
@@ -367,7 +372,11 @@ def read_manifest_ledger(
 
 
 def promote_manifest(
-    spark: SparkSession, files: list[str], ledger_dir: str, epoch: str
+    spark: SparkSession,
+    files: list[str],
+    ledger_dir: str,
+    epoch: str,
+    retain_epochs: int | None = None,
 ) -> DataFrame:
     """I3+I5 ledger promotion: fingerprint the current file set, MERGE
     it into the persisted ledger (keeping first_seen, emitting DELETED
@@ -376,32 +385,79 @@ def promote_manifest(
     _last_checkpoint idiom: a reader mid-promotion sees either the old
     snapshot or the new one, never a half-written directory).
     Replaces the pre-r8 wholesale snapshot replacement. Returns the
-    merged ledger read back from the new snapshot."""
+    merged ledger read back from the new snapshot.
+
+    Concurrency: HISTORY is a read-modify-write, so promotion takes an
+    exclusive lockfile (O_EXCL create of ``LOCK``) for the whole
+    promote — a second concurrent promotion fails loudly instead of
+    silently dropping the first one's HISTORY entry. Readers never take
+    the lock (CURRENT/HISTORY swap atomically via temp+rename). A
+    crashed promotion leaves a stale LOCK; the error message names it
+    so an operator can remove it after confirming no promoter runs.
+
+    Retention: at nightly-promotion cadence the ledger dir otherwise
+    grows one snapshot per run, forever. ``retain_epochs=N`` keeps the
+    newest N HISTORY entries (the new one included), deletes older
+    snapshot directories, and records their epochs under ``pruned`` so
+    a time-travel read of a pruned epoch fails loudly with the real
+    reason. CURRENT always points at the newest snapshot, which
+    retention never touches (N >= 1 enforced)."""
+    import json
+    import shutil
     import uuid
 
     from pipeline_mf_etl_spark.sources.writers import write_json_artifact
 
-    previous = read_manifest_ledger(spark, ledger_dir)
-    current = build_manifest(spark, files)
-    merged = merge_manifest(current, previous, epoch=epoch)
-    snap = f"snapshot-{uuid.uuid4().hex}"
-    merged.coalesce(1).write.mode("error").parquet(os.path.join(ledger_dir, snap))
-    # append to the epoch->snapshot HISTORY log BEFORE swapping CURRENT
-    # (the Iceberg metadata-log idiom): every snapshot CURRENT can name
-    # is already in HISTORY, so time-travel reads never race promotion.
-    # Both files swap atomically (write_json_artifact = temp+rename).
-    import json
-
-    hist_path = os.path.join(ledger_dir, "HISTORY")
-    history = []
-    if os.path.exists(hist_path):
-        with open(hist_path, encoding="utf-8") as fh:
-            history = json.load(fh)["snapshots"]
-    history.append({"snapshot": snap, "epoch": epoch})
-    write_json_artifact({"snapshots": history}, hist_path)
-    write_json_artifact(
-        {"snapshot": snap, "epoch": epoch}, os.path.join(ledger_dir, "CURRENT")
-    )
+    if retain_epochs is not None and retain_epochs < 1:
+        raise ValueError("retain_epochs must be >= 1 (CURRENT must survive)")
+    lock_path = os.path.join(ledger_dir, "LOCK")
+    os.makedirs(ledger_dir, exist_ok=True)
+    try:
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"ledger {ledger_dir!r} is locked by a concurrent promotion "
+            f"(or a crashed one left {lock_path!r} behind — remove it "
+            "after confirming no promoter is running)"
+        ) from None
+    try:
+        os.write(lock_fd, f"epoch={epoch} pid={os.getpid()}\n".encode())
+        os.close(lock_fd)
+        previous = read_manifest_ledger(spark, ledger_dir)
+        current = build_manifest(spark, files)
+        merged = merge_manifest(current, previous, epoch=epoch)
+        snap = f"snapshot-{uuid.uuid4().hex}"
+        merged.coalesce(1).write.mode("error").parquet(os.path.join(ledger_dir, snap))
+        # append to the epoch->snapshot HISTORY log BEFORE swapping CURRENT
+        # (the Iceberg metadata-log idiom): every snapshot CURRENT can name
+        # is already in HISTORY, so time-travel reads never race promotion.
+        # Both files swap atomically (write_json_artifact = temp+rename).
+        hist_path = os.path.join(ledger_dir, "HISTORY")
+        history, pruned = [], []
+        if os.path.exists(hist_path):
+            with open(hist_path, encoding="utf-8") as fh:
+                doc = json.load(fh)
+            history = doc["snapshots"]
+            pruned = doc.get("pruned", [])
+        history.append({"snapshot": snap, "epoch": epoch})
+        drop: list[dict] = []
+        if retain_epochs is not None and len(history) > retain_epochs:
+            drop = history[: len(history) - retain_epochs]
+            history = history[len(history) - retain_epochs :]
+            pruned.extend(h["epoch"] for h in drop)
+        write_json_artifact({"snapshots": history, "pruned": pruned}, hist_path)
+        write_json_artifact(
+            {"snapshot": snap, "epoch": epoch}, os.path.join(ledger_dir, "CURRENT")
+        )
+        # physical deletion LAST, after the metadata swap: a reader that
+        # resolved an old snapshot before the swap races only the rm, and
+        # the HISTORY it can re-read already explains the pruning
+        kept = {h["snapshot"] for h in history}
+        for h in drop:
+            if h["snapshot"] not in kept:  # epoch labels may be reused
+                shutil.rmtree(os.path.join(ledger_dir, h["snapshot"]), ignore_errors=True)
+    finally:
+        os.unlink(lock_path)
     return spark.read.parquet(os.path.join(ledger_dir, snap))
 
 

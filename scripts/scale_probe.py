@@ -109,6 +109,35 @@ PROBE = (
 )
 
 
+_UNIQUE_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+_UNIQUE_VOWELS = "aeiou"
+_UNIQUE_CONS = "bcdfghjklm"  # structural subset, disjoint from vowels
+
+
+def unique_mapping(k: int) -> str:
+    """Letter permutation for UNIQUE-mode copy k: a full rotation
+    (k % 26) composed with TWO disjoint slot cycles driven by k // 26 —
+    the 5 vowel slots (period 5) and a 10-consonant subset (period 10).
+    Same-rotation pairs (k, k+26g) therefore differ on >= 10 of 26
+    letters (test_scale_probe_mapping), not just the 5 vowel slots the
+    r8 version moved. A word avoiding all 15 slot letters still
+    translates identically across same-rotation copies; with 15/26 of
+    the alphabet cycling, that residue is negligible. 26*lcm(5,10)=260
+    distinct mappings."""
+    lo = _UNIQUE_ALPHABET
+    r, g = k % 26, k // 26
+    s, s2 = g % 5, g % 10
+    rot = lo[r:] + lo[:r]
+    out = list(rot)
+    vpos = [i for i, ch in enumerate(rot) if ch in _UNIQUE_VOWELS]
+    for j, i in enumerate(vpos):
+        out[i] = rot[vpos[(j + s) % len(vpos)]]
+    cpos = [i for i, ch in enumerate(rot) if ch in _UNIQUE_CONS]
+    for j, i in enumerate(cpos):
+        out[i] = rot[cpos[(j + s2) % len(cpos)]]
+    return "".join(out)
+
+
 def replicate(spark, mult: int, need_customer: bool = False) -> str:
     """Replicate events/documents mult×, remapping keys so series/doc
     cardinality scales with volume (pure copies would only deepen each
@@ -142,28 +171,12 @@ def replicate(spark, mult: int, need_customer: bool = False) -> str:
     # rate are preserved, but cross-copy shingles are disjoint, which is
     # how a real corpus grows (new vocabulary, constant dup density).
     if os.environ.get("SPARK_GRAFT_PROBE_UNIQUE"):
-        lo = "abcdefghijklmnopqrstuvwxyz"
-        vowels = "aeiou"
-
-        def mapping(k: int) -> str:
-            # compose a full rotation (k % 26) with a vowel-slot cycle
-            # (k // 26 % 5) so copies k and k+26 do NOT collide back to
-            # the same mapping (26*5 = 130 distinct copies supported);
-            # a bare k % 26 rotation made copy 26 an exact duplicate of
-            # the base corpus — precisely the flood this mode removes
-            r, s = k % 26, (k // 26) % 5
-            rot = lo[r:] + lo[:r]
-            out = list(rot)
-            vpos = [i for i, ch in enumerate(rot) if ch in vowels]
-            for j, i in enumerate(vpos):
-                out[i] = rot[vpos[(j + s) % len(vpos)]]
-            return "".join(out)
-
-        if mult > 130:
-            raise ValueError("UNIQUE mode supports at most 130 copies")
+        lo = _UNIQUE_ALPHABET
+        if mult > 260:
+            raise ValueError("UNIQUE mode supports at most 260 copies")
         rotated = F.col("text")
         for k in range(1, mult):
-            m = mapping(k)
+            m = unique_mapping(k)
             rotated = F.when(
                 F.col("copy") == k,
                 F.translate("text", lo + lo.upper(), m + m.upper()),

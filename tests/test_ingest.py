@@ -231,3 +231,87 @@ def test_ledger_time_travel_by_epoch(spark, tmp_path):
     assert live == e2
     with pytest.raises(ValueError, match="e9.*not in ledger history"):
         read_manifest_ledger(spark, ledger, epoch="e9")
+
+
+def test_ledger_retention_prunes_old_epochs(spark, tmp_path):
+    """retain_epochs=N keeps the newest N snapshots: older epochs fail
+    loudly as PRUNED (not 'unknown'), their snapshot dirs are deleted,
+    and the CURRENT view is unchanged by retention."""
+    import json
+    import os
+
+    import pytest
+
+    from pipeline_mf_etl_spark.sources.ingest import (
+        promote_manifest,
+        read_manifest_ledger,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    fa = str(raw / "a.txt")
+    with open(fa, "w") as fh:
+        fh.write("AAA,D,20240102,0,10.0,11.0,9.5,10.5,1000\n")
+    ledger = str(tmp_path / "ledger")
+
+    promote_manifest(spark, [fa], ledger, epoch="e1", retain_epochs=2)
+    promote_manifest(spark, [fa], ledger, epoch="e2", retain_epochs=2)
+    promote_manifest(spark, [fa], ledger, epoch="e3", retain_epochs=2)
+
+    # e2/e3 retained, e1 pruned with the real reason in the message
+    assert read_manifest_ledger(spark, ledger, epoch="e2").count() == 1
+    assert read_manifest_ledger(spark, ledger, epoch="e3").count() == 1
+    with pytest.raises(ValueError, match="pruned by the ledger retention"):
+        read_manifest_ledger(spark, ledger, epoch="e1")
+    # a never-promoted epoch still reports 'not in ledger history'
+    with pytest.raises(ValueError, match="not in ledger history"):
+        read_manifest_ledger(spark, ledger, epoch="e9")
+
+    # e1's snapshot directory is physically gone; exactly 2 remain
+    snaps = [d for d in os.listdir(ledger) if d.startswith("snapshot-")]
+    assert len(snaps) == 2
+    with open(os.path.join(ledger, "HISTORY"), encoding="utf-8") as fh:
+        doc = json.load(fh)
+    assert [h["epoch"] for h in doc["snapshots"]] == ["e2", "e3"]
+    assert doc["pruned"] == ["e1"]
+
+    # CURRENT is untouched by retention
+    live = {r["source_file"]: r["status"]
+            for r in read_manifest_ledger(spark, ledger).collect()}
+    assert live == {fa: "UNCHANGED"}
+
+    with pytest.raises(ValueError, match="retain_epochs must be >= 1"):
+        promote_manifest(spark, [fa], ledger, epoch="e4", retain_epochs=0)
+
+
+def test_ledger_promotion_lock_guards_history(spark, tmp_path):
+    """A concurrent (or crashed) promotion is detected via the LOCK
+    file: the second promoter fails loudly naming the lock instead of
+    silently dropping the first one's HISTORY entry, and a successful
+    promotion always releases the lock."""
+    import os
+
+    import pytest
+
+    from pipeline_mf_etl_spark.sources.ingest import promote_manifest
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    fa = str(raw / "a.txt")
+    with open(fa, "w") as fh:
+        fh.write("AAA,D,20240102,0,10.0,11.0,9.5,10.5,1000\n")
+    ledger = str(tmp_path / "ledger")
+
+    promote_manifest(spark, [fa], ledger, epoch="e1")
+    assert not os.path.exists(os.path.join(ledger, "LOCK"))  # released
+
+    # simulate a concurrent promoter holding the lock
+    with open(os.path.join(ledger, "LOCK"), "w") as fh:
+        fh.write("epoch=e2 pid=99999\n")
+    with pytest.raises(RuntimeError, match="locked by a concurrent promotion"):
+        promote_manifest(spark, [fa], ledger, epoch="e2")
+    os.unlink(os.path.join(ledger, "LOCK"))
+
+    # after operator intervention promotion proceeds and re-releases
+    promote_manifest(spark, [fa], ledger, epoch="e2")
+    assert not os.path.exists(os.path.join(ledger, "LOCK"))

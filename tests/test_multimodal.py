@@ -803,3 +803,75 @@ class TestMp4Demux:
         ]
         assert r3["mean_luma"] == round(sum(byts) / len(byts), 6)
         assert r3["max_luma"] == max(byts)
+
+
+def test_jpeg_fill_bytes_before_marker_are_skipped():
+    # T.81 B.1.1.2 allows repeated 0xFF fill bytes before any marker
+    # code; real encoders emit them for alignment. The marker walk must
+    # treat them as padding, not read the second 0xFF as a marker code.
+    import numpy as np
+
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        encode_jpeg_gray,
+        parse_jpeg_gray,
+    )
+
+    img = np.arange(64, dtype=np.uint8)
+    good = encode_jpeg_gray(img.tobytes(), 8, 8)
+    base = parse_jpeg_gray(good)
+    # inject fill bytes before the DQT marker (0xFFDB) and the SOS
+    # marker (0xFFDA) — both mid-stream positions
+    padded = good
+    for marker in (b"\xff\xdb", b"\xff\xda"):
+        i = padded.index(marker)
+        padded = padded[:i] + b"\xff\xff\xff" + padded[i:]
+    p = parse_jpeg_gray(padded)
+    assert np.array_equal(p["pixels"], base["pixels"])
+    assert (p["width"], p["height"]) == (8, 8)
+    # trailing fill bytes with no marker code must still fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="fill bytes"):
+        parse_jpeg_gray(good[: good.index(b"\xff\xdb")] + b"\xff\xff\xff")
+
+
+def test_mp4_raw_sample_size_must_match_geometry():
+    # a 'raw ' sample whose stsz size differs from width*height is a
+    # stride-padded or malformed track: the gate must name the real
+    # problem, not die later in np.vstack (equal-but-wrong sizes would
+    # silently produce misshaped frames)
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pipeline_mf_etl_spark.operators.multimodal import encode_mp4, parse_mp4
+
+    good = encode_mp4(np.zeros((3, 64), dtype=np.uint8), 8, 8)
+    i = good.index(b"stsz")
+    # stsz layout: size+type (8) + fullbox (4) + fixed (4) + count (4) + entries
+    first_entry = i + 16
+    bad = good[:first_entry] + struct.pack(">I", 63) + good[first_entry + 4 :]
+    with pytest.raises(ValueError, match="stride-padded or malformed"):
+        parse_mp4(bad)
+
+
+def test_scale_probe_unique_mapping_structurally_disjoint():
+    # copies sharing a rotation (k, k+26g) must differ on many letters,
+    # not just vowel slots — and all 260 mappings must be distinct
+    # permutations (the constant-duplicate-density claim rests on this)
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from scale_probe import _UNIQUE_ALPHABET, unique_mapping
+
+    maps = [unique_mapping(k) for k in range(260)]
+    assert len(set(maps)) == 260
+    assert all(sorted(m) == list(_UNIQUE_ALPHABET) for m in maps)
+    worst = min(
+        sum(a != b for a, b in zip(maps[k], maps[k + 26 * g]))
+        for k in range(26)
+        for g in range(1, 10)
+    )
+    assert worst >= 10
