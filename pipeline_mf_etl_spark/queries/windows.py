@@ -767,14 +767,66 @@ def w22_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the deepest stage reached (click must not precede the first
     view; purchase must not precede that click).
 
-    Plan shape: the oracle's three chained CTEs are semantically three
-    per-user constants, so the engine computes them as three STACKED
-    unbounded windows over the SAME partitionBy(user_id) — one scan of
-    events, ONE exchange serving all three windows and the final
-    per-user groupBy (a join-per-stage formulation measured 10
-    exchanges and 3 scans). A null earlier stage nulls the predicate,
-    so later stages collapse to null exactly like the oracle's inner
-    joins."""
+    Plan shape (SKEW-IMMUNE, the r9 default): each stage is a per-user
+    MIN, so the whole funnel is groupBy aggregations chained by joins
+    against one-row-per-user stage tables — every aggregate gets a
+    map-side partial combine (a 50%-hot user collapses to ONE partial
+    row per input partition before the exchange), and the stage joins
+    are AQE-skew-splittable sort-merge joins, so no task ever holds all
+    of a hot user's events. The prior window formulation (one exchange,
+    but partitionBy(user_id) pins every hot-user row onto one
+    unsplittable task — ~0.19-of-linear straggler at 50%-hot 64× in
+    SCALE.md) is kept as ``w22_funnel_steps_window`` for the measured
+    contrast. Filter-before-join keeps each stage's probe side to one
+    event type, and the final assembly joins three tiny per-user
+    frames."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t, ts = F.col("event_type"), F.col("ts")
+    # base covers EVERY user with any event (conditional MIN, not a
+    # filtered subset) — the oracle's v CTE keeps view-less users with
+    # a NULL view_ts and reached_stage 0
+    views = ev.groupBy("user_id").agg(
+        F.min(F.when(t == "view", ts)).alias("view_ts")
+    )
+    clicks = (
+        ev.filter(t == "click")
+        .join(views, "user_id")
+        .filter(ts >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = (
+        ev.filter(t == "purchase")
+        .join(clicks, "user_id")
+        .filter(ts >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .when(F.col("view_ts").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("reached_stage"),
+        )
+    )
+
+
+def w22_funnel_steps_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r9 window formulation of W22, kept UNREGISTERED as the
+    measured skew contrast for scripts/scale_probe.py: three stacked
+    unbounded windows over one partitionBy(user_id) exchange — minimal
+    shuffle count, but the hot-key straggler is unsplittable (windows
+    cannot be salted or AQE-split). Semantically identical to
+    ``w22_funnel_steps``."""
     ev = load_table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id")
     t, ts = F.col("event_type"), F.col("ts")

@@ -277,8 +277,16 @@ def main() -> None:
                 from pipeline_mf_etl_spark.queries.dedup import verified_pairs_export
 
                 verified_pairs_export(spark, sf_dir)
+            if name in specs:
+                fn = specs[name].spark
+            else:
+                # unregistered measured-contrast variants (e.g. the w22
+                # window twin probed against the skew-immune default)
+                from pipeline_mf_etl_spark.queries import windows as _w
+
+                fn = getattr(_w, name)
             t0 = time.perf_counter()
-            force(specs[name].spark(spark, sf_dir))
+            force(fn(spark, sf_dir))
             results[name][f"x{mult}"] = round(time.perf_counter() - t0, 2)
             # incremental line so a killed/partial run still leaves data
             print(f"# {name} x{mult}: {results[name][f'x{mult}']}s", flush=True)

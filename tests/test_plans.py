@@ -350,17 +350,34 @@ def test_pagerank_rank_no_single_partition_window(spark, name):
 
 
 def test_scd2_and_funnel_single_shuffle(spark):
-    """w21's run-length windows + run groupBy + lead window, and w22's
-    three stacked funnel windows + final per-user groupBy, must all ride
-    ONE hashpartitioning(user_id) exchange — HashPartitioning(user_id)
+    """w21's run-length windows + run groupBy + lead window, and w23's
+    rank windows + bar groupBy, must all ride ONE
+    hashpartitioning(user_id) exchange — HashPartitioning(user_id)
     satisfies every downstream ClusteredDistribution whose keys include
     user_id, so a second exchange would be a full fact-table reshuffle
-    the plan doesn't need (the join-per-stage w22 formulation measured
-    10 exchanges and 3 scans of events)."""
-    for name in ("w21_scd2_intervals", "w22_funnel_steps", "w23_ohlc_resample"):
+    the plan doesn't need."""
+    for name in ("w21_scd2_intervals", "w23_ohlc_resample"):
         plan = _plan(spark, name)
         assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
         assert "Join" not in plan, (name, plan)
+
+
+def test_funnel_skew_immune_partial_agg(spark):
+    """w22 (r9 default) must contain NO Window operator: every funnel
+    stage is a groupBy MIN whose map-side partial combine collapses a
+    hot user to one row per input partition BEFORE the exchange, and
+    stage joins are AQE-skew-splittable SMJ/BHJ — unlike
+    partitionBy(user_id) windows, which pin every hot-user row onto one
+    unsplittable task (SCALE.md's 50%-hot straggler). The window twin
+    stays available unregistered for the measured contrast."""
+    plan = _plan(spark, "w22_funnel_steps")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # partial-mode aggregation precedes every exchange feeding a final
+    # aggregate: assert the plan carries partial_min (AQE prints
+    # HashAggregate(keys=[user_id...], functions=[partial_min(...)])
+    assert "partial_min" in plan, plan
 
 
 def test_record_linkage_equi_join_only(spark):
