@@ -9,6 +9,8 @@ Spark's ``conv(substr(md5(x),1,15),16,10)``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -160,10 +162,37 @@ _D2_CHAIN = d2_chain()
 _LAZY_SHINGLE_CACHE: list[DataFrame] = []
 
 
-def _verified_pairs(docs: DataFrame, return_shingles: bool = False):
+def _lsh_max_bucket_config() -> int | None:
+    """Batch LSH duplicate-flood guard, mirroring the streaming path's
+    ``lsh_max_bucket`` (streaming/transforms.py capped_bucket_index):
+    ``SPARK_GRAFT_LSH_MAX_BUCKET=N`` keeps only the N smallest doc ids
+    per (band, bucket), bounding pair fan-out per bucket to C(N, 2) no
+    matter how large a near-exact duplicate cluster is — the crawled-
+    corpus boilerplate-mirror regime the SCALE.md flood probe measures.
+    Default OFF (exact candidate set — the certified-oracle behavior;
+    the deterministic cap is oracle-expressible the same way st11's is,
+    but exactness stays the contract for the registered query)."""
+    raw = os.environ.get("SPARK_GRAFT_LSH_MAX_BUCKET", "").strip()
+    if not raw:
+        return None
+    cap = int(raw)
+    if cap < 2:
+        raise ValueError(
+            f"SPARK_GRAFT_LSH_MAX_BUCKET={cap}: a cap below 2 can emit no "
+            "pairs at all — use >= 2 or unset for the exact candidate set"
+        )
+    return cap
+
+
+def _verified_pairs(
+    docs: DataFrame, return_shingles: bool = False, max_bucket: int | None = None
+):
     """Verified near-dup pairs (a, b, jaccard >= 0.5) — the Spark twin
     of the ``verified`` CTE in ``_D2_CHAIN``, shared by d2 (pair
     emission) and d6 (group formation + canonical selection).
+    ``max_bucket`` (or the SPARK_GRAFT_LSH_MAX_BUCKET env default —
+    see ``_lsh_max_bucket_config``) bounds per-bucket LSH membership
+    against duplicate floods; None = exact.
 
     The shingle set feeds three consumers (signatures, sizes, exact
     verification) — persist it so the tokenize/explode runs once, not
@@ -178,9 +207,11 @@ def _verified_pairs(docs: DataFrame, return_shingles: bool = False):
     # too whenever both were built over the same corpus (same plan).
     while _LAZY_SHINGLE_CACHE:
         _LAZY_SHINGLE_CACHE.pop().unpersist()
+    if max_bucket is None:
+        max_bucket = _lsh_max_bucket_config()
     sh = exploded_shingles(docs, "doc_id", "text", n=3).persist()
     sig = minhash_signatures(sh, "doc_id", k=16)
-    cand = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4)
+    cand = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4, max_bucket=max_bucket)
     verified = jaccard_on_pairs(cand, sh, "doc_id").filter(F.col("jaccard") >= 0.5)
     if return_shingles:
         return verified, sh

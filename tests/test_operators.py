@@ -899,3 +899,38 @@ def test_hdbscan_noise_and_degenerate_inputs():
     assert set(lz[:10].tolist()) == {0} and set(lz[10:].tolist()) == {1}
     with pytest.raises(ValueError, match="min_cluster_size"):
         hdbscan_labels(U, min_cluster_size=1)
+
+
+def test_d2_env_bucket_cap_bounds_flood(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_LSH_MAX_BUCKET wires the deterministic bucket cap
+    into the REGISTERED d2 query (mirroring the streaming path's
+    lsh_max_bucket): a near-exact duplicate flood emits C(cap,2)
+    verified pairs instead of C(flood,2), capped output is a subset of
+    exact output, and unset (the certified default) stays exact."""
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    text = "one boilerplate mirror sentence repeated across every page of the crawl"
+    n, cap = 40, 6
+    pd.DataFrame({"doc_id": range(n), "text": [text] * n}).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    d2 = all_queries()["d2_minhash_lsh"].spark
+
+    monkeypatch.delenv("SPARK_GRAFT_LSH_MAX_BUCKET", raising=False)
+    exact = {(r["a"], r["b"]) for r in d2(spark, str(tmp_path)).collect()}
+    assert len(exact) == n * (n - 1) // 2  # the flood the cap exists for
+
+    monkeypatch.setenv("SPARK_GRAFT_LSH_MAX_BUCKET", str(cap))
+    capped = {(r["a"], r["b"]) for r in d2(spark, str(tmp_path)).collect()}
+    assert len(capped) == cap * (cap - 1) // 2
+    assert capped <= exact  # never invents pairs
+    # deterministic: the cap keeps the smallest doc ids
+    assert capped == {(a, b) for a in range(cap) for b in range(a + 1, cap)}
+
+    monkeypatch.setenv("SPARK_GRAFT_LSH_MAX_BUCKET", "1")
+    import pytest
+
+    with pytest.raises(ValueError, match="cap below 2"):
+        d2(spark, str(tmp_path))
