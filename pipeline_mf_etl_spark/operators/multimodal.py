@@ -1444,15 +1444,223 @@ def _jpeg_extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
-def parse_jpeg_gray(payload: bytes) -> dict:
-    """REAL baseline JPEG decoder for 8-bit single-component streams:
-    marker walk, DQT/DHT parsed from the stream (nothing assumed about
-    the encoder's tables), canonical-Huffman entropy decode with
-    0xFF00 unstuffing, dequantize, de-zigzag, IDCT, level shift,
-    clamp, crop to the SOF geometry. Fails loudly on anything outside
-    the declared subset — progressive (SOF2), extended/arithmetic
-    SOFs, multi-component scans, restart intervals, 16-bit quant
-    tables — never guesses."""
+def encode_jpeg_ycbcr420(
+    y: bytes,
+    cb: bytes,
+    cr: bytes,
+    width: int,
+    height: int,
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+) -> bytes:
+    """Serialize planar YCbCr (full-res Y, 2x2-subsampled Cb/Cr) as a
+    real baseline 4:2:0 JFIF stream: per-plane forward DCT + quantize
+    (separate luma/chroma DQT ids 0/1), MCU-interleaved canonical-
+    Huffman entropy coding with SEPARATE luma/chroma DHT ids — so a
+    decoder must exercise per-component table selection, interleaved
+    MCU order (4 Y blocks + Cb + Cr), and chroma upsampling. Geometry
+    must be a multiple of 16 (whole MCUs; the synthesis side guarantees
+    it, and a general edge-replicating color encoder is out of scope —
+    fails loudly instead of padding wrong)."""
+    import struct
+
+    if width % 16 or height % 16 or width == 0 or height == 0:
+        raise ValueError(
+            f"4:2:0 geometry must be positive multiples of 16, got {width}x{height}"
+        )
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(f"JPEG geometry out of range: {width}x{height}")
+    if len(y) != width * height:
+        raise ValueError(
+            f"Y plane is {len(y)} bytes, geometry {width}x{height} needs {width * height}"
+        )
+    if len(cb) != width * height // 4 or len(cr) != width * height // 4:
+        raise ValueError(
+            f"Cb/Cr planes are {len(cb)}/{len(cr)} bytes, 4:2:0 needs {width * height // 4}"
+        )
+    ql = _JPEG_QUANT_SYNTH if quant_luma is None else np.asarray(quant_luma, np.int64)
+    qc = _JPEG_QUANT_SYNTH if quant_chroma is None else np.asarray(quant_chroma, np.int64)
+    for q in (ql, qc):
+        if q.shape != (64,) or (q < 1).any() or (q > 255).any():
+            raise ValueError("quant table must be 64 entries in 1..255 (8-bit DQT)")
+    mrows, mcols = height // 16, width // 16
+
+    def _blocks(plane: np.ndarray, ph: int, pw: int, q: np.ndarray):
+        """Plane-raster quantized zigzag blocks + vectorized DC / last-AC."""
+        gh, gw = ph // 8, pw // 8
+        b = (
+            plane.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            .astype(np.float64)
+            - 128.0
+        )
+        coef = _JPEG_D @ b @ _JPEG_D.T
+        qz = q[np.argsort(_JPEG_ZIGZAG)]
+        qcf = np.rint(coef.reshape(-1, 64) / qz).astype(np.int64)
+        zz = qcf[:, _JPEG_ZIGZAG]
+        dcs = zz[:, 0].tolist()
+        ac_mask = zz[:, 1:] != 0
+        has_ac = ac_mask.any(axis=1)
+        last = np.where(has_ac, 63 - ac_mask[:, ::-1].argmax(axis=1), 0).tolist()
+        return zz, dcs, last, gw
+
+    yp = np.frombuffer(y, dtype=np.uint8).reshape(height, width)
+    cbp = np.frombuffer(cb, dtype=np.uint8).reshape(height // 2, width // 2)
+    crp = np.frombuffer(cr, dtype=np.uint8).reshape(height // 2, width // 2)
+    comp_data = [
+        _blocks(yp, height, width, ql),
+        _blocks(cbp, height // 2, width // 2, qc),
+        _blocks(crp, height // 2, width // 2, qc),
+    ]
+    comp_hv = [(2, 2), (1, 1), (1, 1)]
+
+    # scan-order block sequence: per MCU, 4 Y blocks (2x2 raster), Cb, Cr
+    dc_codes, ac_codes = _JPEG_DC_CODES, _JPEG_AC_CODES
+    eob_code, eob_len = ac_codes[0x00]
+    zrl_code, zrl_len = ac_codes[0xF0]
+    out = bytearray()
+    append = out.append
+    acc = nbits = 0
+    prev = [0, 0, 0]
+    for R in range(mrows):
+        for C in range(mcols):
+            for ci in range(3):
+                h_i, v_i = comp_hv[ci]
+                zz_all, dcs, last_all, gw = comp_data[ci]
+                prev_dc = prev[ci]
+                for r in range(v_i):
+                    row0 = (R * v_i + r) * gw + C * h_i
+                    for cc in range(h_i):
+                        bi = row0 + cc
+                        dc = dcs[bi]
+                        diff = dc - prev_dc
+                        prev_dc = dc
+                        s = (diff if diff >= 0 else -diff).bit_length()
+                        code, length = dc_codes[s]
+                        acc = (acc << length) | code
+                        nbits += length
+                        if s:
+                            acc = (acc << s) | (
+                                (diff if diff >= 0 else diff + (1 << s) - 1)
+                                & ((1 << s) - 1)
+                            )
+                            nbits += s
+                        lastk = last_all[bi]
+                        if lastk:
+                            while nbits >= 8:
+                                nbits -= 8
+                                byte = (acc >> nbits) & 0xFF
+                                append(byte)
+                                if byte == 0xFF:
+                                    append(0x00)
+                            acc &= (1 << nbits) - 1
+                            zzb = zz_all[bi].tolist()
+                            run = 0
+                            for k in range(1, lastk + 1):
+                                v = zzb[k]
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run >= 16:
+                                    acc = (acc << zrl_len) | zrl_code
+                                    nbits += zrl_len
+                                    run -= 16
+                                s = (v if v >= 0 else -v).bit_length()
+                                code, length = ac_codes[(run << 4) | s]
+                                acc = (
+                                    ((acc << length) | code) << s
+                                ) | ((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1))
+                                nbits += length + s
+                                run = 0
+                                while nbits >= 8:
+                                    nbits -= 8
+                                    byte = (acc >> nbits) & 0xFF
+                                    append(byte)
+                                    if byte == 0xFF:
+                                        append(0x00)
+                                acc &= (1 << nbits) - 1
+                        if lastk < 63:
+                            acc = (acc << eob_len) | eob_code
+                            nbits += eob_len
+                        while nbits >= 8:
+                            nbits -= 8
+                            byte = (acc >> nbits) & 0xFF
+                            append(byte)
+                            if byte == 0xFF:
+                                append(0x00)
+                        acc &= (1 << nbits) - 1
+                prev[ci] = prev_dc
+    if nbits:  # flush: pad the tail byte with 1s per T.81
+        pad = 8 - nbits
+        byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        append(byte)
+        if byte == 0xFF:
+            append(0x00)
+    scan_body = bytes(out)
+    huff_blob = bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALUES)
+    huff_ac_blob = bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALUES)
+    dht = (
+        bytes([0x00]) + huff_blob          # DC id 0 (luma)
+        + bytes([0x10]) + huff_ac_blob     # AC id 0 (luma)
+        + bytes([0x01]) + huff_blob        # DC id 1 (chroma)
+        + bytes([0x11]) + huff_ac_blob     # AC id 1 (chroma)
+    )
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    return (
+        b"\xff\xd8"  # SOI
+        + _jpeg_marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _jpeg_marker(
+            0xFFDB,
+            bytes([0x00]) + bytes(ql.astype(np.uint8))
+            + bytes([0x01]) + bytes(qc.astype(np.uint8)),
+        )
+        + _jpeg_marker(0xFFC0, sof)
+        + _jpeg_marker(0xFFC4, dht)
+        + _jpeg_marker(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        + scan_body
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def jpeg_rgb_to_ycbcr420(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full-range BT.601 RGB -> planar YCbCr with 2x2 box-average
+    chroma subsampling (the standard 4:2:0 front end). rgb is (H, W, 3)
+    uint8 with H, W multiples of 16; rounding is floor(x+0.5) to mirror
+    ``jpeg_ycbcr_to_rgb``."""
+    h, w = rgb.shape[:2]
+    if h % 16 or w % 16:
+        raise ValueError(f"4:2:0 geometry must be multiples of 16, got {w}x{h}")
+    f = rgb.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    yf = 0.299 * r + 0.587 * g + 0.114 * b
+    cbf = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    crf = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    y = np.clip(np.floor(yf + 0.5), 0, 255).astype(np.uint8)
+    cb = np.clip(
+        np.floor(cbf.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) + 0.5), 0, 255
+    ).astype(np.uint8)
+    cr = np.clip(
+        np.floor(crf.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) + 0.5), 0, 255
+    ).astype(np.uint8)
+    return y, cb, cr
+
+
+def parse_jpeg(payload: bytes) -> dict:
+    """REAL baseline JPEG decoder for 8-bit sequential streams, 1- or
+    3-component, interleaved single scan, per-component sampling
+    factors in {1, 2} (covers grayscale, 4:4:4, 4:2:2, 4:2:0): marker
+    walk, DQT/DHT parsed from the stream (nothing assumed about the
+    encoder's tables), per-component quant/Huffman table SELECTION from
+    SOF/SOS, MCU-interleaved canonical-Huffman entropy decode with
+    0xFF00 unstuffing, per-component dequantize + de-zigzag + IDCT +
+    level shift + clamp, chroma upsampling by pixel replication, crop
+    to the SOF geometry. Returns ``{"width", "height", "components",
+    "planes"}`` where planes are full-resolution uint8 (height, width)
+    arrays — [gray] or [Y, Cb, Cr]. Fails loudly on anything outside
+    the declared subset — progressive (SOF2), extended/arithmetic SOFs,
+    non-interleaved multi-scan, restart intervals, 16-bit quant tables,
+    sampling factors above 2 — never guesses."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -1461,7 +1669,7 @@ def parse_jpeg_gray(payload: bytes) -> dict:
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[dict[tuple[int, int], int], bytes]] = {}
     width = height = None
-    comp_qtab = comp_dc = comp_ac = None
+    comps: list[dict] = []  # SOF order: {cid, h, v, tq, dc, ac}
     scan_data = None
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1519,13 +1727,26 @@ def parse_jpeg_gray(payload: bytes) -> dict:
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} not supported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"{ncomp}-component JPEG not supported (grayscale baseline only)"
+                    f"{ncomp}-component JPEG not supported (1 or 3 only)"
                 )
-            _cid, sampling, comp_qtab = seg[6], seg[7], seg[8]
-            if sampling != 0x11:
-                raise NotImplementedError("subsampled JPEG not supported")
+            for ci in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if ncomp == 1 and sampling != 0x11:
+                    # a lone component's sampling factors are
+                    # meaningless; anything but 1x1 is a malformed or
+                    # exotic stream — refuse rather than guess
+                    raise NotImplementedError(
+                        "non-1x1 sampling on single-component JPEG not supported"
+                    )
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise NotImplementedError(
+                        f"JPEG sampling factor {hs}x{vs} not supported "
+                        "(1 and 2 only — 4:4:4 / 4:2:2 / 4:2:0)"
+                    )
+                comps.append({"cid": cid, "h": hs, "v": vs, "tq": tq})
         elif marker in (
             0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,  # SOF13-15: differential/arith
@@ -1537,10 +1758,22 @@ def parse_jpeg_gray(payload: bytes) -> dict:
         elif marker == 0xDD:  # DRI
             raise NotImplementedError("JPEG restart intervals not supported")
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("JPEG SOS before SOF0 frame header")
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component JPEG scan not supported")
-            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
+            if ns != len(comps):
+                raise NotImplementedError(
+                    f"scan covers {ns} of {len(comps)} components — "
+                    "non-interleaved multi-scan JPEG not supported"
+                )
+            by_cid = {c["cid"]: c for c in comps}
+            for si in range(ns):
+                cs, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
+                if cs not in by_cid:
+                    raise ValueError(
+                        f"SOS references undeclared component id {cs}"
+                    )
+                by_cid[cs]["dc"], by_cid[cs]["ac"] = tabs >> 4, tabs & 0x0F
             # entropy data runs to the next real marker (0xFF followed
             # by anything but 0x00). Vectorized: only 0xFF positions are
             # inspected (a byte-at-a-time python walk measured ~20% of
@@ -1560,126 +1793,217 @@ def parse_jpeg_gray(payload: bytes) -> dict:
         raise ValueError("JPEG carries no SOF0 frame header")
     if scan_data is None:
         raise ValueError("JPEG carries no scan (SOS) data")
-    if comp_qtab not in quant:
-        raise ValueError(f"JPEG references undefined quant table {comp_qtab}")
-    if (0, comp_dc) not in huff or (1, comp_ac) not in huff:
-        raise ValueError("JPEG references undefined Huffman table")
-    qtab = quant[comp_qtab]
-    dc_tab = _jpeg_decode_lut(*huff[(0, comp_dc)])
-    ac_tab = _jpeg_decode_lut(*huff[(1, comp_ac)])
-    bw, bh = -(-width // 8), -(-height // 8)
-    n_blocks = bh * bw
+    for c in comps:
+        if c["tq"] not in quant:
+            raise ValueError(f"JPEG references undefined quant table {c['tq']}")
+        if "dc" not in c:
+            raise ValueError(f"component id {c['cid']} never assigned scan tables")
+        if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
+            raise ValueError("JPEG references undefined Huffman table")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcols = -(-width // (8 * hmax))
+    mrows = -(-height // (8 * vmax))
+    n_comp = len(comps)
+    dc_tabs = [_jpeg_decode_lut(*huff[(0, c["dc"])]) for c in comps]
+    ac_tabs = [_jpeg_decode_lut(*huff[(1, c["ac"])]) for c in comps]
+    # per-component plane block grids (MCU-padded)
+    grid_w = [mcols * c["h"] for c in comps]
+    grid_h = [mrows * c["v"] for c in comps]
     # entropy decode is inherently sequential (DC differences chain
-    # block to block); the DCT math below is vectorized across blocks.
-    # The symbol loop is INLINED (no _JpegBitReader) on purpose: per-
-    # symbol method calls measured as ~60% of the whole decode, and a
-    # payload has 2+ symbols per block — the semantics are exactly
-    # read_symbol/read/_jpeg_extend above, kept as the readable
+    # block to block WITHIN each component; components interleave per
+    # MCU); the DCT math below is vectorized across blocks. The symbol
+    # loop is INLINED (no _JpegBitReader) on purpose: per-symbol method
+    # calls measured as ~60% of the whole decode — the semantics are
+    # exactly read_symbol/read/_jpeg_extend above, kept as the readable
     # reference implementation (and used by the coefficient-level
-    # tests).
-    sym_dc, len_dc = dc_tab
-    sym_ac, len_ac = ac_tab
+    # tests). Block coefficients scatter into PLANE-RASTER order
+    # directly via the (R*v + r, C*h + c) index, so plane assembly
+    # needs no MCU-order permutation afterwards.
+    sym_dc_a = [t[0] for t in dc_tabs]
+    len_dc_a = [t[1] for t in dc_tabs]
+    sym_ac_a = [t[0] for t in ac_tabs]
+    len_ac_a = [t[1] for t in ac_tabs]
     data, n_data = scan_data, len(scan_data)
     acc = nbits = pos = 0
-    prev_dc = 0
-    # sparse (flat index, value) pairs: most blocks carry few nonzero
-    # coefficients, so scatter ONCE at the end instead of materializing
-    # a dense python list per payload
-    idxs: list[int] = []
-    vals: list[int] = []
-    for base in range(0, n_blocks * 64, 64):
-        # DC: one LUT probe on the 16-bit window (1-padded at stream end)
-        while nbits < 16 and pos < n_data:
-            acc = (acc << 8) | data[pos]
-            pos += 1
-            nbits += 8
-        if nbits >= 16:
-            window = (acc >> (nbits - 16)) & 0xFFFF
-        else:
-            pad = 16 - nbits
-            window = ((acc << pad) | ((1 << pad) - 1)) & 0xFFFF
-        s = sym_dc[window]
-        length = len_dc[window]
-        if s < 0 or length > nbits:
-            raise ValueError(
-                "invalid JPEG Huffman code (no symbol within 16 bits)"
-                if s < 0
-                else "JPEG entropy stream exhausted mid-symbol"
+    prev = [0] * n_comp
+    # sparse (flat index, value) pairs per component: most blocks carry
+    # few nonzero coefficients, so scatter ONCE at the end instead of
+    # materializing a dense python list per payload
+    idxs: list[list[int]] = [[] for _ in range(n_comp)]
+    vals: list[list[int]] = [[] for _ in range(n_comp)]
+    comp_hv = [(c["h"], c["v"]) for c in comps]
+    for R in range(mrows):
+        for C in range(mcols):
+            for ci in range(n_comp):
+                h_i, v_i = comp_hv[ci]
+                sym_dc, len_dc = sym_dc_a[ci], len_dc_a[ci]
+                sym_ac, len_ac = sym_ac_a[ci], len_ac_a[ci]
+                gw = grid_w[ci]
+                ci_idxs, ci_vals = idxs[ci], vals[ci]
+                prev_dc = prev[ci]
+                for r in range(v_i):
+                    row0 = (R * v_i + r) * gw + C * h_i
+                    for cc in range(h_i):
+                        base = (row0 + cc) * 64
+                        # DC: one LUT probe on the 16-bit window
+                        # (1-padded at stream end)
+                        while nbits < 16 and pos < n_data:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nbits += 8
+                        if nbits >= 16:
+                            window = (acc >> (nbits - 16)) & 0xFFFF
+                        else:
+                            pad = 16 - nbits
+                            window = ((acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+                        s = sym_dc[window]
+                        length = len_dc[window]
+                        if s < 0 or length > nbits:
+                            raise ValueError(
+                                "invalid JPEG Huffman code (no symbol within 16 bits)"
+                                if s < 0
+                                else "JPEG entropy stream exhausted mid-symbol"
+                            )
+                        nbits -= length
+                        acc &= (1 << nbits) - 1
+                        if s:
+                            while nbits < s:
+                                if pos >= n_data:
+                                    raise ValueError(
+                                        "JPEG entropy stream exhausted mid-symbol"
+                                    )
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                                nbits += 8
+                            nbits -= s
+                            bits = (acc >> nbits) & ((1 << s) - 1)
+                            acc &= (1 << nbits) - 1
+                            prev_dc += (
+                                bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+                            )
+                        ci_idxs.append(base)
+                        ci_vals.append(prev_dc)
+                        k = 1
+                        while k < 64:
+                            while nbits < 16 and pos < n_data:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                                nbits += 8
+                            if nbits >= 16:
+                                window = (acc >> (nbits - 16)) & 0xFFFF
+                            else:
+                                pad = 16 - nbits
+                                window = ((acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+                            sym = sym_ac[window]
+                            length = len_ac[window]
+                            if sym < 0 or length > nbits:
+                                raise ValueError(
+                                    "invalid JPEG Huffman code (no symbol within 16 bits)"
+                                    if sym < 0
+                                    else "JPEG entropy stream exhausted mid-symbol"
+                                )
+                            nbits -= length
+                            acc &= (1 << nbits) - 1
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, s = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflows the block")
+                            while nbits < s:
+                                if pos >= n_data:
+                                    raise ValueError(
+                                        "JPEG entropy stream exhausted mid-symbol"
+                                    )
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                                nbits += 8
+                            nbits -= s
+                            bits = (acc >> nbits) & ((1 << s) - 1)
+                            acc &= (1 << nbits) - 1
+                            ci_idxs.append(base + k)
+                            ci_vals.append(
+                                bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+                            )
+                            k += 1
+                prev[ci] = prev_dc
+    planes: list[np.ndarray] = []
+    for ci, c in enumerate(comps):
+        gw, gh = grid_w[ci], grid_h[ci]
+        n_blocks = gw * gh
+        zz_all = np.zeros(n_blocks * 64, dtype=np.int64)
+        if idxs[ci]:
+            zz_all[np.asarray(idxs[ci], dtype=np.int64)] = np.asarray(
+                vals[ci], dtype=np.int64
             )
-        nbits -= length
-        acc &= (1 << nbits) - 1
-        if s:
-            while nbits < s:
-                if pos >= n_data:
-                    raise ValueError("JPEG entropy stream exhausted mid-symbol")
-                acc = (acc << 8) | data[pos]
-                pos += 1
-                nbits += 8
-            nbits -= s
-            bits = (acc >> nbits) & ((1 << s) - 1)
-            acc &= (1 << nbits) - 1
-            prev_dc += bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
-        idxs.append(base)
-        vals.append(prev_dc)
-        k = 1
-        while k < 64:
-            while nbits < 16 and pos < n_data:
-                acc = (acc << 8) | data[pos]
-                pos += 1
-                nbits += 8
-            if nbits >= 16:
-                window = (acc >> (nbits - 16)) & 0xFFFF
-            else:
-                pad = 16 - nbits
-                window = ((acc << pad) | ((1 << pad) - 1)) & 0xFFFF
-            sym = sym_ac[window]
-            length = len_ac[window]
-            if sym < 0 or length > nbits:
-                raise ValueError(
-                    "invalid JPEG Huffman code (no symbol within 16 bits)"
-                    if sym < 0
-                    else "JPEG entropy stream exhausted mid-symbol"
-                )
-            nbits -= length
-            acc &= (1 << nbits) - 1
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, s = sym >> 4, sym & 0x0F
-            k += run
-            if k > 63:
-                raise ValueError("JPEG AC run overflows the block")
-            while nbits < s:
-                if pos >= n_data:
-                    raise ValueError("JPEG entropy stream exhausted mid-symbol")
-                acc = (acc << 8) | data[pos]
-                pos += 1
-                nbits += 8
-            nbits -= s
-            bits = (acc >> nbits) & ((1 << s) - 1)
-            acc &= (1 << nbits) - 1
-            idxs.append(base + k)
-            vals.append(
-                bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
-            )
-            k += 1
-    zz_all = np.zeros(n_blocks * 64, dtype=np.int64)
-    zz_all[np.asarray(idxs, dtype=np.int64)] = np.asarray(vals, dtype=np.int64)
-    zz_all = zz_all.reshape(n_blocks, 64)
-    coef = np.zeros((n_blocks, 64), dtype=np.float64)
-    coef[:, _JPEG_ZIGZAG] = (zz_all * qtab).astype(np.float64)
-    blocks = _JPEG_D.T @ coef.reshape(-1, 8, 8) @ _JPEG_D  # broadcast matmul (BLAS)
-    px_blocks = np.clip(np.rint(blocks) + 128, 0, 255).astype(np.int64)
-    out = (
-        px_blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-    )
+        zz_all = zz_all.reshape(n_blocks, 64)
+        coef = np.zeros((n_blocks, 64), dtype=np.float64)
+        coef[:, _JPEG_ZIGZAG] = (zz_all * quant[c["tq"]]).astype(np.float64)
+        blocks = _JPEG_D.T @ coef.reshape(-1, 8, 8) @ _JPEG_D  # broadcast matmul
+        px_blocks = np.clip(np.rint(blocks) + 128, 0, 255).astype(np.uint8)
+        plane = (
+            px_blocks.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        )
+        # crop to the component's true resolution, then replicate up to
+        # full frame resolution (nearest-neighbor — the baseline
+        # convention; smooth upsampling is a renderer choice)
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        planes.append(np.ascontiguousarray(plane[:height, :width]))
     return {
         "width": int(width),
         "height": int(height),
-        "pixels": out[:height, :width].reshape(-1).astype(np.uint8),
+        "components": n_comp,
+        "planes": planes,
     }
+
+
+def parse_jpeg_gray(payload: bytes) -> dict:
+    """Single-component strict view of ``parse_jpeg`` (the pre-r9 gray
+    contract): returns ``{"width", "height", "pixels"}`` with pixels as
+    a flat uint8 vector, refusing color streams loudly."""
+    v = parse_jpeg(payload)
+    if v["components"] != 1:
+        raise NotImplementedError(
+            f"{v['components']}-component JPEG not supported by the "
+            "grayscale path — use parse_jpeg"
+        )
+    return {
+        "width": v["width"],
+        "height": v["height"],
+        "pixels": v["planes"][0].reshape(-1),
+    }
+
+
+def jpeg_ycbcr_to_rgb(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> np.ndarray:
+    """Full-range BT.601 YCbCr -> RGB (the JFIF convention), stacked as
+    (H, W, 3) uint8. Rounding is floor(x + 0.5) — half-up, documented
+    and deterministic (np.rint's banker's rounding would make the
+    conversion oracle-inexpressible)."""
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            yf + 1.402 * crf,
+            yf - 0.344136 * cbf - 0.714136 * crf,
+            yf + 1.772 * cbf,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
 
 
 JPEG_FEATURE_SCHEMA = StructType(
@@ -1761,6 +2085,111 @@ def decode_jpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(feats, JPEG_FEATURE_SCHEMA)
 
 
+JPEG_MCUS_PER_ROW = 8  # color synthesis: one 16x16 MCU per 3 characters
+JPEG_COLOR_WIDTH = 16 * JPEG_MCUS_PER_ROW
+JPEG_MAX_MCU_ROWS = 0xFFFF // 16
+
+JPEG_COLOR_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("mean_y", DoubleType(), True),
+        StructField("mean_cb", DoubleType(), True),
+        StructField("mean_cr", DoubleType(), True),
+        StructField("max_y", LongType(), True),
+        StructField("min_y", LongType(), True),
+    ]
+)
+
+
+def with_jpeg_color_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic 4:2:0 COLOR JPEG per row: every 3
+    consecutive character bytes become one CONSTANT 16x16 MCU — byte 0
+    the luma, bytes 1/2 the chroma pair — 8 MCUs per row, whole MCU
+    rows only, run through the real forward pipeline (separate
+    luma/chroma quant + Huffman tables, interleaved MCU scan).
+    MCU-constant planes round-trip byte-exactly under the synthesis
+    quant table (same DC-only argument as the gray family), so the
+    oracle recomputes the decoded YCbCr stats straight from the
+    characters. Docs shorter than one MCU row carry a NULL payload."""
+    from pyspark.sql.types import BinaryType
+
+    per_row = 3 * JPEG_MCUS_PER_ROW
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), True)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for t in pdf[text_col]:
+                raw = t.encode("utf-8")
+                br = min(len(raw) // per_row, JPEG_MAX_MCU_ROWS)
+                if br == 0:
+                    payloads.append(None)
+                    continue
+                vals = np.frombuffer(raw[: br * per_row], dtype=np.uint8).reshape(
+                    br, JPEG_MCUS_PER_ROW, 3
+                )
+                y = np.kron(vals[..., 0], np.ones((16, 16), dtype=np.uint8))
+                cb = np.kron(vals[..., 1], np.ones((8, 8), dtype=np.uint8))
+                cr = np.kron(vals[..., 2], np.ones((8, 8), dtype=np.uint8))
+                payloads.append(
+                    encode_jpeg_ycbcr420(
+                        y.tobytes(), cb.tobytes(), cr.tobytes(),
+                        JPEG_COLOR_WIDTH, 16 * br,
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("image/jpeg"))
+
+
+def decode_jpeg_color_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each color JPEG through the real interleaved-MCU path
+    (per-component table selection, chroma upsampling) and emit YCbCr
+    geometry/stats. Map-only Arrow pipeline, zero shuffles; NULL
+    payloads yield the 0-geometry row with NULL stats."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    rows.append(
+                        (int(doc_id), JPEG_COLOR_WIDTH, 0, 0, None, None, None, None, None)
+                    )
+                    continue
+                v = parse_jpeg(bytes(payload))
+                if v["components"] != 3:
+                    raise ValueError(
+                        f"expected a 3-component stream, got {v['components']}"
+                    )
+                yp, cbp, crp = (p.astype(np.int64) for p in v["planes"])
+                n = v["width"] * v["height"]
+                rows.append(
+                    (
+                        int(doc_id),
+                        v["width"],
+                        v["height"],
+                        n,
+                        float(yp.sum()) / n,
+                        float(cbp.sum()) / n,
+                        float(crp.sum()) / n,
+                        int(yp.max()),
+                        int(yp.min()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_COLOR_FEATURE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(feats, JPEG_COLOR_FEATURE_SCHEMA)
+
+
 def decode_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode each PNG payload through the real inflate+unfilter path
     and emit the same geometry/channel stats as decode_ppm_features
@@ -1832,28 +2261,60 @@ def _mp4_sample_durations(n: int) -> list[int]:
 
 def encode_mp4(frames: np.ndarray, width: int, height: int) -> bytes:
     """Serialize (n, width*height) uint8 luma frames as a valid ISO-BMFF
-    file: ftyp, mdat (samples chunked MP4_CHUNK_SAMPLES per chunk),
-    moov/trak/mdia/minf/stbl with a 'raw ' VisualSampleEntry and a
-    fully populated sample table (stts run-length durations, stsc
-    chunk runs, stsz explicit size table, stco absolute offsets).
-    mdat precedes moov so chunk offsets are known when stco is built."""
+    file with a 'raw ' VisualSampleEntry — see ``_encode_mp4_container``
+    for the box layout."""
     frames = np.asarray(frames, dtype=np.uint8)
     per = width * height
     if frames.ndim != 2 or frames.shape[1] != per:
         raise ValueError(f"frames must be (n, {per}), got {frames.shape}")
-    n = frames.shape[0]
+    return _encode_mp4_container(
+        [frames[i].tobytes() for i in range(frames.shape[0])],
+        width,
+        height,
+        fmt=b"raw ",
+        depth=8,
+    )
+
+
+def encode_mp4_mjpeg(samples: list[bytes], width: int, height: int) -> bytes:
+    """Serialize pre-encoded JPEG byte payloads as an MJPEG-in-MP4 file
+    (the de-facto 'jpeg' VisualSampleEntry): every sample is one
+    complete JFIF stream, sizes vary per sample so the stsz explicit
+    table carries real information. The container layout is shared with
+    the 'raw ' encoder — see ``_encode_mp4_container``."""
+    for i, s in enumerate(samples):
+        if s[:2] != b"\xff\xd8":
+            raise ValueError(f"MJPEG sample {i} does not start with a JPEG SOI")
+    return _encode_mp4_container(
+        list(samples), width, height, fmt=b"jpeg", depth=24
+    )
+
+
+def _encode_mp4_container(
+    samples: list[bytes], width: int, height: int, fmt: bytes, depth: int
+) -> bytes:
+    """Shared ISO-BMFF mux: ftyp, mdat (samples chunked
+    MP4_CHUNK_SAMPLES per chunk), moov/trak/mdia/minf/stbl with the
+    given VisualSampleEntry format and a fully populated sample table
+    (stts run-length durations, stsc chunk runs, stsz explicit
+    per-sample size table, stco absolute offsets). mdat precedes moov
+    so chunk offsets are known when stco is built."""
+    n = len(samples)
+    sizes = [len(s) for s in samples]
     durations = _mp4_sample_durations(n)
     total_ticks = sum(durations)
 
     ftyp = _mp4_box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isomiso2")
-    mdat = _mp4_box(b"mdat", frames.tobytes())
+    mdat = _mp4_box(b"mdat", b"".join(samples))
 
     # chunk layout: offsets are absolute file offsets into mdat payload
     mdat_payload_off = len(ftyp) + 8
     n_chunks = (n + MP4_CHUNK_SAMPLES - 1) // MP4_CHUNK_SAMPLES
-    chunk_offsets = [
-        mdat_payload_off + k * MP4_CHUNK_SAMPLES * per for k in range(n_chunks)
-    ]
+    chunk_offsets = []
+    off = mdat_payload_off
+    for k in range(n_chunks):
+        chunk_offsets.append(off)
+        off += sum(sizes[k * MP4_CHUNK_SAMPLES : (k + 1) * MP4_CHUNK_SAMPLES])
 
     # stts: run-length encode consecutive equal durations
     stts_runs: list[tuple[int, int]] = []
@@ -1887,11 +2348,12 @@ def encode_mp4(frames: np.ndarray, width: int, height: int) -> bytes:
     )
 
     # stsz: sample_size=0 + explicit table so the table path is exercised
+    # ('raw ' sizes are all width*height; 'jpeg' sizes genuinely vary)
     stsz = _mp4_full(
         b"stsz",
         0,
         0,
-        _struct.pack(">II", 0, n) + b"".join(_struct.pack(">I", per) for _ in range(n)),
+        _struct.pack(">II", 0, n) + b"".join(_struct.pack(">I", s) for s in sizes),
     )
     stco = _mp4_full(
         b"stco",
@@ -1901,8 +2363,9 @@ def encode_mp4(frames: np.ndarray, width: int, height: int) -> bytes:
         + b"".join(_struct.pack(">I", o) for o in chunk_offsets),
     )
 
-    # 'raw ' VisualSampleEntry (14496-12 §12.1.3): 6 reserved + dref idx,
-    # 16 pre_defined/reserved, geometry, 72dpi, frame_count 1, name, depth
+    # VisualSampleEntry (14496-12 §12.1.3): 6 reserved + dref idx,
+    # 16 pre_defined/reserved, geometry, 72dpi, frame_count 1, name,
+    # depth (8 = grayscale 'raw ', 24 = color 'jpeg'), pre_defined -1
     entry = (
         b"\x00" * 6
         + _struct.pack(">H", 1)
@@ -1912,10 +2375,10 @@ def encode_mp4(frames: np.ndarray, width: int, height: int) -> bytes:
         + b"\x00" * 4
         + _struct.pack(">H", 1)
         + b"\x00" * 32
-        + _struct.pack(">Hh", 8, -1)  # depth 8 (grayscale), pre_defined -1
+        + _struct.pack(">Hh", depth, -1)
     )
     stsd = _mp4_full(
-        b"stsd", 0, 0, _struct.pack(">I", 1) + _mp4_box(b"raw ", entry)
+        b"stsd", 0, 0, _struct.pack(">I", 1) + _mp4_box(fmt, entry)
     )
     stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
 
@@ -2075,10 +2538,11 @@ def parse_mp4(payload: bytes) -> dict:
     if not entries:
         raise ValueError("stsd declares entries but its body holds none")
     fmt, eb, ee = entries[0]
-    if fmt != b"raw ":
+    if fmt not in (b"raw ", b"jpeg"):
         raise NotImplementedError(
             f"compressed sample entry '{fmt.decode('latin1')}' requires a "
-            "codec library; only uncompressed 'raw ' tracks decode here"
+            "codec library; only uncompressed 'raw ' and MJPEG 'jpeg' "
+            "tracks decode here"
         )
     width = int.from_bytes(payload[eb + 24 : eb + 26], "big")
     height = int.from_bytes(payload[eb + 26 : eb + 28], "big")
@@ -2116,15 +2580,17 @@ def parse_mp4(payload: bytes) -> dict:
     # that differs from width*height is a malformed (or stride-padded)
     # track — fail at the gate with the real reason instead of dying in
     # np.vstack with an unrelated shape error, or worse, silently
-    # producing misshaped frames when the sizes happen to agree
+    # producing misshaped frames when the sizes happen to agree.
+    # ('jpeg' sample sizes genuinely vary — no size invariant to check.)
     per = width * height
-    for i, s in enumerate(sizes):
-        if s != per:
-            raise ValueError(
-                f"'raw ' sample {i} is {s} bytes but geometry "
-                f"{width}x{height} needs {per} — stride-padded or "
-                "malformed track"
-            )
+    if fmt == b"raw ":
+        for i, s in enumerate(sizes):
+            if s != per:
+                raise ValueError(
+                    f"'raw ' sample {i} is {s} bytes but geometry "
+                    f"{width}x{height} needs {per} — stride-padded or "
+                    "malformed track"
+                )
     if sum(durations) != duration:
         raise ValueError(
             f"mdhd duration {duration} != stts total {sum(durations)}"
@@ -2186,15 +2652,24 @@ def parse_mp4(payload: bytes) -> dict:
             raise ValueError(f"sample at offset {off} overruns the file")
         frames.append(np.frombuffer(payload, dtype=np.uint8, count=sz, offset=off))
     per = width * height
-    return {
+    out = {
         "width": width,
         "height": height,
         "timescale": timescale,
         "duration": duration,
         "n_samples": n_samples,
         "durations": durations,
-        "frames": np.vstack(frames) if frames else np.empty((0, per), dtype=np.uint8),
+        "codec": "raw" if fmt == b"raw " else "jpeg",
     }
+    if fmt == b"raw ":
+        # uniform-size samples stack into one (n, width*height) matrix
+        out["frames"] = (
+            np.vstack(frames) if frames else np.empty((0, per), dtype=np.uint8)
+        )
+    else:
+        # MJPEG: per-sample byte payloads are ragged — hand back slices
+        out["samples"] = [f.tobytes() for f in frames]
+    return out
 
 
 MP4_FEATURE_SCHEMA = StructType(
@@ -2266,6 +2741,93 @@ def decode_mp4_features(
                         v["n_samples"],
                         v["duration"],
                         mean,
+                        mx,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MP4_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, "payload").mapInPandas(feats, MP4_FEATURE_SCHEMA)
+
+
+MJPEG_FRAME_CHARS = 64  # 16 blocks/row x 4 rows: one char per 8x8 block
+MJPEG_FRAME_W = 128
+MJPEG_FRAME_H = 32
+
+
+def with_mjpeg_mp4_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic MJPEG-in-MP4 per row: every 64
+    character bytes become one REAL baseline-JPEG frame (16 constant
+    8x8 blocks per row, 4 block rows — the mm13 gray scheme), muxed as
+    'jpeg' samples 4 per chunk, so the container carries a genuinely
+    varying stsz size table AND every frame needs a full entropy
+    decode. Block-constant frames round-trip byte-exactly, so the
+    oracle recomputes decoded stats straight from the characters. Short
+    docs yield a legal 0-sample file."""
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), False)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for t in pdf[text_col]:
+                raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                n = len(raw) // MJPEG_FRAME_CHARS
+                samples = []
+                for f in range(n):
+                    vals = raw[
+                        f * MJPEG_FRAME_CHARS : (f + 1) * MJPEG_FRAME_CHARS
+                    ].reshape(4, 16)
+                    gray = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                    samples.append(
+                        encode_jpeg_gray(gray.tobytes(), MJPEG_FRAME_W, MJPEG_FRAME_H)
+                    )
+                payloads.append(
+                    encode_mp4_mjpeg(samples, MJPEG_FRAME_W, MJPEG_FRAME_H)
+                )
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("video/mp4"))
+
+
+def decode_mp4_mjpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The 100-TB video-ingest primitive end-to-end: ISO-BMFF demux
+    (box tree + stts/stsc/stsz/stco) to per-sample byte slices, THEN a
+    full baseline-JPEG decode of every slice (marker walk, Huffman,
+    IDCT), emitting per-document geometry, tick duration and exact luma
+    stats over all decoded frames. One map-only Arrow pass, zero
+    shuffles; 0-sample files emit NULL stats. Non-JPEG codecs fail
+    loudly at the stsd gate (parse_mp4)."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                v = parse_mp4(bytes(payload))
+                if v["codec"] != "jpeg":
+                    raise ValueError(
+                        f"expected an MJPEG track, got codec {v['codec']!r}"
+                    )
+                total = cnt = 0
+                mx = None
+                for s in v["samples"]:
+                    p = parse_jpeg_gray(s)
+                    px = p["pixels"].astype(np.int64)
+                    total += int(px.sum())
+                    cnt += px.size
+                    m = int(px.max())
+                    mx = m if mx is None else max(mx, m)
+                rows.append(
+                    (
+                        int(doc_id),
+                        v["width"],
+                        v["height"],
+                        v["n_samples"],
+                        v["duration"],
+                        (float(total) / cnt) if cnt else None,
                         mx,
                     )
                 )

@@ -759,6 +759,81 @@ def mm13_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm13b: COLOR baseline JPEG (3-component 4:2:0) — what a real
+# multimodal corpus is actually made of (the r8 gate rejected it). The
+# decode path is fully real: per-component quant/Huffman table
+# selection from SOF/SOS, interleaved MCU entropy decode (4 Y + Cb +
+# Cr per MCU), chroma upsampling. Synthesis maps 3 characters -> one
+# constant 16x16 MCU (Y, Cb, Cr), which round-trips byte-exactly under
+# the synthesis tables (DC-only argument, same as the gray family), so
+# a hash match against the character-derived oracle certifies the
+# whole interleaved color path.
+# ---------------------------------------------------------------------------
+@query(
+    "mm13b_jpeg_color",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text,
+               -- mirror the synthesis height cap (JPEG_MAX_MCU_ROWS):
+               -- the 16-bit JFIF height field truncates huge docs
+               LEAST(length(text) // 24, 4095) AS br
+        FROM documents
+    ), mcu AS (
+        SELECT g.doc_id,
+               ord(substr(g.text, CAST(3 * t.m + 1 AS INTEGER), 1)) AS yb,
+               ord(substr(g.text, CAST(3 * t.m + 2 AS INTEGER), 1)) AS cbb,
+               ord(substr(g.text, CAST(3 * t.m + 3 AS INTEGER), 1)) AS crb
+        FROM geo g, UNNEST(range(0, CAST(g.br * 8 AS BIGINT))) AS t(m)
+    ), agg AS (
+        SELECT doc_id,
+               SUM(yb) AS sy, SUM(cbb) AS scb, SUM(crb) AS scr,
+               MAX(yb) AS mxy, MIN(yb) AS mny, COUNT(*) AS c
+        FROM mcu GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(128 AS BIGINT) AS width,
+           CAST(g.br * 16 AS BIGINT) AS height,
+           CAST(g.br * 2048 AS BIGINT) AS n_pixels,
+           ROUND(a.sy * 1.0 / a.c, 6) AS mean_y,
+           ROUND(a.scb * 1.0 / a.c, 6) AS mean_cb,
+           ROUND(a.scr * 1.0 / a.c, 6) AS mean_cr,
+           CAST(a.mxy AS BIGINT) AS max_y,
+           CAST(a.mny AS BIGINT) AS min_y
+    FROM geo g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm13b_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-image YCbCr stats per document through the real COLOR
+    baseline-JPEG path: text -> 4:2:0 JFIF encode (per-plane forward
+    DCT, separate luma/chroma quant + Huffman tables, interleaved MCU
+    entropy coding) -> marker walk + per-component table selection +
+    MCU-interleaved Huffman decode + dequantize + IDCT + chroma
+    upsampling -> exact plane stats. Each 16x16 MCU is 3 characters
+    (Y, Cb, Cr), so plane means equal per-slot character means and
+    DuckDB recomputes them without a codec. Map-only plan (synth +
+    decode in one Arrow pipeline, zero shuffles). Docs shorter than one
+    MCU row emit the 0-geometry row with NULL stats."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_jpeg_color_features,
+        with_jpeg_color_payload,
+    )
+
+    docs = with_jpeg_color_payload(load_table(spark, sf_dir, "documents"))
+    feats = decode_jpeg_color_features(docs)
+    return feats.select(
+        "doc_id",
+        "width",
+        F.col("height").cast("long").alias("height"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        F.round("mean_y", 6).alias("mean_y"),
+        F.round("mean_cb", 6).alias("mean_cb"),
+        F.round("mean_cr", 6).alias("mean_cr"),
+        "max_y",
+        "min_y",
+    )
+
+
+# ---------------------------------------------------------------------------
 # mm14: MP4 demux — the VIDEO-CONTAINER leg of the codec family. What a
 # training pipeline must get right on MP4 at 100 TB is the CONTAINER:
 # box-tree walk + sample-table resolution (stts/stsc/stsz/stco) to
@@ -819,6 +894,74 @@ def mm14_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_mp4_payload(load_table(spark, sf_dir, "documents"))
     feats = decode_mp4_features(docs, stride=4)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_samples",
+        "duration_ticks",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "max_luma",
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm15: MJPEG-in-MP4 END-TO-END — demux ∘ decode, the actual 100-TB
+# video-ingest primitive (mm14 stops at byte slices; real multimodal
+# corpora carry COMPRESSED samples). Synthesis muxes real baseline-JPEG
+# frames (64 chars each, the mm13 gray block-constant scheme) as 'jpeg'
+# samples 4 per chunk, so the stsz size table genuinely varies and every
+# frame pays a full Huffman+IDCT decode after the sample-table walk. The
+# mapping is invertible, so the oracle recomputes decoded stats + tick
+# totals straight from the characters — one hash match certifies BOTH
+# layers. Non-JPEG codecs (avc1/...) still raise loudly at the stsd gate.
+# ---------------------------------------------------------------------------
+@query(
+    "mm15_mjpeg_decode",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) // 64 AS n
+        FROM documents
+    ), sampled AS (
+        SELECT g.doc_id,
+               ord(substr(g.text, CAST(t.f * 64 + i AS INTEGER), 1)) AS byte
+        FROM geo g,
+             UNNEST(range(0, g.n)) AS t(f),
+             UNNEST(range(1, 65)) AS u(i)
+    ), agg AS (
+        SELECT doc_id, SUM(byte) AS sb, MAX(byte) AS mx, COUNT(*) AS c
+        FROM sampled GROUP BY doc_id
+    ), dur AS (
+        SELECT g.doc_id, SUM(1 + (t.i % 3)) AS ticks
+        FROM geo g, UNNEST(range(0, g.n)) AS t(i)
+        GROUP BY g.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(128 AS BIGINT) AS width,
+           CAST(32 AS BIGINT) AS height,
+           CAST(g.n AS BIGINT) AS n_samples,
+           CAST(COALESCE(d.ticks, 0) AS BIGINT) AS duration_ticks,
+           ROUND(a.sb * 1.0 / a.c, 6) AS mean_luma,
+           CAST(a.mx AS BIGINT) AS max_luma
+    FROM geo g
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN dur d USING (doc_id)
+    """,
+)
+def mm15_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats through demux + decode composed: text ->
+    per-frame baseline-JPEG encode -> MJPEG-in-MP4 mux (varying stsz,
+    4 samples/chunk) -> box walk + sample-table resolution -> full
+    JPEG decode of EVERY sample -> exact luma stats + tick duration.
+    Map-only plan (synth + demux + decode in one Arrow pipeline, zero
+    shuffles); 0-sample docs emit NULL stats."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_mp4_mjpeg_features,
+        with_mjpeg_mp4_payload,
+    )
+
+    docs = with_mjpeg_mp4_payload(load_table(spark, sf_dir, "documents"))
+    feats = decode_mp4_mjpeg_features(docs)
     return feats.select(
         "doc_id",
         "width",

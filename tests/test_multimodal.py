@@ -875,3 +875,243 @@ def test_scale_probe_unique_mapping_structurally_disjoint():
         for g in range(1, 10)
     )
     assert worst >= 10
+
+
+class TestJpegColorCodec:
+    def test_constant_mcu_roundtrip_exact(self):
+        # MCU-constant planes are DC-only blocks: quantize 8*(v-128)/8
+        # is exact, so the full interleaved 4:2:0 path must round-trip
+        # byte-exactly — including per-component table selection and
+        # chroma upsampling
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_ycbcr420,
+            parse_jpeg,
+        )
+
+        rng = np.random.default_rng(11)
+        for h, w in ((16, 16), (32, 48), (64, 128)):
+            yv = rng.integers(0, 256, (h // 16, w // 16), dtype=np.uint8)
+            cbv = rng.integers(0, 256, (h // 16, w // 16), dtype=np.uint8)
+            crv = rng.integers(0, 256, (h // 16, w // 16), dtype=np.uint8)
+            y = np.kron(yv, np.ones((16, 16), np.uint8))
+            cb = np.kron(cbv, np.ones((8, 8), np.uint8))
+            cr = np.kron(crv, np.ones((8, 8), np.uint8))
+            v = parse_jpeg(
+                encode_jpeg_ycbcr420(y.tobytes(), cb.tobytes(), cr.tobytes(), w, h)
+            )
+            assert v["components"] == 3
+            assert (v["width"], v["height"]) == (w, h)
+            assert np.array_equal(v["planes"][0], y)
+            assert np.array_equal(v["planes"][1], np.kron(cbv, np.ones((16, 16), np.uint8)))
+            assert np.array_equal(v["planes"][2], np.kron(crv, np.ones((16, 16), np.uint8)))
+
+    def test_rgb_gradient_roundtrip_tolerance(self):
+        # non-constant content exercises AC coefficients on all three
+        # components; unit quant steps keep the error to IDCT rounding
+        # plus the 2x2 chroma box average
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_ycbcr420,
+            jpeg_rgb_to_ycbcr420,
+            jpeg_ycbcr_to_rgb,
+            parse_jpeg,
+        )
+
+        h, w = 32, 32
+        rgb = np.zeros((h, w, 3), np.uint8)
+        gx = np.linspace(20, 235, w)
+        rgb[..., 0] = gx[None, :]
+        rgb[..., 1] = gx[:, None]
+        rgb[..., 2] = 96
+        y, cb, cr = jpeg_rgb_to_ycbcr420(rgb)
+        v = parse_jpeg(
+            encode_jpeg_ycbcr420(y.tobytes(), cb.tobytes(), cr.tobytes(), w, h)
+        )
+        # Y decodes near-exactly (unit AC quant); chroma pays the 2x2
+        # box average, so compare in RGB with a modest bound
+        assert np.abs(v["planes"][0].astype(int) - y.astype(int)).max() <= 2
+        out = jpeg_ycbcr_to_rgb(*v["planes"])
+        assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 8
+
+    def test_color_malformed_and_unsupported_fail_loudly(self):
+        import numpy as np
+        import pytest
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_ycbcr420,
+            parse_jpeg,
+        )
+
+        y = bytes(np.full(16 * 16, 80, np.uint8))
+        c = bytes(np.full(8 * 8, 90, np.uint8))
+        good = encode_jpeg_ycbcr420(y, c, c, 16, 16)
+
+        # geometry gates on the encode side
+        with pytest.raises(ValueError, match="multiples of 16"):
+            encode_jpeg_ycbcr420(y, c, c, 8, 32)
+        with pytest.raises(ValueError, match="Y plane is"):
+            encode_jpeg_ycbcr420(y[:-1], c, c, 16, 16)
+        with pytest.raises(ValueError, match="Cb/Cr planes"):
+            encode_jpeg_ycbcr420(y, c[:-1], c, 16, 16)
+
+        # sampling factor 3 must be refused, not guessed at
+        i = good.index(b"\xff\xc0")
+        bad = bytearray(good)
+        bad[i + 11] = 0x33  # Y component sampling 3x3
+        with pytest.raises(NotImplementedError, match="sampling factor 3x3"):
+            parse_jpeg(bytes(bad))
+
+        # a scan covering fewer components than the frame is the
+        # non-interleaved multi-scan case — out of the declared subset
+        j = good.index(b"\xff\xda")
+        seglen = int.from_bytes(good[j + 2 : j + 4], "big")
+        sos1 = b"\xff\xda" + (2 + 2 + 2).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+        hacked = good[:j] + sos1 + good[j + 2 + seglen :]
+        with pytest.raises(NotImplementedError, match="non-interleaved multi-scan"):
+            parse_jpeg(hacked)
+
+        # chroma quant table id rewritten to an undefined slot
+        k = good.index(b"\xff\xc0")
+        bad2 = bytearray(good)
+        bad2[k + 15] = 7  # Cb tq -> 7 (never defined)
+        with pytest.raises(ValueError, match="undefined quant table 7"):
+            parse_jpeg(bytes(bad2))
+
+    def test_gray_wrapper_rejects_color(self):
+        import numpy as np
+        import pytest
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_ycbcr420,
+            parse_jpeg_gray,
+        )
+
+        y = bytes(np.full(16 * 16, 80, np.uint8))
+        c = bytes(np.full(8 * 8, 90, np.uint8))
+        with pytest.raises(NotImplementedError, match="3-component"):
+            parse_jpeg_gray(encode_jpeg_ycbcr420(y, c, c, 16, 16))
+
+    def test_mm13b_edge_docs(self, spark, tmp_path):
+        # sub-MCU-row docs carry NULL payloads; everything else decodes
+        # through the full color path
+        import pandas as pd
+
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        texts = [
+            "",  # NULL payload
+            "x" * 23,  # still NULL (one MCU row needs 24 bytes)
+            "a" * 24,  # one MCU row
+            "".join(chr(33 + (i % 90)) for i in range(24 * 3 + 5)),  # 3 rows + tail
+        ]
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in all_queries()["mm13b_jpeg_color"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        }
+        assert rows[0]["height"] == 0 and rows[0]["mean_y"] is None
+        assert rows[1]["height"] == 0 and rows[1]["mean_cb"] is None
+        r2 = rows[2]
+        assert (r2["width"], r2["height"], r2["n_pixels"]) == (128, 16, 2048)
+        assert r2["mean_y"] == float(ord("a"))
+        assert r2["mean_cb"] == float(ord("a"))
+        assert r2["max_y"] == r2["min_y"] == ord("a")
+        r3 = rows[3]
+        assert r3["height"] == 48
+        byts = [ord(texts[3][i]) for i in range(72)]
+        ys, cbs, crs = byts[0::3], byts[1::3], byts[2::3]
+        assert r3["mean_y"] == round(sum(ys) / len(ys), 6)
+        assert r3["mean_cb"] == round(sum(cbs) / len(cbs), 6)
+        assert r3["mean_cr"] == round(sum(crs) / len(crs), 6)
+        assert r3["max_y"] == max(ys) and r3["min_y"] == min(ys)
+
+
+class TestMjpegMp4:
+    def test_demux_decode_composition_roundtrip(self):
+        # every sample is a real JPEG of a different size class: the
+        # demux must slice exact byte ranges (varying stsz) and the
+        # decode must recover each frame byte-exactly
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_gray,
+            encode_mp4_mjpeg,
+            parse_jpeg_gray,
+            parse_mp4,
+        )
+
+        rng = np.random.default_rng(5)
+        frames = [rng.integers(0, 256, (4, 16), dtype=np.uint8) for _ in range(7)]
+        samples = [
+            encode_jpeg_gray(
+                np.kron(f, np.ones((8, 8), np.uint8)).tobytes(), 128, 32
+            )
+            for f in frames
+        ]
+        assert len({len(s) for s in samples}) > 1  # sizes genuinely vary
+        v = parse_mp4(encode_mp4_mjpeg(samples, 128, 32))
+        assert v["codec"] == "jpeg" and v["n_samples"] == 7
+        assert [len(s) for s in v["samples"]] == [len(s) for s in samples]
+        for f, s in zip(frames, v["samples"]):
+            p = parse_jpeg_gray(s)
+            got = p["pixels"].reshape(32, 128)[::8, ::8]
+            assert np.array_equal(got, f)
+
+    def test_mjpeg_gates_fail_loudly(self):
+        import numpy as np
+        import pytest
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_gray,
+            encode_mp4_mjpeg,
+            parse_mp4,
+        )
+
+        with pytest.raises(ValueError, match="SOI"):
+            encode_mp4_mjpeg([b"not a jpeg"], 128, 32)
+        good = encode_mp4_mjpeg(
+            [encode_jpeg_gray(bytes(np.full(128 * 32, 9, np.uint8)), 128, 32)],
+            128,
+            32,
+        )
+        # a compressed codec that is NOT in the decodable set still
+        # raises at the stsd gate
+        with pytest.raises(NotImplementedError, match="hvc1"):
+            parse_mp4(good.replace(b"jpeg", b"hvc1", 1))
+
+    def test_mm15_edge_docs(self, spark, tmp_path):
+        import pandas as pd
+
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        texts = [
+            "",  # 0 samples
+            "y" * 63,  # still 0 samples
+            "b" * 64,  # one frame
+            "".join(chr(33 + (i * 7 % 90)) for i in range(64 * 5 + 11)),  # 5 frames + tail
+        ]
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in all_queries()["mm15_mjpeg_decode"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        }
+        assert rows[0]["n_samples"] == 0 and rows[0]["mean_luma"] is None
+        assert rows[1]["n_samples"] == 0 and rows[1]["duration_ticks"] == 0
+        assert rows[2]["n_samples"] == 1 and rows[2]["mean_luma"] == float(ord("b"))
+        r3 = rows[3]
+        assert r3["n_samples"] == 5
+        assert r3["duration_ticks"] == sum(1 + (i % 3) for i in range(5))
+        byts = [ord(texts[3][i]) for i in range(5 * 64)]
+        assert r3["mean_luma"] == round(sum(byts) / len(byts), 6)
+        assert r3["max_luma"] == max(byts)
