@@ -44,3 +44,35 @@ def test_assert_exports_fresh_rejects_stale(tmp_path, monkeypatch):
         ex.assert_exports_fresh(sql)
     # non-export oracles pass through untouched
     ex.assert_exports_fresh("SELECT 1")
+
+
+def test_no_query_escapes_certification_window():
+    """The backlog invariant as code (r8 verdict task 7: g3 slipped past
+    the r8 window because it registered after the pin): every registered
+    query must either sit in the current _PRIORITY window (certified
+    this round) or carry a CORRECTNESS row from some prior round. A new
+    query without window placement fails HERE, not at judge time."""
+    import glob
+    import json
+    import os
+
+    from pipeline_mf_etl_spark.queries import all_queries
+    from pipeline_mf_etl_spark.queries.registry import _PRIORITY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    certified: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(f, encoding="utf-8") as fh:
+            certified.update(json.load(fh))
+
+    registered = set(all_queries())
+    window = set(_PRIORITY)
+    # the window itself must name only real queries (a typo in
+    # _PRIORITY silently shrinks the certification slots)
+    assert window <= registered, sorted(window - registered)
+    uncovered = registered - window - certified
+    assert not uncovered, (
+        f"queries registered but neither in the current _PRIORITY window "
+        f"nor ever driver-certified: {sorted(uncovered)} — add them to "
+        f"_PRIORITY in queries/registry.py"
+    )
