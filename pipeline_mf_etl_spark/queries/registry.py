@@ -63,76 +63,74 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.graph",
 )
 
-# ROUND-8 WINDOW (the r7 verdict's ranked #1 task): after r7's all-green
-# sweep the backlog is zero, so this window is pure staleness rotation —
-# the 33 rows whose latest driver green is the r3 window (code untouched
-# since; local parity re-proves them every round) go FIRST, then the
-# round-8 edits/additions that need (re-)certification (mm13 JPEG decode
-# and mm14 MP4 demux are new; d10 moves to masked-position blocking, d11
-# to one-sided containment candidates, i5 is rewired through the shared
-# manifest-merge path), then the oldest r4-green rows (the B-family)
-# fill the 50 slots. Rotated out (all green r7, code untouched): the r7
-# window. After r8 no certification is older than r4; rotate the
-# remaining r4 rows (m1/m2/m8, j8, m12, m16-m21 companions) in round 9.
+# ROUND-9 WINDOW (the r8 verdict's ranked #1 task): g3_triangle_count —
+# the only registered query never driver-checked (registered after the
+# r8 pin) — goes FIRST; then every query whose CODE changed this round
+# or that is brand-new (w22 rewritten skew-immune; the JPEG decoder
+# generalized to color touches mm13; parse_mp4 grew MJPEG support
+# touching mm14; mm13b/mm15 are new; d2 gained the cap wiring; i5's
+# promote_manifest gained lock + retention); then the 23 r4-stale rows
+# (the oldest certifications left after the r8 rotation); the remaining
+# slots fill with the oldest r6 rows (the d/e/t dedup-similarity-text
+# families). Rotated out (green r7/r8, code untouched): the r8 window.
+# After r9 the oldest oracled certification is r6; rotate the remaining
+# r6 rows (streaming st1-st8, ML fits, o9-o13, f1/f2, mm5-mm7, v4,
+# t10/a18/w3) across rounds 10-11.
 _PRIORITY = (
-    # --- (1) the 33 r3-stale certifications (verdict r7 task 1) ---
-    "p1_normalize",
-    "p2_p3_quality_flags",
-    "p4_quality_report",
-    "p6_input_cleaning",
-    "p7_filters",
-    "a1_grouped_stats",
-    "a2_conditional_aggregates",
-    "a4_horizontal_aggs",
-    "a5_crosstab",
-    "a6_rows_by_year",
-    "a8_topk_parts",
-    "a9_null_rates",
-    "a12_quantile_edges",
-    "a13_orders_by_year",
-    "w4_cumulative",
-    "w5_bars_since_event",
-    "w6_run_length",
-    "w7_pivot_detection",
-    "w8_w10_event_flags",
-    "w11_w13_burst_activity",
-    "w14_forward_labels",
-    "w15_duplicate_flag",
-    "w16_dedupe_keep_first",
-    "w17_latest_per_group",
-    "w18_range_window",
-    "j2_broadcast_enrich",
-    "j5_state_mapping",
-    "j6_overlay_coverage",
-    "m13_bootstrap_ci",
-    "m14_block_bootstrap",
-    "m15_pairwise_diff_ci",
-    "o4b_hash_sample",
-    "o6_anti_join",
-    # --- (2) round-8 new/edited code needing (re-)certification ---
+    # --- (1) never driver-certified (r8 verdict task 1) ---
+    "g3_triangle_count",
+    # --- (2) round-9 new/edited code needing (re-)certification ---
+    "w22_funnel_steps",
     "mm13_jpeg_decode",
+    "mm13b_jpeg_color",
     "mm14_mp4_demux",
-    "d10_record_linkage",
-    "d11_containment",
+    "mm15_mjpeg_decode",
+    "d2_minhash_lsh",
     "i5_manifest_merge",
-    # --- (3) oldest r4-green rows (B-family) to fill 50; b12 stays out
-    #     this round (r4-green, heaviest of the family) and leads r9 ---
-    "b1_input_adapter",
-    "b2_state_eligibility",
-    "b3_overlay_pass_modes",
-    "b4_execution_realism",
-    "b5_signals",
-    "b6_trade_sim",
-    "b7_trade_metrics",
-    "b8_equity_curve",
-    "b10_sensitivity_grid",
-    "b11_robustness_score",
-    # m6's fallback became the exact in-house HDBSCAN in r8, and t14 is
-    # brand-new — changed/never-certified code outranks stale-but-
-    # untouched code for the last two slots; b12-b15 (r4-green,
-    # untouched) lead the r9 rotation
-    "m6_density_clusters",
-    "t14_boilerplate_lines",
+    # --- (3) the 23 r4-stale rows ---
+    "b12_walkforward_grid",
+    "b13_candidate_drift",
+    "b14_calibration_sweep",
+    "b15_equity_summary",
+    "j8_transition_matrix",
+    "m12_dwell_stats",
+    "m17_frobenius_stability",
+    "m17_trend_slope",
+    "m18_hardening_policy",
+    "m1_global_scaler",
+    "m2_per_group_scaler",
+    "m8_state_profiles",
+    "mm1_binary_metadata",
+    "mm2_byte_features",
+    "mm3_frame_sample",
+    "mm4_wav_decode",
+    "st2_sliding_windows",
+    "t3_top_terms",
+    "t4_fingerprint",
+    "t5_token_stats",
+    "v1_tmf_tti_panel",
+    "v2_viewer_markers",
+    "v3_reading_labels",
+    # --- (4) oldest r6 rows: the dedup / ANN / text families ---
+    "d1_exact_dedupe",
+    "d3_simhash",
+    "d4_ngram_jaccard",
+    "d5_neardup_groups",
+    "d6_canonical_docs",
+    "d7_curation_waterfall",
+    "d8_substring_dedup",
+    "e1_ann_bruteforce",
+    "e2_ann_bucketed",
+    "e3_embedding_neardup",
+    "e4_ann_ivf",
+    "e5_ann_pq",
+    "e6_ann_ivfpq",
+    "t1_lang_id",
+    "t2_quality_score",
+    "t6_pii_scrub",
+    "t7_repetition_quality",
+    "t8_contamination",
+    "t9_trigram_lm",
 )
 
 
