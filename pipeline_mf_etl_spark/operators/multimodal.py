@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -1226,12 +1227,19 @@ def _jpeg_marker(marker: int, data: bytes) -> bytes:
 
 
 def encode_jpeg_gray(
-    gray: bytes, width: int, height: int, quant: np.ndarray | None = None
+    gray: bytes,
+    width: int,
+    height: int,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Serialize raw 8-bit grayscale pixels as a real baseline JFIF
     stream (forward DCT + quantize + Huffman entropy coding). Partial
     edge blocks are padded by edge replication, the standard trick —
-    the decoder crops back to the SOF geometry."""
+    the decoder crops back to the SOF geometry. ``restart_interval=R``
+    emits a DRI marker and an RSTn (cycling 0..7) every R MCUs (=
+    blocks for single-component), resetting byte alignment and the DC
+    predictor — how real encoders bound error propagation."""
     import struct
 
     if len(gray) != width * height:
@@ -1279,9 +1287,25 @@ def encode_jpeg_gray(
     append = out.append
     acc = nbits = 0
     prev_dc = 0
+    rst = 0
     eob_code, eob_len = ac_codes[0x00]
     zrl_code, zrl_len = ac_codes[0xF0]
     for bi, dc in enumerate(dcs):
+        if restart_interval and bi and bi % restart_interval == 0:
+            # restart boundary: pad-flush to a byte (stuffed like any
+            # entropy byte), emit the cycling RSTn RAW (markers are
+            # never stuffed), zero the DC predictor
+            if nbits:
+                pad = 8 - nbits
+                byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+                append(byte)
+                if byte == 0xFF:
+                    append(0x00)
+                acc = nbits = 0
+            append(0xFF)
+            append(0xD0 + rst)
+            rst = (rst + 1) % 8
+            prev_dc = 0
         diff = dc - prev_dc
         prev_dc = dc
         s = (diff if diff >= 0 else -diff).bit_length()
@@ -1348,6 +1372,11 @@ def encode_jpeg_gray(
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALUES)
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALUES)
     )
+    dri = (
+        _jpeg_marker(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"  # SOI
         + _jpeg_marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -1356,6 +1385,7 @@ def encode_jpeg_gray(
             0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
         )
         + _jpeg_marker(0xFFC4, dht)
+        + dri
         + _jpeg_marker(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
         + scan_body
         + b"\xff\xd9"  # EOI
@@ -1452,6 +1482,7 @@ def encode_jpeg_ycbcr420(
     height: int,
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Serialize planar YCbCr (full-res Y, 2x2-subsampled Cb/Cr) as a
     real baseline 4:2:0 JFIF stream: per-plane forward DCT + quantize
@@ -1521,8 +1552,22 @@ def encode_jpeg_ycbcr420(
     append = out.append
     acc = nbits = 0
     prev = [0, 0, 0]
+    rst = 0
     for R in range(mrows):
         for C in range(mcols):
+            mcu_i = R * mcols + C
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                if nbits:
+                    pad = 8 - nbits
+                    byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+                    append(byte)
+                    if byte == 0xFF:
+                        append(0x00)
+                    acc = nbits = 0
+                append(0xFF)
+                append(0xD0 + rst)
+                rst = (rst + 1) % 8
+                prev = [0, 0, 0]
             for ci in range(3):
                 h_i, v_i = comp_hv[ci]
                 zz_all, dcs, last_all, gw = comp_data[ci]
@@ -1607,6 +1652,11 @@ def encode_jpeg_ycbcr420(
     sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
         [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
+    dri = (
+        _jpeg_marker(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"  # SOI
         + _jpeg_marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -1617,6 +1667,7 @@ def encode_jpeg_ycbcr420(
         )
         + _jpeg_marker(0xFFC0, sof)
         + _jpeg_marker(0xFFC4, dht)
+        + dri
         + _jpeg_marker(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
         + scan_body
         + b"\xff\xd9"  # EOI
@@ -1655,12 +1706,16 @@ def parse_jpeg(payload: bytes) -> dict:
     SOF/SOS, MCU-interleaved canonical-Huffman entropy decode with
     0xFF00 unstuffing, per-component dequantize + de-zigzag + IDCT +
     level shift + clamp, chroma upsampling by pixel replication, crop
-    to the SOF geometry. Returns ``{"width", "height", "components",
-    "planes"}`` where planes are full-resolution uint8 (height, width)
-    arrays — [gray] or [Y, Cb, Cr]. Fails loudly on anything outside
-    the declared subset — progressive (SOF2), extended/arithmetic SOFs,
-    non-interleaved multi-scan, restart intervals, 16-bit quant tables,
-    sampling factors above 2 — never guesses."""
+    to the SOF geometry. Restart intervals (DRI + RSTn) are fully
+    supported since r9: the entropy stream splits at restart markers,
+    each segment decodes byte-aligned with zeroed DC predictors, and
+    the RST cycle/segment count are validated. Returns ``{"width",
+    "height", "components", "planes"}`` where planes are
+    full-resolution uint8 (height, width) arrays — [gray] or
+    [Y, Cb, Cr]. Fails loudly on anything outside the declared subset —
+    progressive (SOF2), extended/arithmetic SOFs, non-interleaved
+    multi-scan, 16-bit quant tables, sampling factors above 2 — never
+    guesses."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -1671,6 +1726,7 @@ def parse_jpeg(payload: bytes) -> dict:
     width = height = None
     comps: list[dict] = []  # SOF order: {cid, h, v, tq, dc, ac}
     scan_data = None
+    restart_interval = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected JPEG marker at offset {pos}")
@@ -1755,8 +1811,8 @@ def parse_jpeg(payload: bytes) -> dict:
                 f"JPEG SOF marker 0xFF{marker:02X} (progressive/extended/"
                 "differential/arithmetic) not supported — baseline sequential only"
             )
-        elif marker == 0xDD:  # DRI
-            raise NotImplementedError("JPEG restart intervals not supported")
+        elif marker == 0xDD:  # DRI: restart every R MCUs (0 disables)
+            restart_interval = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS
             if not comps:
                 raise ValueError("JPEG SOS before SOF0 frame header")
@@ -1775,19 +1831,24 @@ def parse_jpeg(payload: bytes) -> dict:
                     )
                 by_cid[cs]["dc"], by_cid[cs]["ac"] = tabs >> 4, tabs & 0x0F
             # entropy data runs to the next real marker (0xFF followed
-            # by anything but 0x00). Vectorized: only 0xFF positions are
-            # inspected (a byte-at-a-time python walk measured ~20% of
-            # the whole decode); stuffed pairs then unstuff in one
-            # bytes.replace pass
+            # by anything but 0x00 stuffing or an RSTn restart code).
+            # Vectorized: only 0xFF positions are inspected (a
+            # byte-at-a-time python walk measured ~20% of the whole
+            # decode); unstuffing happens per restart segment below
             buf = payload[pos:]
             arr = np.frombuffer(buf, dtype=np.uint8)
             end = len(buf)
             for i in np.flatnonzero(arr == 0xFF):
-                if i + 1 >= len(buf) or buf[i + 1] != 0x00:
-                    end = int(i)  # real marker (or trailing 0xFF)
+                if i + 1 >= len(buf):
+                    end = int(i)  # trailing 0xFF
                     break
+                nxt = buf[i + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    continue  # stuffed byte / restart marker: still scan
+                end = int(i)  # real marker
+                break
             pos += end
-            scan_data = buf[:end].replace(b"\xff\x00", b"\xff")
+            scan_data = buf[:end]  # raw: RSTs split + unstuff below
         # APPn / COM / others: skipped
     if width is None:
         raise ValueError("JPEG carries no SOF0 frame header")
@@ -1805,6 +1866,36 @@ def parse_jpeg(payload: bytes) -> dict:
     mcols = -(-width // (8 * hmax))
     mrows = -(-height // (8 * vmax))
     n_comp = len(comps)
+    # split the entropy stream at restart markers (0xFFD0-D7) BEFORE
+    # unstuffing — the split is unambiguous because a stuffed 0xFF is
+    # always followed by 0x00, never 0xD0-D7. Each segment decodes with
+    # fresh byte alignment and zeroed DC predictors (T.81 E.1.4), and
+    # the RSTn codes must cycle 0..7 in order.
+    if restart_interval:
+        seg_bounds: list[bytes] = []
+        rst_codes: list[int] = []
+        sarr = np.frombuffer(scan_data, dtype=np.uint8)
+        start = 0
+        for i in np.flatnonzero(sarr == 0xFF):
+            if i + 1 < len(scan_data) and 0xD0 <= scan_data[i + 1] <= 0xD7:
+                seg_bounds.append(scan_data[start:i])
+                rst_codes.append(scan_data[i + 1] - 0xD0)
+                start = int(i) + 2
+        seg_bounds.append(scan_data[start:])
+        for j, m in enumerate(rst_codes):
+            if m != j % 8:
+                raise ValueError(
+                    f"RST marker out of sequence: expected RST{j % 8}, got RST{m}"
+                )
+        n_expected = -(-(mrows * mcols) // restart_interval)
+        if len(seg_bounds) != n_expected:
+            raise ValueError(
+                f"restart interval {restart_interval} over {mrows * mcols} "
+                f"MCUs needs {n_expected} entropy segments, found {len(seg_bounds)}"
+            )
+        segments = [s.replace(b"\xff\x00", b"\xff") for s in seg_bounds]
+    else:
+        segments = [scan_data.replace(b"\xff\x00", b"\xff")]
     dc_tabs = [_jpeg_decode_lut(*huff[(0, c["dc"])]) for c in comps]
     ac_tabs = [_jpeg_decode_lut(*huff[(1, c["ac"])]) for c in comps]
     # per-component plane block grids (MCU-padded)
@@ -1824,7 +1915,8 @@ def parse_jpeg(payload: bytes) -> dict:
     len_dc_a = [t[1] for t in dc_tabs]
     sym_ac_a = [t[0] for t in ac_tabs]
     len_ac_a = [t[1] for t in ac_tabs]
-    data, n_data = scan_data, len(scan_data)
+    data, n_data = segments[0], len(segments[0])
+    seg_i = 0
     acc = nbits = pos = 0
     prev = [0] * n_comp
     # sparse (flat index, value) pairs per component: most blocks carry
@@ -1835,6 +1927,14 @@ def parse_jpeg(payload: bytes) -> dict:
     comp_hv = [(c["h"], c["v"]) for c in comps]
     for R in range(mrows):
         for C in range(mcols):
+            mcu_i = R * mcols + C
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # restart boundary: next entropy segment, byte
+                # realignment implicit (fresh buffer), DC predictors zero
+                seg_i += 1
+                data, n_data = segments[seg_i], len(segments[seg_i])
+                acc = nbits = pos = 0
+                prev = [0] * n_comp
             for ci in range(n_comp):
                 h_i, v_i = comp_hv[ci]
                 sym_dc, len_dc = sym_dc_a[ci], len_dc_a[ci]
@@ -2104,7 +2204,9 @@ JPEG_COLOR_FEATURE_SCHEMA = StructType(
 )
 
 
-def with_jpeg_color_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_jpeg_color_payload(
+    df: DataFrame, text_col: str = "text", restart_mod: int = 0
+) -> DataFrame:
     """Synthesize a deterministic 4:2:0 COLOR JPEG per row: every 3
     consecutive character bytes become one CONSTANT 16x16 MCU — byte 0
     the luma, bytes 1/2 the chroma pair — 8 MCUs per row, whole MCU
@@ -2113,7 +2215,10 @@ def with_jpeg_color_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     MCU-constant planes round-trip byte-exactly under the synthesis
     quant table (same DC-only argument as the gray family), so the
     oracle recomputes the decoded YCbCr stats straight from the
-    characters. Docs shorter than one MCU row carry a NULL payload."""
+    characters. Docs shorter than one MCU row carry a NULL payload.
+    ``restart_mod=M`` gives each doc restart_interval = br % M (0 =
+    none for that doc) — a deterministic per-doc DRI mix the header
+    probe's oracle can recompute (mm16)."""
     from pyspark.sql.types import BinaryType
 
     per_row = 3 * JPEG_MCUS_PER_ROW
@@ -2140,6 +2245,7 @@ def with_jpeg_color_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
                     encode_jpeg_ycbcr420(
                         y.tobytes(), cb.tobytes(), cr.tobytes(),
                         JPEG_COLOR_WIDTH, 16 * br,
+                        restart_interval=(br % restart_mod) if restart_mod else 0,
                     )
                 )
             pdf["payload"] = payloads
@@ -2747,6 +2853,118 @@ def decode_mp4_features(
             yield pd.DataFrame(rows, columns=[f.name for f in MP4_FEATURE_SCHEMA.fields])
 
     return df.select(id_col, "payload").mapInPandas(feats, MP4_FEATURE_SCHEMA)
+
+
+def probe_jpeg_header(payload: bytes) -> dict:
+    """HEADER-ONLY JPEG probe: walk the marker stream and return
+    geometry/stream metadata WITHOUT entropy-decoding a single pixel —
+    the cheap first pass a 100-TB ingest runs to route/filter/shard
+    images before paying for selective decode (decode cost is ~1000×
+    the header walk). Returns width, height, n_components, whether the
+    stream is progressive (SOF2 — probe-able even though decode gates
+    on it), restart interval, and the total entropy-coded byte count.
+    Fails loudly on non-JPEG payloads and truncated segment headers."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI marker)")
+    pos = 2
+    width = height = ncomp = None
+    progressive = False
+    restart_interval = 0
+    scan_bytes = 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at offset {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG payload ends in fill bytes with no marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment body")
+        pos += seglen
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2: geometry probe-able
+            _, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            progressive = marker == 0xC2
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS: skip entropy bytes without decoding
+            buf = payload[pos:]
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            end = len(buf)
+            for i in np.flatnonzero(arr == 0xFF):
+                if i + 1 >= len(buf):
+                    end = int(i)
+                    break
+                nxt = buf[i + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    continue
+                end = int(i)
+                break
+            scan_bytes += end
+            pos += end
+    if width is None:
+        raise ValueError("JPEG carries no SOF frame header")
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_components": int(ncomp),
+        "progressive": progressive,
+        "restart_interval": restart_interval,
+        "scan_bytes": scan_bytes,
+    }
+
+
+JPEG_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_components", LongType(), False),
+        StructField("progressive", BooleanType(), False),
+        StructField("restart_interval", LongType(), False),
+        StructField("n_pixels", LongType(), False),
+    ]
+)
+
+
+def probe_jpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Header-only metadata per payload (no pixel decode) — the
+    route/filter pass before selective decode. Map-only Arrow pipeline;
+    NULL payloads yield the 0-geometry row."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    rows.append((int(doc_id), JPEG_COLOR_WIDTH, 0, 3, False, 0, 0))
+                    continue
+                v = probe_jpeg_header(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        v["width"],
+                        v["height"],
+                        v["n_components"],
+                        v["progressive"],
+                        v["restart_interval"],
+                        v["width"] * v["height"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in JPEG_PROBE_SCHEMA.fields])
+
+    return df.select(id_col, "payload").mapInPandas(feats, JPEG_PROBE_SCHEMA)
 
 
 MJPEG_FRAME_CHARS = 64  # 16 blocks/row x 4 rows: one char per 8x8 block

@@ -1115,3 +1115,152 @@ class TestMjpegMp4:
         byts = [ord(texts[3][i]) for i in range(5 * 64)]
         assert r3["mean_luma"] == round(sum(byts) / len(byts), 6)
         assert r3["max_luma"] == max(byts)
+
+
+class TestJpegRestartIntervals:
+    def test_gray_dri_roundtrip_all_intervals(self):
+        # real-world baseline JPEGs almost always carry DRI: the
+        # decoder must split the entropy stream at RSTn, re-align to a
+        # byte boundary and zero the DC predictor per segment — for any
+        # interval, including R=1 (a restart after every MCU)
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_gray,
+            parse_jpeg_gray,
+        )
+
+        rng = np.random.default_rng(3)
+        q1 = np.array([8] + [1] * 63, dtype=np.int64)
+        img = rng.integers(0, 256, (24, 32), dtype=np.uint8)  # 12 MCUs
+        for r in (1, 3, 7, 20):
+            pay = encode_jpeg_gray(
+                img.tobytes(), 32, 24, quant=q1, restart_interval=r
+            )
+            assert b"\xff\xdd" in pay  # DRI present
+            p = parse_jpeg_gray(pay)
+            err = np.abs(
+                p["pixels"].reshape(24, 32).astype(int) - img.astype(int)
+            )
+            assert err.max() <= 2, (r, err.max())
+        # >8 restarts forces the RST0..7 cycle to wrap (12 MCUs, R=1)
+        pay = encode_jpeg_gray(img.tobytes(), 32, 24, quant=q1, restart_interval=1)
+        assert b"\xff\xd0" in pay and b"\xff\xd7" in pay  # cycle wrapped
+
+    def test_color_dri_roundtrip_exact(self):
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_ycbcr420,
+            parse_jpeg,
+        )
+
+        rng = np.random.default_rng(13)
+        h, w = 32, 48  # 6 MCUs -> 3 segments at R=2
+        yv = rng.integers(0, 256, (h // 16, w // 16), dtype=np.uint8)
+        y = np.kron(yv, np.ones((16, 16), np.uint8))
+        cb = np.kron(
+            rng.integers(0, 256, (h // 16, w // 16), dtype=np.uint8),
+            np.ones((8, 8), np.uint8),
+        )
+        cr = np.kron(
+            rng.integers(0, 256, (h // 16, w // 16), dtype=np.uint8),
+            np.ones((8, 8), np.uint8),
+        )
+        v = parse_jpeg(
+            encode_jpeg_ycbcr420(
+                y.tobytes(), cb.tobytes(), cr.tobytes(), w, h, restart_interval=2
+            )
+        )
+        assert np.array_equal(v["planes"][0], y)
+
+    def test_malformed_restarts_fail_loudly(self):
+        import numpy as np
+        import pytest
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_gray,
+            parse_jpeg_gray,
+        )
+
+        rng = np.random.default_rng(4)
+        q1 = np.array([8] + [1] * 63, dtype=np.int64)
+        img = rng.integers(0, 256, (16, 16), dtype=np.uint8)  # 4 MCUs
+        pay = encode_jpeg_gray(img.tobytes(), 16, 16, quant=q1, restart_interval=1)
+        # out-of-sequence RST code
+        i = pay.index(b"\xff\xd0")
+        with pytest.raises(ValueError, match="out of sequence"):
+            parse_jpeg_gray(pay[: i + 1] + b"\xd4" + pay[i + 2 :])
+        # drop the LAST restart marker: segment count no longer matches
+        j = pay.rindex(b"\xff\xd2")
+        with pytest.raises(ValueError, match="segments"):
+            parse_jpeg_gray(pay[:j] + pay[j + 2 :])
+
+
+def test_jpeg_header_probe_matches_decode():
+    # the probe must report exactly what the decoder would find, for
+    # gray, color, DRI and progressive streams — without touching
+    # entropy data
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        encode_jpeg_gray,
+        encode_jpeg_ycbcr420,
+        probe_jpeg_header,
+    )
+
+    q1 = np.array([8] + [1] * 63, dtype=np.int64)
+    g = encode_jpeg_gray(bytes(np.full(32 * 24, 7, np.uint8)), 32, 24, quant=q1,
+                         restart_interval=3)
+    pg = probe_jpeg_header(g)
+    assert (pg["width"], pg["height"], pg["n_components"]) == (32, 24, 1)
+    assert pg["restart_interval"] == 3 and not pg["progressive"]
+    assert pg["scan_bytes"] > 0
+
+    y = bytes(np.full(16 * 16, 80, np.uint8))
+    c = bytes(np.full(8 * 8, 90, np.uint8))
+    pc = probe_jpeg_header(encode_jpeg_ycbcr420(y, c, c, 16, 16))
+    assert (pc["width"], pc["height"], pc["n_components"]) == (16, 16, 3)
+    assert pc["restart_interval"] == 0
+
+    # progressive streams are PROBE-able (geometry still routed) even
+    # though decode gates on them
+    sof2 = struct.pack(">HHBHHB", 0xFFC2, 11, 8, 40, 24, 1) + bytes([1, 0x11, 0])
+    idx = g.index(b"\xff\xc0")
+    seglen = struct.unpack(">H", g[idx + 2 : idx + 4])[0]
+    prog = g[:idx] + sof2 + g[idx + 2 + seglen :]
+    pp = probe_jpeg_header(prog)
+    assert pp["progressive"] and (pp["width"], pp["height"]) == (24, 40)
+
+    with pytest.raises(ValueError, match="SOI"):
+        probe_jpeg_header(b"JUNK")
+    with pytest.raises(ValueError, match="no SOF"):
+        probe_jpeg_header(b"\xff\xd8\xff\xd9")
+
+
+def test_mm16_probe_edge_docs(spark, tmp_path):
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    texts = [
+        "",  # NULL payload
+        "a" * 24,  # br=1, restart 1%4=1
+        "b" * 24 * 4,  # br=4, restart 0
+        "c" * 24 * 7,  # br=7, restart 3
+    ]
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["mm16_jpeg_probe"].spark(spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["height"] == 0 and rows[0]["restart_interval"] == 0
+    assert rows[1]["height"] == 16 and rows[1]["restart_interval"] == 1
+    assert rows[2]["height"] == 64 and rows[2]["restart_interval"] == 0
+    assert rows[3]["height"] == 112 and rows[3]["restart_interval"] == 3
+    assert all(not r["progressive"] and r["n_components"] == 3 for r in rows.values())
