@@ -971,3 +971,56 @@ def mm15_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_luma", 6).alias("mean_luma"),
         "max_luma",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm16: header-only JPEG probe — the ROUTE/FILTER pass of a 100-TB
+# image ingest: geometry, component count, progressive flag and restart
+# interval read from the marker stream WITHOUT entropy-decoding a pixel
+# (~1000× cheaper than decode — the pass that decides WHAT to decode).
+# Synthesis reuses the mm13b color encoder with a deterministic per-doc
+# restart mix (restart_interval = br % 4), so the oracle recomputes
+# every probed field from the characters.
+# ---------------------------------------------------------------------------
+@query(
+    "mm16_jpeg_probe",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, LEAST(length(text) // 24, 4095) AS br
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(128 AS BIGINT) AS width,
+           CAST(br * 16 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_components,
+           FALSE AS progressive,
+           CAST(CASE WHEN br = 0 THEN 0 ELSE br % 4 END AS BIGINT)
+               AS restart_interval,
+           CAST(br * 2048 AS BIGINT) AS n_pixels
+    FROM geo
+    """,
+)
+def mm16_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only metadata per synthesized color JPEG: marker walk,
+    SOF geometry, DRI interval — no pixel decode. Map-only plan; NULL
+    payloads (sub-MCU docs) emit the 0-geometry row. The scale story is
+    the point: this pass costs marker-walk bytes, so routing/filtering
+    100 TB of images never pays Huffman+IDCT for docs that get
+    dropped."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        probe_jpeg_features,
+        with_jpeg_color_payload,
+    )
+
+    docs = with_jpeg_color_payload(
+        load_table(spark, sf_dir, "documents"), restart_mod=4
+    )
+    return probe_jpeg_features(docs).select(
+        "doc_id",
+        "width",
+        "height",
+        "n_components",
+        "progressive",
+        "restart_interval",
+        "n_pixels",
+    )

@@ -85,6 +85,7 @@ _PRIORITY = (
     "mm13b_jpeg_color",
     "mm14_mp4_demux",
     "mm15_mjpeg_decode",
+    "mm16_jpeg_probe",
     "d2_minhash_lsh",
     "i5_manifest_merge",
     # --- (3) the 23 r4-stale rows ---
@@ -130,7 +131,9 @@ _PRIORITY = (
     "t6_pii_scrub",
     "t7_repetition_quality",
     "t8_contamination",
-    "t9_trigram_lm",
+    # t9_trigram_lm (r6-green, untouched) ceded its slot to the new
+    # mm16 header probe; it leads the r10 rotation with the other r6
+    # stragglers
 )
 
 
