@@ -727,6 +727,74 @@ def w21_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w21_scd2_intervals_segmented(
+    spark: SparkSession, sf_dir: str, segment: str = "month"
+) -> DataFrame:
+    """Skew-mitigated W21, kept UNREGISTERED as the shipped form of the
+    mitigation SCALE.md's hot-key notes ranked for run-length shapes
+    (r8 design note -> r9 code): split each user's timeline into time
+    segments, run-length WITHIN (user, segment) — the big window's
+    partitions are now (user, segment), so a hot user's events spread
+    across segments instead of pinning one task — then stitch runs that
+    span a boundary in a second pass over RUN-level rows (bounded by
+    state changes, not events; for the realistic hot user with few
+    state flips this is thousands of times smaller than the event
+    stream). Semantically identical to ``w21_scd2_intervals``
+    (equivalence-tested); worst case (state alternating every event)
+    degrades to run-count == event-count and the stitch inherits the
+    skew — inherent to run-length semantics, documented, measured."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "seg", F.date_trunc(segment, F.col("ts"))
+    )
+    w = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w))
+    ).cast("int")
+    seg_runs = (
+        ev.select(
+            "user_id", "seg", "event_type", "ts",
+            F.sum(changed).over(cum).alias("seg_run"),
+        )
+        .groupBy("user_id", "seg", "seg_run")
+        .agg(
+            F.first("event_type").alias("state"),  # constant within the run
+            F.min("ts").alias("valid_from"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    # stitch pass over RUN rows: adjacent same-state runs (including
+    # across segment boundaries) merge into one interval. Ties on
+    # valid_from can only occur within one segment (segments partition
+    # time), where seg_run preserves the exact (ts, event_id) order.
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "seg_run")
+    cum2 = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changed2 = (
+        F.lag("state").over(w2).isNull()
+        | (F.col("state") != F.lag("state").over(w2))
+    ).cast("int")
+    intervals = (
+        seg_runs.withColumn("run_id", F.sum(changed2).over(cum2))
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.first("state").alias("state"),  # constant within the merge
+            F.min("valid_from").alias("valid_from"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    valid_to = F.lead("valid_from").over(wr)
+    return intervals.select(
+        "user_id",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # W22: funnel progression — the product-analytics staple: per user, the
 # first view, the first click AT OR AFTER that view, the first purchase

@@ -934,3 +934,50 @@ def test_d2_env_bucket_cap_bounds_flood(spark, tmp_path, monkeypatch):
 
     with pytest.raises(ValueError, match="cap below 2"):
         d2(spark, str(tmp_path))
+
+
+def test_w21_segmented_equals_window_form(spark, tmp_path):
+    """The skew-mitigated segmented W21 must produce EXACTLY the window
+    form's intervals — including runs that span segment boundaries
+    (same state across a month edge merges into one interval) and
+    duplicate-timestamp runs within one segment."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.queries import all_queries
+    from pipeline_mf_etl_spark.queries.windows import (
+        w21_scd2_intervals_segmented,
+    )
+
+    rows = []
+    eid = 0
+    # hot user 1: one state spanning three months (must merge across
+    # two boundaries), then a flip mid-month
+    for day in range(80):
+        rows.append((eid, 1, dt.datetime(2024, 1, 10) + dt.timedelta(days=day),
+                     "view" if day < 70 else "click", 1.0))
+        eid += 1
+    # user 2: duplicate timestamps with a state flip at the same ts
+    t = dt.datetime(2024, 3, 5, 12)
+    rows += [(eid, 2, t, "view", 1.0), (eid + 1, 2, t, "click", 1.0),
+             (eid + 2, 2, t, "click", 1.0)]
+    eid += 3
+    # user 3: alternating states (worst case for segmentation)
+    for k in range(12):
+        rows.append((eid, 3, dt.datetime(2024, 2, 1) + dt.timedelta(hours=k),
+                     "view" if k % 2 == 0 else "purchase", 1.0))
+        eid += 1
+    pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+                 ).to_parquet(f"{tmp_path}/events.parquet")
+
+    base = all_queries()["w21_scd2_intervals"].spark(spark, str(tmp_path))
+    segd = w21_scd2_intervals_segmented(spark, str(tmp_path))
+    assert base.columns == segd.columns
+    a = sorted(tuple(str(x) for x in r) for r in base.collect())
+    b = sorted(tuple(str(x) for x in r) for r in segd.collect())
+    assert a == b
+    # sanity: user 1's 70-day view run really is ONE interval despite
+    # crossing two month boundaries
+    u1 = [r for r in segd.collect() if r["user_id"] == 1 and r["state"] == "view"]
+    assert len(u1) == 1 and u1[0]["n_events"] == 70
