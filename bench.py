@@ -50,6 +50,9 @@ HEADLINE = (
     # added round 8 (r7-comparable subtotal = first 22)
     "mm13_jpeg_decode",       # baseline JPEG entropy decode + IDCT pass
     "d10_record_linkage",     # masked-position blocked entity resolution
+    # added round 9 (r8-comparable subtotal = first 24)
+    "mm13b_jpeg_color",       # 4:2:0 interleaved color JPEG decode
+    "mm15_mjpeg_decode",      # MP4 demux composed with per-frame JPEG decode
 )
 
 
