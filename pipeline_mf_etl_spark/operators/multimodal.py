@@ -188,6 +188,308 @@ WAV_FEATURE_SCHEMA = StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# IMA-ADPCM (DVI4) — the COMPRESSED-audio leg of the codec family
+# (public spec: IMA Digital Audio Focus Group 1992; WAV wFormatTag
+# 0x0011). 4-bit differential codes against an 89-entry step table;
+# every operation is exact integer arithmetic, so decode is bit-
+# deterministic and a SQL oracle can REPLAY the recurrence.
+# ---------------------------------------------------------------------------
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]  # by code & 7
+
+ADPCM_BLOCK_ALIGN = 8  # 4-byte block header + 4 code bytes = 9 samples
+ADPCM_SAMPLES_PER_BLOCK = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1
+
+
+def _ima_decode_step(pred: int, idx: int, code: int) -> tuple[int, int]:
+    """One IMA-ADPCM decode step — exact integer semantics shared by
+    the Python decoder and the SQL oracle replay."""
+    step = IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    if code & 8:
+        pred -= diff
+    else:
+        pred += diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX_ADJUST[code & 7]))
+    return pred, idx
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Encode int16 PCM as a standards-shaped IMA-ADPCM WAV (format
+    0x0011, mono): per block, a 4-byte header (true first sample +
+    step index) then 4-bit codes chosen greedily to minimize each
+    step's error — the standard encoder. Lossy by design; the decoder
+    below reverses the CONTAINER exactly and the codes
+    deterministically."""
+    import struct
+
+    samples = np.asarray(samples, dtype=np.int16)
+    n = len(samples)
+    spb = ADPCM_SAMPLES_PER_BLOCK
+    n_blocks = -(-n // spb) if n else 0
+    pad = n_blocks * spb - n
+    padded = np.concatenate([samples, np.full(pad, samples[-1] if n else 0, np.int16)])
+    idx = 0
+    out = bytearray()
+    for b in range(n_blocks):
+        blk = padded[b * spb : (b + 1) * spb]
+        pred = int(blk[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for v in blk[1:]:
+            target = int(v)
+            step = IMA_STEP_TABLE[idx]
+            diff = target - pred
+            code = 0
+            if diff < 0:
+                code = 8
+                diff = -diff
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            pred, idx = _ima_decode_step(pred, idx, code)
+            nibbles.append(code)
+        for i in range(0, len(nibbles), 2):
+            out.append(nibbles[i] | (nibbles[i + 1] << 4))  # low nibble first
+    data = bytes(out)
+    byte_rate = sample_rate * ADPCM_BLOCK_ALIGN // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x0011, 1, sample_rate, byte_rate,
+        ADPCM_BLOCK_ALIGN, 4, 2, spb,
+    )
+    fact = struct.pack("<I", n)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def encode_wav_adpcm_codes(
+    headers: list[tuple[int, int]], codes: list[int], sample_rate: int = WAV_SAMPLE_RATE
+) -> bytes:
+    """Mux PRE-CHOSEN block headers (predictor, index) and 4-bit codes
+    into the same IMA-ADPCM WAV container — the synthesis path: the
+    decoded PCM is then a pure deterministic replay of the codes, which
+    a recursive-CTE oracle can recompute sample by sample."""
+    import struct
+
+    spb = ADPCM_SAMPLES_PER_BLOCK
+    cpb = spb - 1
+    if len(codes) != len(headers) * cpb:
+        raise ValueError(
+            f"{len(headers)} blocks need {len(headers) * cpb} codes, got {len(codes)}"
+        )
+    out = bytearray()
+    for b, (pred, idx) in enumerate(headers):
+        if not (-32768 <= pred <= 32767 and 0 <= idx <= 88):
+            raise ValueError(f"block {b}: header ({pred}, {idx}) out of range")
+        out += struct.pack("<hBB", pred, idx, 0)
+        blk = codes[b * cpb : (b + 1) * cpb]
+        for i in range(0, cpb, 2):
+            out.append(blk[i] | (blk[i + 1] << 4))
+    data = bytes(out)
+    n = len(headers) * spb
+    byte_rate = sample_rate * ADPCM_BLOCK_ALIGN // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x0011, 1, sample_rate, byte_rate,
+        ADPCM_BLOCK_ALIGN, 4, 2, spb,
+    )
+    fact = struct.pack("<I", n)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def parse_wav_adpcm(payload: bytes) -> dict:
+    """REAL IMA-ADPCM WAV decoder: RIFF chunk walk, fmt validation
+    (format 0x0011, mono, 4-bit, block structure), fact-chunk sample
+    count, then per-block header + nibble-stream replay through the
+    exact integer recurrence. Fails loudly on malformed containers,
+    stereo, non-IMA formats, short blocks, or header fields out of
+    range — never guesses."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    n_samples = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"fact":
+            (n_samples,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV carries no fmt/data chunk")
+    tag, channels, rate, _, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 0x0011:
+        raise ValueError(f"not IMA-ADPCM (wFormatTag 0x{tag:04X})")
+    if channels != 1:
+        raise NotImplementedError("multi-channel ADPCM not supported")
+    if bits != 4:
+        raise ValueError(f"IMA-ADPCM must be 4-bit, got {bits}")
+    if len(fmt) < 20:
+        raise ValueError("IMA-ADPCM fmt chunk missing samples-per-block")
+    (spb,) = struct.unpack("<H", fmt[18:20])
+    if spb != (block_align - 4) * 2 + 1:
+        raise ValueError(
+            f"samples-per-block {spb} inconsistent with block align {block_align}"
+        )
+    if len(data) % block_align:
+        raise ValueError(
+            f"data chunk ({len(data)} bytes) is not whole {block_align}-byte blocks"
+        )
+    n_blocks = len(data) // block_align
+    if n_samples is None:
+        n_samples = n_blocks * spb
+    if not (n_blocks * spb - (spb - 1) <= n_samples <= n_blocks * spb) and n_samples != 0:
+        raise ValueError(
+            f"fact count {n_samples} impossible for {n_blocks} blocks of {spb}"
+        )
+    samples = np.empty(n_blocks * spb, dtype=np.int16)
+    for b in range(n_blocks):
+        off = b * block_align
+        pred, idx, _ = struct.unpack("<hBB", data[off : off + 4])
+        if idx > 88:
+            raise ValueError(f"block {b}: step index {idx} out of range")
+        samples[b * spb] = pred
+        k = b * spb + 1
+        for byte in data[off + 4 : off + block_align]:
+            for code in (byte & 0x0F, byte >> 4):
+                pred, idx = _ima_decode_step(pred, idx, code)
+                samples[k] = pred
+                k += 1
+    return {
+        "sample_rate": int(rate),
+        "n_channels": 1,
+        "bits_per_sample": 4,
+        "samples_per_block": int(spb),
+        "n_samples": int(n_samples),
+        "samples": samples[:n_samples],
+    }
+
+
+ADPCM_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("mean_amp", DoubleType(), True),
+        StructField("peak_amp", LongType(), True),
+        StructField("min_amp", LongType(), True),
+        StructField("max_amp", LongType(), True),
+    ]
+)
+
+
+def with_adpcm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic IMA-ADPCM WAV per row: every 5
+    character bytes become one block — byte 0 the header (predictor
+    (c-128)*256, step index c % 89), bytes 1-4 the eight 4-bit codes
+    (low nibble first). The decoded PCM is then a pure integer replay
+    of the codes through the step-table recurrence, which the oracle
+    recomputes with an 8-deep recursive CTE — a hash match certifies
+    the whole compressed-audio path (container walk, nibble unpack,
+    predictor/index recurrence, clamps). Docs shorter than one block
+    yield a legal 0-block file."""
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), False)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for t in pdf[text_col]:
+                raw = t.encode("utf-8")
+                nb = len(raw) // 5
+                headers = []
+                codes = []
+                for b in range(nb):
+                    c0 = raw[5 * b]
+                    headers.append(((c0 - 128) * 256, c0 % 89))
+                    for cb in raw[5 * b + 1 : 5 * b + 5]:
+                        codes.append(cb & 0x0F)
+                        codes.append(cb >> 4)
+                payloads.append(encode_wav_adpcm_codes(headers, codes))
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("audio/wav"))
+
+
+def decode_adpcm_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each IMA-ADPCM payload through the real container walk +
+    step-table replay and emit exact integer amplitude stats. Map-only
+    Arrow pipeline, zero shuffles; 0-block files emit NULL stats."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                v = parse_wav_adpcm(bytes(payload))
+                s = v["samples"].astype(np.int64)
+                if s.size:
+                    rows.append(
+                        (
+                            int(doc_id),
+                            v["sample_rate"],
+                            int(s.size),
+                            float(s.sum()) / s.size,
+                            int(np.abs(s).max()),
+                            int(s.min()),
+                            int(s.max()),
+                        )
+                    )
+                else:
+                    rows.append(
+                        (int(doc_id), v["sample_rate"], 0, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ADPCM_FEATURE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(feats, ADPCM_FEATURE_SCHEMA)
+
+
 def with_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Synthesize a deterministic WAV payload per row: each UTF-8 byte b
     of the text becomes the int16 sample ``(b - 128) * 256``. Arrow-
@@ -1474,6 +1776,239 @@ def _jpeg_extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
+# Progressive AC scans need EOBn run symbols (n<<4|0, n=0..14) the
+# sequential table never uses; all 176 symbols sit at length 8 so the
+# all-ones code stays unused (padding can never alias a symbol).
+_JPEG_PROG_AC_VALUES = (
+    [(n << 4) | 0x0 for n in range(15)]
+    + [0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_PROG_AC_VALUES),
+                      0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_PROG_AC_CODES = _jpeg_canonical_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALUES)
+
+
+class _ProgBitWriter(_JpegBitWriter):
+    """Adds the buffered-EOBRUN flush the progressive AC encoder needs."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.eobrun = 0
+
+    def flush_eobrun(self, ac_codes) -> None:
+        if not self.eobrun:
+            return
+        nbits = self.eobrun.bit_length() - 1
+        code, length = ac_codes[(nbits << 4) | 0x0]
+        self.write(code, length)
+        if nbits:
+            self.write(self.eobrun - (1 << nbits), nbits)
+        self.eobrun = 0
+
+
+def encode_jpeg_progressive_gray(
+    gray: bytes, width: int, height: int, quant: np.ndarray | None = None
+) -> bytes:
+    """Serialize 8-bit grayscale pixels as a REAL progressive JPEG
+    (SOF2) exercising the full T.81 annex-G toolbox a web corpus
+    throws at a decoder: spectral selection (DC scan, then AC bands
+    1-5 and 6-63) AND successive approximation (every first pass sends
+    magnitudes at Al=1; DC and AC refinement scans send the low bit),
+    with real EOBRUN coding in the AC scans. The quantized coefficients
+    are identical to the baseline encoder's, so a correct progressive
+    decode reproduces the baseline decode BIT-FOR-BIT — the test
+    anchor. Scan script:
+
+      1. DC  Ss=0  Se=0  Ah=0 Al=1   (interleaved-equivalent, 1 comp)
+      2. AC  Ss=1  Se=5  Ah=0 Al=1   (low band first — the visual point)
+      3. AC  Ss=6  Se=63 Ah=0 Al=1
+      4. DC  Ss=0  Se=0  Ah=1 Al=0   (one raw bit per block)
+      5. AC  Ss=1  Se=63 Ah=1 Al=0   (correction bits + newly-significant)
+    """
+    import struct
+
+    if len(gray) != width * height:
+        raise ValueError(
+            f"payload is {len(gray)} bytes, geometry {width}x{height} "
+            f"needs {width * height}"
+        )
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(f"JPEG geometry out of range: {width}x{height}")
+    q = _JPEG_QUANT_SYNTH if quant is None else np.asarray(quant, dtype=np.int64)
+    if q.shape != (64,) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant table must be 64 entries in 1..255 (8-bit DQT)")
+    bw, bh = -(-width // 8), -(-height // 8)
+    px = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
+    px = np.pad(px, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+    blocks = (
+        px.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8).astype(np.float64)
+        - 128.0
+    )
+    coef = _JPEG_D @ blocks @ _JPEG_D.T
+    qz = q[np.argsort(_JPEG_ZIGZAG)]
+    qc = np.rint(coef.reshape(-1, 64) / qz).astype(np.int64)
+    zz = qc[:, _JPEG_ZIGZAG]  # (n_blocks, 64) zigzag-ordered
+    n_blocks = zz.shape[0]
+    dc_codes, ac_codes = _JPEG_DC_CODES, _JPEG_PROG_AC_CODES
+
+    def dc_first(al: int) -> bytes:
+        w = _JpegBitWriter()
+        prev = 0
+        for bi in range(n_blocks):
+            v = int(zz[bi, 0]) >> al  # DC point transform: ARITHMETIC shift
+            diff = v - prev
+            prev = v
+            s = _jpeg_category(diff)
+            code, length = dc_codes[s]
+            w.write(code, length)
+            if s:
+                w.write((diff if diff >= 0 else diff + (1 << s) - 1), s)
+        return w.flush()
+
+    def dc_refine(al: int) -> bytes:
+        w = _JpegBitWriter()
+        for bi in range(n_blocks):
+            w.write((int(abs(zz[bi, 0])) >> al) & 1, 1)
+        return w.flush()
+
+    def ac_first(ss: int, se: int, al: int) -> bytes:
+        w = _ProgBitWriter()
+        # vectorized all-zero-band skip: a block with no magnitude in
+        # the band at this precision is exactly one eobrun increment —
+        # never pay the 63-step Python loop for it (measured as the
+        # whole encode on sparse/flat content)
+        band_any = ((np.abs(zz[:, ss : se + 1]) >> al) != 0).any(axis=1)
+        for bi in range(n_blocks):
+            if not band_any[bi]:
+                w.eobrun += 1
+                if w.eobrun == 0x7FFF:
+                    w.flush_eobrun(ac_codes)
+                continue
+            run = 0
+            wrote = False
+            for k in range(ss, se + 1):
+                v = int(zz[bi, k])
+                m = (v if v >= 0 else -v) >> al  # AC point transform: magnitude shift
+                if m == 0:
+                    run += 1
+                    continue
+                w.flush_eobrun(ac_codes)
+                while run >= 16:
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                s = m.bit_length()
+                code, length = ac_codes[(run << 4) | s]
+                w.write(code, length)
+                w.write((m if v >= 0 else (-m) + (1 << s) - 1) & ((1 << s) - 1), s)
+                run = 0
+                wrote = True
+            if run > 0 or not wrote:
+                # block ends in (or is entirely) zeros at this precision
+                w.eobrun += 1
+                if w.eobrun == 0x7FFF:
+                    w.flush_eobrun(ac_codes)
+        w.flush_eobrun(ac_codes)
+        return w.flush()
+
+    def ac_refine(ss: int, se: int, ah: int, al: int) -> bytes:
+        """G.1.2.3: newly-significant coefficients (|v|>>Al == 1 with
+        zero history) emit (run,1)+sign; nonzero-history coefficients
+        contribute one correction bit each, buffered and flushed after
+        the next emitted symbol (ZRL / run-1 / EOBn) so the decoder
+        reads them during that symbol's positional advance."""
+        w = _ProgBitWriter()
+        pending: list[int] = []  # corrections riding the pending EOBRUN
+
+        def flush_eob() -> None:
+            if w.eobrun:
+                w.flush_eobrun(ac_codes)
+                for b in pending:
+                    w.write(b, 1)
+                pending.clear()
+
+        # vectorized all-zero-band skip (same rationale as ac_first):
+        # no magnitude in the band ⇒ one eobrun increment, no pending
+        # correction bits (nothing has history either)
+        band_any = ((np.abs(zz[:, ss : se + 1]) >> al) != 0).any(axis=1)
+        for bi in range(n_blocks):
+            if not band_any[bi]:
+                w.eobrun += 1
+                if w.eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            vals = [int(zz[bi, k]) for k in range(ss, se + 1)]
+            mags = [(v if v >= 0 else -v) >> al for v in vals]
+            # last newly-significant position bounds ZRL emission: zeros
+            # past it fold into the EOB run instead
+            eobpos = -1
+            for j, m in enumerate(mags):
+                if m == 1:
+                    eobpos = j
+            run = 0
+            bebits: list[int] = []
+            for j, m in enumerate(mags):
+                if m == 0:
+                    run += 1
+                    continue
+                while run > 15 and j <= eobpos:
+                    flush_eob()
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                    for b in bebits:
+                        w.write(b, 1)
+                    bebits.clear()
+                if m > 1:
+                    bebits.append(m & 1)  # history nonzero: correction bit
+                    continue
+                # newly significant (m == 1)
+                flush_eob()
+                code, length = ac_codes[(run << 4) | 1]
+                w.write(code, length)
+                w.write(1 if vals[j] >= 0 else 0, 1)
+                for b in bebits:
+                    w.write(b, 1)
+                bebits.clear()
+                run = 0
+            if run > 0 or bebits:
+                w.eobrun += 1
+                pending.extend(bebits)
+                if w.eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return w.flush()
+
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALUES)
+    dht_ac = (
+        bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS)
+        + bytes(_JPEG_PROG_AC_VALUES)
+    )
+
+    def sos(ss: int, se: int, ah: int, al: int, body: bytes) -> bytes:
+        return (
+            _jpeg_marker(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+            + body
+        )
+
+    return (
+        b"\xff\xd8"
+        + _jpeg_marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _jpeg_marker(0xFFDB, bytes([0x00]) + bytes(q.astype(np.uint8)))
+        + _jpeg_marker(
+            0xFFC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+        )
+        + _jpeg_marker(0xFFC4, dht_dc + dht_ac)
+        + sos(0, 0, 0, 1, dc_first(1))
+        + sos(1, 5, 0, 1, ac_first(1, 5, 1))
+        + sos(6, 63, 0, 1, ac_first(6, 63, 1))
+        + sos(0, 0, 1, 0, dc_refine(0))
+        + sos(1, 63, 1, 0, ac_refine(1, 63, 1, 0))
+        + b"\xff\xd9"
+    )
+
+
 def encode_jpeg_ycbcr420(
     y: bytes,
     cb: bytes,
@@ -1697,6 +2232,347 @@ def jpeg_rgb_to_ycbcr420(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.nd
     return y, cb, cr
 
 
+def _jpeg_split_segments(scan_data: bytes, dri: int, n_units: int) -> list[bytes]:
+    """Split one scan's entropy stream at restart markers (0xFFD0-D7)
+    BEFORE unstuffing — unambiguous because a stuffed 0xFF is always
+    followed by 0x00, never 0xD0-D7. Validates the RST0..7 cycle and
+    the segment count against the scan's MCU count (T.81 E.1.4)."""
+    if not dri:
+        return [scan_data.replace(b"\xff\x00", b"\xff")]
+    seg_bounds: list[bytes] = []
+    rst_codes: list[int] = []
+    sarr = np.frombuffer(scan_data, dtype=np.uint8)
+    start = 0
+    for i in np.flatnonzero(sarr == 0xFF):
+        if i + 1 < len(scan_data) and 0xD0 <= scan_data[i + 1] <= 0xD7:
+            seg_bounds.append(scan_data[start:i])
+            rst_codes.append(scan_data[i + 1] - 0xD0)
+            start = int(i) + 2
+    seg_bounds.append(scan_data[start:])
+    for j, m in enumerate(rst_codes):
+        if m != j % 8:
+            raise ValueError(
+                f"RST marker out of sequence: expected RST{j % 8}, got RST{m}"
+            )
+    n_expected = -(-n_units // dri)
+    if len(seg_bounds) != n_expected:
+        raise ValueError(
+            f"restart interval {dri} over {n_units} MCUs needs "
+            f"{n_expected} entropy segments, found {len(seg_bounds)}"
+        )
+    return [s.replace(b"\xff\x00", b"\xff") for s in seg_bounds]
+
+
+def _jpeg_idct_planes(
+    zz_by_comp: list[np.ndarray],
+    comps: list[dict],
+    quant: dict[int, np.ndarray],
+    width: int,
+    height: int,
+    hmax: int,
+    vmax: int,
+    grid_w: list[int],
+    grid_h: list[int],
+) -> dict:
+    """Shared decode tail: per-component dequantize + de-zigzag +
+    vectorized IDCT + level shift + clamp, crop to the component's true
+    resolution, replicate chroma up to frame resolution (nearest-
+    neighbor — the baseline convention; smooth upsampling is a renderer
+    choice). Consumes zigzag-ordered (n_blocks, 64) coefficient arrays
+    in plane-raster block order."""
+    planes: list[np.ndarray] = []
+    for ci, c in enumerate(comps):
+        gw, gh = grid_w[ci], grid_h[ci]
+        n_blocks = gw * gh
+        coef = np.zeros((n_blocks, 64), dtype=np.float64)
+        coef[:, _JPEG_ZIGZAG] = (zz_by_comp[ci] * quant[c["tq"]]).astype(np.float64)
+        blocks = _JPEG_D.T @ coef.reshape(-1, 8, 8) @ _JPEG_D  # broadcast matmul
+        px_blocks = np.clip(np.rint(blocks) + 128, 0, 255).astype(np.uint8)
+        plane = (
+            px_blocks.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        )
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        planes.append(np.ascontiguousarray(plane[:height, :width]))
+    return {
+        "width": int(width),
+        "height": int(height),
+        "components": len(comps),
+        "planes": planes,
+    }
+
+
+def _jpeg_decode_progressive(
+    scans: list[dict],
+    comps: list[dict],
+    width: int,
+    height: int,
+    hmax: int,
+    vmax: int,
+    mcols: int,
+    mrows: int,
+    grid_w: list[int],
+    grid_h: list[int],
+) -> list[np.ndarray]:
+    """Progressive (SOF2) coefficient accumulation over all scans —
+    T.81 annex G, Huffman only: spectral selection (per-scan [Ss, Se]
+    bands) and successive approximation (Ah/Al bit planes). DC scans
+    may be interleaved; AC scans are single-component by the standard.
+    First passes (Ah=0) decode magnitudes at precision Al; refinement
+    passes (Ah=Al+1) add one low bit per coefficient — newly
+    significant coefficients arrive as ±1<<Al, already-nonzero ones as
+    correction bits, with EOB-run coding across blocks. Restart
+    intervals apply per scan (predictors + EOB run reset per segment).
+    Returns zigzag-ordered (n_blocks, 64) int64 arrays per component
+    in plane-raster block order (padding blocks of non-interleaved
+    scans stay zero — they fall outside the crop)."""
+    n_comp = len(comps)
+    coefs = [
+        np.zeros((grid_w[ci] * grid_h[ci], 64), dtype=np.int64)
+        for ci in range(n_comp)
+    ]
+    got_dc = [False] * n_comp
+    for scan in scans:
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        sc = scan["comps"]
+        huff = scan["huff"]
+        if ss == 0:
+            if se != 0:
+                raise ValueError(
+                    "progressive scan mixes DC and AC coefficients (Ss=0, Se>0)"
+                )
+            for ci in sc:
+                got_dc[ci] = True
+        else:
+            if len(sc) != 1:
+                raise ValueError(
+                    "progressive AC scan must cover exactly one component"
+                )
+            if not got_dc[sc[0]]:
+                raise ValueError("progressive AC scan precedes the DC scan")
+        if se > 63 or ss > se:
+            raise ValueError(f"bad spectral band [{ss}, {se}]")
+        if ah not in (0, al + 1):
+            raise ValueError(
+                f"bad successive approximation Ah={ah} Al={al} "
+                "(Ah must be 0 or Al+1)"
+            )
+        # resolve tables at scan time
+        dc_luts: dict[int, tuple] = {}
+        ac_luts: dict[int, tuple] = {}
+        for ci, (td, ta) in zip(sc, scan["tabs"]):
+            if ss == 0 and ah == 0:  # DC first pass needs a DC table
+                if (0, td) not in huff:
+                    raise ValueError("JPEG references undefined Huffman table")
+                dc_luts[ci] = _jpeg_decode_lut(*huff[(0, td)])
+            if ss > 0:  # AC scans need an AC table
+                if (1, ta) not in huff:
+                    raise ValueError("JPEG references undefined Huffman table")
+                ac_luts[ci] = _jpeg_decode_lut(*huff[(1, ta)])
+        interleaved = ss == 0 and len(sc) > 1
+        if ss == 0:
+            n_units = mrows * mcols if interleaved else (
+                # single-component DC scan still iterates MCUs of that
+                # component's own grid: for one comp, MCU = one block of
+                # the NON-padded grid
+                _jpeg_comp_true_blocks(comps[sc[0]], width, height, hmax, vmax)[2]
+            )
+        else:
+            n_units = _jpeg_comp_true_blocks(comps[sc[0]], width, height, hmax, vmax)[2]
+        segments = _jpeg_split_segments(scan["data"], scan["dri"], n_units)
+        if ss == 0:
+            _jpeg_prog_dc_scan(
+                scan, segments, sc, comps, coefs, dc_luts,
+                mcols, mrows, grid_w, interleaved,
+                width, height, hmax, vmax,
+            )
+        else:
+            _jpeg_prog_ac_scan(
+                scan, segments, sc[0], comps, coefs, ac_luts[sc[0]],
+                grid_w, width, height, hmax, vmax,
+            )
+    return coefs
+
+
+def _jpeg_comp_true_blocks(
+    c: dict, width: int, height: int, hmax: int, vmax: int
+) -> tuple[int, int, int]:
+    """(true block cols, true block rows, count) of a component's own
+    non-MCU-padded block grid — the block space non-interleaved scans
+    iterate (T.81 A.2.2)."""
+    cw = -(-width * c["h"] // hmax)
+    ch = -(-height * c["v"] // vmax)
+    tbw, tbh = -(-cw // 8), -(-ch // 8)
+    return tbw, tbh, tbw * tbh
+
+
+def _jpeg_prog_dc_scan(
+    scan, segments, sc, comps, coefs, dc_luts,
+    mcols, mrows, grid_w, interleaved, width, height, hmax, vmax,
+):
+    ss_al, ah = scan["al"], scan["ah"]
+    dri = scan["dri"]
+    reader = _JpegBitReader(segments[0])
+    seg_i = 0
+    prev = {ci: 0 for ci in sc}
+    if interleaved:
+        unit = 0
+        for R in range(mrows):
+            for C in range(mcols):
+                if dri and unit and unit % dri == 0:
+                    seg_i += 1
+                    reader = _JpegBitReader(segments[seg_i])
+                    prev = {ci: 0 for ci in sc}
+                unit += 1
+                for ci in sc:
+                    c = comps[ci]
+                    for r in range(c["v"]):
+                        row0 = (R * c["v"] + r) * grid_w[ci] + C * c["h"]
+                        for cc in range(c["h"]):
+                            _jpeg_prog_dc_block(
+                                coefs[ci], row0 + cc, reader,
+                                dc_luts.get(ci), prev, ci, ah, ss_al,
+                            )
+    else:
+        ci = sc[0]
+        tbw, tbh, n_units = _jpeg_comp_true_blocks(
+            comps[ci], width, height, hmax, vmax
+        )
+        for bi in range(n_units):
+            if dri and bi and bi % dri == 0:
+                seg_i += 1
+                reader = _JpegBitReader(segments[seg_i])
+                prev = {ci: 0}
+            padded = (bi // tbw) * grid_w[ci] + (bi % tbw)
+            _jpeg_prog_dc_block(
+                coefs[ci], padded, reader, dc_luts.get(ci), prev, ci, ah, ss_al
+            )
+
+
+def _jpeg_prog_dc_block(coef, block_idx, reader, dc_lut, prev, ci, ah, al):
+    if ah == 0:
+        # first pass: Huffman DC difference at precision Al; the
+        # predictor chains the POINT-TRANSFORMED values (T.81 G.1.2.1,
+        # arithmetic shift on the encode side)
+        s = reader.read_symbol(dc_lut)
+        diff = _jpeg_extend(reader.read(s), s) if s else 0
+        prev[ci] += diff
+        coef[block_idx, 0] = prev[ci] << al
+    else:
+        # refinement: one raw bit; two's-complement OR appends the low
+        # magnitude bit correctly for either sign (v<<1 | b == v' holds
+        # with arithmetic shifts)
+        if reader.read(1):
+            coef[block_idx, 0] |= 1 << al
+
+
+def _jpeg_prog_ac_scan(
+    scan, segments, ci, comps, coefs, ac_lut, grid_w, width, height, hmax, vmax
+):
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    dri = scan["dri"]
+    tbw, tbh, n_units = _jpeg_comp_true_blocks(comps[ci], width, height, hmax, vmax)
+    reader = _JpegBitReader(segments[0])
+    seg_i = 0
+    eobrun = 0
+    coef = coefs[ci]
+    for bi in range(n_units):
+        if dri and bi and bi % dri == 0:
+            seg_i += 1
+            reader = _JpegBitReader(segments[seg_i])
+            eobrun = 0
+        block = coef[(bi // tbw) * grid_w[ci] + (bi % tbw)]
+        if ah == 0:
+            eobrun = _jpeg_prog_ac_first_block(
+                block, reader, ac_lut, ss, se, al, eobrun
+            )
+        else:
+            eobrun = _jpeg_prog_ac_refine_block(
+                block, reader, ac_lut, ss, se, al, eobrun
+            )
+
+
+def _jpeg_prog_ac_first_block(block, reader, ac_lut, ss, se, al, eobrun):
+    """T.81 G.2 / first AC pass: RRRRSSSS run/size with EOBRUN coding;
+    new coefficients arrive as extend(bits) << Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.read_symbol(ac_lut)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflows the band")
+            block[k] = _jpeg_extend(reader.read(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                break
+            k += 16  # ZRL
+    return eobrun
+
+
+def _jpeg_prog_ac_refine_block(block, reader, ac_lut, ss, se, al, eobrun):
+    """T.81 G.2 / AC refinement: newly-significant coefficients arrive
+    as ±1<<Al between runs of zero-HISTORY positions; every nonzero-
+    history position passed (including inside EOB runs) carries one
+    correction bit. Two's-complement & / += work for either sign
+    because each pass touches exactly bit Al and lower bits are still
+    zero (see the DC refinement note)."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.read_symbol(ac_lut)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                newval = 0  # ZRL: 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG AC refinement symbol with size != 1"
+                    )
+                newval = p1 if reader.read(1) else m1
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read(1) and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("JPEG AC refinement run overflows the band")
+                block[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                if reader.read(1) and (block[k] & p1) == 0:
+                    block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def parse_jpeg(payload: bytes) -> dict:
     """REAL baseline JPEG decoder for 8-bit sequential streams, 1- or
     3-component, interleaved single scan, per-component sampling
@@ -1725,7 +2601,8 @@ def parse_jpeg(payload: bytes) -> dict:
     huff: dict[tuple[int, int], tuple[dict[tuple[int, int], int], bytes]] = {}
     width = height = None
     comps: list[dict] = []  # SOF order: {cid, h, v, tq, dc, ac}
-    scan_data = None
+    scans: list[dict] = []
+    progressive = False
     restart_interval = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1779,7 +2656,8 @@ def parse_jpeg(payload: bytes) -> dict:
                     code <<= 1
                 huff[(tc, th)] = (table, bytes(seg[off : off + 17 + n]))
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} not supported")
@@ -1804,12 +2682,12 @@ def parse_jpeg(payload: bytes) -> dict:
                     )
                 comps.append({"cid": cid, "h": hs, "v": vs, "tq": tq})
         elif marker in (
-            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,  # SOF13-15: differential/arith
         ):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (progressive/extended/"
-                "differential/arithmetic) not supported — baseline sequential only"
+                f"JPEG SOF marker 0xFF{marker:02X} (extended/differential/"
+                "arithmetic) not supported — baseline + progressive huffman only"
             )
         elif marker == 0xDD:  # DRI: restart every R MCUs (0 disables)
             restart_interval = int.from_bytes(seg[:2], "big")
@@ -1817,19 +2695,24 @@ def parse_jpeg(payload: bytes) -> dict:
             if not comps:
                 raise ValueError("JPEG SOS before SOF0 frame header")
             ns = seg[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    f"scan covers {ns} of {len(comps)} components — "
-                    "non-interleaved multi-scan JPEG not supported"
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError(
+                    f"SOS header declares {ns} components but holds only "
+                    f"{len(seg)} bytes (needs {4 + 2 * ns})"
                 )
-            by_cid = {c["cid"]: c for c in comps}
+            by_cid = {c["cid"]: i for i, c in enumerate(comps)}
+            scan_comps: list[int] = []
+            scan_tabs: list[tuple[int, int]] = []
             for si in range(ns):
                 cs, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
                 if cs not in by_cid:
                     raise ValueError(
                         f"SOS references undeclared component id {cs}"
                     )
-                by_cid[cs]["dc"], by_cid[cs]["ac"] = tabs >> 4, tabs & 0x0F
+                scan_comps.append(by_cid[cs])
+                scan_tabs.append((tabs >> 4, tabs & 0x0F))
+            ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             # entropy data runs to the next real marker (0xFF followed
             # by anything but 0x00 stuffing or an RSTn restart code).
             # Vectorized: only 0xFF positions are inspected (a
@@ -1848,56 +2731,70 @@ def parse_jpeg(payload: bytes) -> dict:
                 end = int(i)  # real marker
                 break
             pos += end
-            scan_data = buf[:end]  # raw: RSTs split + unstuff below
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "tabs": scan_tabs,
+                    "ss": ss_,
+                    "se": se_,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0x0F,
+                    "data": buf[:end],  # raw: RSTs split + unstuff later
+                    "dri": restart_interval,
+                    # tables resolve at SOS time — later DHT segments may
+                    # REDEFINE ids for later scans (legal, common in
+                    # progressive files)
+                    "huff": dict(huff),
+                }
+            )
         # APPn / COM / others: skipped
     if width is None:
         raise ValueError("JPEG carries no SOF0 frame header")
-    if scan_data is None:
+    if not scans:
         raise ValueError("JPEG carries no scan (SOS) data")
     for c in comps:
         if c["tq"] not in quant:
             raise ValueError(f"JPEG references undefined quant table {c['tq']}")
-        if "dc" not in c:
-            raise ValueError(f"component id {c['cid']} never assigned scan tables")
-        if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
-            raise ValueError("JPEG references undefined Huffman table")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcols = -(-width // (8 * hmax))
     mrows = -(-height // (8 * vmax))
     n_comp = len(comps)
-    # split the entropy stream at restart markers (0xFFD0-D7) BEFORE
-    # unstuffing — the split is unambiguous because a stuffed 0xFF is
-    # always followed by 0x00, never 0xD0-D7. Each segment decodes with
-    # fresh byte alignment and zeroed DC predictors (T.81 E.1.4), and
-    # the RSTn codes must cycle 0..7 in order.
-    if restart_interval:
-        seg_bounds: list[bytes] = []
-        rst_codes: list[int] = []
-        sarr = np.frombuffer(scan_data, dtype=np.uint8)
-        start = 0
-        for i in np.flatnonzero(sarr == 0xFF):
-            if i + 1 < len(scan_data) and 0xD0 <= scan_data[i + 1] <= 0xD7:
-                seg_bounds.append(scan_data[start:i])
-                rst_codes.append(scan_data[i + 1] - 0xD0)
-                start = int(i) + 2
-        seg_bounds.append(scan_data[start:])
-        for j, m in enumerate(rst_codes):
-            if m != j % 8:
-                raise ValueError(
-                    f"RST marker out of sequence: expected RST{j % 8}, got RST{m}"
-                )
-        n_expected = -(-(mrows * mcols) // restart_interval)
-        if len(seg_bounds) != n_expected:
-            raise ValueError(
-                f"restart interval {restart_interval} over {mrows * mcols} "
-                f"MCUs needs {n_expected} entropy segments, found {len(seg_bounds)}"
-            )
-        segments = [s.replace(b"\xff\x00", b"\xff") for s in seg_bounds]
-    else:
-        segments = [scan_data.replace(b"\xff\x00", b"\xff")]
-    dc_tabs = [_jpeg_decode_lut(*huff[(0, c["dc"])]) for c in comps]
-    ac_tabs = [_jpeg_decode_lut(*huff[(1, c["ac"])]) for c in comps]
+    grid_w_all = [mcols * c["h"] for c in comps]
+    grid_h_all = [mrows * c["v"] for c in comps]
+    if progressive:
+        zz_by_comp = _jpeg_decode_progressive(
+            scans, comps, width, height, hmax, vmax, mcols, mrows,
+            grid_w_all, grid_h_all,
+        )
+        return _jpeg_idct_planes(
+            zz_by_comp, comps, quant, width, height, hmax, vmax,
+            grid_w_all, grid_h_all,
+        )
+    # --- SEQUENTIAL fast path (one interleaved scan, full band) ---
+    if len(scans) > 1:
+        raise ValueError("baseline JPEG with multiple SOS scans is malformed")
+    scan = scans[0]
+    if len(scan["comps"]) != n_comp:
+        raise NotImplementedError(
+            f"scan covers {len(scan['comps'])} of {n_comp} components — "
+            "non-interleaved multi-scan JPEG not supported in baseline"
+        )
+    if (scan["ss"], scan["se"], scan["ah"], scan["al"]) != (0, 63, 0, 0):
+        raise ValueError(
+            "baseline scan must cover the full band (Ss=0 Se=63 Ah=Al=0)"
+        )
+    scan_huff = scan["huff"]
+    for ci, (td, ta) in zip(scan["comps"], scan["tabs"]):
+        if (0, td) not in scan_huff or (1, ta) not in scan_huff:
+            raise ValueError("JPEG references undefined Huffman table")
+        comps[ci]["dc"], comps[ci]["ac"] = td, ta
+    segments = _jpeg_split_segments(
+        scan["data"], scan["dri"], mrows * mcols
+    )
+    restart_interval = scan["dri"]
+    dc_tabs = [_jpeg_decode_lut(*scan_huff[(0, c["dc"])]) for c in comps]
+    ac_tabs = [_jpeg_decode_lut(*scan_huff[(1, c["ac"])]) for c in comps]
     # per-component plane block grids (MCU-padded)
     grid_w = [mcols * c["h"] for c in comps]
     grid_h = [mrows * c["v"] for c in comps]
@@ -2031,41 +2928,18 @@ def parse_jpeg(payload: bytes) -> dict:
                             )
                             k += 1
                 prev[ci] = prev_dc
-    planes: list[np.ndarray] = []
-    for ci, c in enumerate(comps):
-        gw, gh = grid_w[ci], grid_h[ci]
-        n_blocks = gw * gh
+    zz_by_comp: list[np.ndarray] = []
+    for ci in range(n_comp):
+        n_blocks = grid_w[ci] * grid_h[ci]
         zz_all = np.zeros(n_blocks * 64, dtype=np.int64)
         if idxs[ci]:
             zz_all[np.asarray(idxs[ci], dtype=np.int64)] = np.asarray(
                 vals[ci], dtype=np.int64
             )
-        zz_all = zz_all.reshape(n_blocks, 64)
-        coef = np.zeros((n_blocks, 64), dtype=np.float64)
-        coef[:, _JPEG_ZIGZAG] = (zz_all * quant[c["tq"]]).astype(np.float64)
-        blocks = _JPEG_D.T @ coef.reshape(-1, 8, 8) @ _JPEG_D  # broadcast matmul
-        px_blocks = np.clip(np.rint(blocks) + 128, 0, 255).astype(np.uint8)
-        plane = (
-            px_blocks.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
-        )
-        # crop to the component's true resolution, then replicate up to
-        # full frame resolution (nearest-neighbor — the baseline
-        # convention; smooth upsampling is a renderer choice)
-        cw = -(-width * c["h"] // hmax)
-        ch = -(-height * c["v"] // vmax)
-        plane = plane[:ch, :cw]
-        fy, fx = vmax // c["v"], hmax // c["h"]
-        if fy > 1:
-            plane = np.repeat(plane, fy, axis=0)
-        if fx > 1:
-            plane = np.repeat(plane, fx, axis=1)
-        planes.append(np.ascontiguousarray(plane[:height, :width]))
-    return {
-        "width": int(width),
-        "height": int(height),
-        "components": n_comp,
-        "planes": planes,
-    }
+        zz_by_comp.append(zz_all.reshape(n_blocks, 64))
+    return _jpeg_idct_planes(
+        zz_by_comp, comps, quant, width, height, hmax, vmax, grid_w, grid_h
+    )
 
 
 def parse_jpeg_gray(payload: bytes) -> dict:
@@ -2147,6 +3021,41 @@ def with_jpeg_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
                 ).reshape(br, JPEG_BLOCKS_PER_ROW)
                 gray = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
                 payloads.append(encode_jpeg_gray(gray.tobytes(), JPEG_WIDTH, 8 * br))
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("image/jpeg"))
+
+
+def with_jpeg_progressive_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """mm13's block-constant synthesis through the PROGRESSIVE encoder
+    (SOF2, 5-scan spectral-selection + successive-approximation
+    script): same char -> 8x8 block mapping, same byte-exact
+    reconstruction argument (the progressive scans re-encode the same
+    quantized coefficients), so the SAME oracle certifies the whole
+    annex-G decode path."""
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), True)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for t in pdf[text_col]:
+                raw = t.encode("utf-8")
+                br = min(len(raw) // JPEG_BLOCKS_PER_ROW, JPEG_MAX_BLOCK_ROWS)
+                if br == 0:
+                    payloads.append(None)
+                    continue
+                vals = np.frombuffer(
+                    raw[: br * JPEG_BLOCKS_PER_ROW], dtype=np.uint8
+                ).reshape(br, JPEG_BLOCKS_PER_ROW)
+                gray = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(
+                    encode_jpeg_progressive_gray(gray.tobytes(), JPEG_WIDTH, 8 * br)
+                )
             pdf["payload"] = payloads
             yield pdf
 

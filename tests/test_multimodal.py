@@ -578,13 +578,19 @@ class TestJpegCodec:
             parse_jpeg_gray(b"JUNK" + good[4:])
         with pytest.raises(ValueError, match="truncated"):
             parse_jpeg_gray(good[:30])
-        # progressive SOF2 must be refused, not guessed at
+        # progressive is SUPPORTED since r9 — but a baseline full-band
+        # scan under an SOF2 header is MALFORMED progressive (a scan
+        # cannot mix DC and AC) and must still fail loudly
         sof2 = struct.pack(">HHBHHB", 0xFFC2, 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
         idx = good.index(b"\xff\xc0")
         seglen = struct.unpack(">H", good[idx + 2 : idx + 4])[0]
         prog = good[:idx] + sof2 + good[idx + 2 + seglen :]
-        with pytest.raises(NotImplementedError, match="progressive"):
+        with pytest.raises(ValueError, match="mixes DC and AC"):
             parse_jpeg_gray(prog)
+        # lossless (SOF3) stays a loud gate
+        sof3 = struct.pack(">HHBHHB", 0xFFC3, 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        with pytest.raises(NotImplementedError, match="0xFFC3"):
+            parse_jpeg_gray(good[:idx] + sof3 + good[idx + 2 + seglen :])
         # geometry mismatch on the encode side
         with pytest.raises(ValueError, match="geometry"):
             encode_jpeg_gray(b"\x00" * 63, 8, 8)
@@ -964,14 +970,19 @@ class TestJpegColorCodec:
         with pytest.raises(NotImplementedError, match="sampling factor 3x3"):
             parse_jpeg(bytes(bad))
 
-        # a scan covering fewer components than the frame is the
-        # non-interleaved multi-scan case — out of the declared subset
+        # a BASELINE scan covering fewer components than the frame is
+        # the non-interleaved multi-scan case — out of the declared
+        # subset (progressive AC scans are the legal form of this)
         j = good.index(b"\xff\xda")
         seglen = int.from_bytes(good[j + 2 : j + 4], "big")
-        sos1 = b"\xff\xda" + (2 + 2 + 2).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+        sos1 = b"\xff\xda" + (2 + 6).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
         hacked = good[:j] + sos1 + good[j + 2 + seglen :]
         with pytest.raises(NotImplementedError, match="non-interleaved multi-scan"):
             parse_jpeg(hacked)
+        # an under-sized SOS header fails loudly, never reads past its box
+        short = b"\xff\xda" + (2 + 4).to_bytes(2, "big") + bytes([1, 1, 0x00, 0])
+        with pytest.raises(ValueError, match="SOS header declares"):
+            parse_jpeg(good[:j] + short + good[j + 2 + seglen :])
 
         # chroma quant table id rewritten to an undefined slot
         k = good.index(b"\xff\xc0")
@@ -1264,3 +1275,234 @@ def test_mm16_probe_edge_docs(spark, tmp_path):
     assert rows[2]["height"] == 64 and rows[2]["restart_interval"] == 0
     assert rows[3]["height"] == 112 and rows[3]["restart_interval"] == 3
     assert all(not r["progressive"] and r["n_components"] == 3 for r in rows.values())
+
+
+class TestJpegProgressive:
+    def test_progressive_equals_baseline_bit_for_bit(self):
+        # the progressive scan script re-encodes the SAME quantized
+        # coefficients, so a correct progressive decode must reproduce
+        # the baseline decode exactly — every pixel, every geometry,
+        # including partial edge blocks
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_gray,
+            encode_jpeg_progressive_gray,
+            parse_jpeg_gray,
+        )
+
+        rng = np.random.default_rng(21)
+        q1 = np.array([8] + [1] * 63, dtype=np.int64)
+        for h, w in ((8, 8), (24, 16), (21, 37), (48, 40), (8, 128)):
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            base = parse_jpeg_gray(encode_jpeg_gray(img.tobytes(), w, h, quant=q1))
+            prog = parse_jpeg_gray(
+                encode_jpeg_progressive_gray(img.tobytes(), w, h, quant=q1)
+            )
+            assert np.array_equal(base["pixels"], prog["pixels"]), (w, h)
+
+    def test_progressive_eobrun_and_sparse_blocks(self):
+        # a mostly-flat image with isolated detail yields long EOB runs
+        # across blocks in the AC scans and ZRLs within blocks — the
+        # annex-G paths a dense random image never hits; assert the
+        # stream actually uses a multi-block EOBn symbol by making most
+        # blocks DC-only
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_gray,
+            encode_jpeg_progressive_gray,
+            parse_jpeg_gray,
+        )
+
+        q1 = np.array([8] + [1] * 63, dtype=np.int64)
+        img = np.full((32, 64), 100, dtype=np.uint8)  # 32 blocks, flat
+        img[9, 17] = 250  # one block with AC energy
+        img[25, 50] = 3  # another, far away (long EOB run between)
+        base = parse_jpeg_gray(encode_jpeg_gray(img.tobytes(), 64, 32, quant=q1))
+        prog = parse_jpeg_gray(
+            encode_jpeg_progressive_gray(img.tobytes(), 64, 32, quant=q1)
+        )
+        assert np.array_equal(base["pixels"], prog["pixels"])
+
+    def test_progressive_malformed_scans_fail_loudly(self):
+        import numpy as np
+        import pytest
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_jpeg_progressive_gray,
+            parse_jpeg,
+        )
+
+        q1 = np.array([8] + [1] * 63, dtype=np.int64)
+        img = np.arange(64, dtype=np.uint8)
+        good = encode_jpeg_progressive_gray(img.tobytes(), 8, 8, quant=q1)
+
+        # locate every SOS header (marker + len 8 + [1, 1, tabs, Ss, Se, AhAl])
+        sos_positions = []
+        p = 0
+        while True:
+            p = good.find(b"\xff\xda", p)
+            if p < 0:
+                break
+            sos_positions.append(p)
+            p += 2
+        assert len(sos_positions) == 5  # the scan script
+
+        # drop the DC scan: the first AC scan now precedes DC
+        first, second = sos_positions[0], sos_positions[1]
+        with pytest.raises(ValueError, match="precedes the DC scan"):
+            parse_jpeg(good[:first] + good[second:])
+
+        # corrupt a refinement header: Ah must be 0 or Al+1
+        bad = bytearray(good)
+        last = sos_positions[4]
+        bad[last + 9] = 0x30  # Ah=3, Al=0 on the AC refinement scan
+        with pytest.raises(ValueError, match="Ah must be 0 or Al\\+1"):
+            parse_jpeg(bytes(bad))
+
+        # corrupt a band: Ss > Se
+        bad2 = bytearray(good)
+        ac1 = sos_positions[1]
+        bad2[ac1 + 7] = 40  # Ss=40 while Se=5
+        with pytest.raises(ValueError, match="bad spectral band"):
+            parse_jpeg(bytes(bad2))
+
+
+def test_mm17_progressive_edge_docs(spark, tmp_path):
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    texts = ["", "x" * 15, "a" * 16, "".join(chr(33 + (i % 90)) for i in range(16 * 3 + 5))]
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["mm17_jpeg_progressive"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows[0]["height"] == 0 and rows[0]["mean_luma"] is None
+    assert rows[1]["height"] == 0
+    assert rows[2]["height"] == 8 and rows[2]["mean_luma"] == float(ord("a"))
+    r3 = rows[3]
+    assert r3["height"] == 24
+    byts = [ord(texts[3][i]) for i in range(48)]
+    assert r3["mean_luma"] == round(sum(byts) / len(byts), 6)
+    assert (r3["max_byte"], r3["min_byte"]) == (max(byts), min(byts))
+
+
+class TestAdpcmCodec:
+    def test_real_encoder_roundtrip_snr(self):
+        # the standard greedy encoder is lossy; on a smooth signal the
+        # decode must land within a sane SNR and the container fields
+        # must round-trip exactly
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_wav_adpcm,
+            parse_wav_adpcm,
+        )
+
+        t = np.arange(4000)
+        sig = (8000 * np.sin(t / 30)).astype(np.int16)
+        v = parse_wav_adpcm(encode_wav_adpcm(sig, 8000))
+        assert (v["sample_rate"], v["n_samples"], v["bits_per_sample"]) == (8000, 4000, 4)
+        err = v["samples"].astype(float) - sig.astype(float)
+        snr = 10 * np.log10((sig.astype(float) ** 2).mean() / (err**2).mean())
+        assert snr > 30
+
+    def test_code_mux_replay_is_exact(self):
+        # the synthesis path muxes pre-chosen codes: decode must equal
+        # the pure-python recurrence bit for bit, including both clamps
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            _ima_decode_step,
+            encode_wav_adpcm_codes,
+            parse_wav_adpcm,
+        )
+
+        # push the predictor toward the int16 rails and the index to
+        # its extremes so the clamps are really exercised
+        headers = [(32000, 88), (-32768, 0), (0, 44)]
+        codes = ([7] * 8) + ([15] * 8) + ([0, 8] * 4)
+        v = parse_wav_adpcm(encode_wav_adpcm_codes(headers, codes))
+        exp = []
+        for b, (p, i) in enumerate(headers):
+            exp.append(p)
+            for c in codes[b * 8 : (b + 1) * 8]:
+                p, i = _ima_decode_step(p, i, c)
+                exp.append(p)
+        assert list(v["samples"]) == exp
+        assert max(exp) <= 32767 and min(exp) >= -32768
+
+    def test_malformed_adpcm_fails_loudly(self):
+        import numpy as np
+        import pytest
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_wav_adpcm,
+            encode_wav_adpcm_codes,
+            parse_wav_adpcm,
+        )
+
+        good = encode_wav_adpcm(np.zeros(100, dtype=np.int16))
+        with pytest.raises(ValueError, match="RIFF"):
+            parse_wav_adpcm(b"JUNK" + good[4:])
+        # PCM WAV rejected by the ADPCM parser (and vice versa stays
+        # covered by parse_wav's own format gate)
+        from pipeline_mf_etl_spark.operators.multimodal import encode_wav_pcm16
+
+        with pytest.raises(ValueError, match="wFormatTag"):
+            parse_wav_adpcm(encode_wav_pcm16(np.zeros(4, dtype=np.int16)))
+        # out-of-range block header index
+        with pytest.raises(ValueError, match="out of range"):
+            encode_wav_adpcm_codes([(0, 89)], [0] * 8)
+        # data chunk not whole blocks
+        i = good.index(b"data")
+        trunc = bytearray(good[:-3])
+        import struct
+        struct.pack_into("<I", trunc, i + 4, struct.unpack("<I", good[i+4:i+8])[0] - 3)
+        struct.pack_into("<I", trunc, 4, len(trunc) - 8)
+        with pytest.raises(ValueError, match="whole"):
+            parse_wav_adpcm(bytes(trunc))
+        # in-stream step index > 88 (crafted header byte)
+        bad = bytearray(good)
+        bad[i + 8 + 2] = 120  # first block's index byte
+        with pytest.raises(ValueError, match="step index 120"):
+            parse_wav_adpcm(bytes(bad))
+
+    def test_mm18_edge_docs(self, spark, tmp_path):
+        import pandas as pd
+
+        from pipeline_mf_etl_spark.operators.multimodal import _ima_decode_step
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        texts = ["", "abcd", "abcde", "A" * 5 * 3 + "zz"]
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in all_queries()["mm18_adpcm_decode"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        }
+        assert rows[0]["n_samples"] == 0 and rows[0]["mean_amp"] is None
+        assert rows[1]["n_samples"] == 0  # 4 chars < one block
+        r2 = rows[2]
+        assert r2["n_samples"] == 9
+        # replicate doc 2's single block in pure python
+        raw = texts[2].encode()
+        p, i = (raw[0] - 128) * 256, raw[0] % 89
+        exp = [p]
+        for cb in raw[1:5]:
+            for c in (cb & 15, cb >> 4):
+                p, i = _ima_decode_step(p, i, c)
+                exp.append(p)
+        assert r2["mean_amp"] == round(sum(exp) / 9, 6)
+        assert r2["peak_amp"] == max(abs(x) for x in exp)
+        assert rows[3]["n_samples"] == 27  # 17 chars -> 3 blocks, tail dropped
