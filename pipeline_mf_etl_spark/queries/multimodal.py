@@ -1024,3 +1024,172 @@ def mm16_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "restart_interval",
         "n_pixels",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm17: PROGRESSIVE JPEG decode — the web's other JPEG (SOF2 is a large
+# share of crawled images; the r8/r9 baseline decoder gated on it).
+# Full T.81 annex-G Huffman path: spectral selection (DC scan, AC bands
+# 1-5 / 6-63) AND successive approximation (first passes at Al=1, DC +
+# AC refinement scans for the low bit), EOBRUN coding across blocks,
+# per-scan table resolution. Synthesis re-encodes mm13's block-constant
+# scheme progressively — the scans carry the same quantized
+# coefficients, so the SAME character-derived oracle certifies the
+# entire multi-scan reconstruction.
+# ---------------------------------------------------------------------------
+@query(
+    "mm17_jpeg_progressive",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text,
+               LEAST(length(text) // 16, 8191) AS br
+        FROM documents
+    ), chars AS (
+        SELECT g.doc_id,
+               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+        FROM geo g, UNNEST(range(1, CAST(g.br * 16 + 1 AS BIGINT))) AS t(i)
+    ), agg AS (
+        SELECT doc_id,
+               SUM(byte) AS sb,
+               MAX(byte) AS mx,
+               MIN(byte) AS mn
+        FROM chars GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(128 AS BIGINT) AS width,
+           CAST(g.br * 8 AS BIGINT) AS height,
+           CAST(g.br * 1024 AS BIGINT) AS n_pixels,
+           ROUND(a.sb * 1.0 / (g.br * 16), 6) AS mean_luma,
+           CAST(a.mx AS BIGINT) AS max_byte,
+           CAST(a.mn AS BIGINT) AS min_byte
+    FROM geo g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm17_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-image stats per document through the real PROGRESSIVE
+    JPEG path: text -> 5-scan SOF2 encode (DC first pass at Al=1, AC
+    band scans with EOBRUN coding, DC + AC refinement) -> multi-scan
+    coefficient accumulation + IDCT -> exact grayscale stats. Same
+    block-constant mapping and oracle as mm13 (the scans re-encode the
+    same quantized coefficients), so a hash match certifies the entire
+    annex-G reconstruction. Map-only plan, zero shuffles."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_jpeg_features,
+        with_jpeg_progressive_payload,
+    )
+
+    docs = with_jpeg_progressive_payload(load_table(spark, sf_dir, "documents"))
+    feats = decode_jpeg_features(docs)
+    return feats.select(
+        "doc_id",
+        "width",
+        F.col("height").cast("long").alias("height"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "max_byte",
+        "min_byte",
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm18: IMA-ADPCM decode — the COMPRESSED-audio leg, completing the
+# compressed-codec triple (image: JPEG/PNG; video container: MJPEG-MP4;
+# audio: ADPCM). Every decode operation is exact integer arithmetic
+# (step table, nibble codes, clamps), so the oracle REPLAYS the
+# recurrence with an 8-deep recursive CTE — the one codec family whose
+# lossy decode is still fully SQL-certifiable because the synthesis
+# muxes pre-chosen codes rather than encoder output.
+# ---------------------------------------------------------------------------
+_IMA_STEP_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,"
+    "73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,"
+    "449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,"
+    "2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,"
+    "7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,"
+    "24623,27086,29794,32767]"
+)
+
+
+@query(
+    "mm18_adpcm_decode",
+    oracle=f"""
+    WITH RECURSIVE geo AS (
+        SELECT doc_id, text, length(text) // 5 AS nb FROM documents
+    ), blocks AS (
+        SELECT g.doc_id, t.b,
+               ord(substr(g.text, CAST(5 * t.b + 1 AS INTEGER), 1)) AS hc,
+               [ord(substr(g.text, CAST(5 * t.b + 2 AS INTEGER), 1)),
+                ord(substr(g.text, CAST(5 * t.b + 3 AS INTEGER), 1)),
+                ord(substr(g.text, CAST(5 * t.b + 4 AS INTEGER), 1)),
+                ord(substr(g.text, CAST(5 * t.b + 5 AS INTEGER), 1))] AS cb
+        FROM geo g, UNNEST(range(0, g.nb)) AS t(b)
+    ), walk AS (
+        SELECT doc_id, b, 0 AS s,
+               CAST((hc - 128) * 256 AS BIGINT) AS pred,
+               CAST(hc % 89 AS BIGINT) AS idx,
+               cb
+        FROM blocks
+        UNION ALL
+        SELECT doc_id, b, s + 1,
+               GREATEST(-32768, LEAST(32767,
+                   pred + CASE WHEN code & 8 = 8 THEN -diff ELSE diff END)),
+               GREATEST(0, LEAST(88,
+                   idx + ([-1,-1,-1,-1,2,4,6,8])[(code & 7) + 1])),
+               cb
+        FROM (
+            SELECT doc_id, b, s, pred, idx, cb, code,
+                   (step >> 3)
+                   + CASE WHEN code & 1 = 1 THEN step >> 2 ELSE 0 END
+                   + CASE WHEN code & 2 = 2 THEN step >> 1 ELSE 0 END
+                   + CASE WHEN code & 4 = 4 THEN step ELSE 0 END AS diff
+            FROM (
+                SELECT doc_id, b, s, pred, idx, cb, code,
+                       ({_IMA_STEP_SQL})[idx + 1] AS step
+                FROM (
+                    SELECT doc_id, b, s, pred, idx, cb,
+                           CASE WHEN s % 2 = 0 THEN cb[s // 2 + 1] & 15
+                                ELSE cb[s // 2 + 1] // 16 END AS code
+                    FROM walk WHERE s < 8
+                )
+            )
+        )
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS c, SUM(pred) AS sa,
+               MAX(ABS(pred)) AS peak, MIN(pred) AS mn, MAX(pred) AS mx
+        FROM walk GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(g.nb * 9 AS BIGINT) AS n_samples,
+           ROUND(a.sa * 1.0 / a.c, 6) AS mean_amp,
+           CAST(a.peak AS BIGINT) AS peak_amp,
+           CAST(a.mn AS BIGINT) AS min_amp,
+           CAST(a.mx AS BIGINT) AS max_amp
+    FROM geo g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm18_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-audio stats per document through the real IMA-ADPCM
+    path: text -> block headers + 4-bit code stream -> WAV 0x0011 mux
+    (fmt/fact/data chunks, samples-per-block) -> RIFF walk + nibble
+    unpack + exact step-table recurrence -> integer amplitude stats.
+    The oracle replays the same recurrence in SQL (8-deep recursive
+    CTE over blocks), so a hash match certifies every decode step
+    including the int16 and index clamps. Map-only plan, zero
+    shuffles."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_adpcm_features,
+        with_adpcm_payload,
+    )
+
+    docs = with_adpcm_payload(load_table(spark, sf_dir, "documents"))
+    feats = decode_adpcm_features(docs)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+        "peak_amp",
+        "min_amp",
+        "max_amp",
+    )

@@ -86,6 +86,8 @@ _PRIORITY = (
     "mm14_mp4_demux",
     "mm15_mjpeg_decode",
     "mm16_jpeg_probe",
+    "mm17_jpeg_progressive",
+    "mm18_adpcm_decode",
     "d2_minhash_lsh",
     "i5_manifest_merge",
     # --- (3) the 23 r4-stale rows ---
@@ -129,11 +131,10 @@ _PRIORITY = (
     "t1_lang_id",
     "t2_quality_score",
     "t6_pii_scrub",
-    "t7_repetition_quality",
-    "t8_contamination",
-    # t9_trigram_lm (r6-green, untouched) ceded its slot to the new
-    # mm16 header probe; it leads the r10 rotation with the other r6
-    # stragglers
+    # t7_repetition_quality, t8_contamination and t9_trigram_lm (all
+    # r6-green, untouched) ceded their slots to the new mm16 header
+    # probe, mm17 progressive decode and mm18 ADPCM decode; they lead
+    # the r10 rotation with the other r6 stragglers
 )
 
 
