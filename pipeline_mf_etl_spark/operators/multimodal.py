@@ -230,6 +230,28 @@ def _ima_decode_step(pred: int, idx: int, code: int) -> tuple[int, int]:
     return pred, idx
 
 
+def _wav_adpcm_container(data: bytes, n_samples: int, sample_rate: int) -> bytes:
+    """Shared IMA-ADPCM WAV container (fmt 0x0011 + fact + data) — one
+    implementation for both the real encoder and the code-mux synthesis
+    path, so a container change can never desynchronize them."""
+    import struct
+
+    spb = ADPCM_SAMPLES_PER_BLOCK
+    byte_rate = sample_rate * ADPCM_BLOCK_ALIGN // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x0011, 1, sample_rate, byte_rate,
+        ADPCM_BLOCK_ALIGN, 4, 2, spb,
+    )
+    fact = struct.pack("<I", n_samples)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
     """Encode int16 PCM as a standards-shaped IMA-ADPCM WAV (format
     0x0011, mono): per block, a 4-byte header (true first sample +
@@ -272,20 +294,7 @@ def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = WAV_SAMPLE_RATE) ->
             nibbles.append(code)
         for i in range(0, len(nibbles), 2):
             out.append(nibbles[i] | (nibbles[i + 1] << 4))  # low nibble first
-    data = bytes(out)
-    byte_rate = sample_rate * ADPCM_BLOCK_ALIGN // spb
-    fmt = struct.pack(
-        "<HHIIHHHH", 0x0011, 1, sample_rate, byte_rate,
-        ADPCM_BLOCK_ALIGN, 4, 2, spb,
-    )
-    fact = struct.pack("<I", n)
-    riff = (
-        b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"fact" + struct.pack("<I", len(fact)) + fact
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
-    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+    return _wav_adpcm_container(bytes(out), n, sample_rate)
 
 
 def encode_wav_adpcm_codes(
@@ -311,21 +320,7 @@ def encode_wav_adpcm_codes(
         blk = codes[b * cpb : (b + 1) * cpb]
         for i in range(0, cpb, 2):
             out.append(blk[i] | (blk[i + 1] << 4))
-    data = bytes(out)
-    n = len(headers) * spb
-    byte_rate = sample_rate * ADPCM_BLOCK_ALIGN // spb
-    fmt = struct.pack(
-        "<HHIIHHHH", 0x0011, 1, sample_rate, byte_rate,
-        ADPCM_BLOCK_ALIGN, 4, 2, spb,
-    )
-    fact = struct.pack("<I", n)
-    riff = (
-        b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"fact" + struct.pack("<I", len(fact)) + fact
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
-    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+    return _wav_adpcm_container(bytes(out), len(headers) * spb, sample_rate)
 
 
 def parse_wav_adpcm(payload: bytes) -> dict:
@@ -1528,6 +1523,56 @@ def _jpeg_marker(marker: int, data: bytes) -> bytes:
     return struct.pack(">HH", marker, len(data) + 2) + data
 
 
+def _jpeg_forward_zigzag(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Shared forward path for ALL JPEG encoders: edge-replicate pad to
+    whole blocks, vectorized 8x8 DCT (broadcast matmul), quantize,
+    zigzag. One implementation so the byte-exact oracle arguments
+    (which assume the baseline / progressive / color encoders quantize
+    identically) can never desynchronize. Returns (n_blocks, 64) int64
+    in plane-raster block order."""
+    h, w = plane.shape
+    bw, bh = -(-w // 8), -(-h // 8)
+    px = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = (
+        px.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coef = _JPEG_D @ blocks @ _JPEG_D.T
+    qz = q[np.argsort(_JPEG_ZIGZAG)]
+    qc = np.rint(coef.reshape(-1, 64) / qz).astype(np.int64)
+    return qc[:, _JPEG_ZIGZAG]
+
+
+def _jpeg_dc_last(zz: np.ndarray) -> tuple[list[int], list[int]]:
+    """Vectorized per-block DC values + last-nonzero-AC positions — the
+    entropy loops' hoisted preamble (blocks with no AC energy take the
+    three-write fast path with no array access)."""
+    dcs = zz[:, 0].tolist()
+    ac_mask = zz[:, 1:] != 0
+    has_ac = ac_mask.any(axis=1)
+    last = np.where(has_ac, 63 - ac_mask[:, ::-1].argmax(axis=1), 0).tolist()
+    return dcs, last
+
+
+def _jpeg_emit_restart(
+    out: bytearray, acc: int, nbits: int, rst: int
+) -> tuple[int, int, int]:
+    """Pad-flush the bit accumulator to a byte (stuffed like any entropy
+    byte), emit the cycling RSTn marker RAW (markers are never stuffed),
+    advance the cycle. Shared by the gray and color encoders — called
+    once per restart boundary, so the helper-call cost is nil."""
+    if nbits:
+        pad = 8 - nbits
+        byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+    out.append(0xFF)
+    out.append(0xD0 + rst)
+    return 0, 0, (rst + 1) % 8
+
+
 def encode_jpeg_gray(
     gray: bytes,
     width: int,
@@ -1554,30 +1599,14 @@ def encode_jpeg_gray(
     q = _JPEG_QUANT_SYNTH if quant is None else np.asarray(quant, dtype=np.int64)
     if q.shape != (64,) or (q < 1).any() or (q > 255).any():
         raise ValueError("quant table must be 64 entries in 1..255 (8-bit DQT)")
-    bw, bh = -(-width // 8), -(-height // 8)
-    px = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
-    px = np.pad(px, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
     dc_codes, ac_codes = _JPEG_DC_CODES, _JPEG_AC_CODES
-    # forward DCT + quantize VECTORIZED across all blocks (one einsum
-    # instead of a per-block Python matmul loop — the difference
-    # between a codec that scale-probes and one that doesn't); only the
-    # inherently sequential entropy coding stays a per-block loop
-    blocks = (
-        px.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8).astype(np.float64)
-        - 128.0
+    # forward path shared across all three encoders (_jpeg_forward_zigzag:
+    # vectorized DCT + quantize); only the inherently sequential entropy
+    # coding stays a per-block loop, with its numpy work hoisted
+    zz_all = _jpeg_forward_zigzag(
+        np.frombuffer(gray, dtype=np.uint8).reshape(height, width), q
     )
-    coef = _JPEG_D @ blocks @ _JPEG_D.T  # broadcast matmul: BLAS, not einsum's generic loop
-    qz = q[np.argsort(_JPEG_ZIGZAG)]  # quant table in row-major order
-    qc = np.rint(coef.reshape(-1, 64) / qz).astype(np.int64)
-    zz_all = qc[:, _JPEG_ZIGZAG]
-    # hoist the per-block numpy work out of the entropy loop: DC values
-    # and last-nonzero-AC positions come out vectorized, and blocks
-    # with no AC energy (the block-constant synthesis family) take a
-    # three-write fast path with no array access at all
-    dcs = zz_all[:, 0].tolist()
-    ac_mask = zz_all[:, 1:] != 0
-    has_ac = ac_mask.any(axis=1)
-    last_all = np.where(has_ac, 63 - ac_mask[:, ::-1].argmax(axis=1), 0).tolist()
+    dcs, last_all = _jpeg_dc_last(zz_all)
     # the bit-writer is INLINED (no _JpegBitWriter) on purpose: the
     # per-write method call measured as ~40% of the whole encode, and
     # the block-constant synthesis family emits 2-3 writes per block —
@@ -1594,19 +1623,7 @@ def encode_jpeg_gray(
     zrl_code, zrl_len = ac_codes[0xF0]
     for bi, dc in enumerate(dcs):
         if restart_interval and bi and bi % restart_interval == 0:
-            # restart boundary: pad-flush to a byte (stuffed like any
-            # entropy byte), emit the cycling RSTn RAW (markers are
-            # never stuffed), zero the DC predictor
-            if nbits:
-                pad = 8 - nbits
-                byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
-                append(byte)
-                if byte == 0xFF:
-                    append(0x00)
-                acc = nbits = 0
-            append(0xFF)
-            append(0xD0 + rst)
-            rst = (rst + 1) % 8
+            acc, nbits, rst = _jpeg_emit_restart(out, acc, nbits, rst)
             prev_dc = 0
         diff = dc - prev_dc
         prev_dc = dc
@@ -1838,17 +1855,9 @@ def encode_jpeg_progressive_gray(
     q = _JPEG_QUANT_SYNTH if quant is None else np.asarray(quant, dtype=np.int64)
     if q.shape != (64,) or (q < 1).any() or (q > 255).any():
         raise ValueError("quant table must be 64 entries in 1..255 (8-bit DQT)")
-    bw, bh = -(-width // 8), -(-height // 8)
-    px = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
-    px = np.pad(px, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
-    blocks = (
-        px.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8).astype(np.float64)
-        - 128.0
+    zz = _jpeg_forward_zigzag(
+        np.frombuffer(gray, dtype=np.uint8).reshape(height, width), q
     )
-    coef = _JPEG_D @ blocks @ _JPEG_D.T
-    qz = q[np.argsort(_JPEG_ZIGZAG)]
-    qc = np.rint(coef.reshape(-1, 64) / qz).astype(np.int64)
-    zz = qc[:, _JPEG_ZIGZAG]  # (n_blocks, 64) zigzag-ordered
     n_blocks = zz.shape[0]
     dc_codes, ac_codes = _JPEG_DC_CODES, _JPEG_PROG_AC_CODES
 
@@ -1867,9 +1876,14 @@ def encode_jpeg_progressive_gray(
         return w.flush()
 
     def dc_refine(al: int) -> bytes:
+        # the refinement bit is the TWO'S-COMPLEMENT bit (v >> al) & 1
+        # (arithmetic shift), matching the decoder's `coef |= 1 << al`
+        # convention — for negative DC at al > 0 the sign-magnitude bit
+        # would differ (identical at al == 0, the shipped script, but
+        # the invariant must not depend on the script)
         w = _JpegBitWriter()
         for bi in range(n_blocks):
-            w.write((int(abs(zz[bi, 0])) >> al) & 1, 1)
+            w.write((int(zz[bi, 0]) >> al) & 1, 1)
         return w.flush()
 
     def ac_first(ss: int, se: int, al: int) -> bytes:
@@ -2052,22 +2066,11 @@ def encode_jpeg_ycbcr420(
     mrows, mcols = height // 16, width // 16
 
     def _blocks(plane: np.ndarray, ph: int, pw: int, q: np.ndarray):
-        """Plane-raster quantized zigzag blocks + vectorized DC / last-AC."""
-        gh, gw = ph // 8, pw // 8
-        b = (
-            plane.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-            .astype(np.float64)
-            - 128.0
-        )
-        coef = _JPEG_D @ b @ _JPEG_D.T
-        qz = q[np.argsort(_JPEG_ZIGZAG)]
-        qcf = np.rint(coef.reshape(-1, 64) / qz).astype(np.int64)
-        zz = qcf[:, _JPEG_ZIGZAG]
-        dcs = zz[:, 0].tolist()
-        ac_mask = zz[:, 1:] != 0
-        has_ac = ac_mask.any(axis=1)
-        last = np.where(has_ac, 63 - ac_mask[:, ::-1].argmax(axis=1), 0).tolist()
-        return zz, dcs, last, gw
+        """Plane-raster quantized zigzag blocks + vectorized DC / last-AC
+        (shared forward path — see _jpeg_forward_zigzag)."""
+        zz = _jpeg_forward_zigzag(plane, q)
+        dcs, last = _jpeg_dc_last(zz)
+        return zz, dcs, last, pw // 8
 
     yp = np.frombuffer(y, dtype=np.uint8).reshape(height, width)
     cbp = np.frombuffer(cb, dtype=np.uint8).reshape(height // 2, width // 2)
@@ -2092,16 +2095,7 @@ def encode_jpeg_ycbcr420(
         for C in range(mcols):
             mcu_i = R * mcols + C
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                if nbits:
-                    pad = 8 - nbits
-                    byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
-                    append(byte)
-                    if byte == 0xFF:
-                        append(0x00)
-                    acc = nbits = 0
-                append(0xFF)
-                append(0xD0 + rst)
-                rst = (rst + 1) % 8
+                acc, nbits, rst = _jpeg_emit_restart(out, acc, nbits, rst)
                 prev = [0, 0, 0]
             for ci in range(3):
                 h_i, v_i = comp_hv[ci]
@@ -2230,6 +2224,23 @@ def jpeg_rgb_to_ycbcr420(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.nd
         np.floor(crf.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) + 0.5), 0, 255
     ).astype(np.uint8)
     return y, cb, cr
+
+
+def _jpeg_scan_end(buf: bytes) -> int:
+    """Offset of the first REAL marker after entropy-coded data: 0xFF
+    followed by anything but 0x00 stuffing or an RSTn restart code.
+    Vectorized (only 0xFF positions inspected) and shared by the
+    decoder and the header probe so scan-termination semantics can
+    never diverge between them."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    for i in np.flatnonzero(arr == 0xFF):
+        if i + 1 >= len(buf):
+            return int(i)  # trailing 0xFF
+        nxt = buf[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            continue
+        return int(i)
+    return len(buf)
 
 
 def _jpeg_split_segments(scan_data: bytes, dri: int, n_units: int) -> list[bytes]:
@@ -2713,23 +2724,11 @@ def parse_jpeg(payload: bytes) -> dict:
                 scan_tabs.append((tabs >> 4, tabs & 0x0F))
             ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
-            # entropy data runs to the next real marker (0xFF followed
-            # by anything but 0x00 stuffing or an RSTn restart code).
-            # Vectorized: only 0xFF positions are inspected (a
-            # byte-at-a-time python walk measured ~20% of the whole
-            # decode); unstuffing happens per restart segment below
+            # entropy data runs to the next real marker — shared
+            # detector (_jpeg_scan_end); unstuffing happens per restart
+            # segment later
             buf = payload[pos:]
-            arr = np.frombuffer(buf, dtype=np.uint8)
-            end = len(buf)
-            for i in np.flatnonzero(arr == 0xFF):
-                if i + 1 >= len(buf):
-                    end = int(i)  # trailing 0xFF
-                    break
-                nxt = buf[i + 1]
-                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
-                    continue  # stuffed byte / restart marker: still scan
-                end = int(i)  # real marker
-                break
+            end = _jpeg_scan_end(buf)
             pos += end
             scans.append(
                 {
@@ -2773,7 +2772,11 @@ def parse_jpeg(payload: bytes) -> dict:
         )
     # --- SEQUENTIAL fast path (one interleaved scan, full band) ---
     if len(scans) > 1:
-        raise ValueError("baseline JPEG with multiple SOS scans is malformed")
+        raise NotImplementedError(
+            "multi-scan SEQUENTIAL JPEG not supported (non-interleaved "
+            "sequential scans are T.81-legal but outside the declared "
+            "subset — progressive multi-scan IS supported)"
+        )
     scan = scans[0]
     if len(scan["comps"]) != n_comp:
         raise NotImplementedError(
@@ -3740,6 +3743,15 @@ def decode_mp4_features(
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 v = parse_mp4(bytes(payload))
+                if v["codec"] != "raw":
+                    # parse_mp4 also demuxes 'jpeg' tracks (ragged
+                    # samples, no frame matrix) — this RAW-frame
+                    # consumer must name the mismatch, not die on a
+                    # missing key inside the Arrow worker
+                    raise ValueError(
+                        f"expected an uncompressed 'raw ' track, got "
+                        f"codec {v['codec']!r} — use decode_mp4_mjpeg_features"
+                    )
                 # stride BEFORE widening: only sampled frames pay the
                 # int64 conversion (8x bytes) in the Arrow worker
                 picked = v["frames"][::stride].astype(np.int64)
@@ -3808,18 +3820,7 @@ def probe_jpeg_header(payload: bytes) -> dict:
         elif marker == 0xDD:
             restart_interval = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS: skip entropy bytes without decoding
-            buf = payload[pos:]
-            arr = np.frombuffer(buf, dtype=np.uint8)
-            end = len(buf)
-            for i in np.flatnonzero(arr == 0xFF):
-                if i + 1 >= len(buf):
-                    end = int(i)
-                    break
-                nxt = buf[i + 1]
-                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
-                    continue
-                end = int(i)
-                break
+            end = _jpeg_scan_end(payload[pos:])
             scan_bytes += end
             pos += end
     if width is None:
@@ -3847,17 +3848,26 @@ JPEG_PROBE_SCHEMA = StructType(
 )
 
 
-def probe_jpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def probe_jpeg_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    null_width: int = 0,
+    null_components: int = 0,
+) -> DataFrame:
     """Header-only metadata per payload (no pixel decode) — the
     route/filter pass before selective decode. Map-only Arrow pipeline;
-    NULL payloads yield the 0-geometry row."""
+    NULL payloads yield a 0-geometry row whose width/components come
+    from the CALLER (the synthesis layer knows what a missing payload
+    would have been; this generic operator does not)."""
 
     def feats(batches):
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 if payload is None:
-                    rows.append((int(doc_id), JPEG_COLOR_WIDTH, 0, 3, False, 0, 0))
+                    rows.append(
+                        (int(doc_id), null_width, 0, null_components, False, 0, 0)
+                    )
                     continue
                 v = probe_jpeg_header(bytes(payload))
                 rows.append(

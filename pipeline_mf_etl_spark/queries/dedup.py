@@ -185,7 +185,10 @@ def _lsh_max_bucket_config() -> int | None:
 
 
 def _verified_pairs(
-    docs: DataFrame, return_shingles: bool = False, max_bucket: int | None = None
+    docs: DataFrame,
+    return_shingles: bool = False,
+    max_bucket: int | None = None,
+    allow_env_cap: bool = False,
 ):
     """Verified near-dup pairs (a, b, jaccard >= 0.5) — the Spark twin
     of the ``verified`` CTE in ``_D2_CHAIN``, shared by d2 (pair
@@ -207,7 +210,11 @@ def _verified_pairs(
     # too whenever both were built over the same corpus (same plan).
     while _LAZY_SHINGLE_CACHE:
         _LAZY_SHINGLE_CACHE.pop().unpersist()
-    if max_bucket is None:
+    if max_bucket is None and allow_env_cap:
+        # ONLY d2 consults the env knob: d5 (groups), d6 (canonical
+        # docs) and o11 (leakage matrix) are certified on the EXACT
+        # pair set and must not silently diverge because a SCALE-probe
+        # env var was left set in the shell
         max_bucket = _lsh_max_bucket_config()
     sh = exploded_shingles(docs, "doc_id", "text", n=3).persist()
     sig = minhash_signatures(sh, "doc_id", k=16)
@@ -231,7 +238,9 @@ def _verified_pairs(
 def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures → banded LSH buckets → verified near-dup pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    return _verified_pairs(docs).select("a", "b", _r(F.col("jaccard")).alias("jaccard"))
+    return _verified_pairs(docs, allow_env_cap=True).select(
+        "a", "b", _r(F.col("jaccard")).alias("jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

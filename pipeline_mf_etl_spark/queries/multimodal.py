@@ -1015,7 +1015,10 @@ def mm16_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_jpeg_color_payload(
         load_table(spark, sf_dir, "documents"), restart_mod=4
     )
-    return probe_jpeg_features(docs).select(
+    # NULL-payload rows report the color synthesis geometry (width 128,
+    # 3 components) — the query layer knows the synthesis, the generic
+    # probe operator does not
+    return probe_jpeg_features(docs, null_width=128, null_components=3).select(
         "doc_id",
         "width",
         "height",

@@ -358,9 +358,16 @@ def read_manifest_ledger(
                     f"epoch {epoch!r} was pruned by the ledger retention "
                     f"policy (retained: {sorted(by_epoch)})"
                 )
+            n_pruned = doc.get("pruned_count", len(doc.get("pruned", [])))
+            hint = (
+                f"; {n_pruned} older epochs were pruned by retention "
+                "(the recent pruned names are tracked, older ones only counted)"
+                if n_pruned > len(doc.get("pruned", []))
+                else ""
+            )
             raise ValueError(
                 f"epoch {epoch!r} not in ledger history "
-                f"(have: {sorted(by_epoch)})"
+                f"(have: {sorted(by_epoch)}{hint})"
             )
         return spark.read.parquet(os.path.join(ledger_dir, by_epoch[epoch]))
     cur = os.path.join(ledger_dir, "CURRENT")
@@ -369,6 +376,12 @@ def read_manifest_ledger(
     with open(cur, encoding="utf-8") as fh:
         snap = json.load(fh)["snapshot"]
     return spark.read.parquet(os.path.join(ledger_dir, snap))
+
+
+#: bound on the exact-name pruned-epoch window kept in HISTORY —
+#: beyond it, pruned epochs are only counted (pruned_count), keeping the
+#: metadata file O(retain_epochs + _PRUNED_KEEP) forever
+_PRUNED_KEEP = 64
 
 
 def promote_manifest(
@@ -433,19 +446,32 @@ def promote_manifest(
         # is already in HISTORY, so time-travel reads never race promotion.
         # Both files swap atomically (write_json_artifact = temp+rename).
         hist_path = os.path.join(ledger_dir, "HISTORY")
-        history, pruned = [], []
+        history, pruned, pruned_count = [], [], 0
         if os.path.exists(hist_path):
             with open(hist_path, encoding="utf-8") as fh:
                 doc = json.load(fh)
             history = doc["snapshots"]
             pruned = doc.get("pruned", [])
+            pruned_count = doc.get("pruned_count", len(pruned))
         history.append({"snapshot": snap, "epoch": epoch})
         drop: list[dict] = []
         if retain_epochs is not None and len(history) > retain_epochs:
             drop = history[: len(history) - retain_epochs]
             history = history[len(history) - retain_epochs :]
             pruned.extend(h["epoch"] for h in drop)
-        write_json_artifact({"snapshots": history, "pruned": pruned}, hist_path)
+            pruned_count += len(drop)
+            # the pruned list itself must stay BOUNDED (otherwise the
+            # metadata file re-grows one entry per nightly promotion,
+            # the problem retention exists to fix): keep the most
+            # recent window for exact-name diagnostics, carry the
+            # total as a counter so older reads still say "pruned,
+            # not unknown" in aggregate
+            if len(pruned) > _PRUNED_KEEP:
+                pruned = pruned[-_PRUNED_KEEP:]
+        write_json_artifact(
+            {"snapshots": history, "pruned": pruned, "pruned_count": pruned_count},
+            hist_path,
+        )
         write_json_artifact(
             {"snapshot": snap, "epoch": epoch}, os.path.join(ledger_dir, "CURRENT")
         )

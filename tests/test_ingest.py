@@ -315,3 +315,38 @@ def test_ledger_promotion_lock_guards_history(spark, tmp_path):
     # after operator intervention promotion proceeds and re-releases
     promote_manifest(spark, [fa], ledger, epoch="e2")
     assert not os.path.exists(os.path.join(ledger, "LOCK"))
+
+
+def test_ledger_pruned_list_is_bounded(spark, tmp_path, monkeypatch):
+    """The pruned-epoch metadata must stay bounded at promotion cadence:
+    recent pruned names are kept for exact diagnostics, older ones only
+    counted — and a read of an old pruned epoch still explains itself."""
+    import json
+    import os
+
+    import pytest
+
+    from pipeline_mf_etl_spark.sources import ingest as ing
+
+    monkeypatch.setattr(ing, "_PRUNED_KEEP", 3)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    fa = str(raw / "a.txt")
+    with open(fa, "w") as fh:
+        fh.write("AAA,D,20240102,0,10.0,11.0,9.5,10.5,1000\n")
+    ledger = str(tmp_path / "ledger")
+    for k in range(6):
+        ing.promote_manifest(spark, [fa], ledger, epoch=f"e{k}", retain_epochs=1)
+
+    with open(os.path.join(ledger, "HISTORY"), encoding="utf-8") as fh:
+        doc = json.load(fh)
+    assert [h["epoch"] for h in doc["snapshots"]] == ["e5"]
+    assert doc["pruned"] == ["e2", "e3", "e4"]  # bounded window
+    assert doc["pruned_count"] == 5  # total survives the cap
+
+    # a recently pruned epoch names itself
+    with pytest.raises(ValueError, match="e4.*pruned by the ledger retention"):
+        ing.read_manifest_ledger(spark, ledger, epoch="e4")
+    # an OLD pruned epoch (outside the window) still explains pruning
+    with pytest.raises(ValueError, match="older epochs were pruned"):
+        ing.read_manifest_ledger(spark, ledger, epoch="e0")

@@ -1506,3 +1506,25 @@ class TestAdpcmCodec:
         assert r2["mean_amp"] == round(sum(exp) / 9, 6)
         assert r2["peak_amp"] == max(abs(x) for x in exp)
         assert rows[3]["n_samples"] == 27  # 17 chars -> 3 blocks, tail dropped
+
+
+def test_raw_frame_consumer_rejects_mjpeg_loudly(spark):
+    # decode_mp4_features is the RAW-frame consumer: fed an MJPEG track
+    # (which parse_mp4 now demuxes) it must name the codec mismatch,
+    # not die on a missing key inside the Arrow worker
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_mp4_features,
+        encode_jpeg_gray,
+        encode_mp4_mjpeg,
+    )
+
+    mjpeg = encode_mp4_mjpeg(
+        [encode_jpeg_gray(bytes(np.full(64, 9, np.uint8)), 8, 8)], 8, 8
+    )
+    sdf = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [mjpeg]}))
+    with pytest.raises(Exception, match="use decode_mp4_mjpeg_features"):
+        decode_mp4_features(sdf).collect()
