@@ -1219,6 +1219,340 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_BPP = 3  # 8-bit RGB
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — the DICTIONARY-CODING image family (LZW), completing
+# the image-codec spread: transform coding (JPEG), deflate (PNG), and
+# now LZW, with GIF's LSB-first bit packing (opposite of JPEG) and
+# 4-pass interlacing. Public spec: GIF89a (CompuServe 1990, W3C note).
+# ---------------------------------------------------------------------------
+GIF_GRAY_PALETTE = bytes(v for v in range(256) for _ in range(3))  # identity ramp
+
+
+def encode_gif_gray(
+    gray: bytes, width: int, height: int, interlace: bool = False
+) -> bytes:
+    """Serialize 8-bit grayscale pixels as a REAL GIF89a stream: global
+    256-entry identity palette, one image descriptor (optionally
+    interlaced — rows emitted in the 4-pass order), and genuine LZW
+    compression: dictionary growth from 258 entries to 4096 with
+    variable code width 9→12 bits, CLEAR emitted on dictionary
+    overflow, LSB-first sub-byte packing, 255-byte sub-block framing."""
+    import struct
+
+    if len(gray) != width * height:
+        raise ValueError(
+            f"payload is {len(gray)} bytes, geometry {width}x{height} "
+            f"needs {width * height}"
+        )
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(f"GIF geometry out of range: {width}x{height}")
+    px = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
+    if interlace:
+        order = _gif_interlace_rows(height)
+        px = px[order]
+    data = px.reshape(-1)
+
+    # LZW encode (min code size 8 for a 256-color palette)
+    min_code = 8
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_codes: list[int] = []
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return ({bytes([i]): i for i in range(1 << min_code)}, eoi + 1, min_code + 1)
+
+    table, next_code, width_bits = fresh()
+    out_codes.append((clear, width_bits))
+    w = b""
+    for b in data.tobytes():
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        out_codes.append((table[w], width_bits))
+        table[wk] = next_code
+        next_code += 1
+        # width grows AFTER the code that filled the previous range
+        if next_code == (1 << width_bits) + 1 and width_bits < 12:
+            width_bits += 1
+        if next_code > 4095:
+            out_codes.append((clear, width_bits))
+            table, next_code, width_bits = fresh()
+        w = bytes([b])
+    if w:
+        out_codes.append((table[w], width_bits))
+    out_codes.append((eoi, width_bits))
+
+    # LSB-first bit packing
+    acc = nbits = 0
+    packed = bytearray()
+    for code, wb in out_codes:
+        acc |= code << nbits
+        nbits += wb
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+
+    # 255-byte sub-block framing
+    blocks = bytearray()
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+
+    flags = 0xF7  # global color table, 8 bits/pixel, 256 entries
+    screen = struct.pack("<HHBBB", width, height, flags, 0, 0)
+    img_flags = 0x40 if interlace else 0x00
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, img_flags)
+    return (
+        b"GIF89a" + screen + GIF_GRAY_PALETTE
+        + img + bytes([min_code]) + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def _gif_interlace_rows(height: int) -> list[int]:
+    """GIF 4-pass interlace row order: rows 0,8,16,… then 4,12,… then
+    2,6,10,… then 1,3,5,…"""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def parse_gif(payload: bytes) -> dict:
+    """REAL GIF decoder: header + logical-screen walk, global/local
+    color tables, extension sub-block skipping, image descriptors with
+    4-pass DEINTERLACING, and a full LZW decode (variable 3–12-bit
+    codes LSB-first, CLEAR resets, the KwKwK just-created-code case).
+    Multi-image (animated) streams decode every frame. Fails loudly on
+    bad signatures, missing palettes, truncated sub-blocks, code
+    overruns, or pixel-count mismatches — never guesses."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_pal = payload[pos : pos + 3 * n]
+        if len(global_pal) != 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    frames: list[dict] = []
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1  # label
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated extension sub-blocks")
+                n = payload[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02X} at offset {pos - 1}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = payload[pos : pos + 3 * n]
+            if len(pal) != 3 * n:
+                raise ValueError("truncated local color table")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has neither global nor local color table")
+        min_code = payload[pos]
+        pos += 1
+        if not (2 <= min_code <= 8):
+            raise ValueError(f"impossible LZW minimum code size {min_code}")
+        # collect sub-blocks
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated image sub-blocks")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            chunk = payload[pos : pos + n]
+            if len(chunk) != n:
+                raise ValueError("truncated image sub-block body")
+            data += chunk
+            pos += n
+        indices = _gif_lzw_decode(bytes(data), min_code, w * h)
+        px = np.frombuffer(indices, dtype=np.uint8).reshape(h, w)
+        if iflags & 0x40:  # deinterlace
+            out = np.empty_like(px)
+            out[_gif_interlace_rows(h)] = px
+            px = out
+        n_colors = len(pal) // 3
+        if int(px.max(initial=0)) >= n_colors:
+            raise ValueError(
+                f"pixel index {int(px.max())} outside the {n_colors}-color palette"
+            )
+        frames.append({"left": left, "top": top, "pixels": px, "palette": pal})
+    if not frames:
+        raise ValueError("GIF carries no image data")
+    return {
+        "width": int(sw),
+        "height": int(sh),
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, expect: int) -> bytes:
+    """LZW decode, GIF flavor: LSB-first variable-width codes, CLEAR
+    resets the table, EOI terminates; handles the KwKwK case (code ==
+    next unassigned entry). Validates exact output length."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    acc = nbits = pos = 0
+    width_bits = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    prev: bytes | None = None
+    out = bytearray()
+    n_data = len(data)
+    while True:
+        while nbits < width_bits:
+            if pos >= n_data:
+                raise ValueError("LZW stream exhausted before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width_bits) - 1)
+        acc >>= width_bits
+        nbits -= width_bits
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+            width_bits = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"LZW code {code} before any dictionary growth")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond the dictionary ({len(table)})")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width_bits) and width_bits < 12:
+            width_bits += 1
+        if len(out) > expect:
+            raise ValueError(
+                f"LZW output overruns the image: {len(out)} > {expect} pixels"
+            )
+    if len(out) != expect:
+        raise ValueError(f"LZW decoded {len(out)} pixels, image declares {expect}")
+    return bytes(out)
+
+
+GIF_COLS = 64  # synthesis: one pixel per character, 64 per row
+GIF_MAX_ROWS = 0xFFFF
+
+GIF_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("max_byte", LongType(), True),
+        StructField("min_byte", LongType(), True),
+        StructField("row_weighted_sum", LongType(), True),
+    ]
+)
+
+
+def with_gif_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic GIF per row: each character byte is
+    one pixel under the identity grayscale palette (64 per row, whole
+    rows only), LZW-compressed for real; images of 8+ rows are
+    INTERLACED so the decoder's 4-pass reorder is exercised — and
+    certified, via the row-weighted checksum the feature pass emits
+    (stats alone are row-order-invariant; the weighted sum is not).
+    Docs shorter than one row carry a NULL payload."""
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), True)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for t in pdf[text_col]:
+                raw = t.encode("utf-8")
+                rows = min(len(raw) // GIF_COLS, GIF_MAX_ROWS)
+                if rows == 0:
+                    payloads.append(None)
+                    continue
+                payloads.append(
+                    encode_gif_gray(
+                        raw[: rows * GIF_COLS], GIF_COLS, rows,
+                        interlace=rows >= 8,
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("image/gif"))
+
+
+def decode_gif_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each GIF through the real LZW + deinterlace path and emit
+    geometry/stats plus the row-ORDER-sensitive weighted checksum
+    (sum of (1 + row_index) * pixel — a wrong interlace pass flips it
+    even when the pixel multiset is right). Map-only Arrow pipeline;
+    NULL payloads yield the 0-geometry row with NULL stats."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    rows.append((int(doc_id), GIF_COLS, 0, 0, None, None, None, None))
+                    continue
+                v = parse_gif(bytes(payload))
+                px = v["frames"][0]["pixels"].astype(np.int64)
+                h, w = px.shape
+                weights = 1 + np.arange(h, dtype=np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        h * w,
+                        float(px.sum()) / (h * w),
+                        int(px.max()),
+                        int(px.min()),
+                        int((px.sum(axis=1) * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in GIF_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, "payload").mapInPandas(feats, GIF_FEATURE_SCHEMA)
+
+
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     import struct
     import zlib as _z

@@ -1196,3 +1196,69 @@ def mm18_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_amp",
         "max_amp",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm19: GIF/LZW decode — the DICTIONARY-coding image family, rounding
+# out the spread (transform coding: JPEG; deflate: PNG; LZW: GIF) with
+# GIF's LSB-first bit packing and 4-pass interlacing. The synthesis is
+# lossless (identity palette, one char per pixel) and images of 8+
+# rows are interlaced, so the oracle's ROW-WEIGHTED checksum certifies
+# the deinterlace pass itself — plain stats are row-order-invariant
+# and would pass even with the passes scrambled.
+# ---------------------------------------------------------------------------
+@query(
+    "mm19_gif_decode",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text,
+               LEAST(length(text) // 64, 65535) AS rows_
+        FROM documents
+    ), chars AS (
+        SELECT g.doc_id,
+               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte,
+               1 + (i - 1) // 64 AS row_w
+        FROM geo g, UNNEST(range(1, CAST(g.rows_ * 64 + 1 AS BIGINT))) AS t(i)
+    ), agg AS (
+        SELECT doc_id,
+               SUM(byte) AS sb, MAX(byte) AS mx, MIN(byte) AS mn,
+               SUM(row_w * byte) AS rws, COUNT(*) AS c
+        FROM chars GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(64 AS BIGINT) AS width,
+           CAST(g.rows_ AS BIGINT) AS height,
+           CAST(g.rows_ * 64 AS BIGINT) AS n_pixels,
+           ROUND(a.sb * 1.0 / a.c, 6) AS mean_luma,
+           CAST(a.mx AS BIGINT) AS max_byte,
+           CAST(a.mn AS BIGINT) AS min_byte,
+           CAST(a.rws AS BIGINT) AS row_weighted_sum
+    FROM geo g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm19_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-image stats per document through the real GIF path:
+    text -> identity-palette pixels -> LZW compress (variable-width
+    codes, CLEAR on dictionary overflow, LSB-first packing, sub-block
+    framing, interlaced when 8+ rows) -> block walk + LZW decode +
+    4-pass deinterlace -> exact stats + row-weighted checksum. The
+    synthesis is lossless, so the oracle recomputes everything from
+    the characters — including the order-sensitive checksum that
+    certifies deinterlacing. Map-only plan, zero shuffles."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_gif_features,
+        with_gif_payload,
+    )
+
+    docs = with_gif_payload(load_table(spark, sf_dir, "documents"))
+    feats = decode_gif_features(docs)
+    return feats.select(
+        "doc_id",
+        "width",
+        F.col("height").cast("long").alias("height"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "max_byte",
+        "min_byte",
+        "row_weighted_sum",
+    )

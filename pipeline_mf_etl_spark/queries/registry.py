@@ -88,6 +88,7 @@ _PRIORITY = (
     "mm16_jpeg_probe",
     "mm17_jpeg_progressive",
     "mm18_adpcm_decode",
+    "mm19_gif_decode",
     "d2_minhash_lsh",
     "i5_manifest_merge",
     # --- (3) the 23 r4-stale rows ---
@@ -130,11 +131,11 @@ _PRIORITY = (
     "e6_ann_ivfpq",
     "t1_lang_id",
     "t2_quality_score",
-    "t6_pii_scrub",
-    # t7_repetition_quality, t8_contamination and t9_trigram_lm (all
-    # r6-green, untouched) ceded their slots to the new mm16 header
-    # probe, mm17 progressive decode and mm18 ADPCM decode; they lead
-    # the r10 rotation with the other r6 stragglers
+    # t6_pii_scrub, t7_repetition_quality, t8_contamination and
+    # t9_trigram_lm (all r6-green, untouched) ceded their slots to the
+    # new mm16 header probe, mm17 progressive decode, mm18 ADPCM decode
+    # and mm19 GIF decode; they lead the r10 rotation with the other r6
+    # stragglers
 )
 
 

@@ -1528,3 +1528,101 @@ def test_raw_frame_consumer_rejects_mjpeg_loudly(spark):
     sdf = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [mjpeg]}))
     with pytest.raises(Exception, match="use decode_mp4_mjpeg_features"):
         decode_mp4_features(sdf).collect()
+
+
+class TestGifCodec:
+    def test_roundtrip_exact_including_interlace_and_clear(self):
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_gif_gray,
+            parse_gif,
+        )
+
+        rng = np.random.default_rng(9)
+        for h, w, il in ((1, 4, False), (16, 64, False), (33, 50, True), (9, 9, True)):
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            v = parse_gif(encode_gif_gray(img.tobytes(), w, h, interlace=il))
+            assert v["n_frames"] == 1 and (v["width"], v["height"]) == (w, h)
+            assert np.array_equal(v["frames"][0]["pixels"], img), (h, w, il)
+        # long repetitive content fills the 4096-entry dictionary, so
+        # the encoder must emit a mid-stream CLEAR the decoder handles
+        big = np.tile(np.arange(37, dtype=np.uint8), 3000)[: 100 * 1000].reshape(100, 1000)
+        v = parse_gif(encode_gif_gray(big.tobytes(), 1000, 100))
+        assert np.array_equal(v["frames"][0]["pixels"], big)
+
+    def test_interlace_actually_reorders_the_stream(self):
+        # the certification story rests on interlace being REAL: the
+        # same pixels interlaced vs not must produce different encoded
+        # index streams, and both must decode back to the same image
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_gif_gray,
+            parse_gif,
+        )
+
+        img = (np.arange(16 * 8, dtype=np.uint8)).reshape(16, 8)
+        plain = encode_gif_gray(img.tobytes(), 8, 16, interlace=False)
+        inter = encode_gif_gray(img.tobytes(), 8, 16, interlace=True)
+        assert plain != inter
+        assert np.array_equal(parse_gif(plain)["frames"][0]["pixels"], img)
+        assert np.array_equal(parse_gif(inter)["frames"][0]["pixels"], img)
+
+    def test_malformed_gifs_fail_loudly(self):
+        import numpy as np
+        import pytest
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_gif_gray,
+            parse_gif,
+        )
+
+        img = np.full((4, 4), 7, dtype=np.uint8)
+        good = encode_gif_gray(img.tobytes(), 4, 4)
+        with pytest.raises(ValueError, match="signature"):
+            parse_gif(b"JIF89a" + good[6:])
+        with pytest.raises(ValueError, match="truncated"):
+            parse_gif(good[:-6])
+        with pytest.raises(ValueError, match="unknown GIF block"):
+            parse_gif(good[:-1] + b"\x99\x3b")
+        # image descriptor sits after header(6) + screen(7) + palette(768)
+        i = 6 + 7 + 768
+        assert good[i] == 0x2C
+        # corrupt the declared image height so pixel count mismatches
+        bad = bytearray(good)
+        bad[i + 7] = 9  # height 4 -> 9
+        with pytest.raises(ValueError, match="pixels"):
+            parse_gif(bytes(bad))
+
+    def test_mm19_edge_docs(self, spark, tmp_path):
+        import pandas as pd
+
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        texts = [
+            "",  # NULL payload
+            "z" * 63,  # still NULL (one row needs 64)
+            "a" * 64,  # 1 row, not interlaced
+            "".join(chr(33 + (i % 90)) for i in range(64 * 9 + 3)),  # 9 rows interlaced
+        ]
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in all_queries()["mm19_gif_decode"].spark(spark, str(tmp_path)).collect()
+        }
+        assert rows[0]["height"] == 0 and rows[0]["mean_luma"] is None
+        assert rows[1]["height"] == 0
+        r2 = rows[2]
+        assert (r2["height"], r2["mean_luma"]) == (1, float(ord("a")))
+        assert r2["row_weighted_sum"] == 64 * ord("a")
+        r3 = rows[3]
+        assert r3["height"] == 9
+        byts = [ord(texts[3][i]) for i in range(9 * 64)]
+        assert r3["mean_luma"] == round(sum(byts) / len(byts), 6)
+        # the ORDER-sensitive checksum: wrong deinterlacing would flip it
+        assert r3["row_weighted_sum"] == sum(
+            (1 + i // 64) * b for i, b in enumerate(byts)
+        )
