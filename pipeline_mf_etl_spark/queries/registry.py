@@ -135,7 +135,9 @@ _PRIORITY = (
     # t9_trigram_lm (all r6-green, untouched) ceded their slots to the
     # new mm16 header probe, mm17 progressive decode, mm18 ADPCM decode
     # and mm19 GIF decode; they lead the r10 rotation with the other r6
-    # stragglers
+    # stragglers. (w23's registered default is BYTE-SEMANTICS unchanged
+    # this round — the min_by rewrite was measured 2.4x slower under
+    # skew and shipped only as the unregistered variant.)
 )
 
 

@@ -958,7 +958,17 @@ def w22_funnel_steps_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w23_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly OHLC bars per user from the event value series (W23):
     deterministic open/close via (ts, event_id) ranks, exact high/low,
-    bar count and volume proxy."""
+    bar count and volume proxy.
+
+    Plan-shape note (r9, MEASURED): a min_by/max_by groupBy rewrite
+    (``w23_ohlc_resample_minby``, kept as the variant) removes the
+    Window operator entirely — but under the 50%-hot 64× probe it ran
+    2.4× SLOWER than this rank-window form (15.6 s vs 6.6 s; SCALE.md),
+    because w23's composite (user, week) key already diffuses user
+    skew across weeks while min_by pays per-row struct construction
+    and sort-based partial aggregation. The window form stays the
+    default; reach for the min_by variant only when the BAR KEY itself
+    is skewed (few buckets, one dominant key)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -980,6 +990,40 @@ def w23_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("high"),
         F.round(F.min("value"), 6).alias("low"),
         F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
+        F.count("*").alias("n_bars"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    ).select(
+        "user_id",
+        F.col("week_start").cast("date").alias("week_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_bars",
+        "sum_value",
+    )
+
+
+def w23_ohlc_resample_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-free W23 via min_by/max_by over the unique (ts, event_id)
+    struct — ONE groupBy with partial combine, kept UNREGISTERED as the
+    measured alternative: strictly skew-immune on the bar key, but 2.4×
+    slower than the rank-window default under the 50%-hot 64× probe
+    (per-row struct construction + sort-based partial aggregation;
+    SCALE.md r9). Use when the bar key itself is skewed. Semantically
+    identical to ``w23_ohlc_resample`` (equivalence-tested, including
+    duplicate-timestamp tie-breaks)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.date_trunc("week", F.col("ts")).alias("week_start"),
+        F.struct("ts", "event_id").alias("pos"),
+    )
+    return ev.groupBy("user_id", "week_start").agg(
+        F.round(F.min_by("value", F.col("pos")), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", F.col("pos")), 6).alias("close"),
         F.count("*").alias("n_bars"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     ).select(

@@ -981,3 +981,39 @@ def test_w21_segmented_equals_window_form(spark, tmp_path):
     # crossing two month boundaries
     u1 = [r for r in segd.collect() if r["user_id"] == 1 and r["state"] == "view"]
     assert len(u1) == 1 and u1[0]["n_events"] == 70
+
+
+def test_w23_minby_equals_window_form(spark, tmp_path):
+    """The UNREGISTERED min_by/max_by W23 variant must equal the
+    registered rank-window default exactly — including duplicate-
+    timestamp bars where only the event_id tie-break makes open/close
+    deterministic."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.queries import all_queries
+    from pipeline_mf_etl_spark.queries.windows import w23_ohlc_resample_minby
+
+    t0 = dt.datetime(2024, 3, 4, 9)
+    rows = []
+    eid = 0
+    for day in range(21):  # three weeks
+        for k in range(5):
+            rows.append((eid, 1, t0 + dt.timedelta(days=day, hours=k), 10.0 + eid % 7, ))
+            eid += 1
+    # duplicate timestamps: open/close decided by event_id only
+    t_dup = dt.datetime(2024, 3, 25, 12)
+    rows += [(eid, 2, t_dup, 5.0), (eid + 1, 2, t_dup, 9.0), (eid + 2, 2, t_dup, 1.0)]
+    pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"]).assign(
+        event_type="view"
+    ).to_parquet(f"{tmp_path}/events.parquet")
+
+    a = all_queries()["w23_ohlc_resample"].spark(spark, str(tmp_path))
+    b = w23_ohlc_resample_minby(spark, str(tmp_path))
+    assert a.columns == b.columns
+    ra = sorted(tuple(str(x) for x in r) for r in a.collect())
+    rb = sorted(tuple(str(x) for x in r) for r in b.collect())
+    assert ra == rb
+    u2 = [r for r in a.collect() if r["user_id"] == 2]
+    assert len(u2) == 1 and (u2[0]["open"], u2[0]["close"]) == (5.0, 1.0)

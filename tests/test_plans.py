@@ -349,13 +349,12 @@ def test_pagerank_rank_no_single_partition_window(spark, name):
     assert "BroadcastHashJoin" in plan, plan  # offsets joined broadcast
 
 
-def test_scd2_and_funnel_single_shuffle(spark):
+def test_scd2_and_ohlc_single_shuffle(spark):
     """w21's run-length windows + run groupBy + lead window, and w23's
-    rank windows + bar groupBy, must all ride ONE
-    hashpartitioning(user_id) exchange — HashPartitioning(user_id)
-    satisfies every downstream ClusteredDistribution whose keys include
-    user_id, so a second exchange would be a full fact-table reshuffle
-    the plan doesn't need."""
+    rank windows + bar groupBy, must ride ONE hashpartitioning exchange
+    — HashPartitioning(user_id[, week]) satisfies every downstream
+    ClusteredDistribution whose keys include it, so a second exchange
+    would be a full fact-table reshuffle the plan doesn't need."""
     for name in ("w21_scd2_intervals", "w23_ohlc_resample"):
         plan = _plan(spark, name)
         assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
@@ -378,6 +377,24 @@ def test_funnel_skew_immune_partial_agg(spark):
     # aggregate: assert the plan carries partial_min (AQE prints
     # HashAggregate(keys=[user_id...], functions=[partial_min(...)])
     assert "partial_min" in plan, plan
+
+
+def test_ohlc_minby_variant_partial_agg(spark):
+    """The UNREGISTERED w23 min_by variant is ONE groupBy with
+    partial_min_by/partial_max_by map-side combine and no Window
+    operator — shipped as the alternative for skewed BAR keys, but NOT
+    the default: the 50%-hot 64x probe measured it 2.4x slower than
+    the rank-window form (per-row struct construction + sort-based
+    partial aggregation; w23's composite key already diffuses user
+    skew). Measure, don't guess."""
+    from pipeline_mf_etl_spark.queries.windows import w23_ohlc_resample_minby
+    from tests.conftest import SF_ORACLE
+
+    df = w23_ohlc_resample_minby(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_min_by" in plan and "partial_max_by" in plan, plan
 
 
 def test_record_linkage_equi_join_only(spark):
