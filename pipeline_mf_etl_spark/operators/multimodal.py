@@ -1220,6 +1220,95 @@ _PNG_BPP = 3  # 8-bit RGB
 
 
 # ---------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER, 8-bit palette) — the UNCOMPRESSED
+# container with the two quirks every naive reader gets wrong: rows are
+# stored BOTTOM-UP (positive height) and padded to 4-byte boundaries.
+# Public spec: Windows GDI BITMAPINFOHEADER.
+# ---------------------------------------------------------------------------
+BMP_GRAY_PALETTE = bytes(
+    b for v in range(256) for b in (v, v, v, 0)  # BGRA quads
+)
+
+
+def encode_bmp_gray(gray: bytes, width: int, height: int) -> bytes:
+    """Serialize 8-bit grayscale pixels as a real 8-bpp palette BMP:
+    BITMAPFILEHEADER + BITMAPINFOHEADER + 256-entry identity BGRA
+    palette + BOTTOM-UP rows each padded to a 4-byte boundary."""
+    import struct
+
+    if len(gray) != width * height:
+        raise ValueError(
+            f"payload is {len(gray)} bytes, geometry {width}x{height} "
+            f"needs {width * height}"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"BMP geometry must be positive: {width}x{height}")
+    px = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
+    stride = (width + 3) & ~3
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, :width] = px[::-1]  # bottom-up storage
+    data = rows.tobytes()
+    off = 14 + 40 + len(BMP_GRAY_PALETTE)
+    file_header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(data), 2835, 2835, 256, 0
+    )
+    return file_header + dib + BMP_GRAY_PALETTE + data
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """REAL BMP decoder for 8-bpp palette images: file + DIB header
+    validation, palette read, 4-byte row-stride handling, BOTTOM-UP
+    row reversal (negative height = top-down, also handled). Fails
+    loudly on non-BMP signatures, compressed (RLE) payloads, non-8-bpp
+    depths, truncated pixel data, or out-of-palette indices."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (no BM signature)")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP headers")
+    _, fsize, _, _, off = struct.unpack("<2sIHHI", payload[:14])
+    (
+        dib_size, width, height, planes, bpp, comp, _isz, _, _, ncolors, _
+    ) = struct.unpack("<IiiHHIIiiII", payload[14:54])
+    if dib_size < 40:
+        raise NotImplementedError(f"BMP DIB header size {dib_size} not supported")
+    if comp != 0:
+        raise NotImplementedError(f"compressed BMP (method {comp}) not supported")
+    if bpp != 8:
+        raise NotImplementedError(f"{bpp}-bpp BMP not supported (8-bpp palette only)")
+    if planes != 1 or width <= 0 or height == 0:
+        raise ValueError(f"malformed BMP geometry: {width}x{height}, planes {planes}")
+    top_down = height < 0
+    h = -height if top_down else height
+    n_pal = ncolors or 256
+    pal_off = 14 + dib_size
+    palette = payload[pal_off : pal_off + 4 * n_pal]
+    if len(palette) != 4 * n_pal:
+        raise ValueError("truncated BMP palette")
+    stride = (width + 3) & ~3
+    data = payload[off : off + stride * h]
+    if len(data) != stride * h:
+        raise ValueError(
+            f"truncated BMP pixel data: {len(data)} of {stride * h} bytes"
+        )
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)[:, :width]
+    px = rows if top_down else rows[::-1]
+    if int(px.max(initial=0)) >= n_pal:
+        raise ValueError(
+            f"pixel index {int(px.max())} outside the {n_pal}-color palette"
+        )
+    return {
+        "width": int(width),
+        "height": int(h),
+        "top_down": top_down,
+        "palette": palette,
+        "pixels": np.ascontiguousarray(px),
+    }
+
+
+# ---------------------------------------------------------------------------
 # GIF (87a/89a) — the DICTIONARY-CODING image family (LZW), completing
 # the image-codec spread: transform coding (JPEG), deflate (PNG), and
 # now LZW, with GIF's LSB-first bit packing (opposite of JPEG) and
@@ -1534,6 +1623,75 @@ def decode_gif_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     continue
                 v = parse_gif(bytes(payload))
                 px = v["frames"][0]["pixels"].astype(np.int64)
+                h, w = px.shape
+                weights = 1 + np.arange(h, dtype=np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        h * w,
+                        float(px.sum()) / (h * w),
+                        int(px.max()),
+                        int(px.min()),
+                        int((px.sum(axis=1) * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in GIF_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, "payload").mapInPandas(feats, GIF_FEATURE_SCHEMA)
+
+
+BMP_COLS = 62  # synthesis: 62-wide rows force a REAL 2-byte stride pad
+
+
+def with_bmp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic BMP per row: one character byte per
+    pixel, 62 per row (stride 64 → the 4-byte padding path is real on
+    every image), stored bottom-up as the format demands. Lossless, so
+    the oracle recomputes stats from the characters — and the
+    row-weighted checksum certifies the bottom-up flip. Docs shorter
+    than one row carry a NULL payload."""
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), True)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for t in pdf[text_col]:
+                raw = t.encode("utf-8")
+                rows = len(raw) // BMP_COLS
+                if rows == 0:
+                    payloads.append(None)
+                    continue
+                payloads.append(
+                    encode_bmp_gray(raw[: rows * BMP_COLS], BMP_COLS, rows)
+                )
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("image/bmp"))
+
+
+def decode_bmp_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each BMP through the real stride/bottom-up path and emit
+    the GIF-schema geometry/stats + row-weighted checksum (a missing
+    bottom-up flip reverses row order and flips the checksum even
+    though the pixel multiset is identical). Map-only Arrow pipeline;
+    NULL payloads yield the 0-geometry row with NULL stats."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    rows.append((int(doc_id), BMP_COLS, 0, 0, None, None, None, None))
+                    continue
+                v = parse_bmp(bytes(payload))
+                px = v["pixels"].astype(np.int64)
                 h, w = px.shape
                 weights = 1 + np.arange(h, dtype=np.int64)
                 rows.append(

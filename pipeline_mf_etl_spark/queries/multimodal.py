@@ -1262,3 +1262,64 @@ def mm19_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_byte",
         "row_weighted_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm20: BMP decode — the uncompressed container whose two quirks every
+# naive reader gets wrong: BOTTOM-UP row storage and 4-byte row
+# padding. Synthesis uses 62-wide rows so the stride pad is real on
+# every image, and the oracle's row-weighted checksum certifies the
+# bottom-up flip (stats alone are row-order-invariant).
+# ---------------------------------------------------------------------------
+@query(
+    "mm20_bmp_decode",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) // 62 AS rows_
+        FROM documents
+    ), chars AS (
+        SELECT g.doc_id,
+               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte,
+               1 + (i - 1) // 62 AS row_w
+        FROM geo g, UNNEST(range(1, CAST(g.rows_ * 62 + 1 AS BIGINT))) AS t(i)
+    ), agg AS (
+        SELECT doc_id,
+               SUM(byte) AS sb, MAX(byte) AS mx, MIN(byte) AS mn,
+               SUM(row_w * byte) AS rws, COUNT(*) AS c
+        FROM chars GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(62 AS BIGINT) AS width,
+           CAST(g.rows_ AS BIGINT) AS height,
+           CAST(g.rows_ * 62 AS BIGINT) AS n_pixels,
+           ROUND(a.sb * 1.0 / a.c, 6) AS mean_luma,
+           CAST(a.mx AS BIGINT) AS max_byte,
+           CAST(a.mn AS BIGINT) AS min_byte,
+           CAST(a.rws AS BIGINT) AS row_weighted_sum
+    FROM geo g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm20_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-image stats per document through the real BMP path:
+    text -> 8-bpp palette BMP (bottom-up rows, real 2-byte stride pad
+    at width 62) -> header/palette validation + stride slicing +
+    bottom-up reversal -> exact stats + the row-ORDER-sensitive
+    checksum that certifies the flip. Lossless synthesis; map-only
+    plan, zero shuffles."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_bmp_features,
+        with_bmp_payload,
+    )
+
+    docs = with_bmp_payload(load_table(spark, sf_dir, "documents"))
+    feats = decode_bmp_features(docs)
+    return feats.select(
+        "doc_id",
+        "width",
+        F.col("height").cast("long").alias("height"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "max_byte",
+        "min_byte",
+        "row_weighted_sum",
+    )

@@ -89,6 +89,7 @@ _PRIORITY = (
     "mm17_jpeg_progressive",
     "mm18_adpcm_decode",
     "mm19_gif_decode",
+    "mm20_bmp_decode",
     "d2_minhash_lsh",
     "i5_manifest_merge",
     # --- (3) the 23 r4-stale rows ---
@@ -129,9 +130,8 @@ _PRIORITY = (
     "e4_ann_ivf",
     "e5_ann_pq",
     "e6_ann_ivfpq",
-    "t1_lang_id",
     "t2_quality_score",
-    # t6_pii_scrub, t7_repetition_quality, t8_contamination and
+    # t1_lang_id, t6_pii_scrub, t7_repetition_quality, t8_contamination and
     # t9_trigram_lm (all r6-green, untouched) ceded their slots to the
     # new mm16 header probe, mm17 progressive decode, mm18 ADPCM decode
     # and mm19 GIF decode; they lead the r10 rotation with the other r6

@@ -1626,3 +1626,79 @@ class TestGifCodec:
         assert r3["row_weighted_sum"] == sum(
             (1 + i // 64) * b for i, b in enumerate(byts)
         )
+
+
+class TestBmpCodec:
+    def test_roundtrip_exact_with_padding_and_topdown(self):
+        import struct
+
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_bmp_gray,
+            parse_bmp,
+        )
+
+        rng = np.random.default_rng(3)
+        for h, w in ((1, 1), (5, 62), (16, 64), (9, 3)):
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            v = parse_bmp(encode_bmp_gray(img.tobytes(), w, h))
+            assert (v["width"], v["height"], v["top_down"]) == (w, h, False)
+            assert np.array_equal(v["pixels"], img), (h, w)
+        # negative height = top-down: rows must NOT be reversed
+        img = rng.integers(0, 256, (9, 3), dtype=np.uint8)
+        p = bytearray(encode_bmp_gray(img.tobytes(), 3, 9))
+        struct.pack_into("<i", p, 22, -9)
+        flipped = parse_bmp(bytes(p))
+        assert flipped["top_down"]
+        assert np.array_equal(flipped["pixels"], img[::-1])
+
+    def test_malformed_bmps_fail_loudly(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_bmp_gray,
+            parse_bmp,
+        )
+
+        img = np.full((4, 62), 7, dtype=np.uint8)
+        good = encode_bmp_gray(img.tobytes(), 62, 4)
+        with pytest.raises(ValueError, match="signature"):
+            parse_bmp(b"XM" + good[2:])
+        with pytest.raises(ValueError, match="truncated BMP pixel"):
+            parse_bmp(good[:-5])
+        bad = bytearray(good)
+        struct.pack_into("<I", bad, 30, 1)  # compression = BI_RLE8
+        with pytest.raises(NotImplementedError, match="compressed BMP"):
+            parse_bmp(bytes(bad))
+        bad2 = bytearray(good)
+        struct.pack_into("<H", bad2, 28, 24)  # 24-bpp
+        with pytest.raises(NotImplementedError, match="24-bpp"):
+            parse_bmp(bytes(bad2))
+
+    def test_mm20_edge_docs(self, spark, tmp_path):
+        import pandas as pd
+
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        texts = ["", "q" * 61, "a" * 62, "".join(chr(33 + (i % 90)) for i in range(62 * 5 + 9))]
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in all_queries()["mm20_bmp_decode"].spark(spark, str(tmp_path)).collect()
+        }
+        assert rows[0]["height"] == 0 and rows[0]["mean_luma"] is None
+        assert rows[1]["height"] == 0
+        assert rows[2]["height"] == 1 and rows[2]["mean_luma"] == float(ord("a"))
+        r3 = rows[3]
+        assert r3["height"] == 5
+        byts = [ord(texts[3][i]) for i in range(5 * 62)]
+        assert r3["mean_luma"] == round(sum(byts) / len(byts), 6)
+        # bottom-up flip certified: a reader that forgets the reversal
+        # produces the REVERSED weighted sum, not this one
+        assert r3["row_weighted_sum"] == sum((1 + i // 62) * b for i, b in enumerate(byts))
