@@ -1369,6 +1369,13 @@ def encode_gif_gray(
         w = bytes([b])
     if w:
         out_codes.append((table[w], width_bits))
+        # The decoder grows its table on EVERY data code (it cannot know
+        # no insert followed this final one), so its width bump can fire
+        # one code earlier than the in-loop condition here. Mirror it:
+        # if the final data code lands the decoder's table exactly on a
+        # power-of-two boundary, EOI must be emitted one bit wider.
+        if next_code == (1 << width_bits) and width_bits < 12:
+            width_bits += 1
     out_codes.append((eoi, width_bits))
 
     # LSB-first bit packing
@@ -1516,6 +1523,12 @@ def _gif_lzw_decode(data: bytes, min_code: int, expect: int) -> bytes:
     while True:
         while nbits < width_bits:
             if pos >= n_data:
+                # Real-world encoders disagree on whether the width bump
+                # applies to the EOI code itself; when every declared
+                # pixel has been produced, a stream that ends exactly on
+                # a byte boundary is an implicit EOI, not corruption.
+                if len(out) == expect:
+                    return bytes(out)
                 raise ValueError("LZW stream exhausted before EOI")
             acc |= data[pos] << nbits
             pos += 1

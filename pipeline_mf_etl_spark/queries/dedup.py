@@ -211,10 +211,11 @@ def _verified_pairs(
     while _LAZY_SHINGLE_CACHE:
         _LAZY_SHINGLE_CACHE.pop().unpersist()
     if max_bucket is None and allow_env_cap:
-        # ONLY d2 consults the env knob: d5 (groups), d6 (canonical
-        # docs) and o11 (leakage matrix) are certified on the EXACT
-        # pair set and must not silently diverge because a SCALE-probe
-        # env var was left set in the shell
+        # ONLY the unregistered probe entry point (d2_minhash_lsh_capped)
+        # consults the env knob: d2, d5 (groups), d6 (canonical docs)
+        # and o11 (leakage matrix) are certified on the EXACT pair set
+        # and must not silently diverge because a SCALE-probe env var
+        # was left set in the shell (r9 ADVICE hazard).
         max_bucket = _lsh_max_bucket_config()
     sh = exploded_shingles(docs, "doc_id", "text", n=3).persist()
     sig = minhash_signatures(sh, "doc_id", k=16)
@@ -236,9 +237,28 @@ def _verified_pairs(
     """,
 )
 def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures → banded LSH buckets → verified near-dup pairs."""
+    """MinHash signatures → banded LSH buckets → verified near-dup pairs.
+
+    Always EXACT candidates (the certified-oracle behavior): the
+    registered query never reads the SPARK_GRAFT_LSH_MAX_BUCKET knob, so
+    a scale-probe env var left set in a shell cannot silently shrink its
+    pair set. The capped regime lives in ``d2_minhash_lsh_capped``."""
     docs = load_table(spark, sf_dir, "documents")
-    return _verified_pairs(docs, allow_env_cap=True).select(
+    return _verified_pairs(docs).select(
+        "a", "b", _r(F.col("jaccard")).alias("jaccard")
+    )
+
+
+def d2_minhash_lsh_capped(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
+    """UNREGISTERED probe entry point for the duplicate-flood regime:
+    same plan as ``d2_minhash_lsh`` with the deterministic per-bucket
+    cap (explicit ``max_bucket`` arg, else the SPARK_GRAFT_LSH_MAX_BUCKET
+    env knob). scripts/scale_probe.py routes its flood leg here so the
+    registered d2 stays env-immune."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _verified_pairs(docs, max_bucket=max_bucket, allow_env_cap=True).select(
         "a", "b", _r(F.col("jaccard")).alias("jaccard")
     )
 

@@ -281,10 +281,13 @@ def main() -> None:
                 fn = specs[name].spark
             else:
                 # unregistered measured-contrast variants (e.g. the w22
-                # window twin probed against the skew-immune default)
+                # window twin probed against the skew-immune default, or
+                # d2_minhash_lsh_capped — the flood-cap probe entry
+                # point that keeps the registered d2 env-immune)
+                from pipeline_mf_etl_spark.queries import dedup as _d
                 from pipeline_mf_etl_spark.queries import windows as _w
 
-                fn = getattr(_w, name)
+                fn = getattr(_w, name, None) or getattr(_d, name)
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             results[name][f"x{mult}"] = round(time.perf_counter() - t0, 2)

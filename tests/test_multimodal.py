@@ -1551,6 +1551,54 @@ class TestGifCodec:
         v = parse_gif(encode_gif_gray(big.tobytes(), 1000, 100))
         assert np.array_equal(v["frames"][0]["pixels"], big)
 
+    def test_eoi_width_bump_boundary(self):
+        # Regression: when the FINAL data code lands the decoder's table
+        # exactly on a power-of-two boundary (512/1024/2048), the decoder
+        # bumps the code width before reading EOI. The encoder used to
+        # emit EOI at the pre-bump width; with a byte-aligned stream end
+        # the decode raised 'LZW stream exhausted before EOI'. seed-42
+        # length 4201 is a found instance of that alignment.
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            _gif_lzw_decode,
+            encode_gif_gray,
+            parse_gif,
+        )
+
+        data = np.random.default_rng(42).integers(0, 256, 4201, np.uint8).tobytes()
+        v = parse_gif(encode_gif_gray(data, 4201, 1))
+        assert bytes(v["frames"][0]["pixels"].reshape(-1)) == data
+        # and the decoder leniency half: a stream that ends byte-aligned
+        # with every pixel produced but no explicit EOI is accepted
+        # (implicit EOI), while an incomplete one still fails loudly
+        ramp = bytes(range(8))
+        full = encode_gif_gray(ramp, 8, 1)
+        i = 6 + 7 + 768  # image descriptor offset
+        min_code = full[i + 10]
+        body = bytearray()
+        p = i + 11
+        while full[p]:
+            body += full[p + 1 : p + 1 + full[p]]
+            p += 1 + full[p]
+        # drop the final byte(s) carrying EOI: re-encode codes sans EOI
+        clear, wb = 1 << min_code, min_code + 1
+        codes = [(clear, wb)] + [(b, wb) for b in ramp]
+        acc = nb = 0
+        packed = bytearray()
+        for c, w in codes:
+            acc |= c << nb
+            nb += w
+            while nb >= 8:
+                packed.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            packed.append(acc & 0xFF)
+        assert _gif_lzw_decode(bytes(packed), min_code, 8) == ramp
+        with pytest.raises(ValueError, match="exhausted"):
+            _gif_lzw_decode(bytes(packed), min_code, 9)
+
     def test_interlace_actually_reorders_the_stream(self):
         # the certification story rests on interlace being REAL: the
         # same pixels interlaced vs not must produce different encoded

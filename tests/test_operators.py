@@ -902,14 +902,16 @@ def test_hdbscan_noise_and_degenerate_inputs():
 
 
 def test_d2_env_bucket_cap_bounds_flood(spark, tmp_path, monkeypatch):
-    """SPARK_GRAFT_LSH_MAX_BUCKET wires the deterministic bucket cap
-    into the REGISTERED d2 query (mirroring the streaming path's
-    lsh_max_bucket): a near-exact duplicate flood emits C(cap,2)
-    verified pairs instead of C(flood,2), capped output is a subset of
-    exact output, and unset (the certified default) stays exact."""
+    """The deterministic bucket cap lives in the UNREGISTERED probe
+    entry point d2_minhash_lsh_capped (explicit arg or env knob): a
+    near-exact duplicate flood emits C(cap,2) verified pairs instead of
+    C(flood,2), capped output is a subset of exact output — and the
+    REGISTERED d2 query ignores the env var entirely (r9 ADVICE: a
+    probe env var left set must not diverge d2 from its exact oracle)."""
     import pandas as pd
 
     from pipeline_mf_etl_spark.queries import all_queries
+    from pipeline_mf_etl_spark.queries.dedup import d2_minhash_lsh_capped
 
     text = "one boilerplate mirror sentence repeated across every page of the crawl"
     n, cap = 40, 6
@@ -922,18 +924,32 @@ def test_d2_env_bucket_cap_bounds_flood(spark, tmp_path, monkeypatch):
     exact = {(r["a"], r["b"]) for r in d2(spark, str(tmp_path)).collect()}
     assert len(exact) == n * (n - 1) // 2  # the flood the cap exists for
 
-    monkeypatch.setenv("SPARK_GRAFT_LSH_MAX_BUCKET", str(cap))
-    capped = {(r["a"], r["b"]) for r in d2(spark, str(tmp_path)).collect()}
+    # explicit arg on the probe entry point
+    capped = {
+        (r["a"], r["b"])
+        for r in d2_minhash_lsh_capped(spark, str(tmp_path), max_bucket=cap).collect()
+    }
     assert len(capped) == cap * (cap - 1) // 2
     assert capped <= exact  # never invents pairs
     # deterministic: the cap keeps the smallest doc ids
     assert capped == {(a, b) for a in range(cap) for b in range(a + 1, cap)}
 
+    # env knob reaches ONLY the probe entry point...
+    monkeypatch.setenv("SPARK_GRAFT_LSH_MAX_BUCKET", str(cap))
+    env_capped = {
+        (r["a"], r["b"])
+        for r in d2_minhash_lsh_capped(spark, str(tmp_path)).collect()
+    }
+    assert env_capped == capped
+    # ...while the registered d2 stays exact with the env var set
+    still_exact = {(r["a"], r["b"]) for r in d2(spark, str(tmp_path)).collect()}
+    assert still_exact == exact
+
     monkeypatch.setenv("SPARK_GRAFT_LSH_MAX_BUCKET", "1")
     import pytest
 
     with pytest.raises(ValueError, match="cap below 2"):
-        d2(spark, str(tmp_path))
+        d2_minhash_lsh_capped(spark, str(tmp_path))
 
 
 def test_w21_segmented_equals_window_form(spark, tmp_path):
