@@ -53,7 +53,59 @@ HEADLINE = (
     # added round 9 (r8-comparable subtotal = first 24)
     "mm13b_jpeg_color",       # 4:2:0 interleaved color JPEG decode
     "mm15_mjpeg_decode",      # MP4 demux composed with per-frame JPEG decode
+    # added round 10 (r9-comparable subtotal = first 26)
+    "mm12b_png_color",        # color/palette/Adam7 PNG decode
 )
+
+# Codec queries conflate SYNTHESIS (encoding the test payload) with the
+# phase a production corpus actually pays — DECODE (r9 verdict task 2).
+# For each, bench the two phases separately: encode = forcing the
+# synthesis plan alone; decode = forcing the feature pass over payloads
+# PERSISTED once under .artifacts/bench_payloads (so the decode number
+# contains zero synthesis). The headline rows keep the combined time
+# for round-over-round comparability; "codec_phases" carries the split.
+CODEC_PHASES = (
+    "mm13_jpeg_decode",
+    "mm13b_jpeg_color",
+    "mm15_mjpeg_decode",
+    "mm12b_png_color",
+)
+
+
+def _codec_phase_specs():
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_jpeg_color_features,
+        decode_jpeg_features,
+        decode_mp4_mjpeg_features,
+        decode_png_color_features,
+        with_jpeg_color_payload,
+        with_jpeg_payload,
+        with_mjpeg_mp4_payload,
+        with_png_color_payload,
+    )
+    from pipeline_mf_etl_spark.sources.readers import load_table
+
+    def docs(spark, sf_dir):
+        return load_table(spark, sf_dir, "documents")
+
+    return {
+        "mm13_jpeg_decode": (
+            lambda s, d: with_jpeg_payload(docs(s, d)),
+            decode_jpeg_features,
+        ),
+        "mm13b_jpeg_color": (
+            lambda s, d: with_jpeg_color_payload(docs(s, d)),
+            decode_jpeg_color_features,
+        ),
+        "mm15_mjpeg_decode": (
+            lambda s, d: with_mjpeg_mp4_payload(docs(s, d)),
+            decode_mp4_mjpeg_features,
+        ),
+        "mm12b_png_color": (
+            lambda s, d: with_png_color_payload(docs(s, d)),
+            decode_png_color_features,
+        ),
+    }
 
 
 def _force(df) -> int:
@@ -165,6 +217,78 @@ def main() -> None:
         for name, sec in timings.items()
     }
 
+    # Codec encode/decode phase split (r9 verdict task 2): persist each
+    # codec query's payloads once, then time decode ALONE — the number
+    # a production corpus (which arrives already encoded) actually pays.
+    # The mm16 header probe runs on mm13b's persisted payloads too, so
+    # "probe is near-free vs decode" becomes a same-payload measurement.
+    phase_specs = _codec_phase_specs()
+    codec_phases: dict[str, dict[str, float]] = {}
+    payload_dirs: dict[str, str] = {}
+    for name in CODEC_PHASES:
+        synth, decode = phase_specs[name]
+        best_e = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _force(synth(spark, sf_dir).select("doc_id", "payload"))
+            dt = time.perf_counter() - t0
+            best_e = dt if best_e is None else min(best_e, dt)
+        pay = f".artifacts/bench_payloads/{name}/sf{sf}"
+        synth(spark, sf_dir).select("doc_id", "payload").write.mode(
+            "overwrite"
+        ).parquet(pay)
+        payload_dirs[name] = pay
+        best_d = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _force(decode(spark.read.parquet(pay)))
+            dt = time.perf_counter() - t0
+            best_d = dt if best_d is None else min(best_d, dt)
+        codec_phases[name] = {
+            "encode_sec": round(best_e, 3),
+            "decode_sec": round(best_d, 3),
+        }
+    from pipeline_mf_etl_spark.operators.multimodal import probe_jpeg_features
+
+    best_p = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _force(
+            probe_jpeg_features(
+                spark.read.parquet(payload_dirs["mm13b_jpeg_color"]),
+                null_width=128,
+                null_components=3,
+            )
+        )
+        dt = time.perf_counter() - t0
+        best_p = dt if best_p is None else min(best_p, dt)
+    codec_phases["mm16_probe_on_mm13b_payloads"] = {"decode_sec": round(best_p, 3)}
+
+    # Round-comparability anchors (r9 verdict task 8): the headline set
+    # grew 14 -> 27 across rounds; these two fields make the 2x-of-
+    # baseline check and the round-over-round delta each ONE number.
+    comparable_14 = [n for n in HEADLINE[:14] if n in timings]
+    comparable_14_total = round(sum(timings[n] for n in comparable_14), 3)
+    shared_prev = None
+    import glob
+
+    prev_files = sorted(
+        glob.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    if prev_files:
+        with open(prev_files[-1], encoding="utf-8") as fh:
+            prev = json.load(fh)
+        # the driver wraps bench output under "parsed"
+        prev = prev.get("parsed", prev) or {}
+        inter = [n for n in timings if n in prev.get("queries", {})]
+        shared_prev = {
+            "prev_file": os.path.basename(prev_files[-1]),
+            "n_queries": len(inter),
+            "this_total": round(sum(timings[n] for n in inter), 3),
+            "prev_total": round(sum(prev["queries"][n] for n in inter), 3),
+        }
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -180,6 +304,9 @@ def main() -> None:
             "calib_range_sum_sec": sorted(scan_shaped),
             "calib_shuffle_window_sec": "all others",
         },
+        "codec_phases": codec_phases,
+        "comparable_14_total": comparable_14_total,
+        "shared_prev_round_total": shared_prev,
     }))
 
 

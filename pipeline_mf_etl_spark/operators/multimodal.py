@@ -230,17 +230,24 @@ def _ima_decode_step(pred: int, idx: int, code: int) -> tuple[int, int]:
     return pred, idx
 
 
-def _wav_adpcm_container(data: bytes, n_samples: int, sample_rate: int) -> bytes:
+def _wav_adpcm_container(
+    data: bytes, n_samples: int, sample_rate: int, channels: int = 1
+) -> bytes:
     """Shared IMA-ADPCM WAV container (fmt 0x0011 + fact + data) — one
     implementation for both the real encoder and the code-mux synthesis
-    path, so a container change can never desynchronize them."""
+    path, so a container change can never desynchronize them. Stereo
+    blocks are the standard layout: one 4-byte header per channel, then
+    4-byte (8-nibble) code words round-robin L/R; block align scales to
+    8 * channels so samples-per-block stays 9 for both widths.
+    ``n_samples`` is PER-CHANNEL frames (the WAV fact convention)."""
     import struct
 
     spb = ADPCM_SAMPLES_PER_BLOCK
-    byte_rate = sample_rate * ADPCM_BLOCK_ALIGN // spb
+    block_align = ADPCM_BLOCK_ALIGN * channels
+    byte_rate = sample_rate * block_align // spb
     fmt = struct.pack(
-        "<HHIIHHHH", 0x0011, 1, sample_rate, byte_rate,
-        ADPCM_BLOCK_ALIGN, 4, 2, spb,
+        "<HHIIHHHH", 0x0011, channels, sample_rate, byte_rate,
+        block_align, 4, 2, spb,
     )
     fact = struct.pack("<I", n_samples)
     riff = (
@@ -252,84 +259,137 @@ def _wav_adpcm_container(data: bytes, n_samples: int, sample_rate: int) -> bytes
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
-def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
-    """Encode int16 PCM as a standards-shaped IMA-ADPCM WAV (format
-    0x0011, mono): per block, a 4-byte header (true first sample +
-    step index) then 4-bit codes chosen greedily to minimize each
-    step's error — the standard encoder. Lossy by design; the decoder
-    below reverses the CONTAINER exactly and the codes
-    deterministically."""
+def _ima_encode_block(blk: np.ndarray, idx: int) -> tuple[bytes, bytes, int]:
+    """Greedy-encode one channel's block (spb samples): returns the
+    4-byte header (true first sample + incoming step index), the packed
+    nibble bytes (low nibble first), and the outgoing step index."""
     import struct
 
+    pred = int(blk[0])
+    header = struct.pack("<hBB", pred, idx, 0)
+    nibbles = []
+    for v in blk[1:]:
+        target = int(v)
+        step = IMA_STEP_TABLE[idx]
+        diff = target - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        pred, idx = _ima_decode_step(pred, idx, code)
+        nibbles.append(code)
+    packed = bytearray()
+    for i in range(0, len(nibbles), 2):
+        packed.append(nibbles[i] | (nibbles[i + 1] << 4))  # low nibble first
+    return header, bytes(packed), idx
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Encode int16 PCM as a standards-shaped IMA-ADPCM WAV (format
+    0x0011): per block and per channel, a 4-byte header (true first
+    sample + step index) then 4-bit codes chosen greedily to minimize
+    each step's error — the standard encoder. A 1-D array encodes
+    mono; a (2, n) array encodes STEREO with independent per-channel
+    predictor/step state and the standard round-robin 4-byte code
+    words. Lossy by design; the decoder below reverses the CONTAINER
+    exactly and the codes deterministically."""
     samples = np.asarray(samples, dtype=np.int16)
-    n = len(samples)
+    if samples.ndim == 1:
+        chans = samples[None, :]
+    elif samples.ndim == 2 and samples.shape[0] in (1, 2):
+        chans = samples
+    else:
+        raise ValueError(f"PCM must be 1-D mono or (2, n) stereo, got {samples.shape}")
+    ch, n = chans.shape
     spb = ADPCM_SAMPLES_PER_BLOCK
     n_blocks = -(-n // spb) if n else 0
     pad = n_blocks * spb - n
-    padded = np.concatenate([samples, np.full(pad, samples[-1] if n else 0, np.int16)])
-    idx = 0
+    if pad:
+        fill = chans[:, -1:] if n else np.zeros((ch, 1), np.int16)
+        chans = np.concatenate([chans, np.repeat(fill, pad, axis=1)], axis=1)
+    idxs = [0] * ch
     out = bytearray()
     for b in range(n_blocks):
-        blk = padded[b * spb : (b + 1) * spb]
-        pred = int(blk[0])
-        out += struct.pack("<hBB", pred, idx, 0)
-        nibbles = []
-        for v in blk[1:]:
-            target = int(v)
-            step = IMA_STEP_TABLE[idx]
-            diff = target - pred
-            code = 0
-            if diff < 0:
-                code = 8
-                diff = -diff
-            if diff >= step:
-                code |= 4
-                diff -= step
-            if diff >= step >> 1:
-                code |= 2
-                diff -= step >> 1
-            if diff >= step >> 2:
-                code |= 1
-            pred, idx = _ima_decode_step(pred, idx, code)
-            nibbles.append(code)
-        for i in range(0, len(nibbles), 2):
-            out.append(nibbles[i] | (nibbles[i + 1] << 4))  # low nibble first
-    return _wav_adpcm_container(bytes(out), n, sample_rate)
+        headers, words = [], []
+        for c in range(ch):
+            blk = chans[c, b * spb : (b + 1) * spb]
+            header, packed, idxs[c] = _ima_encode_block(blk, idxs[c])
+            headers.append(header)
+            words.append(packed)
+        out += b"".join(headers)
+        # round-robin 4-byte words per channel (mono: the whole run)
+        for w in range(0, len(words[0]), 4):
+            for c in range(ch):
+                out += words[c][w : w + 4]
+    return _wav_adpcm_container(bytes(out), n, sample_rate, channels=ch)
 
 
 def encode_wav_adpcm_codes(
-    headers: list[tuple[int, int]], codes: list[int], sample_rate: int = WAV_SAMPLE_RATE
+    headers: list[tuple[int, int]],
+    codes: list[int],
+    sample_rate: int = WAV_SAMPLE_RATE,
+    channels: int = 1,
 ) -> bytes:
     """Mux PRE-CHOSEN block headers (predictor, index) and 4-bit codes
     into the same IMA-ADPCM WAV container — the synthesis path: the
     decoded PCM is then a pure deterministic replay of the codes, which
-    a recursive-CTE oracle can recompute sample by sample."""
+    a recursive-CTE oracle can recompute sample by sample. With
+    ``channels=2``, consecutive (header, codes) groups pair up as the
+    L/R halves of one stereo container block (so ``headers`` must be
+    even-length), laid out standards-style: both 4-byte headers, then
+    the L code word, then the R code word."""
     import struct
 
+    if channels not in (1, 2):
+        raise ValueError(f"channels must be 1 or 2, got {channels}")
     spb = ADPCM_SAMPLES_PER_BLOCK
     cpb = spb - 1
     if len(codes) != len(headers) * cpb:
         raise ValueError(
             f"{len(headers)} blocks need {len(headers) * cpb} codes, got {len(codes)}"
         )
-    out = bytearray()
+    if len(headers) % channels:
+        raise ValueError(
+            f"stereo needs an even header count, got {len(headers)}"
+        )
+    packed: list[bytes] = []
     for b, (pred, idx) in enumerate(headers):
         if not (-32768 <= pred <= 32767 and 0 <= idx <= 88):
             raise ValueError(f"block {b}: header ({pred}, {idx}) out of range")
-        out += struct.pack("<hBB", pred, idx, 0)
         blk = codes[b * cpb : (b + 1) * cpb]
+        word = bytearray(struct.pack("<hBB", pred, idx, 0))
         for i in range(0, cpb, 2):
-            out.append(blk[i] | (blk[i + 1] << 4))
-    return _wav_adpcm_container(bytes(out), len(headers) * spb, sample_rate)
+            word.append(blk[i] | (blk[i + 1] << 4))
+        packed.append(bytes(word))
+    out = bytearray()
+    for g in range(0, len(packed), channels):
+        group = packed[g : g + channels]
+        for p in group:  # headers first ...
+            out += p[:4]
+        for p in group:  # ... then the code words, round-robin
+            out += p[4:]
+    n_frames = (len(headers) // channels) * spb
+    return _wav_adpcm_container(bytes(out), n_frames, sample_rate, channels=channels)
 
 
 def parse_wav_adpcm(payload: bytes) -> dict:
     """REAL IMA-ADPCM WAV decoder: RIFF chunk walk, fmt validation
-    (format 0x0011, mono, 4-bit, block structure), fact-chunk sample
-    count, then per-block header + nibble-stream replay through the
-    exact integer recurrence. Fails loudly on malformed containers,
-    stereo, non-IMA formats, short blocks, or header fields out of
-    range — never guesses."""
+    (format 0x0011, mono or STEREO, 4-bit, block structure), fact-chunk
+    frame count, then per-block header + nibble-stream replay through
+    the exact integer recurrence — stereo blocks carry one header per
+    channel and round-robin 4-byte code words with INDEPENDENT
+    per-channel predictor/step state. ``samples`` is 1-D for mono and
+    (2, n_frames) for stereo. Fails loudly on malformed containers,
+    >2 channels, non-IMA formats, short blocks, or header fields out
+    of range — never guesses."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -356,16 +416,22 @@ def parse_wav_adpcm(payload: bytes) -> dict:
     tag, channels, rate, _, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])
     if tag != 0x0011:
         raise ValueError(f"not IMA-ADPCM (wFormatTag 0x{tag:04X})")
-    if channels != 1:
-        raise NotImplementedError("multi-channel ADPCM not supported")
+    if channels not in (1, 2):
+        raise NotImplementedError(f"{channels}-channel ADPCM not supported")
     if bits != 4:
         raise ValueError(f"IMA-ADPCM must be 4-bit, got {bits}")
     if len(fmt) < 20:
         raise ValueError("IMA-ADPCM fmt chunk missing samples-per-block")
     (spb,) = struct.unpack("<H", fmt[18:20])
-    if spb != (block_align - 4) * 2 + 1:
+    if spb != (block_align - 4 * channels) * 2 // channels + 1:
         raise ValueError(
-            f"samples-per-block {spb} inconsistent with block align {block_align}"
+            f"samples-per-block {spb} inconsistent with block align "
+            f"{block_align} at {channels} channel(s)"
+        )
+    if channels == 2 and (block_align - 8) % 8:
+        raise ValueError(
+            f"stereo block align {block_align} is not whole round-robin "
+            f"4-byte words per channel"
         )
     if len(data) % block_align:
         raise ValueError(
@@ -378,26 +444,34 @@ def parse_wav_adpcm(payload: bytes) -> dict:
         raise ValueError(
             f"fact count {n_samples} impossible for {n_blocks} blocks of {spb}"
         )
-    samples = np.empty(n_blocks * spb, dtype=np.int16)
+    samples = np.empty((channels, n_blocks * spb), dtype=np.int16)
+    preds = [0] * channels
+    idxs = [0] * channels
     for b in range(n_blocks):
         off = b * block_align
-        pred, idx, _ = struct.unpack("<hBB", data[off : off + 4])
-        if idx > 88:
-            raise ValueError(f"block {b}: step index {idx} out of range")
-        samples[b * spb] = pred
-        k = b * spb + 1
-        for byte in data[off + 4 : off + block_align]:
-            for code in (byte & 0x0F, byte >> 4):
-                pred, idx = _ima_decode_step(pred, idx, code)
-                samples[k] = pred
-                k += 1
+        for c in range(channels):
+            pred, idx, _ = struct.unpack("<hBB", data[off + 4 * c : off + 4 * c + 4])
+            if idx > 88:
+                raise ValueError(f"block {b} ch {c}: step index {idx} out of range")
+            samples[c, b * spb] = pred
+            preds[c], idxs[c] = pred, idx
+        ks = [b * spb + 1] * channels
+        body = data[off + 4 * channels : off + block_align]
+        for w in range(len(body) // 4):
+            c = w % channels
+            for byte in body[4 * w : 4 * w + 4]:
+                for code in (byte & 0x0F, byte >> 4):
+                    preds[c], idxs[c] = _ima_decode_step(preds[c], idxs[c], code)
+                    samples[c, ks[c]] = preds[c]
+                    ks[c] += 1
+    trimmed = samples[:, :n_samples]
     return {
         "sample_rate": int(rate),
-        "n_channels": 1,
+        "n_channels": int(channels),
         "bits_per_sample": 4,
         "samples_per_block": int(spb),
         "n_samples": int(n_samples),
-        "samples": samples[:n_samples],
+        "samples": trimmed[0] if channels == 1 else trimmed,
     }
 
 
@@ -416,14 +490,18 @@ ADPCM_FEATURE_SCHEMA = StructType(
 
 def with_adpcm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Synthesize a deterministic IMA-ADPCM WAV per row: every 5
-    character bytes become one block — byte 0 the header (predictor
-    (c-128)*256, step index c % 89), bytes 1-4 the eight 4-bit codes
-    (low nibble first). The decoded PCM is then a pure integer replay
-    of the codes through the step-table recurrence, which the oracle
-    recomputes with an 8-deep recursive CTE — a hash match certifies
-    the whole compressed-audio path (container walk, nibble unpack,
-    predictor/index recurrence, clamps). Docs shorter than one block
-    yield a legal 0-block file."""
+    character bytes become one VIRTUAL block — byte 0 the header
+    (predictor (c-128)*256, step index c % 89), bytes 1-4 the eight
+    4-bit codes (low nibble first). Odd-doc_id documents with an even
+    virtual-block count mux as STEREO (consecutive virtual blocks pair
+    up as the L/R halves of one 16-byte container block); everything
+    else stays mono — so the corpus certifies both widths. Each virtual
+    block replays through the step-table recurrence with independent
+    state regardless of muxing, so the oracle's 8-deep recursive CTE is
+    LAYOUT-AGNOSTIC: the decoded sample multiset is identical either
+    way, and a decoder that mis-ordered stereo words or shared state
+    across channels would replay against wrong headers and hash-diverge.
+    Docs shorter than one block yield a legal 0-block file."""
     from pyspark.sql.types import BinaryType
 
     fields = list(df.schema.fields)
@@ -433,7 +511,7 @@ def with_adpcm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             pdf = pdf.copy()
             payloads = []
-            for t in pdf[text_col]:
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
                 raw = t.encode("utf-8")
                 nb = len(raw) // 5
                 headers = []
@@ -444,7 +522,8 @@ def with_adpcm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
                     for cb in raw[5 * b + 1 : 5 * b + 5]:
                         codes.append(cb & 0x0F)
                         codes.append(cb >> 4)
-                payloads.append(encode_wav_adpcm_codes(headers, codes))
+                ch = 2 if int(doc_id) % 2 and nb % 2 == 0 else 1
+                payloads.append(encode_wav_adpcm_codes(headers, codes, channels=ch))
             pdf["payload"] = payloads
             yield pdf
 
@@ -1744,40 +1823,43 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(rgb: bytes, width: int, height: int) -> bytes:
-    """Serialize raw RGB bytes as a real PNG (zlib-compressed, filter
-    type cycling row % 5 so decode exercises all five filters)."""
-    import struct
-    import zlib as _z
+# PNG color types (8-bit depth): grayscale, truecolor RGB, palette
+# indices, gray+alpha, RGBA — and their bytes-per-pixel in the
+# filtered scanline stream.
+_PNG_COLOR_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    if len(rgb) != _PNG_BPP * width * height:
-        raise ValueError(
-            f"payload is {len(rgb)} bytes, geometry {width}x{height} needs "
-            f"{_PNG_BPP * width * height}"
-        )
-    stride = _PNG_BPP * width
-    raw = np.frombuffer(rgb, dtype=np.uint8).reshape(height, stride) if height else None
+# Adam7 interlace passes as (x0, y0, dx, dy): each pass is an
+# independently-filtered reduced image scattered onto the full grid.
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_filter_rows(img: np.ndarray, bpp: int) -> bytearray:
+    """Filter one (sub)image — an (h, stride) uint8 array — into a PNG
+    scanline stream, cycling filter type row % 5 so decode exercises
+    all five reconstruction rules on any image taller than 5 rows."""
+    h, stride = img.shape
     out = bytearray()
     prior = np.zeros(stride, dtype=np.int64)
-    for y in range(height):
-        row = raw[y].astype(np.int64)
+    for y in range(h):
+        row = img[y].astype(np.int64)
         ftype = y % 5
         out.append(ftype)
         if ftype == 0:
             filt = row
         elif ftype == 1:  # Sub
-            left = np.concatenate([np.zeros(_PNG_BPP, dtype=np.int64), row[:-_PNG_BPP]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
             filt = (row - left) % 256
         elif ftype == 2:  # Up
             filt = (row - prior) % 256
         elif ftype == 3:  # Average
-            left = np.concatenate([np.zeros(_PNG_BPP, dtype=np.int64), row[:-_PNG_BPP]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
             filt = (row - (left + prior) // 2) % 256
         else:  # Paeth
-            left = np.concatenate([np.zeros(_PNG_BPP, dtype=np.int64), row[:-_PNG_BPP]])
-            pleft = np.concatenate(
-                [np.zeros(_PNG_BPP, dtype=np.int64), prior[:-_PNG_BPP]]
-            )
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+            pleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
             pred = np.array(
                 [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, pleft)],
                 dtype=np.int64,
@@ -1785,29 +1867,141 @@ def encode_png(rgb: bytes, width: int, height: int) -> bytes:
             filt = (row - pred) % 256
         out.extend(filt.astype(np.uint8).tobytes())
         prior = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return out
+
+
+def _png_unfilter_rows(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct one (sub)image's scanlines from its filtered stream
+    (None/Sub/Up/Average/Paeth); returns an (height, stride) int64
+    array. ``raw`` must be exactly height * (stride + 1) bytes."""
+    px = np.zeros((height, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, filt = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        if ftype == 0:
+            row = filt
+        elif ftype == 2:
+            row = (filt + prior) % 256
+        elif ftype in (1, 3, 4):
+            # left-dependent rules reconstruct pixel by pixel
+            row = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                upleft = prior[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(int(left), int(up), int(upleft))
+                row[i] = (filt[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        px[y] = row
+        prior = row
+    return px
+
+
+def _png_pass_geometry(width: int, height: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes for a geometry: (x0, y0, dx, dy, pw, ph)."""
+    passes = []
+    for x0, y0, dx, dy in _PNG_ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw and ph:
+            passes.append((x0, y0, dx, dy, pw, ph))
+    return passes
+
+
+def encode_png_ex(
+    pixels: bytes,
+    width: int,
+    height: int,
+    color_type: int = 2,
+    palette: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Serialize raw channel bytes as a real PNG: any 8-bit color type
+    (gray / RGB / palette / gray+alpha / RGBA), optional Adam7
+    interlacing (each pass independently filtered), zlib-compressed,
+    filter type cycling row % 5 within each pass."""
+    import struct
+    import zlib as _z
+
+    if color_type not in _PNG_COLOR_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    bpp = _PNG_COLOR_CHANNELS[color_type]
+    if len(pixels) != bpp * width * height:
+        raise ValueError(
+            f"payload is {len(pixels)} bytes, geometry {width}x{height} needs "
+            f"{bpp * width * height}"
+        )
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette color type needs a palette")
+        if len(palette) % 3 or not (3 <= len(palette) <= 768):
+            raise ValueError(f"bad palette length {len(palette)}")
+        mx = max(pixels) if pixels else 0
+        if mx >= len(palette) // 3:
+            raise ValueError(
+                f"palette index {mx} outside the {len(palette) // 3}-entry palette"
+            )
+    elif palette is not None:
+        raise ValueError(f"palette given for color type {color_type}")
+    img = (
+        np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, bpp)
+        if height
+        else np.zeros((0, width, bpp), dtype=np.uint8)
+    )
+    out = bytearray()
+    if interlace:
+        for x0, y0, dx, dy, pw, ph in _png_pass_geometry(width, height):
+            sub = np.ascontiguousarray(img[y0::dy, x0::dx])
+            out += _png_filter_rows(sub.reshape(ph, pw * bpp), bpp)
+    else:
+        out = _png_filter_rows(img.reshape(height, width * bpp), bpp)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+    chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        chunks += _png_chunk(b"PLTE", palette)
     return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
+        chunks
         + _png_chunk(b"IDAT", _z.compress(bytes(out), 6))
         + _png_chunk(b"IEND", b"")
     )
 
 
+def encode_png(rgb: bytes, width: int, height: int) -> bytes:
+    """Serialize raw RGB bytes as a real PNG (zlib-compressed, filter
+    type cycling row % 5 so decode exercises all five filters) — the
+    8-bit-RGB non-interlaced special case of ``encode_png_ex``."""
+    return encode_png_ex(rgb, width, height, color_type=2)
+
+
 def parse_png(payload: bytes) -> dict:
-    """REAL PNG decoder for 8-bit RGB: validate the signature, walk the
-    chunk stream (verifying each CRC), parse IHDR, inflate the
-    concatenated IDAT zlib stream, and reconstruct every scanline
-    through the filter rules (None/Sub/Up/Average/Paeth). Fails loudly
-    on malformed input, bad CRCs, unsupported bit depth/color type, or
-    a pixel-count mismatch — never guesses."""
+    """REAL PNG decoder for every 8-bit color type: validate the
+    signature, walk the chunk stream (verifying each CRC), parse IHDR
+    (+ PLTE for palette images), inflate the concatenated IDAT zlib
+    stream, and reconstruct every scanline through the filter rules
+    (None/Sub/Up/Average/Paeth) — including the 7-pass Adam7
+    DE-INTERLACE, where each reduced image is filtered independently
+    and scattered back onto the full grid. Returns the raw channel
+    plane (palette images return INDICES plus the palette; expansion
+    is ``png_expand_rgb``). Fails loudly on malformed input, bad CRCs,
+    unsupported bit depth, a missing palette, out-of-range indices, or
+    a byte-count mismatch — never guesses."""
     import struct
     import zlib as _z
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload (bad signature)")
     pos = len(_PNG_SIG)
-    width = height = None
+    width = height = ctype_id = inter = None
+    palette: bytes | None = None
     idat = bytearray()
     while pos < len(payload):
         if pos + 8 > len(payload):
@@ -1825,56 +2019,83 @@ def parse_png(payload: bytes) -> dict:
             width, height, depth, ctype_id, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, ctype_id, comp, filt, inter) != (8, 2, 0, 0, 0):
+            if (
+                depth != 8
+                or ctype_id not in _PNG_COLOR_CHANNELS
+                or comp
+                or filt
+                or inter not in (0, 1)
+            ):
                 raise ValueError(
-                    "unsupported PNG variant (need 8-bit RGB, deflate, "
-                    "adaptive filters, no interlace)"
+                    "unsupported PNG variant (need 8-bit gray/RGB/palette/"
+                    "gray+alpha/RGBA, deflate, adaptive filters, "
+                    "no-interlace or Adam7)"
                 )
+        elif ctype == b"PLTE":
+            if length % 3 or not (3 <= length <= 768):
+                raise ValueError(f"bad PLTE length {length}")
+            palette = data
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
     if width is None:
         raise ValueError("PNG carries no IHDR")
-    stride = _PNG_BPP * width
+    bpp = _PNG_COLOR_CHANNELS[ctype_id]
+    if ctype_id == 3 and palette is None:
+        raise ValueError("palette PNG carries no PLTE chunk")
     raw = _z.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError(
-            f"PNG geometry {width}x{height} needs {height * (stride + 1)} "
-            f"filtered bytes, inflate produced {len(raw)}"
-        )
-    px = np.zeros((height, stride), dtype=np.int64)
-    prior = np.zeros(stride, dtype=np.int64)
-    for y in range(height):
-        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
-        ftype, filt = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
-        if ftype == 0:
-            row = filt
-        elif ftype == 2:
-            row = (filt + prior) % 256
-        elif ftype in (1, 3, 4):
-            # left-dependent rules reconstruct pixel by pixel
-            row = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                left = row[i - _PNG_BPP] if i >= _PNG_BPP else 0
-                up = prior[i]
-                upleft = prior[i - _PNG_BPP] if i >= _PNG_BPP else 0
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
-                    pred = (left + up) // 2
-                else:
-                    pred = _paeth(int(left), int(up), int(upleft))
-                row[i] = (filt[i] + pred) % 256
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        px[y] = row
-        prior = row
+    if inter:
+        passes = _png_pass_geometry(width, height)
+        need_total = sum(ph * (pw * bpp + 1) for _, _, _, _, pw, ph in passes)
+        if len(raw) != need_total:
+            raise ValueError(
+                f"Adam7 geometry {width}x{height} needs {need_total} "
+                f"filtered bytes, inflate produced {len(raw)}"
+            )
+        px = np.zeros((height, width, bpp), dtype=np.int64)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            need = ph * (pw * bpp + 1)
+            sub = _png_unfilter_rows(raw[off : off + need], ph, pw * bpp, bpp)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            off += need
+        px = px.reshape(height, width * bpp)
+    else:
+        stride = bpp * width
+        if len(raw) != height * (stride + 1):
+            raise ValueError(
+                f"PNG geometry {width}x{height} needs {height * (stride + 1)} "
+                f"filtered bytes, inflate produced {len(raw)}"
+            )
+        px = _png_unfilter_rows(raw, height, stride, bpp)
+    if ctype_id == 3 and height and width:
+        mx = int(px.max())
+        if mx >= len(palette) // 3:
+            raise ValueError(
+                f"palette index {mx} outside the {len(palette) // 3}-entry palette"
+            )
     return {
         "width": int(width),
         "height": int(height),
+        "color_type": int(ctype_id),
+        "channels": bpp,
+        "palette": palette,
         "pixels": px.reshape(-1).astype(np.uint8),
     }
+
+
+def png_expand_rgb(v: dict) -> np.ndarray:
+    """Expand a ``parse_png`` result to its displayable channel bytes:
+    palette images look their indices up in PLTE (yielding an
+    (h, w, 3) RGB array); every other color type returns its channel
+    plane as decoded, shape (h, w, channels)."""
+    h, w, c = v["height"], v["width"], v["channels"]
+    px = v["pixels"].reshape(h, w, c)
+    if v["color_type"] == 3:
+        lut = np.frombuffer(v["palette"], dtype=np.uint8).reshape(-1, 3)
+        return lut[px.reshape(h, w)]
+    return px
 
 
 def with_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1899,6 +2120,124 @@ def with_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(synth, schema).withColumn("mime", F.lit("image/png"))
+
+
+# mm12b synthesis: cycle the five 8-bit color types per document
+# (doc_id % 5 -> gray / RGB / palette / gray+alpha / RGBA), 16 pixels
+# per row, Adam7-interlaced when 8+ rows so the 7-pass de-interlace is
+# exercised — and certified by the row- AND column-weighted checksums
+# the feature pass emits (plain stats are pixel-order-invariant; the
+# weighted sums are not). Palette images use the identity GRAY palette
+# so their expanded RGB bytes are each index byte triplicated — the
+# oracle scales sums by 3 for palette docs and nothing else changes.
+PNG_COLOR_WIDTH = 16
+PNG_COLOR_MODES = (0, 2, 3, 4, 6)  # doc_id % 5 -> PNG color type
+PNG_IDENTITY_PALETTE = bytes(bytearray(b for i in range(256) for b in (i, i, i)))
+
+PNG_COLOR_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("color_type", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("n_channel_bytes", LongType(), False),
+        StructField("mean_byte", DoubleType(), True),
+        StructField("max_byte", LongType(), True),
+        StructField("min_byte", LongType(), True),
+        StructField("row_weighted_sum", LongType(), True),
+        StructField("col_weighted_sum", LongType(), True),
+    ]
+)
+
+
+def with_png_color_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic COLOR PNG per row: the document's
+    utf-8 bytes become the raw channel bytes of a 16-pixel-wide image
+    in the color type doc_id % 5 selects (so the whole corpus covers
+    gray, RGB, palette, gray+alpha and RGBA), whole rows only, Adam7-
+    interlaced at 8+ rows. Docs too short for one row carry NULL."""
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), True)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                ct = PNG_COLOR_MODES[int(doc_id) % 5]
+                bpp = _PNG_COLOR_CHANNELS[ct]
+                raw = t.encode("utf-8")
+                h = len(raw) // (bpp * PNG_COLOR_WIDTH)
+                if h == 0:
+                    payloads.append(None)
+                    continue
+                payloads.append(
+                    encode_png_ex(
+                        raw[: bpp * PNG_COLOR_WIDTH * h],
+                        PNG_COLOR_WIDTH,
+                        h,
+                        color_type=ct,
+                        palette=PNG_IDENTITY_PALETTE if ct == 3 else None,
+                        interlace=h >= 8,
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("image/png"))
+
+
+def decode_png_color_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each color PNG through the full inflate + unfilter (+
+    Adam7 scatter + palette expansion) path and emit exact stats over
+    the EXPANDED channel bytes, plus row- and column-weighted checksums
+    that certify pixel ORDER (de-interlacing) — one Arrow pass, zero
+    shuffles, no driver involvement."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                ct = PNG_COLOR_MODES[int(doc_id) % 5]
+                if payload is None:
+                    rows.append(
+                        (int(doc_id), ct, PNG_COLOR_WIDTH, 0, 0, 0,
+                         None, None, None, None, None)
+                    )
+                    continue
+                v = parse_png(bytes(payload))
+                if v["color_type"] != ct:
+                    raise ValueError(
+                        f"doc {doc_id}: decoded color type {v['color_type']} "
+                        f"!= synthesized {ct}"
+                    )
+                ex = png_expand_rgb(v).astype(np.int64)
+                h, w, c = ex.shape
+                rw = 1 + np.arange(h, dtype=np.int64)
+                cw = 1 + np.arange(w, dtype=np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        ct,
+                        w,
+                        h,
+                        h * w,
+                        h * w * c,
+                        float(ex.sum()) / (h * w * c),
+                        int(ex.max()),
+                        int(ex.min()),
+                        int((ex.sum(axis=(1, 2)) * rw).sum()),
+                        int((ex.sum(axis=(0, 2)) * cw).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNG_COLOR_FEATURE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(feats, PNG_COLOR_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

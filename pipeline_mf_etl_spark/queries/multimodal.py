@@ -687,6 +687,91 @@ def mm12_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm12b: COLOR PNG decode — the generalization r9's verdict ranked #4:
+# real web-corpus PNGs are color (RGB / palette / alpha) and sometimes
+# Adam7-interlaced; the grayscale-only gate was the PNG analog of the
+# mm13-grayscale finding mm13b closed for JPEG. Synthesis cycles ALL
+# FIVE 8-bit color types across the corpus (doc_id % 5) and interlaces
+# 8+-row images, so one certified query covers palette lookup, alpha
+# channels, and the 7-pass de-interlace. The synthesis is lossless
+# (channel bytes == document bytes; palette = identity gray, so
+# expansion triplicates each index), letting the oracle recompute
+# everything from the characters — including the row- AND column-
+# weighted checksums that certify pixel ORDER, which plain stats
+# cannot (a scrambled Adam7 scatter would still pass means).
+# ---------------------------------------------------------------------------
+@query(
+    "mm12b_png_color",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, doc_id % 5 AS m,
+               CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+                    WHEN 3 THEN 2 ELSE 4 END AS bpp,
+               CASE WHEN doc_id % 5 = 2 THEN 3 ELSE 1 END AS mult
+        FROM documents
+    ), g2 AS (
+        SELECT *, length(text) // (bpp * 16) AS h FROM geo
+    ), chars AS (
+        SELECT g.doc_id,
+               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte,
+               1 + (i - 1) // (g.bpp * 16) AS row_w,
+               1 + ((i - 1) // g.bpp) % 16 AS col_w
+        FROM g2 g, UNNEST(range(1, CAST(g.bpp * 16 * g.h + 1 AS BIGINT))) AS t(i)
+    ), agg AS (
+        SELECT doc_id,
+               SUM(byte) AS sb, MAX(byte) AS mx, MIN(byte) AS mn, COUNT(*) AS c,
+               SUM(row_w * byte) AS rws, SUM(col_w * byte) AS cws
+        FROM chars GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(CASE g.m WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+                WHEN 3 THEN 4 ELSE 6 END AS BIGINT) AS color_type,
+           CAST(16 AS BIGINT) AS width,
+           CAST(g.h AS BIGINT) AS height,
+           CAST(g.h * 16 AS BIGINT) AS n_pixels,
+           CAST(g.mult * g.bpp * 16 * g.h AS BIGINT) AS n_channel_bytes,
+           ROUND(a.sb * 1.0 / a.c, 6) AS mean_byte,
+           CAST(a.mx AS BIGINT) AS max_byte,
+           CAST(a.mn AS BIGINT) AS min_byte,
+           CAST(g.mult * a.rws AS BIGINT) AS row_weighted_sum,
+           CAST(g.mult * a.cws AS BIGINT) AS col_weighted_sum
+    FROM g2 g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm12b_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded COLOR-image stats per document through the full PNG
+    path: text -> channel bytes in the color type doc_id % 5 selects
+    (gray / RGB / palette / gray+alpha / RGBA) -> real zlib-compressed,
+    per-row-filter-cycled, Adam7-interlaced-at-8+-rows PNG -> CRC walk
+    + inflate + per-pass filter reconstruction + de-interlace scatter +
+    palette expansion -> exact stats + order-sensitive row/column
+    checksums. The synthesis is lossless, so the oracle recomputes
+    everything from the characters; mean/max/min are palette-expansion
+    invariant (identity palette) and the sums scale by exactly 3 for
+    palette docs. Map-only plan, zero shuffles."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_png_color_features,
+        with_png_color_payload,
+    )
+
+    docs = with_png_color_payload(load_table(spark, sf_dir, "documents"))
+    feats = decode_png_color_features(docs)
+    return feats.select(
+        "doc_id",
+        "color_type",
+        "width",
+        F.col("height").cast("long").alias("height"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        F.col("n_channel_bytes").cast("long").alias("n_channel_bytes"),
+        F.round("mean_byte", 6).alias("mean_byte"),
+        "max_byte",
+        "min_byte",
+        "row_weighted_sum",
+        "col_weighted_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
 # mm13: BASELINE JPEG decode — the compressed-codec leg a real
 # multimodal corpus is actually made of (the r7 verdict's remaining
 # "missing #1"). Synthesis maps each character to one CONSTANT 8x8

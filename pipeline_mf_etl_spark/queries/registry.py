@@ -63,81 +63,75 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.graph",
 )
 
-# ROUND-9 WINDOW (the r8 verdict's ranked #1 task): g3_triangle_count —
-# the only registered query never driver-checked (registered after the
-# r8 pin) — goes FIRST; then every query whose CODE changed this round
-# or that is brand-new (w22 rewritten skew-immune; the JPEG decoder
-# generalized to color touches mm13; parse_mp4 grew MJPEG support
-# touching mm14; mm13b/mm15 are new; d2 gained the cap wiring; i5's
-# promote_manifest gained lock + retention); then the 23 r4-stale rows
-# (the oldest certifications left after the r8 rotation); the remaining
-# slots fill with the oldest r6 rows (the d/e/t dedup-similarity-text
-# families). Rotated out (green r7/r8, code untouched): the r8 window.
-# After r9 the oldest oracled certification is r6; rotate the remaining
-# r6 rows (streaming st1-st8, ML fits, o9-o13, f1/f2, mm5-mm7, v4,
-# t10/a18/w3) across rounds 10-11.
+# ROUND-10 WINDOW (the r9 verdict's ranked task 1): new/edited r10
+# code first — the GIF LZW EOI-width fix touches mm19, stereo ADPCM
+# touches mm18, the env-cap removal touches d2, the PNG color/Adam7
+# generalization touches mm12 and adds mm12b, the two skew variants
+# (w21 segmented / w23 min_by) register for the first time under their
+# parents' oracles, and promote_manifest gains optional compaction
+# touching i5 — then ALL 34 r6-stale rows (the oldest oracled
+# certifications: streaming st1/st3-st8, the ML fit family, o9-o13,
+# f1/f2, mm5-mm7, v4, the t-family stragglers, w3, a18) plus the 3
+# r3 no-oracle rows (a16/a17/o4 — rows-only by design, their exact
+# twins re-certify in the same window), filled to 50 with the oldest
+# r7 rows (the salted/rollup/exact-twin agg family). After r10 the
+# oldest oracled certification is r7. Rotated out (green r8/r9, code
+# untouched): the r9 window.
 _PRIORITY = (
-    # --- (1) never driver-certified (r8 verdict task 1) ---
-    "g3_triangle_count",
-    # --- (2) round-9 new/edited code needing (re-)certification ---
-    "w22_funnel_steps",
-    "mm13_jpeg_decode",
-    "mm13b_jpeg_color",
-    "mm14_mp4_demux",
-    "mm15_mjpeg_decode",
-    "mm16_jpeg_probe",
-    "mm17_jpeg_progressive",
-    "mm18_adpcm_decode",
+    # --- (1) round-10 new/edited code needing (re-)certification ---
     "mm19_gif_decode",
-    "mm20_bmp_decode",
+    "mm18_adpcm_decode",
+    "mm12_png_decode",
+    "mm12b_png_color",
     "d2_minhash_lsh",
+    "w21_scd2_intervals_segmented",
+    "w23_ohlc_resample_minby",
     "i5_manifest_merge",
-    # --- (3) the 23 r4-stale rows ---
-    "b12_walkforward_grid",
-    "b13_candidate_drift",
-    "b14_calibration_sweep",
-    "b15_equity_summary",
-    "j8_transition_matrix",
-    "m12_dwell_stats",
-    "m17_frobenius_stability",
-    "m17_trend_slope",
-    "m18_hardening_policy",
-    "m1_global_scaler",
-    "m2_per_group_scaler",
-    "m8_state_profiles",
-    "mm1_binary_metadata",
-    "mm2_byte_features",
-    "mm3_frame_sample",
-    "mm4_wav_decode",
-    "st2_sliding_windows",
-    "t3_top_terms",
-    "t4_fingerprint",
-    "t5_token_stats",
-    "v1_tmf_tti_panel",
-    "v2_viewer_markers",
-    "v3_reading_labels",
-    # --- (4) oldest r6 rows: the dedup / ANN / text families ---
-    "d1_exact_dedupe",
-    "d3_simhash",
-    "d4_ngram_jaccard",
-    "d5_neardup_groups",
-    "d6_canonical_docs",
-    "d7_curation_waterfall",
-    "d8_substring_dedup",
-    "e1_ann_bruteforce",
-    "e2_ann_bucketed",
-    "e3_embedding_neardup",
-    "e4_ann_ivf",
-    "e5_ann_pq",
-    "e6_ann_ivfpq",
-    "t2_quality_score",
-    # t1_lang_id, t6_pii_scrub, t7_repetition_quality, t8_contamination and
-    # t9_trigram_lm (all r6-green, untouched) ceded their slots to the
-    # new mm16 header probe, mm17 progressive decode, mm18 ADPCM decode
-    # and mm19 GIF decode; they lead the r10 rotation with the other r6
-    # stragglers. (w23's registered default is BYTE-SEMANTICS unchanged
-    # this round — the min_by rewrite was measured 2.4x slower under
-    # skew and shipped only as the unregistered variant.)
+    # --- (2) the 34 r6-stale rows (oldest oracled certifications) ---
+    "st1_tumbling_daily",
+    "st3_session_windows",
+    "st4_stateful_user_stats",
+    "st5_stream_dedupe",
+    "st6_stream_enrich",
+    "st7_stream_neardup",
+    "st8_stream_quality_route",
+    "m4_kmeans_profile",
+    "m5_gmm_mixture",
+    "m7_cluster_quality",
+    "m7b_silhouette_sampled",
+    "m10_hmm_states",
+    "m16_event_study",
+    "m20_ari_vs_truth",
+    "m21_walkforward",
+    "o9_stratified_sample",
+    "o10_token_budget_mix",
+    "o11_split_leakage",
+    "o12_sequence_packing",
+    "o13_temperature_mix",
+    "f1_flow_states",
+    "f2_flow_activity",
+    "mm5_image_decode",
+    "mm6_video_decode",
+    "mm7_image_phash_dedup",
+    "v4_hmm_ribbon",
+    "t1_lang_id",
+    "t6_pii_scrub",
+    "t7_repetition_quality",
+    "t8_contamination",
+    "t9_trigram_lm",
+    "t10_source_quality",
+    "w3_ewm_wilder",
+    "a18_approx_distinct",
+    # --- (3) the 3 r3 rows (no-oracle by design; rows-only refresh) ---
+    "a16_approx_quantiles",
+    "a17_heavy_hitters",
+    "o4_seeded_sample",
+    # --- (4) fill to 50 with the oldest r7 rows ---
+    "a14_salted_skew_agg",
+    "a15_rollup",
+    "a16b_exact_quantiles",
+    "a17b_exact_heavy_hitters",
+    "a18b_exact_distinct",
 )
 
 

@@ -665,9 +665,9 @@ def w20_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one shuffle on user_id serves every window, the same plan class the
 # single-shuffle w2 test guards. Deterministic ordering: (ts, event_id).
 # ---------------------------------------------------------------------------
-@query(
-    "w21_scd2_intervals",
-    oracle="""
+# Shared by the registered window form AND its segmented skew variant —
+# identical output contract, so one oracle certifies both.
+_W21_ORACLE = """
     WITH flagged AS (
         SELECT user_id, event_type, ts, event_id,
                CASE WHEN LAG(event_type) OVER w IS NULL
@@ -694,8 +694,10 @@ def w20_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current,
            n_events
     FROM intervals
-    """,
-)
+    """
+
+
+@query("w21_scd2_intervals", oracle=_W21_ORACLE)
 def w21_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history rows per user: each run of consecutive same-type
     events becomes one validity interval [valid_from, valid_to) with
@@ -727,12 +729,16 @@ def w21_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("w21_scd2_intervals_segmented", oracle=_W21_ORACLE)
 def w21_scd2_intervals_segmented(
     spark: SparkSession, sf_dir: str, segment: str = "month"
 ) -> DataFrame:
-    """Skew-mitigated W21, kept UNREGISTERED as the shipped form of the
-    mitigation SCALE.md's hot-key notes ranked for run-length shapes
-    (r8 design note -> r9 code): split each user's timeline into time
+    """Skew-mitigated W21 — REGISTERED since r10 (r9 verdict task 5)
+    under the parent's oracle (identical output contract, so the oracle
+    is shared): this is the production escape hatch for the documented
+    SCD2 hot-user skew limit, and it carries a driver hash now, not
+    just a local equivalence test. Design (r8 note -> r9 code): split
+    each user's timeline into time
     segments, run-length WITHIN (user, segment) — the big window's
     partitions are now (user, segment), so a hot user's events spread
     across segments instead of pinning one task — then stitch runs that
@@ -932,9 +938,9 @@ def w22_funnel_steps_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Window ranks and the final groupBy share one (user_id)-clustered
 # exchange (same single-shuffle class as w21/w22).
 # ---------------------------------------------------------------------------
-@query(
-    "w23_ohlc_resample",
-    oracle="""
+# Shared by the rank-window default AND its min_by variant — identical
+# output contract, one oracle certifies both.
+_W23_ORACLE = """
     WITH ranked AS (
         SELECT user_id, date_trunc('week', ts) AS week_start, value,
                ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('week', ts)
@@ -953,8 +959,10 @@ def w22_funnel_steps_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(value), 6) AS sum_value
     FROM ranked
     GROUP BY user_id, week_start
-    """,
-)
+    """
+
+
+@query("w23_ohlc_resample", oracle=_W23_ORACLE)
 def w23_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly OHLC bars per user from the event value series (W23):
     deterministic open/close via (ts, event_id) ranks, exact high/low,
@@ -1004,10 +1012,12 @@ def w23_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("w23_ohlc_resample_minby", oracle=_W23_ORACLE)
 def w23_ohlc_resample_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-free W23 via min_by/max_by over the unique (ts, event_id)
-    struct — ONE groupBy with partial combine, kept UNREGISTERED as the
-    measured alternative: strictly skew-immune on the bar key, but 2.4×
+    struct — ONE groupBy with partial combine, REGISTERED since r10
+    (r9 verdict task 5) under the parent's oracle as the measured
+    alternative: strictly skew-immune on the bar key, but 2.4×
     slower than the rank-window default under the 50%-hot 64× probe
     (per-row struct construction + sort-based partial aggregation;
     SCALE.md r9). Use when the bar key itself is skewed. Semantically

@@ -390,6 +390,7 @@ def promote_manifest(
     ledger_dir: str,
     epoch: str,
     retain_epochs: int | None = None,
+    compact_target_mb: int | None = None,
 ) -> DataFrame:
     """I3+I5 ledger promotion: fingerprint the current file set, MERGE
     it into the persisted ledger (keeping first_seen, emitting DELETED
@@ -414,7 +415,16 @@ def promote_manifest(
     snapshot directories, and records their epochs under ``pruned`` so
     a time-travel read of a pruned epoch fails loudly with the real
     reason. CURRENT always points at the newest snapshot, which
-    retention never touches (N >= 1 enforced)."""
+    retention never touches (N >= 1 enforced).
+
+    Snapshot layout: by default the snapshot writes as ONE file
+    (coalesce(1) — right for metadata-scale ledgers). At 100-TB file
+    grain a ledger is itself a big table and a single-writer coalesce
+    becomes the promotion bottleneck; ``compact_target_mb=M`` instead
+    writes the merge at natural parallelism and compacts the snapshot
+    to ~M-MiB files RANGE-SORTED ON source_file (compact_parquet_dir), so
+    per-file point lookups prune row groups by min/max source_file stats. The
+    ledger CONTENT is identical either way."""
     import json
     import shutil
     import uuid
@@ -440,7 +450,19 @@ def promote_manifest(
         current = build_manifest(spark, files)
         merged = merge_manifest(current, previous, epoch=epoch)
         snap = f"snapshot-{uuid.uuid4().hex}"
-        merged.coalesce(1).write.mode("error").parquet(os.path.join(ledger_dir, snap))
+        snap_path = os.path.join(ledger_dir, snap)
+        if compact_target_mb is None:
+            merged.coalesce(1).write.mode("error").parquet(snap_path)
+        else:
+            from pipeline_mf_etl_spark.sources.writers import compact_parquet_dir
+
+            tmp_path = snap_path + ".inprogress"
+            merged.write.mode("error").parquet(tmp_path)
+            compact_parquet_dir(
+                spark, tmp_path, snap_path,
+                target_mb=compact_target_mb, sort_cols=["source_file"],
+            )
+            shutil.rmtree(tmp_path)
         # append to the epoch->snapshot HISTORY log BEFORE swapping CURRENT
         # (the Iceberg metadata-log idiom): every snapshot CURRENT can name
         # is already in HISTORY, so time-travel reads never race promotion.

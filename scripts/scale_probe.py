@@ -206,10 +206,24 @@ def replicate(spark, mult: int, need_customer: bool = False) -> str:
         cu = load_table(spark, BASE_SF, "customer")
     if cu is not None:
         n_cust = cu.agg(F.max("c_custkey")).collect()[0][0] + 1
+        cu = cu.select("*", copies).withColumn(
+            "c_custkey", F.col("c_custkey") + F.col("copy") * n_cust
+        )
+        # id-density CONTROL (r9 verdict task 3): sequential replication
+        # packs every key into the low end of the 9-digit name space, so
+        # d10's deletion-neighborhood blocks saturate their 10-member
+        # bound as the multiple grows (the diagnosed cause of the 64x
+        # 0.84 ratio). HASH_IDS=1 spreads keys through the whole space
+        # with a bijective affine permutation (odd multiplier coprime to
+        # 10^9 — no collisions, so no artificial lev-0 twins), keeping
+        # LOCAL density constant across multiples the way a real
+        # entity corpus grows.
+        if os.environ.get("SPARK_GRAFT_PROBE_HASH_IDS"):
+            cu = cu.withColumn(
+                "c_custkey", (F.col("c_custkey") * 536870909) % 1_000_000_000
+            )
         (
-            cu.select("*", copies)
-            .withColumn("c_custkey", F.col("c_custkey") + F.col("copy") * n_cust)
-            .withColumn(
+            cu.withColumn(
                 "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
             )
             .drop("copy")

@@ -350,3 +350,48 @@ def test_ledger_pruned_list_is_bounded(spark, tmp_path, monkeypatch):
     # an OLD pruned epoch (outside the window) still explains pruning
     with pytest.raises(ValueError, match="older epochs were pruned"):
         ing.read_manifest_ledger(spark, ledger, epoch="e0")
+
+
+def test_ledger_promotion_compaction(spark, tmp_path):
+    """compact_target_mb promotes through the parallel-write + compact
+    path: the snapshot directory ends with FEWER parquet files than the
+    merge's natural parallelism wrote, and read_manifest_ledger returns
+    exactly the same ledger content as an uncompacted promotion."""
+    from pipeline_mf_etl_spark.sources.ingest import (
+        promote_manifest,
+        read_manifest_ledger,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    files = []
+    for i in range(12):
+        f = str(raw / f"f{i:02d}.txt")
+        with open(f, "w") as fh:
+            fh.write("AAA,D,20240102,0,10.0,11.0,9.5,10.5,1000\n")
+        files.append(f)
+
+    plain = str(tmp_path / "ledger_plain")
+    compacted = str(tmp_path / "ledger_compact")
+    promote_manifest(spark, files, plain, epoch="e1")
+    promote_manifest(spark, files, compacted, epoch="e1", compact_target_mb=128)
+
+    def snap_files(ledger):
+        import json
+
+        with open(os.path.join(ledger, "CURRENT"), encoding="utf-8") as fh:
+            snap = json.load(fh)["snapshot"]
+        d = os.path.join(ledger, snap)
+        return [f for f in os.listdir(d) for _ in [0] if f.endswith(".parquet")]
+
+    # tiny ledger << 128 MiB -> exactly one compacted file, and the
+    # in-progress parallel write was cleaned up
+    assert len(snap_files(compacted)) == 1
+    assert not [d for d in os.listdir(compacted) if d.endswith(".inprogress")]
+
+    cols = ["source_file", "status", "first_seen", "fingerprint"]
+    a = sorted(map(tuple, read_manifest_ledger(spark, plain).select(*cols).collect()))
+    b = sorted(
+        map(tuple, read_manifest_ledger(spark, compacted).select(*cols).collect())
+    )
+    assert a == b  # identical content either way

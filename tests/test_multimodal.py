@@ -497,6 +497,148 @@ class TestPngCodec:
         assert p["width"] == 16 and bytes(p["pixels"]) == bytes(range(48))
 
 
+class TestPngColor:
+    def test_adam7_passes_partition_the_grid(self):
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import _PNG_ADAM7
+
+        grid = np.zeros((16, 16), dtype=int)
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            grid[y0::dy, x0::dx] += 1
+        assert (grid == 1).all()  # every pixel written exactly once
+
+    def test_roundtrip_every_color_type_and_interlace(self):
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            PNG_IDENTITY_PALETTE,
+            encode_png_ex,
+            parse_png,
+            png_expand_rgb,
+        )
+
+        rng = np.random.default_rng(11)
+        cases = [(0, None, 1), (2, None, 3), (3, PNG_IDENTITY_PALETTE, 1),
+                 (4, None, 2), (6, None, 4)]
+        for ct, pal, bpp in cases:
+            for w, h, il in ((16, 1, False), (16, 9, True), (16, 8, True),
+                             (7, 13, True), (1, 1, True), (3, 2, True)):
+                data = rng.integers(0, 256, bpp * w * h, np.uint8).tobytes()
+                v = parse_png(
+                    encode_png_ex(data, w, h, color_type=ct, palette=pal,
+                                  interlace=il)
+                )
+                assert bytes(v["pixels"]) == data, (ct, w, h, il)
+                assert (v["color_type"], v["channels"]) == (ct, bpp)
+                ex = png_expand_rgb(v)
+                if ct == 3:
+                    idx = np.frombuffer(data, np.uint8).reshape(h, w)
+                    assert np.array_equal(ex, np.stack([idx] * 3, axis=-1))
+                else:
+                    assert ex.shape == (h, w, bpp)
+
+    def test_interlace_actually_reorders_the_stream(self):
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_png_ex,
+            parse_png,
+        )
+
+        data = bytes(np.arange(16 * 16, dtype=np.uint64).astype(np.uint8))
+        plain = encode_png_ex(data, 16, 16, color_type=0, interlace=False)
+        inter = encode_png_ex(data, 16, 16, color_type=0, interlace=True)
+        assert plain != inter
+        assert bytes(parse_png(plain)["pixels"]) == data
+        assert bytes(parse_png(inter)["pixels"]) == data
+
+    def test_malformed_color_pngs_fail_loudly(self):
+        import struct
+        import zlib
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            PNG_IDENTITY_PALETTE,
+            encode_png_ex,
+            parse_png,
+        )
+
+        # palette type without PLTE
+        good = encode_png_ex(
+            bytes(range(16)), 16, 1, color_type=3, palette=PNG_IDENTITY_PALETTE
+        )
+        i = good.index(b"PLTE") - 4
+        (plen,) = struct.unpack(">I", good[i : i + 4])
+        no_plte = good[:i] + good[i + 12 + plen :]
+        with pytest.raises(ValueError, match="no PLTE"):
+            parse_png(no_plte)
+        # out-of-range palette index (4-entry palette, index 9)
+        small = encode_png_ex(bytes([0, 1, 2, 3]), 4, 1, color_type=3,
+                              palette=bytes(12))
+        raw = zlib.compress(bytes([0, 0, 1, 2, 9]), 6)
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+        j = small.index(b"IDAT") - 4
+        k = small.index(b"IEND") - 4
+        bad_idx = small[:j] + chunk(b"IDAT", raw) + small[k:]
+        with pytest.raises(ValueError, match="palette index 9"):
+            parse_png(bad_idx)
+        # encoder gates: missing palette, stray palette, oversized index
+        with pytest.raises(ValueError, match="needs a palette"):
+            encode_png_ex(bytes(16), 16, 1, color_type=3)
+        with pytest.raises(ValueError, match="palette given"):
+            encode_png_ex(bytes(48), 16, 1, color_type=2,
+                          palette=PNG_IDENTITY_PALETTE)
+        with pytest.raises(ValueError, match="outside the 4-entry"):
+            encode_png_ex(bytes([9]), 1, 1, color_type=3, palette=bytes(12))
+        # truncated Adam7 stream: byte budget must mismatch loudly
+        inter = encode_png_ex(bytes(range(16)) * 16, 16, 16, color_type=0,
+                              interlace=True)
+        j = inter.index(b"IDAT") - 4
+        (ilen,) = struct.unpack(">I", inter[j : j + 4])
+        idat = inter[j + 8 : j + 8 + ilen]
+        short = zlib.compress(zlib.decompress(idat)[:-10], 6)
+        k = inter.index(b"IEND") - 4
+        trunc = inter[:j] + chunk(b"IDAT", short) + inter[k:]
+        with pytest.raises(ValueError, match="filtered bytes|Adam7|exceeds"):
+            parse_png(trunc)
+
+    def test_mm12b_edge_docs(self, spark, tmp_path):
+        import pandas as pd
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            decode_png_color_features,
+            with_png_color_payload,
+        )
+
+        # doc 0 -> gray (bpp 1, 18 chars = 1 row + remainder)
+        # doc 2 -> palette; doc 4 -> RGBA (needs 64 bytes/row: too short -> NULL)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [0, 2, 4],
+                "text": ["a" * 18, "ab" * 20, "x" * 40],
+            }
+        )
+        sdf = spark.createDataFrame(pdf)
+        out = {
+            r["doc_id"]: r
+            for r in decode_png_color_features(with_png_color_payload(sdf)).collect()
+        }
+        assert out[0]["height"] == 1 and out[0]["n_channel_bytes"] == 16
+        assert out[0]["mean_byte"] == float(ord("a"))
+        # palette doc: indices expand 3x through the identity palette
+        assert out[2]["color_type"] == 3
+        assert out[2]["height"] == 2 and out[2]["n_channel_bytes"] == 96
+        row_w = ord("a") * 8 + ord("b") * 8  # per-row sum of 'abab...'
+        assert out[2]["row_weighted_sum"] == 3 * (1 * row_w + 2 * row_w)
+        # RGBA doc too short for one 64-byte row -> NULL stats, 0 geometry
+        assert out[4]["color_type"] == 6
+        assert out[4]["height"] == 0 and out[4]["mean_byte"] is None
+
+
 class TestJpegCodec:
     """Baseline-sequential JFIF: Huffman entropy coding + DCT pipeline."""
 
@@ -1438,6 +1580,64 @@ class TestAdpcmCodec:
                 exp.append(p)
         assert list(v["samples"]) == exp
         assert max(exp) <= 32767 and min(exp) >= -32768
+
+    def test_stereo_roundtrip_and_independence(self):
+        # stereo blocks: one header per channel, round-robin 4-byte code
+        # words, INDEPENDENT predictor/step state — each channel must
+        # decode identically to its own mono encode
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_wav_adpcm,
+            parse_wav_adpcm,
+        )
+
+        t = np.arange(3001)  # non-multiple of 9: exercises fact-trim
+        st = np.stack(
+            [
+                (8000 * np.sin(t / 30)).astype(np.int16),
+                (12000 * np.cos(t / 11)).astype(np.int16),
+            ]
+        )
+        v = parse_wav_adpcm(encode_wav_adpcm(st, 8000))
+        assert v["n_channels"] == 2 and v["samples"].shape == (2, 3001)
+        for c in range(2):
+            mono = parse_wav_adpcm(encode_wav_adpcm(st[c], 8000))["samples"]
+            assert np.array_equal(mono, v["samples"][c]), c
+
+    def test_stereo_code_mux_pairs_virtual_blocks(self):
+        # consecutive (header, codes) groups pair as L/R of one stereo
+        # container block; the decoded sample MULTISET equals the mono
+        # mux (the mm18 oracle's layout-agnosticism), while the word
+        # ORDER maps even virtual blocks to L and odd to R
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_wav_adpcm_codes,
+            parse_wav_adpcm,
+        )
+
+        raw = bytes(range(30, 70))  # 8 virtual blocks of 5 bytes
+        headers, codes = [], []
+        for b in range(8):
+            c0 = raw[5 * b]
+            headers.append(((c0 - 128) * 256, c0 % 89))
+            for cb in raw[5 * b + 1 : 5 * b + 5]:
+                codes.append(cb & 15)
+                codes.append(cb >> 4)
+        mono = parse_wav_adpcm(encode_wav_adpcm_codes(headers, codes, channels=1))
+        ster = parse_wav_adpcm(encode_wav_adpcm_codes(headers, codes, channels=2))
+        ms = mono["samples"].reshape(8, 9)
+        ss = ster["samples"].reshape(2, 4, 9)
+        assert np.array_equal(ss[0], ms[0::2]) and np.array_equal(ss[1], ms[1::2])
+        assert sorted(mono["samples"].tolist()) == sorted(
+            ster["samples"].reshape(-1).tolist()
+        )
+        # odd header count cannot mux as stereo
+        import pytest
+
+        with pytest.raises(ValueError, match="even header count"):
+            encode_wav_adpcm_codes(headers[:3], codes[: 3 * 8], channels=2)
 
     def test_malformed_adpcm_fails_loudly(self):
         import numpy as np
