@@ -4815,3 +4815,440 @@ def decode_mp4_mjpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFram
             yield pd.DataFrame(rows, columns=[f.name for f in MP4_FEATURE_SCHEMA.fields])
 
     return df.select(id_col, "payload").mapInPandas(feats, MP4_FEATURE_SCHEMA)
+
+
+# ===========================================================================
+# H.264 / AVC Annex-B stream PROBE (mm21) — the ROUTING layer for the
+# one codec family this engine's decode gate documents as out of scope
+# (avc1/hvc1 pixel decode at the MP4 stsd wall). A 100-TB video corpus
+# is overwhelmingly H.264; the operation a training pipeline needs
+# FIRST is not transcoding but routing — filter by resolution, profile,
+# level, IDR density — which only requires the bitstream's METADATA
+# layer: NAL unit walk (both 3- and 4-byte start codes), emulation-
+# prevention unescaping (00 00 03 xx), and the exp-Golomb-coded
+# sequence parameter set (profile/level, geometry in macroblocks,
+# frame cropping). All of that is implemented here for real from the
+# public spec (ITU-T H.264 §7.3/§7.4, Annex B); slice PIXEL decode
+# still gates loudly elsewhere. The synthesis plants a mandatory
+# 00 00 01 sequence inside every slice body, so a prober that skipped
+# unescaping would both miscount NAL units (fake start code) and
+# corrupt the byte-sum the oracle recomputes — the escape path is
+# certified on every document, not just in unit tests.
+# Reference anchor: none (the reference engine is OHLCV-only); this
+# extends the engine's own decode_media/probe contract (mm16 family).
+# ===========================================================================
+
+H264_SLICE_BYTES = 32  # synthesis: one slice NAL per 32 document bytes
+# every synthesized slice body starts with a raw 00 00 01 — illegal in
+# an unescaped stream — so emulation prevention MUST fire on encode and
+# be reversed on decode for the NAL walk and byte sums to come out
+_H264_SLICE_MARKER = b"\x00\x00\x01"
+
+
+class _H264BitWriter:
+    """MSB-first bit writer with unsigned/signed exp-Golomb (ue/se)."""
+
+    def __init__(self) -> None:
+        self._bits: list[int] = []
+
+    def u(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self._bits.append((value >> i) & 1)
+
+    def ue(self, value: int) -> None:
+        if value < 0:
+            raise ValueError(f"ue(v) needs a non-negative value, got {value}")
+        code = value + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def se(self, value: int) -> None:
+        self.ue(2 * value - 1 if value > 0 else -2 * value)
+
+    def rbsp_trailing(self) -> bytes:
+        self._bits.append(1)  # rbsp_stop_one_bit
+        while len(self._bits) % 8:
+            self._bits.append(0)
+        out = bytearray()
+        for i in range(0, len(self._bits), 8):
+            b = 0
+            for bit in self._bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+class _H264BitReader:
+    """MSB-first bit reader with ue/se decode; fails loudly on overrun."""
+
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._pos = 0
+
+    def bit(self) -> int:
+        byte, off = divmod(self._pos, 8)
+        if byte >= len(self._data):
+            raise ValueError("H.264 RBSP exhausted mid-field")
+        self._pos += 1
+        return (self._data[byte] >> (7 - off)) & 1
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.bit() == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("exp-Golomb prefix over 31 zeros (corrupt)")
+        return ((1 << zeros) | self.u(zeros)) - 1
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _h264_escape(rbsp: bytes) -> bytes:
+    """Insert emulation_prevention_three_byte: any 00 00 followed by a
+    byte <= 03 becomes 00 00 03 xx (H.264 §7.4.1.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _h264_unescape(ebsp: bytes) -> bytes:
+    """Strip emulation_prevention_three_byte (00 00 03 -> 00 00); a bare
+    00 00 00/01/02 inside a NAL payload is a spec violation and fails
+    loudly (it would alias a start code)."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    n = len(ebsp)
+    while i < n:
+        b = ebsp[i]
+        if zeros >= 2:
+            if b == 3:
+                if i + 1 < n and ebsp[i + 1] > 3:
+                    raise ValueError(
+                        "emulation prevention byte followed by "
+                        f"0x{ebsp[i + 1]:02X} (> 3) — corrupt escape"
+                    )
+                zeros = 0
+                i += 1
+                continue
+            if b <= 2:
+                raise ValueError(
+                    f"unescaped 00 00 0{b} inside a NAL unit (aliases a start code)"
+                )
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def encode_h264_sps(
+    profile_idc: int,
+    level_idc: int,
+    width_mbs: int,
+    height_mbs: int,
+    crop_right: int = 0,
+    crop_bottom: int = 0,
+) -> bytes:
+    """Serialize a REAL (bit-exact per §7.3.2.1) baseline/main SPS RBSP:
+    exp-Golomb fields, pic_order_cnt_type 0, frame_mbs_only, optional
+    frame cropping in 2-pixel units. Returns the UNescaped RBSP."""
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise ValueError(
+            f"high-profile SPS (profile_idc {profile_idc}) carries "
+            "chroma/scaling fields this encoder does not emit"
+        )
+    w = _H264BitWriter()
+    w.u(profile_idc, 8)
+    w.u(0, 8)  # constraint_set flags + reserved
+    w.u(level_idc, 8)
+    w.ue(0)  # seq_parameter_set_id
+    w.ue(4)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type
+    w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(width_mbs - 1)  # pic_width_in_mbs_minus1
+    w.ue(height_mbs - 1)  # pic_height_in_map_units_minus1
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(1, 1)  # direct_8x8_inference_flag
+    if crop_right or crop_bottom:
+        w.u(1, 1)  # frame_cropping_flag
+        w.ue(0)
+        w.ue(crop_right)
+        w.ue(0)
+        w.ue(crop_bottom)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present_flag
+    return w.rbsp_trailing()
+
+
+def parse_h264_sps(rbsp: bytes) -> dict:
+    """Parse an (unescaped) SPS RBSP: profile/level, geometry from
+    macroblock counts minus crop (CropUnit 2 for 4:2:0 frame coding),
+    POC/ref fields walked so the geometry fields land at the right bit
+    offsets. Fails loudly on high-profile chroma fields and on
+    truncated streams — never guesses."""
+    r = _H264BitReader(rbsp)
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise NotImplementedError(
+            f"high-profile SPS (profile_idc {profile_idc}: chroma format / "
+            "scaling matrices) not supported by this probe"
+        )
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    elif poc_type != 2:
+        raise ValueError(f"impossible pic_order_cnt_type {poc_type}")
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    width_mbs = r.ue() + 1
+    height_map_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop = (0, 0, 0, 0)
+    if r.u(1):  # frame_cropping_flag
+        crop = (r.ue(), r.ue(), r.ue(), r.ue())
+    # CropUnitX = 2 (4:2:0); CropUnitY = 2 * (2 - frame_mbs_only_flag)
+    crop_y_unit = 2 * (2 - frame_mbs_only)
+    height_mbs = height_map_units * (2 - frame_mbs_only)
+    width = width_mbs * 16 - 2 * (crop[0] + crop[1])
+    height = height_mbs * 16 - crop_y_unit * (crop[2] + crop[3])
+    if width <= 0 or height <= 0:
+        raise ValueError(f"SPS crop exceeds the frame: {width}x{height}")
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "width": width,
+        "height": height,
+        "frame_mbs_only": bool(frame_mbs_only),
+    }
+
+
+def encode_h264_annexb(
+    payload_blocks: list[bytes],
+    profile_idc: int,
+    level_idc: int,
+    width_mbs: int,
+    height_mbs: int,
+    crop_right: int = 0,
+    crop_bottom: int = 0,
+) -> bytes:
+    """Mux an Annex-B byte stream: 4-byte-start-code SPS + PPS, then one
+    slice NAL per payload block using the 3-byte start code (both legal
+    forms exercised in every stream). Every slice body is prefixed with
+    a raw 00 00 01 marker BEFORE escaping, so emulation prevention is
+    structurally mandatory. Every 8th slice is IDR."""
+    sps = _h264_escape(
+        encode_h264_sps(
+            profile_idc, level_idc, width_mbs, height_mbs, crop_right, crop_bottom
+        )
+    )
+    p = _H264BitWriter()
+    p.ue(0)  # pic_parameter_set_id
+    p.ue(0)  # seq_parameter_set_id
+    p.u(0, 1)  # entropy_coding_mode_flag (CAVLC)
+    p.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
+    p.ue(0)  # num_slice_groups_minus1
+    p.ue(0)  # num_ref_idx_l0_default_active_minus1
+    p.ue(0)  # num_ref_idx_l1_default_active_minus1
+    p.u(0, 1)  # weighted_pred_flag
+    p.u(0, 2)  # weighted_bipred_idc
+    p.se(0)  # pic_init_qp_minus26
+    p.se(0)  # pic_init_qs_minus26
+    p.se(0)  # chroma_qp_index_offset
+    p.u(0, 3)  # deblocking/constrained-intra/redundant-pic flags
+    pps = _h264_escape(p.rbsp_trailing())
+    out = bytearray()
+    out += b"\x00\x00\x00\x01\x67" + sps  # SPS: nal_ref_idc 3, type 7
+    out += b"\x00\x00\x00\x01\x68" + pps  # PPS: type 8
+    for i, block in enumerate(payload_blocks):
+        header = 0x65 if i % 8 == 0 else 0x41  # IDR (5) / non-IDR (1)
+        out += b"\x00\x00\x01" + bytes([header])
+        out += _h264_escape(_H264_SLICE_MARKER + block)
+    return bytes(out)
+
+
+def parse_h264_annexb(payload: bytes) -> dict:
+    """REAL Annex-B prober: split on 3-/4-byte start codes, validate the
+    forbidden_zero_bit, unescape every NAL, parse the SPS (exp-Golomb
+    walk, crop arithmetic), count slice types, and sum unescaped slice
+    payload bytes (the escape-certification channel). No pixel decode —
+    slice bodies past the NAL header are treated as opaque routing
+    bytes, which is exactly what a corpus router pays."""
+    n = len(payload)
+    # collect (start, end) of each NAL's escaped body (after the header byte)
+    starts: list[int] = []
+    i = 0
+    while i + 2 < n:
+        if payload[i] == 0 and payload[i + 1] == 0 and payload[i + 2] == 1:
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    if not starts:
+        raise ValueError("no Annex-B start code found")
+    if starts[0] not in (3, 4):
+        raise ValueError("stream does not begin with a start code")
+    sps = None
+    n_slices = n_idr = 0
+    payload_sum = 0
+    n_nal = len(starts)
+    for k, s in enumerate(starts):
+        e = starts[k + 1] - 3 if k + 1 < len(starts) else n
+        # a 4-byte start code leaves one 00 of the next prefix in this
+        # NAL's slice; trim trailing zeros (trailing_zero_8bits are legal)
+        while e > s and payload[e - 1] == 0:
+            e -= 1
+        if e <= s:
+            raise ValueError(f"empty NAL unit at offset {s}")
+        header = payload[s]
+        if header & 0x80:
+            raise ValueError(f"forbidden_zero_bit set in NAL header 0x{header:02X}")
+        ntype = header & 0x1F
+        body = _h264_unescape(payload[s + 1 : e])
+        if ntype == 7:
+            sps = parse_h264_sps(body)
+        elif ntype == 8:
+            pass  # PPS walked for NAL count; fields unused by the probe
+        elif ntype in (1, 5):
+            n_slices += 1
+            if ntype == 5:
+                n_idr += 1
+            if not body.startswith(_H264_SLICE_MARKER):
+                raise ValueError(
+                    "synthesized slice body lost its 00 00 01 marker — "
+                    "emulation-prevention round trip is broken"
+                )
+            payload_sum += sum(body[len(_H264_SLICE_MARKER) :]) + sum(
+                _H264_SLICE_MARKER
+            )
+        else:
+            raise ValueError(f"unexpected NAL unit type {ntype} in probe stream")
+    if sps is None:
+        raise ValueError("Annex-B stream carries no SPS")
+    return {
+        **sps,
+        "n_nal_units": n_nal,
+        "n_slices": n_slices,
+        "n_idr": n_idr,
+        "payload_byte_sum": payload_sum,
+    }
+
+
+H264_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("profile_idc", LongType(), True),
+        StructField("level_idc", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_nal_units", LongType(), False),
+        StructField("n_slices", LongType(), False),
+        StructField("n_idr", LongType(), False),
+        StructField("payload_byte_sum", LongType(), True),
+    ]
+)
+
+
+def with_h264_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic H.264 Annex-B stream per row: one
+    slice NAL per 32 document bytes (IDR every 8th), SPS geometry and
+    crop derived from the length and first bytes, profile/level from
+    doc_id — every field the oracle recomputes arithmetically. Docs
+    shorter than one slice carry NULL."""
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), True)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                raw = t.encode("utf-8")
+                ns = len(raw) // H264_SLICE_BYTES
+                if ns == 0:
+                    payloads.append(None)
+                    continue
+                blocks = [
+                    raw[i * H264_SLICE_BYTES : (i + 1) * H264_SLICE_BYTES]
+                    for i in range(ns)
+                ]
+                payloads.append(
+                    encode_h264_annexb(
+                        blocks,
+                        profile_idc=66 + 11 * (int(doc_id) % 2),
+                        level_idc=30 + 10 * (int(doc_id) % 3),
+                        width_mbs=1 + len(raw) % 40,
+                        height_mbs=1 + (len(raw) // 7) % 30,
+                        crop_right=raw[0] % 2,
+                        crop_bottom=raw[1] % 2,
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("video/h264"))
+
+
+def probe_h264_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Probe each Annex-B payload through the real NAL walk + SPS parse
+    and emit routing metadata — one Arrow pass, zero shuffles, no pixel
+    decode anywhere. NULL payloads emit the 0-stream row."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, 0, 0, 0, None)
+                    )
+                    continue
+                v = parse_h264_annexb(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        v["profile_idc"],
+                        v["level_idc"],
+                        v["width"],
+                        v["height"],
+                        v["n_nal_units"],
+                        v["n_slices"],
+                        v["n_idr"],
+                        v["payload_byte_sum"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in H264_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, "payload").mapInPandas(feats, H264_FEATURE_SCHEMA)

@@ -1408,3 +1408,73 @@ def mm20_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_byte",
         "row_weighted_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm21: H.264 Annex-B stream probe — the ROUTING layer for the codec
+# family the engine's decode gate documents as out of scope (avc1
+# pixel decode at the MP4 stsd wall). A real video corpus is
+# overwhelmingly H.264, and the first operation a 100-TB pipeline
+# needs is routing by resolution/profile/level/IDR density — pure
+# bitstream METADATA: NAL walk over both start-code forms, emulation-
+# prevention unescaping, exp-Golomb SPS parse with crop arithmetic.
+# The synthesis plants a raw 00 00 01 inside EVERY slice body before
+# escaping, so a prober that skipped unescaping would miscount NALs
+# and corrupt the byte sum — the escape path is hash-certified on
+# every document. No pixel decode anywhere; slice bodies are opaque.
+# ---------------------------------------------------------------------------
+@query(
+    "mm21_h264_probe",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) AS len, length(text) // 32 AS ns
+        FROM documents
+    ), chars AS (
+        SELECT g.doc_id, ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+        FROM geo g, UNNEST(range(1, CAST(g.ns * 32 + 1 AS BIGINT))) AS t(i)
+    ), agg AS (
+        SELECT doc_id, SUM(byte) AS sb FROM chars GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(CASE WHEN g.ns > 0 THEN 66 + 11 * (g.doc_id % 2) END AS BIGINT) AS profile_idc,
+           CAST(CASE WHEN g.ns > 0 THEN 30 + 10 * (g.doc_id % 3) END AS BIGINT) AS level_idc,
+           CAST(CASE WHEN g.ns > 0
+                THEN (1 + g.len % 40) * 16 - 2 * (ord(substr(g.text, 1, 1)) % 2)
+                END AS BIGINT) AS width,
+           CAST(CASE WHEN g.ns > 0
+                THEN (1 + (g.len // 7) % 30) * 16 - 2 * (ord(substr(g.text, 2, 1)) % 2)
+                END AS BIGINT) AS height,
+           CAST(CASE WHEN g.ns > 0 THEN g.ns + 2 ELSE 0 END AS BIGINT) AS n_nal_units,
+           CAST(g.ns AS BIGINT) AS n_slices,
+           CAST((g.ns + 7) // 8 AS BIGINT) AS n_idr,
+           CAST(CASE WHEN g.ns > 0 THEN a.sb + g.ns END AS BIGINT) AS payload_byte_sum
+    FROM geo g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm21_h264_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing metadata per synthesized H.264 Annex-B stream: NAL walk
+    (3- and 4-byte start codes), forbidden-bit validation, emulation-
+    prevention unescape, full exp-Golomb SPS parse (profile/level,
+    macroblock geometry minus crop), slice/IDR counts, and the
+    unescaped-payload byte sum that certifies the escape round trip
+    (every slice carries a planted 00 00 01). The oracle recomputes
+    everything arithmetically from the characters. Map-only plan, zero
+    shuffles — the probe costs marker-walk bytes, never pixel decode."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        probe_h264_features,
+        with_h264_payload,
+    )
+
+    docs = with_h264_payload(load_table(spark, sf_dir, "documents"))
+    feats = probe_h264_features(docs)
+    return feats.select(
+        "doc_id",
+        "profile_idc",
+        "level_idc",
+        "width",
+        "height",
+        "n_nal_units",
+        "n_slices",
+        "n_idr",
+        "payload_byte_sum",
+    )

@@ -79,6 +79,7 @@ _QUERY_MODULES = (
 # untouched): the r9 window.
 _PRIORITY = (
     # --- (1) round-10 new/edited code needing (re-)certification ---
+    "mm21_h264_probe",
     "mm19_gif_decode",
     "mm18_adpcm_decode",
     "mm12_png_decode",
@@ -126,12 +127,13 @@ _PRIORITY = (
     "a16_approx_quantiles",
     "a17_heavy_hitters",
     "o4_seeded_sample",
-    # --- (4) fill to 50 with the oldest r7 rows ---
+    # --- (4) fill to 50 with the oldest r7 rows (a18b, certified r7,
+    # ceded its slot to the new mm21 H.264 probe; it leads the r11
+    # rotation with the rest of the r7 tranche) ---
     "a14_salted_skew_agg",
     "a15_rollup",
     "a16b_exact_quantiles",
     "a17b_exact_heavy_hitters",
-    "a18b_exact_distinct",
 )
 
 

@@ -1950,3 +1950,103 @@ class TestBmpCodec:
         # bottom-up flip certified: a reader that forgets the reversal
         # produces the REVERSED weighted sum, not this one
         assert r3["row_weighted_sum"] == sum((1 + i // 62) * b for i, b in enumerate(byts))
+
+
+class TestH264Probe:
+    def test_escape_round_trip_and_aliases(self):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            _h264_escape,
+            _h264_unescape,
+        )
+
+        cases = (b"", b"\x00" * 9, b"\x00\x00\x01\x00\x00\x02", b"\x00\x00\x03\x03",
+                 bytes(range(256)) * 2, b"x\x00\x00\x00\x00\x01y")
+        for data in cases:
+            esc = _h264_escape(data)
+            assert _h264_unescape(esc) == data
+            # escaped stream must contain no start-code alias
+            for bad in (b"\x00\x00\x00", b"\x00\x00\x01", b"\x00\x00\x02"):
+                assert bad not in esc, data
+        with pytest.raises(ValueError, match="aliases a start code"):
+            _h264_unescape(b"\x00\x00\x01")
+        with pytest.raises(ValueError, match="corrupt escape"):
+            _h264_unescape(b"\x00\x00\x03\x99")
+
+    def test_sps_round_trip_fields(self):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_h264_sps,
+            parse_h264_sps,
+        )
+
+        for prof, lev, wm, hm, cr, cb in (
+            (66, 30, 40, 30, 0, 0),
+            (77, 40, 1, 1, 1, 1),
+            (66, 51, 120, 68, 1, 0),
+            (88, 10, 7, 5, 0, 1),
+        ):
+            v = parse_h264_sps(encode_h264_sps(prof, lev, wm, hm, cr, cb))
+            assert (v["profile_idc"], v["level_idc"]) == (prof, lev)
+            assert v["width"] == wm * 16 - 2 * cr
+            assert v["height"] == hm * 16 - 2 * cb
+        # high-profile SPS gates loudly instead of misparsing chroma fields
+        with pytest.raises(NotImplementedError, match="high-profile"):
+            parse_h264_sps(encode_h264_sps(66, 30, 4, 4)[:1].replace(b"\x42", b"\x64")
+                           + encode_h264_sps(66, 30, 4, 4)[1:])
+
+    def test_annexb_stream_probe(self):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_h264_annexb,
+            parse_h264_annexb,
+        )
+
+        blocks = [bytes([i] * 32) for i in range(17)]
+        v = parse_h264_annexb(encode_h264_annexb(blocks, 77, 40, 5, 3, 1, 1))
+        assert (v["n_nal_units"], v["n_slices"], v["n_idr"]) == (19, 17, 3)
+        assert v["payload_byte_sum"] == sum(sum(b) for b in blocks) + 17
+        assert (v["width"], v["height"]) == (78, 46)
+
+    def test_malformed_streams_fail_loudly(self):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_h264_annexb,
+            parse_h264_annexb,
+        )
+
+        good = encode_h264_annexb([bytes(32)], 66, 30, 4, 4)
+        with pytest.raises(ValueError, match="start code"):
+            parse_h264_annexb(b"JUNK" + good)
+        # forbidden_zero_bit set on the SPS header
+        bad = bytearray(good)
+        bad[4] |= 0x80
+        with pytest.raises(ValueError, match="forbidden_zero_bit"):
+            parse_h264_annexb(bytes(bad))
+        # truncated SPS exhausts the bit reader mid-field
+        sps_end = good.index(b"\x00\x00\x00\x01\x68")
+        with pytest.raises(ValueError, match="exhausted|no Annex-B"):
+            parse_h264_annexb(good[: sps_end - 4])
+        # stream with slices but no SPS
+        no_sps = good[sps_end:]
+        with pytest.raises(ValueError, match="no SPS"):
+            parse_h264_annexb(no_sps)
+
+    def test_mm21_edge_docs(self, spark, tmp_path):
+        import pandas as pd
+
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        texts = ["", "x" * 31, "y" * 32, "z" * (32 * 9)]  # 0/0/1/9 slices
+        pd.DataFrame({"doc_id": range(4), "text": texts}).to_parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in all_queries()["mm21_h264_probe"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        }
+        assert rows[0]["n_nal_units"] == 0 and rows[0]["width"] is None
+        assert rows[1]["n_slices"] == 0
+        assert rows[2]["n_slices"] == 1 and rows[2]["n_idr"] == 1
+        assert rows[2]["payload_byte_sum"] == 32 * ord("y") + 1
+        # 9 slices -> IDR at 0 and 8
+        assert rows[3]["n_slices"] == 9 and rows[3]["n_idr"] == 2
+        assert rows[3]["profile_idc"] == 66 + 11 * (3 % 2)
