@@ -55,6 +55,7 @@ HEADLINE = (
     "mm15_mjpeg_decode",      # MP4 demux composed with per-frame JPEG decode
     # added round 10 (r9-comparable subtotal = first 26)
     "mm12b_png_color",        # color/palette/Adam7 PNG decode
+    "mm21_h264_probe",        # H.264 NAL walk + SPS parse routing probe
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the
