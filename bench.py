@@ -56,6 +56,7 @@ HEADLINE = (
     # added round 10 (r9-comparable subtotal = first 26)
     "mm12b_png_color",        # color/palette/Adam7 PNG decode
     "mm21_h264_probe",        # H.264 NAL walk + SPS parse routing probe
+    "mm22_avc1_route",        # avc1-in-MP4 demux + avcC/stss routing
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the

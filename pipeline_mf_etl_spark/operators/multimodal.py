@@ -4153,14 +4153,25 @@ def encode_mp4_mjpeg(samples: list[bytes], width: int, height: int) -> bytes:
 
 
 def _encode_mp4_container(
-    samples: list[bytes], width: int, height: int, fmt: bytes, depth: int
+    samples: list[bytes],
+    width: int,
+    height: int,
+    fmt: bytes,
+    depth: int,
+    entry_extension: bytes = b"",
+    sync_samples: list[int] | None = None,
 ) -> bytes:
     """Shared ISO-BMFF mux: ftyp, mdat (samples chunked
     MP4_CHUNK_SAMPLES per chunk), moov/trak/mdia/minf/stbl with the
     given VisualSampleEntry format and a fully populated sample table
     (stts run-length durations, stsc chunk runs, stsz explicit
     per-sample size table, stco absolute offsets). mdat precedes moov
-    so chunk offsets are known when stco is built."""
+    so chunk offsets are known when stco is built.
+
+    ``entry_extension`` appends child boxes inside the sample entry
+    (e.g. the avcC decoder-configuration record for 'avc1' tracks);
+    ``sync_samples`` emits an stss box with the given 1-based sample
+    numbers (absent box = every sample is sync, per 14496-12)."""
     n = len(samples)
     sizes = [len(s) for s in samples]
     durations = _mp4_sample_durations(n)
@@ -4240,9 +4251,18 @@ def _encode_mp4_container(
         + _struct.pack(">Hh", depth, -1)
     )
     stsd = _mp4_full(
-        b"stsd", 0, 0, _struct.pack(">I", 1) + _mp4_box(fmt, entry)
+        b"stsd", 0, 0, _struct.pack(">I", 1) + _mp4_box(fmt, entry + entry_extension)
     )
-    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    stss = b""
+    if sync_samples is not None:
+        stss = _mp4_full(
+            b"stss",
+            0,
+            0,
+            _struct.pack(">I", len(sync_samples))
+            + b"".join(_struct.pack(">I", s) for s in sync_samples),
+        )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
 
     vmhd = _mp4_full(b"vmhd", 0, 1, _struct.pack(">HHHH", 0, 0, 0, 0))
     dref = _mp4_full(
@@ -4289,6 +4309,118 @@ def _encode_mp4_container(
     )
     moov = _mp4_box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def encode_mp4_avc1(
+    sample_nals: list[list[bytes]],
+    sps_args: dict,
+    sync_samples: list[int],
+) -> bytes:
+    """Serialize H.264 NAL units as a REAL avc1-in-MP4 track (ISO
+    14496-15): the avcC decoder-configuration record (SPS/PPS arrays,
+    4-byte NAL length field) rides inside the sample entry, and every
+    sample is its NAL units LENGTH-PREFIXED (no Annex-B start codes —
+    the framing difference that trips naive demuxers). NAL bodies are
+    emulation-prevention escaped exactly as in Annex-B. ``sps_args``
+    feeds ``encode_h264_sps`` (profile/level/geometry/crop);
+    ``sync_samples`` emits the stss box (1-based)."""
+    sps_rbsp = encode_h264_sps(**sps_args)
+    sps_nal = b"\x67" + _h264_escape(sps_rbsp)
+    p = _H264BitWriter()
+    p.ue(0)
+    p.ue(0)
+    p.u(0, 2)
+    p.ue(0)
+    p.ue(0)
+    p.ue(0)
+    p.u(0, 3)
+    p.se(0)
+    p.se(0)
+    p.se(0)
+    p.u(0, 3)
+    pps_nal = b"\x68" + _h264_escape(p.rbsp_trailing())
+    avcc = (
+        bytes(
+            [
+                1,  # configurationVersion
+                sps_args["profile_idc"],
+                0,  # profile_compatibility
+                sps_args["level_idc"],
+                0xFC | 3,  # reserved + lengthSizeMinusOne (4-byte lengths)
+                0xE0 | 1,  # reserved + numOfSequenceParameterSets
+            ]
+        )
+        + _struct.pack(">H", len(sps_nal))
+        + sps_nal
+        + bytes([1])  # numOfPictureParameterSets
+        + _struct.pack(">H", len(pps_nal))
+        + pps_nal
+    )
+    v = parse_h264_sps(sps_rbsp)
+    samples = []
+    for nals in sample_nals:
+        sample = bytearray()
+        for nal in nals:
+            sample += _struct.pack(">I", len(nal)) + nal
+        samples.append(bytes(sample))
+    return _encode_mp4_container(
+        samples,
+        v["width"],
+        v["height"],
+        fmt=b"avc1",
+        depth=24,
+        entry_extension=_mp4_box(b"avcC", avcc),
+        sync_samples=sync_samples,
+    )
+
+
+def _parse_avcc(buf: bytes) -> dict:
+    """Parse an AVCDecoderConfigurationRecord: version, profile/level,
+    NAL length-field size, and the in-record SPS (unescaped and parsed
+    through the same exp-Golomb walk as the Annex-B probe). Fails
+    loudly on version/counts that don't fit the record."""
+    if len(buf) < 7:
+        raise ValueError(f"avcC record is {len(buf)} bytes (needs >= 7)")
+    if buf[0] != 1:
+        raise ValueError(f"avcC configurationVersion {buf[0]} (must be 1)")
+    profile, level = buf[1], buf[3]
+    length_size = (buf[4] & 0x03) + 1
+    n_sps = buf[5] & 0x1F
+    if n_sps < 1:
+        raise ValueError("avcC carries no SPS")
+    pos = 6
+    sps = None
+    for _ in range(n_sps):
+        (ln,) = _struct.unpack(">H", buf[pos : pos + 2])
+        nal = buf[pos + 2 : pos + 2 + ln]
+        if len(nal) != ln:
+            raise ValueError("avcC SPS overruns the record")
+        if nal[0] & 0x80 or (nal[0] & 0x1F) != 7:
+            raise ValueError(f"avcC SPS slot holds NAL header 0x{nal[0]:02X}")
+        if sps is None:
+            sps = parse_h264_sps(_h264_unescape(nal[1:]))
+        pos += 2 + ln
+    if pos >= len(buf):
+        raise ValueError("avcC truncated before the PPS count")
+    n_pps = buf[pos]
+    pos += 1
+    for _ in range(n_pps):
+        (ln,) = _struct.unpack(">H", buf[pos : pos + 2])
+        if pos + 2 + ln > len(buf):
+            raise ValueError("avcC PPS overruns the record")
+        pos += 2 + ln
+    if sps["profile_idc"] != profile or sps["level_idc"] != level:
+        raise ValueError(
+            f"avcC header profile/level ({profile}/{level}) disagree with "
+            f"its SPS ({sps['profile_idc']}/{sps['level_idc']})"
+        )
+    return {
+        "profile_idc": profile,
+        "level_idc": level,
+        "length_size": length_size,
+        "n_pps": n_pps,
+        "sps": sps,
+    }
 
 
 def _mp4_boxes(buf: bytes, start: int, end: int):
@@ -4400,14 +4532,28 @@ def parse_mp4(payload: bytes) -> dict:
     if not entries:
         raise ValueError("stsd declares entries but its body holds none")
     fmt, eb, ee = entries[0]
-    if fmt not in (b"raw ", b"jpeg"):
+    if fmt not in (b"raw ", b"jpeg", b"avc1"):
         raise NotImplementedError(
             f"compressed sample entry '{fmt.decode('latin1')}' requires a "
-            "codec library; only uncompressed 'raw ' and MJPEG 'jpeg' "
-            "tracks decode here"
+            "codec library; 'raw ' and MJPEG 'jpeg' decode here, 'avc1' "
+            "demuxes + routes (avcC/SPS metadata) without pixel decode"
         )
     width = int.from_bytes(payload[eb + 24 : eb + 26], "big")
     height = int.from_bytes(payload[eb + 26 : eb + 28], "big")
+    avcc = None
+    if fmt == b"avc1":
+        # the VisualSampleEntry fixed prefix is 78 bytes; child boxes
+        # (avcC, optional btrt/pasp...) follow
+        ext = {t: (b, e) for t, b, e in _mp4_boxes(payload, eb + 78, ee)}
+        if b"avcC" not in ext:
+            raise ValueError("avc1 sample entry carries no avcC record")
+        cb, ce = ext[b"avcC"]
+        avcc = _parse_avcc(payload[cb:ce])
+        if (avcc["sps"]["width"], avcc["sps"]["height"]) != (width, height):
+            raise ValueError(
+                f"sample-entry geometry {width}x{height} disagrees with the "
+                f"avcC SPS {avcc['sps']['width']}x{avcc['sps']['height']}"
+            )
 
     # stts → per-sample durations
     bb, be = _mp4_child(payload, sb, se, b"stts", "stbl")
@@ -4508,6 +4654,27 @@ def parse_mp4(payload: bytes) -> dict:
             f"stsc chunk runs cover {si} samples, stsz declares {n_samples}"
         )
 
+    # stss: sync (random-access) samples — optional; absent box means
+    # every sample is sync (14496-12 §8.6.2)
+    sync_samples = None
+    try:
+        bb, be = _mp4_child(payload, sb, se, b"stss", "stbl")
+    except ValueError:
+        pass
+    else:
+        _, _, p = _mp4_fullbox(payload, bb)
+        n_sync = int.from_bytes(payload[p : p + 4], "big")
+        _table(p + 4, be, n_sync, 4, "stss")
+        sync_samples = [
+            int.from_bytes(payload[p + 4 + 4 * i : p + 8 + 4 * i], "big")
+            for i in range(n_sync)
+        ]
+        for s in sync_samples:
+            if not (1 <= s <= n_samples):
+                raise ValueError(
+                    f"stss names sample {s}, track has {n_samples}"
+                )
+
     frames = []
     for off, sz in zip(sample_offsets, sizes):
         if off + sz > n_len:
@@ -4521,7 +4688,8 @@ def parse_mp4(payload: bytes) -> dict:
         "duration": duration,
         "n_samples": n_samples,
         "durations": durations,
-        "codec": "raw" if fmt == b"raw " else "jpeg",
+        "codec": {b"raw ": "raw", b"jpeg": "jpeg", b"avc1": "avc1"}[fmt],
+        "sync_samples": sync_samples,
     }
     if fmt == b"raw ":
         # uniform-size samples stack into one (n, width*height) matrix
@@ -4529,8 +4697,10 @@ def parse_mp4(payload: bytes) -> dict:
             np.vstack(frames) if frames else np.empty((0, per), dtype=np.uint8)
         )
     else:
-        # MJPEG: per-sample byte payloads are ragged — hand back slices
+        # MJPEG/AVC: per-sample byte payloads are ragged — hand back slices
         out["samples"] = [f.tobytes() for f in frames]
+        if avcc is not None:
+            out["avcc"] = avcc
     return out
 
 
@@ -5252,3 +5422,149 @@ def probe_h264_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in H264_FEATURE_SCHEMA.fields])
 
     return df.select(id_col, "payload").mapInPandas(feats, H264_FEATURE_SCHEMA)
+
+
+# ===========================================================================
+# avc1-in-MP4 routing (mm22) — mm21's Annex-B probe composed with the
+# REAL container a video corpus actually ships: ISO 14496-15 avc1
+# tracks, where SPS/PPS ride in the sample entry's avcC record and
+# samples carry LENGTH-PREFIXED NAL units (no start codes — the framing
+# difference that breaks naive demuxers). parse_mp4 demuxes + routes
+# these (avcC parse, SPS geometry cross-checked against the sample
+# entry, stss sync table); slice PIXEL decode still gates loudly.
+# ===========================================================================
+
+AVC1_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("profile_idc", LongType(), True),
+        StructField("level_idc", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_samples", LongType(), False),
+        StructField("n_sync", LongType(), False),
+        StructField("payload_byte_sum", LongType(), True),
+    ]
+)
+
+
+def with_avc1_mp4_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic avc1-in-MP4 file per row: one MP4
+    sample per 32 document bytes, each sample ONE length-prefixed slice
+    NAL (IDR every 8th, listed in stss), SPS/PPS in the avcC record
+    with the same geometry/profile derivation as the Annex-B synthesis
+    (mm21) — so the two probes share one oracle arithmetic. Every slice
+    body plants a raw 00 00 01 before escaping (escape certification).
+    Docs shorter than one sample carry NULL."""
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), True)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                raw = t.encode("utf-8")
+                ns = len(raw) // H264_SLICE_BYTES
+                if ns == 0:
+                    payloads.append(None)
+                    continue
+                nals = []
+                for i in range(ns):
+                    hdr = 0x65 if i % 8 == 0 else 0x41
+                    body = _H264_SLICE_MARKER + raw[
+                        i * H264_SLICE_BYTES : (i + 1) * H264_SLICE_BYTES
+                    ]
+                    nals.append([bytes([hdr]) + _h264_escape(body)])
+                payloads.append(
+                    encode_mp4_avc1(
+                        nals,
+                        dict(
+                            profile_idc=66 + 11 * (int(doc_id) % 2),
+                            level_idc=30 + 10 * (int(doc_id) % 3),
+                            width_mbs=1 + len(raw) % 40,
+                            height_mbs=1 + (len(raw) // 7) % 30,
+                            crop_right=raw[0] % 2,
+                            crop_bottom=raw[1] % 2,
+                        ),
+                        sync_samples=[i + 1 for i in range(ns) if i % 8 == 0],
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("video/mp4"))
+
+
+def probe_avc1_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Route each avc1-in-MP4 payload through the real demux (box tree,
+    sample table, avcC/SPS parse, stss) plus a per-sample
+    length-prefixed NAL walk (unescape + slice classification + byte
+    sum). Cross-checks the stss sync list against the IDR NAL types —
+    a container whose sync table lies about its bitstream fails
+    loudly. One Arrow pass, zero shuffles, no pixel decode."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    rows.append((int(doc_id), None, None, None, None, 0, 0, None))
+                    continue
+                v = parse_mp4(bytes(payload))
+                if v["codec"] != "avc1":
+                    raise ValueError(f"doc {doc_id}: expected avc1, got {v['codec']}")
+                avcc = v["avcc"]
+                ls = avcc["length_size"]
+                payload_sum = 0
+                idr_samples = []
+                for si, sample in enumerate(v["samples"]):
+                    pos = 0
+                    while pos < len(sample):
+                        ln = int.from_bytes(sample[pos : pos + ls], "big")
+                        nal = sample[pos + ls : pos + ls + ln]
+                        if len(nal) != ln:
+                            raise ValueError(
+                                f"sample {si}: NAL length {ln} overruns the sample"
+                            )
+                        if nal[0] & 0x80:
+                            raise ValueError(
+                                f"forbidden_zero_bit in sample {si} NAL"
+                            )
+                        ntype = nal[0] & 0x1F
+                        if ntype not in (1, 5):
+                            raise ValueError(
+                                f"unexpected NAL type {ntype} in an avc1 sample"
+                            )
+                        body = _h264_unescape(nal[1:])
+                        if not body.startswith(_H264_SLICE_MARKER):
+                            raise ValueError(
+                                "slice body lost its marker — escape round "
+                                "trip broken"
+                            )
+                        payload_sum += sum(body)
+                        if ntype == 5:
+                            idr_samples.append(si + 1)
+                        pos += ls + ln
+                sync = v["sync_samples"] or list(range(1, v["n_samples"] + 1))
+                if idr_samples != sync:
+                    raise ValueError(
+                        f"stss {sync} disagrees with IDR NALs {idr_samples}"
+                    )
+                rows.append(
+                    (
+                        int(doc_id),
+                        avcc["profile_idc"],
+                        avcc["level_idc"],
+                        v["width"],
+                        v["height"],
+                        v["n_samples"],
+                        len(sync),
+                        payload_sum,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AVC1_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, "payload").mapInPandas(feats, AVC1_FEATURE_SCHEMA)

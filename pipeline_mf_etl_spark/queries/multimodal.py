@@ -1478,3 +1478,68 @@ def mm21_h264_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_idr",
         "payload_byte_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm22: avc1-in-MP4 routing — mm21 composed with the container a video
+# corpus actually ships. SPS/PPS ride in the sample entry's avcC
+# record (parsed and cross-checked against the container geometry),
+# samples carry LENGTH-PREFIXED NAL units (the non-Annex-B framing),
+# IDR placement is cross-checked against the stss sync table, and the
+# unescaped-payload byte sum certifies emulation prevention per doc.
+# End-to-end video ROUTING in the real format is now a certified
+# map-only operation; pixel decode still gates loudly at the slice.
+# Shares mm21's oracle arithmetic (same geometry/profile derivation).
+# ---------------------------------------------------------------------------
+@query(
+    "mm22_avc1_route",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) AS len, length(text) // 32 AS ns
+        FROM documents
+    ), chars AS (
+        SELECT g.doc_id, ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+        FROM geo g, UNNEST(range(1, CAST(g.ns * 32 + 1 AS BIGINT))) AS t(i)
+    ), agg AS (
+        SELECT doc_id, SUM(byte) AS sb FROM chars GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(CASE WHEN g.ns > 0 THEN 66 + 11 * (g.doc_id % 2) END AS BIGINT) AS profile_idc,
+           CAST(CASE WHEN g.ns > 0 THEN 30 + 10 * (g.doc_id % 3) END AS BIGINT) AS level_idc,
+           CAST(CASE WHEN g.ns > 0
+                THEN (1 + g.len % 40) * 16 - 2 * (ord(substr(g.text, 1, 1)) % 2)
+                END AS BIGINT) AS width,
+           CAST(CASE WHEN g.ns > 0
+                THEN (1 + (g.len // 7) % 30) * 16 - 2 * (ord(substr(g.text, 2, 1)) % 2)
+                END AS BIGINT) AS height,
+           CAST(g.ns AS BIGINT) AS n_samples,
+           CAST((g.ns + 7) // 8 AS BIGINT) AS n_sync,
+           CAST(CASE WHEN g.ns > 0 THEN a.sb + g.ns END AS BIGINT) AS payload_byte_sum
+    FROM geo g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm22_avc1_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing metadata per synthesized avc1-in-MP4 file: box-tree
+    demux, avcC decoder-configuration parse (SPS geometry cross-checked
+    against the sample entry), per-sample length-prefixed NAL walk with
+    emulation-prevention unescape, IDR-vs-stss cross-validation, and
+    the unescaped-payload byte sum. The oracle recomputes everything
+    arithmetically from the characters. Map-only plan, zero shuffles,
+    no pixel decode anywhere."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        probe_avc1_features,
+        with_avc1_mp4_payload,
+    )
+
+    docs = with_avc1_mp4_payload(load_table(spark, sf_dir, "documents"))
+    feats = probe_avc1_features(docs)
+    return feats.select(
+        "doc_id",
+        "profile_idc",
+        "level_idc",
+        "width",
+        "height",
+        "n_samples",
+        "n_sync",
+        "payload_byte_sum",
+    )

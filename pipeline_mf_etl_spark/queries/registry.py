@@ -80,6 +80,8 @@ _QUERY_MODULES = (
 _PRIORITY = (
     # --- (1) round-10 new/edited code needing (re-)certification ---
     "mm21_h264_probe",
+    "mm22_avc1_route",
+    "mm14_mp4_demux",
     "mm19_gif_decode",
     "mm18_adpcm_decode",
     "mm12_png_decode",
@@ -127,13 +129,13 @@ _PRIORITY = (
     "a16_approx_quantiles",
     "a17_heavy_hitters",
     "o4_seeded_sample",
-    # --- (4) fill to 50 with the oldest r7 rows (a18b, certified r7,
-    # ceded its slot to the new mm21 H.264 probe; it leads the r11
-    # rotation with the rest of the r7 tranche) ---
+    # --- (4) fill to 50 with the oldest r7 rows (a18b/a16b/a17b, all
+    # certified r7, ceded their slots to the new mm21 Annex-B probe,
+    # the new mm22 avc1 router, and mm14's re-cert after parse_mp4
+    # grew avc1+stss; they lead the r11 rotation with the rest of the
+    # r7 tranche) ---
     "a14_salted_skew_agg",
     "a15_rollup",
-    "a16b_exact_quantiles",
-    "a17b_exact_heavy_hitters",
 )
 
 

@@ -901,7 +901,12 @@ class TestMp4Demux:
         )
 
         good = encode_mp4(np.zeros((2, 64), dtype=np.uint8), 8, 8)
-        with pytest.raises(NotImplementedError, match="avc1"):
+        # truly-compressed entries (hvc1) still gate loudly...
+        with pytest.raises(NotImplementedError, match="hvc1"):
+            parse_mp4(good.replace(b"raw ", b"hvc1", 1))
+        # ...while avc1 demuxes+routes since r10 — but only with a real
+        # avcC record; a bare relabel fails loudly at that check
+        with pytest.raises(ValueError, match="no avcC"):
             parse_mp4(good.replace(b"raw ", b"avc1", 1))
 
     def test_decode_media_dispatches_mp4(self):
@@ -2050,3 +2055,99 @@ class TestH264Probe:
         # 9 slices -> IDR at 0 and 8
         assert rows[3]["n_slices"] == 9 and rows[3]["n_idr"] == 2
         assert rows[3]["profile_idc"] == 66 + 11 * (3 % 2)
+
+
+class TestAvc1Route:
+    def _stream(self, n=10, profile=77, level=40, wm=5, hm=3, cr=1, cb=0):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            _H264_SLICE_MARKER,
+            _h264_escape,
+            encode_mp4_avc1,
+        )
+
+        blocks = [bytes([40 + i] * 32) for i in range(n)]
+        nals = []
+        for i, b in enumerate(blocks):
+            hdr = 0x65 if i % 8 == 0 else 0x41
+            nals.append([bytes([hdr]) + _h264_escape(_H264_SLICE_MARKER + b)])
+        sync = [i + 1 for i in range(n) if i % 8 == 0]
+        args = dict(profile_idc=profile, level_idc=level, width_mbs=wm,
+                    height_mbs=hm, crop_right=cr, crop_bottom=cb)
+        return encode_mp4_avc1(nals, args, sync), blocks, sync
+
+    def test_mux_demux_round_trip(self):
+        import struct
+
+        from pipeline_mf_etl_spark.operators.multimodal import parse_mp4
+
+        p, blocks, sync = self._stream()
+        v = parse_mp4(p)
+        assert v["codec"] == "avc1" and v["n_samples"] == 10
+        assert v["sync_samples"] == sync == [1, 9]
+        assert (v["width"], v["height"]) == (5 * 16 - 2, 3 * 16)
+        assert v["avcc"]["profile_idc"] == 77 and v["avcc"]["length_size"] == 4
+        (ln,) = struct.unpack(">I", v["samples"][0][:4])
+        assert ln == len(v["samples"][0]) - 4 and v["samples"][0][4] == 0x65
+
+    def test_malformed_avc1_fails_loudly(self):
+        from pipeline_mf_etl_spark.operators.multimodal import parse_mp4
+
+        p, _, _ = self._stream()
+        # geometry disagreement between sample entry and avcC SPS
+        i = p.index(b"avc1")
+        bad = bytearray(p)
+        # width field sits 24 bytes into the entry body (after the type)
+        bad[i + 4 + 24 : i + 4 + 26] = (999).to_bytes(2, "big")
+        with pytest.raises(ValueError, match="disagrees with the\n?\\s*avcC|disagrees"):
+            parse_mp4(bytes(bad))
+        # stss naming a sample past the track
+        j = p.index(b"stss")
+        bad2 = bytearray(p)
+        bad2[j + 12 : j + 16] = (99).to_bytes(4, "big")  # first sync entry
+        with pytest.raises(ValueError, match="stss names sample 99"):
+            parse_mp4(bytes(bad2))
+        # avcC version byte
+        k = p.index(b"avcC")
+        bad3 = bytearray(p)
+        bad3[k + 4] = 2
+        with pytest.raises(ValueError, match="configurationVersion"):
+            parse_mp4(bytes(bad3))
+
+    def test_probe_cross_checks_stss_against_idr(self, spark):
+        import pandas as pd
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            probe_avc1_features,
+        )
+
+        p, _, _ = self._stream()
+        # lie in stss: claim sample 2 is sync (its NAL is non-IDR)
+        j = p.index(b"stss")
+        bad = bytearray(p)
+        bad[j + 16 : j + 20] = (2).to_bytes(4, "big")  # second entry 9 -> 2
+        sdf = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [bytes(bad)]})
+        )
+        with pytest.raises(Exception, match="disagrees with IDR"):
+            probe_avc1_features(sdf).collect()
+
+    def test_mm22_edge_docs(self, spark, tmp_path):
+        import pandas as pd
+
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        texts = ["", "q" * 32, "r" * (32 * 9 + 5)]
+        pd.DataFrame({"doc_id": range(3), "text": texts}).to_parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in all_queries()["mm22_avc1_route"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        }
+        assert rows[0]["n_samples"] == 0 and rows[0]["width"] is None
+        assert rows[1]["n_samples"] == 1 and rows[1]["n_sync"] == 1
+        assert rows[1]["payload_byte_sum"] == 32 * ord("q") + 1
+        assert rows[2]["n_samples"] == 9 and rows[2]["n_sync"] == 2
+        assert rows[2]["profile_idc"] == 66  # doc_id 2 is even
