@@ -4160,6 +4160,7 @@ def _encode_mp4_container(
     depth: int,
     entry_extension: bytes = b"",
     sync_samples: list[int] | None = None,
+    media: str = "video",
 ) -> bytes:
     """Shared ISO-BMFF mux: ftyp, mdat (samples chunked
     MP4_CHUNK_SAMPLES per chunk), moov/trak/mdia/minf/stbl with the
@@ -4238,18 +4239,33 @@ def _encode_mp4_container(
 
     # VisualSampleEntry (14496-12 §12.1.3): 6 reserved + dref idx,
     # 16 pre_defined/reserved, geometry, 72dpi, frame_count 1, name,
-    # depth (8 = grayscale 'raw ', 24 = color 'jpeg'), pre_defined -1
-    entry = (
-        b"\x00" * 6
-        + _struct.pack(">H", 1)
-        + b"\x00" * 16
-        + _struct.pack(">HH", width, height)
-        + _struct.pack(">II", 0x00480000, 0x00480000)
-        + b"\x00" * 4
-        + _struct.pack(">H", 1)
-        + b"\x00" * 32
-        + _struct.pack(">Hh", depth, -1)
-    )
+    # depth (8 = grayscale 'raw ', 24 = color 'jpeg'), pre_defined -1.
+    # AudioSampleEntry (§12.2.3): 6 reserved + dref idx, 8 reserved,
+    # channelcount, samplesize 16, pre_defined/reserved, rate 16.16 —
+    # for audio tracks ``width``/``height`` carry (channels, samplerate).
+    if media == "audio":
+        # the 16.16 legacy rate field tops out at 65535 Hz; higher rates
+        # (88.2k/96k) live only in the esds AudioSpecificConfig, the
+        # convention real muxers follow
+        entry = (
+            b"\x00" * 6
+            + _struct.pack(">H", 1)
+            + b"\x00" * 8
+            + _struct.pack(">HHHH", width, 16, 0, 0)  # channels, bits
+            + _struct.pack(">I", min(height, 0xFFFF) << 16)  # rate 16.16
+        )
+    else:
+        entry = (
+            b"\x00" * 6
+            + _struct.pack(">H", 1)
+            + b"\x00" * 16
+            + _struct.pack(">HH", width, height)
+            + _struct.pack(">II", 0x00480000, 0x00480000)
+            + b"\x00" * 4
+            + _struct.pack(">H", 1)
+            + b"\x00" * 32
+            + _struct.pack(">Hh", depth, -1)
+        )
     stsd = _mp4_full(
         b"stsd", 0, 0, _struct.pack(">I", 1) + _mp4_box(fmt, entry + entry_extension)
     )
@@ -4264,15 +4280,20 @@ def _encode_mp4_container(
         )
     stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
 
-    vmhd = _mp4_full(b"vmhd", 0, 1, _struct.pack(">HHHH", 0, 0, 0, 0))
+    if media == "audio":
+        mhd = _mp4_full(b"smhd", 0, 0, _struct.pack(">HH", 0, 0))
+        handler, hname = b"soun", b"SoundHandler\x00"
+    else:
+        mhd = _mp4_full(b"vmhd", 0, 1, _struct.pack(">HHHH", 0, 0, 0, 0))
+        handler, hname = b"vide", b"VideoHandler\x00"
     dref = _mp4_full(
         b"dref", 0, 0, _struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")
     )
     dinf = _mp4_box(b"dinf", dref)
-    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    minf = _mp4_box(b"minf", mhd + dinf + stbl)
 
     hdlr = _mp4_full(
-        b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00"
+        b"hdlr", 0, 0, b"\x00" * 4 + handler + b"\x00" * 12 + hname
     )
     mdhd = _mp4_full(
         b"mdhd",
@@ -4290,9 +4311,15 @@ def _encode_mp4_container(
         _struct.pack(">IIII", 0, 0, 1, 0)  # times, track_ID 1, reserved
         + _struct.pack(">I", total_ticks)
         + b"\x00" * 8
-        + _struct.pack(">hhhh", 0, 0, 0, 0)  # layer, group, volume, reserved
+        + _struct.pack(
+            ">hhhh", 0, 0, 0x0100 if media == "audio" else 0, 0
+        )  # layer, group, volume (1.0 for audio), reserved
         + _struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-        + _struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+        + (
+            b"\x00" * 8
+            if media == "audio"
+            else _struct.pack(">II", width << 16, height << 16)
+        ),  # 16.16 fixed
     )
     trak = _mp4_box(b"trak", tkhd + mdia)
 
@@ -4372,6 +4399,129 @@ def encode_mp4_avc1(
         entry_extension=_mp4_box(b"avcC", avcc),
         sync_samples=sync_samples,
     )
+
+
+# AAC sampling-frequency-index table (ISO 14496-3 §1.6.3.4)
+AAC_SAMPLE_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+
+
+def _mp4_descriptor(tag: int, payload: bytes) -> bytes:
+    """MPEG-4 systems descriptor with the 7-bit-continued length form
+    real muxers emit (14496-1 §8.3.3)."""
+    ln = len(payload)
+    size = bytearray()
+    size.append(ln & 0x7F)
+    ln >>= 7
+    while ln:
+        size.insert(0, 0x80 | (ln & 0x7F))
+        ln >>= 7
+    return bytes([tag]) + bytes(size) + payload
+
+
+def encode_mp4_aac(
+    frames: list[bytes],
+    object_type: int = 2,
+    freq_index: int = 3,
+    channels: int = 2,
+) -> bytes:
+    """Serialize opaque AAC access units as a REAL mp4a-in-MP4 audio
+    track: AudioSampleEntry + esds carrying the full descriptor chain
+    (ES_Descriptor -> DecoderConfigDescriptor(objectTypeIndication
+    0x40) -> DecoderSpecificInfo = AudioSpecificConfig with the 5-bit
+    audioObjectType / 4-bit samplingFrequencyIndex / 4-bit
+    channelConfiguration bit layout). Frame bytes are opaque — routing
+    needs the config, not the filterbank."""
+    if not (1 <= object_type <= 31):
+        raise ValueError(f"audioObjectType {object_type} out of the 5-bit range")
+    if not (0 <= freq_index < len(AAC_SAMPLE_RATES)):
+        raise ValueError(f"samplingFrequencyIndex {freq_index} out of range")
+    if not (1 <= channels <= 7):
+        raise ValueError(f"channelConfiguration {channels} out of range")
+    asc = bytes(
+        [
+            (object_type << 3) | (freq_index >> 1),
+            ((freq_index & 1) << 7) | (channels << 3),
+        ]
+    )
+    dcd = _mp4_descriptor(
+        0x04,
+        bytes([0x40, 0x15])  # objectTypeIndication MPEG-4 audio, streamType 5
+        + b"\x00\x00\x00"  # bufferSizeDB
+        + _struct.pack(">II", 0, 0)  # max/avg bitrate
+        + _mp4_descriptor(0x05, asc),
+    )
+    es = _mp4_descriptor(
+        0x03,
+        _struct.pack(">HB", 1, 0) + dcd + _mp4_descriptor(0x06, b"\x02"),
+    )
+    esds = _mp4_full(b"esds", 0, 0, es)
+    return _encode_mp4_container(
+        list(frames),
+        channels,
+        AAC_SAMPLE_RATES[freq_index],
+        fmt=b"mp4a",
+        depth=0,
+        entry_extension=esds,
+        media="audio",
+    )
+
+
+def _parse_esds(buf: bytes) -> dict:
+    """Parse an esds box body (after version/flags): descriptor chain to
+    the AudioSpecificConfig. Fails loudly on unknown tags, truncated
+    descriptors, or a reserved sampling-frequency index."""
+
+    def desc(pos: int) -> tuple[int, int, int]:
+        if pos >= len(buf):
+            raise ValueError("esds truncated at a descriptor tag")
+        tag = buf[pos]
+        pos += 1
+        ln = 0
+        for _ in range(4):
+            if pos >= len(buf):
+                raise ValueError("esds truncated inside a descriptor length")
+            b = buf[pos]
+            pos += 1
+            ln = (ln << 7) | (b & 0x7F)
+            if not b & 0x80:
+                break
+        else:
+            raise ValueError("descriptor length runs past 4 bytes")
+        return tag, ln, pos
+
+    tag, ln, pos = desc(0)
+    if tag != 0x03:
+        raise ValueError(f"esds must open with ES_Descriptor, got tag 0x{tag:02X}")
+    es_flags = buf[pos + 2]
+    if es_flags & 0xE0:
+        raise ValueError("ES_Descriptor optional fields not supported")
+    pos += 3
+    tag, ln, pos = desc(pos)
+    if tag != 0x04:
+        raise ValueError(f"expected DecoderConfigDescriptor, got tag 0x{tag:02X}")
+    oti = buf[pos]
+    pos += 13  # objectTypeIndication + streamType + bufferSize + bitrates
+    tag, ln, pos = desc(pos)
+    if tag != 0x05:
+        raise ValueError(f"expected DecoderSpecificInfo, got tag 0x{tag:02X}")
+    if ln < 2:
+        raise ValueError(f"AudioSpecificConfig is {ln} bytes (needs >= 2)")
+    b0, b1 = buf[pos], buf[pos + 1]
+    object_type = b0 >> 3
+    freq_index = ((b0 & 0x07) << 1) | (b1 >> 7)
+    channels = (b1 >> 3) & 0x0F
+    if freq_index >= len(AAC_SAMPLE_RATES):
+        raise ValueError(f"reserved samplingFrequencyIndex {freq_index}")
+    return {
+        "object_type_indication": oti,
+        "object_type": object_type,
+        "freq_index": freq_index,
+        "sampling_rate": AAC_SAMPLE_RATES[freq_index],
+        "channels": channels,
+    }
 
 
 def _parse_avcc(buf: bytes) -> dict:
@@ -4484,10 +4634,12 @@ def parse_mp4(payload: bytes) -> dict:
         raise ValueError(f"expected exactly one moov box, found {len(moov)}")
     mb, me = moov[0]
 
-    # find the VIDEO track: real muxes often list audio first, so walk
-    # every trak and pick the first whose hdlr handler is 'vide'
+    # find the VIDEO track (real muxes often list audio first); an
+    # audio-only file falls back to its first 'soun' track (mp4a
+    # routing — mm23)
     handlers = []
     mdb = mde = None
+    audio = None
     for btype, tb, te in _mp4_boxes(payload, mb, me):
         if btype != b"trak":
             continue
@@ -4499,8 +4651,14 @@ def parse_mp4(payload: bytes) -> dict:
         if handler == b"vide":
             mdb, mde = cand_mdb, cand_mde
             break
+        if handler == b"soun" and audio is None:
+            audio = (cand_mdb, cand_mde)
+    if mdb is None and audio is not None:
+        mdb, mde = audio
     if mdb is None:
-        raise ValueError(f"no video track in moov (track handlers: {handlers!r})")
+        raise ValueError(
+            f"no video or audio track in moov (track handlers: {handlers!r})"
+        )
 
     # mdhd: timescale + duration (version 0: 32-bit fields, 1: 64-bit)
     hb, he = _mp4_child(payload, mdb, mde, b"mdhd", "mdia")
@@ -4532,14 +4690,45 @@ def parse_mp4(payload: bytes) -> dict:
     if not entries:
         raise ValueError("stsd declares entries but its body holds none")
     fmt, eb, ee = entries[0]
-    if fmt not in (b"raw ", b"jpeg", b"avc1"):
+    if fmt not in (b"raw ", b"jpeg", b"avc1", b"mp4a"):
         raise NotImplementedError(
             f"compressed sample entry '{fmt.decode('latin1')}' requires a "
-            "codec library; 'raw ' and MJPEG 'jpeg' decode here, 'avc1' "
-            "demuxes + routes (avcC/SPS metadata) without pixel decode"
+            "codec library; 'raw ' and MJPEG 'jpeg' decode here, 'avc1'/"
+            "'mp4a' demux + route (avcC / esds metadata) without "
+            "filterbank or pixel decode"
         )
-    width = int.from_bytes(payload[eb + 24 : eb + 26], "big")
-    height = int.from_bytes(payload[eb + 26 : eb + 28], "big")
+    audio_cfg = None
+    if fmt == b"mp4a":
+        # AudioSampleEntry layout: channels at +16, 16.16 rate at +24
+        width = 0
+        height = 0
+        entry_channels = int.from_bytes(payload[eb + 16 : eb + 18], "big")
+        entry_rate = int.from_bytes(payload[eb + 24 : eb + 26], "big")
+        ext = {t: (b, e) for t, b, e in _mp4_boxes(payload, eb + 28, ee)}
+        if b"esds" not in ext:
+            raise ValueError("mp4a sample entry carries no esds record")
+        cb, ce = ext[b"esds"]
+        _, _, p = _mp4_fullbox(payload, cb)
+        audio_cfg = _parse_esds(payload[p:ce])
+        if audio_cfg["channels"] != entry_channels:
+            raise ValueError(
+                f"sample-entry channel count {entry_channels} disagrees "
+                f"with the AudioSpecificConfig ({audio_cfg['channels']})"
+            )
+        # the legacy 16.16 field saturates at 65535 Hz — cross-check
+        # only rates it can actually represent (above that the esds
+        # config is the sole authority, per real-muxer convention)
+        if (
+            audio_cfg["sampling_rate"] <= 0xFFFF
+            and audio_cfg["sampling_rate"] != entry_rate
+        ):
+            raise ValueError(
+                f"sample-entry rate {entry_rate} disagrees with the "
+                f"AudioSpecificConfig ({audio_cfg['sampling_rate']})"
+            )
+    else:
+        width = int.from_bytes(payload[eb + 24 : eb + 26], "big")
+        height = int.from_bytes(payload[eb + 26 : eb + 28], "big")
     avcc = None
     if fmt == b"avc1":
         # the VisualSampleEntry fixed prefix is 78 bytes; child boxes
@@ -4688,7 +4877,9 @@ def parse_mp4(payload: bytes) -> dict:
         "duration": duration,
         "n_samples": n_samples,
         "durations": durations,
-        "codec": {b"raw ": "raw", b"jpeg": "jpeg", b"avc1": "avc1"}[fmt],
+        "codec": {b"raw ": "raw", b"jpeg": "jpeg", b"avc1": "avc1", b"mp4a": "mp4a"}[
+            fmt
+        ],
         "sync_samples": sync_samples,
     }
     if fmt == b"raw ":
@@ -4697,10 +4888,12 @@ def parse_mp4(payload: bytes) -> dict:
             np.vstack(frames) if frames else np.empty((0, per), dtype=np.uint8)
         )
     else:
-        # MJPEG/AVC: per-sample byte payloads are ragged — hand back slices
+        # MJPEG/AVC/AAC: per-sample byte payloads are ragged — hand back slices
         out["samples"] = [f.tobytes() for f in frames]
         if avcc is not None:
             out["avcc"] = avcc
+        if audio_cfg is not None:
+            out["audio"] = audio_cfg
     return out
 
 
@@ -5568,3 +5761,96 @@ def probe_avc1_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AVC1_FEATURE_SCHEMA.fields])
 
     return df.select(id_col, "payload").mapInPandas(feats, AVC1_FEATURE_SCHEMA)
+
+
+# ===========================================================================
+# mp4a/AAC-in-MP4 routing (mm23) — the AUDIO leg of the container
+# routing pair (mm22 is video): a real speech/music corpus ships AAC
+# in MP4, and routing it (by sample rate, channel layout, object type,
+# duration) needs the esds descriptor chain, not the filterbank. The
+# AudioSpecificConfig's packed bit fields are cross-checked against
+# the AudioSampleEntry's own channel/rate fields — a container whose
+# two layers disagree fails loudly. Frame decode stays out of scope.
+# ===========================================================================
+
+AAC_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("object_type", LongType(), True),
+        StructField("sampling_rate", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("n_samples", LongType(), False),
+        StructField("payload_byte_sum", LongType(), True),
+    ]
+)
+
+# doc_id % 3 -> samplingFrequencyIndex (48000 / 44100 / 16000)
+AAC_SYNTH_FREQ_INDEX = (3, 4, 8)
+
+
+def with_aac_mp4_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic mp4a-in-MP4 file per row: one opaque
+    32-byte access unit per 32 document bytes, AudioSpecificConfig
+    fields derived from doc_id (object type 2/5, rate 48000/44100/16000,
+    channels 1/2) so the oracle recomputes them arithmetically. Docs
+    shorter than one frame carry NULL."""
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), True)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = []
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                raw = t.encode("utf-8")
+                ns = len(raw) // 32
+                if ns == 0:
+                    payloads.append(None)
+                    continue
+                frames = [raw[i * 32 : (i + 1) * 32] for i in range(ns)]
+                payloads.append(
+                    encode_mp4_aac(
+                        frames,
+                        object_type=2 + 3 * (int(doc_id) % 2),
+                        freq_index=AAC_SYNTH_FREQ_INDEX[int(doc_id) % 3],
+                        channels=1 + int(doc_id) % 2,
+                    )
+                )
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("audio/mp4"))
+
+
+def probe_aac_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Route each mp4a-in-MP4 payload through the real demux + esds
+    descriptor-chain parse (AudioSpecificConfig bit fields cross-checked
+    against the sample entry) and sum the sliced access-unit bytes —
+    one Arrow pass, zero shuffles, no filterbank decode."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    rows.append((int(doc_id), None, None, None, 0, None))
+                    continue
+                v = parse_mp4(bytes(payload))
+                if v["codec"] != "mp4a":
+                    raise ValueError(f"doc {doc_id}: expected mp4a, got {v['codec']}")
+                a = v["audio"]
+                rows.append(
+                    (
+                        int(doc_id),
+                        a["object_type"],
+                        a["sampling_rate"],
+                        a["channels"],
+                        v["n_samples"],
+                        sum(sum(s) for s in v["samples"]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AAC_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, "payload").mapInPandas(feats, AAC_FEATURE_SCHEMA)

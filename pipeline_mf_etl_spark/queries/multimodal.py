@@ -1543,3 +1543,59 @@ def mm22_avc1_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sync",
         "payload_byte_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm23: mp4a/AAC-in-MP4 routing — the AUDIO leg of the container pair
+# (mm22 routes video). The esds descriptor chain (ES_Descriptor ->
+# DecoderConfigDescriptor -> AudioSpecificConfig) is parsed bit-for-bit
+# and cross-checked against the AudioSampleEntry's own channel/rate
+# fields; access-unit slicing through the sample table is certified by
+# the byte sum. Filterbank decode stays out of scope, loudly.
+# ---------------------------------------------------------------------------
+@query(
+    "mm23_aac_route",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) // 32 AS ns
+        FROM documents
+    ), chars AS (
+        SELECT g.doc_id, ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+        FROM geo g, UNNEST(range(1, CAST(g.ns * 32 + 1 AS BIGINT))) AS t(i)
+    ), agg AS (
+        SELECT doc_id, SUM(byte) AS sb FROM chars GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(CASE WHEN g.ns > 0 THEN 2 + 3 * (g.doc_id % 2) END AS BIGINT) AS object_type,
+           CAST(CASE WHEN g.ns > 0 THEN
+                CASE g.doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 16000 END
+                END AS BIGINT) AS sampling_rate,
+           CAST(CASE WHEN g.ns > 0 THEN 1 + g.doc_id % 2 END AS BIGINT) AS channels,
+           CAST(g.ns AS BIGINT) AS n_samples,
+           CAST(a.sb AS BIGINT) AS payload_byte_sum
+    FROM geo g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm23_aac_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing metadata per synthesized mp4a-in-MP4 file: box-tree
+    demux to the audio track, esds descriptor-chain parse
+    (AudioSpecificConfig bit fields: 5-bit object type, 4-bit
+    frequency index, 4-bit channel configuration), entry/config
+    cross-validation, and the access-unit byte sum certifying sample
+    slicing. Oracle recomputes everything from the characters.
+    Map-only plan, zero shuffles, no filterbank decode."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        probe_aac_features,
+        with_aac_mp4_payload,
+    )
+
+    docs = with_aac_mp4_payload(load_table(spark, sf_dir, "documents"))
+    feats = probe_aac_features(docs)
+    return feats.select(
+        "doc_id",
+        "object_type",
+        "sampling_rate",
+        "channels",
+        "n_samples",
+        "payload_byte_sum",
+    )

@@ -28,13 +28,11 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 
 # Modules that register queries on import. Order matters: the driver's
 # correctness harness certifies the first 50 registered queries; the
-# _PRIORITY tuple below pins the ROUND-8 window exactly (see its section
-# comments). OUTSIDE the round-8 window (all green r6/r7 on code
-# untouched this round): the r7 window (retrieval/graph/BPE/PCA/
-# sampling/multimodal/streaming promotions), the dedup/similarity/text/
-# corpus families certified in r6, and the ML fit family — rotate back
-# in next round any of those whose files change, plus whatever round 8
-# adds.
+# _PRIORITY tuple below pins the ROUND-10 window exactly (see its
+# section comments). OUTSIDE the round-10 window (all green r7/r8/r9 on
+# code untouched this round): the r8 and r9 windows — rotate back in
+# next round any of those whose files change, plus whatever round 11
+# adds (the r7 tranche a15/a16b/a17b/a18b leads that rotation).
 # NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
 # so keep backtest ahead of viewer in this list (otherwise backtest's
 # queries register mid-viewer-import and the fill order shifts).
@@ -64,23 +62,25 @@ _QUERY_MODULES = (
 )
 
 # ROUND-10 WINDOW (the r9 verdict's ranked task 1): new/edited r10
-# code first — the GIF LZW EOI-width fix touches mm19, stereo ADPCM
-# touches mm18, the env-cap removal touches d2, the PNG color/Adam7
-# generalization touches mm12 and adds mm12b, the two skew variants
-# (w21 segmented / w23 min_by) register for the first time under their
-# parents' oracles, and promote_manifest gains optional compaction
-# touching i5 — then ALL 34 r6-stale rows (the oldest oracled
-# certifications: streaming st1/st3-st8, the ML fit family, o9-o13,
-# f1/f2, mm5-mm7, v4, the t-family stragglers, w3, a18) plus the 3
-# r3 no-oracle rows (a16/a17/o4 — rows-only by design, their exact
-# twins re-certify in the same window), filled to 50 with the oldest
-# r7 rows (the salted/rollup/exact-twin agg family). After r10 the
-# oldest oracled certification is r7. Rotated out (green r8/r9, code
-# untouched): the r9 window.
+# code first — the NEW codec-routing trio (mm21 H.264 Annex-B probe,
+# mm22 avc1-in-MP4, mm23 mp4a/AAC-in-MP4) plus mm14's re-cert after
+# parse_mp4 grew avc1/mp4a/stss support, the GIF LZW EOI-width fix
+# (mm19), stereo ADPCM (mm18), the env-cap removal (d2), the PNG
+# color/Adam7 generalization (mm12 + new mm12b), the two skew variants
+# (w21 segmented / w23 min_by) registering for the first time under
+# their parents' oracles, and promote_manifest's optional compaction
+# (i5) — then ALL 34 r6-stale rows (the oldest oracled certifications:
+# streaming st1/st3-st8, the ML fit family, o9-o13, f1/f2, mm5-mm7,
+# v4, the t-family stragglers, w3, a18) plus the 3 r3 no-oracle rows
+# (a16/a17/o4 — rows-only by design, their exact twins re-certify in
+# the same window), filled to exactly 50 with the oldest r7 row. After
+# r10 the oldest oracled certification is r7. Rotated out (green
+# r8/r9, code untouched): the r9 window.
 _PRIORITY = (
     # --- (1) round-10 new/edited code needing (re-)certification ---
     "mm21_h264_probe",
     "mm22_avc1_route",
+    "mm23_aac_route",
     "mm14_mp4_demux",
     "mm19_gif_decode",
     "mm18_adpcm_decode",
@@ -135,7 +135,6 @@ _PRIORITY = (
     # grew avc1+stss; they lead the r11 rotation with the rest of the
     # r7 tranche) ---
     "a14_salted_skew_agg",
-    "a15_rollup",
 )
 
 

@@ -881,14 +881,16 @@ class TestMp4Demux:
         )
         v = parse_mp4(spliced)
         assert v["n_samples"] == 2 and np.array_equal(v["frames"], fr)
-        # and a moov with ONLY the audio trak fails loudly, naming it
+        # a moov with ONLY the audio trak is now ATTEMPTED (mp4a routing,
+        # r10) — this degenerate trak has no minf, so it fails loudly at
+        # the first missing box instead of being skipped silently
         only_audio = (
             good[: m - 4]
             + struct.pack(">I", 8 + len(audio_trak))
             + good[m : m + 4]
             + audio_trak
         )
-        with pytest.raises(ValueError, match="soun"):
+        with pytest.raises(ValueError, match="minf"):
             parse_mp4(only_audio)
 
     def test_compressed_sample_entry_gate(self):
@@ -2151,3 +2153,79 @@ class TestAvc1Route:
         assert rows[1]["payload_byte_sum"] == 32 * ord("q") + 1
         assert rows[2]["n_samples"] == 9 and rows[2]["n_sync"] == 2
         assert rows[2]["profile_idc"] == 66  # doc_id 2 is even
+
+
+class TestAacRoute:
+    def test_mux_demux_round_trip_all_fields(self):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            AAC_SAMPLE_RATES,
+            encode_mp4_aac,
+            parse_mp4,
+        )
+
+        for aot, fi, ch in ((2, 3, 2), (5, 8, 1), (29, 12, 7), (2, 0, 1)):
+            frames = [bytes([i + 10] * 32) for i in range(5)]
+            v = parse_mp4(encode_mp4_aac(frames, aot, fi, ch))
+            a = v["audio"]
+            assert v["codec"] == "mp4a" and v["n_samples"] == 5
+            assert (a["object_type"], a["channels"]) == (aot, ch)
+            assert a["sampling_rate"] == AAC_SAMPLE_RATES[fi]
+            assert [bytes(s) for s in v["samples"]] == frames
+
+    def test_video_track_still_preferred_over_audio(self):
+        # a file with BOTH tracks must route to the video one (the
+        # pre-mm23 behavior real muxes rely on)
+        import numpy as np
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_mp4,
+            parse_mp4,
+        )
+
+        fr = np.arange(128, dtype=np.uint8).reshape(2, 64)
+        v = parse_mp4(encode_mp4(fr, 8, 8))
+        assert v["codec"] == "raw"
+
+    def test_malformed_esds_fails_loudly(self):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_mp4_aac,
+            parse_mp4,
+        )
+
+        good = encode_mp4_aac([bytes(32)], 2, 3, 2)
+        # entry channels disagree with the AudioSpecificConfig
+        i = good.index(b"mp4a")
+        bad = bytearray(good)
+        bad[i + 4 + 16 : i + 4 + 18] = (5).to_bytes(2, "big")
+        with pytest.raises(ValueError, match="channel count 5 disagrees"):
+            parse_mp4(bytes(bad))
+        # esds opening with the wrong descriptor tag
+        j = good.index(b"esds")
+        bad2 = bytearray(good)
+        bad2[j + 8] = 0x04  # ES_Descriptor tag -> DecoderConfig tag
+        with pytest.raises(ValueError, match="must open with ES_Descriptor"):
+            parse_mp4(bytes(bad2))
+        # reserved sampling-frequency index rejected at encode
+        with pytest.raises(ValueError, match="samplingFrequencyIndex"):
+            encode_mp4_aac([bytes(32)], 2, 14, 2)
+
+    def test_mm23_edge_docs(self, spark, tmp_path):
+        import pandas as pd
+
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        texts = ["", "a" * 33, "b" * 96]
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": texts}).to_parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in all_queries()["mm23_aac_route"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        }
+        assert rows[0]["n_samples"] == 0 and rows[0]["sampling_rate"] is None
+        assert rows[1]["n_samples"] == 1 and rows[1]["object_type"] == 5
+        assert rows[1]["sampling_rate"] == 44100 and rows[1]["channels"] == 2
+        assert rows[2]["n_samples"] == 3 and rows[2]["sampling_rate"] == 16000
+        assert rows[2]["payload_byte_sum"] == 96 * ord("b")
