@@ -58,6 +58,7 @@ HEADLINE = (
     "mm21_h264_probe",        # H.264 NAL walk + SPS parse routing probe
     "mm22_avc1_route",        # avc1-in-MP4 demux + avcC/stss routing
     "mm23_aac_route",         # mp4a/AAC-in-MP4 esds audio routing
+    "mm24_hevc_route",        # hvc1/HEVC-in-MP4 hvcC routing
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the

@@ -1599,3 +1599,71 @@ def mm23_aac_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         "payload_byte_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm24: hvc1/HEVC-in-MP4 routing — the #2 codec of a real video corpus,
+# completing the routing matrix (Annex-B H.264 / avc1 / mp4a / hvc1).
+# HEVC's metadata layer is genuinely different: 2-byte NAL headers,
+# the profile_tier_level structure (tier flag, 32 compatibility bits,
+# 43 reserved bits), luma-sample geometry with a CHROMA-unit
+# conformance window, and the binary hvcC record whose header PTL is
+# cross-checked against its own SPS. IRAP placement cross-validated
+# against stss; escape certification via the planted marker byte sum.
+# ---------------------------------------------------------------------------
+@query(
+    "mm24_hevc_route",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text, length(text) AS len, length(text) // 32 AS ns
+        FROM documents
+    ), chars AS (
+        SELECT g.doc_id, ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+        FROM geo g, UNNEST(range(1, CAST(g.ns * 32 + 1 AS BIGINT))) AS t(i)
+    ), agg AS (
+        SELECT doc_id, SUM(byte) AS sb FROM chars GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(CASE WHEN g.ns > 0 THEN 1 + g.doc_id % 2 END AS BIGINT) AS profile_idc,
+           CAST(CASE WHEN g.ns > 0 THEN g.doc_id % 2 END AS BIGINT) AS tier,
+           CAST(CASE WHEN g.ns > 0 THEN
+                CASE g.doc_id % 3 WHEN 0 THEN 93 WHEN 1 THEN 120 ELSE 150 END
+                END AS BIGINT) AS level_idc,
+           CAST(CASE WHEN g.ns > 0
+                THEN 16 * (1 + g.len % 40) - 2 * (ord(substr(g.text, 1, 1)) % 2)
+                END AS BIGINT) AS width,
+           CAST(CASE WHEN g.ns > 0
+                THEN 16 * (1 + (g.len // 7) % 30) - 2 * (ord(substr(g.text, 2, 1)) % 2)
+                END AS BIGINT) AS height,
+           CAST(g.ns AS BIGINT) AS n_samples,
+           CAST((g.ns + 7) // 8 AS BIGINT) AS n_sync,
+           CAST(CASE WHEN g.ns > 0 THEN a.sb + g.ns END AS BIGINT) AS payload_byte_sum
+    FROM geo g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm24_hevc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing metadata per synthesized hvc1-in-MP4 file: box-tree
+    demux, hvcC record parse (header profile/tier/level cross-checked
+    against the embedded SPS, geometry against the sample entry),
+    per-sample 2-byte-header NAL walk with unescape and IRAP-vs-stss
+    cross-validation, and the byte sum certifying the escape round
+    trip. Oracle recomputes everything from the characters. Map-only
+    plan, zero shuffles, no pixel decode anywhere."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        probe_hevc_features,
+        with_hevc_mp4_payload,
+    )
+
+    docs = with_hevc_mp4_payload(load_table(spark, sf_dir, "documents"))
+    feats = probe_hevc_features(docs)
+    return feats.select(
+        "doc_id",
+        "profile_idc",
+        "tier",
+        "level_idc",
+        "width",
+        "height",
+        "n_samples",
+        "n_sync",
+        "payload_byte_sum",
+    )

@@ -81,6 +81,7 @@ _PRIORITY = (
     "mm21_h264_probe",
     "mm22_avc1_route",
     "mm23_aac_route",
+    "mm24_hevc_route",
     "mm14_mp4_demux",
     "mm19_gif_decode",
     "mm18_adpcm_decode",
@@ -129,12 +130,10 @@ _PRIORITY = (
     "a16_approx_quantiles",
     "a17_heavy_hitters",
     "o4_seeded_sample",
-    # --- (4) fill to 50 with the oldest r7 rows (a18b/a16b/a17b, all
-    # certified r7, ceded their slots to the new mm21 Annex-B probe,
-    # the new mm22 avc1 router, and mm14's re-cert after parse_mp4
-    # grew avc1+stss; they lead the r11 rotation with the rest of the
-    # r7 tranche) ---
-    "a14_salted_skew_agg",
+    # --- (4) the r7 fillers (a14/a15/a16b/a17b/a18b, all certified r7)
+    # ceded their slots to the new codec-routing family (mm21 Annex-B,
+    # mm22 avc1, mm23 mp4a, mm24 hvc1) and mm14's re-cert after
+    # parse_mp4 grew avc1/hvc1/mp4a/stss; they lead the r11 rotation ---
 )
 
 

@@ -903,13 +903,15 @@ class TestMp4Demux:
         )
 
         good = encode_mp4(np.zeros((2, 64), dtype=np.uint8), 8, 8)
-        # truly-compressed entries (hvc1) still gate loudly...
-        with pytest.raises(NotImplementedError, match="hvc1"):
-            parse_mp4(good.replace(b"raw ", b"hvc1", 1))
-        # ...while avc1 demuxes+routes since r10 — but only with a real
-        # avcC record; a bare relabel fails loudly at that check
+        # truly-compressed entries (vp09) still gate loudly...
+        with pytest.raises(NotImplementedError, match="vp09"):
+            parse_mp4(good.replace(b"raw ", b"vp09", 1))
+        # ...while avc1/hvc1 demux+route since r10 — but only with real
+        # config records; a bare relabel fails loudly at that check
         with pytest.raises(ValueError, match="no avcC"):
             parse_mp4(good.replace(b"raw ", b"avc1", 1))
+        with pytest.raises(ValueError, match="no hvcC"):
+            parse_mp4(good.replace(b"raw ", b"hvc1", 1))
 
     def test_decode_media_dispatches_mp4(self):
         import numpy as np
@@ -1241,10 +1243,10 @@ class TestMjpegMp4:
             128,
             32,
         )
-        # a compressed codec that is NOT in the decodable set still
-        # raises at the stsd gate
-        with pytest.raises(NotImplementedError, match="hvc1"):
-            parse_mp4(good.replace(b"jpeg", b"hvc1", 1))
+        # a compressed codec that is NOT in the decodable/routable set
+        # still raises at the stsd gate
+        with pytest.raises(NotImplementedError, match="vp09"):
+            parse_mp4(good.replace(b"jpeg", b"vp09", 1))
 
     def test_mm15_edge_docs(self, spark, tmp_path):
         import pandas as pd
@@ -2229,3 +2231,100 @@ class TestAacRoute:
         assert rows[1]["sampling_rate"] == 44100 and rows[1]["channels"] == 2
         assert rows[2]["n_samples"] == 3 and rows[2]["sampling_rate"] == 16000
         assert rows[2]["payload_byte_sum"] == 96 * ord("b")
+
+
+class TestHevcRoute:
+    def test_sps_round_trip_fields(self):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_hevc_sps,
+            parse_hevc_sps,
+        )
+
+        for prof, tier, lev, pw, ph, cr, cb in (
+            (1, 0, 93, 640, 368, 0, 0),
+            (2, 1, 120, 16, 16, 1, 1),
+            (1, 0, 150, 1920, 1080, 3, 2),
+        ):
+            v = parse_hevc_sps(encode_hevc_sps(prof, tier, lev, pw, ph, cr, cb))
+            assert (v["profile_idc"], v["tier"], v["level_idc"]) == (prof, tier, lev)
+            # conformance window offsets are in CHROMA units (x2 for 4:2:0)
+            assert v["width"] == pw - 2 * cr and v["height"] == ph - 2 * cb
+
+    def _stream(self, n=11, **sps):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            _H264_SLICE_MARKER,
+            _h264_escape,
+            _hevc_nal,
+            HEVC_NAL_IDR_W_RADL,
+            HEVC_NAL_TRAIL_R,
+            encode_mp4_hevc,
+        )
+
+        args = dict(profile_idc=2, tier=1, level_idc=120, pic_width=80,
+                    pic_height=48, conf_right=1, conf_bottom=1)
+        args.update(sps)
+        blocks = [bytes([60 + i] * 32) for i in range(n)]
+        nals = []
+        for i, b in enumerate(blocks):
+            t = HEVC_NAL_IDR_W_RADL if i % 8 == 0 else HEVC_NAL_TRAIL_R
+            nals.append([_hevc_nal(t, _h264_escape(_H264_SLICE_MARKER + b))])
+        sync = [i + 1 for i in range(n) if i % 8 == 0]
+        return encode_mp4_hevc(nals, args, sync), blocks, sync
+
+    def test_mux_demux_round_trip(self):
+        from pipeline_mf_etl_spark.operators.multimodal import parse_mp4
+
+        p, blocks, sync = self._stream()
+        v = parse_mp4(p)
+        assert v["codec"] == "hvc1" and v["n_samples"] == 11
+        assert v["sync_samples"] == sync == [1, 9]
+        assert (v["width"], v["height"]) == (78, 46)
+        cfg = v["hvcc"]
+        assert (cfg["profile_idc"], cfg["tier"], cfg["level_idc"]) == (2, 1, 120)
+        assert cfg["length_size"] == 4
+
+    def test_malformed_hevc_fails_loudly(self):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_hevc_sps,
+            parse_hevc_sps,
+            parse_mp4,
+        )
+
+        p, _, _ = self._stream()
+        # hvcC header PTL disagreeing with its own SPS
+        k = p.index(b"hvcC")
+        bad = bytearray(p)
+        bad[k + 4 + 12] = 93  # header level_idc 120 -> 93; SPS still says 120
+        with pytest.raises(ValueError, match="disagrees with its"):
+            parse_mp4(bytes(bad))
+        # reserved-43-bits corruption in the SPS PTL
+        sps = bytearray(encode_hevc_sps(1, 0, 93, 64, 64))
+        sps[7] |= 0x01  # inside general_reserved_zero_43bits
+        with pytest.raises(ValueError, match="reserved_zero_43bits"):
+            parse_hevc_sps(bytes(sps))
+        # multi-sub-layer SPS gates loudly
+        multi = bytearray(encode_hevc_sps(1, 0, 93, 64, 64))
+        multi[0] |= 0x02  # sps_max_sub_layers_minus1 0 -> 1
+        with pytest.raises(NotImplementedError, match="sub-layer"):
+            parse_hevc_sps(bytes(multi))
+
+    def test_mm24_edge_docs(self, spark, tmp_path):
+        import pandas as pd
+
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        texts = ["", "m" * 32, "n" * (32 * 10)]
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": texts}).to_parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in all_queries()["mm24_hevc_route"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        }
+        assert rows[0]["n_samples"] == 0 and rows[0]["tier"] is None
+        assert rows[1]["profile_idc"] == 2 and rows[1]["tier"] == 1
+        assert rows[1]["level_idc"] == 120
+        assert rows[2]["n_samples"] == 10 and rows[2]["n_sync"] == 2
+        assert rows[2]["payload_byte_sum"] == 320 * ord("n") + 10
