@@ -376,22 +376,36 @@ def _escape_html_text(text: str) -> str:
     return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
+#: The synthetic page as a TOKEN TEMPLATE — the single source three
+#: consumers assemble from so they can never drift: ``synth_html_page``
+#: (Python), the t15/c1 Spark ``F.concat`` builder, and the DuckDB
+#: ``||`` oracle fragment (queries/corpus_ingest.py). Markers: "ID" =
+#: str(doc_id), "ID1" = str(doc_id + 1), "TEXT" = entity-escaped text;
+#: everything else is a literal.
+HTML_PAGE_TEMPLATE: tuple[str, ...] = (
+    "<!DOCTYPE html>\n<html>\n<head>\n<title>doc ",
+    "ID",
+    "</title>\n<script type=\"text/javascript\">var n = 1 < 2 && 3 > 2;"
+    "</script>\n<style>p { margin: 0; }</style>\n</head>\n"
+    "<body>\n<!-- crawler synthetic capture -->\n<h1>Document &#35;",
+    "ID",
+    "</h1>\n<p>",
+    "TEXT",
+    "</p>\n<a href=\"https://corpus.example/doc/",
+    "ID1",
+    "\">next</a>\n</body>\n</html>\n",
+)
+_MARKERS = ("ID", "ID1", "TEXT")
+
+
 def synth_html_page(doc_id: int, text: str) -> str:
     """The HTML page a crawl would have captured for this document:
     head noise (title/script/style), the text in a <p> with markup
     characters entity-escaped, a comment and a link so stripping has
-    real work to do. Deterministic in (doc_id, text)."""
-    return (
-        "<!DOCTYPE html>\n"
-        f"<html>\n<head>\n<title>doc {doc_id}</title>\n"
-        "<script type=\"text/javascript\">var n = 1 < 2 && 3 > 2;</script>\n"
-        "<style>p { margin: 0; }</style>\n</head>\n"
-        "<body>\n<!-- crawler synthetic capture -->\n"
-        f"<h1>Document &#35;{doc_id}</h1>\n"
-        f"<p>{_escape_html_text(text)}</p>\n"
-        f"<a href=\"https://corpus.example/doc/{doc_id + 1}\">next</a>\n"
-        "</body>\n</html>\n"
-    )
+    real work to do. Deterministic in (doc_id, text); assembled from
+    HTML_PAGE_TEMPLATE (the Spark/SQL builders share it)."""
+    subst = {"ID": str(doc_id), "ID1": str(doc_id + 1), "TEXT": _escape_html_text(text)}
+    return "".join(subst.get(tok, tok) for tok in HTML_PAGE_TEMPLATE)
 
 
 def synth_warc_gz(doc_id: int, text: str) -> bytes:

@@ -1,0 +1,71 @@
+"""Pre-certification of the r11-pending corpus-ingestion queries
+(c1/t15/wd1): full oracle parity at the driver's correctness scale plus
+the plan-shape contracts. When round 11 registers them, the driver
+check should be a formality — this file already runs the exact compare."""
+
+from __future__ import annotations
+
+from tests.conftest import canonical_rows
+
+from pipeline_mf_etl_spark.queries.corpus_ingest import PENDING_QUERIES
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def _compare(spark, duck, name):
+    fn, oracle = PENDING_QUERIES[name]
+    sdf = fn(spark, SF_ORACLE)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(oracle)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols), name
+    assert len(srows) == len(drows), name
+    assert canonical_rows(srows, sdf.columns) == canonical_rows(drows, dcols), name
+    return len(srows)
+
+
+def test_c1_warc_extract_matches_oracle(spark, duck):
+    assert _compare(spark, duck, "c1_warc_extract") == 500
+
+
+def test_t15_html_extract_matches_oracle(spark, duck):
+    assert _compare(spark, duck, "t15_html_extract") == 500
+
+
+def test_wd1_webdataset_roundtrip_matches_oracle(spark, duck):
+    assert _compare(spark, duck, "wd1_webdataset_roundtrip") > 0
+
+
+def test_t15_plan_is_pure_jvm_projection(spark):
+    """The boilerplate strip must stay whole-stage-codegen'd column
+    algebra: no Python evaluation, no exchange."""
+    fn, _ = PENDING_QUERIES["t15_html_extract"]
+    plan = fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.lstrip().startswith("*(")  # codegen'd projection stage
+
+
+def test_c1_plan_is_single_map_pass(spark):
+    fn, _ = PENDING_QUERIES["c1_warc_extract"]
+    plan = fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_wd1_plan_has_exactly_two_exchanges(spark):
+    """One for the shard build groupBy, one for the stats groupBy —
+    anything more means the loader side grew a shuffle it must not have."""
+    fn, _ = PENDING_QUERIES["wd1_webdataset_roundtrip"]
+    plan = fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2
+
+
+def test_pending_queries_not_registered_yet():
+    """Until their r11 window slots exist, these names must stay OUT of
+    the registry (the backlog invariant would otherwise fire — see
+    tests/test_registry.py)."""
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    registered = set(all_queries())
+    assert not (set(PENDING_QUERIES) & registered)
