@@ -13,10 +13,11 @@ import this module from registry._QUERY_MODULES, move PENDING_* into
 
 Plan shapes (asserted in tests):
 - c1: synthesis + gzip/WARC/HTTP/HTML extraction in ONE Arrow map pass —
-  zero exchanges before the final projection.
-- t15: pure JVM column algebra (concat + regexp chain) — zero Python,
-  zero exchanges; the 100-TB boilerplate-strip plan.
-- wd1: exactly TWO exchanges (the shard groupBy build + the stats
+  no data-dependent shuffle, only the small-input fan-out (a no-op at
+  production split counts; see readers.fan_out).
+- t15: pure JVM column algebra (concat + regexp chain) — zero Python;
+  staged selects keep each regex chain evaluated once.
+- wd1: exactly TWO hash exchanges (the shard groupBy build + the stats
   groupBy), explode side map-only.
 """
 
@@ -33,7 +34,7 @@ from pipeline_mf_etl_spark.operators.html import (
     html_to_text_column,
     html_to_text_sql,
 )
-from pipeline_mf_etl_spark.sources.readers import load_table
+from pipeline_mf_etl_spark.sources.readers import fan_out, load_table
 from pipeline_mf_etl_spark.sources.warc import (
     HTML_PAGE_TEMPLATE,
     extract_warc_documents,
@@ -101,7 +102,7 @@ def c1_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (de-chunk + inflate), HTML boilerplate strip — in ONE Arrow map
     pipeline. The oracle reconstructs every field from the characters
     (the synthesis is invertible), certifying all four layers at once."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     ext = extract_warc_documents(with_warc_payload(docs))
     return ext.select(
         "doc_id",
@@ -145,18 +146,31 @@ def t15_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The boilerplate-strip pass alone, Python-free: build the page
     with JVM concat, strip with the JVM regexp chain, emit the routing
     features curation filters on (title, link count, shrink ratio).
-    Zero exchanges, zero Python — the shape this runs at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
-    page = html_page_column(F.col("doc_id"), F.col("text"))
-    stripped = html_to_text_column(page)
-    return docs.select(
+    Zero Python — the shape this runs at 100 TB.
+
+    Staged selects on purpose: inlining ``page``/``stripped`` into
+    every output column put 44 regexp_replace nodes in the plan (the
+    12-regex chain duplicated per consumer — runtime subexpression
+    elimination only partially collapses them; measured ~35% slower).
+    The staged form keeps one evaluation of each (16 plan nodes)
+    because CollapseProject refuses to inline non-cheap expressions
+    referenced more than once."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    staged = docs.select(
         "doc_id",
         "lang",
-        html_title_column(page).alias("page_title"),
-        html_link_count_column(page).cast("long").alias("n_links"),
-        F.length(page).cast("long").alias("page_chars"),
-        F.length(stripped).cast("long").alias("text_chars"),
-        F.round(F.length(stripped).cast("double") / F.length(page), 6).alias(
+        html_page_column(F.col("doc_id"), F.col("text")).alias("page"),
+    ).select(
+        "doc_id", "lang", "page", html_to_text_column(F.col("page")).alias("stripped")
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        html_title_column(F.col("page")).alias("page_title"),
+        html_link_count_column(F.col("page")).cast("long").alias("n_links"),
+        F.length("page").cast("long").alias("page_chars"),
+        F.length("stripped").cast("long").alias("text_chars"),
+        F.round(F.length("stripped").cast("double") / F.length("page"), 6).alias(
             "shrink_ratio"
         ),
     )
@@ -233,8 +247,14 @@ WD1_ORACLE = f"""
 #: r11 registration manifest: name -> (builder, oracle). Round 11 turns
 #: each into a @query decoration and window slot; until then the tests
 #: drive exactly this mapping against DuckDB.
+from pipeline_mf_etl_spark.queries.multimodal import (  # noqa: E402
+    MM25_ORACLE,
+    mm25_flac_decode,
+)
+
 PENDING_QUERIES = {
     "c1_warc_extract": (c1_warc_extract, C1_ORACLE),
+    "mm25_flac_decode": (mm25_flac_decode, MM25_ORACLE),
     "t15_html_extract": (t15_html_extract, T15_ORACLE),
     "wd1_webdataset_roundtrip": (wd1_webdataset_roundtrip, WD1_ORACLE),
 }

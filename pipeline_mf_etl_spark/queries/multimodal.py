@@ -15,7 +15,15 @@ from pipeline_mf_etl_spark.operators.multimodal import (
     with_wav_payload,
 )
 from pipeline_mf_etl_spark.queries.registry import query
-from pipeline_mf_etl_spark.sources.readers import load_table
+from pipeline_mf_etl_spark.sources.readers import fan_out, load_table
+
+
+def _docs(spark, sf_dir):
+    """The documents scan behind the small-input fan-out guard: every
+    query in this family runs an expensive per-row codec pass, and the
+    driver's single-row-group test files would otherwise pin that pass
+    to ONE core (readers.fan_out; no-op at production split counts)."""
+    return fan_out(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -34,7 +42,7 @@ from pipeline_mf_etl_spark.sources.readers import load_table
 def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary metadata extraction: byte length, 4-byte header hex,
     payload md5 — all whole-stage-codegen expressions, no Python."""
-    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_binary_payload(_docs(spark, sf_dir))
     return docs.select(
         "doc_id",
         F.octet_length("payload").cast("long").alias("n_bytes"),
@@ -81,7 +89,7 @@ def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm2_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bin byte histogram + mean byte + SHA-256 per payload via
     mapInPandas (the real featurizer plumbing; decode stays gated)."""
-    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_binary_payload(_docs(spark, sf_dir))
     feats = extract_byte_features(docs)
     return feats.select(
         "doc_id",
@@ -112,7 +120,7 @@ def mm2_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every 4th 'frame' of each payload with a deterministic frame key —
     the video-sampling fan-out plan (explode, no shuffle)."""
-    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_binary_payload(_docs(spark, sf_dir))
     return sample_frames(docs, stride=4)
 
 
@@ -157,7 +165,7 @@ def mm4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits) parsed from the REAL RIFF header plus exact PCM sample stats
     (count, duration, mean, RMS, peak) — encode→decode round-trip
     through operators/multimodal.py parse_wav."""
-    docs = with_wav_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_wav_payload(_docs(spark, sf_dir))
     feats = decode_wav_features(docs)
     return feats.select(
         "doc_id",
@@ -225,7 +233,7 @@ def mm5_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_ppm_payload,
     )
 
-    docs = with_ppm_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_ppm_payload(_docs(spark, sf_dir))
     feats = decode_ppm_features(docs)
     return feats.select(
         "doc_id",
@@ -288,7 +296,7 @@ def mm6_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_y4m_payload,
     )
 
-    docs = with_y4m_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_y4m_payload(_docs(spark, sf_dir))
     frames = decode_y4m_frame_stats(docs, stride=4)
     return frames.select(
         "doc_id",
@@ -373,7 +381,7 @@ def mm7_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_ppm_payload,
     )
 
-    docs = with_ppm_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_ppm_payload(_docs(spark, sf_dir))
     hashes = ahash_ppm_features(docs)
     grp = (
         hashes.filter(F.col("hash_hi").isNotNull())
@@ -456,7 +464,7 @@ def mm8_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed to transcription."""
     from pipeline_mf_etl_spark.operators.multimodal import wav_segment_features
 
-    docs = with_wav_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_wav_payload(_docs(spark, sf_dir))
     return wav_segment_features(docs)
 
 
@@ -506,7 +514,7 @@ def mm9_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_ppm_payload,
     )
 
-    docs = with_ppm_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_ppm_payload(_docs(spark, sf_dir))
     cells = resize_ppm_cells(docs)
     return cells.select(
         "doc_id",
@@ -552,7 +560,7 @@ def mm10_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_wav_payload,
     )
 
-    docs = with_wav_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_wav_payload(_docs(spark, sf_dir))
     blocks = downsample_wav_blocks(docs)
     return blocks.select(
         "doc_id",
@@ -603,7 +611,7 @@ def mm11_video_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_y4m_payload,
     )
 
-    docs = with_y4m_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_y4m_payload(_docs(spark, sf_dir))
     cells = pool_y4m_frames(docs, stride=4)
     return cells.select(
         "doc_id",
@@ -671,7 +679,7 @@ def mm12_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_png_payload,
     )
 
-    docs = with_png_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_png_payload(_docs(spark, sf_dir))
     feats = decode_png_features(docs)
     return feats.select(
         "doc_id",
@@ -754,7 +762,7 @@ def mm12b_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_png_color_payload,
     )
 
-    docs = with_png_color_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_png_color_payload(_docs(spark, sf_dir))
     feats = decode_png_color_features(docs)
     return feats.select(
         "doc_id",
@@ -830,7 +838,7 @@ def mm13_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_jpeg_payload,
     )
 
-    docs = with_jpeg_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_jpeg_payload(_docs(spark, sf_dir))
     feats = decode_jpeg_features(docs)
     return feats.select(
         "doc_id",
@@ -903,7 +911,7 @@ def mm13b_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_jpeg_color_payload,
     )
 
-    docs = with_jpeg_color_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_jpeg_color_payload(_docs(spark, sf_dir))
     feats = decode_jpeg_color_features(docs)
     return feats.select(
         "doc_id",
@@ -977,7 +985,7 @@ def mm14_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_mp4_payload,
     )
 
-    docs = with_mp4_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_mp4_payload(_docs(spark, sf_dir))
     feats = decode_mp4_features(docs, stride=4)
     return feats.select(
         "doc_id",
@@ -1045,7 +1053,7 @@ def mm15_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_mjpeg_mp4_payload,
     )
 
-    docs = with_mjpeg_mp4_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_mjpeg_mp4_payload(_docs(spark, sf_dir))
     feats = decode_mp4_mjpeg_features(docs)
     return feats.select(
         "doc_id",
@@ -1098,7 +1106,7 @@ def mm16_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = with_jpeg_color_payload(
-        load_table(spark, sf_dir, "documents"), restart_mod=4
+        _docs(spark, sf_dir), restart_mod=4
     )
     # NULL-payload rows report the color synthesis geometry (width 128,
     # 3 components) — the query layer knows the synthesis, the generic
@@ -1166,7 +1174,7 @@ def mm17_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_jpeg_progressive_payload,
     )
 
-    docs = with_jpeg_progressive_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_jpeg_progressive_payload(_docs(spark, sf_dir))
     feats = decode_jpeg_features(docs)
     return feats.select(
         "doc_id",
@@ -1270,7 +1278,7 @@ def mm18_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_adpcm_payload,
     )
 
-    docs = with_adpcm_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_adpcm_payload(_docs(spark, sf_dir))
     feats = decode_adpcm_features(docs)
     return feats.select(
         "doc_id",
@@ -1335,7 +1343,7 @@ def mm19_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_gif_payload,
     )
 
-    docs = with_gif_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_gif_payload(_docs(spark, sf_dir))
     feats = decode_gif_features(docs)
     return feats.select(
         "doc_id",
@@ -1396,7 +1404,7 @@ def mm20_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_bmp_payload,
     )
 
-    docs = with_bmp_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_bmp_payload(_docs(spark, sf_dir))
     feats = decode_bmp_features(docs)
     return feats.select(
         "doc_id",
@@ -1465,7 +1473,7 @@ def mm21_h264_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_h264_payload,
     )
 
-    docs = with_h264_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_h264_payload(_docs(spark, sf_dir))
     feats = probe_h264_features(docs)
     return feats.select(
         "doc_id",
@@ -1531,7 +1539,7 @@ def mm22_avc1_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_avc1_mp4_payload,
     )
 
-    docs = with_avc1_mp4_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_avc1_mp4_payload(_docs(spark, sf_dir))
     feats = probe_avc1_features(docs)
     return feats.select(
         "doc_id",
@@ -1589,7 +1597,7 @@ def mm23_aac_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_aac_mp4_payload,
     )
 
-    docs = with_aac_mp4_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_aac_mp4_payload(_docs(spark, sf_dir))
     feats = probe_aac_features(docs)
     return feats.select(
         "doc_id",
@@ -1654,7 +1662,7 @@ def mm24_hevc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_hevc_mp4_payload,
     )
 
-    docs = with_hevc_mp4_payload(load_table(spark, sf_dir, "documents"))
+    docs = with_hevc_mp4_payload(_docs(spark, sf_dir))
     feats = probe_hevc_features(docs)
     return feats.select(
         "doc_id",
@@ -1667,3 +1675,58 @@ def mm24_hevc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sync",
         "payload_byte_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm25 (PENDING — registers in the r11 window, see queries/corpus_ingest
+# PENDING_QUERIES): decoded-FLAC stats — encode→decode round-trip
+# through the real dependency-free lossless codec (operators/flac.py:
+# rice coding, fixed predictors, stereo decorrelation, CRC-8/16 + MD5
+# integrity). LOSSLESS is the oracle story: unlike ADPCM's recursive-
+# CTE replay, decoded stats come straight from the characters. Every
+# third doc is stereo (even chars -> left, odd -> right), so the
+# decorrelated-channel and side-channel (17-bit) paths carry hashes.
+# ---------------------------------------------------------------------------
+MM25_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS n,
+               (doc_id % 3 = 0 AND length(text) >= 2) AS stereo,
+               CASE WHEN doc_id % 3 = 0 AND length(text) >= 2
+                    THEN length(text) // 2 ELSE length(text) END AS total
+        FROM documents WHERE length(text) >= 1
+    ), samp AS (
+        SELECT b.doc_id, t.i,
+               (ord(substr(b.text,
+                    CAST(CASE WHEN b.stereo THEN 2 * t.i + 1
+                              ELSE t.i + 1 END AS INTEGER), 1)) - 128) * 256
+                   AS s0,
+               CASE WHEN b.stereo THEN
+                   (ord(substr(b.text, CAST(2 * t.i + 2 AS INTEGER), 1)) - 128)
+                   * 256 END AS s1
+        FROM base b, UNNEST(range(b.total)) AS t(i)
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.stereo THEN 2 ELSE 1 END AS n_channels,
+           b.total AS total_samples,
+           (b.total + 63) // 64 AS n_frames,
+           8000 AS sample_rate,
+           sum(s.s0 + COALESCE(s.s1, 0)) AS sum_samples,
+           max(GREATEST(abs(s.s0), COALESCE(abs(s.s1), 0))) AS max_abs,
+           sum(s.s0 * (s.i + 1)) AS dot0
+    FROM base b JOIN samp s USING (doc_id)
+    GROUP BY b.doc_id, b.stereo, b.total
+"""
+
+
+def mm25_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-FLAC stats per document: geometry from STREAMINFO plus
+    exact integer sample statistics (sum, peak, position-weighted dot)
+    — encode→decode round-trip through operators/flac.py with CRC and
+    MD5 verification on every stream. Map-only Arrow pipeline."""
+    from pipeline_mf_etl_spark.operators.flac import (
+        decode_flac_features,
+        with_flac_payload,
+    )
+
+    docs = with_flac_payload(_docs(spark, sf_dir))
+    return decode_flac_features(docs)

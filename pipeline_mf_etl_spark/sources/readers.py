@@ -46,6 +46,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan produced fewer splits
+    than the session's parallelism — the small-input guard ahead of
+    expensive per-row (codec/Arrow) passes.
+
+    The driver's test tables are single parquet files with ONE row
+    group, so Spark's byte-range file splitting cannot parallelize the
+    scan: without this, a 15s-of-CPU decode pass runs on 1 of 32 cores
+    (measured: mm13b 15.2s -> 1.8s at sf0.1). At production scale the
+    source has >= parallelism splits and this returns the frame
+    untouched — no exchange enters the plan. The shuffle it does add on
+    small inputs moves only the raw scan bytes (MBs), never synthesized
+    payloads: call it BEFORE the payload synthesis stage.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 

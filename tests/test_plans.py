@@ -412,9 +412,13 @@ def test_record_linkage_equi_join_only(spark):
 
 def test_mp4_demux_map_only(spark):
     """mm14's synth + demux must be one Arrow pipeline with zero
-    exchanges — container demux is offset slicing, not a shuffle."""
+    data-dependent exchanges — container demux is offset slicing, not a
+    shuffle. The one permitted round-robin exchange is the small-input
+    fan-out (readers.fan_out — a no-op at production split counts)."""
     plan = _plan(spark, "mm14_mp4_demux")
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("Exchange roundrobinpartitioning") <= 1, plan
 
 
 def test_boilerplate_lines_broadcast_frequent_set(spark):
