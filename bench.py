@@ -87,10 +87,14 @@ def _codec_phase_specs():
         with_mjpeg_mp4_payload,
         with_png_color_payload,
     )
-    from pipeline_mf_etl_spark.sources.readers import load_table
+    from pipeline_mf_etl_spark.sources.readers import fan_out, load_table
 
     def docs(spark, sf_dir):
-        return load_table(spark, sf_dir, "documents")
+        # same small-input fan-out the registered queries use: without
+        # it both phases (and the persisted payload parquet the decode
+        # phase reads back) inherit the test table's single row group
+        # and run on one core
+        return fan_out(load_table(spark, sf_dir, "documents"))
 
     return {
         "mm13_jpeg_decode": (
@@ -226,6 +230,11 @@ def main() -> None:
     # a production corpus (which arrives already encoded) actually pays.
     # The mm16 header probe runs on mm13b's persisted payloads too, so
     # "probe is near-free vs decode" becomes a same-payload measurement.
+    from pipeline_mf_etl_spark.sources.readers import fan_out as _fo
+
+    def _fan_out_read(spark, path):
+        return _fo(spark.read.parquet(path))
+
     phase_specs = _codec_phase_specs()
     codec_phases: dict[str, dict[str, float]] = {}
     payload_dirs: dict[str, str] = {}
@@ -245,7 +254,7 @@ def main() -> None:
         best_d = None
         for _ in range(runs):
             t0 = time.perf_counter()
-            _force(decode(spark.read.parquet(pay)))
+            _force(decode(_fan_out_read(spark, pay)))
             dt = time.perf_counter() - t0
             best_d = dt if best_d is None else min(best_d, dt)
         codec_phases[name] = {
@@ -259,7 +268,7 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(
             probe_jpeg_features(
-                spark.read.parquet(payload_dirs["mm13b_jpeg_color"]),
+                _fan_out_read(spark, payload_dirs["mm13b_jpeg_color"]),
                 null_width=128,
                 null_components=3,
             )

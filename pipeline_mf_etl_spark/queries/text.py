@@ -20,7 +20,7 @@ from pipeline_mf_etl_spark.operators.text import (
     token_count,
 )
 from pipeline_mf_etl_spark.queries.registry import query
-from pipeline_mf_etl_spark.sources.readers import load_table
+from pipeline_mf_etl_spark.sources.readers import fan_out, load_table
 
 _TOKS = (
     "list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),"
@@ -483,8 +483,13 @@ def t9_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than the JVM explode+broadcast-join+partial-agg it replaced.
     This plan's 0.80-of-linear growth is the work itself (trigram volume
     tracks corpus bytes, near-zero fixed overhead to amortize), not a
-    shuffle defect — scoring stays JVM-side."""
-    docs = load_table(spark, sf_dir, "documents")
+    shuffle defect — scoring stays JVM-side.
+
+    fan_out (r10): the trigram explode is the heaviest scan-side map in
+    the text family, and the driver's single-row-group test file pinned
+    it to one core — measured 2.9x faster with the small-input fan-out
+    (a no-op at production split counts)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     norm = docs.select(
         "doc_id", F.regexp_replace(F.lower("text"), r"\s+", " ").alias("norm")
     )

@@ -595,3 +595,90 @@ def continuous_daily_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of the batch WARC ingestion (sources/warc.py):
+    tail a drop-zone of ``.warc.gz`` captures with Spark's binaryFile
+    source (each archive picked up exactly once, checkpoint-tracked),
+    then run the SAME extraction pass — gzip member split, ISO 28500
+    record walk, HTTP parse — as one Arrow map over each micro-batch.
+
+    One file = one row into the extractor (Common Crawl ships ~1 GB
+    archives; maxFilesPerTrigger bounds micro-batch memory). The
+    emitted schema is the batch extractor's WARC_DOC_SCHEMA with
+    ``doc_id`` replaced by the archive ``path`` — a stream has no
+    corpus ids until assignment downstream."""
+    from pipeline_mf_etl_spark.sources.warc import (
+        parse_http_response,
+        parse_warc,
+        split_gzip_members,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("archive", StringType(), False),
+            StructField("url", StringType(), True),
+            StructField("warc_date", StringType(), True),
+            StructField("http_status", LongType(), True),
+            StructField("content_type", StringType(), True),
+            StructField("n_records", LongType(), False),
+            StructField("html", StringType(), True),
+            StructField("body_bytes", LongType(), True),
+        ]
+    )
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for apath, blob in zip(pdf["path"], pdf["content"]):
+                members = split_gzip_members(bytes(blob))
+                records = [r for m in members for r in parse_warc(m)]
+                n = len(records)
+                for rec in records:
+                    if rec["type"] != "response":
+                        continue
+                    lower = {k.lower(): v for k, v in rec["headers"].items()}
+                    http = parse_http_response(rec["payload"])
+                    rows.append(
+                        (
+                            apath,
+                            lower.get("warc-target-uri"),
+                            lower.get("warc-date"),
+                            http["status"],
+                            http["content_type"],
+                            n,
+                            http["body"].decode("utf-8"),
+                            len(http["body"]),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    from pyspark.sql.types import BinaryType, TimestampType
+
+    # the binaryFile source's fixed schema, stated explicitly (the
+    # streaming source refuses to infer)
+    binary_schema = StructType(
+        [
+            StructField("path", StringType(), False),
+            StructField("modificationTime", TimestampType(), False),
+            StructField("length", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", 4)
+        .load(path)
+    )
+    return raw.select("path", "content").mapInPandas(extract, schema)

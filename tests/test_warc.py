@@ -311,3 +311,36 @@ class TestWarcSpark:
         sdf = spark.createDataFrame(pdf)
         with pytest.raises(Exception, match="corrupt|invalid"):
             extract_warc_documents(sdf).collect()
+
+
+class TestWarcStreaming:
+    def test_stream_matches_batch_extraction(self, spark, tmp_path):
+        """Streaming the .warc.gz drop-zone (availableNow) must yield the
+        same responses the pure parser extracts, across multiple archive
+        files landing as separate stream inputs."""
+        from pipeline_mf_etl_spark.streaming.transforms import read_warc_stream
+
+        zone = tmp_path / "crawl"
+        zone.mkdir()
+        texts = {i: f"warc stream doc {i} body" for i in range(6)}
+        for i, t in texts.items():
+            (zone / f"capture-{i:03d}.warc.gz").write_bytes(synth_warc_gz(i, t))
+        (zone / "ignored.txt").write_text("not an archive")  # glob-filtered
+
+        q = (
+            read_warc_stream(spark, str(zone))
+            .writeStream.format("memory")
+            .queryName("warc_ingest")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["url"]: r for r in spark.sql("select * from warc_ingest").collect()}
+
+        assert len(got) == 6
+        for i, t in texts.items():
+            r = got[f"https://corpus.example/doc/{i}"]
+            assert r["http_status"] == 200
+            assert r["n_records"] == 3
+            assert t in html_to_text(r["html"])
+            assert r["archive"].endswith(f"capture-{i:03d}.warc.gz")
