@@ -18,16 +18,18 @@ Subset implemented (both directions, validated end to end):
 - channels: mono, independent stereo, and all three stereo
   decorrelation modes (left/side, right/side, mid/side — the side
   channel carries bits+1 as the spec requires);
-- subframes: CONSTANT, VERBATIM, FIXED predictors order 0-4;
+- subframes: CONSTANT, VERBATIM, FIXED predictors order 0-4, and LPC
+  (any order on decode; the encoder runs autocorrelation →
+  Levinson-Durbin → 12-bit quantized coefficients and picks LPC over
+  FIXED by measured rice bits — the subframe type real FLAC files are
+  mostly made of);
 - residuals: rice coding (method 0, 4-bit params), any partition
   order, per-partition parameter search, and the 0b1111 escape to
   fixed-width verbatim residuals.
 
-Out of scope, gated loudly in the decoder: LPC subframes (type
-0b1xxxxx), wasted bits, sample sizes other than 16-bit, and
-variable-blocksize streams. The encoder never emits them; real-corpus
-files that use LPC raise with the subframe type in the message (the
-routing layer can then count them, exactly like the avc1/hvc1 gates).
+Out of scope, gated loudly in the decoder: wasted bits, sample sizes
+other than 16-bit, variable-blocksize streams, negative LPC shifts,
+and >2 channels. The encoder never emits them.
 
 Layout/order references: the public FLAC format specification
 (RFC 9639); no reference-repo counterpart (the reference is
@@ -231,6 +233,89 @@ def _fixed_restore(residual: np.ndarray, warmup: np.ndarray, order: int) -> np.n
 
 
 # ---------------------------------------------------------------------------
+# LPC (linear predictive coding) — the subframe type real FLAC files are
+# mostly made of. Encoder: autocorrelation → Levinson-Durbin → quantized
+# integer coefficients; residual is a NON-recursive function of the
+# original samples, so encode vectorizes. Decoder: the exact integer
+# recurrence x[i] = res[i] + (Σ qcoef[j]·x[i-1-j]) >> shift.
+# ---------------------------------------------------------------------------
+
+_LPC_PRECISION = 12  # coefficient bits (cbits); spec field is precision-1
+_LPC_MAX_SHIFT = 15  # 5-bit signed shift field, negatives prohibited
+
+
+def _levinson_durbin(autoc: np.ndarray, order: int) -> np.ndarray:
+    """Classic Levinson-Durbin recursion: autocorrelation → LPC coeffs
+    (prediction convention: x[i] ≈ Σ a[j]·x[i-1-j])."""
+    err = float(autoc[0])
+    a = np.zeros(order)
+    for i in range(order):
+        acc = float(autoc[i + 1])
+        for j in range(i):
+            acc -= a[j] * autoc[i - j]
+        k = acc / err if err > 0 else 0.0
+        a[i] = k
+        for j in range(i // 2):
+            tmp = a[j]
+            a[j] = tmp + k * a[i - 1 - j]
+            a[i - 1 - j] += k * tmp
+        if i & 1:
+            a[i // 2] += k * a[i // 2]
+        err *= 1.0 - k * k
+        if err <= 0:
+            break
+    return a
+
+
+def _quantize_lpc(coeffs: np.ndarray) -> tuple[np.ndarray, int]:
+    """Quantize float LPC coefficients to _LPC_PRECISION-bit integers
+    with the largest non-negative shift that keeps them in range."""
+    cmax = float(np.abs(coeffs).max())
+    if cmax <= 0:
+        return np.zeros(len(coeffs), dtype=np.int64), 0
+    # largest shift with round(cmax * 2^shift) < 2^(precision-1)
+    shift = _LPC_MAX_SHIFT
+    limit = (1 << (_LPC_PRECISION - 1)) - 1
+    while shift > 0 and round(cmax * (1 << shift)) > limit:
+        shift -= 1
+    q = np.round(coeffs * (1 << shift)).astype(np.int64)
+    return np.clip(q, -(limit + 1), limit), shift
+
+
+def _lpc_predict(x: np.ndarray, qcoef: np.ndarray, shift: int) -> np.ndarray:
+    """Integer prediction for samples [order:] from ORIGINAL samples —
+    non-recursive, so it vectorizes: one shifted-column dot product."""
+    order = len(qcoef)
+    n = len(x) - order
+    acc = np.zeros(n, dtype=np.int64)
+    for j in range(order):
+        acc += qcoef[j] * x[order - 1 - j : order - 1 - j + n]
+    return acc >> shift
+
+
+def _lpc_residual(x: np.ndarray, qcoef: np.ndarray, shift: int) -> np.ndarray:
+    return x[len(qcoef) :] - _lpc_predict(x, qcoef, shift)
+
+
+def _lpc_restore(
+    residual: np.ndarray, warmup: np.ndarray, qcoef: np.ndarray, shift: int
+) -> np.ndarray:
+    """The decoder recurrence — sequential by construction (each sample
+    feeds the next prediction), exact inverse of _lpc_residual."""
+    order = len(qcoef)
+    out = np.empty(order + len(residual), dtype=np.int64)
+    out[:order] = warmup
+    coefs = [int(c) for c in qcoef]
+    o = out  # local alias for the hot loop
+    for i in range(order, len(o)):
+        acc = 0
+        for j in range(order):
+            acc += coefs[j] * int(o[i - 1 - j])
+        o[i] = int(residual[i - order]) + (acc >> shift)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # rice residual coding (method 0, 4-bit parameters, escape 0b1111)
 # ---------------------------------------------------------------------------
 
@@ -339,15 +424,56 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bits: int,
         cost = int(np.abs(res).sum())
         if best_cost is None or cost < best_cost:
             best_order, best_res, best_cost = order, res, cost
-    # verbatim when the predictor cannot beat raw packing
     u = _zigzag(best_res)
-    rice_bits = _rice_cost(u, _best_rice_param(u)) + best_order * bits
-    if rice_bits >= block * bits:
+    fixed_bits = _rice_cost(u, _best_rice_param(u)) + best_order * bits
+
+    # LPC candidate: autocorrelation -> Levinson-Durbin -> quantized
+    # integer coefficients; chosen over FIXED only when its rice bits
+    # (plus the coefficient-block overhead) actually win
+    lpc = None
+    if block > 16:
+        lorder = min(8, block - 1)
+        xf = x64.astype(np.float64)
+        autoc = np.array(
+            [float(np.dot(xf[: block - k], xf[k:])) for k in range(lorder + 1)]
+        )
+        if autoc[0] > 0:
+            qcoef, shift = _quantize_lpc(_levinson_durbin(autoc, lorder))
+            if qcoef.any():
+                lres = _lpc_residual(x64, qcoef, shift)
+                lu = _zigzag(lres)
+                lbits = (
+                    _rice_cost(lu, _best_rice_param(lu))
+                    + lorder * bits
+                    + 4 + 5 + lorder * _LPC_PRECISION
+                )
+                if lbits < fixed_bits:
+                    lpc = (lorder, qcoef, shift, lres, lbits)
+
+    chosen_bits = lpc[4] if lpc else fixed_bits
+    # verbatim when no predictor beats raw packing
+    if chosen_bits >= block * bits:
         bw.write(0, 1)
         bw.write(0b000001, 6)  # VERBATIM
         bw.write(0, 1)
         for v in x64:
             bw.write_signed(int(v), bits)
+        return
+    if lpc:
+        lorder, qcoef, shift, lres, _ = lpc
+        bw.write(0, 1)
+        bw.write(0b100000 | (lorder - 1), 6)  # LPC
+        bw.write(0, 1)  # no wasted bits
+        for v in x64[:lorder]:
+            bw.write_signed(int(v), bits)
+        bw.write(_LPC_PRECISION - 1, 4)
+        bw.write(shift, 5)  # non-negative: same bits as 2's-complement
+        for c in qcoef:
+            bw.write_signed(int(c), _LPC_PRECISION)
+        po = partition_order
+        while po and (block % (1 << po) or (block >> po) <= lorder):
+            po -= 1
+        _write_residual(bw, lres, lorder, block, po)
         return
     bw.write(0, 1)
     bw.write(0b001000 | best_order, 6)  # FIXED
@@ -381,11 +507,27 @@ def _read_subframe(br: _BitReader, block: int, bits: int) -> np.ndarray:
         )
         residual = _read_residual(br, order, block)
         return _fixed_restore(residual, warmup, order)
-    if stype & 0b100000:
-        raise ValueError(
-            f"LPC subframe (type 0b{stype:06b}) not implemented in this "
-            "engine; real-corpus LPC streams route through the loud gate"
+    if stype & 0b100000:  # LPC order 1-32
+        order = (stype & 0x1F) + 1
+        if order > block:
+            raise ValueError(f"LPC order {order} exceeds block {block}")
+        warmup = np.array(
+            [br.read_signed(bits) for _ in range(order)], dtype=np.int64
         )
+        prec_code = br.read(4)
+        if prec_code == 0b1111:
+            raise ValueError("invalid LPC coefficient precision code 0b1111")
+        precision = prec_code + 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError(
+                f"negative LPC quantization shift {shift} (prohibited)"
+            )
+        qcoef = np.array(
+            [br.read_signed(precision) for _ in range(order)], dtype=np.int64
+        )
+        residual = _read_residual(br, order, block)
+        return _lpc_restore(residual, warmup, qcoef, shift)
     raise ValueError(f"reserved subframe type 0b{stype:06b}")
 
 

@@ -126,17 +126,40 @@ class TestIntegrity:
             parse_flac(bytes(blob))
 
 
+class TestLpc:
+    def test_sinusoid_round_trips_and_compresses(self):
+        # LPC's home turf: fixed polynomial predictors cannot model a
+        # sinusoid, the order-8 LPC can — the ratio is the proof the
+        # LPC path (not FIXED) actually carried the stream
+        sine = (12000 * np.sin(np.arange(50000) * 0.01)).astype(np.int16)
+        blob = encode_flac(sine)
+        assert len(blob) < 0.2 * 2 * len(sine)
+        assert np.array_equal(parse_flac(blob)["samples"][0], sine)
+
+    def test_noisy_sinusoid_round_trips(self):
+        rng = np.random.RandomState(9)
+        x = (9000 * np.sin(np.arange(7000) * 0.05) + rng.randint(-30, 31, 7000)).astype(
+            np.int16
+        )
+        _rt(x, block_size=512, partition_order=2)
+
+    def test_lpc_stereo_side_channel(self):
+        # 17-bit side channel through the LPC path
+        left = (8000 * np.sin(np.arange(5000) * 0.03)).astype(np.int16)
+        right = (8000 * np.sin(np.arange(5000) * 0.031 + 1)).astype(np.int16)
+        _rt(np.stack([left, right]), channel_mode="mid_side")
+
+
 class TestGates:
-    def test_lpc_subframe_gates_loudly(self):
-        # construct: valid stream, then rewrite a subframe type to LPC
+    def test_rewritten_subframe_type_caught_by_crc(self):
+        # flip a CONSTANT subframe header to LPC: the frame CRC-16 must
+        # catch the corruption before any mis-decode escapes
         blob = bytearray(encode_flac(np.full(64, 5, dtype=np.int16), block_size=64))
-        # frame starts right after 4 (magic) + 4 (block header) + 34
-        frame = 42
-        # header: 4 bytes fixed + 1 utf8 + 2 blocksize + 1 crc8 = byte 50
-        sub = frame + 8
+        frame = 42  # 4 magic + 4 block header + 34 STREAMINFO
+        sub = frame + 8  # 4 fixed header + 1 utf8 + 2 blocksize + 1 crc8
         assert blob[sub] >> 1 == 0  # CONSTANT subframe header (type 0)
         blob[sub] = 0b01000000  # LPC order 1, no padding bit
-        with pytest.raises(ValueError, match="LPC|CRC"):
+        with pytest.raises(ValueError, match="CRC|exhaust|order|residual coding"):
             parse_flac(bytes(blob))
 
     def test_wrong_dtype_rejected(self):
