@@ -133,7 +133,10 @@ _PRIORITY = (
     # --- (4) the r7 fillers (a14/a15/a16b/a17b/a18b, all certified r7)
     # ceded their slots to the new codec-routing family (mm21 Annex-B,
     # mm22 avc1, mm23 mp4a, mm24 hvc1) and mm14's re-cert after
-    # parse_mp4 grew avc1/hvc1/mp4a/stss; they lead the r11 rotation ---
+    # parse_mp4 grew avc1/hvc1/mp4a/stss; they lead the r11 rotation,
+    # TOGETHER WITH the four r10-built, oracle-ready pending queries in
+    # queries/corpus_ingest.PENDING_QUERIES (c1 WARC, t15 HTML strip,
+    # wd1 WebDataset, mm25 FLAC) — registering those is r11 task #1 ---
 )
 
 
