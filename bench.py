@@ -277,6 +277,24 @@ def main() -> None:
         best_p = dt if best_p is None else min(best_p, dt)
     codec_phases["mm16_probe_on_mm13b_payloads"] = {"decode_sec": round(best_p, 3)}
 
+    # r11-pending queries (oracle-ready, not yet registered — see
+    # queries/corpus_ingest.PENDING_QUERIES): measured in their own
+    # section so the headline set stays round-comparable until they
+    # take certification slots.
+    pending_timings: dict[str, float] = {}
+    try:
+        from pipeline_mf_etl_spark.queries.corpus_ingest import PENDING_QUERIES
+    except ImportError:
+        PENDING_QUERIES = {}
+    for name, (builder, _oracle) in sorted(PENDING_QUERIES.items()):
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _force(builder(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        pending_timings[name] = round(best, 3)
+
     # Round-comparability anchors (r9 verdict task 8): the headline set
     # grew 14 -> 27 across rounds; these two fields make the 2x-of-
     # baseline check and the round-over-round delta each ONE number.
@@ -318,6 +336,7 @@ def main() -> None:
             "calib_shuffle_window_sec": "all others",
         },
         "codec_phases": codec_phases,
+        "pending_r11_queries": pending_timings,
         "comparable_14_total": comparable_14_total,
         "shared_prev_round_total": shared_prev,
     }))
