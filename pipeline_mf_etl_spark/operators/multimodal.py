@@ -6271,3 +6271,250 @@ def probe_hevc_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(feats, HEVC_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1 Layer III) ROUTING probe — the remaining leg of the audio
+# routing matrix (mm23 covered AAC-in-MP4). Real corpora ship raw
+# .mp3 streams: an optional ID3v2 metadata tag, then a sequence of
+# frames whose SIZES are pure header arithmetic
+# (144·bitrate/samplerate + padding for MPEG-1 Layer III) — so a
+# router can count frames, measure duration and detect VBR without
+# touching a single subband sample. Filterbank decode is out of scope
+# the same way avc1/hvc1 pixel decode is; the walk below is the
+# triage layer. Synthesis is deterministic in (doc_id, text) so the
+# oracle recomputes every output arithmetically.
+# ---------------------------------------------------------------------------
+
+#: MPEG-1 Layer III bitrate table (kbps), index 1-14; 0=free, 15=bad.
+_MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320
+)
+_MP3_SAMPLERATES = (44100, 48000, 32000)  # index 0-2; 3 reserved
+_MP3_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
+#: synthesis cycle: bitrate indices for (doc_id + frame) % 4
+_MP3_SYNTH_KBPS_IDX = (9, 10, 11, 12)  # 128/160/192/224 kbps
+
+
+def _id3v2_tag(title: str) -> bytes:
+    """Minimal real ID3v2.3 tag holding one TIT2 (title) text frame."""
+    body = b"TIT2" + (1 + len(title)).to_bytes(4, "big") + b"\x00\x00"
+    body += b"\x00" + title.encode("latin-1")  # ISO-8859-1 encoding byte
+    size = len(body)
+    if size >= 1 << 28:
+        raise ValueError("ID3 tag too large for syncsafe size")
+    syncsafe = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+    )
+    return b"ID3\x03\x00\x00" + syncsafe + body
+
+
+def encode_mp3(doc_id: int, text: str) -> bytes:
+    """Serialize a REAL MPEG-1 Layer III stream shell: ID3v2.3 title
+    tag + ``1 + len(text)//24`` frames at 44.1 kHz whose bitrate cycles
+    128/160/192/224 kbps by (doc_id + frame) — a VBR stream whenever
+    it has >= 2 frames. Odd doc_ids set the protection bit's CRC form
+    (2 CRC bytes after the header). Frame payloads are text bytes
+    cycled (ASCII corpus — never a false 0xFF sync). Audio payload is
+    opaque to the routing layer by design."""
+    n_frames = 1 + len(text) // 24
+    mode = doc_id % 4
+    protected = doc_id % 2 == 1  # protection_bit 0 => CRC present
+    fill = text.encode("utf-8") or b"x"
+    out = bytearray(_id3v2_tag(f"doc {doc_id}"))
+    fpos = 0
+    for i in range(n_frames):
+        idx = _MP3_SYNTH_KBPS_IDX[(doc_id + i) % 4]
+        kbps = _MP3_BITRATES[idx]
+        padding = i % 2
+        size = (144_000 * kbps) // _MP3_SAMPLERATES[0] + padding
+        hdr = (
+            (0x7FF << 21)            # sync
+            | (0b11 << 19)           # MPEG-1
+            | (0b01 << 17)           # Layer III
+            | ((0 if protected else 1) << 16)
+            | (idx << 12)
+            | (0 << 10)              # samplerate index 0 = 44100
+            | (padding << 9)
+            | (0 << 8)               # private
+            | (mode << 6)
+            | (0 << 4)               # mode extension
+            | (0 << 3) | (0 << 2)    # copyright/original
+            | 0b00                   # emphasis: none
+        )
+        frame = bytearray(hdr.to_bytes(4, "big"))
+        if protected:
+            frame += b"\xbe\xef"  # CRC slot (router skips, never checks)
+        while len(frame) < size:
+            take = min(size - len(frame), len(fill) - fpos)
+            frame += fill[fpos : fpos + take]
+            fpos = (fpos + take) % len(fill)
+        out += frame
+    return bytes(out)
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """REAL MP3 routing walk: ID3v2 skip (syncsafe size + footer flag),
+    then frame-by-frame header validation (sync, version, layer,
+    bitrate/samplerate/emphasis codes) and SIZE-arithmetic jumps; the
+    walk must land exactly on the stream end. No subband decode.
+    Returns geometry + per-frame bitrate stats + the ID3 title."""
+    pos = 0
+    title = None
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        flags = payload[5]
+        ss = payload[6:10]
+        if any(b & 0x80 for b in ss):
+            raise ValueError("ID3v2 size bytes must be syncsafe (bit 7 clear)")
+        tag_size = (ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3]
+        body = payload[10 : 10 + tag_size]
+        if len(body) != tag_size:
+            raise ValueError("truncated ID3v2 tag body")
+        # walk tag frames for TIT2 (best-effort metadata, strict sizes)
+        bpos = 0
+        while bpos + 10 <= len(body) and body[bpos] != 0:
+            fid = body[bpos : bpos + 4]
+            fsize = int.from_bytes(body[bpos + 4 : bpos + 8], "big")
+            content = body[bpos + 10 : bpos + 10 + fsize]
+            if len(content) != fsize:
+                raise ValueError(f"ID3 frame {fid!r} overruns the tag")
+            if fid == b"TIT2" and fsize >= 1:
+                title = content[1:].decode("latin-1")
+            bpos += 10 + fsize
+        pos = 10 + tag_size + (10 if flags & 0x10 else 0)  # footer flag
+    n_frames = 0
+    sum_frame_bytes = 0
+    kbps_seen: list[int] = []
+    version = layer = samplerate = mode = None
+    has_crc = False
+    n = len(payload)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError(f"truncated frame header at byte {pos}")
+        hdr = int.from_bytes(payload[pos : pos + 4], "big")
+        if hdr >> 21 != 0x7FF:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        ver_code = (hdr >> 19) & 0x3
+        if ver_code == 0b01:
+            raise ValueError("reserved MPEG version code")
+        if ver_code != 0b11:
+            raise ValueError("only MPEG-1 streams implemented (routing subset)")
+        layer_code = (hdr >> 17) & 0x3
+        if layer_code != 0b01:
+            raise ValueError(
+                f"only Layer III implemented (layer code 0b{layer_code:02b})"
+            )
+        protection = (hdr >> 16) & 1
+        idx = (hdr >> 12) & 0xF
+        if idx in (0, 15):
+            raise ValueError(f"unsupported bitrate index {idx} (free/bad)")
+        sr_idx = (hdr >> 10) & 0x3
+        if sr_idx == 3:
+            raise ValueError("reserved samplerate index")
+        padding = (hdr >> 9) & 1
+        this_mode = (hdr >> 6) & 0x3
+        if hdr & 0x3 == 0b10:
+            raise ValueError("reserved emphasis code")
+        kbps = _MP3_BITRATES[idx]
+        sr = _MP3_SAMPLERATES[sr_idx]
+        size = (144_000 * kbps) // sr + padding
+        if pos + size > n:
+            raise ValueError(
+                f"frame at byte {pos} declares {size} bytes, {n - pos} left"
+            )
+        if version is None:
+            version, layer, samplerate, mode = 1, 3, sr, this_mode
+            has_crc = protection == 0
+        elif (sr, this_mode, protection == 0) != (samplerate, mode, has_crc):
+            raise ValueError(
+                f"frame at byte {pos} changes stream parameters mid-file"
+            )
+        kbps_seen.append(kbps)
+        n_frames += 1
+        sum_frame_bytes += size
+        pos += size
+    if n_frames == 0:
+        raise ValueError("no MP3 frames after the ID3 tag")
+    total_samples = n_frames * _MP3_SAMPLES_PER_FRAME
+    return {
+        "mpeg_version": version,
+        "layer": layer,
+        "sample_rate": samplerate,
+        "channel_mode": mode,
+        "has_crc": has_crc,
+        "n_frames": n_frames,
+        "total_samples": total_samples,
+        "duration_ms": total_samples * 1000 // samplerate,
+        "sum_frame_bytes": sum_frame_bytes,
+        "kbps_min": min(kbps_seen),
+        "kbps_max": max(kbps_seen),
+        "is_vbr": len(set(kbps_seen)) > 1,
+        "id3_title": title,
+    }
+
+
+MP3_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("channel_mode", LongType(), False),
+        StructField("has_crc", LongType(), False),
+        StructField("total_samples", LongType(), False),
+        StructField("duration_ms", LongType(), False),
+        StructField("sum_frame_bytes", LongType(), False),
+        StructField("kbps_min", LongType(), False),
+        StructField("kbps_max", LongType(), False),
+        StructField("is_vbr", LongType(), False),
+        StructField("id3_title", StringType(), True),
+    ]
+)
+
+
+def with_mp3_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach one synthetic MP3 stream per row (Arrow-batched)."""
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), False)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_mp3(int(i), t) for i, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("audio/mpeg"))
+
+
+def probe_mp3_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Run the routing walk over every payload; one Arrow map pass."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                p = probe_mp3(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        p["n_frames"],
+                        p["sample_rate"],
+                        p["channel_mode"],
+                        int(p["has_crc"]),
+                        p["total_samples"],
+                        p["duration_ms"],
+                        p["sum_frame_bytes"],
+                        p["kbps_min"],
+                        p["kbps_max"],
+                        int(p["is_vbr"]),
+                        p["id3_title"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MP3_PROBE_SCHEMA.fields])
+
+    return df.select(id_col, "payload").mapInPandas(feats, MP3_PROBE_SCHEMA)

@@ -249,12 +249,15 @@ WD1_ORACLE = f"""
 #: drive exactly this mapping against DuckDB.
 from pipeline_mf_etl_spark.queries.multimodal import (  # noqa: E402
     MM25_ORACLE,
+    MM26_ORACLE,
     mm25_flac_decode,
+    mm26_mp3_probe,
 )
 
 PENDING_QUERIES = {
     "c1_warc_extract": (c1_warc_extract, C1_ORACLE),
     "mm25_flac_decode": (mm25_flac_decode, MM25_ORACLE),
+    "mm26_mp3_probe": (mm26_mp3_probe, MM26_ORACLE),
     "t15_html_extract": (t15_html_extract, T15_ORACLE),
     "wd1_webdataset_roundtrip": (wd1_webdataset_roundtrip, WD1_ORACLE),
 }

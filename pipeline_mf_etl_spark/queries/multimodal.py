@@ -1730,3 +1730,59 @@ def mm25_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_flac_payload(_docs(spark, sf_dir))
     return decode_flac_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# mm26 (PENDING — registers in the r11 window): MP3/ID3v2 routing probe
+# — the remaining audio leg of the routing matrix (mm23 covered
+# AAC-in-MP4). Frame sizes are pure header arithmetic for MPEG-1
+# Layer III, so the oracle recomputes the entire walk (frame count,
+# byte totals, VBR detection, duration) from the characters; a prober
+# that mis-skips the ID3 tag, mis-sizes one frame, or drops the CRC
+# slot desyncs the walk and cannot hash-match.
+# ---------------------------------------------------------------------------
+MM26_ORACLE = """
+    WITH geo AS (
+        SELECT doc_id, 1 + length(text) // 24 AS nf FROM documents
+    ), fr AS (
+        SELECT g.doc_id, t.i,
+               CASE (g.doc_id + t.i) % 4
+                   WHEN 0 THEN 128 WHEN 1 THEN 160
+                   WHEN 2 THEN 192 ELSE 224 END AS kbps,
+               t.i % 2 AS pad
+        FROM geo g, UNNEST(range(g.nf)) AS t(i)
+    ), agg AS (
+        SELECT doc_id, count(*) AS nf,
+               sum((144000 * kbps) // 44100 + pad) AS sfb,
+               min(kbps) AS kmin, max(kbps) AS kmax,
+               count(DISTINCT kbps) AS kd
+        FROM fr GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           a.nf AS n_frames,
+           44100 AS sample_rate,
+           g.doc_id % 4 AS channel_mode,
+           g.doc_id % 2 AS has_crc,
+           a.nf * 1152 AS total_samples,
+           (a.nf * 1152 * 1000) // 44100 AS duration_ms,
+           a.sfb AS sum_frame_bytes,
+           a.kmin AS kbps_min,
+           a.kmax AS kbps_max,
+           CAST(a.kd > 1 AS BIGINT) AS is_vbr,
+           'doc ' || g.doc_id AS id3_title
+    FROM geo g JOIN agg a USING (doc_id)
+"""
+
+
+def mm26_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing metadata per synthesized MP3 stream: ID3v2 skip
+    (syncsafe size), frame-header walk with size-arithmetic jumps that
+    must land exactly on stream end, per-frame bitrate stats (VBR
+    detection), exact duration. Map-only; no subband decode."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        probe_mp3_features,
+        with_mp3_payload,
+    )
+
+    docs = with_mp3_payload(_docs(spark, sf_dir))
+    return probe_mp3_features(docs)

@@ -79,3 +79,7 @@ def test_pending_queries_not_registered_yet():
 
 def test_mm25_flac_decode_matches_oracle(spark, duck):
     assert _compare(spark, duck, "mm25_flac_decode") > 0
+
+
+def test_mm26_mp3_probe_matches_oracle(spark, duck):
+    assert _compare(spark, duck, "mm26_mp3_probe") == 500

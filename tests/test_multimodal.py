@@ -2328,3 +2328,80 @@ class TestHevcRoute:
         assert rows[1]["level_idc"] == 120
         assert rows[2]["n_samples"] == 10 and rows[2]["n_sync"] == 2
         assert rows[2]["payload_byte_sum"] == 320 * ord("n") + 10
+
+
+class TestMp3Probe:
+    """MP3/ID3v2 routing walk (operators/multimodal.py encode_mp3 /
+    probe_mp3; pending query mm26 registers in r11)."""
+
+    def test_walk_accounting(self):
+        from pipeline_mf_etl_spark.operators.multimodal import encode_mp3, probe_mp3
+
+        p = probe_mp3(encode_mp3(3, "hello world " * 30))  # 360 chars
+        assert p["n_frames"] == 1 + 360 // 24
+        assert p["sample_rate"] == 44100
+        assert p["channel_mode"] == 3
+        assert p["has_crc"] is True  # odd doc_id
+        assert p["is_vbr"] is True
+        assert (p["kbps_min"], p["kbps_max"]) == (128, 224)
+        assert p["id3_title"] == "doc 3"
+        assert p["total_samples"] == p["n_frames"] * 1152
+        assert p["duration_ms"] == p["total_samples"] * 1000 // 44100
+
+    def test_single_frame_cbr(self):
+        from pipeline_mf_etl_spark.operators.multimodal import encode_mp3, probe_mp3
+
+        p = probe_mp3(encode_mp3(0, ""))
+        assert p["n_frames"] == 1 and p["is_vbr"] is False
+        assert p["has_crc"] is False
+        assert p["sum_frame_bytes"] == (144_000 * 128) // 44100
+
+    def test_id3_skip_is_exact(self):
+        # a one-byte-short ID3 size desyncs the walk and must raise
+        from pipeline_mf_etl_spark.operators.multimodal import encode_mp3, probe_mp3
+
+        blob = bytearray(encode_mp3(2, "abc"))
+        blob[9] += 1  # syncsafe low byte: tag claims one extra byte
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="sync|overruns"):
+            probe_mp3(bytes(blob))
+
+    def test_truncated_last_frame_fails(self):
+        from pipeline_mf_etl_spark.operators.multimodal import encode_mp3, probe_mp3
+
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="declares"):
+            probe_mp3(encode_mp3(2, "abc" * 30)[:-5])
+
+    def test_mid_stream_parameter_change_fails(self):
+        from pipeline_mf_etl_spark.operators.multimodal import encode_mp3, probe_mp3
+
+        blob = bytearray(encode_mp3(4, "z" * 60))  # 3 frames, mode 0
+        # find the second frame header (first is right after the ID3 tag)
+        first = blob.find(b"\xff\xfb", 1)
+        second = blob.find(b"\xff\xfb", first + 2)
+        assert second > 0
+        blob[second + 3] |= 0xC0  # flip channel mode on frame 2
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="changes stream parameters"):
+            probe_mp3(bytes(blob))
+
+    def test_reserved_codes_fail(self):
+        from pipeline_mf_etl_spark.operators.multimodal import encode_mp3, probe_mp3
+
+        blob = bytearray(encode_mp3(0, "q"))
+        first = blob.find(b"\xff\xfb", 1)
+        import pytest as _pt
+
+        bad_layer = bytearray(blob)
+        bad_layer[first + 1] = (bad_layer[first + 1] & ~0b110) | 0b100  # Layer II
+        with _pt.raises(ValueError, match="Layer III"):
+            probe_mp3(bytes(bad_layer))
+
+        bad_sr = bytearray(blob)
+        bad_sr[first + 2] |= 0x0C  # samplerate index 3 (reserved)
+        with _pt.raises(ValueError, match="samplerate"):
+            probe_mp3(bytes(bad_sr))
