@@ -244,6 +244,42 @@ WD1_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# c2 — ZIP bundle extraction (the random-access container code corpora
+# ship in; sources/zipshard.py walks EOCD/central-directory/local
+# headers with CRC-32 verification)
+# ---------------------------------------------------------------------------
+
+
+def c2_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract one 3-member ZIP bundle per document (text DEFLATE, meta
+    STORED, README alternating) through the full verified walk; emit
+    member accounting + the recovered text. Map-only Arrow pass; the
+    oracle recomputes everything from the characters (the synthesis is
+    deterministic and the codec lossless)."""
+    from pipeline_mf_etl_spark.sources.zipshard import (
+        extract_zip_documents,
+        with_zip_payload,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return extract_zip_documents(with_zip_payload(docs))
+
+
+_C2_META = "'{\"doc_id\": ' || doc_id || ', \"n_chars\": ' || strlen(text) || '}'"
+
+C2_ORACLE = f"""
+    SELECT doc_id,
+           3 AS n_members,
+           1 + doc_id % 2 AS n_deflated,
+           2 - doc_id % 2 AS n_stored,
+           strlen(text) + strlen({_C2_META}) + 24 AS total_uncompressed,
+           text AS text_out,
+           strlen({_C2_META}) AS meta_len
+    FROM documents
+"""
+
+
 #: r11 registration manifest: name -> (builder, oracle). Round 11 turns
 #: each into a @query decoration and window slot; until then the tests
 #: drive exactly this mapping against DuckDB.
@@ -256,6 +292,7 @@ from pipeline_mf_etl_spark.queries.multimodal import (  # noqa: E402
 
 PENDING_QUERIES = {
     "c1_warc_extract": (c1_warc_extract, C1_ORACLE),
+    "c2_zip_extract": (c2_zip_extract, C2_ORACLE),
     "mm25_flac_decode": (mm25_flac_decode, MM25_ORACLE),
     "mm26_mp3_probe": (mm26_mp3_probe, MM26_ORACLE),
     "t15_html_extract": (t15_html_extract, T15_ORACLE),

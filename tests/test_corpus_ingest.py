@@ -83,3 +83,7 @@ def test_mm25_flac_decode_matches_oracle(spark, duck):
 
 def test_mm26_mp3_probe_matches_oracle(spark, duck):
     assert _compare(spark, duck, "mm26_mp3_probe") == 500
+
+
+def test_c2_zip_extract_matches_oracle(spark, duck):
+    assert _compare(spark, duck, "c2_zip_extract") == 500

@@ -7,6 +7,8 @@ or raise ValueError — no silent corruption class)."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 from hypothesis import given, settings
@@ -95,7 +97,9 @@ def test_gzip_member_split_round_trip(parts):
 @given(st.lists(st.binary(max_size=800), min_size=1, max_size=4), st.integers(1, 40))
 def test_gzip_truncation_always_raises(parts, cut):
     stream = b"".join(gzip_member(p) for p in parts)
-    cut = min(cut, len(stream) - 1)
+    # the cut must land INSIDE the last member — removing it entirely
+    # leaves a shorter but valid stream (hypothesis found that case)
+    cut = min(cut, len(gzip_member(parts[-1])) - 1)
     with pytest.raises(ValueError):
         split_gzip_members(stream[:-cut])
 
@@ -179,3 +183,52 @@ def test_html_strip_idempotent_on_page_text(doc_id, text):
     # but must be stable when no entities remain
     if "&" not in once:
         assert html_to_text(once) == once
+
+
+# ---------------------------------------------------------------------------
+# ZIP: structure round-trips for arbitrary names/payloads/methods
+# ---------------------------------------------------------------------------
+
+from pipeline_mf_etl_spark.sources.zipshard import (  # noqa: E402
+    DEFLATED,
+    STORED,
+    encode_zip,
+    parse_zip,
+)
+
+_name = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789_/.-", min_size=1, max_size=30
+).filter(lambda n: not n.startswith("/"))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_name, st.binary(max_size=3000), st.sampled_from([STORED, DEFLATED])),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_zip_round_trip(members):
+    got = parse_zip(encode_zip(members))
+    assert [(m["name"], m["payload"], m["method"]) for m in got] == members
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=500, max_size=2000), st.integers(0, 10**6), st.integers(1, 255))
+def test_zip_bitflip_never_misdecodes(payload, pos, mask):
+    """Any single-byte corruption either still yields the exact member
+    payloads or raises — CRC-32 + size + structure checks leave no
+    silent-corruption class."""
+    members = [("data.bin", payload, DEFLATED), ("t.txt", b"x", STORED)]
+    blob = bytearray(encode_zip(members))
+    blob[pos % len(blob)] ^= mask
+    try:
+        got = parse_zip(bytes(blob))
+    except (ValueError, struct.error, UnicodeDecodeError):
+        return
+    assert [(m["name"], m["payload"]) for m in got] == [
+        (n, p) for n, p, _ in members
+    ]
+
