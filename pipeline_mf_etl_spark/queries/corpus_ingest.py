@@ -280,6 +280,45 @@ C2_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# c3 — PDF structure walk + text extraction (sources/pdfdoc.py: xref
+# table + trailer parse, object tokenizer, page-tree walk, FlateDecode
+# content streams, Tj/TJ show-operator text)
+# ---------------------------------------------------------------------------
+
+
+def c3_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract one synthesized multi-page PDF per document through the
+    full classic-form structure walk; emit page/object accounting and
+    the recovered text. Map-only Arrow pass; the oracle recomputes
+    everything from the characters (80 chars/page, fixed object
+    layout, lossless text path)."""
+    from pipeline_mf_etl_spark.sources.pdfdoc import (
+        extract_pdf_documents,
+        with_pdf_payload,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return extract_pdf_documents(with_pdf_payload(docs))
+
+
+C3_ORACLE = """
+    WITH geo AS (
+        SELECT doc_id, text,
+               CASE WHEN length(text) = 0 THEN 1
+                    ELSE (length(text) + 79) // 80 END AS np
+        FROM documents
+    )
+    SELECT doc_id,
+           np AS n_pages,
+           3 + 2 * np AS n_objects,
+           '1.4' AS pdf_version,
+           text AS text_out,
+           LEAST(length(text), 80) AS first_page_chars
+    FROM geo
+"""
+
+
 #: r11 registration manifest: name -> (builder, oracle). Round 11 turns
 #: each into a @query decoration and window slot; until then the tests
 #: drive exactly this mapping against DuckDB.
@@ -293,6 +332,7 @@ from pipeline_mf_etl_spark.queries.multimodal import (  # noqa: E402
 PENDING_QUERIES = {
     "c1_warc_extract": (c1_warc_extract, C1_ORACLE),
     "c2_zip_extract": (c2_zip_extract, C2_ORACLE),
+    "c3_pdf_extract": (c3_pdf_extract, C3_ORACLE),
     "mm25_flac_decode": (mm25_flac_decode, MM25_ORACLE),
     "mm26_mp3_probe": (mm26_mp3_probe, MM26_ORACLE),
     "t15_html_extract": (t15_html_extract, T15_ORACLE),

@@ -87,3 +87,7 @@ def test_mm26_mp3_probe_matches_oracle(spark, duck):
 
 def test_c2_zip_extract_matches_oracle(spark, duck):
     assert _compare(spark, duck, "c2_zip_extract") == 500
+
+
+def test_c3_pdf_extract_matches_oracle(spark, duck):
+    assert _compare(spark, duck, "c3_pdf_extract") == 500
