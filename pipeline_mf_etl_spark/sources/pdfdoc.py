@@ -56,8 +56,29 @@ PAGE_CHARS = 80  # synthesis: characters per page
 # ---------------------------------------------------------------------------
 
 
-def _pdf_escape(s: str) -> str:
-    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+def _pdf_text_bytes(s: str) -> bytes:
+    """A PDF literal-string body for ``s``, following the REAL text-
+    string convention (PDF 32000 §7.9.2.2): Latin-1-encodable text is
+    written as single bytes; anything else as UTF-16BE with the FE FF
+    BOM. Delimiters and line-end bytes are backslash-escaped so the
+    string survives any conforming reader."""
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError:
+        raw = b"\xfe\xff" + s.encode("utf-16-be")
+    out = bytearray()
+    esc = {0x5C: b"\\\\", 0x28: b"\\(", 0x29: b"\\)", 0x0D: b"\\r", 0x0A: b"\\n"}
+    for b in raw:
+        out += esc.get(b) or bytes([b])
+    return bytes(out)
+
+
+def _pdf_text_decode(b: bytes) -> str:
+    """Inverse of the text-string convention: BOM'd UTF-16BE, else
+    Latin-1 (every byte string is valid Latin-1 — no silent failure)."""
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be")
+    return b.decode("latin-1")
 
 
 def synth_pdf(doc_id: int, text: str) -> bytes:
@@ -83,8 +104,10 @@ def synth_pdf(doc_id: int, text: str) -> bytes:
             f"/Contents {5 + 2 * i} 0 R >>"
         ).encode("ascii")
         content = (
-            f"BT /F1 12 Tf 72 720 Td ({_pdf_escape(ptext)}) Tj ET"
-        ).encode("utf-8")
+            b"BT /F1 12 Tf 72 720 Td ("
+            + _pdf_text_bytes(ptext)
+            + b") Tj ET"
+        )
         data = zlib.compress(content, 6)
         objs[5 + 2 * i] = (
             f"<< /Length {len(data)} /Filter /FlateDecode >>\nstream\n".encode("ascii")
@@ -431,13 +454,13 @@ def _extract_text(content: bytes) -> str:
         if op == b"Tj":
             if not pending or not isinstance(pending[-1], bytes):
                 raise ValueError("Tj with no string operand")
-            out.append(pending[-1].decode("latin-1"))
+            out.append(_pdf_text_decode(pending[-1]))
         elif op == b"TJ":
             if not pending or not isinstance(pending[-1], list):
                 raise ValueError("TJ with no array operand")
             out.append(
                 "".join(
-                    e.decode("latin-1") for e in pending[-1] if isinstance(e, bytes)
+                    _pdf_text_decode(e) for e in pending[-1] if isinstance(e, bytes)
                 )
             )
         pending = []

@@ -151,3 +151,24 @@ def test_stdlib_free_zlib_stream_contract():
     at = blob.find(b"stream\n") + 7
     end = blob.find(b"\nendstream", at)
     assert zlib.decompress(blob[at:end]).startswith(b"BT /F1 12 Tf")
+
+
+class TestPdfTextEncoding:
+    @pytest.mark.parametrize(
+        "text",
+        ["unicode é ü", "中文 text 混合", "emoji 🙂 ok", "cr\rlf\n mix"],
+    )
+    def test_non_latin_text_round_trips(self, text):
+        """Non-Latin-1 text takes the REAL PDF text-string convention
+        (UTF-16BE with the FE FF BOM) — the latin-1 single-byte path
+        alone would mojibake it silently (found by an edge-case sweep;
+        the engine forbids silent corruption classes)."""
+        got = "".join(parse_pdf(synth_pdf(1, text))["page_texts"])
+        assert got == text
+
+    def test_latin1_stays_single_byte(self):
+        blob = synth_pdf(1, "plain ascii")
+        # no BOM in the content stream for latin-1-encodable text
+        at = blob.find(b"stream\n") + 7
+        end = blob.find(b"\nendstream", at)
+        assert b"\xfe\xff" not in zlib.decompress(blob[at:end])
