@@ -6518,3 +6518,230 @@ def probe_mp3_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in MP3_PROBE_SCHEMA.fields])
 
     return df.select(id_col, "payload").mapInPandas(feats, MP3_PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TIFF/EXIF ROUTING probe — the image-metadata leg of the routing
+# matrix (video: mm21/mm22/mm24; audio: mm23/mm26; image content:
+# mm16). Camera corpora carry orientation / geometry / capture
+# metadata in TIFF IFD structures (EXIF is a TIFF sub-IFD); a curation
+# pass routes on these without decoding pixels. The walk below parses
+# the REAL structures: endian-tagged header, IFD chains, inline-vs-
+# offset value packing, the EXIF sub-IFD pointer. BigTIFF and unknown
+# field types gate loudly.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}  # type -> bytes/elem
+_TAG_WIDTH, _TAG_HEIGHT, _TAG_BPS = 256, 257, 258
+_TAG_MAKE, _TAG_STRIPOFF, _TAG_ORIENT, _TAG_STRIPCNT = 271, 273, 274, 279
+_TAG_EXIF_IFD = 34665
+_TAG_ISO, _TAG_DATETIME_ORIG = 34855, 36867
+
+
+def encode_tiff_exif(doc_id: int, text: str) -> bytes:
+    """A deterministic little-endian TIFF: IFD0 carries geometry,
+    orientation (cycling all 8 values), Make, strip pointers to a tiny
+    pixel payload, and an EXIF sub-IFD with ISO + DateTimeOriginal.
+    Everything derives from (doc_id, len(text))."""
+    import struct
+
+    n = len(text)
+    width = 1 + n % 500
+    height = 1 + (n // 7) % 300
+    orient = 1 + doc_id % 8
+    iso = 100 * (1 + doc_id % 16)
+    date = f"2026:01:{(doc_id % 28) + 1:02d} 00:00:00"  # EXIF format, 19 chars
+    make = b"synthcam\x00"
+    date_b = date.encode("ascii") + b"\x00"
+    pixels = b"\x80" * 8  # strip payload (routing never reads it)
+
+    def entry(tag, typ, count, value_or_off):
+        return struct.pack("<HHI", tag, typ, count) + struct.pack("<I", value_or_off)
+
+    # layout: header(8) IFD0 .. exif IFD .. data area
+    n0 = 8  # IFD0 entries
+    ifd0_at = 8
+    exif_at = ifd0_at + 2 + 12 * n0 + 4
+    n1 = 2
+    data_at = exif_at + 2 + 12 * n1 + 4
+    make_at = data_at
+    date_at = make_at + len(make)
+    pix_at = date_at + len(date_b)
+
+    ifd0 = struct.pack("<H", n0)
+    ifd0 += entry(_TAG_WIDTH, 3, 1, width)
+    ifd0 += entry(_TAG_HEIGHT, 3, 1, height)
+    ifd0 += entry(_TAG_BPS, 3, 1, 8)
+    ifd0 += entry(_TAG_MAKE, 2, len(make), make_at)
+    ifd0 += entry(_TAG_STRIPOFF, 4, 1, pix_at)
+    ifd0 += entry(_TAG_ORIENT, 3, 1, orient)
+    ifd0 += entry(_TAG_STRIPCNT, 4, 1, len(pixels))
+    ifd0 += entry(_TAG_EXIF_IFD, 4, 1, exif_at)
+    ifd0 += struct.pack("<I", 0)  # no next IFD
+
+    exif = struct.pack("<H", n1)
+    exif += entry(_TAG_ISO, 3, 1, iso)
+    exif += entry(_TAG_DATETIME_ORIG, 2, len(date_b), date_at)
+    exif += struct.pack("<I", 0)
+
+    return (
+        b"II" + struct.pack("<HI", 42, ifd0_at)
+        + ifd0 + exif + make + date_b + pixels
+    )
+
+
+def parse_tiff_exif(payload: bytes) -> dict:
+    """REAL TIFF/EXIF walk: endian detect (II/MM), magic-42 check
+    (BigTIFF's 43 gates loudly), IFD chain with inline-vs-offset value
+    resolution per field type, EXIF sub-IFD recursion. Returns routing
+    metadata; unknown field TYPES and truncated structures fail
+    loudly (unknown TAGS are skipped — that is what real files have)."""
+    import struct
+
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic, ifd_at = struct.unpack(e + "HI", payload[2:8])
+    if magic == 43:
+        raise ValueError("BigTIFF (magic 43) unsupported")
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+
+    def read_value(typ, count, raw):
+        size = _TIFF_TYPES.get(typ)
+        if size is None:
+            raise ValueError(f"unknown TIFF field type {typ}")
+        total = size * count
+        if total <= 4:
+            data = raw[:total]
+        else:
+            off = struct.unpack(e + "I", raw)[0]
+            data = payload[off : off + total]
+            if len(data) != total:
+                raise ValueError(f"field value at {off} overruns the file")
+        if typ == 2:  # ASCII, NUL-terminated
+            return data.split(b"\x00", 1)[0].decode("latin-1")
+        if typ == 3:
+            return list(struct.unpack(e + "H" * count, data))
+        if typ == 4:
+            return list(struct.unpack(e + "I" * count, data))
+        if typ == 5:  # RATIONAL pairs
+            vals = struct.unpack(e + "I" * (2 * count), data)
+            return [(vals[2 * i], vals[2 * i + 1]) for i in range(count)]
+        return data  # BYTE / UNDEFINED
+
+    def read_ifd(at, depth=0):
+        if depth > 8:
+            raise ValueError("IFD chain deeper than 8 (cycle?)")
+        if at + 2 > len(payload):
+            raise ValueError(f"IFD at {at} overruns the file")
+        (count,) = struct.unpack(e + "H", payload[at : at + 2])
+        tags = {}
+        for i in range(count):
+            ent = payload[at + 2 + 12 * i : at + 14 + 12 * i]
+            if len(ent) != 12:
+                raise ValueError(f"IFD entry {i} at {at} truncated")
+            tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+            tags[tag] = read_value(typ, cnt, ent[8:12])
+        (nxt,) = struct.unpack(
+            e + "I", payload[at + 2 + 12 * count : at + 6 + 12 * count]
+        )
+        return tags, nxt
+
+    n_ifds = 0
+    first = None
+    at = ifd_at
+    while at:
+        tags, at = read_ifd(at)
+        if first is None:
+            first = tags
+        n_ifds += 1
+        if n_ifds > 64:
+            raise ValueError("more than 64 IFDs (corrupt next pointer?)")
+    exif = {}
+    if _TAG_EXIF_IFD in first:
+        (eat,) = first[_TAG_EXIF_IFD][:1]
+        exif, _ = read_ifd(eat, depth=1)
+
+    def one(tags, tag):
+        v = tags.get(tag)
+        return v[0] if isinstance(v, list) and v else v
+
+    return {
+        "endian": "II" if e == "<" else "MM",
+        "n_ifds": n_ifds,
+        "n_ifd0_entries": len(first),
+        "width": one(first, _TAG_WIDTH),
+        "height": one(first, _TAG_HEIGHT),
+        "orientation": one(first, _TAG_ORIENT),
+        "make": first.get(_TAG_MAKE),
+        "n_exif_entries": len(exif),
+        "iso": one(exif, _TAG_ISO),
+        "datetime_original": exif.get(_TAG_DATETIME_ORIG),
+    }
+
+
+TIFF_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("endian", StringType(), False),
+        StructField("n_ifds", LongType(), False),
+        StructField("n_ifd0_entries", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("orientation", LongType(), True),
+        StructField("make", StringType(), True),
+        StructField("n_exif_entries", LongType(), False),
+        StructField("iso", LongType(), True),
+        StructField("datetime_original", StringType(), True),
+    ]
+)
+
+
+def with_tiff_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), False)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_tiff_exif(int(i), t)
+                for i, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("image/tiff"))
+
+
+def probe_tiff_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                p = parse_tiff_exif(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        p["endian"],
+                        p["n_ifds"],
+                        p["n_ifd0_entries"],
+                        p["width"],
+                        p["height"],
+                        p["orientation"],
+                        p["make"],
+                        p["n_exif_entries"],
+                        p["iso"],
+                        p["datetime_original"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TIFF_PROBE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(feats, TIFF_PROBE_SCHEMA)

@@ -325,8 +325,10 @@ C3_ORACLE = """
 from pipeline_mf_etl_spark.queries.multimodal import (  # noqa: E402
     MM25_ORACLE,
     MM26_ORACLE,
+    MM27_ORACLE,
     mm25_flac_decode,
     mm26_mp3_probe,
+    mm27_tiff_probe,
 )
 
 PENDING_QUERIES = {
@@ -335,6 +337,7 @@ PENDING_QUERIES = {
     "c3_pdf_extract": (c3_pdf_extract, C3_ORACLE),
     "mm25_flac_decode": (mm25_flac_decode, MM25_ORACLE),
     "mm26_mp3_probe": (mm26_mp3_probe, MM26_ORACLE),
+    "mm27_tiff_probe": (mm27_tiff_probe, MM27_ORACLE),
     "t15_html_extract": (t15_html_extract, T15_ORACLE),
     "wd1_webdataset_roundtrip": (wd1_webdataset_roundtrip, WD1_ORACLE),
 }

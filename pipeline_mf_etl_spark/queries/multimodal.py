@@ -1786,3 +1786,43 @@ def mm26_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_mp3_payload(_docs(spark, sf_dir))
     return probe_mp3_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# mm27 (PENDING — registers in the r11 window): TIFF/EXIF routing probe
+# — the image-METADATA leg of the routing matrix (orientation /
+# geometry / capture tags are what camera-corpus curation routes on,
+# never pixels). The oracle recomputes every IFD value arithmetically
+# from (doc_id, length): a prober that mis-walks the IFD chain,
+# mis-resolves an offset value, or misses the EXIF sub-IFD cannot
+# hash-match.
+# ---------------------------------------------------------------------------
+MM27_ORACLE = """
+    SELECT doc_id,
+           'II' AS endian,
+           1 AS n_ifds,
+           8 AS n_ifd0_entries,
+           1 + length(text) % 500 AS width,
+           1 + (length(text) // 7) % 300 AS height,
+           1 + doc_id % 8 AS orientation,
+           'synthcam' AS make,
+           2 AS n_exif_entries,
+           100 * (1 + doc_id % 16) AS iso,
+           printf('2026:01:%02d 00:00:00', (doc_id % 28) + 1)
+               AS datetime_original
+    FROM documents
+"""
+
+
+def mm27_tiff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing metadata per synthesized TIFF: endian/magic validation,
+    IFD chain walk with inline-vs-offset value resolution, EXIF
+    sub-IFD recursion — geometry, orientation, Make, ISO and capture
+    date with zero pixel decode. Map-only Arrow pass."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        probe_tiff_features,
+        with_tiff_payload,
+    )
+
+    docs = with_tiff_payload(_docs(spark, sf_dir))
+    return probe_tiff_features(docs)

@@ -91,3 +91,7 @@ def test_c2_zip_extract_matches_oracle(spark, duck):
 
 def test_c3_pdf_extract_matches_oracle(spark, duck):
     assert _compare(spark, duck, "c3_pdf_extract") == 500
+
+
+def test_mm27_tiff_probe_matches_oracle(spark, duck):
+    assert _compare(spark, duck, "mm27_tiff_probe") == 500

@@ -2405,3 +2405,85 @@ class TestMp3Probe:
         bad_sr[first + 2] |= 0x0C  # samplerate index 3 (reserved)
         with _pt.raises(ValueError, match="samplerate"):
             probe_mp3(bytes(bad_sr))
+
+
+class TestTiffProbe:
+    """TIFF/EXIF routing walk (encode_tiff_exif / parse_tiff_exif;
+    pending query mm27 registers in r11)."""
+
+    def test_walk_values(self):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_tiff_exif,
+            parse_tiff_exif,
+        )
+
+        p = parse_tiff_exif(encode_tiff_exif(9, "x" * 499))
+        assert (p["width"], p["height"]) == (500, 72)
+        assert p["orientation"] == 2 and p["iso"] == 1000
+        assert p["make"] == "synthcam"
+        assert p["datetime_original"] == "2026:01:10 00:00:00"
+        assert p["n_ifds"] == 1 and p["n_exif_entries"] == 2
+
+    def test_big_endian_walks(self):
+        # hand-build a tiny MM (big-endian) file: header + 1-entry IFD
+        import struct
+
+        from pipeline_mf_etl_spark.operators.multimodal import parse_tiff_exif
+
+        ifd = struct.pack(">H", 1)
+        ifd += struct.pack(">HHI", 256, 3, 1) + struct.pack(">HH", 77, 0)
+        ifd += struct.pack(">I", 0)
+        blob = b"MM" + struct.pack(">HI", 42, 8) + ifd
+        p = parse_tiff_exif(blob)
+        assert p["endian"] == "MM" and p["width"] == 77
+
+    def test_bigtiff_gates(self):
+        import struct
+
+        import pytest as _pt
+
+        from pipeline_mf_etl_spark.operators.multimodal import parse_tiff_exif
+
+        with _pt.raises(ValueError, match="BigTIFF"):
+            parse_tiff_exif(b"II" + struct.pack("<HI", 43, 8))
+
+    def test_bad_magic_and_order(self):
+        import pytest as _pt
+
+        from pipeline_mf_etl_spark.operators.multimodal import parse_tiff_exif
+
+        with _pt.raises(ValueError, match="byte-order"):
+            parse_tiff_exif(b"XX\x2a\x00")
+
+    def test_offset_value_overrun_fails(self):
+        import pytest as _pt
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_tiff_exif,
+            parse_tiff_exif,
+        )
+
+        blob = bytearray(encode_tiff_exif(1, "abc"))
+        # Make tag (ASCII, offset form): point it past EOF
+        at = blob.find(b"synthcam")
+        # find the entry whose value equals the make offset
+        import struct
+
+        off_bytes = struct.pack("<I", at)
+        loc = blob.find(off_bytes)
+        blob[loc : loc + 4] = struct.pack("<I", len(blob) + 100)
+        with _pt.raises(ValueError, match="overruns"):
+            parse_tiff_exif(bytes(blob))
+
+    def test_unknown_type_gates(self):
+        import struct
+
+        import pytest as _pt
+
+        from pipeline_mf_etl_spark.operators.multimodal import parse_tiff_exif
+
+        ifd = struct.pack("<H", 1)
+        ifd += struct.pack("<HHI", 256, 13, 1) + b"\x00\x00\x00\x00"
+        ifd += struct.pack("<I", 0)
+        with _pt.raises(ValueError, match="unknown TIFF field type"):
+            parse_tiff_exif(b"II" + struct.pack("<HI", 42, 8) + ifd)
