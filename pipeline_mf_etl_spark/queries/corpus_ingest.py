@@ -1,15 +1,20 @@
-"""Corpus-ingestion queries: WARC extraction, HTML boilerplate strip,
-WebDataset shard round-trip.
+"""Corpus-ingestion queries: WARC extraction, ZIP and PDF document
+extraction, HTML boilerplate strip, WebDataset shard round-trip — plus
+the round-10 codec/routing additions re-exported into the same pending
+manifest (FLAC decode, MP3 and TIFF/EXIF probes).
 
 These are the query-layer wrappers over the round-10 library additions
-(``sources/warc.py``, ``operators/html.py``, ``sources/webdataset.py``).
-They are written — and oracle-verified in tests/test_corpus_ingest.py —
-in round 10, but REGISTER in the round-11 window: the r10 _PRIORITY
-window is exactly full with the r9-verdict rotation (all 34 r6-stale
-rows), and the backlog invariant (tests/test_registry.py) rightly
-refuses a registered query without a certification slot. Round 11:
-import this module from registry._QUERY_MODULES, move PENDING_* into
-@query decorations, and pin c1/t15/wd1 at the front of the new window.
+(``sources/{warc,webdataset,zipshard,pdfdoc}.py``,
+``operators/{html,flac}.py``, the mm26/mm27 probes in
+``operators/multimodal.py``). All EIGHT are written — and
+oracle-verified with the driver's exact canonical compare in
+tests/test_corpus_ingest.py — in round 10, but REGISTER in the
+round-11 window: the r10 _PRIORITY window is exactly full with the
+r9-verdict rotation (all 34 r6-stale rows), and the backlog invariant
+(tests/test_registry.py) rightly refuses a registered query without a
+certification slot. Round 11: import this module from
+registry._QUERY_MODULES, move PENDING_QUERIES into @query decorations,
+and pin the eight at the front of the new window.
 
 Plan shapes (asserted in tests):
 - c1: synthesis + gzip/WARC/HTTP/HTML extraction in ONE Arrow map pass —
