@@ -6745,3 +6745,207 @@ def probe_tiff_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(feats, TIFF_PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebP ROUTING probe — the #1 modern web image format after JPEG, with
+# THREE genuinely different header forms inside one RIFF container:
+# 'VP8 ' (lossy: frame tag + 0x9D012A start code + 14-bit geometry),
+# 'VP8L' (lossless: 0x2F + LSB-packed 14-bit fields + alpha bit), and
+# 'VP8X' (extended: feature flags + 24-bit canvas). A curation pass
+# routes/filters on geometry and alpha without touching entropy-coded
+# pixels — same contract as mm16/mm21/mm26/mm27.
+# ---------------------------------------------------------------------------
+
+
+def encode_webp(doc_id: int, text: str) -> bytes:
+    """A deterministic WebP: form cycles lossy/lossless/extended by
+    doc_id % 3; geometry derives from len(text). Pixel payloads are
+    deterministic filler — the prober reads headers only."""
+    import struct
+
+    n = len(text)
+    width = 1 + n % 4000
+    height = 1 + (n // 11) % 2000
+    form = doc_id % 3
+    fill = (text.encode("utf-8") or b"p") * 2
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    if form == 0:  # VP8 lossy key frame
+        # frame tag: keyframe(0) | version<<1 | show<<4 | partsize<<5
+        part_size = 1 + n % 512
+        tag = (part_size << 5) | (1 << 4) | 0
+        body = struct.pack("<I", tag)[:3] + b"\x9d\x01\x2a"
+        body += struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+        body += fill[: 1 + n % 40]
+        chunks = chunk(b"VP8 ", body)
+    elif form == 1:  # VP8L lossless
+        has_alpha = doc_id % 2
+        bits = (width - 1) | ((height - 1) << 14) | (has_alpha << 28)  # +3-bit ver 0
+        body = b"\x2f" + struct.pack("<I", bits)
+        body += fill[: 1 + n % 40]
+        chunks = chunk(b"VP8L", body)
+    else:  # VP8X extended: flags + canvas, then an inner VP8 chunk
+        flags = 0
+        if doc_id % 2:
+            flags |= 0x10  # alpha
+        if doc_id % 4 == 3:
+            flags |= 0x08  # EXIF metadata present
+        body = bytes([flags, 0, 0, 0])
+        body += struct.pack("<I", width - 1)[:3] + struct.pack("<I", height - 1)[:3]
+        inner_tag = ((1 + n % 512) << 5) | (1 << 4)
+        inner = struct.pack("<I", inner_tag)[:3] + b"\x9d\x01\x2a"
+        inner += struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+        chunks = chunk(b"VP8X", body) + chunk(b"VP8 ", inner + fill[: 1 + n % 16])
+        if doc_id % 4 == 3:
+            chunks += chunk(b"EXIF", encode_tiff_exif(doc_id, text))
+    riff_body = b"WEBP" + chunks
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def parse_webp(payload: bytes) -> dict:
+    """REAL WebP routing walk: RIFF framing (sizes + odd-size padding),
+    chunk iteration, and per-form header parse — VP8 frame tag +
+    start-code + geometry, VP8L LSB-packed fields + version check,
+    VP8X flags + 24-bit canvas cross-checked against the inner VP8
+    geometry when both carry one. Unknown forms and framing lies fail
+    loudly; entropy decode is out of scope by design."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF/WEBP signature)")
+    declared = int.from_bytes(payload[4:8], "little")
+    if declared + 8 != len(payload):
+        raise ValueError(
+            f"RIFF size {declared} disagrees with file size {len(payload) - 8}"
+        )
+    pos = 12
+    chunks: list[tuple[str, bytes]] = []
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError(f"truncated chunk header at byte {pos}")
+        fourcc = payload[pos : pos + 4].decode("latin-1")
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"chunk {fourcc!r} truncated ({len(body)}/{size})")
+        chunks.append((fourcc, body))
+        pos += 8 + size + (size % 2)  # odd sizes pad one byte
+
+    kinds = [c[0] for c in chunks]
+    width = height = None
+    has_alpha = False
+    if kinds[0] == "VP8X":
+        body = chunks[0][1]
+        if len(body) != 10:
+            raise ValueError(f"VP8X chunk must be 10 bytes, got {len(body)}")
+        flags = body[0]
+        if flags & 0x02:
+            raise ValueError("animated WebP unsupported (routing subset)")
+        has_alpha = bool(flags & 0x10)
+        width = int.from_bytes(body[4:7], "little") + 1
+        height = int.from_bytes(body[7:10], "little") + 1
+        form = "extended"
+        inner = next((b for f, b in chunks if f == "VP8 "), None)
+        if inner is not None:
+            iw, ih = _parse_vp8_geometry(inner)
+            if (iw, ih) != (width, height):
+                raise ValueError(
+                    f"VP8X canvas {width}x{height} disagrees with the inner "
+                    f"VP8 frame {iw}x{ih}"
+                )
+    elif kinds[0] == "VP8 ":
+        form = "lossy"
+        width, height = _parse_vp8_geometry(chunks[0][1])
+    elif kinds[0] == "VP8L":
+        form = "lossless"
+        body = chunks[0][1]
+        if body[:1] != b"\x2f":
+            raise ValueError("VP8L missing 0x2F signature byte")
+        bits = int.from_bytes(body[1:5], "little")
+        width = (bits & 0x3FFF) + 1
+        height = ((bits >> 14) & 0x3FFF) + 1
+        has_alpha = bool((bits >> 28) & 1)
+        version = (bits >> 29) & 0x7
+        if version != 0:
+            raise ValueError(f"VP8L version {version} reserved (must be 0)")
+    else:
+        raise ValueError(f"first chunk {kinds[0]!r} is not a WebP image form")
+    return {
+        "form": form,
+        "width": width,
+        "height": height,
+        "has_alpha": has_alpha,
+        "n_chunks": len(chunks),
+        "has_exif": "EXIF" in kinds,
+    }
+
+
+def _parse_vp8_geometry(body: bytes) -> tuple[int, int]:
+    if len(body) < 10:
+        raise ValueError("VP8 chunk too short for a frame header")
+    tag = int.from_bytes(body[:3], "little")
+    if tag & 1:
+        raise ValueError("VP8 interframe cannot start a WebP (keyframe bit set)")
+    if body[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("VP8 keyframe missing the 9D 01 2A start code")
+    w = int.from_bytes(body[6:8], "little") & 0x3FFF
+    h = int.from_bytes(body[8:10], "little") & 0x3FFF
+    return w, h
+
+
+WEBP_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("form", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("has_alpha", LongType(), False),
+        StructField("n_chunks", LongType(), False),
+        StructField("has_exif", LongType(), False),
+    ]
+)
+
+
+def with_webp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), False)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_webp(int(i), t) for i, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("image/webp"))
+
+
+def probe_webp_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                p = parse_webp(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        p["form"],
+                        p["width"],
+                        p["height"],
+                        int(p["has_alpha"]),
+                        p["n_chunks"],
+                        int(p["has_exif"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WEBP_PROBE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(feats, WEBP_PROBE_SCHEMA)

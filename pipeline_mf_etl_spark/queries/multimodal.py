@@ -1826,3 +1826,41 @@ def mm27_tiff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_tiff_payload(_docs(spark, sf_dir))
     return probe_tiff_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# mm28 (PENDING — registers in the r11 window): WebP routing probe —
+# the #1 modern web-image format; three header forms (lossy VP8,
+# lossless VP8L, extended VP8X with the canvas/inner-frame
+# cross-check) cycled across the corpus so every branch carries hash
+# signal. Zero entropy decode; the oracle replays the geometry/flag
+# arithmetic from the characters.
+# ---------------------------------------------------------------------------
+MM28_ORACLE = """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+                ELSE 'extended' END AS form,
+           1 + length(text) % 4000 AS width,
+           1 + (length(text) // 11) % 2000 AS height,
+           CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 2 END AS has_alpha,
+           CASE WHEN doc_id % 3 = 2
+                THEN 2 + CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END
+                ELSE 1 END AS n_chunks,
+           CASE WHEN doc_id % 3 = 2 AND doc_id % 4 = 3 THEN 1 ELSE 0 END
+               AS has_exif
+    FROM documents
+"""
+
+
+def mm28_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing metadata per synthesized WebP: RIFF/chunk framing
+    validation, per-form header parse (VP8 frame tag + start code,
+    VP8L packed fields, VP8X flags + canvas cross-checked against the
+    inner frame), EXIF-chunk detection. Map-only, zero pixel decode."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        probe_webp_features,
+        with_webp_payload,
+    )
+
+    docs = with_webp_payload(_docs(spark, sf_dir))
+    return probe_webp_features(docs)

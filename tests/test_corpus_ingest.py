@@ -95,3 +95,7 @@ def test_c3_pdf_extract_matches_oracle(spark, duck):
 
 def test_mm27_tiff_probe_matches_oracle(spark, duck):
     assert _compare(spark, duck, "mm27_tiff_probe") == 500
+
+
+def test_mm28_webp_probe_matches_oracle(spark, duck):
+    assert _compare(spark, duck, "mm28_webp_probe") == 500

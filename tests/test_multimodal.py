@@ -2487,3 +2487,93 @@ class TestTiffProbe:
         ifd += struct.pack("<I", 0)
         with _pt.raises(ValueError, match="unknown TIFF field type"):
             parse_tiff_exif(b"II" + struct.pack("<HI", 42, 8) + ifd)
+
+
+class TestWebpProbe:
+    """WebP routing walk (encode_webp / parse_webp; pending query mm28
+    registers in r11)."""
+
+    def _p(self, did, t):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_webp,
+            parse_webp,
+        )
+
+        return parse_webp(encode_webp(did, t))
+
+    def test_three_forms(self):
+        assert self._p(0, "abc")["form"] == "lossy"
+        assert self._p(1, "abc")["form"] == "lossless"
+        p = self._p(2, "abc")
+        assert p["form"] == "extended" and p["n_chunks"] == 2
+
+    def test_exif_chunk_detected(self):
+        p = self._p(11, "meta" * 20)
+        assert p["has_exif"] and p["n_chunks"] == 3
+
+    def test_geometry(self):
+        p = self._p(0, "x" * 500)
+        assert (p["width"], p["height"]) == (501, 1 + (500 // 11) % 2000)
+
+    def test_riff_size_lie_fails(self):
+        import pytest as _pt
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_webp,
+            parse_webp,
+        )
+
+        blob = bytearray(encode_webp(0, "abc"))
+        blob[4] ^= 0x01
+        with _pt.raises(ValueError, match="disagrees"):
+            parse_webp(bytes(blob))
+
+    def test_vp8x_inner_mismatch_fails(self):
+        import pytest as _pt
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_webp,
+            parse_webp,
+        )
+
+        blob = bytearray(encode_webp(2, "y" * 500))  # extended
+        at = blob.find(b"\x9d\x01\x2a") + 3  # inner VP8 geometry
+        blob[at] ^= 0x01
+        with _pt.raises(ValueError, match="disagrees with the inner"):
+            parse_webp(bytes(blob))
+
+    def test_missing_start_code_fails(self):
+        import pytest as _pt
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_webp,
+            parse_webp,
+        )
+
+        blob = bytearray(encode_webp(0, "abc"))
+        at = blob.find(b"\x9d\x01\x2a")
+        blob[at] = 0x00
+        with _pt.raises(ValueError, match="start code"):
+            parse_webp(bytes(blob))
+
+    def test_animation_gates(self):
+        import pytest as _pt
+
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_webp,
+            parse_webp,
+        )
+
+        blob = bytearray(encode_webp(2, "zz"))
+        at = blob.find(b"VP8X") + 8
+        blob[at] |= 0x02  # animation flag
+        with _pt.raises(ValueError, match="animated"):
+            parse_webp(bytes(blob))
+
+    def test_not_webp(self):
+        import pytest as _pt
+
+        from pipeline_mf_etl_spark.operators.multimodal import parse_webp
+
+        with _pt.raises(ValueError, match="RIFF/WEBP"):
+            parse_webp(b"RIFF\x04\x00\x00\x00WAVE")
