@@ -6949,3 +6949,313 @@ def probe_webp_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(feats, WEBP_PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebM/Matroska ROUTING probe — the #2 video container after MP4, with
+# a genuinely different grammar: EBML, where element IDs AND sizes are
+# variable-length integers (VINTs) and structure is nested master
+# elements. The probe parses the EBML header (DocType/version gates),
+# Segment Info (timestamp scale, duration), TrackEntry metadata
+# (codecs, geometry, audio params) and counts Clusters/SimpleBlocks —
+# the routing layer; block payload decode is out of scope like
+# avc1/hvc1.
+# ---------------------------------------------------------------------------
+
+_EBML_IDS = {
+    "EBML": b"\x1a\x45\xdf\xa3", "DocType": b"\x42\x82",
+    "DocTypeVersion": b"\x42\x87", "DocTypeReadVersion": b"\x42\x85",
+    "EBMLVersion": b"\x42\x86", "EBMLReadVersion": b"\x42\xf7",
+    "Segment": b"\x18\x53\x80\x67", "Info": b"\x15\x49\xa9\x66",
+    "TimestampScale": b"\x2a\xd7\xb1", "Duration": b"\x44\x89",
+    "MuxingApp": b"\x4d\x80", "WritingApp": b"\x57\x41",
+    "Tracks": b"\x16\x54\xae\x6b", "TrackEntry": b"\xae",
+    "TrackNumber": b"\xd7", "TrackUID": b"\x73\xc5",
+    "TrackType": b"\x83", "CodecID": b"\x86",
+    "Video": b"\xe0", "PixelWidth": b"\xb0", "PixelHeight": b"\xba",
+    "Audio": b"\xe1", "SamplingFrequency": b"\xb5", "Channels": b"\x9f",
+    "Cluster": b"\x1f\x43\xb6\x75", "Timestamp": b"\xe7",
+    "SimpleBlock": b"\xa3",
+}
+
+_WEBM_VIDEO_CODECS = ("V_VP8", "V_VP9", "V_AV1")
+_WEBM_AUDIO_CODECS = ("A_OPUS", "A_VORBIS")
+
+
+def _vint_size(n: int) -> bytes:
+    """Encode n as an EBML size VINT (minimal length)."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:  # all-ones is 'unknown size'
+            marker = 1 << (7 * length)
+            return (marker | n).to_bytes(length, "big")
+    raise ValueError(f"size {n} exceeds 8-byte VINT")
+
+
+def _ebml_el(name: str, payload: bytes) -> bytes:
+    return _EBML_IDS[name] + _vint_size(len(payload)) + payload
+
+
+def _ebml_uint(n: int) -> bytes:
+    if n == 0:
+        return b"\x00"
+    return n.to_bytes((n.bit_length() + 7) // 8, "big")
+
+
+def encode_webm(doc_id: int, text: str) -> bytes:
+    """A deterministic WebM: EBML header, Segment with Info (scale
+    1_000_000 ns, duration len(text)*40 ms), one video + one audio
+    TrackEntry (codecs cycle by doc_id), and ``1 + len//100`` Clusters
+    of 2 SimpleBlocks each. Block payloads are filler; the prober reads
+    structure only."""
+    import struct
+
+    n = len(text)
+    width, height = 16 * (1 + n % 120), 16 * (1 + (n // 5) % 68)
+    duration_ms = n * 40
+    vcodec = _WEBM_VIDEO_CODECS[doc_id % 3]
+    acodec = _WEBM_AUDIO_CODECS[doc_id % 2]
+    header = _ebml_el(
+        "EBML",
+        _ebml_el("EBMLVersion", b"\x01")
+        + _ebml_el("EBMLReadVersion", b"\x01")
+        + _ebml_el("DocType", b"webm")
+        + _ebml_el("DocTypeVersion", b"\x04")
+        + _ebml_el("DocTypeReadVersion", b"\x02"),
+    )
+    info = _ebml_el(
+        "Info",
+        _ebml_el("TimestampScale", _ebml_uint(1_000_000))
+        + _ebml_el("Duration", struct.pack(">d", float(duration_ms)))
+        + _ebml_el("MuxingApp", b"pipeline_mf_etl_spark")
+        + _ebml_el("WritingApp", b"synth"),
+    )
+    video_track = _ebml_el(
+        "TrackEntry",
+        _ebml_el("TrackNumber", b"\x01")
+        + _ebml_el("TrackUID", _ebml_uint(doc_id + 1))
+        + _ebml_el("TrackType", b"\x01")
+        + _ebml_el("CodecID", vcodec.encode("ascii"))
+        + _ebml_el(
+            "Video",
+            _ebml_el("PixelWidth", _ebml_uint(width))
+            + _ebml_el("PixelHeight", _ebml_uint(height)),
+        ),
+    )
+    audio_track = _ebml_el(
+        "TrackEntry",
+        _ebml_el("TrackNumber", b"\x02")
+        + _ebml_el("TrackUID", _ebml_uint(doc_id + 1000))
+        + _ebml_el("TrackType", b"\x02")
+        + _ebml_el("CodecID", acodec.encode("ascii"))
+        + _ebml_el(
+            "Audio",
+            _ebml_el("SamplingFrequency", struct.pack(">d", 48000.0))
+            + _ebml_el("Channels", b"\x02"),
+        ),
+    )
+    tracks = _ebml_el("Tracks", video_track + audio_track)
+    fill = (text.encode("utf-8") or b"b")
+    clusters = b""
+    n_clusters = 1 + n // 100
+    for c in range(n_clusters):
+        blocks = b""
+        for b in range(2):
+            # SimpleBlock: track VINT + 2-byte timecode + flags + data
+            body = b"\x81" + struct.pack(">h", 10 * b) + b"\x80"
+            body += fill[: 1 + (c + b) % 16]
+            blocks += _ebml_el("SimpleBlock", body)
+        clusters += _ebml_el(
+            "Cluster",
+            _ebml_el("Timestamp", _ebml_uint(40 * c)) + blocks,
+        )
+    segment = _ebml_el("Segment", info + tracks + clusters)
+    return header + segment
+
+
+def _read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Read one VINT at pos; returns (value, new_pos). ``keep_marker``
+    True for element IDs (the marker bit is part of the ID), False for
+    sizes (marker stripped). All-ones size = 'unknown' -> -1."""
+    if pos >= len(data):
+        raise ValueError("EBML VINT at end of data")
+    first = data[pos]
+    if first == 0:
+        raise ValueError(f"invalid VINT lead byte 0x00 at {pos}")
+    length = 9 - first.bit_length()
+    if pos + length > len(data):
+        raise ValueError(f"truncated VINT at {pos}")
+    raw = int.from_bytes(data[pos : pos + length], "big")
+    if keep_marker:
+        return raw, pos + length
+    value = raw - (1 << (7 * length))
+    if value == (1 << (7 * length)) - 1:
+        return -1, pos + length  # unknown size
+    return value, pos + length
+
+
+def parse_webm(payload: bytes) -> dict:
+    """REAL EBML walk: VINT IDs/sizes, nested master elements, the
+    EBML header gates (DocType must be webm/matroska, read versions
+    bounded), Info/Tracks metadata extraction, Cluster/SimpleBlock
+    counting. Unknown-size elements and truncation fail loudly."""
+    import struct
+
+    def walk(data: bytes, pos: int, end: int):
+        while pos < end:
+            id_raw, pos = _read_vint(data, pos, keep_marker=True)
+            id_len = (id_raw.bit_length() + 7) // 8
+            id_bytes = id_raw.to_bytes(id_len, "big")
+            size, pos = _read_vint(data, pos, keep_marker=False)
+            if size < 0:
+                raise ValueError(
+                    f"unknown-size element {id_bytes.hex()} unsupported "
+                    "(streaming-muxed file)"
+                )
+            if pos + size > end:
+                raise ValueError(
+                    f"element {id_bytes.hex()} at {pos} overruns its parent"
+                )
+            yield id_bytes, data[pos : pos + size]
+            pos += size
+
+    top = list(walk(payload, 0, len(payload)))
+    if not top or top[0][0] != _EBML_IDS["EBML"]:
+        raise ValueError("not an EBML stream (missing EBML header)")
+    header = dict(walk(top[0][1], 0, len(top[0][1])))
+    doc_type = header.get(_EBML_IDS["DocType"], b"").decode("latin-1")
+    if doc_type not in ("webm", "matroska"):
+        raise ValueError(f"unsupported EBML DocType {doc_type!r}")
+    read_ver = int.from_bytes(header.get(_EBML_IDS["DocTypeReadVersion"], b"\x01"), "big")
+    if read_ver > 4:
+        raise ValueError(f"DocTypeReadVersion {read_ver} beyond this reader")
+    segment = next((b for i, b in top if i == _EBML_IDS["Segment"]), None)
+    if segment is None:
+        raise ValueError("EBML stream has no Segment")
+
+    scale = 1_000_000
+    duration_raw = None
+    tracks: list[dict] = []
+    n_clusters = n_blocks = 0
+    for el_id, body in walk(segment, 0, len(segment)):
+        if el_id == _EBML_IDS["Info"]:
+            for i2, b2 in walk(body, 0, len(body)):
+                if i2 == _EBML_IDS["TimestampScale"]:
+                    scale = int.from_bytes(b2, "big")
+                elif i2 == _EBML_IDS["Duration"]:
+                    if len(b2) == 8:
+                        duration_raw = struct.unpack(">d", b2)[0]
+                    elif len(b2) == 4:
+                        duration_raw = struct.unpack(">f", b2)[0]
+                    else:
+                        raise ValueError(f"Duration float of {len(b2)} bytes")
+        elif el_id == _EBML_IDS["Tracks"]:
+            for i2, b2 in walk(body, 0, len(body)):
+                if i2 != _EBML_IDS["TrackEntry"]:
+                    continue
+                t: dict = {}
+                for i3, b3 in walk(b2, 0, len(b2)):
+                    if i3 == _EBML_IDS["TrackType"]:
+                        t["type"] = int.from_bytes(b3, "big")
+                    elif i3 == _EBML_IDS["CodecID"]:
+                        t["codec"] = b3.decode("latin-1")
+                    elif i3 == _EBML_IDS["Video"]:
+                        for i4, b4 in walk(b3, 0, len(b3)):
+                            if i4 == _EBML_IDS["PixelWidth"]:
+                                t["width"] = int.from_bytes(b4, "big")
+                            elif i4 == _EBML_IDS["PixelHeight"]:
+                                t["height"] = int.from_bytes(b4, "big")
+                    elif i3 == _EBML_IDS["Audio"]:
+                        for i4, b4 in walk(b3, 0, len(b3)):
+                            if i4 == _EBML_IDS["SamplingFrequency"]:
+                                t["sampling_hz"] = struct.unpack(">d", b4)[0]
+                            elif i4 == _EBML_IDS["Channels"]:
+                                t["channels"] = int.from_bytes(b4, "big")
+                tracks.append(t)
+        elif el_id == _EBML_IDS["Cluster"]:
+            n_clusters += 1
+            for i2, _b2 in walk(body, 0, len(body)):
+                if i2 == _EBML_IDS["SimpleBlock"]:
+                    n_blocks += 1
+    video = next((t for t in tracks if t.get("type") == 1), {})
+    audio = next((t for t in tracks if t.get("type") == 2), {})
+    duration_ms = (
+        int(round(duration_raw * scale / 1_000_000))
+        if duration_raw is not None
+        else None
+    )
+    return {
+        "doc_type": doc_type,
+        "timestamp_scale": scale,
+        "duration_ms": duration_ms,
+        "n_tracks": len(tracks),
+        "video_codec": video.get("codec"),
+        "audio_codec": audio.get("codec"),
+        "width": video.get("width"),
+        "height": video.get("height"),
+        "sampling_hz": audio.get("sampling_hz"),
+        "channels": audio.get("channels"),
+        "n_clusters": n_clusters,
+        "n_blocks": n_blocks,
+    }
+
+
+WEBM_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("doc_type", StringType(), False),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_tracks", LongType(), False),
+        StructField("video_codec", StringType(), True),
+        StructField("audio_codec", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("n_clusters", LongType(), False),
+        StructField("n_blocks", LongType(), False),
+    ]
+)
+
+
+def with_webm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), False)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_webm(int(i), t) for i, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("video/webm"))
+
+
+def probe_webm_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                p = parse_webm(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        p["doc_type"],
+                        p["duration_ms"],
+                        p["n_tracks"],
+                        p["video_codec"],
+                        p["audio_codec"],
+                        p["width"],
+                        p["height"],
+                        p["channels"],
+                        p["n_clusters"],
+                        p["n_blocks"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WEBM_PROBE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(feats, WEBM_PROBE_SCHEMA)

@@ -332,10 +332,12 @@ from pipeline_mf_etl_spark.queries.multimodal import (  # noqa: E402
     MM26_ORACLE,
     MM27_ORACLE,
     MM28_ORACLE,
+    MM29_ORACLE,
     mm25_flac_decode,
     mm26_mp3_probe,
     mm27_tiff_probe,
     mm28_webp_probe,
+    mm29_webm_probe,
 )
 
 PENDING_QUERIES = {
@@ -346,6 +348,7 @@ PENDING_QUERIES = {
     "mm26_mp3_probe": (mm26_mp3_probe, MM26_ORACLE),
     "mm27_tiff_probe": (mm27_tiff_probe, MM27_ORACLE),
     "mm28_webp_probe": (mm28_webp_probe, MM28_ORACLE),
+    "mm29_webm_probe": (mm29_webm_probe, MM29_ORACLE),
     "t15_html_extract": (t15_html_extract, T15_ORACLE),
     "wd1_webdataset_roundtrip": (wd1_webdataset_roundtrip, WD1_ORACLE),
 }

@@ -1864,3 +1864,42 @@ def mm28_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_webp_payload(_docs(spark, sf_dir))
     return probe_webp_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# mm29 (PENDING — registers in the r11 window): WebM/Matroska routing
+# probe — the #2 video container, with the genuinely different EBML
+# grammar (VINT ids/sizes, nested masters). The oracle replays all the
+# Info/Tracks/Cluster arithmetic from the characters; a walker that
+# mis-reads one VINT desyncs the whole element tree and cannot match.
+# ---------------------------------------------------------------------------
+MM29_ORACLE = """
+    SELECT doc_id,
+           'webm' AS doc_type,
+           length(text) * 40 AS duration_ms,
+           2 AS n_tracks,
+           CASE doc_id % 3 WHEN 0 THEN 'V_VP8' WHEN 1 THEN 'V_VP9'
+                ELSE 'V_AV1' END AS video_codec,
+           CASE doc_id % 2 WHEN 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+               AS audio_codec,
+           16 * (1 + length(text) % 120) AS width,
+           16 * (1 + (length(text) // 5) % 68) AS height,
+           2 AS channels,
+           1 + length(text) // 100 AS n_clusters,
+           2 * (1 + length(text) // 100) AS n_blocks
+    FROM documents
+"""
+
+
+def mm29_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing metadata per synthesized WebM: EBML header gates
+    (DocType, read version), Segment Info (timestamp scale applied to
+    the Duration float), per-track codec/geometry/audio params,
+    Cluster/SimpleBlock counts. Map-only; block payloads untouched."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        probe_webm_features,
+        with_webm_payload,
+    )
+
+    docs = with_webm_payload(_docs(spark, sf_dir))
+    return probe_webm_features(docs)

@@ -99,3 +99,7 @@ def test_mm27_tiff_probe_matches_oracle(spark, duck):
 
 def test_mm28_webp_probe_matches_oracle(spark, duck):
     assert _compare(spark, duck, "mm28_webp_probe") == 500
+
+
+def test_mm29_webm_probe_matches_oracle(spark, duck):
+    assert _compare(spark, duck, "mm29_webm_probe") == 500
