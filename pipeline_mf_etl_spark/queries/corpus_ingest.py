@@ -324,6 +324,51 @@ C3_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# c4 — Avro object-container extraction (sources/avro_io.py: the
+# data-lake interchange format; metadata map, schema JSON, per-block
+# sync verification, zigzag-varint record decode incl. union branches)
+# ---------------------------------------------------------------------------
+
+
+def c4_avro_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode one multi-record Avro container per document (25-char
+    chunk records, 8/block, union-typed lang taking the null branch
+    every third record, deflate for odd doc_ids) and reassemble the
+    text in seq order. Map-only Arrow pass; the oracle replays the
+    chunking/union arithmetic from the characters."""
+    from pipeline_mf_etl_spark.sources.avro_io import (
+        extract_avro_documents,
+        with_avro_payload,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return extract_avro_documents(with_avro_payload(docs))
+
+
+C4_ORACLE = """
+    WITH geo AS (
+        SELECT doc_id, text,
+               CASE WHEN length(text) = 0 THEN 1
+                    ELSE (length(text) + 24) // 25 END AS nr
+        FROM documents
+    ), nulls AS (
+        SELECT g.doc_id,
+               sum(CASE WHEN (g.doc_id + t.i) % 3 = 0 THEN 1 ELSE 0 END)
+                   AS n_null
+        FROM geo g, UNNEST(range(g.nr)) AS t(i)
+        GROUP BY g.doc_id
+    )
+    SELECT g.doc_id,
+           g.nr AS n_records,
+           (g.nr + 7) // 8 AS n_blocks,
+           CASE g.doc_id % 2 WHEN 0 THEN 'null' ELSE 'deflate' END AS codec,
+           g.text AS text_out,
+           n.n_null AS n_null_langs
+    FROM geo g JOIN nulls n USING (doc_id)
+"""
+
+
 #: r11 registration manifest: name -> (builder, oracle). Round 11 turns
 #: each into a @query decoration and window slot; until then the tests
 #: drive exactly this mapping against DuckDB.
@@ -344,6 +389,7 @@ PENDING_QUERIES = {
     "c1_warc_extract": (c1_warc_extract, C1_ORACLE),
     "c2_zip_extract": (c2_zip_extract, C2_ORACLE),
     "c3_pdf_extract": (c3_pdf_extract, C3_ORACLE),
+    "c4_avro_extract": (c4_avro_extract, C4_ORACLE),
     "mm25_flac_decode": (mm25_flac_decode, MM25_ORACLE),
     "mm26_mp3_probe": (mm26_mp3_probe, MM26_ORACLE),
     "mm27_tiff_probe": (mm27_tiff_probe, MM27_ORACLE),

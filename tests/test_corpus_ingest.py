@@ -103,3 +103,7 @@ def test_mm28_webp_probe_matches_oracle(spark, duck):
 
 def test_mm29_webm_probe_matches_oracle(spark, duck):
     assert _compare(spark, duck, "mm29_webm_probe") == 500
+
+
+def test_c4_avro_extract_matches_oracle(spark, duck):
+    assert _compare(spark, duck, "c4_avro_extract") == 500
