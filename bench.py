@@ -59,6 +59,19 @@ HEADLINE = (
     "mm22_avc1_route",        # avc1-in-MP4 demux + avcC/stss routing
     "mm23_aac_route",         # mp4a/AAC-in-MP4 esds audio routing
     "mm24_hevc_route",        # hvc1/HEVC-in-MP4 hvcC routing
+    # added round 11 (r10-comparable subtotal = first 31): the corpus-
+    # ingestion + codec family registered this round
+    "c1_warc_extract",        # WARC gzip-member split + HTTP/HTML extract
+    "c2_zip_extract",         # ZIP central-directory walk + DEFLATE
+    "c3_pdf_extract",         # PDF xref/object walk + content-stream text
+    "c4_avro_extract",        # Avro object-container zigzag-varint decode
+    "t15_html_extract",       # pure-JVM HTML boilerplate strip
+    "wd1_webdataset_roundtrip",  # tar shard build + loader round-trip
+    "mm25_flac_decode",       # FLAC rice/predictor decode + CRC/MD5
+    "mm26_mp3_probe",         # MP3 frame walk + ID3v2 skip
+    "mm27_tiff_probe",        # TIFF/EXIF IFD chain walk
+    "mm28_webp_probe",        # WebP VP8/VP8L/VP8X header routing
+    "mm29_webm_probe",        # WebM/Matroska EBML walk
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the
@@ -277,29 +290,13 @@ def main() -> None:
         best_p = dt if best_p is None else min(best_p, dt)
     codec_phases["mm16_probe_on_mm13b_payloads"] = {"decode_sec": round(best_p, 3)}
 
-    # r11-pending queries (oracle-ready, not yet registered — see
-    # queries/corpus_ingest.PENDING_QUERIES): measured in their own
-    # section so the headline set stays round-comparable until they
-    # take certification slots.
-    pending_timings: dict[str, float] = {}
-    try:
-        from pipeline_mf_etl_spark.queries.corpus_ingest import PENDING_QUERIES
-    except ImportError:
-        PENDING_QUERIES = {}
-    for name, (builder, _oracle) in sorted(PENDING_QUERIES.items()):
-        best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            _force(builder(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        pending_timings[name] = round(best, 3)
-
     # Round-comparability anchors (r9 verdict task 8): the headline set
-    # grew 14 -> 27 across rounds; these two fields make the 2x-of-
-    # baseline check and the round-over-round delta each ONE number.
+    # grew 14 -> 42 across rounds; these fields make the 2x-of-baseline
+    # check and the round-over-round delta each ONE number.
     comparable_14 = [n for n in HEADLINE[:14] if n in timings]
     comparable_14_total = round(sum(timings[n] for n in comparable_14), 3)
+    comparable_31 = [n for n in HEADLINE[:31] if n in timings]
+    comparable_31_total = round(sum(timings[n] for n in comparable_31), 3)
     shared_prev = None
     import glob
 
@@ -307,18 +304,41 @@ def main() -> None:
         glob.glob("BENCH_r*.json"),
         key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
     )
-    if prev_files:
-        with open(prev_files[-1], encoding="utf-8") as fh:
+    # Walk back to the newest round whose bench output the driver
+    # actually parsed (r10's final line outgrew the driver's tail
+    # window, leaving "parsed": null — the reason the detail sections
+    # now live in .artifacts/bench_detail.json, not the final line).
+    for prev_path in reversed(prev_files):
+        with open(prev_path, encoding="utf-8") as fh:
             prev = json.load(fh)
-        # the driver wraps bench output under "parsed"
         prev = prev.get("parsed", prev) or {}
-        inter = [n for n in timings if n in prev.get("queries", {})]
+        if not prev.get("queries"):
+            continue
+        inter = [n for n in timings if n in prev["queries"]]
         shared_prev = {
-            "prev_file": os.path.basename(prev_files[-1]),
+            "prev_file": os.path.basename(prev_path),
             "n_queries": len(inter),
             "this_total": round(sum(timings[n] for n in inter), 3),
             "prev_total": round(sum(prev["queries"][n] for n in inter), 3),
         }
+        break
+
+    # Bulky diagnostic sections (normalized timings, codec phase split)
+    # go to a detail file + an EARLIER stdout line; the FINAL line stays
+    # compact so the driver's tail-capture window always parses it
+    # (r10 verdict nit #1: the r10 final line outgrew that window).
+    detail = {
+        "normalized_queries": normalized,
+        "normalized_by": {
+            "calib_range_sum_sec": sorted(scan_shaped),
+            "calib_shuffle_window_sec": "all others",
+        },
+        "codec_phases": codec_phases,
+    }
+    os.makedirs(".artifacts", exist_ok=True)
+    with open(".artifacts/bench_detail.json", "w", encoding="utf-8") as fh:
+        json.dump(detail, fh)
+    print(json.dumps({"bench_detail": detail}))
 
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -330,14 +350,8 @@ def main() -> None:
         "agg": "min",
         "calib_range_sum_sec": round(calib, 3),
         "calib_shuffle_window_sec": round(calib_sw, 3),
-        "normalized_queries": normalized,
-        "normalized_by": {
-            "calib_range_sum_sec": sorted(scan_shaped),
-            "calib_shuffle_window_sec": "all others",
-        },
-        "codec_phases": codec_phases,
-        "pending_r11_queries": pending_timings,
         "comparable_14_total": comparable_14_total,
+        "comparable_31_total": comparable_31_total,
         "shared_prev_round_total": shared_prev,
     }))
 

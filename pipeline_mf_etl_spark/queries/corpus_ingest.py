@@ -1,20 +1,15 @@
-"""Corpus-ingestion queries: WARC extraction, ZIP and PDF document
-extraction, HTML boilerplate strip, WebDataset shard round-trip — plus
-the round-10 codec/routing additions re-exported into the same pending
-manifest (FLAC decode, MP3 and TIFF/EXIF probes).
+"""Corpus-ingestion queries: WARC extraction, ZIP, PDF and Avro document
+extraction, HTML boilerplate strip, WebDataset shard round-trip.
 
 These are the query-layer wrappers over the round-10 library additions
-(``sources/{warc,webdataset,zipshard,pdfdoc}.py``,
-``operators/{html,flac}.py``, the mm26/mm27 probes in
-``operators/multimodal.py``). All EIGHT are written — and
-oracle-verified with the driver's exact canonical compare in
-tests/test_corpus_ingest.py — in round 10, but REGISTER in the
-round-11 window: the r10 _PRIORITY window is exactly full with the
-r9-verdict rotation (all 34 r6-stale rows), and the backlog invariant
-(tests/test_registry.py) rightly refuses a registered query without a
-certification slot. Round 11: import this module from
-registry._QUERY_MODULES, move PENDING_QUERIES into @query decorations,
-and pin the eight at the front of the new window.
+(``sources/{warc,webdataset,zipshard,pdfdoc,avro_io}.py``,
+``operators/{html,flac}.py``, the mm26–mm29 probes in
+``operators/multimodal.py``). All were written — and oracle-verified
+with the driver's exact canonical compare in tests/test_corpus_ingest.py
+— in round 10, and REGISTERED in the round-11 window (the r10 window
+was exactly full with the r9-verdict rotation). The codec-side five
+(mm25–mm29) register in queries/multimodal.py; the container/text six
+(c1–c4, t15, wd1) register here.
 
 Plan shapes (asserted in tests):
 - c1: synthesis + gzip/WARC/HTTP/HTML extraction in ONE Arrow map pass —
@@ -39,6 +34,7 @@ from pipeline_mf_etl_spark.operators.html import (
     html_to_text_column,
     html_to_text_sql,
 )
+from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import fan_out, load_table
 from pipeline_mf_etl_spark.sources.warc import (
     HTML_PAGE_TEMPLATE,
@@ -231,6 +227,10 @@ def wd1_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: json.dumps({...}, sort_keys=True) of the sample metadata — keys are
 #: already alphabetical (doc_id, lang, source); default separators.
+#: ASCII-corpus assumption (mm2/mm4 convention): total_bytes sums
+#: UTF-8 byte lengths engine-side but strlen() CHARACTERS oracle-side —
+#: equivalent only on the pure-ASCII synthetic corpus (asserted by
+#: tests/test_multimodal.py::test_corpus_is_ascii).
 _META_JSON = (
     "'{\"doc_id\": ' || doc_id || ', \"lang\": \"' || lang ||"
     " '\", \"source\": \"' || source || '\"}'"
@@ -369,32 +369,12 @@ C4_ORACLE = """
 """
 
 
-#: r11 registration manifest: name -> (builder, oracle). Round 11 turns
-#: each into a @query decoration and window slot; until then the tests
-#: drive exactly this mapping against DuckDB.
-from pipeline_mf_etl_spark.queries.multimodal import (  # noqa: E402
-    MM25_ORACLE,
-    MM26_ORACLE,
-    MM27_ORACLE,
-    MM28_ORACLE,
-    MM29_ORACLE,
-    mm25_flac_decode,
-    mm26_mp3_probe,
-    mm27_tiff_probe,
-    mm28_webp_probe,
-    mm29_webm_probe,
-)
-
-PENDING_QUERIES = {
-    "c1_warc_extract": (c1_warc_extract, C1_ORACLE),
-    "c2_zip_extract": (c2_zip_extract, C2_ORACLE),
-    "c3_pdf_extract": (c3_pdf_extract, C3_ORACLE),
-    "c4_avro_extract": (c4_avro_extract, C4_ORACLE),
-    "mm25_flac_decode": (mm25_flac_decode, MM25_ORACLE),
-    "mm26_mp3_probe": (mm26_mp3_probe, MM26_ORACLE),
-    "mm27_tiff_probe": (mm27_tiff_probe, MM27_ORACLE),
-    "mm28_webp_probe": (mm28_webp_probe, MM28_ORACLE),
-    "mm29_webm_probe": (mm29_webm_probe, MM29_ORACLE),
-    "t15_html_extract": (t15_html_extract, T15_ORACLE),
-    "wd1_webdataset_roundtrip": (wd1_webdataset_roundtrip, WD1_ORACLE),
-}
+# Registrations live at the bottom because each oracle is assembled
+# from SQL-fragment helpers defined between the builders above (the
+# decorator form would need the oracle text before the function).
+query("c1_warc_extract", oracle=C1_ORACLE)(c1_warc_extract)
+query("c2_zip_extract", oracle=C2_ORACLE)(c2_zip_extract)
+query("c3_pdf_extract", oracle=C3_ORACLE)(c3_pdf_extract)
+query("c4_avro_extract", oracle=C4_ORACLE)(c4_avro_extract)
+query("t15_html_extract", oracle=T15_ORACLE)(t15_html_extract)
+query("wd1_webdataset_roundtrip", oracle=WD1_ORACLE)(wd1_webdataset_roundtrip)

@@ -1678,14 +1678,18 @@ def mm24_hevc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# mm25 (PENDING — registers in the r11 window, see queries/corpus_ingest
-# PENDING_QUERIES): decoded-FLAC stats — encode→decode round-trip
+# mm25 (registered r11): decoded-FLAC stats — encode→decode round-trip
 # through the real dependency-free lossless codec (operators/flac.py:
 # rice coding, fixed predictors, stereo decorrelation, CRC-8/16 + MD5
 # integrity). LOSSLESS is the oracle story: unlike ADPCM's recursive-
 # CTE replay, decoded stats come straight from the characters. Every
 # third doc is stereo (even chars -> left, odd -> right), so the
 # decorrelated-channel and side-channel (17-bit) paths carry hashes.
+# ASCII-corpus assumption (shared with mm2/mm4 and the wd1 byte
+# oracle): the engine samples text.encode('utf-8') BYTES while the SQL
+# side uses ord(substr(..)) CHARACTERS — equivalent only because the
+# synthetic documents corpus is pure ASCII (asserted by
+# tests/test_multimodal.py::test_corpus_is_ascii).
 # ---------------------------------------------------------------------------
 MM25_ORACLE = """
     WITH base AS (
@@ -1718,6 +1722,7 @@ MM25_ORACLE = """
 """
 
 
+@query("mm25_flac_decode", oracle=MM25_ORACLE)
 def mm25_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoded-FLAC stats per document: geometry from STREAMINFO plus
     exact integer sample statistics (sum, peak, position-weighted dot)
@@ -1733,7 +1738,7 @@ def mm25_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# mm26 (PENDING — registers in the r11 window): MP3/ID3v2 routing probe
+# mm26 (registered r11): MP3/ID3v2 routing probe
 # — the remaining audio leg of the routing matrix (mm23 covered
 # AAC-in-MP4). Frame sizes are pure header arithmetic for MPEG-1
 # Layer III, so the oracle recomputes the entire walk (frame count,
@@ -1774,6 +1779,7 @@ MM26_ORACLE = """
 """
 
 
+@query("mm26_mp3_probe", oracle=MM26_ORACLE)
 def mm26_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routing metadata per synthesized MP3 stream: ID3v2 skip
     (syncsafe size), frame-header walk with size-arithmetic jumps that
@@ -1789,7 +1795,7 @@ def mm26_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# mm27 (PENDING — registers in the r11 window): TIFF/EXIF routing probe
+# mm27 (registered r11): TIFF/EXIF routing probe
 # — the image-METADATA leg of the routing matrix (orientation /
 # geometry / capture tags are what camera-corpus curation routes on,
 # never pixels). The oracle recomputes every IFD value arithmetically
@@ -1814,6 +1820,7 @@ MM27_ORACLE = """
 """
 
 
+@query("mm27_tiff_probe", oracle=MM27_ORACLE)
 def mm27_tiff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routing metadata per synthesized TIFF: endian/magic validation,
     IFD chain walk with inline-vs-offset value resolution, EXIF
@@ -1829,7 +1836,7 @@ def mm27_tiff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# mm28 (PENDING — registers in the r11 window): WebP routing probe —
+# mm28 (registered r11): WebP routing probe —
 # the #1 modern web-image format; three header forms (lossy VP8,
 # lossless VP8L, extended VP8X with the canvas/inner-frame
 # cross-check) cycled across the corpus so every branch carries hash
@@ -1852,6 +1859,7 @@ MM28_ORACLE = """
 """
 
 
+@query("mm28_webp_probe", oracle=MM28_ORACLE)
 def mm28_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routing metadata per synthesized WebP: RIFF/chunk framing
     validation, per-form header parse (VP8 frame tag + start code,
@@ -1867,7 +1875,7 @@ def mm28_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# mm29 (PENDING — registers in the r11 window): WebM/Matroska routing
+# mm29 (registered r11): WebM/Matroska routing
 # probe — the #2 video container, with the genuinely different EBML
 # grammar (VINT ids/sizes, nested masters). The oracle replays all the
 # Info/Tracks/Cluster arithmetic from the characters; a walker that
@@ -1891,6 +1899,7 @@ MM29_ORACLE = """
 """
 
 
+@query("mm29_webm_probe", oracle=MM29_ORACLE)
 def mm29_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routing metadata per synthesized WebM: EBML header gates
     (DocType, read version), Segment Info (timestamp scale applied to

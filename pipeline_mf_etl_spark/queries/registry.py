@@ -28,11 +28,13 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 
 # Modules that register queries on import. Order matters: the driver's
 # correctness harness certifies the first 50 registered queries; the
-# _PRIORITY tuple below pins the ROUND-10 window exactly (see its
-# section comments). OUTSIDE the round-10 window (all green r7/r8/r9 on
-# code untouched this round): the r8 and r9 windows — rotate back in
-# next round any of those whose files change, plus whatever round 11
-# adds (the r7 tranche a15/a16b/a17b/a18b leads that rotation).
+# _PRIORITY tuple below pins the ROUND-11 window exactly (see its
+# section comments). OUTSIDE the round-11 window (all green r8/r9/r10
+# on code untouched this round): the r8/r9/r10 windows — rotate back in
+# next round any of those whose files change, plus the six r7-stale
+# leftovers that missed this window (j13_interval_lookup,
+# a7_region_rollup, a19_cube, d9_source_dup_matrix, o5_union_by_name,
+# o7_distinct_counts — they LEAD the r12 rotation).
 # NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
 # so keep backtest ahead of viewer in this list (otherwise backtest's
 # queries register mid-viewer-import and the fill order shifts).
@@ -45,6 +47,9 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.similarity",
     "pipeline_mf_etl_spark.queries.streaming",
     "pipeline_mf_etl_spark.queries.multimodal",
+    # corpus ingestion (c1-c4, t15, wd1) right after multimodal, whose
+    # probe queries it composes with (registered r11)
+    "pipeline_mf_etl_spark.queries.corpus_ingest",
     "pipeline_mf_etl_spark.queries.viewer",
     "pipeline_mf_etl_spark.queries.corpus",
     "pipeline_mf_etl_spark.queries.ml",
@@ -61,82 +66,71 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.graph",
 )
 
-# ROUND-10 WINDOW (the r9 verdict's ranked task 1): new/edited r10
-# code first — the NEW codec-routing trio (mm21 H.264 Annex-B probe,
-# mm22 avc1-in-MP4, mm23 mp4a/AAC-in-MP4) plus mm14's re-cert after
-# parse_mp4 grew avc1/mp4a/stss support, the GIF LZW EOI-width fix
-# (mm19), stereo ADPCM (mm18), the env-cap removal (d2), the PNG
-# color/Adam7 generalization (mm12 + new mm12b), the two skew variants
-# (w21 segmented / w23 min_by) registering for the first time under
-# their parents' oracles, and promote_manifest's optional compaction
-# (i5) — then ALL 34 r6-stale rows (the oldest oracled certifications:
-# streaming st1/st3-st8, the ML fit family, o9-o13, f1/f2, mm5-mm7,
-# v4, the t-family stragglers, w3, a18) plus the 3 r3 no-oracle rows
-# (a16/a17/o4 — rows-only by design, their exact twins re-certify in
-# the same window), filled to exactly 50 with the oldest r7 row. After
-# r10 the oldest oracled certification is r7. Rotated out (green
-# r8/r9, code untouched): the r9 window.
+# ROUND-11 WINDOW (the r10 verdict's ranked tasks 1+2): the 11
+# r10-built, oracle-ready pending queries register and certify FIRST
+# (c1 WARC, c2 ZIP, c3 PDF, c4 Avro, t15 HTML strip, wd1 WebDataset,
+# mm25 FLAC, mm26 MP3, mm27 TIFF/EXIF, mm28 WebP, mm29 WebM), then any
+# NEW r11 code, then the r7-stale rotation (45 rows were r7-latest
+# after r10; the verdict's priority order — heavily-composed parents
+# first: w2/w21/w23, s3, i2, r1/r2, st9-st12, the a14/a15/a16b/a17b/
+# a18b tranche, then mm8-mm11/o14-o19, then the t/w/e/g tail) filled
+# to exactly 50. Leftovers roll to r12 (see _QUERY_MODULES comment).
+# Rotated out (green r8/r9/r10, code untouched): the r10 window.
 _PRIORITY = (
-    # --- (1) round-10 new/edited code needing (re-)certification ---
-    "mm21_h264_probe",
-    "mm22_avc1_route",
-    "mm23_aac_route",
-    "mm24_hevc_route",
-    "mm14_mp4_demux",
-    "mm19_gif_decode",
-    "mm18_adpcm_decode",
-    "mm12_png_decode",
-    "mm12b_png_color",
-    "d2_minhash_lsh",
-    "w21_scd2_intervals_segmented",
-    "w23_ohlc_resample_minby",
-    "i5_manifest_merge",
-    # --- (2) the 34 r6-stale rows (oldest oracled certifications) ---
-    "st1_tumbling_daily",
-    "st3_session_windows",
-    "st4_stateful_user_stats",
-    "st5_stream_dedupe",
-    "st6_stream_enrich",
-    "st7_stream_neardup",
-    "st8_stream_quality_route",
-    "m4_kmeans_profile",
-    "m5_gmm_mixture",
-    "m7_cluster_quality",
-    "m7b_silhouette_sampled",
-    "m10_hmm_states",
-    "m16_event_study",
-    "m20_ari_vs_truth",
-    "m21_walkforward",
-    "o9_stratified_sample",
-    "o10_token_budget_mix",
-    "o11_split_leakage",
-    "o12_sequence_packing",
-    "o13_temperature_mix",
-    "f1_flow_states",
-    "f2_flow_activity",
-    "mm5_image_decode",
-    "mm6_video_decode",
-    "mm7_image_phash_dedup",
-    "v4_hmm_ribbon",
-    "t1_lang_id",
-    "t6_pii_scrub",
-    "t7_repetition_quality",
-    "t8_contamination",
-    "t9_trigram_lm",
-    "t10_source_quality",
-    "w3_ewm_wilder",
-    "a18_approx_distinct",
-    # --- (3) the 3 r3 rows (no-oracle by design; rows-only refresh) ---
-    "a16_approx_quantiles",
-    "a17_heavy_hitters",
-    "o4_seeded_sample",
-    # --- (4) the r7 fillers (a14/a15/a16b/a17b/a18b, all certified r7)
-    # ceded their slots to the new codec-routing family (mm21 Annex-B,
-    # mm22 avc1, mm23 mp4a, mm24 hvc1) and mm14's re-cert after
-    # parse_mp4 grew avc1/hvc1/mp4a/stss; they lead the r11 rotation,
-    # TOGETHER WITH the four r10-built, oracle-ready pending queries in
-    # queries/corpus_ingest.PENDING_QUERIES (c1 WARC, t15 HTML strip,
-    # wd1 WebDataset, mm25 FLAC) — registering those is r11 task #1 ---
+    # --- (1) r10-built pending queries, registered this round ---
+    "c1_warc_extract",
+    "c2_zip_extract",
+    "c3_pdf_extract",
+    "c4_avro_extract",
+    "t15_html_extract",
+    "wd1_webdataset_roundtrip",
+    "mm25_flac_decode",
+    "mm26_mp3_probe",
+    "mm27_tiff_probe",
+    "mm28_webp_probe",
+    "mm29_webm_probe",
+    # --- (2) new r11 code (inserted as built; each insertion pops the
+    # tail of section 3 into the r12 rotation) ---
+    # --- (3) the r7-stale rotation, verdict priority order ---
+    "w2_rolling_stats",
+    "w21_scd2_intervals",
+    "w23_ohlc_resample",
+    "s3_pushdown_scan",
+    "i2_manifest_classify",
+    "r1_bm25_topk",
+    "r2_hybrid_rrf",
+    "st9_attribution_join",
+    "st10_last_click",
+    "st11_lsh_admission_batch",
+    "st12_daily_rollup_batch",
+    "a14_salted_skew_agg",
+    "a15_rollup",
+    "a16b_exact_quantiles",
+    "a17b_exact_heavy_hitters",
+    "a18b_exact_distinct",
+    "mm8_audio_segments",
+    "mm9_image_resize",
+    "mm10_audio_downsample",
+    "mm11_video_resize",
+    "o14_chunk_windows",
+    "o15_shard_shuffle",
+    "o16_per_group_sample",
+    "o17_weighted_sample",
+    "o18_zorder_layout",
+    "o19_purged_split",
+    "t11_gopher_rules",
+    "t12_bpe_tokenize",
+    "t13_perplexity_buckets",
+    "w1_lag_lead",
+    "w19_time_decay_score",
+    "w20_rolling_autocorr",
+    "e7_semantic_dedup",
+    "e8_pca_project",
+    "g1_pagerank_neardup",
+    "g2_pagerank_weighted",
+    "j7_j10_profile_joins",
+    "j11_asof_join",
+    "j12_star_join",
 )
 
 

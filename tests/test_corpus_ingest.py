@@ -1,19 +1,24 @@
-"""Pre-certification of the r11-pending corpus-ingestion queries
-(c1/t15/wd1): full oracle parity at the driver's correctness scale plus
-the plan-shape contracts. When round 11 registers them, the driver
-check should be a formality — this file already runs the exact compare."""
+"""Certification of the corpus-ingestion queries (c1-c4/t15/wd1 and the
+mm25-mm29 codec legs, registered in the r11 window): full oracle parity
+at the driver's correctness scale plus the plan-shape contracts — this
+file runs the driver's exact canonical compare."""
 
 from __future__ import annotations
 
 from tests.conftest import canonical_rows
 
-from pipeline_mf_etl_spark.queries.corpus_ingest import PENDING_QUERIES
+from pipeline_mf_etl_spark.queries import all_queries
 
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def _spec(name):
+    return all_queries()[name]
+
+
 def _compare(spark, duck, name):
-    fn, oracle = PENDING_QUERIES[name]
+    spec = _spec(name)
+    fn, oracle = spec.spark, spec.oracle
     sdf = fn(spark, SF_ORACLE)
     srows = [tuple(r) for r in sdf.collect()]
     cur = duck.execute(oracle)
@@ -43,7 +48,7 @@ def test_t15_plan_is_pure_jvm_projection(spark):
     exchange is the small-input fan-out — a no-op at production split
     counts), and each regex chain evaluated ONCE (the inlined form put
     44 regexp_replace nodes in the plan; staged selects keep 16)."""
-    fn, _ = PENDING_QUERIES["t15_html_extract"]
+    fn = _spec("t15_html_extract").spark
     plan = fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("Exchange roundrobinpartitioning") <= 1
@@ -52,7 +57,7 @@ def test_t15_plan_is_pure_jvm_projection(spark):
 
 
 def test_c1_plan_is_single_map_pass(spark):
-    fn, _ = PENDING_QUERIES["c1_warc_extract"]
+    fn = _spec("c1_warc_extract").spark
     plan = fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("Exchange roundrobinpartitioning") <= 1  # fan-out only
@@ -61,20 +66,26 @@ def test_c1_plan_is_single_map_pass(spark):
 def test_wd1_plan_has_exactly_two_exchanges(spark):
     """One for the shard build groupBy, one for the stats groupBy —
     anything more means the loader side grew a shuffle it must not have."""
-    fn, _ = PENDING_QUERIES["wd1_webdataset_roundtrip"]
+    fn = _spec("wd1_webdataset_roundtrip").spark
     plan = fn(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("Exchange") == 2
 
 
-def test_pending_queries_not_registered_yet():
-    """Until their r11 window slots exist, these names must stay OUT of
-    the registry (the backlog invariant would otherwise fire — see
-    tests/test_registry.py)."""
-    from pipeline_mf_etl_spark.queries import all_queries
+def test_all_eleven_registered_and_windowed():
+    """The r10-pending eleven are registered AND hold r11 window slots
+    (the registration was r11 task #1; the backlog invariant in
+    tests/test_registry.py enforces the window half)."""
+    from pipeline_mf_etl_spark.queries.registry import _PRIORITY
 
-    registered = set(all_queries())
-    assert not (set(PENDING_QUERIES) & registered)
+    eleven = {
+        "c1_warc_extract", "c2_zip_extract", "c3_pdf_extract",
+        "c4_avro_extract", "t15_html_extract", "wd1_webdataset_roundtrip",
+        "mm25_flac_decode", "mm26_mp3_probe", "mm27_tiff_probe",
+        "mm28_webp_probe", "mm29_webm_probe",
+    }
+    assert eleven <= set(all_queries())
+    assert eleven <= set(_PRIORITY[:11])
 
 
 def test_mm25_flac_decode_matches_oracle(spark, duck):

@@ -212,9 +212,9 @@ class TestSpark:
             assert r["n_frames"] == (r["total_samples"] + 63) // 64
 
     def test_plan_map_only(self, spark):
-        from pipeline_mf_etl_spark.queries.corpus_ingest import PENDING_QUERIES
+        from pipeline_mf_etl_spark.queries import all_queries
 
-        fn, _ = PENDING_QUERIES["mm25_flac_decode"]
+        fn = all_queries()["mm25_flac_decode"].spark
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hashpartitioning" not in plan
         assert plan.count("Exchange roundrobinpartitioning") <= 1  # fan-out
