@@ -6364,6 +6364,11 @@ def probe_mp3(payload: bytes) -> dict:
     if payload[:3] == b"ID3":
         if len(payload) < 10:
             raise ValueError("truncated ID3v2 header")
+        id3_ver = payload[3]
+        if id3_ver not in (3, 4):
+            # v2.2 has 3-byte frame ids/sizes — a different grammar;
+            # gate loudly per the module convention (ADVICE r10)
+            raise ValueError(f"only ID3v2.3/v2.4 implemented (got v2.{id3_ver})")
         flags = payload[5]
         ss = payload[6:10]
         if any(b & 0x80 for b in ss):
@@ -6376,7 +6381,17 @@ def probe_mp3(payload: bytes) -> dict:
         bpos = 0
         while bpos + 10 <= len(body) and body[bpos] != 0:
             fid = body[bpos : bpos + 4]
-            fsize = int.from_bytes(body[bpos + 4 : bpos + 8], "big")
+            fsz = body[bpos + 4 : bpos + 8]
+            if id3_ver == 4:
+                # v2.4 frame sizes are SYNCSAFE; reading them raw
+                # desyncs the walk for any frame > 127 bytes
+                if any(b & 0x80 for b in fsz):
+                    raise ValueError(
+                        f"ID3v2.4 frame {fid!r} size bytes must be syncsafe"
+                    )
+                fsize = (fsz[0] << 21) | (fsz[1] << 14) | (fsz[2] << 7) | fsz[3]
+            else:
+                fsize = int.from_bytes(fsz, "big")
             content = body[bpos + 10 : bpos + 10 + fsize]
             if len(content) != fsize:
                 raise ValueError(f"ID3 frame {fid!r} overruns the tag")
@@ -6534,6 +6549,9 @@ def probe_mp3_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 _TIFF_TYPES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}  # type -> bytes/elem
 _TAG_WIDTH, _TAG_HEIGHT, _TAG_BPS = 256, 257, 258
 _TAG_MAKE, _TAG_STRIPOFF, _TAG_ORIENT, _TAG_STRIPCNT = 271, 273, 274, 279
+_TAG_COMPRESSION, _TAG_PHOTOMETRIC = 259, 262
+_TAG_SPP, _TAG_ROWSPERSTRIP = 277, 278
+_TAG_TILEWIDTH = 322
 _TAG_EXIF_IFD = 34665
 _TAG_ISO, _TAG_DATETIME_ORIG = 34855, 36867
 
@@ -6590,12 +6608,14 @@ def encode_tiff_exif(doc_id: int, text: str) -> bytes:
     )
 
 
-def parse_tiff_exif(payload: bytes) -> dict:
-    """REAL TIFF/EXIF walk: endian detect (II/MM), magic-42 check
-    (BigTIFF's 43 gates loudly), IFD chain with inline-vs-offset value
-    resolution per field type, EXIF sub-IFD recursion. Returns routing
-    metadata; unknown field TYPES and truncated structures fail
-    loudly (unknown TAGS are skipped — that is what real files have)."""
+def _walk_tiff(payload: bytes):
+    """Shared REAL TIFF structure walk: endian detect (II/MM), magic-42
+    check (BigTIFF's 43 gates loudly), IFD chain with inline-vs-offset
+    value resolution per field type. Returns ``(endian_char,
+    first_ifd_tags, n_ifds, read_ifd)`` so both the EXIF router (mm27)
+    and the strip pixel decoder (mm27b) drive one walker. Unknown field
+    TYPES and truncated structures fail loudly (unknown TAGS are
+    skipped — that is what real files have)."""
     import struct
 
     if payload[:2] == b"II":
@@ -6661,6 +6681,13 @@ def parse_tiff_exif(payload: bytes) -> dict:
         n_ifds += 1
         if n_ifds > 64:
             raise ValueError("more than 64 IFDs (corrupt next pointer?)")
+    return e, first, n_ifds, read_ifd
+
+
+def parse_tiff_exif(payload: bytes) -> dict:
+    """REAL TIFF/EXIF routing walk (see _walk_tiff) + EXIF sub-IFD
+    recursion. Returns routing metadata only — no pixel access."""
+    e, first, n_ifds, read_ifd = _walk_tiff(payload)
     exif = {}
     if _TAG_EXIF_IFD in first:
         (eat,) = first[_TAG_EXIF_IFD][:1]
@@ -6745,6 +6772,264 @@ def probe_tiff_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(feats, TIFF_PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TIFF STRIP PIXEL decode (mm27b) — the feasible dependency-free pixel
+# leg of the TIFF row: baseline TIFF 6.0 uncompressed (Compression=1)
+# 8-bit grayscale and RGB images stored in STRIPS, the layout scanned
+# camera masters and scientific corpora actually ship. The decoder
+# resolves the StripOffsets/StripByteCounts arrays through the real
+# inline-vs-offset packing, validates every strip's byte count against
+# its row span, and reassembles strips IN ORDER — the row-weighted
+# checksum certifies assembly order (stats alone are strip-order-
+# invariant). LZW/deflate/JPEG-in-TIFF compression and tiled layouts
+# gate loudly. Public spec: TIFF 6.0 (Adobe, 1992), Part 1 baseline.
+# ---------------------------------------------------------------------------
+
+#: synthesis geometry: gray uses 50-wide rows, RGB 20-wide (60 bytes
+#: per row), so both modes exercise multi-strip assembly on real docs
+TIFF_GRAY_COLS, TIFF_RGB_COLS = 50, 20
+
+
+def encode_tiff_pixels(doc_id: int, text: str) -> bytes | None:
+    """Serialize text bytes as a REAL baseline TIFF: one character byte
+    per sample, grayscale (even doc_id, 1 sample/pixel) or RGB (odd,
+    3 samples/pixel, consecutive chars = R,G,B), rows split into strips
+    of ``1 + doc_id % 5`` rows so the strip count cycles 1..many and
+    the offset/count arrays cross the 4-byte inline boundary both ways.
+    Docs shorter than one row return None (mirrors with_bmp_payload)."""
+    import struct
+
+    raw = text.encode("utf-8")
+    rgb = bool(doc_id % 2)
+    width = TIFF_RGB_COLS if rgb else TIFF_GRAY_COLS
+    spp = 3 if rgb else 1
+    row_bytes = width * spp
+    height = len(raw) // row_bytes
+    if height == 0:
+        return None
+    rps = 1 + doc_id % 5
+    n_strips = -(-height // rps)
+    pixels = raw[: height * row_bytes]
+
+    def entry(tag, typ, count, value_or_off):
+        return struct.pack("<HHI", tag, typ, count) + struct.pack("<I", value_or_off)
+
+    n0 = 9
+    ifd0_at = 8
+    data_at = ifd0_at + 2 + 12 * n0 + 4
+    pos = data_at
+    bits_at = 0
+    if rgb:  # 3 SHORTs = 6 bytes > 4 -> stored in the data area
+        bits_at = pos
+        pos += 6
+    offs_at = cnts_at = 0
+    if n_strips > 1:
+        offs_at = pos
+        pos += 4 * n_strips
+        cnts_at = pos
+        pos += 4 * n_strips
+    strip_offs, strip_cnts = [], []
+    for s in range(n_strips):
+        rows_s = min(rps, height - s * rps)
+        strip_offs.append(pos)
+        strip_cnts.append(rows_s * row_bytes)
+        pos += rows_s * row_bytes
+
+    ifd0 = struct.pack("<H", n0)
+    ifd0 += entry(_TAG_WIDTH, 3, 1, width)
+    ifd0 += entry(_TAG_HEIGHT, 3, 1, height)
+    if rgb:
+        ifd0 += entry(_TAG_BPS, 3, 3, bits_at)
+    else:
+        ifd0 += entry(_TAG_BPS, 3, 1, 8)
+    ifd0 += entry(_TAG_COMPRESSION, 3, 1, 1)  # uncompressed
+    ifd0 += entry(_TAG_PHOTOMETRIC, 3, 1, 2 if rgb else 1)
+    if n_strips > 1:
+        ifd0 += entry(_TAG_STRIPOFF, 4, n_strips, offs_at)
+    else:
+        ifd0 += entry(_TAG_STRIPOFF, 4, 1, strip_offs[0])
+    ifd0 += entry(_TAG_SPP, 3, 1, spp)
+    ifd0 += entry(_TAG_ROWSPERSTRIP, 3, 1, rps)
+    if n_strips > 1:
+        ifd0 += entry(_TAG_STRIPCNT, 4, n_strips, cnts_at)
+    else:
+        ifd0 += entry(_TAG_STRIPCNT, 4, 1, strip_cnts[0])
+    ifd0 += struct.pack("<I", 0)  # no next IFD
+
+    out = bytearray(b"II" + struct.pack("<HI", 42, ifd0_at) + ifd0)
+    if rgb:
+        out += struct.pack("<HHH", 8, 8, 8)
+    if n_strips > 1:
+        out += struct.pack(f"<{n_strips}I", *strip_offs)
+        out += struct.pack(f"<{n_strips}I", *strip_cnts)
+    for s in range(n_strips):
+        lo = s * rps * row_bytes
+        out += pixels[lo : lo + strip_cnts[s]]
+    return bytes(out)
+
+
+def parse_tiff_pixels(payload: bytes) -> dict:
+    """REAL baseline-TIFF strip decode: shared IFD walk (_walk_tiff),
+    Compression=1 / 8-bit / strip-layout gates, per-strip byte-count
+    validation against the row span, in-order strip reassembly into an
+    (height, width*spp) matrix. Tiled files, any compression scheme,
+    and non-8-bit depths gate loudly."""
+    _e, first, _n, _read_ifd = _walk_tiff(payload)
+
+    def one(tag, default=None):
+        v = first.get(tag, default)
+        return v[0] if isinstance(v, list) and v else v
+
+    if _TAG_TILEWIDTH in first:
+        raise NotImplementedError("tiled TIFF layout not supported (strips only)")
+    comp = one(_TAG_COMPRESSION, 1)
+    if comp != 1:
+        raise NotImplementedError(
+            f"compressed TIFF (scheme {comp}) not supported (baseline strips only)"
+        )
+    width, height = one(_TAG_WIDTH), one(_TAG_HEIGHT)
+    if not width or height is None:
+        raise ValueError("missing ImageWidth/ImageLength")
+    spp = one(_TAG_SPP, 1)
+    photometric = one(_TAG_PHOTOMETRIC)
+    if (photometric, spp) not in ((1, 1), (2, 3)):
+        raise NotImplementedError(
+            f"photometric {photometric} with {spp} samples/pixel not supported"
+        )
+    bits = first.get(_TAG_BPS, [8])
+    bits = bits if isinstance(bits, list) else [bits]
+    if len(bits) != spp or any(b != 8 for b in bits):
+        raise NotImplementedError(f"only 8-bit samples supported (got {bits})")
+    offs = first.get(_TAG_STRIPOFF)
+    cnts = first.get(_TAG_STRIPCNT)
+    if offs is None or cnts is None:
+        raise ValueError("missing StripOffsets/StripByteCounts")
+    rps = one(_TAG_ROWSPERSTRIP, height) or height
+    n_strips = -(-height // rps) if height else 0
+    if len(offs) != n_strips or len(cnts) != n_strips:
+        raise ValueError(
+            f"strip arrays have {len(offs)}/{len(cnts)} entries, "
+            f"geometry implies {n_strips}"
+        )
+    row_bytes = width * spp
+    parts = []
+    for s in range(n_strips):
+        rows_s = min(rps, height - s * rps)
+        if cnts[s] != rows_s * row_bytes:
+            raise ValueError(
+                f"strip {s} declares {cnts[s]} bytes, its {rows_s} rows "
+                f"need {rows_s * row_bytes}"
+            )
+        data = payload[offs[s] : offs[s] + cnts[s]]
+        if len(data) != cnts[s]:
+            raise ValueError(f"strip {s} at {offs[s]} overruns the file")
+        parts.append(data)
+    px = np.frombuffer(b"".join(parts), dtype=np.uint8).reshape(height, row_bytes)
+    return {
+        "mode": "rgb" if spp == 3 else "gray",
+        "width": int(width),
+        "height": int(height),
+        "spp": int(spp),
+        "n_strips": n_strips,
+        "rows_per_strip": int(rps),
+        "samples": px,
+    }
+
+
+TIFF_PIXEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("mode", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_strips", LongType(), False),
+        StructField("rows_per_strip", LongType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("mean_value", DoubleType(), True),
+        StructField("max_byte", LongType(), True),
+        StructField("min_byte", LongType(), True),
+        StructField("row_weighted_sum", LongType(), True),
+        StructField("sum_c0", LongType(), True),
+        StructField("sum_c1", LongType(), True),
+        StructField("sum_c2", LongType(), True),
+    ]
+)
+
+
+def with_tiff_pixel_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    from pyspark.sql.types import BinaryType
+
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), True)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_tiff_pixels(int(i), t)
+                for i, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn("mime", F.lit("image/tiff"))
+
+
+def decode_tiff_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each strip TIFF through the real offset/count/assembly
+    path and emit exact stats, the row-ORDER-sensitive checksum that
+    certifies strip assembly, and per-channel sums (RGB). NULL payloads
+    (docs shorter than one row) yield the 0-geometry row with NULL
+    stats. Map-only Arrow pipeline."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                i = int(doc_id)
+                rgb = bool(i % 2)
+                if payload is None:
+                    rows.append(
+                        (
+                            i,
+                            "rgb" if rgb else "gray",
+                            TIFF_RGB_COLS if rgb else TIFF_GRAY_COLS,
+                            0, 0, 1 + i % 5, 0, 0,
+                            None, None, None, None, None, None, None,
+                        )
+                    )
+                    continue
+                v = parse_tiff_pixels(bytes(payload))
+                px = v["samples"].astype(np.int64)
+                h, spp = v["height"], v["spp"]
+                weights = 1 + np.arange(h, dtype=np.int64)
+                chan = px.reshape(h, v["width"], spp).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        i,
+                        v["mode"],
+                        v["width"],
+                        h,
+                        v["n_strips"],
+                        v["rows_per_strip"],
+                        h * v["width"],
+                        h * v["width"] * spp,
+                        float(px.sum()) / px.size,
+                        int(px.max()),
+                        int(px.min()),
+                        int((px.sum(axis=1) * weights).sum()),
+                        int(chan[0]),
+                        int(chan[1]) if spp == 3 else None,
+                        int(chan[2]) if spp == 3 else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TIFF_PIXEL_SCHEMA.fields]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(feats, TIFF_PIXEL_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

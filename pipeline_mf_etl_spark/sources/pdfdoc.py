@@ -235,7 +235,15 @@ class _Lexer:
                     out.append(int(m.group(0), 8) & 0xFF)
                     p += 1 + m.end()
                     continue
-                p += 1  # line continuation / unknown: drop the backslash
+                if nxt in (b"\r", b"\n"):
+                    # line continuation: the spec consumes backslash AND
+                    # the EOL (\r, \n, or \r\n) — keeping the EOL byte
+                    # would add spurious newlines to extracted text
+                    p += 2
+                    if nxt == b"\r" and d[p : p + 1] == b"\n":
+                        p += 1
+                    continue
+                p += 1  # unknown escape: drop the backslash only
                 continue
             if c == 0x28:
                 depth += 1

@@ -46,6 +46,56 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _parse_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '1g')."""
+    s = conf_val.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "b": 1}
+    mult = 1
+    while s and s[-1] in units:
+        mult *= units[s[-1]]
+        s = s[:-1]
+    return int(s) * mult
+
+
+def _estimated_scan_splits(df: DataFrame) -> int:
+    """Estimate the scan's split count from the file index — WITHOUT
+    touching ``df.rdd`` (which builds a Python RDD lineage and forces
+    physical-plan materialization on every call; r10 verdict nit #2).
+    ``inputFiles()`` reads the analyzed plan's FileIndex only. Local
+    files additionally count their byte-range splits (size /
+    maxPartitionBytes) so a large single file isn't mistaken for a
+    small input; remote files count 1 each (at production scale the
+    file COUNT alone clears any parallelism target)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        # non-file-backed frame (rare: in-memory test frames) — fall
+        # back to the physical probe rather than guessing wrong
+        return df.rdd.getNumPartitions()
+    try:
+        max_split = _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+    except Exception:
+        max_split = 128 << 20
+    splits = 0
+    for f in files:
+        if f.startswith("file:"):
+            local = f[len("file:") :]
+            while local.startswith("//"):
+                local = local[1:]
+            try:
+                size = os.path.getsize(local)
+                splits += max(1, -(-size // max_split))
+                continue
+            except OSError:
+                pass
+        splits += 1
+    return splits
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY when the scan produced fewer splits
     than the session's parallelism — the small-input guard ahead of
@@ -61,7 +111,7 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     payloads: call it BEFORE the payload synthesis stage.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _estimated_scan_splits(df) >= target:
         return df
     return df.repartition(target)
 

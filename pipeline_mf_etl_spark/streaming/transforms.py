@@ -634,6 +634,25 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
         ]
     )
 
+    def decode_body(body: bytes, content_type) -> str:
+        # A real drop-zone carries pages in arbitrary (and mislabeled)
+        # encodings. A strict decode here would fail the micro-batch,
+        # and the checkpointed binaryFile source would replay the same
+        # files and fail forever — wedging the stream (ADVICE r10). Use
+        # the declared charset when it resolves, utf-8 otherwise, and
+        # ALWAYS errors="replace" so no byte sequence can raise.
+        enc = "utf-8"
+        if content_type and "charset=" in content_type:
+            cand = content_type.split("charset=", 1)[1].split(";")[0].strip()
+            try:
+                import codecs
+
+                codecs.lookup(cand)
+                enc = cand
+            except LookupError:
+                pass
+        return body.decode(enc, errors="replace")
+
     def extract(batches):
         import pandas as pd
 
@@ -656,7 +675,7 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
                             http["status"],
                             http["content_type"],
                             n,
-                            http["body"].decode("utf-8"),
+                            decode_body(http["body"], http["content_type"]),
                             len(http["body"]),
                         )
                     )

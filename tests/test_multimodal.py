@@ -2367,6 +2367,48 @@ class TestMp3Probe:
         with _pt.raises(ValueError, match="sync|overruns"):
             probe_mp3(bytes(blob))
 
+    @staticmethod
+    def _syncsafe(n: int) -> bytes:
+        return bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        )
+
+    def test_id3v24_uses_syncsafe_frame_sizes(self):
+        """An ID3v2.4 tag stores FRAME sizes syncsafe too; reading them
+        raw desyncs the tag walk for any frame > 127 bytes (ADVICE r10).
+        Build a v2.4 tag with a 201-byte TIT2 and check the title."""
+        from pipeline_mf_etl_spark.operators.multimodal import encode_mp3, probe_mp3
+
+        blob = encode_mp3(0, "")
+        tag_size = (blob[6] << 21) | (blob[7] << 14) | (blob[8] << 7) | blob[9]
+        frames = blob[10 + tag_size :]  # bare MPEG frames, v2.3 tag stripped
+
+        title = "t" * 200
+        fbody = b"\x00" + title.encode("latin-1")  # 201 bytes > 127
+        body = b"TIT2" + self._syncsafe(len(fbody)) + b"\x00\x00" + fbody
+        tag = b"ID3\x04\x00\x00" + self._syncsafe(len(body)) + body
+        p = probe_mp3(tag + frames)
+        assert p["id3_title"] == title
+
+        # raw (non-syncsafe) frame-size bytes in a v2.4 tag must be
+        # refused loudly, not silently mis-walked
+        bad_body = b"TIT2" + len(fbody).to_bytes(4, "big") + b"\x00\x00" + fbody
+        bad = b"ID3\x04\x00\x00" + self._syncsafe(len(bad_body)) + bad_body
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="syncsafe"):
+            probe_mp3(bad + frames)
+
+    def test_id3v22_gates_loudly(self):
+        from pipeline_mf_etl_spark.operators.multimodal import encode_mp3, probe_mp3
+
+        blob = bytearray(encode_mp3(0, ""))
+        blob[3] = 2  # claim ID3v2.2 (3-byte frame grammar, unsupported)
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="ID3v2.3/v2.4"):
+            probe_mp3(bytes(blob))
+
     def test_truncated_last_frame_fails(self):
         from pipeline_mf_etl_spark.operators.multimodal import encode_mp3, probe_mp3
 
@@ -2487,6 +2529,113 @@ class TestTiffProbe:
         ifd += struct.pack("<I", 0)
         with _pt.raises(ValueError, match="unknown TIFF field type"):
             parse_tiff_exif(b"II" + struct.pack("<HI", 42, 8) + ifd)
+
+
+class TestTiffPixels:
+    """Baseline-TIFF strip pixel decode (encode_tiff_pixels /
+    parse_tiff_pixels; query mm27b, new r11)."""
+
+    def _codec(self):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            encode_tiff_pixels,
+            parse_tiff_pixels,
+        )
+
+        return encode_tiff_pixels, parse_tiff_pixels
+
+    def test_round_trip_gray_and_rgb(self):
+        import numpy as np
+
+        enc, dec = self._codec()
+        for doc_id in (0, 1, 2, 3, 4, 5, 10, 11):
+            text = "pixels!" * (30 + doc_id * 17)
+            raw = text.encode()
+            v = dec(enc(doc_id, text))
+            w, spp = (20, 3) if doc_id % 2 else (50, 1)
+            h = len(raw) // (w * spp)
+            assert (v["width"], v["height"], v["spp"]) == (w, h, spp)
+            assert v["rows_per_strip"] == 1 + doc_id % 5
+            assert v["n_strips"] == -(-h // v["rows_per_strip"])
+            exp = np.frombuffer(raw[: h * w * spp], dtype=np.uint8)
+            assert (v["samples"].ravel() == exp).all()
+
+    def test_single_strip_inline_arrays(self):
+        # rps >= height -> ONE strip -> offsets/counts take the INLINE
+        # (value-in-entry) packing path
+        enc, dec = self._codec()
+        v = dec(enc(4, "z" * 120))  # gray, h=2, rps=5 -> 1 strip
+        assert v["n_strips"] == 1 and v["height"] == 2
+
+    def test_short_doc_returns_none(self):
+        enc, _ = self._codec()
+        assert enc(0, "x" * 49) is None
+        assert enc(1, "x" * 59) is None
+
+    def test_compression_gates(self):
+        import struct
+
+        import pytest as _pt
+
+        enc, dec = self._codec()
+        blob = bytearray(enc(0, "q" * 200))
+        # Compression entry (tag 259, SHORT): flip value 1 -> 5 (LZW)
+        loc = blob.find(struct.pack("<HHI", 259, 3, 1))
+        blob[loc + 8] = 5
+        with _pt.raises(NotImplementedError, match="compressed TIFF"):
+            dec(bytes(blob))
+
+    def test_tiled_layout_gates(self):
+        import struct
+
+        import pytest as _pt
+
+        enc, dec = self._codec()
+        blob = bytearray(enc(0, "q" * 200))
+        # retag SamplesPerPixel (277) as TileWidth (322): tag ids stay
+        # ascending and the walk now sees a tiled file
+        loc = blob.find(struct.pack("<HHI", 277, 3, 1))
+        blob[loc : loc + 2] = struct.pack("<H", 322)
+        with _pt.raises(NotImplementedError, match="tiled"):
+            dec(bytes(blob))
+
+    def test_strip_count_mismatch_fails(self):
+        import struct
+
+        import pytest as _pt
+
+        enc, dec = self._codec()
+        blob = bytearray(enc(2, "q" * 500))  # gray h=10 rps=3 -> 4 strips
+        # corrupt the FIRST StripByteCounts array entry (+1 byte)
+        v = dec(bytes(blob))
+        assert v["n_strips"] == 4
+        loc = blob.find(struct.pack("<HHI", 279, 4, 4)) + 8
+        (arr_at,) = struct.unpack("<I", blob[loc : loc + 4])
+        (c0,) = struct.unpack("<I", blob[arr_at : arr_at + 4])
+        blob[arr_at : arr_at + 4] = struct.pack("<I", c0 + 1)
+        with _pt.raises(ValueError, match="declares"):
+            dec(bytes(blob))
+
+    def test_truncated_strip_fails(self):
+        import pytest as _pt
+
+        enc, dec = self._codec()
+        blob = enc(0, "q" * 200)
+        with _pt.raises(ValueError, match="overruns|declares"):
+            dec(blob[:-3])
+
+    def test_spark_decode_plan_map_only(self, spark):
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        fn = all_queries()["mm27b_tiff_decode"].spark
+        plan = (
+            fn(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .lower()
+        )
+        assert "exchange hashpartitioning" not in plan
+        assert plan.count("exchange roundrobinpartitioning") <= 1  # fan-out
 
 
 class TestWebpProbe:

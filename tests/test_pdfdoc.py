@@ -106,6 +106,17 @@ class TestPdfTokenizer:
     def test_string_escapes(self):
         assert self._obj(rb"(a\(b\)c\\d\ne\101)") == b"a(b)c\\d\ne" + b"A"
 
+    def test_line_continuation_consumes_eol(self):
+        """Backslash-EOL is a continuation: the spec drops the backslash
+        AND the EOL (\\r, \\n, or \\r\\n) — real-world PDFs split long
+        show strings this way, and keeping the EOL byte would inject
+        spurious newlines into extracted text (ADVICE r10)."""
+        assert self._obj(b"(ab\\\ncd)") == b"abcd"
+        assert self._obj(b"(ab\\\rcd)") == b"abcd"
+        assert self._obj(b"(ab\\\r\ncd)") == b"abcd"
+        # an UNESCAPED EOL inside a string is kept (it is data)
+        assert self._obj(b"(ab\ncd)") == b"ab\ncd"
+
     def test_nested_parens_in_string(self):
         assert self._obj(b"(outer (inner) tail)") == b"outer (inner) tail"
 

@@ -344,3 +344,57 @@ class TestWarcStreaming:
             assert r["n_records"] == 3
             assert t in html_to_text(r["html"])
             assert r["archive"].endswith(f"capture-{i:03d}.warc.gz")
+
+    def test_non_utf8_page_does_not_wedge_stream(self, spark, tmp_path):
+        """A drop-zone page in a non-UTF-8 (or mislabeled) encoding must
+        flow through, not fail the micro-batch: the checkpointed
+        binaryFile source would replay the same file forever (ADVICE
+        r10). Declared charsets are honored; undecodable bytes get
+        replacement chars."""
+
+        def capture(doc_id, body: bytes, ctype: str) -> bytes:
+            http = encode_http_response(body, content_type=ctype)
+            rec = encode_warc_record(
+                "response",
+                {
+                    "WARC-Record-ID": f"<urn:uuid:resp-{doc_id}>",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "WARC-Target-URI": f"https://corpus.example/doc/{doc_id}",
+                    "Content-Type": "application/http;msgtype=response",
+                },
+                http,
+            )
+            return gzip_member(rec)
+
+        zone = tmp_path / "crawl"
+        zone.mkdir()
+        # declared latin-1, body is real latin-1 (0xE9 = é)
+        (zone / "a.warc.gz").write_bytes(
+            capture(0, b"caf\xe9 page", "text/html; charset=iso-8859-1")
+        )
+        # claims utf-8 but carries an invalid sequence
+        (zone / "b.warc.gz").write_bytes(
+            capture(1, b"bad \xff\xfe bytes", "text/html; charset=utf-8")
+        )
+        # bogus charset name falls back to utf-8 + replace
+        (zone / "c.warc.gz").write_bytes(
+            capture(2, b"odd \xf0 charset", "text/html; charset=no-such-enc")
+        )
+
+        from pipeline_mf_etl_spark.streaming.transforms import read_warc_stream
+
+        q = (
+            read_warc_stream(spark, str(zone))
+            .writeStream.format("memory")
+            .queryName("warc_nonutf8")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["url"]: r for r in spark.sql("select * from warc_nonutf8").collect()
+        }
+        assert len(got) == 3  # nothing dropped, nothing wedged
+        assert got["https://corpus.example/doc/0"]["html"] == "café page"
+        assert "�" in got["https://corpus.example/doc/1"]["html"]
+        assert "�" in got["https://corpus.example/doc/2"]["html"]
