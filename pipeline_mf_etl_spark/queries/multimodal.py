@@ -1836,6 +1836,97 @@ def mm27_tiff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm27b (new r11): TIFF STRIP PIXEL decode — the feasible dependency-
+# free pixel leg of the TIFF row (the r10 verdict's ranked task 4):
+# baseline TIFF 6.0 uncompressed 8-bit gray/RGB strips, the layout
+# scanned masters actually ship. Synthesis cycles rows-per-strip
+# 1..5 so the StripOffsets/StripByteCounts arrays cross the 4-byte
+# inline/offset boundary both ways, and the row-weighted checksum
+# certifies strip ASSEMBLY ORDER (stats alone are strip-order-
+# invariant) — same invertible-oracle pattern as mm20 BMP. Lossless,
+# so the oracle replays everything from the characters (ASCII-corpus
+# convention, see mm25).
+# ---------------------------------------------------------------------------
+@query(
+    "mm27b_tiff_decode",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 2 = 0 THEN 50 ELSE 20 END AS w,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS spp,
+               1 + doc_id % 5 AS rps,
+               length(text) // (CASE WHEN doc_id % 2 = 0 THEN 50 ELSE 60 END)
+                   AS h
+        FROM documents
+    ), chars AS (
+        SELECT g.doc_id,
+               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte,
+               1 + (i - 1) // (g.w * g.spp) AS row_w,
+               (i - 1) % g.spp AS chan
+        FROM geo g, UNNEST(range(1, CAST(g.h * g.w * g.spp + 1 AS BIGINT))) AS t(i)
+    ), agg AS (
+        SELECT doc_id,
+               SUM(byte) AS sb, MAX(byte) AS mx, MIN(byte) AS mn, COUNT(*) AS c,
+               SUM(row_w * byte) AS rws,
+               SUM(CASE WHEN chan = 0 THEN byte END) AS s0,
+               SUM(CASE WHEN chan = 1 THEN byte END) AS s1,
+               SUM(CASE WHEN chan = 2 THEN byte END) AS s2
+        FROM chars GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CASE WHEN g.doc_id % 2 = 0 THEN 'gray' ELSE 'rgb' END AS mode,
+           CAST(g.w AS BIGINT) AS width,
+           CAST(g.h AS BIGINT) AS height,
+           CAST(CASE WHEN g.h = 0 THEN 0
+                     ELSE (g.h + g.rps - 1) // g.rps END AS BIGINT) AS n_strips,
+           CAST(g.rps AS BIGINT) AS rows_per_strip,
+           CAST(g.h * g.w AS BIGINT) AS n_pixels,
+           CAST(g.h * g.w * g.spp AS BIGINT) AS n_samples,
+           ROUND(a.sb * 1.0 / a.c, 6) AS mean_value,
+           CAST(a.mx AS BIGINT) AS max_byte,
+           CAST(a.mn AS BIGINT) AS min_byte,
+           CAST(a.rws AS BIGINT) AS row_weighted_sum,
+           CAST(a.s0 AS BIGINT) AS sum_c0,
+           CAST(a.s1 AS BIGINT) AS sum_c1,
+           CAST(a.s2 AS BIGINT) AS sum_c2
+    FROM geo g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm27b_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-image stats per document through the real baseline-TIFF
+    strip path: text -> strip TIFF (gray or RGB by doc parity, strip
+    count cycling with rows-per-strip 1..5) -> IFD walk + offset/count
+    array resolution + per-strip byte validation + in-order assembly ->
+    exact stats, per-channel sums, and the row-ORDER-sensitive checksum
+    certifying assembly order. Lossless synthesis; map-only plan, zero
+    shuffles; tiled/compressed TIFF gates loudly."""
+    from pipeline_mf_etl_spark.operators.multimodal import (
+        decode_tiff_features,
+        with_tiff_pixel_payload,
+    )
+
+    docs = with_tiff_pixel_payload(_docs(spark, sf_dir))
+    feats = decode_tiff_features(docs)
+    return feats.select(
+        "doc_id",
+        "mode",
+        "width",
+        "height",
+        "n_strips",
+        "rows_per_strip",
+        "n_pixels",
+        "n_samples",
+        F.round("mean_value", 6).alias("mean_value"),
+        "max_byte",
+        "min_byte",
+        "row_weighted_sum",
+        "sum_c0",
+        "sum_c1",
+        "sum_c2",
+    )
+
+
+# ---------------------------------------------------------------------------
 # mm28 (registered r11): WebP routing probe —
 # the #1 modern web-image format; three header forms (lossy VP8,
 # lossless VP8L, extended VP8X with the canvas/inner-frame

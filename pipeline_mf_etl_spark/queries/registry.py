@@ -91,6 +91,7 @@ _PRIORITY = (
     "mm29_webm_probe",
     # --- (2) new r11 code (inserted as built; each insertion pops the
     # tail of section 3 into the r12 rotation) ---
+    "mm27b_tiff_decode",
     # --- (3) the r7-stale rotation, verdict priority order ---
     "w2_rolling_stats",
     "w21_scd2_intervals",
@@ -130,7 +131,6 @@ _PRIORITY = (
     "g2_pagerank_weighted",
     "j7_j10_profile_joins",
     "j11_asof_join",
-    "j12_star_join",
 )
 
 

@@ -108,6 +108,10 @@ def test_mm27_tiff_probe_matches_oracle(spark, duck):
     assert _compare(spark, duck, "mm27_tiff_probe") == 500
 
 
+def test_mm27b_tiff_decode_matches_oracle(spark, duck):
+    assert _compare(spark, duck, "mm27b_tiff_decode") == 500
+
+
 def test_mm28_webp_probe_matches_oracle(spark, duck):
     assert _compare(spark, duck, "mm28_webp_probe") == 500
 
