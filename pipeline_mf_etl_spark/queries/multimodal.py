@@ -1966,6 +1966,104 @@ def mm28_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm28b (new r11): WebP-LOSSLESS (VP8L) pixel decode — the feasible
+# half of the WebP pixel gap (the r10 verdict's ranked task 5): full
+# dependency-free decode of the real VP8L bitstream (operators/
+# vp8l.py: canonical prefix codes + code-length-code transport, color
+# cache, LZ77 backward refs, meta-prefix machinery, and all four
+# transforms). Synthesis cycles the transform by doc parity class
+# (none / subtract-green / predictor mode doc%14 / cross-color /
+# color-indexing with palette sizes 4/13/64 exercising index
+# bundling), the color cache on/off, and the meta-prefix every 3rd
+# doc; every 4th pixel row repeats the previous one so LZ77 row copies
+# carry hash signal on every document. Lossless, so the oracle replays
+# the decoded pixels from the characters (ASCII-corpus convention).
+# Lossy VP8 still gates loudly (boolean arithmetic coder out of scope).
+# ---------------------------------------------------------------------------
+@query(
+    "mm28b_webp_lossless_decode",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id, text,
+               doc_id % 5 AS v,
+               CASE WHEN doc_id % 5 = 4 THEN 48 ELSE 24 END AS w,
+               CASE (doc_id // 5) % 3 WHEN 0 THEN 4 WHEN 1 THEN 13
+                    ELSE 64 END AS psize,
+               LEAST(length(text) //
+                     (CASE WHEN doc_id % 5 = 4 THEN 48 ELSE 72 END), 48) AS h
+        FROM documents
+    ), px AS (
+        SELECT g.doc_id, g.v, g.psize, g.w,
+               t.i // g.w AS y,
+               t.i % g.w AS x,
+               (t.i // g.w) - CASE WHEN (t.i // g.w) % 4 = 3
+                                   THEN 1 ELSE 0 END AS sy
+        FROM geo g, UNNEST(range(g.h * g.w)) AS t(i)
+    ), ch AS (
+        SELECT p.doc_id, p.y, p.v,
+               CASE WHEN p.v = 4 THEN
+                   ord(substr(g.text, CAST(p.sy * 48 + p.x + 1 AS INTEGER), 1))
+                       % p.psize END AS idx,
+               CASE WHEN p.v <> 4 THEN
+                   ord(substr(g.text,
+                       CAST(p.sy * 72 + 3 * p.x + 1 AS INTEGER), 1)) END AS cr,
+               CASE WHEN p.v <> 4 THEN
+                   ord(substr(g.text,
+                       CAST(p.sy * 72 + 3 * p.x + 2 AS INTEGER), 1)) END AS cg,
+               CASE WHEN p.v <> 4 THEN
+                   ord(substr(g.text,
+                       CAST(p.sy * 72 + 3 * p.x + 3 AS INTEGER), 1)) END AS cb
+        FROM px p JOIN geo g USING (doc_id)
+    ), rgb AS (
+        SELECT doc_id, y,
+               CASE WHEN v = 4 THEN (7 * idx) % 256 ELSE cr END AS r,
+               CASE WHEN v = 4 THEN (11 * idx) % 256 ELSE cg END AS g2,
+               CASE WHEN v = 4 THEN (13 * idx) % 256 ELSE cb END AS b
+        FROM ch
+    ), agg AS (
+        SELECT doc_id, SUM(r) AS sr, SUM(g2) AS sg, SUM(b) AS sb,
+               MAX(GREATEST(r, g2, b)) AS mx, MIN(LEAST(r, g2, b)) AS mn,
+               SUM((y + 1) * (r + g2 + b)) AS rws
+        FROM rgb GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CASE g.v WHEN 0 THEN 'none' WHEN 1 THEN 'subgreen'
+                WHEN 2 THEN 'predictor' WHEN 3 THEN 'crosscolor'
+                ELSE 'palette' END AS variant,
+           CAST(g.w AS BIGINT) AS width,
+           CAST(g.h AS BIGINT) AS height,
+           CAST(g.h * g.w AS BIGINT) AS n_pixels,
+           CAST(CASE g.doc_id % 2 WHEN 0 THEN 0 ELSE 6 END AS BIGINT)
+               AS cache_bits,
+           CAST(CASE WHEN g.v = 4 THEN g.psize END AS BIGINT) AS palette_size,
+           CAST(a.sr AS BIGINT) AS sum_r,
+           CAST(a.sg AS BIGINT) AS sum_g,
+           CAST(a.sb AS BIGINT) AS sum_b,
+           CAST(a.mx AS BIGINT) AS max_byte,
+           CAST(a.mn AS BIGINT) AS min_byte,
+           CAST(a.rws AS BIGINT) AS row_weighted_sum,
+           CAST(g.h * g.w AS BIGINT) AS n_opaque
+    FROM geo g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm28b_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-image stats per document through the real VP8L path:
+    text -> WebP-lossless file (transform/cache/meta-prefix variants
+    cycled by doc_id, LZ77 row copies planted every 4th row) -> full
+    bitstream decode (canonical prefix codes, color cache, backward
+    refs, inverse transforms) -> exact channel sums, the row-ORDER-
+    sensitive checksum, and the variant/cache/palette metadata read
+    from the stream. Lossless synthesis; map-only plan, zero shuffles."""
+    from pipeline_mf_etl_spark.operators.vp8l import (
+        decode_webp_lossless_features,
+        with_webp_lossless_payload,
+    )
+
+    docs = with_webp_lossless_payload(_docs(spark, sf_dir))
+    return decode_webp_lossless_features(docs)
+
+
+# ---------------------------------------------------------------------------
 # mm29 (registered r11): WebM/Matroska routing
 # probe — the #2 video container, with the genuinely different EBML
 # grammar (VINT ids/sizes, nested masters). The oracle replays all the

@@ -31,10 +31,12 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # _PRIORITY tuple below pins the ROUND-11 window exactly (see its
 # section comments). OUTSIDE the round-11 window (all green r8/r9/r10
 # on code untouched this round): the r8/r9/r10 windows — rotate back in
-# next round any of those whose files change, plus the six r7-stale
-# leftovers that missed this window (j13_interval_lookup,
-# a7_region_rollup, a19_cube, d9_source_dup_matrix, o5_union_by_name,
-# o7_distinct_counts — they LEAD the r12 rotation).
+# next round any of those whose files change, plus the ten r7-stale
+# leftovers that ceded slots to this round's new queries
+# (j13_interval_lookup, a7_region_rollup, a19_cube,
+# d9_source_dup_matrix, o5_union_by_name, o7_distinct_counts,
+# g2_pagerank_weighted, j7_j10_profile_joins, j11_asof_join,
+# j12_star_join — they LEAD the r12 rotation).
 # NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
 # so keep backtest ahead of viewer in this list (otherwise backtest's
 # queries register mid-viewer-import and the fill order shifts).
@@ -50,6 +52,8 @@ _QUERY_MODULES = (
     # corpus ingestion (c1-c4, t15, wd1) right after multimodal, whose
     # probe queries it composes with (registered r11)
     "pipeline_mf_etl_spark.queries.corpus_ingest",
+    # URL-layer curation (t16/d12, new r11)
+    "pipeline_mf_etl_spark.queries.urls",
     "pipeline_mf_etl_spark.queries.viewer",
     "pipeline_mf_etl_spark.queries.corpus",
     "pipeline_mf_etl_spark.queries.ml",
@@ -92,6 +96,9 @@ _PRIORITY = (
     # --- (2) new r11 code (inserted as built; each insertion pops the
     # tail of section 3 into the r12 rotation) ---
     "mm27b_tiff_decode",
+    "mm28b_webp_lossless_decode",
+    "t16_url_canonicalize",
+    "d12_url_domain_rollup",
     # --- (3) the r7-stale rotation, verdict priority order ---
     "w2_rolling_stats",
     "w21_scd2_intervals",
@@ -128,9 +135,6 @@ _PRIORITY = (
     "e7_semantic_dedup",
     "e8_pca_project",
     "g1_pagerank_neardup",
-    "g2_pagerank_weighted",
-    "j7_j10_profile_joins",
-    "j11_asof_join",
 )
 
 

@@ -116,6 +116,10 @@ def test_mm28_webp_probe_matches_oracle(spark, duck):
     assert _compare(spark, duck, "mm28_webp_probe") == 500
 
 
+def test_mm28b_webp_lossless_decode_matches_oracle(spark, duck):
+    assert _compare(spark, duck, "mm28b_webp_lossless_decode") == 500
+
+
 def test_mm29_webm_probe_matches_oracle(spark, duck):
     assert _compare(spark, duck, "mm29_webm_probe") == 500
 
