@@ -72,6 +72,10 @@ HEADLINE = (
     "mm27_tiff_probe",        # TIFF/EXIF IFD chain walk
     "mm28_webp_probe",        # WebP VP8/VP8L/VP8X header routing
     "mm29_webm_probe",        # WebM/Matroska EBML walk
+    "mm27b_tiff_decode",      # baseline-TIFF strip pixel decode
+    "mm28b_webp_lossless_decode",  # full VP8L bitstream decode
+    "t16_url_canonicalize",   # pure-JVM URL canonicalization
+    "d12_url_domain_rollup",  # per-domain canonical-URL dedup rollup
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the
