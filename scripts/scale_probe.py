@@ -300,14 +300,8 @@ def main() -> None:
                 # point that keeps the registered d2 env-immune)
                 from pipeline_mf_etl_spark.queries import dedup as _d
                 from pipeline_mf_etl_spark.queries import windows as _w
-                from pipeline_mf_etl_spark.queries.corpus_ingest import (
-                    PENDING_QUERIES as _pending,
-                )
 
-                if name in _pending:
-                    fn = _pending[name][0]
-                else:
-                    fn = getattr(_w, name, None) or getattr(_d, name)
+                fn = getattr(_w, name, None) or getattr(_d, name)
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             results[name][f"x{mult}"] = round(time.perf_counter() - t0, 2)
