@@ -369,6 +369,52 @@ C4_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# c5 — LZ4-framed shard extraction (sources/lz4frame.py: the data-lake
+# interchange compression; real greedy block compressor, frame walk
+# with header/block/content xxh32 verification)
+# ---------------------------------------------------------------------------
+
+
+def c5_lz4_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode one LZ4 frame per document (content = ``text\\n`` x3 so
+    the real compressor finds long in-block matches; block/content
+    checksum flags cycle by doc_id) through the fully verified frame
+    walk; emit block accounting + content integrity. Map-only Arrow
+    pass; the oracle replays the frame arithmetic and the md5 from the
+    characters. The n_compressed_blocks column stays OFF this query on
+    purpose — compressibility is a compressor property SQL cannot
+    replay (it is asserted in tests/test_lz4.py instead)."""
+    from pipeline_mf_etl_spark.sources.lz4frame import (
+        extract_lz4_documents,
+        with_lz4_payload,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ext = extract_lz4_documents(with_lz4_payload(docs))
+    return ext.select(
+        "doc_id",
+        "n_blocks",
+        "had_block_checksums",
+        "had_content_checksum",
+        "content_size",
+        "content_md5",
+        "text_out",
+    )
+
+
+C5_ORACLE = """
+    SELECT doc_id,
+           CAST((3 * (length(text) + 1) + 1023) // 1024 AS BIGINT) AS n_blocks,
+           doc_id % 2 = 1 AS had_block_checksums,
+           doc_id % 3 <> 0 AS had_content_checksum,
+           CAST(3 * (length(text) + 1) AS BIGINT) AS content_size,
+           md5(repeat(text || chr(10), 3)) AS content_md5,
+           text AS text_out
+    FROM documents
+"""
+
+
 # Registrations live at the bottom because each oracle is assembled
 # from SQL-fragment helpers defined between the builders above (the
 # decorator form would need the oracle text before the function).
@@ -376,5 +422,6 @@ query("c1_warc_extract", oracle=C1_ORACLE)(c1_warc_extract)
 query("c2_zip_extract", oracle=C2_ORACLE)(c2_zip_extract)
 query("c3_pdf_extract", oracle=C3_ORACLE)(c3_pdf_extract)
 query("c4_avro_extract", oracle=C4_ORACLE)(c4_avro_extract)
+query("c5_lz4_extract", oracle=C5_ORACLE)(c5_lz4_extract)
 query("t15_html_extract", oracle=T15_ORACLE)(t15_html_extract)
 query("wd1_webdataset_roundtrip", oracle=WD1_ORACLE)(wd1_webdataset_roundtrip)
