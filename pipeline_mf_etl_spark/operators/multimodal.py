@@ -6776,30 +6776,96 @@ def probe_tiff_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # TIFF STRIP PIXEL decode (mm27b) — the feasible dependency-free pixel
-# leg of the TIFF row: baseline TIFF 6.0 uncompressed (Compression=1)
-# 8-bit grayscale and RGB images stored in STRIPS, the layout scanned
-# camera masters and scientific corpora actually ship. The decoder
-# resolves the StripOffsets/StripByteCounts arrays through the real
-# inline-vs-offset packing, validates every strip's byte count against
-# its row span, and reassembles strips IN ORDER — the row-weighted
-# checksum certifies assembly order (stats alone are strip-order-
-# invariant). LZW/deflate/JPEG-in-TIFF compression and tiled layouts
-# gate loudly. Public spec: TIFF 6.0 (Adobe, 1992), Part 1 baseline.
+# leg of the TIFF row: TIFF 6.0 8-bit grayscale and RGB images stored
+# in STRIPS (the layout scanned camera masters and scientific corpora
+# actually ship), under the three dependency-free compression schemes:
+# 1 (none), 8 (Adobe Deflate — zlib streams per strip), and 32773
+# (PackBits — the spec's byte-RLE, rows packed separately). The
+# decoder resolves the StripOffsets/StripByteCounts arrays through the
+# real inline-vs-offset packing, validates every strip's DECODED size
+# against its row span, and reassembles strips IN ORDER — the
+# row-weighted checksum certifies assembly order (stats alone are
+# strip-order-invariant). LZW/JPEG-in-TIFF compression and tiled
+# layouts gate loudly. Public spec: TIFF 6.0 (Adobe, 1992), §7 + §9.
 # ---------------------------------------------------------------------------
 
 #: synthesis geometry: gray uses 50-wide rows, RGB 20-wide (60 bytes
 #: per row), so both modes exercise multi-strip assembly on real docs
 TIFF_GRAY_COLS, TIFF_RGB_COLS = 50, 20
+#: compression cycle by doc_id % 3: none / Adobe deflate / PackBits
+TIFF_COMPRESSIONS = (1, 8, 32773)
+
+
+def packbits_encode(data: bytes, row_bytes: int) -> bytes:
+    """TIFF PackBits (spec §9): byte RLE with control byte n — n>=0
+    copies n+1 literals, n in -127..-1 repeats the next byte 1-n
+    times. Each ROW is packed separately as the spec requires."""
+    out = bytearray()
+    for r0 in range(0, len(data), row_bytes):
+        row = data[r0 : r0 + row_bytes]
+        i = 0
+        lit_start = 0
+        while i < len(row):
+            run = 1
+            while i + run < len(row) and row[i + run] == row[i] and run < 128:
+                run += 1
+            if run >= 3:
+                while lit_start < i:  # flush pending literals
+                    chunk = min(128, i - lit_start)
+                    out.append(chunk - 1)
+                    out += row[lit_start : lit_start + chunk]
+                    lit_start += chunk
+                out.append(257 - run)  # (1 - run) as unsigned byte
+                out.append(row[i])
+                i += run
+                lit_start = i
+            else:
+                i += run
+        while lit_start < len(row):
+            chunk = min(128, len(row) - lit_start)
+            out.append(chunk - 1)
+            out += row[lit_start : lit_start + chunk]
+            lit_start += chunk
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1
+            chunk = data[i : i + c + 1]
+            if len(chunk) != c + 1:
+                raise ValueError("PackBits literal run overruns the strip")
+            out += chunk
+            i += c + 1
+        elif c == 128:  # no-op per spec
+            continue
+        else:  # repeat next byte 257-c times
+            if i >= len(data):
+                raise ValueError("PackBits repeat run missing its byte")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    if len(out) != expected or i != len(data):
+        raise ValueError(
+            f"PackBits strip decoded to {len(out)} of {expected} bytes "
+            f"with {len(data) - i} trailing"
+        )
+    return bytes(out)
 
 
 def encode_tiff_pixels(doc_id: int, text: str) -> bytes | None:
-    """Serialize text bytes as a REAL baseline TIFF: one character byte
-    per sample, grayscale (even doc_id, 1 sample/pixel) or RGB (odd,
+    """Serialize text bytes as a REAL TIFF: one character byte per
+    sample, grayscale (even doc_id, 1 sample/pixel) or RGB (odd,
     3 samples/pixel, consecutive chars = R,G,B), rows split into strips
-    of ``1 + doc_id % 5`` rows so the strip count cycles 1..many and
-    the offset/count arrays cross the 4-byte inline boundary both ways.
-    Docs shorter than one row return None (mirrors with_bmp_payload)."""
+    of ``1 + doc_id % 5`` rows (the strip count cycles 1..many so the
+    offset/count arrays cross the 4-byte inline boundary both ways),
+    each strip compressed with the doc_id % 3 scheme (none / deflate /
+    PackBits). Docs shorter than one row return None."""
     import struct
+    import zlib
 
     raw = text.encode("utf-8")
     rgb = bool(doc_id % 2)
@@ -6812,6 +6878,18 @@ def encode_tiff_pixels(doc_id: int, text: str) -> bytes | None:
     rps = 1 + doc_id % 5
     n_strips = -(-height // rps)
     pixels = raw[: height * row_bytes]
+    comp = TIFF_COMPRESSIONS[doc_id % 3]
+
+    strips = []
+    for s in range(n_strips):
+        lo = s * rps * row_bytes
+        rows_s = min(rps, height - s * rps)
+        strip = pixels[lo : lo + rows_s * row_bytes]
+        if comp == 8:
+            strip = zlib.compress(strip, 6)
+        elif comp == 32773:
+            strip = packbits_encode(strip, row_bytes)
+        strips.append(strip)
 
     def entry(tag, typ, count, value_or_off):
         return struct.pack("<HHI", tag, typ, count) + struct.pack("<I", value_or_off)
@@ -6831,11 +6909,10 @@ def encode_tiff_pixels(doc_id: int, text: str) -> bytes | None:
         cnts_at = pos
         pos += 4 * n_strips
     strip_offs, strip_cnts = [], []
-    for s in range(n_strips):
-        rows_s = min(rps, height - s * rps)
+    for strip in strips:
         strip_offs.append(pos)
-        strip_cnts.append(rows_s * row_bytes)
-        pos += rows_s * row_bytes
+        strip_cnts.append(len(strip))
+        pos += len(strip)
 
     ifd0 = struct.pack("<H", n0)
     ifd0 += entry(_TAG_WIDTH, 3, 1, width)
@@ -6844,7 +6921,7 @@ def encode_tiff_pixels(doc_id: int, text: str) -> bytes | None:
         ifd0 += entry(_TAG_BPS, 3, 3, bits_at)
     else:
         ifd0 += entry(_TAG_BPS, 3, 1, 8)
-    ifd0 += entry(_TAG_COMPRESSION, 3, 1, 1)  # uncompressed
+    ifd0 += entry(_TAG_COMPRESSION, 3, 1, comp)
     ifd0 += entry(_TAG_PHOTOMETRIC, 3, 1, 2 if rgb else 1)
     if n_strips > 1:
         ifd0 += entry(_TAG_STRIPOFF, 4, n_strips, offs_at)
@@ -6864,18 +6941,20 @@ def encode_tiff_pixels(doc_id: int, text: str) -> bytes | None:
     if n_strips > 1:
         out += struct.pack(f"<{n_strips}I", *strip_offs)
         out += struct.pack(f"<{n_strips}I", *strip_cnts)
-    for s in range(n_strips):
-        lo = s * rps * row_bytes
-        out += pixels[lo : lo + strip_cnts[s]]
+    for strip in strips:
+        out += strip
     return bytes(out)
 
 
 def parse_tiff_pixels(payload: bytes) -> dict:
-    """REAL baseline-TIFF strip decode: shared IFD walk (_walk_tiff),
-    Compression=1 / 8-bit / strip-layout gates, per-strip byte-count
-    validation against the row span, in-order strip reassembly into an
-    (height, width*spp) matrix. Tiled files, any compression scheme,
-    and non-8-bit depths gate loudly."""
+    """REAL TIFF strip decode: shared IFD walk (_walk_tiff), 8-bit /
+    strip-layout gates, per-strip decompression (none / Adobe deflate /
+    PackBits) with the DECODED size validated against the row span,
+    in-order strip reassembly into an (height, width*spp) matrix.
+    Tiled files, LZW/JPEG compression, and non-8-bit depths gate
+    loudly."""
+    import zlib
+
     _e, first, _n, _read_ifd = _walk_tiff(payload)
 
     def one(tag, default=None):
@@ -6885,9 +6964,10 @@ def parse_tiff_pixels(payload: bytes) -> dict:
     if _TAG_TILEWIDTH in first:
         raise NotImplementedError("tiled TIFF layout not supported (strips only)")
     comp = one(_TAG_COMPRESSION, 1)
-    if comp != 1:
+    if comp not in TIFF_COMPRESSIONS:
         raise NotImplementedError(
-            f"compressed TIFF (scheme {comp}) not supported (baseline strips only)"
+            f"TIFF compression scheme {comp} not supported "
+            f"(none/deflate/PackBits only)"
         )
     width, height = one(_TAG_WIDTH), one(_TAG_HEIGHT)
     if not width or height is None:
@@ -6917,14 +6997,24 @@ def parse_tiff_pixels(payload: bytes) -> dict:
     parts = []
     for s in range(n_strips):
         rows_s = min(rps, height - s * rps)
-        if cnts[s] != rows_s * row_bytes:
+        expected = rows_s * row_bytes
+        if comp == 1 and cnts[s] != expected:
             raise ValueError(
                 f"strip {s} declares {cnts[s]} bytes, its {rows_s} rows "
-                f"need {rows_s * row_bytes}"
+                f"need {expected}"
             )
         data = payload[offs[s] : offs[s] + cnts[s]]
         if len(data) != cnts[s]:
             raise ValueError(f"strip {s} at {offs[s]} overruns the file")
+        if comp == 8:
+            data = zlib.decompress(data)
+            if len(data) != expected:
+                raise ValueError(
+                    f"deflate strip {s} decoded to {len(data)} of "
+                    f"{expected} bytes"
+                )
+        elif comp == 32773:
+            data = packbits_decode(data, expected)
         parts.append(data)
     px = np.frombuffer(b"".join(parts), dtype=np.uint8).reshape(height, row_bytes)
     return {
@@ -6932,6 +7022,7 @@ def parse_tiff_pixels(payload: bytes) -> dict:
         "width": int(width),
         "height": int(height),
         "spp": int(spp),
+        "compression": {1: "none", 8: "deflate", 32773: "packbits"}[comp],
         "n_strips": n_strips,
         "rows_per_strip": int(rps),
         "samples": px,
@@ -6942,6 +7033,7 @@ TIFF_PIXEL_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
         StructField("mode", StringType(), False),
+        StructField("compression", StringType(), False),
         StructField("width", LongType(), False),
         StructField("height", LongType(), False),
         StructField("n_strips", LongType(), False),
@@ -6995,6 +7087,9 @@ def decode_tiff_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         (
                             i,
                             "rgb" if rgb else "gray",
+                            {1: "none", 8: "deflate", 32773: "packbits"}[
+                                TIFF_COMPRESSIONS[i % 3]
+                            ],
                             TIFF_RGB_COLS if rgb else TIFF_GRAY_COLS,
                             0, 0, 1 + i % 5, 0, 0,
                             None, None, None, None, None, None, None,
@@ -7010,6 +7105,7 @@ def decode_tiff_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     (
                         i,
                         v["mode"],
+                        v["compression"],
                         v["width"],
                         h,
                         v["n_strips"],

@@ -1838,14 +1838,15 @@ def mm27_tiff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # mm27b (new r11): TIFF STRIP PIXEL decode — the feasible dependency-
 # free pixel leg of the TIFF row (the r10 verdict's ranked task 4):
-# baseline TIFF 6.0 uncompressed 8-bit gray/RGB strips, the layout
-# scanned masters actually ship. Synthesis cycles rows-per-strip
-# 1..5 so the StripOffsets/StripByteCounts arrays cross the 4-byte
-# inline/offset boundary both ways, and the row-weighted checksum
-# certifies strip ASSEMBLY ORDER (stats alone are strip-order-
-# invariant) — same invertible-oracle pattern as mm20 BMP. Lossless,
-# so the oracle replays everything from the characters (ASCII-corpus
-# convention, see mm25).
+# TIFF 6.0 8-bit gray/RGB strips under the three dependency-free
+# compression schemes (none / Adobe deflate / PackBits RLE, cycled by
+# doc_id % 3), the layouts scanned masters actually ship. Synthesis
+# cycles rows-per-strip 1..5 so the StripOffsets/StripByteCounts
+# arrays cross the 4-byte inline/offset boundary both ways, and the
+# row-weighted checksum certifies strip ASSEMBLY ORDER (stats alone
+# are strip-order-invariant) — same invertible-oracle pattern as mm20
+# BMP. Lossless under all three schemes, so the oracle replays
+# everything from the characters (ASCII-corpus convention, see mm25).
 # ---------------------------------------------------------------------------
 @query(
     "mm27b_tiff_decode",
@@ -1875,6 +1876,8 @@ def mm27_tiff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT g.doc_id,
            CASE WHEN g.doc_id % 2 = 0 THEN 'gray' ELSE 'rgb' END AS mode,
+           CASE g.doc_id % 3 WHEN 0 THEN 'none' WHEN 1 THEN 'deflate'
+                ELSE 'packbits' END AS compression,
            CAST(g.w AS BIGINT) AS width,
            CAST(g.h AS BIGINT) AS height,
            CAST(CASE WHEN g.h = 0 THEN 0
@@ -1893,13 +1896,14 @@ def mm27_tiff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm27b_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decoded-image stats per document through the real baseline-TIFF
-    strip path: text -> strip TIFF (gray or RGB by doc parity, strip
-    count cycling with rows-per-strip 1..5) -> IFD walk + offset/count
-    array resolution + per-strip byte validation + in-order assembly ->
-    exact stats, per-channel sums, and the row-ORDER-sensitive checksum
-    certifying assembly order. Lossless synthesis; map-only plan, zero
-    shuffles; tiled/compressed TIFF gates loudly."""
+    """Decoded-image stats per document through the real TIFF strip
+    path: text -> strip TIFF (gray or RGB by doc parity, rows-per-strip
+    cycling 1..5, compression cycling none/deflate/PackBits) -> IFD
+    walk + offset/count array resolution + per-strip decompression and
+    size validation + in-order assembly -> exact stats, per-channel
+    sums, and the row-ORDER-sensitive checksum certifying assembly
+    order. Lossless synthesis; map-only plan, zero shuffles; tiled and
+    LZW/JPEG-compressed TIFF gate loudly."""
     from pipeline_mf_etl_spark.operators.multimodal import (
         decode_tiff_features,
         with_tiff_pixel_payload,
@@ -1910,6 +1914,7 @@ def mm27b_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         "mode",
+        "compression",
         "width",
         "height",
         "n_strips",

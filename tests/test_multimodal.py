@@ -2543,10 +2543,11 @@ class TestTiffPixels:
 
         return encode_tiff_pixels, parse_tiff_pixels
 
-    def test_round_trip_gray_and_rgb(self):
+    def test_round_trip_gray_and_rgb_all_compressions(self):
         import numpy as np
 
         enc, dec = self._codec()
+        seen = set()
         for doc_id in (0, 1, 2, 3, 4, 5, 10, 11):
             text = "pixels!" * (30 + doc_id * 17)
             raw = text.encode()
@@ -2556,8 +2557,46 @@ class TestTiffPixels:
             assert (v["width"], v["height"], v["spp"]) == (w, h, spp)
             assert v["rows_per_strip"] == 1 + doc_id % 5
             assert v["n_strips"] == -(-h // v["rows_per_strip"])
+            exp_comp = ("none", "deflate", "packbits")[doc_id % 3]
+            assert v["compression"] == exp_comp
+            seen.add(exp_comp)
             exp = np.frombuffer(raw[: h * w * spp], dtype=np.uint8)
             assert (v["samples"].ravel() == exp).all()
+        assert seen == {"none", "deflate", "packbits"}
+
+    def test_packbits_spec_cases(self):
+        from pipeline_mf_etl_spark.operators.multimodal import (
+            packbits_decode,
+            packbits_encode,
+        )
+
+        # runs >= 3 become repeat ops; shorter stay literal; rows are
+        # packed separately (a run crossing the row boundary must split)
+        data = b"aaaabbcdddd" + b"dddddd" * 2
+        row = len(data)
+        assert packbits_decode(packbits_encode(data, row), len(data)) == data
+        two_rows = b"a" * 10 + b"b" * 10
+        enc = packbits_encode(two_rows, 10)
+        assert enc == bytes([257 - 10]) + b"a" + bytes([257 - 10]) + b"b"
+        assert packbits_decode(enc, 20) == two_rows
+        # 128 control byte is a no-op on decode
+        assert packbits_decode(b"\x80\x00a", 1) == b"a"
+        # truncated repeat run fails loudly
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="PackBits"):
+            packbits_decode(bytes([257 - 5]), 5)
+
+    def test_long_uniform_rows_compress(self):
+        # a 500-byte uniform doc: PackBits strips shrink dramatically
+        # and still round-trip (doc 5 -> rgb + packbits)
+        enc, dec = self._codec()
+        text = "z" * 600
+        blob = enc(5, text)
+        v = dec(blob)
+        assert v["compression"] == "packbits"
+        assert (v["samples"] == ord("z")).all()
+        assert len(blob) < 600  # genuinely compressed
 
     def test_single_strip_inline_arrays(self):
         # rps >= height -> ONE strip -> offsets/counts take the INLINE
@@ -2581,7 +2620,7 @@ class TestTiffPixels:
         # Compression entry (tag 259, SHORT): flip value 1 -> 5 (LZW)
         loc = blob.find(struct.pack("<HHI", 259, 3, 1))
         blob[loc + 8] = 5
-        with _pt.raises(NotImplementedError, match="compressed TIFF"):
+        with _pt.raises(NotImplementedError, match="scheme 5 not supported"):
             dec(bytes(blob))
 
     def test_tiled_layout_gates(self):
@@ -2604,15 +2643,25 @@ class TestTiffPixels:
         import pytest as _pt
 
         enc, dec = self._codec()
-        blob = bytearray(enc(2, "q" * 500))  # gray h=10 rps=3 -> 4 strips
-        # corrupt the FIRST StripByteCounts array entry (+1 byte)
+        blob = bytearray(enc(6, "q" * 500))  # gray h=10 rps=2 comp=none
         v = dec(bytes(blob))
-        assert v["n_strips"] == 4
-        loc = blob.find(struct.pack("<HHI", 279, 4, 4)) + 8
+        assert v["n_strips"] == 5 and v["compression"] == "none"
+        # corrupt the FIRST StripByteCounts array entry (+1 byte)
+        loc = blob.find(struct.pack("<HHI", 279, 4, 5)) + 8
         (arr_at,) = struct.unpack("<I", blob[loc : loc + 4])
         (c0,) = struct.unpack("<I", blob[arr_at : arr_at + 4])
         blob[arr_at : arr_at + 4] = struct.pack("<I", c0 + 1)
         with _pt.raises(ValueError, match="declares"):
+            dec(bytes(blob))
+
+    def test_corrupt_deflate_strip_fails(self):
+        import pytest as _pt
+
+        enc, dec = self._codec()
+        blob = bytearray(enc(1, "q" * 500))  # rgb, comp=deflate
+        assert dec(bytes(blob))["compression"] == "deflate"
+        blob[-3] ^= 0xFF  # flip a byte inside the last zlib stream
+        with _pt.raises(Exception):  # zlib.error or size ValueError
             dec(bytes(blob))
 
     def test_truncated_strip_fails(self):
