@@ -76,6 +76,7 @@ HEADLINE = (
     "mm28b_webp_lossless_decode",  # full VP8L bitstream decode
     "t16_url_canonicalize",   # pure-JVM URL canonicalization
     "d12_url_domain_rollup",  # per-domain canonical-URL dedup rollup
+    "c5_lz4_extract",         # LZ4 frame decode + xxh32 verification
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the
