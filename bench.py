@@ -77,6 +77,7 @@ HEADLINE = (
     "t16_url_canonicalize",   # pure-JVM URL canonicalization
     "d12_url_domain_rollup",  # per-domain canonical-URL dedup rollup
     "c5_lz4_extract",         # LZ4 frame decode + xxh32 verification
+    "c6_snappy_extract",      # framed Snappy decode + CRC-32C verification
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the

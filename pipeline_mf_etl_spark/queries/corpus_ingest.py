@@ -415,6 +415,52 @@ C5_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# c6 — framed-Snappy shard extraction (sources/snappyframe.py: the
+# other data-lake compression next to LZ4; raw-block tags + framing
+# chunks with masked CRC-32C everywhere)
+# ---------------------------------------------------------------------------
+
+
+def c6_snappy_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode one framed Snappy stream per document (content =
+    ``text\\n`` x3; a skippable padding chunk every 7th doc, the
+    uncompressed-chunk path forced every 5th) through the CRC-verified
+    walk; emit chunk accounting + content integrity. Map-only Arrow
+    pass. n_uncompressed_chunks stays OFF this query — compressibility
+    is a compressor property SQL cannot replay (tests/test_snappy.py
+    asserts it instead)."""
+    from pipeline_mf_etl_spark.sources.snappyframe import (
+        extract_snappy_documents,
+        with_snappy_payload,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ext = extract_snappy_documents(with_snappy_payload(docs))
+    return ext.select(
+        "doc_id",
+        "n_chunks",
+        "n_skipped_chunks",
+        "content_size",
+        "content_md5",
+        "text_out",
+        "forced_raw",
+    )
+
+
+C6_ORACLE = """
+    SELECT doc_id,
+           CAST((3 * (length(text) + 1) + 1023) // 1024 AS BIGINT) AS n_chunks,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_skipped_chunks,
+           CAST(3 * (length(text) + 1) AS BIGINT) AS content_size,
+           md5(repeat(text || chr(10), 3)) AS content_md5,
+           text AS text_out,
+           doc_id % 5 = 0 AS forced_raw
+    FROM documents
+"""
+
+
 # Registrations live at the bottom because each oracle is assembled
 # from SQL-fragment helpers defined between the builders above (the
 # decorator form would need the oracle text before the function).
@@ -423,5 +469,6 @@ query("c2_zip_extract", oracle=C2_ORACLE)(c2_zip_extract)
 query("c3_pdf_extract", oracle=C3_ORACLE)(c3_pdf_extract)
 query("c4_avro_extract", oracle=C4_ORACLE)(c4_avro_extract)
 query("c5_lz4_extract", oracle=C5_ORACLE)(c5_lz4_extract)
+query("c6_snappy_extract", oracle=C6_ORACLE)(c6_snappy_extract)
 query("t15_html_extract", oracle=T15_ORACLE)(t15_html_extract)
 query("wd1_webdataset_roundtrip", oracle=WD1_ORACLE)(wd1_webdataset_roundtrip)

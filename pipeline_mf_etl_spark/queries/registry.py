@@ -35,8 +35,9 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # leftovers that ceded slots to this round's new queries
 # (j13_interval_lookup, a7_region_rollup, a19_cube,
 # d9_source_dup_matrix, o5_union_by_name, o7_distinct_counts,
-# g1_pagerank_neardup, g2_pagerank_weighted, j7_j10_profile_joins,
-# j11_asof_join, j12_star_join — they LEAD the r12 rotation).
+# e8_pca_project, g1_pagerank_neardup, g2_pagerank_weighted,
+# j7_j10_profile_joins, j11_asof_join, j12_star_join — they LEAD the
+# r12 rotation).
 # NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
 # so keep backtest ahead of viewer in this list (otherwise backtest's
 # queries register mid-viewer-import and the fill order shifts).
@@ -100,6 +101,7 @@ _PRIORITY = (
     "t16_url_canonicalize",
     "d12_url_domain_rollup",
     "c5_lz4_extract",
+    "c6_snappy_extract",
     # --- (3) the r7-stale rotation, verdict priority order ---
     "w2_rolling_stats",
     "w21_scd2_intervals",
@@ -134,7 +136,6 @@ _PRIORITY = (
     "w19_time_decay_score",
     "w20_rolling_autocorr",
     "e7_semantic_dedup",
-    "e8_pca_project",
 )
 
 

@@ -1,0 +1,158 @@
+"""Snappy codec tests: CRC-32C against the published check value, raw
+block round-trips (all tag kinds, overlaps, extended literal lengths),
+framing option combos, every corruption/reserved gate, and the c6
+oracle parity + plan shape."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tests.conftest import canonical_rows
+
+from pipeline_mf_etl_spark.queries import all_queries
+from pipeline_mf_etl_spark.sources.snappyframe import (
+    crc32c,
+    decode_snappy_frame,
+    encode_snappy_frame,
+    snappy_compress,
+    snappy_decompress,
+)
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+class TestCrc32c:
+    def test_published_check_value(self):
+        assert crc32c(b"123456789") == 0xE3069283
+
+    def test_empty_and_single(self):
+        assert crc32c(b"") == 0
+        assert crc32c(b"a") != crc32c(b"b")
+
+
+class TestSnappyBlock:
+    def test_round_trips(self):
+        rng = random.Random(5)
+        cases = [
+            b"",
+            b"a",
+            b"abcd" * 400,
+            bytes(rng.randrange(256) for _ in range(5000)),
+            b"x" * 2000,  # overlap copies
+            (b"hello snappy! " * 100)[:1500],
+            b"xy" * 3,  # too short for matches
+            b"L" * 59 + b"unique-tail-" + bytes(range(61)),  # 60/61 literal tags
+        ]
+        for src in cases:
+            assert snappy_decompress(snappy_compress(src)) == src, len(src)
+
+    def test_compresses_for_real(self):
+        assert len(snappy_compress(b"abcd" * 400)) < 100
+
+    def test_copy1_and_copy4_decode(self):
+        # hand-built: 4 literals then copy-1 (len 4, offset 4), then
+        # copy-4 (len 4, offset 4) — both kinds the encoder never emits
+        blk = bytes([12]) + bytes([3 << 2]) + b"wxyz"
+        blk += bytes([0b01 | (0 << 2)]) + bytes([4])  # copy-1 len 4 off 4
+        blk += bytes([0b11 | (3 << 2)]) + (4).to_bytes(4, "little")
+        assert snappy_decompress(blk) == b"wxyz" * 3
+
+    def test_declared_size_mismatch_fails(self):
+        blk = bytearray(snappy_compress(b"abc" * 10))
+        blk[0] += 1  # inflate the declared size varint
+        with pytest.raises(ValueError, match="declared"):
+            snappy_decompress(bytes(blk))
+
+    def test_bad_offset_fails(self):
+        blk = bytes([8, 0 << 2, ord("a"), 0b10 | (3 << 2), 9, 0])
+        with pytest.raises(ValueError, match="offset"):
+            snappy_decompress(blk)
+
+
+class TestSnappyFrame:
+    def test_option_combos_round_trip(self):
+        for i in range(15):
+            content = (f"snappy doc {i} body " * (1 + 13 * i)).encode()
+            fr = encode_snappy_frame(
+                content,
+                with_padding=i % 7 == 0,
+                force_uncompressed=i % 5 == 0,
+            )
+            got = decode_snappy_frame(fr)
+            assert got["content"] == content
+            assert got["n_chunks"] == -(-len(content) // 1024)
+            assert got["n_skipped_chunks"] == (1 if i % 7 == 0 else 0)
+            if i % 5 == 0:
+                assert got["n_uncompressed_chunks"] == got["n_chunks"]
+
+    def test_bad_identifier_fails(self):
+        with pytest.raises(ValueError, match="sNaPpY"):
+            decode_snappy_frame(b"\xff\x06\x00\x00sNappy" + b"rest")
+
+    def test_crc_gate(self):
+        fr = bytearray(encode_snappy_frame(b"corpus body " * 90))
+        at = fr.find(b"corpus")
+        fr[at] ^= 0xFF
+        with pytest.raises(ValueError):
+            decode_snappy_frame(bytes(fr))
+
+    def test_reserved_unskippable_gates(self):
+        fr = encode_snappy_frame(b"q" * 10) + b"\x02\x01\x00\x00z"
+        with pytest.raises(ValueError, match="reserved"):
+            decode_snappy_frame(fr)
+
+    def test_skippable_chunks_skipped(self):
+        fr = encode_snappy_frame(b"q" * 10) + b"\x80\x03\x00\x00abc"
+        got = decode_snappy_frame(fr)
+        assert got["content"] == b"q" * 10
+        assert got["n_skipped_chunks"] == 1
+
+    def test_truncated_chunk_fails(self):
+        fr = encode_snappy_frame(b"q" * 500)
+        with pytest.raises(ValueError, match="overruns"):
+            decode_snappy_frame(fr[:-3])
+
+
+class TestC6Query:
+    def test_c6_matches_oracle(self, spark, duck):
+        spec = all_queries()["c6_snappy_extract"]
+        sdf = spec.spark(spark, SF_ORACLE)
+        srows = [tuple(r) for r in sdf.collect()]
+        cur = duck.execute(spec.oracle)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        assert sorted(sdf.columns) == sorted(dcols)
+        assert len(srows) == len(drows) == 500
+        assert canonical_rows(srows, sdf.columns) == canonical_rows(drows, dcols)
+
+    def test_c6_plan_is_single_map_pass(self, spark):
+        fn = all_queries()["c6_snappy_extract"].spark
+        plan = (
+            fn(spark, SF_ORACLE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .lower()
+        )
+        assert "exchange hashpartitioning" not in plan
+        assert plan.count("exchange roundrobinpartitioning") <= 1  # fan-out
+
+    def test_real_corpus_chunks_compress(self, spark):
+        # the column the oracle cannot replay: unforced docs' full-size
+        # chunks must come back COMPRESSED (the x3 repetition guarantees
+        # in-chunk matches), forced docs all raw
+        from pipeline_mf_etl_spark.sources.readers import load_table
+        from pipeline_mf_etl_spark.sources.snappyframe import (
+            extract_snappy_documents,
+            with_snappy_payload,
+        )
+
+        docs = load_table(spark, SF_ORACLE, "documents").limit(100)
+        out = extract_snappy_documents(with_snappy_payload(docs)).collect()
+        for r in out:
+            if r["forced_raw"]:
+                assert r["n_uncompressed_chunks"] == r["n_chunks"]
+            elif r["content_size"] >= 64:
+                assert r["n_uncompressed_chunks"] < r["n_chunks"]
