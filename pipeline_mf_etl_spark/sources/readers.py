@@ -35,6 +35,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to microsecond timestamps (floor division — matching DuckDB's
     nanos→micros truncation) so timestamp semantics agree with the
     oracle.
+
+    SESSION-LEVEL side effect (documented per the r10 advice): reading
+    ``events`` sets ``spark.sql.legacy.parquet.nanosAsLong`` for the
+    WHOLE session — any concurrent reader of a nanos-timestamp parquet
+    in the same session will also see longs. Idempotent and harmless
+    for this engine (every events consumer goes through this loader and
+    applies the same downscale), but callers embedding the library next
+    to other nanos-parquet readers should scope their own sessions.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":

@@ -701,3 +701,120 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
     )
     return raw.select("path", "content").mapInPandas(extract, schema)
+
+
+def read_compressed_jsonl_stream(
+    spark: SparkSession, path: str, codec: str = "lz4"
+) -> DataFrame:
+    """Streaming drop-zone reader for compressed JSONL corpus shards
+    (``*.jsonl.lz4`` LZ4-framed / ``*.jsonl.sz`` framed Snappy) — the
+    interchange layout public corpora are actually distributed in. Each
+    shard is picked up exactly once (checkpoint-tracked binaryFile
+    source), frame-decoded through the fully verified walk
+    (sources/lz4frame.py / sources/snappyframe.py) and parsed line by
+    line against the DOCUMENTS_SCHEMA contract with a rejects
+    side-channel, all in one Arrow map per micro-batch.
+
+    Failure containment (the read_warc_stream lesson): a corrupt shard
+    (bad magic/CRC/size) or an undecodable line becomes REJECT ROWS
+    (reason-tagged), never an exception — the checkpointed source would
+    replay a failing file forever and wedge the stream.
+    """
+    if codec == "lz4":
+        from pipeline_mf_etl_spark.sources.lz4frame import decode_lz4_frame
+
+        decode, glob = decode_lz4_frame, "*.jsonl.lz4"
+    elif codec == "snappy":
+        from pipeline_mf_etl_spark.sources.snappyframe import (
+            decode_snappy_frame,
+        )
+
+        decode, glob = decode_snappy_frame, "*.jsonl.sz"
+    else:
+        raise ValueError(f"unsupported stream codec {codec!r} (lz4|snappy)")
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("shard", StringType(), False),
+            StructField("line_no", LongType(), True),
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+            StructField("lang", StringType(), True),
+            StructField("source", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("reject_reason", StringType(), True),
+        ]
+    )
+
+    def extract(batches):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for spath, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    content = decode(bytes(blob))["content"]
+                except Exception as e:  # corrupt shard -> ONE reject row
+                    rows.append(
+                        (spath, None, None, None, None, None, None,
+                         f"BAD_FRAME: {e}")
+                    )
+                    continue
+                text = content.decode("utf-8", errors="replace")
+                for ln, line in enumerate(text.splitlines()):
+                    if not line.strip():
+                        continue
+                    try:
+                        obj = _json.loads(line)
+                        if not isinstance(obj, dict):
+                            raise ValueError("line is not a JSON object")
+                    except Exception:
+                        rows.append(
+                            (spath, ln, None, line, None, None, None,
+                             "BAD_JSON")
+                        )
+                        continue
+                    def _long(v):
+                        return int(v) if isinstance(v, (int, float)) else None
+
+                    rows.append(
+                        (
+                            spath,
+                            ln,
+                            _long(obj.get("doc_id")),
+                            obj.get("text") if isinstance(obj.get("text"), str) else None,
+                            obj.get("lang") if isinstance(obj.get("lang"), str) else None,
+                            obj.get("source") if isinstance(obj.get("source"), str) else None,
+                            _long(obj.get("n_chars")),
+                            None,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    binary_schema = StructType(
+        [
+            StructField("path", StringType(), False),
+            StructField("modificationTime", TimestampType(), False),
+            StructField("length", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 8)
+        .load(path)
+    )
+    return raw.select("path", "content").mapInPandas(extract, schema)

@@ -182,3 +182,49 @@ class TestC5Query:
         out = extract_lz4_documents(with_lz4_payload(docs)).collect()
         big = [r for r in out if r["content_size"] >= 64]
         assert big and all(r["n_compressed_blocks"] >= 1 for r in big)
+
+
+class TestLz4Stream:
+    def test_drop_zone_stream_with_corrupt_shard(self, spark, tmp_path):
+        """Streaming a .jsonl.lz4 drop-zone: good shards parse against
+        the documents contract, bad lines and a CORRUPT frame become
+        reject rows — never a wedged stream (the checkpointed source
+        would replay a failing file forever)."""
+        import json
+
+        from pipeline_mf_etl_spark.streaming.transforms import (
+            read_compressed_jsonl_stream,
+        )
+
+        zone = tmp_path / "lz4zone"
+        zone.mkdir()
+        lines = [
+            json.dumps({"doc_id": 1, "text": "alpha", "lang": "en",
+                        "source": "web", "n_chars": 5}),
+            "not json at all {",
+            json.dumps({"doc_id": 2, "text": "beta"}),
+        ]
+        (zone / "shard-0.jsonl.lz4").write_bytes(
+            encode_lz4_frame("\n".join(lines).encode())
+        )
+        good = encode_lz4_frame(b'{"doc_id": 3, "text": "gamma"}\n')
+        (zone / "shard-1.jsonl.lz4").write_bytes(good)
+        (zone / "shard-2.jsonl.lz4").write_bytes(good[:-2])  # truncated
+        (zone / "ignored.jsonl").write_text("{}")  # glob-filtered
+
+        q = (
+            read_compressed_jsonl_stream(spark, str(zone), codec="lz4")
+            .writeStream.format("memory")
+            .queryName("lz4_ingest")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from lz4_ingest").collect()
+        docs = {r["doc_id"]: r for r in rows if r["reject_reason"] is None}
+        rejects = [r for r in rows if r["reject_reason"] is not None]
+        assert set(docs) == {1, 2, 3}
+        assert docs[1]["text"] == "alpha" and docs[1]["n_chars"] == 5
+        assert docs[2]["lang"] is None  # missing keys are data, not errors
+        reasons = sorted(r["reject_reason"].split(":")[0] for r in rejects)
+        assert reasons == ["BAD_FRAME", "BAD_JSON"]

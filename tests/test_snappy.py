@@ -156,3 +156,40 @@ class TestC6Query:
                 assert r["n_uncompressed_chunks"] == r["n_chunks"]
             elif r["content_size"] >= 64:
                 assert r["n_uncompressed_chunks"] < r["n_chunks"]
+
+
+class TestSnappyStream:
+    def test_drop_zone_stream(self, spark, tmp_path):
+        import json
+
+        from pipeline_mf_etl_spark.streaming.transforms import (
+            read_compressed_jsonl_stream,
+        )
+
+        zone = tmp_path / "szzone"
+        zone.mkdir()
+        payload = "\n".join(
+            json.dumps({"doc_id": i, "text": f"doc {i}"}) for i in range(5)
+        ).encode()
+        (zone / "a.jsonl.sz").write_bytes(encode_snappy_frame(payload))
+        bad = bytearray(encode_snappy_frame(b'{"doc_id": 9, "text": "x"}\n'))
+        bad[-1] ^= 0xFF  # CRC mismatch -> BAD_FRAME reject, not a wedge
+        (zone / "b.jsonl.sz").write_bytes(bytes(bad))
+
+        q = (
+            read_compressed_jsonl_stream(spark, str(zone), codec="snappy")
+            .writeStream.format("memory")
+            .queryName("sz_ingest")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from sz_ingest").collect()
+        docs = sorted(
+            r["doc_id"] for r in rows if r["reject_reason"] is None
+        )
+        assert docs == [0, 1, 2, 3, 4]
+        assert any(
+            r["reject_reason"] and r["reject_reason"].startswith("BAD_FRAME")
+            for r in rows
+        )
