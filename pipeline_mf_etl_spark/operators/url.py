@@ -2,7 +2,7 @@
 CommonCrawl curation stage between WARC ingestion (c1 exposes
 WARC-Target-URI) and source-level quality gating (t10). Reference
 parity: the manifest classifier keys rows by normalized source ids
-(/root/reference/src/mf_etl/ingestion/manifest.py); for a web corpus
+(/root/reference/src/mf_etl/ingest/manifest.py); for a web corpus
 the analogous key is the canonical URL / registrable domain.
 
 Pure JVM column algebra (regexp extraction + higher-order array

@@ -3,7 +3,7 @@
 The default compression of the modern data-lake interchange stack
 (Parquet pages, Kafka batches, .jsonl.lz4 corpus shards). Reference
 parity: the manifest classifier routes compressed shard containers
-(/root/reference/src/mf_etl/ingestion/manifest.py); gzip/zip/avro are
+(/root/reference/src/mf_etl/ingest/manifest.py); gzip/zip/avro are
 covered by c1/c2/c4 and this module adds the LZ4 leg (c5). Implements
 the REAL public formats:
 
@@ -65,7 +65,7 @@ def xxh32(data: bytes, seed: int = 0) -> int:
         v3 = seed & _M32
         v4 = (seed - _P1) & _M32
         while i <= n - 16:
-            v1 =(_rotl((v1 + int.from_bytes(data[i : i + 4], "little") * _P2) & _M32, 13) * _P1) & _M32
+            v1 = (_rotl((v1 + int.from_bytes(data[i : i + 4], "little") * _P2) & _M32, 13) * _P1) & _M32
             v2 = (_rotl((v2 + int.from_bytes(data[i + 4 : i + 8], "little") * _P2) & _M32, 13) * _P1) & _M32
             v3 = (_rotl((v3 + int.from_bytes(data[i + 8 : i + 12], "little") * _P2) & _M32, 13) * _P1) & _M32
             v4 = (_rotl((v4 + int.from_bytes(data[i + 12 : i + 16], "little") * _P2) & _M32, 13) * _P1) & _M32
