@@ -8,8 +8,9 @@ These are the query-layer wrappers over the round-10 library additions
 with the driver's exact canonical compare in tests/test_corpus_ingest.py
 — in round 10, and REGISTERED in the round-11 window (the r10 window
 was exactly full with the r9-verdict rotation). The codec-side five
-(mm25–mm29) register in queries/multimodal.py; the container/text six
-(c1–c4, t15, wd1) register here.
+(mm25–mm29) register in queries/multimodal.py; the container/text
+family (c1–c4, t15, wd1, plus the round-11-built c5 LZ4 and c6 Snappy
+legs) registers here.
 
 Plan shapes (asserted in tests):
 - c1: synthesis + gzip/WARC/HTTP/HTML extraction in ONE Arrow map pass —
