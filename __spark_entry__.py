@@ -31,8 +31,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sketch probe, parquet export under ``.artifacts/``) at build time;
     ``eager_queries()`` lists them. Callers needing strict laziness
     should treat those as materializing.
+
+    The sketch / native-RNG variants (a16/a17/a18/o4) are
+    ``driver_visible=False``: their outputs are engine-specific by
+    design, so each is certified through its hash-exact twin
+    (a16b/a17b/a18b/o4b) plus error-bound property tests
+    (tests/test_sketches.py) instead of a permanently-red rows-only row.
     """
-    return {name: spec.spark for name, spec in all_queries().items()}
+    return {
+        name: spec.spark
+        for name, spec in all_queries().items()
+        if spec.driver_visible
+    }
 
 
 def eager_queries() -> set[str]:

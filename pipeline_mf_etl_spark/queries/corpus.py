@@ -227,7 +227,7 @@ def o10_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # design (sketch internals are engine-specific); property tests bound
 # the error against the exact answers (tests/test_sketches.py).
 # ---------------------------------------------------------------------------
-@query("a16_approx_quantiles", oracle=None)
+@query("a16_approx_quantiles", oracle=None, driver_visible=False)
 def a16_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate value quantiles per event_type at
     1% relative error — the single-pass mergeable-summary path used when
@@ -338,7 +338,7 @@ def _read_count_min(spark: SparkSession, blob: bytes):
     )
 
 
-@query("a17_heavy_hitters", oracle=None, eager=True)
+@query("a17_heavy_hitters", oracle=None, eager=True, driver_visible=False)
 def a17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters over the event stream's user ids.
 
@@ -635,7 +635,7 @@ def o13_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # design (HLL++ register layouts are engine-specific); the property
 # test bounds the estimate against the exact cardinality.
 # ---------------------------------------------------------------------------
-@query("a18_approx_distinct", oracle=None)
+@query("a18_approx_distinct", oracle=None, driver_visible=False)
 def a18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users and distinct event days per event_type
     via HLL++ (rsd = 2%): one pass, mergeable partials, no

@@ -242,7 +242,8 @@ WD1_ORACLE = f"""
            count(*) AS n_samples,
            count(DISTINCT doc_id) AS n_docs,
            count(DISTINCT lang) AS n_langs,
-           sum(strlen(text) + strlen({_META_JSON})) AS total_bytes,
+           CAST(sum(strlen(text) + strlen({_META_JSON})) AS BIGINT)
+               AS total_bytes,
            min(doc_id) AS min_doc,
            max(doc_id) AS max_doc
     FROM documents
@@ -355,7 +356,8 @@ C4_ORACLE = """
         FROM documents
     ), nulls AS (
         SELECT g.doc_id,
-               sum(CASE WHEN (g.doc_id + t.i) % 3 = 0 THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN (g.doc_id + t.i) % 3 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_null
         FROM geo g, UNNEST(range(g.nr)) AS t(i)
         GROUP BY g.doc_id

@@ -1714,9 +1714,9 @@ MM25_ORACLE = """
            b.total AS total_samples,
            (b.total + 63) // 64 AS n_frames,
            8000 AS sample_rate,
-           sum(s.s0 + COALESCE(s.s1, 0)) AS sum_samples,
+           CAST(sum(s.s0 + COALESCE(s.s1, 0)) AS BIGINT) AS sum_samples,
            max(GREATEST(abs(s.s0), COALESCE(abs(s.s1), 0))) AS max_abs,
-           sum(s.s0 * (s.i + 1)) AS dot0
+           CAST(sum(s.s0 * (s.i + 1)) AS BIGINT) AS dot0
     FROM base b JOIN samp s USING (doc_id)
     GROUP BY b.doc_id, b.stereo, b.total
 """
@@ -1758,7 +1758,7 @@ MM26_ORACLE = """
         FROM geo g, UNNEST(range(g.nf)) AS t(i)
     ), agg AS (
         SELECT doc_id, count(*) AS nf,
-               sum((144000 * kbps) // 44100 + pad) AS sfb,
+               CAST(sum((144000 * kbps) // 44100 + pad) AS BIGINT) AS sfb,
                min(kbps) AS kmin, max(kbps) AS kmax,
                count(DISTINCT kbps) AS kd
         FROM fr GROUP BY doc_id

@@ -190,7 +190,7 @@ def p7_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RNG, so no cross-engine oracle; determinism is asserted in tests.
 # (reference: gold/features_pipeline.py:675-676, seed 42)
 # ---------------------------------------------------------------------------
-@query("o4_seeded_sample", oracle=None)
+@query("o4_seeded_sample", oracle=None, driver_visible=False)
 def o4_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded sampling (O4): fraction sample, fixed seed → reproducible."""
     ev = load_table(spark, sf_dir, "events")

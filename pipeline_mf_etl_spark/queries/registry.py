@@ -71,71 +71,80 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.graph",
 )
 
-# ROUND-11 WINDOW (the r10 verdict's ranked tasks 1+2): the 11
-# r10-built, oracle-ready pending queries register and certify FIRST
-# (c1 WARC, c2 ZIP, c3 PDF, c4 Avro, t15 HTML strip, wd1 WebDataset,
-# mm25 FLAC, mm26 MP3, mm27 TIFF/EXIF, mm28 WebP, mm29 WebM), then any
-# NEW r11 code, then the r7-stale rotation (45 rows were r7-latest
-# after r10; the verdict's priority order — heavily-composed parents
-# first: w2/w21/w23, s3, i2, r1/r2, st9-st12, the a14/a15/a16b/a17b/
-# a18b tranche, then mm8-mm11/o14-o19, then the t/w/e/g tail) filled
-# to exactly 50. Leftovers roll to r12 (see _QUERY_MODULES comment).
-# Rotated out (green r8/r9/r10, code untouched): the r10 window.
+# ROUND-12 WINDOW (the r11 verdict's ranked tasks 1/3/4): the five
+# r11 red rows re-certify FIRST — their failures were a HUGEINT oracle
+# formatting defect (integer SUM without CAST AS BIGINT), fixed this
+# round and now mechanically enforced by
+# tests/test_parity.py::test_oracle_output_types_hash_stable. Then the
+# NEW r12 code (c7 zstd), then the 12 r7-stale rows that ceded slots
+# to r11's new queries, then 32 of the 47-row r8 cohort —
+# heavily-composed parents first (a1, p2_p3, b6, w6 per the verdict),
+# then the backtest/quality/window/agg/join chains. The 15 r8
+# leftovers head the r13 rotation: b10_sensitivity_grid,
+# b11_robustness_score, d11_containment, t14_boilerplate_lines,
+# m6_density_clusters, a8_topk_parts, a9_null_rates,
+# a12_quantile_edges, a13_orders_by_year, j6_overlay_coverage,
+# o6_anti_join, d10_record_linkage, m13/m14/m15 bootstrap family.
+# Rotated out (green r9/r10/r11, code untouched): the r11 window.
+# The permanently-red no-oracle variants (a16/a17/a18/o4) are now
+# driver_visible=False — certified via their exact twins + property
+# tests — so no window can contain a red-by-design row again.
 _PRIORITY = (
-    # --- (1) r10-built pending queries, registered this round ---
-    "c1_warc_extract",
-    "c2_zip_extract",
-    "c3_pdf_extract",
+    # --- (1) the five HUGEINT-oracle re-certs (engine values verified
+    # correct in the r11 verdict; oracle SQL fixed this round) ---
     "c4_avro_extract",
-    "t15_html_extract",
     "wd1_webdataset_roundtrip",
     "mm25_flac_decode",
     "mm26_mp3_probe",
-    "mm27_tiff_probe",
-    "mm28_webp_probe",
-    "mm29_webm_probe",
-    # --- (2) new r11 code (inserted as built; each insertion pops the
-    # tail of section 3 into the r12 rotation) ---
-    "mm27b_tiff_decode",
-    "mm28b_webp_lossless_decode",
-    "t16_url_canonicalize",
     "d12_url_domain_rollup",
-    "c5_lz4_extract",
-    "c6_snappy_extract",
-    # --- (3) the r7-stale rotation, verdict priority order ---
-    "w2_rolling_stats",
-    "w21_scd2_intervals",
-    "w23_ohlc_resample",
-    "s3_pushdown_scan",
-    "i2_manifest_classify",
-    "r1_bm25_topk",
-    "r2_hybrid_rrf",
-    "st9_attribution_join",
-    "st10_last_click",
-    "st11_lsh_admission_batch",
-    "st12_daily_rollup_batch",
-    "a14_salted_skew_agg",
-    "a15_rollup",
-    "a16b_exact_quantiles",
-    "a17b_exact_heavy_hitters",
-    "a18b_exact_distinct",
-    "mm8_audio_segments",
-    "mm9_image_resize",
-    "mm10_audio_downsample",
-    "mm11_video_resize",
-    "o14_chunk_windows",
-    "o15_shard_shuffle",
-    "o16_per_group_sample",
-    "o17_weighted_sample",
-    "o18_zorder_layout",
-    "o19_purged_split",
-    "t11_gopher_rules",
-    "t12_bpe_tokenize",
-    "t13_perplexity_buckets",
-    "w1_lag_lead",
-    "w19_time_decay_score",
-    "w20_rolling_autocorr",
-    "e7_semantic_dedup",
+    # --- (2) new r12 code ---
+    "c7_zstd_extract",
+    # --- (3) the r7-stale rotation (verdict task 3) + o4b (r8) ---
+    "a19_cube",
+    "a7_region_rollup",
+    "d9_source_dup_matrix",
+    "e8_pca_project",
+    "g1_pagerank_neardup",
+    "g2_pagerank_weighted",
+    "j11_asof_join",
+    "j12_star_join",
+    "j13_interval_lookup",
+    "j7_j10_profile_joins",
+    "o5_union_by_name",
+    "o7_distinct_counts",
+    "o4b_hash_sample",
+    # --- (4) r8 cohort fill, heavily-composed parents first ---
+    "a1_grouped_stats",
+    "p2_p3_quality_flags",
+    "b6_trade_sim",
+    "w6_run_length",
+    "b1_input_adapter",
+    "b2_state_eligibility",
+    "b3_overlay_pass_modes",
+    "b4_execution_realism",
+    "b5_signals",
+    "b7_trade_metrics",
+    "b8_equity_curve",
+    "p1_normalize",
+    "p4_quality_report",
+    "p6_input_cleaning",
+    "p7_filters",
+    "w4_cumulative",
+    "w5_bars_since_event",
+    "w7_pivot_detection",
+    "w8_w10_event_flags",
+    "w11_w13_burst_activity",
+    "w14_forward_labels",
+    "w15_duplicate_flag",
+    "w16_dedupe_keep_first",
+    "w17_latest_per_group",
+    "w18_range_window",
+    "a2_conditional_aggregates",
+    "a4_horizontal_aggs",
+    "a5_crosstab",
+    "a6_rows_by_year",
+    "j2_broadcast_enrich",
+    "j5_state_mapping",
 )
 
 
@@ -150,18 +159,34 @@ class QuerySpec:
     #: purely lazy plan. Callers that build-without-executing should
     #: expect side effects (parquet exports under .artifacts/) from these.
     eager: bool = False
+    #: False for the sketch / native-RNG variants whose outputs are
+    #: engine-specific by design (GK/CMS/HLL estimates, Spark's sample
+    #: RNG). Each has a hash-certified exact twin on the driver surface
+    #: (a16b/a17b/a18b/o4b) and error-bound property tests in pytest
+    #: (tests/test_sketches.py); exposing the variant itself to the
+    #: driver would yield a permanently-red rows-only row, so
+    #: __spark_entry__.queries() filters these out.
+    driver_visible: bool = True
 
 
-def query(name: str, oracle: str | None = None, doc: str = "", eager: bool = False):
+def query(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    eager: bool = False,
+    driver_visible: bool = True,
+):
     """Decorator registering a Spark query (and optional DuckDB oracle).
 
     ``eager=True`` marks builders that materialize at build time (the
     model-fit / sketch families) — see ``QuerySpec.eager``.
+    ``driver_visible=False`` keeps a query in the internal registry (lib
+    tests, bench) but off the driver contract — see ``QuerySpec.driver_visible``.
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:
         _REGISTRY[name] = QuerySpec(
-            name, fn, oracle, doc or (fn.__doc__ or "").strip(), eager
+            name, fn, oracle, doc or (fn.__doc__ or "").strip(), eager, driver_visible
         )
         return fn
 

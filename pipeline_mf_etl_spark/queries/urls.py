@@ -129,7 +129,8 @@ def t16_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_urls,
            COUNT(DISTINCT canon_url) AS n_distinct,
            COUNT(*) - COUNT(DISTINCT canon_url) AS n_dups,
-           SUM(CASE WHEN had_tracking THEN 1 ELSE 0 END) AS n_tracking
+           CAST(SUM(CASE WHEN had_tracking THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tracking
     FROM c GROUP BY domain
     """,
 )

@@ -46,6 +46,47 @@ def test_oracle_parity(spark, duck, name):
         pytest.fail(f"{name}: value mismatch, first diffs: {diffs}")
 
 
+# Output types the driver's value-hash formats identically between a
+# collected Spark row and a DuckDB fetchall row. DuckDB widens an
+# integer SUM to HUGEINT unless it is CAST(... AS BIGINT) — int128
+# formats differently and breaks the hash even when values agree (the
+# r11 c4/wd1/mm25/mm26/d12 failure mode). DECIMAL diverges the same
+# way. This sweep enforces the casting convention mechanically.
+_HASH_STABLE_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "DOUBLE",
+    "FLOAT",
+    "VARCHAR",
+    "BOOLEAN",
+    "DATE",
+    "TIMESTAMP",
+}
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_output_types_hash_stable(duck, name):
+    """DESCRIBE every registered oracle and assert no output column has
+    a type outside the driver-hash-stable set (no HUGEINT, no DECIMAL).
+    Wrap integer SUMs in CAST(... AS BIGINT)."""
+    spec = _QUERIES[name]
+    try:
+        rows = duck.execute("DESCRIBE " + spec.oracle).fetchall()
+    except Exception as exc:  # export-backed oracle without its scratch tree
+        if ".artifacts" in spec.oracle:
+            pytest.skip(f"export-backed oracle not materialized: {exc}")
+        raise
+    offending = [
+        (col, typ) for col, typ, *_ in rows if typ not in _HASH_STABLE_TYPES
+    ]
+    assert not offending, (
+        f"{name}: oracle emits driver-hash-unstable column types {offending}; "
+        "cast integer SUMs to BIGINT and decimals to DOUBLE"
+    )
+
+
 @pytest.mark.parametrize("name", _NO_ORACLE)
 def test_rows_only(spark, name):
     """Weaker check for non-SQL-expressible ops: runs and yields a stable schema."""
