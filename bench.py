@@ -297,12 +297,15 @@ def main() -> None:
     codec_phases["mm16_probe_on_mm13b_payloads"] = {"decode_sec": round(best_p, 3)}
 
     # Round-comparability anchors (r9 verdict task 8): the headline set
-    # grew 14 -> 42 across rounds; these fields make the 2x-of-baseline
+    # grew 14 -> 48 across rounds; these fields make the 2x-of-baseline
     # check and the round-over-round delta each ONE number.
     comparable_14 = [n for n in HEADLINE[:14] if n in timings]
     comparable_14_total = round(sum(timings[n] for n in comparable_14), 3)
     comparable_31 = [n for n in HEADLINE[:31] if n in timings]
     comparable_31_total = round(sum(timings[n] for n in comparable_31), 3)
+    # pins the r11 48-query headline so the r12+ delta is one line
+    comparable_48 = [n for n in HEADLINE[:48] if n in timings]
+    comparable_48_total = round(sum(timings[n] for n in comparable_48), 3)
     shared_prev = None
     import glob
 
@@ -358,6 +361,7 @@ def main() -> None:
         "calib_shuffle_window_sec": round(calib_sw, 3),
         "comparable_14_total": comparable_14_total,
         "comparable_31_total": comparable_31_total,
+        "comparable_48_total": comparable_48_total,
         "shared_prev_round_total": shared_prev,
     }))
 

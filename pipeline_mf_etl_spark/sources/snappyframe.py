@@ -82,7 +82,7 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             return n, pos
         shift += 7
-        if shift > 35:
+        if shift >= 35:
             raise ValueError("snappy varint longer than 5 bytes")
 
 
@@ -159,10 +159,14 @@ def snappy_decompress(block: bytes) -> bytes:
             pos += 1
         elif kind == 0b10:  # copy-2
             ln = (tag >> 2) + 1
+            if pos + 2 > n:
+                raise ValueError("snappy copy-2 offset runs off the block")
             off = int.from_bytes(block[pos : pos + 2], "little")
             pos += 2
         else:  # copy-4
             ln = (tag >> 2) + 1
+            if pos + 4 > n:
+                raise ValueError("snappy copy-4 offset runs off the block")
             off = int.from_bytes(block[pos : pos + 4], "little")
             pos += 4
         if off == 0 or off > len(out):
@@ -311,7 +315,12 @@ def extract_snappy_documents(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     n_uncompressed_chunks is a compressor property SQL cannot replay —
     the registered query (c6) excludes it and tests/test_snappy.py
     asserts it instead (forced docs: all raw; unforced: the x3
-    repetition compresses the full-size chunks)."""
+    repetition compresses the full-size chunks). forced_raw is DERIVED
+    from the decoded stream accounting (every data chunk took the
+    uncompressed path), not recomputed from the id — so the column
+    certifies the decode, matching the oracle's doc_id arithmetic only
+    because the synthesis forces exactly those docs raw (and the x3
+    repetition makes every unforced doc compress at least one chunk)."""
     import hashlib
 
     def feats(batches):
@@ -329,7 +338,8 @@ def extract_snappy_documents(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                         len(content),
                         hashlib.md5(content).hexdigest(),
                         content.decode("utf-8").split("\n", 1)[0],
-                        int(doc_id) % 5 == 0,
+                        out["n_chunks"] > 0
+                        and out["n_uncompressed_chunks"] == out["n_chunks"],
                     )
                 )
             yield pd.DataFrame(

@@ -786,7 +786,13 @@ def read_compressed_jsonl_stream(
                         )
                         continue
                     def _long(v):
-                        return int(v) if isinstance(v, (int, float)) else None
+                        # ints only: JSON true/1.7 must surface as NULL,
+                        # not coerce to 1 (bool is an int subclass)
+                        return (
+                            int(v)
+                            if isinstance(v, int) and not isinstance(v, bool)
+                            else None
+                        )
 
                     rows.append(
                         (

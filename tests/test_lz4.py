@@ -203,6 +203,10 @@ class TestLz4Stream:
                         "source": "web", "n_chars": 5}),
             "not json at all {",
             json.dumps({"doc_id": 2, "text": "beta"}),
+            # non-integer ids/counters surface as NULL, never coerce
+            # (JSON true would int() to 1, 1.7 would truncate to 1)
+            json.dumps({"doc_id": 4, "text": "delta", "n_chars": True}),
+            json.dumps({"doc_id": 1.7, "text": "epsilon"}),
         ]
         (zone / "shard-0.jsonl.lz4").write_bytes(
             encode_lz4_frame("\n".join(lines).encode())
@@ -223,8 +227,10 @@ class TestLz4Stream:
         rows = spark.sql("select * from lz4_ingest").collect()
         docs = {r["doc_id"]: r for r in rows if r["reject_reason"] is None}
         rejects = [r for r in rows if r["reject_reason"] is not None]
-        assert set(docs) == {1, 2, 3}
+        assert set(docs) == {1, 2, 3, 4, None}
         assert docs[1]["text"] == "alpha" and docs[1]["n_chars"] == 5
         assert docs[2]["lang"] is None  # missing keys are data, not errors
+        assert docs[4]["n_chars"] is None  # JSON true is not a count
+        assert docs[None]["text"] == "epsilon"  # float id -> NULL, not 1
         reasons = sorted(r["reject_reason"].split(":")[0] for r in rejects)
         assert reasons == ["BAD_FRAME", "BAD_JSON"]
