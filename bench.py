@@ -78,6 +78,8 @@ HEADLINE = (
     "d12_url_domain_rollup",  # per-domain canonical-URL dedup rollup
     "c5_lz4_extract",         # LZ4 frame decode + xxh32 verification
     "c6_snappy_extract",      # framed Snappy decode + CRC-32C verification
+    # added round 12 (r11-comparable subtotal = first 48)
+    "c7_zstd_extract",        # zstd FSE+Huffman frame decode + xxh64
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the

@@ -419,6 +419,55 @@ C5_ORACLE = """
 
 
 # ---------------------------------------------------------------------------
+# c7 — zstd frame extraction (sources/zstdframe.py: the codec the
+# reference's parquet config ships — real FSE + Huffman decode with
+# the full frame walk and XXH64 content checksums; registered r12,
+# completing the data-lake compression trio with c5/c6)
+# ---------------------------------------------------------------------------
+
+
+def c7_zstd_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode one zstd frame per document (content = ``text\\n`` x3 so
+    the LZ parser finds real matches; checksum and single-segment
+    flags cycle by doc_id so both frame-header shapes carry hash
+    signal) through the fully verified walk — FSE states, Huffman
+    literals, sequence execution, XXH64 — and emit block accounting +
+    content integrity. Map-only Arrow pass; the oracle replays the
+    frame arithmetic and the md5 from the characters.
+    n_compressed_blocks stays OFF this query — compressibility is a
+    compressor property SQL cannot replay (tests/test_zstd.py asserts
+    it instead)."""
+    from pipeline_mf_etl_spark.sources.zstdframe import (
+        extract_zstd_documents,
+        with_zstd_payload,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ext = extract_zstd_documents(with_zstd_payload(docs))
+    return ext.select(
+        "doc_id",
+        "n_blocks",
+        "single_segment",
+        "had_checksum",
+        "content_size",
+        "content_md5",
+        "text_out",
+    )
+
+
+C7_ORACLE = """
+    SELECT doc_id,
+           CAST((3 * (length(text) + 1) + 1023) // 1024 AS BIGINT) AS n_blocks,
+           doc_id % 3 <> 0 AS single_segment,
+           doc_id % 2 = 0 AS had_checksum,
+           CAST(3 * (length(text) + 1) AS BIGINT) AS content_size,
+           md5(repeat(text || chr(10), 3)) AS content_md5,
+           text AS text_out
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # c6 — framed-Snappy shard extraction (sources/snappyframe.py: the
 # other data-lake compression next to LZ4; raw-block tags + framing
 # chunks with masked CRC-32C everywhere)
@@ -473,5 +522,6 @@ query("c3_pdf_extract", oracle=C3_ORACLE)(c3_pdf_extract)
 query("c4_avro_extract", oracle=C4_ORACLE)(c4_avro_extract)
 query("c5_lz4_extract", oracle=C5_ORACLE)(c5_lz4_extract)
 query("c6_snappy_extract", oracle=C6_ORACLE)(c6_snappy_extract)
+query("c7_zstd_extract", oracle=C7_ORACLE)(c7_zstd_extract)
 query("t15_html_extract", oracle=T15_ORACLE)(t15_html_extract)
 query("wd1_webdataset_roundtrip", oracle=WD1_ORACLE)(wd1_webdataset_roundtrip)

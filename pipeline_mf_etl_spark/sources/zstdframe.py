@@ -1,0 +1,1272 @@
+"""Zstandard frame codec — dependency-free decode + encode.
+
+Completes the data-lake compression trio next to LZ4
+(sources/lz4frame.py) and framed Snappy (sources/snappyframe.py):
+zstd is the codec the reference's own parquet config ships
+(/root/reference/configs/settings.yaml `parquet: compression: zstd`)
+and what real corpora (.jsonl.zst shards, zstd parquet pages) actually
+use. Implements the REAL public format per RFC 8878 (and the zstd
+format spec at github.com/facebook/zstd/blob/dev/doc/
+zstd_compression_format.md):
+
+- Frame walk: magic 0xFD2FB528, frame-header descriptor (FCS field
+  sizing, single-segment, checksum and dictionary flags), window
+  descriptor with the exponent/mantissa encoding, 3-byte block headers
+  (raw / RLE / compressed / reserved), content checksum = low 32 bits
+  of XXH64.
+- FSE (Finite State Entropy): forward-read table descriptions
+  (variable-width probability fields, the low-value threshold trick,
+  2-bit zero-repeat flags), the spread-step (5/8·size + 3) table
+  build, backward-bitstream state machine decode, and the exact
+  inverse for encoding (states chosen in reverse so the decoder's
+  forward walk reproduces the symbol chain).
+- Huffman literals: weights transmitted direct (4-bit pairs) or
+  FSE-compressed (two interleaved states), the deduced last weight,
+  canonical table build (longer codes at lower table indexes, symbol
+  order within a bit length), 1-stream and 4-stream (jump table)
+  layouts, treeless blocks reusing the previous table.
+- Sequences: Predefined / RLE / FSE_Compressed / Repeat table modes
+  for literal-length, offset and match-length codes; the RFC's default
+  distributions; the backward bitstream with LL→OF→ML state init,
+  OF→ML→LL extra-bit reads and LL→ML→OF state updates; the 3-slot
+  repeat-offset history including the litLength==0 shift and the
+  rep1-1 case.
+- XXH64 per the published spec (content checksum site).
+
+The encoder is a real greedy hash-chain LZ parser emitting
+Huffman-compressed literals (direct weights) and predefined-mode FSE
+sequences — not a raw-block shell — so encode→decode round-trips
+exercise every decode stage. Cross-validated in tests/test_zstd.py
+against the libzstd bundled with pyarrow (test-only; the engine path
+stays dependency-free).
+
+Loud gates: dictionaries (DictID != 0), windows over the in-memory
+cap, reserved block types, Repeat/Treeless modes without a previous
+table, every size/checksum mismatch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ZSTD_MAGIC = 0xFD2FB528
+
+_M64 = (1 << 64) - 1
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 per the published spec (one-shot); zstd's content checksum
+    is the low 32 bits of this over the regenerated frame content."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        a1 = (seed + _XP1 + _XP2) & _M64
+        a2 = (seed + _XP2) & _M64
+        a3 = seed & _M64
+        a4 = (seed - _XP1) & _M64
+        while i <= n - 32:
+            a1 = (_rotl64((a1 + int.from_bytes(data[i : i + 8], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+            a2 = (_rotl64((a2 + int.from_bytes(data[i + 8 : i + 16], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+            a3 = (_rotl64((a3 + int.from_bytes(data[i + 16 : i + 24], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+            a4 = (_rotl64((a4 + int.from_bytes(data[i + 24 : i + 32], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+            i += 32
+        h = (_rotl64(a1, 1) + _rotl64(a2, 7) + _rotl64(a3, 12) + _rotl64(a4, 18)) & _M64
+        for acc in (a1, a2, a3, a4):
+            acc = (_rotl64((acc * _XP2) & _M64, 31) * _XP1) & _M64
+            h = (((h ^ acc) * _XP1) + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        k = (_rotl64((int.from_bytes(data[i : i + 8], "little") * _XP2) & _M64, 31) * _XP1) & _M64
+        h = ((_rotl64(h ^ k, 27) * _XP1) + _XP4) & _M64
+        i += 8
+    if i <= n - 4:
+        h = ((_rotl64(h ^ ((int.from_bytes(data[i : i + 4], "little") * _XP1) & _M64), 23) * _XP2) + _XP3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ ((data[i] * _XP5) & _M64), 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ---------------------------------------------------------------------------
+# bit IO — zstd entropy payloads are read BACKWARD from a sentinel bit;
+# table descriptions are read FORWARD bit-by-bit (LSB first)
+# ---------------------------------------------------------------------------
+
+
+class _BackBits:
+    """Backward bitstream reader: the byte array is one little-endian
+    integer; the highest set bit of the last byte is a sentinel; reads
+    consume from the top. ``bits`` may go negative via padded reads
+    (the spec's zero-padding for final Huffman peeks / FSE overflow
+    detection); a fully-consumed correct stream ends at exactly 0."""
+
+    __slots__ = ("val", "bits")
+
+    def __init__(self, data: bytes):
+        if not data:
+            raise ValueError("zstd bitstream empty")
+        if data[-1] == 0:
+            raise ValueError("zstd bitstream missing sentinel bit")
+        self.val = int.from_bytes(data, "little")
+        self.bits = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+
+    def read(self, n: int) -> int:
+        """Padded read: bits below the stream start read as 0 and push
+        ``bits`` negative (callers check for overflow where it matters)."""
+        if n == 0:
+            return 0
+        self.bits -= n
+        if self.bits >= 0:
+            return (self.val >> self.bits) & ((1 << n) - 1)
+        got = n + self.bits  # bits actually available
+        if got <= 0:
+            return 0
+        return (self.val & ((1 << got) - 1)) << (n - got)
+
+    def peek(self, n: int) -> int:
+        b = self.bits - n
+        if b >= 0:
+            return (self.val >> b) & ((1 << n) - 1)
+        got = n + b
+        if got <= 0:
+            return 0
+        return (self.val & ((1 << got) - 1)) << (n - got)
+
+
+class _FwdBits:
+    """Forward LSB-first bit reader (FSE table descriptions)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        out = 0
+        for k in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("FSE table description runs off the block")
+            out |= ((self.data[byte] >> (self.pos & 7)) & 1) << k
+            self.pos += 1
+        return out
+
+    def rewind(self, n: int) -> None:
+        self.pos -= n
+
+    def byte_pos(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+class _BitWriter:
+    """Builds a backward-readable stream: values appended in decoder
+    READ order land at the top; a sentinel 1 bit caps the stream."""
+
+    __slots__ = ("val", "bits")
+
+    def __init__(self):
+        self.val = 0
+        self.bits = 0
+
+    def write(self, v: int, n: int) -> None:
+        if n == 0:
+            return
+        if v < 0 or v >> n:
+            raise ValueError(f"bit value {v} does not fit in {n} bits")
+        self.val = (self.val << n) | v
+        self.bits += n
+
+    def finish(self) -> bytes:
+        # sentinel 1 sits DIRECTLY above the data bits; any padding to
+        # the byte boundary is the zero high bits of the last byte (the
+        # backward reader locates the sentinel as that byte's highest
+        # set bit, so data bits start immediately below it)
+        total = self.bits + 1
+        out = (1 << self.bits) | self.val
+        return out.to_bytes((total + 7) // 8, "little")
+
+
+# ---------------------------------------------------------------------------
+# FSE — table build (RFC 8878 §4.1), forward-read description, decode
+# states, and the reverse-chain encoder
+# ---------------------------------------------------------------------------
+
+
+class FseTable:
+    __slots__ = ("alog", "symbol", "nbits", "base", "_enc")
+
+    def __init__(self, norm: list[int], alog: int):
+        size = 1 << alog
+        if sum(-p if p < 0 else p for p in norm) != size:
+            raise ValueError("FSE distribution does not sum to table size")
+        self.alog = alog
+        self.symbol = [0] * size
+        self.nbits = [0] * size
+        self.base = [0] * size
+        high = size
+        for s, p in enumerate(norm):
+            if p == -1:
+                high -= 1
+                self.symbol[high] = s
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, p in enumerate(norm):
+            for _ in range(max(p, 0)):
+                self.symbol[pos] = s
+                pos = (pos + step) & mask
+                while pos >= high:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise ValueError("FSE table spread did not return to zero")
+        counter = [1 if p == -1 else p for p in norm]
+        for i in range(size):
+            s = self.symbol[i]
+            nxt = counter[s]
+            counter[s] += 1
+            nb = alog - nxt.bit_length() + 1
+            self.nbits[i] = nb
+            self.base[i] = (nxt << nb) - size
+        self._enc = None
+
+    # ---- decode ----
+    def init_state(self, br: _BackBits) -> int:
+        return br.read(self.alog)
+
+    def update(self, state: int, br: _BackBits) -> int:
+        return self.base[state] + br.read(self.nbits[state])
+
+    # ---- encode (exact inverse of the decode walk) ----
+    def _encode_map(self):
+        # for each (symbol, next_state) the unique state whose
+        # destination interval [base, base + 2^nbits) contains it
+        if self._enc is None:
+            size = 1 << self.alog
+            enc: dict[int, list[int | None]] = {}
+            for i in range(size):
+                s = self.symbol[i]
+                dest = enc.setdefault(s, [None] * size)
+                for nxt in range(self.base[i], self.base[i] + (1 << self.nbits[i])):
+                    dest[nxt] = i
+            self._enc = enc
+        return self._enc
+
+    def chain(self, codes: list[int]) -> tuple[int, list[tuple[int, int]]]:
+        """Given the symbol sequence the decoder must emit, pick states
+        in reverse and return (initial_state, [(value, nbits) written at
+        each state transition i -> i+1])."""
+        enc = self._encode_map()
+        n = len(codes)
+        if codes[-1] not in enc:
+            raise ValueError(f"symbol {codes[-1]} has zero FSE probability")
+        # any state emitting the last symbol works; take the first
+        state = next(
+            i for i in range(1 << self.alog) if self.symbol[i] == codes[-1]
+        )
+        upd: list[tuple[int, int]] = [(0, 0)] * (n - 1)
+        for i in range(n - 2, -1, -1):
+            nxt = state
+            dest = enc.get(codes[i])
+            if dest is None:
+                raise ValueError(f"symbol {codes[i]} has zero FSE probability")
+            st = dest[nxt]
+            upd[i] = (nxt - self.base[st], self.nbits[st])
+            state = st
+        return state, upd
+
+
+def fse_read_description(
+    data: bytes, max_alog: int, max_symbol: int
+) -> tuple[FseTable, int]:
+    """Parse a forward-read FSE table description; returns the built
+    table and the number of BYTES consumed (descriptions are
+    byte-aligned at their end)."""
+    fb = _FwdBits(data)
+    alog = fb.read(4) + 5
+    if alog > max_alog:
+        raise ValueError(f"FSE accuracy log {alog} exceeds the maximum {max_alog}")
+    remaining = (1 << alog) + 1
+    norm: list[int] = []
+    while remaining > 1:
+        if len(norm) > max_symbol:
+            raise ValueError("FSE description has too many symbols")
+        # `remaining` IS the max readable value (init (1<<alog)+1 minus
+        # distributed points); fields code 0..remaining, short values
+        # drop the top bit (spec §4.1.1 variable-width encoding)
+        bits = remaining.bit_length()
+        val = fb.read(bits)
+        low_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - remaining
+        if (val & low_mask) < threshold:
+            fb.rewind(1)
+            val &= low_mask
+        elif val > low_mask:
+            val -= threshold
+        proba = val - 1
+        norm.append(proba)
+        remaining -= -proba if proba < 0 else proba
+        if proba == 0:
+            while True:
+                repeat = fb.read(2)
+                if len(norm) + repeat > max_symbol + 1:
+                    raise ValueError("FSE zero-run exceeds the symbol alphabet")
+                norm.extend([0] * repeat)
+                if repeat != 3:
+                    break
+    if remaining != 1:
+        raise ValueError("FSE distribution overshoots the table size")
+    return FseTable(norm, alog), fb.byte_pos()
+
+
+def fse_write_description(norm: list[int], alog: int) -> bytes:
+    """Emit the forward-read table description for ``norm`` (the exact
+    inverse of fse_read_description)."""
+    bits_out: list[tuple[int, int]] = [(alog - 5, 4)]
+    remaining = (1 << alog) + 1
+    i = 0
+    while remaining > 1:
+        proba = norm[i]
+        bits = remaining.bit_length()
+        low_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - remaining
+        val = proba + 1
+        if val < threshold:
+            bits_out.append((val, bits - 1))
+        else:
+            # large values set the top bit; values whose low bits
+            # collide with a small value get the threshold offset
+            bits_out.append((val + threshold if val > low_mask else val, bits))
+        remaining -= -proba if proba < 0 else proba
+        i += 1
+        if proba == 0:
+            # count following zeros, emit 2-bit repeat flags
+            run = 0
+            while i + run < len(norm) and norm[i + run] == 0:
+                run += 1
+            i += run
+            while True:
+                bits_out.append((min(run, 3), 2))
+                if run < 3:
+                    break
+                run -= 3
+    # serialize LSB-first
+    out = bytearray()
+    acc = nb = 0
+    for v, n in bits_out:
+        acc |= v << nb
+        nb += n
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# the RFC 8878 default distributions (Predefined_Mode tables)
+_LL_DEFAULT = FseTable(
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+     2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+     -1, -1, -1, -1],
+    6,
+)
+_ML_DEFAULT = FseTable(
+    [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+     -1, -1, -1, -1, -1],
+    6,
+)
+_OF_DEFAULT = FseTable(
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1],
+    5,
+)
+
+# code -> (baseline, extra_bits) for literal lengths and match lengths
+_LL_BASELINE: list[tuple[int, int]] = [(i, 0) for i in range(16)] + [
+    (16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3), (40, 3),
+    (48, 4), (64, 6), (128, 7), (256, 8), (512, 9), (1024, 10), (2048, 11),
+    (4096, 12), (8192, 13), (16384, 14), (32768, 15), (65536, 16),
+]
+_ML_BASELINE: list[tuple[int, int]] = [(i + 3, 0) for i in range(32)] + [
+    (35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3), (59, 3),
+    (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9), (1027, 10),
+    (2051, 11), (4099, 12), (8195, 13), (16387, 14), (32771, 15), (65539, 16),
+]
+
+_MAX_LL_CODE = 35
+_MAX_ML_CODE = 52
+_MAX_OF_CODE = 31  # in-memory cap: offsets beyond 2^31 gate loudly anyway
+
+
+# ---------------------------------------------------------------------------
+# Huffman — literals coding (RFC 8878 §4.2): weights direct or
+# FSE-compressed, deduced last weight, canonical table (longer codes at
+# lower table indexes, symbol order within a bit length)
+# ---------------------------------------------------------------------------
+
+_HUF_MAX_BITS = 11
+
+
+class HufTable:
+    __slots__ = ("max_bits", "symbol", "nbits", "codes")
+
+    def __init__(self, weights: list[int]):
+        total = sum(1 << (w - 1) for w in weights if w > 0)
+        if total == 0 or total & (total - 1):
+            raise ValueError("Huffman weights do not sum to a power of two")
+        self.max_bits = total.bit_length() - 1
+        if self.max_bits > _HUF_MAX_BITS:
+            raise ValueError(
+                f"Huffman table log {self.max_bits} exceeds the format max {_HUF_MAX_BITS}"
+            )
+        size = 1 << self.max_bits
+        self.symbol = [0] * size
+        self.nbits = [0] * size
+        self.codes: dict[int, tuple[int, int]] = {}
+        rank_count = [0] * (self.max_bits + 2)
+        for w in weights:
+            if w > 0:
+                rank_count[self.max_bits + 1 - w] += 1
+        # longer codes occupy LOWER table indexes
+        rank_idx = [0] * (self.max_bits + 2)
+        for b in range(self.max_bits - 1, 0, -1):
+            rank_idx[b] = rank_idx[b + 1] + rank_count[b + 1] * (
+                1 << (self.max_bits - (b + 1))
+            )
+        for s, w in enumerate(weights):
+            if w == 0:
+                continue
+            bits = self.max_bits + 1 - w
+            span = 1 << (self.max_bits - bits)
+            start = rank_idx[bits]
+            self.codes[s] = (start >> (self.max_bits - bits), bits)
+            for i in range(start, start + span):
+                self.symbol[i] = s
+                self.nbits[i] = bits
+            rank_idx[bits] += span
+
+    def decode_stream(self, data: bytes, rsize: int) -> bytes:
+        br = _BackBits(data)
+        out = bytearray()
+        while len(out) < rsize:
+            idx = br.peek(self.max_bits)
+            nb = self.nbits[idx]
+            if nb == 0:
+                raise ValueError("Huffman stream hit an unassigned table cell")
+            br.bits -= nb
+            out.append(self.symbol[idx])
+        if br.bits != 0:
+            raise ValueError("Huffman stream not exactly consumed")
+        return bytes(out)
+
+    def encode_stream(self, data: bytes) -> bytes:
+        w = _BitWriter()
+        codes = self.codes
+        for b in data:
+            v, n = codes[b]
+            w.write(v, n)
+        return w.finish()
+
+
+def _deduce_last_weight(weights: list[int]) -> list[int]:
+    """Append the spec's deduced final weight: the transmitted weights'
+    2^(w-1) sum is completed to the next power of two."""
+    total = sum(1 << (w - 1) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("Huffman weights are all zero")
+    table_log = total.bit_length()  # next power of two above total
+    rest = (1 << table_log) - total
+    if rest & (rest - 1):
+        raise ValueError("Huffman weights leave a non-power-of-two remainder")
+    return weights + [rest.bit_length()]
+
+
+def huf_read_weights(data: bytes) -> tuple[list[int], int]:
+    """Parse a Huffman_Tree_Description; returns (full weights incl.
+    the deduced last, bytes consumed)."""
+    if not data:
+        raise ValueError("empty Huffman tree description")
+    header = data[0]
+    if header >= 128:  # direct: 4-bit pairs
+        n = header - 127
+        nbytes = (n + 1) // 2
+        if 1 + nbytes > len(data):
+            raise ValueError("direct Huffman weights run off the block")
+        weights = []
+        for i in range(n):
+            byte = data[1 + i // 2]
+            weights.append((byte >> 4) if i % 2 == 0 else (byte & 0xF))
+        return _deduce_last_weight(weights), 1 + nbytes
+    # FSE-compressed: two interleaved states over one backward stream
+    csize = header
+    if 1 + csize > len(data):
+        raise ValueError("FSE Huffman weights run off the block")
+    region = data[1 : 1 + csize]
+    table, used = fse_read_description(region, 6, 255)
+    br = _BackBits(region[used:])
+    s1 = table.init_state(br)
+    s2 = table.init_state(br)
+    if br.bits < 0:
+        raise ValueError("FSE weight stream shorter than its two states")
+    weights = []
+    while True:
+        weights.append(table.symbol[s1])
+        s1 = table.update(s1, br)
+        if br.bits < 0:
+            weights.append(table.symbol[s2])
+            break
+        weights.append(table.symbol[s2])
+        s2 = table.update(s2, br)
+        if br.bits < 0:
+            weights.append(table.symbol[s1])
+            break
+        if len(weights) > 255:
+            raise ValueError("FSE Huffman weights overrun the alphabet")
+    return _deduce_last_weight(weights), 1 + csize
+
+
+def huf_build_weights(hist: dict[int, int]) -> list[int] | None:
+    """Build canonical Huffman weights from a byte histogram (heap
+    Huffman, depth-capped at the format's 11 bits). Returns the FULL
+    weight list (index = symbol, length = last symbol + 1) or None when
+    Huffman coding does not apply (degenerate alphabet / too deep /
+    alphabet too large for a direct-weight header)."""
+    import heapq
+
+    if len(hist) < 2:
+        return None
+    heap = [(c, s, None, None) for s, c in hist.items()]
+    heapq.heapify(heap)
+    uid = 256
+    nodes = {}
+    while len(heap) > 1:
+        c1 = heapq.heappop(heap)
+        c2 = heapq.heappop(heap)
+        nodes[uid] = (c1[1], c2[1])
+        heapq.heappush(heap, (c1[0] + c2[0], uid, None, None))
+        uid += 1
+    depths: dict[int, int] = {}
+    stack = [(heap[0][1], 0)]
+    while stack:
+        node, d = stack.pop()
+        if node in nodes:
+            left, right = nodes[node]
+            stack.append((left, d + 1))
+            stack.append((right, d + 1))
+        else:
+            depths[node] = max(d, 1)
+    max_depth = max(depths.values())
+    if max_depth > _HUF_MAX_BITS:
+        return None  # depth-limiting not implemented; caller stores raw
+    last = max(depths)
+    if last > 254:  # direct header caps transmitted weights at 128
+        return None
+    if last + 1 - 1 > 128:  # transmitted count = last symbol index
+        return None
+    weights = [0] * (last + 1)
+    for s, d in depths.items():
+        weights[s] = max_depth + 1 - d
+    return weights
+
+
+def huf_write_weights(weights: list[int]) -> bytes:
+    """Direct-weight Huffman_Tree_Description (the last weight is
+    deduced by the decoder and must not be transmitted)."""
+    transmitted = weights[:-1]
+    n = len(transmitted)
+    if not 1 <= n <= 128:
+        raise ValueError(f"cannot transmit {n} direct Huffman weights")
+    out = bytearray([127 + n])
+    for i in range(0, n, 2):
+        hi = transmitted[i]
+        lo = transmitted[i + 1] if i + 1 < n else 0
+        out.append((hi << 4) | lo)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# block decode — literals section, sequences section, sequence execution
+# ---------------------------------------------------------------------------
+
+
+def _seq_tables(
+    mode: int,
+    data: bytes,
+    pos: int,
+    default: FseTable,
+    prev: FseTable | None,
+    max_alog: int,
+    max_symbol: int,
+    what: str,
+) -> tuple[object, int, FseTable | None]:
+    """Resolve one of LL/OF/ML per its 2-bit compression mode; returns
+    (table-like, new pos, table-to-carry-forward)."""
+    if mode == 0:  # Predefined
+        return default, pos, None
+    if mode == 1:  # RLE: one byte, that symbol for every sequence
+        sym = data[pos]
+        if sym > max_symbol:
+            raise ValueError(f"{what} RLE symbol {sym} out of range")
+        return _RleSeq(sym), pos + 1, None
+    if mode == 2:  # FSE_Compressed
+        table, used = fse_read_description(data[pos:], max_alog, max_symbol)
+        return table, pos + used, table
+    if prev is None:  # mode 3: Repeat
+        raise ValueError(f"{what} Repeat mode with no previous table in frame")
+    return prev, pos, prev
+
+
+class _RleSeq:
+    __slots__ = ("symbol",)
+
+    def __init__(self, sym: int):
+        self.symbol = {0: sym}  # single zero-bit state
+
+    def init_state(self, br: _BackBits) -> int:
+        return 0
+
+    def update(self, state: int, br: _BackBits) -> int:
+        return 0
+
+
+class _EntropyCtx:
+    """Per-frame carried entropy state: previous Huffman table
+    (Treeless literals), previous FSE tables (Repeat modes), repeat
+    offsets (init 1/4/8 at frame start)."""
+
+    def __init__(self):
+        self.huf: HufTable | None = None
+        self.ll: FseTable | None = None
+        self.of: FseTable | None = None
+        self.ml: FseTable | None = None
+        self.reps = [1, 4, 8]
+
+
+def _decode_literals(data: bytes, ctx: _EntropyCtx) -> tuple[bytes, int]:
+    b0 = data[0]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if sf in (0, 2):
+            rsize, pos = b0 >> 3, 1
+        elif sf == 1:
+            rsize, pos = (b0 >> 4) | (data[1] << 4), 2
+        else:
+            rsize, pos = (b0 >> 4) | (data[1] << 4) | (data[2] << 12), 3
+        if ltype == 0:
+            lits = bytes(data[pos : pos + rsize])
+            if len(lits) != rsize:
+                raise ValueError("raw literals run off the block")
+            return lits, pos + rsize
+        return bytes([data[pos]]) * rsize, pos + 1
+    # Compressed (2) / Treeless (3)
+    if sf == 0:
+        h = int.from_bytes(data[:3], "little")
+        rsize, csize, pos, streams = (h >> 4) & 0x3FF, (h >> 14) & 0x3FF, 3, 1
+    elif sf == 1:
+        h = int.from_bytes(data[:3], "little")
+        rsize, csize, pos, streams = (h >> 4) & 0x3FF, (h >> 14) & 0x3FF, 3, 4
+    elif sf == 2:
+        h = int.from_bytes(data[:4], "little")
+        rsize, csize, pos, streams = (h >> 4) & 0x3FFF, (h >> 18) & 0x3FFF, 4, 4
+    else:
+        h = int.from_bytes(data[:5], "little")
+        rsize, csize, pos, streams = (h >> 4) & 0x3FFFF, (h >> 22) & 0x3FFFF, 5, 4
+    region = data[pos : pos + csize]
+    if len(region) != csize:
+        raise ValueError("compressed literals run off the block")
+    if ltype == 2:
+        weights, used = huf_read_weights(region)
+        ctx.huf = HufTable(weights)
+        region = region[used:]
+    elif ctx.huf is None:
+        raise ValueError("Treeless literals with no previous Huffman table")
+    table = ctx.huf
+    if streams == 1:
+        lits = table.decode_stream(region, rsize)
+    else:
+        if len(region) < 6:
+            raise ValueError("4-stream literals missing the jump table")
+        s1 = int.from_bytes(region[0:2], "little")
+        s2 = int.from_bytes(region[2:4], "little")
+        s3 = int.from_bytes(region[4:6], "little")
+        part = (rsize + 3) // 4
+        sizes = [s1, s2, s3, len(region) - 6 - s1 - s2 - s3]
+        if sizes[3] <= 0:
+            raise ValueError("4-stream jump table overruns the section")
+        rsizes = [part, part, part, rsize - 3 * part]
+        if rsizes[3] < 0:
+            raise ValueError("4-stream regenerated size smaller than 3 quarters")
+        lits = bytearray()
+        off = 6
+        for sz, rs in zip(sizes, rsizes):
+            lits += table.decode_stream(region[off : off + sz], rs)
+            off += sz
+        lits = bytes(lits)
+    return lits, pos + csize
+
+
+def _decode_sequences(
+    data: bytes, ctx: _EntropyCtx
+) -> list[tuple[int, int, int]]:
+    """Returns [(literal_length, offset_value, match_length)] with
+    offset_value still raw (repeat resolution happens at execution)."""
+    b0 = data[0]
+    if b0 == 0:
+        return []
+    if b0 < 128:
+        ns, pos = b0, 1
+    elif b0 < 255:
+        ns, pos = ((b0 - 128) << 8) | data[1], 2
+    else:
+        ns, pos = int.from_bytes(data[1:3], "little") + 0x7F00, 3
+    modes = data[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("reserved sequence-mode bits set")
+    ll, pos, carry = _seq_tables(
+        (modes >> 6) & 3, data, pos, _LL_DEFAULT, ctx.ll, 9, _MAX_LL_CODE, "LL"
+    )
+    if carry is not None:
+        ctx.ll = carry
+    of, pos, carry = _seq_tables(
+        (modes >> 4) & 3, data, pos, _OF_DEFAULT, ctx.of, 8, _MAX_OF_CODE, "OF"
+    )
+    if carry is not None:
+        ctx.of = carry
+    ml, pos, carry = _seq_tables(
+        (modes >> 2) & 3, data, pos, _ML_DEFAULT, ctx.ml, 9, _MAX_ML_CODE, "ML"
+    )
+    if carry is not None:
+        ctx.ml = carry
+    br = _BackBits(data[pos:])
+    ll_state = ll.init_state(br)
+    of_state = of.init_state(br)
+    ml_state = ml.init_state(br)
+    if br.bits < 0:
+        raise ValueError("sequence bitstream shorter than its state init")
+    seqs = []
+    for i in range(ns):
+        of_code = of.symbol[of_state]
+        ov = (1 << of_code) + br.read(of_code)
+        ml_code = ml.symbol[ml_state]
+        mbase, mbits = _ML_BASELINE[ml_code]
+        mval = mbase + br.read(mbits)
+        ll_code = ll.symbol[ll_state]
+        lbase, lbits = _LL_BASELINE[ll_code]
+        lval = lbase + br.read(lbits)
+        if br.bits < 0:
+            raise ValueError("sequence bitstream over-read (extras)")
+        seqs.append((lval, ov, mval))
+        if i < ns - 1:
+            ll_state = ll.update(ll_state, br)
+            ml_state = ml.update(ml_state, br)
+            of_state = of.update(of_state, br)
+            if br.bits < 0:
+                raise ValueError("sequence bitstream over-read (updates)")
+    if br.bits != 0:
+        raise ValueError("sequence bitstream not exactly consumed")
+    return seqs
+
+
+def _execute_sequences(
+    out: bytearray,
+    lits: bytes,
+    seqs: list[tuple[int, int, int]],
+    reps: list[int],
+) -> None:
+    lpos = 0
+    for lval, ov, mval in seqs:
+        if ov == 0:
+            raise ValueError("zero sequence offset")
+        if ov > 3:
+            offset = ov - 3
+            reps[2] = reps[1]
+            reps[1] = reps[0]
+            reps[0] = offset
+        else:
+            idx = ov if lval == 0 else ov - 1  # litLength==0 shifts by one
+            if idx == 0:
+                offset = reps[0]
+            elif idx == 1:
+                offset = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            elif idx == 2:
+                offset = reps[2]
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            else:  # idx == 3: repeat1 - 1
+                offset = reps[0] - 1
+                if offset == 0:
+                    raise ValueError("repeat-offset underflow (rep1 - 1 == 0)")
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+        if lpos + lval > len(lits):
+            raise ValueError("sequence literal run exceeds the literal buffer")
+        out += lits[lpos : lpos + lval]
+        lpos += lval
+        if offset > len(out):
+            raise ValueError(f"match offset {offset} reaches before frame start")
+        if offset >= mval:
+            start = len(out) - offset
+            out += out[start : start + mval]
+        else:  # overlapping copy: byte-at-a-time semantics
+            for _ in range(mval):
+                out.append(out[-offset])
+    out += lits[lpos:]
+
+
+# ---------------------------------------------------------------------------
+# frame walk
+# ---------------------------------------------------------------------------
+
+_WINDOW_CAP = 64 * 1024 * 1024  # in-memory decoder bound; gate loudly above
+
+
+def decode_zstd_frame(payload: bytes) -> dict:
+    """Decode ONE zstd frame, verifying the magic, the frame-header
+    invariants, every block bound, the declared content size and the
+    XXH64 content checksum. Returns the content plus frame accounting."""
+    if int.from_bytes(payload[:4], "little") != ZSTD_MAGIC:
+        raise ValueError("not a zstd frame (bad magic)")
+    fhd = payload[4]
+    fcs_flag = fhd >> 6
+    single_segment = bool(fhd & 0x20)
+    if fhd & 0x08:
+        raise ValueError("zstd frame reserved bit set")
+    has_csum = bool(fhd & 0x04)
+    did_flag = fhd & 0x03
+    if did_flag:
+        raise NotImplementedError("zstd dictionaries (DictID) not supported")
+    pos = 5
+    window = None
+    if not single_segment:
+        wd = payload[pos]
+        pos += 1
+        base = 1 << (10 + (wd >> 3))
+        window = base + (base >> 3) * (wd & 7)
+    fcs_bytes = {0: 1 if single_segment else 0, 1: 2, 2: 4, 3: 8}[fcs_flag]
+    declared = None
+    if fcs_bytes:
+        declared = int.from_bytes(payload[pos : pos + fcs_bytes], "little")
+        if fcs_bytes == 2:
+            declared += 256
+        pos += fcs_bytes
+    if single_segment:
+        if declared is None:
+            raise ValueError("single-segment frame missing its content size")
+        window = declared
+    if window > _WINDOW_CAP:
+        raise NotImplementedError(
+            f"zstd window {window} exceeds the in-memory cap {_WINDOW_CAP}"
+        )
+    block_max = min(window if window else _WINDOW_CAP, 128 * 1024)
+    block_max = max(block_max, 1)
+
+    ctx = _EntropyCtx()
+    out = bytearray()
+    n_blocks = n_raw = n_rle = n_compressed = 0
+    while True:
+        if pos + 3 > len(payload):
+            raise ValueError("zstd frame truncated (missing block header)")
+        bh = int.from_bytes(payload[pos : pos + 3], "little")
+        pos += 3
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        n_blocks += 1
+        if btype == 0:  # raw
+            if bsize > block_max:
+                raise ValueError("raw block exceeds the block maximum")
+            chunk = payload[pos : pos + bsize]
+            if len(chunk) != bsize:
+                raise ValueError("raw block runs off the frame")
+            out += chunk
+            pos += bsize
+            n_raw += 1
+        elif btype == 1:  # RLE: bsize = regenerated count, 1 payload byte
+            if bsize > block_max:
+                raise ValueError("RLE block exceeds the block maximum")
+            out += bytes([payload[pos]]) * bsize
+            pos += 1
+            n_rle += 1
+        elif btype == 2:  # compressed
+            block = payload[pos : pos + bsize]
+            if len(block) != bsize:
+                raise ValueError("compressed block runs off the frame")
+            pos += bsize
+            before = len(out)
+            lits, used = _decode_literals(block, ctx)
+            seqs = _decode_sequences(block[used:], ctx)
+            _execute_sequences(out, lits, seqs, ctx.reps)
+            if len(out) - before > block_max:
+                raise ValueError("compressed block regenerates past the maximum")
+            n_compressed += 1
+        else:
+            raise ValueError("reserved zstd block type")
+        if last:
+            break
+    if has_csum:
+        csum = int.from_bytes(payload[pos : pos + 4], "little")
+        pos += 4
+        if csum != (xxh64(bytes(out)) & 0xFFFFFFFF):
+            raise ValueError("zstd content checksum mismatch")
+    if declared is not None and declared != len(out):
+        raise ValueError(f"zstd content size {len(out)} != declared {declared}")
+    if pos != len(payload):
+        raise ValueError(f"{len(payload) - pos} trailing bytes after zstd frame")
+    return {
+        "content": bytes(out),
+        "n_blocks": n_blocks,
+        "n_raw_blocks": n_raw,
+        "n_rle_blocks": n_rle,
+        "n_compressed_blocks": n_compressed,
+        "single_segment": single_segment,
+        "had_checksum": has_csum,
+        "declared_size": declared,
+        "window_size": window,
+    }
+
+
+# ---------------------------------------------------------------------------
+# encoder — a real greedy hash-table LZ parser emitting
+# Huffman-compressed literals and predefined-mode FSE sequences, so
+# encode→decode round-trips drive every decode stage (tests add the
+# libzstd cross-check for the modes this encoder does not emit:
+# FSE_Compressed tables, Repeat/Treeless, repeat offsets, 4-stream)
+# ---------------------------------------------------------------------------
+
+_MIN_MATCH = 4
+
+
+def _lz_parse(block: bytes) -> tuple[bytes, list[tuple[int, int, int]]]:
+    """Greedy 4-byte-hash parse within the block; returns (literal
+    bytes, [(lit_len, offset, match_len)])."""
+    n = len(block)
+    table: dict[bytes, int] = {}
+    lits = bytearray()
+    seqs: list[tuple[int, int, int]] = []
+    i = 0
+    anchor = 0
+    while i + _MIN_MATCH <= n:
+        key = block[i : i + _MIN_MATCH]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or block[cand : cand + _MIN_MATCH] != key:
+            i += 1
+            continue
+        mlen = _MIN_MATCH
+        while i + mlen < n and block[cand + mlen] == block[i + mlen]:
+            mlen += 1
+        lits += block[anchor:i]
+        seqs.append((i - anchor, i - cand, mlen))
+        i += mlen
+        anchor = i
+    lits += block[anchor:]
+    return bytes(lits), seqs
+
+
+def _ll_code_of(ll: int) -> tuple[int, int, int]:
+    """(code, extra_value, extra_bits) for a literal length."""
+    if ll < 16:
+        return ll, 0, 0
+    for code in range(len(_LL_BASELINE) - 1, 15, -1):
+        base, bits = _LL_BASELINE[code]
+        if ll >= base:
+            return code, ll - base, bits
+    raise ValueError(f"literal length {ll} out of range")
+
+
+def _ml_code_of(ml: int) -> tuple[int, int, int]:
+    if ml < 3:
+        raise ValueError(f"match length {ml} below the format minimum 3")
+    if ml < 35:
+        return ml - 3, 0, 0
+    for code in range(len(_ML_BASELINE) - 1, 31, -1):
+        base, bits = _ML_BASELINE[code]
+        if ml >= base:
+            return code, ml - base, bits
+    raise ValueError(f"match length {ml} out of range")
+
+
+def _encode_literals_section(lits: bytes) -> bytes:
+    """Pick RLE / Huffman-compressed / raw for the block's literals."""
+    n = len(lits)
+    if n > 1 and len(set(lits)) == 1:  # RLE literals
+        if n < 32:
+            return bytes([(n << 3) | 0b00001]) + lits[:1]
+        if n < 4096:
+            return bytes([((n & 0xF) << 4) | 0b0101, n >> 4]) + lits[:1]
+        return (
+            bytes([((n & 0xF) << 4) | 0b1101, (n >> 4) & 0xFF, n >> 12])
+            + lits[:1]
+        )
+    compressed = None
+    if n >= 64:
+        hist: dict[int, int] = {}
+        for b in lits:
+            hist[b] = hist.get(b, 0) + 1
+        weights = huf_build_weights(hist)
+        if weights is not None:
+            table = HufTable(weights)
+            tree = huf_write_weights(weights)
+            if n <= 1023:  # 1 stream, Size_Format 00
+                stream = table.encode_stream(lits)
+                csize = len(tree) + len(stream)
+                if csize <= 1023:
+                    h = 0b0010 | (n << 4) | (csize << 14)
+                    compressed = h.to_bytes(3, "little") + tree + stream
+            elif n <= 0x3FFFF:  # 4 streams, Size_Format 10 (14b) or 11 (18b)
+                part = (n + 3) // 4
+                parts = [
+                    lits[0:part],
+                    lits[part : 2 * part],
+                    lits[2 * part : 3 * part],
+                    lits[3 * part :],
+                ]
+                streams = [table.encode_stream(p) for p in parts]
+                jump = b"".join(
+                    len(s).to_bytes(2, "little") for s in streams[:3]
+                )
+                body = tree + jump + b"".join(streams)
+                csize = len(body)
+                if n <= 0x3FFF and csize <= 0x3FFF:
+                    h = 0b1010 | (n << 4) | (csize << 18)
+                    compressed = h.to_bytes(4, "little") + body
+                elif csize <= 0x3FFFF:
+                    h = 0b1110 | (n << 4) | (csize << 22)
+                    compressed = h.to_bytes(5, "little") + body
+    if compressed is not None and len(compressed) < n + 3:
+        return compressed
+    # raw literals
+    if n < 32:
+        return bytes([(n << 3) | 0b00000]) + lits
+    if n < 4096:
+        return bytes([((n & 0xF) << 4) | 0b0100, n >> 4]) + lits
+    if n < (1 << 20):
+        return (
+            bytes([((n & 0xF) << 4) | 0b1100, (n >> 4) & 0xFF, n >> 12]) + lits
+        )
+    raise ValueError("literal run exceeds the 20-bit raw-size header")
+
+
+def _encode_sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
+    ns = len(seqs)
+    if ns == 0:
+        return b"\x00"
+    if ns < 128:
+        head = bytes([ns])
+    elif ns < 0x7F00:
+        head = bytes([128 + (ns >> 8), ns & 0xFF])
+    else:
+        head = bytes([255]) + (ns - 0x7F00).to_bytes(2, "little")
+    head += b"\x00"  # modes: Predefined for LL, OF and ML
+    ll_parts, of_parts, ml_parts = [], [], []
+    for ll, offset, ml in seqs:
+        ov = offset + 3  # no repeat-offset encoding
+        of_code = ov.bit_length() - 1
+        of_parts.append((of_code, ov - (1 << of_code), of_code))
+        ml_parts.append(_ml_code_of(ml))
+        ll_parts.append(_ll_code_of(ll))
+    ll_init, ll_upd = _LL_DEFAULT.chain([c for c, _, _ in ll_parts])
+    of_init, of_upd = _OF_DEFAULT.chain([c for c, _, _ in of_parts])
+    ml_init, ml_upd = _ML_DEFAULT.chain([c for c, _, _ in ml_parts])
+    w = _BitWriter()
+    w.write(ll_init, _LL_DEFAULT.alog)
+    w.write(of_init, _OF_DEFAULT.alog)
+    w.write(ml_init, _ML_DEFAULT.alog)
+    for i in range(ns):
+        w.write(of_parts[i][1], of_parts[i][2])
+        w.write(ml_parts[i][1], ml_parts[i][2])
+        w.write(ll_parts[i][1], ll_parts[i][2])
+        if i < ns - 1:
+            w.write(*ll_upd[i])
+            w.write(*ml_upd[i])
+            w.write(*of_upd[i])
+    return head + w.finish()
+
+
+def _compress_block(block: bytes) -> bytes | None:
+    """One compressed-block body, or None when it would not shrink."""
+    lits, seqs = _lz_parse(block)
+    try:
+        body = _encode_literals_section(lits) + _encode_sequences_section(seqs)
+    except ValueError:
+        return None
+    return body if len(body) < len(block) else None
+
+
+def encode_zstd_frame(
+    content: bytes,
+    block_size: int = 1024,
+    content_checksum: bool = True,
+    single_segment: bool = True,
+) -> bytes:
+    """Encode one zstd frame: RLE blocks for constant runs, compressed
+    blocks (Huffman literals + predefined FSE sequences) when they
+    shrink, raw otherwise; FCS always present; optional XXH64 checksum."""
+    if block_size > 128 * 1024:
+        raise ValueError("zstd caps blocks at min(window, 128 KiB)")
+    n = len(content)
+    if single_segment:
+        if n < 256:
+            fhd = 0x20
+            fcs = bytes([n])
+        elif n < 65536 + 256:
+            fhd = 0x60
+            fcs = (n - 256).to_bytes(2, "little")
+        else:
+            fhd = 0xA0
+            fcs = n.to_bytes(4, "little")
+        window_desc = b""
+    else:
+        exp = max(0, (max(block_size, 1024) - 1).bit_length() - 10)
+        window_desc = bytes([exp << 3])
+        if n < 65536 + 256:
+            fhd = 0x40
+            fcs = (n - 256).to_bytes(2, "little") if n >= 256 else None
+            if fcs is None:  # 2-byte field cannot express < 256
+                fhd = 0x80
+                fcs = n.to_bytes(4, "little")
+        else:
+            fhd = 0x80
+            fcs = n.to_bytes(4, "little")
+    if content_checksum:
+        fhd |= 0x04
+    out = bytearray(ZSTD_MAGIC.to_bytes(4, "little"))
+    out.append(fhd)
+    out += window_desc
+    out += fcs
+    blocks = [content[lo : lo + block_size] for lo in range(0, n, block_size)]
+    if not blocks:
+        blocks = [b""]
+    for bi, block in enumerate(blocks):
+        last = 1 if bi == len(blocks) - 1 else 0
+        if len(block) > 1 and len(set(block)) == 1:
+            out += ((len(block) << 3) | (1 << 1) | last).to_bytes(3, "little")
+            out.append(block[0])
+            continue
+        comp = _compress_block(block) if len(block) >= 16 else None
+        if comp is not None:
+            out += ((len(comp) << 3) | (2 << 1) | last).to_bytes(3, "little")
+            out += comp
+        else:
+            out += ((len(block) << 3) | (0 << 1) | last).to_bytes(3, "little")
+            out += block
+    if content_checksum:
+        out += (xxh64(content) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Spark layer — same synthesis contract as the LZ4/Snappy legs: content
+# is ``text\n`` x3 (real in-block matches for the LZ parser), 1 KiB
+# blocks, checksum and single-segment cycling by doc_id so both frame
+# header shapes carry hash signal
+# ---------------------------------------------------------------------------
+
+ZSTD_REPEATS = 3
+ZSTD_BLOCK_SIZE = 1024
+
+ZSTD_DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_blocks", LongType(), False),
+        StructField("n_compressed_blocks", LongType(), False),
+        StructField("single_segment", BooleanType(), False),
+        StructField("had_checksum", BooleanType(), False),
+        StructField("content_size", LongType(), False),
+        StructField("content_md5", StringType(), False),
+        StructField("text_out", StringType(), False),
+    ]
+)
+
+
+def with_zstd_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField("payload", BinaryType(), False)])
+
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                encode_zstd_frame(
+                    ((t + "\n") * ZSTD_REPEATS).encode("utf-8"),
+                    block_size=ZSTD_BLOCK_SIZE,
+                    content_checksum=int(i) % 2 == 0,
+                    single_segment=int(i) % 3 != 0,
+                )
+                for i, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pdf
+
+    return df.mapInPandas(synth, schema).withColumn(
+        "mime", F.lit("application/zstd")
+    )
+
+
+def extract_zstd_documents(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each zstd frame through the fully verified walk and emit
+    block accounting + content integrity. Map-only Arrow pass.
+    n_compressed_blocks is a compressor property SQL cannot replay —
+    the registered query (c7) excludes it and tests/test_zstd.py
+    asserts it instead."""
+    import hashlib
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                out = decode_zstd_frame(bytes(payload))
+                content = out["content"]
+                rows.append(
+                    (
+                        int(doc_id),
+                        out["n_blocks"],
+                        out["n_compressed_blocks"],
+                        out["single_segment"],
+                        out["had_checksum"],
+                        len(content),
+                        hashlib.md5(content).hexdigest(),
+                        content.decode("utf-8").split("\n", 1)[0],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ZSTD_DOC_SCHEMA.fields]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(feats, ZSTD_DOC_SCHEMA)

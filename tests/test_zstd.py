@@ -1,0 +1,316 @@
+"""Zstd frame codec tests: XXH64 against published vectors, FSE table
+description and state-machine round-trips (incl. the RFC default
+distributions byte-exact), Huffman 1-/4-stream round-trips, frame
+encode→decode round-trips, cross-validation against the libzstd
+bundled with pyarrow in BOTH directions (our decoder must accept real
+libzstd output across levels — FSE_Compressed tables, Repeat/Treeless
+modes, repeat offsets, 4-stream literals — and libzstd must accept our
+frames), every corruption gate, and the c7 oracle parity + plan shape.
+pyarrow appears here as a test-only oracle; the engine path is
+dependency-free."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tests.conftest import canonical_rows
+
+from pipeline_mf_etl_spark.queries import all_queries
+from pipeline_mf_etl_spark.sources.zstdframe import (
+    FseTable,
+    HufTable,
+    _BackBits,
+    _BitWriter,
+    _LL_DEFAULT,
+    _ML_DEFAULT,
+    _OF_DEFAULT,
+    decode_zstd_frame,
+    encode_zstd_frame,
+    fse_read_description,
+    fse_write_description,
+    huf_build_weights,
+    huf_read_weights,
+    huf_write_weights,
+    xxh64,
+)
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+_LL_NORM = [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+            2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+            -1, -1, -1, -1]
+_ML_NORM = [1, 4, 3, 2, 2, 2, 2, 2, 2] + [1] * 37 + [-1] * 7
+_OF_NORM = [1, 1, 1, 1, 1, 1, 2, 2, 2] + [1] * 15 + [-1] * 5
+
+
+def _zstd_codec(level: int | None = None):
+    import pyarrow as pa
+
+    try:
+        if level is None:
+            return pa.Codec("zstd")
+        return pa.Codec("zstd", compression_level=level)
+    except Exception:  # pragma: no cover - zstd always bundled in practice
+        pytest.skip("pyarrow zstd codec unavailable")
+
+
+class TestXxh64:
+    def test_published_vectors(self):
+        assert xxh64(b"") == 0xEF46DB3751D8E999
+        assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+        assert xxh64(b"abc") == 0x44BC2CF5AD770999
+
+    def test_seed_changes_hash(self):
+        assert xxh64(b"abc", seed=1) != xxh64(b"abc")
+
+    def test_all_code_paths(self):
+        # 32-byte stripes + 8-byte, 4-byte and byte tails in one input
+        data = bytes(range(77))
+        assert xxh64(data) == xxh64(bytes(data))
+        assert xxh64(data[:32]) != xxh64(data[:33])
+
+
+class TestFse:
+    def test_default_distributions_round_trip_byte_exact(self):
+        for norm, alog, tab in [
+            (_LL_NORM, 6, _LL_DEFAULT),
+            (_ML_NORM, 6, _ML_DEFAULT),
+            (_OF_NORM, 5, _OF_DEFAULT),
+        ]:
+            desc = fse_write_description(norm, alog)
+            t2, used = fse_read_description(desc + b"\x00", 9, 60)
+            assert used == len(desc)
+            assert t2.symbol == tab.symbol
+            assert t2.nbits == tab.nbits
+            assert t2.base == tab.base
+
+    def test_encode_decode_round_trip(self):
+        rng = random.Random(7)
+        norm = [8, 4, 2, 1, 1]
+        t = FseTable(norm, 4)
+        for n in (1, 2, 37, 500):
+            codes = rng.choices(range(5), weights=norm, k=n)
+            init, upd = t.chain(codes)
+            w = _BitWriter()
+            w.write(init, t.alog)
+            for v, nb in upd:
+                w.write(v, nb)
+            br = _BackBits(w.finish())
+            state = t.init_state(br)
+            out = []
+            for i in range(n):
+                out.append(t.symbol[state])
+                if i < n - 1:
+                    state = t.update(state, br)
+            assert out == codes
+            assert br.bits == 0  # stream exactly consumed
+
+    def test_zero_probability_symbol_rejected(self):
+        t = FseTable([2, 0, 2], 2)
+        with pytest.raises(ValueError, match="zero FSE probability"):
+            t.chain([1])
+
+    def test_bad_distribution_rejected(self):
+        with pytest.raises(ValueError, match="sum"):
+            FseTable([3, 2], 3)  # sums to 5, table size 8
+
+
+class TestHuffman:
+    def test_weights_round_trip_and_streams(self):
+        rng = random.Random(13)
+        data = bytes(
+            rng.choices(b"abcdefgh \n", weights=[30, 20, 14, 9, 6, 4, 3, 2, 40, 1], k=4000)
+        )
+        hist: dict[int, int] = {}
+        for b in data:
+            hist[b] = hist.get(b, 0) + 1
+        weights = huf_build_weights(hist)
+        assert weights is not None
+        blob = huf_write_weights(weights)
+        weights2, used = huf_read_weights(blob)
+        assert used == len(blob)
+        assert weights2 == weights  # deduced last weight agrees
+        table = HufTable(weights)
+        stream = table.encode_stream(data)
+        assert table.decode_stream(stream, len(data)) == data
+        assert len(stream) < len(data)  # compresses for real
+
+    def test_degenerate_alphabets_refused(self):
+        assert huf_build_weights({65: 100}) is None
+        assert huf_build_weights({}) is None
+
+    def test_truncated_stream_fails(self):
+        weights = huf_build_weights({97: 5, 98: 3, 99: 2})
+        table = HufTable(weights)
+        stream = table.encode_stream(b"abcabcabacbc" * 20)
+        with pytest.raises(ValueError, match="consumed|sentinel|unassigned"):
+            table.decode_stream(stream[:-2] + b"\x01", 240)
+
+
+class TestZstdFrame:
+    def test_option_combos_round_trip(self):
+        for i in range(12):
+            content = (f"doc {i} body " * (1 + 29 * i)).encode()
+            frame = encode_zstd_frame(
+                content,
+                block_size=1024,
+                content_checksum=bool(i % 2),
+                single_segment=bool(i % 3),
+            )
+            got = decode_zstd_frame(frame)
+            assert got["content"] == content
+            assert got["n_blocks"] == max(1, -(-len(content) // 1024))
+            assert got["had_checksum"] == bool(i % 2)
+            assert got["single_segment"] == bool(i % 3)
+            assert got["declared_size"] == len(content)
+
+    def test_block_type_selection(self):
+        rng = random.Random(5)
+        rle = decode_zstd_frame(encode_zstd_frame(b"A" * 5000, block_size=1024))
+        assert rle["n_rle_blocks"] == rle["n_blocks"] == 5
+        noise = bytes(rng.randrange(256) for _ in range(3000))
+        raw = decode_zstd_frame(encode_zstd_frame(noise, block_size=1024))
+        assert raw["n_raw_blocks"] == raw["n_blocks"]
+        text = b"the compressed path must engage here " * 60
+        comp = decode_zstd_frame(encode_zstd_frame(text, block_size=1024))
+        assert comp["n_compressed_blocks"] >= 1
+
+    def test_bad_magic_fails(self):
+        with pytest.raises(ValueError, match="magic"):
+            decode_zstd_frame(b"\x00\x11\x22\x33rest")
+
+    def test_dictionary_gate(self):
+        fr = bytearray(encode_zstd_frame(b"q" * 50))
+        fr[4] |= 0x01  # DictID flag
+        with pytest.raises(NotImplementedError, match="dictionaries"):
+            decode_zstd_frame(bytes(fr))
+
+    def test_reserved_bit_gate(self):
+        fr = bytearray(encode_zstd_frame(b"q" * 50))
+        fr[4] |= 0x08
+        with pytest.raises(ValueError, match="reserved"):
+            decode_zstd_frame(bytes(fr))
+
+    def test_content_checksum_gate(self):
+        fr = bytearray(encode_zstd_frame(b"corpus text " * 100))
+        fr[-1] ^= 0xFF
+        with pytest.raises(ValueError, match="checksum"):
+            decode_zstd_frame(bytes(fr))
+
+    def test_declared_size_gate(self):
+        fr = bytearray(encode_zstd_frame(b"q" * 50, content_checksum=False))
+        # corrupt the 1-byte FCS UPWARD: a smaller value would shrink
+        # the single-segment window below the block size and trip the
+        # block-maximum gate before the declared-size comparison
+        fr[5] = 51
+        with pytest.raises(ValueError, match="declared"):
+            decode_zstd_frame(bytes(fr))
+
+    def test_trailing_garbage_fails(self):
+        fr = encode_zstd_frame(b"q" * 50) + b"junk"
+        with pytest.raises(ValueError, match="trailing"):
+            decode_zstd_frame(fr)
+
+    def test_truncated_frame_fails(self):
+        fr = encode_zstd_frame(b"the quick brown fox " * 100)
+        with pytest.raises(ValueError):
+            decode_zstd_frame(fr[: len(fr) // 2])
+
+    def test_window_cap_gate(self):
+        # window descriptor exponent 31 -> 2^41 window
+        fr = bytearray(encode_zstd_frame(b"q" * 500, single_segment=False))
+        fr[5] = 31 << 3
+        with pytest.raises(NotImplementedError, match="window"):
+            decode_zstd_frame(bytes(fr))
+
+
+class TestLibzstdCross:
+    """Bidirectional cross-validation against the libzstd bundled with
+    pyarrow — the strongest spec-conformance signal available without a
+    network: levels 1..22 exercise FSE_Compressed sequence tables,
+    Repeat and Treeless modes, repeat offsets and 4-stream literals,
+    none of which our own encoder emits."""
+
+    def _cases(self):
+        rng = random.Random(11)
+        words = ["alpha", "beta", "gamma", "delta", "the", "of", "and",
+                 "pipeline", "spark", "zstd", "frame", "decode"]
+
+        def text(n):
+            return (" ".join(rng.choice(words) for _ in range(n))).encode()
+
+        return [
+            b"", b"x", b"ab" * 4000,
+            text(50), text(500), text(5000), text(60000),
+            bytes(rng.randrange(256) for _ in range(3000)),
+            bytes(rng.randrange(4) for _ in range(20000)),
+            b"A" * 100000,
+        ]
+
+    def test_decode_libzstd_output_across_levels(self):
+        for lvl in (1, 3, 9, 19, 22):
+            codec = _zstd_codec(lvl)
+            for i, data in enumerate(self._cases()):
+                got = decode_zstd_frame(bytes(codec.compress(data)))
+                assert got["content"] == data, f"case {i} level {lvl}"
+
+    def test_decode_libzstd_on_corpus_text(self, duck):
+        texts = [
+            t
+            for (t,) in duck.execute(
+                "SELECT text FROM documents ORDER BY doc_id LIMIT 64"
+            ).fetchall()
+        ]
+        blob = "\n".join(texts).encode()
+        for lvl in (1, 3, 19):
+            got = decode_zstd_frame(bytes(_zstd_codec(lvl).compress(blob)))
+            assert got["content"] == blob
+
+    def test_libzstd_decodes_our_frames(self):
+        codec = _zstd_codec()
+        for i, data in enumerate(self._cases()):
+            for ss in (True, False):
+                frame = encode_zstd_frame(data, block_size=1024, single_segment=ss)
+                assert bytes(codec.decompress(frame, len(data))) == data, (i, ss)
+
+
+class TestC7Query:
+    def test_c7_matches_oracle(self, spark, duck):
+        spec = all_queries()["c7_zstd_extract"]
+        sdf = spec.spark(spark, SF_ORACLE)
+        srows = [tuple(r) for r in sdf.collect()]
+        cur = duck.execute(spec.oracle)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        assert sorted(sdf.columns) == sorted(dcols)
+        assert len(srows) == len(drows) == 500
+        assert canonical_rows(srows, sdf.columns) == canonical_rows(drows, dcols)
+
+    def test_c7_plan_is_single_map_pass(self, spark):
+        fn = all_queries()["c7_zstd_extract"].spark
+        plan = (
+            fn(spark, SF_ORACLE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .lower()
+        )
+        assert "exchange hashpartitioning" not in plan
+        assert plan.count("exchange roundrobinpartitioning") <= 1  # fan-out
+
+    def test_real_corpus_blocks_compress(self, spark):
+        """The x3 repetition must engage the compressed-block path on
+        real corpus text — the compressor-property column the c7 query
+        deliberately omits (SQL cannot replay compressibility)."""
+        from pipeline_mf_etl_spark.sources.readers import load_table
+        from pipeline_mf_etl_spark.sources.zstdframe import (
+            extract_zstd_documents,
+            with_zstd_payload,
+        )
+
+        docs = load_table(spark, SF_ORACLE, "documents").limit(100)
+        out = extract_zstd_documents(with_zstd_payload(docs)).collect()
+        big = [r for r in out if r["content_size"] >= 64]
+        assert big and all(r["n_compressed_blocks"] >= 1 for r in big)
