@@ -119,9 +119,81 @@ class _BitWriter:
 
 
 class _BitReader:
-    def __init__(self, data: bytes, pos_bytes: int = 0) -> None:
+    def __init__(self, data: bytes, pos_bytes: int = 0, shared: dict | None = None) -> None:
         self._data = data
         self._bitpos = pos_bytes * 8
+        # per-stream cache for the NumPy bulk-decode path: parse_flac
+        # makes one reader per frame over the SAME payload, so the
+        # unpacked bit array is shared across them
+        self._shared = shared if shared is not None else {}
+
+    def _bit_array(self):
+        cache = self._shared
+        if "bits" not in cache:
+            bits = np.unpackbits(np.frombuffer(self._data, dtype=np.uint8))
+            cache["bits"] = bits
+            cache["ones"] = np.flatnonzero(bits)
+        return cache["bits"], cache["ones"]
+
+    def read_rice_block(self, n: int, param: int) -> np.ndarray:
+        """Bulk-decode ``n`` rice codes with shared parameter ``param``:
+        NumPy cumulative bit arithmetic instead of per-bit Python — the
+        unary terminators are walked over the precomputed 1-bit
+        positions (one list lookup per sample), quotients and remainder
+        fields then gather vectorized. Returns the ZIGZAGGED values."""
+        bits, ones = self._bit_array()
+        pos = self._bitpos
+        k0 = int(np.searchsorted(ones, pos))
+        # worst case each code consumes one terminator + param set bits
+        sub = ones[k0 : k0 + n * (param + 1) + 1]
+        # next-terminator jump per 1-bit: positions t+1..t+param after a
+        # terminator t are remainder DATA bits; the following terminator
+        # is the first 1 at or after t+param+1
+        nxt = np.searchsorted(sub, sub + (param + 1)).tolist()
+        ks = [0] * n
+        k = 0
+        m = len(sub)
+        for i in range(n):
+            if k >= m:
+                raise ValueError("FLAC bitstream exhausted")
+            ks[i] = k
+            k = nxt[k]
+        tpos = sub[ks]
+        starts = np.empty(n, dtype=np.int64)
+        starts[0] = pos
+        if n > 1:
+            starts[1:] = tpos[:-1] + 1 + param
+        q = tpos - starts
+        if (q < 0).any():
+            raise ValueError("corrupt rice stream (negative quotient)")
+        if (q > 1 << 20).any():
+            raise ValueError("runaway unary code (corrupt rice stream)")
+        if param:
+            idx = tpos[:, None] + 1 + np.arange(param)
+            if int(idx[-1, -1]) >= len(bits):
+                raise ValueError("FLAC bitstream exhausted")
+            weights = 1 << np.arange(param - 1, -1, -1, dtype=np.int64)
+            lows = (bits[idx].astype(np.int64) * weights).sum(axis=1)
+            u = (q << param) | lows
+        else:
+            u = q
+        self._bitpos = int(tpos[-1]) + 1 + param
+        return u
+
+    def read_signed_block(self, n: int, raw_bits: int) -> np.ndarray:
+        """Bulk-read ``n`` two's-complement fields of ``raw_bits`` bits
+        (the rice escape partitions)."""
+        bits, _ = self._bit_array()
+        pos = self._bitpos
+        end = pos + n * raw_bits
+        if end > len(bits):
+            raise ValueError("FLAC bitstream exhausted")
+        m = bits[pos:end].reshape(n, raw_bits).astype(np.int64)
+        weights = 1 << np.arange(raw_bits - 1, -1, -1, dtype=np.int64)
+        v = (m * weights).sum(axis=1)
+        v = np.where(m[:, 0] == 1, v - (1 << raw_bits), v)
+        self._bitpos = end
+        return v
 
     def read(self, nbits: int) -> int:
         end = self._bitpos + nbits
@@ -383,22 +455,24 @@ def _read_residual(br: _BitReader, order: int, block: int) -> np.ndarray:
             f"corrupt residual: partition order {partition_order} illegal "
             f"for block {block} order {order}"
         )
-    out: list[int] = []
+    parts: list[np.ndarray] = []
     for part in range(nparts):
         n = (block >> partition_order) - (order if part == 0 else 0)
         param = br.read(4)
+        if n == 0:
+            continue
         if param == _RICE_ESCAPE:
             raw_bits = br.read(5)
             if raw_bits == 0:
-                out.extend([0] * n)
+                parts.append(np.zeros(n, dtype=np.int64))
             else:
-                out.extend(br.read_signed(raw_bits) for _ in range(n))
+                parts.append(br.read_signed_block(n, raw_bits))
             continue
-        for _ in range(n):
-            q = br.read_unary()
-            u = (q << param) | (br.read(param) if param else 0)
-            out.append((u >> 1) ^ -(u & 1))  # un-zigzag
-    return np.array(out, dtype=np.int64)
+        u = br.read_rice_block(n, param)
+        parts.append((u >> 1) ^ -(u & 1))  # un-zigzag
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -734,8 +808,9 @@ def parse_flac(payload: bytes) -> dict:
     chans: list[list[np.ndarray]] = [[] for _ in range(n_channels)]
     decoded = 0
     n_frames = 0
+    bit_cache: dict = {}  # unpacked-bit array shared across frame readers
     while decoded < total:
-        br = _BitReader(payload, pos)
+        br = _BitReader(payload, pos, shared=bit_cache)
         sync = br.read(14)
         if sync != 0b11111111111110:
             raise ValueError(f"lost frame sync at byte {pos} (read {sync:#016b})")

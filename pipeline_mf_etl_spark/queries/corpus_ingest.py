@@ -228,10 +228,11 @@ def wd1_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: json.dumps({...}, sort_keys=True) of the sample metadata — keys are
 #: already alphabetical (doc_id, lang, source); default separators.
-#: ASCII-corpus assumption (mm2/mm4 convention): total_bytes sums
-#: UTF-8 byte lengths engine-side but strlen() CHARACTERS oracle-side —
-#: equivalent only on the pure-ASCII synthetic corpus (asserted by
-#: tests/test_multimodal.py::test_corpus_is_ascii).
+#: Byte semantics: DuckDB strlen() counts BYTES (length() counts
+#: characters — tests/test_nonascii.py pins this), so total_bytes is
+#: byte-exact on non-ASCII text too. The one remaining assumption is
+#: ASCII lang/source values: json.dumps escapes non-ASCII there
+#: (ensure_ascii) while the SQL concatenation would not.
 _META_JSON = (
     "'{\"doc_id\": ' || doc_id || ', \"lang\": \"' || lang ||"
     " '\", \"source\": \"' || source || '\"}'"

@@ -1685,11 +1685,13 @@ def mm24_hevc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CTE replay, decoded stats come straight from the characters. Every
 # third doc is stereo (even chars -> left, odd -> right), so the
 # decorrelated-channel and side-channel (17-bit) paths carry hashes.
-# ASCII-corpus assumption (shared with mm2/mm4 and the wd1 byte
-# oracle): the engine samples text.encode('utf-8') BYTES while the SQL
-# side uses ord(substr(..)) CHARACTERS — equivalent only because the
-# synthetic documents corpus is pure ASCII (asserted by
-# tests/test_multimodal.py::test_corpus_is_ascii).
+# ASCII-corpus assumption (shared with mm2/mm4): the engine samples
+# text.encode('utf-8') BYTES while the SQL side uses ord(substr(..))
+# CODE POINTS — equivalent only because the synthetic documents corpus
+# is pure ASCII (asserted by tests/test_multimodal.py::
+# test_corpus_is_ascii; the divergence boundary itself is pinned by
+# tests/test_nonascii.py). The strlen-based size oracles (wd1/c2/c5/
+# c6/c7) do NOT share this assumption — DuckDB strlen counts bytes.
 # ---------------------------------------------------------------------------
 MM25_ORACLE = """
     WITH base AS (
