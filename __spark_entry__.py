@@ -46,8 +46,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def eager_queries() -> set[str]:
-    """Names of builders with build-time side effects (``QuerySpec.eager``)."""
-    return {name for name, spec in all_queries().items() if spec.eager}
+    """Names of builders with build-time side effects (``QuerySpec.eager``),
+    restricted to the driver-visible surface ``queries()`` exposes."""
+    return {
+        name
+        for name, spec in all_queries().items()
+        if spec.eager and spec.driver_visible
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -625,20 +625,25 @@ def _seq_tables(
     data: bytes,
     pos: int,
     default: FseTable,
-    prev: FseTable | None,
+    prev: object | None,
     max_alog: int,
     max_symbol: int,
     what: str,
-) -> tuple[object, int, FseTable | None]:
+) -> tuple[object, int, object]:
     """Resolve one of LL/OF/ML per its 2-bit compression mode; returns
-    (table-like, new pos, table-to-carry-forward)."""
+    (table-like, new pos, table-to-carry-forward). Repeat_Mode reuses
+    whatever table the PREVIOUS sequences-bearing block installed for
+    this symbol type — Predefined and RLE tables included, not just
+    FSE_Compressed ones (the carry therefore always returns the
+    resolved table)."""
     if mode == 0:  # Predefined
-        return default, pos, None
+        return default, pos, default
     if mode == 1:  # RLE: one byte, that symbol for every sequence
         sym = data[pos]
         if sym > max_symbol:
             raise ValueError(f"{what} RLE symbol {sym} out of range")
-        return _RleSeq(sym), pos + 1, None
+        t = _RleSeq(sym)
+        return t, pos + 1, t
     if mode == 2:  # FSE_Compressed
         table, used = fse_read_description(data[pos:], max_alog, max_symbol)
         return table, pos + used, table
@@ -667,10 +672,29 @@ class _EntropyCtx:
 
     def __init__(self):
         self.huf: HufTable | None = None
-        self.ll: FseTable | None = None
-        self.of: FseTable | None = None
-        self.ml: FseTable | None = None
+        # last table installed per symbol type (FseTable or _RleSeq) —
+        # Repeat_Mode reuses these
+        self.ll: object | None = None
+        self.of: object | None = None
+        self.ml: object | None = None
         self.reps = [1, 4, 8]
+        # decode-path usage counters: tests assert the libzstd
+        # cross-validation actually exercises the modes our own encoder
+        # never emits (FSE_Compressed/Repeat tables, Treeless/4-stream
+        # literals, repeat offsets)
+        self.stats = {
+            "lit_raw": 0,
+            "lit_rle": 0,
+            "lit_huffman": 0,
+            "lit_treeless": 0,
+            "lit_4stream": 0,
+            "huf_fse_weights": 0,
+            "seq_predefined": 0,
+            "seq_rle": 0,
+            "seq_fse": 0,
+            "seq_repeat": 0,
+            "repeat_offsets": 0,
+        }
 
 
 def _decode_literals(data: bytes, ctx: _EntropyCtx) -> tuple[bytes, int]:
@@ -688,7 +712,9 @@ def _decode_literals(data: bytes, ctx: _EntropyCtx) -> tuple[bytes, int]:
             lits = bytes(data[pos : pos + rsize])
             if len(lits) != rsize:
                 raise ValueError("raw literals run off the block")
+            ctx.stats["lit_raw"] += 1
             return lits, pos + rsize
+        ctx.stats["lit_rle"] += 1
         return bytes([data[pos]]) * rsize, pos + 1
     # Compressed (2) / Treeless (3)
     if sf == 0:
@@ -707,11 +733,18 @@ def _decode_literals(data: bytes, ctx: _EntropyCtx) -> tuple[bytes, int]:
     if len(region) != csize:
         raise ValueError("compressed literals run off the block")
     if ltype == 2:
+        if region and region[0] < 128:
+            ctx.stats["huf_fse_weights"] += 1
         weights, used = huf_read_weights(region)
         ctx.huf = HufTable(weights)
         region = region[used:]
+        ctx.stats["lit_huffman"] += 1
     elif ctx.huf is None:
         raise ValueError("Treeless literals with no previous Huffman table")
+    else:
+        ctx.stats["lit_treeless"] += 1
+    if streams == 4:
+        ctx.stats["lit_4stream"] += 1
     table = ctx.huf
     if streams == 1:
         lits = table.decode_stream(region, rsize)
@@ -755,21 +788,21 @@ def _decode_sequences(
     pos += 1
     if modes & 3:
         raise ValueError("reserved sequence-mode bits set")
-    ll, pos, carry = _seq_tables(
+    for shift in (6, 4, 2):
+        ctx.stats[
+            ("seq_predefined", "seq_rle", "seq_fse", "seq_repeat")[
+                (modes >> shift) & 3
+            ]
+        ] += 1
+    ll, pos, ctx.ll = _seq_tables(
         (modes >> 6) & 3, data, pos, _LL_DEFAULT, ctx.ll, 9, _MAX_LL_CODE, "LL"
     )
-    if carry is not None:
-        ctx.ll = carry
-    of, pos, carry = _seq_tables(
+    of, pos, ctx.of = _seq_tables(
         (modes >> 4) & 3, data, pos, _OF_DEFAULT, ctx.of, 8, _MAX_OF_CODE, "OF"
     )
-    if carry is not None:
-        ctx.of = carry
-    ml, pos, carry = _seq_tables(
+    ml, pos, ctx.ml = _seq_tables(
         (modes >> 2) & 3, data, pos, _ML_DEFAULT, ctx.ml, 9, _MAX_ML_CODE, "ML"
     )
-    if carry is not None:
-        ctx.ml = carry
     br = _BackBits(data[pos:])
     ll_state = ll.init_state(br)
     of_state = of.init_state(br)
@@ -932,6 +965,7 @@ def decode_zstd_frame(payload: bytes) -> dict:
             before = len(out)
             lits, used = _decode_literals(block, ctx)
             seqs = _decode_sequences(block[used:], ctx)
+            ctx.stats["repeat_offsets"] += sum(1 for _, ov, _ in seqs if ov <= 3)
             _execute_sequences(out, lits, seqs, ctx.reps)
             if len(out) - before > block_max:
                 raise ValueError("compressed block regenerates past the maximum")
@@ -959,6 +993,7 @@ def decode_zstd_frame(payload: bytes) -> dict:
         "had_checksum": has_csum,
         "declared_size": declared,
         "window_size": window,
+        "entropy_stats": ctx.stats,
     }
 
 

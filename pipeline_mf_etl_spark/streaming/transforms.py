@@ -707,13 +707,14 @@ def read_compressed_jsonl_stream(
     spark: SparkSession, path: str, codec: str = "lz4"
 ) -> DataFrame:
     """Streaming drop-zone reader for compressed JSONL corpus shards
-    (``*.jsonl.lz4`` LZ4-framed / ``*.jsonl.sz`` framed Snappy) — the
-    interchange layout public corpora are actually distributed in. Each
-    shard is picked up exactly once (checkpoint-tracked binaryFile
-    source), frame-decoded through the fully verified walk
-    (sources/lz4frame.py / sources/snappyframe.py) and parsed line by
-    line against the DOCUMENTS_SCHEMA contract with a rejects
-    side-channel, all in one Arrow map per micro-batch.
+    (``*.jsonl.lz4`` LZ4-framed / ``*.jsonl.sz`` framed Snappy /
+    ``*.jsonl.zst`` zstd) — the interchange layouts public corpora are
+    actually distributed in. Each shard is picked up exactly once
+    (checkpoint-tracked binaryFile source), frame-decoded through the
+    fully verified walk (sources/lz4frame.py / sources/snappyframe.py /
+    sources/zstdframe.py) and parsed line by line against the
+    DOCUMENTS_SCHEMA contract with a rejects side-channel, all in one
+    Arrow map per micro-batch.
 
     Failure containment (the read_warc_stream lesson): a corrupt shard
     (bad magic/CRC/size) or an undecodable line becomes REJECT ROWS
@@ -730,8 +731,14 @@ def read_compressed_jsonl_stream(
         )
 
         decode, glob = decode_snappy_frame, "*.jsonl.sz"
+    elif codec == "zstd":
+        from pipeline_mf_etl_spark.sources.zstdframe import decode_zstd_frame
+
+        decode, glob = decode_zstd_frame, "*.jsonl.zst"
     else:
-        raise ValueError(f"unsupported stream codec {codec!r} (lz4|snappy)")
+        raise ValueError(
+            f"unsupported stream codec {codec!r} (lz4|snappy|zstd)"
+        )
 
     from pyspark.sql.types import (
         BinaryType,

@@ -72,20 +72,29 @@ def test_wd1_plan_has_exactly_two_exchanges(spark):
     assert plan.count("Exchange") == 2
 
 
-def test_all_eleven_registered_and_windowed():
-    """The r10-pending eleven are registered AND hold r11 window slots
-    (the registration was r11 task #1; the backlog invariant in
-    tests/test_registry.py enforces the window half)."""
+def test_corpus_family_registered_and_recert_window_pinned():
+    """All corpus-ingestion queries stay registered, and the r12 window
+    leads with the five HUGEINT-oracle re-certs (r11 verdict task 1)
+    followed by the new c7 zstd query — the rows whose certification
+    this round exists to refresh."""
     from pipeline_mf_etl_spark.queries.registry import _PRIORITY
 
-    eleven = {
+    family = {
         "c1_warc_extract", "c2_zip_extract", "c3_pdf_extract",
-        "c4_avro_extract", "t15_html_extract", "wd1_webdataset_roundtrip",
+        "c4_avro_extract", "c5_lz4_extract", "c6_snappy_extract",
+        "c7_zstd_extract", "t15_html_extract", "wd1_webdataset_roundtrip",
         "mm25_flac_decode", "mm26_mp3_probe", "mm27_tiff_probe",
         "mm28_webp_probe", "mm29_webm_probe",
     }
-    assert eleven <= set(all_queries())
-    assert eleven <= set(_PRIORITY[:11])
+    assert family <= set(all_queries())
+    assert _PRIORITY[:6] == (
+        "c4_avro_extract",
+        "wd1_webdataset_roundtrip",
+        "mm25_flac_decode",
+        "mm26_mp3_probe",
+        "d12_url_domain_rollup",
+        "c7_zstd_extract",
+    )
 
 
 def test_mm25_flac_decode_matches_oracle(spark, duck):

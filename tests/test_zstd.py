@@ -268,12 +268,88 @@ class TestLibzstdCross:
             got = decode_zstd_frame(bytes(_zstd_codec(lvl).compress(blob)))
             assert got["content"] == blob
 
+    def test_exotic_decode_modes_actually_exercised(self):
+        """The decode paths our own encoder never emits must be proven
+        live by the libzstd vectors, not assumed: FSE-compressed
+        Huffman weights, Treeless + 4-stream literals, FSE_Compressed /
+        RLE / Repeat sequence tables, repeat offsets. The per-frame
+        entropy_stats counters make that checkable."""
+        from collections import Counter
+
+        agg = Counter()
+        for lvl, data in [
+            (1, self._cases()[5]),   # text(5000)
+            (3, self._cases()[6]),   # text(60000)
+            (9, self._cases()[6]),   # repeat-mode vector
+            (19, self._cases()[8]),  # tiny alphabet, FSE-heavy
+            (3, self._cases()[2]),   # ab*4000
+        ]:
+            out = decode_zstd_frame(bytes(_zstd_codec(lvl).compress(data)))
+            assert out["content"] == data
+            agg.update(out["entropy_stats"])
+        for key in (
+            "huf_fse_weights",
+            "lit_treeless",
+            "lit_4stream",
+            "seq_fse",
+            "seq_rle",
+            "seq_repeat",
+            "repeat_offsets",
+        ):
+            assert agg[key] > 0, f"decode mode {key} never exercised: {dict(agg)}"
+
     def test_libzstd_decodes_our_frames(self):
         codec = _zstd_codec()
         for i, data in enumerate(self._cases()):
             for ss in (True, False):
                 frame = encode_zstd_frame(data, block_size=1024, single_segment=ss)
                 assert bytes(codec.decompress(frame, len(data))) == data, (i, ss)
+
+
+class TestZstdStream:
+    def test_drop_zone_stream_with_corrupt_shard(self, spark, tmp_path):
+        """Streaming a .jsonl.zst drop-zone: good shards parse against
+        the documents contract, bad lines and a corrupt frame become
+        reject rows — never a wedged stream."""
+        import json
+
+        from pipeline_mf_etl_spark.streaming.transforms import (
+            read_compressed_jsonl_stream,
+        )
+
+        zone = tmp_path / "zstzone"
+        zone.mkdir()
+        lines = [
+            json.dumps({"doc_id": 1, "text": "alpha", "lang": "en",
+                        "source": "web", "n_chars": 5}),
+            "not json at all {",
+            json.dumps({"doc_id": 2, "text": "beta"}),
+        ]
+        (zone / "shard-0.jsonl.zst").write_bytes(
+            encode_zstd_frame("\n".join(lines).encode())
+        )
+        good = encode_zstd_frame(b'{"doc_id": 3, "text": "gamma"}\n')
+        (zone / "shard-1.jsonl.zst").write_bytes(good)
+        bad = bytearray(good)
+        bad[-1] ^= 0xFF  # break the content checksum
+        (zone / "shard-2.jsonl.zst").write_bytes(bytes(bad))
+        (zone / "ignored.jsonl").write_text("{}")  # glob-filtered
+
+        q = (
+            read_compressed_jsonl_stream(spark, str(zone), codec="zstd")
+            .writeStream.format("memory")
+            .queryName("zst_ingest")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from zst_ingest").collect()
+        docs = {r["doc_id"]: r for r in rows if r["reject_reason"] is None}
+        rejects = [r for r in rows if r["reject_reason"] is not None]
+        assert set(docs) == {1, 2, 3}
+        assert docs[1]["text"] == "alpha" and docs[1]["n_chars"] == 5
+        reasons = sorted(r["reject_reason"].split(":")[0] for r in rejects)
+        assert reasons == ["BAD_FRAME", "BAD_JSON"]
 
 
 class TestC7Query:
