@@ -890,12 +890,64 @@ def _execute_sequences(
 _WINDOW_CAP = 64 * 1024 * 1024  # in-memory decoder bound; gate loudly above
 
 
+#: skippable frames: magic 0x184D2A50..0x184D2A5F + LE32 size + data
+#: (the seekable-zstd seek table, zstdmt padding, user metadata)
+_SKIPPABLE_LO = 0x184D2A50
+_SKIPPABLE_HI = 0x184D2A5F
+
+
 def decode_zstd_frame(payload: bytes) -> dict:
     """Decode ONE zstd frame, verifying the magic, the frame-header
     invariants, every block bound, the declared content size and the
-    XXH64 content checksum. Returns the content plus frame accounting."""
-    if int.from_bytes(payload[:4], "little") != ZSTD_MAGIC:
+    XXH64 content checksum. Returns the content plus frame accounting;
+    trailing bytes after the frame are an error (use
+    ``decode_zstd_stream`` for concatenated / skippable frames)."""
+    out, pos = _decode_one_frame(payload, 0)
+    if pos != len(payload):
+        raise ValueError(f"{len(payload) - pos} trailing bytes after zstd frame")
+    return out
+
+
+def decode_zstd_stream(payload: bytes) -> dict:
+    """Decode a full .zst STREAM: one or more concatenated zstd frames
+    (their contents concatenate, per RFC 8878 §3) interleaved with
+    skippable frames (seekable-zstd seek tables, padding), which are
+    verified for bounds and skipped. Real-world shards — zstd CLI
+    output, seekable archives — are streams, not single frames."""
+    content = bytearray()
+    n_frames = 0
+    n_skippable = 0
+    pos = 0
+    while pos < len(payload):
+        if pos + 4 > len(payload):
+            raise ValueError("zstd stream truncated (partial magic)")
+        magic = int.from_bytes(payload[pos : pos + 4], "little")
+        if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+            if pos + 8 > len(payload):
+                raise ValueError("skippable frame truncated (missing size)")
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if pos + 8 + size > len(payload):
+                raise ValueError("skippable frame overruns the stream")
+            pos += 8 + size
+            n_skippable += 1
+            continue
+        out, pos = _decode_one_frame(payload, pos)
+        content += out["content"]
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("zstd stream contains no data frames")
+    return {
+        "content": bytes(content),
+        "n_frames": n_frames,
+        "n_skippable_frames": n_skippable,
+    }
+
+
+def _decode_one_frame(payload: bytes, pos: int) -> tuple[dict, int]:
+    if int.from_bytes(payload[pos : pos + 4], "little") != ZSTD_MAGIC:
         raise ValueError("not a zstd frame (bad magic)")
+    payload = payload[pos:]  # frame-relative below; absolute pos re-added
+    abs_base = pos
     fhd = payload[4]
     fcs_flag = fhd >> 6
     single_segment = bool(fhd & 0x20)
@@ -981,8 +1033,6 @@ def decode_zstd_frame(payload: bytes) -> dict:
             raise ValueError("zstd content checksum mismatch")
     if declared is not None and declared != len(out):
         raise ValueError(f"zstd content size {len(out)} != declared {declared}")
-    if pos != len(payload):
-        raise ValueError(f"{len(payload) - pos} trailing bytes after zstd frame")
     return {
         "content": bytes(out),
         "n_blocks": n_blocks,
@@ -994,7 +1044,7 @@ def decode_zstd_frame(payload: bytes) -> dict:
         "declared_size": declared,
         "window_size": window,
         "entropy_stats": ctx.stats,
-    }
+    }, abs_base + pos
 
 
 # ---------------------------------------------------------------------------

@@ -732,9 +732,11 @@ def read_compressed_jsonl_stream(
 
         decode, glob = decode_snappy_frame, "*.jsonl.sz"
     elif codec == "zstd":
-        from pipeline_mf_etl_spark.sources.zstdframe import decode_zstd_frame
+        # stream decoder: real .zst shards are concatenated frames with
+        # optional skippable frames (seekable seek tables, padding)
+        from pipeline_mf_etl_spark.sources.zstdframe import decode_zstd_stream
 
-        decode, glob = decode_zstd_frame, "*.jsonl.zst"
+        decode, glob = decode_zstd_stream, "*.jsonl.zst"
     else:
         raise ValueError(
             f"unsupported stream codec {codec!r} (lz4|snappy|zstd)"

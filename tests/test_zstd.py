@@ -306,6 +306,39 @@ class TestLibzstdCross:
                 assert bytes(codec.decompress(frame, len(data))) == data, (i, ss)
 
 
+class TestZstdMultiFrame:
+    def test_concatenated_and_skippable_frames(self):
+        from pipeline_mf_etl_spark.sources.zstdframe import decode_zstd_stream
+
+        a = encode_zstd_frame(b"first frame body " * 20)
+        b = encode_zstd_frame(b"second " * 50, content_checksum=False)
+        skip = (0x184D2A53).to_bytes(4, "little") + (7).to_bytes(4, "little") + b"seektbl"
+        out = decode_zstd_stream(a + skip + b + skip)
+        assert out["content"] == b"first frame body " * 20 + b"second " * 50
+        assert out["n_frames"] == 2
+        assert out["n_skippable_frames"] == 2
+        # single-frame decode keeps its strict no-trailing contract
+        with pytest.raises(ValueError, match="trailing"):
+            decode_zstd_frame(a + skip)
+        # truncated skippable gates loudly
+        with pytest.raises(ValueError, match="skippable frame overruns"):
+            decode_zstd_stream(a + skip[:-3])
+        # a stream of only skippable frames carries no data
+        with pytest.raises(ValueError, match="no data frames"):
+            decode_zstd_stream(skip)
+
+    def test_libzstd_accepts_concatenation(self):
+        """libzstd's streaming API treats concatenated frames as one
+        stream; ours must produce the identical concatenation."""
+        from pipeline_mf_etl_spark.sources.zstdframe import decode_zstd_stream
+
+        codec = _zstd_codec()
+        f1 = bytes(codec.compress(b"alpha " * 100))
+        f2 = bytes(codec.compress(b"beta " * 200))
+        out = decode_zstd_stream(f1 + f2)
+        assert out["content"] == b"alpha " * 100 + b"beta " * 200
+
+
 class TestZstdStream:
     def test_drop_zone_stream_with_corrupt_shard(self, spark, tmp_path):
         """Streaming a .jsonl.zst drop-zone: good shards parse against
