@@ -68,18 +68,30 @@ class BitReader:
     def __init__(self, data: bytes) -> None:
         self._data = data
         self._pos = 0  # bit position
+        self._nbits = len(data) * 8
 
     def read(self, nbits: int) -> int:
-        end = self._pos + nbits
-        if end > len(self._data) * 8:
-            raise ValueError("VP8L bitstream exhausted")
-        v = 0
         p = self._pos
-        for i in range(nbits):
-            byte = self._data[(p + i) >> 3]
-            v |= ((byte >> ((p + i) & 7)) & 1) << i
+        end = p + nbits
+        if end > self._nbits:
+            raise ValueError("VP8L bitstream exhausted")
+        # LSB-first: one small little-endian slice instead of a per-bit loop
+        chunk = int.from_bytes(self._data[p >> 3 : (end + 7) >> 3], "little")
         self._pos = end
-        return v
+        return (chunk >> (p & 7)) & ((1 << nbits) - 1)
+
+    def peek(self, nbits: int) -> int:
+        """Next ``nbits`` LSB-first without consuming; bits past the end
+        of the stream read as 0 (callers must skip() only real bits)."""
+        p = self._pos
+        end = min(p + nbits, self._nbits)
+        chunk = int.from_bytes(self._data[p >> 3 : (end + 7) >> 3], "little")
+        return (chunk >> (p & 7)) & ((1 << nbits) - 1)
+
+    def skip(self, nbits: int) -> None:
+        if self._pos + nbits > self._nbits:
+            raise ValueError("VP8L bitstream exhausted")
+        self._pos += nbits
 
 
 # ---------------------------------------------------------------------------
@@ -125,10 +137,33 @@ class PrefixDecoder:
         self.table = {
             (ln, code): sym for sym, (code, ln) in canonical_codes(lengths).items()
         }
+        # peek-table fast path: one max_len-bit peek resolves (symbol,
+        # length) in a single list index. The stream serves code bits
+        # MSB-of-code-first but LSB-first within the word we peek, so
+        # each code's table slots are its BIT-REVERSED value plus every
+        # high-bit completion. Kraft completeness guarantees full
+        # coverage. Capped to keep table build O(1k) per decoder.
+        self.fast: list[tuple[int, int]] | None = None
+        if self.max_len <= 11:
+            span = 1 << self.max_len
+            fast = [(-1, 0)] * span
+            for sym, (code, ln) in canonical_codes(lengths).items():
+                rev = 0
+                c = code
+                for _ in range(ln):
+                    rev = (rev << 1) | (c & 1)
+                    c >>= 1
+                for k in range(1 << (self.max_len - ln)):
+                    fast[rev | (k << ln)] = (sym, ln)
+            self.fast = fast
 
     def read(self, br: BitReader) -> int:
         if self.single is not None:
             return self.single
+        if self.fast is not None:
+            sym, ln = self.fast[br.peek(self.max_len)]
+            br.skip(ln)  # raises if the code ran past the stream end
+            return sym
         code = 0
         for ln in range(1, self.max_len + 1):
             code = (code << 1) | br.read(1)
