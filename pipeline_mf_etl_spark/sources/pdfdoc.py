@@ -139,6 +139,14 @@ def synth_pdf(doc_id: int, text: str) -> bytes:
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
+# hot-loop token patterns, precompiled and matched AT a position
+# (Pattern.match(data, pos)) so tokenizing never copies the tail of
+# the buffer the way re.match(..., d[p:]) would
+_NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+_NUM_RE = re.compile(rb"[+-]?(\d+\.\d*|\.\d+|\d+)")
+_OCT_RE = re.compile(rb"[0-7]{1,3}")
+
 
 class _Lexer:
     def __init__(self, data: bytes, pos: int = 0) -> None:
@@ -186,8 +194,8 @@ class _Lexer:
                     return out
                 out.append(self.parse_object())
         if d[p : p + 1] == b"/":
-            m = re.match(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)", d[p:])
-            self.pos = p + m.end()
+            m = _NAME_RE.match(d, p)
+            self.pos = m.end()
             return ("name", m.group(1).decode("latin-1"))
         if d[p : p + 1] == b"(":
             return self._parse_string()
@@ -200,13 +208,13 @@ class _Lexer:
                 hx += b"0"
             self.pos = end + 1
             return bytes.fromhex(hx.decode("ascii"))
-        m = re.match(rb"(\d+)\s+(\d+)\s+R\b", d[p:])
+        m = _REF_RE.match(d, p)
         if m:
-            self.pos = p + m.end()
+            self.pos = m.end()
             return ("ref", int(m.group(1)))
-        m = re.match(rb"[+-]?(\d+\.\d*|\.\d+|\d+)", d[p:])
+        m = _NUM_RE.match(d, p)
         if m:
-            self.pos = p + m.end()
+            self.pos = m.end()
             tok = m.group(0)
             return float(tok) if b"." in tok else int(tok)
         for lit, val in ((b"true", True), (b"false", False), (b"null", None)):
@@ -230,10 +238,10 @@ class _Lexer:
                     out += esc[nxt]
                     p += 2
                     continue
-                m = re.match(rb"[0-7]{1,3}", d[p + 1 : p + 4])
+                m = _OCT_RE.match(d, p + 1, p + 4)
                 if m:
                     out.append(int(m.group(0), 8) & 0xFF)
-                    p += 1 + m.end()
+                    p = m.end()
                     continue
                 if nxt in (b"\r", b"\n"):
                     # line continuation: the spec consumes backslash AND
