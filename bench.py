@@ -94,6 +94,7 @@ CODEC_PHASES = (
     "mm13b_jpeg_color",
     "mm15_mjpeg_decode",
     "mm12b_png_color",
+    "c7_zstd_extract",
 )
 
 
@@ -134,7 +135,23 @@ def _codec_phase_specs():
             lambda s, d: with_png_color_payload(docs(s, d)),
             decode_png_color_features,
         ),
+        "c7_zstd_extract": (
+            lambda s, d: _with_zstd(docs(s, d)),
+            _extract_zstd,
+        ),
     }
+
+
+def _with_zstd(df):
+    from pipeline_mf_etl_spark.sources.zstdframe import with_zstd_payload
+
+    return with_zstd_payload(df)
+
+
+def _extract_zstd(df):
+    from pipeline_mf_etl_spark.sources.zstdframe import extract_zstd_documents
+
+    return extract_zstd_documents(df)
 
 
 def _force(df) -> int:
