@@ -306,6 +306,42 @@ class TestLibzstdCross:
                 assert bytes(codec.decompress(frame, len(data))) == data, (i, ss)
 
 
+class TestEncoderPaths:
+    def test_four_stream_literal_encode_round_trips(self):
+        """block_size 1024 caps literals at 1023 so the 4-stream encode
+        branch never fires there — drive it with 64 KiB blocks whose
+        literals exceed the 10-bit 1-stream size field, and cross-check
+        with libzstd."""
+        rng = random.Random(21)
+        # skewed letter soup: almost no 4-byte repeats (so literals stay
+        # large), strongly non-uniform histogram (so Huffman wins)
+        alphabet = b"etaoinshrdlucmfwypvbgkqjxz "
+        weights = list(range(len(alphabet), 0, -1))
+        data = bytes(rng.choices(alphabet, weights=weights, k=120000))
+        frame = encode_zstd_frame(data, block_size=64 * 1024)
+        got = decode_zstd_frame(frame)
+        assert got["content"] == data
+        # the 4-stream path must actually have run on at least one block
+        assert got["entropy_stats"]["lit_4stream"] >= 1
+        codec = _zstd_codec()
+        assert bytes(codec.decompress(frame, len(data))) == data
+
+    def test_rle_literal_section_round_trips(self):
+        """Same-byte literal runs take the RLE literals branch; verify
+        header arithmetic at all three size formats via the decoder."""
+        from pipeline_mf_etl_spark.sources.zstdframe import (
+            _decode_literals,
+            _encode_literals_section,
+            _EntropyCtx,
+        )
+
+        for n in (2, 31, 32, 4095, 4096, 20000):
+            section = _encode_literals_section(b"q" * n)
+            lits, used = _decode_literals(section + b"\x00", _EntropyCtx())
+            assert lits == b"q" * n
+            assert used == len(section)
+
+
 class TestZstdMultiFrame:
     def test_concatenated_and_skippable_frames(self):
         from pipeline_mf_etl_spark.sources.zstdframe import decode_zstd_stream
