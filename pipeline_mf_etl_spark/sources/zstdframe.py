@@ -40,6 +40,16 @@ exercise every decode stage. Cross-validated in tests/test_zstd.py
 against the libzstd bundled with pyarrow (test-only; the engine path
 stays dependency-free).
 
+Stream layers above the single frame:
+- decode_zstd_stream: concatenated frames (contents concatenate per
+  RFC 8878 §3) + skippable frames, i.e. what .zst shards actually are;
+- encode_zstd_seekable / read_zstd_seek_table / zstd_seek_read: the
+  public seekable format (facebook/zstd contrib/seekable_format) —
+  independent frames + a seek-table skippable frame (footer magic
+  0x8F92EAB1), giving RANGE reads that decode only the frames covering
+  a byte span: the primitive that makes 100 TB compressed shards
+  scannable without full decompression.
+
 Loud gates: dictionaries (DictID != 0), windows over the in-memory
 cap, reserved block types, Repeat/Treeless modes without a previous
 table, every size/checksum mismatch.
@@ -1355,3 +1365,134 @@ def extract_zstd_documents(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(feats, ZSTD_DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# seekable format — the public zstd seekable-format spec (facebook/zstd
+# contrib/seekable_format): N INDEPENDENT frames followed by one
+# skippable frame (magic 0x184D2A5E) whose content is the seek table —
+# per-frame (compressed_size, decompressed_size[, xxh64-low32 of the
+# decompressed data]) entries plus a 9-byte footer (frame count,
+# descriptor, seekable magic 0x8F92EAB1). The point at 100 TB: RANGE
+# reads — decoding only the frames covering a byte span instead of the
+# whole shard.
+# ---------------------------------------------------------------------------
+
+ZSTD_SEEKABLE_MAGIC = 0x8F92EAB1
+_SEEK_SKIPPABLE_MAGIC = 0x184D2A5E
+
+
+def encode_zstd_seekable(
+    content: bytes,
+    frame_content_size: int = 65536,
+    block_size: int = 1024,
+    with_checksums: bool = True,
+) -> bytes:
+    """Encode ``content`` as a seekable archive: independent frames of
+    ``frame_content_size`` decompressed bytes each + the seek table."""
+    if frame_content_size <= 0:
+        raise ValueError("frame_content_size must be positive")
+    chunks = [
+        content[lo : lo + frame_content_size]
+        for lo in range(0, len(content), frame_content_size)
+    ] or [b""]
+    out = bytearray()
+    entries = bytearray()
+    for chunk in chunks:
+        fr = encode_zstd_frame(
+            chunk,
+            block_size=min(block_size, 128 * 1024),
+            content_checksum=False,  # integrity lives in the seek table
+        )
+        out += fr
+        entries += len(fr).to_bytes(4, "little")
+        entries += len(chunk).to_bytes(4, "little")
+        if with_checksums:
+            entries += (xxh64(chunk) & 0xFFFFFFFF).to_bytes(4, "little")
+    entries += len(chunks).to_bytes(4, "little")
+    entries.append(0x80 if with_checksums else 0x00)  # descriptor
+    entries += ZSTD_SEEKABLE_MAGIC.to_bytes(4, "little")
+    out += _SEEK_SKIPPABLE_MAGIC.to_bytes(4, "little")
+    out += len(entries).to_bytes(4, "little")
+    out += entries
+    return bytes(out)
+
+
+def read_zstd_seek_table(payload: bytes) -> list[dict]:
+    """Parse the trailing seek table; returns one dict per frame:
+    {c_off, c_size, d_off, d_size, checksum (or None)}."""
+    if len(payload) < 17:
+        raise ValueError("too short for a seekable-zstd footer")
+    if int.from_bytes(payload[-4:], "little") != ZSTD_SEEKABLE_MAGIC:
+        raise ValueError("missing seekable-zstd magic in the footer")
+    descriptor = payload[-5]
+    if descriptor & 0x7C:
+        raise ValueError("reserved seek-table descriptor bits set")
+    has_csum = bool(descriptor & 0x80)
+    n_frames = int.from_bytes(payload[-9:-5], "little")
+    entry = 12 if has_csum else 8
+    table_len = n_frames * entry + 9
+    head_at = len(payload) - table_len - 8
+    if head_at < 0:
+        raise ValueError("seek table longer than the archive")
+    if int.from_bytes(payload[head_at : head_at + 4], "little") != _SEEK_SKIPPABLE_MAGIC:
+        raise ValueError("seek table not wrapped in its skippable frame")
+    if int.from_bytes(payload[head_at + 4 : head_at + 8], "little") != table_len:
+        raise ValueError("seek-table skippable size disagrees with the footer")
+    pos = head_at + 8
+    c_off = d_off = 0
+    out = []
+    for _ in range(n_frames):
+        c_size = int.from_bytes(payload[pos : pos + 4], "little")
+        d_size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        csum = (
+            int.from_bytes(payload[pos + 8 : pos + 12], "little")
+            if has_csum
+            else None
+        )
+        pos += entry
+        out.append(
+            {
+                "c_off": c_off,
+                "c_size": c_size,
+                "d_off": d_off,
+                "d_size": d_size,
+                "checksum": csum,
+            }
+        )
+        c_off += c_size
+        d_off += d_size
+    if c_off != head_at:
+        raise ValueError(
+            f"seek table covers {c_off} compressed bytes, archive has {head_at}"
+        )
+    return out
+
+
+def zstd_seek_read(payload: bytes, offset: int, length: int) -> bytes:
+    """Random-access read: decode ONLY the frames covering
+    [offset, offset+length) — the range-read primitive that makes
+    100 TB compressed shards scannable without full decompression.
+    Frame checksums (when present) are verified on every frame touched."""
+    if offset < 0 or length < 0:
+        raise ValueError("negative offset/length")
+    table = read_zstd_seek_table(payload)
+    total = table[-1]["d_off"] + table[-1]["d_size"] if table else 0
+    end = min(offset + length, total)
+    if offset >= end:
+        return b""
+    out = bytearray()
+    for ent in table:
+        f_end = ent["d_off"] + ent["d_size"]
+        if f_end <= offset or ent["d_off"] >= end:
+            continue
+        frame = payload[ent["c_off"] : ent["c_off"] + ent["c_size"]]
+        data = decode_zstd_frame(frame)["content"]
+        if len(data) != ent["d_size"]:
+            raise ValueError("frame decompressed size disagrees with the seek table")
+        if ent["checksum"] is not None and (xxh64(data) & 0xFFFFFFFF) != ent["checksum"]:
+            raise ValueError("seekable frame checksum mismatch")
+        out += data[
+            max(offset - ent["d_off"], 0) : min(end - ent["d_off"], ent["d_size"])
+        ]
+    return bytes(out)

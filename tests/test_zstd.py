@@ -306,6 +306,134 @@ class TestLibzstdCross:
                 assert bytes(codec.decompress(frame, len(data))) == data, (i, ss)
 
 
+class TestSeekable:
+    """The public seekable-zstd format: independent frames + a seek
+    table in a trailing skippable frame — the range-read primitive for
+    compressed shards (decode only the frames covering a byte span)."""
+
+    def _archive(self, n=50000, fcs=4096):
+        rng = random.Random(31)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        data = (" ".join(rng.choice(words) for _ in range(n))).encode()
+        from pipeline_mf_etl_spark.sources.zstdframe import encode_zstd_seekable
+
+        return data, encode_zstd_seekable(data, frame_content_size=fcs)
+
+    def test_table_and_full_read(self):
+        from pipeline_mf_etl_spark.sources.zstdframe import (
+            decode_zstd_stream,
+            read_zstd_seek_table,
+            zstd_seek_read,
+        )
+
+        data, arc = self._archive()
+        table = read_zstd_seek_table(arc)
+        assert sum(e["d_size"] for e in table) == len(data)
+        assert all(e["checksum"] is not None for e in table)
+        # the archive is ALSO a valid multi-frame stream
+        out = decode_zstd_stream(arc)
+        assert out["content"] == data
+        assert out["n_skippable_frames"] == 1
+        # full-span seek read equals the content
+        assert zstd_seek_read(arc, 0, len(data)) == data
+
+    def test_random_access_equivalence(self):
+        from pipeline_mf_etl_spark.sources.zstdframe import zstd_seek_read
+
+        data, arc = self._archive()
+        rng = random.Random(7)
+        for _ in range(40):
+            off = rng.randrange(0, len(data) + 100)
+            ln = rng.randrange(0, 9000)
+            assert zstd_seek_read(arc, off, ln) == data[off : off + ln]
+        assert zstd_seek_read(arc, len(data) + 5, 10) == b""
+        assert zstd_seek_read(arc, 3, 0) == b""
+
+    def test_partial_decode_is_actually_partial(self):
+        """A small range must touch only its covering frames — verified
+        by corrupting a far-away frame, which a full decode would trip
+        over but a range read must never look at."""
+        from pipeline_mf_etl_spark.sources.zstdframe import (
+            read_zstd_seek_table,
+            zstd_seek_read,
+        )
+        import pytest as _pt
+
+        data, arc = self._archive()
+        table = read_zstd_seek_table(arc)
+        assert len(table) > 4
+        last = table[-1]
+        broken = bytearray(arc)
+        broken[last["c_off"] + 10] ^= 0xFF  # corrupt the LAST frame
+        broken = bytes(broken)
+        # a read inside frame 0 never touches it
+        assert zstd_seek_read(broken, 0, 100) == data[:100]
+        # a read inside the corrupted frame gates loudly
+        with _pt.raises(ValueError):
+            zstd_seek_read(broken, last["d_off"] + 1, 50)
+
+    def test_footer_gates(self):
+        from pipeline_mf_etl_spark.sources.zstdframe import read_zstd_seek_table
+
+        data, arc = self._archive(n=500)
+        with pytest.raises(ValueError, match="seekable-zstd magic"):
+            read_zstd_seek_table(arc[:-1] + b"\x00")
+        broken = bytearray(arc)
+        broken[-5] |= 0x04  # reserved descriptor bit
+        with pytest.raises(ValueError, match="reserved"):
+            read_zstd_seek_table(bytes(broken))
+
+    def test_empty_content(self):
+        from pipeline_mf_etl_spark.sources.zstdframe import (
+            encode_zstd_seekable,
+            zstd_seek_read,
+        )
+
+        arc = encode_zstd_seekable(b"")
+        assert zstd_seek_read(arc, 0, 10) == b""
+
+
+class TestZstdProperty:
+    def test_round_trip_random_bytes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            data=st.binary(max_size=6000),
+            block=st.sampled_from([16, 100, 1024, 4096]),
+            ss=st.booleans(),
+            ck=st.booleans(),
+        )
+        def check(data, block, ss, ck):
+            frame = encode_zstd_frame(
+                data, block_size=block, content_checksum=ck, single_segment=ss
+            )
+            got = decode_zstd_frame(frame)
+            assert got["content"] == data
+            assert got["had_checksum"] == ck
+
+        check()
+
+    def test_round_trip_structured_text(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.lists(
+                st.sampled_from(["the", "cat", "sat", "on", "mat", "\n", "zz"]),
+                max_size=2000,
+            )
+        )
+        def check(words):
+            data = " ".join(words).encode()
+            got = decode_zstd_frame(encode_zstd_frame(data, block_size=512))
+            assert got["content"] == data
+
+        check()
+
+
 class TestEncoderPaths:
     def test_four_stream_literal_encode_round_trips(self):
         """block_size 1024 caps literals at 1023 so the 4-stream encode
