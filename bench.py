@@ -80,6 +80,7 @@ HEADLINE = (
     "c6_snappy_extract",      # framed Snappy decode + CRC-32C verification
     # added round 12 (r11-comparable subtotal = first 48)
     "c7_zstd_extract",        # zstd FSE+Huffman frame decode + xxh64
+    "c8_seekable_extract",    # seekable-zstd range reads (partial decode)
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the

@@ -469,6 +469,127 @@ C7_ORACLE = """
 
 
 # ---------------------------------------------------------------------------
+# c8 — seekable-zstd range reads (sources/zstdframe.py seekable layer:
+# the public facebook/zstd seekable format; registered r12). The query
+# certifies the RANGE-READ path: each doc becomes a multi-frame
+# seekable archive, a deterministic interior slice is range-read
+# (decoding ONLY its covering frames, per-frame checksums verified),
+# and the oracle recomputes the slice and the touched-frame count from
+# the characters. frames_touched < n_frames on every doc long enough
+# to span frames — the partial-decode property itself carries hash
+# signal.
+# ---------------------------------------------------------------------------
+
+_SEEK_FRAME = 512  # decompressed bytes per seekable frame
+_SEEK_SLICE = 256  # range-read length cap
+
+
+def c8_seekable_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-read accounting per document over a seekable-zstd archive
+    (content = ``text\\n`` x3, 512-byte frames): seek-table geometry,
+    the md5 + text of the slice read from offset len(text)+1, and the
+    number of frames the read actually decoded. Map-only Arrow pass."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pipeline_mf_etl_spark.sources.zstdframe import (
+        encode_zstd_seekable,
+        read_zstd_seek_table,
+        zstd_seek_read,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("n_frames", LongType(), False),
+            StructField("content_size", LongType(), False),
+            StructField("frames_touched", LongType(), False),
+            StructField("slice_md5", StringType(), False),
+            StructField("slice_text", StringType(), False),
+        ]
+    )
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                content = ((text + "\n") * 3).encode("utf-8")
+                arc = encode_zstd_seekable(
+                    content,
+                    frame_content_size=_SEEK_FRAME,
+                    block_size=_SEEK_FRAME,  # one block per frame
+                )
+                table = read_zstd_seek_table(arc)
+                total = sum(e["d_size"] for e in table)
+                off = len(content) // 3
+                ln = min(_SEEK_SLICE, total - off)
+                sl = zstd_seek_read(arc, off, ln)
+                if sl != content[off : off + ln]:
+                    raise ValueError("seekable range read disagrees with content")
+                touched = sum(
+                    1
+                    for e in table
+                    if ln > 0
+                    and e["d_off"] < off + ln
+                    and e["d_off"] + e["d_size"] > off
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(table),
+                        total,
+                        touched,
+                        hashlib.md5(sl).hexdigest(),
+                        sl.decode("utf-8"),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "text").mapInPandas(feats, schema)
+
+
+# the slice starts at byte len(text)+1 (content is exactly 3 copies of
+# text||\n, so offset = one copy) and runs min(256, 2*(len+1)) bytes;
+# frames are 512 decompressed bytes, so the touched count is pure
+# interval arithmetic. ASCII-corpus assumption (mm2/mm25 convention)
+# for substr vs byte slicing; sizes themselves are byte-exact.
+C8_ORACLE = f"""
+    WITH geo AS (
+        SELECT doc_id,
+               repeat(text || chr(10), 3) AS content,
+               3 * (length(text) + 1) AS total,
+               length(text) + 1 AS off
+        FROM documents
+    ), sl AS (
+        SELECT doc_id, total, off,
+               LEAST({_SEEK_SLICE}, total - off) AS ln,
+               substr(content, off + 1, LEAST({_SEEK_SLICE}, total - off))
+                   AS slice
+        FROM geo
+    )
+    SELECT doc_id,
+           CAST((total + {_SEEK_FRAME} - 1) // {_SEEK_FRAME} AS BIGINT)
+               AS n_frames,
+           CAST(total AS BIGINT) AS content_size,
+           CAST(CASE WHEN ln <= 0 THEN 0
+                     ELSE (off + ln - 1) // {_SEEK_FRAME}
+                          - off // {_SEEK_FRAME} + 1 END AS BIGINT)
+               AS frames_touched,
+           md5(slice) AS slice_md5,
+           slice AS slice_text
+    FROM sl
+"""
+
+
+# ---------------------------------------------------------------------------
 # c6 — framed-Snappy shard extraction (sources/snappyframe.py: the
 # other data-lake compression next to LZ4; raw-block tags + framing
 # chunks with masked CRC-32C everywhere)
@@ -524,5 +645,6 @@ query("c4_avro_extract", oracle=C4_ORACLE)(c4_avro_extract)
 query("c5_lz4_extract", oracle=C5_ORACLE)(c5_lz4_extract)
 query("c6_snappy_extract", oracle=C6_ORACLE)(c6_snappy_extract)
 query("c7_zstd_extract", oracle=C7_ORACLE)(c7_zstd_extract)
+query("c8_seekable_extract", oracle=C8_ORACLE)(c8_seekable_extract)
 query("t15_html_extract", oracle=T15_ORACLE)(t15_html_extract)
 query("wd1_webdataset_roundtrip", oracle=WD1_ORACLE)(wd1_webdataset_roundtrip)

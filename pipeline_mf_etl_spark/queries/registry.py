@@ -99,6 +99,7 @@ _PRIORITY = (
     "d12_url_domain_rollup",
     # --- (2) new r12 code ---
     "c7_zstd_extract",
+    "c8_seekable_extract",
     # --- (3) the r7-stale rotation (verdict task 3) + o4b (r8) ---
     "a19_cube",
     "a7_region_rollup",
@@ -144,6 +145,8 @@ _PRIORITY = (
     "a5_crosstab",
     "a6_rows_by_year",
     "j2_broadcast_enrich",
+    # 51st name: c8's mid-round registration pushed this out of the
+    # 50-slot window — it stays r8-certified and heads the r13 fill
     "j5_state_mapping",
 )
 
