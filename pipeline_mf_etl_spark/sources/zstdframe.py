@@ -611,8 +611,9 @@ def huf_build_weights(hist: dict[int, int]) -> list[int] | None:
 
 
 def huf_write_weights(weights: list[int]) -> bytes:
-    """Direct-weight Huffman_Tree_Description (the last weight is
-    deduced by the decoder and must not be transmitted)."""
+    """Huffman_Tree_Description, FSE-compressed when that is smaller
+    than the direct 4-bit-pair form (the last weight is deduced by the
+    decoder and must not be transmitted either way)."""
     transmitted = weights[:-1]
     n = len(transmitted)
     if not 1 <= n <= 128:
@@ -622,7 +623,85 @@ def huf_write_weights(weights: list[int]) -> bytes:
         hi = transmitted[i]
         lo = transmitted[i + 1] if i + 1 < n else 0
         out.append((hi << 4) | lo)
-    return bytes(out)
+    direct = bytes(out)
+    fse = _huf_write_weights_fse(transmitted)
+    return fse if fse is not None and len(fse) < len(direct) else direct
+
+
+def _huf_write_weights_fse(transmitted: list[int]) -> bytes | None:
+    """FSE-compressed weight transport: one table description + TWO
+    interleaved states over one backward bitstream — the exact inverse
+    of huf_read_weights' decode loop. Even-index weights ride state 1,
+    odd-index state 2; each chain writes exactly its transition fields
+    and the decoder's FINAL state update overflows the empty stream,
+    which requires that state to read >= 1 bit (nbits == 0 there would
+    keep the loop alive and over-emit — fall back to direct weights).
+    Returns None when the mode does not apply."""
+    n = len(transmitted)
+    if n < 2:
+        return None
+    max_w = max(transmitted)
+    # normalize the weight histogram onto a 2^alog table, every present
+    # symbol >= 1 point, largest symbol absorbs the remainder
+    hist = [0] * (max_w + 1)
+    for w in transmitted:
+        hist[w] += 1
+    alog = 6
+    size = 1 << alog
+    norm = [0] * (max_w + 1)
+    for s, c in enumerate(hist):
+        if c:
+            norm[s] = max(1, (c * size) // n)
+    top = max(range(max_w + 1), key=lambda s: hist[s])
+    norm[top] += size - sum(norm)
+    if norm[top] < 1:
+        return None  # too many rare symbols for the table size
+    try:
+        table = FseTable(norm, alog)
+    except ValueError:
+        return None
+    chain_a = transmitted[0::2]
+    chain_b = transmitted[1::2]
+    init_a, upd_a = table.chain(chain_a)
+    init_b, upd_b = table.chain(chain_b)
+    # the overflowing final update belongs to state 1 when n is even
+    # (its executed updates outnumber its chain transitions by one),
+    # else to state 2; that state must read >= 1 bit to overflow
+    final_state_nbits = (
+        table.nbits[_last_chain_state(table, chain_a)]
+        if n % 2 == 0
+        else table.nbits[_last_chain_state(table, chain_b)]
+    )
+    if final_state_nbits == 0:
+        return None
+    w = _BitWriter()
+    w.write(init_a, alog)
+    w.write(init_b, alog)
+    # real updates follow emit order e1..e_{n-2}: odd emits advance
+    # state 1, even emits advance state 2
+    ia = ib = 0
+    for k in range(1, n - 1):
+        if k % 2 == 1:
+            w.write(*upd_a[ia])
+            ia += 1
+        else:
+            w.write(*upd_b[ib])
+            ib += 1
+    desc = fse_write_description(norm, alog)
+    payload = desc + w.finish()
+    if len(payload) > 127:
+        return None  # header byte must stay below the direct marker
+    return bytes([len(payload)]) + payload
+
+
+def _last_chain_state(table: FseTable, codes: list[int]) -> int:
+    """The state a chain occupies at its FINAL emit — replay of
+    FseTable.chain's backward walk (chain() keeps only the initial
+    state, but the overflow-bits check needs the last one)."""
+    state = next(
+        i for i in range(1 << table.alog) if table.symbol[i] == codes[-1]
+    )
+    return state
 
 
 # ---------------------------------------------------------------------------

@@ -454,6 +454,37 @@ class TestEncoderPaths:
         codec = _zstd_codec()
         assert bytes(codec.decompress(frame, len(data))) == data
 
+    def test_fse_weight_transport_round_trips(self):
+        """huf_write_weights picks the FSE two-state transport whenever
+        it beats the direct 4-bit pairs; round-trip through the decode
+        loop over many random weight vectors, and prove our own FRAMES
+        emit it and libzstd accepts them."""
+        rng = random.Random(5)
+        fse_used = 0
+        for _ in range(200):
+            hist = {
+                s: rng.randrange(1, 1000)
+                for s in rng.sample(range(60), rng.randrange(2, 40))
+            }
+            weights = huf_build_weights(hist)
+            if weights is None:
+                continue
+            blob = huf_write_weights(weights)
+            got, used = huf_read_weights(blob)
+            assert used == len(blob) and got == weights
+            fse_used += blob[0] < 128
+        assert fse_used > 100  # the mode genuinely engages
+        rng = random.Random(21)
+        alphabet = b"etaoinshrdlucmfwypvbgkqjxz "
+        data = bytes(
+            rng.choices(alphabet, weights=range(len(alphabet), 0, -1), k=120000)
+        )
+        frame = encode_zstd_frame(data, block_size=64 * 1024)
+        out = decode_zstd_frame(frame)
+        assert out["content"] == data
+        assert out["entropy_stats"]["huf_fse_weights"] >= 1
+        assert bytes(_zstd_codec().decompress(frame, len(data))) == data
+
     def test_rle_literal_section_round_trips(self):
         """Same-byte literal runs take the RLE literals branch; verify
         header arithmetic at all three size formats via the decoder."""
