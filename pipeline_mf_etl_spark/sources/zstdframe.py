@@ -33,12 +33,15 @@ zstd_compression_format.md):
   rep1-1 case.
 - XXH64 per the published spec (content checksum site).
 
-The encoder is a real greedy hash-chain LZ parser emitting
-Huffman-compressed literals (direct weights) and predefined-mode FSE
-sequences — not a raw-block shell — so encode→decode round-trips
-exercise every decode stage. Cross-validated in tests/test_zstd.py
-against the libzstd bundled with pyarrow (test-only; the engine path
-stays dependency-free).
+The encoder is a real greedy hash-chain LZ parser with per-field
+entropy-mode selection: literals go raw / RLE / Huffman (tree direct
+or FSE-compressed, 1- or 4-stream) / Treeless (previous-table reuse),
+and each of LL/OF/ML independently picks Predefined, RLE,
+FSE_Compressed (custom normalized table + description) or Repeat by
+measured cost — so our OWN frames exercise every decode stage, not
+just libzstd's. Cross-validated in tests/test_zstd.py against the
+libzstd bundled with pyarrow (test-only; the engine path stays
+dependency-free).
 
 Stream layers above the single frame:
 - decode_zstd_stream: concatenated frames (contents concatenate per
@@ -1197,8 +1200,46 @@ def _ml_code_of(ml: int) -> tuple[int, int, int]:
     raise ValueError(f"match length {ml} out of range")
 
 
-def _encode_literals_section(lits: bytes) -> bytes:
-    """Pick RLE / Huffman-compressed / raw for the block's literals."""
+def _huf_section(
+    lits: bytes, table: HufTable, tree: bytes, ltype: int
+) -> bytes | None:
+    """Assemble a Compressed (ltype 2, tree transmitted) or Treeless
+    (ltype 3, previous table) literals section; None if no size format
+    fits."""
+    n = len(lits)
+    if n <= 1023:  # 1 stream, Size_Format 00
+        stream = table.encode_stream(lits)
+        csize = len(tree) + len(stream)
+        if csize <= 1023:
+            h = ltype | (n << 4) | (csize << 14)
+            return h.to_bytes(3, "little") + tree + stream
+        return None
+    if n > 0x3FFFF:
+        return None
+    part = (n + 3) // 4  # 4 streams, Size_Format 10 (14b) or 11 (18b)
+    parts = [
+        lits[0:part],
+        lits[part : 2 * part],
+        lits[2 * part : 3 * part],
+        lits[3 * part :],
+    ]
+    streams = [table.encode_stream(p) for p in parts]
+    jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
+    body = tree + jump + b"".join(streams)
+    csize = len(body)
+    if n <= 0x3FFF and csize <= 0x3FFF:
+        h = 0b1000 | ltype | (n << 4) | (csize << 18)
+        return h.to_bytes(4, "little") + body
+    if csize <= 0x3FFFF:
+        h = 0b1100 | ltype | (n << 4) | (csize << 22)
+        return h.to_bytes(5, "little") + body
+    return None
+
+
+def _encode_literals_section(lits: bytes, ctx: _EncCtx | None = None) -> bytes:
+    """Pick RLE / Huffman-compressed / Treeless / raw for the block's
+    literals; a transmitted table is recorded in ``ctx`` (the decoder
+    carries it identically for later Treeless blocks)."""
     n = len(lits)
     if n > 1 and len(set(lits)) == 1:  # RLE literals
         if n < 32:
@@ -1210,6 +1251,7 @@ def _encode_literals_section(lits: bytes) -> bytes:
             + lits[:1]
         )
     compressed = None
+    new_table = None
     if n >= 64:
         hist: dict[int, int] = {}
         for b in lits:
@@ -1218,33 +1260,21 @@ def _encode_literals_section(lits: bytes) -> bytes:
         if weights is not None:
             table = HufTable(weights)
             tree = huf_write_weights(weights)
-            if n <= 1023:  # 1 stream, Size_Format 00
-                stream = table.encode_stream(lits)
-                csize = len(tree) + len(stream)
-                if csize <= 1023:
-                    h = 0b0010 | (n << 4) | (csize << 14)
-                    compressed = h.to_bytes(3, "little") + tree + stream
-            elif n <= 0x3FFFF:  # 4 streams, Size_Format 10 (14b) or 11 (18b)
-                part = (n + 3) // 4
-                parts = [
-                    lits[0:part],
-                    lits[part : 2 * part],
-                    lits[2 * part : 3 * part],
-                    lits[3 * part :],
-                ]
-                streams = [table.encode_stream(p) for p in parts]
-                jump = b"".join(
-                    len(s).to_bytes(2, "little") for s in streams[:3]
-                )
-                body = tree + jump + b"".join(streams)
-                csize = len(body)
-                if n <= 0x3FFF and csize <= 0x3FFF:
-                    h = 0b1010 | (n << 4) | (csize << 18)
-                    compressed = h.to_bytes(4, "little") + body
-                elif csize <= 0x3FFFF:
-                    h = 0b1110 | (n << 4) | (csize << 22)
-                    compressed = h.to_bytes(5, "little") + body
+            compressed = _huf_section(lits, table, tree, 0b10)
+            new_table = table
+        # Treeless: reuse the frame's previous table when it covers
+        # this block's alphabet and beats retransmitting a tree
+        prev = ctx.huf_table if ctx is not None else None
+        if prev is not None and all(b in prev.codes for b in hist):
+            treeless = _huf_section(lits, prev, b"", 0b11)
+            if treeless is not None and (
+                compressed is None or len(treeless) < len(compressed)
+            ):
+                compressed = treeless
+                new_table = None  # ctx keeps the previous table
     if compressed is not None and len(compressed) < n + 3:
+        if new_table is not None and ctx is not None:
+            ctx.huf_table = new_table
         return compressed
     # raw literals
     if n < 32:
@@ -1258,7 +1288,95 @@ def _encode_literals_section(lits: bytes) -> bytes:
     raise ValueError("literal run exceeds the 20-bit raw-size header")
 
 
-def _encode_sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
+class _EncCtx:
+    """Per-frame encoder entropy state mirroring the decoder's
+    _EntropyCtx: the table each sequence field last installed (the
+    decoder's Repeat_Mode target — carried for EVERY mode, predefined
+    and RLE included) and the last Huffman table (Treeless target)."""
+
+    def __init__(self):
+        self.ll: tuple | None = None  # ("fse", FseTable) | ("rle", sym)
+        self.of: tuple | None = None
+        self.ml: tuple | None = None
+        self.huf_table: HufTable | None = None
+
+
+def _normalize_counts(codes: list[int], max_alog: int) -> tuple[list[int], int] | None:
+    """Normalized FSE distribution over the observed codes: every
+    present symbol >= 1 point, the most frequent absorbs the remainder."""
+    hist: dict[int, int] = {}
+    for c in codes:
+        hist[c] = hist.get(c, 0) + 1
+    alog = min(max_alog, max(5, (len(codes) - 1).bit_length()))
+    size = 1 << alog
+    if len(hist) > size:
+        return None
+    top = max(hist, key=hist.__getitem__)
+    norm = [0] * (max(hist) + 1)
+    total = len(codes)
+    for s, c in hist.items():
+        norm[s] = max(1, (c * size) // total)
+    norm[top] += size - sum(norm)
+    if norm[top] < 1:
+        return None
+    return norm, alog
+
+
+def _chain_cost(table: FseTable, codes: list[int]) -> tuple[int, tuple, list] | None:
+    """(state bits consumed, init field, update fields) for decoding
+    ``codes`` through ``table`` — None when some code has zero prob."""
+    try:
+        init, upd = table.chain(codes)
+    except ValueError:
+        return None
+    bits = table.alog + sum(nb for _, nb in upd)
+    return bits, (init, table.alog), upd
+
+
+def _plan_seq_field(
+    codes: list[int],
+    default: FseTable,
+    prev: tuple | None,
+    max_alog: int,
+) -> tuple:
+    """Pick the cheapest table mode for one LL/OF/ML field. Returns
+    (mode, pre_bytes, init_field, upd_fields, carried_prev)."""
+    options = []  # (cost_bits_incl_pre_bytes, ...)
+    if len(set(codes)) == 1:  # RLE: 1 symbol byte, zero stream bits
+        options.append((8, 1, bytes([codes[0]]), (0, 0), [(0, 0)] * (len(codes) - 1),
+                        ("rle", codes[0])))
+    pre = _chain_cost(default, codes)
+    if pre is not None:
+        options.append((pre[0], 0, b"", pre[1], pre[2], ("fse", default)))
+    nz = _normalize_counts(codes, max_alog)
+    if nz is not None:
+        norm, alog = nz
+        try:
+            custom = FseTable(norm, alog)
+        except ValueError:
+            custom = None
+        if custom is not None:
+            cc = _chain_cost(custom, codes)
+            if cc is not None:
+                desc = fse_write_description(norm, alog)
+                options.append(
+                    (cc[0] + 8 * len(desc), 2, desc, cc[1], cc[2], ("fse", custom))
+                )
+    if prev is not None:
+        if prev[0] == "rle":
+            if all(c == prev[1] for c in codes):
+                options.append((0, 3, b"", (0, 0), [(0, 0)] * (len(codes) - 1), prev))
+        else:
+            rc = _chain_cost(prev[1], codes)
+            if rc is not None:
+                options.append((rc[0], 3, b"", rc[1], rc[2], prev))
+    cost, mode, pre_bytes, init, upd, carried = min(options, key=lambda o: o[0])
+    return mode, pre_bytes, init, upd, carried
+
+
+def _encode_sequences_section(
+    seqs: list[tuple[int, int, int]], ctx: _EncCtx | None = None
+) -> bytes:
     ns = len(seqs)
     if ns == 0:
         return b"\x00"
@@ -1268,7 +1386,6 @@ def _encode_sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
         head = bytes([128 + (ns >> 8), ns & 0xFF])
     else:
         head = bytes([255]) + (ns - 0x7F00).to_bytes(2, "little")
-    head += b"\x00"  # modes: Predefined for LL, OF and ML
     ll_parts, of_parts, ml_parts = [], [], []
     for ll, offset, ml in seqs:
         ov = offset + 3  # no repeat-offset encoding
@@ -1276,13 +1393,23 @@ def _encode_sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
         of_parts.append((of_code, ov - (1 << of_code), of_code))
         ml_parts.append(_ml_code_of(ml))
         ll_parts.append(_ll_code_of(ll))
-    ll_init, ll_upd = _LL_DEFAULT.chain([c for c, _, _ in ll_parts])
-    of_init, of_upd = _OF_DEFAULT.chain([c for c, _, _ in of_parts])
-    ml_init, ml_upd = _ML_DEFAULT.chain([c for c, _, _ in ml_parts])
+    if ctx is None:
+        ctx = _EncCtx()
+    ll_mode, ll_pre, ll_init, ll_upd, ctx.ll = _plan_seq_field(
+        [c for c, _, _ in ll_parts], _LL_DEFAULT, ctx.ll, 9
+    )
+    of_mode, of_pre, of_init, of_upd, ctx.of = _plan_seq_field(
+        [c for c, _, _ in of_parts], _OF_DEFAULT, ctx.of, 8
+    )
+    ml_mode, ml_pre, ml_init, ml_upd, ctx.ml = _plan_seq_field(
+        [c for c, _, _ in ml_parts], _ML_DEFAULT, ctx.ml, 9
+    )
+    head += bytes([(ll_mode << 6) | (of_mode << 4) | (ml_mode << 2)])
+    head += ll_pre + of_pre + ml_pre  # decoder reads tables LL, OF, ML
     w = _BitWriter()
-    w.write(ll_init, _LL_DEFAULT.alog)
-    w.write(of_init, _OF_DEFAULT.alog)
-    w.write(ml_init, _ML_DEFAULT.alog)
+    w.write(*ll_init)
+    w.write(*of_init)
+    w.write(*ml_init)
     for i in range(ns):
         w.write(of_parts[i][1], of_parts[i][2])
         w.write(ml_parts[i][1], ml_parts[i][2])
@@ -1294,14 +1421,29 @@ def _encode_sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
     return head + w.finish()
 
 
-def _compress_block(block: bytes) -> bytes | None:
-    """One compressed-block body, or None when it would not shrink."""
+def _compress_block(block: bytes, ctx: _EncCtx | None = None) -> bytes | None:
+    """One compressed-block body, or None when it would not shrink.
+    NOTE on ctx: a None return must leave ``ctx`` untouched (the block
+    goes out raw, and the decoder's entropy context ignores raw
+    blocks), so planning runs on a scratch copy committed only on
+    success."""
     lits, seqs = _lz_parse(block)
+    scratch = _EncCtx()
+    if ctx is not None:
+        scratch.ll, scratch.of, scratch.ml = ctx.ll, ctx.of, ctx.ml
+        scratch.huf_table = ctx.huf_table
     try:
-        body = _encode_literals_section(lits) + _encode_sequences_section(seqs)
+        body = _encode_literals_section(lits, scratch) + _encode_sequences_section(
+            seqs, scratch
+        )
     except ValueError:
         return None
-    return body if len(body) < len(block) else None
+    if len(body) >= len(block):
+        return None
+    if ctx is not None:
+        ctx.ll, ctx.of, ctx.ml = scratch.ll, scratch.of, scratch.ml
+        ctx.huf_table = scratch.huf_table
+    return body
 
 
 def encode_zstd_frame(
@@ -1348,13 +1490,14 @@ def encode_zstd_frame(
     blocks = [content[lo : lo + block_size] for lo in range(0, n, block_size)]
     if not blocks:
         blocks = [b""]
+    enc_ctx = _EncCtx()  # per-frame entropy carry (Repeat / Treeless)
     for bi, block in enumerate(blocks):
         last = 1 if bi == len(blocks) - 1 else 0
         if len(block) > 1 and len(set(block)) == 1:
             out += ((len(block) << 3) | (1 << 1) | last).to_bytes(3, "little")
             out.append(block[0])
             continue
-        comp = _compress_block(block) if len(block) >= 16 else None
+        comp = _compress_block(block, enc_ctx) if len(block) >= 16 else None
         if comp is not None:
             out += ((len(comp) << 3) | (2 << 1) | last).to_bytes(3, "little")
             out += comp

@@ -485,6 +485,42 @@ class TestEncoderPaths:
         assert out["entropy_stats"]["huf_fse_weights"] >= 1
         assert bytes(_zstd_codec().decompress(frame, len(data))) == data
 
+    def test_own_encoder_emits_every_mode(self):
+        """After the mode-selection encoder landed, our OWN frames must
+        exercise the full decode surface: Treeless literals,
+        FSE_Compressed / RLE / Repeat sequence tables, FSE weights,
+        4-stream — across a small payload matrix, every frame also
+        accepted by libzstd."""
+        from collections import Counter
+
+        rng = random.Random(21)
+        alphabet = b"etaoinshrdlucmfwypvbgkqjxz "
+        soup = bytes(
+            rng.choices(alphabet, weights=range(len(alphabet), 0, -1), k=120000)
+        )
+        rng2 = random.Random(11)
+        words = ["alpha", "beta", "gamma", "the", "of", "and", "frame"]
+        text = (" ".join(rng2.choice(words) for _ in range(20000))).encode()
+        codec = _zstd_codec()
+        agg = Counter()
+        for data in (soup, text, b"ab" * 4000):
+            for bs in (1024, 65536):
+                frame = encode_zstd_frame(data, block_size=bs)
+                out = decode_zstd_frame(frame)
+                assert out["content"] == data
+                agg.update(out["entropy_stats"])
+                assert bytes(codec.decompress(frame, len(data))) == data
+        for key in (
+            "lit_treeless",
+            "lit_4stream",
+            "huf_fse_weights",
+            "seq_fse",
+            "seq_rle",
+            "seq_repeat",
+            "seq_predefined",
+        ):
+            assert agg[key] > 0, f"own encoder never emitted {key}: {dict(agg)}"
+
     def test_rle_literal_section_round_trips(self):
         """Same-byte literal runs take the RLE literals branch; verify
         header arithmetic at all three size formats via the decoder."""
