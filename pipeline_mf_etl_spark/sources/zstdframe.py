@@ -1299,6 +1299,7 @@ class _EncCtx:
         self.of: tuple | None = None
         self.ml: tuple | None = None
         self.huf_table: HufTable | None = None
+        self.reps = [1, 4, 8]  # repeat-offset history (frame-scoped)
 
 
 def _normalize_counts(codes: list[int], max_alog: int) -> tuple[list[int], int] | None:
@@ -1386,15 +1387,35 @@ def _encode_sequences_section(
         head = bytes([128 + (ns >> 8), ns & 0xFF])
     else:
         head = bytes([255]) + (ns - 0x7F00).to_bytes(2, "little")
+    if ctx is None:
+        ctx = _EncCtx()
     ll_parts, of_parts, ml_parts = [], [], []
+    # forward replay of the decoder's 3-slot repeat-offset history:
+    # whenever the real offset matches a history slot, emit the 1-3
+    # repeat code (0-1 extra bits) instead of offset+3, preferring the
+    # cheapest (ov=1). Both sides then update the history identically.
+    reps = ctx.reps
     for ll, offset, ml in seqs:
-        ov = offset + 3  # no repeat-offset encoding
+        if ll != 0:
+            cands = {reps[2]: 3, reps[1]: 2, reps[0]: 1}
+        else:  # litLength==0 shifts the code meaning by one
+            cands = {reps[2]: 2, reps[1]: 1}
+            if reps[0] - 1 >= 1:
+                cands[reps[0] - 1] = 3
+        ov = cands.get(offset, offset + 3)
+        # history update — the exact rules of _execute_sequences
+        idx = (ov if ll == 0 else ov - 1) if ov <= 3 else None
+        if idx is None or idx == 3:
+            reps[:] = [offset, reps[0], reps[1]]
+        elif idx == 1:
+            reps[:] = [offset, reps[0], reps[2]]
+        elif idx == 2:
+            reps[:] = [offset, reps[0], reps[1]]
+        # idx == 0: history unchanged
         of_code = ov.bit_length() - 1
         of_parts.append((of_code, ov - (1 << of_code), of_code))
         ml_parts.append(_ml_code_of(ml))
         ll_parts.append(_ll_code_of(ll))
-    if ctx is None:
-        ctx = _EncCtx()
     ll_mode, ll_pre, ll_init, ll_upd, ctx.ll = _plan_seq_field(
         [c for c, _, _ in ll_parts], _LL_DEFAULT, ctx.ll, 9
     )
@@ -1432,6 +1453,7 @@ def _compress_block(block: bytes, ctx: _EncCtx | None = None) -> bytes | None:
     if ctx is not None:
         scratch.ll, scratch.of, scratch.ml = ctx.ll, ctx.of, ctx.ml
         scratch.huf_table = ctx.huf_table
+        scratch.reps = list(ctx.reps)
     try:
         body = _encode_literals_section(lits, scratch) + _encode_sequences_section(
             seqs, scratch
@@ -1443,6 +1465,7 @@ def _compress_block(block: bytes, ctx: _EncCtx | None = None) -> bytes | None:
     if ctx is not None:
         ctx.ll, ctx.of, ctx.ml = scratch.ll, scratch.of, scratch.ml
         ctx.huf_table = scratch.huf_table
+        ctx.reps[:] = scratch.reps
     return body
 
 

@@ -501,9 +501,12 @@ class TestEncoderPaths:
         rng2 = random.Random(11)
         words = ["alpha", "beta", "gamma", "the", "of", "and", "frame"]
         text = (" ".join(rng2.choice(words) for _ in range(20000))).encode()
+        # constant-period repetition -> the same offset recurs -> the
+        # encoder's repeat-offset replay must emit 1-3 codes
+        phrase = b"".join(b"the cat sat %04d " % i for i in range(3000))
         codec = _zstd_codec()
         agg = Counter()
-        for data in (soup, text, b"ab" * 4000):
+        for data in (soup, text, b"ab" * 4000, phrase):
             for bs in (1024, 65536):
                 frame = encode_zstd_frame(data, block_size=bs)
                 out = decode_zstd_frame(frame)
@@ -518,6 +521,7 @@ class TestEncoderPaths:
             "seq_rle",
             "seq_repeat",
             "seq_predefined",
+            "repeat_offsets",
         ):
             assert agg[key] > 0, f"own encoder never emitted {key}: {dict(agg)}"
 
