@@ -644,6 +644,18 @@ class TestC7Query:
         assert "exchange hashpartitioning" not in plan
         assert plan.count("exchange roundrobinpartitioning") <= 1  # fan-out
 
+    def test_c8_plan_is_single_map_pass(self, spark):
+        fn = all_queries()["c8_seekable_extract"].spark
+        plan = (
+            fn(spark, SF_ORACLE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .lower()
+        )
+        assert "exchange hashpartitioning" not in plan
+        assert plan.count("exchange roundrobinpartitioning") <= 1  # fan-out
+
     def test_real_corpus_blocks_compress(self, spark):
         """The x3 repetition must engage the compressed-block path on
         real corpus text — the compressor-property column the c7 query
