@@ -28,16 +28,12 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 
 # Modules that register queries on import. Order matters: the driver's
 # correctness harness certifies the first 50 registered queries; the
-# _PRIORITY tuple below pins the ROUND-11 window exactly (see its
-# section comments). OUTSIDE the round-11 window (all green r8/r9/r10
-# on code untouched this round): the r8/r9/r10 windows — rotate back in
-# next round any of those whose files change, plus the ten r7-stale
-# leftovers that ceded slots to this round's new queries
-# (j13_interval_lookup, a7_region_rollup, a19_cube,
-# d9_source_dup_matrix, o5_union_by_name, o7_distinct_counts,
-# e8_pca_project, g1_pagerank_neardup, g2_pagerank_weighted,
-# j7_j10_profile_joins, j11_asof_join, j12_star_join — they LEAD the
-# r12 rotation).
+# _PRIORITY tuple below pins the ROUND-12 window exactly (see its
+# section comments). OUTSIDE the round-12 window: everything green
+# r8-r11 on code untouched this round — the r13 rotation starts with
+# j5_state_mapping (ceded its slot to c8's mid-round registration),
+# then the 15 r8 leftovers (b10, b11, d11, t14, m6, a8, a9, a12, a13,
+# j6, o6, d10, m13/m14/m15), then the r9 cohort.
 # NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
 # so keep backtest ahead of viewer in this list (otherwise backtest's
 # queries register mid-viewer-import and the fill order shifts).
