@@ -234,3 +234,28 @@ class TestLz4Stream:
         assert docs[None]["text"] == "epsilon"  # float id -> NULL, not 1
         reasons = sorted(r["reject_reason"].split(":")[0] for r in rejects)
         assert reasons == ["BAD_FRAME", "BAD_JSON"]
+
+
+class TestLz4CorruptionFuzz:
+    def test_every_byte_flip_is_loud_or_harmless(self):
+        """With block+content checksums on, any byte flip must raise or
+        leave the decoded content bit-identical — never silently corrupt."""
+        rng = random.Random(17)
+        data = b"corruption fuzz body " * 200
+        frame = bytearray(
+            encode_lz4_frame(data, block_size=512, block_checksum=True,
+                             content_checksum=True)
+        )
+        bad = 0
+        for _ in range(300):
+            at = rng.randrange(len(frame))
+            bit = 1 << rng.randrange(8)
+            frame[at] ^= bit
+            try:
+                out = decode_lz4_frame(bytes(frame))
+                assert out["content"] == data
+            except (ValueError, NotImplementedError, IndexError, OverflowError):
+                bad += 1
+            finally:
+                frame[at] ^= bit
+        assert bad > 250

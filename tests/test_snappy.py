@@ -193,3 +193,42 @@ class TestSnappyStream:
             r["reject_reason"] and r["reject_reason"].startswith("BAD_FRAME")
             for r in rows
         )
+
+
+class TestSnappyCorruptionFuzz:
+    def test_every_byte_flip_is_loud_or_accounted(self):
+        """Masked CRC-32C guards every data chunk's BYTES, but the
+        framing format has no stream-wide integrity: a data chunk whose
+        TYPE byte flips into the skippable range (e.g. 0x00 -> 0x80) is
+        dropped per spec — silently at the content level. The loss is
+        visible in the chunk ACCOUNTING (n_chunks drops / n_skipped
+        rises), which is exactly why the c6 query carries those columns.
+        Every flip must therefore raise, round-trip bit-identical, or
+        show up in the accounting — never corrupt content with clean
+        accounting."""
+        import random as _random
+
+        rng = _random.Random(17)
+        data = b"corruption fuzz body " * 200
+        frame = bytearray(encode_snappy_frame(data, chunk_size=512))
+        clean = decode_snappy_frame(bytes(frame))
+        n_chunks, n_skipped = clean["n_chunks"], clean["n_skipped_chunks"]
+        bad = accounted = 0
+        for _ in range(300):
+            at = rng.randrange(len(frame))
+            bit = 1 << rng.randrange(8)
+            frame[at] ^= bit
+            try:
+                out = decode_snappy_frame(bytes(frame))
+                if out["content"] != data:
+                    assert (
+                        out["n_chunks"] != n_chunks
+                        or out["n_skipped_chunks"] != n_skipped
+                    ), f"silent corruption with clean accounting at byte {at}"
+                    accounted += 1
+            except (ValueError, NotImplementedError, IndexError, OverflowError):
+                bad += 1
+            finally:
+                frame[at] ^= bit
+        assert bad > 200
+        assert accounted >= 1  # the documented skippable-morph channel

@@ -306,6 +306,41 @@ class TestLibzstdCross:
                 assert bytes(codec.decompress(frame, len(data))) == data, (i, ss)
 
 
+class TestCorruptionFuzz:
+    def test_every_byte_flip_is_loud_or_harmless(self):
+        """Flip bytes all over a CHECKSUMMED frame: the decoder must
+        raise (any error type carrying a message) or — in the rare case
+        the flip lands somewhere the format genuinely ignores — return
+        the exact original content. Never hang, never corrupt output
+        silently. The XXH64 content checksum is what closes the
+        entropy-payload corruption channel."""
+        rng = random.Random(17)
+        words = ["alpha", "beta", "gamma", "the", "of", "and", "frame"]
+        data = (" ".join(rng.choice(words) for _ in range(2000))).encode()
+        frame = bytearray(encode_zstd_frame(data, block_size=512))
+        bad = 0
+        for trial in range(300):
+            at = rng.randrange(len(frame))
+            bit = 1 << rng.randrange(8)
+            frame[at] ^= bit
+            try:
+                out = decode_zstd_frame(bytes(frame))
+                assert out["content"] == data, f"silent corruption at byte {at}"
+            except (ValueError, NotImplementedError, IndexError, KeyError,
+                    OverflowError, MemoryError):
+                bad += 1
+            finally:
+                frame[at] ^= bit
+        assert bad > 250  # nearly every flip must be detected
+
+    def test_truncations_are_loud(self):
+        data = b"truncate me " * 400
+        frame = encode_zstd_frame(data, block_size=512)
+        for cut in range(1, len(frame), 37):
+            with pytest.raises((ValueError, NotImplementedError, IndexError)):
+                decode_zstd_frame(frame[:-cut])
+
+
 class TestSeekable:
     """The public seekable-zstd format: independent frames + a seek
     table in a trailing skippable frame — the range-read primitive for
