@@ -134,43 +134,77 @@ def xxh64(data: bytes, seed: int = 0) -> int:
 
 
 class _BackBits:
-    """Backward bitstream reader: the byte array is one little-endian
-    integer; the highest set bit of the last byte is a sentinel; reads
-    consume from the top. ``bits`` may go negative via padded reads
-    (the spec's zero-padding for final Huffman peeks / FSE overflow
-    detection); a fully-consumed correct stream ends at exactly 0."""
+    """Backward bitstream reader: conceptually the byte array is one
+    little-endian integer whose highest set bit (in the last byte) is a
+    sentinel; reads consume from the top. Implemented as a small
+    refilling accumulator — lower bytes are pulled in only as needed —
+    so each read is O(1) regardless of stream size (a whole-stream big
+    int would make every shift O(stream), turning the decode of
+    libzstd's 128 KiB blocks quadratic). ``bits`` may go negative via
+    padded reads (the spec's zero-padding for final Huffman peeks / FSE
+    overflow detection); a fully-consumed correct stream ends at 0."""
 
-    __slots__ = ("val", "bits")
+    __slots__ = ("data", "bi", "acc", "acc_bits", "bits")
 
     def __init__(self, data: bytes):
         if not data:
             raise ValueError("zstd bitstream empty")
         if data[-1] == 0:
             raise ValueError("zstd bitstream missing sentinel bit")
-        self.val = int.from_bytes(data, "little")
-        self.bits = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+        self.data = data
+        self.bi = len(data) - 1  # lowest byte index already loaded
+        self.acc = data[-1] & ~(1 << (data[-1].bit_length() - 1))  # drop sentinel
+        self.acc_bits = data[-1].bit_length() - 1
+        self.bits = (len(data) - 1) * 8 + self.acc_bits
+
+    def _fill(self, n: int) -> None:
+        data = self.data
+        while self.acc_bits < n and self.bi > 0:
+            self.bi -= 1
+            self.acc = (self.acc << 8) | data[self.bi]
+            self.acc_bits += 8
 
     def read(self, n: int) -> int:
         """Padded read: bits below the stream start read as 0 and push
         ``bits`` negative (callers check for overflow where it matters)."""
         if n == 0:
             return 0
+        if self.acc_bits < n:
+            self._fill(n)
         self.bits -= n
-        if self.bits >= 0:
-            return (self.val >> self.bits) & ((1 << n) - 1)
-        got = n + self.bits  # bits actually available
-        if got <= 0:
-            return 0
-        return (self.val & ((1 << got) - 1)) << (n - got)
+        have = self.acc_bits
+        if have >= n:
+            self.acc_bits = have - n
+            v = self.acc >> self.acc_bits
+            self.acc &= (1 << self.acc_bits) - 1
+            return v
+        v = self.acc << (n - have)  # zero-pad below the stream start
+        self.acc = 0
+        self.acc_bits = 0
+        return v
 
     def peek(self, n: int) -> int:
-        b = self.bits - n
-        if b >= 0:
-            return (self.val >> b) & ((1 << n) - 1)
-        got = n + b
-        if got <= 0:
+        if n == 0:
             return 0
-        return (self.val & ((1 << got) - 1)) << (n - got)
+        if self.acc_bits < n:
+            self._fill(n)
+        have = self.acc_bits
+        if have >= n:
+            return self.acc >> (have - n)
+        return self.acc << (n - have)
+
+    def consume(self, n: int) -> None:
+        """Drop ``n`` already-peeked bits (may run past the start —
+        ``bits`` goes negative, exactly like a padded read)."""
+        if self.acc_bits < n:
+            self._fill(n)
+        self.bits -= n
+        if self.acc_bits >= n:
+            self.acc_bits -= n
+            self.acc &= (1 << self.acc_bits) - 1
+        else:
+            self.acc = 0
+            self.acc_bits = 0
 
 
 class _FwdBits:
@@ -497,7 +531,7 @@ class HufTable:
             nb = self.nbits[idx]
             if nb == 0:
                 raise ValueError("Huffman stream hit an unassigned table cell")
-            br.bits -= nb
+            br.consume(nb)
             out.append(self.symbol[idx])
         if br.bits != 0:
             raise ValueError("Huffman stream not exactly consumed")
