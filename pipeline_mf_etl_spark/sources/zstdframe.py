@@ -235,12 +235,17 @@ class _FwdBits:
 
 class _BitWriter:
     """Builds a backward-readable stream: values appended in decoder
-    READ order land at the top; a sentinel 1 bit caps the stream."""
+    READ order land at the top; a sentinel 1 bit caps the stream.
+    Completed (oldest) bytes drain into a bytearray as they fill, so
+    each write is O(1) — a single growing int would shift the whole
+    stream per write, making large-block encodes quadratic."""
 
-    __slots__ = ("val", "bits")
+    __slots__ = ("chunks", "acc", "acc_bits", "bits")
 
     def __init__(self):
-        self.val = 0
+        self.chunks = bytearray()  # oldest-first (big-endian order)
+        self.acc = 0
+        self.acc_bits = 0
         self.bits = 0
 
     def write(self, v: int, n: int) -> None:
@@ -248,17 +253,24 @@ class _BitWriter:
             return
         if v < 0 or v >> n:
             raise ValueError(f"bit value {v} does not fit in {n} bits")
-        self.val = (self.val << n) | v
+        self.acc = (self.acc << n) | v
+        self.acc_bits += n
         self.bits += n
+        while self.acc_bits >= 8:
+            self.acc_bits -= 8
+            self.chunks.append((self.acc >> self.acc_bits) & 0xFF)
+            self.acc &= (1 << self.acc_bits) - 1
 
     def finish(self) -> bytes:
         # sentinel 1 sits DIRECTLY above the data bits; any padding to
         # the byte boundary is the zero high bits of the last byte (the
         # backward reader locates the sentinel as that byte's highest
         # set bit, so data bits start immediately below it)
-        total = self.bits + 1
-        out = (1 << self.bits) | self.val
-        return out.to_bytes((total + 7) // 8, "little")
+        body = (
+            int.from_bytes(bytes(self.chunks), "big") << self.acc_bits
+        ) | self.acc
+        out = (1 << self.bits) | body
+        return out.to_bytes((self.bits + 1 + 7) // 8, "little")
 
 
 # ---------------------------------------------------------------------------
