@@ -737,9 +737,19 @@ def read_compressed_jsonl_stream(
         from pipeline_mf_etl_spark.sources.zstdframe import decode_zstd_stream
 
         decode, glob = decode_zstd_stream, "*.jsonl.zst"
+    elif codec == "gzip":
+        # the most common shard format of all; multi-member per the
+        # Common-Crawl convention (sources/warc.py splitter), contents
+        # concatenate — the fully verified stdlib-zlib walk
+        from pipeline_mf_etl_spark.sources.warc import split_gzip_members
+
+        def _gz(blob: bytes) -> dict:
+            return {"content": b"".join(split_gzip_members(blob))}
+
+        decode, glob = _gz, "*.jsonl.gz"
     else:
         raise ValueError(
-            f"unsupported stream codec {codec!r} (lz4|snappy|zstd)"
+            f"unsupported stream codec {codec!r} (lz4|snappy|zstd|gzip)"
         )
 
     from pyspark.sql.types import (

@@ -729,3 +729,48 @@ def test_tws_running_stats_matches_batch_or_gates_loudly(spark):
         .collect()
     }
     assert got == want
+
+
+class TestGzipDropZone:
+    def test_jsonl_gz_stream_with_corrupt_shard(self, spark, tmp_path):
+        """The .jsonl.gz drop-zone leg: multi-member shards concatenate,
+        bad lines and a corrupt member become reject rows."""
+        import json
+
+        from pipeline_mf_etl_spark.sources.warc import gzip_member
+        from pipeline_mf_etl_spark.streaming.transforms import (
+            read_compressed_jsonl_stream,
+        )
+
+        zone = tmp_path / "gzzone"
+        zone.mkdir()
+        lines = [
+            json.dumps({"doc_id": 1, "text": "alpha", "lang": "en",
+                        "source": "web", "n_chars": 5}),
+            "not json at all {",
+        ]
+        # two members in one shard: contents concatenate
+        (zone / "shard-0.jsonl.gz").write_bytes(
+            gzip_member(("\n".join(lines) + "\n").encode())
+            + gzip_member(b'{"doc_id": 2, "text": "beta"}\n')
+        )
+        good = gzip_member(b'{"doc_id": 3, "text": "gamma"}\n')
+        (zone / "shard-1.jsonl.gz").write_bytes(good)
+        (zone / "shard-2.jsonl.gz").write_bytes(good[:-4])  # truncated
+        (zone / "ignored.jsonl").write_text("{}")
+
+        q = (
+            read_compressed_jsonl_stream(spark, str(zone), codec="gzip")
+            .writeStream.format("memory")
+            .queryName("gz_ingest")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from gz_ingest").collect()
+        docs = {r["doc_id"]: r for r in rows if r["reject_reason"] is None}
+        rejects = [r for r in rows if r["reject_reason"] is not None]
+        assert set(docs) == {1, 2, 3}
+        assert docs[2]["text"] == "beta"  # second member's line arrived
+        reasons = sorted(r["reject_reason"].split(":")[0] for r in rejects)
+        assert reasons == ["BAD_FRAME", "BAD_JSON"]
