@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import time
 
 from pyspark.sql import functions as F
@@ -190,30 +191,25 @@ def main() -> None:
     # knowingly.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    # Host-speed calibration: a fixed data-independent JVM job (codegen
-    # sum over a generated range). Rounds run on a shared virtualized
-    # box whose effective speed shifts between boots; this constant
-    # workload lets cross-round query timings be normalized
-    # (query_sec / calib_sec) instead of read as raw regressions.
-    calib = None
-    for _ in range(3):
+    # Host-speed calibration: two fixed data-independent JVM jobs.
+    # (1) codegen sum over a generated range — pure whole-stage-codegen
+    # arithmetic; (2) a shuffle+window job (r6 verdict task 7) that
+    # exercises a real exchange, a per-key ordered window and its sort,
+    # the machinery shuffle/window-shaped queries actually spend time
+    # in. Rounds run on a shared virtualized box whose effective speed
+    # shifts between boots AND within a session (the r12 bench ran next
+    # to a test suite and printed a phantom +9.6%), so the probes are
+    # INTERLEAVED with the headline loop — one sample of each before
+    # the loop, between every full round, and after — and the MEDIAN is
+    # published: a contended stretch mid-run then moves the calibrator
+    # with the queries it poisoned instead of being missed entirely
+    # (r12 verdict task 2).
+    def _calib_range_once() -> float:
         t0 = time.perf_counter()
         spark.range(1_000_000_000).selectExpr("sum(id * 2)").collect()
-        dt = time.perf_counter() - t0
-        calib = dt if calib is None else min(calib, dt)
+        return time.perf_counter() - t0
 
-    # Second calibrator (r6 verdict task 7): the range-sum job is pure
-    # whole-stage-codegen arithmetic and missed an r5→r6 drift that hit
-    # shuffle/window-shaped queries (+8-15%) while itself staying flat.
-    # This job exercises the machinery those queries actually spend
-    # time in — a real exchange (hash partitioning, serialization), a
-    # per-key ordered window, and the sort that feeds it — over
-    # generated data, so host-state shifts in shuffle/GC/memory show up
-    # here even when raw arithmetic speed is unchanged. Cross-round
-    # comparisons should normalize window/join-shaped queries by THIS
-    # number and scan/arithmetic-shaped ones by calib_range_sum_sec.
-    calib_sw = None
-    for _ in range(3):
+    def _calib_sw_once() -> float:
         t0 = time.perf_counter()
         (
             spark.range(20_000_000)
@@ -226,8 +222,10 @@ def main() -> None:
             .selectExpr("COUNT(*)", "SUM(s)")
             .collect()
         )
-        dt = time.perf_counter() - t0
-        calib_sw = dt if calib_sw is None else min(calib_sw, dt)
+        return time.perf_counter() - t0
+
+    calib_samples: list[float] = [_calib_range_once()]
+    calib_sw_samples: list[float] = [_calib_sw_once()]
 
     # INTERLEAVED rounds (all queries once per round, then repeat):
     # back-to-back repetitions of one query sit inside the same
@@ -244,6 +242,10 @@ def main() -> None:
             _force(spec.spark(spark, sf_dir))
             dt = time.perf_counter() - t0
             best[name] = min(best.get(name, dt), dt)
+        calib_samples.append(_calib_range_once())
+        calib_sw_samples.append(_calib_sw_once())
+    calib = statistics.median(calib_samples)
+    calib_sw = statistics.median(calib_sw_samples)
     total = 0.0
     for name in HEADLINE:
         if name in best:
@@ -326,6 +328,9 @@ def main() -> None:
     # pins the r11 48-query headline so the r12+ delta is one line
     comparable_48 = [n for n in HEADLINE[:48] if n in timings]
     comparable_48_total = round(sum(timings[n] for n in comparable_48), 3)
+    # pins the r12 50-query headline (adds c7/c8) for the r13+ delta
+    comparable_50 = [n for n in HEADLINE[:50] if n in timings]
+    comparable_50_total = round(sum(timings[n] for n in comparable_50), 3)
     shared_prev = None
     import glob
 
@@ -350,6 +355,29 @@ def main() -> None:
             "this_total": round(sum(timings[n] for n in inter), 3),
             "prev_total": round(sum(prev["queries"][n] for n in inter), 3),
         }
+        # Calibration-normalized pair (r12 verdict task 2): divide each
+        # query by the shape-matched calibrator of ITS OWN round, so a
+        # session-speed shift moves both sides together and the ratio
+        # isolates code changes. Only possible when the prev round
+        # published both calibrators.
+        pc, pcsw = prev.get("calib_range_sum_sec"), prev.get(
+            "calib_shuffle_window_sec"
+        )
+        if pc and pcsw:
+            shared_prev["this_total_normalized"] = round(
+                sum(
+                    timings[n] / (calib if n in scan_shaped else calib_sw)
+                    for n in inter
+                ),
+                3,
+            )
+            shared_prev["prev_total_normalized"] = round(
+                sum(
+                    prev["queries"][n] / (pc if n in scan_shaped else pcsw)
+                    for n in inter
+                ),
+                3,
+            )
         break
 
     # Bulky diagnostic sections (normalized timings, codec phase split)
@@ -382,6 +410,7 @@ def main() -> None:
         "comparable_14_total": comparable_14_total,
         "comparable_31_total": comparable_31_total,
         "comparable_48_total": comparable_48_total,
+        "comparable_50_total": comparable_50_total,
         "shared_prev_round_total": shared_prev,
     }))
 

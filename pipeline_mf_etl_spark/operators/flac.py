@@ -459,14 +459,20 @@ def _read_residual(br: _BitReader, order: int, block: int) -> np.ndarray:
     for part in range(nparts):
         n = (block >> partition_order) - (order if part == 0 else 0)
         param = br.read(4)
-        if n == 0:
-            continue
         if param == _RICE_ESCAPE:
+            # read the 5-bit raw_bits field even for n == 0 so the
+            # bitstream stays aligned (ADVICE r12: libFLAC accepts a
+            # zero-sample first partition; skipping the field here
+            # would silently desync if the order guard above relaxes)
             raw_bits = br.read(5)
+            if n == 0:
+                continue
             if raw_bits == 0:
                 parts.append(np.zeros(n, dtype=np.int64))
             else:
                 parts.append(br.read_signed_block(n, raw_bits))
+            continue
+        if n == 0:
             continue
         u = br.read_rice_block(n, param)
         parts.append((u >> 1) ^ -(u & 1))  # un-zigzag

@@ -28,12 +28,9 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 
 # Modules that register queries on import. Order matters: the driver's
 # correctness harness certifies the first 50 registered queries; the
-# _PRIORITY tuple below pins the ROUND-12 window exactly (see its
-# section comments). OUTSIDE the round-12 window: everything green
-# r8-r11 on code untouched this round — the r13 rotation starts with
-# j5_state_mapping (ceded its slot to c8's mid-round registration),
-# then the 15 r8 leftovers (b10, b11, d11, t14, m6, a8, a9, a12, a13,
-# j6, o6, d10, m13/m14/m15), then the r9 cohort.
+# _PRIORITY tuple below pins the current certification window exactly
+# and is the SINGLE source of truth for the rotation (the r12 verdict
+# asked that the prose never restate the list — read the tuple).
 # NOTE: viewer's v2 oracle imports queries.backtest at decoration time,
 # so keep backtest ahead of viewer in this list (otherwise backtest's
 # queries register mid-viewer-import and the fill order shifts).
@@ -67,83 +64,74 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.graph",
 )
 
-# ROUND-12 WINDOW (the r11 verdict's ranked tasks 1/3/4): the five
-# r11 red rows re-certify FIRST — their failures were a HUGEINT oracle
-# formatting defect (integer SUM without CAST AS BIGINT), fixed this
-# round and now mechanically enforced by
-# tests/test_parity.py::test_oracle_output_types_hash_stable. Then the
-# NEW r12 code (c7 zstd), then the 12 r7-stale rows that ceded slots
-# to r11's new queries, then 32 of the 47-row r8 cohort —
-# heavily-composed parents first (a1, p2_p3, b6, w6 per the verdict),
-# then the backtest/quality/window/agg/join chains. The 15 r8
-# leftovers head the r13 rotation: b10_sensitivity_grid,
-# b11_robustness_score, d11_containment, t14_boilerplate_lines,
-# m6_density_clusters, a8_topk_parts, a9_null_rates,
-# a12_quantile_edges, a13_orders_by_year, j6_overlay_coverage,
-# o6_anti_join, d10_record_linkage, m13/m14/m15 bootstrap family.
-# Rotated out (green r9/r10/r11, code untouched): the r11 window.
-# The permanently-red no-oracle variants (a16/a17/a18/o4) are now
+# ROUND-13 WINDOW (the r12 verdict's ranked task 1): the 16 queries
+# whose latest green is r8 (4 rounds of drift risk) re-certify FIRST,
+# then this round's new code (st13/c9, inserted when registered), then
+# the oldest r9 cohort fills the remaining slots — composed dedup/ANN
+# parents first, then text/viewer/backtest/stats chains. Names past
+# slot 50 stay ordered and head the r14 rotation (the staleness test
+# below forces them into the r14 window mechanically).
+# Rotated out (green r10-r12, code untouched): the r12 window.
+# The permanently-red no-oracle variants (a16/a17/a18/o4) are
 # driver_visible=False — certified via their exact twins + property
-# tests — so no window can contain a red-by-design row again.
+# tests — so no window can contain a red-by-design row.
 _PRIORITY = (
-    # --- (1) the five HUGEINT-oracle re-certs (engine values verified
-    # correct in the r11 verdict; oracle SQL fixed this round) ---
-    "c4_avro_extract",
-    "wd1_webdataset_roundtrip",
-    "mm25_flac_decode",
-    "mm26_mp3_probe",
-    "d12_url_domain_rollup",
-    # --- (2) new r12 code ---
-    "c7_zstd_extract",
-    "c8_seekable_extract",
-    # --- (3) the r7-stale rotation (verdict task 3) + o4b (r8) ---
-    "a19_cube",
-    "a7_region_rollup",
-    "d9_source_dup_matrix",
-    "e8_pca_project",
-    "g1_pagerank_neardup",
-    "g2_pagerank_weighted",
-    "j11_asof_join",
-    "j12_star_join",
-    "j13_interval_lookup",
-    "j7_j10_profile_joins",
-    "o5_union_by_name",
-    "o7_distinct_counts",
-    "o4b_hash_sample",
-    # --- (4) r8 cohort fill, heavily-composed parents first ---
-    "a1_grouped_stats",
-    "p2_p3_quality_flags",
-    "b6_trade_sim",
-    "w6_run_length",
-    "b1_input_adapter",
-    "b2_state_eligibility",
-    "b3_overlay_pass_modes",
-    "b4_execution_realism",
-    "b5_signals",
-    "b7_trade_metrics",
-    "b8_equity_curve",
-    "p1_normalize",
-    "p4_quality_report",
-    "p6_input_cleaning",
-    "p7_filters",
-    "w4_cumulative",
-    "w5_bars_since_event",
-    "w7_pivot_detection",
-    "w8_w10_event_flags",
-    "w11_w13_burst_activity",
-    "w14_forward_labels",
-    "w15_duplicate_flag",
-    "w16_dedupe_keep_first",
-    "w17_latest_per_group",
-    "w18_range_window",
-    "a2_conditional_aggregates",
-    "a4_horizontal_aggs",
-    "a5_crosstab",
-    "a6_rows_by_year",
-    "j2_broadcast_enrich",
-    # 51st name: c8's mid-round registration pushed this out of the
-    # 50-slot window — it stays r8-certified and heads the r13 fill
+    # --- (1) the 16 r8-stale re-certs (verdict task 1 head) ---
     "j5_state_mapping",
+    "j6_overlay_coverage",
+    "a8_topk_parts",
+    "a9_null_rates",
+    "a12_quantile_edges",
+    "a13_orders_by_year",
+    "b10_sensitivity_grid",
+    "b11_robustness_score",
+    "d10_record_linkage",
+    "d11_containment",
+    "m6_density_clusters",
+    "m13_bootstrap_ci",
+    "m14_block_bootstrap",
+    "m15_pairwise_diff_ci",
+    "o6_anti_join",
+    "t14_boilerplate_lines",
+    # --- (2) new r13 code ---
+    "st13_dropzone_ingest",
+    # --- (3) r9 cohort fill: dedup/ANN chains first ---
+    "d1_exact_dedupe",
+    "d3_simhash",
+    "d4_ngram_jaccard",
+    "d5_neardup_groups",
+    "d6_canonical_docs",
+    "d7_curation_waterfall",
+    "d8_substring_dedup",
+    "e1_ann_bruteforce",
+    "e2_ann_bucketed",
+    "e3_embedding_neardup",
+    "e4_ann_ivf",
+    "e5_ann_pq",
+    "e6_ann_ivfpq",
+    "t2_quality_score",
+    "t3_top_terms",
+    "t4_fingerprint",
+    "t5_token_stats",
+    "v1_tmf_tti_panel",
+    "v2_viewer_markers",
+    "v3_reading_labels",
+    "b12_walkforward_grid",
+    "b13_candidate_drift",
+    "b14_calibration_sweep",
+    "b15_equity_summary",
+    "m1_global_scaler",
+    "m2_per_group_scaler",
+    "m8_state_profiles",
+    "m12_dwell_stats",
+    "m17_frobenius_stability",
+    "m17_trend_slope",
+    "m18_hardening_policy",
+    "j8_transition_matrix",
+    # --- names below slot 50 head the r14 rotation ---
+    "g3_triangle_count",
+    "w22_funnel_steps",
+    "st2_sliding_windows",
 )
 
 

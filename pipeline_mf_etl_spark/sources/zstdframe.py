@@ -649,9 +649,7 @@ def huf_build_weights(hist: dict[int, int]) -> list[int] | None:
     if max_depth > _HUF_MAX_BITS:
         return None  # depth-limiting not implemented; caller stores raw
     last = max(depths)
-    if last > 254:  # direct header caps transmitted weights at 128
-        return None
-    if last + 1 - 1 > 128:  # transmitted count = last symbol index
+    if last > 254:  # format cap: at most 255 transmitted weights
         return None
     weights = [0] * (last + 1)
     for s, d in depths.items():
@@ -659,21 +657,27 @@ def huf_build_weights(hist: dict[int, int]) -> list[int] | None:
     return weights
 
 
-def huf_write_weights(weights: list[int]) -> bytes:
+def huf_write_weights(weights: list[int]) -> bytes | None:
     """Huffman_Tree_Description, FSE-compressed when that is smaller
     than the direct 4-bit-pair form (the last weight is deduced by the
-    decoder and must not be transmitted either way)."""
+    decoder and must not be transmitted either way). The direct header
+    carries at most 128 weights; when the last symbol exceeds 128
+    (non-ASCII / binary alphabets) only the FSE transport applies, and
+    None is returned if it does not fit — the caller stores literals
+    raw (ADVICE r12: this path used to reject every alphabet > 128)."""
     transmitted = weights[:-1]
     n = len(transmitted)
-    if not 1 <= n <= 128:
-        raise ValueError(f"cannot transmit {n} direct Huffman weights")
+    if not 1 <= n <= 255:
+        raise ValueError(f"cannot transmit {n} Huffman weights")
+    fse = _huf_write_weights_fse(transmitted)
+    if n > 128:
+        return fse  # direct form impossible; may be None
     out = bytearray([127 + n])
     for i in range(0, n, 2):
         hi = transmitted[i]
         lo = transmitted[i + 1] if i + 1 < n else 0
         out.append((hi << 4) | lo)
     direct = bytes(out)
-    fse = _huf_write_weights_fse(transmitted)
     return fse if fse is not None and len(fse) < len(direct) else direct
 
 
@@ -1304,10 +1308,11 @@ def _encode_literals_section(lits: bytes, ctx: _EncCtx | None = None) -> bytes:
             hist[b] = hist.get(b, 0) + 1
         weights = huf_build_weights(hist)
         if weights is not None:
-            table = HufTable(weights)
             tree = huf_write_weights(weights)
-            compressed = _huf_section(lits, table, tree, 0b10)
-            new_table = table
+            if tree is not None:  # None: >128 weights and FSE didn't fit
+                table = HufTable(weights)
+                compressed = _huf_section(lits, table, tree, 0b10)
+                new_table = table
         # Treeless: reuse the frame's previous table when it covers
         # this block's alphabet and beats retransmitting a tree
         prev = ctx.huf_table if ctx is not None else None
@@ -1527,6 +1532,12 @@ def encode_zstd_frame(
     if block_size > 128 * 1024:
         raise ValueError("zstd caps blocks at min(window, 128 KiB)")
     n = len(content)
+    if single_segment and n > _WINDOW_CAP:
+        # a single-segment frame's window IS the content size, which
+        # this repo's own decoder gates at _WINDOW_CAP — fall back to a
+        # bounded window descriptor instead of emitting an undecodable
+        # frame (ADVICE r12)
+        single_segment = False
     if single_segment:
         if n < 256:
             fhd = 0x20

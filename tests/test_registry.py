@@ -76,3 +76,45 @@ def test_no_query_escapes_certification_window():
         f"nor ever driver-certified: {sorted(uncovered)} — add them to "
         f"_PRIORITY in queries/registry.py"
     )
+
+
+def test_no_certification_older_than_four_rounds():
+    """r12 verdict task 9: certification freshness as code. Every
+    driver-visible query whose latest driver-green round is more than 4
+    rounds behind the CURRENT round (max CORRECTNESS round + 1) must sit
+    inside the current 50-slot window — i.e. the rotation can never let
+    a row drift past 4 rounds without re-certification."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as entry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest_green: dict[str, int] = {}
+    rounds = []
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        rounds.append(rnd)
+        with open(f, encoding="utf-8") as fh:
+            for q, row in json.load(fh).items():
+                ok = (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match") is not False
+                )
+                if ok:
+                    latest_green[q] = max(latest_green.get(q, 0), rnd)
+    if not rounds:
+        return  # fresh clone without driver artifacts
+    current = max(rounds) + 1
+    window = set(list(entry.queries())[:50])
+    overdue = sorted(
+        q
+        for q, rnd in latest_green.items()
+        if q in entry.queries() and current - rnd > 4 and q not in window
+    )
+    assert not overdue, (
+        f"queries whose latest green is >4 rounds stale and NOT in the "
+        f"current window: {overdue} — rotate them into _PRIORITY"
+    )

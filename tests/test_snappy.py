@@ -157,6 +157,23 @@ class TestC6Query:
             elif r["content_size"] >= 64:
                 assert r["n_uncompressed_chunks"] < r["n_chunks"]
 
+    def test_corpus_texts_exceed_compressibility_threshold(self):
+        """ADVICE r12: forced_raw is derived from stream accounting and
+        matches the oracle's doc_id % 5 arithmetic ONLY because every
+        unforced doc compresses at least one chunk. A text of length
+        <= 1 cannot form a 4-byte match even tripled, which would flip
+        the derived column and red the c6 row. Pin the data-side
+        assumption: every documents.text in the oracle corpora is long
+        enough (>= 4 chars; observed minimum is 44) that the x3
+        synthesis repetition guarantees a match."""
+        import duckdb
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            (mn,) = duckdb.execute(
+                f"SELECT min(length(text)) FROM read_parquet('{sf}/documents.parquet')"
+            ).fetchone()
+            assert mn >= 4, f"{sf}: min text length {mn} below snappy match size"
+
 
 class TestSnappyStream:
     def test_drop_zone_stream(self, spark, tmp_path):

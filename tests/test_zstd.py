@@ -691,6 +691,19 @@ class TestC7Query:
         assert "exchange hashpartitioning" not in plan
         assert plan.count("exchange roundrobinpartitioning") <= 1  # fan-out
 
+    def test_c8_oracle_pins_live_seek_constants(self):
+        """r12 verdict nit 3: the c8 oracle text interpolates
+        _SEEK_FRAME/_SEEK_SLICE at import time. Assert the REGISTERED
+        SQL carries the live module values so a second registration
+        site (or a stale pickle of the oracle string) changing one side
+        alone fails here, not at judge time."""
+        from pipeline_mf_etl_spark.queries import corpus_ingest as ci
+
+        oracle = all_queries()["c8_seekable_extract"].oracle
+        assert f"{{_SEEK" not in oracle  # f-string actually expanded
+        assert f"// {ci._SEEK_FRAME} AS BIGINT" in oracle
+        assert f"LEAST({ci._SEEK_SLICE}, total - off)" in oracle
+
     def test_real_corpus_blocks_compress(self, spark):
         """The x3 repetition must engage the compressed-block path on
         real corpus text — the compressor-property column the c7 query
