@@ -495,3 +495,128 @@ def st12_daily_rollup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# st13: the four-codec compressed-JSONL drop zone promoted from library
+# op to registered query (r12 verdict task 3) — public corpora are
+# distributed as .jsonl.{gz,lz4,sz,zst} shards, and this certifies the
+# full ingest path end to end: deterministic shard synthesis through
+# the repo's own verified encoders, checkpointed binaryFile readStream
+# per codec, frame decode + line parse with the rejects side-channel
+# (one corrupt shard, one bad JSON line — both become reason-tagged
+# rows the oracle replays, never a wedged stream), foreachBatch into a
+# codec/batch_id-partitioned sink, result = the table read back.
+# Reference analog: the ingest layer's file-grain decompression
+# (ingest/read_txt.py:97-186), here at shard grain with four codecs.
+# ---------------------------------------------------------------------------
+_ST13_ORACLE = """
+    WITH assigned AS (
+        SELECT doc_id, text, lang, source,
+               CAST(doc_id % 4 AS INT) AS ci,
+               CASE WHEN doc_id % 8 < 4 THEN 0 ELSE 1 END AS si
+        FROM documents
+    ), numbered AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY ci, si ORDER BY doc_id) - 1
+                   AS line_no
+        FROM assigned
+    )
+    SELECT 'docs-' || ci || '-' || si || '.jsonl.' ||
+           CASE ci WHEN 0 THEN 'gz' WHEN 1 THEN 'lz4'
+                   WHEN 2 THEN 'sz' ELSE 'zst' END AS shard,
+           CAST(line_no AS BIGINT) AS line_no,
+           doc_id, text, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(NULL AS VARCHAR) AS reject_reason
+    FROM numbered
+    UNION ALL
+    SELECT 'docs-0-0.jsonl.gz',
+           (SELECT COUNT(*) FROM documents
+            WHERE doc_id % 4 = 0 AND doc_id % 8 < 4),
+           NULL, 'not json {', NULL, NULL, NULL, 'BAD_JSON'
+    UNION ALL
+    SELECT 'corrupt-z.jsonl.zst', NULL, NULL, NULL, NULL, NULL, NULL,
+           'BAD_FRAME'
+"""
+
+
+@query("st13_dropzone_ingest", eager=True, oracle=_ST13_ORACLE)
+def st13_dropzone_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-codec drop-zone ingest, end to end. EAGER: synthesizes the
+    shard files and drains the four streaming queries at build time.
+
+    Shard assignment is pure doc_id arithmetic so the oracle can replay
+    it: codec = doc_id % 4 (gz/lz4/sz/zst), sub-shard = doc_id % 8 < 4,
+    lines sorted by doc_id. One trailing non-JSON line in the first
+    gzip shard and one bad-magic zstd shard exercise the rejects path;
+    reject_reason is normalized to its class (the BAD_FRAME detail
+    carries the decoder's exception text, which SQL cannot replay)."""
+    import gzip
+    import json
+    import os
+    import tempfile
+
+    from pipeline_mf_etl_spark.sources.lz4frame import encode_lz4_frame
+    from pipeline_mf_etl_spark.sources.snappyframe import encode_snappy_frame
+    from pipeline_mf_etl_spark.sources.zstdframe import encode_zstd_frame
+    from pipeline_mf_etl_spark.streaming import ingest_dropzone_jsonl
+
+    root = tempfile.mkdtemp(prefix="st13_")
+    zone = os.path.join(root, "zone")
+    os.makedirs(zone)
+
+    # fixture synthesis: the corpus is small by contract (drop-zone
+    # shards are built once, driver-side, through the verified encoders)
+    docs = sorted(
+        (r["doc_id"], r["text"], r["lang"], r["source"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .collect()
+    )
+    shards: dict[tuple[int, int], list[str]] = {}
+    for doc_id, text, lang, source in docs:
+        key = (doc_id % 4, 0 if doc_id % 8 < 4 else 1)
+        shards.setdefault(key, []).append(
+            json.dumps(
+                {
+                    "doc_id": doc_id,
+                    "text": text,
+                    "lang": lang,
+                    "source": source,
+                    "n_chars": len(text) if text is not None else None,
+                }
+            )
+        )
+    encoders = {
+        0: ("gz", lambda b: gzip.compress(b)),
+        1: ("lz4", encode_lz4_frame),
+        2: ("sz", encode_snappy_frame),
+        3: ("zst", encode_zstd_frame),
+    }
+    for (ci, si), lines in sorted(shards.items()):
+        ext, enc = encoders[ci]
+        if (ci, si) == (0, 0):
+            lines = lines + ["not json {"]  # the bad-line reject probe
+        blob = enc("\n".join(lines).encode("utf-8"))
+        with open(os.path.join(zone, f"docs-{ci}-{si}.jsonl.{ext}"), "wb") as fh:
+            fh.write(blob)
+    with open(os.path.join(zone, "corrupt-z.jsonl.zst"), "wb") as fh:
+        fh.write(b"\x00" * 32)  # bad magic -> BAD_FRAME reject row
+
+    for q in ingest_dropzone_jsonl(
+        spark, zone, os.path.join(root, "out"), os.path.join(root, "ckpt")
+    ):
+        q.awaitTermination(600)
+
+    out = spark.read.parquet(os.path.join(root, "out"))
+    return out.select(
+        F.regexp_extract("shard", "([^/]+)$", 1).alias("shard"),
+        "line_no",
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.split("reject_reason", ":").getItem(0).alias("reject_reason"),
+    )

@@ -843,3 +843,50 @@ def read_compressed_jsonl_stream(
         .load(path)
     )
     return raw.select("path", "content").mapInPandas(extract, schema)
+
+
+def ingest_dropzone_jsonl(
+    spark: SparkSession,
+    zone_dir: str,
+    out_dir: str,
+    checkpoint_root: str,
+    codecs: tuple[str, ...] = ("gzip", "lz4", "snappy", "zstd"),
+):
+    """Drive the four-codec compressed-JSONL drop zone end to end: one
+    checkpointed readStream per codec (each picks up only its own
+    ``*.jsonl.<ext>`` shards) -> foreachBatch -> a
+    ``codec=<c>/batch_id=<N>`` partitioned parquet table. Reject rows
+    (corrupt frame, undecodable line) ride the same table inline via
+    ``reject_reason`` — the side channel a curation pipeline audits.
+
+    Idempotence follows the ingest_with_growing_lsh_index convention:
+    a batch subdir with ``_SUCCESS`` is skipped on replay; a partial
+    one is recomputed and overwritten (the file source redelivers the
+    same shard set for the same batch_id, and shard parsing is pure).
+
+    Returns the started StreamingQuery list (availableNow trigger;
+    caller awaits each).
+    """
+    import os
+
+    queries = []
+    for codec in codecs:
+        parsed = read_compressed_jsonl_stream(spark, zone_dir, codec=codec)
+
+        def _process(batch: DataFrame, batch_id: int, _codec=codec) -> None:
+            if len(batch.take(1)) == 0:
+                return
+            sub = os.path.join(out_dir, f"codec={_codec}", f"batch_id={batch_id}")
+            if os.path.isfile(os.path.join(sub, "_SUCCESS")):
+                return  # replayed fully-committed batch
+            batch.write.mode("overwrite").parquet(sub)
+
+        queries.append(
+            parsed.writeStream.foreachBatch(_process)
+            .option(
+                "checkpointLocation", os.path.join(checkpoint_root, codec)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+    return queries

@@ -774,3 +774,60 @@ class TestGzipDropZone:
         assert docs[2]["text"] == "beta"  # second member's line arrived
         reasons = sorted(r["reject_reason"].split(":")[0] for r in rejects)
         assert reasons == ["BAD_FRAME", "BAD_JSON"]
+
+
+class TestSt13DropzoneIngest:
+    def test_st13_matches_oracle(self, spark, duck):
+        """The registered four-codec drop-zone ingest: synthesized
+        shards -> per-codec checkpointed streams -> foreachBatch sink
+        -> read-back equals the doc_id-arithmetic SQL replay, reject
+        rows (one corrupt shard, one bad line) included."""
+        from tests.conftest import SF_ORACLE, canonical_rows
+
+        from pipeline_mf_etl_spark.queries import all_queries
+
+        spec = all_queries()["st13_dropzone_ingest"]
+        sdf = spec.spark(spark, SF_ORACLE)
+        srows = [tuple(r) for r in sdf.collect()]
+        cur = duck.execute(spec.oracle)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        assert sorted(sdf.columns) == sorted(dcols)
+        assert len(srows) == len(drows)
+        assert canonical_rows(srows, sdf.columns) == canonical_rows(drows, dcols)
+        # the rejects side-channel carries hash signal: exactly one
+        # BAD_FRAME (the corrupt zstd shard) and one BAD_JSON row
+        reasons = sorted(
+            r[sdf.columns.index("reject_reason")]
+            for r in srows
+            if r[sdf.columns.index("reject_reason")] is not None
+        )
+        assert reasons == ["BAD_FRAME", "BAD_JSON"]
+
+    def test_ingest_dropzone_replay_is_idempotent(self, spark, tmp_path):
+        """A committed batch subdir is skipped on re-run from a fresh
+        checkpoint only when _SUCCESS is present; the sink never
+        duplicates rows for a replayed batch."""
+        import gzip
+        import json
+
+        from pipeline_mf_etl_spark.streaming import ingest_dropzone_jsonl
+
+        zone = tmp_path / "zone"
+        zone.mkdir()
+        (zone / "a.jsonl.gz").write_bytes(
+            gzip.compress(json.dumps({"doc_id": 7, "text": "x"}).encode())
+        )
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck1")
+        for q in ingest_dropzone_jsonl(spark, str(zone), out, ckpt, ("gzip",)):
+            q.awaitTermination(120)
+        first = spark.read.parquet(out).collect()
+        # replay with a FRESH checkpoint: batch_id=0 redelivers the same
+        # shard; the committed subdir short-circuits the rewrite
+        for q in ingest_dropzone_jsonl(
+            spark, str(zone), out, str(tmp_path / "ck2"), ("gzip",)
+        ):
+            q.awaitTermination(120)
+        second = spark.read.parquet(out).collect()
+        assert len(first) == len(second) == 1
+        assert second[0]["doc_id"] == 7
