@@ -638,6 +638,50 @@ C6_ORACLE = """
 # Registrations live at the bottom because each oracle is assembled
 # from SQL-fragment helpers defined between the builders above (the
 # decorator form would need the oracle text before the function).
+# ---------------------------------------------------------------------------
+# c9 — multistream bzip2 extraction (sources/bzip2.py: the container
+# Wikipedia dumps ship in — full RLE1/BWT/MTF/Huffman decode with
+# per-block and per-stream CRC verification, cross-validated against
+# stdlib bz2 in both directions by tests/test_bzip2.py; registered
+# r13). The multistream split (independent byte-aligned streams, the
+# dump index's record-grain access primitive) is what a 1000-executor
+# ingest parallelizes on — the same role gzip members play in c1.
+# Reference analog: ingest/read_txt.py:97-186 (file-grain
+# decompression feeding the ingest layer).
+# ---------------------------------------------------------------------------
+
+
+def c9_bzip2_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode one multistream bzip2 payload per document (2 + doc_id%2
+    independent streams of ``text\\n`` each, level digit cycling
+    1 + doc_id%9, 512-byte blocks) through the fully verified walk and
+    emit stream/block accounting + content integrity. Map-only Arrow
+    pass; the oracle replays the stream arithmetic BYTE-exactly
+    (strlen, not length — the r12 non-ASCII convention) and the md5
+    from the characters."""
+    from pipeline_mf_etl_spark.sources.bzip2 import (
+        extract_bzip2_documents,
+        with_bzip2_payload,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return extract_bzip2_documents(with_bzip2_payload(docs))
+
+
+C9_ORACLE = """
+    SELECT doc_id,
+           CAST(2 + doc_id % 2 AS BIGINT) AS n_streams,
+           CAST((2 + doc_id % 2) * ((strlen(text) + 1 + 511) // 512)
+               AS BIGINT) AS n_blocks,
+           CAST(1 + doc_id % 9 AS BIGINT) AS level,
+           CAST((2 + doc_id % 2) * (strlen(text) + 1) AS BIGINT)
+               AS content_size,
+           md5(repeat(text || chr(10), 2 + doc_id % 2)) AS content_md5,
+           text AS text_out
+    FROM documents
+"""
+
+
 query("c1_warc_extract", oracle=C1_ORACLE)(c1_warc_extract)
 query("c2_zip_extract", oracle=C2_ORACLE)(c2_zip_extract)
 query("c3_pdf_extract", oracle=C3_ORACLE)(c3_pdf_extract)
@@ -646,5 +690,6 @@ query("c5_lz4_extract", oracle=C5_ORACLE)(c5_lz4_extract)
 query("c6_snappy_extract", oracle=C6_ORACLE)(c6_snappy_extract)
 query("c7_zstd_extract", oracle=C7_ORACLE)(c7_zstd_extract)
 query("c8_seekable_extract", oracle=C8_ORACLE)(c8_seekable_extract)
+query("c9_bzip2_extract", oracle=C9_ORACLE)(c9_bzip2_extract)
 query("t15_html_extract", oracle=T15_ORACLE)(t15_html_extract)
 query("wd1_webdataset_roundtrip", oracle=WD1_ORACLE)(wd1_webdataset_roundtrip)

@@ -95,6 +95,7 @@ _PRIORITY = (
     "t14_boilerplate_lines",
     # --- (2) new r13 code ---
     "st13_dropzone_ingest",
+    "c9_bzip2_extract",
     # --- (3) r9 cohort fill: dedup/ANN chains first ---
     "d1_exact_dedupe",
     "d3_simhash",
