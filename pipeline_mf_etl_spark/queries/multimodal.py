@@ -26,6 +26,29 @@ def _docs(spark, sf_dir):
     return fan_out(load_table(spark, sf_dir, "documents"))
 
 
+def _byte_at(hx: str, pos: str) -> str:
+    """SQL for the 1-based BYTE at ``pos`` of a UTF-8 string whose hex
+    expansion is ``hx`` (DuckDB cannot index BLOB bytes directly; the
+    i-th byte is the i-th hex pair). Replaces the pre-r13
+    ``ord(substr(text, i, 1))`` idiom, whose code-point semantics only
+    matched the engine's byte-based synthesis on pure-ASCII corpora
+    (r12 verdict task 5); with this form the oracles are byte-exact on
+    ANY corpus and tests/test_multimodal.py::test_corpus_is_ascii is
+    no longer load-bearing for hash parity."""
+    return (
+        f"CAST('0x' || substring({hx}, CAST(2 * ({pos}) - 1 AS INTEGER), 2) "
+        "AS INTEGER)"
+    )
+
+
+#: every-byte iteration form of the same migration: one row per UTF-8
+#: byte of ``text``, in order (hex pairs via regexp_extract_all)
+_BYTES_UNNEST = (
+    "CAST('0x' || unnest(regexp_extract_all(hex(encode(text)), '..')) "
+    "AS INTEGER)"
+)
+
+
 # ---------------------------------------------------------------------------
 # mm1: binary payload + typed metadata, JVM-side byte ops only
 # ---------------------------------------------------------------------------
@@ -53,20 +76,20 @@ def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # mm2: Arrow-batched byte featurizer (mapInPandas) — the codec stand-in.
-# The oracle iterates CHARACTERS and uses ord() as the byte value, valid
-# because the documents corpus is pure ASCII (verified; DuckDB cannot
-# unnest BLOB bytes directly). sha256(VARCHAR) hashes the UTF-8 bytes on
-# both engines; mean/hist divisions are exact-int / exact-int in float64
-# so the two sides agree bitwise before the shared 6-dp rounding.
+# The oracle iterates UTF-8 BYTES via the hex expansion (byte-exact on
+# any corpus — the r13 migration off the ASCII-only ord(char) idiom).
+# sha256(VARCHAR) hashes the UTF-8 bytes on both engines; mean/hist
+# divisions are exact-int / exact-int in float64 so the two sides agree
+# bitwise before the shared 6-dp rounding.
 # ---------------------------------------------------------------------------
 @query(
     "mm2_byte_features",
-    oracle="""
+    oracle=f"""
     WITH chars AS (
-        -- length guard: split('', '') yields [''] whose ord() is -1, so
-        -- empty docs must come from the LEFT JOIN below, not from here
-        SELECT doc_id, ord(unnest(split(text, ''))) AS byte
-        FROM documents WHERE length(text) > 0
+        -- empty docs yield no hex pairs and come from the LEFT JOIN
+        -- below, matching the Spark side's n_bytes=0 row
+        SELECT doc_id, {_BYTES_UNNEST} AS byte
+        FROM documents WHERE strlen(text) > 0
     ), agg AS (
         SELECT doc_id,
                COUNT(*) AS n_bytes,
@@ -128,18 +151,18 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mm4: REAL codec decode — synthesize a standards-compliant PCM16 WAV
 # per document (sample_i = (utf8_byte_i - 128) * 256, invertible), then
 # DECODE it with the dependency-free RIFF parser and aggregate sample
-# stats. The oracle recomputes the same stats straight from the
-# characters (corpus is pure ASCII, verified for mm2), so a decoder that
+# stats. The oracle recomputes the same stats straight from the UTF-8
+# bytes (hex expansion — byte-exact on any corpus), so a decoder that
 # misreads the header or the PCM byte order hash-fails. Integer sums
 # divide in float64 on both engines (exact-int/exact-int) before the
 # shared 6-dp rounding.
 # ---------------------------------------------------------------------------
 @query(
     "mm4_wav_decode",
-    oracle="""
+    oracle=f"""
     WITH chars AS (
-        SELECT doc_id, (ord(unnest(split(text, ''))) - 128) * 256 AS sample
-        FROM documents WHERE length(text) > 0
+        SELECT doc_id, ({_BYTES_UNNEST} - 128) * 256 AS sample
+        FROM documents WHERE strlen(text) > 0
     ), agg AS (
         SELECT doc_id,
                COUNT(*) AS n_samples,
@@ -184,19 +207,19 @@ def mm4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mm5: decoded-IMAGE stats — encode→decode round-trip through the real
 # dependency-free binary-PPM codec (operators/multimodal.py parse_ppm),
 # closing the image leg the same way mm4 closed audio. The oracle
-# derives the decoded stats straight from the characters (ASCII corpus:
+# derives the decoded stats straight from the UTF-8 bytes (hex pairs:
 # ord == byte; geometry = fixed width 16, whole pixel rows only).
 # ---------------------------------------------------------------------------
 @query(
     "mm5_image_decode",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) // 48 AS h
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) // 48 AS h
         FROM documents
     ), chars AS (
         SELECT g.doc_id,
                (i - 1) % 3 AS chan,
-               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+               CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte
         FROM geo g, UNNEST(range(1, CAST(g.h * 48 + 1 AS BIGINT))) AS t(i)
     ), agg AS (
         SELECT doc_id,
@@ -254,19 +277,19 @@ def mm5_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parse_y4m), closing the video leg the same way mm4/mm5 closed audio
 # and image. Decode + every-4th-frame sampling run in ONE map-only Arrow
 # pass; the oracle derives each sampled frame's luma stats straight from
-# the characters (ASCII corpus: ord == byte; frame f covers text bytes
+# the UTF-8 bytes (hex pairs; frame f covers text bytes
 # [64f, 64f+64), partial trailing frames truncated at encode time).
 # ---------------------------------------------------------------------------
 @query(
     "mm6_video_decode",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) // 64 AS nf
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) // 64 AS nf
         FROM documents
     ), chars AS (
         SELECT g.doc_id, g.nf,
                (i - 1) // 64 AS frame_idx,
-               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+               CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte
         FROM geo g, UNNEST(range(1, CAST(g.nf * 64 + 1 AS BIGINT))) AS t(i)
     )
     SELECT doc_id,
@@ -319,18 +342,18 @@ def mm6_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so both engines derive bit-identical signatures with no float
 # anywhere; the 64 bits ship as two 32-bit halves to stay clear of
 # int64 sign traps. The oracle replays the whole derivation from the
-# characters (ASCII corpus; geometry = fixed width 16, whole pixel
+# UTF-8 bytes (hex pairs; geometry = fixed width 16, whole pixel
 # rows; luma = r+g+b per pixel, unscaled — ordering is scale-free).
 # ---------------------------------------------------------------------------
 @query(
     "mm7_image_phash_dedup",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) // 48 AS h FROM documents
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) // 48 AS h FROM documents
     ), bytes AS (
         SELECT g.doc_id, g.h,
                (i - 1) // 3 AS p,
-               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+               CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte
         FROM geo g, UNNEST(range(1, CAST(g.h * 48 + 1 AS BIGINT))) AS t(i)
     ), pix AS (
         SELECT doc_id, h, p, SUM(byte) AS s FROM bytes GROUP BY doc_id, h, p
@@ -404,7 +427,7 @@ def mm7_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # >= 8 samples a gap, and count the speech segments between gaps. All
 # features are exact integers, so there is no float-rounding contract
 # at all. Decode + run-length analysis in ONE Arrow map pass; the
-# oracle re-derives the runs from the characters (ASCII corpus:
+# oracle re-derives the runs from the UTF-8 bytes (hex pairs:
 # |sample| < 8192  ⇔  |ord − 128| < 32) via the independent
 # gaps-and-islands SQL formulation.
 # ---------------------------------------------------------------------------
@@ -413,8 +436,9 @@ def mm7_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH chars AS (
         SELECT doc_id, CAST(i AS BIGINT) AS i,
-               abs(ord(substr(text, CAST(i AS INTEGER), 1)) - 128) < 32 AS silent
-        FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+               abs(CAST('0x' || substring(d.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) - 128) < 32 AS silent
+        FROM (SELECT doc_id, text, hex(encode(text)) AS hx FROM documents) d,
+             UNNEST(range(1, strlen(text) + 1)) AS t(i)
     ),
     rle AS (
         SELECT doc_id, silent, MIN(i) AS run_start, COUNT(*) AS run_len
@@ -426,7 +450,7 @@ def mm7_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY doc_id, silent, grp
     ),
-    doc AS (SELECT doc_id, length(text) AS n FROM documents),
+    doc AS (SELECT doc_id, strlen(text) AS n FROM documents),
     agg AS (
         SELECT d.doc_id, d.n,
                COALESCE(SUM(CASE WHEN r.silent THEN r.run_len END), 0) AS n_silent,
@@ -480,15 +504,15 @@ def mm8_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm9_image_resize",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) // 48 AS h
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) // 48 AS h
         FROM documents
     ), px AS (
         SELECT g.doc_id,
                (((i - 1) // 16) * 4) // g.h AS cell_y,
                ((i - 1) % 16) // 4 AS cell_x,
-               ord(substr(g.text, CAST(3 * (i - 1) + 1 AS INTEGER), 1)) AS r,
-               ord(substr(g.text, CAST(3 * (i - 1) + 2 AS INTEGER), 1)) AS gg,
-               ord(substr(g.text, CAST(3 * (i - 1) + 3 AS INTEGER), 1)) AS b
+               CAST('0x' || substring(g.hx, CAST(2 * (3 * (i - 1) + 1) - 1 AS INTEGER), 2) AS INTEGER) AS r,
+               CAST('0x' || substring(g.hx, CAST(2 * (3 * (i - 1) + 2) - 1 AS INTEGER), 2) AS INTEGER) AS gg,
+               CAST('0x' || substring(g.hx, CAST(2 * (3 * (i - 1) + 3) - 1 AS INTEGER), 2) AS INTEGER) AS b
         FROM geo g, UNNEST(range(1, CAST(g.h * 16 + 1 AS BIGINT))) AS t(i)
         WHERE g.h > 0
     )
@@ -539,8 +563,9 @@ def mm9_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT doc_id,
                (i - 1) // 8 AS block_idx,
-               (ord(substr(text, CAST(i AS INTEGER), 1)) - 128) * 256 AS v
-        FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+               (CAST('0x' || substring(d.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) - 128) * 256 AS v
+        FROM (SELECT doc_id, text, hex(encode(text)) AS hx FROM documents) d,
+             UNNEST(range(1, strlen(text) + 1)) AS t(i)
     )
     SELECT doc_id,
            CAST(block_idx AS INTEGER) AS block_idx,
@@ -581,14 +606,14 @@ def mm10_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm11_video_resize",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) // 64 AS nf
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) // 64 AS nf
         FROM documents
     ), px AS (
         SELECT g.doc_id,
                (i - 1) // 64 AS frame_idx,
                (((i - 1) % 64) // 8) // 4 AS cell_y,
                (((i - 1) % 64) % 8) // 4 AS cell_x,
-               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+               CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte
         FROM geo g, UNNEST(range(1, CAST(g.nf * 64 + 1 AS BIGINT))) AS t(i)
         WHERE g.nf > 0
     )
@@ -637,12 +662,12 @@ def mm11_video_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm12_png_decode",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) // 48 AS h
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) // 48 AS h
         FROM documents
     ), chars AS (
         SELECT g.doc_id,
                (i - 1) % 3 AS chan,
-               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+               CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte
         FROM geo g, UNNEST(range(1, CAST(g.h * 48 + 1 AS BIGINT))) AS t(i)
     ), agg AS (
         SELECT doc_id,
@@ -712,16 +737,16 @@ def mm12_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm12b_png_color",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, doc_id % 5 AS m,
+        SELECT doc_id, text, hex(encode(text)) AS hx, doc_id % 5 AS m,
                CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
                     WHEN 3 THEN 2 ELSE 4 END AS bpp,
                CASE WHEN doc_id % 5 = 2 THEN 3 ELSE 1 END AS mult
         FROM documents
     ), g2 AS (
-        SELECT *, length(text) // (bpp * 16) AS h FROM geo
+        SELECT *, strlen(text) // (bpp * 16) AS h FROM geo
     ), chars AS (
         SELECT g.doc_id,
-               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte,
+               CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte,
                1 + (i - 1) // (g.bpp * 16) AS row_w,
                1 + ((i - 1) // g.bpp) % 16 AS col_w
         FROM g2 g, UNNEST(range(1, CAST(g.bpp * 16 * g.h + 1 AS BIGINT))) AS t(i)
@@ -797,14 +822,14 @@ def mm12b_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm13_jpeg_decode",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text,
+        SELECT doc_id, text, hex(encode(text)) AS hx,
                -- mirror the synthesis height cap (JPEG_MAX_BLOCK_ROWS):
                -- the 16-bit JFIF height field truncates >=128 KiB docs
-               LEAST(length(text) // 16, 8191) AS br
+               LEAST(strlen(text) // 16, 8191) AS br
         FROM documents
     ), chars AS (
         SELECT g.doc_id,
-               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+               CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte
         FROM geo g, UNNEST(range(1, CAST(g.br * 16 + 1 AS BIGINT))) AS t(i)
     ), agg AS (
         SELECT doc_id,
@@ -866,16 +891,16 @@ def mm13_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm13b_jpeg_color",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text,
+        SELECT doc_id, text, hex(encode(text)) AS hx,
                -- mirror the synthesis height cap (JPEG_MAX_MCU_ROWS):
                -- the 16-bit JFIF height field truncates huge docs
-               LEAST(length(text) // 24, 4095) AS br
+               LEAST(strlen(text) // 24, 4095) AS br
         FROM documents
     ), mcu AS (
         SELECT g.doc_id,
-               ord(substr(g.text, CAST(3 * t.m + 1 AS INTEGER), 1)) AS yb,
-               ord(substr(g.text, CAST(3 * t.m + 2 AS INTEGER), 1)) AS cbb,
-               ord(substr(g.text, CAST(3 * t.m + 3 AS INTEGER), 1)) AS crb
+               CAST('0x' || substring(g.hx, CAST(2 * (3 * t.m + 1) - 1 AS INTEGER), 2) AS INTEGER) AS yb,
+               CAST('0x' || substring(g.hx, CAST(2 * (3 * t.m + 2) - 1 AS INTEGER), 2) AS INTEGER) AS cbb,
+               CAST('0x' || substring(g.hx, CAST(2 * (3 * t.m + 3) - 1 AS INTEGER), 2) AS INTEGER) AS crb
         FROM geo g, UNNEST(range(0, CAST(g.br * 8 AS BIGINT))) AS t(m)
     ), agg AS (
         SELECT doc_id,
@@ -943,11 +968,11 @@ def mm13b_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm14_mp4_demux",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) // 64 AS n
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) // 64 AS n
         FROM documents
     ), sampled AS (
         SELECT g.doc_id,
-               ord(substr(g.text, CAST(t.f * 64 + i AS INTEGER), 1)) AS byte
+               CAST('0x' || substring(g.hx, CAST(2 * (t.f * 64 + i) - 1 AS INTEGER), 2) AS INTEGER) AS byte
         FROM geo g,
              UNNEST(range(0, g.n, 4)) AS t(f),
              UNNEST(range(1, 65)) AS u(i)
@@ -1013,11 +1038,11 @@ def mm14_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm15_mjpeg_decode",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) // 64 AS n
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) // 64 AS n
         FROM documents
     ), sampled AS (
         SELECT g.doc_id,
-               ord(substr(g.text, CAST(t.f * 64 + i AS INTEGER), 1)) AS byte
+               CAST('0x' || substring(g.hx, CAST(2 * (t.f * 64 + i) - 1 AS INTEGER), 2) AS INTEGER) AS byte
         FROM geo g,
              UNNEST(range(0, g.n)) AS t(f),
              UNNEST(range(1, 65)) AS u(i)
@@ -1079,7 +1104,7 @@ def mm15_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm16_jpeg_probe",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, LEAST(length(text) // 24, 4095) AS br
+        SELECT doc_id, LEAST(strlen(text) // 24, 4095) AS br
         FROM documents
     )
     SELECT doc_id,
@@ -1137,12 +1162,12 @@ def mm16_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm17_jpeg_progressive",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text,
-               LEAST(length(text) // 16, 8191) AS br
+        SELECT doc_id, text, hex(encode(text)) AS hx,
+               LEAST(strlen(text) // 16, 8191) AS br
         FROM documents
     ), chars AS (
         SELECT g.doc_id,
-               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+               CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte
         FROM geo g, UNNEST(range(1, CAST(g.br * 16 + 1 AS BIGINT))) AS t(i)
     ), agg AS (
         SELECT doc_id,
@@ -1210,14 +1235,14 @@ _IMA_STEP_SQL = (
     "mm18_adpcm_decode",
     oracle=f"""
     WITH RECURSIVE geo AS (
-        SELECT doc_id, text, length(text) // 5 AS nb FROM documents
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) // 5 AS nb FROM documents
     ), blocks AS (
         SELECT g.doc_id, t.b,
-               ord(substr(g.text, CAST(5 * t.b + 1 AS INTEGER), 1)) AS hc,
-               [ord(substr(g.text, CAST(5 * t.b + 2 AS INTEGER), 1)),
-                ord(substr(g.text, CAST(5 * t.b + 3 AS INTEGER), 1)),
-                ord(substr(g.text, CAST(5 * t.b + 4 AS INTEGER), 1)),
-                ord(substr(g.text, CAST(5 * t.b + 5 AS INTEGER), 1))] AS cb
+               CAST('0x' || substring(g.hx, CAST(2 * (5 * t.b + 1) - 1 AS INTEGER), 2) AS INTEGER) AS hc,
+               [CAST('0x' || substring(g.hx, CAST(2 * (5 * t.b + 2) - 1 AS INTEGER), 2) AS INTEGER),
+                CAST('0x' || substring(g.hx, CAST(2 * (5 * t.b + 3) - 1 AS INTEGER), 2) AS INTEGER),
+                CAST('0x' || substring(g.hx, CAST(2 * (5 * t.b + 4) - 1 AS INTEGER), 2) AS INTEGER),
+                CAST('0x' || substring(g.hx, CAST(2 * (5 * t.b + 5) - 1 AS INTEGER), 2) AS INTEGER)] AS cb
         FROM geo g, UNNEST(range(0, g.nb)) AS t(b)
     ), walk AS (
         SELECT doc_id, b, 0 AS s,
@@ -1304,12 +1329,12 @@ def mm18_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm19_gif_decode",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text,
-               LEAST(length(text) // 64, 65535) AS rows_
+        SELECT doc_id, text, hex(encode(text)) AS hx,
+               LEAST(strlen(text) // 64, 65535) AS rows_
         FROM documents
     ), chars AS (
         SELECT g.doc_id,
-               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte,
+               CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte,
                1 + (i - 1) // 64 AS row_w
         FROM geo g, UNNEST(range(1, CAST(g.rows_ * 64 + 1 AS BIGINT))) AS t(i)
     ), agg AS (
@@ -1368,11 +1393,11 @@ def mm19_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm20_bmp_decode",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) // 62 AS rows_
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) // 62 AS rows_
         FROM documents
     ), chars AS (
         SELECT g.doc_id,
-               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte,
+               CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte,
                1 + (i - 1) // 62 AS row_w
         FROM geo g, UNNEST(range(1, CAST(g.rows_ * 62 + 1 AS BIGINT))) AS t(i)
     ), agg AS (
@@ -1435,10 +1460,10 @@ def mm20_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm21_h264_probe",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) AS len, length(text) // 32 AS ns
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) AS len, strlen(text) // 32 AS ns
         FROM documents
     ), chars AS (
-        SELECT g.doc_id, ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+        SELECT g.doc_id, CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte
         FROM geo g, UNNEST(range(1, CAST(g.ns * 32 + 1 AS BIGINT))) AS t(i)
     ), agg AS (
         SELECT doc_id, SUM(byte) AS sb FROM chars GROUP BY doc_id
@@ -1447,10 +1472,10 @@ def mm20_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN g.ns > 0 THEN 66 + 11 * (g.doc_id % 2) END AS BIGINT) AS profile_idc,
            CAST(CASE WHEN g.ns > 0 THEN 30 + 10 * (g.doc_id % 3) END AS BIGINT) AS level_idc,
            CAST(CASE WHEN g.ns > 0
-                THEN (1 + g.len % 40) * 16 - 2 * (ord(substr(g.text, 1, 1)) % 2)
+                THEN (1 + g.len % 40) * 16 - 2 * (CAST('0x' || substring(g.hx, 1, 2) AS INTEGER) % 2)
                 END AS BIGINT) AS width,
            CAST(CASE WHEN g.ns > 0
-                THEN (1 + (g.len // 7) % 30) * 16 - 2 * (ord(substr(g.text, 2, 1)) % 2)
+                THEN (1 + (g.len // 7) % 30) * 16 - 2 * (CAST('0x' || substring(g.hx, 3, 2) AS INTEGER) % 2)
                 END AS BIGINT) AS height,
            CAST(CASE WHEN g.ns > 0 THEN g.ns + 2 ELSE 0 END AS BIGINT) AS n_nal_units,
            CAST(g.ns AS BIGINT) AS n_slices,
@@ -1503,10 +1528,10 @@ def mm21_h264_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm22_avc1_route",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) AS len, length(text) // 32 AS ns
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) AS len, strlen(text) // 32 AS ns
         FROM documents
     ), chars AS (
-        SELECT g.doc_id, ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+        SELECT g.doc_id, CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte
         FROM geo g, UNNEST(range(1, CAST(g.ns * 32 + 1 AS BIGINT))) AS t(i)
     ), agg AS (
         SELECT doc_id, SUM(byte) AS sb FROM chars GROUP BY doc_id
@@ -1515,10 +1540,10 @@ def mm21_h264_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN g.ns > 0 THEN 66 + 11 * (g.doc_id % 2) END AS BIGINT) AS profile_idc,
            CAST(CASE WHEN g.ns > 0 THEN 30 + 10 * (g.doc_id % 3) END AS BIGINT) AS level_idc,
            CAST(CASE WHEN g.ns > 0
-                THEN (1 + g.len % 40) * 16 - 2 * (ord(substr(g.text, 1, 1)) % 2)
+                THEN (1 + g.len % 40) * 16 - 2 * (CAST('0x' || substring(g.hx, 1, 2) AS INTEGER) % 2)
                 END AS BIGINT) AS width,
            CAST(CASE WHEN g.ns > 0
-                THEN (1 + (g.len // 7) % 30) * 16 - 2 * (ord(substr(g.text, 2, 1)) % 2)
+                THEN (1 + (g.len // 7) % 30) * 16 - 2 * (CAST('0x' || substring(g.hx, 3, 2) AS INTEGER) % 2)
                 END AS BIGINT) AS height,
            CAST(g.ns AS BIGINT) AS n_samples,
            CAST((g.ns + 7) // 8 AS BIGINT) AS n_sync,
@@ -1565,10 +1590,10 @@ def mm22_avc1_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm23_aac_route",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) // 32 AS ns
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) // 32 AS ns
         FROM documents
     ), chars AS (
-        SELECT g.doc_id, ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+        SELECT g.doc_id, CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte
         FROM geo g, UNNEST(range(1, CAST(g.ns * 32 + 1 AS BIGINT))) AS t(i)
     ), agg AS (
         SELECT doc_id, SUM(byte) AS sb FROM chars GROUP BY doc_id
@@ -1623,10 +1648,10 @@ def mm23_aac_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm24_hevc_route",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text, length(text) AS len, length(text) // 32 AS ns
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) AS len, strlen(text) // 32 AS ns
         FROM documents
     ), chars AS (
-        SELECT g.doc_id, ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte
+        SELECT g.doc_id, CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte
         FROM geo g, UNNEST(range(1, CAST(g.ns * 32 + 1 AS BIGINT))) AS t(i)
     ), agg AS (
         SELECT doc_id, SUM(byte) AS sb FROM chars GROUP BY doc_id
@@ -1638,10 +1663,10 @@ def mm23_aac_route(spark: SparkSession, sf_dir: str) -> DataFrame:
                 CASE g.doc_id % 3 WHEN 0 THEN 93 WHEN 1 THEN 120 ELSE 150 END
                 END AS BIGINT) AS level_idc,
            CAST(CASE WHEN g.ns > 0
-                THEN 16 * (1 + g.len % 40) - 2 * (ord(substr(g.text, 1, 1)) % 2)
+                THEN 16 * (1 + g.len % 40) - 2 * (CAST('0x' || substring(g.hx, 1, 2) AS INTEGER) % 2)
                 END AS BIGINT) AS width,
            CAST(CASE WHEN g.ns > 0
-                THEN 16 * (1 + (g.len // 7) % 30) - 2 * (ord(substr(g.text, 2, 1)) % 2)
+                THEN 16 * (1 + (g.len // 7) % 30) - 2 * (CAST('0x' || substring(g.hx, 3, 2) AS INTEGER) % 2)
                 END AS BIGINT) AS height,
            CAST(g.ns AS BIGINT) AS n_samples,
            CAST((g.ns + 7) // 8 AS BIGINT) AS n_sync,
@@ -1683,31 +1708,27 @@ def mm24_hevc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rice coding, fixed predictors, stereo decorrelation, CRC-8/16 + MD5
 # integrity). LOSSLESS is the oracle story: unlike ADPCM's recursive-
 # CTE replay, decoded stats come straight from the characters. Every
-# third doc is stereo (even chars -> left, odd -> right), so the
+# third doc is stereo (even bytes -> left, odd -> right), so the
 # decorrelated-channel and side-channel (17-bit) paths carry hashes.
-# ASCII-corpus assumption (shared with mm2/mm4): the engine samples
-# text.encode('utf-8') BYTES while the SQL side uses ord(substr(..))
-# CODE POINTS — equivalent only because the synthetic documents corpus
-# is pure ASCII (asserted by tests/test_multimodal.py::
-# test_corpus_is_ascii; the divergence boundary itself is pinned by
-# tests/test_nonascii.py). The strlen-based size oracles (wd1/c2/c5/
-# c6/c7) do NOT share this assumption — DuckDB strlen counts bytes.
+# Byte-exact since r13: the SQL side samples UTF-8 BYTES through the
+# hex expansion (_byte_at), matching the engine's text.encode('utf-8')
+# synthesis on ANY corpus — the former ASCII-corpus assumption is gone
+# (tests/test_nonascii.py now asserts engine==oracle parity on a
+# non-ASCII corpus per family).
 # ---------------------------------------------------------------------------
 MM25_ORACLE = """
     WITH base AS (
-        SELECT doc_id, text, length(text) AS n,
-               (doc_id % 3 = 0 AND length(text) >= 2) AS stereo,
-               CASE WHEN doc_id % 3 = 0 AND length(text) >= 2
-                    THEN length(text) // 2 ELSE length(text) END AS total
-        FROM documents WHERE length(text) >= 1
+        SELECT doc_id, text, hex(encode(text)) AS hx, strlen(text) AS n,
+               (doc_id % 3 = 0 AND strlen(text) >= 2) AS stereo,
+               CASE WHEN doc_id % 3 = 0 AND strlen(text) >= 2
+                    THEN strlen(text) // 2 ELSE strlen(text) END AS total
+        FROM documents WHERE strlen(text) >= 1
     ), samp AS (
         SELECT b.doc_id, t.i,
-               (ord(substr(b.text,
-                    CAST(CASE WHEN b.stereo THEN 2 * t.i + 1
-                              ELSE t.i + 1 END AS INTEGER), 1)) - 128) * 256
+               (CAST('0x' || substring(b.hx, CAST(2 * (CASE WHEN b.stereo THEN 2 * t.i + 1 ELSE t.i + 1 END) - 1 AS INTEGER), 2) AS INTEGER) - 128) * 256
                    AS s0,
                CASE WHEN b.stereo THEN
-                   (ord(substr(b.text, CAST(2 * t.i + 2 AS INTEGER), 1)) - 128)
+                   (CAST('0x' || substring(b.hx, CAST(2 * (2 * t.i + 2) - 1 AS INTEGER), 2) AS INTEGER) - 128)
                    * 256 END AS s1
         FROM base b, UNNEST(range(b.total)) AS t(i)
     )
@@ -1848,22 +1869,22 @@ def mm27_tiff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row-weighted checksum certifies strip ASSEMBLY ORDER (stats alone
 # are strip-order-invariant) — same invertible-oracle pattern as mm20
 # BMP. Lossless under all three schemes, so the oracle replays
-# everything from the characters (ASCII-corpus convention, see mm25).
+# everything from the UTF-8 bytes (byte-exact hex pairs, see mm25).
 # ---------------------------------------------------------------------------
 @query(
     "mm27b_tiff_decode",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text,
+        SELECT doc_id, text, hex(encode(text)) AS hx,
                CASE WHEN doc_id % 2 = 0 THEN 50 ELSE 20 END AS w,
                CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS spp,
                1 + doc_id % 5 AS rps,
-               length(text) // (CASE WHEN doc_id % 2 = 0 THEN 50 ELSE 60 END)
+               strlen(text) // (CASE WHEN doc_id % 2 = 0 THEN 50 ELSE 60 END)
                    AS h
         FROM documents
     ), chars AS (
         SELECT g.doc_id,
-               ord(substr(g.text, CAST(i AS INTEGER), 1)) AS byte,
+               CAST('0x' || substring(g.hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER) AS byte,
                1 + (i - 1) // (g.w * g.spp) AS row_w,
                (i - 1) % g.spp AS chan
         FROM geo g, UNNEST(range(1, CAST(g.h * g.w * g.spp + 1 AS BIGINT))) AS t(i)
@@ -1984,19 +2005,19 @@ def mm28_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bundling), the color cache on/off, and the meta-prefix every 3rd
 # doc; every 4th pixel row repeats the previous one so LZ77 row copies
 # carry hash signal on every document. Lossless, so the oracle replays
-# the decoded pixels from the characters (ASCII-corpus convention).
+# the decoded pixels from the UTF-8 bytes (byte-exact hex pairs).
 # Lossy VP8 still gates loudly (boolean arithmetic coder out of scope).
 # ---------------------------------------------------------------------------
 @query(
     "mm28b_webp_lossless_decode",
     oracle="""
     WITH geo AS (
-        SELECT doc_id, text,
+        SELECT doc_id, text, hex(encode(text)) AS hx,
                doc_id % 5 AS v,
                CASE WHEN doc_id % 5 = 4 THEN 48 ELSE 24 END AS w,
                CASE (doc_id // 5) % 3 WHEN 0 THEN 4 WHEN 1 THEN 13
                     ELSE 64 END AS psize,
-               LEAST(length(text) //
+               LEAST(strlen(text) //
                      (CASE WHEN doc_id % 5 = 4 THEN 48 ELSE 72 END), 48) AS h
         FROM documents
     ), px AS (
@@ -2009,17 +2030,14 @@ def mm28_webp_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ch AS (
         SELECT p.doc_id, p.y, p.v,
                CASE WHEN p.v = 4 THEN
-                   ord(substr(g.text, CAST(p.sy * 48 + p.x + 1 AS INTEGER), 1))
+                   CAST('0x' || substring(g.hx, CAST(2 * (p.sy * 48 + p.x + 1) - 1 AS INTEGER), 2) AS INTEGER)
                        % p.psize END AS idx,
                CASE WHEN p.v <> 4 THEN
-                   ord(substr(g.text,
-                       CAST(p.sy * 72 + 3 * p.x + 1 AS INTEGER), 1)) END AS cr,
+                   CAST('0x' || substring(g.hx, CAST(2 * (p.sy * 72 + 3 * p.x + 1) - 1 AS INTEGER), 2) AS INTEGER) END AS cr,
                CASE WHEN p.v <> 4 THEN
-                   ord(substr(g.text,
-                       CAST(p.sy * 72 + 3 * p.x + 2 AS INTEGER), 1)) END AS cg,
+                   CAST('0x' || substring(g.hx, CAST(2 * (p.sy * 72 + 3 * p.x + 2) - 1 AS INTEGER), 2) AS INTEGER) END AS cg,
                CASE WHEN p.v <> 4 THEN
-                   ord(substr(g.text,
-                       CAST(p.sy * 72 + 3 * p.x + 3 AS INTEGER), 1)) END AS cb
+                   CAST('0x' || substring(g.hx, CAST(2 * (p.sy * 72 + 3 * p.x + 3) - 1 AS INTEGER), 2) AS INTEGER) END AS cb
         FROM px p JOIN geo g USING (doc_id)
     ), rgb AS (
         SELECT doc_id, y,

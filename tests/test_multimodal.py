@@ -57,10 +57,13 @@ def test_decode_gate():
 
 
 def test_corpus_is_ascii(spark):
-    """The mm2 oracle counts bytes via ord() over CHARACTERS, which is
-    only equal to UTF-8 bytes for pure-ASCII text. Pin that corpus
-    property so a data refresh can't silently invalidate the oracle
-    (a non-ASCII corpus needs an oracle rewrite, not a silent drift)."""
+    """Documentation of a corpus property, NO LONGER load-bearing for
+    hash parity: since the r13 migration every multimodal oracle reads
+    UTF-8 bytes through the hex expansion (queries/multimodal.py
+    _byte_at), and tests/test_nonascii.py asserts engine==oracle on a
+    non-ASCII corpus for every migrated family. Kept as a canary: if
+    the driver corpus ever turns non-ASCII, the c8 substr-slice oracle
+    (documented there) is the one remaining char-based boundary."""
     import pyspark.sql.functions as F
 
     from tests.conftest import SF_ORACLE

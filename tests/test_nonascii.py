@@ -92,3 +92,116 @@ def test_mm4_wav_synthesis_samples_bytes(spark):
     data_len = int.from_bytes(payload[data_at + 4 : data_at + 8], "little")
     assert data_len == 2 * n_bytes
     assert data_len > 2 * len(NON_ASCII)
+
+
+# ---------------------------------------------------------------------------
+# r13 migration (r12 verdict task 5): the multimodal oracles moved off
+# ord(substr(text,i,1)) code points to hex-pair UTF-8 bytes, so engine
+# and oracle must now agree on a NON-ASCII corpus for every migrated
+# family — the assertion that makes test_corpus_is_ascii no longer
+# load-bearing for hash parity.
+# ---------------------------------------------------------------------------
+
+_MIGRATED = [
+    "mm2_byte_features",      # bytes family
+    "mm4_wav_decode",         # audio: WAV
+    "mm5_image_decode",       # image: PPM
+    "mm6_video_decode",       # video: Y4M
+    "mm7_image_phash_dedup",
+    "mm8_audio_segments",
+    "mm9_image_resize",
+    "mm10_audio_downsample",
+    "mm11_video_resize",
+    "mm12_png_decode",        # image: PNG
+    "mm12b_png_color",
+    "mm13_jpeg_decode",       # image: JPEG
+    "mm13b_jpeg_color",
+    "mm14_mp4_demux",         # container: MP4
+    "mm15_mjpeg_decode",
+    "mm16_jpeg_probe",
+    "mm17_jpeg_progressive",
+    "mm18_adpcm_decode",      # audio: ADPCM
+    "mm19_gif_decode",        # image: GIF
+    "mm20_bmp_decode",        # image: BMP
+    "mm21_h264_probe",        # routing: H.264
+    "mm22_avc1_route",
+    "mm23_aac_route",
+    "mm24_hevc_route",
+    "mm25_flac_decode",       # audio: FLAC
+    "mm27b_tiff_decode",      # image: TIFF
+    "mm28b_webp_lossless_decode",  # image: VP8L
+]
+
+
+def _nonascii_docs_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        ("héllo wörld — ça va bien? " * 12).strip(),       # 2-byte + em dash
+        ("日本語のテキスト処理パイプライン。" * 18),          # 3-byte CJK
+        ("mixed ascii and 🎉 emoji 🚀 rows " * 14).strip(),  # 4-byte emoji
+        ("pure ascii control row for contrast " * 10).strip(),
+        ("кириллица и łatin mixé " * 20).strip(),           # cyrillic
+        ("short é" * 40),
+    ]
+    d = tmp_path_factory.mktemp("nonascii_sf")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["fr", "ja", "en", "en", "ru", "fr"]),
+            "source": pa.array(["web"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_migrated_multimodal_oracles_match_on_nonascii_corpus(
+    spark, tmp_path_factory
+):
+    """Engine vs migrated oracle on a corpus of 2-/3-/4-byte UTF-8
+    text: every multimodal family must hash-identically WITHOUT the
+    ASCII assumption."""
+    import math
+
+    import duckdb
+
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    sf_dir = _nonascii_docs_dir(tmp_path_factory)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def norm(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, float):
+                return "nan" if math.isnan(v) else f"{round(v, 9):.9f}"
+            return str(v)
+
+        return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+    specs = all_queries()
+    failures = []
+    for name in _MIGRATED:
+        spec = specs[name]
+        sdf = spec.spark(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        cur = con.execute(spec.oracle)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        if sorted(sdf.columns) != sorted(dcols):
+            failures.append((name, "schema"))
+            continue
+        if canon(srows, sdf.columns) != canon(drows, dcols):
+            failures.append((name, f"values ({len(srows)} vs {len(drows)})"))
+    assert not failures, failures
