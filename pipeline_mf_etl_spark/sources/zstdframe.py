@@ -1720,35 +1720,51 @@ def encode_zstd_seekable(
     return bytes(out)
 
 
-def read_zstd_seek_table(payload: bytes) -> list[dict]:
-    """Parse the trailing seek table; returns one dict per frame:
-    {c_off, c_size, d_off, d_size, checksum (or None)}."""
-    if len(payload) < 17:
+def zstd_seek_footer_length(tail17: bytes) -> int:
+    """Bytes needed from the END of a seekable archive to hold its
+    whole seek-table skippable frame (``table_len + 8``), computed from
+    just the final 17 bytes — the first range-GET a remote shard reader
+    issues (footer probe, then table, then covering frames)."""
+    if len(tail17) < 17:
         raise ValueError("too short for a seekable-zstd footer")
-    if int.from_bytes(payload[-4:], "little") != ZSTD_SEEKABLE_MAGIC:
+    if int.from_bytes(tail17[-4:], "little") != ZSTD_SEEKABLE_MAGIC:
         raise ValueError("missing seekable-zstd magic in the footer")
-    descriptor = payload[-5]
+    descriptor = tail17[-5]
     if descriptor & 0x7C:
         raise ValueError("reserved seek-table descriptor bits set")
     has_csum = bool(descriptor & 0x80)
-    n_frames = int.from_bytes(payload[-9:-5], "little")
+    n_frames = int.from_bytes(tail17[-9:-5], "little")
+    entry = 12 if has_csum else 8
+    return n_frames * entry + 9 + 8
+
+
+def parse_zstd_seek_footer(tail: bytes, archive_len: int) -> list[dict]:
+    """Parse a seek table from exactly its trailing bytes (as returned
+    by a ``zstd_seek_footer_length``-sized range read); ``archive_len``
+    is the full archive size, so frame offsets come back absolute.
+    Returns one dict per frame:
+    {c_off, c_size, d_off, d_size, checksum (or None)}."""
+    if zstd_seek_footer_length(tail[-17:]) != len(tail):
+        raise ValueError("seek-table slice length disagrees with its footer")
+    has_csum = bool(tail[-5] & 0x80)
+    n_frames = int.from_bytes(tail[-9:-5], "little")
     entry = 12 if has_csum else 8
     table_len = n_frames * entry + 9
-    head_at = len(payload) - table_len - 8
+    head_at = archive_len - table_len - 8
     if head_at < 0:
         raise ValueError("seek table longer than the archive")
-    if int.from_bytes(payload[head_at : head_at + 4], "little") != _SEEK_SKIPPABLE_MAGIC:
+    if int.from_bytes(tail[0:4], "little") != _SEEK_SKIPPABLE_MAGIC:
         raise ValueError("seek table not wrapped in its skippable frame")
-    if int.from_bytes(payload[head_at + 4 : head_at + 8], "little") != table_len:
+    if int.from_bytes(tail[4:8], "little") != table_len:
         raise ValueError("seek-table skippable size disagrees with the footer")
-    pos = head_at + 8
+    pos = 8
     c_off = d_off = 0
     out = []
     for _ in range(n_frames):
-        c_size = int.from_bytes(payload[pos : pos + 4], "little")
-        d_size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        c_size = int.from_bytes(tail[pos : pos + 4], "little")
+        d_size = int.from_bytes(tail[pos + 4 : pos + 8], "little")
         csum = (
-            int.from_bytes(payload[pos + 8 : pos + 12], "little")
+            int.from_bytes(tail[pos + 8 : pos + 12], "little")
             if has_csum
             else None
         )
@@ -1769,6 +1785,15 @@ def read_zstd_seek_table(payload: bytes) -> list[dict]:
             f"seek table covers {c_off} compressed bytes, archive has {head_at}"
         )
     return out
+
+
+def read_zstd_seek_table(payload: bytes) -> list[dict]:
+    """Parse the trailing seek table of an in-memory archive; returns
+    one dict per frame: {c_off, c_size, d_off, d_size, checksum}."""
+    need = zstd_seek_footer_length(payload[-17:] if len(payload) >= 17 else payload)
+    if need > len(payload):
+        raise ValueError("seek table longer than the archive")
+    return parse_zstd_seek_footer(payload[-need:], len(payload))
 
 
 def zstd_seek_read(payload: bytes, offset: int, length: int) -> bytes:

@@ -134,3 +134,108 @@ def test_jsonl_gzip_lines_parse_standalone(tmp_path, spark):
                 assert "doc_id" in obj
                 n += 1
     assert n == 5
+
+
+class TestSeekableZstCorpus:
+    def _write(self, spark, tmp_path, n_docs=40):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            write_jsonl_zst_corpus,
+        )
+        from pipeline_mf_etl_spark.sources.readers import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(
+            n_docs
+        )
+        out = str(tmp_path / "zstcorpus")
+        # small frames so every doc's byte range spans framing decisions
+        index = write_jsonl_zst_corpus(
+            docs, out, n_shards=3, frame_content_size=512
+        )
+        return docs, out, index
+
+    def test_every_doc_point_lookup_round_trips(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import read_jsonl_zst_doc
+
+        docs, out, index = self._write(spark, tmp_path)
+        want = {r["doc_id"]: r.asDict() for r in docs.collect()}
+        rows = index.collect()
+        assert len(rows) == len(want)
+        for r in rows:
+            got = read_jsonl_zst_doc(
+                f"{out}/{r['shard']}", r["offset"], r["length"]
+            )
+            assert got == want[got["doc_id"]], got["doc_id"]
+
+    def test_distributed_lookup_matches_source(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import read_jsonl_zst_docs
+
+        docs, out, index = self._write(spark, tmp_path)
+        fetched = read_jsonl_zst_docs(index, out)
+        a = sorted(tuple(r) for r in fetched.collect())
+        b = sorted(tuple(r) for r in docs.collect())
+        assert a == b
+
+    def test_corrupting_an_untouched_frame_leaves_lookups_intact(
+        self, spark, tmp_path
+    ):
+        """The range-read guarantee: only COVERING frames are read and
+        checksum-verified, so flipping a byte in a frame outside a
+        doc's range neither fails nor changes that doc's lookup — while
+        a lookup INTO the corrupted frame is loud."""
+        import pytest as _pytest
+
+        from pipeline_mf_etl_spark.sources.corpus_io import read_jsonl_zst_doc
+        from pipeline_mf_etl_spark.sources.zstdframe import (
+            read_zstd_seek_table,
+        )
+
+        docs, out, index = self._write(spark, tmp_path)
+        # hash assignment can leave a shard empty; probe the fullest one
+        by_shard: dict[str, list] = {}
+        for r in index.collect():
+            by_shard.setdefault(r["shard"], []).append(r)
+        rows = sorted(
+            max(by_shard.values(), key=len), key=lambda r: r["offset"]
+        )
+        assert len(rows) >= 4
+        shard = f"{out}/{rows[0]['shard']}"
+        payload = bytearray(open(shard, "rb").read())
+        table = read_zstd_seek_table(bytes(payload))
+        assert len(table) >= 2  # 512-byte frames over multiple docs
+        # corrupt the LAST data frame's interior
+        last = table[-1]
+        payload[last["c_off"] + last["c_size"] // 2] ^= 0xFF
+        open(shard, "wb").write(bytes(payload))
+        # docs fully inside earlier frames still read fine
+        first = rows[0]
+        got = read_jsonl_zst_doc(shard, first["offset"], first["length"])
+        assert got["doc_id"] == first["doc_id"]
+        # a doc covering the corrupted frame fails loudly
+        tail_doc = rows[-1]
+        if tail_doc["offset"] + tail_doc["length"] > last["d_off"]:
+            with _pytest.raises(ValueError):
+                read_jsonl_zst_doc(
+                    shard, tail_doc["offset"], tail_doc["length"]
+                )
+
+    def test_nonascii_docs_round_trip(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_jsonl_zst_doc,
+            write_jsonl_zst_corpus,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "héllo — 日本語 🎉", "fr", "web", 13),
+                (2, None, None, "dump", None),  # nullable contract fields
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = str(tmp_path / "nz")
+        index = write_jsonl_zst_corpus(df, out, n_shards=1)
+        for r in index.collect():
+            doc = read_jsonl_zst_doc(f"{out}/{r['shard']}", r["offset"], r["length"])
+            if doc["doc_id"] == 1:
+                assert doc["text"] == "héllo — 日本語 🎉"
+            else:
+                assert doc["text"] is None and doc["n_chars"] is None
