@@ -649,7 +649,7 @@ def huf_build_weights(hist: dict[int, int]) -> list[int] | None:
     if max_depth > _HUF_MAX_BITS:
         return None  # depth-limiting not implemented; caller stores raw
     last = max(depths)
-    if last > 254:  # format cap: at most 255 transmitted weights
+    if last > 255:  # format cap: symbols are single bytes
         return None
     weights = [0] * (last + 1)
     for s, d in depths.items():

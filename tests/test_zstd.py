@@ -520,6 +520,37 @@ class TestEncoderPaths:
         assert out["entropy_stats"]["huf_fse_weights"] >= 1
         assert bytes(_zstd_codec().decompress(frame, len(data))) == data
 
+    def test_high_byte_alphabets_compress_via_fse_weights(self):
+        """ADVICE r12: alphabets whose last symbol exceeds 128 (all
+        non-ASCII UTF-8 / binary data) used to fall back to RAW
+        literals because the direct weight header caps at 128
+        transmitted weights. They must now ride the FSE transport:
+        the frame shrinks and libzstd accepts it."""
+        rng = random.Random(9)
+        # two-tier high-byte alphabet, symbols 0x80..0xFF all present
+        # (bounded skew keeps the tree inside the 11-bit cap)
+        data = bytes(
+            rng.choices(
+                range(0x80, 0x100),
+                weights=[6] * 64 + [1] * 64,
+                k=8000,
+            )
+        )
+        weights = huf_build_weights(
+            {b: data.count(b) for b in set(data)}
+        )
+        assert weights is not None and len(weights) > 129
+        blob = huf_write_weights(weights)
+        assert blob is not None and blob[0] < 128  # FSE form, not direct
+        got, used = huf_read_weights(blob)
+        assert used == len(blob) and got == weights
+        frame = encode_zstd_frame(data, block_size=64 * 1024)
+        out = decode_zstd_frame(frame)
+        assert out["content"] == data
+        assert out["n_compressed_blocks"] >= 1  # no raw-literal fallback
+        assert len(frame) < len(data)
+        assert bytes(_zstd_codec().decompress(frame, len(data))) == data
+
     def test_own_encoder_emits_every_mode(self):
         """After the mode-selection encoder landed, our OWN frames must
         exercise the full decode surface: Treeless literals,
