@@ -82,6 +82,8 @@ HEADLINE = (
     # added round 12 (r11-comparable subtotal = first 48)
     "c7_zstd_extract",        # zstd FSE+Huffman frame decode + xxh64
     "c8_seekable_extract",    # seekable-zstd range reads (partial decode)
+    # added round 13 (r12-comparable subtotal = first 50)
+    "c9_bzip2_extract",       # multistream bzip2 decode + CRC verification
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the

@@ -73,28 +73,31 @@ def test_wd1_plan_has_exactly_two_exchanges(spark):
 
 
 def test_corpus_family_registered_and_recert_window_pinned():
-    """All corpus-ingestion queries stay registered, and the r12 window
-    leads with the five HUGEINT-oracle re-certs (r11 verdict task 1)
-    followed by the new c7 zstd query — the rows whose certification
-    this round exists to refresh."""
+    """All corpus-ingestion queries stay registered, and the r13 window
+    leads with the 16 r8-stale re-certs (r12 verdict task 1) followed
+    by this round's new queries — the rows whose certification this
+    round exists to refresh."""
     from pipeline_mf_etl_spark.queries.registry import _PRIORITY
 
     family = {
         "c1_warc_extract", "c2_zip_extract", "c3_pdf_extract",
         "c4_avro_extract", "c5_lz4_extract", "c6_snappy_extract",
-        "c7_zstd_extract", "t15_html_extract", "wd1_webdataset_roundtrip",
+        "c7_zstd_extract", "c8_seekable_extract", "c9_bzip2_extract",
+        "t15_html_extract", "wd1_webdataset_roundtrip",
         "mm25_flac_decode", "mm26_mp3_probe", "mm27_tiff_probe",
         "mm28_webp_probe", "mm29_webm_probe",
     }
     assert family <= set(all_queries())
-    assert _PRIORITY[:6] == (
-        "c4_avro_extract",
-        "wd1_webdataset_roundtrip",
-        "mm25_flac_decode",
-        "mm26_mp3_probe",
-        "d12_url_domain_rollup",
-        "c7_zstd_extract",
-    )
+    stale_16 = {
+        "j5_state_mapping", "j6_overlay_coverage", "a8_topk_parts",
+        "a9_null_rates", "a12_quantile_edges", "a13_orders_by_year",
+        "b10_sensitivity_grid", "b11_robustness_score",
+        "d10_record_linkage", "d11_containment", "m6_density_clusters",
+        "m13_bootstrap_ci", "m14_block_bootstrap", "m15_pairwise_diff_ci",
+        "o6_anti_join", "t14_boilerplate_lines",
+    }
+    assert set(_PRIORITY[:16]) == stale_16
+    assert _PRIORITY[16:18] == ("st13_dropzone_ingest", "c9_bzip2_extract")
 
 
 def test_mm25_flac_decode_matches_oracle(spark, duck):
