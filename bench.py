@@ -246,8 +246,15 @@ def main() -> None:
             best[name] = min(best.get(name, dt), dt)
         calib_samples.append(_calib_range_once())
         calib_sw_samples.append(_calib_sw_once())
-    calib = statistics.median(calib_samples)
-    calib_sw = statistics.median(calib_sw_samples)
+    # MIN is the cross-round calibrator (all prior rounds published
+    # min-of-3, and min isolates the host's clean speed); the MEDIAN of
+    # the interleaved samples is published alongside as the contention
+    # signal — a median far above min means the run was contended and
+    # the raw totals should be read accordingly.
+    calib = min(calib_samples)
+    calib_sw = min(calib_sw_samples)
+    calib_median = statistics.median(calib_samples)
+    calib_sw_median = statistics.median(calib_sw_samples)
     total = 0.0
     for name in HEADLINE:
         if name in best:
@@ -409,6 +416,8 @@ def main() -> None:
         "agg": "min",
         "calib_range_sum_sec": round(calib, 3),
         "calib_shuffle_window_sec": round(calib_sw, 3),
+        "calib_range_sum_median_sec": round(calib_median, 3),
+        "calib_shuffle_window_median_sec": round(calib_sw_median, 3),
         "comparable_14_total": comparable_14_total,
         "comparable_31_total": comparable_31_total,
         "comparable_48_total": comparable_48_total,

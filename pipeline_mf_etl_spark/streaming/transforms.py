@@ -747,9 +747,15 @@ def read_compressed_jsonl_stream(
             return {"content": b"".join(split_gzip_members(blob))}
 
         decode, glob = _gz, "*.jsonl.gz"
+    elif codec == "bzip2":
+        # Wikipedia-dump convention: multistream .bz2 shards — the
+        # fully verified RLE1/BWT/Huffman walk (sources/bzip2.py, r13)
+        from pipeline_mf_etl_spark.sources.bzip2 import decode_bzip2_stream
+
+        decode, glob = decode_bzip2_stream, "*.jsonl.bz2"
     else:
         raise ValueError(
-            f"unsupported stream codec {codec!r} (lz4|snappy|zstd|gzip)"
+            f"unsupported stream codec {codec!r} (lz4|snappy|zstd|gzip|bzip2)"
         )
 
     from pyspark.sql.types import (

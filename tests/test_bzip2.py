@@ -283,3 +283,50 @@ class TestC9Query:
         out = dec(payload)
         assert out["n_streams"] == row[0]
         assert len(out["content"]) == row[1]
+
+
+class TestBz2DropZone:
+    def test_jsonl_bz2_stream_with_corrupt_shard(self, spark, tmp_path):
+        """The .jsonl.bz2 drop-zone leg (Wikipedia-dump convention):
+        multistream shards concatenate, bad lines and a corrupt stream
+        become reject rows — never a wedged stream."""
+        import json
+
+        from pipeline_mf_etl_spark.streaming.transforms import (
+            read_compressed_jsonl_stream,
+        )
+
+        zone = tmp_path / "bz2zone"
+        zone.mkdir()
+        lines = [
+            json.dumps({"doc_id": 1, "text": "alpha", "lang": "en",
+                        "source": "wiki", "n_chars": 5}),
+            "not json at all {",
+        ]
+        payload, _ = encode_bzip2_multistream(
+            [("\n".join(lines) + "\n").encode(),
+             b'{"doc_id": 2, "text": "beta"}\n']
+        )
+        (zone / "shard-0.jsonl.bz2").write_bytes(payload)
+        good = encode_bzip2(b'{"doc_id": 3, "text": "gamma"}\n')
+        (zone / "shard-1.jsonl.bz2").write_bytes(good)
+        bad = bytearray(good)
+        bad[-2] ^= 0x10  # break the stream CRC
+        (zone / "shard-2.jsonl.bz2").write_bytes(bytes(bad))
+        (zone / "ignored.jsonl").write_text("{}")  # glob-filtered
+
+        q = (
+            read_compressed_jsonl_stream(spark, str(zone), codec="bzip2")
+            .writeStream.format("memory")
+            .queryName("bz2_ingest")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from bz2_ingest").collect()
+        docs = {r["doc_id"]: r for r in rows if r["reject_reason"] is None}
+        rejects = [r for r in rows if r["reject_reason"] is not None]
+        assert set(docs) == {1, 2, 3}
+        assert docs[2]["text"] == "beta"  # second stream's line arrived
+        reasons = sorted(r["reject_reason"].split(":")[0] for r in rejects)
+        assert reasons == ["BAD_FRAME", "BAD_JSON"]

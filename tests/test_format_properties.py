@@ -232,3 +232,47 @@ def test_zip_bitflip_never_misdecodes(payload, pos, mask):
         (n, p) for n, p, _ in members
     ]
 
+
+
+# ---------------------------------------------------------------------------
+# bzip2 (r13): round-trip identity over arbitrary bytes, stdlib
+# cross-validation as a property, and the never-mis-decode guarantee
+# ---------------------------------------------------------------------------
+
+from pipeline_mf_etl_spark.sources.bzip2 import (  # noqa: E402
+    decode_bzip2_stream,
+    encode_bzip2,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(max_size=6000), st.integers(1, 9), st.sampled_from([64, 700, 4096]))
+def test_bzip2_round_trip_identity(payload, level, block_bytes):
+    import bz2 as stdlib_bz2
+
+    enc = encode_bzip2(payload, level=level, block_bytes=block_bytes)
+    assert decode_bzip2_stream(enc)["content"] == payload
+    assert stdlib_bz2.decompress(enc) == payload  # libbzip2 agrees
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=1, max_size=4000))
+def test_bzip2_decodes_stdlib(payload):
+    import bz2 as stdlib_bz2
+
+    assert decode_bzip2_stream(stdlib_bz2.compress(payload, 1))["content"] == payload
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=50, max_size=1500), st.integers(0, 10**6), st.integers(1, 255))
+def test_bzip2_bitflip_never_misdecodes(payload, pos, mask):
+    """Any single-byte corruption either still yields the exact content
+    (padding bits) or raises — block CRC + stream CRC + structural
+    gates leave no silent-corruption class."""
+    enc = bytearray(encode_bzip2(payload, level=1, block_bytes=256))
+    enc[pos % len(enc)] ^= mask
+    try:
+        out = decode_bzip2_stream(bytes(enc))
+    except (ValueError, NotImplementedError, IndexError):
+        return
+    assert out["content"] == payload

@@ -103,6 +103,8 @@ def test_mm4_wav_synthesis_samples_bytes(spark):
 # ---------------------------------------------------------------------------
 
 _MIGRATED = [
+    "mm1_binary_metadata",    # char-based on BOTH sides by design
+    "mm3_frame_sample",       # octet_length-based from the start
     "mm2_byte_features",      # bytes family
     "mm4_wav_decode",         # audio: WAV
     "mm5_image_decode",       # image: PPM
