@@ -99,6 +99,7 @@ CODEC_PHASES = (
     "mm15_mjpeg_decode",
     "mm12b_png_color",
     "c7_zstd_extract",
+    "c9_bzip2_extract",
 )
 
 
@@ -143,6 +144,10 @@ def _codec_phase_specs():
             lambda s, d: _with_zstd(docs(s, d)),
             _extract_zstd,
         ),
+        "c9_bzip2_extract": (
+            lambda s, d: _with_bz2(docs(s, d)),
+            _extract_bz2,
+        ),
     }
 
 
@@ -156,6 +161,18 @@ def _extract_zstd(df):
     from pipeline_mf_etl_spark.sources.zstdframe import extract_zstd_documents
 
     return extract_zstd_documents(df)
+
+
+def _with_bz2(df):
+    from pipeline_mf_etl_spark.sources.bzip2 import with_bzip2_payload
+
+    return with_bzip2_payload(df)
+
+
+def _extract_bz2(df):
+    from pipeline_mf_etl_spark.sources.bzip2 import extract_bzip2_documents
+
+    return extract_bzip2_documents(df)
 
 
 def _force(df) -> int:
