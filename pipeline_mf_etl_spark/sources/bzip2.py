@@ -92,6 +92,25 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return val
 
+    def peek(self, n: int) -> int:
+        """Next ``n`` bits without consuming; ZERO-padded past the end
+        of the payload (the peek-table fast path may look further than
+        the stream has — `skip` still refuses to consume phantom
+        bits)."""
+        while self.nbits < n and self.byte_pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.byte_pos]
+            self.byte_pos += 1
+            self.nbits += 8
+        if self.nbits >= n:
+            return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        return (self.acc << (n - self.nbits)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        if n > self.nbits:
+            raise ValueError("bzip2 payload truncated mid-bitstream")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
     def bit_pos(self) -> int:
         return self.byte_pos * 8 - self.nbits
 
@@ -145,11 +164,11 @@ def _huff_decode_table(lens: list[int]):
         seen += count[length]
         limit[length] = vec - 1
         vec <<= 1
-    return min_len, max_len, limit, base, perm
+    return min_len, max_len, limit, base, perm, _huff_peek_table(lens)
 
 
 def _huff_read_symbol(br: _BitReader, tbl) -> int:
-    min_len, max_len, limit, base, perm = tbl
+    min_len, max_len, limit, base, perm, _peek = tbl
     length = min_len
     v = br.read(min_len)
     while True:
@@ -159,6 +178,27 @@ def _huff_read_symbol(br: _BitReader, tbl) -> int:
             raise ValueError("bzip2 Huffman code outside table")
         v = (v << 1) | br.read(1)
         length += 1
+
+
+_PEEK_BITS = 11  # 2048-entry (symbol, length) LUT per table
+
+
+def _huff_peek_table(lens: list[int]) -> list[int]:
+    """(symbol << 5) | length packed LUT over every _PEEK_BITS-bit
+    prefix; 0 marks codes longer than the peek width (walk fallback).
+    Built once per Huffman table — the VP8L peek-table lesson (r12):
+    one list index replaces the per-bit limit/base walk on the hot
+    path."""
+    codes = _huff_codes(lens)
+    lut = [0] * (1 << _PEEK_BITS)
+    for sym, (code, length) in enumerate(zip(codes, lens)):
+        if length > _PEEK_BITS:
+            continue
+        packed = (sym << 5) | length
+        lo = code << (_PEEK_BITS - length)
+        for e in range(lo, lo + (1 << (_PEEK_BITS - length))):
+            lut[e] = packed
+    return lut
 
 
 def _huff_lengths(freq: list[int]) -> list[int]:
@@ -233,20 +273,32 @@ def _rle1_encode(data: bytes) -> bytes:
 
 
 def _rle1_decode(data: bytes) -> bytes:
+    """Inverse RLE1, chunk-at-a-time: numpy finds every 4-equal-byte
+    run start, and the decoder copies the literal span up to each run
+    wholesale instead of stepping per byte (runs are rare in text, so
+    this is ~memcpy speed; the count byte may equal the run byte, so
+    candidates inside a consumed span are skipped by position)."""
+    n = len(data)
+    if n < 4:
+        return data
+    a = np.frombuffer(data, dtype=np.uint8)
+    cand = np.flatnonzero(
+        (a[:-3] == a[1:-2]) & (a[1:-2] == a[2:-1]) & (a[2:-1] == a[3:])
+    )
+    if cand.size == 0:
+        return data
     out = bytearray()
-    i, n = 0, len(data)
-    while i < n:
-        b = data[i]
-        run = 1
-        while run < 4 and i + run < n and data[i + run] == b:
-            run += 1
-        out += bytes([b]) * run
-        i += run
-        if run == 4:
-            if i >= n:
-                raise ValueError("bzip2 RLE1 run truncated (missing count)")
-            out += bytes([b]) * data[i]
-            i += 1
+    i = 0
+    for c in cand:
+        if c < i:
+            continue
+        c = int(c)
+        out += data[i : c + 4]  # literal span incl. the 4 run bytes
+        if c + 4 >= n:
+            raise ValueError("bzip2 RLE1 run truncated (missing count)")
+        out += bytes([data[c]]) * data[c + 4]
+        i = c + 5
+    out += data[i:]
     return bytes(out)
 
 
@@ -333,7 +385,7 @@ def _mtf_rle2_encode(bwt: bytes, used: list[int]) -> list[int]:
 # ---------------------------------------------------------------------------
 
 
-def _decode_block(br: _BitReader) -> bytes:
+def _decode_block(br: _BitReader) -> tuple[bytes, int]:
     stored_crc = br.read(32)
     if br.read(1):
         raise NotImplementedError(
@@ -390,16 +442,45 @@ def _decode_block(br: _BitReader) -> bytes:
     inc = 1
     sel_idx = 0
     count = 0
+    lut = None
     tbl = None
+    # the hot loop keeps the bit buffer in LOCALS (peek-table index +
+    # in-place consume) — per-symbol method calls were the decode
+    # bottleneck (same lesson as VP8L's peek table, r12)
+    data = br.data
+    n_data = len(data)
+    pos = br.byte_pos
+    acc = br.acc
+    nbits = br.nbits
     while True:
         if count == 0:
             if sel_idx >= len(selectors):
                 raise ValueError("bzip2 selectors exhausted mid-block")
             tbl = tables[selectors[sel_idx]]
+            lut = tbl[5]
             sel_idx += 1
             count = _GROUP_SIZE
         count -= 1
-        s = _huff_read_symbol(br, tbl)
+        while nbits < _PEEK_BITS and pos < n_data:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits >= _PEEK_BITS:
+            idx = (acc >> (nbits - _PEEK_BITS)) & 2047
+        else:  # end of payload: zero-padded peek
+            idx = (acc << (_PEEK_BITS - nbits)) & 2047
+        pk = lut[idx]
+        if pk:
+            ln = pk & 31
+            if ln > nbits:
+                raise ValueError("bzip2 payload truncated mid-bitstream")
+            nbits -= ln
+            acc &= (1 << nbits) - 1
+            s = pk >> 5
+        else:  # code longer than the peek width: limit/base walk
+            br.byte_pos, br.acc, br.nbits = pos, acc, nbits
+            s = _huff_read_symbol(br, tbl)
+            pos, acc, nbits = br.byte_pos, br.acc, br.nbits
         if s <= 1:  # RUNA / RUNB
             run += inc * (s + 1)
             inc <<= 1
@@ -409,6 +490,7 @@ def _decode_block(br: _BitReader) -> bytes:
             run = 0
             inc = 1
         if s == eob:
+            br.byte_pos, br.acc, br.nbits = pos, acc, nbits
             break
         b = mtf[s - 1]
         del mtf[s - 1]
@@ -422,7 +504,7 @@ def _decode_block(br: _BitReader) -> bytes:
             f"bzip2 block CRC mismatch: stored {stored_crc:#010x}, "
             f"computed {crc:#010x}"
         )
-    return data
+    return data, crc
 
 
 # ---------------------------------------------------------------------------
@@ -447,10 +529,9 @@ def decode_bzip2_at(payload: bytes, offset: int) -> dict:
     while True:
         magic = br.read(48)
         if magic == _BLOCK_MAGIC:
-            data = _decode_block(br)
+            data, blk_crc = _decode_block(br)
             if len(data) > level * 100_000:
                 raise ValueError("bzip2 block exceeds its declared level")
-            blk_crc = bz2_crc32(data)
             stream_crc = (
                 ((stream_crc << 1) | (stream_crc >> 31)) & 0xFFFFFFFF
             ) ^ blk_crc
