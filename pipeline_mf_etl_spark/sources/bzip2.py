@@ -254,21 +254,33 @@ def _huff_codes(lens: list[int]) -> list[int]:
 
 def _rle1_encode(data: bytes) -> bytes:
     """Stage 1: runs of 4..255 identical bytes become 4 bytes + count
-    (count capped at 251 extra, the conservative libbzip2 bound)."""
+    (count capped at 251 extra, the conservative libbzip2 bound).
+    Chunk-at-a-time like the decoder: numpy finds 4-run starts, literal
+    spans between them copy wholesale."""
+    n = len(data)
+    if n < 4:
+        return data
+    a = np.frombuffer(data, dtype=np.uint8)
+    cand = np.flatnonzero(
+        (a[:-3] == a[1:-2]) & (a[1:-2] == a[2:-1]) & (a[2:-1] == a[3:])
+    )
+    if cand.size == 0:
+        return data
     out = bytearray()
-    i, n = 0, len(data)
-    while i < n:
-        b = data[i]
-        j = i + 1
-        while j < n and j - i < 255 and data[j] == b:
+    i = 0
+    for c in cand:
+        if c < i:
+            continue
+        c = int(c)
+        out += data[i : c + 4]
+        b = data[c]
+        j = c + 4
+        limit = min(n, c + 255)  # 4 + count <= 255 per escape
+        while j < limit and data[j] == b:
             j += 1
-        run = j - i
-        if run >= 4:
-            out += data[i : i + 4]
-            out.append(run - 4)
-        else:
-            out += data[i:j]
+        out.append(j - c - 4)
         i = j
+    out += data[i:]
     return bytes(out)
 
 
@@ -356,27 +368,31 @@ def _mtf_rle2_encode(bwt: bytes, used: list[int]) -> list[int]:
     mtf = bytearray(used)
     syms: list[int] = []
     run = 0
-
-    def flush() -> None:
-        nonlocal run
+    index = mtf.index
+    append = syms.append
+    insert = mtf.insert
+    for b in bwt:
+        j = index(b)
+        if j == 0:
+            run += 1
+            continue
+        if run:  # zero-run flush, bijective base 2 (0=RUNA, 1=RUNB)
+            r = run
+            while r > 0:
+                r -= 1
+                append(r & 1)
+                r >>= 1
+            run = 0
+        append(j + 1)
+        del mtf[j]
+        insert(0, b)
+    if run:
         r = run
         while r > 0:
             r -= 1
-            syms.append(r & 1)  # 0 -> RUNA, 1 -> RUNB
+            append(r & 1)
             r >>= 1
-        run = 0
-
-    for b in bwt:
-        j = mtf.index(b)
-        if j == 0:
-            run += 1
-        else:
-            flush()
-            syms.append(j + 1)
-            del mtf[j]
-            mtf.insert(0, b)
-    flush()
-    syms.append(len(used) + 1)  # EOB
+    append(len(used) + 1)  # EOB
     return syms
 
 
@@ -642,8 +658,21 @@ def _encode_block(bw: _BitWriter, chunk: bytes) -> int:
                 bw.write(0b11, 2)
                 cur -= 1
             bw.write(0, 1)
+    # symbol emission with the bit buffer in locals (per-symbol method
+    # calls dominated the encode profile, mirroring the decode fix)
+    acc = bw.acc
+    nbits = bw.nbits
+    out = bw.out
     for s in syms:
-        bw.write(codes[s], lens[s])
+        ln = lens[s]
+        acc = (acc << ln) | codes[s]
+        nbits += ln
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+    bw.acc = acc
+    bw.nbits = nbits
     return crc
 
 
