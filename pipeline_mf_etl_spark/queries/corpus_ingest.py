@@ -693,3 +693,40 @@ query("c8_seekable_extract", oracle=C8_ORACLE)(c8_seekable_extract)
 query("c9_bzip2_extract", oracle=C9_ORACLE)(c9_bzip2_extract)
 query("t15_html_extract", oracle=T15_ORACLE)(t15_html_extract)
 query("wd1_webdataset_roundtrip", oracle=WD1_ORACLE)(wd1_webdataset_roundtrip)
+
+
+# ---------------------------------------------------------------------------
+# c10 — seekable-zstd shard corpus round-trip (sources/corpus_io.py,
+# built r13; registered for the r14 window). Certifies the WHOLE shard
+# layout end to end: the corpus is written as seekable archives + a
+# doc-level byte-range index in one shard-parallel job, then EVERY doc
+# is fetched back through the three-range-GET point-lookup path
+# (footer probe, seek table, covering frames only) and must equal the
+# source table byte for byte. The oracle is the identity — the layout
+# must be lossless.
+# ---------------------------------------------------------------------------
+
+
+def c10_shard_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents corpus into the seekable-zstd shard layout,
+    then point-look-up every doc via its byte-range index entry.
+    EAGER: the shard write runs at build time (tempdir scratch)."""
+    import tempfile
+
+    from pipeline_mf_etl_spark.sources.corpus_io import (
+        read_jsonl_zst_docs,
+        write_jsonl_zst_corpus,
+    )
+    from pipeline_mf_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="c10_")
+    index = write_jsonl_zst_corpus(docs, root, n_shards=4)
+    return read_jsonl_zst_docs(index, root)
+
+
+C10_ORACLE = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+query("c10_shard_lookup", eager=True, oracle=C10_ORACLE)(c10_shard_lookup)

@@ -129,7 +129,12 @@ _PRIORITY = (
     "m17_trend_slope",
     "m18_hardening_policy",
     "j8_transition_matrix",
-    # --- names below slot 50 head the r14 rotation ---
+    # --- names below slot 50 head the r14 rotation: this round's
+    # post-window registration (c10, certifying the r13-built seekable
+    # shard layout end to end), then the three r9 rows that slipped
+    # past slot 50, then the 10 mm r9 rows (enforced into the r14
+    # window by test_no_certification_older_than_four_rounds) ---
+    "c10_shard_lookup",
     "g3_triangle_count",
     "w22_funnel_steps",
     "st2_sliding_windows",
