@@ -730,3 +730,46 @@ C10_ORACLE = """
 """
 
 query("c10_shard_lookup", eager=True, oracle=C10_ORACLE)(c10_shard_lookup)
+
+
+# ---------------------------------------------------------------------------
+# c11 — .xz / LZMA2 extraction (sources/xz.py, built r13; registered
+# for the r14 window behind c10). The one corpus container where the
+# engine is DECODE-only by design: synthesis compresses each doc with
+# CPython's stdlib lzma (liblzma), so every document the query touches
+# cross-validates our range-coder/LZMA2/container walk against real
+# liblzma output — presets, multistream concatenation, and all three
+# integrity check types cycle by doc_id. Reference analog:
+# ingest/read_txt.py:97-186 (file-grain decompression).
+# ---------------------------------------------------------------------------
+
+
+def c11_xz_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode one multistream .xz payload per document (1 + doc_id%2
+    liblzma streams of ``text\\n``, check type cycling
+    crc32/crc64/sha256) through the fully verified walk and emit
+    stream/block accounting + content integrity. Map-only Arrow pass;
+    byte-exact (strlen) oracle."""
+    from pipeline_mf_etl_spark.sources.xz import (
+        extract_xz_documents,
+        with_xz_payload,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return extract_xz_documents(with_xz_payload(docs))
+
+
+C11_ORACLE = """
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_streams,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_blocks,
+           CASE doc_id % 3 WHEN 0 THEN 'crc32' WHEN 1 THEN 'crc64'
+                ELSE 'sha256' END AS "check",
+           CAST((1 + doc_id % 2) * (strlen(text) + 1) AS BIGINT)
+               AS content_size,
+           md5(repeat(text || chr(10), 1 + doc_id % 2)) AS content_md5,
+           text AS text_out
+    FROM documents
+"""
+
+query("c11_xz_extract", oracle=C11_ORACLE)(c11_xz_extract)

@@ -135,6 +135,7 @@ _PRIORITY = (
     # past slot 50, then the 10 mm r9 rows (enforced into the r14
     # window by test_no_certification_older_than_four_rounds) ---
     "c10_shard_lookup",
+    "c11_xz_extract",
     "g3_triangle_count",
     "w22_funnel_steps",
     "st2_sliding_windows",

@@ -753,9 +753,16 @@ def read_compressed_jsonl_stream(
         from pipeline_mf_etl_spark.sources.bzip2 import decode_bzip2_stream
 
         decode, glob = decode_bzip2_stream, "*.jsonl.bz2"
+    elif codec == "xz":
+        # OSCAR-style .xz shards — the full container walk with block
+        # checks + index/footer validation (sources/xz.py, r13)
+        from pipeline_mf_etl_spark.sources.xz import decode_xz_stream
+
+        decode, glob = decode_xz_stream, "*.jsonl.xz"
     else:
         raise ValueError(
-            f"unsupported stream codec {codec!r} (lz4|snappy|zstd|gzip|bzip2)"
+            f"unsupported stream codec {codec!r} "
+            "(lz4|snappy|zstd|gzip|bzip2|xz)"
         )
 
     from pyspark.sql.types import (
