@@ -84,6 +84,7 @@ HEADLINE = (
     "c8_seekable_extract",    # seekable-zstd range reads (partial decode)
     # added round 13 (r12-comparable subtotal = first 50)
     "c9_bzip2_extract",       # multistream bzip2 decode + CRC verification
+    "c11_xz_extract",         # xz/LZMA2 range-coder decode (liblzma synth)
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the
