@@ -64,81 +64,92 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.graph",
 )
 
-# ROUND-13 WINDOW (the r12 verdict's ranked task 1): the 16 queries
-# whose latest green is r8 (4 rounds of drift risk) re-certify FIRST,
-# then this round's new code (st13/c9, inserted when registered), then
-# the oldest r9 cohort fills the remaining slots — composed dedup/ANN
-# parents first, then text/viewer/backtest/stats chains. Names past
-# slot 50 stay ordered and head the r14 rotation (the staleness test
-# below forces them into the r14 window mechanically).
-# Rotated out (green r10-r12, code untouched): the r12 window.
+# ROUND-14 WINDOW (the r13 verdict's ranked task 1): the two late-r13
+# registrations certify FIRST (c10 seekable-zstd shard layout, c11
+# xz/LZMA2 decode — both oracle-parity green locally since r13), then
+# this round's new code (inserted when registered), then the 13 rows
+# whose latest green is r9 (>4 rounds stale at r14 — the staleness
+# guard below forces exactly this set), then the oldest r10 cohort
+# fills the remaining slots — dedup parent first, then the multimodal,
+# streaming, text, flow, and model-fit chains. Names past slot 50 are
+# the DOCUMENTED r15 rotation head (the 11 r10 rows that did not fit);
+# the staleness guard treats that tail as the planned next window, so
+# the suite stays green across the driver's end-of-round artifact drop
+# and still fails if the r15 rotation is skipped.
+# Rotated out (green r12-r13, code untouched): the r13 window.
 # The permanently-red no-oracle variants (a16/a17/a18/o4) are
 # driver_visible=False — certified via their exact twins + property
 # tests — so no window can contain a red-by-design row.
 _PRIORITY = (
-    # --- (1) the 16 r8-stale re-certs (verdict task 1 head) ---
-    "j5_state_mapping",
-    "j6_overlay_coverage",
-    "a8_topk_parts",
-    "a9_null_rates",
-    "a12_quantile_edges",
-    "a13_orders_by_year",
-    "b10_sensitivity_grid",
-    "b11_robustness_score",
-    "d10_record_linkage",
-    "d11_containment",
-    "m6_density_clusters",
-    "m13_bootstrap_ci",
-    "m14_block_bootstrap",
-    "m15_pairwise_diff_ci",
-    "o6_anti_join",
-    "t14_boilerplate_lines",
-    # --- (2) new r13 code ---
-    "st13_dropzone_ingest",
-    "c9_bzip2_extract",
-    # --- (3) r9 cohort fill: dedup/ANN chains first ---
-    "d1_exact_dedupe",
-    "d3_simhash",
-    "d4_ngram_jaccard",
-    "d5_neardup_groups",
-    "d6_canonical_docs",
-    "d7_curation_waterfall",
-    "d8_substring_dedup",
-    "e1_ann_bruteforce",
-    "e2_ann_bucketed",
-    "e3_embedding_neardup",
-    "e4_ann_ivf",
-    "e5_ann_pq",
-    "e6_ann_ivfpq",
-    "t2_quality_score",
-    "t3_top_terms",
-    "t4_fingerprint",
-    "t5_token_stats",
-    "v1_tmf_tti_panel",
-    "v2_viewer_markers",
-    "v3_reading_labels",
-    "b12_walkforward_grid",
-    "b13_candidate_drift",
-    "b14_calibration_sweep",
-    "b15_equity_summary",
-    "m1_global_scaler",
-    "m2_per_group_scaler",
-    "m8_state_profiles",
-    "m12_dwell_stats",
-    "m17_frobenius_stability",
-    "m17_trend_slope",
-    "m18_hardening_policy",
-    "j8_transition_matrix",
-    # --- names below slot 50 head the r14 rotation: this round's
-    # post-window registration (c10, certifying the r13-built seekable
-    # shard layout end to end), then the three r9 rows that slipped
-    # past slot 50, then the 10 mm r9 rows (enforced into the r14
-    # window by test_no_certification_older_than_four_rounds) ---
+    # --- (1) first driver exposure for the late-r13 registrations ---
     "c10_shard_lookup",
     "c11_xz_extract",
+    # --- (2) the 13 r9-stale re-certs (staleness guard set) ---
     "g3_triangle_count",
     "w22_funnel_steps",
     "st2_sliding_windows",
+    "mm1_binary_metadata",
+    "mm2_byte_features",
+    "mm3_frame_sample",
+    "mm4_wav_decode",
+    "mm13_jpeg_decode",
+    "mm13b_jpeg_color",
+    "mm15_mjpeg_decode",
+    "mm16_jpeg_probe",
+    "mm17_jpeg_progressive",
+    "mm20_bmp_decode",
+    # --- (3) r10 cohort fill: LSH parent, then multimodal decode,
+    # streaming, text, flow/manifest, model-fit, viewer chains ---
+    "d2_minhash_lsh",
+    "mm5_image_decode",
+    "mm6_video_decode",
+    "mm7_image_phash_dedup",
+    "mm12_png_decode",
+    "mm12b_png_color",
+    "mm14_mp4_demux",
+    "mm18_adpcm_decode",
+    "mm19_gif_decode",
+    "st1_tumbling_daily",
+    "st3_session_windows",
+    "st4_stateful_user_stats",
+    "st5_stream_dedupe",
+    "st6_stream_enrich",
+    "st7_stream_neardup",
+    "st8_stream_quality_route",
+    "t1_lang_id",
+    "t6_pii_scrub",
+    "t7_repetition_quality",
+    "t8_contamination",
+    "t9_trigram_lm",
+    "t10_source_quality",
+    "f1_flow_states",
+    "f2_flow_activity",
+    "i5_manifest_merge",
+    "m4_kmeans_profile",
+    "m5_gmm_mixture",
+    "m7_cluster_quality",
+    "m7b_silhouette_sampled",
+    "m10_hmm_states",
+    "m16_event_study",
+    "m20_ari_vs_truth",
+    "m21_walkforward",
+    "v4_hmm_ribbon",
+    "w3_ewm_wilder",
+    # --- names below slot 50: the 11 remaining r10 rows, i.e. the
+    # documented r15 rotation head (the staleness guard accepts these
+    # as "planned next window" at the r14->r15 boundary and fails if
+    # they are still here after the r15 rotation should have run) ---
+    "mm21_h264_probe",
+    "mm22_avc1_route",
+    "mm23_aac_route",
+    "mm24_hevc_route",
+    "o9_stratified_sample",
+    "o10_token_budget_mix",
+    "o11_split_leakage",
+    "o12_sequence_packing",
+    "o13_temperature_mix",
+    "w21_scd2_intervals_segmented",
+    "w23_ohlc_resample_minby",
 )
 
 
