@@ -530,6 +530,16 @@ def c8_seekable_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 total = sum(e["d_size"] for e in table)
                 off = len(content) // 3
                 ln = min(_SEEK_SLICE, total - off)
+                # snap the slice end DOWN to a UTF-8 char boundary so
+                # slice_text always decodes (the start is a copy
+                # boundary by construction); a no-op on ASCII corpora,
+                # mirrored byte-for-byte in the oracle's CASE ladder
+                while (
+                    ln > 0
+                    and off + ln < total
+                    and (content[off + ln] & 0xC0) == 0x80
+                ):
+                    ln -= 1
                 sl = zstd_seek_read(arc, off, ln)
                 if sl != content[off : off + ln]:
                     raise ValueError("seekable range read disagrees with content")
@@ -557,23 +567,45 @@ def c8_seekable_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the slice starts at byte len(text)+1 (content is exactly 3 copies of
-# text||\n, so offset = one copy) and runs min(256, 2*(len+1)) bytes;
-# frames are 512 decompressed bytes, so the touched count is pure
-# interval arithmetic. ASCII-corpus assumption (mm2/mm25 convention)
-# for substr vs byte slicing; sizes themselves are byte-exact.
+# text||\n, so offset = one copy) and runs min(256, 2*(len+1)) bytes,
+# snapped down to a UTF-8 char boundary (engine mirror above); frames
+# are 512 decompressed bytes, so the touched count is pure interval
+# arithmetic. BYTE-exact on any corpus (r13 verdict task 5): sizes via
+# strlen (bytes), the slice via hex-pair extraction on the UTF-8
+# encoding (idiom documented atop queries/multimodal.py), the boundary
+# snap as a 4-step CASE ladder over continuation bytes (UTF-8 chars
+# are at most 4 bytes, so at most 3 snaps).
 C8_ORACLE = f"""
     WITH geo AS (
         SELECT doc_id,
-               repeat(text || chr(10), 3) AS content,
-               3 * (length(text) + 1) AS total,
-               length(text) + 1 AS off
+               hex(encode(repeat(text || chr(10), 3))) AS hx,
+               3 * (strlen(text) + 1) AS total,
+               strlen(text) + 1 AS off
         FROM documents
-    ), sl AS (
-        SELECT doc_id, total, off,
-               LEAST({_SEEK_SLICE}, total - off) AS ln,
-               substr(content, off + 1, LEAST({_SEEK_SLICE}, total - off))
-                   AS slice
+    ), raw AS (
+        SELECT doc_id, hx, total, off,
+               LEAST({_SEEK_SLICE}, total - off) AS ln0
         FROM geo
+    ), snap AS (
+        SELECT doc_id, hx, total, off,
+               CASE
+                 WHEN ln0 <= 0 THEN ln0
+                 WHEN off + ln0 >= total
+                   OR (CAST('0x' || substring(hx, 2 * (off + ln0) + 1, 2)
+                       AS INTEGER) & 192) != 128 THEN ln0
+                 WHEN off + ln0 - 1 >= total
+                   OR (CAST('0x' || substring(hx, 2 * (off + ln0 - 1) + 1, 2)
+                       AS INTEGER) & 192) != 128 THEN ln0 - 1
+                 WHEN off + ln0 - 2 >= total
+                   OR (CAST('0x' || substring(hx, 2 * (off + ln0 - 2) + 1, 2)
+                       AS INTEGER) & 192) != 128 THEN ln0 - 2
+                 ELSE ln0 - 3
+               END AS ln
+        FROM raw
+    ), sl AS (
+        SELECT doc_id, total, off, ln,
+               decode(unhex(substring(hx, 2 * off + 1, 2 * ln))) AS slice
+        FROM snap
     )
     SELECT doc_id,
            CAST((total + {_SEEK_FRAME} - 1) // {_SEEK_FRAME} AS BIGINT)

@@ -26,21 +26,17 @@ def _docs(spark, sf_dir):
     return fan_out(load_table(spark, sf_dir, "documents"))
 
 
-def _byte_at(hx: str, pos: str) -> str:
-    """SQL for the 1-based BYTE at ``pos`` of a UTF-8 string whose hex
-    expansion is ``hx`` (DuckDB cannot index BLOB bytes directly; the
-    i-th byte is the i-th hex pair). Replaces the pre-r13
-    ``ord(substr(text, i, 1))`` idiom, whose code-point semantics only
-    matched the engine's byte-based synthesis on pure-ASCII corpora
-    (r12 verdict task 5); with this form the oracles are byte-exact on
-    ANY corpus and tests/test_multimodal.py::test_corpus_is_ascii is
-    no longer load-bearing for hash parity."""
-    return (
-        f"CAST('0x' || substring({hx}, CAST(2 * ({pos}) - 1 AS INTEGER), 2) "
-        "AS INTEGER)"
-    )
-
-
+# Byte-indexing idiom used throughout this module's oracles (inlined at
+# each site — the oracles are plain strings, not f-strings, so there is
+# deliberately no helper to drift from; tests/test_nonascii.py certifies
+# every family byte-exact): the 1-based BYTE at position i of a UTF-8
+# string whose hex expansion is hx (DuckDB cannot index BLOB bytes
+# directly; the i-th byte is the i-th hex pair) is
+#   CAST('0x' || substring(hx, CAST(2 * (i) - 1 AS INTEGER), 2) AS INTEGER)
+# This replaced the pre-r13 ``ord(substr(text, i, 1))`` idiom, whose
+# code-point semantics only matched the engine's byte-based synthesis on
+# pure-ASCII corpora (r12 verdict task 5); with this form the oracles
+# are byte-exact on ANY corpus.
 #: every-byte iteration form of the same migration: one row per UTF-8
 #: byte of ``text``, in order (hex pairs via regexp_extract_all)
 _BYTES_UNNEST = (

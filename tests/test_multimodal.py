@@ -59,11 +59,11 @@ def test_decode_gate():
 def test_corpus_is_ascii(spark):
     """Documentation of a corpus property, NO LONGER load-bearing for
     hash parity: since the r13 migration every multimodal oracle reads
-    UTF-8 bytes through the hex expansion (queries/multimodal.py
-    _byte_at), and tests/test_nonascii.py asserts engine==oracle on a
-    non-ASCII corpus for every migrated family. Kept as a canary: if
-    the driver corpus ever turns non-ASCII, the c8 substr-slice oracle
-    (documented there) is the one remaining char-based boundary."""
+    UTF-8 bytes through the hex-pair expansion (idiom documented atop
+    queries/multimodal.py), and tests/test_nonascii.py asserts engine==oracle on a
+    non-ASCII corpus for every migrated family — including, since r14,
+    c8's byte-range slice (the last char-based oracle, migrated per
+    r13 verdict task 5). Kept purely as corpus documentation."""
     import pyspark.sql.functions as F
 
     from tests.conftest import SF_ORACLE

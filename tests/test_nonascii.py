@@ -132,6 +132,7 @@ _MIGRATED = [
     "mm25_flac_decode",       # audio: FLAC
     "mm27b_tiff_decode",      # image: TIFF
     "mm28b_webp_lossless_decode",  # image: VP8L
+    "c8_seekable_extract",    # seekable-zstd byte-range slice (r14)
 ]
 
 
@@ -146,13 +147,17 @@ def _nonascii_docs_dir(tmp_path_factory):
         ("pure ascii control row for contrast " * 10).strip(),
         ("кириллица и łatin mixé " * 20).strip(),           # cyrillic
         ("short é" * 40),
+        # 253 ASCII bytes then 4-byte emoji: the c8 256-byte slice cut
+        # lands on the emoji's 4th byte -> the snap ladder's 3-step
+        # branch fires (rows above only exercise the 1-step branch)
+        "x" * 253 + "🎉" * 20,
     ]
     d = tmp_path_factory.mktemp("nonascii_sf")
     tbl = pa.table(
         {
             "doc_id": pa.array(range(len(texts)), pa.int64()),
             "text": pa.array(texts),
-            "lang": pa.array(["fr", "ja", "en", "en", "ru", "fr"]),
+            "lang": pa.array(["fr", "ja", "en", "en", "ru", "fr", "en"]),
             "source": pa.array(["web"] * len(texts)),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
