@@ -567,12 +567,26 @@ def st13_dropzone_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(zone)
 
     # fixture synthesis: the corpus is small by contract (drop-zone
-    # shards are built once, driver-side, through the verified encoders)
+    # shards are built once, driver-side, through the verified
+    # encoders). Guard the contract EXPLICITLY (r13 verdict task 6):
+    # fail loudly before an sf-scaled corpus turns this eager collect
+    # OOM-shaped — the production ingest path is ingest_dropzone_jsonl
+    # itself (readStream, no driver materialization); only this
+    # fixture build is driver-side.
+    _ST13_MAX_DOCS = 200_000  # ~100 MB of JSONL at the test corpus shape
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    collected = src.limit(_ST13_MAX_DOCS + 1).collect()
+    if len(collected) > _ST13_MAX_DOCS:
+        raise ValueError(
+            f"st13 fixture synthesis is driver-side by design and capped "
+            f"at {_ST13_MAX_DOCS} documents; this corpus exceeds it — "
+            f"certify st13 at a smaller sf or build shards executor-side "
+            f"(sources/corpus_io.write_jsonl_zst_corpus)"
+        )
     docs = sorted(
-        (r["doc_id"], r["text"], r["lang"], r["source"])
-        for r in load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text", "lang", "source")
-        .collect()
+        (r["doc_id"], r["text"], r["lang"], r["source"]) for r in collected
     )
     shards: dict[tuple[int, int], list[str]] = {}
     for doc_id, text, lang, source in docs:

@@ -208,6 +208,104 @@ def write_jsonl_zst_corpus(
     return spark.read.parquet(os.path.join(path, "_index"))
 
 
+#: export_ordered_jsonl_zst's index rows: the byte-range index plus the
+#: training-order position the line was written at
+ZST_ORDERED_INDEX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("shard", StringType(), False),
+        StructField("offset", LongType(), False),
+        StructField("length", LongType(), False),
+        StructField("pos", LongType(), False),
+    ]
+)
+
+
+def export_ordered_jsonl_zst(
+    df: DataFrame,
+    order: DataFrame,
+    path: str,
+    n_shards: int,
+    frame_content_size: int = 65536,
+) -> DataFrame:
+    """Ship a training-order assignment as the layout a 100-TB corpus
+    actually trains from (r13 verdict task 7): ``order`` carries
+    (shard, doc_id, pos) — exactly o15_shard_shuffle's output — and
+    each assignment shard becomes one ``shard-<s>.jsonl.zst`` seekable
+    archive with lines in ``pos`` order, plus a ``_index`` parquet of
+    (doc_id, shard, offset, length, pos) byte ranges for point lookups
+    (read_jsonl_zst_doc / read_jsonl_zst_docs).
+
+    Unlike write_jsonl_zst_corpus (whose shard files are named by
+    PARTITION id, deterministic only up to shard numbering), the file
+    here is named by the assignment's shard VALUE: rows are hashed to
+    tasks by that value, so a task may own several whole shards (or
+    none) but a shard is never split — each archive is written whole,
+    in order, by one task. One shuffle (the repartition); encoding runs
+    shard-parallel; the index write is the driving action."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.zstdframe import encode_zstd_seekable
+
+    os.makedirs(path, exist_ok=True)
+    cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+    spark = df.sparkSession
+    fcs = frame_content_size
+
+    def write_shards(batches):
+        rows: list[dict] = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        if not rows:
+            return
+        by_shard: dict[int, list[dict]] = {}
+        for r in rows:
+            by_shard.setdefault(int(r["shard"]), []).append(r)
+        out: list[tuple] = []
+        for s, rs in sorted(by_shard.items()):
+            # sortWithinPartitions already ordered (shard, pos); the
+            # in-memory sort is a cheap idempotence guard
+            rs.sort(key=lambda r: int(r["pos"]))
+            shard_name = f"shard-{s:05d}.jsonl.zst"
+            blobs: list[bytes] = []
+            off = 0
+            for r in rs:
+                line = (
+                    json.dumps(
+                        {c: _py(r.get(c)) for c in cols}, ensure_ascii=False
+                    ).encode("utf-8")
+                    + b"\n"
+                )
+                out.append(
+                    (_py(r["doc_id"]), shard_name, off, len(line), int(r["pos"]))
+                )
+                off += len(line)
+                blobs.append(line)
+            payload = encode_zstd_seekable(
+                b"".join(blobs), frame_content_size=fcs
+            )
+            tmp = os.path.join(path, f".{shard_name}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, os.path.join(path, shard_name))  # atomic publish
+        yield pd.DataFrame(
+            out, columns=[f.name for f in ZST_ORDERED_INDEX_SCHEMA.fields]
+        )
+
+    index = (
+        df.select(*cols)
+        .join(order.select("shard", "doc_id", "pos"), "doc_id")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .mapInPandas(write_shards, ZST_ORDERED_INDEX_SCHEMA)
+    )
+    index.write.mode("overwrite").parquet(os.path.join(path, "_index"))
+    return spark.read.parquet(os.path.join(path, "_index"))
+
+
 def _py(v):
     """numpy/pandas scalar -> plain Python (None for NaN/NA) so the
     JSONL bytes are engine-independent."""

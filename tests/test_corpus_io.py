@@ -241,6 +241,92 @@ class TestSeekableZstCorpus:
                 assert doc["text"] is None and doc["n_chars"] is None
 
 
+class TestOrderedTrainingExport:
+    """r13 verdict task 7: o15_shard_shuffle's training-order assignment
+    shipped through the seekable shard layout, round-tripped via point
+    lookups."""
+
+    def _export(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.queries import all_queries
+        from pipeline_mf_etl_spark.queries.corpus import _O15_SHARDS
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            export_ordered_jsonl_zst,
+        )
+        from pipeline_mf_etl_spark.sources.readers import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf, "documents")
+        order = all_queries()["o15_shard_shuffle"].spark(spark, sf)
+        out = str(tmp_path / "training_shards")
+        index = export_ordered_jsonl_zst(
+            docs, order, out, n_shards=_O15_SHARDS, frame_content_size=512
+        )
+        return docs, order, out, index
+
+    def test_files_follow_assignment_and_order(self, spark, tmp_path):
+        """Each o15 shard becomes exactly one archive named by its
+        shard VALUE, whose decoded lines are the shard's docs in pos
+        order — the read order a trainer replays."""
+        import glob as _glob
+        import json
+        import os
+
+        from pipeline_mf_etl_spark.sources.zstdframe import zstd_seek_read
+
+        docs, order, out, index = self._export(spark, tmp_path)
+        assign = {
+            r["doc_id"]: (r["shard"], r["pos"]) for r in order.collect()
+        }
+        shards = sorted(_glob.glob(os.path.join(out, "shard-*.jsonl.zst")))
+        assert len(shards) == len({s for s, _ in assign.values()})
+        seen = 0
+        for path in shards:
+            s = int(os.path.basename(path).split("-")[1].split(".")[0])
+            with open(path, "rb") as fh:
+                payload = fh.read()
+            from pipeline_mf_etl_spark.sources.zstdframe import (
+                read_zstd_seek_table,
+            )
+
+            table = read_zstd_seek_table(payload)
+            total = table[-1]["d_off"] + table[-1]["d_size"]
+            content = zstd_seek_read(payload, 0, total)
+            doc_ids = [
+                json.loads(line)["doc_id"]
+                for line in content.decode("utf-8").splitlines()
+            ]
+            want = [
+                d
+                for d, (sh, _) in sorted(
+                    assign.items(), key=lambda kv: kv[1][1]
+                )
+                if sh == s
+            ]
+            assert doc_ids == want, path
+            seen += len(doc_ids)
+        assert seen == len(assign)
+
+    def test_point_lookups_round_trip_every_doc(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_jsonl_zst_doc,
+            read_jsonl_zst_docs,
+        )
+
+        docs, order, out, index = self._export(spark, tmp_path)
+        want = {r["doc_id"]: r.asDict() for r in docs.collect()}
+        rows = index.collect()
+        assert len(rows) == len(want)
+        for r in rows[:25]:  # spot single lookups; the map pass does all
+            got = read_jsonl_zst_doc(
+                f"{out}/{r['shard']}", r["offset"], r["length"]
+            )
+            assert got == want[got["doc_id"]]
+        fetched = read_jsonl_zst_docs(index, out)
+        a = sorted(tuple(r) for r in fetched.collect())
+        b = sorted(tuple(r) for r in docs.collect())
+        assert a == b
+
+
 def test_c10_shard_lookup_matches_identity_oracle(spark, duck):
     """The registered shard-layout round-trip (r14 window head): write
     the corpus as seekable archives + byte-range index, point-look-up

@@ -804,6 +804,50 @@ class TestSt13DropzoneIngest:
         )
         assert reasons == ["BAD_FRAME", "BAD_JSON"]
 
+    def test_ingest_dropzone_six_codecs(self, spark, tmp_path):
+        """r13 verdict task 8: the drop zone ingests all six public-dump
+        codecs — the original four plus .jsonl.bz2 (Wikipedia-dump
+        convention, sources/bzip2.py) and .jsonl.xz (OSCAR convention,
+        sources/xz.py) — with one corrupt bz2 shard riding the rejects
+        side-channel."""
+        import bz2 as stdlib_bz2
+        import gzip
+        import json
+        import lzma
+
+        from pipeline_mf_etl_spark.sources.lz4frame import encode_lz4_frame
+        from pipeline_mf_etl_spark.sources.snappyframe import encode_snappy_frame
+        from pipeline_mf_etl_spark.sources.zstdframe import encode_zstd_frame
+        from pipeline_mf_etl_spark.streaming import ingest_dropzone_jsonl
+
+        encoders = {
+            "gz": gzip.compress,
+            "lz4": encode_lz4_frame,
+            "sz": encode_snappy_frame,
+            "zst": encode_zstd_frame,
+            "bz2": stdlib_bz2.compress,
+            "xz": lzma.compress,
+        }
+        zone = tmp_path / "zone"
+        zone.mkdir()
+        for i, (ext, enc) in enumerate(sorted(encoders.items())):
+            line = json.dumps({"doc_id": i, "text": f"doc via {ext}"})
+            (zone / f"docs-{ext}.jsonl.{ext}").write_bytes(
+                enc(line.encode("utf-8"))
+            )
+        (zone / "corrupt.jsonl.bz2").write_bytes(b"BZh9\x00bad")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        codecs = ("gzip", "lz4", "snappy", "zstd", "bzip2", "xz")
+        for q in ingest_dropzone_jsonl(spark, str(zone), out, ckpt, codecs):
+            q.awaitTermination(300)
+        rows = spark.read.parquet(out).collect()
+        good = sorted(r["text"] for r in rows if r["reject_reason"] is None)
+        assert good == sorted(f"doc via {e}" for e in encoders)
+        rejects = [r for r in rows if r["reject_reason"] is not None]
+        assert len(rejects) == 1
+        assert rejects[0]["reject_reason"].startswith("BAD_FRAME")
+        assert "corrupt.jsonl.bz2" in rejects[0]["shard"]
+
     def test_ingest_dropzone_replay_is_idempotent(self, spark, tmp_path):
         """A committed batch subdir is skipped on re-run from a fresh
         checkpoint only when _SUCCESS is present; the sink never
