@@ -805,3 +805,44 @@ C11_ORACLE = """
 """
 
 query("c11_xz_extract", oracle=C11_ORACLE)(c11_xz_extract)
+
+
+# ---------------------------------------------------------------------------
+# c12 — bzip2 dump-index point-lookup (sources/bzip2.py decode_bzip2_at
+# + sources/corpus_io.py write_jsonl_bz2_dump; r13 verdict task 9).
+# Certifies the Wikipedia-multistream access pattern end to end: the
+# corpus is written as shards of independent byte-aligned bzip2 streams
+# (16 JSONL docs per stream) with a per-document (offset, length,
+# line_no) index — the shape the public dump index publishes — then
+# EVERY doc is fetched back by range-reading ONLY its stream's bytes
+# and decoding that one stream through the CRC-verified walk. The
+# oracle is the identity — the layout must be lossless. This is the
+# executor-unit COVERAGE.md advertises for multistream dumps, now
+# driver-certified like c10 did for seekable-zstd.
+# ---------------------------------------------------------------------------
+
+
+def c12_bz2_dump_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents corpus into the multistream bzip2 dump
+    layout, then point-look-up every doc via its dump-index entry
+    (per-stream range read, single-stream decode, line pick). EAGER:
+    the dump write runs at build time (tempdir scratch)."""
+    import tempfile
+
+    from pipeline_mf_etl_spark.sources.corpus_io import (
+        read_jsonl_bz2_docs,
+        write_jsonl_bz2_dump,
+    )
+    from pipeline_mf_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="c12_")
+    index = write_jsonl_bz2_dump(docs, root, n_shards=4, docs_per_stream=16)
+    return read_jsonl_bz2_docs(index, root)
+
+
+C12_ORACLE = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+query("c12_bz2_dump_lookup", eager=True, oracle=C12_ORACLE)(c12_bz2_dump_lookup)

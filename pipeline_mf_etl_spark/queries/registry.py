@@ -70,7 +70,9 @@ _QUERY_MODULES = (
 # this round's new code (inserted when registered), then the 13 rows
 # whose latest green is r9 (>4 rounds stale at r14 — the staleness
 # guard below forces exactly this set), then the oldest r10 cohort
-# fills the remaining slots — dedup parent first, then the multimodal,
+# this round's NEW c12 (bzip2 dump-index point-lookup, task 9), then
+# the oldest r10 cohort fills the remaining slots — dedup parent first,
+# then the multimodal,
 # streaming, text, flow, and model-fit chains. Names past slot 50 are
 # the DOCUMENTED r15 rotation head (the 11 r10 rows that did not fit);
 # the staleness guard treats that tail as the planned next window, so
@@ -84,6 +86,7 @@ _PRIORITY = (
     # --- (1) first driver exposure for the late-r13 registrations ---
     "c10_shard_lookup",
     "c11_xz_extract",
+    "c12_bz2_dump_lookup",
     # --- (2) the 13 r9-stale re-certs (staleness guard set) ---
     "g3_triangle_count",
     "w22_funnel_steps",
@@ -134,11 +137,11 @@ _PRIORITY = (
     "m20_ari_vs_truth",
     "m21_walkforward",
     "v4_hmm_ribbon",
-    "w3_ewm_wilder",
-    # --- names below slot 50: the 11 remaining r10 rows, i.e. the
+    # --- names below slot 50: the 12 remaining r10 rows, i.e. the
     # documented r15 rotation head (the staleness guard accepts these
     # as "planned next window" at the r14->r15 boundary and fails if
     # they are still here after the r15 rotation should have run) ---
+    "w3_ewm_wilder",
     "mm21_h264_probe",
     "mm22_avc1_route",
     "mm23_aac_route",

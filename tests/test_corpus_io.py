@@ -327,6 +327,139 @@ class TestOrderedTrainingExport:
         assert a == b
 
 
+class TestBz2DumpIndex:
+    """r13 verdict task 9: the Wikipedia-multistream dump layout —
+    byte-aligned bzip2 streams + per-doc (offset, length, line_no)
+    index — certified through range-read single-stream decodes."""
+
+    def _write(self, spark, tmp_path, n_docs=40):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            write_jsonl_bz2_dump,
+        )
+        from pipeline_mf_etl_spark.sources.readers import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(
+            n_docs
+        )
+        out = str(tmp_path / "bz2dump")
+        # 7 docs/stream so shards hold several streams each
+        index = write_jsonl_bz2_dump(
+            docs, out, n_shards=3, docs_per_stream=7
+        )
+        return docs, out, index
+
+    def test_streams_are_stdlib_decodable_at_published_offsets(
+        self, spark, tmp_path
+    ):
+        """Each index byte range is an INDEPENDENT stream libbzip2
+        itself can decode — the property that lets any dump reader,
+        not just ours, fan streams out to tasks."""
+        import bz2 as stdlib_bz2
+        import json
+        import os
+
+        docs, out, index = self._write(spark, tmp_path)
+        want = {r["doc_id"]: r.asDict() for r in docs.collect()}
+        seen = set()
+        for r in index.collect():
+            with open(os.path.join(out, r["shard"]), "rb") as fh:
+                fh.seek(r["offset"])
+                data = fh.read(r["length"])
+            lines = stdlib_bz2.decompress(data).decode().splitlines()
+            doc = json.loads(lines[r["line_no"]])
+            assert doc == want[doc["doc_id"]]
+            seen.add(doc["doc_id"])
+        assert seen == set(want)
+
+    def test_distributed_lookup_matches_source(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_jsonl_bz2_docs,
+        )
+
+        docs, out, index = self._write(spark, tmp_path)
+        fetched = read_jsonl_bz2_docs(index, out)
+        a = sorted(tuple(r) for r in fetched.collect())
+        b = sorted(tuple(r) for r in docs.collect())
+        assert a == b
+
+    def test_corruption_isolated_to_its_stream(self, spark, tmp_path):
+        """Flipping a byte inside one stream must not affect lookups
+        into OTHER streams of the same shard (independent-stream
+        grain), while lookups into the corrupted stream are loud."""
+        import os
+
+        import pytest as _pytest
+
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_jsonl_bz2_docs,
+        )
+
+        docs, out, index = self._write(spark, tmp_path)
+        rows = index.collect()
+        by_shard: dict[str, set] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], set()).add(
+                (r["offset"], r["length"])
+            )
+        shard, streams = max(by_shard.items(), key=lambda kv: len(kv[1]))
+        assert len(streams) >= 2, "need a multi-stream shard to isolate"
+        victim = sorted(streams)[0]
+        path = os.path.join(out, shard)
+        blob = bytearray(open(path, "rb").read())
+        blob[victim[0] + victim[1] // 2] ^= 0xFF  # mid-stream payload flip
+        open(path, "wb").write(bytes(blob))
+        # NB: index.offset would resolve to DataFrame.offset (the SQL
+        # OFFSET method, new in Spark 4) — bracket access is required
+        hit = (index["shard"] == shard) & (index["offset"] == victim[0])
+        good = index.filter(~hit)
+        bad = index.filter(hit)
+        fetched = sorted(
+            tuple(r)
+            for r in read_jsonl_bz2_docs(good, out).collect()
+        )
+        good_ids = {r["doc_id"] for r in good.collect()}
+        src = sorted(
+            tuple(r)
+            for r in docs.collect()
+            if r["doc_id"] in good_ids
+        )
+        assert fetched == src
+        with _pytest.raises(Exception):
+            read_jsonl_bz2_docs(bad, out).collect()
+
+
+def test_c12_bz2_dump_lookup_matches_identity_oracle(spark, duck):
+    """The registered dump-index round-trip (r14 window head): write the
+    corpus as multistream bzip2 shards + dump index, point-look-up every
+    doc, and the result must equal the source table exactly."""
+    import math
+
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    spec = all_queries()["c12_bz2_dump_lookup"]
+    sdf = spec.spark(spark, "/root/testdata/sf0.01")
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(spec.oracle)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def norm(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, float):
+                return "nan" if math.isnan(v) else f"{round(v, 9):.9f}"
+            return str(v)
+
+        return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, sdf.columns) == canon(drows, dcols)
+    assert len(srows) == 500
+
+
 def test_c10_shard_lookup_matches_identity_oracle(spark, duck):
     """The registered shard-layout round-trip (r14 window head): write
     the corpus as seekable archives + byte-range index, point-look-up
