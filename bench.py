@@ -85,6 +85,8 @@ HEADLINE = (
     # added round 13 (r12-comparable subtotal = first 50)
     "c9_bzip2_extract",       # multistream bzip2 decode + CRC verification
     "c11_xz_extract",         # xz/LZMA2 range-coder decode (liblzma synth)
+    # added round 14 (r13-comparable subtotal = first 52)
+    "c12_bz2_dump_lookup",    # bzip2 dump-index write + per-stream lookups
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the

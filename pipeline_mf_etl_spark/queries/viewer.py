@@ -171,7 +171,19 @@ def _panel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmf_raw/tti_raw are rounded to 6 dp INSIDE the island (``+ 0.0``
     clears IEEE -0.0) because every downstream flag/slope derives from
     the rounded values on both engines (reference indicators_twiggs.py:
-    31-81 via compute_ticker.py:197-242)."""
+    31-81 via compute_ticker.py:197-242).
+
+    DOCUMENTED TOLERANCE (r13 verdict task 10): the pre-round doubles
+    here and in DuckDB's recursive-CTE oracle can differ by ~1 ulp
+    (numpy's pairwise/vectorized summation vs sequential SQL
+    accumulation). When such a value lands exactly on a 6-dp rounding
+    boundary the rounded output flips by one unit in the 6th decimal —
+    measured at 2 rows in 100,000 at sf0.1 (SCALE.md r13), zero rows at
+    the driver's sf0.01 certification scale. This is inherent to
+    cross-engine double arithmetic (no rounding width removes ties; it
+    only moves them) and is values-not-logic: any future large-sf hash
+    mismatch on v1 of one-unit-in-the-6th-decimal shape is THIS class,
+    not a regression."""
     ev = load_table(spark, sf_dir, "events")
     bars = ev.select(
         "event_id",
