@@ -802,10 +802,28 @@ def decode_ppm_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 px = p["pixels"].astype(np.int64)
                 n = p["width"] * p["height"]
                 if n:
-                    mr = float(px[0::3].sum()) / n
-                    mg = float(px[1::3].sum()) / n
-                    mb = float(px[2::3].sum()) / n
-                    luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+                    sr, sg, sb = (
+                        int(px[0::3].sum()),
+                        int(px[1::3].sum()),
+                        int(px[2::3].sum()),
+                    )
+                    mr = float(sr) / n
+                    mg = float(sg) / n
+                    mb = float(sb) / n
+                    # Rec.601 luma mean, HALF-UP rounded to 6 dp in EXACT
+                    # integer arithmetic: the rational (299*sr + 587*sg
+                    # + 114*sb) / (1000*n) has a terminating decimal
+                    # expansion for power-of-two n (1/64000 ends at
+                    # digit 9), so it can land EXACTLY on the 7th-digit
+                    # .5 tie — where Spark's BigDecimal HALF_UP and
+                    # DuckDB's multiply-then-round disagree on the
+                    # nearest-double approximation (measured 13-in-5000
+                    # flips at sf0.1). Integer floor-division makes the
+                    # tie-break exact and engine-independent; the oracle
+                    # computes the identical formula in BIGINTs.
+                    num = 299 * sr + 587 * sg + 114 * sb
+                    den = 1000 * n
+                    luma = float((2_000_000 * num + den) // (2 * den)) / 1e6
                     mx = int(px.max())
                 else:
                     mr = mg = mb = luma = mx = None
@@ -4066,10 +4084,28 @@ def decode_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 px = p["pixels"].astype(np.int64)
                 n = p["width"] * p["height"]
                 if n:
-                    mr = float(px[0::3].sum()) / n
-                    mg = float(px[1::3].sum()) / n
-                    mb = float(px[2::3].sum()) / n
-                    luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+                    sr, sg, sb = (
+                        int(px[0::3].sum()),
+                        int(px[1::3].sum()),
+                        int(px[2::3].sum()),
+                    )
+                    mr = float(sr) / n
+                    mg = float(sg) / n
+                    mb = float(sb) / n
+                    # Rec.601 luma mean, HALF-UP rounded to 6 dp in EXACT
+                    # integer arithmetic: the rational (299*sr + 587*sg
+                    # + 114*sb) / (1000*n) has a terminating decimal
+                    # expansion for power-of-two n (1/64000 ends at
+                    # digit 9), so it can land EXACTLY on the 7th-digit
+                    # .5 tie — where Spark's BigDecimal HALF_UP and
+                    # DuckDB's multiply-then-round disagree on the
+                    # nearest-double approximation (measured 13-in-5000
+                    # flips at sf0.1). Integer floor-division makes the
+                    # tie-break exact and engine-independent; the oracle
+                    # computes the identical formula in BIGINTs.
+                    num = 299 * sr + 587 * sg + 114 * sb
+                    den = 1000 * n
+                    luma = float((2_000_000 * num + den) // (2 * den)) / 1e6
                     mx = int(px.max())
                 else:
                     mr = mg = mb = luma = mx = None

@@ -232,9 +232,10 @@ def mm4_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(a.sr * 1.0 / (g.h * 16), 6) AS mean_r,
            ROUND(a.sg * 1.0 / (g.h * 16), 6) AS mean_g,
            ROUND(a.sb * 1.0 / (g.h * 16), 6) AS mean_b,
-           ROUND(0.299 * (a.sr * 1.0 / (g.h * 16))
-                 + 0.587 * (a.sg * 1.0 / (g.h * 16))
-                 + 0.114 * (a.sb * 1.0 / (g.h * 16)), 6) AS mean_luma,
+           CAST((2000000 * (299 * a.sr + 587 * a.sg + 114 * a.sb)
+                 + 1000 * g.h * 16)
+                // (2 * 1000 * g.h * 16) AS DOUBLE) / 1000000
+               AS mean_luma,
            CAST(a.mx AS BIGINT) AS max_byte
     FROM geo g LEFT JOIN agg a USING (doc_id)
     """,
@@ -262,6 +263,9 @@ def mm5_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
+        # the decoder emits luma HALF-UP rounded at 6 dp in exact
+        # integer arithmetic (operators/multimodal.py) — the 6dp round
+        # here is an idempotent type-level no-op kept for uniformity
         F.round("mean_luma", 6).alias("mean_luma"),
         "max_byte",
     )
@@ -680,9 +684,10 @@ def mm11_video_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(a.sr * 1.0 / (g.h * 16), 6) AS mean_r,
            ROUND(a.sg * 1.0 / (g.h * 16), 6) AS mean_g,
            ROUND(a.sb * 1.0 / (g.h * 16), 6) AS mean_b,
-           ROUND(0.299 * (a.sr * 1.0 / (g.h * 16))
-                 + 0.587 * (a.sg * 1.0 / (g.h * 16))
-                 + 0.114 * (a.sb * 1.0 / (g.h * 16)), 6) AS mean_luma,
+           CAST((2000000 * (299 * a.sr + 587 * a.sg + 114 * a.sb)
+                 + 1000 * g.h * 16)
+                // (2 * 1000 * g.h * 16) AS DOUBLE) / 1000000
+               AS mean_luma,
            CAST(a.mx AS BIGINT) AS max_byte
     FROM geo g LEFT JOIN agg a USING (doc_id)
     """,
@@ -710,6 +715,9 @@ def mm12_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
+        # the decoder emits luma HALF-UP rounded at 6 dp in exact
+        # integer arithmetic (operators/multimodal.py) — the 6dp round
+        # here is an idempotent type-level no-op kept for uniformity
         F.round("mean_luma", 6).alias("mean_luma"),
         "max_byte",
     )

@@ -430,3 +430,16 @@ def test_boilerplate_lines_broadcast_frequent_set(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bz2_dump_lookup_map_only(spark):
+    """c12's LOOKUP half must be one Arrow map pass over the index scan
+    — per-stream range reads are executor-local file IO, never a
+    shuffle (the dump-index promise: any stream to any task with no
+    coordination). The build half's single exchange is the writer's
+    repartition-by-shard, which has already run by the time the
+    returned plan exists."""
+    plan = _plan(spark, "c12_bz2_dump_lookup")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan, plan
