@@ -215,22 +215,45 @@ def o4_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
            CAST(MIN(CAST(ts AS DATE)) AS VARCHAR) AS first_day,
            CAST(MAX(CAST(ts AS DATE)) AS VARCHAR) AS last_day,
-           ROUND(AVG(value), 6) AS mean_value
+           CAST((2000000 * SUM(CAST(ROUND(value * 100) AS BIGINT))
+                 + 100 * COUNT(*))
+                // (2 * 100 * COUNT(*)) AS DOUBLE) / 1000000 AS mean_value
     FROM events
     GROUP BY user_id
     """,
 )
 def p4_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-series quality report: counts, error totals, date bounds (P4)."""
+    """Per-series quality report: counts, error totals, date bounds (P4).
+
+    mean_value is the HALF-UP 6-dp mean computed in exact integer
+    cents: events.value is a 2-dp price (TESTDATA contract, asserted in
+    tests/test_stats.py), so AVG's rational mean terminates — at the
+    power-of-two group sizes the test corpus produces it lands EXACTLY
+    on the 7th-digit .5 tie (3 of 150 groups at sf0.01), where double
+    AVG accumulation order decides the rounded digit (mm5's r14 class).
+    Integer floor-division makes the tie engine- and partitioning-
+    independent; the oracle computes the identical BIGINT formula."""
     ev = load_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
-    return ev.groupBy("user_id").agg(
-        F.count("*").alias("n_rows"),
-        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
-        F.countDistinct(day).alias("n_days"),
-        F.date_format(F.min(day), "yyyy-MM-dd").alias("first_day"),
-        F.date_format(F.max(day), "yyyy-MM-dd").alias("last_day"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+            F.countDistinct(day).alias("n_days"),
+            F.date_format(F.min(day), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max(day), "yyyy-MM-dd").alias("last_day"),
+            F.sum(cents).alias("_cents"),
+        )
+        .withColumn(
+            "mean_value",
+            F.expr(
+                "CAST((2000000L * _cents + 100L * n_rows) "
+                "DIV (200L * n_rows) AS DOUBLE) / 1000000"
+            ),
+        )
+        .drop("_cents")
     )
 
 

@@ -1687,13 +1687,23 @@ _SEEK_SKIPPABLE_MAGIC = 0x184D2A5E
 def encode_zstd_seekable(
     content: bytes,
     frame_content_size: int = 65536,
-    block_size: int = 1024,
+    block_size: int | None = None,
     with_checksums: bool = True,
 ) -> bytes:
     """Encode ``content`` as a seekable archive: independent frames of
-    ``frame_content_size`` decompressed bytes each + the seek table."""
+    ``frame_content_size`` decompressed bytes each + the seek table.
+
+    ``block_size`` defaults to one block per frame (capped at the
+    format's 128 KiB): per-block costs (three FSE table plans + the
+    Huffman header) dominate the pure-Python encoder, so small blocks
+    are both slower AND larger — measured 0.42 -> 1.16 MB/s and -20%
+    output moving 1 KiB -> 64 KiB on corpus-shaped text (r14). Callers
+    that probe block geometry (c8's one-block-per-512B-frame layout)
+    pass it explicitly."""
     if frame_content_size <= 0:
         raise ValueError("frame_content_size must be positive")
+    if block_size is None:
+        block_size = max(1, frame_content_size)
     chunks = [
         content[lo : lo + frame_content_size]
         for lo in range(0, len(content), frame_content_size)

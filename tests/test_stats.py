@@ -139,3 +139,20 @@ def test_robust_scaler_ignores_non_finite(spark):
     p_dirty = fit_robust_scaler_per_group(dirty, "g", "v").collect()[0]
     assert p_clean["center__f"] == p_dirty["center__f"]
     assert p_clean["spread__f"] == p_dirty["spread__f"]
+
+
+def test_events_value_is_two_decimal_fixed_point(spark):
+    """p4's exact integer-cents mean (and any future fixed-point mean)
+    relies on events.value being a 2-dp price: every value*100 must be
+    integral to double precision. If the testdata contract ever drifts,
+    this fails before a rounding-tie mismatch can."""
+    from pyspark.sql import functions as F
+
+    from pipeline_mf_etl_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    off = ev.filter(
+        F.abs(F.col("value") * 100 - F.round(F.col("value") * 100)) > 1e-9
+    ).count()
+    assert off == 0
