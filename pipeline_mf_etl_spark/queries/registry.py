@@ -101,7 +101,11 @@ _PRIORITY = (
     "mm16_jpeg_probe",
     "mm17_jpeg_progressive",
     "mm20_bmp_decode",
-    # --- (3) r10 cohort fill: LSH parent, then multimodal decode,
+    # --- (3) re-cert of this round's exact-rounding fix (p4's mean
+    # moved to integer-cents half-up, changing 3 tie rows at sf0.01 —
+    # its r12 hash no longer reflects current code) ---
+    "p4_quality_report",
+    # --- (4) r10 cohort fill: LSH parent, then multimodal decode,
     # streaming, text, flow/manifest, model-fit, viewer chains ---
     "d2_minhash_lsh",
     "mm5_image_decode",
@@ -136,11 +140,11 @@ _PRIORITY = (
     "m16_event_study",
     "m20_ari_vs_truth",
     "m21_walkforward",
-    "v4_hmm_ribbon",
-    # --- names below slot 50: the 12 remaining r10 rows, i.e. the
+    # --- names below slot 50: the 13 remaining r10 rows, i.e. the
     # documented r15 rotation head (the staleness guard accepts these
     # as "planned next window" at the r14->r15 boundary and fails if
     # they are still here after the r15 rotation should have run) ---
+    "v4_hmm_ribbon",
     "w3_ewm_wilder",
     "mm21_h264_probe",
     "mm22_avc1_route",
