@@ -327,6 +327,52 @@ class TestOrderedTrainingExport:
         assert a == b
 
 
+class TestNonAsciiAndNullLayouts:
+    """Non-ASCII + nullable-field round-trips for the r14 layout
+    writers (the zst-corpus writer's test above is the template)."""
+
+    _ROWS = [
+        (1, "héllo — 日本語 🎉", "fr", "web", 13),
+        (2, None, None, "dump", None),
+        (3, "кириллица мixed", "ru", "web", 15),
+    ]
+    _SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def test_bz2_dump_nonascii_round_trip(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_jsonl_bz2_docs,
+            write_jsonl_bz2_dump,
+        )
+
+        df = spark.createDataFrame(self._ROWS, self._SCHEMA)
+        out = str(tmp_path / "nz_bz2")
+        index = write_jsonl_bz2_dump(df, out, n_shards=2, docs_per_stream=2)
+        got = {r["doc_id"]: r.asDict() for r in read_jsonl_bz2_docs(index, out).collect()}
+        assert got[1]["text"] == "héllo — 日本語 🎉"
+        assert got[2]["text"] is None and got[2]["n_chars"] is None
+        assert got[3]["lang"] == "ru"
+
+    def test_ordered_export_nonascii_round_trip(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            export_ordered_jsonl_zst,
+            read_jsonl_zst_docs,
+        )
+
+        df = spark.createDataFrame(self._ROWS, self._SCHEMA)
+        order = spark.createDataFrame(
+            [(0, 1, 2), (0, 2, 1), (1, 3, 1)], "shard int, doc_id long, pos int"
+        )
+        out = str(tmp_path / "nz_ord")
+        index = export_ordered_jsonl_zst(df, order, out, n_shards=2)
+        got = {r["doc_id"]: r.asDict() for r in read_jsonl_zst_docs(index, out).collect()}
+        assert got[1]["text"] == "héllo — 日本語 🎉"
+        assert got[2]["text"] is None
+        # pos order within shard 0: doc 2 (pos 1) precedes doc 1 (pos 2)
+        idx = {r["doc_id"]: r for r in index.collect()}
+        assert idx[2]["shard"] == idx[1]["shard"]
+        assert idx[2]["offset"] < idx[1]["offset"]
+
+
 class TestBz2DumpIndex:
     """r13 verdict task 9: the Wikipedia-multistream dump layout —
     byte-aligned bzip2 streams + per-doc (offset, length, line_no)
