@@ -29,6 +29,54 @@ def safe_div(num: Column, den: Column, eps: float = 1e-12) -> Column:
     return F.when(F.abs(den) > F.lit(eps), num / den).otherwise(F.lit(None))
 
 
+def cents(col: Column) -> Column:
+    """A 2-dp price column as exact BIGINT cents (TESTDATA contract for
+    events.value, asserted in tests/test_stats.py). NULL passes through;
+    the round-then-cast is exact because value*100 is integral."""
+    return F.round(col * 100).cast("long")
+
+
+def exact_ratio_round6(num_cents: Column, den_cents: Column) -> Column:
+    """HALF-AWAY-FROM-ZERO 6-dp rounding of num/den computed in EXACT
+    integer arithmetic — the engine-independent form of
+    ``ROUND(num/den, 6)`` for fixed-point inputs (r14).
+
+    Why: ratios of 2-dp prices are rationals that can terminate ON the
+    7th-decimal .5 tie (e.g. value/lag(value)-1 = 8.0046875), where
+    Spark's BigDecimal HALF_UP, DuckDB's multiply-then-round, and numpy
+    each decide the 6th digit from a different nearest-double — the
+    one-unit flips the 10x sweeps caught in w1/w14/v1/p4/mm5/mm12.
+    ⌊(2·10⁶·|num| + den) / (2·den)⌋ applied to BIGINTs is the same
+    number on every engine. Integer division is built from pmod so it
+    stays a Column expression; the final double divisions are exact
+    (integer-valued operands below 2^53). NULL num or den → NULL;
+    den ≤ 0 → NULL (the |den| > eps guard for positive fixed-point).
+    """
+    a = F.lit(2_000_000) * F.abs(num_cents) + den_cents
+    b = F.lit(2) * den_cents
+    q = (a - F.pmod(a, b)) / b  # exact integer-valued double
+    signed = F.when(num_cents < 0, -q).otherwise(q)
+    # + 0.0 clears the -0.0 the num<0, q=0 branch would produce
+    return F.when(den_cents > 0, signed / 1_000_000 + F.lit(0.0)).otherwise(
+        F.lit(None)
+    )
+
+
+def exact_ratio_round6_sql(num_cents: str, den_cents: str) -> str:
+    """DuckDB twin of :func:`exact_ratio_round6` over BIGINT SQL
+    fragments — oracles embed this so both engines round the identical
+    integer."""
+    return (
+        f"CASE WHEN ({den_cents}) > 0 THEN "
+        f"(CASE WHEN ({num_cents}) >= 0 "
+        f"THEN (2000000 * ({num_cents}) + ({den_cents})) "
+        f"// (2 * ({den_cents})) "
+        f"ELSE -((2000000 * (-({num_cents})) + ({den_cents})) "
+        f"// (2 * ({den_cents}))) END) / 1000000.0 "
+        f"END"
+    )
+
+
 def finite(col: Column) -> Column:
     """Pass through only finite values; NaN/±inf → NULL.
 

@@ -101,10 +101,15 @@ _PRIORITY = (
     "mm16_jpeg_probe",
     "mm17_jpeg_progressive",
     "mm20_bmp_decode",
-    # --- (3) re-cert of this round's exact-rounding fix (p4's mean
-    # moved to integer-cents half-up, changing 3 tie rows at sf0.01 —
-    # its r12 hash no longer reflects current code) ---
+    # --- (3) re-certs of this round's exact-rounding fixes (the
+    # integer-cents half-up class, functions/core.exact_ratio_round6:
+    # p4's mean, w14's fwd_ret_5, and v1's ret/range_pct columns each
+    # changed 2-3 tie rows at sf0.01 — their prior hashes no longer
+    # reflect current code; w1's fix changed zero sf0.01 rows so its
+    # r11 cert stands) ---
     "p4_quality_report",
+    "w14_forward_labels",
+    "v1_tmf_tti_panel",
     # --- (4) r10 cohort fill: LSH parent, then multimodal decode,
     # streaming, text, flow/manifest, model-fit, viewer chains ---
     "d2_minhash_lsh",
@@ -138,12 +143,12 @@ _PRIORITY = (
     "m7b_silhouette_sampled",
     "m10_hmm_states",
     "m16_event_study",
-    "m20_ari_vs_truth",
-    "m21_walkforward",
-    # --- names below slot 50: the 13 remaining r10 rows, i.e. the
+    # --- names below slot 50: the 15 remaining r10 rows, i.e. the
     # documented r15 rotation head (the staleness guard accepts these
     # as "planned next window" at the r14->r15 boundary and fails if
     # they are still here after the r15 rotation should have run) ---
+    "m20_ari_vs_truth",
+    "m21_walkforward",
     "v4_hmm_ribbon",
     "w3_ewm_wilder",
     "mm21_h264_probe",

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
 
+from pipeline_mf_etl_spark.functions.core import exact_ratio_round6_sql
 from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.sources.readers import load_table
 
@@ -173,17 +174,16 @@ def _panel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rounded values on both engines (reference indicators_twiggs.py:
     31-81 via compute_ticker.py:197-242).
 
-    DOCUMENTED TOLERANCE (r13 verdict task 10): the pre-round doubles
-    here and in DuckDB's recursive-CTE oracle can differ by ~1 ulp
-    (numpy's pairwise/vectorized summation vs sequential SQL
-    accumulation). When such a value lands exactly on a 6-dp rounding
-    boundary the rounded output flips by one unit in the 6th decimal —
-    measured at 2 rows in 100,000 at sf0.1 (SCALE.md r13), zero rows at
-    the driver's sf0.01 certification scale. This is inherent to
-    cross-engine double arithmetic (no rounding width removes ties; it
-    only moves them) and is values-not-logic: any future large-sf hash
-    mismatch on v1 of one-unit-in-the-6th-decimal shape is THIS class,
-    not a regression."""
+    EXACTNESS (r14, superseding the r13 "documented tolerance"): the
+    r13 10x sweep's 2-in-100k v1 divergence was NOT RMA accumulation —
+    it was ret_1/ret_5/range_pct, ratios of 2-dp prices landing exactly
+    on the 7th-decimal .5 tie, which different ROUND implementations
+    break apart. Those columns are now computed in exact integer cents
+    on both engines (functions/core.exact_ratio_round6 and its numpy
+    twin inside the island), and v1 is hash-exact at sf0.1. The RMA
+    chains themselves never tie at 6 dp (k*10^-6 midpoints are not
+    exactly representable, per the np.round note above), so no
+    tolerance remains."""
     ev = load_table(spark, sf_dir, "events")
     bars = ev.select(
         "event_id",
@@ -274,13 +274,33 @@ def _panel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf["tmf_zero_cross"] = cross(pdf["tmf_raw"], lag1_t)
         pdf["tti_zero_cross"] = cross(pdf["tti_raw"], lag1_u)
-        pdf["ret_1"] = close / prev_raw.where(prev_raw != 0.0) - 1.0
-        pdf["ret_5"] = close / lag5_c.where(lag5_c != 0.0) - 1.0
+        # 1/5-bar returns and true-range pct in EXACT integer cents
+        # (r14, functions/core.exact_ratio_round6's numpy twin): these
+        # ratios of 2-dp prices land exactly on 7th-digit .5 ties,
+        # where numpy/Spark/DuckDB round the nearest double apart —
+        # the 2-in-100k v1 divergence of the r13 10x sweep. Values are
+        # emitted ALREADY rounded; the final projection's 6-dp round
+        # is an idempotent no-op for them.
+        def _ratio6(numc, denc):
+            out = np.full(numc.shape, np.nan)
+            ok = (~np.isnan(numc)) & (~np.isnan(denc)) & (denc > 0)
+            n = numc[ok].astype(np.int64)
+            d = denc[ok].astype(np.int64)
+            q = (2_000_000 * np.abs(n) + d) // (2 * d)
+            out[ok] = np.where(n < 0, -q, q) / 1e6
+            return out
+
+        cc = np.round(close.to_numpy() * 100)
+        pc = np.round(prev_raw.to_numpy() * 100)
+        p5 = np.round(lag5_c.to_numpy() * 100)
+        tc = np.round(tr * 100)
+        pdf["ret_1"] = _ratio6(cc - pc, pc)
+        pdf["ret_5"] = _ratio6(cc - p5, p5)
         pdf["tmf_slope_1"] = pdf["tmf_raw"] - lag1_t
         pdf["tmf_slope_5"] = pdf["tmf_raw"] - lag5_t
         pdf["tti_slope_1"] = pdf["tti_raw"] - lag1_u
         pdf["tti_slope_5"] = pdf["tti_raw"] - lag5_u
-        pdf["range_pct"] = tr / close.where(close != 0.0)
+        pdf["range_pct"] = _ratio6(tc, cc)
         pdf["dollar_vol"] = close * vol
         pdf["dv20"] = (
             pdf.groupby(["user_id"], sort=True)["dollar_vol"]
@@ -313,13 +333,24 @@ def _panel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS tmf_zero_cross,
            COALESCE(SIGN(tti_raw) <> SIGN(LAG(tti_raw) OVER ({_W})), FALSE)
                AS tti_zero_cross,
-           ROUND(close / NULLIF(LAG(close) OVER ({_W}), 0) - 1, 6) + 0 AS ret_1,
-           ROUND(close / NULLIF(LAG(close, 5) OVER ({_W}), 0) - 1, 6) + 0 AS ret_5,
+           {exact_ratio_round6_sql(
+               f"CAST(ROUND(close * 100) AS BIGINT)"
+               f" - CAST(ROUND(LAG(close) OVER ({_W}) * 100) AS BIGINT)",
+               f"CAST(ROUND(LAG(close) OVER ({_W}) * 100) AS BIGINT)",
+           )} AS ret_1,
+           {exact_ratio_round6_sql(
+               f"CAST(ROUND(close * 100) AS BIGINT)"
+               f" - CAST(ROUND(LAG(close, 5) OVER ({_W}) * 100) AS BIGINT)",
+               f"CAST(ROUND(LAG(close, 5) OVER ({_W}) * 100) AS BIGINT)",
+           )} AS ret_5,
            ROUND(tmf_raw - LAG(tmf_raw) OVER ({_W}), 6) + 0 AS tmf_slope_1,
            ROUND(tmf_raw - LAG(tmf_raw, 5) OVER ({_W}), 6) + 0 AS tmf_slope_5,
            ROUND(tti_raw - LAG(tti_raw) OVER ({_W}), 6) + 0 AS tti_slope_1,
            ROUND(tti_raw - LAG(tti_raw, 5) OVER ({_W}), 6) + 0 AS tti_slope_5,
-           ROUND(tr / NULLIF(close, 0), 6) + 0 AS range_pct,
+           {exact_ratio_round6_sql(
+               "CAST(ROUND(tr * 100) AS BIGINT)",
+               "CAST(ROUND(close * 100) AS BIGINT)",
+           )} AS range_pct,
            ROUND(close * volume, 6) + 0 AS dollar_vol,
            ROUND(dv20, 6) + 0 AS dollar_vol_20,
            ROUND(LN(1 + GREATEST(ROUND(dv20, 6), 0)), 6) AS dollar_vol_20_log

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pipeline_mf_etl_spark.functions.core import safe_div
+from pipeline_mf_etl_spark.functions.core import (
+    cents,
+    exact_ratio_round6,
+    exact_ratio_round6_sql,
+    safe_div,
+)
 from pipeline_mf_etl_spark.operators.windows import (
     bars_since,
     dedupe_keep_first,
@@ -40,13 +45,20 @@ def _r(col, n=6):
     SELECT event_id, user_id, ROUND(value, 6) AS value,
            ROUND(LAG(value) OVER ({_W}), 6)  AS prev_value,
            ROUND(LEAD(value) OVER ({_W}), 6) AS next_value,
-           ROUND(CASE WHEN ABS(LAG(value) OVER ({_W})) > 1e-12
-                 THEN value / (LAG(value) OVER ({_W})) - 1 END, 6) AS ret_1
+           {exact_ratio_round6_sql(
+               f"CAST(ROUND(value * 100) AS BIGINT)"
+               f" - CAST(ROUND(LAG(value) OVER ({_W}) * 100) AS BIGINT)",
+               f"CAST(ROUND(LAG(value) OVER ({_W}) * 100) AS BIGINT)",
+           )} AS ret_1
     FROM events
     """,
 )
 def w1_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lag/lead shifts (W1) with epsilon-guarded return computation."""
+    """Lag/lead shifts (W1) with epsilon-guarded return computation.
+
+    ret_1 is the exact integer-cents HALF-AWAY 6-dp round (r14:
+    functions/core.exact_ratio_round6) — the double form flipped a
+    7th-digit-.5 tie row at sf0.1."""
     ev = load_table(spark, sf_dir, "events")
     w = series_window()
     prev = F.lag("value").over(w)
@@ -56,7 +68,9 @@ def w1_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.col("value")).alias("value"),
         _r(prev).alias("prev_value"),
         _r(F.lead("value").over(w)).alias("next_value"),
-        _r(safe_div(F.col("value"), prev) - 1).alias("ret_1"),
+        exact_ratio_round6(
+            cents(F.col("value")) - cents(prev), cents(prev)
+        ).alias("ret_1"),
     )
 
 
@@ -284,8 +298,11 @@ def w8_w10_event_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_id, user_id,
-           ROUND(CASE WHEN ABS(value) > 1e-12
-                 THEN (LEAD(value, 5) OVER ({_W})) / value - 1 END, 6) AS fwd_ret_5,
+           {exact_ratio_round6_sql(
+               f"CAST(ROUND(LEAD(value, 5) OVER ({_W}) * 100) AS BIGINT)"
+               f" - CAST(ROUND(value * 100) AS BIGINT)",
+               "CAST(ROUND(value * 100) AS BIGINT)",
+           )} AS fwd_ret_5,
            ROUND(CASE WHEN COUNT(ret_1) OVER fw >= 10
                  THEN STDDEV_POP(ret_1) OVER fw END, 6) AS fwd_vol_10
     FROM r
@@ -303,7 +320,10 @@ def w14_forward_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "event_id",
         "user_id",
-        _r(safe_div(F.lead("value", 5).over(w2), F.col("value")) - 1).alias("fwd_ret_5"),
+        exact_ratio_round6(
+            cents(F.lead("value", 5).over(w2)) - cents(F.col("value")),
+            cents(F.col("value")),
+        ).alias("fwd_ret_5"),
         _r(F.when(F.count("ret_1").over(fw) >= 10, F.stddev_pop("ret_1").over(fw))).alias(
             "fwd_vol_10"
         ),
