@@ -601,3 +601,229 @@ def read_jsonl_zst_docs(index: DataFrame, corpus_dir: str) -> DataFrame:
     return index.select("shard", "offset", "length").mapInPandas(
         fetch, DOCUMENTS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# TFRecord shard layout (round 14): the training-data container the TF
+# ecosystem consumes directly. Same layout family as the seekable-zstd
+# (c10) and bzip2-dump (c12) exports: one shard file per task + a
+# doc-level byte-range index, because TFRecord framing is byte-aligned
+# and length-prefixed — every record IS a range-readable unit with its
+# own masked-CRC32C integrity, so a 100 TB corpus serves point lookups
+# with one range GET per doc and full scans shard-parallel.
+# ---------------------------------------------------------------------------
+
+TFRECORD_INDEX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("shard", StringType(), False),
+        StructField("offset", LongType(), False),
+        StructField("length", LongType(), False),
+    ]
+)
+
+
+def _doc_to_example(row: dict, cols: list[str]) -> bytes:
+    """One documents row -> serialized tf.Example. LongType columns ride
+    Int64List, StringType columns UTF-8 BytesList; SQL NULL is an ABSENT
+    feature (the tf.Example convention for missing values)."""
+    from pipeline_mf_etl_spark.sources.tfrecord import encode_example
+
+    feats: dict[str, tuple[str, list]] = {}
+    for f in DOCUMENTS_SCHEMA.fields:
+        v = _py(row.get(f.name))
+        if v is None:
+            continue
+        if isinstance(f.dataType, LongType):
+            feats[f.name] = ("int64", [int(v)])
+        else:
+            feats[f.name] = ("bytes", [str(v).encode("utf-8")])
+    return encode_example(feats)
+
+
+def _example_to_doc(payload: bytes) -> tuple:
+    """Serialized tf.Example -> documents-row tuple (None = absent)."""
+    from pipeline_mf_etl_spark.sources.tfrecord import decode_example
+
+    feats = decode_example(payload)
+    out = []
+    for f in DOCUMENTS_SCHEMA.fields:
+        got = feats.get(f.name)
+        if got is None:
+            out.append(None)
+            continue
+        kind, values = got
+        want = "int64" if isinstance(f.dataType, LongType) else "bytes"
+        if kind != want or len(values) != 1:
+            raise ValueError(
+                f"tfrecord: feature {f.name!r} is {kind}[{len(values)}], "
+                f"expected {want}[1]"
+            )
+        out.append(
+            values[0].decode("utf-8") if kind == "bytes" else values[0]
+        )
+    return tuple(out)
+
+
+def write_tfrecord_corpus(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 4,
+    compression: str | None = None,
+) -> DataFrame:
+    """Write a documents corpus as ``shard-<N>.tfrecord`` files (one
+    tf.Example record per doc) plus a ``_index`` parquet of (doc_id,
+    shard, offset, length) byte ranges; shard-parallel in one Spark job,
+    atomic per-shard publish. ``compression="gzip"`` writes
+    ``.tfrecord.gz`` whole-file gzip members (how TF ships compressed
+    TFRecords); index offsets always address the UNCOMPRESSED record
+    stream, so lookups on gzip shards decode the member first while
+    uncompressed shards serve pure range reads. Returns the index read
+    back from ``<path>/_index``."""
+    import gzip
+    import os
+
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.tfrecord import (
+        frame_record,
+        framed_length,
+    )
+
+    if compression not in (None, "gzip"):
+        raise ValueError(f"tfrecord: unsupported compression {compression!r}")
+    os.makedirs(path, exist_ok=True)
+    cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+    spark = df.sparkSession
+    ext = ".tfrecord.gz" if compression else ".tfrecord"
+
+    def write_shard(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows: list[dict] = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        if not rows:
+            return
+        shard = f"shard-{pid:05d}{ext}"
+        blobs: list[bytes] = []
+        idx: list[tuple] = []
+        off = 0
+        for r in rows:
+            rec = frame_record(_doc_to_example(r, cols))
+            assert len(rec) == framed_length(len(rec) - 16)
+            idx.append((_py(r.get("doc_id")), shard, off, len(rec)))
+            off += len(rec)
+            blobs.append(rec)
+        payload = b"".join(blobs)
+        if compression:
+            payload = gzip.compress(payload, compresslevel=6, mtime=0)
+        tmp = os.path.join(path, f".{shard}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, os.path.join(path, shard))  # atomic publish
+        yield pd.DataFrame(
+            idx, columns=[f.name for f in TFRECORD_INDEX_SCHEMA.fields]
+        )
+
+    index = (
+        df.select(*cols)
+        .repartition(
+            n_shards, F.pmod(F.coalesce("doc_id", F.lit(0)), F.lit(n_shards))
+        )
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(write_shard, TFRECORD_INDEX_SCHEMA)
+    )
+    index.write.mode("overwrite").parquet(os.path.join(path, "_index"))
+    return spark.read.parquet(os.path.join(path, "_index"))
+
+
+def read_tfrecord_docs(index: DataFrame, corpus_dir: str) -> DataFrame:
+    """Distributed point-lookup over a TFRecord shard corpus: each index
+    row range-reads ONLY its record's bytes (seek + bounded read — the
+    object-store range-GET pattern), verifies both masked CRCs, and
+    decodes the one tf.Example. Gzip shards decompress once per task
+    and slice the cached stream (offsets address uncompressed bytes).
+    Returns DOCUMENTS_SCHEMA rows."""
+    import gzip
+    import os
+
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.tfrecord import read_tfrecord_at
+
+    def fetch(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for shard, grp in pdf.groupby("shard", sort=False):
+                p = os.path.join(corpus_dir, str(shard))
+                if str(shard).endswith(".gz"):
+                    with open(p, "rb") as fh:
+                        stream = gzip.decompress(fh.read())
+                    for off, ln in zip(grp["offset"], grp["length"]):
+                        rows.append(
+                            _example_to_doc(
+                                read_tfrecord_at(
+                                    stream[int(off) : int(off) + int(ln)]
+                                )
+                            )
+                        )
+                else:
+                    order = grp.sort_values("offset")  # sequential seeks
+                    with open(p, "rb") as fh:
+                        for off, ln in zip(order["offset"], order["length"]):
+                            fh.seek(int(off))
+                            rows.append(
+                                _example_to_doc(
+                                    read_tfrecord_at(fh.read(int(ln)))
+                                )
+                            )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DOCUMENTS_SCHEMA.fields]
+            )
+
+    return index.select("shard", "offset", "length").mapInPandas(
+        fetch, DOCUMENTS_SCHEMA
+    )
+
+
+def read_tfrecord_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Full-scan read of a TFRecord shard corpus: shard-grain parallel
+    (each task walks whole record streams with every CRC verified), the
+    grain a 1000-executor cluster distributes on. Handles ``.tfrecord``
+    and ``.tfrecord.gz`` shards together."""
+    import gzip
+    import os
+
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.tfrecord import iter_tfrecord
+
+    shards = sorted(
+        n
+        for n in os.listdir(path)
+        if n.endswith(".tfrecord") or n.endswith(".tfrecord.gz")
+    )
+    if not shards:
+        raise ValueError(f"{path}: no .tfrecord shards found")
+
+    def scan(batches):
+        for pdf in batches:
+            for name in pdf["shard"]:
+                with open(os.path.join(path, str(name)), "rb") as fh:
+                    data = fh.read()
+                if str(name).endswith(".gz"):
+                    data = gzip.decompress(data)
+                rows = [
+                    _example_to_doc(payload)
+                    for _, _, payload in iter_tfrecord(data)
+                ]
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in DOCUMENTS_SCHEMA.fields]
+                )
+
+    files = spark.createDataFrame(
+        [(s,) for s in shards], StructType([StructField("shard", StringType(), False)])
+    ).repartition(len(shards), "shard")
+    return files.mapInPandas(scan, DOCUMENTS_SCHEMA)

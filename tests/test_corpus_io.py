@@ -536,3 +536,117 @@ def test_c10_shard_lookup_matches_identity_oracle(spark, duck):
 
     assert canon(srows, sdf.columns) == canon(drows, dcols)
     assert len(srows) == 500
+
+
+class TestTFRecordShardCorpus:
+    """TFRecord shard layout (round 14): framing + tf.Example through
+    the Spark corpus path — write shards + index, full scan, point
+    lookups, gzip members, and record-grain corruption isolation."""
+
+    def _write(self, spark, tmp_path, compression=None, n_docs=40):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            write_tfrecord_corpus,
+        )
+        from pipeline_mf_etl_spark.sources.readers import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(
+            n_docs
+        )
+        out = str(tmp_path / "tfcorpus")
+        index = write_tfrecord_corpus(
+            docs, out, n_shards=3, compression=compression
+        )
+        return docs, out, index
+
+    def test_point_lookups_round_trip_every_doc(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import read_tfrecord_docs
+
+        docs, out, index = self._write(spark, tmp_path)
+        fetched = read_tfrecord_docs(index, out)
+        a = sorted(tuple(r) for r in fetched.collect())
+        b = sorted(tuple(r) for r in docs.collect())
+        assert a == b
+        assert len(a) == 40
+
+    def test_full_scan_matches_source(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_tfrecord_corpus,
+        )
+
+        docs, out, index = self._write(spark, tmp_path)
+        scanned = read_tfrecord_corpus(spark, out)
+        assert sorted(tuple(r) for r in scanned.collect()) == sorted(
+            tuple(r) for r in docs.collect()
+        )
+
+    def test_gzip_members_scan_and_lookup(self, spark, tmp_path):
+        import os
+
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_tfrecord_corpus,
+            read_tfrecord_docs,
+        )
+
+        docs, out, index = self._write(spark, tmp_path, compression="gzip")
+        names = os.listdir(out)
+        assert all(
+            n.endswith(".tfrecord.gz") for n in names if n.startswith("shard-")
+        )
+        src = sorted(tuple(r) for r in docs.collect())
+        assert sorted(tuple(r) for r in read_tfrecord_corpus(spark, out).collect()) == src
+        assert sorted(tuple(r) for r in read_tfrecord_docs(index, out).collect()) == src
+
+    def test_nonascii_and_nulls_round_trip(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_tfrecord_docs,
+            write_tfrecord_corpus,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "héllo — 日本語 🎉", "fr", "web", 13),
+                (2, None, None, "dump", None),  # NULL -> absent feature
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = str(tmp_path / "tfz")
+        index = write_tfrecord_corpus(df, out, n_shards=1)
+        got = {r["doc_id"]: r.asDict() for r in read_tfrecord_docs(index, out).collect()}
+        assert got[1]["text"] == "héllo — 日本語 🎉"
+        assert got[2]["text"] is None and got[2]["n_chars"] is None
+        assert got[2]["source"] == "dump"
+
+    def test_corruption_isolated_to_its_record(self, spark, tmp_path):
+        """Record-grain isolation: flipping a byte inside ONE framed
+        record leaves every other doc's range read intact, fails that
+        record's lookup loudly, and fails the full-shard walk."""
+        import pytest as _pytest
+
+        from pipeline_mf_etl_spark.sources.corpus_io import read_tfrecord_docs
+        from pipeline_mf_etl_spark.sources.tfrecord import read_tfrecord_at
+
+        docs, out, index = self._write(spark, tmp_path)
+        by_shard: dict[str, list] = {}
+        for r in index.collect():
+            by_shard.setdefault(r["shard"], []).append(r)
+        rows = sorted(
+            max(by_shard.values(), key=len), key=lambda r: r["offset"]
+        )
+        assert len(rows) >= 4
+        victim = rows[-1]
+        shard = f"{out}/{victim['shard']}"
+        payload = bytearray(open(shard, "rb").read())
+        payload[victim["offset"] + victim["length"] // 2] ^= 0xFF
+        open(shard, "wb").write(bytes(payload))
+        # every untouched record still point-reads clean
+        data = bytes(payload)
+        for r in rows[:-1]:
+            read_tfrecord_at(data[r["offset"] : r["offset"] + r["length"]])
+        # the corrupted record is loud, both per-record and via Spark
+        with _pytest.raises(ValueError):
+            read_tfrecord_at(
+                data[victim["offset"] : victim["offset"] + victim["length"]]
+            )
+        bad = index.where(index.doc_id == victim["doc_id"])
+        with _pytest.raises(Exception):
+            read_tfrecord_docs(bad, out).collect()
