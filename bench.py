@@ -87,6 +87,7 @@ HEADLINE = (
     "c11_xz_extract",         # xz/LZMA2 range-coder decode (liblzma synth)
     # added round 14 (r13-comparable subtotal = first 52)
     "c12_bz2_dump_lookup",    # bzip2 dump-index write + per-stream lookups
+    "c13_tfrecord_lookup",    # TFRecord shard write + per-record lookups
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the

@@ -856,3 +856,45 @@ C12_ORACLE = """
 """
 
 query("c12_bz2_dump_lookup", eager=True, oracle=C12_ORACLE)(c12_bz2_dump_lookup)
+
+
+# ---------------------------------------------------------------------------
+# c13 — TFRecord shard-corpus round-trip (sources/tfrecord.py +
+# sources/corpus_io.py, round 14). Certifies the TRAINING-CONTAINER
+# export surface end to end: the corpus is written as TFRecord shards
+# (one tf.Example per doc, masked-CRC32C framing — the format TF data
+# loaders consume directly) plus a doc-level byte-range index in one
+# shard-parallel job, then EVERY doc is fetched back through the
+# range-read point-lookup path (seek + bounded read, both CRCs and the
+# strict protobuf walk verified per record) and must equal the source
+# table byte for byte. The oracle is the identity — the layout must be
+# lossless. Same family as c10 (seekable-zstd) and c12 (bzip2 dump);
+# reference analog: none (engine ADDITION for the training pipeline).
+# ---------------------------------------------------------------------------
+
+
+def c13_tfrecord_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents corpus into the TFRecord shard layout, then
+    point-look-up every doc via its byte-range index entry. EAGER: the
+    shard write runs at build time (tempdir scratch)."""
+    import tempfile
+
+    from pipeline_mf_etl_spark.sources.corpus_io import (
+        read_tfrecord_docs,
+        write_tfrecord_corpus,
+    )
+    from pipeline_mf_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="c13_")
+    # shard-grain parallel encode, same parallelism rule as c10/c12
+    n_shards = max(4, spark.sparkContext.defaultParallelism)
+    index = write_tfrecord_corpus(docs, root, n_shards=n_shards)
+    return read_tfrecord_docs(index, root)
+
+
+C13_ORACLE = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+query("c13_tfrecord_lookup", eager=True, oracle=C13_ORACLE)(c13_tfrecord_lookup)

@@ -83,10 +83,12 @@ _QUERY_MODULES = (
 # driver_visible=False — certified via their exact twins + property
 # tests — so no window can contain a red-by-design row.
 _PRIORITY = (
-    # --- (1) first driver exposure for the late-r13 registrations ---
+    # --- (1) first driver exposure: the late-r13 registrations, then
+    # this round's new TFRecord training-container layout ---
     "c10_shard_lookup",
     "c11_xz_extract",
     "c12_bz2_dump_lookup",
+    "c13_tfrecord_lookup",
     # --- (2) the 13 r9-stale re-certs (staleness guard set) ---
     "g3_triangle_count",
     "w22_funnel_steps",
@@ -142,11 +144,12 @@ _PRIORITY = (
     "m7_cluster_quality",
     "m7b_silhouette_sampled",
     "m10_hmm_states",
-    "m16_event_study",
-    # --- names below slot 50: the 15 remaining r10 rows, i.e. the
+    # --- names below slot 50: m16 (displaced by c13) + the 15
+    # remaining r10 rows, i.e. the
     # documented r15 rotation head (the staleness guard accepts these
     # as "planned next window" at the r14->r15 boundary and fails if
     # they are still here after the r15 rotation should have run) ---
+    "m16_event_study",
     "m20_ari_vs_truth",
     "m21_walkforward",
     "v4_hmm_ribbon",

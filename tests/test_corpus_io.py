@@ -650,3 +650,35 @@ class TestTFRecordShardCorpus:
         bad = index.where(index.doc_id == victim["doc_id"])
         with _pytest.raises(Exception):
             read_tfrecord_docs(bad, out).collect()
+
+
+def test_c13_tfrecord_lookup_matches_identity_oracle(spark, duck):
+    """The registered TFRecord round-trip (r14 window head): write the
+    corpus as tf.Example shards + byte-range index, point-look-up every
+    doc, and the result must equal the source table exactly."""
+    import math
+
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    spec = all_queries()["c13_tfrecord_lookup"]
+    sdf = spec.spark(spark, "/root/testdata/sf0.01")
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(spec.oracle)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def norm(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, float):
+                return "nan" if math.isnan(v) else f"{round(v, 9):.9f}"
+            return str(v)
+
+        return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, sdf.columns) == canon(drows, dcols)
+    assert len(srows) == 500
