@@ -623,45 +623,103 @@ TFRECORD_INDEX_SCHEMA = StructType(
 )
 
 
-def _doc_to_example(row: dict, cols: list[str]) -> bytes:
-    """One documents row -> serialized tf.Example. LongType columns ride
-    Int64List, StringType columns UTF-8 BytesList; SQL NULL is an ABSENT
-    feature (the tf.Example convention for missing values)."""
+def _tfrecord_field_plan(schema: StructType) -> list[tuple[str, str, bool]]:
+    """Map a Spark schema onto tf.Example lists: ``(name, kind,
+    is_array)`` per column. Integral columns ride Int64List, strings
+    UTF-8 BytesList, binary raw BytesList, float32 FloatList (EXACT —
+    tf.Example floats are float32; DoubleType is rejected rather than
+    silently narrowed), and arrays of those ride the same list with
+    their length preserved. SQL NULL is an ABSENT feature; an empty
+    array is a PRESENT feature with an empty list — the round trip
+    keeps the two distinct."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        ShortType,
+    )
+
+    plan: list[tuple[str, str, bool]] = []
+    for f in schema.fields:
+        dt, is_array = f.dataType, False
+        if isinstance(dt, ArrayType):
+            dt, is_array = dt.elementType, True
+        if isinstance(dt, (LongType, IntegerType, ShortType)):
+            kind = "int64"
+        elif isinstance(dt, (StringType, BinaryType)):
+            kind = "bytes"
+        elif isinstance(dt, FloatType):
+            kind = "float"
+        elif isinstance(dt, DoubleType):
+            raise ValueError(
+                f"tfrecord: column {f.name!r} is double — tf.Example "
+                f"floats are float32; cast to float explicitly to "
+                f"accept the narrowing"
+            )
+        else:
+            raise ValueError(
+                f"tfrecord: column {f.name!r} type {f.dataType} has no "
+                f"tf.Example mapping"
+            )
+        plan.append((f.name, kind, is_array))
+    return plan
+
+
+def _row_to_example(
+    row: dict, plan: list[tuple[str, str, bool]]
+) -> bytes:
     from pipeline_mf_etl_spark.sources.tfrecord import encode_example
 
     feats: dict[str, tuple[str, list]] = {}
-    for f in DOCUMENTS_SCHEMA.fields:
-        v = _py(row.get(f.name))
-        if v is None:
-            continue
-        if isinstance(f.dataType, LongType):
-            feats[f.name] = ("int64", [int(v)])
+    for name, kind, is_array in plan:
+        v = row.get(name)
+        if is_array:
+            # numpy array from Arrow: None check must not vectorize
+            if v is None or (not hasattr(v, "__len__") and _py(v) is None):
+                continue
+            vals = [_py(x) for x in v]
         else:
-            feats[f.name] = ("bytes", [str(v).encode("utf-8")])
+            v = _py(v)
+            if v is None:
+                continue
+            vals = [v]
+        if kind == "bytes":
+            vals = [
+                x if isinstance(x, bytes) else str(x).encode("utf-8")
+                for x in vals
+            ]
+        elif kind == "int64":
+            vals = [int(x) for x in vals]
+        feats[name] = (kind, vals)
     return encode_example(feats)
 
 
-def _example_to_doc(payload: bytes) -> tuple:
-    """Serialized tf.Example -> documents-row tuple (None = absent)."""
+def _example_to_row(
+    payload: bytes,
+    plan: list[tuple[str, str, bool]],
+    utf8: dict[str, bool],
+) -> tuple:
+    """Serialized tf.Example -> row tuple (None = absent feature)."""
     from pipeline_mf_etl_spark.sources.tfrecord import decode_example
 
     feats = decode_example(payload)
     out = []
-    for f in DOCUMENTS_SCHEMA.fields:
-        got = feats.get(f.name)
+    for name, kind, is_array in plan:
+        got = feats.get(name)
         if got is None:
             out.append(None)
             continue
-        kind, values = got
-        want = "int64" if isinstance(f.dataType, LongType) else "bytes"
-        if kind != want or len(values) != 1:
+        gkind, values = got
+        if gkind != kind or (not is_array and len(values) != 1):
             raise ValueError(
-                f"tfrecord: feature {f.name!r} is {kind}[{len(values)}], "
-                f"expected {want}[1]"
+                f"tfrecord: feature {name!r} is {gkind}[{len(values)}], "
+                f"expected {kind}" + ("" if is_array else "[1]")
             )
-        out.append(
-            values[0].decode("utf-8") if kind == "bytes" else values[0]
-        )
+        if kind == "bytes" and utf8[name]:
+            values = [v.decode("utf-8") for v in values]
+        out.append(values if is_array else values[0])
     return tuple(out)
 
 
@@ -670,6 +728,8 @@ def write_tfrecord_corpus(
     path: str,
     n_shards: int = 4,
     compression: str | None = None,
+    schema: StructType | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Write a documents corpus as ``shard-<N>.tfrecord`` files (one
     tf.Example record per doc) plus a ``_index`` parquet of (doc_id,
@@ -679,7 +739,13 @@ def write_tfrecord_corpus(
     TFRecords); index offsets always address the UNCOMPRESSED record
     stream, so lookups on gzip shards decode the member first while
     uncompressed shards serve pure range reads. Returns the index read
-    back from ``<path>/_index``."""
+    back from ``<path>/_index``.
+
+    ``schema`` defaults to the documents contract; any schema of
+    integral / string / binary / float32 / array-of-those columns maps
+    per ``_tfrecord_field_plan`` (e.g. the embeddings table's
+    ``array<float>`` rides FloatList exactly). ``id_col`` names the
+    column the index's ``doc_id`` carries."""
     import gzip
     import os
 
@@ -693,7 +759,11 @@ def write_tfrecord_corpus(
     if compression not in (None, "gzip"):
         raise ValueError(f"tfrecord: unsupported compression {compression!r}")
     os.makedirs(path, exist_ok=True)
-    cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+    schema = schema or DOCUMENTS_SCHEMA
+    plan = _tfrecord_field_plan(schema)
+    cols = [f.name for f in schema.fields]
+    if id_col not in cols:
+        raise ValueError(f"tfrecord: id column {id_col!r} not in schema")
     spark = df.sparkSession
     ext = ".tfrecord.gz" if compression else ".tfrecord"
 
@@ -711,9 +781,9 @@ def write_tfrecord_corpus(
         idx: list[tuple] = []
         off = 0
         for r in rows:
-            rec = frame_record(_doc_to_example(r, cols))
+            rec = frame_record(_row_to_example(r, plan))
             assert len(rec) == framed_length(len(rec) - 16)
-            idx.append((_py(r.get("doc_id")), shard, off, len(rec)))
+            idx.append((_py(r.get(id_col)), shard, off, len(rec)))
             off += len(rec)
             blobs.append(rec)
         payload = b"".join(blobs)
@@ -730,28 +800,37 @@ def write_tfrecord_corpus(
     index = (
         df.select(*cols)
         .repartition(
-            n_shards, F.pmod(F.coalesce("doc_id", F.lit(0)), F.lit(n_shards))
+            n_shards, F.pmod(F.coalesce(id_col, F.lit(0)), F.lit(n_shards))
         )
-        .sortWithinPartitions("doc_id")
+        .sortWithinPartitions(id_col)
         .mapInPandas(write_shard, TFRECORD_INDEX_SCHEMA)
     )
     index.write.mode("overwrite").parquet(os.path.join(path, "_index"))
     return spark.read.parquet(os.path.join(path, "_index"))
 
 
-def read_tfrecord_docs(index: DataFrame, corpus_dir: str) -> DataFrame:
+def read_tfrecord_docs(
+    index: DataFrame,
+    corpus_dir: str,
+    schema: StructType | None = None,
+) -> DataFrame:
     """Distributed point-lookup over a TFRecord shard corpus: each index
     row range-reads ONLY its record's bytes (seek + bounded read — the
     object-store range-GET pattern), verifies both masked CRCs, and
     decodes the one tf.Example. Gzip shards decompress once per task
     and slice the cached stream (offsets address uncompressed bytes).
-    Returns DOCUMENTS_SCHEMA rows."""
+    ``schema`` must match the one the corpus was written with
+    (documents contract by default)."""
     import gzip
     import os
 
     import pandas as pd
 
     from pipeline_mf_etl_spark.sources.tfrecord import read_tfrecord_at
+
+    schema = schema or DOCUMENTS_SCHEMA
+    plan = _tfrecord_field_plan(schema)
+    utf8 = _utf8_columns(schema)
 
     def fetch(batches):
         for pdf in batches:
@@ -763,10 +842,12 @@ def read_tfrecord_docs(index: DataFrame, corpus_dir: str) -> DataFrame:
                         stream = gzip.decompress(fh.read())
                     for off, ln in zip(grp["offset"], grp["length"]):
                         rows.append(
-                            _example_to_doc(
+                            _example_to_row(
                                 read_tfrecord_at(
                                     stream[int(off) : int(off) + int(ln)]
-                                )
+                                ),
+                                plan,
+                                utf8,
                             )
                         )
                 else:
@@ -775,20 +856,40 @@ def read_tfrecord_docs(index: DataFrame, corpus_dir: str) -> DataFrame:
                         for off, ln in zip(order["offset"], order["length"]):
                             fh.seek(int(off))
                             rows.append(
-                                _example_to_doc(
-                                    read_tfrecord_at(fh.read(int(ln)))
+                                _example_to_row(
+                                    read_tfrecord_at(fh.read(int(ln))),
+                                    plan,
+                                    utf8,
                                 )
                             )
             yield pd.DataFrame(
-                rows, columns=[f.name for f in DOCUMENTS_SCHEMA.fields]
+                rows, columns=[f.name for f in schema.fields]
             )
 
     return index.select("shard", "offset", "length").mapInPandas(
-        fetch, DOCUMENTS_SCHEMA
+        fetch, schema
     )
 
 
-def read_tfrecord_corpus(spark: SparkSession, path: str) -> DataFrame:
+def _utf8_columns(schema: StructType) -> dict[str, bool]:
+    """Which columns decode BytesList values back to str (StringType /
+    array<string>) vs keep raw bytes (BinaryType / array<binary>)."""
+    from pyspark.sql.types import ArrayType
+
+    out = {}
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, ArrayType):
+            dt = dt.elementType
+        out[f.name] = isinstance(dt, StringType)
+    return out
+
+
+def read_tfrecord_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> DataFrame:
     """Full-scan read of a TFRecord shard corpus: shard-grain parallel
     (each task walks whole record streams with every CRC verified), the
     grain a 1000-executor cluster distributes on. Handles ``.tfrecord``
@@ -800,6 +901,9 @@ def read_tfrecord_corpus(spark: SparkSession, path: str) -> DataFrame:
 
     from pipeline_mf_etl_spark.sources.tfrecord import iter_tfrecord
 
+    schema = schema or DOCUMENTS_SCHEMA
+    plan = _tfrecord_field_plan(schema)
+    utf8 = _utf8_columns(schema)
     shards = sorted(
         n
         for n in os.listdir(path)
@@ -816,14 +920,14 @@ def read_tfrecord_corpus(spark: SparkSession, path: str) -> DataFrame:
                 if str(name).endswith(".gz"):
                     data = gzip.decompress(data)
                 rows = [
-                    _example_to_doc(payload)
+                    _example_to_row(payload, plan, utf8)
                     for _, _, payload in iter_tfrecord(data)
                 ]
                 yield pd.DataFrame(
-                    rows, columns=[f.name for f in DOCUMENTS_SCHEMA.fields]
+                    rows, columns=[f.name for f in schema.fields]
                 )
 
     files = spark.createDataFrame(
         [(s,) for s in shards], StructType([StructField("shard", StringType(), False)])
     ).repartition(len(shards), "shard")
-    return files.mapInPandas(scan, DOCUMENTS_SCHEMA)
+    return files.mapInPandas(scan, schema)

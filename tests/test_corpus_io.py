@@ -682,3 +682,95 @@ def test_c13_tfrecord_lookup_matches_identity_oracle(spark, duck):
 
     assert canon(srows, sdf.columns) == canon(drows, dcols)
     assert len(srows) == 500
+
+
+class TestTFRecordGenericSchemas:
+    """Schema-driven tf.Example mapping: any integral/string/binary/
+    float32/array column set rides the right Feature list — the
+    embeddings table's array<float> is the training-export case."""
+
+    def test_embeddings_float32_arrays_round_trip_exactly(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_tfrecord_corpus,
+            read_tfrecord_docs,
+            write_tfrecord_corpus,
+        )
+        from pipeline_mf_etl_spark.sources.readers import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        out = str(tmp_path / "emb")
+        index = write_tfrecord_corpus(
+            emb, out, n_shards=2, schema=emb.schema, id_col="vec_id"
+        )
+        src = sorted(
+            (r["vec_id"], tuple(r["embedding"]), r["label"])
+            for r in emb.collect()
+        )
+        for got in (
+            read_tfrecord_docs(index, out, schema=emb.schema),
+            read_tfrecord_corpus(spark, out, schema=emb.schema),
+        ):
+            assert got.schema == emb.schema
+            assert (
+                sorted(
+                    (r["vec_id"], tuple(r["embedding"]), r["label"])
+                    for r in got.collect()
+                )
+                == src
+            )
+
+    def test_binary_and_empty_array_round_trip(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            ArrayType,
+            BinaryType,
+            FloatType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_tfrecord_docs,
+            write_tfrecord_corpus,
+        )
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType(), True),
+                StructField("blob", BinaryType(), True),
+                StructField("vec", ArrayType(FloatType()), True),
+                StructField("tags", ArrayType(StringType()), True),
+            ]
+        )
+        df = spark.createDataFrame(
+            [
+                (1, b"\x00\xff raw", [1.5, -2.0], ["a", "ü"]),
+                (2, None, [], None),  # empty array stays [], NULL stays NULL
+            ],
+            schema,
+        )
+        out = str(tmp_path / "bin")
+        index = write_tfrecord_corpus(df, out, n_shards=1, schema=schema)
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in read_tfrecord_docs(index, out, schema=schema).collect()
+        }
+        assert got[1]["blob"] == b"\x00\xff raw"
+        assert got[1]["vec"] == [1.5, -2.0]
+        assert got[1]["tags"] == ["a", "ü"]
+        assert got[2]["blob"] is None
+        assert got[2]["vec"] == [] and got[2]["tags"] is None
+
+    def test_double_columns_rejected_loudly(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            write_tfrecord_corpus,
+        )
+
+        df = spark.createDataFrame([(1, 0.5)], "doc_id long, x double")
+        with _pytest.raises(Exception, match="float32"):
+            write_tfrecord_corpus(
+                df, str(tmp_path / "d"), n_shards=1, schema=df.schema
+            )
