@@ -443,3 +443,16 @@ def test_bz2_dump_lookup_map_only(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "mapInPandas" in plan or "MapInPandas" in plan, plan
+
+
+def test_tfrecord_lookup_map_only(spark):
+    """c13's LOOKUP half must be one Arrow map pass over the index scan
+    — per-record range reads are executor-local file IO, never a
+    shuffle (same contract as the c12 dump index: any record to any
+    task with no coordination). The build half's single exchange is the
+    writer's repartition-by-shard, already run by the time the returned
+    plan exists."""
+    plan = _plan(spark, "c13_tfrecord_lookup")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan, plan
