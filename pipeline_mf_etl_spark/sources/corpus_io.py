@@ -931,3 +931,89 @@ def read_tfrecord_corpus(
         [(s,) for s in shards], StructType([StructField("shard", StringType(), False)])
     ).repartition(len(shards), "shard")
     return files.mapInPandas(scan, schema)
+
+
+#: export_ordered_tfrecord's index rows: the record byte-range index
+#: plus the training-order position the record was written at
+TFRECORD_ORDERED_INDEX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("shard", StringType(), False),
+        StructField("offset", LongType(), False),
+        StructField("length", LongType(), False),
+        StructField("pos", LongType(), False),
+    ]
+)
+
+
+def export_ordered_tfrecord(
+    df: DataFrame,
+    order: DataFrame,
+    path: str,
+    n_shards: int,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Ship a training-order assignment as TFRecord shards — the layout
+    a TF input pipeline trains from directly: ``order`` carries (shard,
+    doc_id, pos) — exactly o15_shard_shuffle's output — and each
+    assignment shard becomes one ``shard-<s>.tfrecord`` file with
+    tf.Example records in ``pos`` order, plus a ``_index`` parquet of
+    (doc_id, shard, offset, length, pos) for point lookups
+    (read_tfrecord_docs). The TF-loader twin of
+    export_ordered_jsonl_zst: shard files are named by the assignment's
+    shard VALUE (a shard is never split across tasks), one shuffle (the
+    repartition), record encoding shard-parallel, the index write is
+    the driving action."""
+    import os
+
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.tfrecord import frame_record
+
+    os.makedirs(path, exist_ok=True)
+    schema = schema or DOCUMENTS_SCHEMA
+    plan = _tfrecord_field_plan(schema)
+    cols = [f.name for f in schema.fields]
+    spark = df.sparkSession
+
+    def write_shards(batches):
+        rows: list[dict] = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        if not rows:
+            return
+        by_shard: dict[int, list[dict]] = {}
+        for r in rows:
+            by_shard.setdefault(int(r["shard"]), []).append(r)
+        out: list[tuple] = []
+        for s, rs in sorted(by_shard.items()):
+            # sortWithinPartitions already ordered (shard, pos); the
+            # in-memory sort is a cheap idempotence guard
+            rs.sort(key=lambda r: int(r["pos"]))
+            shard_name = f"shard-{s:05d}.tfrecord"
+            blobs: list[bytes] = []
+            off = 0
+            for r in rs:
+                rec = frame_record(_row_to_example(r, plan))
+                out.append(
+                    (_py(r["doc_id"]), shard_name, off, len(rec), int(r["pos"]))
+                )
+                off += len(rec)
+                blobs.append(rec)
+            tmp = os.path.join(path, f".{shard_name}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(b"".join(blobs))
+            os.replace(tmp, os.path.join(path, shard_name))  # atomic publish
+        yield pd.DataFrame(
+            out, columns=[f.name for f in TFRECORD_ORDERED_INDEX_SCHEMA.fields]
+        )
+
+    index = (
+        df.select(*cols)
+        .join(order.select("shard", "doc_id", "pos"), "doc_id")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .mapInPandas(write_shards, TFRECORD_ORDERED_INDEX_SCHEMA)
+    )
+    index.write.mode("overwrite").parquet(os.path.join(path, "_index"))
+    return spark.read.parquet(os.path.join(path, "_index"))

@@ -903,3 +903,92 @@ def ingest_dropzone_jsonl(
             .start()
         )
     return queries
+
+
+def read_tfrecord_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming drop-zone reader for TFRecord corpus shards
+    (``*.tfrecord``, one tf.Example per record — the container a TF
+    training pipeline emits and consumes). Same contract as
+    read_compressed_jsonl_stream: each shard is picked up exactly once
+    (checkpoint-tracked binaryFile source) and decoded in one Arrow map
+    per micro-batch, with failure containment — a corrupt record stops
+    the walk at the first CRC/framing error (salvaging every record
+    before it, the TFRecord resync story: framing has no sync marker)
+    and files ONE reason-tagged BAD_FRAME reject; a record whose
+    tf.Example doesn't fit the documents contract becomes a per-record
+    reject row. Never an exception: the checkpointed source would
+    replay a failing file forever and wedge the stream."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from pipeline_mf_etl_spark.sources.corpus_io import (
+        DOCUMENTS_SCHEMA,
+        _example_to_row,
+        _tfrecord_field_plan,
+        _utf8_columns,
+    )
+    from pipeline_mf_etl_spark.sources.tfrecord import iter_tfrecord
+
+    plan = _tfrecord_field_plan(DOCUMENTS_SCHEMA)
+    utf8 = _utf8_columns(DOCUMENTS_SCHEMA)
+
+    schema = StructType(
+        [
+            StructField("shard", StringType(), False),
+            StructField("record_no", LongType(), True),
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+            StructField("lang", StringType(), True),
+            StructField("source", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("reject_reason", StringType(), True),
+        ]
+    )
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for spath, blob in zip(pdf["path"], pdf["content"]):
+                no = 0
+                try:
+                    for _, _, payload in iter_tfrecord(bytes(blob)):
+                        try:
+                            doc = _example_to_row(payload, plan, utf8)
+                            rows.append((spath, no, *doc, None))
+                        except Exception as e:  # bad Example -> reject row
+                            rows.append(
+                                (spath, no, None, None, None, None, None,
+                                 f"BAD_EXAMPLE: {e}")
+                            )
+                        no += 1
+                except Exception as e:  # corrupt framing -> ONE reject row
+                    rows.append(
+                        (spath, no, None, None, None, None, None,
+                         f"BAD_FRAME: {e}")
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    binary_schema = StructType(
+        [
+            StructField("path", StringType(), False),
+            StructField("modificationTime", TimestampType(), False),
+            StructField("length", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", "*.tfrecord")
+        .option("maxFilesPerTrigger", 8)
+        .load(path)
+    )
+    return raw.select("path", "content").mapInPandas(extract, schema)

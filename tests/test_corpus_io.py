@@ -774,3 +774,84 @@ class TestTFRecordGenericSchemas:
             write_tfrecord_corpus(
                 df, str(tmp_path / "d"), n_shards=1, schema=df.schema
             )
+
+
+class TestOrderedTFRecordExport:
+    """The TF-loader twin of TestOrderedTrainingExport: o15's
+    training-order assignment shipped as TFRecord shards whose records
+    replay in pos order, plus point lookups through the byte-range
+    index."""
+
+    def _export(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.queries import all_queries
+        from pipeline_mf_etl_spark.queries.corpus import _O15_SHARDS
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            export_ordered_tfrecord,
+        )
+        from pipeline_mf_etl_spark.sources.readers import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf, "documents")
+        order = all_queries()["o15_shard_shuffle"].spark(spark, sf)
+        out = str(tmp_path / "tf_training_shards")
+        index = export_ordered_tfrecord(
+            docs, order, out, n_shards=_O15_SHARDS
+        )
+        return docs, order, out, index
+
+    def test_records_follow_assignment_and_order(self, spark, tmp_path):
+        """Each o15 shard becomes exactly one .tfrecord named by its
+        shard VALUE whose record walk replays the shard's docs in pos
+        order — the sequence a TF input pipeline consumes."""
+        import glob as _glob
+        import os
+
+        from pipeline_mf_etl_spark.sources.corpus_io import _example_to_row
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            _tfrecord_field_plan,
+            _utf8_columns,
+            DOCUMENTS_SCHEMA,
+        )
+        from pipeline_mf_etl_spark.sources.tfrecord import iter_tfrecord
+
+        docs, order, out, index = self._export(spark, tmp_path)
+        assign = {
+            r["doc_id"]: (r["shard"], r["pos"]) for r in order.collect()
+        }
+        plan = _tfrecord_field_plan(DOCUMENTS_SCHEMA)
+        utf8 = _utf8_columns(DOCUMENTS_SCHEMA)
+        shards = sorted(_glob.glob(os.path.join(out, "shard-*.tfrecord")))
+        assert len(shards) == len({s for s, _ in assign.values()})
+        seen = 0
+        for path in shards:
+            s = int(os.path.basename(path).split("-")[1].split(".")[0])
+            with open(path, "rb") as fh:
+                data = fh.read()
+            doc_ids = [
+                _example_to_row(p, plan, utf8)[0]
+                for _, _, p in iter_tfrecord(data)
+            ]
+            want = [
+                d
+                for d, (sh, _) in sorted(
+                    assign.items(), key=lambda kv: kv[1][1]
+                )
+                if sh == s
+            ]
+            assert doc_ids == want, path
+            seen += len(doc_ids)
+        assert seen == len(assign)
+
+    def test_point_lookups_round_trip_every_doc(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_tfrecord_docs,
+        )
+
+        docs, order, out, index = self._export(spark, tmp_path)
+        rows = index.collect()
+        assert len(rows) == docs.count()
+        assert all(r["pos"] is not None for r in rows)
+        fetched = read_tfrecord_docs(index, out)
+        a = sorted(tuple(r) for r in fetched.collect())
+        b = sorted(tuple(r) for r in docs.collect())
+        assert a == b

@@ -875,3 +875,65 @@ class TestSt13DropzoneIngest:
         second = spark.read.parquet(out).collect()
         assert len(first) == len(second) == 1
         assert second[0]["doc_id"] == 7
+
+
+class TestTFRecordDropZone:
+    def test_tfrecord_stream_salvage_and_rejects(self, spark, tmp_path):
+        """The .tfrecord drop-zone leg (round 14): records decode in
+        order; a mid-shard CRC flip salvages every earlier record and
+        files one BAD_FRAME; a record whose tf.Example violates the
+        documents contract becomes a BAD_EXAMPLE reject row."""
+        from pipeline_mf_etl_spark.sources.tfrecord import (
+            encode_example,
+            write_tfrecord,
+        )
+        from pipeline_mf_etl_spark.streaming.transforms import (
+            read_tfrecord_stream,
+        )
+
+        def doc(i, text):
+            return encode_example(
+                {
+                    "doc_id": ("int64", [i]),
+                    "text": ("bytes", [text.encode()]),
+                    "lang": ("bytes", [b"en"]),
+                    "source": ("bytes", [b"web"]),
+                    "n_chars": ("int64", [len(text)]),
+                }
+            )
+
+        zone = tmp_path / "tfzone"
+        zone.mkdir()
+        # shard 0: two good records, then a corrupted third — the walk
+        # must salvage 1 and 2 and file one BAD_FRAME
+        blob = write_tfrecord([doc(1, "alpha"), doc(2, "beta"), doc(3, "gamma")])
+        bad = bytearray(blob)
+        bad[-3] ^= 0xFF  # inside the last record's payload/CRC tail
+        (zone / "shard-0.tfrecord").write_bytes(bytes(bad))
+        # shard 1: a good record + a contract violation (text as int64)
+        violating = encode_example(
+            {"doc_id": ("int64", [4]), "text": ("int64", [99])}
+        )
+        (zone / "shard-1.tfrecord").write_bytes(
+            write_tfrecord([doc(5, "delta"), violating])
+        )
+        (zone / "ignored.jsonl").write_text("{}")
+
+        q = (
+            read_tfrecord_stream(spark, str(zone))
+            .writeStream.format("memory")
+            .queryName("tf_ingest")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from tf_ingest").collect()
+        docs = {r["doc_id"]: r for r in rows if r["reject_reason"] is None}
+        rejects = sorted(
+            r["reject_reason"].split(":")[0]
+            for r in rows
+            if r["reject_reason"] is not None
+        )
+        assert set(docs) == {1, 2, 5}
+        assert docs[2]["text"] == "beta" and docs[2]["n_chars"] == 4
+        assert rejects == ["BAD_EXAMPLE", "BAD_FRAME"]
