@@ -970,3 +970,67 @@ def o19_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.alias("fold"),
         ((F.col("ts") < lo) | (F.col("ts") >= hi)).alias("embargoed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O20: weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+# round 14) — the missing member of the sampling family: o4b/o9/o13
+# admit docs Bernoulli (independent coin per doc, random TOTAL), while
+# a training-data budget usually wants EXACTLY k docs drawn
+# length-proportionally. A-ES: each doc draws an Exp(1)/weight key and
+# the k SMALLEST keys are the sample — distributionally exact, one
+# pass, and embarrassingly parallel: per-partition top-k then a k·P
+# driver merge (Spark's TakeOrderedAndProject), never a data shuffle.
+# The draw is the engine-agnostic md5 fold (operators/dedupe.md5_unit),
+# so the identical doc set falls out of any engine — the oracle
+# replays the fold arithmetic exactly. -ln(1-u) keeps the draw finite
+# (u in [0,1) so 1-u in (0,1]; a 1e-6 jackpot draw of key 0 is a draw,
+# not an error); doc_id breaks exact key ties deterministically.
+# ---------------------------------------------------------------------------
+_O20_K = 200
+
+
+@query(
+    "o20_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               -ln(1.0 - (list_reduce(list_transform(split(substr(md5(
+                   'wres:' || CAST(doc_id AS VARCHAR)), 1, 15), ''),
+                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (acc, y) -> acc * 16 + y) % 1000000) / 1000000.0)
+               / n_chars AS e
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+           ROUND(e, 9) AS wkey
+    FROM keyed
+    ORDER BY e, doc_id
+    LIMIT {_O20_K}
+    """,
+)
+def o20_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draw exactly K documents length-weighted (weight = n_chars)
+    without replacement via deterministic A-ES keys. Plan shape: map
+    pass + TakeOrderedAndProject (per-partition top-K, driver merge of
+    K·P rows) — zero exchanges, the 100 TB fixed-budget sampler."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    )
+    e = -F.log(F.lit(1.0) - md5_unit(F.col("doc_id"), "wres:")) / F.col(
+        "n_chars"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            e.alias("e"),
+        )
+        .orderBy("e", "doc_id")
+        .limit(_O20_K)
+        .select(
+            "doc_id", "source", "weight", F.round("e", 9).alias("wkey")
+        )
+    )

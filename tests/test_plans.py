@@ -456,3 +456,14 @@ def test_tfrecord_lookup_map_only(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "mapInPandas" in plan or "MapInPandas" in plan, plan
+
+
+def test_weighted_reservoir_no_shuffle(spark):
+    """o20's A-ES sample must be a map pass + TakeOrderedAndProject
+    (per-partition top-K, driver merge of K·P rows) — a global sort or
+    hash exchange here would shuffle the full corpus to sample 200
+    docs."""
+    plan = _plan(spark, "o20_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
