@@ -21,8 +21,11 @@ the REAL public formats:
 - xxHash32 (github.com/Cyan4973/xxHash spec) for all three checksum
   sites.
 
-Loud gates: linked blocks (B.Indep = 0), dictionaries (DictID bit),
-reserved-bit violations, every checksum/size mismatch.
+Decodes both block-independent and block-LINKED (B.Indep = 0) frames —
+the latter seeds each block with the 64 KiB history window, matching
+liblz4's frame-compressor default (what Arrow IPC body compression
+emits). Loud gates: dictionaries (DictID bit), reserved-bit
+violations, every checksum/size mismatch.
 """
 
 from __future__ import annotations
@@ -143,10 +146,14 @@ def lz4_block_compress(src: bytes) -> bytes:
     return bytes(out)
 
 
-def lz4_block_decompress(block: bytes, max_size: int) -> bytes:
+def lz4_block_decompress(block: bytes, max_size: int, prefix: bytes = b"") -> bytes:
     """Full LZ4 block decode with overlap-correct match copies and loud
-    bounds checks; ``max_size`` caps output (frame block-max rule)."""
-    out = bytearray()
+    bounds checks; ``max_size`` caps output (frame block-max rule).
+    ``prefix`` is the linked-mode history window: matches may reach
+    back into it (up to the spec's 64 KiB), and only the NEW bytes are
+    returned."""
+    out = bytearray(prefix)
+    plen = len(prefix)
     i = 0
     n = len(block)
     while True:
@@ -171,7 +178,7 @@ def lz4_block_decompress(block: bytes, max_size: int) -> bytes:
         i += ll
         if i == n:
             break  # last sequence: literals only, no offset
-        if len(out) > max_size:
+        if len(out) - plen > max_size:
             raise ValueError("LZ4 block exceeds the frame's block max size")
         offset = int.from_bytes(block[i : i + 2], "little")
         i += 2
@@ -193,9 +200,9 @@ def lz4_block_decompress(block: bytes, max_size: int) -> bytes:
         else:  # overlapping copy: byte-at-a-time semantics
             for _ in range(ml):
                 out.append(out[-offset])
-    if len(out) > max_size:
+    if len(out) - plen > max_size:
         raise ValueError("LZ4 block exceeds the frame's block max size")
-    return bytes(out)
+    return bytes(out[plen:])
 
 
 # ---------------------------------------------------------------------------
@@ -259,10 +266,11 @@ def decode_lz4_frame(payload: bytes) -> dict:
         raise ValueError("LZ4 reserved bits set")
     if flg & 1:
         raise NotImplementedError("LZ4 dictionaries (DictID) not supported")
-    if not flg & (1 << 5):
-        raise NotImplementedError(
-            "linked LZ4 blocks (B.Indep=0) not supported (independent only)"
-        )
+    # B.Indep=0 (block-LINKED) frames: each block's matches may reach
+    # up to 64 KiB into previously decoded content — what liblz4's
+    # frame compressor (and so Arrow IPC body compression) emits by
+    # default. Decoded by seeding each block with the history window.
+    linked = not flg & (1 << 5)
     has_bsum = bool(flg & (1 << 4))
     has_csize = bool(flg & (1 << 3))
     has_csum = bool(flg & (1 << 2))
@@ -297,7 +305,11 @@ def decode_lz4_frame(payload: bytes) -> dict:
             pos += 4
             if bsum != xxh32(bdata):
                 raise ValueError(f"LZ4 block {n_blocks} checksum mismatch")
-        content += bdata if raw else lz4_block_decompress(bdata, bmax)
+        if raw:
+            content += bdata
+        else:
+            prefix = bytes(content[-65536:]) if linked else b""
+            content += lz4_block_decompress(bdata, bmax, prefix)
         n_blocks += 1
         n_stored += int(raw)
     if has_csum:

@@ -128,14 +128,26 @@ class TestLz4Frame:
         with pytest.raises(ValueError, match="content checksum"):
             decode_lz4_frame(bytes(fr))
 
-    def test_linked_blocks_and_dict_gate(self):
+    def test_linked_blocks_decode(self):
+        """B.Indep=0 (block-linked) frames decode since r14: flipping
+        the flag on an independent frame is a valid linked frame with
+        the same content (history just goes unused); real multi-block
+        linked frames (liblz4's default, via pyarrow's binding) decode
+        with cross-block matches resolved through the history window."""
         fr = bytearray(encode_lz4_frame(b"q" * 50))
         flg = fr[4] & ~(1 << 5)  # clear B.Indep
         desc = bytes([flg, fr[5]]) + bytes(fr[6:14])
         fr[4] = flg
         fr[14] = (xxh32(desc) >> 8) & 0xFF
-        with pytest.raises(NotImplementedError, match="linked"):
-            decode_lz4_frame(bytes(fr))
+        assert decode_lz4_frame(bytes(fr))["content"] == b"q" * 50
+
+        import pyarrow as pa  # test-side oracle only
+
+        raw = b"the quick brown fox jumps over " * 40000  # > 2 blocks
+        comp = bytes(pa.Codec("lz4").compress(raw))
+        got = decode_lz4_frame(comp)
+        assert got["content"] == raw
+        assert got["n_blocks"] > 1  # matches actually cross blocks
 
     def test_trailing_garbage_fails(self):
         fr = encode_lz4_frame(b"q" * 50) + b"junk"
