@@ -550,3 +550,316 @@ def read_arrow_batch_at(
     if tag != _MSG_RECORD_BATCH:
         raise ValueError(f"arrow: block holds message tag {tag}, not a batch")
     return _decode_batch(header, body, fields)
+
+
+# ---------------------------------------------------------------------------
+# encoder: a minimal FlatBuffers builder (back-to-front, end-measured
+# offsets — the standard construction) + the columnar buffer layout.
+# Cross-validated in tests by REAL pyarrow reading every byte we emit.
+# ---------------------------------------------------------------------------
+
+
+class _Builder:
+    """Back-to-front FlatBuffers builder. Object positions are measured
+    as END-offsets (distance from object start to buffer end), which
+    never move as objects are prepended; forward alignment holds because
+    finish() pads the total to 8 and every allocation pins
+    ``end_offset % align == phase``."""
+
+    def __init__(self):
+        self.buf = bytearray()
+
+    def _alloc(self, obj: bytes, align: int, phase: int = 0) -> int:
+        """Prepend ``obj`` with filler so its end-offset ≡ phase (mod
+        align); returns the object's end-offset."""
+        pad = (phase - (len(self.buf) + len(obj))) % align
+        self.buf[:0] = obj + b"\x00" * pad
+        return len(self.buf)
+
+    def _patch(self, end_off: int, data: bytes) -> None:
+        p = len(self.buf) - end_off
+        self.buf[p : p + len(data)] = data
+
+    def string(self, s: str) -> int:
+        data = s.encode("utf-8")
+        return self._alloc(_U32.pack(len(data)) + data + b"\x00", 4, 0)
+
+    def struct_vector(self, elems: list[bytes], elem_align: int = 8) -> int:
+        """Vector of inline structs: u32 count + elements; elements are
+        aligned, the count sits directly before them."""
+        body = b"".join(elems)
+        return self._alloc(
+            _U32.pack(len(elems)) + body, elem_align, (4 + len(body)) % elem_align
+        )
+
+    def offset_vector(self, targets: list[int]) -> int:
+        """Vector of uoffsets to already-written objects."""
+        size = 4 + 4 * len(targets)
+        obj = bytearray(_U32.pack(len(targets)) + b"\x00" * (4 * len(targets)))
+        end = self._alloc(bytes(obj), 4, 0)
+        for i, t in enumerate(targets):
+            k = 4 + 4 * i
+            self._patch(end - k, _U32.pack((end - k) - t))
+        return end
+
+    def table(self, fields: list[tuple[int, str, object]]) -> int:
+        """Write a table: ``fields`` is (slot, kind, value) with kind in
+        i8/i16/i32/i64/bool/off (off values are end-offsets). Returns
+        the table's end-offset."""
+        sizes = {"i8": 1, "bool": 1, "i16": 2, "i32": 4, "off": 4, "i64": 8}
+        packs = {"i16": _I16, "i32": _I32, "i64": _I64}
+        # inline layout: soffset at 0, then fields largest-first with
+        # per-field alignment (table end-offset is pinned to 8 below,
+        # so internal offset k aligned to the field size suffices)
+        layout: dict[int, int] = {}
+        k = 4
+        for slot, kind, _v in sorted(
+            fields, key=lambda f: (-sizes[f[1]], f[0])
+        ):
+            size = sizes[kind]
+            k += (-k) % size
+            layout[slot] = k
+            k += size
+        table_size = k + (-k) % 4
+        obj = bytearray(table_size)
+        pending: list[tuple[int, int]] = []  # (internal k, target end-off)
+        for slot, kind, v in fields:
+            kk = layout[slot]
+            if kind == "off":
+                pending.append((kk, v))
+            elif kind in ("i8", "bool"):
+                obj[kk] = int(v) & 0xFF
+            else:
+                packs[kind].pack_into(obj, kk, int(v))
+        end = self._alloc(bytes(obj), 8, 0)
+        for kk, target in pending:
+            self._patch(end - kk, _U32.pack((end - kk) - target))
+        # vtable: u16 size, u16 table size, u16 voffset per slot
+        n_slots = max((s for s, _, _ in fields), default=-1) + 1
+        vt_size = 4 + 2 * n_slots
+        vt = bytearray(_U16.pack(vt_size) + _U16.pack(table_size))
+        for slot in range(n_slots):
+            vt += _U16.pack(layout.get(slot, 0))
+        vt_end = self._alloc(bytes(vt), 2, 0)
+        self._patch(end, _I32.pack(vt_end - end))  # soffset at table start
+        return end
+
+    def finish(self, root: int) -> bytes:
+        pad = (-(len(self.buf) + 4)) % 8
+        self.buf[:0] = b"\x00" * pad
+        self.buf[:0] = _U32.pack((len(self.buf) + 4) - root)
+        return bytes(self.buf)
+
+
+def _build_field_fb(b: _Builder, f: ArrowField) -> int:
+    name = b.string(f.name)
+    if f.kind == "int":
+        t = b.table([(0, "i32", f.bits), (1, "bool", f.signed)])
+        tag = _T_INT
+    elif f.kind == "float":
+        t = b.table([(0, "i16", 1 if f.bits == 32 else 2)])
+        tag = _T_FLOAT
+    elif f.kind == "bool":
+        t = b.table([])
+        tag = _T_BOOL
+    elif f.kind == "utf8":
+        t = b.table([])
+        tag = _T_LARGE_UTF8 if f.bits == 64 else _T_UTF8
+    elif f.kind == "binary":
+        t = b.table([])
+        tag = _T_LARGE_BINARY if f.bits == 64 else _T_BINARY
+    elif f.kind == "list":
+        child = _build_field_fb(b, f.child)
+        children = b.offset_vector([child])
+        t = b.table([])
+        return b.table(
+            [
+                (0, "off", name),
+                (1, "bool", f.nullable),
+                (2, "i8", _T_LIST),
+                (3, "off", t),
+                (5, "off", children),
+            ]
+        )
+    else:
+        raise ValueError(f"arrow: cannot encode field kind {f.kind!r}")
+    return b.table(
+        [(0, "off", name), (1, "bool", f.nullable), (2, "i8", tag), (3, "off", t)]
+    )
+
+
+def _build_schema_fb(b: _Builder, fields: list[ArrowField]) -> int:
+    return b.table([(1, "off", b.offset_vector([_build_field_fb(b, f) for f in fields]))])
+
+
+def _message(header_tag: int, build_header, body_len: int) -> bytes:
+    """One framed message: continuation + metadata length + Message
+    FlatBuffer (8-padded)."""
+    b = _Builder()
+    header = build_header(b)
+    root = b.table(
+        [
+            (0, "i16", 4),  # MetadataVersion V5
+            (1, "i8", header_tag),
+            (2, "off", header),
+            (3, "i64", body_len),
+        ]
+    )
+    meta = b.finish(root)
+    return _U32.pack(CONTINUATION) + _I32.pack(len(meta)) + meta
+
+
+def _pad8(n: int) -> int:
+    return (-n) % 8
+
+
+def _encode_column(field: ArrowField, values: list) -> tuple[list, list[bytes]]:
+    """-> (field nodes [(length, null_count), ... preorder], buffers)."""
+    n = len(values)
+    null_count = sum(1 for v in values if v is None)
+    if null_count:
+        bitmap = bytearray((n + 7) // 8)
+        for i, v in enumerate(values):
+            if v is not None:
+                bitmap[i >> 3] |= 1 << (i & 7)
+        validity = bytes(bitmap)
+    else:
+        validity = b""
+    if field.kind in ("int", "float", "bool"):
+        if field.kind == "bool":
+            data = bytearray((n + 7) // 8)
+            for i, v in enumerate(values):
+                if v:
+                    data[i >> 3] |= 1 << (i & 7)
+            data = bytes(data)
+        else:
+            fmt = (
+                _INT_FMT[(field.bits, field.signed)]
+                if field.kind == "int"
+                else ("f" if field.bits == 32 else "d")
+            )
+            data = struct.pack(
+                f"<{n}{fmt}", *[0 if v is None else v for v in values]
+            )
+        return [(n, null_count)], [validity, data]
+    if field.kind in ("utf8", "binary"):
+        blobs = [
+            b""
+            if v is None
+            else (v.encode("utf-8") if field.kind == "utf8" else v)
+            for v in values
+        ]
+        offs, acc = [0], 0
+        for bl in blobs:
+            acc += len(bl)
+            offs.append(acc)
+        fmt = "i" if field.bits == 32 else "q"
+        return [(n, null_count)], [
+            validity,
+            struct.pack(f"<{n + 1}{fmt}", *offs),
+            b"".join(blobs),
+        ]
+    if field.kind == "list":
+        offs, acc = [0], 0
+        flat: list = []
+        for v in values:
+            if v is not None:
+                flat.extend(v)
+                acc += len(v)
+            offs.append(acc)
+        child_nodes, child_bufs = _encode_column(field.child, flat)
+        return [(n, null_count)] + child_nodes, [
+            validity,
+            struct.pack(f"<{n + 1}i", *offs),
+        ] + child_bufs
+    raise ValueError(f"arrow: cannot encode column kind {field.kind!r}")
+
+
+def _encode_batch_message(fields: list[ArrowField], columns: list[list]) -> bytes:
+    n_rows = len(columns[0]) if columns else 0
+    nodes: list[tuple] = []
+    bufs: list[bytes] = []
+    for f, col in zip(fields, columns):
+        if len(col) != n_rows:
+            raise ValueError("arrow: ragged columns")
+        fn, fb = _encode_column(f, col)
+        nodes.extend(fn)
+        bufs.extend(fb)
+    body = bytearray()
+    entries: list[tuple[int, int]] = []
+    for bf in bufs:
+        entries.append((len(body), len(bf)))
+        body += bf + b"\x00" * _pad8(len(bf))
+    body = bytes(body)
+
+    def header(b: _Builder) -> int:
+        node_v = b.struct_vector(
+            [_I64.pack(ln) + _I64.pack(nc) for ln, nc in nodes]
+        )
+        buf_v = b.struct_vector(
+            [_I64.pack(o) + _I64.pack(ln) for o, ln in entries]
+        )
+        return b.table(
+            [(0, "i64", n_rows), (1, "off", node_v), (2, "off", buf_v)]
+        )
+
+    return _message(_MSG_RECORD_BATCH, header, len(body)) + body
+
+
+def _check_columns(fields: list[ArrowField], columns: list[list]) -> None:
+    if len(fields) != len(columns):
+        raise ValueError("arrow: fields/columns count mismatch")
+    if columns and any(len(c) != len(columns[0]) for c in columns):
+        raise ValueError("arrow: ragged columns")
+
+
+def encode_arrow_stream(
+    fields: list[ArrowField], columns: list[list], batch_rows: int | None = None
+) -> bytes:
+    """Encode an IPC STREAM of the supported subset; ``batch_rows``
+    splits rows into multiple record batches (None = one batch)."""
+    _check_columns(fields, columns)
+    out = bytearray(
+        _message(_MSG_SCHEMA, lambda b: _build_schema_fb(b, fields), 0)
+    )
+    n = len(columns[0]) if columns else 0
+    step = batch_rows or max(n, 1)
+    for lo in range(0, max(n, 1), step):
+        out += _encode_batch_message(
+            fields, [c[lo : lo + step] for c in columns]
+        )
+    out += _U32.pack(CONTINUATION) + _I32.pack(0)  # end-of-stream
+    return bytes(out)
+
+
+def encode_arrow_file(
+    fields: list[ArrowField], columns: list[list], batch_rows: int | None = None
+) -> bytes:
+    """Encode an IPC FILE (random-access footer over the stream)."""
+    _check_columns(fields, columns)
+    out = bytearray(FILE_MAGIC)
+    schema_msg = _message(_MSG_SCHEMA, lambda b: _build_schema_fb(b, fields), 0)
+    out += schema_msg
+    n = len(columns[0]) if columns else 0
+    step = batch_rows or max(n, 1)
+    blocks: list[tuple[int, int, int]] = []
+    for lo in range(0, max(n, 1), step):
+        msg = _encode_batch_message(fields, [c[lo : lo + step] for c in columns])
+        (meta_len,) = _I32.unpack_from(msg, 4)
+        frame_len = 8 + meta_len
+        blocks.append((len(out), frame_len, len(msg) - frame_len))
+        out += msg
+    out += _U32.pack(CONTINUATION) + _I32.pack(0)
+    b = _Builder()
+    schema = _build_schema_fb(b, fields)
+    block_v = b.struct_vector(
+        [
+            _I64.pack(off) + _I32.pack(ml) + b"\x00" * 4 + _I64.pack(bl)
+            for off, ml, bl in blocks
+        ]
+    )
+    footer = b.finish(
+        b.table([(0, "i16", 4), (1, "off", schema), (3, "off", block_v)])
+    )
+    out += footer + _I32.pack(len(footer)) + FILE_TRAILER
+    return bytes(out)
