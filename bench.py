@@ -88,6 +88,7 @@ HEADLINE = (
     # added round 14 (r13-comparable subtotal = first 52)
     "c12_bz2_dump_lookup",    # bzip2 dump-index write + per-stream lookups
     "c13_tfrecord_lookup",    # TFRecord shard write + per-record lookups
+    "c14_arrow_lookup",       # Arrow IPC shard write + footer block lookups
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the

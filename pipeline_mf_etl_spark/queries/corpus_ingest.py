@@ -898,3 +898,44 @@ C13_ORACLE = """
 """
 
 query("c13_tfrecord_lookup", eager=True, oracle=C13_ORACLE)(c13_tfrecord_lookup)
+
+
+# ---------------------------------------------------------------------------
+# c14 — Arrow IPC shard-corpus round-trip (sources/arrowipc.py +
+# sources/corpus_io.py, round 14). Certifies the HuggingFace-datasets
+# interchange end to end: the corpus is written as Feather-V2 ``.arrow``
+# shards (dependency-free FlatBuffers/columnar encode, real pyarrow
+# reads every byte — tests/test_arrowipc.py) plus a (shard, batch, row)
+# index, then EVERY doc is fetched back through the footer random-access
+# path (10-byte tail probe + footer + covering block only) and must
+# equal the source table byte for byte. The oracle is the identity —
+# the layout must be lossless. Same family as c10/c12/c13; reference
+# analog: none (engine ADDITION for the training pipeline).
+# ---------------------------------------------------------------------------
+
+
+def c14_arrow_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents corpus into the Arrow IPC shard layout, then
+    point-look-up every doc via its (shard, batch, row) index entry.
+    EAGER: the shard write runs at build time (tempdir scratch)."""
+    import tempfile
+
+    from pipeline_mf_etl_spark.sources.corpus_io import (
+        read_arrow_docs,
+        write_arrow_corpus,
+    )
+    from pipeline_mf_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="c14_")
+    # shard-grain parallel encode, same parallelism rule as c10/c12/c13
+    n_shards = max(4, spark.sparkContext.defaultParallelism)
+    index = write_arrow_corpus(docs, root, n_shards=n_shards, batch_rows=64)
+    return read_arrow_docs(index, root)
+
+
+C14_ORACLE = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+query("c14_arrow_lookup", eager=True, oracle=C14_ORACLE)(c14_arrow_lookup)

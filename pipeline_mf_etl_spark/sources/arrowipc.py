@@ -483,19 +483,9 @@ def decode_arrow_stream(data: bytes) -> dict:
     return {"fields": fields, "columns": cols, "n_batches": n_batches}
 
 
-def parse_arrow_footer(data: bytes) -> dict:
-    """Parse an IPC FILE's footer: ``{"fields": ..., "blocks":
-    [(offset, meta_len, body_len), ...]}`` — the random-access map.
-    Validates both magics and the footer length."""
-    if len(data) < len(FILE_MAGIC) + 10 or not data.startswith(FILE_MAGIC):
-        raise ValueError("arrow: bad file magic")
-    if not data.endswith(FILE_TRAILER):
-        raise ValueError("arrow: bad trailing magic")
-    flen_pos = len(data) - len(FILE_TRAILER) - 4
-    (flen,) = _I32.unpack_from(data, flen_pos)
-    fstart = flen_pos - flen
-    if flen <= 0 or fstart < len(FILE_MAGIC):
-        raise ValueError("arrow: footer length out of range")
+def parse_footer_flatbuffer(data: bytes, fstart: int = 0) -> dict:
+    """Parse a Footer FlatBuffer (already located): ``{"fields": ...,
+    "blocks": [(offset, meta_len, body_len), ...]}``."""
     footer = _FB.root(data, fstart)
     schema = footer.table(1)
     if schema is None:
@@ -509,6 +499,29 @@ def parse_arrow_footer(data: bytes) -> dict:
         body_len = _I64.unpack_from(data, p + 16)[0]
         blocks.append((off, meta_len, body_len))
     return {"fields": _parse_schema(schema), "blocks": blocks}
+
+
+def arrow_footer_length(tail: bytes) -> int:
+    """Given the file's last 10 bytes, -> the Footer FlatBuffer length
+    (the tail probe a range-reading client issues first)."""
+    if len(tail) != 10 or not tail.endswith(FILE_TRAILER):
+        raise ValueError("arrow: bad trailing magic")
+    (flen,) = _I32.unpack_from(tail, 0)
+    if flen <= 0:
+        raise ValueError("arrow: footer length out of range")
+    return flen
+
+
+def parse_arrow_footer(data: bytes) -> dict:
+    """Parse an IPC FILE's footer: the random-access map. Validates
+    both magics and the footer length."""
+    if len(data) < len(FILE_MAGIC) + 10 or not data.startswith(FILE_MAGIC):
+        raise ValueError("arrow: bad file magic")
+    flen = arrow_footer_length(data[-10:])
+    fstart = len(data) - 10 - flen
+    if fstart < len(FILE_MAGIC):
+        raise ValueError("arrow: footer length out of range")
+    return parse_footer_flatbuffer(data, fstart)
 
 
 def decode_arrow_file(data: bytes) -> dict:
@@ -733,14 +746,15 @@ def _encode_column(field: ArrowField, values: list) -> tuple[list, list[bytes]]:
                     data[i >> 3] |= 1 << (i & 7)
             data = bytes(data)
         else:
-            fmt = (
-                _INT_FMT[(field.bits, field.signed)]
-                if field.kind == "int"
-                else ("f" if field.bits == 32 else "d")
-            )
-            data = struct.pack(
-                f"<{n}{fmt}", *[0 if v is None else v for v in values]
-            )
+            if field.kind == "int":
+                fmt = _INT_FMT[(field.bits, field.signed)]
+                # int() coercion: a pandas int column WITH nulls arrives
+                # as floats; exactness is the caller's contract
+                vals = [0 if v is None else int(v) for v in values]
+            else:
+                fmt = "f" if field.bits == 32 else "d"
+                vals = [0.0 if v is None else float(v) for v in values]
+            data = struct.pack(f"<{n}{fmt}", *vals)
         return [(n, null_count)], [validity, data]
     if field.kind in ("utf8", "binary"):
         blobs = [

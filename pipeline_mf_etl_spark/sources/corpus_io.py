@@ -1017,3 +1017,245 @@ def export_ordered_tfrecord(
     )
     index.write.mode("overwrite").parquet(os.path.join(path, "_index"))
     return spark.read.parquet(os.path.join(path, "_index"))
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC shard layout (round 14): the HuggingFace-datasets
+# interchange — each shard a Feather-V2 ``.arrow`` FILE whose footer
+# makes record batches RANDOM-ACCESS, plus a doc-level (shard, batch,
+# row) index. Point lookups are two range GETs (10-byte tail probe +
+# footer, then the one covering block); full scans are shard-grain
+# parallel. Codec: sources/arrowipc.py (dependency-free, pyarrow-
+# cross-validated both directions).
+# ---------------------------------------------------------------------------
+
+ARROW_INDEX_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("shard", StringType(), False),
+        StructField("batch", LongType(), False),
+        StructField("row", LongType(), False),
+    ]
+)
+
+
+def _arrow_fields(schema: StructType) -> list:
+    """Spark schema -> ArrowField list for the supported subset
+    (integral -> int64/int32, string -> utf8, binary -> binary,
+    float -> float32, double -> float64, arrays of those -> list)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        BooleanType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+    )
+
+    from pipeline_mf_etl_spark.sources.arrowipc import ArrowField
+
+    def leaf(name, dt):
+        if isinstance(dt, LongType):
+            return ArrowField(name, True, "int", bits=64)
+        if isinstance(dt, IntegerType):
+            return ArrowField(name, True, "int", bits=32)
+        if isinstance(dt, StringType):
+            return ArrowField(name, True, "utf8", bits=32)
+        if isinstance(dt, BinaryType):
+            return ArrowField(name, True, "binary", bits=32)
+        if isinstance(dt, FloatType):
+            return ArrowField(name, True, "float", bits=32)
+        if isinstance(dt, DoubleType):
+            return ArrowField(name, True, "float", bits=64)
+        if isinstance(dt, BooleanType):
+            return ArrowField(name, True, "bool")
+        raise ValueError(f"arrow: column {name!r} type {dt} has no mapping")
+
+    out = []
+    for f in schema.fields:
+        if isinstance(f.dataType, ArrayType):
+            out.append(
+                ArrowField(
+                    f.name, True, "list",
+                    child=leaf("item", f.dataType.elementType),
+                )
+            )
+        else:
+            out.append(leaf(f.name, f.dataType))
+    return out
+
+
+def _rows_to_arrow_columns(rows: list[dict], schema: StructType) -> list[list]:
+    from pyspark.sql.types import ArrayType
+
+    cols = []
+    for f in schema.fields:
+        vals = []
+        for r in rows:
+            v = r.get(f.name)
+            if isinstance(f.dataType, ArrayType):
+                if v is None or (not hasattr(v, "__len__") and _py(v) is None):
+                    vals.append(None)
+                else:
+                    vals.append([_py(x) for x in v])
+            else:
+                vals.append(_py(v))
+        cols.append(vals)
+    return cols
+
+
+def write_arrow_corpus(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 4,
+    batch_rows: int = 64,
+    schema: StructType | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Write a corpus as ``shard-<N>.arrow`` Feather-V2 files plus a
+    ``_index`` parquet of (doc_id, shard, batch, row) coordinates —
+    shard-parallel in one Spark job, atomic per-shard publish.
+    ``batch_rows`` bounds record-batch size (the random-access grain).
+    Returns the index read back from ``<path>/_index``."""
+    import os
+
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.arrowipc import encode_arrow_file
+
+    os.makedirs(path, exist_ok=True)
+    schema = schema or DOCUMENTS_SCHEMA
+    fields = _arrow_fields(schema)
+    cols = [f.name for f in schema.fields]
+    if id_col not in cols:
+        raise ValueError(f"arrow: id column {id_col!r} not in schema")
+    spark = df.sparkSession
+
+    def write_shard(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows: list[dict] = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        if not rows:
+            return
+        shard = f"shard-{pid:05d}.arrow"
+        payload = encode_arrow_file(
+            fields, _rows_to_arrow_columns(rows, schema), batch_rows=batch_rows
+        )
+        tmp = os.path.join(path, f".{shard}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, os.path.join(path, shard))  # atomic publish
+        idx = [
+            (_py(r.get(id_col)), shard, i // batch_rows, i % batch_rows)
+            for i, r in enumerate(rows)
+        ]
+        yield pd.DataFrame(
+            idx, columns=[f.name for f in ARROW_INDEX_SCHEMA.fields]
+        )
+
+    index = (
+        df.select(*cols)
+        .repartition(
+            n_shards, F.pmod(F.coalesce(id_col, F.lit(0)), F.lit(n_shards))
+        )
+        .sortWithinPartitions(id_col)
+        .mapInPandas(write_shard, ARROW_INDEX_SCHEMA)
+    )
+    index.write.mode("overwrite").parquet(os.path.join(path, "_index"))
+    return spark.read.parquet(os.path.join(path, "_index"))
+
+
+def read_arrow_docs(
+    index: DataFrame,
+    corpus_dir: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Distributed point-lookup over an Arrow shard corpus: per shard,
+    one 10-byte tail probe + the footer, then ONLY the covering blocks
+    (each decoded at most once per task), never the whole file — the
+    object-store range-GET pattern at batch grain."""
+    import os
+
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.arrowipc import (
+        arrow_footer_length,
+        parse_footer_flatbuffer,
+        read_arrow_batch_at,
+    )
+
+    schema = schema or DOCUMENTS_SCHEMA
+
+    def fetch(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for shard, grp in pdf.groupby("shard", sort=False):
+                p = os.path.join(corpus_dir, str(shard))
+                with open(p, "rb") as fh:
+                    size = fh.seek(0, os.SEEK_END)
+                    fh.seek(size - 10)
+                    flen = arrow_footer_length(fh.read(10))
+                    fh.seek(size - 10 - flen)
+                    meta = parse_footer_flatbuffer(fh.read(flen))
+                    blocks = meta["blocks"]
+                    cache: dict[int, list[list]] = {}
+                    order = grp.sort_values(["batch", "row"])
+                    for b, rrow in zip(order["batch"], order["row"]):
+                        b, rrow = int(b), int(rrow)
+                        if b >= len(blocks):
+                            raise ValueError(
+                                f"{p}: batch {b} beyond footer blocks"
+                            )
+                        if b not in cache:
+                            # ascending batch order: earlier batches are
+                            # never needed again
+                            cache.clear()
+                            off, ml, bl = blocks[b]
+                            fh.seek(off)
+                            cache[b] = read_arrow_batch_at(
+                                fh.read(ml + bl), 0, ml, bl, meta["fields"]
+                            )
+                        cols = cache[b]
+                        rows.append(tuple(c[rrow] for c in cols))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return index.select("shard", "batch", "row").mapInPandas(fetch, schema)
+
+
+def read_arrow_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Full-scan read of an Arrow shard corpus, shard-grain parallel."""
+    import os
+
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.arrowipc import decode_arrow_file
+
+    schema = schema or DOCUMENTS_SCHEMA
+    shards = sorted(n for n in os.listdir(path) if n.endswith(".arrow"))
+    if not shards:
+        raise ValueError(f"{path}: no .arrow shards found")
+
+    def scan(batches):
+        for pdf in batches:
+            for name in pdf["shard"]:
+                with open(os.path.join(path, str(name)), "rb") as fh:
+                    out = decode_arrow_file(fh.read())
+                rows = list(zip(*out["columns"])) if out["columns"] else []
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in schema.fields]
+                )
+
+    files = spark.createDataFrame(
+        [(s,) for s in shards],
+        StructType([StructField("shard", StringType(), False)]),
+    ).repartition(len(shards), "shard")
+    return files.mapInPandas(scan, schema)

@@ -855,3 +855,142 @@ class TestOrderedTFRecordExport:
         a = sorted(tuple(r) for r in fetched.collect())
         b = sorted(tuple(r) for r in docs.collect())
         assert a == b
+
+
+class TestArrowShardCorpus:
+    """Arrow IPC shard layout (round 14): Feather-V2 shards + (shard,
+    batch, row) index through the Spark corpus path."""
+
+    def _write(self, spark, tmp_path, n_docs=40):
+        from pipeline_mf_etl_spark.sources.corpus_io import write_arrow_corpus
+        from pipeline_mf_etl_spark.sources.readers import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(
+            n_docs
+        )
+        out = str(tmp_path / "arrowcorpus")
+        # batch_rows=8 so lookups span multiple random-access blocks
+        index = write_arrow_corpus(docs, out, n_shards=3, batch_rows=8)
+        return docs, out, index
+
+    def test_point_lookups_round_trip_every_doc(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import read_arrow_docs
+
+        docs, out, index = self._write(spark, tmp_path)
+        assert index.where("batch > 0").count() > 0  # multi-block shards
+        fetched = read_arrow_docs(index, out)
+        assert sorted(tuple(r) for r in fetched.collect()) == sorted(
+            tuple(r) for r in docs.collect()
+        )
+
+    def test_full_scan_matches_source(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import read_arrow_corpus
+
+        docs, out, index = self._write(spark, tmp_path)
+        scanned = read_arrow_corpus(spark, out)
+        assert sorted(tuple(r) for r in scanned.collect()) == sorted(
+            tuple(r) for r in docs.collect()
+        )
+
+    def test_shards_are_real_feather_files(self, spark, tmp_path):
+        """pyarrow (the cross-validation oracle) must read every shard
+        we publish — the layout IS the HuggingFace interchange."""
+        import glob as _glob
+
+        import pyarrow.ipc as ipc
+
+        docs, out, index = self._write(spark, tmp_path)
+        total = 0
+        for p in sorted(_glob.glob(f"{out}/shard-*.arrow")):
+            t = ipc.open_file(p).read_all()
+            assert t.column_names == [
+                "doc_id", "text", "lang", "source", "n_chars"
+            ]
+            total += t.num_rows
+        assert total == 40
+
+    def test_embeddings_schema_round_trips(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_arrow_corpus,
+            read_arrow_docs,
+            write_arrow_corpus,
+        )
+        from pipeline_mf_etl_spark.sources.readers import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        out = str(tmp_path / "emb_arrow")
+        index = write_arrow_corpus(
+            emb, out, n_shards=2, batch_rows=32, schema=emb.schema,
+            id_col="vec_id",
+        )
+        src = sorted(
+            (r["vec_id"], tuple(r["embedding"]), r["label"])
+            for r in emb.collect()
+        )
+        for got in (
+            read_arrow_docs(index, out, schema=emb.schema),
+            read_arrow_corpus(spark, out, schema=emb.schema),
+        ):
+            assert got.schema == emb.schema
+            assert (
+                sorted(
+                    (r["vec_id"], tuple(r["embedding"]), r["label"])
+                    for r in got.collect()
+                )
+                == src
+            )
+
+    def test_nonascii_and_nulls_round_trip(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_arrow_docs,
+            write_arrow_corpus,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "héllo — 日本語 🎉", "fr", "web", 13),
+                (2, None, None, "dump", None),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = str(tmp_path / "nz_arrow")
+        index = write_arrow_corpus(df, out, n_shards=1)
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in read_arrow_docs(index, out).collect()
+        }
+        assert got[1]["text"] == "héllo — 日本語 🎉"
+        assert got[2]["text"] is None and got[2]["n_chars"] is None
+
+
+def test_c14_arrow_lookup_matches_identity_oracle(spark, duck):
+    """The registered Arrow IPC round-trip (r14 window head): write the
+    corpus as Feather-V2 shards + (shard, batch, row) index,
+    point-look-up every doc, and the result must equal the source table
+    exactly."""
+    import math
+
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    spec = all_queries()["c14_arrow_lookup"]
+    sdf = spec.spark(spark, "/root/testdata/sf0.01")
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(spec.oracle)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def norm(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, float):
+                return "nan" if math.isnan(v) else f"{round(v, 9):.9f}"
+            return str(v)
+
+        return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, sdf.columns) == canon(drows, dcols)
+    assert len(srows) == 500

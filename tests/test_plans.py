@@ -467,3 +467,13 @@ def test_weighted_reservoir_no_shuffle(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_arrow_lookup_map_only(spark):
+    """c14's LOOKUP half must be one Arrow map pass over the index scan
+    — footer probes and block range reads are executor-local file IO,
+    never a shuffle (same contract as c12/c13)."""
+    plan = _plan(spark, "c14_arrow_lookup")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan, plan
