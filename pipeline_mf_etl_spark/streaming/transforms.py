@@ -992,3 +992,94 @@ def read_tfrecord_stream(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
     )
     return raw.select("path", "content").mapInPandas(extract, schema)
+
+
+def read_arrow_stream_dropzone(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming drop-zone reader for Arrow IPC shards (``*.arrow``
+    Feather-V2 files — the HuggingFace-datasets interchange). Same
+    contract as read_tfrecord_stream: checkpoint-tracked binaryFile
+    source, one Arrow map per micro-batch, failure containment — a
+    shard whose container/metadata/buffers fail the strict walk files
+    ONE reason-tagged BAD_FRAME reject (Arrow metadata is positional,
+    so unlike TFRecord there is no mid-file salvage grain: the footer
+    is all-or-nothing); a decoded row that violates the documents
+    contract becomes a per-row BAD_ROW reject."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from pipeline_mf_etl_spark.sources.arrowipc import decode_arrow_file
+    from pipeline_mf_etl_spark.sources.corpus_io import DOCUMENTS_SCHEMA
+
+    want = [
+        (f.name, "int" if f.dataType.typeName() == "long" else "str")
+        for f in DOCUMENTS_SCHEMA.fields
+    ]
+
+    schema = StructType(
+        [
+            StructField("shard", StringType(), False),
+            StructField("row_no", LongType(), True),
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+            StructField("lang", StringType(), True),
+            StructField("source", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("reject_reason", StringType(), True),
+        ]
+    )
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for spath, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    out = decode_arrow_file(bytes(blob))
+                    by_name = dict(
+                        zip((f.name for f in out["fields"]), out["columns"])
+                    )
+                    n = len(out["columns"][0]) if out["columns"] else 0
+                except Exception as e:  # corrupt shard -> ONE reject row
+                    rows.append(
+                        (spath, None, None, None, None, None, None,
+                         f"BAD_FRAME: {e}")
+                    )
+                    continue
+                for i in range(n):
+                    vals = []
+                    bad = None
+                    for name, kind in want:
+                        v = by_name.get(name, [None] * n)[i]
+                        if v is not None and (
+                            (kind == "int" and not isinstance(v, int))
+                            or (kind == "str" and not isinstance(v, str))
+                        ):
+                            bad = f"BAD_ROW: {name} is {type(v).__name__}"
+                            v = None
+                        vals.append(v)
+                    rows.append((spath, i, *vals, bad))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    binary_schema = StructType(
+        [
+            StructField("path", StringType(), False),
+            StructField("modificationTime", TimestampType(), False),
+            StructField("length", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", "*.arrow")
+        .option("maxFilesPerTrigger", 8)
+        .load(path)
+    )
+    return raw.select("path", "content").mapInPandas(extract, schema)

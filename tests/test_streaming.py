@@ -937,3 +937,62 @@ class TestTFRecordDropZone:
         assert set(docs) == {1, 2, 5}
         assert docs[2]["text"] == "beta" and docs[2]["n_chars"] == 4
         assert rejects == ["BAD_EXAMPLE", "BAD_FRAME"]
+
+
+class TestArrowDropZone:
+    def test_arrow_stream_rejects_and_rows(self, spark, tmp_path):
+        """The .arrow drop-zone leg (round 14): good shards decode row
+        by row; a corrupt footer files one BAD_FRAME; a type-violating
+        cell becomes a BAD_ROW reject with the cell nulled."""
+        from pipeline_mf_etl_spark.sources.arrowipc import (
+            ArrowField,
+            encode_arrow_file,
+        )
+        from pipeline_mf_etl_spark.streaming.transforms import (
+            read_arrow_stream_dropzone,
+        )
+
+        fields = [
+            ArrowField("doc_id", True, "int", bits=64),
+            ArrowField("text", True, "utf8", bits=32),
+            ArrowField("lang", True, "utf8", bits=32),
+            ArrowField("source", True, "utf8", bits=32),
+            ArrowField("n_chars", True, "int", bits=64),
+        ]
+        zone = tmp_path / "arrowzone"
+        zone.mkdir()
+        good = encode_arrow_file(
+            fields,
+            [[1, 2], ["alpha", "beta"], ["en", "en"], ["web", "web"], [5, 4]],
+        )
+        (zone / "shard-0.arrow").write_bytes(good)
+        bad = bytearray(good)
+        bad[-1] ^= 0xFF  # trailer magic
+        (zone / "shard-1.arrow").write_bytes(bytes(bad))
+        # a shard whose n_chars arrives as utf8 -> BAD_ROW per row
+        odd = encode_arrow_file(
+            [*fields[:4], ArrowField("n_chars", True, "utf8", bits=32)],
+            [[3], ["gamma"], ["en"], ["web"], ["five"]],
+        )
+        (zone / "shard-2.arrow").write_bytes(odd)
+
+        q = (
+            read_arrow_stream_dropzone(spark, str(zone))
+            .writeStream.format("memory")
+            .queryName("arrow_ingest")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from arrow_ingest").collect()
+        docs = {r["doc_id"]: r for r in rows if r["reject_reason"] is None}
+        rejects = sorted(
+            r["reject_reason"].split(":")[0]
+            for r in rows
+            if r["reject_reason"] is not None
+        )
+        assert set(docs) == {1, 2}
+        assert docs[2]["text"] == "beta" and docs[2]["n_chars"] == 4
+        assert rejects == ["BAD_FRAME", "BAD_ROW"]
+        bad_row = [r for r in rows if r["reject_reason"] and "BAD_ROW" in r["reject_reason"]][0]
+        assert bad_row["doc_id"] == 3 and bad_row["n_chars"] is None
