@@ -25,8 +25,10 @@ Two containers, per the spec:
 
 Type subset (the training-data corpus needs): signed/unsigned ints of
 any width, float32/float64, bool, utf8/binary (+ Large variants),
-and List<primitive>. Dictionary-encoded columns, nested structs/maps/
-unions, and run-end encodings gate LOUDLY. Compressed bodies
+List<primitive>, and DICTIONARY-ENCODED columns (decode side — the
+HuggingFace pattern for categoricals; DictionaryBatch messages incl.
+deltas resolve before the batches that reference them). Nested
+structs/maps/unions and run-end encodings gate LOUDLY. Compressed bodies
 (BodyCompression: LZ4_FRAME / ZSTD) decode through the engine's OWN
 verified frame decoders (sources/lz4frame.py / sources/zstdframe.py) —
 corrupt metadata, truncated buffers, bad magic, and unknown union tags
@@ -161,17 +163,24 @@ class _FB:
 
 
 class ArrowField:
-    """One schema field of the supported subset."""
+    """One schema field of the supported subset. ``dict_id``/``index``
+    are set on DICTIONARY-ENCODED fields (decode-only): kind/bits keep
+    describing the VALUE type, the record-batch column carries indices
+    of the ``index`` Int type, mapped through DictionaryBatch values."""
 
-    __slots__ = ("name", "nullable", "kind", "bits", "signed", "child")
+    __slots__ = ("name", "nullable", "kind", "bits", "signed", "child",
+                 "dict_id", "index")
 
-    def __init__(self, name, nullable, kind, bits=0, signed=True, child=None):
+    def __init__(self, name, nullable, kind, bits=0, signed=True, child=None,
+                 dict_id=None, index=None):
         self.name, self.nullable, self.kind = name, nullable, kind
         self.bits, self.signed, self.child = bits, signed, child
+        self.dict_id, self.index = dict_id, index
 
     def __repr__(self):
         inner = f"<{self.child!r}>" if self.child else ""
-        return f"{self.name}:{self.kind}{self.bits or ''}{inner}"
+        d = f"@dict{self.dict_id}" if self.dict_id is not None else ""
+        return f"{self.name}:{self.kind}{self.bits or ''}{inner}{d}"
 
 
 def _parse_field(f: _FB) -> ArrowField:
@@ -179,41 +188,59 @@ def _parse_field(f: _FB) -> ArrowField:
     nullable = f.bool_(1, True)
     tag = f.u8(2)
     t = f.table(3)
-    if f.table(4) is not None:
-        raise ValueError(
-            f"arrow: field {name!r} is dictionary-encoded (unsupported)"
+    dict_enc = f.table(4)
+    dict_id = index = None
+    if dict_enc is not None:  # DictionaryEncoding: id + index Int type
+        dict_id = dict_enc.scalar(0, _I64, 0)
+        idx_t = dict_enc.table(1)
+        index = (
+            (idx_t.scalar(0, _I32, 0), idx_t.bool_(1, True))
+            if idx_t is not None
+            else (32, True)  # spec default index type
         )
+        if index not in _INT_FMT:
+            raise ValueError(
+                f"arrow: field {name!r} dictionary index type {index} "
+                f"unsupported"
+            )
     children = f.table_vector(5)
+
+    def done(fld: ArrowField) -> ArrowField:
+        fld.dict_id, fld.index = dict_id, index
+        return fld
+
     if tag == _T_INT:
         if t is None:
             raise ValueError(f"arrow: field {name!r} Int type table missing")
-        return ArrowField(
+        return done(ArrowField(
             name, nullable, "int",
             bits=t.scalar(0, _I32, 0), signed=t.bool_(1, True),
-        )
+        ))
     if tag == _T_FLOAT:
         prec = t.scalar(0, _I16, 0) if t is not None else 0
         if prec == 0:
             raise ValueError(f"arrow: field {name!r} float16 unsupported")
-        return ArrowField(name, nullable, "float", bits=32 if prec == 1 else 64)
-    if tag == _T_BOOL:
-        return ArrowField(name, nullable, "bool")
-    if tag in (_T_UTF8, _T_LARGE_UTF8):
-        return ArrowField(
-            name, nullable, "utf8", bits=64 if tag == _T_LARGE_UTF8 else 32
+        return done(
+            ArrowField(name, nullable, "float", bits=32 if prec == 1 else 64)
         )
+    if tag == _T_BOOL:
+        return done(ArrowField(name, nullable, "bool"))
+    if tag in (_T_UTF8, _T_LARGE_UTF8):
+        return done(ArrowField(
+            name, nullable, "utf8", bits=64 if tag == _T_LARGE_UTF8 else 32
+        ))
     if tag in (_T_BINARY, _T_LARGE_BINARY):
-        return ArrowField(
+        return done(ArrowField(
             name, nullable, "binary",
             bits=64 if tag == _T_LARGE_BINARY else 32,
-        )
+        ))
     if tag == _T_LIST:
         if len(children) != 1:
             raise ValueError(f"arrow: list field {name!r} needs 1 child")
         child = _parse_field(children[0])
         if child.kind == "list":
             raise ValueError(f"arrow: nested list {name!r} unsupported")
-        return ArrowField(name, nullable, "list", child=child)
+        return done(ArrowField(name, nullable, "list", child=child))
     raise ValueError(
         f"arrow: field {name!r} type "
         f"{_TYPE_NAMES.get(tag, tag)} unsupported"
@@ -307,9 +334,36 @@ def _validity(bitmap: bytes, n: int, null_count: int) -> list[bool]:
     return [(bitmap[i >> 3] >> (i & 7)) & 1 == 1 for i in range(n)]
 
 
-def _decode_column(field: ArrowField, ctx: _BatchCtx) -> list:
+def _decode_column(
+    field: ArrowField, ctx: _BatchCtx, dicts: dict | None = None
+) -> list:
     length, null_count = ctx.node()
     valid = _validity(ctx.buf(), length, null_count)
+    if field.dict_id is not None:
+        data = ctx.buf()
+        bits, signed = field.index
+        fmt = _INT_FMT[(bits, signed)]
+        width = bits // 8
+        if len(data) < length * width:
+            raise ValueError("arrow: dictionary index buffer too short")
+        idx = struct.unpack_from(f"<{length}{fmt}", data, 0)
+        values = (dicts or {}).get(field.dict_id)
+        if values is None:
+            raise ValueError(
+                f"arrow: record batch references dictionary "
+                f"{field.dict_id} before its DictionaryBatch"
+            )
+        out = []
+        for i in range(length):
+            if not valid[i]:
+                out.append(None)
+                continue
+            if not 0 <= idx[i] < len(values):
+                raise ValueError(
+                    f"arrow: dictionary index {idx[i]} out of range"
+                )
+            out.append(values[idx[i]])
+        return out
     if field.kind in ("int", "float", "bool"):
         data = ctx.buf()
         if field.kind == "bool":
@@ -343,7 +397,7 @@ def _decode_column(field: ArrowField, ctx: _BatchCtx) -> list:
         return out
     if field.kind == "list":
         offsets = _offsets(ctx.buf(), length, 32)
-        child_vals = _decode_column(field.child, ctx)
+        child_vals = _decode_column(field.child, ctx, dicts)
         out = []
         for i in range(length):
             if not valid[i]:
@@ -416,7 +470,10 @@ def _decompress_body(header: _FB, body: bytes, buffers) -> tuple[bytes, list]:
 
 
 def _decode_batch(
-    header: _FB, body: bytes, fields: list[ArrowField]
+    header: _FB,
+    body: bytes,
+    fields: list[ArrowField],
+    dicts: dict | None = None,
 ) -> list[list]:
     """-> one list of values per field."""
     n_rows = header.scalar(0, _I64, 0)
@@ -438,7 +495,7 @@ def _decode_batch(
     ctx = _BatchCtx(body, nodes, buffers)
     cols = []
     for f in fields:
-        vals = _decode_column(f, ctx)
+        vals = _decode_column(f, ctx, dicts)
         if len(vals) != n_rows:
             raise ValueError(
                 f"arrow: column {f.name!r} length {len(vals)} != "
@@ -448,6 +505,41 @@ def _decode_batch(
     if ctx.ni != len(nodes) or ctx.bi != len(buffers):
         raise ValueError("arrow: record batch has surplus nodes/buffers")
     return cols
+
+
+def _apply_dictionary_batch(
+    header: _FB, body: bytes, fields: list[ArrowField], dicts: dict
+) -> None:
+    """DictionaryBatch: id + a one-column RecordBatch of the VALUE
+    type; isDelta appends to an existing dictionary."""
+    dict_id = header.scalar(0, _I64, 0)
+    data = header.table(1)
+    if data is None:
+        raise ValueError("arrow: DictionaryBatch without data batch")
+    is_delta = header.bool_(2, False)
+    owners = [
+        f
+        for f in _iter_fields(fields)
+        if f.dict_id == dict_id
+    ]
+    if not owners:
+        raise ValueError(f"arrow: DictionaryBatch for unknown id {dict_id}")
+    f = owners[0]
+    value_field = ArrowField(
+        f.name, f.nullable, f.kind, f.bits, f.signed, f.child
+    )
+    (values,) = _decode_batch(data, body, [value_field])
+    if is_delta:
+        dicts.setdefault(dict_id, []).extend(values)
+    else:
+        dicts[dict_id] = values
+
+
+def _iter_fields(fields):
+    for f in fields:
+        yield f
+        if f.child is not None:
+            yield from _iter_fields([f.child])
 
 
 # ---------------------------------------------------------------------------
@@ -462,6 +554,7 @@ def decode_arrow_stream(data: bytes) -> dict:
     fields: list[ArrowField] | None = None
     cols: list[list] = []
     n_batches = 0
+    dicts: dict = {}
     for tag, header, body, _pos in _iter_messages(data, 0):
         if tag == _MSG_SCHEMA:
             if fields is not None:
@@ -471,11 +564,15 @@ def decode_arrow_stream(data: bytes) -> dict:
         elif tag == _MSG_RECORD_BATCH:
             if fields is None:
                 raise ValueError("arrow: record batch before schema")
-            for acc, vals in zip(cols, _decode_batch(header, body, fields)):
+            for acc, vals in zip(
+                cols, _decode_batch(header, body, fields, dicts)
+            ):
                 acc.extend(vals)
             n_batches += 1
         elif tag == _MSG_DICT_BATCH:
-            raise ValueError("arrow: dictionary batches unsupported")
+            if fields is None:
+                raise ValueError("arrow: dictionary batch before schema")
+            _apply_dictionary_batch(header, body, fields, dicts)
         else:
             raise ValueError(f"arrow: unknown message header tag {tag}")
     if fields is None:
@@ -490,15 +587,20 @@ def parse_footer_flatbuffer(data: bytes, fstart: int = 0) -> dict:
     schema = footer.table(1)
     if schema is None:
         raise ValueError("arrow: footer has no schema")
-    if footer.struct_vector(2, 24):
-        raise ValueError("arrow: dictionary batches unsupported")
-    blocks = []
-    for p in footer.struct_vector(3, 24):
-        off = _I64.unpack_from(data, p)[0]
-        meta_len = _I32.unpack_from(data, p + 8)[0]
-        body_len = _I64.unpack_from(data, p + 16)[0]
-        blocks.append((off, meta_len, body_len))
-    return {"fields": _parse_schema(schema), "blocks": blocks}
+    def read_blocks(slot):
+        out = []
+        for p in footer.struct_vector(slot, 24):
+            off = _I64.unpack_from(data, p)[0]
+            meta_len = _I32.unpack_from(data, p + 8)[0]
+            body_len = _I64.unpack_from(data, p + 16)[0]
+            out.append((off, meta_len, body_len))
+        return out
+
+    return {
+        "fields": _parse_schema(schema),
+        "blocks": read_blocks(3),
+        "dict_blocks": read_blocks(2),
+    }
 
 
 def arrow_footer_length(tail: bytes) -> int:
@@ -524,15 +626,44 @@ def parse_arrow_footer(data: bytes) -> dict:
     return parse_footer_flatbuffer(data, fstart)
 
 
+def load_arrow_dictionaries(
+    data: bytes, meta: dict, read=None
+) -> dict:
+    """Decode a file's DictionaryBatch blocks (footer slot 2) into the
+    id -> values map record batches resolve against. ``read(off, n)``
+    overrides the byte source (range-GET clients)."""
+    dicts: dict = {}
+    for off, meta_len, body_len in meta["dict_blocks"]:
+        window = (
+            read(off, meta_len + body_len)
+            if read is not None
+            else data[off : off + meta_len + body_len]
+        )
+        got = next(_iter_messages(window, 0), None)
+        if got is None:
+            raise ValueError("arrow: empty dictionary block")
+        tag, header, body, _pos = got
+        if tag != _MSG_DICT_BATCH:
+            raise ValueError(
+                f"arrow: dictionary block holds message tag {tag}"
+            )
+        _apply_dictionary_batch(header, body, meta["fields"], dicts)
+    return dicts
+
+
 def decode_arrow_file(data: bytes) -> dict:
     """Decode an IPC FILE via its footer blocks (also cross-checks that
     every block's framing walks cleanly)."""
     meta = parse_arrow_footer(data)
     fields = meta["fields"]
+    dicts = load_arrow_dictionaries(data, meta)
     cols: list[list] = [[] for _ in fields]
     for off, meta_len, body_len in meta["blocks"]:
         for acc, vals in zip(
-            cols, read_arrow_batch_at(data, off, meta_len, body_len, fields)
+            cols,
+            read_arrow_batch_at(
+                data, off, meta_len, body_len, fields, dicts
+            ),
         ):
             acc.extend(vals)
     return {
@@ -548,6 +679,7 @@ def read_arrow_batch_at(
     meta_len: int,
     body_len: int,
     fields: list[ArrowField],
+    dicts: dict | None = None,
 ) -> list[list]:
     """Decode ONE record batch from its footer block byte range — the
     point-lookup unit (``data`` may be just the block's bytes when
@@ -562,7 +694,7 @@ def read_arrow_batch_at(
     tag, header, body, _pos = got
     if tag != _MSG_RECORD_BATCH:
         raise ValueError(f"arrow: block holds message tag {tag}, not a batch")
-    return _decode_batch(header, body, fields)
+    return _decode_batch(header, body, fields, dicts)
 
 
 # ---------------------------------------------------------------------------

@@ -1183,6 +1183,7 @@ def read_arrow_docs(
 
     from pipeline_mf_etl_spark.sources.arrowipc import (
         arrow_footer_length,
+        load_arrow_dictionaries,
         parse_footer_flatbuffer,
         read_arrow_batch_at,
     )
@@ -1201,6 +1202,14 @@ def read_arrow_docs(
                     fh.seek(size - 10 - flen)
                     meta = parse_footer_flatbuffer(fh.read(flen))
                     blocks = meta["blocks"]
+
+                    def _range_read(off, n):
+                        fh.seek(off)
+                        return fh.read(n)
+
+                    dicts = load_arrow_dictionaries(
+                        b"", meta, read=_range_read
+                    )
                     cache: dict[int, list[list]] = {}
                     order = grp.sort_values(["batch", "row"])
                     for b, rrow in zip(order["batch"], order["row"]):
@@ -1216,7 +1225,8 @@ def read_arrow_docs(
                             off, ml, bl = blocks[b]
                             fh.seek(off)
                             cache[b] = read_arrow_batch_at(
-                                fh.read(ml + bl), 0, ml, bl, meta["fields"]
+                                fh.read(ml + bl), 0, ml, bl,
+                                meta["fields"], dicts,
                             )
                         cols = cache[b]
                         rows.append(tuple(c[rrow] for c in cols))

@@ -113,12 +113,43 @@ class TestDecodeTheirBytes:
         assert out["columns"][0] == list(range(2000))
         assert out["columns"][1][7] == "document 7 " * 20
 
-    def test_dictionary_encoding_gates_loudly(self):
+    def test_dictionary_encoded_columns_decode(self):
+        """Dictionary-encoded categoricals (the HuggingFace pattern for
+        lang/source columns) resolve through DictionaryBatch messages
+        in both containers."""
+        vals = ["en", "fr", "en", "de", None, "fr", "en", "de"]
         t = pa.table(
-            {"s": pa.array(["a", "b", "a"]).dictionary_encode()}
+            {
+                "doc_id": pa.array(range(8), pa.int64()),
+                "lang": pa.array(vals).dictionary_encode(),
+            }
         )
-        with pytest.raises(ValueError, match="dictionary"):
-            decode_arrow_stream(_pa_stream(t))
+        assert decode_arrow_stream(_pa_stream(t))["columns"][1] == vals
+        assert decode_arrow_file(_pa_file(t))["columns"][1] == vals
+
+    def test_batch_before_its_dictionary_is_loud(self):
+        """A record batch referencing a dictionary id with no prior
+        DictionaryBatch must raise, as must an out-of-range index."""
+        t = pa.table({"s": pa.array(["a", "b", "a"]).dictionary_encode()})
+        blob = _pa_stream(t)
+        # surgically drop the dictionary message: schema msg, dict msg,
+        # batch msg, EOS — walk the framing and splice the dict out
+        import struct as _struct
+
+        msgs = []
+        pos = 0
+        while pos < len(blob):
+            (meta_len,) = _struct.unpack_from("<i", blob, pos + 4)
+            if meta_len == 0:
+                msgs.append(blob[pos:])
+                break
+            # find body length by walking to the next continuation
+            nxt = blob.find(b"\xff\xff\xff\xff", pos + 8 + meta_len)
+            msgs.append(blob[pos:nxt])
+            pos = nxt
+        assert len(msgs) == 4  # schema, dict, batch, EOS
+        with pytest.raises(ValueError, match="before its DictionaryBatch"):
+            decode_arrow_stream(msgs[0] + msgs[2] + msgs[3])
 
     def test_unsupported_type_gates_loudly(self):
         t = pa.table({"s": pa.array([{"x": 1}], pa.struct([("x", pa.int64())]))})

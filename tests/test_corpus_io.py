@@ -994,3 +994,37 @@ def test_c14_arrow_lookup_matches_identity_oracle(spark, duck):
 
     assert canon(srows, sdf.columns) == canon(drows, dcols)
     assert len(srows) == 500
+
+
+def test_arrow_lookup_on_foreign_dict_encoded_file(spark, tmp_path):
+    """read_arrow_docs must serve point lookups on files WE did not
+    write — a pyarrow file with a dictionary-encoded lang column (the
+    HuggingFace shape), resolved through the footer's dictionary
+    blocks."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from pipeline_mf_etl_spark.sources.corpus_io import read_arrow_docs
+
+    langs = ["en", "fr", "de", None, "en", "fr"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(6)], pa.utf8()),
+            "lang": pa.array(langs).dictionary_encode(),
+            "source": pa.array(["hf"] * 6, pa.utf8()),
+            "n_chars": pa.array([5] * 6, pa.int64()),
+        }
+    )
+    out = tmp_path / "foreign"
+    out.mkdir()
+    with ipc.new_file(str(out / "shard-0.arrow"), t.schema) as w:
+        for batch in t.to_batches(max_chunksize=2):
+            w.write_batch(batch)
+    index = spark.createDataFrame(
+        [(i, "shard-0.arrow", i // 2, i % 2) for i in range(6)],
+        "doc_id long, shard string, batch long, row long",
+    )
+    got = {r["doc_id"]: r.asDict() for r in read_arrow_docs(index, str(out)).collect()}
+    assert [got[i]["lang"] for i in range(6)] == langs
+    assert got[3]["text"] == "doc 3"
