@@ -89,6 +89,7 @@ HEADLINE = (
     "c12_bz2_dump_lookup",    # bzip2 dump-index write + per-stream lookups
     "c13_tfrecord_lookup",    # TFRecord shard write + per-record lookups
     "c14_arrow_lookup",       # Arrow IPC shard write + footer block lookups
+    "c15_safetensors_lookup", # safetensors shard write + row range lookups
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the

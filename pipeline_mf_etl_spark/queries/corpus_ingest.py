@@ -939,3 +939,56 @@ C14_ORACLE = """
 """
 
 query("c14_arrow_lookup", eager=True, oracle=C14_ORACLE)(c14_arrow_lookup)
+
+
+# ---------------------------------------------------------------------------
+# c15 — safetensors embedding-shard round-trip (sources/safetensors.py
+# + sources/corpus_io.py, round 14). Certifies the HF tensor container
+# as the EMBEDDINGS interchange: the embeddings table is written as
+# safetensors shards (vec_id/label/embedding tensors + strict
+# tile-the-data-region validation) plus a (vec_id, shard, row) index,
+# then EVERY row is fetched back by pure offset arithmetic (header
+# probe + three bounded range reads — no framing walk) and must equal
+# the source, value for value, posexploded to scalar grain so the hash
+# compares float-by-float. Same family as c13/c14; reference analog:
+# none (engine ADDITION for the training pipeline).
+# ---------------------------------------------------------------------------
+
+
+def c15_safetensors_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the embeddings table into the safetensors shard layout,
+    row-look-up every vector via its index entry, and posexplode to
+    (vec_id, label, pos, val) scalar grain. EAGER: the shard write
+    runs at build time (tempdir scratch)."""
+    import tempfile
+
+    from pipeline_mf_etl_spark.sources.corpus_io import (
+        read_safetensors_rows,
+        write_safetensors_corpus,
+    )
+    from pipeline_mf_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="c15_")
+    n_shards = max(4, spark.sparkContext.defaultParallelism)
+    index = write_safetensors_corpus(emb, root, n_shards=n_shards)
+    fetched = read_safetensors_rows(index, root)
+    return fetched.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id", "label", F.col("pos").cast("bigint").alias("pos"), "val"
+    )
+
+
+C15_ORACLE = """
+    SELECT vec_id, label,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+"""
+
+query("c15_safetensors_lookup", eager=True, oracle=C15_ORACLE)(
+    c15_safetensors_lookup
+)

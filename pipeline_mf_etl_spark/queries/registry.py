@@ -90,6 +90,7 @@ _PRIORITY = (
     "c12_bz2_dump_lookup",
     "c13_tfrecord_lookup",
     "c14_arrow_lookup",
+    "c15_safetensors_lookup",
     # --- (2) the 13 r9-stale re-certs (staleness guard set) ---
     "g3_triangle_count",
     "w22_funnel_steps",
@@ -143,12 +144,13 @@ _PRIORITY = (
     "m4_kmeans_profile",
     "m5_gmm_mixture",
     "m7_cluster_quality",
-    "m7b_silhouette_sampled",
-    # --- names below slot 50: m10/m16 (displaced by c13/c14) + the 15
+    # --- names below slot 50: m7b/m10/m16 (displaced by c13/c14/c15)
+    # + the 15
     # remaining r10 rows, i.e. the
     # documented r15 rotation head (the staleness guard accepts these
     # as "planned next window" at the r14->r15 boundary and fails if
     # they are still here after the r15 rotation should have run) ---
+    "m7b_silhouette_sampled",
     "m10_hmm_states",
     "m16_event_study",
     "m20_ari_vs_truth",

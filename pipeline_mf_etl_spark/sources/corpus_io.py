@@ -28,6 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -1269,3 +1272,200 @@ def read_arrow_corpus(
         StructType([StructField("shard", StringType(), False)]),
     ).repartition(len(shards), "shard")
     return files.mapInPandas(scan, schema)
+
+
+# ---------------------------------------------------------------------------
+# safetensors embedding-shard layout (round 14): the HF tensor
+# container as the EMBEDDINGS interchange — one ``.safetensors`` file
+# per shard holding vec_id (I64 [n]), embedding (F32 [n, d]) and label
+# (I32 [n]) tensors, plus a (vec_id, shard, row) index. Because the
+# format is raw C-order tensors behind a JSON header, a row lookup is
+# pure offset arithmetic: header probe + three bounded range GETs, no
+# framing walk at all (sources/safetensors.py:tensor_row_range).
+# Tensors cannot represent SQL NULL — the writer REJECTS null cells
+# loudly rather than inventing sentinels.
+# ---------------------------------------------------------------------------
+
+SAFETENSORS_INDEX_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), True),
+        StructField("shard", StringType(), False),
+        StructField("row", LongType(), False),
+    ]
+)
+
+EMBEDDINGS_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), True),
+        StructField("embedding", ArrayType(FloatType(), True), True),
+        StructField("label", IntegerType(), True),
+    ]
+)
+
+
+def write_safetensors_corpus(
+    df: DataFrame, path: str, n_shards: int = 4
+) -> DataFrame:
+    """Write an embeddings table (vec_id, embedding array<float>,
+    label) as ``shard-<N>.safetensors`` files + a ``_index`` parquet of
+    (vec_id, shard, row); shard-parallel, atomic publish. The embedding
+    dimension must be uniform (the fixed-[n, d] tensor contract) and no
+    cell may be NULL — both violations raise."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.safetensors import encode_safetensors
+
+    os.makedirs(path, exist_ok=True)
+    spark = df.sparkSession
+
+    def write_shard(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows: list[dict] = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        if not rows:
+            return
+        shard = f"shard-{pid:05d}.safetensors"
+        ids, labels, embs = [], [], []
+        for r in rows:
+            vid, lab, emb = r.get("vec_id"), r.get("label"), r.get("embedding")
+            if _py(vid) is None or _py(lab) is None or emb is None:
+                raise ValueError(
+                    "safetensors: NULL cell — tensors cannot represent "
+                    "SQL NULL"
+                )
+            ids.append(int(vid))
+            labels.append(int(lab))
+            embs.append(np.asarray(emb, dtype="<f4"))
+        d = len(embs[0])
+        if any(len(e) != d for e in embs):
+            raise ValueError("safetensors: ragged embedding dimensions")
+        mat = np.vstack(embs).astype("<f4")
+        payload = encode_safetensors(
+            {
+                "vec_id": ("I64", [len(ids)], np.asarray(ids, "<i8").tobytes()),
+                "label": ("I32", [len(ids)], np.asarray(labels, "<i4").tobytes()),
+                "embedding": ("F32", [len(ids), d], mat.tobytes()),
+            },
+            metadata={"layout": "embeddings-v1"},
+        )
+        tmp = os.path.join(path, f".{shard}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, os.path.join(path, shard))  # atomic publish
+        yield pd.DataFrame(
+            [(ids[i], shard, i) for i in range(len(ids))],
+            columns=[f.name for f in SAFETENSORS_INDEX_SCHEMA.fields],
+        )
+
+    index = (
+        df.select("vec_id", "embedding", "label")
+        .repartition(
+            n_shards, F.pmod(F.coalesce("vec_id", F.lit(0)), F.lit(n_shards))
+        )
+        .sortWithinPartitions("vec_id")
+        .mapInPandas(write_shard, SAFETENSORS_INDEX_SCHEMA)
+    )
+    index.write.mode("overwrite").parquet(os.path.join(path, "_index"))
+    return spark.read.parquet(os.path.join(path, "_index"))
+
+
+def read_safetensors_rows(index: DataFrame, corpus_dir: str) -> DataFrame:
+    """Distributed row lookup over a safetensors shard corpus: per
+    shard one header probe, then per row three bounded range reads
+    (vec_id, label, embedding row) located by offset arithmetic alone.
+    Returns EMBEDDINGS_SCHEMA rows."""
+    import os
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.safetensors import (
+        decode_safetensors_header,
+        tensor_row_range,
+    )
+
+    def fetch(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for shard, grp in pdf.groupby("shard", sort=False):
+                p = os.path.join(corpus_dir, str(shard))
+                with open(p, "rb") as fh:
+                    (n,) = _struct.unpack("<Q", fh.read(8))
+                    fh.seek(0)
+                    header_blob = fh.read(8 + n)
+                    size = fh.seek(0, os.SEEK_END)
+                    # header validation needs the data length; pass a
+                    # same-length dummy tail so offsets check out
+                    # without reading the data region
+                    meta = decode_safetensors_header(
+                        header_blob + b"\x00" * (size - 8 - n)
+                    )
+                    for row in grp.sort_values("row")["row"]:
+                        row = int(row)
+                        vals = []
+                        for name, dt in (
+                            ("vec_id", "<i8"),
+                            ("label", "<i4"),
+                            ("embedding", "<f4"),
+                        ):
+                            off, ln = tensor_row_range(meta, name, row)
+                            fh.seek(off)
+                            vals.append(np.frombuffer(fh.read(ln), dt))
+                        rows.append(
+                            (
+                                int(vals[0][0]),
+                                [float(x) for x in vals[2]],
+                                int(vals[1][0]),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EMBEDDINGS_SCHEMA.fields]
+            )
+
+    return index.select("shard", "row").mapInPandas(fetch, EMBEDDINGS_SCHEMA)
+
+
+def read_safetensors_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Full-scan read of a safetensors shard corpus, shard-parallel."""
+    import os
+
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.safetensors import (
+        decode_safetensors_header,
+        tensor_to_numpy,
+    )
+
+    shards = sorted(n for n in os.listdir(path) if n.endswith(".safetensors"))
+    if not shards:
+        raise ValueError(f"{path}: no .safetensors shards found")
+
+    def scan(batches):
+        for pdf in batches:
+            for name in pdf["shard"]:
+                with open(os.path.join(path, str(name)), "rb") as fh:
+                    blob = fh.read()
+                meta = decode_safetensors_header(blob)
+                ids = tensor_to_numpy(blob, meta, "vec_id")
+                labels = tensor_to_numpy(blob, meta, "label")
+                mat = tensor_to_numpy(blob, meta, "embedding")
+                rows = [
+                    (int(ids[i]), [float(x) for x in mat[i]], int(labels[i]))
+                    for i in range(len(ids))
+                ]
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in EMBEDDINGS_SCHEMA.fields]
+                )
+
+    files = spark.createDataFrame(
+        [(s,) for s in shards],
+        StructType([StructField("shard", StringType(), False)]),
+    ).repartition(len(shards), "shard")
+    return files.mapInPandas(scan, EMBEDDINGS_SCHEMA)

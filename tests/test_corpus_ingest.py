@@ -87,14 +87,16 @@ def test_corpus_family_registered_and_recert_window_pinned():
         "c7_zstd_extract", "c8_seekable_extract", "c9_bzip2_extract",
         "c10_shard_lookup", "c11_xz_extract", "c12_bz2_dump_lookup",
         "c13_tfrecord_lookup", "c14_arrow_lookup",
+        "c15_safetensors_lookup",
         "t15_html_extract", "wd1_webdataset_roundtrip",
         "mm25_flac_decode", "mm26_mp3_probe", "mm27_tiff_probe",
         "mm28_webp_probe", "mm29_webm_probe",
     }
     assert family <= set(all_queries())
-    assert _PRIORITY[:5] == (
+    assert _PRIORITY[:6] == (
         "c10_shard_lookup", "c11_xz_extract", "c12_bz2_dump_lookup",
         "c13_tfrecord_lookup", "c14_arrow_lookup",
+        "c15_safetensors_lookup",
     )
     stale_13 = {
         "g3_triangle_count", "w22_funnel_steps", "st2_sliding_windows",
@@ -103,7 +105,7 @@ def test_corpus_family_registered_and_recert_window_pinned():
         "mm15_mjpeg_decode", "mm16_jpeg_probe", "mm17_jpeg_progressive",
         "mm20_bmp_decode",
     }
-    assert set(_PRIORITY[5:18]) == stale_13
+    assert set(_PRIORITY[6:19]) == stale_13
 
 
 def test_mm25_flac_decode_matches_oracle(spark, duck):

@@ -1028,3 +1028,64 @@ def test_arrow_lookup_on_foreign_dict_encoded_file(spark, tmp_path):
     got = {r["doc_id"]: r.asDict() for r in read_arrow_docs(index, str(out)).collect()}
     assert [got[i]["lang"] for i in range(6)] == langs
     assert got[3]["text"] == "doc 3"
+
+
+class TestSafetensorsShardCorpus:
+    """safetensors embedding-shard layout (round 14): tensors + row
+    index through the Spark corpus path."""
+
+    def _write(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            write_safetensors_corpus,
+        )
+        from pipeline_mf_etl_spark.sources.readers import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        out = str(tmp_path / "stcorpus")
+        index = write_safetensors_corpus(emb, out, n_shards=3)
+        return emb, out, index
+
+    def test_row_lookups_round_trip_every_vector(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_safetensors_rows,
+        )
+
+        emb, out, index = self._write(spark, tmp_path)
+        got = sorted(
+            (r["vec_id"], tuple(r["embedding"]), r["label"])
+            for r in read_safetensors_rows(index, out).collect()
+        )
+        src = sorted(
+            (r["vec_id"], tuple(r["embedding"]), r["label"])
+            for r in emb.collect()
+        )
+        assert got == src and len(got) == 500
+
+    def test_full_scan_matches_source(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            read_safetensors_corpus,
+        )
+
+        emb, out, index = self._write(spark, tmp_path)
+        got = sorted(
+            (r["vec_id"], tuple(r["embedding"]), r["label"])
+            for r in read_safetensors_corpus(spark, out).collect()
+        )
+        assert got == sorted(
+            (r["vec_id"], tuple(r["embedding"]), r["label"])
+            for r in emb.collect()
+        )
+
+    def test_null_cells_reject_loudly(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            write_safetensors_corpus,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0], None)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        with _pytest.raises(Exception, match="NULL"):
+            write_safetensors_corpus(df, str(tmp_path / "bad"), n_shards=1)

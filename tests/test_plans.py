@@ -477,3 +477,15 @@ def test_arrow_lookup_map_only(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "mapInPandas" in plan or "MapInPandas" in plan, plan
+
+
+def test_safetensors_lookup_map_only(spark):
+    """c15's LOOKUP half must be one Arrow map pass over the index scan
+    — row lookups are offset arithmetic + bounded reads, never a
+    shuffle (same contract as c12/c13/c14); the posexplode is a
+    map-side generator, not an exchange."""
+    plan = _plan(spark, "c15_safetensors_lookup")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan, plan
+    assert "Generate" in plan, plan  # posexplode stays map-side
