@@ -1401,11 +1401,10 @@ def read_safetensors_rows(index: DataFrame, corpus_dir: str) -> DataFrame:
                     fh.seek(0)
                     header_blob = fh.read(8 + n)
                     size = fh.seek(0, os.SEEK_END)
-                    # header validation needs the data length; pass a
-                    # same-length dummy tail so offsets check out
-                    # without reading the data region
+                    # header-only validation against the file size: no
+                    # byte of the data region is read until a row asks
                     meta = decode_safetensors_header(
-                        header_blob + b"\x00" * (size - 8 - n)
+                        header_blob, total_length=size
                     )
                     for row in grp.sort_values("row")["row"]:
                         row = int(row)

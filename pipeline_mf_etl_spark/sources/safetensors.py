@@ -21,8 +21,9 @@ model — this module enforces ALL of its validation rules:
   ``begin + i * d * itemsize``, one bounded range GET per row with no
   framing walk at all.
 
-Dtype subset: F64/F32/I64/I32/I16/I8/U8/BOOL (the training-data
-types); F16/BF16 and the exotic widths gate loudly. No TF/torch/
+Dtype subset: F64/F32/F16/I64/I32/I16/I8/U8/BOOL (the training-data
+types, fp16 embeddings included); BF16/F8 and the exotic widths gate
+loudly (numpy has no native bfloat16 to decode into). No TF/torch/
 safetensors lib exists in this container, so tests pin the writer with
 hand-assembled known vectors and numpy round-trips (the tf.Example
 pattern).
@@ -42,6 +43,7 @@ _U64 = struct.Struct("<Q")
 DTYPES = {
     "F64": (8, "<f8"),
     "F32": (4, "<f4"),
+    "F16": (2, "<f2"),
     "I64": (8, "<i8"),
     "I32": (4, "<i4"),
     "I16": (2, "<i2"),
@@ -103,16 +105,22 @@ def encode_safetensors(
     return _U64.pack(len(hjson)) + hjson + bytes(body)
 
 
-def decode_safetensors_header(data: bytes) -> dict:
+def decode_safetensors_header(
+    data: bytes, total_length: int | None = None
+) -> dict:
     """Parse + STRICTLY validate the header. Returns ``{"tensors":
     {name: {"dtype", "shape", "begin", "end"}}, "metadata": {...},
-    "data_start": int}`` with begin/end ABSOLUTE file offsets."""
+    "data_start": int}`` with begin/end ABSOLUTE file offsets.
+    ``total_length`` lets a range-reading client validate against the
+    FILE size while holding only the header bytes (``data`` may then
+    be just the first ``8 + N`` bytes)."""
     if len(data) < 8:
         raise ValueError("safetensors: shorter than the header length")
     (n,) = _U64.unpack_from(data, 0)
     if n > MAX_HEADER:
         raise ValueError(f"safetensors: header length {n} exceeds cap")
-    if 8 + n > len(data):
+    total = len(data) if total_length is None else total_length
+    if 8 + n > total or 8 + n > len(data):
         raise ValueError("safetensors: header overruns the payload")
     try:
         header = json.loads(data[8 : 8 + n].decode("utf-8"))
@@ -121,7 +129,7 @@ def decode_safetensors_header(data: bytes) -> dict:
     if not isinstance(header, dict):
         raise ValueError("safetensors: header is not a JSON object")
     data_start = 8 + n
-    data_len = len(data) - data_start
+    data_len = total - data_start
     metadata = header.pop("__metadata__", {})
     if not isinstance(metadata, dict) or any(
         not isinstance(k, str) or not isinstance(v, str)

@@ -1089,3 +1089,36 @@ class TestSafetensorsShardCorpus:
         )
         with _pytest.raises(Exception, match="NULL"):
             write_safetensors_corpus(df, str(tmp_path / "bad"), n_shards=1)
+
+
+def test_c15_safetensors_lookup_matches_identity_oracle(spark, duck):
+    """The registered safetensors round-trip (r14 window head): write
+    the embeddings table as tensor shards + row index, look up every
+    row, posexplode, and the result must equal the source
+    float-by-float."""
+    import math
+
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    spec = all_queries()["c15_safetensors_lookup"]
+    sdf = spec.spark(spark, "/root/testdata/sf0.01")
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(spec.oracle)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def norm(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, float):
+                return "nan" if math.isnan(v) else f"{round(v, 9):.9f}"
+            return str(v)
+
+        return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, sdf.columns) == canon(drows, dcols)
+    assert len(srows) == 32000  # 500 vectors x 64 dims

@@ -109,7 +109,7 @@ class TestValidationMatrix:
         with pytest.raises(ValueError, match="unsupported"):
             decode_safetensors_header(
                 self._raw(
-                    {"a": {"dtype": "F16", "shape": [2], "data_offsets": [0, 4]}},
+                    {"a": {"dtype": "BF16", "shape": [2], "data_offsets": [0, 4]}},
                     b"\x00" * 4,
                 )
             )
@@ -135,7 +135,7 @@ class TestValidationMatrix:
         with pytest.raises(ValueError, match="imply"):
             encode_safetensors({"a": ("F32", [2], b"\x00" * 4)})
         with pytest.raises(ValueError, match="unsupported dtype"):
-            encode_safetensors({"a": ("F16", [1], b"\x00" * 2)})
+            encode_safetensors({"a": ("BF16", [1], b"\x00" * 2)})
         with pytest.raises(ValueError, match="str->str"):
             encode_safetensors(
                 {"a": ("F32", [1], b"\x00" * 4)}, metadata={"k": 1}
@@ -156,3 +156,23 @@ class TestValidationMatrix:
             except ValueError:
                 continue
             assert got != base, f"flip at {i} silently absorbed"
+
+
+class TestF16AndHeaderOnly:
+    def test_f16_round_trip(self):
+        emb = np.array([[0.5, -1.25], [2.0, 0.0]], dtype="<f2")
+        blob = encode_safetensors({"e": ("F16", [2, 2], emb.tobytes())})
+        meta = decode_safetensors_header(blob)
+        np.testing.assert_array_equal(tensor_to_numpy(blob, meta, "e"), emb)
+        off, ln = tensor_row_range(meta, "e", 1)
+        assert ln == 4 and blob[off : off + ln] == emb[1].tobytes()
+
+    def test_header_only_decode_with_total_length(self):
+        blob, emb, ids = _blob()
+        (n,) = struct.unpack_from("<Q", blob, 0)
+        head = blob[: 8 + n]
+        meta = decode_safetensors_header(head, total_length=len(blob))
+        assert meta["tensors"]["embedding"]["shape"] == [3, 4]
+        # a lying total_length still trips the tiling check
+        with pytest.raises(ValueError, match="trailing|inconsistent"):
+            decode_safetensors_header(head, total_length=len(blob) + 8)
