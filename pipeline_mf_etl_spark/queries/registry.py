@@ -84,7 +84,8 @@ _QUERY_MODULES = (
 # tests — so no window can contain a red-by-design row.
 _PRIORITY = (
     # --- (1) first driver exposure: the late-r13 registrations, then
-    # this round's new TFRecord training-container layout ---
+    # this round's new training-container layouts (TFRecord, Arrow
+    # IPC, safetensors) ---
     "c10_shard_lookup",
     "c11_xz_extract",
     "c12_bz2_dump_lookup",
