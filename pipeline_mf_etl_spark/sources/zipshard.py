@@ -172,7 +172,7 @@ def parse_zip(data: bytes) -> list[dict]:
             raise ValueError(f"member {name!r}: CRC-32 mismatch")
         members.append(
             {"name": name, "method": method, "payload": payload,
-             "compressed_size": csize}
+             "compressed_size": csize, "data_offset": dstart}
         )
     return members
 
