@@ -90,6 +90,7 @@ HEADLINE = (
     "c13_tfrecord_lookup",    # TFRecord shard write + per-record lookups
     "c14_arrow_lookup",       # Arrow IPC shard write + footer block lookups
     "c15_safetensors_lookup", # safetensors shard write + row range lookups
+    "c16_npz_lookup",         # npz shard write + member offset row lookups
 )
 
 # Codec queries conflate SYNTHESIS (encoding the test payload) with the

@@ -992,3 +992,47 @@ C15_ORACLE = """
 query("c15_safetensors_lookup", eager=True, oracle=C15_ORACLE)(
     c15_safetensors_lookup
 )
+
+
+# ---------------------------------------------------------------------------
+# c16 — npz embedding-shard round-trip (sources/npy.py +
+# sources/corpus_io.py, round 14). The np.save/np.savez interchange
+# certified end to end: embeddings written as uncompressed .npz shards
+# (our .npy bytes are BYTE-IDENTICAL to np.save's; np.load reads every
+# shard — tests/test_npy.py) + a (vec_id, shard, row) index, every row
+# fetched back via the ZIP central-directory walk + offset arithmetic
+# into the STORED members, posexploded to scalar grain like c15. The
+# oracle is the identity. Registered at the _PRIORITY tail (first
+# driver exposure with the r15 rotation, like o20) so it displaces no
+# r14 re-certification.
+# ---------------------------------------------------------------------------
+
+
+def c16_npz_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the embeddings table into the npz shard layout, row-look-up
+    every vector via its index entry, and posexplode to (vec_id, label,
+    pos, val) scalar grain. EAGER: the shard write runs at build time
+    (tempdir scratch)."""
+    import tempfile
+
+    from pipeline_mf_etl_spark.sources.corpus_io import (
+        read_npz_rows,
+        write_npz_corpus,
+    )
+    from pipeline_mf_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="c16_")
+    n_shards = max(4, spark.sparkContext.defaultParallelism)
+    index = write_npz_corpus(emb, root, n_shards=n_shards)
+    fetched = read_npz_rows(index, root)
+    return fetched.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id", "label", F.col("pos").cast("bigint").alias("pos"), "val"
+    )
+
+
+query("c16_npz_lookup", eager=True, oracle=C15_ORACLE)(c16_npz_lookup)

@@ -169,9 +169,10 @@ _PRIORITY = (
     "o13_temperature_mix",
     "w21_scd2_intervals_segmented",
     "w23_ohlc_resample_minby",
-    # new r14 registration, never driver-checked — first exposure with
+    # new r14 registrations, never driver-checked — first exposure with
     # the r15 rotation alongside the names above
     "o20_weighted_reservoir",
+    "c16_npz_lookup",
 )
 
 

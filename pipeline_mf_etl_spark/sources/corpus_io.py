@@ -1468,3 +1468,166 @@ def read_safetensors_corpus(spark: SparkSession, path: str) -> DataFrame:
         StructType([StructField("shard", StringType(), False)]),
     ).repartition(len(shards), "shard")
     return files.mapInPandas(scan, EMBEDDINGS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# npz embedding-shard layout (round 14): np.savez's container as the
+# EMBEDDINGS interchange — one uncompressed ``.npz`` per shard holding
+# vec_id/label/embedding arrays + a (vec_id, shard, row) index. STORED
+# members keep every array range-addressable inside the archive, so a
+# row lookup is the ZIP central-directory walk (header-grain) + pure
+# offset arithmetic into the member (sources/npy.py:npy_row_range) —
+# the same two-range-GET economics as c15's safetensors. NULL cells
+# reject loudly (arrays have no null concept).
+# ---------------------------------------------------------------------------
+
+
+def write_npz_corpus(df: DataFrame, path: str, n_shards: int = 4) -> DataFrame:
+    """Write an embeddings table as ``shard-<N>.npz`` archives + a
+    ``_index`` parquet of (vec_id, shard, row); shard-parallel, atomic
+    publish. Same constraints as the safetensors writer: uniform
+    embedding dimension, no NULL cells."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.npy import write_npz
+
+    os.makedirs(path, exist_ok=True)
+    spark = df.sparkSession
+
+    def write_shard(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows: list[dict] = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        if not rows:
+            return
+        shard = f"shard-{pid:05d}.npz"
+        ids, labels, embs = [], [], []
+        for r in rows:
+            vid, lab, emb = r.get("vec_id"), r.get("label"), r.get("embedding")
+            if _py(vid) is None or _py(lab) is None or emb is None:
+                raise ValueError(
+                    "npz: NULL cell — arrays cannot represent SQL NULL"
+                )
+            ids.append(int(vid))
+            labels.append(int(lab))
+            embs.append(np.asarray(emb, dtype="<f4"))
+        d = len(embs[0])
+        if any(len(e) != d for e in embs):
+            raise ValueError("npz: ragged embedding dimensions")
+        mat = np.vstack(embs).astype("<f4")
+        payload = write_npz(
+            {
+                "vec_id": ("<i8", (len(ids),), np.asarray(ids, "<i8").tobytes()),
+                "label": ("<i4", (len(ids),), np.asarray(labels, "<i4").tobytes()),
+                "embedding": ("<f4", (len(ids), d), mat.tobytes()),
+            }
+        )
+        tmp = os.path.join(path, f".{shard}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, os.path.join(path, shard))  # atomic publish
+        yield pd.DataFrame(
+            [(ids[i], shard, i) for i in range(len(ids))],
+            columns=[f.name for f in SAFETENSORS_INDEX_SCHEMA.fields],
+        )
+
+    index = (
+        df.select("vec_id", "embedding", "label")
+        .repartition(
+            n_shards, F.pmod(F.coalesce("vec_id", F.lit(0)), F.lit(n_shards))
+        )
+        .sortWithinPartitions("vec_id")
+        .mapInPandas(write_shard, SAFETENSORS_INDEX_SCHEMA)
+    )
+    index.write.mode("overwrite").parquet(os.path.join(path, "_index"))
+    return spark.read.parquet(os.path.join(path, "_index"))
+
+
+def read_npz_rows(index: DataFrame, corpus_dir: str) -> DataFrame:
+    """Distributed row lookup over an npz shard corpus: per shard one
+    archive walk (central directory + npy headers), then per row three
+    offset-arithmetic slices out of the STORED members. Returns
+    EMBEDDINGS_SCHEMA rows."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.npy import npy_row_range, read_npz
+
+    def fetch(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for shard, grp in pdf.groupby("shard", sort=False):
+                p = os.path.join(corpus_dir, str(shard))
+                with open(p, "rb") as fh:
+                    blob = fh.read()
+                m = read_npz(blob)
+                for name in ("vec_id", "label", "embedding"):
+                    if name not in m or not m[name]["stored"]:
+                        raise ValueError(
+                            f"{p}: member {name!r} missing or not STORED"
+                        )
+
+                def row_slice(name, row, dt):
+                    e = m[name]
+                    off, ln = npy_row_range(e, row)
+                    base = e["member_offset"]
+                    return np.frombuffer(blob[base + off : base + off + ln], dt)
+
+                for row in grp.sort_values("row")["row"]:
+                    row = int(row)
+                    rows.append(
+                        (
+                            int(row_slice("vec_id", row, "<i8")[0]),
+                            [float(x) for x in row_slice("embedding", row, "<f4")],
+                            int(row_slice("label", row, "<i4")[0]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EMBEDDINGS_SCHEMA.fields]
+            )
+
+    return index.select("shard", "row").mapInPandas(fetch, EMBEDDINGS_SCHEMA)
+
+
+def read_npz_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Full-scan read of an npz shard corpus, shard-parallel."""
+    import os
+
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.npy import npy_to_numpy, read_npz
+
+    shards = sorted(n for n in os.listdir(path) if n.endswith(".npz"))
+    if not shards:
+        raise ValueError(f"{path}: no .npz shards found")
+
+    def scan(batches):
+        for pdf in batches:
+            for name in pdf["shard"]:
+                with open(os.path.join(path, str(name)), "rb") as fh:
+                    blob = fh.read()
+                m = read_npz(blob)
+                ids = npy_to_numpy(m["vec_id"]["payload"])
+                labels = npy_to_numpy(m["label"]["payload"])
+                mat = npy_to_numpy(m["embedding"]["payload"])
+                rows = [
+                    (int(ids[i]), [float(x) for x in mat[i]], int(labels[i]))
+                    for i in range(len(ids))
+                ]
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in EMBEDDINGS_SCHEMA.fields]
+                )
+
+    files = spark.createDataFrame(
+        [(s,) for s in shards],
+        StructType([StructField("shard", StringType(), False)]),
+    ).repartition(len(shards), "shard")
+    return files.mapInPandas(scan, EMBEDDINGS_SCHEMA)

@@ -87,7 +87,7 @@ def test_corpus_family_registered_and_recert_window_pinned():
         "c7_zstd_extract", "c8_seekable_extract", "c9_bzip2_extract",
         "c10_shard_lookup", "c11_xz_extract", "c12_bz2_dump_lookup",
         "c13_tfrecord_lookup", "c14_arrow_lookup",
-        "c15_safetensors_lookup",
+        "c15_safetensors_lookup", "c16_npz_lookup",
         "t15_html_extract", "wd1_webdataset_roundtrip",
         "mm25_flac_decode", "mm26_mp3_probe", "mm27_tiff_probe",
         "mm28_webp_probe", "mm29_webm_probe",

@@ -1122,3 +1122,94 @@ def test_c15_safetensors_lookup_matches_identity_oracle(spark, duck):
 
     assert canon(srows, sdf.columns) == canon(drows, dcols)
     assert len(srows) == 32000  # 500 vectors x 64 dims
+
+
+class TestNpzShardCorpus:
+    """npz embedding-shard layout (round 14): np.savez's container
+    through the Spark corpus path."""
+
+    def _write(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import write_npz_corpus
+        from pipeline_mf_etl_spark.sources.readers import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        out = str(tmp_path / "npzcorpus")
+        index = write_npz_corpus(emb, out, n_shards=3)
+        return emb, out, index
+
+    def test_row_lookups_round_trip_every_vector(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import read_npz_rows
+
+        emb, out, index = self._write(spark, tmp_path)
+        got = sorted(
+            (r["vec_id"], tuple(r["embedding"]), r["label"])
+            for r in read_npz_rows(index, out).collect()
+        )
+        src = sorted(
+            (r["vec_id"], tuple(r["embedding"]), r["label"])
+            for r in emb.collect()
+        )
+        assert got == src and len(got) == 500
+
+    def test_full_scan_matches_source(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import read_npz_corpus
+
+        emb, out, index = self._write(spark, tmp_path)
+        got = sorted(
+            (r["vec_id"], tuple(r["embedding"]), r["label"])
+            for r in read_npz_corpus(spark, out).collect()
+        )
+        assert got == sorted(
+            (r["vec_id"], tuple(r["embedding"]), r["label"])
+            for r in emb.collect()
+        )
+
+    def test_shards_are_real_npz_files(self, spark, tmp_path):
+        """np.load (the oracle) must read every shard we publish."""
+        import glob as _glob
+        import io
+
+        import numpy as np
+
+        emb, out, index = self._write(spark, tmp_path)
+        total = 0
+        for p in sorted(_glob.glob(f"{out}/shard-*.npz")):
+            with open(p, "rb") as fh:
+                loaded = np.load(io.BytesIO(fh.read()))
+            assert sorted(loaded.files) == ["embedding", "label", "vec_id"]
+            assert loaded["embedding"].dtype == np.float32
+            total += loaded["embedding"].shape[0]
+        assert total == 500
+
+
+def test_c16_npz_lookup_matches_identity_oracle(spark, duck):
+    """The registered npz round-trip (r15 exposure queue): write the
+    embeddings table as npz shards + row index, look up every row via
+    member offset arithmetic, posexplode, and the result must equal the
+    source float-by-float."""
+    import math
+
+    from pipeline_mf_etl_spark.queries import all_queries
+
+    spec = all_queries()["c16_npz_lookup"]
+    sdf = spec.spark(spark, "/root/testdata/sf0.01")
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(spec.oracle)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def norm(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, float):
+                return "nan" if math.isnan(v) else f"{round(v, 9):.9f}"
+            return str(v)
+
+        return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, sdf.columns) == canon(drows, dcols)
+    assert len(srows) == 32000

@@ -489,3 +489,13 @@ def test_safetensors_lookup_map_only(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "mapInPandas" in plan or "MapInPandas" in plan, plan
     assert "Generate" in plan, plan  # posexplode stays map-side
+
+
+def test_npz_lookup_map_only(spark):
+    """c16's LOOKUP half must be one Arrow map pass over the index scan
+    — member offset arithmetic is executor-local IO, never a shuffle
+    (same contract as c15)."""
+    plan = _plan(spark, "c16_npz_lookup")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan, plan
