@@ -270,3 +270,67 @@ class TestEncoderStrictness:
     def test_unsupported_kind_raises(self):
         with pytest.raises(ValueError):
             encode_arrow_stream([ArrowField("x", True, "struct")], [[1]])
+
+
+class TestPropertyRoundtrip:
+    """Hypothesis: ANY column set of the supported subset survives
+    encode->decode on both containers, and pyarrow agrees with our
+    decode of our own bytes."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _values = st.one_of(
+        st.none(),
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=9),
+        data=st.data(),
+    )
+    def test_int_utf8_list_roundtrip(self, n, data):
+        from hypothesis import strategies as st
+
+        ints = data.draw(
+            st.lists(self._values, min_size=n, max_size=n)
+        )
+        texts = data.draw(
+            st.lists(
+                st.one_of(st.none(), st.text(max_size=12)),
+                min_size=n, max_size=n,
+            )
+        )
+        vecs = data.draw(
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.lists(
+                        st.integers(min_value=-1000, max_value=1000).map(float),
+                        max_size=4,
+                    ),
+                ),
+                min_size=n, max_size=n,
+            )
+        )
+        fields = [
+            ArrowField("i", True, "int", bits=64),
+            ArrowField("t", True, "utf8", bits=32),
+            ArrowField(
+                "v", True, "list",
+                child=ArrowField("item", True, "float", bits=32),
+            ),
+        ]
+        cols = [ints, texts, vecs]
+        for enc, dec in [
+            (encode_arrow_stream, decode_arrow_stream),
+            (encode_arrow_file, decode_arrow_file),
+        ]:
+            out = dec(enc(fields, cols, batch_rows=3))
+            assert out["columns"] == cols
+        if n:  # pyarrow cross-check on the file container
+            r = ipc.open_file(
+                io.BytesIO(encode_arrow_file(fields, cols))
+            ).read_all()
+            assert r.to_pydict() == {"i": ints, "t": texts, "v": vecs}

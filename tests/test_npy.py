@@ -129,3 +129,23 @@ class TestNpz:
         z = encode_zip([("readme.txt", b"hi", STORED)])
         with pytest.raises(ValueError, match="non-npy"):
             read_npz(z)
+
+
+class TestPropertyRoundtrip:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        descr=st.sampled_from(["<f8", "<f4", "<i8", "<i4", "<i2", "|u1"]),
+        rows=st.integers(min_value=0, max_value=6),
+        cols=st.integers(min_value=0, max_value=5),
+    )
+    def test_any_2d_array_roundtrips_and_np_load_agrees(self, descr, rows, cols):
+        arr = np.arange(rows * cols).astype(descr).reshape(rows, cols)
+        blob = write_npy(descr, (rows, cols), arr.tobytes())
+        np.testing.assert_array_equal(npy_to_numpy(blob), arr)
+        np.testing.assert_array_equal(np.load(io.BytesIO(blob)), arr)
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        assert blob == buf.getvalue()  # byte-identical, every shape

@@ -176,3 +176,43 @@ class TestF16AndHeaderOnly:
         # a lying total_length still trips the tiling check
         with pytest.raises(ValueError, match="trailing|inconsistent"):
             decode_safetensors_header(head, total_length=len(blob) + 8)
+
+
+class TestPropertyRoundtrip:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(
+                alphabet="abcdefghij_", min_size=1, max_size=8
+            ).filter(lambda s: s != "__metadata__"),
+            st.tuples(
+                st.sampled_from(["F32", "I64", "I16", "U8"]),
+                st.integers(min_value=0, max_value=5),
+            ),
+            min_size=0,
+            max_size=4,
+        )
+    )
+    def test_any_tensor_set_roundtrips(self, spec):
+        import numpy as np
+
+        from pipeline_mf_etl_spark.sources.safetensors import DTYPES
+
+        tensors = {}
+        arrays = {}
+        for name, (dtype, n) in spec.items():
+            itemsize, np_dt = DTYPES[dtype]
+            arr = np.arange(n, dtype=np_dt)
+            tensors[name] = (dtype, [n], arr.tobytes())
+            arrays[name] = arr
+        blob = encode_safetensors(tensors, metadata={"k": "v"})
+        meta = decode_safetensors_header(blob)
+        assert meta["metadata"] == {"k": "v"}
+        assert set(meta["tensors"]) == set(tensors)
+        for name, arr in arrays.items():
+            np.testing.assert_array_equal(
+                tensor_to_numpy(blob, meta, name), arr
+            )
