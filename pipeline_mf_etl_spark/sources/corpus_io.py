@@ -1631,3 +1631,79 @@ def read_npz_corpus(spark: SparkSession, path: str) -> DataFrame:
         StructType([StructField("shard", StringType(), False)]),
     ).repartition(len(shards), "shard")
     return files.mapInPandas(scan, EMBEDDINGS_SCHEMA)
+
+
+def export_ordered_arrow(
+    df: DataFrame,
+    order: DataFrame,
+    path: str,
+    n_shards: int,
+    batch_rows: int = 64,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Ship a training-order assignment as Arrow IPC shards — the third
+    ordered-export twin (seekable-zstd / TFRecord / Arrow): ``order``
+    carries (shard, doc_id, pos) — o15_shard_shuffle's output — and
+    each assignment shard becomes one ``shard-<s>.arrow`` Feather-V2
+    file whose record batches replay the shard's docs in ``pos`` order,
+    plus a ``_index`` parquet of (doc_id, shard, batch, row, pos) for
+    footer random access (read_arrow_docs). Shard files are named by
+    the assignment's shard VALUE (a shard is never split across
+    tasks); one shuffle, encoding shard-parallel."""
+    import os
+
+    import pandas as pd
+
+    from pipeline_mf_etl_spark.sources.arrowipc import encode_arrow_file
+
+    os.makedirs(path, exist_ok=True)
+    schema = schema or DOCUMENTS_SCHEMA
+    fields = _arrow_fields(schema)
+    cols = [f.name for f in schema.fields]
+    spark = df.sparkSession
+    ordered_schema = StructType(
+        list(ARROW_INDEX_SCHEMA.fields) + [StructField("pos", LongType(), False)]
+    )
+
+    def write_shards(batches):
+        rows: list[dict] = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        if not rows:
+            return
+        by_shard: dict[int, list[dict]] = {}
+        for r in rows:
+            by_shard.setdefault(int(r["shard"]), []).append(r)
+        out: list[tuple] = []
+        for s, rs in sorted(by_shard.items()):
+            rs.sort(key=lambda r: int(r["pos"]))  # idempotence guard
+            shard_name = f"shard-{s:05d}.arrow"
+            payload = encode_arrow_file(
+                fields,
+                _rows_to_arrow_columns(rs, schema),
+                batch_rows=batch_rows,
+            )
+            tmp = os.path.join(path, f".{shard_name}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, os.path.join(path, shard_name))  # atomic
+            for i, r in enumerate(rs):
+                out.append(
+                    (
+                        _py(r["doc_id"]), shard_name,
+                        i // batch_rows, i % batch_rows, int(r["pos"]),
+                    )
+                )
+        yield pd.DataFrame(
+            out, columns=[f.name for f in ordered_schema.fields]
+        )
+
+    index = (
+        df.select(*cols)
+        .join(order.select("shard", "doc_id", "pos"), "doc_id")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .mapInPandas(write_shards, ordered_schema)
+    )
+    index.write.mode("overwrite").parquet(os.path.join(path, "_index"))
+    return spark.read.parquet(os.path.join(path, "_index"))

@@ -1213,3 +1213,65 @@ def test_c16_npz_lookup_matches_identity_oracle(spark, duck):
 
     assert canon(srows, sdf.columns) == canon(drows, dcols)
     assert len(srows) == 32000
+
+
+class TestOrderedArrowExport:
+    """The Arrow twin of TestOrderedTrainingExport: o15's assignment
+    shipped as Feather-V2 shards whose record batches replay in pos
+    order, point lookups through the footer index."""
+
+    def _export(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.queries import all_queries
+        from pipeline_mf_etl_spark.queries.corpus import _O15_SHARDS
+        from pipeline_mf_etl_spark.sources.corpus_io import (
+            export_ordered_arrow,
+        )
+        from pipeline_mf_etl_spark.sources.readers import load_table
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf, "documents")
+        order = all_queries()["o15_shard_shuffle"].spark(spark, sf)
+        out = str(tmp_path / "arrow_training_shards")
+        index = export_ordered_arrow(
+            docs, order, out, n_shards=_O15_SHARDS, batch_rows=8
+        )
+        return docs, order, out, index
+
+    def test_batches_replay_in_pos_order(self, spark, tmp_path):
+        import glob as _glob
+        import os
+
+        from pipeline_mf_etl_spark.sources.arrowipc import decode_arrow_file
+
+        docs, order, out, index = self._export(spark, tmp_path)
+        assign = {
+            r["doc_id"]: (r["shard"], r["pos"]) for r in order.collect()
+        }
+        shards = sorted(_glob.glob(os.path.join(out, "shard-*.arrow")))
+        assert len(shards) == len({s for s, _ in assign.values()})
+        seen = 0
+        for path in shards:
+            s = int(os.path.basename(path).split("-")[1].split(".")[0])
+            with open(path, "rb") as fh:
+                got = decode_arrow_file(fh.read())
+            doc_ids = got["columns"][0]
+            want = [
+                d
+                for d, (sh, _) in sorted(
+                    assign.items(), key=lambda kv: kv[1][1]
+                )
+                if sh == s
+            ]
+            assert doc_ids == want, path
+            seen += len(doc_ids)
+        assert seen == len(assign)
+
+    def test_point_lookups_round_trip_every_doc(self, spark, tmp_path):
+        from pipeline_mf_etl_spark.sources.corpus_io import read_arrow_docs
+
+        docs, order, out, index = self._export(spark, tmp_path)
+        assert index.count() == docs.count()
+        fetched = read_arrow_docs(index, out)
+        assert sorted(tuple(r) for r in fetched.collect()) == sorted(
+            tuple(r) for r in docs.collect()
+        )
