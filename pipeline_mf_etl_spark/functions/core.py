@@ -29,6 +29,30 @@ def safe_div(num: Column, den: Column, eps: float = 1e-12) -> Column:
     return F.when(F.abs(den) > F.lit(eps), num / den).otherwise(F.lit(None))
 
 
+def island_repartition(df: DataFrame, *keys) -> DataFrame:
+    """Hash-repartition by ``keys`` with the partition count pinned to
+    the session's configured shuffle parallelism — for exchanges that
+    feed an Arrow→Python island (mapInPandas / applyInPandas).
+
+    A bare ``repartition(*keys)`` is AQE-coalescible (REPARTITION_BY_COL):
+    AQE sizes post-shuffle partitions by BYTES against the advisory
+    partition size, which is the right model for JVM operators but wrong
+    by orders of magnitude for Python islands, whose per-row cost dwarfs
+    their byte size. Measured at bench scale (sf0.1, local[32], r14):
+    every pandas island ran on 1-3 of 32 cores — the wd1 shard build put
+    all 313 tar groups on ONE task, b6's whole trade sim ran on 2.
+    Passing the count explicitly (REPARTITION_BY_NUM) opts this one
+    exchange out of AQE coalescing; the count itself stays
+    configuration-driven (``spark.sql.shuffle.partitions`` — the core
+    count locally, 2-3x total executor cores on a cluster), so the
+    island grain still scales with the deployment rather than with a
+    hard-coded constant. Results are partitioning-invariant at every
+    call site (per-key islands compute each key group in full wherever
+    it lands)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *keys)
+
+
 def cents(col: Column) -> Column:
     """A 2-dp price column as exact BIGINT cents (TESTDATA contract for
     events.value, asserted in tests/test_stats.py). NULL passes through;

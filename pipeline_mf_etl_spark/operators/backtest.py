@@ -140,8 +140,10 @@ def simulate_trades(
             )
         yield pd.DataFrame(out, columns=[f.name for f in TRADE_SCHEMA.fields])
 
+    from pipeline_mf_etl_spark.functions.core import island_repartition
+
     return (
-        bars.repartition("user_id")
+        island_repartition(bars, "user_id")
         .sortWithinPartitions("user_id", "ts", "event_id")
         .mapInPandas(sim, TRADE_SCHEMA)
     )

@@ -415,6 +415,11 @@ def connected_components(
     # max_iter CHANGING rounds are allowed, plus one confirming round —
     # a graph whose diameter needs exactly max_iter propagation rounds
     # must come back converged, not as a spurious failure.
+    #
+    # labels_ckpt tracks the frame that actually owns the checkpoint
+    # blocks (labels itself is a projection of it from round 1 on) so
+    # _free_local_checkpoint always sees the LogicalRDD.
+    labels_ckpt = labels
     for _ in range(max_iter + 1):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -422,6 +427,12 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("src", "node")
         )
+        # A label can only DECREASE, so "this round changed something"
+        # is exactly "some neighbor minimum undercut the own label" —
+        # computing that flag inside the same select lets the
+        # convergence check scan the just-checkpointed blocks instead
+        # of re-joining them against the previous labels (one fewer
+        # join + exchange per round).
         updated = loop_checkpoint(
             labels.join(neighbor_min, "node", "left").select(
                 "node",
@@ -429,23 +440,21 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
+                F.coalesce(
+                    F.col("nbr_component") < F.col("component"), F.lit(False)
+                ).alias("_changed"),
             ),
             reliable,
         )
-        changed = (
-            updated.withColumnRenamed("component", "new_component")
-            .join(labels, "node")
-            .filter(F.col("new_component") != F.col("component"))
-            .limit(1)
-            .count()
-        )
+        changed = updated.filter(F.col("_changed")).limit(1).count()
         # `updated` is its own (eager) checkpoint and `changed` is
         # computed — the previous round's blocks are now garbage.
         # (reliable checkpoints live in the checkpoint dir, not executor
         # block storage — nothing to free, and freeing would be wrong.)
         if not reliable:
-            _free_local_checkpoint(labels)
-        labels = updated
+            _free_local_checkpoint(labels_ckpt)
+        labels_ckpt = updated
+        labels = updated.select("node", "component")
         if changed == 0:
             converged = True
             break

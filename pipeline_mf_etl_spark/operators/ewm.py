@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
+from pipeline_mf_etl_spark.functions.core import island_repartition
+
 
 def ewm_smooth(
     df: DataFrame,
@@ -67,9 +69,9 @@ def ewm_smooth(
         )
         yield pdf
 
-    out = df.repartition(*series_cols).sortWithinPartitions(*series_cols, *order_cols).mapInPandas(
-        smooth, schema
-    )
+    out = island_repartition(df, *series_cols).sortWithinPartitions(
+        *series_cols, *order_cols
+    ).mapInPandas(smooth, schema)
     # pandas NaN round-trips as Double.NaN, not SQL NULL — normalize so
     # downstream null-guards (and the DuckDB oracle) agree.
     return out.withColumn(out_col, F.when(~F.isnan(out_col), F.col(out_col)))
@@ -115,9 +117,9 @@ def ewm_smooth_many(
             )
         yield pdf
 
-    out = df.repartition(*series_cols).sortWithinPartitions(*series_cols, *order_cols).mapInPandas(
-        smooth, schema
-    )
+    out = island_repartition(df, *series_cols).sortWithinPartitions(
+        *series_cols, *order_cols
+    ).mapInPandas(smooth, schema)
     for col in cols:
         out = out.withColumn(col, F.when(~F.isnan(col), F.col(col)))
     return out

@@ -77,9 +77,20 @@ def pagerank(
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("double").alias("w"))
         rcols.append(F.col(weight_col).cast("double").alias("w"))
-    sym = loop_checkpoint(
-        edges.select(*cols).unionAll(edges.select(*rcols)), reliable
-    )
+    # sym/deg are NOT checkpointed on the fast path: with a FIXED
+    # iteration count the whole rank recursion compiles into ONE job,
+    # where every round's join needs the identical
+    # Exchange(hashpartitioning(src)) over sym / deg — the planner's
+    # exchange reuse computes each once and shares it across rounds, so
+    # eager per-frame materialization jobs only added driver round-trips
+    # (measured r14: g1 build 4.2 s → 1.x s). ``reliable=True`` keeps
+    # per-round durable checkpoints (cluster fault-tolerance contract).
+    sym = edges.select(*cols).unionAll(edges.select(*rcols))
+    if reliable:
+        sym = loop_checkpoint(sym, True)
+    # nodes IS checkpointed either way: n (a driver literal baked into
+    # the per-round rounding expression) forces a count job over it, and
+    # the final plan reuses the materialized node set.
     nodes = loop_checkpoint(
         sym.select(F.col("src").alias("node")).distinct(), reliable
     )
@@ -87,7 +98,9 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("r", F.lit(0.0))
     wexpr = F.sum("w") if weight_col is not None else F.count("*").cast("double")
-    deg = loop_checkpoint(sym.groupBy("src").agg(wexpr.alias("deg")), reliable)
+    deg = sym.groupBy("src").agg(wexpr.alias("deg"))
+    if reliable:
+        deg = loop_checkpoint(deg, True)
     # float-expression parity with the SQL oracles: unweighted is
     # EXACTLY r/deg; weighted is EXACTLY r*w/deg (same literal forms)
     if weight_col is not None:
@@ -109,15 +122,19 @@ def pagerank(
             .agg(F.sum(contrib_term).alias("c"))
             .withColumnRenamed("dst", "node")
         )
-        ranks = loop_checkpoint(
-            nodes.join(contrib, "node", "left").select(
-                "node",
-                F.round(
-                    F.lit(base) + damping * F.coalesce(F.col("c"), F.lit(0.0)), 9
-                ).alias("r"),
-            ),
-            reliable,
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(base) + damping * F.coalesce(F.col("c"), F.lit(0.0)), 9
+            ).alias("r"),
         )
+        if reliable:
+            # durable per-round checkpoint: iteration state survives
+            # executor loss on a cluster (the fast path instead compiles
+            # all fixed rounds into one job — lineage depth is bounded
+            # by ``iters`` and shuffle files already give stage-level
+            # recovery)
+            ranks = loop_checkpoint(ranks, True)
     return ranks
 
 

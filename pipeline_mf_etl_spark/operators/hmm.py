@@ -234,8 +234,10 @@ def decode_distributed(
         if out:
             yield pd.concat(out, ignore_index=True)
 
+    from pipeline_mf_etl_spark.functions.core import island_repartition
+
     return (
-        bars.repartition("user_id")
+        island_repartition(bars, "user_id")
         .sortWithinPartitions("user_id", "ts", "event_id")
         .mapInPandas(run, DECODE_SCHEMA)
     )

@@ -103,9 +103,16 @@ def pack_next_fit(
         # rounding rule.
         return out
 
+    from pipeline_mf_etl_spark.functions.core import island_repartition
+
     keyed = docs.select(
         F.col(id_col),
         F.col(tokens_col).cast("long").alias(tokens_col),
         pack_bucket(F.col(id_col), n_buckets).alias("bucket"),
     )
-    return keyed.groupBy("bucket").applyInPandas(pack, PACK_SCHEMA)
+    # pre-partition on the island key with an explicit count so the
+    # groupBy below reuses the exchange and AQE cannot serialize the
+    # Python packing pass onto one task (see island_repartition)
+    return island_repartition(keyed, "bucket").groupBy("bucket").applyInPandas(
+        pack, PACK_SCHEMA
+    )

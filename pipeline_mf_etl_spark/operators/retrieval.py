@@ -68,7 +68,15 @@ def bm25_topk(
     Scores are rounded to 6 dp BEFORE ranking with an id tie-break, so
     the ordering is reproducible across engines and accumulation
     orders (same convention as the ANN family)."""
-    postings = build_postings(docs, id_col, text_col)
+    # tf is the only corpus-sized shuffle; dl re-aggregates from it.
+    # The tf↔dl join happens AFTER the broadcast query-term prune below,
+    # so full-corpus postings never cross a doc_id exchange — pre-r14
+    # the join ran on the unpruned postings and re-shuffled every
+    # (doc, term) row only to drop non-query terms immediately above
+    # (guide §2.3: filter before the exchange).
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
 
     qterms = queries.select(
         "query_id",
@@ -77,20 +85,22 @@ def bm25_topk(
 
     # corpus scalars, one row each, broadcast onto every candidate.
     # avgdl = total tokens / total docs (empty docs count in the
-    # denominator) — a plain aggregate over the postings, no distinct.
+    # denominator) — aggregated from dl (one row per doc), the smallest
+    # frame that carries the total token count.
     stats = docs.agg(F.count("*").cast("double").alias("n_docs"))
-    avg = postings.crossJoin(F.broadcast(stats)).agg(
-        (F.sum("tf") / F.first("n_docs")).alias("avgdl")
+    avg = dl.crossJoin(F.broadcast(stats)).agg(
+        (F.sum("dl") / F.first("n_docs")).alias("avgdl")
     )
 
+    tfq = tf.join(F.broadcast(qterms), "term")  # map-side prune to query terms
     cand = (
-        postings.join(F.broadcast(qterms), "term")  # map-side prune to query terms
+        tfq.join(dl, id_col)  # doc lengths attach to PRUNED postings only
         .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(avg))
     )
     # df per query term, computed on the pruned postings (identical to
     # the full-corpus df for those terms: pruning drops terms, not docs)
-    dfreq = cand.groupBy("term").agg(F.countDistinct(id_col).cast("double").alias("df"))
+    dfreq = tfq.groupBy("term").agg(F.countDistinct(id_col).cast("double").alias("df"))
 
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1)) / (

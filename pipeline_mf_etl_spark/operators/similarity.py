@@ -880,6 +880,11 @@ def semantic_dup_pairs_blas(
             }
         )
 
-    return emb.select(cell_col, id_col, vec_col).groupBy(cell_col).applyInPandas(
-        pairs, out_schema
-    )
+    from pipeline_mf_etl_spark.functions.core import island_repartition
+
+    # explicit-count pre-partition on the cell key: the BLAS cell matmul
+    # is the expensive stage, and AQE's byte-based coalescing otherwise
+    # collapses it onto one task at small scale (see island_repartition)
+    return island_repartition(
+        emb.select(cell_col, id_col, vec_col), cell_col
+    ).groupBy(cell_col).applyInPandas(pairs, out_schema)

@@ -310,7 +310,9 @@ def _panel_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         yield pdf[[f.name for f in schema.fields]]
 
-    return bars.repartition("user_id").sortWithinPartitions(
+    from pipeline_mf_etl_spark.functions.core import island_repartition
+
+    return island_repartition(bars, "user_id").sortWithinPartitions(
         "user_id", "ts", "event_id"
     ).mapInPandas(panel, schema)
 

@@ -40,6 +40,20 @@ def get_spark(app_name: str = "pipeline_mf_etl_spark", *, shuffle_partitions: in
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing sizes post-shuffle partitions by BYTES; with the
+        # default 1 MiB minPartitionSize floor, every few-MB shuffle
+        # collapses to 1-3 partitions — which serializes the Arrow→Python
+        # island stages (mapInPandas/applyInPandas) whose per-row cost
+        # dwarfs their byte size (measured r14: b6's whole trade sim on 2
+        # of 32 cores, wd1's tar build on 1). Lowering the floor keeps
+        # small-scale runs parallel; at production volumes parallelismFirst
+        # (default true) computes the target from bytes/parallelism, far
+        # above this floor, so the setting is inert there. Overridable for
+        # deployments that prefer fewer, larger partitions.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

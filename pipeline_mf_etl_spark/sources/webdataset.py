@@ -193,9 +193,17 @@ def build_webdataset_shards(
             }
         )
 
+    from pipeline_mf_etl_spark.functions.core import island_repartition
+
+    keyed = docs.select("doc_id", "text", "lang", "source").withColumn(
+        "shard_id", (F.col("doc_id") / docs_per_shard).cast("long")
+    )
+    # explicit-count pre-partition: the tar assembly is the expensive
+    # stage, and AQE's byte-based coalescing otherwise serializes every
+    # shard group onto one task at small scale (measured r14: 313 groups
+    # on ONE of 32 cores; see island_repartition)
     return (
-        docs.select("doc_id", "text", "lang", "source")
-        .withColumn("shard_id", (F.col("doc_id") / docs_per_shard).cast("long"))
+        island_repartition(keyed, "shard_id")
         .groupBy("shard_id")
         .applyInPandas(assemble, SHARD_SCHEMA)
     )
