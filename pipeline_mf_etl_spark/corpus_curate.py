@@ -45,35 +45,71 @@ DEFAULT_QUALITY_MIN = QUALITY_ADMIT_MIN
 STAGES = ("exact", "near", "quality", "repetition", "contamination")
 
 
-def _exact_dup_drops(docs: DataFrame) -> DataFrame:
-    """doc_ids that are NOT the min-id keeper of their d1 fingerprint."""
-    from pipeline_mf_etl_spark.operators.dedupe import exact_fingerprint
-
-    fp = docs.select("doc_id", exact_fingerprint(F.col("text")).alias("fingerprint"))
-    keeper = F.min("doc_id").over(Window.partitionBy("fingerprint"))
-    return fp.withColumn("keeper", keeper).filter(
-        F.col("doc_id") != F.col("keeper")
-    ).select("doc_id")
-
-
 def curation_decision_frame(
     spark: SparkSession, sf_dir: str, quality_min: float = DEFAULT_QUALITY_MIN
 ) -> DataFrame:
     """Per-document drop flags (doc_id, f_exact, f_near, f_quality,
     f_repetition, f_contamination) — one row per input doc, each flag
-    from its certified signal query. EAGER: the near stage's connected
-    components iterates join+count rounds when called."""
-    from pipeline_mf_etl_spark.queries.dedup import ranked_neardup_clusters
+    from its certified signal expressions. EAGER: the near stage's
+    connected components iterates join+count rounds when called.
+
+    Plan shape (r14 rewrite — guide §2.3 "scan once, shuffle narrow"):
+    quality (t2) and repetition (t7) are per-row functions of
+    (text, toks) and the exact flag is a window over the d1
+    fingerprint, so ONE corpus scan computes all three — the scan
+    projects down to (doc_id, fingerprint, f_quality, f_repetition)
+    BEFORE the fingerprint exchange, so neither text nor the token
+    array ever crosses a shuffle. Only contamination (t8 — a gram
+    explode + groupBy) and the near stage (pair restriction + CC)
+    remain separate branches, attached by two left joins instead of
+    the previous five. Flag values are bit-identical to the standalone
+    queries': the expressions are imported from the same single
+    sources (rounded_quality, repetition_raw_signals/repetition_flag,
+    exact_fingerprint_from_tokens)."""
+    from pipeline_mf_etl_spark.operators.dedupe import (
+        exact_fingerprint_from_tokens,
+        tokens,
+    )
+    from pipeline_mf_etl_spark.operators.text import rounded_quality
+    from pipeline_mf_etl_spark.queries.dedup import (
+        ranked_neardup_clusters,
+        verified_pairs_export,
+    )
     from pipeline_mf_etl_spark.queries.text import (
-        t2_quality_score,
-        t7_repetition_quality,
+        repetition_flag,
+        repetition_raw_signals,
         t8_contamination,
     )
 
     docs = load_table(spark, sf_dir, "documents")
 
+    base = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    pre = base.select(
+        "doc_id",
+        exact_fingerprint_from_tokens(F.col("toks")).alias("fingerprint"),
+        (rounded_quality(F.col("text"), F.col("toks")) < quality_min).alias(
+            "f_quality"
+        ),
+        "toks",
+    )
+    sig = repetition_raw_signals(pre).select(
+        "doc_id", "fingerprint", "f_quality", repetition_flag().alias("f_repetition")
+    )
+    # exact flag as a window over the fingerprint: doc_id is the keeper
+    # of its fingerprint group iff it is the group minimum (d1
+    # semantics) — computed on the already-narrow signal frame, no
+    # join-back needed.
+    flagged = sig.select(
+        "doc_id",
+        "f_quality",
+        "f_repetition",
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        ).alias("f_exact"),
+    )
+
     flag = F.lit(True).alias("f")
-    exact = _exact_dup_drops(docs).select("doc_id", flag.alias("f_exact"))
     # near-dup clustering runs on the EXACT-stage survivors: a cluster
     # whose best-quality canonical happens to be an exact-dup non-keeper
     # (same token set, different raw text) would otherwise lose every
@@ -84,10 +120,10 @@ def curation_decision_frame(
     # raw pair set restricted to pairs with BOTH endpoints surviving —
     # two doc_id equi-joins replace recomputing the whole MinHash chain
     # (the most expensive subplan in the family) inside the waterfall.
-    from pipeline_mf_etl_spark.queries.dedup import verified_pairs_export
-
-    after_exact = docs.join(exact.select("doc_id"), "doc_id", "left_anti")
-    surv = after_exact.select("doc_id")
+    # CC nodes are pair endpoints ⊆ survivors, so the cluster ranking
+    # can join the FULL docs frame (no anti-join scan): member rows and
+    # quality values are identical either way.
+    surv = flagged.filter(~F.col("f_exact")).select("doc_id")
     pairs = (
         verified_pairs_export(spark, sf_dir)
         .select("a", "b")
@@ -95,19 +131,9 @@ def curation_decision_frame(
         .join(surv.select(F.col("doc_id").alias("b")), "b")
     )
     near = (
-        ranked_neardup_clusters(after_exact, pairs=pairs)
+        ranked_neardup_clusters(docs, pairs=pairs)
         .filter(F.col("rk") > 1)
         .select("doc_id", flag.alias("f_near"))
-    )
-    lowq = (
-        t2_quality_score(spark, sf_dir)
-        .filter(F.col("quality") < quality_min)
-        .select("doc_id", flag.alias("f_quality"))
-    )
-    rep = (
-        t7_repetition_quality(spark, sf_dir)
-        .filter(F.col("is_repetitive"))
-        .select("doc_id", flag.alias("f_repetition"))
     )
     contam = (
         t8_contamination(spark, sf_dir)
@@ -115,12 +141,17 @@ def curation_decision_frame(
         .select("doc_id", flag.alias("f_contamination"))
     )
 
-    decision = docs.select("doc_id")
-    for frame in (exact, near, lowq, rep, contam):
-        decision = decision.join(frame, "doc_id", "left")
-    return decision.select(
-        "doc_id",
-        *[F.coalesce(f"f_{n}", F.lit(False)).alias(f"f_{n}") for n in STAGES],
+    return (
+        flagged.join(near, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "f_exact",
+            F.coalesce("f_near", F.lit(False)).alias("f_near"),
+            "f_quality",
+            "f_repetition",
+            F.coalesce("f_contamination", F.lit(False)).alias("f_contamination"),
+        )
     )
 
 

@@ -58,13 +58,17 @@ def train_bpe(
     n_merges: int = BPE_MERGES,
     train_vocab: int = BPE_TRAIN_VOCAB,
     text_col: str = "text",
+    counts: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the weighted top-V vocabulary.
 
     Driver work is O(V · merges · avg_word_len) on the capped vocab —
-    corpus size only affects the distributed count above."""
+    corpus size only affects the distributed count above. ``counts``:
+    a precomputed :func:`word_counts` frame (e.g. persisted by the
+    caller so the encoding stage can reuse the same corpus pass as its
+    distinct vocabulary) — when None the count runs inline."""
     rows = (
-        word_counts(docs, text_col)
+        (counts if counts is not None else word_counts(docs, text_col))
         .orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(train_vocab)
         .collect()

@@ -67,7 +67,15 @@ def exact_fingerprint(col: Column) -> Column:
     """The d1 exact-dedupe fingerprint: md5 over the sorted distinct
     token set. Single Spark-side source (d1 and the curation waterfall);
     the oracle twin is ``queries/dedup.py:EXACT_FP_SQL``."""
-    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+    return exact_fingerprint_from_tokens(tokens(col))
+
+
+def exact_fingerprint_from_tokens(toks: Column) -> Column:
+    """``exact_fingerprint`` over an already-materialized token array —
+    lets a caller that carries ``tokens(text)`` as a column (the
+    curation waterfall's one-pass signal scan) fingerprint without
+    re-running the 3-regex tokenize pipeline."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
 
 
 def _ngram_join(toks: Column, n: int, distinct: bool = True) -> Column:
@@ -398,18 +406,24 @@ def connected_components(
     # plan that only caches still GROWS its logical plan every round (each
     # round's analysis re-walks the whole upstream expression tree, e.g. a
     # large LSH literal at the base) — checkpointing truncates lineage so
-    # every round analyzes a constant-size plan.
+    # every round analyzes a constant-size plan. On the fast path the
+    # checkpoints are LAZY (eager=False): materialization folds into the
+    # next round's convergence action, so a round costs ONE job instead
+    # of a checkpoint job plus a count job, and the sym/labels seeds
+    # materialize inside round 1 instead of as two upfront jobs.
     sym = loop_checkpoint(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionAll(
             edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         ),
         reliable,
+        eager=False,
     )
     labels = loop_checkpoint(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node")),
         reliable,
+        eager=False,
     )
     converged = False
     # max_iter CHANGING rounds are allowed, plus one confirming round —
@@ -445,8 +459,15 @@ def connected_components(
                 ).alias("_changed"),
             ),
             reliable,
+            eager=False,
         )
-        changed = updated.filter(F.col("_changed")).limit(1).count()
+        # Full-scan aggregate, not filter+limit: a limit(1) short-
+        # circuit may skip partitions, leaving the LAZY checkpoint only
+        # partially materialized; max(_changed) covers every partition,
+        # so this one action both persists the round's blocks and
+        # answers the convergence question.
+        row = updated.agg(F.max("_changed")).collect()[0]
+        changed = bool(row[0]) if row[0] is not None else False
         # `updated` is its own (eager) checkpoint and `changed` is
         # computed — the previous round's blocks are now garbage.
         # (reliable checkpoints live in the checkpoint dir, not executor
@@ -455,7 +476,7 @@ def connected_components(
             _free_local_checkpoint(labels_ckpt)
         labels_ckpt = updated
         labels = updated.select("node", "component")
-        if changed == 0:
+        if not changed:
             converged = True
             break
     if not reliable:

@@ -29,7 +29,7 @@ PR_DAMPING = 0.85
 PR_ITERS = 5
 
 
-def loop_checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
+def loop_checkpoint(df: DataFrame, reliable: bool = False, eager: bool = True) -> DataFrame:
     """Truncate the lineage of a loop-carried frame.
 
     ``reliable=False`` (default) uses ``localCheckpoint`` — executor-
@@ -41,10 +41,19 @@ def loop_checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
     the SparkContext checkpoint directory — point it at durable storage
     (HDFS/S3) via ``spark.sparkContext.setCheckpointDir(...)`` before
     calling; iteration state then survives executor loss at the cost of
-    one distributed-FS write per round."""
+    one distributed-FS write per round.
+
+    ``eager=False`` (fast path only) marks the frame for checkpointing
+    without running a job: materialization folds into the caller's next
+    full-scan action, halving the job count of tight driver loops. The
+    caller MUST follow up with an action that touches every partition
+    (a limit() short-circuit would leave blocks unmaterialized).
+    ``reliable`` checkpoints stay eager regardless — the durability
+    contract is that the round's state is on disk when the call
+    returns."""
     if reliable:
         return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+    return df.localCheckpoint(eager=eager)
 
 
 def pagerank(

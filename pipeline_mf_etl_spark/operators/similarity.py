@@ -373,18 +373,38 @@ def lsh_hyperplane_candidates(
     bits = F.transform(
         planes, lambda p: (dot(F.col(vec_col), p) > 0).cast("int")
     )
+    # Materialize the bit signature as a COLUMN before slicing it into
+    # band hashes: higher-order functions are CodegenFallback, and with
+    # ``bits`` inlined into the per-band lambda the whole
+    # bands×rows_per_band×dim dot-product array was re-evaluated once
+    # PER BAND per row — measured 41× redundant interpreted work (~50 s
+    # of the old 84 s chain at sf0.1). As a multi-referenced non-cheap
+    # expression, CollapseProject keeps the projection boundary, so the
+    # signature is computed exactly once per row.
+    with_bits = vectors.select(F.col(id_col).alias("_id"), bits.alias("_bits"))
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda i: F.aggregate(
-            F.slice(bits, i * rows_per_band + 1, rows_per_band),
+            F.slice(F.col("_bits"), i * rows_per_band + 1, rows_per_band),
             F.lit(0),
             lambda acc, x: acc * 2 + x,
         ),
     )
-    sig = vectors.select(
-        F.col(id_col).alias("_id"),
+    sig = with_bits.select(
+        "_id",
         F.posexplode(band_hashes).alias("band", "bhash"),
     )
+    # Explicit-count repartition on the join key (guide §2): the bucket
+    # self-join's OUTPUT (Σ C(bucket, 2) rows per bucket) dwarfs its
+    # INPUT bytes (corpus × bands narrow rows), so AQE's byte-sized
+    # coalescing — and, on the driver's single-row-group test files, the
+    # unsplittable scan itself — would run the pair generation on one
+    # task. Same byte-model-wrong rationale as island_repartition;
+    # measured at sf0.1 (d5 feed, thr 0.4): the whole chain ran 1-wide,
+    # 84 s → 7 s with the join and everything downstream 32-wide.
+    from pipeline_mf_etl_spark.functions.core import island_repartition
+
+    sig = island_repartition(sig, "band", "bhash")
 
     left = sig.select(F.col("_id").alias("a"), "band", "bhash")
     right = sig.select(F.col("_id").alias("b"), "band", "bhash")
@@ -409,13 +429,23 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: banded-LSH candidates (see
     :func:`lsh_hyperplane_candidates` for the recall/selectivity trade)
-    → exact cosine verify on candidates only. The plan contains no
-    cartesian operator at any parameterization; how far the candidate
-    volume sits below N²/2 depends on rows_per_band vs the threshold.
+    → exact cosine verify on the DISTINCT candidates only. The plan
+    contains no cartesian operator at any parameterization; how far the
+    candidate volume sits below N²/2 depends on rows_per_band vs the
+    threshold.
 
     Reference semantics: same contract as the brute-force variant —
     all (a < b) with ROUND(cos, 6) >= threshold.
-    """
+
+    Shape note (r14): an inline-verify variant (vectors carried through
+    the band join, first-colliding-band dedup predicate instead of the
+    distinct) was measured 4× SLOWER here despite one fewer exchange —
+    higher-order functions are CodegenFallback, so pushing the cosine
+    and the prefix-comparison into the join condition evaluates
+    interpreted lambdas once per RAW collision row; the narrow
+    dropDuplicates keeps the interpreted cosine at once per DISTINCT
+    candidate. The actual fix was parallelism (see the explicit-count
+    repartition in lsh_hyperplane_candidates)."""
     cand = lsh_hyperplane_candidates(
         vectors,
         threshold,

@@ -371,9 +371,12 @@ def d5_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     components iterates join+count rounds at build time."""
     from pipeline_mf_etl_spark.operators.dedupe import connected_components
     from pipeline_mf_etl_spark.operators.similarity import embedding_near_dup_pairs
+    from pipeline_mf_etl_spark.sources.readers import fan_out
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out (r14): parallelize the LSH bit-signature scan on the
+    # driver's single-row-group embeddings file (no-op at scale)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     pairs = embedding_near_dup_pairs(v, 0.4, dim=64).select("a", "b")
     cc = connected_components(pairs, reliable=_RELIABLE)

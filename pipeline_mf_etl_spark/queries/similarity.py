@@ -19,7 +19,7 @@ from pipeline_mf_etl_spark.operators.similarity import (
 )
 from pipeline_mf_etl_spark.queries.export import export_frame, export_glob
 from pipeline_mf_etl_spark.queries.registry import query
-from pipeline_mf_etl_spark.sources.readers import load_table
+from pipeline_mf_etl_spark.sources.readers import fan_out, load_table
 
 _COS = (
     "list_dot_product({a}, {b}) / "
@@ -164,8 +164,12 @@ def e3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold the exact-recall bound forces small bands, so the candidate
     stream itself approaches all pairs — the sub-quadratic regime needs
     high thresholds + wide bands (see operators/similarity.py and the
-    pruning test). Vectors are 64-dim here."""
+    pruning test). Vectors are 64-dim here. fan_out (r14): the bit-
+    signature scan is the heavy map side of this chain and the driver's
+    single-row-group embeddings file pins it to one core (no-op at
+    production split counts)."""
     v = _vectors(spark, sf_dir)
+    v = fan_out(v)
     return embedding_near_dup_pairs(v, 0.4, dim=64)
 
 

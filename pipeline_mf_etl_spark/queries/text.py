@@ -5,7 +5,7 @@ built from the same normalized-token definition as queries/dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipeline_mf_etl_spark.operators.text import (
@@ -287,30 +287,28 @@ T7_SQL = f"""
     """
 
 
-@query("t7_repetition_quality", oracle=T7_SQL)
-def t7_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition quality signals per document: distinct-token ratio and
-    the share of the single most frequent word bigram, with the
-    repetition flag a training pipeline filters on. The flag compares
-    ROUNDED values on both engines so a boundary ulp cannot flip it.
+def repetition_raw_signals(df: DataFrame) -> DataFrame:
+    """Append raw (un-rounded) repetition signals to a frame carrying a
+    materialized ``toks`` token-array column: ``n_tokens``, ``dr``
+    (distinct-token ratio) and ``tbs`` (top-bigram share). Every other
+    column passes through; ``toks`` is consumed. Single Spark-side
+    source of the t7 signal expressions, shared by t7 itself and the
+    curation waterfall's one-pass signal scan.
 
     Plan shape (r5 rewrite): the most-frequent-bigram COUNT equals the
     longest equal-run in the SORTED per-doc bigram array, so the whole
-    query is ONE shuffle-free projection — array_sort + an aggregate()
-    run-length HOF replace the previous explode → groupBy(doc_id,
-    bigram) → groupBy(doc_id) → join-back chain (three exchanges of the
-    corpus-sized bigram stream). Values are identical: max(count) =
-    max run, sum(count) = len(bigrams); the oracle keeps the groupBy
-    formulation as the independent derivation. Measured at sf0.1:
-    2.46 s → map-only."""
-    from pipeline_mf_etl_spark.operators.dedupe import _ngram_join, tokens
+    computation is a shuffle-free projection — array_sort + an
+    aggregate() run-length HOF replace the previous explode →
+    groupBy(doc_id, bigram) → groupBy(doc_id) → join-back chain (three
+    exchanges of the corpus-sized bigram stream). Values are identical:
+    max(count) = max run, sum(count) = len(bigrams); the oracle keeps
+    the groupBy formulation as the independent derivation."""
+    from pipeline_mf_etl_spark.operators.dedupe import _ngram_join
 
-    docs = load_table(spark, sf_dir, "documents")
+    others = [c for c in df.columns if c != "toks"]
     n = F.size("toks")
-    base = docs.select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    ).select(
-        "doc_id",
+    base = df.select(
+        *others,
         n.cast("long").alias("n_tokens"),
         F.when(n > 0, F.size(F.array_distinct("toks")) * 1.0 / n)
         .otherwise(1.0)
@@ -330,22 +328,42 @@ def t7_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc -> acc.best)
         """
     )
-    scored = base.select(
-        "doc_id",
+    return base.select(
+        *others,
         "n_tokens",
         "dr",
         F.when(F.size("bgs") > 0, best_run * 1.0 / F.size("bgs"))
         .otherwise(0.0)
         .alias("tbs"),
     )
-    tbs_r = F.round(F.col("tbs"), 6)
-    dr_r = F.round(F.col("dr"), 6)
+
+
+def repetition_flag(dr: Column | None = None, tbs: Column | None = None) -> Column:
+    """The t7 ``is_repetitive`` decision over the raw signals — rounded
+    on BOTH engines before comparing so a boundary ulp cannot flip it."""
+    dr_r = F.round(dr if dr is not None else F.col("dr"), 6)
+    tbs_r = F.round(tbs if tbs is not None else F.col("tbs"), 6)
+    return (tbs_r > _T7_TBS_THR) | (dr_r < _T7_DR_THR)
+
+
+@query("t7_repetition_quality", oracle=T7_SQL)
+def t7_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per document: distinct-token ratio and
+    the share of the single most frequent word bigram, with the
+    repetition flag a training pipeline filters on (signal expressions:
+    :func:`repetition_raw_signals` / :func:`repetition_flag`)."""
+    from pipeline_mf_etl_spark.operators.dedupe import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = repetition_raw_signals(
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    )
     return scored.select(
         "doc_id",
         "n_tokens",
-        dr_r.alias("distinct_token_ratio"),
-        tbs_r.alias("top_bigram_share"),
-        ((tbs_r > _T7_TBS_THR) | (dr_r < _T7_DR_THR)).alias("is_repetitive"),
+        F.round(F.col("dr"), 6).alias("distinct_token_ratio"),
+        F.round(F.col("tbs"), 6).alias("top_bigram_share"),
+        repetition_flag().alias("is_repetitive"),
     )
 
 
@@ -851,26 +869,47 @@ def _t12_oracle() -> str:
     """
 
 
+# The most recent word-count persist handed to t12's LAZY result plan —
+# the returned frame references it, so the query can never unpersist it
+# itself. Each new invocation evicts the previous entry (same one-slot
+# pattern as queries/dedup._LAZY_SHINGLE_CACHE).
+_T12_WC_CACHE: list[DataFrame] = []
+
+
 @query("t12_bpe_tokenize", eager=True, oracle=_t12_oracle())
 def t12_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BPE token stats under a tokenizer TRAINED on this corpus
     (operators/bpe.py): n_words and n_bpe_tokens after 12 learned
     merges. EAGER: the distributed word count + driver merge loop run
-    at build time and the merge list persists for the oracle replay."""
+    at build time and the merge list persists for the oracle replay.
+
+    Plan shape (r14 — guide §1.2 "remove redundant passes"): the
+    word-count frame the trainer reduces is PERSISTED and reused as the
+    encoder's distinct vocabulary — its groupBy(word) already IS the
+    corpus-wide distinct, so the previous ``words.distinct()`` branch
+    (a third tokenize+explode of the corpus plus its own all-word
+    exchange) drops out of the plan. The corpus is now tokenized twice
+    per run (trainer reduce at build, per-doc stats at exec), down
+    from three times."""
     from pipeline_mf_etl_spark.operators.bpe import (
         merges_frame,
         train_bpe,
         word_bpe_lengths,
+        word_counts,
     )
     from pipeline_mf_etl_spark.operators.dedupe import tokens as _tok
     from pipeline_mf_etl_spark.queries.export import export_frame
 
+    while _T12_WC_CACHE:
+        _T12_WC_CACHE.pop().unpersist()
     docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(docs)
+    wc = word_counts(docs).persist()
+    _T12_WC_CACHE.append(wc)
+    merges = train_bpe(docs, counts=wc)
     export_frame(merges_frame(spark, merges), spark, sf_dir, "t12_merges")
 
     words = docs.select("doc_id", F.explode(_tok(F.col("text"))).alias("word"))
-    lens = word_bpe_lengths(words.select("word").distinct(), merges)
+    lens = word_bpe_lengths(wc.select("word"), merges)
     return (
         words.join(F.broadcast(lens), "word")
         .groupBy("doc_id")
