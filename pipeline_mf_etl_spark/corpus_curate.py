@@ -81,9 +81,18 @@ def curation_decision_frame(
         t8_contamination,
     )
 
+    from pipeline_mf_etl_spark.sources.readers import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
 
-    base = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    # fan_out (r14): the signal scan's tokenize + bigram HOF work vs the
+    # driver's single-row-group documents file (no-op at production
+    # splits). The near/contam branches and the cluster ranking join the
+    # UNfanned docs frame — their doc scans are join/explode-shuffled
+    # anyway.
+    base = fan_out(docs).select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
     pre = base.select(
         "doc_id",
         exact_fingerprint_from_tokens(F.col("toks")).alias("fingerprint"),

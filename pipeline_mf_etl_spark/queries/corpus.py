@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pipeline_mf_etl_spark.operators.dedupe import md5_unit
 from pipeline_mf_etl_spark.queries.dedup import _TOKS as _DOC_TOKS
 from pipeline_mf_etl_spark.queries.registry import query
-from pipeline_mf_etl_spark.sources.readers import load_table
+from pipeline_mf_etl_spark.sources.readers import fan_out, load_table
 
 # Scrub patterns, applied in fixed order; identical RE2-compatible
 # syntax on both engines. The email/number patterns are the classic PII
@@ -68,7 +68,9 @@ def t6_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: redacted-text md5 + per-doc replacement counts, derived from
     token-length deltas with literal replace so both engines count the
     same way."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): the scrub regex chain is heavy scan-side map work
+    # vs the driver's single-row-group file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     cleaned = docs.select("doc_id", scrub_text(F.col("text")).alias("clean"))
     n_email = (
         (F.length("clean") - F.length(F.replace("clean", F.lit("<EMAIL>"), F.lit("")))) / 7

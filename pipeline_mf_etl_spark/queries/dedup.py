@@ -27,7 +27,7 @@ from pipeline_mf_etl_spark.operators.dedupe import (
 )
 from pipeline_mf_etl_spark.config import load_settings
 from pipeline_mf_etl_spark.queries.registry import query
-from pipeline_mf_etl_spark.sources.readers import load_table
+from pipeline_mf_etl_spark.sources.readers import fan_out, load_table
 
 #: cluster deployments flip graph.reliable_checkpoints in settings.yaml
 #: (after setCheckpointDir to durable storage) — no code edit needed.
@@ -93,7 +93,9 @@ def d1_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedupe: md5 over sorted distinct token set, keep min doc_id."""
     from pipeline_mf_etl_spark.operators.dedupe import exact_fingerprint
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/shingle map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     fp = docs.select("doc_id", exact_fingerprint(F.col("text")).alias("fingerprint"))
     return (
         fp.groupBy("fingerprint")
@@ -243,7 +245,9 @@ def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered query never reads the SPARK_GRAFT_LSH_MAX_BUCKET knob, so
     a scale-probe env var left set in a shell cannot silently shrink its
     pair set. The capped regime lives in ``d2_minhash_lsh_capped``."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/shingle map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return _verified_pairs(docs).select(
         "a", "b", _r(F.col("jaccard")).alias("jaccard")
     )
@@ -257,7 +261,9 @@ def d2_minhash_lsh_capped(
     cap (explicit ``max_bucket`` arg, else the SPARK_GRAFT_LSH_MAX_BUCKET
     env knob). scripts/scale_probe.py routes its flood leg here so the
     registered d2 stays env-immune."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/shingle map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return _verified_pairs(docs, max_bucket=max_bucket, allow_env_cap=True).select(
         "a", "b", _r(F.col("jaccard")).alias("jaccard")
     )
@@ -288,7 +294,9 @@ def d2_minhash_lsh_capped(
 )
 def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document via declarative bit-vote aggregation."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/shingle map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return simhash32(docs, "doc_id", "text").select(
         "doc_id", F.col("simhash").cast("long").alias("simhash")
     )
@@ -317,7 +325,9 @@ def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (threshold 0.8), inverted-index join."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/shingle map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     sh = exploded_shingles(docs, "doc_id", "text", n=3)
     return (
         all_pairs_jaccard(sh, "doc_id")
@@ -472,7 +482,9 @@ def verified_pairs_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "d2_pairs"
     if have_export(sf_dir, name):
         return read_export(spark, sf_dir, name)
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/shingle map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     verified, sh = _verified_pairs(docs, return_shingles=True)
     out = export_frame(verified.select("a", "b", "jaccard"), spark, sf_dir, name)
     sh.unpersist()
@@ -539,7 +551,9 @@ def d6_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     row of ``ranked_neardup_clusters`` per group (see that helper for
     semantics and scale shape). EAGER: connected components iterates
     join+count rounds at build time."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/shingle map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     ranked = ranked_neardup_clusters(docs, pairs=verified_pairs_export(spark, sf_dir))
     return ranked.filter(F.col("rk") == 1).select(
         "group_id",
@@ -616,7 +630,9 @@ def d8_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1/t9's model side."""
     from pipeline_mf_etl_spark.operators.dedupe import _ngram_join, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/shingle map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     sp = tok.select(
         "doc_id",
@@ -786,7 +802,9 @@ def d11_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ones the symmetric Jaccard-0.5 gate would have missed (D11).
     The oracle is candidate-free (all pairs sharing a shingle), so a
     hash match certifies the prefix filter dropped no qualifying pair."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/shingle map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     # one-slot shingle cache discipline (see _LAZY_SHINGLE_CACHE): evict
     # the previous lazy holder BEFORE persisting, never after
     while _LAZY_SHINGLE_CACHE:

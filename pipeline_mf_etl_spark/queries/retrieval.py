@@ -23,7 +23,7 @@ from pipeline_mf_etl_spark.operators.retrieval import (
 )
 from pipeline_mf_etl_spark.queries.registry import query
 from pipeline_mf_etl_spark.queries.text import _TOKS
-from pipeline_mf_etl_spark.sources.readers import load_table
+from pipeline_mf_etl_spark.sources.readers import fan_out, load_table
 
 # fixed retrieval workload: clean lowercase single-space strings, so the
 # shared tokenizer yields exactly these words on both engines. The
@@ -87,8 +87,11 @@ _BM25_CTES = f"""
 def r1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-5 docs for a fixed 4-query lexical workload
     (operators/retrieval.py:bm25_topk — broadcast query-term semi-join
-    over one-shuffle inverted-index postings)."""
-    docs = load_table(spark, sf_dir, "documents")
+    over one-shuffle inverted-index postings). fan_out (r14): the
+    postings tokenize+explode is the heavy map side and the driver's
+    single-row-group documents file pins it to one core (no-op at
+    production split counts)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     queries = spark.createDataFrame(list(_QUERIES), "query_id long, qtext string")
     return bm25_topk(docs, queries, k=5)
 
@@ -149,7 +152,7 @@ def r2_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides of the oracle)."""
     from pipeline_mf_etl_spark.operators.similarity import brute_force_topk
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))  # fan_out: r14, see r1
     queries = spark.createDataFrame(list(_QUERIES), "query_id long, qtext string")
     sparse = bm25_topk(docs, queries, k=20)
 

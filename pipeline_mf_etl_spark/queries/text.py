@@ -78,7 +78,9 @@ def t1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     run the regex pipeline once per language)."""
     from pipeline_mf_etl_spark.operators.dedupe import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/explode map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
     scores = t.select(
         "doc_id",
@@ -145,7 +147,9 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pipeline_mf_etl_spark.operators.text import rounded_quality
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/explode map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
     n_tok = token_count(F.col("toks"))
     mtl = mean_token_len(F.col("toks"))
@@ -176,7 +180,9 @@ def t3_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequencies + document frequency, top-20."""
     from pipeline_mf_etl_spark.operators.dedupe import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/explode map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     return (
         t.groupBy("term")
@@ -201,7 +207,9 @@ def t3_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc normalized-text fingerprint."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/explode map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"), "n_chars")
 
 
@@ -232,7 +240,9 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t5_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counts + average word length per document (T5)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/explode map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     lowered = docs.select("doc_id", F.lower("text").alias("lt"))
     t = lowered.select(
         "doc_id",
@@ -354,7 +364,9 @@ def t7_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`repetition_raw_signals` / :func:`repetition_flag`)."""
     from pipeline_mf_etl_spark.operators.dedupe import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/explode map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     scored = repetition_raw_signals(
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     )
@@ -406,7 +418,9 @@ def t8_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (decontamination step of a training-data pipeline)."""
     from pipeline_mf_etl_spark.operators.dedupe import exploded_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/explode map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     grams = exploded_shingles(docs, "doc_id", "text", n=3)
     bench = F.broadcast(
         grams.filter(F.col("doc_id") % 97 == 0)
@@ -660,7 +674,9 @@ def t10_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-source-of-truth semantics, same trade as the d7 waterfall —
     then one tiny groupBy(source); the oracle composes the t2/t7
     oracle SELECTs verbatim."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/explode map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     q = t2_quality_score(spark, sf_dir).select("doc_id", "quality")
     r = t7_repetition_quality(spark, sf_dir).select("doc_id", "is_repetitive")
     per_doc = docs.select("doc_id", "source").join(q, "doc_id").join(r, "doc_id")
@@ -759,7 +775,9 @@ def t11_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines so a boundary ulp cannot flip a rule."""
     from pipeline_mf_etl_spark.operators.dedupe import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/explode map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
     n = F.size("toks")
     best_run = F.expr(
@@ -902,7 +920,9 @@ def t12_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     while _T12_WC_CACHE:
         _T12_WC_CACHE.pop().unpersist()
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/explode map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     wc = word_counts(docs).persist()
     _T12_WC_CACHE.append(wc)
     merges = train_bpe(docs, counts=wc)
@@ -991,7 +1011,9 @@ def t14_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy + a broadcast of the (tiny) frequent set — the CCNet-style
     curation stage between doc-level dedup (d1) and quality scoring
     (t2)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r14): tokenize/explode map work vs the driver's
+    # single-row-group documents file (no-op at production splits)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     w = F.split(F.col("text"), " ")
     n_lines = F.ceil(F.size("w") / float(_T14_LINE_WORDS)).cast("long")
     lines = (

@@ -263,10 +263,13 @@ def test_trigram_lm_jvm_broadcast_shape(spark):
 def test_repetition_quality_shuffle_free(spark):
     """t7 is ONE map-only projection: the top-bigram share comes from a
     run-length HOF over the sorted per-doc bigram array, so the plan
-    contains no Exchange and no join at all (the r4 shape exchanged the
-    corpus-sized bigram stream three times)."""
+    contains no per-key shuffle and no join at all (the r4 shape
+    exchanged the corpus-sized bigram stream three times). The only
+    allowed exchange is fan_out's small-input RoundRobin split (r14 —
+    absent at production split counts)."""
     plan = _plan(spark, "t7_repetition_quality")
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
     assert "Join" not in plan, plan
 
 
@@ -311,10 +314,13 @@ def test_image_decode_map_only(spark):
 def test_gopher_rules_shuffle_free(spark):
     """t11 is ONE map-only projection: every rule derives from the
     per-doc token array (top-token share via the sorted-run HOF), so
-    the plan has no Exchange and no join — the whole battery scales
-    like a scan."""
+    the plan has no per-key shuffle and no join — the whole battery
+    scales like a scan. The only allowed exchange is fan_out's
+    small-input RoundRobin split (r14 — absent at production split
+    counts)."""
     plan = _plan(spark, "t11_gopher_rules")
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
     assert "Join" not in plan, plan
 
 
