@@ -36,6 +36,19 @@ from pipeline_mf_etl_spark.operators.dedupe import tokens
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# The most recent postings (tf) persist handed to a LAZY caller
+# (r1 / r2) — those callers return an unexecuted plan, so they can
+# never unpersist it themselves. Each new invocation evicts the
+# previous entry, bounding pinned executor memory to ONE postings
+# table per session instead of one per query run (same one-slot
+# discipline as operators/dedupe's shingle cache). The cache is
+# PER-INVOCATION: every call to bm25_topk rebuilds the frame from its
+# inputs; the persist only dedupes the tokenize→explode→groupBy
+# subtree WITHIN one invocation's plan (it feeds candidate pruning,
+# doc lengths, document frequencies and the avgdl scalar — four
+# instantiations of the corpus explode without it; guide §5 caching).
+_LAZY_POSTINGS_CACHE: list[DataFrame] = []
+
 
 def build_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Inverted-index postings: one row per (doc, term) with the term
@@ -73,9 +86,17 @@ def bm25_topk(
     # so full-corpus postings never cross a doc_id exchange — pre-r14
     # the join ran on the unpruned postings and re-shuffled every
     # (doc, term) row only to drop non-query terms immediately above
-    # (guide §2.3: filter before the exchange).
+    # (guide §2.3: filter before the exchange). tf feeds FOUR branches
+    # (query-term prune, doc lengths → candidates, doc lengths → avgdl,
+    # document frequencies), so without a persist the corpus
+    # tokenize+explode+groupBy subtree is instantiated once per branch
+    # — persist it so the one corpus pass runs once (one-slot eviction
+    # cache, see _LAZY_POSTINGS_CACHE above).
+    while _LAZY_POSTINGS_CACHE:
+        _LAZY_POSTINGS_CACHE.pop().unpersist()
     tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
+    _LAZY_POSTINGS_CACHE.append(tf)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
 
     qterms = queries.select(

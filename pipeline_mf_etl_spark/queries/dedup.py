@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_mf_etl_spark.operators.dedupe import (
@@ -577,6 +577,15 @@ def d6_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D8_N = 8
 _D8_DF = 2
 
+# One-slot eviction cache for d8's span frame (same discipline as
+# _LAZY_SHINGLE_CACHE): the spans feed the duplicated-gram count, the
+# flag join probe side and (via flagged) the coverage/count branches,
+# so without a persist the corpus tokenize + 8-gram build is
+# instantiated three times per plan (plus a fourth tokenize for the
+# per-doc length branch). d8 returns a LAZY plan, so the persist is
+# parked here and evicted by the next invocation (guide §5 caching).
+_LAZY_SPAN_CACHE: list[DataFrame] = []
+
 
 @query(
     "d8_substring_dedup",
@@ -619,53 +628,74 @@ def d8_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-token spans occurring in >= 2 distinct documents, and the token
     coverage of their unioned windows.
 
-    Plan shape: span generation is the shifted-zip n-gram build (no
-    per-index slicing) + one posexplode; the duplicated-gram set is ONE
-    groupBy(gram) with map-side partials; flagging is an equi-join of
-    spans against that set; coverage is a bounded 8-way position
-    explode over FLAGGED spans only (dup density, not corpus size,
-    prices it) + one distinct + one groupBy(doc_id). Nothing is
-    quadratic, no cartesian anywhere; the heavy key (gram strings)
-    is exchanged once for the frequency count, the same cost class as
-    d1/t9's model side."""
+    Plan shape (r14 rewrite): span generation is the shifted-zip n-gram
+    build (no per-index slicing) + one posexplode over a persisted
+    token frame; the duplicated-span flag is ONE window over gram
+    (min(doc_id) != max(doc_id) ⇔ >= 2 distinct docs — the heavy gram
+    strings cross exactly one exchange, where the previous
+    groupBy(gram) + join-back crossed two); coverage AND span counts
+    come from ONE aggregation over the bounded 8-way position explode
+    of FLAGGED spans only (dup density, not corpus size, prices it):
+    n_dup = COUNT(DISTINCT i), n_cov = COUNT(DISTINCT p). Nothing is
+    quadratic, no cartesian anywhere."""
     from pipeline_mf_etl_spark.operators.dedupe import _ngram_join, tokens
 
     # fan_out (r14): tokenize/shingle map work vs the driver's
     # single-row-group documents file (no-op at production splits)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # persist the token frame: it feeds the span/window branch AND the
+    # per-doc length branch — one corpus tokenize instead of two (the
+    # pinned frame is doc-grain token arrays, the same cost class as
+    # d2's persisted shingle explode; one-slot eviction cache above)
+    while _LAZY_SPAN_CACHE:
+        _LAZY_SPAN_CACHE.pop().unpersist()
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks")).persist()
+    _LAZY_SPAN_CACHE.append(tok)
     sp = tok.select(
         "doc_id",
         F.posexplode(_ngram_join(F.col("toks"), _D8_N, distinct=False)).alias(
             "pos0", "gram"
         ),
     ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gram")
-    dup = (
-        sp.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= _D8_DF)
-        .select("gram")
+    # duplicated-gram flag as ONE window over gram instead of
+    # groupBy(gram) + equi-join back (r14, guide §2.4 "share one
+    # exchange"): df >= 2 DISTINCT docs  ⇔  min(doc_id) != max(doc_id)
+    # within the gram partition, so the heavy gram strings cross one
+    # exchange (the window sort) instead of two (agg + join probe).
+    wg = Window.partitionBy("gram")
+    flagged = (
+        sp.withColumn("_mn", F.min("doc_id").over(wg))
+        .withColumn("_mx", F.max("doc_id").over(wg))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "i")
     )
-    flagged = sp.join(dup, "gram").select("doc_id", "i")
-    cover = (
+    # coverage + span count in ONE aggregation (r14): from the exploded
+    # (doc_id, i, p) window positions, n_dup = COUNT(DISTINCT i) (i is
+    # unique per doc in sp by construction, so this equals the flagged-
+    # span count) and n_cov = COUNT(DISTINCT p) — replacing the previous
+    # explode+distinct+groupBy AND separate groupBy branches (three
+    # doc_id aggregations + two plan instantiations of flagged) with one
+    # pass.
+    stats = (
         flagged.select(
-            "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (_D8_N - 1))).alias("p")
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_cov"))
-    )
-    fc = flagged.groupBy("doc_id").agg(F.count("*").alias("n_dup"))
-    n = F.size("toks")
-    per_doc = (
-        tok.select(
             "doc_id",
-            n.cast("long").alias("n_tokens"),
-            F.greatest(n - (_D8_N - 1), F.lit(0)).cast("long").alias("n_spans"),
+            "i",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (_D8_N - 1))
+            ).alias("p"),
         )
-        .join(fc, "doc_id", "left")
-        .join(cover, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("i").alias("n_dup"),
+            F.countDistinct("p").alias("n_cov"),
+        )
     )
+    n = F.size("toks")
+    per_doc = tok.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.greatest(n - (_D8_N - 1), F.lit(0)).cast("long").alias("n_spans"),
+    ).join(stats, "doc_id", "left")
     return per_doc.select(
         "doc_id",
         "n_tokens",
