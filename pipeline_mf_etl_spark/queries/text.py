@@ -580,6 +580,10 @@ def t9_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _T13_Q = (0.3333333333333333, 0.6666666666666666)
 
+# One-slot eviction cache for t13's persisted t9-score frame (lazy
+# caller — see _T8_GRAM_CACHE for the discipline).
+_T13_SCORE_CACHE: list[DataFrame] = []
+
 
 @query(
     "t13_perplexity_buckets",
@@ -624,7 +628,17 @@ def t13_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row frame) and a map-only bucket assignment — the distributed
     shape of CCNet's perplexity bucketing. Higher mean log-prob =
     lower perplexity = head."""
-    scores = t9_trigram_lm(spark, sf_dir).select("doc_id", "mean_logprob")
+    # persist the t9 score frame (doc-grain, two columns — tiny): it
+    # feeds BOTH the tercile aggregate and the bucket projection, and
+    # without the persist each reference re-instantiates t9's whole
+    # trigram plan (two corpus-sized character explodes per copy).
+    # One-slot eviction cache, same discipline as _T12_WC_CACHE.
+    while _T13_SCORE_CACHE:
+        _T13_SCORE_CACHE.pop().unpersist()
+    scores = (
+        t9_trigram_lm(spark, sf_dir).select("doc_id", "mean_logprob").persist()
+    )
+    _T13_SCORE_CACHE.append(scores)
     thr = scores.agg(
         F.expr(
             f"percentile(mean_logprob, array({_T13_Q[0]!r}D, {_T13_Q[1]!r}D))"

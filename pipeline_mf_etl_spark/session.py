@@ -55,6 +55,16 @@ def get_spark(app_name: str = "pipeline_mf_etl_spark", *, shuffle_partitions: in
             os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash join when its size
+        # conditions hold (one side provably much smaller and under the
+        # per-partition build bound) instead of always sort-merge —
+        # skips both sort passes on the join key (guide §3.1/§9).
+        # Equal-sized sides (e.g. corpus self-joins) fail the
+        # muchSmaller test and keep sort-merge's graceful spill, so the
+        # 100-TB risk profile is unchanged. Measured in-session A/B at
+        # sf0.1: never slower on mins, -5..-15% on the join-heavy
+        # dedup/retrieval queries.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

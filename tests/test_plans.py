@@ -113,9 +113,13 @@ def test_salted_agg_two_stages(spark):
 
 
 def test_bucketed_join_no_shuffle(spark):
-    """Two tables bucketed on the join key must sort-merge-join with NO
-    hash exchange — the bucketing layout replaces the nightly 100 TB
-    shuffle. (Broadcast disabled so the plan can't cheat.)"""
+    """Two tables bucketed on the join key must join with NO hash
+    exchange — the bucketing layout replaces the nightly 100 TB
+    shuffle. Either shuffle-join strategy is acceptable (with
+    preferSortMergeJoin=false the planner picks shuffled-hash when the
+    small side fits, sort-merge otherwise — both consume the bucketed
+    distribution exchange-free); broadcast is disabled so the plan
+    can't cheat."""
     from pipeline_mf_etl_spark.sources.readers import load_table
     from pipeline_mf_etl_spark.sources.writers import write_bucketed
 
@@ -130,7 +134,7 @@ def test_bucketed_join_no_shuffle(spark):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         joined = spark.table("ev_bkt").join(spark.table("usr_bkt"), "user_id")
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
         assert "Exchange hashpartitioning" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
