@@ -328,7 +328,14 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out (r14): tokenize/shingle map work vs the driver's
     # single-row-group documents file (no-op at production splits)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = exploded_shingles(docs, "doc_id", "text", n=3)
+    # persist the shingle explode (r14): all_pairs_jaccard references it
+    # four times (self-join both sides + two size joins), so without the
+    # persist the corpus tokenize+explode is instantiated once per
+    # reference. One-slot eviction discipline shared with d2/o11.
+    while _LAZY_SHINGLE_CACHE:
+        _LAZY_SHINGLE_CACHE.pop().unpersist()
+    sh = exploded_shingles(docs, "doc_id", "text", n=3).persist()
+    _LAZY_SHINGLE_CACHE.append(sh)
     return (
         all_pairs_jaccard(sh, "doc_id")
         .filter(F.col("jaccard") >= 0.8)

@@ -266,6 +266,12 @@ _M17_EPOCH = "2024-01-01"
 _M17_WIN_DAYS = 10
 
 
+# One-slot eviction cache for m17's persisted per-window transition
+# counts (lazy caller — same discipline as queries/dedup's shingle
+# cache: evict before persisting the new frame).
+_M17_LOC_CACHE: list[DataFrame] = []
+
+
 @query(
     "m17_frobenius_stability",
     oracle=f"""
@@ -318,7 +324,20 @@ def m17_frobenius_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("from_state").isNotNull())
     )
-    loc = tr.groupBy("win", "from_state", "to_state").agg(F.count("*").alias("cnt"))
+    # persist the per-window transition counts (r14): loc feeds the
+    # local probabilities, the global matrix fold AND the per-window
+    # totals — three references, each of which would otherwise re-run
+    # the full event scan + lag window. The pinned frame is
+    # (win × state × state) rows, tiny by construction. One-slot
+    # eviction cache (lazy caller — _M17_LOC_CACHE above).
+    while _M17_LOC_CACHE:
+        _M17_LOC_CACHE.pop().unpersist()
+    loc = (
+        tr.groupBy("win", "from_state", "to_state")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    _M17_LOC_CACHE.append(loc)
     wf = Window.partitionBy("win", "from_state")
     locp = loc.select(
         "win", "from_state", "to_state", (F.col("cnt") / F.sum("cnt").over(wf)).alias("p")
