@@ -445,7 +445,7 @@ def _o11_oracle() -> str:
     """
 
 
-@query("o11_split_leakage", oracle=_o11_oracle())
+@query("o11_split_leakage", eager=True, oracle=_o11_oracle())
 def o11_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup leakage matrix over a deterministic 80/10/10 split:
     every verified MinHash near-dup pair is mapped to the unordered
@@ -454,8 +454,13 @@ def o11_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     train↔test cells leak a held-out document into training, and the
     val↔test cell couples the two eval sets. Plan shape: the split column is a pure projection on the
     hash key, pairs come from the d2 chain (equi-joins only), and the
-    matrix is a tiny groupBy — nothing beyond d2's own cost."""
-    from pipeline_mf_etl_spark.queries.dedup import _verified_pairs
+    matrix is a tiny groupBy — nothing beyond d2's own cost. EAGER
+    (r14): consumes the persisted pair export like d6/d7/d9 — the
+    MinHash chain is computed at most once per (process, sf) across
+    every pair-set consumer instead of re-running inline here; the
+    export content is exactly the chain's output, so the oracle's
+    full-chain SQL replay is unchanged."""
+    from pipeline_mf_etl_spark.queries.dedup import verified_pairs_export
 
     docs = load_table(spark, sf_dir, "documents")
     u = md5_unit(F.col("doc_id"), "split:")
@@ -466,7 +471,7 @@ def o11_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
-    pairs = _verified_pairs(docs).select("a", "b")
+    pairs = verified_pairs_export(spark, sf_dir).select("a", "b")
     joined = pairs.join(
         splits.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a")), "a"
     ).join(
