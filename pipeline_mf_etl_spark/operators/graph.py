@@ -200,6 +200,12 @@ def total_order_rank(
     )
 
 
+# One-slot eviction cache for triangle_stats' persisted degree and
+# oriented-edge frames (lazy caller — evict before persisting, same
+# discipline as queries/dedup._LAZY_SHINGLE_CACHE).
+_LAZY_TRIANGLE_CACHE: list[DataFrame] = []
+
+
 def triangle_stats(pairs: DataFrame) -> DataFrame:
     """Exact triangle count + global clustering coefficient over an
     undirected edge list (columns a, b; a<b, distinct, no self-loops).
@@ -215,10 +221,21 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     the corpus cannot blow up the join. Equi-joins only; one-row
     output (n_nodes, n_edges, n_wedges, n_triangles, clustering_coeff).
     """
+    # persist deg and oriented (r14): deg feeds both endpoint joins and
+    # the wedge/node aggregate (3 references), oriented feeds both wedge
+    # legs and the closing join (3 references) — without the persists
+    # each reference re-instantiates its whole upstream subtree, 18
+    # scans of the pair set per run instead of 4. At corpus scale the
+    # pair set is d2's full output, so the persists trade bounded
+    # executor memory (node-grain degrees + edge-grain oriented edges)
+    # for two fewer full recomputations of the degree joins.
+    while _LAZY_TRIANGLE_CACHE:
+        _LAZY_TRIANGLE_CACHE.pop().unpersist()
     und = pairs.select(F.col("a").alias("node")).unionAll(
         pairs.select(F.col("b").alias("node"))
     )
-    deg = und.groupBy("node").agg(F.count("*").alias("deg"))
+    deg = und.groupBy("node").agg(F.count("*").alias("deg")).persist()
+    _LAZY_TRIANGLE_CACHE.append(deg)
     e = (
         pairs.join(
             deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a"
@@ -233,7 +250,8 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
-    )
+    ).persist()
+    _LAZY_TRIANGLE_CACHE.append(oriented)
     x = oriented.select("u", F.col("v").alias("p"), F.col("deg_v").alias("deg_p"))
     y = oriented.select("u", F.col("v").alias("q"), F.col("deg_v").alias("deg_q"))
     wedges = x.join(y, "u").filter(
