@@ -210,6 +210,24 @@ def main() -> None:
     # JIT surface — warm it so e1 measures the scoring plan, not codegen
     _force(specs["e1_ann_bruteforce"].spark(spark, "/root/testdata/sf0.001"))
 
+    # Pair-export cost visibility (r14 verdict task 2): the MinHash
+    # verified-pair export is computed at most once per (process, sf)
+    # and consumed by d7/g1 (HEADLINE) plus d6/d9/o11/g2/g3 — inside the
+    # timed loop, run 1 of the FIRST consumer paid the whole chain +
+    # parquet round-trip and min-of-3 then structurally excluded the
+    # most expensive subplan in the repo from every published number.
+    # Build it once HERE, timed, and publish the cost as its own field
+    # ("export_build_sec" in the final JSON): every d7/g1 sample now
+    # times the consumer's own plan (as min-of-3 already effectively
+    # did), and the chain's real cost is visible instead of buried in a
+    # discarded max. The export is still computed fresh from the
+    # parquet inputs by THIS process — nothing crosses invocations.
+    from pipeline_mf_etl_spark.queries.dedup import verified_pairs_export
+
+    t0 = time.perf_counter()
+    verified_pairs_export(spark, sf_dir)
+    export_build_sec = round(time.perf_counter() - t0, 3)
+
     # Three timed executions per query, keep the MIN (timeit-style): on
     # a shared box single-shot numbers swing ±30% with unrelated load;
     # the min is the cleanest estimate of the plan's actual cost.
@@ -442,6 +460,9 @@ def main() -> None:
         "calib_shuffle_window_sec": round(calib_sw, 3),
         "calib_range_sum_median_sec": round(calib_median, 3),
         "calib_shuffle_window_median_sec": round(calib_sw_median, 3),
+        # once-per-(process, sf) MinHash pair-export chain, built before
+        # the timed loop — the cost d7/g1's min-of-3 amortizes away
+        "export_build_sec": export_build_sec,
         "comparable_14_total": comparable_14_total,
         "comparable_31_total": comparable_31_total,
         "comparable_48_total": comparable_48_total,

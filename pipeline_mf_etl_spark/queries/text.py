@@ -387,13 +387,14 @@ def t7_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _T8_THR = 0.05
 
-# One-slot eviction cache for t8's gram explode (same discipline as
-# queries/dedup._LAZY_SHINGLE_CACHE): the exploded shingles feed BOTH
-# the benchmark branch (doc_id % 97 == 0, collected into the broadcast)
-# and the scored branch — without a persist the corpus tokenize +
-# 3-gram explode is instantiated once per branch. t8 returns a LAZY
-# plan, so the persist is parked here and evicted next invocation.
-_T8_GRAM_CACHE: list[DataFrame] = []
+# t8's gram explode is persisted in queries/dedup._LAZY_SHINGLE_CACHE —
+# the SAME one-slot list d2/d4/d11 use — because its frame is the same
+# ANALYZED PLAN as their shingle explode (exploded_shingles over
+# fan_out(documents), n=3) and Spark's cache manager keys entries by
+# analyzed plan, not object identity: with two separate lists, evicting
+# one silently unpersisted the other's parked entry whenever the
+# queries alternated (r14 ADVICE). One shared list means one persisted
+# corpus explode session-wide, evicted exactly once per new holder.
 
 
 T8_SQL = f"""
@@ -425,16 +426,19 @@ def t8_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct 3-gram overlap with the benchmark set exceeds the
     threshold (decontamination step of a training-data pipeline)."""
     from pipeline_mf_etl_spark.operators.dedupe import exploded_shingles
+    from pipeline_mf_etl_spark.queries.dedup import _LAZY_SHINGLE_CACHE
 
     # fan_out (r14): tokenize/explode map work vs the driver's
     # single-row-group documents file (no-op at production splits)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     # persist the gram explode: one corpus tokenize+explode instead of
-    # two (benchmark branch + scored branch; one-slot cache above)
-    while _T8_GRAM_CACHE:
-        _T8_GRAM_CACHE.pop().unpersist()
+    # two (benchmark branch + scored branch). Parked in the SHARED
+    # one-slot shingle cache — same analyzed plan as d2/d4/d11's
+    # shingle explode (see the aliasing note above).
+    while _LAZY_SHINGLE_CACHE:
+        _LAZY_SHINGLE_CACHE.pop().unpersist()
     grams = exploded_shingles(docs, "doc_id", "text", n=3).persist()
-    _T8_GRAM_CACHE.append(grams)
+    _LAZY_SHINGLE_CACHE.append(grams)
     bench = F.broadcast(
         grams.filter(F.col("doc_id") % 97 == 0)
         .select(F.col("shingle").alias("gram"))
@@ -581,7 +585,8 @@ def t9_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T13_Q = (0.3333333333333333, 0.6666666666666666)
 
 # One-slot eviction cache for t13's persisted t9-score frame (lazy
-# caller — see _T8_GRAM_CACHE for the discipline).
+# caller — see queries/dedup._LAZY_SHINGLE_CACHE for the discipline;
+# this frame's plan aliases nothing, so a private list is safe).
 _T13_SCORE_CACHE: list[DataFrame] = []
 
 

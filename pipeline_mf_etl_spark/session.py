@@ -56,15 +56,23 @@ def get_spark(app_name: str = "pipeline_mf_etl_spark", *, shuffle_partitions: in
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Let the planner pick shuffled-hash join when its size
-        # conditions hold (one side provably much smaller and under the
+        # conditions hold (one side estimated much smaller and under the
         # per-partition build bound) instead of always sort-merge —
         # skips both sort passes on the join key (guide §3.1/§9).
-        # Equal-sized sides (e.g. corpus self-joins) fail the
-        # muchSmaller test and keep sort-merge's graceful spill, so the
-        # 100-TB risk profile is unchanged. Measured in-session A/B at
-        # sf0.1: never slower on mins, -5..-15% on the join-heavy
-        # dedup/retrieval queries.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Measured in-session A/B at sf0.1: never slower on mins,
+        # -5..-15% on the join-heavy dedup/retrieval queries. CAVEAT
+        # (r14 ADVICE): the muchSmaller gate runs on ESTIMATED stats,
+        # which can badly underestimate intermediate frames, and a SHJ
+        # build side cannot spill — a misestimated skewed build can OOM
+        # an executor where SMJ would have spilled. AQE re-checks with
+        # runtime sizes for the joins it re-plans, but the guarantee is
+        # statistical, not absolute; production-scale runs that prefer
+        # the safe default can flip it back via SPARK_GRAFT_PREFER_SMJ=1
+        # without a code edit.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") else "false",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
