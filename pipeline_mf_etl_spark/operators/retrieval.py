@@ -36,17 +36,17 @@ from pipeline_mf_etl_spark.operators.dedupe import tokens
 BM25_K1 = 1.2
 BM25_B = 0.75
 
-# The most recent postings (tf) persist handed to a LAZY caller
+# The most recent QUERY-TERM postings persist handed to a LAZY caller
 # (r1 / r2) — those callers return an unexecuted plan, so they can
 # never unpersist it themselves. Each new invocation evicts the
-# previous entry, bounding pinned executor memory to ONE postings
-# table per session instead of one per query run (same one-slot
-# discipline as operators/dedupe's shingle cache). The cache is
-# PER-INVOCATION: every call to bm25_topk rebuilds the frame from its
-# inputs; the persist only dedupes the tokenize→explode→groupBy
-# subtree WITHIN one invocation's plan (it feeds candidate pruning,
-# doc lengths, document frequencies and the avgdl scalar — four
-# instantiations of the corpus explode without it; guide §5 caching).
+# previous entry (same one-slot discipline as operators/dedupe's
+# shingle cache). The cache is PER-INVOCATION: every call to bm25_topk
+# rebuilds the frame from its inputs; the persist only dedupes the
+# pruned-postings subtree WITHIN one invocation's plan (it feeds the
+# candidate branch and the document-frequency branch). r15: the
+# pinned frame is the QUERY-TERM postings only — bounded by the docs
+# that contain a query term, never the full corpus postings the r14
+# version pinned.
 _LAZY_POSTINGS_CACHE: list[DataFrame] = []
 
 
@@ -80,49 +80,77 @@ def bm25_topk(
 
     Scores are rounded to 6 dp BEFORE ranking with an id tie-break, so
     the ordering is reproducible across engines and accumulation
-    orders (same convention as the ANN family)."""
-    # tf is the only corpus-sized shuffle; dl re-aggregates from it.
-    # The tf↔dl join happens AFTER the broadcast query-term prune below,
-    # so full-corpus postings never cross a doc_id exchange — pre-r14
-    # the join ran on the unpruned postings and re-shuffled every
-    # (doc, term) row only to drop non-query terms immediately above
-    # (guide §2.3: filter before the exchange). tf feeds FOUR branches
-    # (query-term prune, doc lengths → candidates, doc lengths → avgdl,
-    # document frequencies), so without a persist the corpus
-    # tokenize+explode+groupBy subtree is instantiated once per branch
-    # — persist it so the one corpus pass runs once (one-slot eviction
-    # cache, see _LAZY_POSTINGS_CACHE above).
+    orders (same convention as the ANN family).
+
+    Plan shape (r15 rewrite — guide §2.3/§2.4 taken to completion):
+    NOTHING corpus-sized ever crosses an exchange or pins memory.
+
+    - Doc length is a per-row function of the token array
+      (dl = size(toks) ≡ Σ tf over the doc's terms), so it RIDES the
+      explode as a column instead of being re-aggregated from a
+      corpus-wide (doc, term) groupBy — the r14 plan's only
+      corpus-sized shuffle (plus its full-postings persist) drops out.
+    - The broadcast query-term semi-join prunes the exploded token
+      stream MAP-SIDE, before the one (tiny) aggregation that builds
+      the pruned postings. tf per (doc, term) is identical: pruning
+      drops terms, not occurrences.
+    - Corpus scalars (n_docs, avgdl) come from ONE map-side aggregate
+      over the token-array projection (avgdl = Σ size(toks) / n_docs —
+      the same integer total Σ dl the r14 plan summed) — one broadcast
+      build instead of two chained ones.
+
+    Cost: the corpus is tokenized twice (scalar pass + postings pass),
+    both pure map passes — at 100 TB two scans beat one scan plus a
+    full-postings shuffle AND a full-postings cache pin. The persisted
+    frame is the PRUNED postings (bounded by query-term hits), shared
+    by the candidate and document-frequency branches."""
     while _LAZY_POSTINGS_CACHE:
         _LAZY_POSTINGS_CACHE.pop().unpersist()
-    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
-    _LAZY_POSTINGS_CACHE.append(tf)
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    tokd = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+
+    # corpus scalars in ONE map-side aggregation (pass 1):
+    # Σ size(toks) ≡ Σ dl (docs with no tokens contribute 0 on both
+    # sides — size(NULL array) is NULL and coalesces to 0); the
+    # division matches the r14 form bit-for-bit (long total / double
+    # n_docs).
+    stats = tokd.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.coalesce(F.size("_toks"), F.lit(0))).alias("_total_tokens"),
+    ).select(
+        "n_docs", (F.col("_total_tokens") / F.col("n_docs")).alias("avgdl")
+    )
 
     qterms = queries.select(
         "query_id",
         F.explode(F.array_distinct(tokens(F.col("qtext")))).alias("term"),
     )
+    qdistinct = qterms.select("term").distinct()
 
-    # corpus scalars, one row each, broadcast onto every candidate.
-    # avgdl = total tokens / total docs (empty docs count in the
-    # denominator) — aggregated from dl (one row per doc), the smallest
-    # frame that carries the total token count.
-    stats = docs.agg(F.count("*").cast("double").alias("n_docs"))
-    avg = dl.crossJoin(F.broadcast(stats)).agg(
-        (F.sum("dl") / F.first("n_docs")).alias("avgdl")
+    # pass 2: explode with dl riding along, prune map-side, aggregate
+    # the surviving (query-term) rows only. max("dl") is the constant
+    # per-doc length (deterministic pick of identical values).
+    tok = tokd.select(
+        F.col(id_col),
+        F.coalesce(F.size("_toks"), F.lit(0)).alias("dl"),
+        F.explode("_toks").alias("term"),
     )
+    tfq = (
+        tok.join(F.broadcast(qdistinct), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+        .persist()
+    )
+    _LAZY_POSTINGS_CACHE.append(tfq)
 
-    tfq = tf.join(F.broadcast(qterms), "term")  # map-side prune to query terms
+    # df per query term from the pruned postings — identical to the
+    # full-corpus df for those terms (tfq has one row per (doc, term),
+    # so count(*) per term ≡ COUNT(DISTINCT doc_id))
+    dfreq = tfq.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
     cand = (
-        tfq.join(dl, id_col)  # doc lengths attach to PRUNED postings only
+        tfq.join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(avg))
     )
-    # df per query term, computed on the pruned postings (identical to
-    # the full-corpus df for those terms: pruning drops terms, not docs)
-    dfreq = tfq.groupBy("term").agg(F.countDistinct(id_col).cast("double").alias("df"))
-
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
