@@ -144,6 +144,104 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def shingle_array_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sharr, sz): the distinct shingle ARRAY per doc plus its
+    size — docs with no shingles (fewer than n tokens) are dropped,
+    matching ``exploded_shingles``' explode semantics exactly.
+
+    The r15 d2 shape: keeping shingles as per-row arrays makes MinHash
+    signatures and set sizes MAP work (``minhash_signatures_from_arrays``
+    / the ``sz`` column) and exact verification one ``array_intersect``
+    per candidate pair (``jaccard_on_array_pairs``) — removing the
+    signature groupBy exchange, the sizes groupBy exchange, and the
+    two-sided exploded-shingle verify join from the chain. The total
+    hash work (one md5 fold per distinct shingle) is unchanged.
+
+    Shingle-less docs are KEPT (sz = 0) — filtering here would let
+    predicate pushdown substitute the shingle expression into the
+    filter below the projection and evaluate the whole n-gram build
+    TWICE per row (measured 2x the persist cost at sf0.1). Callers
+    that need only shingled docs filter on the cached ``sz`` column
+    (one cheap scan of the persisted frame), which ``exploded_shingles``'
+    explode semantics made implicit."""
+    t = df.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    arr = t.select(id_col, _ngram_join(F.col("__toks"), n).alias("sharr"))
+    return arr.withColumn("sz", F.size("sharr"))
+
+
+def minhash_signatures_from_arrays(
+    base: DataFrame, id_col: str, k: int = 16, arr_col: str = "sharr"
+) -> DataFrame:
+    """Per-doc MinHash signature computed MAP-SIDE from the shingle
+    array — bit-identical values to ``minhash_signatures`` over the
+    exploded rows (same md5 fold, same affine slot family, min over
+    the same distinct set), with no corpus-wide exchange: the
+    explode + groupBy(id) becomes per-row array algebra.
+
+    The folded base-hash array is materialized as its OWN column in
+    its own projection so the k min-reductions share one evaluation —
+    higher-order functions are CodegenFallback, and inlining the fold
+    into every slot lambda would re-hash each shingle k times
+    (the d5/e3 lesson, operators/similarity.py)."""
+    hs = F.transform(
+        F.col(arr_col), lambda s: F.pmod(md5_int64(s), F.lit(_FOLD_PRIME))
+    )
+    based = base.select(id_col, hs.alias("__hs"))
+
+    def _slot(a: int, b: int):
+        # closure factory, NOT default-arg lambdas: PySpark derives the
+        # lambda's arity from the Python signature, so extra defaulted
+        # parameters would declare a 3-argument HOF lambda
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_FOLD_PRIME))
+
+    sig_cols = []
+    for i in range(k):
+        a, b = minhash_slot_params(i)
+        sig_cols.append(
+            F.array_min(F.transform(F.col("__hs"), _slot(a, b))).alias(f"mh_{i}")
+        )
+    return based.select(F.col(id_col), *sig_cols)
+
+
+def jaccard_on_array_pairs(
+    pairs: DataFrame, base: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs from the per-doc
+    shingle ARRAYS: two equi-joins attach each endpoint's array + size,
+    then ``size(array_intersect(...))`` computes the intersection in a
+    map stage — same integers as the exploded-join form
+    (``jaccard_on_pairs``: arrays are distinct per doc, so the
+    intersection size is the shared-shingle count), without the
+    (b, shingle) wide join and the groupBy(a, b) exchange."""
+    a_side = base.select(
+        F.col(id_col).alias("a"), F.col("sharr").alias("_sha"), F.col("sz").alias("sz_a")
+    )
+    b_side = base.select(
+        F.col(id_col).alias("b"), F.col("sharr").alias("_shb"), F.col("sz").alias("sz_b")
+    )
+    return (
+        pairs.join(a_side, "a")
+        .join(b_side, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("_sha", "_shb")).alias("n_inter"),
+            "sz_a",
+            "sz_b",
+        )
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str, k: int = 16, bands: int = 4,
     max_bucket: int | None = None,
@@ -408,20 +506,39 @@ def connected_components(
     # large LSH literal at the base) — checkpointing truncates lineage so
     # every round analyzes a constant-size plan. On the fast path the
     # checkpoints are LAZY (eager=False): materialization folds into the
-    # next round's convergence action, so a round costs ONE job instead
-    # of a checkpoint job plus a count job, and the sym/labels seeds
-    # materialize inside round 1 instead of as two upfront jobs.
-    sym = loop_checkpoint(
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionAll(
-            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        ),
+    # round's convergence action, so a round costs ONE job.
+    #
+    # r15 round shape (two changes, guide §1.2 "remove passes"):
+    # - SELF-LOOPS: sym carries a (src, src) row per directed edge, so
+    #   "min over self ∪ neighbors" is ONE join + ONE aggregation per
+    #   round — the min is over the same set whether the own label
+    #   arrives via a second labels join (the r14 shape) or via the
+    #   self rows (duplicates cannot change a min). The own label for
+    #   the convergence flag is recovered inside the SAME aggregation
+    #   (min over the dst == src rows).
+    # - FUSED SEED: initial labels are the node ids, so round 1's
+    #   "min over self ∪ neighbors" is exactly least(src, min(dst)) —
+    #   one aggregation over sym replaces both the distinct-node seed
+    #   and the first join round.
+    sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionAll(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    sym_loops = loop_checkpoint(
+        sym.unionAll(sym.select("src", F.col("src").alias("dst"))),
         reliable,
         eager=False,
     )
+    # round 1 = the seed aggregation itself (min(dst) over sym_loops
+    # includes the self rows, so least() folds in for free and
+    # "_changed" is min-neighbor-undercut exactly as in later rounds)
     labels = loop_checkpoint(
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node")),
+        sym_loops.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            F.col("src").alias("node"),
+            F.col("_m").alias("component"),
+            (F.col("_m") < F.col("src")).alias("_changed"),
+        ),
         reliable,
         eager=False,
     )
@@ -430,57 +547,54 @@ def connected_components(
     # a graph whose diameter needs exactly max_iter propagation rounds
     # must come back converged, not as a spurious failure.
     #
-    # labels_ckpt tracks the frame that actually owns the checkpoint
-    # blocks (labels itself is a projection of it from round 1 on) so
-    # _free_local_checkpoint always sees the LogicalRDD.
+    # labels_ckpt tracks the frame that owns the current checkpoint
+    # blocks; pending_free is the SUPERSEDED round, freed only after the
+    # next round's collect has materialized its successor (freeing
+    # earlier would yank blocks the successor's plan still reads).
     labels_ckpt = labels
+    pending_free: DataFrame | None = None
     for _ in range(max_iter + 1):
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-            .withColumnRenamed("src", "node")
-        )
-        # A label can only DECREASE, so "this round changed something"
-        # is exactly "some neighbor minimum undercut the own label" —
-        # computing that flag inside the same select lets the
-        # convergence check scan the just-checkpointed blocks instead
-        # of re-joining them against the previous labels (one fewer
-        # join + exchange per round).
-        updated = loop_checkpoint(
-            labels.join(neighbor_min, "node", "left").select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-                F.coalesce(
-                    F.col("nbr_component") < F.col("component"), F.lit(False)
-                ).alias("_changed"),
-            ),
-            reliable,
-            eager=False,
-        )
         # Full-scan aggregate, not filter+limit: a limit(1) short-
         # circuit may skip partitions, leaving the LAZY checkpoint only
         # partially materialized; max(_changed) covers every partition,
         # so this one action both persists the round's blocks and
         # answers the convergence question.
-        row = updated.agg(F.max("_changed")).collect()[0]
+        row = labels.agg(F.max("_changed")).collect()[0]
+        if pending_free is not None and not reliable:
+            _free_local_checkpoint(pending_free)
+            pending_free = None
         changed = bool(row[0]) if row[0] is not None else False
-        # `updated` is its own (eager) checkpoint and `changed` is
-        # computed — the previous round's blocks are now garbage.
-        # (reliable checkpoints live in the checkpoint dir, not executor
-        # block storage — nothing to free, and freeing would be wrong.)
-        if not reliable:
-            _free_local_checkpoint(labels_ckpt)
-        labels_ckpt = updated
-        labels = updated.select("node", "component")
         if not changed:
             converged = True
             break
+        joined = sym_loops.join(
+            labels.select(F.col("node").alias("dst"), "component"), "dst"
+        )
+        labels = loop_checkpoint(
+            joined.groupBy("src")
+            .agg(
+                F.min("component").alias("_new"),
+                # own label = the component carried by the self rows
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("component"))
+                ).alias("_old"),
+            )
+            .select(
+                F.col("src").alias("node"),
+                F.col("_new").alias("component"),
+                (F.col("_new") < F.col("_old")).alias("_changed"),
+            ),
+            reliable,
+            eager=False,
+        )
+        # (reliable checkpoints live in the checkpoint dir, not executor
+        # block storage — nothing to free, and freeing would be wrong.)
+        pending_free = labels_ckpt
+        labels_ckpt = labels
     if not reliable:
-        _free_local_checkpoint(sym)
+        if pending_free is not None:
+            _free_local_checkpoint(pending_free)
+        _free_local_checkpoint(sym_loops)
     if not converged:
         # returning partial labels would silently assign WRONG components
         # to the far ends of long chains — fail loudly instead.
@@ -489,7 +603,7 @@ def connected_components(
             "rounds — the graph has a component whose diameter exceeds the "
             "iteration budget; raise max_iter"
         )
-    return labels
+    return labels.select("node", "component")
 
 
 def minhash_band_buckets_rowwise(

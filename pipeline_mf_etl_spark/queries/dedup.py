@@ -18,9 +18,7 @@ from pipeline_mf_etl_spark.operators.dedupe import (
     all_pairs_jaccard,
     containment_candidate_pairs,
     exploded_shingles,
-    jaccard_on_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
     normalize_text,
     simhash32,
     tokens,
@@ -199,13 +197,32 @@ def _verified_pairs(
     see ``_lsh_max_bucket_config``) bounds per-bucket LSH membership
     against duplicate floods; None = exact.
 
-    The shingle set feeds three consumers (signatures, sizes, exact
-    verification) — persist it so the tokenize/explode runs once, not
-    once per plan branch (at scale this is the difference between one
-    corpus scan and four). ``return_shingles=True`` also hands the
-    persisted shingle frame to the caller, so an EAGER consumer that
+    Plan shape (r15 rewrite — guide §2.4 "remove shuffles outright"):
+    shingles stay per-doc ARRAYS instead of exploded rows, so MinHash
+    signatures and set sizes are per-row MAP work
+    (minhash_signatures_from_arrays — no signature groupBy exchange,
+    no sizes groupBy exchange) and exact verification is one
+    array_intersect per candidate pair (jaccard_on_array_pairs — no
+    (doc, shingle) verify joins, no groupBy(a, b) exchange). The md5
+    work (one fold per distinct shingle) is unchanged; the chain's
+    corpus-wide exchanges drop from four (sig agg + sizes agg + two
+    exploded verify joins) to zero — only candidate-sized frames cross
+    exchanges after the band-bucket self-join. Values are
+    bit-identical: same fold, same affine family, min over the same
+    distinct set, same integer Jaccard arithmetic.
+
+    The (doc_id, sharr, sz) base frame feeds two consumers (signature
+    branch + both verify endpoints) — persist it so the tokenize +
+    shingle build runs once per invocation. ``return_shingles=True``
+    hands the persisted frame to the caller, so an EAGER consumer that
     materializes the pairs (d6's connected components) can unpersist
-    the cache instead of leaving it pinned for the session."""
+    it instead of leaving it pinned for the session."""
+    from pipeline_mf_etl_spark.operators.dedupe import (
+        jaccard_on_array_pairs,
+        minhash_signatures_from_arrays,
+        shingle_array_frame,
+    )
+
     # Evict BEFORE persisting the new frame: Spark's cache manager keys
     # entries by ANALYZED PLAN, not object identity, so unpersisting an
     # old parked frame after the new persist would evict the new cache
@@ -219,15 +236,23 @@ def _verified_pairs(
         # and must not silently diverge because a SCALE-probe env var
         # was left set in the shell (r9 ADVICE hazard).
         max_bucket = _lsh_max_bucket_config()
-    sh = exploded_shingles(docs, "doc_id", "text", n=3).persist()
-    sig = minhash_signatures(sh, "doc_id", k=16)
+    base = shingle_array_frame(docs, "doc_id", "text", n=3).persist()
+    # shingle-less docs (sz = 0) never enter the chain — the filter runs
+    # on the CACHED sz column, not on the shingle expression (where
+    # predicate pushdown would double-evaluate the n-gram build; see
+    # shingle_array_frame)
+    sig = minhash_signatures_from_arrays(
+        base.filter(F.col("sz") > 0), "doc_id", k=16
+    )
     cand = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4, max_bucket=max_bucket)
-    verified = jaccard_on_pairs(cand, sh, "doc_id").filter(F.col("jaccard") >= 0.5)
+    verified = jaccard_on_array_pairs(cand, base, "doc_id").filter(
+        F.col("jaccard") >= 0.5
+    )
     if return_shingles:
-        return verified, sh
-    # Lazy path: the caller never sees sh, so park it in the one-slot
+        return verified, base
+    # Lazy path: the caller never sees base, so park it in the one-slot
     # eviction cache (see _LAZY_SHINGLE_CACHE above).
-    _LAZY_SHINGLE_CACHE.append(sh)
+    _LAZY_SHINGLE_CACHE.append(base)
     return verified
 
 
@@ -583,6 +608,12 @@ def d6_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _D8_N = 8
 _D8_DF = 2
+# The engine's duplicated-gram flag below is a min/max window —
+# min(doc_id) != max(doc_id) ⇔ >= 2 DISTINCT docs — which is equivalent
+# to the oracle's COUNT(DISTINCT doc_id) >= _D8_DF ONLY while the
+# document-frequency threshold is exactly 2 (r14 ADVICE: changing the
+# constant would silently diverge engine and oracle until parity ran).
+assert _D8_DF == 2, "d8's min!=max window rewrite assumes _D8_DF == 2"
 
 # One-slot eviction cache for d8's span frame (same discipline as
 # _LAZY_SHINGLE_CACHE): the spans feed the duplicated-gram count, the
