@@ -86,30 +86,32 @@ def pagerank(
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("double").alias("w"))
         rcols.append(F.col(weight_col).cast("double").alias("w"))
-    # sym/deg are NOT checkpointed on the fast path: with a FIXED
-    # iteration count the whole rank recursion compiles into ONE job,
-    # where every round's join needs the identical
-    # Exchange(hashpartitioning(src)) over sym / deg — the planner's
-    # exchange reuse computes each once and shares it across rounds, so
-    # eager per-frame materialization jobs only added driver round-trips
-    # (measured r14: g1 build 4.2 s → 1.x s). ``reliable=True`` keeps
-    # per-round durable checkpoints (cluster fault-tolerance contract).
+    # sym is NOT checkpointed on the fast path: with a FIXED iteration
+    # count the whole rank recursion compiles into ONE job, where every
+    # round's join needs the identical Exchange(hashpartitioning(src))
+    # over sym — the planner's exchange reuse computes it once and
+    # shares it across rounds (measured r14: g1 build 4.2 s → 1.x s).
+    # ``reliable=True`` keeps per-round durable checkpoints (cluster
+    # fault-tolerance contract).
     sym = edges.select(*cols).unionAll(edges.select(*rcols))
     if reliable:
         sym = loop_checkpoint(sym, True)
-    # nodes IS checkpointed either way: n (a driver literal baked into
-    # the per-round rounding expression) forces a count job over it, and
-    # the final plan reuses the materialized node set.
-    nodes = loop_checkpoint(
-        sym.select(F.col("src").alias("node")).distinct(), reliable
-    )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("r", F.lit(0.0))
+    # deg is the ONE materialized frame (r15): sym is symmetric, so its
+    # distinct srcs ARE the node set and deg carries exactly one row
+    # per node — a single lazy checkpoint + count job yields n (the
+    # driver literal in the rounding expression), the uniform rank
+    # seed, AND the per-round degree join side, where the r14 shape
+    # checkpointed a separate distinct-node frame (an extra job) and
+    # left deg to per-round exchange reuse.
     wexpr = F.sum("w") if weight_col is not None else F.count("*").cast("double")
-    deg = sym.groupBy("src").agg(wexpr.alias("deg"))
-    if reliable:
-        deg = loop_checkpoint(deg, True)
+    deg = loop_checkpoint(
+        sym.groupBy("src").agg(wexpr.alias("deg")), reliable, eager=False
+    )
+    # count() scans every partition, so it both materializes the lazy
+    # checkpoint and returns n in one job
+    n = deg.count()
+    if n == 0:
+        return deg.select(F.col("src").alias("node")).withColumn("r", F.lit(0.0))
     # float-expression parity with the SQL oracles: unweighted is
     # EXACTLY r/deg; weighted is EXACTLY r*w/deg (same literal forms)
     if weight_col is not None:
@@ -122,20 +124,23 @@ def pagerank(
     # divergence from IEEE 1-0.85 that could flip a 9-dp round on an
     # exact boundary)
     base = (1 - damping) / float(n)
-    ranks = nodes.select("node", F.round(F.lit(1.0 / float(n)), 9).alias("r"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.round(F.lit(1.0 / float(n)), 9).alias("r")
+    )
     for _ in range(iters):
         contrib = (
             sym.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
             .groupBy("dst")
             .agg(F.sum(contrib_term).alias("c"))
-            .withColumnRenamed("dst", "node")
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            F.round(
-                F.lit(base) + damping * F.coalesce(F.col("c"), F.lit(0.0)), 9
-            ).alias("r"),
+        # sym is symmetric, so EVERY node appears as a dst and contrib
+        # carries a row for every node — the r14 nodes-left-join +
+        # coalesce(c, 0) was the identity on this graph family and is
+        # dropped (one join + one exchange fewer per round).
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            F.round(F.lit(base) + damping * F.col("c"), 9).alias("r"),
         )
         if reliable:
             # durable per-round checkpoint: iteration state survives
@@ -180,11 +185,23 @@ def total_order_rank(
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    # Materialize the INPUT before the range exchange (r15): a
+    # RangePartitioning exchange first runs a separate sampling job
+    # over its child, so an expensive upstream plan (g1: the whole
+    # 5-round PageRank recursion) would be computed TWICE — once for
+    # the sample sketch, once for the exchange itself. The lazy
+    # checkpoint is materialized by the sampling pass (it touches every
+    # partition) and the exchange then reads blocks; the blocks are
+    # freed as soon as `part`'s own checkpoint supersedes them.
+    src = df.localCheckpoint(eager=False)
     part = (
-        df.repartitionByRange(n_parts, *order_cols)
+        src.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
+    from pipeline_mf_etl_spark.operators.dedupe import _free_local_checkpoint
+
+    _free_local_checkpoint(src)
     counts = part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     offsets, acc = [], 0
     for row in sorted(counts, key=lambda r: r["_pid"]):
