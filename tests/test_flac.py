@@ -218,3 +218,58 @@ class TestSpark:
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hashpartitioning" not in plan
         assert plan.count("Exchange roundrobinpartitioning") <= 1  # fan-out
+
+class TestVectorizedBitWriter:
+    """r15: the rice/raw encode loops moved to bulk NumPy bit vectors —
+    these pin byte-exact equality against the per-sample scalar path."""
+
+    def test_write_bits_array_matches_per_bit_writes(self):
+        from pipeline_mf_etl_spark.operators.flac import _BitWriter
+
+        rng = np.random.default_rng(7)
+        for trial in range(20):
+            bits = rng.integers(0, 2, int(rng.integers(1, 200))).astype(np.uint8)
+            lead = int(rng.integers(0, 8))  # misalign the accumulator
+            a, b = _BitWriter(), _BitWriter()
+            for w in (a, b):
+                if lead:
+                    w.write(trial & ((1 << lead) - 1), lead)
+            a.write_bits_array(bits)
+            for bit in bits.tolist():
+                b.write(int(bit), 1)
+            a.align(), b.align()
+            assert a.getvalue() == b.getvalue(), f"trial {trial} lead {lead}"
+
+    def test_rice_bits_matches_scalar_rice_codes(self):
+        from pipeline_mf_etl_spark.operators.flac import (
+            _BitWriter,
+            _rice_bits,
+            _signed_bits,
+            _zigzag,
+        )
+
+        rng = np.random.default_rng(11)
+        for param in (0, 1, 3, 7, 14):
+            res = rng.integers(-(1 << 12), 1 << 12, 257).astype(np.int64)
+            u = _zigzag(res)
+            vec = _BitWriter()
+            vec.write_bits_array(_rice_bits(u, param))
+            vec.align()
+            ref = _BitWriter()
+            for val in u:
+                ref.write_unary(int(val) >> param)
+                if param:
+                    ref.write(int(val) & ((1 << param) - 1), param)
+            ref.align()
+            assert vec.getvalue() == ref.getvalue(), f"param {param}"
+        # raw two's-complement fields (escape partitions / verbatim)
+        for raw_bits in (1, 5, 17):
+            seg = rng.integers(-(1 << (raw_bits - 1)), 1 << (raw_bits - 1), 64)
+            vec = _BitWriter()
+            vec.write_bits_array(_signed_bits(seg, raw_bits))
+            vec.align()
+            ref = _BitWriter()
+            for v in seg:
+                ref.write_signed(int(v), raw_bits)
+            ref.align()
+            assert vec.getvalue() == ref.getvalue(), f"raw_bits {raw_bits}"
