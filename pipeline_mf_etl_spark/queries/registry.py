@@ -64,93 +64,48 @@ _QUERY_MODULES = (
     "pipeline_mf_etl_spark.queries.graph",
 )
 
-# ROUND-14 WINDOW (the r13 verdict's ranked task 1): the two late-r13
-# registrations certify FIRST (c10 seekable-zstd shard layout, c11
-# xz/LZMA2 decode — both oracle-parity green locally since r13), then
-# this round's new code (inserted when registered), then the 13 rows
-# whose latest green is r9 (>4 rounds stale at r14 — the staleness
-# guard below forces exactly this set), then the oldest r10 cohort
-# this round's NEW c12 (bzip2 dump-index point-lookup, task 9), then
-# the oldest r10 cohort fills the remaining slots — dedup parent first,
-# then the multimodal,
-# streaming, text, flow, and model-fit chains. Names past slot 50 are
-# the DOCUMENTED r15 rotation head (the 11 r10 rows that did not fit);
-# the staleness guard treats that tail as the planned next window, so
-# the suite stays green across the driver's end-of-round artifact drop
-# and still fails if the r15 rotation is skipped.
-# Rotated out (green r12-r13, code untouched): the r13 window.
+# ROUND-15 WINDOW (r14 verdict task 10 + the staleness guard): first
+# the two r14 registrations never driver-checked (o20, c16), then the
+# r15 optimization-round rewrites so every restructured chain is
+# re-hashed by the driver THIS round — the MinHash array chain (d2; d5
+# shares connected components, d7 the waterfall + CC, g1 the pagerank
+# + total-order rewrites, r1 the BM25 two-pass shape, mm25 the
+# vectorized rice writer) plus the r14 §13-§17 rewrites the verdict
+# asked sampled (d8, t13, w22, d4, m17, g3, o11) — then the 17
+# remaining r10-green rows (5 rounds stale at r15: the guard's
+# boundary-tolerated set, promised as this window in r14), then 18 of
+# the r11 cohort. Names past slot 50 are the DOCUMENTED r16 rotation
+# head (the 25 remaining r11 rows); the staleness guard treats that
+# tail as the planned next window, so the suite stays green across the
+# driver's end-of-round artifact drop and still fails if the r16
+# rotation is skipped. The r15 rewrites NOT in the window (d6, d9, g2,
+# r2, t8) are certified through the same shared operators the sampled
+# set exercises (d2's chain + pair export, g1's pagerank, r1's
+# bm25_topk) and stay locally parity-green.
+# Rotated out (green r13-r14, code untouched): the r14 window.
 # The permanently-red no-oracle variants (a16/a17/a18/o4) are
 # driver_visible=False — certified via their exact twins + property
 # tests — so no window can contain a red-by-design row.
 _PRIORITY = (
-    # --- (1) first driver exposure: the late-r13 registrations, then
-    # this round's new training-container layouts (TFRecord, Arrow
-    # IPC, safetensors) ---
-    "c10_shard_lookup",
-    "c11_xz_extract",
-    "c12_bz2_dump_lookup",
-    "c13_tfrecord_lookup",
-    "c14_arrow_lookup",
-    "c15_safetensors_lookup",
-    # --- (2) the 13 r9-stale re-certs (staleness guard set) ---
-    "g3_triangle_count",
-    "w22_funnel_steps",
-    "st2_sliding_windows",
-    "mm1_binary_metadata",
-    "mm2_byte_features",
-    "mm3_frame_sample",
-    "mm4_wav_decode",
-    "mm13_jpeg_decode",
-    "mm13b_jpeg_color",
-    "mm15_mjpeg_decode",
-    "mm16_jpeg_probe",
-    "mm17_jpeg_progressive",
-    "mm20_bmp_decode",
-    # --- (3) re-certs of this round's exact-rounding fixes (the
-    # integer-cents half-up class, functions/core.exact_ratio_round6:
-    # p4's mean, w14's fwd_ret_5, and v1's ret/range_pct columns each
-    # changed 2-3 tie rows at sf0.01 — their prior hashes no longer
-    # reflect current code; w1's fix changed zero sf0.01 rows so its
-    # r11 cert stands) ---
-    "p4_quality_report",
-    "w14_forward_labels",
-    "v1_tmf_tti_panel",
-    # --- (4) r10 cohort fill: LSH parent, then multimodal decode,
-    # streaming, text, flow/manifest, model-fit, viewer chains ---
+    # --- (1) first driver exposure (registered r14, never sampled) ---
+    "o20_weighted_reservoir",
+    "c16_npz_lookup",
+    # --- (2) r15 rewrites + the r14 §13-§17 rewrite set (task 10) ---
     "d2_minhash_lsh",
-    "mm5_image_decode",
-    "mm6_video_decode",
-    "mm7_image_phash_dedup",
-    "mm12_png_decode",
-    "mm12b_png_color",
-    "mm14_mp4_demux",
-    "mm18_adpcm_decode",
-    "mm19_gif_decode",
-    "st1_tumbling_daily",
-    "st3_session_windows",
-    "st4_stateful_user_stats",
-    "st5_stream_dedupe",
-    "st6_stream_enrich",
-    "st7_stream_neardup",
-    "st8_stream_quality_route",
-    "t1_lang_id",
-    "t6_pii_scrub",
-    "t7_repetition_quality",
-    "t8_contamination",
-    "t9_trigram_lm",
-    "t10_source_quality",
-    "f1_flow_states",
-    "f2_flow_activity",
-    "i5_manifest_merge",
-    "m4_kmeans_profile",
-    "m5_gmm_mixture",
-    "m7_cluster_quality",
-    # --- names below slot 50: m7b/m10/m16 (displaced by c13/c14/c15)
-    # + the 15
-    # remaining r10 rows, i.e. the
-    # documented r15 rotation head (the staleness guard accepts these
-    # as "planned next window" at the r14->r15 boundary and fails if
-    # they are still here after the r15 rotation should have run) ---
+    "d5_neardup_groups",
+    "d7_curation_waterfall",
+    "g1_pagerank_neardup",
+    "r1_bm25_topk",
+    "mm25_flac_decode",
+    "d8_substring_dedup",
+    "t13_perplexity_buckets",
+    "w22_funnel_steps",
+    "d4_ngram_jaccard",
+    "m17_frobenius_stability",
+    "g3_triangle_count",
+    "o11_split_leakage",
+    # --- (3) the 17 remaining r10-green rows (the r14 tail, 5 rounds
+    # stale — the staleness guard's mandatory set) ---
     "m7b_silhouette_sampled",
     "m10_hmm_states",
     "m16_event_study",
@@ -164,15 +119,60 @@ _PRIORITY = (
     "mm24_hevc_route",
     "o9_stratified_sample",
     "o10_token_budget_mix",
-    "o11_split_leakage",
     "o12_sequence_packing",
     "o13_temperature_mix",
     "w21_scd2_intervals_segmented",
     "w23_ohlc_resample_minby",
-    # new r14 registrations, never driver-checked — first exposure with
-    # the r15 rotation alongside the names above
-    "o20_weighted_reservoir",
-    "c16_npz_lookup",
+    # --- (4) r11-cohort fill (oldest remaining; r2/t11/t12 also carry
+    # r15-adjacent code: r2 shares the BM25 rewrite, t12 the shared
+    # shingle-cache discipline) ---
+    "r2_hybrid_rrf",
+    "t11_gopher_rules",
+    "t12_bpe_tokenize",
+    "e7_semantic_dedup",
+    "st9_attribution_join",
+    "st10_last_click",
+    "st11_lsh_admission_batch",
+    "st12_daily_rollup_batch",
+    "mm8_audio_segments",
+    "mm9_image_resize",
+    "mm10_audio_downsample",
+    "mm11_video_resize",
+    "mm27_tiff_probe",
+    "mm27b_tiff_decode",
+    "mm28_webp_probe",
+    "mm28b_webp_lossless_decode",
+    "mm29_webm_probe",
+    "c1_warc_extract",
+    # --- names below slot 50: the 25 remaining r11-green rows — the
+    # documented r16 rotation head (the staleness guard accepts these
+    # as "planned next window" at the r15->r16 boundary and fails if
+    # they are still here after the r16 rotation should have run) ---
+    "c2_zip_extract",
+    "c3_pdf_extract",
+    "c5_lz4_extract",
+    "c6_snappy_extract",
+    "t15_html_extract",
+    "t16_url_canonicalize",
+    "a16b_exact_quantiles",
+    "a17b_exact_heavy_hitters",
+    "a18b_exact_distinct",
+    "o14_chunk_windows",
+    "o15_shard_shuffle",
+    "o16_per_group_sample",
+    "o17_weighted_sample",
+    "o19_purged_split",
+    "w1_lag_lead",
+    "w2_rolling_stats",
+    "w19_time_decay_score",
+    "w20_rolling_autocorr",
+    "w21_scd2_intervals",
+    "w23_ohlc_resample",
+    "s3_pushdown_scan",
+    "i2_manifest_classify",
+    "a14_salted_skew_agg",
+    "a15_rollup",
+    "o18_zorder_layout",
 )
 
 
