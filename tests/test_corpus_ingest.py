@@ -73,12 +73,11 @@ def test_wd1_plan_has_exactly_two_exchanges(spark):
 
 
 def test_corpus_family_registered_and_recert_window_pinned():
-    """All corpus-ingestion queries stay registered, and the r14 window
-    leads with the late-r13 registrations' first driver exposure
-    (c10/c11 — r13 verdict task 1), this round's new registrations
-    (c12, then the c13 TFRecord layout), and the 13 r9-stale rows the
-    staleness guard forces in — the rows whose certification this round
-    exists to refresh."""
+    """All corpus-ingestion queries stay registered, and the r15 window
+    leads with the two r14 registrations never driver-sampled (o20,
+    c16 — r14 verdict task 10), then every r15 optimization-round
+    rewrite plus the r14 §13-§17 rewrite set the verdict asked sampled —
+    the rows whose re-hash this round exists to obtain."""
     from pipeline_mf_etl_spark.queries.registry import _PRIORITY
 
     family = {
@@ -93,19 +92,15 @@ def test_corpus_family_registered_and_recert_window_pinned():
         "mm28_webp_probe", "mm29_webm_probe",
     }
     assert family <= set(all_queries())
-    assert _PRIORITY[:6] == (
-        "c10_shard_lookup", "c11_xz_extract", "c12_bz2_dump_lookup",
-        "c13_tfrecord_lookup", "c14_arrow_lookup",
-        "c15_safetensors_lookup",
-    )
-    stale_13 = {
-        "g3_triangle_count", "w22_funnel_steps", "st2_sliding_windows",
-        "mm1_binary_metadata", "mm2_byte_features", "mm3_frame_sample",
-        "mm4_wav_decode", "mm13_jpeg_decode", "mm13b_jpeg_color",
-        "mm15_mjpeg_decode", "mm16_jpeg_probe", "mm17_jpeg_progressive",
-        "mm20_bmp_decode",
+    assert _PRIORITY[:2] == ("o20_weighted_reservoir", "c16_npz_lookup")
+    rewrites_r15 = {
+        "d2_minhash_lsh", "d5_neardup_groups", "d7_curation_waterfall",
+        "g1_pagerank_neardup", "r1_bm25_topk", "mm25_flac_decode",
+        "d8_substring_dedup", "t13_perplexity_buckets", "w22_funnel_steps",
+        "d4_ngram_jaccard", "m17_frobenius_stability", "g3_triangle_count",
+        "o11_split_leakage",
     }
-    assert set(_PRIORITY[6:19]) == stale_13
+    assert set(_PRIORITY[2:15]) == rewrites_r15
 
 
 def test_mm25_flac_decode_matches_oracle(spark, duck):
